@@ -1,24 +1,52 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
+  * Times count() of each query's full plan — scan to result — after a
+  * small warmup job so JIT/codegen costs don't land on the first query.
+  */
 object Bench {
+
+  /** Headline set: one per operator family (parity joins, dedup,
+    * similarity, text, relational built-ins).
+    */
+  private val headline = Seq(
+    "fuzzy_join_acctbal", "fuzzy_join_ts", "fuzzy_join_decimal",
+    "ineq_join_acctbal", "ineq_join_dates",
+    "theta_join_mod", "asof_join_events",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_embedding", "ann_topk",
+    "text_quality", "doc_fingerprint", "agg_pricing")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warmup: trigger codegen + parquet footer reads once
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,439 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.multimodal.Multimodal
+import graft.operators._
+
+/** Driver contract (SURVEY.md §7 + builder prompt): `entry` is the
+  * flagship smoke query; `queries` maps every implemented operator to a
+  * runnable DataFrame plan over the driver testdata; `oracleSql` gives
+  * the DuckDB-equivalent SQL for each (omitted only for inherently
+  * non-SQL-expressible / approximate operators, which get rows-only
+  * checks).
+  *
+  * Column names are aligned 1:1 between each query and its oracle (the
+  * driver sorts columns by name before hashing). Float-valued derived
+  * columns are rounded to 4 decimals on BOTH sides; aggregate sums go
+  * through exact DECIMAL arithmetic before a final cast, so engine
+  * summation order cannot flip a bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is ns-precision parquet (TESTDATA/FIXTURES): Spark's
+      // reader rejects TIMESTAMP(NANOS) outright, so read it as a long
+      // (ns since epoch) and convert with exact integer arithmetic
+      // (`div`, not `/` — long/long division is double and loses
+      // precision at 1e18 ns). DuckDB's epoch_us() truncates the same way.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: fuzzy band join on account balances (reference operator
+    * O1, pandance/pandance.py:22) at sf0.001. Wide tolerance so the
+    * smoke check always sees rows.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    FuzzyJoin.numeric(
+      t(spark, dir, "customer"), t(spark, dir, "supplier"),
+      tol = 100.0, leftOn = Some("c_acctbal"), rightOn = Some("s_acctbal"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- O1 fuzzy_join ---------------------------------------------------
+    "fuzzy_join_acctbal" -> ((s, dir) => {
+      FuzzyJoin.numeric(
+          t(s, dir, "customer"), t(s, dir, "supplier"),
+          tol = 5.0, leftOn = Some("c_acctbal"), rightOn = Some("s_acctbal"))
+        .select("c_custkey", "c_acctbal", "s_suppkey", "s_acctbal")
+    }),
+    "fuzzy_join_ts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("view_ts"))
+      FuzzyJoin.time(clicks, views, Duration.ofSeconds(180),
+          leftOn = Some("click_ts"), rightOn = Some("view_ts"))
+        .select(col("click_id"), col("view_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("view_ts")).as("view_us"))
+    }),
+    "fuzzy_join_decimal" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal").cast(DecimalType(12, 2)).as("c_bal_dec"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal").cast(DecimalType(12, 2)).as("s_bal_dec"))
+      FuzzyJoin.decimal(c, sup, new java.math.BigDecimal("2.50"),
+          leftOn = Some("c_bal_dec"), rightOn = Some("s_bal_dec"))
+        .select("c_custkey", "s_suppkey", "c_bal_dec", "s_bal_dec")
+    }),
+    // ---- O3 ineq_join ----------------------------------------------------
+    "ineq_join_acctbal" -> ((s, dir) => {
+      IneqJoin(
+          t(s, dir, "customer"), t(s, dir, "supplier"), how = ">=",
+          leftOn = Some("c_acctbal"), rightOn = Some("s_acctbal"))
+        .select("c_custkey", "s_suppkey")
+    }),
+    "ineq_join_dates" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderdate") >= to_timestamp(lit("2001-06-15")))
+      val l = t(s, dir, "lineitem").filter(
+        col("l_shipdate") >= to_timestamp(lit("2001-06-01")) &&
+          col("l_shipdate") < to_timestamp(lit("2001-07-15")))
+      IneqJoin(o, l, how = "<", leftOn = Some("o_orderdate"), rightOn = Some("l_shipdate"))
+        .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"),
+          to_date(col("o_orderdate")).as("o_date"), to_date(col("l_shipdate")).as("l_date"))
+    }),
+    "ineq_join_str" -> ((s, dir) => {
+      IneqJoin(t(s, dir, "nation"), t(s, dir, "region"), how = "<",
+          leftOn = Some("n_name"), rightOn = Some("r_name"))
+        .select("n_nationkey", "n_name", "r_regionkey", "r_name")
+    }),
+    // ---- O2 theta_join ---------------------------------------------------
+    "theta_join_mod" -> ((s, dir) => {
+      ThetaJoin(
+          t(s, dir, "part"), t(s, dir, "supplier"),
+          (x, y) => x % 32 === y % 32,
+          leftOn = Some("p_partkey"), rightOn = Some("s_suppkey"))
+        .select("p_partkey", "s_suppkey")
+    }),
+    "theta_join_substr" -> ((s, dir) => {
+      val kw = t(s, dir, "part").select(lower(col("p_type")).as("keyword")).distinct()
+      ThetaJoin(kw, t(s, dir, "documents"),
+          (k, txt) => txt.contains(k),
+          leftOn = Some("keyword"), rightOn = Some("text"))
+        .select("keyword", "doc_id")
+    }),
+    "theta_join_udf" -> ((s, dir) => {
+      ThetaJoin.udf[Int, Int](
+          t(s, dir, "nation"), t(s, dir, "region"),
+          (a: Int, b: Int) => (a * b) % 7 == 0,
+          leftOn = Some("n_nationkey"), rightOn = Some("r_regionkey"))
+        .select("n_nationkey", "r_regionkey")
+    }),
+    // ---- as-of join (band-join extension) --------------------------------
+    "asof_join_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("view_ts"))
+      AsOfJoin.time(clicks, views, Duration.ofSeconds(120), rightId = "view_id",
+          leftOn = Some("click_ts"), rightOn = Some("view_ts"))
+        .select(col("click_id"), col("view_id"),
+          abs(unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("delta_us"))
+    }),
+    // ---- dedup -----------------------------------------------------------
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "source")
+    }),
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.6)
+        .select(col("doc_a"), col("doc_b"), col("intersection"),
+          col("size_a"), col("size_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+    "dedup_simhash" -> ((s, dir) => { // approximate blocking — rows-only check
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 7)
+    }),
+    "dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    }),
+    "dedup_embedding_lsh" -> ((s, dir) => { // approximate — rows-only check
+      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    }),
+    // ---- similarity search ------------------------------------------------
+    "ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.bruteForceTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+    }),
+    "ann_topk_lsh" -> ((s, dir) => { // approximate recall — rows-only check
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.lshTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+    }),
+    // ---- text analysis ----------------------------------------------------
+    "text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_calc"),
+        round(TextFunctions.avgTokenLen(col("text")), 4).as("avg_token_len"),
+        round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
+        TextFunctions.tokenEstimate(col("text")).as("token_est"))
+    }),
+    "text_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        round(TextFunctions.qualityScore(col("text")), 4).as("quality"),
+        round(TextFunctions.stopwordRatio(col("text"), TextFunctions.EnglishStopwords), 4)
+          .as("stopword_ratio"))
+    }),
+    "lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_detected"))
+    }),
+    "doc_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
+    }),
+    // ---- multimodal plumbing (decode is a deterministic stub) -------------
+    "multimodal_meta" -> ((s, dir) => {
+      val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
+      Multimodal.decodeMeta(withBin, "payload", keepCols = Seq("doc_id"))
+    }),
+    // ---- relational built-ins (coverage: scan/filter/agg/window/setops/sort)
+    "agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+    }),
+    "window_top_suppliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+      t(s, dir, "supplier")
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 3)
+        .select("s_suppkey", "s_nationkey", "s_acctbal", "rnk")
+    }),
+    "set_nations_intersect" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    }),
+    "set_nations_except" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    }),
+    "json_extract_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(IntegerType).as("k"))
+        .filter(col("k") >= 90)
+    }),
+    "topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    // shared SQL fragments (DuckDB dialect)
+    val tok =
+      "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents"
+    val shingles3 =
+      """WITH tokp AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+        |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        |  FROM tokp a
+        |  JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |""".stripMargin
+    val embUnnest =
+      """WITH e AS (
+        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY vec_id)
+        |""".stripMargin
+    Map(
+      "fuzzy_join_acctbal" ->
+        """SELECT c_custkey, c_acctbal, s_suppkey, s_acctbal
+          |FROM customer, supplier WHERE abs(c_acctbal - s_acctbal) <= 5.0""".stripMargin,
+      "fuzzy_join_ts" ->
+        """SELECT c.event_id AS click_id, v.event_id AS view_id,
+          |       epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us
+          |FROM events c, events v
+          |WHERE c.event_type = 'click' AND v.event_type = 'view'
+          |  AND abs(epoch_us(c.ts) - epoch_us(v.ts)) <= 180000000""".stripMargin,
+      "fuzzy_join_decimal" ->
+        """SELECT c_custkey, s_suppkey,
+          |       CAST(c_acctbal AS DECIMAL(12,2)) AS c_bal_dec,
+          |       CAST(s_acctbal AS DECIMAL(12,2)) AS s_bal_dec
+          |FROM customer, supplier
+          |WHERE abs(CAST(c_acctbal AS DECIMAL(12,2)) - CAST(s_acctbal AS DECIMAL(12,2)))
+          |      <= CAST(2.50 AS DECIMAL(12,2))""".stripMargin,
+      "ineq_join_acctbal" ->
+        "SELECT c_custkey, s_suppkey FROM customer, supplier WHERE c_acctbal >= s_acctbal",
+      "ineq_join_dates" ->
+        """SELECT o_orderkey, l_orderkey, l_linenumber,
+          |       CAST(o_orderdate AS DATE) AS o_date, CAST(l_shipdate AS DATE) AS l_date
+          |FROM orders, lineitem
+          |WHERE o_orderdate >= TIMESTAMP '2001-06-15'
+          |  AND l_shipdate >= TIMESTAMP '2001-06-01' AND l_shipdate < TIMESTAMP '2001-07-15'
+          |  AND o_orderdate < l_shipdate""".stripMargin,
+      "ineq_join_str" ->
+        """SELECT n_nationkey, n_name, r_regionkey, r_name
+          |FROM nation, region WHERE n_name < r_name""".stripMargin,
+      "theta_join_mod" ->
+        "SELECT p_partkey, s_suppkey FROM part, supplier WHERE p_partkey % 32 = s_suppkey % 32",
+      "theta_join_substr" ->
+        """WITH k AS (SELECT DISTINCT lower(p_type) AS keyword FROM part)
+          |SELECT k.keyword, d.doc_id FROM k, documents d
+          |WHERE contains(d.text, k.keyword)""".stripMargin,
+      "theta_join_udf" ->
+        """SELECT n_nationkey, r_regionkey FROM nation, region
+          |WHERE (n_nationkey * r_regionkey) % 7 = 0""".stripMargin,
+      "asof_join_events" ->
+        """WITH c AS (SELECT event_id AS cid, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'),
+          |     v AS (SELECT event_id AS vid, epoch_us(ts) AS vus FROM events WHERE event_type = 'view'),
+          |     j AS (SELECT cid, vid, abs(cus - vus) AS d,
+          |                  row_number() OVER (PARTITION BY cid ORDER BY abs(cus - vus), vus, vid) AS rn
+          |           FROM c, v WHERE abs(cus - vus) <= 120000000)
+          |SELECT cid AS click_id, vid AS view_id, d AS delta_us FROM j WHERE rn = 1""".stripMargin,
+      "dedup_exact" ->
+        """SELECT doc_id, lang, source FROM (
+          |  SELECT doc_id, lang, source,
+          |         row_number() OVER (
+          |           PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+          |           ORDER BY doc_id) AS rn
+          |  FROM documents) WHERE rn = 1""".stripMargin,
+      "dedup_ngram_jaccard" -> (shingles3 +
+        """SELECT doc_a, doc_b, i AS intersection, ca.n AS size_a, cb.n AS size_b,
+          |       round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+          |FROM inter
+          |JOIN cnt ca ON ca.doc_id = doc_a
+          |JOIN cnt cb ON cb.doc_id = doc_b
+          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6""".stripMargin),
+      "dedup_minhash" -> (shingles3 +
+        """SELECT doc_a, doc_b, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+          |FROM inter
+          |JOIN cnt ca ON ca.doc_id = doc_a
+          |JOIN cnt cb ON cb.doc_id = doc_b
+          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin),
+      "dedup_embedding" -> (embUnnest +
+        """, d AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dp
+          |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+          |  GROUP BY 1, 2)
+          |SELECT id_a, id_b, round(dp / (na.n * nb.n), 4) AS cosine
+          |FROM d JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
+          |WHERE dp / (na.n * nb.n) >= 0.45""".stripMargin),
+      "ann_topk" -> (embUnnest +
+        """, d AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dp
+          |  FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 20 AND q.vec_id <> c.vec_id
+          |  GROUP BY 1, 2),
+          |sc AS (
+          |  SELECT query_id, neighbor_id, dp / (nq.n * nc.n) AS cos
+          |  FROM d JOIN nrm nq ON nq.vec_id = query_id JOIN nrm nc ON nc.vec_id = neighbor_id),
+          |r AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM sc)
+          |SELECT query_id, neighbor_id, round(cos, 4) AS cosine FROM r WHERE rn <= 5""".stripMargin),
+      "text_stats" ->
+        (s"""WITH tok AS ($tok),
+           |agg AS (SELECT doc_id, count(*) AS n_tokens,
+           |               sum(length(w)) AS lensum FROM tok GROUP BY doc_id)
+           |SELECT d.doc_id, agg.n_tokens, length(d.text) AS n_chars_calc,
+           |  round(lensum * 1.0 / agg.n_tokens, 4) AS avg_token_len,
+           |  round(length(regexp_replace(d.text, '[^.,!?;:]', '', 'g')) * 1.0 / length(d.text), 4)
+           |    AS punct_ratio,
+           |  CAST(ceil(length(trim(d.text)) / 4.0)
+           |       + length(regexp_replace(d.text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS token_est
+           |FROM documents d JOIN agg ON agg.doc_id = d.doc_id""".stripMargin),
+      "text_quality" ->
+        (s"""WITH tok AS ($tok),
+           |agg AS (SELECT doc_id, count(*) AS n,
+           |  sum(CASE WHEN lower(w) IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as')
+           |      THEN 1 ELSE 0 END) AS sw
+           |  FROM tok GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  round(least(agg.n / 50.0, 1.0) * 0.5
+           |        + least(agg.sw * 1.0 / agg.n * 5.0, 1.0) * 0.3
+           |        + (1.0 - least(length(regexp_replace(d.text, '[^.,!?;:]', '', 'g')) * 1.0
+           |                       / length(d.text) * 5.0, 1.0)) * 0.2, 4) AS quality,
+           |  round(agg.sw * 1.0 / agg.n, 4) AS stopword_ratio
+           |FROM documents d JOIN agg ON agg.doc_id = d.doc_id""".stripMargin),
+      "lang_id" ->
+        (s"""WITH tok AS (SELECT doc_id, lower(w2) AS w FROM (
+           |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w2
+           |  FROM documents)),
+           |sc AS (SELECT doc_id,
+           |  sum(CASE WHEN w IN ('the','a','and','of','to','is') THEN 1 ELSE 0 END) AS s_en,
+           |  sum(CASE WHEN w IN ('el','la','los','de','que','y') THEN 1 ELSE 0 END) AS s_es,
+           |  sum(CASE WHEN w IN ('der','die','das','und','ist','nicht') THEN 1 ELSE 0 END) AS s_de,
+           |  sum(CASE WHEN w IN ('le','la','les','et','est','que') THEN 1 ELSE 0 END) AS s_fr
+           |  FROM tok GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  CASE
+           |    WHEN length(regexp_replace(d.text, '[^' || chr(19968) || '-' || chr(40959) || ']', '', 'g'))
+           |         * 1.0 / length(d.text) > 0.3 THEN 'zh'
+           |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+           |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+           |    WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+           |    WHEN s_fr > 0 THEN 'fr'
+           |    ELSE 'und' END AS lang_detected
+           |FROM documents d JOIN sc ON sc.doc_id = d.doc_id""".stripMargin),
+      "doc_fingerprint" ->
+        """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+          |FROM documents""".stripMargin,
+      "multimodal_meta" ->
+        """SELECT doc_id,
+          |  CAST(strlen(text) % 640 + 1 AS INT) AS width,
+          |  CAST((strlen(text) // 640) % 480 + 1 AS INT) AS height,
+          |  CASE WHEN strlen(text) > 0 AND ascii(substr(text, 1, 1)) = 137
+          |       THEN 'png' ELSE 'raw' END AS format,
+          |  CAST(strlen(text) AS BIGINT) AS byte_len
+          |FROM documents""".stripMargin,
+      "agg_pricing" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      "window_top_suppliers" ->
+        """SELECT s_suppkey, s_nationkey, s_acctbal, rnk FROM (
+          |  SELECT s_suppkey, s_nationkey, s_acctbal,
+          |         row_number() OVER (PARTITION BY s_nationkey
+          |                            ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+          |  FROM supplier) WHERE rnk <= 3""".stripMargin,
+      "set_nations_intersect" ->
+        """SELECT c_nationkey AS nationkey FROM customer
+          |INTERSECT
+          |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+      "set_nations_except" ->
+        """SELECT c_nationkey AS nationkey FROM customer
+          |EXCEPT
+          |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+      "json_extract_events" ->
+        """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
+          |FROM events WHERE CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) >= 90""".stripMargin,
+      "topk_orders" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar kernels for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, language-ID heuristics,
+  * token-count estimation, and document fingerprinting. All are built
+  * from codegen'd `org.apache.spark.sql.functions` (no UDFs), so they
+  * inline into WholeStageCodegen and push down through Catalyst.
+  *
+  * These go beyond the reference's surface (it has no scalar-function
+  * layer — SURVEY.md §2.4) and feed the dedup/similarity operators.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text, empty tokens removed. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+
+  /** Word n-gram shingles (space-joined), distinct. The unit of all
+    * Jaccard-based dedup (Dedup.ngramJaccard / minhashLsh).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    val count = size(t) - lit(n - 1)
+    // `when` guards the sequence: sequence(1, 0) would step backwards.
+    when(count < 1, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), count), i => concat_ws(" ", slice(t, i, lit(n))))))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token estimate: word pieces of <=4 chars plus
+    * punctuation marks counted separately — a deterministic, cheap stand-in
+    * for a real tokenizer's token count (useful for budget accounting on
+    * 100 TB corpora where running the real tokenizer twice is wasteful).
+    */
+  def tokenEstimate(text: Column): Column =
+    (ceil(length(trim(text)).cast("double") / lit(4.0)) +
+      length(regexp_replace(text, "[^.,!?;:]", ""))).cast("long")
+
+  /** Mean token length (0.0 for empty docs). */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
+  }
+
+  /** Punctuation-to-character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") / length(text))
+
+  /** Fraction of tokens found in `stopwords`. A standard fluency signal:
+    * natural text has a stable stopword ratio; keyword-stuffed or
+    * boilerplate text does not.
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      size(filter(t, w => array_contains(stops, lower(w)))).cast("double") / size(t))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on", "with", "as")
+
+  /** Composite quality score in [0, 1]: long-enough docs with a healthy
+    * stopword ratio and low punctuation noise score high. Deterministic
+    * arithmetic only — reproducible across engines for the oracle.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text, EnglishStopwords) * lit(5.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(5.0), lit(1.0))
+    lenScore * lit(0.5) + stopScore * lit(0.3) + (lit(1.0) - punctPenalty) * lit(0.2)
+  }
+
+  /** Language-ID heuristic: score = marker-token hits per language; the
+    * best-scoring language wins, ties broken by fixed priority order
+    * (en > es > de > fr). CJK text short-circuits on Unicode-script ratio.
+    * An n-gram/marker heuristic, not a model — by design (no model deps
+    * in a pure-SQL pipeline); precision is what a prefilter needs.
+    */
+  def langId(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and", "of", "to", "is"),
+      "es" -> Seq("el", "la", "los", "de", "que", "y"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "que"))
+    val t = tokens(lower(text))
+    def score(words: Seq[String]): Column = {
+      val set = array(words.map(lit): _*)
+      size(filter(t, w => array_contains(set, w)))
+    }
+    val cjkRatio =
+      when(length(text) === 0, lit(0.0)).otherwise(
+        length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("double") / length(text))
+    val scored = markers.map { case (lang, ws) => (lang, score(ws)) }
+    val best = scored.tail.foldLeft(scored.head._2)((m, s) => greatest(m, s._2))
+    val pick = scored.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(cjkRatio > lit(0.3), lit("zh")).otherwise(pick)
+  }
+
+  /** Document fingerprint: MD5 of whitespace-normalized, lower-cased
+    * text. Stable across engines (DuckDB/Spark both ship md5), the key
+    * for exact dedup at scale — group on the 128-bit hex instead of
+    * shuffling full document bodies.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inequality inner join: `left.col OP right.col` with
+  * `OP ∈ {<, <=, >=, >}` on one column per side
+  * (reference: pandance/pandance.py:614-846). `=`/`!=` are not part of
+  * the operator, as in the reference (pandance/pandance.py:756-762).
+  *
+  * == Spark-first design (scale notes) ==
+  * The reference sorts the longer side and binary-searches each probe
+  * value, exploiting transitivity to emit contiguous match ranges
+  * (pandance/pandance.py:787-876). The result of an inequality join is
+  * inherently up to O(n·m) rows, so at scale the *output* dominates the
+  * cost, not the matching. We therefore declare the plain non-equi join
+  * and let Catalyst plan it (BroadcastNestedLoopJoin when a side fits the
+  * broadcast threshold — the common shape: fact table vs small
+  * dimension). Two reference optimizations are kept because they change
+  * the asymptotics of the edge cases (pandance/pandance.py:792-807):
+  *
+  *  - range pruning: if min/max extremes prove *every* pair matches, the
+  *    join collapses to a `crossJoin` (no per-pair predicate evaluation);
+  *  - if extremes prove *no* pair can match, return the empty relation
+  *    without running the join at all (O(n+m) instead of O(n·m)).
+  *
+  * The two extreme aggregates are tiny all-to-one jobs (partial
+  * aggregation map-side, single row shuffled). `prune = false` skips them
+  * for pipelines where inputs are known to interleave.
+  */
+object IneqJoin {
+
+  val Ops: Set[String] = Set("<", "<=", ">=", ">")
+
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      how: String = "<=",
+      on: Option[String] = None,
+      leftOn: Option[String] = None,
+      rightOn: Option[String] = None,
+      suffixes: (String, String) = ("_x", "_y"),
+      prune: Boolean = true): DataFrame = {
+    if (!Ops(how))
+      throw new IllegalArgumentException(
+        s"how must be one of ${Ops.mkString("{", ", ", "}")}, got `$how`")
+    val cols = JoinSpec.resolve(on, leftOn, rightOn)
+    JoinSpec.requireColumn(left, cols.leftCol, "left")
+    JoinSpec.requireColumn(right, cols.rightCol, "right")
+
+    val lf = left.filter(col(cols.leftCol).isNotNull)
+    val rf = right.filter(col(cols.rightCol).isNotNull)
+    val (l, r, c) = JoinSpec.applySuffixes(lf, rf, cols, suffixes)
+
+    def cond(lc: Column, rc: Column): Column = how match {
+      case "<"  => lc < rc
+      case "<=" => lc <= rc
+      case ">=" => lc >= rc
+      case ">"  => lc > rc
+    }
+
+    if (prune) {
+      // Reference M4 fast paths (pandance/pandance.py:792-807): compare
+      // the extremes under the operator. `<`/`<=`: if max(l) OP min(r)
+      // every pair matches; if NOT (min(l) OP max(r)) no pair matches.
+      // Mirrored for `>`/`>=`.
+      val Array(lMin, lMax) = l.agg(min(col(c.leftCol)), max(col(c.leftCol))).collect()(0) match {
+        case row => Array(row.get(0), row.get(1))
+      }
+      val Array(rMin, rMax) = r.agg(min(col(c.rightCol)), max(col(c.rightCol))).collect()(0) match {
+        case row => Array(row.get(0), row.get(1))
+      }
+      if (lMin == null || rMin == null) return emptyLike(l, r)
+      val increasing = how == "<" || how == "<="
+      val allMatch =
+        if (increasing) evalOp(how, lMax, rMin) else evalOp(how, lMin, rMax)
+      val noneMatch =
+        if (increasing) !evalOp(how, lMin, rMax) else !evalOp(how, lMax, rMin)
+      if (allMatch) return l.crossJoin(r)
+      if (noneMatch) return emptyLike(l, r)
+    }
+    l.join(r, cond(l(c.leftCol), r(c.rightCol)), "inner")
+  }
+
+  /** Empty result with the FULL merged schema (the reference's empty fast
+    * path inconsistently returns join-columns-only, SURVEY.md §1.3 — we
+    * normalize to the full header; Spark fixes output schemas per plan
+    * anyway).
+    */
+  private def emptyLike(l: DataFrame, r: DataFrame): DataFrame =
+    l.limit(0).crossJoin(r.limit(0))
+
+  /** Driver-side comparison of two extreme values under the operator —
+    * only used on the 2×2 min/max aggregates, never per row.
+    */
+  private def evalOp(how: String, a: Any, b: Any): Boolean = {
+    val cmp = compareValues(a, b)
+    how match {
+      case "<"  => cmp < 0
+      case "<=" => cmp <= 0
+      case ">=" => cmp >= 0
+      case ">"  => cmp > 0
+    }
+  }
+
+  private def compareValues(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    // Timestamp/TimestampNTZ/Date/String all externalize to mutually
+    // comparable Java types (Instant, LocalDateTime, LocalDate, String).
+    case (x: Comparable[_], y) if x.getClass.isInstance(y) =>
+      x.asInstanceOf[Comparable[Any]].compareTo(y)
+    case _ =>
+      throw new IllegalArgumentException(
+        s"unsupported join column value types: ${a.getClass} vs ${b.getClass}")
+  }
+}

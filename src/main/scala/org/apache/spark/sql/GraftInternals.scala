@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` Column internals, so graft's custom
+  * Catalyst expressions (e.g. [[graft.functions.DotProduct]]) can be
+  * exposed as user-facing `Column`s without a session-bound function
+  * registry. Standard extension-library pattern; uses only the stable
+  * classic-mode conversion helpers.
+  */
+object GraftInternals {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}
