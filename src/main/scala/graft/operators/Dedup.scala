@@ -74,24 +74,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature column: `numHashes` longs per document —
-    * `sig[i] = min over shingles of (a_i * fnv64(shingle) + b_i)`.
-    * One pass over the shingles per doc, computed in a single UDF call
-    * (k multiplications per shingle, no per-permutation re-hash).
+  /** One UDF pass per document: MinHash signature (`sig[i] = min over
+    * shingles of a_i * fnv64(shingle) + b_i`) folded directly into
+    * `bands` 64-bit band keys. Computing the keys *inside* the UDF
+    * matters twice over: (1) Catalyst's projection collapse would
+    * otherwise inline the signature UDF into every one of the `bands`
+    * band-hash expressions and re-run the k×|shingles| work `bands`
+    * times; (2) the per-permutation affine constants are precomputed
+    * once here, not re-derived per shingle.
     */
-  private def minhashSig(numHashes: Int) = {
+  private def minhashBandKeys(numHashes: Int, bands: Int) = {
+    val rows = numHashes / bands
+    val as = Array.tabulate(numHashes)(i => Hashing.splitmix64(2L * i) | 1L)
+    val bs = Array.tabulate(numHashes)(i => Hashing.splitmix64(2L * i + 1))
     udf((shingles: Seq[String]) => {
       val sig = Array.fill(numHashes)(Long.MaxValue)
       shingles.foreach { s =>
         val base = Hashing.fnv1a64(s)
         var i = 0
         while (i < numHashes) {
-          val h = Hashing.permute(base, i)
+          val h = as(i) * base + bs(i)
           if (h < sig(i)) sig(i) = h
           i += 1
         }
       }
-      sig
+      Array.tabulate(bands) { b =>
+        var k = 0xcbf29ce484222325L
+        var r = 0
+        while (r < rows) {
+          k = Hashing.splitmix64(k ^ sig(b * rows + r))
+          r += 1
+        }
+        k
+      }
     })
   }
 
@@ -100,33 +115,33 @@ object Dedup {
     * exact Jaccard verification >= `threshold` (no false positives; false
     * negatives bounded by the banding curve `1-(1-j^r)^b`).
     * Output matches [[ngramJaccard]] so either can serve a pipeline.
+    *
+    * Scale shape: only (id, band, key) rows go through the banding
+    * shuffle — the shingle payload is re-joined onto the *deduplicated
+    * candidate pairs*, never exploded `bands`-fold.
     */
   def minhashLsh(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    val rows = numHashes / bands
     val sh = df
       .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), n).as("__sh"))
       .filter(size(col("__sh")) > 0)
-    val sig = sh.withColumn("__sig", minhashSig(numHashes)(col("__sh")))
-    // band key: (band index, xxhash of the band's signature slice)
-    val bandHashes = (0 until bands).map(b =>
-      xxhash64(concat_ws(",", slice(col("__sig"), b * rows + 1, rows))))
-    val banded = sig.select(
-      col("__id"), col("__sh"),
-      posexplode(array(bandHashes: _*)).as(Seq("__band", "__bh")))
+    val banded = sh.select(
+      col("__id"),
+      posexplode(minhashBandKeys(numHashes, bands)(col("__sh"))).as(Seq("__band", "__bh")))
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bh") === col("b.__bh") &&
           col("a.__id") < col("b.__id"))
-      .select(
-        col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
-        col("a.__sh").as("__sha"), col("b.__sh").as("__shb"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // exact verification on the candidate set only
     cands
+      .join(sh.select(col("__id"), col("__sh").as("__sha")), col("doc_a") === col("__id"))
+      .drop("__id")
+      .join(sh.select(col("__id"), col("__sh").as("__shb")), col("doc_b") === col("__id"))
       .withColumn("intersection", size(array_intersect(col("__sha"), col("__shb"))))
       .withColumn("size_a", size(col("__sha")))
       .withColumn("size_b", size(col("__shb")))
