@@ -183,10 +183,14 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 7): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
+    // Long shifts are mod-64 in the JVM: (1L << 64) - 1 would be 0, so
+    // the single-chunk case (maxHamming = 0) needs the full mask spelled
+    // out or every signature would block to the same bucket.
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     val sig = withSimhash(df.select(col(idCol).as("__id"), col(textCol)), textCol)
       .select(col("__id"), col("simhash"))
     val chunkCols = (0 until chunks).map(c =>
-      shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1)))
+      shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit(mask)))
     val blocked = sig.select(
       col("__id"), col("simhash"),
       posexplode(array(chunkCols: _*)).as(Seq("__chunk", "__cv")))

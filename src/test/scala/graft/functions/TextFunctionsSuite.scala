@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Text-analysis scalar kernels: tokenization, shingling (incl. edge
+  * cases the dedup operators depend on), quality/stopword/punctuation
+  * scores, language ID, fingerprinting.
+  */
+class TextFunctionsSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("text")
+
+  test("tokens split on any whitespace run and drop empties") {
+    val out = one("  the  quick\tbrown\n fox ")
+      .select(TextFunctions.tokens($"text")).collect()(0).getSeq[String](0)
+    assert(out == Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("shingles: consecutive n-grams, distinct, first-occurrence order") {
+    val out = one("a b c d a b c d")
+      .select(TextFunctions.shingles($"text", 3)).collect()(0).getSeq[String](0)
+    assert(out == Seq("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("shingles: fewer than n tokens yields an empty array, not null") {
+    for (txt <- Seq("", "   ", "one two")) {
+      val out = one(txt)
+        .select(TextFunctions.shingles($"text", 3)).collect()(0).getSeq[String](0)
+      assert(out == Seq.empty, s"text=`$txt`")
+    }
+  }
+
+  test("tokenCount and avgTokenLen") {
+    val row = one("ab cdef ghi")
+      .select(
+        TextFunctions.tokenCount($"text"),
+        TextFunctions.avgTokenLen($"text")).collect()(0)
+    assert(row.getInt(0) == 3)
+    assert(math.abs(row.getDouble(1) - 3.0) < 1e-12) // (2+4+3)/3
+  }
+
+  test("punctRatio counts only .,!?;: characters") {
+    val row = one("ab.,!?;:xy") // 6 punct of 10 chars
+      .select(TextFunctions.punctRatio($"text")).collect()(0)
+    assert(math.abs(row.getDouble(0) - 0.6) < 1e-12)
+  }
+
+  test("stopwordRatio is case-insensitive over the provided list") {
+    val row = one("The cat AND dog")
+      .select(TextFunctions.stopwordRatio($"text", TextFunctions.EnglishStopwords))
+      .collect()(0)
+    assert(math.abs(row.getDouble(0) - 0.5) < 1e-12) // the, and
+  }
+
+  test("qualityScore stays within [0, 1] and rewards natural text") {
+    val rows = Seq(
+      Tuple1("The quick brown fox jumps over the lazy dog and runs on to the hills in a day"),
+      Tuple1("!!! ??? ;;; ::: ,,,, ...")).toDF("text")
+      .select(TextFunctions.qualityScore($"text")).collect()
+    val natural = rows(0).getDouble(0)
+    val noise = rows(1).getDouble(0)
+    assert(natural >= 0 && natural <= 1 && noise >= 0 && noise <= 1)
+    assert(natural > noise)
+  }
+
+  test("langId picks marker-dominant language; CJK short-circuits") {
+    val cases = Seq(
+      "the cat and the dog of a house" -> "en",
+      "el perro y la casa de los gatos que" -> "es",
+      "der hund und die katze ist nicht da" -> "de",
+      "le chien et la maison est que les" -> "fr",
+      "中文文本处理引擎" -> "zh",
+      "xyzzy plugh qwerty" -> "und")
+    cases.foreach { case (txt, want) =>
+      val got = one(txt).select(TextFunctions.langId($"text")).collect()(0).getString(0)
+      assert(got == want, s"langId(`$txt`) = $got, want $want")
+    }
+  }
+
+  test("fingerprint normalizes case and whitespace runs") {
+    val df = Seq(
+      (1, "Hello   World"),
+      (2, "hello world"),
+      (3, "  HELLO\tWORLD  "),
+      (4, "different")).toDF("id", "text")
+    val fps = df.select($"id", TextFunctions.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(fps(1) == fps(2) && fps(2) == fps(3))
+    assert(fps(4) != fps(1))
+    assert(fps(1).matches("[0-9a-f]{32}"))
+  }
+
+  test("tokenEstimate is deterministic and length-driven") {
+    val row = one("abcdefgh, ok!") // 13 trimmed chars -> ceil(13/4)=4; 2 punct (, !)
+      .select(TextFunctions.tokenEstimate($"text")).collect()(0)
+    assert(row.getLong(0) == 6L)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Multimodal plumbing: binary payload column, partition-batched stub
+  * decode (schema + determinism), frame sampling shapes.
+  */
+class MultimodalSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq((1, "hello world"), (2, "x" * 700)).toDF("doc_id", "text")
+
+  test("withBinaryPayload adds a binary column of the UTF-8 bytes") {
+    val out = Multimodal.withBinaryPayload(docs, "text")
+    assert(out.schema("payload").dataType.typeName == "binary")
+    val row = out.filter($"doc_id" === 1).select("payload").collect()(0)
+    assert(new String(row.getAs[Array[Byte]](0), "UTF-8") == "hello world")
+  }
+
+  test("decodeMeta emits keep-columns plus the metadata schema, deterministically") {
+    val out = Multimodal.decodeMeta(
+      Multimodal.withBinaryPayload(docs, "text"), "payload", keepCols = Seq("doc_id"))
+    assert(out.columns.toSeq == Seq("doc_id", "width", "height", "format", "byte_len"))
+    val m = out.collect().map(r => r.getInt(0) ->
+      (r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4))).toMap
+    assert(m(1) == (12, 1, "raw", 11L))      // len 11: w=11%640+1, h=(0%480)+1
+    assert(m(2) == (61, 2, "raw", 700L))     // len 700: w=60+1, h=1+1
+    // stable across runs
+    val again = Multimodal.decodeMeta(
+      Multimodal.withBinaryPayload(docs, "text"), "payload", keepCols = Seq("doc_id"))
+    assert(rowSet(out) == rowSet(again))
+  }
+
+  test("png magic byte is sniffed") {
+    val bytes = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47)
+    val row = Multimodal.decodeImageStub(bytes)
+    assert(row.getString(2) == "png")
+  }
+
+  test("frameSample slices the payload into n positive-length frames") {
+    val out = Multimodal.frameSample(
+      Multimodal.withBinaryPayload(docs.filter($"doc_id" === 2), "text"),
+      "payload", n = 4)
+    val frames = out.select("frame_idx", "frame_bytes").collect()
+    assert(frames.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    val total = frames.map(_.getAs[Array[Byte]](1).length).sum
+    assert(total == 700)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Dedup operators (training-data pipeline surface): exact, n-gram
+  * Jaccard, MinHash+LSH (vs the exact Jaccard oracle), SimHash blocking,
+  * embedding near-dup (brute vs LSH).
+  */
+class DedupSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3, "The  Quick Brown fox jumps over the lazy dog"), // exact dup of 1 mod case/ws
+    (4, "completely different content about spark engines and scale")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the first row per normalized fingerprint") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    assert(rowSet(out.select("doc_id")) == Set(Seq("1"), Seq("2"), Seq("4")))
+  }
+
+  test("ngram jaccard finds the near-dup pair with exact counts") {
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    // docs 1 and 2 share 6 of their 7 3-shingles each -> J = 6/8 = 0.75;
+    // doc 3 normalizes differently only by case/ws, and shingles are
+    // case-sensitive, so (1,3) shares the lowercase-free shingles only.
+    val pairs = out.select("doc_a", "doc_b").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs.contains((1, 2)))
+    val row = out.filter($"doc_a" === 1 && $"doc_b" === 2).collect()(0)
+    assert(row.getAs[Long]("intersection") == 6L)
+    assert(row.getAs[Int]("size_a") == 7 && row.getAs[Int]("size_b") == 7)
+    assert(math.abs(row.getAs[Double]("jaccard") - 0.75) < 1e-12)
+  }
+
+  test("minhash LSH output is a subset of exact ngram jaccard at the same threshold") {
+    // no false positives by construction (candidates are exactly verified)
+    val exact = rowSet(
+      Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+        .select("doc_a", "doc_b"))
+    val lsh = rowSet(
+      Dedup.minhashLsh(docs, "doc_id", "text", n = 3, numHashes = 64,
+        bands = 32, threshold = 0.5)
+        .select("doc_a", "doc_b"))
+    assert(lsh.subsetOf(exact))
+    // at 0.75 true Jaccard and 32 bands of 2 rows, detection probability
+    // is 1-(1-0.75^2)^32 ~ 1 - 4e-12: the pair must be found
+    assert(lsh.contains(Seq("1", "2")))
+  }
+
+  test("minhash bands must divide numHashes") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 100, bands = 32)
+    }
+  }
+
+  test("simhash blocking join is exact for the configured hamming radius") {
+    // pigeonhole blocking must find EXACTLY the pairs within the radius;
+    // cross-check the distributed plan against a driver-side all-pairs
+    // scan over the same signatures (the reference's cross-implementation
+    // oracle idea, test/test_ops.py:262-282)
+    val maxH = 10
+    val sigs = Dedup.withSimhash(docs.select($"doc_id", $"text"), "text")
+      .select("doc_id", "simhash").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val expected = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= maxH
+    } yield Seq(ia.toString, ib.toString)).toSet
+    val got = rowSet(
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = maxH)
+        .select("doc_a", "doc_b"))
+    assert(got == expected)
+  }
+
+  test("simhash of identical token multisets is identical (hamming 0 pair found)") {
+    val dup = Seq((1, "alpha beta gamma"), (2, "alpha beta gamma"),
+      (3, "unrelated wording entirely elsewhere"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(dup, "doc_id", "text", maxHamming = 0)
+    assert(rowSet(out.select("doc_a", "doc_b")) == Set(Seq("1", "2")))
+  }
+
+  test("embedding near-dup: brute force finds the close pair with true cosine") {
+    val vecs = Seq(
+      (1, Array(1.0, 0.0, 0.0)),
+      (2, Array(0.99, 0.1, 0.0)), // cos ~ 0.995 with 1
+      (3, Array(0.0, 1.0, 0.0))
+    ).toDF("vid", "emb")
+    val out = Dedup.embeddingNearDup(vecs, "vid", "emb", threshold = 0.9)
+    val rows = out.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getInt(0) == 1 && rows(0).getInt(1) == 2)
+    val expected = 0.99 / math.sqrt(0.99 * 0.99 + 0.01)
+    assert(math.abs(rows(0).getDouble(2) - expected) < 1e-9)
+  }
+
+  test("embedding LSH near-dup is a verified subset of brute force") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 60).map { i =>
+      val base = Array.fill(16)(rnd.nextGaussian())
+      (i, base)
+    } ++ Seq((100, Array.fill(16)(0.5)), (101, Array.fill(16)(0.500001)))
+    val df = vecs.toDF("vid", "emb")
+    val brute = rowSet(Dedup.embeddingNearDup(df, "vid", "emb", 0.95).select("id_a", "id_b"))
+    val lsh = rowSet(Dedup.embeddingNearDupLsh(df, "vid", "emb", 0.95).select("id_a", "id_b"))
+    assert(lsh.subsetOf(brute))
+    assert(lsh.contains(Seq("100", "101"))) // identical directions always collide
+  }
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** O1 fuzzy_join (reference pandance/pandance.py:22-208): hand-computed
+  * cases, the reference's cross-check idea (bucketed rewrite vs naive
+  * BNLJ form), NaN/Inf drop, M×N duplicate expansion, validation errors.
+  */
+class FuzzyJoinSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed numeric band join, inclusive tolerance") {
+    // mirrors the shape of reference test_fuzzy_join_simple
+    // (test/test_ops.py:14-48)
+    // 2.15 not 2.2: |2.0 - 2.2| is 0.20000000000000018 in IEEE doubles —
+    // a knife edge the reference's own tests also avoid
+    // (test/test_ops.py:142-143 nudges values by eps)
+    val l = Seq((1, 1.0), (2, 2.0), (3, 3.5)).toDF("lid", "v")
+    val r = Seq((10, 1.05), (20, 2.15), (30, 9.9)).toDF("rid", "w")
+    val out = FuzzyJoin.numeric(l, r, tol = 0.2, leftOn = Some("v"), rightOn = Some("w"))
+    assert(rowSet(out.select("lid", "rid")) ==
+      Set(Seq("1", "10"), Seq("2", "20")))
+  }
+
+  test("tolerance boundary is inclusive (abs diff == tol matches)") {
+    val l = Seq((1, 1.0)).toDF("lid", "v")
+    val r = Seq((10, 1.5)).toDF("rid", "w")
+    val out = FuzzyJoin.numeric(l, r, tol = 0.5, leftOn = Some("v"), rightOn = Some("w"))
+    assert(out.count() == 1)
+  }
+
+  test("duplicate values on both sides expand to M x N pairs") {
+    // reference keeps all row indices per duplicated value
+    // (pandance/pandance.py:235-239)
+    val l = Seq((1, 5.0), (2, 5.0), (3, 5.0)).toDF("lid", "v")
+    val r = Seq((10, 5.0), (20, 5.0)).toDF("rid", "w")
+    val out = FuzzyJoin.numeric(l, r, tol = 0.1, leftOn = Some("v"), rightOn = Some("w"))
+    assert(out.count() == 6)
+  }
+
+  test("NaN and +/-Inf rows are dropped before matching") {
+    // reference _is_valid_value (pandance/pandance.py:301-312)
+    val l = Seq((1, 1.0), (2, Double.NaN), (3, Double.PositiveInfinity),
+      (4, Double.NegativeInfinity)).toDF("lid", "v")
+    val r = Seq((10, 1.0), (20, Double.NaN)).toDF("rid", "w")
+    val out = FuzzyJoin.numeric(l, r, tol = 1e9, leftOn = Some("v"), rightOn = Some("w"))
+    assert(rowSet(out.select("lid", "rid")) == Set(Seq("1", "10")))
+  }
+
+  test("overlapping column names get suffixes, left columns first") {
+    val l = Seq((1, 1.0)).toDF("id", "v")
+    val r = Seq((2, 1.0)).toDF("id", "v")
+    val out = FuzzyJoin.numeric(l, r, tol = 0.5, on = Some("v"))
+    assert(out.columns.toSeq == Seq("id_x", "v_x", "id_y", "v_y"))
+  }
+
+  test("empty input produces empty output with the full merged schema") {
+    val l = Seq.empty[(Int, Double)].toDF("lid", "v")
+    val r = Seq((10, 1.0)).toDF("rid", "w")
+    val out = FuzzyJoin.numeric(l, r, tol = 0.5, leftOn = Some("v"), rightOn = Some("w"))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("lid", "v", "rid", "w"))
+  }
+
+  test("timestamp join requires Duration tolerance and TimestampType") {
+    val l = Seq((1, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2, Timestamp.valueOf("2024-01-01 01:00:00"))).toDF("lid", "ts")
+    val r = Seq((10, Timestamp.valueOf("2024-01-01 00:01:30")),
+      (20, Timestamp.valueOf("2024-01-01 03:00:00"))).toDF("rid", "ts2")
+    val out = FuzzyJoin.time(l, r, Duration.ofMinutes(2),
+      leftOn = Some("ts"), rightOn = Some("ts2"))
+    assert(rowSet(out.select("lid", "rid")) == Set(Seq("1", "10")))
+  }
+
+  test("datetime column through numeric() raises, as in the reference") {
+    // XOR type check (pandance/pandance.py:288-294)
+    val l = Seq((1, Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("lid", "ts")
+    val r = Seq((10, 1.0)).toDF("rid", "w")
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.numeric(l, r, tol = 1.0, leftOn = Some("ts"), rightOn = Some("w"))
+    }
+  }
+
+  test("non-numeric column raises") {
+    val l = Seq((1, "a")).toDF("lid", "s")
+    val r = Seq((10, 1.0)).toDF("rid", "w")
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.numeric(l, r, tol = 1.0, leftOn = Some("s"), rightOn = Some("w"))
+    }
+  }
+
+  test("decimal join uses exact decimal arithmetic") {
+    val l = Seq((1, BigDecimal("1.10")), (2, BigDecimal("2.00")))
+      .toDF("lid", "d1")
+    val r = Seq((10, BigDecimal("1.15")), (20, BigDecimal("5.00")))
+      .toDF("rid", "d2")
+    val out = FuzzyJoin.decimal(l, r, new java.math.BigDecimal("0.05"),
+      leftOn = Some("d1"), rightOn = Some("d2"))
+    assert(rowSet(out.select("lid", "rid")) == Set(Seq("1", "10")))
+  }
+
+  test("property: bucketed rewrite == naive BNLJ form (seeded random)") {
+    // the reference cross-checks fuzzy against theta the same way
+    // (test/test_ops.py:37-48); tolerances/values away from knife edges
+    val rnd = new scala.util.Random(42)
+    for (tol <- Seq(0.37, 1.0, 4.2); trial <- 1 to 3) {
+      val ls = List.fill(25)(rnd.nextDouble() * 100 - 50)
+      val rs = List.fill(25)(rnd.nextDouble() * 100 - 50)
+      val l = ls.zipWithIndex.map { case (v, i) => (i, v) }.toDF("lid", "v")
+      val r = rs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("rid", "w")
+      val fast = FuzzyJoin.numeric(l, r, tol, leftOn = Some("v"), rightOn = Some("w"))
+      val slow = FuzzyJoin.naive(l, r, tol, leftOn = Some("v"), rightOn = Some("w"))
+      assert(rowSet(fast.select("lid", "rid")) == rowSet(slow.select("lid", "rid")),
+        s"fast != naive at tol=$tol trial=$trial")
+    }
+  }
+
+  test("every output pair satisfies the band predicate") {
+    // property asserted by the reference's hypothesis tests
+    // (test/test_ops.py:151-155)
+    val l = (0 until 40).map(i => (i, i * 0.7 - 10)).toDF("lid", "v")
+    val r = (0 until 40).map(i => (i, i * 1.3 - 20)).toDF("rid", "w")
+    val out = FuzzyJoin.numeric(l, r, tol = 1.5, leftOn = Some("v"), rightOn = Some("w"))
+    val bad = out.filter(abs(col("v") - col("w")) > 1.5).count()
+    assert(bad == 0)
+  }
+}

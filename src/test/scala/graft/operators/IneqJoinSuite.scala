@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** O3 ineq_join (reference pandance/pandance.py:614-846): the four
+  * operators, mirrored semantics, range-pruning fast paths, the
+  * closed-form cardinality identity the reference tests
+  * (test/test_ops.py:386-409), and validation errors.
+  */
+class IneqJoinSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def l3 = Seq((1, 10), (2, 20), (3, 30)).toDF("lid", "a")
+  private def r3 = Seq((10, 15), (20, 25), (30, 35)).toDF("rid", "b")
+
+  test("all four operators, hand-computed") {
+    def pairs(how: String): Set[Seq[String]] =
+      rowSet(IneqJoin(l3, r3, how, leftOn = Some("a"), rightOn = Some("b"))
+        .select("lid", "rid"))
+    assert(pairs("<") == Set(
+      Seq("1", "10"), Seq("1", "20"), Seq("1", "30"),
+      Seq("2", "20"), Seq("2", "30"), Seq("3", "30")))
+    assert(pairs("<=") == pairs("<")) // no equal values in this data
+    assert(pairs(">") == Set(
+      Seq("2", "10"), Seq("3", "10"), Seq("3", "20")))
+    assert(pairs(">=") == pairs(">"))
+  }
+
+  test("<= includes equal values, < does not") {
+    val l = Seq((1, 10)).toDF("lid", "a")
+    val r = Seq((10, 10)).toDF("rid", "b")
+    assert(IneqJoin(l, r, "<=", leftOn = Some("a"), rightOn = Some("b")).count() == 1)
+    assert(IneqJoin(l, r, "<", leftOn = Some("a"), rightOn = Some("b")).count() == 0)
+  }
+
+  test("invalid operator raises (= and != are not part of the operator)") {
+    // reference validates how the same way (pandance/pandance.py:756-762)
+    for (bad <- Seq("=", "!=", "<>", "")) {
+      intercept[IllegalArgumentException] {
+        IneqJoin(l3, r3, bad, leftOn = Some("a"), rightOn = Some("b"))
+      }
+    }
+  }
+
+  test("range pruning: disjoint ranges -> empty without running the join") {
+    // reference M4 (pandance/pandance.py:792-807, test/test_ops.py:345-383)
+    val l = Seq((1, 100), (2, 200)).toDF("lid", "a")
+    val r = Seq((10, 1), (20, 2)).toDF("rid", "b")
+    val out = IneqJoin(l, r, "<", leftOn = Some("a"), rightOn = Some("b"))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("lid", "a", "rid", "b"))
+  }
+
+  test("range pruning: total overlap -> full Cartesian result") {
+    val l = Seq((1, 1), (2, 2)).toDF("lid", "a")
+    val r = Seq((10, 100), (20, 200)).toDF("rid", "b")
+    val out = IneqJoin(l, r, "<", leftOn = Some("a"), rightOn = Some("b"))
+    assert(out.count() == 4)
+  }
+
+  test("pruned and unpruned plans agree") {
+    for (how <- Seq("<", "<=", ">=", ">")) {
+      val p = IneqJoin(l3, r3, how, leftOn = Some("a"), rightOn = Some("b"))
+      val u = IneqJoin(l3, r3, how, leftOn = Some("a"), rightOn = Some("b"), prune = false)
+      assertSameRows(p.select("lid", "rid"), u.select("lid", "rid"))
+    }
+  }
+
+  test("closed-form cardinality: |A|*|B| + C(L,2) - L^2 for '<' on int ranges") {
+    // identity from reference test_ineq_join_range_overlap
+    // (test/test_ops.py:386-409): A = [0, a), B = [b0, b0 + b), overlap L
+    val a = 30
+    val b = 30
+    val b0 = 15 // L = 15
+    val lval = (0 until a)
+    val rval = (b0 until b0 + b)
+    val L = lval.toSet.intersect(rval.toSet).size
+    val l = lval.zipWithIndex.map { case (v, i) => (i, v) }.toDF("lid", "x")
+    val r = rval.zipWithIndex.map { case (v, i) => (i, v) }.toDF("rid", "y")
+    val expected = a.toLong * b + L.toLong * (L - 1) / 2 - L.toLong * L
+    val got = IneqJoin(l, r, "<", leftOn = Some("x"), rightOn = Some("y")).count()
+    assert(got == expected, s"cardinality $got != closed-form $expected")
+  }
+
+  test("string inequality join") {
+    // reference supports any comparable type (pandance/pandance.py:731-754)
+    val l = Seq((1, "apple"), (2, "pear")).toDF("lid", "s")
+    val r = Seq((10, "banana")).toDF("rid", "t")
+    val out = IneqJoin(l, r, "<", leftOn = Some("s"), rightOn = Some("t"))
+    assert(rowSet(out.select("lid", "rid")) == Set(Seq("1", "10")))
+  }
+
+  test("null join values are dropped") {
+    val l = Seq((1, Some(10)), (2, None)).toDF("lid", "a")
+    val r = Seq((10, Some(15)), (20, None)).toDF("rid", "b")
+    val out = IneqJoin(l, r, "<", leftOn = Some("a"), rightOn = Some("b"))
+    assert(rowSet(out.select("lid", "rid")) == Set(Seq("1", "10")))
+  }
+
+  test("suffixes apply to overlapping columns") {
+    val l = Seq((1, 10)).toDF("id", "v")
+    val r = Seq((2, 15)).toDF("id", "v")
+    val out = IneqJoin(l, r, "<", on = Some("v"))
+    assert(out.columns.toSeq == Seq("id_x", "v_x", "id_y", "v_y"))
+    assert(out.count() == 1)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** ANN search: exact brute-force top-k semantics and the LSH variant's
+  * guarantees (verified subset, true cosines).
+  */
+class SimilaritySearchSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1, Array(1.0, 0.0)),
+    (2, Array(0.9, 0.1)),
+    (3, Array(0.0, 1.0)),
+    (4, Array(-1.0, 0.0)),
+    (5, Array(0.7, 0.7))).toDF("id", "emb")
+
+  test("brute-force top-k, hand-computed order") {
+    val q = corpus.filter($"id" === 1)
+    val out = SimilaritySearch.bruteForceTopK(q, corpus, "id", "emb", k = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // neighbors of (1,0): id 2 (cos ~ .994), id 5 (cos ~ .707); never itself
+    assert(out == Seq((1, 2), (1, 5)))
+  }
+
+  test("self-matches are excluded, k bounds the per-query rows") {
+    val out = SimilaritySearch.bruteForceTopK(corpus, corpus, "id", "emb", k = 3)
+    val byQuery = out.collect().groupBy(_.getInt(0))
+    assert(byQuery.keySet == Set(1, 2, 3, 4, 5))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 3)
+      assert(!rows.exists(_.getInt(1) == q), s"query $q matched itself")
+    }
+  }
+
+  test("cosines are exact and descending per query") {
+    val out = SimilaritySearch.bruteForceTopK(
+      corpus.filter($"id" === 1), corpus, "id", "emb", k = 4).collect()
+    val cosines = out.map(_.getDouble(2)).toSeq
+    assert(cosines == cosines.sorted.reverse)
+    assert(math.abs(cosines.head - 0.9 / math.sqrt(0.82)) < 1e-12)
+  }
+
+  test("LSH top-k returns true cosines for whatever it returns") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 80).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("id", "emb")
+    val brute = SimilaritySearch.bruteForceTopK(vecs, vecs, "id", "emb", k = 3)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val lshAll = SimilaritySearch.lshTopK(vecs, vecs, "id", "emb", k = 3)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+    // every returned cosine equals the exact cosine for that pair (the
+    // LSH pass rescts exactly; only recall may drop)
+    val exactAll = SimilaritySearch.bruteForceTopK(vecs, vecs, "id", "emb", k = 79)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    lshAll.foreach { case (pair, cos) =>
+      assert(math.abs(exactAll(pair) - cos) < 1e-9, s"pair $pair cosine mismatch")
+    }
+    assert(lshAll.nonEmpty)
+  }
+}
