@@ -14,11 +14,12 @@ object Bench {
     */
   private val headline = Seq(
     "fuzzy_join_acctbal", "fuzzy_join_ts", "fuzzy_join_decimal",
-    "ineq_join_acctbal", "ineq_join_dates",
+    "ineq_join_acctbal", "ineq_join_dates", "interval_join_orders",
     "theta_join_mod", "asof_join_events",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_embedding", "ann_topk",
-    "text_quality", "doc_fingerprint", "agg_pricing")
+    "text_quality", "doc_fingerprint", "agg_pricing",
+    "stream_window_counts", "sessionize_events")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -9,6 +9,7 @@ import org.apache.spark.sql.types._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
 import graft.operators._
+import graft.streaming.Streaming
 
 /** Driver contract (SURVEY.md §7 + builder prompt): `entry` is the
   * flagship smoke query; `queries` maps every implemented operator to a
@@ -144,12 +145,42 @@ object SparkEntry {
         .select(col("click_id"), col("view_id"),
           abs(unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("delta_us"))
     }),
+    // ---- interval (range-overlap) join ------------------------------------
+    "interval_join_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2001-06-01")) &&
+          col("o_orderdate") < to_timestamp(lit("2001-06-15")))
+        .select(col("o_orderkey"), col("o_orderdate").as("o_start"),
+          (col("o_orderdate") + expr("INTERVAL 5 DAYS")).as("o_end"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("2001-06-01")) &&
+          col("l_shipdate") < to_timestamp(lit("2001-06-20")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate").as("l_start"),
+          (col("l_shipdate") + expr("INTERVAL 3 DAYS")).as("l_end"))
+      IntervalJoin.time(o, li, "o_start", "o_end", "l_start", "l_end",
+          Duration.ofDays(5))
+        .select("o_orderkey", "l_orderkey", "l_linenumber")
+    }),
+    // ---- streaming transforms (batch = stream, same plan) ------------------
+    "stream_window_counts" -> ((s, dir) =>
+      Streaming.windowedEventCounts(t(s, dir, "events"), "ts", "event_type",
+        windowDur = "1 hour", watermarkDelay = "10 minutes")),
+    "sessionize_events" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast(LongType).as("user_id"), col("ts"))
+        .as[Streaming.UserEvent]
+      Streaming.sessionize(ev, gapUs = 30L * 60 * 1000000).toDF()
+    }),
     // ---- dedup -----------------------------------------------------------
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
         .select("doc_id", "lang", "source")
     }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
+      // plain inverted index wins at this corpus size (5k docs, short
+      // posting lists); ngramJaccardPrefix is the test-proven-equivalent
+      // swap-in once posting lists grow (100 TB corpora)
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.6)
         .select(col("doc_a"), col("doc_b"), col("intersection"),
           col("size_a"), col("size_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -230,6 +261,36 @@ object SparkEntry {
         .withColumn("rnk", row_number().over(w).cast(LongType))
         .filter(col("rnk") <= 3)
         .select("s_suppkey", "s_nationkey", "s_acctbal", "rnk")
+    }),
+    "semi_join_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    }),
+    "anti_join_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    }),
+    "rollup_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_rows"), col("sum_qty"))
+    }),
+    "mem_estimate" -> ((s, dir) => {
+      import s.implicits._
+      // O4 (_estimate_mem_cost_cartesian, pandance/pandance.py:894-917)
+      val est = MemEstimate.cartesianMiB(
+        t(s, dir, "customer"), "c_acctbal", t(s, dir, "supplier"), "s_acctbal")
+      Seq(est).toDF("est_mib")
     }),
     "set_nations_intersect" -> ((s, dir) => {
       t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -325,6 +386,46 @@ object SparkEntry {
           |                  row_number() OVER (PARTITION BY cid ORDER BY abs(cus - vus), vus, vid) AS rn
           |           FROM c, v WHERE abs(cus - vus) <= 120000000)
           |SELECT cid AS click_id, vid AS view_id, d AS delta_us FROM j WHERE rn = 1""".stripMargin,
+      "interval_join_orders" ->
+        """SELECT o_orderkey, l_orderkey, l_linenumber
+          |FROM orders, lineitem
+          |WHERE o_orderdate >= TIMESTAMP '2001-06-01' AND o_orderdate < TIMESTAMP '2001-06-15'
+          |  AND l_shipdate >= TIMESTAMP '2001-06-01' AND l_shipdate < TIMESTAMP '2001-06-20'
+          |  AND o_orderdate <= l_shipdate + INTERVAL 3 DAY
+          |  AND l_shipdate <= o_orderdate + INTERVAL 5 DAY""".stripMargin,
+      "stream_window_counts" ->
+        """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+          |       event_type, count(*) AS n
+          |FROM events GROUP BY 1, 2""".stripMargin,
+      "sessionize_events" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+          |m AS (SELECT user_id, us,
+          |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+          |                  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+          |             THEN 1 ELSE 0 END AS brk
+          |      FROM e),
+          |s AS (SELECT user_id, us,
+          |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+          |                       ROWS UNBOUNDED PRECEDING) AS sid
+          |      FROM m)
+          |SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+          |       count(*) AS n_events
+          |FROM s GROUP BY user_id, sid""".stripMargin,
+      "semi_join_customers" ->
+        """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+      "anti_join_customers" ->
+        """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+      "rollup_pricing" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          |       coalesce(l_linestatus, 'ALL') AS linestatus,
+          |       count(*) AS n_rows,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+      "mem_estimate" ->
+        """SELECT ((SELECT count(*) FROM customer) * (SELECT count(*) FROM supplier)
+          |        * 16) // 1048576 AS est_mib""".stripMargin,
       "dedup_exact" ->
         """SELECT doc_id, lang, source FROM (
           |  SELECT doc_id, lang, source,

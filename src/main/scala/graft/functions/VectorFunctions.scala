@@ -93,4 +93,40 @@ object VectorFunctions {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+
+  /** Random-hyperplane LSH band keys for a vector, in ONE UDF pass:
+    * `bits` sign bits (hyperplane components are deterministic ±1 from
+    * SplitMix64 — no stored model) grouped into `bands` keys of
+    * `bits/bands` bits each. Returning the band keys directly — rather
+    * than a signature column consumed by per-band expressions — matters
+    * at scale: Catalyst's projection collapse would inline a signature
+    * UDF into every band expression and recompute the whole signature
+    * `bands` times per row (the Dedup.minhashLsh lesson).
+    *
+    * Bit-compatible with the banding previously inlined in
+    * Dedup/SimilaritySearch: band c holds signature bits
+    * [c*width, (c+1)*width).
+    */
+  def signBandKeys(bits: Int, bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(bits <= 64, "at most 64 sign bits")
+    val width = bits / bands
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    udf((vec: Seq[Double]) => {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        var s = 0.0
+        var i = 0
+        while (i < vec.length) {
+          val r = Hashing.splitmix64(b.toLong * 100003L + i)
+          s += (if (r < 0) -vec(i) else vec(i))
+          i += 1
+        }
+        if (s > 0) sig |= (1L << b)
+        b += 1
+      }
+      Array.tabulate(bands)(c => (sig >>> (c * width)) & mask)
+    })
+  }
 }

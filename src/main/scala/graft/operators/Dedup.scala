@@ -74,6 +74,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact set-similarity join with prefix filtering (the classic
+    * refinement from the set-similarity-join literature — PAPERS.md):
+    * identical output to [[ngramJaccard]], far fewer candidate pairs.
+    *
+    * Shingles are globally ordered by (frequency, value) — rarest first —
+    * and each document only indexes its first `|S| - ceil(t*|S|) + 1`
+    * shingles. For any pair with Jaccard >= t the smallest common shingle
+    * under that order provably lands in BOTH prefixes (if it didn't, the
+    * doc would hold >= prefix-length rarer non-shared shingles, capping
+    * the overlap below t*|S| — contradiction), so the candidate set stays
+    * complete; candidates are then verified on the full shingle sets.
+    *
+    * Scale shape: the inverted index shrinks by ~t, and because the
+    * ordering puts FREQUENT shingles last, the quadratic per-shingle
+    * pair blowup concentrates on rare shingles with tiny posting lists.
+    * Costs one extra frequency aggregation + a per-doc rank window.
+    */
+  def ngramJaccardPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val sh = df
+      .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val tok = sh.select(col("__id"), size(col("__sh")).as("__n"), explode(col("__sh")).as("__s"))
+    val freq = tok.groupBy(col("__s")).agg(count(lit(1)).as("__f"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__f").asc, col("__s").asc)
+    val prefix = tok.join(freq, "__s")
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.__s") === col("b.__s") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .join(sh.select(col("__id"), col("__sh").as("__sha")), col("doc_a") === col("__id"))
+      .drop("__id")
+      .join(sh.select(col("__id"), col("__sh").as("__shb")), col("doc_b") === col("__id"))
+      .withColumn("intersection", size(array_intersect(col("__sha"), col("__shb"))).cast("long"))
+      .withColumn("size_a", size(col("__sha")))
+      .withColumn("size_b", size(col("__shb")))
+      .withColumn("jaccard",
+        col("intersection").cast("double") /
+          (col("size_a") + col("size_b") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard")
+  }
+
   /** One UDF pass per document: MinHash signature (`sig[i] = min over
     * shingles of a_i * fnv64(shingle) + b_i`) folded directly into
     * `bands` 64-bit band keys. Computing the keys *inside* the UDF
@@ -236,44 +284,32 @@ object Dedup {
   def embeddingNearDupLsh(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       bits: Int = 32, bands: Int = 8): DataFrame = {
-    require(bits % bands == 0, "bands must divide bits")
-    val width = bits / bands
-    val signBits = udf((vec: Seq[Double]) => {
-      var sig = 0L
-      var b = 0
-      while (b < bits) {
-        var s = 0.0
-        var i = 0
-        while (i < vec.length) {
-          // pseudo-random ±1 hyperplane component (b, i)
-          val r = Hashing.splitmix64(b.toLong * 100003L + i)
-          s += (if (r < 0) -vec(i) else vec(i))
-          i += 1
-        }
-        if (s > 0) sig |= (1L << b)
-        b += 1
-      }
-      sig
-    })
     val v = df.select(
       col(idCol).as("__id"),
       VectorFunctions.asDouble(col(vecCol)).as("__v"),
       VectorFunctions.norm(col(vecCol)).as("__n"))
-      .withColumn("__sig", signBits(col("__v")))
-    val bandCols = (0 until bands).map(c =>
-      shiftrightunsigned(col("__sig"), c * width).bitwiseAND(lit((1L << width) - 1)))
-    val blocked = v.select(
-      col("__id"), col("__v"), col("__n"),
-      posexplode(array(bandCols: _*)).as(Seq("__band", "__bv")))
-    blocked.as("a")
-      .join(blocked.as("b"),
+    // keys-only banding (no vector payload through the bands-fold
+    // explode); exact cosine verification re-joins the vectors onto the
+    // deduplicated candidate pairs only
+    val banded = v.select(
+      col("__id"),
+      posexplode(VectorFunctions.signBandKeys(bits, bands)(col("__v")))
+        .as(Seq("__band", "__bv")))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bv") === col("b.__bv") &&
           col("a.__id") < col("b.__id"))
-      .select(
-        col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        (VectorFunctions.dot(col("a.__v"), col("b.__v")) /
-          (col("a.__n") * col("b.__n"))).as("cosine"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    cands
+      .join(v.select(col("__id"), col("__v").as("__va"), col("__n").as("__na")),
+        col("id_a") === col("__id")).drop("__id")
+      .join(v.select(col("__id"), col("__v").as("__vb"), col("__n").as("__nb")),
+        col("id_b") === col("__id"))
+      .select(
+        col("id_a"), col("id_b"),
+        (VectorFunctions.dot(col("__va"), col("__vb")) /
+          (col("__na") * col("__nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Hashing, VectorFunctions}
+import graft.functions.VectorFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>` / `array<double>`). Two strategies:
@@ -61,43 +61,30 @@ object SimilaritySearch {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       bits: Int = 32, bands: Int = 8): DataFrame = {
-    require(bits % bands == 0, "bands must divide bits")
-    val width = bits / bands
-    val signBits = udf((vec: Seq[Double]) => {
-      var sig = 0L
-      var b = 0
-      while (b < bits) {
-        var s = 0.0
-        var i = 0
-        while (i < vec.length) {
-          val r = Hashing.splitmix64(b.toLong * 100003L + i)
-          s += (if (r < 0) -vec(i) else vec(i))
-          i += 1
-        }
-        if (s > 0) sig |= (1L << b)
-        b += 1
-      }
-      sig
-    })
-    def prep(df: DataFrame, id: String, vecAlias: String, normAlias: String) = df
+    def vecs(df: DataFrame, id: String, vecAlias: String, normAlias: String) = df
       .select(
         col(idCol).as(id),
         VectorFunctions.asDouble(col(vecCol)).as(vecAlias),
         VectorFunctions.norm(col(vecCol)).as(normAlias))
-      .withColumn("__sig", signBits(col(vecAlias)))
-      .select(
-        col(id), col(vecAlias), col(normAlias),
-        posexplode(array((0 until bands).map(c =>
-          shiftrightunsigned(col("__sig"), c * width)
-            .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("__band", "__bv")))
-    val q = prep(queries, "query_id", "__qv", "__qn")
-    val c = prep(corpus, "neighbor_id", "__cv", "__cn")
+    // keys-only banding (shared VectorFunctions kernel — one UDF pass,
+    // no vector payload replicated through the explode)
+    def banded(df: DataFrame, id: String, vecAlias: String) = df
+      .select(col(id),
+        posexplode(VectorFunctions.signBandKeys(bits, bands)(col(vecAlias)))
+          .as(Seq("__band", "__bv")))
+    val qv = vecs(queries, "query_id", "__qv", "__qn")
+    val cv = vecs(corpus, "neighbor_id", "__cv", "__cn")
+    val q = banded(qv, "query_id", "__qv")
+    val c = banded(cv, "neighbor_id", "__cv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     q.join(c,
         q("__band") === c("__band") && q("__bv") === c("__bv") &&
           col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+      .join(qv, "query_id")
+      .join(cv, "neighbor_id")
       .select(
         col("query_id"), col("neighbor_id"),
         (VectorFunctions.dot(col("__qv"), col("__cv")) /

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (beyond the reference, which is purely
+  * batch — SURVEY.md §2.4 "Streaming: none"). Transforms are written
+  * against the unified Dataset API so the SAME function serves batch
+  * backfill and the live stream — the core Structured Streaming design
+  * point, and the property the driver's batch oracle checks.
+  *
+  * Scale notes: windowed aggregation shuffles on (window, key) with
+  * map-side partial aggregation; watermarks bound state so a 100 TB/day
+  * stream holds only `delay`-worth of window state per key. Sessionization
+  * keeps one open session per user in the state store and emits closed
+  * sessions incrementally (event-time timeout), never buffering a user's
+  * history.
+  */
+object Streaming {
+
+  /** Tumbling-window event counts with a watermark. On a batch frame the
+    * watermark is eliminated by the analyzer and this is a plain windowed
+    * aggregation — one function, both modes. Output columns:
+    * `(window_start_us, <typeCol>, n)` with the window start as epoch
+    * microseconds (engine-portable rendering).
+    */
+  def windowedEventCounts(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      windowDur: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col(typeCol), col("n"))
+
+  /** One user event (input shape of [[sessionize]]). */
+  final case class UserEvent(user_id: Long, ts: Timestamp)
+
+  /** One closed (or, in batch, trailing) session. */
+  final case class Session(
+      user_id: Long,
+      session_start_us: Long,
+      session_end_us: Long,
+      n_events: Long)
+
+  /** State-store record: the one open session per user. Public because
+    * the state encoder's generated code must reach its accessors.
+    */
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: events of a
+    * user belong to one session while consecutive gaps are <= `gapUs`.
+    *
+    * Streaming: closed sessions are emitted as soon as a later event (or
+    * an event-time timeout) proves the gap; the single open session per
+    * user lives in the state store with a timeout at `last + gap`.
+    * Batch: each group sees all its events at once, timeouts never fire,
+    * and the trailing open session is emitted too (a batch has no
+    * "later data").
+    */
+  def sessionize(
+      events: Dataset[UserEvent],
+      gapUs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val emitTrailing = !events.isStreaming
+
+    def process(
+        userId: Long,
+        it: Iterator[UserEvent],
+        state: GroupState[OpenSession]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(Session(userId, s.startUs, s.lastUs, s.n))
+      } else {
+        // full microsecond precision: getTime() is only ms; the fractional
+        // second lives in getNanos()
+        val ts = it.map { e =>
+          math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+        }.toArray.sorted
+        var open = state.getOption.orNull
+        val closed = Seq.newBuilder[Session]
+        ts.foreach { t =>
+          open match {
+            case null => open = OpenSession(t, t, 1)
+            case o if t - o.lastUs <= gapUs =>
+              open = OpenSession(o.startUs, math.max(o.lastUs, t), o.n + 1)
+            case o =>
+              closed += Session(userId, o.startUs, o.lastUs, o.n)
+              open = OpenSession(t, t, 1)
+          }
+        }
+        if (open != null) {
+          if (emitTrailing) {
+            closed += Session(userId, open.startUs, open.lastUs, open.n)
+            state.remove()
+          } else {
+            state.update(open)
+            state.setTimeoutTimestamp(open.lastUs / 1000L + gapUs / 1000L)
+          }
+        }
+        closed.result().iterator
+      }
+    }
+
+    // event-time timeouts need a watermark; on batch both the watermark
+    // and the timeout are inert
+    val timeout =
+      if (events.isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val marked =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    marked
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
+  }
+
+  /** File-source stream over a directory of parquet drops — the
+    * production shape (`readStream` on an arrival directory). Schema must
+    * be fixed up front (streaming sources cannot infer).
+    */
+  def parquetStream(spark: SparkSession, dir: String, schemaOf: DataFrame): DataFrame =
+    spark.readStream.schema(schemaOf.schema).parquet(dir)
+}

@@ -49,6 +49,28 @@ class DedupSuite extends SparkSpec {
     assert(lsh.contains(Seq("1", "2")))
   }
 
+  test("prefix-filtered set-similarity join == plain inverted-index join") {
+    // exactness of the prefix filter (smallest common shingle lands in
+    // both prefixes) on seeded random near-dup docs at several thresholds
+    val rnd = new scala.util.Random(99)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val base = (0 until 30).map(_ => words(rnd.nextInt(words.size)))
+    val corpus = (0 until 40).map { i =>
+      // half are mutations of the base doc, half independent
+      val toks =
+        if (i % 2 == 0) base.map(w => if (rnd.nextDouble() < 0.15) words(rnd.nextInt(words.size)) else w)
+        else (0 until 30).map(_ => words(rnd.nextInt(words.size)))
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      val plain = Dedup.ngramJaccard(corpus, "doc_id", "text", 3, t)
+        .select("doc_a", "doc_b", "jaccard")
+      val prefix = Dedup.ngramJaccardPrefix(corpus, "doc_id", "text", 3, t)
+        .select("doc_a", "doc_b", "jaccard")
+      assert(rowSet(plain) == rowSet(prefix), s"threshold $t")
+    }
+  }
+
   test("minhash bands must divide numHashes") {
     intercept[IllegalArgumentException] {
       Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 100, bands = 32)

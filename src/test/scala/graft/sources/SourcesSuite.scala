@@ -1,0 +1,75 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Source/sink round-trips and the scan-pruning properties the scale
+  * design depends on (partition pruning, filter pushdown).
+  */
+class SourcesSuite extends SparkSpec {
+  import spark.implicits._
+
+  private val tmp = "target/test-tmp/sources"
+
+  test("csv with explicit schema round-trips types") {
+    val dir = s"$tmp/csv"
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/data.csv"), "id,name,score\n1,alpha,1.5\n2,beta,2.5\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val df = Sources.csv(spark, s"$dir/data.csv", schema)
+    assert(df.schema == schema)
+    assert(rowSet(df) == Set(Seq("1", "alpha", "1.5"), Seq("2", "beta", "2.5")))
+  }
+
+  test("jsonl with explicit schema prunes unlisted fields") {
+    val dir = s"$tmp/jsonl"
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/data.jsonl"),
+      """{"id":1,"keep":"a","noise":{"big":[1,2,3]}}
+        |{"id":2,"keep":"b","noise":null}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("keep", StringType)))
+    val df = Sources.jsonl(spark, s"$dir/data.jsonl", schema)
+    assert(df.columns.toSeq == Seq("id", "keep"))
+    assert(rowSet(df) == Set(Seq("1", "a"), Seq("2", "b")))
+  }
+
+  test("partitioned write produces hive-style dirs and prunes on read") {
+    val dir = s"$tmp/part"
+    val df = Seq((1, "a", "2024-01-01"), (2, "b", "2024-01-02"), (3, "c", "2024-01-02"))
+      .toDF("id", "v", "day")
+    Sources.writePartitioned(df, dir, Seq("day"))
+    assert(new java.io.File(s"$dir/day=2024-01-01").isDirectory)
+    val back = Sources.parquet(spark, dir).filter(col("day") === "2024-01-02")
+    assert(back.count() == 2)
+    // partition pruning: the pruned scan must not list the other partition
+    val scanDesc = back.queryExecution.executedPlan.toString
+    assert(!scanDesc.contains("2024-01-01"), scanDesc.take(400))
+  }
+
+  test("clustered write sorts within files so row-group stats enable skipping") {
+    val dir = s"$tmp/clustered"
+    val df = (0 until 1000).map(i => (i % 97, s"v$i")).toDF("k", "v")
+    Sources.writeClustered(df, dir, Seq("k"), numFiles = 4)
+    val back = Sources.parquet(spark, dir)
+    assert(back.count() == 1000)
+    // pushdown visible in the scan node
+    val plan = back.filter(col("k") === 5).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(k)"), plan.take(600))
+  }
+
+  test("parquet filter pushdown reaches the scan for testdata tables") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val df = Sources.parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_quantity") > 25.0).select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(l_quantity"),
+      plan.take(600))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Structured-Streaming surface: the batch/stream-unified transforms,
+  * driven BOTH ways — batch frames for oracle parity, MemoryStream for
+  * real incremental execution with state.
+  */
+class StreamingSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def batchEvents = Seq(
+    (ts("2024-01-01 00:05:00"), "click"),
+    (ts("2024-01-01 00:55:00"), "click"),
+    (ts("2024-01-01 00:10:00"), "view"),
+    (ts("2024-01-01 01:05:00"), "click")).toDF("ts", "event_type")
+
+  test("windowedEventCounts on a batch frame: epoch-aligned tumbling windows") {
+    val out = Streaming.windowedEventCounts(batchEvents, "ts", "event_type", "1 hour")
+    val h0 = ts("2024-01-01 00:00:00").getTime * 1000L
+    val h1 = ts("2024-01-01 01:00:00").getTime * 1000L
+    assert(rowSet(out) == Set(
+      Seq(h0.toString, "click", "2"),
+      Seq(h0.toString, "view", "1"),
+      Seq(h1.toString, "click", "1")))
+  }
+
+  test("windowedEventCounts over a MemoryStream: same counts, incremental arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = Streaming.windowedEventCounts(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type", "1 hour")
+    val q = counts.writeStream
+      .format("memory").queryName("wc_test").outputMode("complete").start()
+    try {
+      input.addData((ts("2024-01-01 00:05:00"), "click"), (ts("2024-01-01 00:10:00"), "view"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:55:00"), "click"), (ts("2024-01-01 01:05:00"), "click"))
+      q.processAllAvailable()
+      val got = rowSet(spark.table("wc_test"))
+      val h0 = ts("2024-01-01 00:00:00").getTime * 1000L
+      val h1 = ts("2024-01-01 01:00:00").getTime * 1000L
+      assert(got == Set(
+        Seq(h0.toString, "click", "2"),
+        Seq(h0.toString, "view", "1"),
+        Seq(h1.toString, "click", "1")))
+    } finally q.stop()
+  }
+
+  test("sessionize on batch: gap splits, trailing session emitted") {
+    val ev = Seq(
+      Streaming.UserEvent(1, ts("2024-01-01 00:00:00")),
+      Streaming.UserEvent(1, ts("2024-01-01 00:10:00")),
+      Streaming.UserEvent(1, ts("2024-01-01 02:00:00")), // > 30 min gap
+      Streaming.UserEvent(2, ts("2024-01-01 00:00:00"))).toDS()
+    val out = Streaming.sessionize(ev, gapUs = 30L * 60 * 1000000).collect().toSet
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(out == Set(
+      Streaming.Session(1, us("2024-01-01 00:00:00"), us("2024-01-01 00:10:00"), 2),
+      Streaming.Session(1, us("2024-01-01 02:00:00"), us("2024-01-01 02:00:00"), 1),
+      Streaming.Session(2, us("2024-01-01 00:00:00"), us("2024-01-01 00:00:00"), 1)))
+  }
+
+  test("sessionize over a MemoryStream: closed sessions emitted incrementally, state carries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.UserEvent]
+    val sessions = Streaming.sessionize(input.toDS(), gapUs = 30L * 60 * 1000000)
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_test").outputMode("append").start()
+    try {
+      // batch 1: one session opens
+      input.addData(
+        Streaming.UserEvent(1, ts("2024-01-01 00:00:00")),
+        Streaming.UserEvent(1, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("sess_test").count() == 0) // still open, nothing emitted
+      // batch 2: an event past the gap closes it (state survived batches)
+      input.addData(Streaming.UserEvent(1, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sess_test").as[Streaming.Session].collect().toSet
+      def us(s: String) = ts(s).getTime * 1000L
+      assert(got == Set(
+        Streaming.Session(1, us("2024-01-01 00:00:00"), us("2024-01-01 00:10:00"), 2)))
+    } finally q.stop()
+  }
+
+  test("parquetStream reads a drop directory with the batch schema") {
+    val dir = new java.io.File("target/test-tmp/stream-drop")
+    dir.mkdirs()
+    val batch = batchEvents
+    batch.write.mode("overwrite").parquet(dir.getPath)
+    val stream = Streaming.parquetStream(spark, dir.getPath, batch)
+    assert(stream.isStreaming)
+    val q = Streaming.windowedEventCounts(stream, "ts", "event_type", "1 hour")
+      .writeStream.format("memory").queryName("ps_test").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ps_test").agg(sum("n")).collect()(0).getLong(0) == 4L)
+    } finally q.stop()
+  }
+}
