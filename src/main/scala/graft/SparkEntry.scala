@@ -190,6 +190,16 @@ object SparkEntry {
           n = 3, numHashes = 128, bands = 32, threshold = 0.8)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
+    "dedup_cross_corpus" -> ((s, dir) => {
+      // incoming batch (even doc ids) deduped against corpus (odd ids)
+      val d = t(s, dir, "documents")
+      Dedup.ngramJaccardJoin(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("id_left"), col("id_right"), col("intersection"),
+          col("size_left"), col("size_right"), q4(col("jaccard")).as("jaccard"))
+    }),
     "dedup_simhash" -> ((s, dir) => { // approximate blocking — rows-only check
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 7)
     }),
@@ -254,13 +264,20 @@ object SparkEntry {
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
     }),
     "window_top_suppliers" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("s_nationkey"))
-        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
-      t(s, dir, "supplier")
-        .withColumn("rnk", row_number().over(w).cast(LongType))
-        .filter(col("rnk") <= 3)
+      Relational.topKPerGroup(t(s, dir, "supplier"),
+          groupBy = Seq(col("s_nationkey")),
+          orderBy = Seq(col("s_acctbal").desc, col("s_suppkey").asc), k = 3)
+        .withColumn("rnk", col("rnk").cast(LongType))
         .select("s_suppkey", "s_nationkey", "s_acctbal", "rnk")
+    }),
+    "quantiles_prices" -> ((s, dir) => {
+      // exact interpolated percentiles (sort-based `percentile`, not the
+      // sketch-based approx function) so the oracle can reproduce them
+      t(s, dir, "orders")
+        .agg(
+          q4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+          q4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+          q4(expr("percentile(o_totalprice, 0.99)")).as("p99"))
     }),
     "semi_join_customers" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -318,7 +335,7 @@ object SparkEntry {
     // shared SQL fragments (DuckDB dialect)
     val tok =
       "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents"
-    val shingles3 =
+    val shinglesBase =
       """WITH tokp AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
         |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
@@ -329,7 +346,9 @@ object SparkEntry {
         |  JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
         |  JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
+        |""".stripMargin
+    val shingles3 = shinglesBase +
+      """inter AS (
         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2)
@@ -446,6 +465,24 @@ object SparkEntry {
           |JOIN cnt ca ON ca.doc_id = doc_a
           |JOIN cnt cb ON cb.doc_id = doc_b
           |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin),
+      "dedup_cross_corpus" -> (shinglesBase +
+        """inter AS (
+          |  SELECT x.doc_id AS id_left, y.doc_id AS id_right, count(*) AS i
+          |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+          |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+          |  GROUP BY 1, 2)
+          |""".stripMargin +
+        """SELECT id_left, id_right, i AS intersection, ca.n AS size_left, cb.n AS size_right,
+          |       floor((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 AS jaccard
+          |FROM inter
+          |JOIN cnt ca ON ca.doc_id = id_left
+          |JOIN cnt cb ON cb.doc_id = id_right
+          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5""".stripMargin),
+      "quantiles_prices" ->
+        """SELECT floor(quantile_cont(o_totalprice, 0.5) * 10000) / 10000 AS p50,
+          |       floor(quantile_cont(o_totalprice, 0.9) * 10000) / 10000 AS p90,
+          |       floor(quantile_cont(o_totalprice, 0.99) * 10000) / 10000 AS p99
+          |FROM orders""".stripMargin,
       "dedup_embedding" -> (embUnnest +
         """, d AS (
           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dp

@@ -122,6 +122,39 @@ object Dedup {
       .select("doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard")
   }
 
+  /** Cross-corpus set-similarity join: pairs `(left id, right id)` whose
+    * shingle Jaccard is >= `threshold`, between two different tables
+    * (the two-sided generalization of the self-join [[ngramJaccard]];
+    * e.g. dedup of an incoming batch against an existing corpus without
+    * re-pairing the corpus with itself). Same inverted-index shape; the
+    * posting-list join only pairs left docs with right docs.
+    */
+  def ngramJaccardJoin(
+      left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    def prep(df: DataFrame, id: String, text: String) = df
+      .select(col(id).as("__id"), TextFunctions.shingles(col(text), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val la = prep(left, leftId, leftText)
+    val rb = prep(right, rightId, rightText)
+    val ltok = la.select(col("__id").as("__ida"), explode(col("__sh")).as("__s"))
+    val rtok = rb.select(col("__id").as("__idb"), explode(col("__sh")).as("__s"))
+    val inter = ltok.join(rtok, "__s")
+      .groupBy(col("__ida").as("id_left"), col("__idb").as("id_right"))
+      .agg(count(lit(1)).as("intersection"))
+    inter
+      .join(la.select(col("__id"), size(col("__sh")).as("size_left")),
+        col("id_left") === col("__id")).drop("__id")
+      .join(rb.select(col("__id"), size(col("__sh")).as("size_right")),
+        col("id_right") === col("__id")).drop("__id")
+      .withColumn("jaccard",
+        col("intersection").cast("double") /
+          (col("size_left") + col("size_right") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_left", "id_right", "intersection", "size_left", "size_right", "jaccard")
+  }
+
   /** One UDF pass per document: MinHash signature (`sig[i] = min over
     * shingles of a_i * fnv64(shingle) + b_i`) folded directly into
     * `bands` 64-bit band keys. Computing the keys *inside* the UDF

@@ -47,6 +47,23 @@ object Sources {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed table sink: rows hash-partitioned into `numBuckets` files
+    * per partition by `bucketCols` and sorted within each bucket.
+    * Joins/aggregations between tables bucketed the same way on the same
+    * keys skip the shuffle entirely (no Exchange in the plan) — THE
+    * mechanism for repeated co-located joins over a shared key at scale.
+    * Bucketing metadata lives in the session catalog, so readers go
+    * through `spark.table(name)`.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   /** Sorted-within-partitions parquet sink: `repartition(keys)` +
     * `sortWithinPartitions(keys)` gives run-length/delta-friendly pages
     * and min-max row-group statistics that make key-range scans skip

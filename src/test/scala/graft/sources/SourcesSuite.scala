@@ -64,6 +64,27 @@ class SourcesSuite extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(k)"), plan.take(600))
   }
 
+  test("bucketed tables join without a shuffle (no Exchange in the plan)") {
+    val a = (0 until 500).map(i => (i % 50, s"a$i")).toDF("k", "av")
+    val b = (0 until 300).map(i => (i % 50, s"bv$i")).toDF("k", "bv")
+    Sources.writeBucketed(a, "graft_bkt_a", Seq("k"), numBuckets = 8)
+    Sources.writeBucketed(b, "graft_bkt_b", Seq("k"), numBuckets = 8)
+    try {
+      // disable broadcast so the co-located sort-merge path is exercised
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), plan.take(800))
+        assert(j.count() == 500L * 300 / 50) // 50 keys, 10x6 rows each
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
   test("parquet filter pushdown reaches the scan for testdata tables") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
     val df = Sources.parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
