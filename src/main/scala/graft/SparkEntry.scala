@@ -200,6 +200,11 @@ object SparkEntry {
         .select(col("id_left"), col("id_right"), col("intersection"),
           col("size_left"), col("size_right"), q4(col("jaccard")).as("jaccard"))
     }),
+    "dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.6)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    }),
     "dedup_simhash" -> ((s, dir) => { // approximate blocking — rows-only check
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 7)
     }),
@@ -465,6 +470,19 @@ object SparkEntry {
           |JOIN cnt ca ON ca.doc_id = doc_a
           |JOIN cnt cb ON cb.doc_id = doc_b
           |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin),
+      "dedup_components" -> (shingles3.replace("WITH tokp", "WITH RECURSIVE tokp") +
+        """,pairs AS (
+          |  SELECT doc_a, doc_b FROM inter
+          |  JOIN cnt ca ON ca.doc_id = doc_a
+          |  JOIN cnt cb ON cb.doc_id = doc_b
+          |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6),
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |          UNION SELECT doc_b, doc_a FROM pairs),
+          |reach AS (
+          |  SELECT DISTINCT src AS id, src AS r FROM edges
+          |  UNION
+          |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r)
+          |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin),
       "dedup_cross_corpus" -> (shinglesBase +
         """inter AS (
           |  SELECT x.doc_id AS id_left, y.doc_id AS id_right, count(*) AS i

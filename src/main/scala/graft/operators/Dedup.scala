@@ -286,6 +286,53 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair list: label propagation
+    * (each node takes the min id reachable through its neighbors) until
+    * fixpoint — the step that turns pairwise similarity output into
+    * dedup CLUSTERS (a chain a~b~c is one duplicate group even when
+    * (a,c) itself is below threshold). Output: `(id, component)` for
+    * every node appearing in `pairs`, component = min id in the group.
+    *
+    * Scale shape: each iteration is one shuffled join + aggregate;
+    * convergence takes O(graph diameter) iterations and near-dup
+    * clusters are shallow. `localCheckpoint` cuts the growing lineage
+    * each round (iterative DataFrame loops otherwise re-plan the whole
+    * history). The driver-side loop only reads one Boolean per
+    * iteration (did anything change) — the data never leaves executors.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .union(pairs.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("__src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("__dst") === labels("id"))
+        .groupBy(col("__src")).agg(min(col("component")).as("__nmin"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("__src"), "left")
+        .select(labels("id"),
+          least(col("component"), coalesce(col("__nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      System.err.println(
+        s"[graft] WARN: connectedComponents stopped after $maxIter iterations before fixpoint")
+    labels
+  }
+
   /** Exact embedding near-dup: all pairs (idA < idB) with cosine >=
     * `threshold`. Brute-force O(n²) pairs through the codegen'd
     * [[graft.functions.DotProduct]] kernel — exact, CPU-bound, right up

@@ -104,6 +104,24 @@ class DedupSuite extends SparkSpec {
     assert(rowSet(out.select("doc_a", "doc_b")) == Set(Seq("1", "2")))
   }
 
+  test("connected components: chains collapse to one cluster, min id labels") {
+    val pairs = Seq(
+      (1, 2), (2, 3),      // chain 1-2-3 (1,3 not paired directly)
+      (10, 11),            // separate cluster
+      (20, 21), (21, 20)). // duplicate edge, reversed
+      toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val comp = out.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(comp == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10, 20 -> 20, 21 -> 20))
+  }
+
+  test("connected components converge on a long chain (diameter > 2)") {
+    val pairs = (0 until 15).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    assert(out.select("component").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+    assert(out.count() == 16)
+  }
+
   test("embedding near-dup: brute force finds the close pair with true cosine") {
     val vecs = Seq(
       (1, Array(1.0, 0.0, 0.0)),
