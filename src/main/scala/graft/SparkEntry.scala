@@ -165,6 +165,18 @@ object SparkEntry {
     "stream_window_counts" -> ((s, dir) =>
       Streaming.windowedEventCounts(t(s, dir, "events"), "ts", "event_type",
         windowDur = "1 hour", watermarkDelay = "10 minutes")),
+    "stream_band_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("view_ts"))
+      Streaming.streamBandJoin(clicks, views, "click_ts", "view_ts",
+          Duration.ofSeconds(90))
+        .select(col("click_id"), col("view_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("view_ts")).as("view_us"))
+    }),
     "sessionize_events" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events")
@@ -421,6 +433,13 @@ object SparkEntry {
         """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
           |       event_type, count(*) AS n
           |FROM events GROUP BY 1, 2""".stripMargin,
+      "stream_band_join" ->
+        """SELECT c.event_id AS click_id, v.event_id AS view_id,
+          |       epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us
+          |FROM events c, events v
+          |WHERE c.event_type = 'click' AND v.event_type = 'view'
+          |  AND epoch_us(c.ts) >= epoch_us(v.ts) - 90000000
+          |  AND epoch_us(c.ts) <= epoch_us(v.ts) + 90000000""".stripMargin,
       "sessionize_events" ->
         """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
           |m AS (SELECT user_id, us,

@@ -57,10 +57,17 @@ object Dedup {
     val sh = df
       .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), n).as("__sh"))
       .filter(size(col("__sh")) > 0)
+    // posting lists keyed by xxhash64 of the shingle: the self-join
+    // shuffles and compares 8-byte longs instead of ~n-word strings. A
+    // cross-shingle collision would need two distinct shingles hashing
+    // equal AND co-occurring in the same two documents (~|shingles|²/2⁶⁵
+    // — immaterial against the exact-count guarantee at any real corpus
+    // size, and the oracle compare would surface it).
     val tok = sh.select(col("__id"), explode(col("__sh")).as("__s"))
+      .select(col("__id"), xxhash64(col("__s")).as("__h"))
     val counts = sh.select(col("__id"), size(col("__sh")).as("__n"))
     val inter = tok.as("a")
-      .join(tok.as("b"), col("a.__s") === col("b.__s") && col("a.__id") < col("b.__id"))
+      .join(tok.as("b"), col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .agg(count(lit(1)).as("intersection"))
     inter

@@ -125,6 +125,45 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
   }
 
+  /** Stream-stream band join — the streaming form of the reference's
+    * fuzzy time join (pandance/pandance.py:22, timestamp case): match
+    * rows of two streams whose event times lie within `tol` of each
+    * other.
+    *
+    * Spark refuses stream-stream joins without an equality predicate —
+    * and the bucketed rewrite that makes the batch band join scale
+    * (graft.operators.FuzzyJoin) is exactly what provides one: bucket
+    * `floor(epoch_us/tol)` as the equi-key (probe side exploded to
+    * ±1 buckets), the time-range condition as the residual. Watermarks
+    * on both sides plus the range condition let Spark expire join state,
+    * so each side buffers only ~`tol + watermark` of rows regardless of
+    * stream volume. The same function applied to batch frames is the
+    * plain band join (watermarks analyzed away), which is how the
+    * DuckDB oracle checks it.
+    */
+  def streamBandJoin(
+      left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String,
+      tol: java.time.Duration,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val tolUs = tol.toNanos / 1000L
+    require(tolUs > 0, s"tolerance must be >= 1 microsecond, got $tol")
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermarkDelay) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermarkDelay) else right
+    val iv = expr(s"INTERVAL $tolUs MICROSECONDS")
+    val lb = l.withColumn("__graft_sbl",
+      floor(unix_micros(col(leftTs)) / lit(tolUs)))
+    val rBucket = floor(unix_micros(col(rightTs)) / lit(tolUs))
+    val rb = r.withColumn("__graft_sbr",
+      explode(array(rBucket - 1, rBucket, rBucket + 1)))
+    lb.join(rb,
+        col("__graft_sbl") === col("__graft_sbr") &&
+          col(leftTs) >= col(rightTs) - iv &&
+          col(leftTs) <= col(rightTs) + iv,
+        "inner")
+      .drop("__graft_sbl", "__graft_sbr")
+  }
+
   /** File-source stream over a directory of parquet drops — the
     * production shape (`readStream` on an arrival directory). Schema must
     * be fixed up front (streaming sources cannot infer).

@@ -91,6 +91,39 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamBandJoin on batch frames equals the plain band join") {
+    val clicks = Seq((1, ts("2024-01-01 00:10:00")), (2, ts("2024-01-01 03:00:00")))
+      .toDF("cid", "cts")
+    val views = Seq((10, ts("2024-01-01 00:11:00")), (20, ts("2024-01-01 07:00:00")))
+      .toDF("vid", "vts")
+    val out = Streaming.streamBandJoin(clicks, views, "cts", "vts",
+      java.time.Duration.ofMinutes(2))
+    assert(rowSet(out.select("cid", "vid")) == Set(Seq("1", "10")))
+  }
+
+  test("streamBandJoin joins two MemoryStreams incrementally (bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Int, Timestamp)]
+    val views = MemoryStream[(Int, Timestamp)]
+    val joined = Streaming.streamBandJoin(
+      clicks.toDF().toDF("cid", "cts"), views.toDF().toDF("vid", "vts"),
+      "cts", "vts", java.time.Duration.ofMinutes(2), watermarkDelay = "1 minute")
+    val q = joined.selectExpr("cid", "vid").writeStream
+      .format("memory").queryName("sbj_test").outputMode("append").start()
+    try {
+      clicks.addData((1, ts("2024-01-01 00:10:00")))
+      views.addData((10, ts("2024-01-01 00:11:00")))
+      q.processAllAvailable()
+      // second batch: a view matching the buffered click arrives later
+      views.addData((11, ts("2024-01-01 00:09:30")))
+      clicks.addData((2, ts("2024-01-01 05:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sbj_test").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(got == Set((1, 10), (1, 11)))
+    } finally q.stop()
+  }
+
   test("parquetStream reads a drop directory with the batch schema") {
     val dir = new java.io.File("target/test-tmp/stream-drop")
     dir.mkdirs()
