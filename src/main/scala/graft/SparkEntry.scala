@@ -266,6 +266,24 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
     }),
+    // ---- end-to-end training-data pipeline (composition showpiece) --------
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      // quality gate -> language gate -> exact dedup -> near-dup
+      // clustering -> keep one representative per cluster
+      val d = t(s, dir, "documents")
+      val scored = d.select(col("doc_id"), col("text"),
+        TextFunctions.qualityScore(col("text")).as("__q"),
+        TextFunctions.langId(col("text")).as("__lang"))
+      val filtered = scored.filter(col("__q") >= 0.5 && col("__lang") === "en")
+      val exact = Dedup.exact(filtered, "text", "doc_id")
+      val pairs = Dedup.ngramJaccard(exact, "doc_id", "text", n = 3, threshold = 0.6)
+        .select("doc_a", "doc_b")
+      val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      val drops = comps.filter(col("id") =!= col("component"))
+        .select(col("id").as("__dropid"))
+      exact.join(drops, exact("doc_id") === col("__dropid"), "left_anti")
+        .select(col("doc_id"), q4(col("__q")).as("quality"))
+    }),
     // ---- multimodal plumbing (decode is a deterministic stub) -------------
     "multimodal_meta" -> ((s, dir) => {
       val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
@@ -588,6 +606,69 @@ object SparkEntry {
       "doc_fingerprint" ->
         """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
           |FROM documents""".stripMargin,
+      "pipeline_clean_corpus" ->
+        """WITH RECURSIVE
+          |tok0 AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |         FROM documents),
+          |agg0 AS (SELECT doc_id, count(*) AS n,
+          |  sum(CASE WHEN lower(w) IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as')
+          |      THEN 1 ELSE 0 END) AS sw
+          |  FROM tok0 GROUP BY doc_id),
+          |qual AS (SELECT d.doc_id, d.text,
+          |  least(agg0.n / 50.0, 1.0) * 0.5
+          |  + least(agg0.sw * 1.0 / agg0.n * 5.0, 1.0) * 0.3
+          |  + (1.0 - least(length(regexp_replace(d.text, '[^.,!?;:]', '', 'g')) * 1.0
+          |                 / length(d.text) * 5.0, 1.0)) * 0.2 AS q
+          |  FROM documents d JOIN agg0 ON agg0.doc_id = d.doc_id),
+          |ltok AS (SELECT doc_id, lower(w2) AS w FROM (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w2
+          |  FROM documents)),
+          |scx AS (SELECT doc_id,
+          |  sum(CASE WHEN w IN ('the','a','and','of','to','is') THEN 1 ELSE 0 END) AS s_en,
+          |  sum(CASE WHEN w IN ('el','la','los','de','que','y') THEN 1 ELSE 0 END) AS s_es,
+          |  sum(CASE WHEN w IN ('der','die','das','und','ist','nicht') THEN 1 ELSE 0 END) AS s_de,
+          |  sum(CASE WHEN w IN ('le','la','les','et','est','que') THEN 1 ELSE 0 END) AS s_fr
+          |  FROM ltok GROUP BY doc_id),
+          |lng AS (SELECT d.doc_id,
+          |  CASE
+          |    WHEN length(regexp_replace(d.text, '[^' || chr(19968) || '-' || chr(40959) || ']', '', 'g'))
+          |         * 1.0 / length(d.text) > 0.3 THEN 'zh'
+          |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+          |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+          |    WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+          |    WHEN s_fr > 0 THEN 'fr'
+          |    ELSE 'und' END AS lang
+          |  FROM documents d JOIN scx ON scx.doc_id = d.doc_id),
+          |filtered AS (
+          |  SELECT qual.doc_id, qual.text, qual.q
+          |  FROM qual JOIN lng ON lng.doc_id = qual.doc_id
+          |  WHERE qual.q >= 0.5 AND lng.lang = 'en'),
+          |exact AS (
+          |  SELECT doc_id, text, q FROM (
+          |    SELECT doc_id, text, q, row_number() OVER (
+          |      PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+          |      ORDER BY doc_id) AS rn FROM filtered) WHERE rn = 1),
+          |tokp AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |         FROM exact),
+          |shx AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+          |  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          |  JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+          |cntx AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+          |interx AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+          |  FROM shx x JOIN shx y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          |  GROUP BY 1, 2),
+          |prs AS (SELECT doc_a, doc_b FROM interx
+          |  JOIN cntx ca ON ca.doc_id = doc_a JOIN cntx cb ON cb.doc_id = doc_b
+          |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6),
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+          |          UNION SELECT doc_b, doc_a FROM prs),
+          |reach AS (SELECT DISTINCT src AS id, src AS r FROM edges
+          |  UNION SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r),
+          |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+          |SELECT e.doc_id, floor(e.q * 10000) / 10000 AS quality
+          |FROM exact e LEFT JOIN comp ON comp.id = e.doc_id
+          |WHERE comp.id IS NULL OR comp.component = e.doc_id""".stripMargin,
       "multimodal_meta" ->
         """SELECT doc_id,
           |  CAST(strlen(text) % 640 + 1 AS INT) AS width,

@@ -71,9 +71,11 @@ object FuzzyJoin {
     bucketedJoin(l, r, bucket(col(c.leftCol)), bucket(col(c.rightCol)), residual)
   }
 
-  /** Timestamp fuzzy join with a time tolerance (reference requires a
-    * timedelta tolerance for datetime columns, pandance/pandance.py:291-294).
-    * Bucketing runs on epoch microseconds (exact long arithmetic).
+  /** Timestamp/date fuzzy join with a time tolerance (reference requires
+    * a timedelta tolerance for datetime columns,
+    * pandance/pandance.py:291-294). Bucketing runs on epoch microseconds
+    * (exact long arithmetic). DateType and TimestampNTZ columns are
+    * widened to TimestampType under the session zone (UTC) first.
     */
   def time(
       left: DataFrame,
@@ -91,8 +93,12 @@ object FuzzyJoin {
     validateTimestamp(left, cols.leftCol, "left")
     validateTimestamp(right, cols.rightCol, "right")
 
-    val lf = left.filter(col(cols.leftCol).isNotNull)
-    val rf = right.filter(col(cols.rightCol).isNotNull)
+    def widen(df: DataFrame, c: String): DataFrame = df.schema(c).dataType match {
+      case TimestampType => df
+      case _ => df.withColumn(c, col(c).cast(TimestampType))
+    }
+    val lf = widen(left, cols.leftCol).filter(col(cols.leftCol).isNotNull)
+    val rf = widen(right, cols.rightCol).filter(col(cols.rightCol).isNotNull)
     val (l, r, c) = JoinSpec.applySuffixes(lf, rf, cols, suffixes)
 
     def bucket(v: Column): Column = floor(unix_micros(v) / lit(tolUs)).cast(LongType)
@@ -205,10 +211,10 @@ object FuzzyJoin {
 
   private def validateTimestamp(df: DataFrame, c: String, side: String): Unit =
     df.schema(c).dataType match {
-      case _: TimestampType => ()
+      case _: TimestampType | _: TimestampNTZType | _: DateType => ()
       case other =>
         throw new IllegalArgumentException(
-          s"$side join column `$c` must be TimestampType for time fuzzy join, got $other " +
+          s"$side join column `$c` must be a timestamp/date type for time fuzzy join, got $other " +
             "(mixing datetime and numeric join columns is an error, as in the reference)")
     }
 }

@@ -76,7 +76,12 @@ object IneqJoin {
         if (increasing) evalOp(how, lMax, rMin) else evalOp(how, lMin, rMax)
       val noneMatch =
         if (increasing) !evalOp(how, lMin, rMax) else !evalOp(how, lMax, rMin)
-      if (allMatch) return l.crossJoin(r)
+      if (allMatch) {
+        // reference M6: pre-flight size warning before materializing a
+        // full Cartesian result (pandance/pandance.py:879-891)
+        MemEstimate.warnIfLarge(l, c.leftCol, r, c.rightCol)
+        return l.crossJoin(r)
+      }
       if (noneMatch) return emptyLike(l, r)
     }
     l.join(r, cond(l(c.leftCol), r(c.rightCol)), "inner")

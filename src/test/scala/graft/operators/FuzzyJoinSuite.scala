@@ -77,6 +77,16 @@ class FuzzyJoinSuite extends SparkSpec {
     assert(rowSet(out.select("lid", "rid")) == Set(Seq("1", "10")))
   }
 
+  test("date columns widen to timestamps in time()") {
+    import java.sql.Date
+    val l = Seq((1, Date.valueOf("2024-01-10"))).toDF("lid", "d")
+    val r = Seq((10, Date.valueOf("2024-01-11")), (20, Date.valueOf("2024-03-01")))
+      .toDF("rid", "d2")
+    val out = FuzzyJoin.time(l, r, Duration.ofDays(2),
+      leftOn = Some("d"), rightOn = Some("d2"))
+    assert(rowSet(out.select("lid", "rid")) == Set(Seq("1", "10")))
+  }
+
   test("datetime column through numeric() raises, as in the reference") {
     // XOR type check (pandance/pandance.py:288-294)
     val l = Seq((1, Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("lid", "ts")
