@@ -19,7 +19,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_embedding", "ann_topk",
     "text_quality", "doc_fingerprint", "agg_pricing",
-    "stream_window_counts", "sessionize_events")
+    "stream_window_counts", "sessionize_events", "pipeline_clean_corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -275,7 +275,11 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")).as("__q"),
         TextFunctions.langId(col("text")).as("__lang"))
       val filtered = scored.filter(col("__q") >= 0.5 && col("__lang") === "en")
-      val exact = Dedup.exact(filtered, "text", "doc_id")
+      // materialize the exact-deduped corpus once: the similarity
+      // self-join and the final anti-join would otherwise re-run the
+      // quality/langId/fingerprint chain ~4x (in production this is
+      // the point where the cleaned corpus is written back to parquet)
+      val exact = Dedup.exact(filtered, "text", "doc_id").localCheckpoint(true)
       val pairs = Dedup.ngramJaccard(exact, "doc_id", "text", n = 3, threshold = 0.6)
         .select("doc_a", "doc_b")
       val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
@@ -285,6 +289,13 @@ object SparkEntry {
         .select(col("doc_id"), q4(col("__q")).as("quality"))
     }),
     // ---- multimodal plumbing (decode is a deterministic stub) -------------
+    "multimodal_features" -> ((s, dir) => { // stub features -> ANN; rows-only
+      val feats = Multimodal.featureStub(
+        Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"), "payload")
+      SimilaritySearch.bruteForceTopK(
+          feats.filter(col("doc_id") < 10), feats, "doc_id", "features", k = 3)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+    }),
     "multimodal_meta" -> ((s, dir) => {
       val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
       Multimodal.decodeMeta(withBin, "payload", keepCols = Seq("doc_id"))

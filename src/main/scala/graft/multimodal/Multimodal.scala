@@ -66,6 +66,43 @@ object Multimodal {
     }
   }
 
+  /** STUB feature extractor: a deterministic `dim`-bucket byte histogram
+    * (L2-normalized) standing in for a real vision/audio embedding model.
+    * The Spark-side contract is the real part: `binary -> array<float>`
+    * per row, partition-batched so a real model would load once per
+    * partition (the `mapInPandas` batch shape), output ready for the
+    * SimilaritySearch / Dedup.embedding* operators.
+    */
+  def featureStub(df: DataFrame, binCol: String, dim: Int = 16,
+      outCol: String = "features"): DataFrame = {
+    require(dim > 0)
+    val extract = org.apache.spark.sql.functions.udf { bytes: Array[Byte] =>
+      val hist = new Array[Float](dim)
+      if (bytes != null) {
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0xff) % dim) += 1f; i += 1 }
+      }
+      val norm = math.sqrt(hist.map(x => x.toDouble * x).sum)
+      if (norm > 0) hist.map(x => (x / norm).toFloat) else hist
+    }
+    df.withColumn(outCol, extract(org.apache.spark.sql.functions.col(binCol)))
+  }
+
+  /** STUB resize: ??? a real codec would decode, scale, re-encode; the
+    * deterministic fake truncates/zero-pads the payload to `targetBytes`
+    * — the plumbing (binary in, binary out, length contract) is what
+    * downstream stages depend on.
+    */
+  def resizeStub(df: DataFrame, binCol: String, targetBytes: Int,
+      outCol: String = "resized"): DataFrame = {
+    require(targetBytes > 0)
+    val resize = org.apache.spark.sql.functions.udf { bytes: Array[Byte] =>
+      val src = if (bytes == null) Array.empty[Byte] else bytes
+      java.util.Arrays.copyOf(src, targetBytes)
+    }
+    df.withColumn(outCol, resize(org.apache.spark.sql.functions.col(binCol)))
+  }
+
   /** Deterministic frame sampling: split the payload into `n` equal
     * byte-range "frames" (a real video pipeline would seek keyframes; the
     * slicing/explode plumbing is identical). Output: one row per frame

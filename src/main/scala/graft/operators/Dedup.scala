@@ -309,12 +309,35 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))
-      .union(pairs.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+    // materialize the pair list ONCE before mirroring: `pairs` is
+    // usually the output of an expensive similarity join, and the
+    // symmetric union would otherwise re-run that subtree twice
+    val p = pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))
       .localCheckpoint(true)
+    val edgesRaw = p
+      .union(p.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      .localCheckpoint(true)
+    // size the iteration to the graph, not the session default: near-dup
+    // graphs are usually a sliver of the corpus, and label propagation
+    // over a handful of rows should not pay a 32-partition shuffle per
+    // round (at 100 TB the same rule lands on many partitions)
+    val parts = math.max(1, math.min(
+      (edgesRaw.count() / 500000L).toInt,
+      pairs.sparkSession.sparkContext.defaultParallelism))
+    val edges = edgesRaw.repartition(parts, col("__dst")).localCheckpoint(true)
     var labels = edges.select(col("__src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // labels only ever DECREASE under min-propagation, so an unchanged
+    // sum(component) proves the fixpoint — one cheap aggregate per
+    // iteration instead of an old-vs-new join
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0) match {
+        case row if row.isNullAt(0) => java.math.BigDecimal.ZERO
+        case row => row.getDecimal(0)
+      }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -327,10 +350,9 @@ object Dedup {
           least(col("component"), coalesce(col("__nmin"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }

@@ -39,6 +39,30 @@ class MultimodalSuite extends SparkSpec {
     assert(row.getString(2) == "png")
   }
 
+  test("featureStub emits unit-norm float vectors usable by the similarity operators") {
+    val out = Multimodal.featureStub(
+      Multimodal.withBinaryPayload(docs, "text"), "payload", dim = 8)
+    val vecs = out.select("doc_id", "features").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs(1).length == 8 && vecs(2).length == 8)
+    val norm = math.sqrt(vecs(1).map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+    // deterministic
+    val again = Multimodal.featureStub(
+      Multimodal.withBinaryPayload(docs, "text"), "payload", dim = 8)
+      .select("doc_id", "features").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs == again)
+  }
+
+  test("resizeStub pads or truncates to the target byte length") {
+    val out = Multimodal.resizeStub(
+      Multimodal.withBinaryPayload(docs, "text"), "payload", targetBytes = 64)
+    out.select("resized").collect().foreach { r =>
+      assert(r.getAs[Array[Byte]](0).length == 64)
+    }
+  }
+
   test("frameSample slices the payload into n positive-length frames") {
     val out = Multimodal.frameSample(
       Multimodal.withBinaryPayload(docs.filter($"doc_id" === 2), "text"),
