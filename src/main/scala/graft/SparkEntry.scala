@@ -300,6 +300,15 @@ object SparkEntry {
       val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
       Multimodal.decodeMeta(withBin, "payload", keepCols = Seq("doc_id"))
     }),
+    // ---- deterministic sampling / splits -----------------------------------
+    "sample_hash_events" -> ((s, dir) => {
+      Sampling.hashSample(t(s, dir, "events"), "event_id", fraction = 0.1)
+        .select("event_id", "event_type", "user_id")
+    }),
+    "split_counts" -> ((s, dir) => {
+      Sampling.trainValTest(t(s, dir, "documents"), "doc_id")
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+    }),
     // ---- relational built-ins (coverage: scan/filter/agg/window/setops/sort)
     "agg_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -688,6 +697,20 @@ object SparkEntry {
           |       THEN 'png' ELSE 'raw' END AS format,
           |  CAST(strlen(text) AS BIGINT) AS byte_len
           |FROM documents""".stripMargin,
+      "sample_hash_events" ->
+        """SELECT event_id, event_type, user_id FROM events
+          |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          |      % 10000 < 1000""".stripMargin,
+      "split_counts" ->
+        """WITH b AS (
+          |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          |         % 10000 AS bkt
+          |  FROM documents)
+          |SELECT CASE WHEN bkt < 1000 THEN 'test'
+          |            WHEN bkt < 2000 THEN 'val'
+          |            ELSE 'train' END AS split,
+          |       count(*) AS n
+          |FROM b GROUP BY 1""".stripMargin,
       "agg_pricing" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
