@@ -239,6 +239,11 @@ object SparkEntry {
       SimilaritySearch.lshTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
     }),
+    "ann_topk_ivf" -> ((s, dir) => { // approximate recall — rows-only check
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.ivfTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+    }),
     // ---- text analysis ----------------------------------------------------
     "text_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")

@@ -52,6 +52,85 @@ object SimilaritySearch {
       .drop("__rn")
   }
 
+  /** IVF (inverted-file) approximate top-k — the learned-bucketing scale
+    * path the spec pairs with LSH: k-means centroids partition the
+    * corpus into `nCentroids` cells; a query probes only its `nProbe`
+    * nearest cells and rescores those candidates exactly.
+    *
+    * Fully deterministic: centroids initialize from the corpus vectors
+    * with the smallest md5-derived id hash (seedless, engine-stable) and
+    * Lloyd iterations are plain averages. Centroids live on the driver
+    * between iterations (k×dim doubles — that is how IVF training works
+    * at any scale; the corpus itself never leaves the executors).
+    *
+    * Cost per query: `nCentroids` centroid dots + |corpus|·nProbe/
+    * nCentroids candidate dots — vs |corpus| for brute force. Recall is
+    * approximate at cell boundaries; returned cosines are exact.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids)
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      VectorFunctions.asDouble(col(vecCol)).as("__cv"),
+      VectorFunctions.norm(col(vecCol)).as("__cn"))
+      .localCheckpoint(true) // scanned once per Lloyd iteration + search
+
+    // deterministic seed vectors: smallest md5-hash of the id
+    var centroids: Array[Array[Double]] = c
+      .withColumn("__h", md5(col("neighbor_id").cast("string")))
+      .orderBy(col("__h")).limit(nCentroids)
+      .select("__cv").collect().map(_.getSeq[Double](0).toArray)
+
+    def nearestUdf(cents: Array[Array[Double]], n: Int) =
+      udf((vec: Seq[Double]) => {
+        // top-n centroid ids by cosine (centroid norms folded in)
+        val scored = cents.zipWithIndex.map { case (ct, i) =>
+          var dp = 0.0; var nc = 0.0
+          var j = 0
+          while (j < ct.length && j < vec.length) { dp += ct(j) * vec(j); nc += ct(j) * ct(j); j += 1 }
+          (if (nc > 0) dp / math.sqrt(nc) else 0.0, i)
+        }
+        scored.sortBy { case (s, i) => (-s, i) }.take(n).map(_._2)
+      })
+
+    var it = 0
+    while (it < iters) {
+      val assigned = c.withColumn("__cell", nearestUdf(centroids, 1)(col("__cv"))(0))
+      val means = assigned
+        .select(col("__cell"), posexplode(col("__cv")).as(Seq("__pos", "__v")))
+        .groupBy(col("__cell"), col("__pos")).agg(avg(col("__v")).as("__m"))
+        .groupBy(col("__cell"))
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ms"))
+        .select(col("__cell"), col("__ms.__m").as("__centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // empty cells keep their previous centroid
+      centroids = Array.tabulate(centroids.length)(i => means.getOrElse(i, centroids(i)))
+      it += 1
+    }
+
+    val cells = c.withColumn("__cell", nearestUdf(centroids, 1)(col("__cv"))(0))
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      VectorFunctions.asDouble(col(vecCol)).as("__qv"),
+      VectorFunctions.norm(col(vecCol)).as("__qn"))
+      .withColumn("__cell", explode(nearestUdf(centroids, nProbe)(col("__qv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q)
+      .join(cells, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (VectorFunctions.dot(col("__qv"), col("__cv")) /
+          (col("__qn") * col("__cn"))).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Approximate top-k via random-hyperplane LSH banding (deterministic
     * hyperplanes from SplitMix64, same family as
     * [[Dedup.embeddingNearDupLsh]]). Exact rescoring on candidates, so

@@ -41,6 +41,38 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(math.abs(cosines.head - 0.9 / math.sqrt(0.82)) < 1e-12)
   }
 
+  test("IVF top-k: exact cosines, deterministic, decent recall on clustered data") {
+    val rnd = new scala.util.Random(31)
+    // 4 well-separated clusters of 30 vectors each
+    val centers = Seq(
+      Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0),
+      Array(0, 0, 10.0, 0), Array(0, 0, 0, 10.0))
+    val vecs = (0 until 120).map { i =>
+      val ctr = centers(i % 4)
+      (i, ctr.map(_ + rnd.nextGaussian() * 0.5))
+    }.toDF("id", "emb")
+    val ivf = SimilaritySearch.ivfTopK(vecs, vecs, "id", "emb", k = 3,
+      nCentroids = 8, nProbe = 3, iters = 4)
+    val exactAll = SimilaritySearch.bruteForceTopK(vecs, vecs, "id", "emb", k = 119)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val got = ivf.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+    got.foreach { case (pair, cos) =>
+      assert(math.abs(exactAll(pair) - cos) < 1e-9, s"cosine mismatch for $pair")
+    }
+    // recall vs exact top-3: same-cluster neighbors dominate, so probing
+    // 3 of 8 cells should recover most true neighbors
+    val trueTop = SimilaritySearch.bruteForceTopK(vecs, vecs, "id", "emb", k = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val gotPairs = got.map(_._1).toSet
+    val recall = trueTop.intersect(gotPairs).size.toDouble / trueTop.size
+    assert(recall > 0.8, s"recall $recall")
+    // deterministic across runs
+    val again = SimilaritySearch.ivfTopK(vecs, vecs, "id", "emb", k = 3,
+      nCentroids = 8, nProbe = 3, iters = 4)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+    assert(got.toSet == again.toSet)
+  }
+
   test("LSH top-k returns true cosines for whatever it returns") {
     val rnd = new scala.util.Random(11)
     val vecs = (0 until 80).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
