@@ -48,8 +48,13 @@ object Dedup {
     *
     * For very large corpora combine with [[minhashLsh]] (this variant's
     * cost grows with the total number of co-occurring shingle pairs; LSH
-    * caps it by signature banding). Prefix filtering is the classic
-    * refinement (PAPERS.md, set-similarity-join line) — planned follow-up.
+    * caps it by signature banding), or use [[ngramJaccardPrefix]] — the
+    * classic prefix-filter refinement (PAPERS.md, set-similarity-join
+    * line), identical output. On heavily duplicated corpora run
+    * [[exact]] FIRST: k copies of a document inflate every posting list
+    * k× and the co-occurrence join k²× (measured in tools/ScaleStress),
+    * while exact dedup collapses them in one cheap fingerprint shuffle —
+    * the composition `pipeline_clean_corpus` demonstrates the order.
     */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
@@ -267,6 +272,14 @@ object Dedup {
     * Blocking: split the 64-bit signature into `maxHamming + 1` chunks —
     * by pigeonhole, any pair within the distance agrees on at least one
     * chunk, so candidates reduce to an equi-join on (chunkIdx, chunkVal).
+    *
+    * Exactly-once without a distinct: a near-identical pair agrees on
+    * MOST chunks and would surface once per shared chunk; since both
+    * full signatures are present in the joined row, the match is kept
+    * only in the FIRST chunk the two signatures share. On a worst-case
+    * duplicated corpus this removes a candidate-multiset-sized
+    * dropDuplicates shuffle (measured 470s -> seconds at 50k docs with
+    * 10x duplication, tools/ScaleStress).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 7): DataFrame = {
     val chunks = maxHamming + 1
@@ -277,19 +290,24 @@ object Dedup {
     val mask = if (width >= 64) -1L else (1L << width) - 1
     val sig = withSimhash(df.select(col(idCol).as("__id"), col(textCol)), textCol)
       .select(col("__id"), col("simhash"))
-    val chunkCols = (0 until chunks).map(c =>
-      shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit(mask)))
+    def chunkOf(s: Column, c: Int): Column =
+      shiftrightunsigned(s, c * width).bitwiseAND(lit(mask))
+    val chunkCols = (0 until chunks).map(c => chunkOf(col("simhash"), c))
     val blocked = sig.select(
       col("__id"), col("simhash"),
       posexplode(array(chunkCols: _*)).as(Seq("__chunk", "__cv")))
+    // smallest chunk index on which the two signatures agree
+    val firstShared = (chunks - 1 to 0 by -1).foldLeft(lit(chunks)) { (acc, c) =>
+      when(chunkOf(col("a.simhash"), c) === chunkOf(col("b.simhash"), c), lit(c))
+        .otherwise(acc)
+    }
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.__chunk") === col("b.__chunk") && col("a.__cv") === col("b.__cv") &&
-          col("a.__id") < col("b.__id"))
+          col("a.__id") < col("b.__id") && col("a.__chunk") === firstShared)
       .select(
         col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Worst-case scale stress for the dedup path: replicate the sf0.1
+  * corpus `copies`× (ids offset), so every document has `copies` exact
+  * duplicates — posting lists grow `copies`×, candidate pairs
+  * ~`copies`²×. Checks that nothing degenerates catastrophically at a
+  * 10× corpus with pathological duplication.
+  */
+object ScaleStress {
+  def t[T](l: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[stress] $l: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n = base.count()
+    val big = (0 until copies).map(i =>
+      base.select((col("doc_id") + lit(i * 1000000)).as("doc_id"), col("text")))
+      .reduce(_ union _)
+      .localCheckpoint(true)
+    println(s"[stress] corpus: ${big.count()} docs (${copies}x $n)")
+    t("exact dedup")(println("[stress]   rows: " +
+      Dedup.exact(big, "text", "doc_id").count()))
+    t("minhash lsh")(println("[stress]   pairs: " +
+      Dedup.minhashLsh(big, "doc_id", "text", 3, 128, 32, 0.8).count()))
+    t("ngram jaccard")(println("[stress]   pairs: " +
+      Dedup.ngramJaccard(big, "doc_id", "text", 3, 0.6).count()))
+    t("simhash")(println("[stress]   pairs: " +
+      Dedup.simhashPairs(big, "doc_id", "text", 7).count()))
+    spark.stop()
+  }
+}
