@@ -221,15 +221,24 @@ object Dedup {
     val sh = df
       .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), n).as("__sh"))
       .filter(size(col("__sh")) > 0)
-    val banded = sh.select(
-      col("__id"),
-      posexplode(minhashBandKeys(numHashes, bands)(col("__sh"))).as(Seq("__band", "__bh")))
+    // carry the full band-key array through the explode: with both
+    // arrays present in the joined row, a pair is kept only in the
+    // FIRST band the two signatures share — exactly-once with no
+    // dropDuplicates shuffle (near-identical docs agree on ~all bands
+    // and would otherwise surface `bands` times; same anchor as
+    // simhashPairs, measured there at 15x on a duplicated corpus)
+    val banded = sh
+      .withColumn("__bks", minhashBandKeys(numHashes, bands)(col("__sh")))
+      .select(col("__id"), col("__bks"),
+        posexplode(col("__bks")).as(Seq("__band", "__bh")))
+    val firstShared =
+      array_position(zip_with(col("a.__bks"), col("b.__bks"), (x, y) => x === y),
+        true) - 1
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bh") === col("b.__bh") &&
-          col("a.__id") < col("b.__id"))
+          col("a.__id") < col("b.__id") && col("a.__band") === firstShared)
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
     // exact verification on the candidate set only
     cands
       .join(sh.select(col("__id"), col("__sh").as("__sha")), col("doc_a") === col("__id"))
@@ -417,17 +426,20 @@ object Dedup {
       VectorFunctions.norm(col(vecCol)).as("__n"))
     // keys-only banding (no vector payload through the bands-fold
     // explode); exact cosine verification re-joins the vectors onto the
-    // deduplicated candidate pairs only
-    val banded = v.select(
-      col("__id"),
-      posexplode(VectorFunctions.signBandKeys(bits, bands)(col("__v")))
-        .as(Seq("__band", "__bv")))
+    // candidate pairs only. First-shared-band anchor = exactly-once
+    // without a dropDuplicates shuffle (see minhashLsh).
+    val banded = v
+      .withColumn("__bks", VectorFunctions.signBandKeys(bits, bands)(col("__v")))
+      .select(col("__id"), col("__bks"),
+        posexplode(col("__bks")).as(Seq("__band", "__bv")))
+    val firstShared =
+      array_position(zip_with(col("a.__bks"), col("b.__bks"), (x, y) => x === y),
+        true) - 1
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bv") === col("b.__bv") &&
-          col("a.__id") < col("b.__id"))
+          col("a.__id") < col("b.__id") && col("a.__band") === firstShared)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
     cands
       .join(v.select(col("__id"), col("__v").as("__va"), col("__n").as("__na")),
         col("id_a") === col("__id")).drop("__id")

@@ -146,22 +146,25 @@ object SimilaritySearch {
         VectorFunctions.asDouble(col(vecCol)).as(vecAlias),
         VectorFunctions.norm(col(vecCol)).as(normAlias))
     // keys-only banding (shared VectorFunctions kernel — one UDF pass,
-    // no vector payload replicated through the explode)
-    def banded(df: DataFrame, id: String, vecAlias: String) = df
-      .select(col(id),
-        posexplode(VectorFunctions.signBandKeys(bits, bands)(col(vecAlias)))
-          .as(Seq("__band", "__bv")))
+    // no vector payload replicated through the explode); first-shared-
+    // band anchor = exactly-once without a dropDuplicates shuffle
+    def banded(df: DataFrame, id: String, vecAlias: String, bksAlias: String) = df
+      .withColumn(bksAlias, VectorFunctions.signBandKeys(bits, bands)(col(vecAlias)))
+      .select(col(id), col(bksAlias),
+        posexplode(col(bksAlias)).as(Seq("__band", "__bv")))
     val qv = vecs(queries, "query_id", "__qv", "__qn")
     val cv = vecs(corpus, "neighbor_id", "__cv", "__cn")
-    val q = banded(qv, "query_id", "__qv")
-    val c = banded(cv, "neighbor_id", "__cv")
+    val q = banded(qv, "query_id", "__qv", "__qbks")
+    val c = banded(cv, "neighbor_id", "__cv", "__cbks")
+    val firstShared =
+      array_position(zip_with(col("__qbks"), col("__cbks"), (x, y) => x === y),
+        true) - 1
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     q.join(c,
         q("__band") === c("__band") && q("__bv") === c("__bv") &&
-          col("query_id") =!= col("neighbor_id"))
+          col("query_id") =!= col("neighbor_id") && q("__band") === firstShared)
       .select(col("query_id"), col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .join(qv, "query_id")
       .join(cv, "neighbor_id")
       .select(
