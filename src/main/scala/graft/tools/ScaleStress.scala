@@ -45,3 +45,26 @@ object ScaleStress {
     spark.stop()
   }
 }
+
+/** Prefix-filter variant on the same stress corpus. */
+object ScaleStressPrefix {
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val big = (0 until copies).map(i =>
+      base.select((col("doc_id") + lit(i * 1000000)).as("doc_id"), col("text")))
+      .reduce(_ union _).localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val n = graft.operators.Dedup.ngramJaccardPrefix(big, "doc_id", "text", 3, 0.6).count()
+    println(f"[stress] ngram prefix: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n pairs")
+    spark.stop()
+  }
+}
