@@ -130,6 +130,27 @@ class FuzzyJoinSuite extends SparkSpec {
     }
   }
 
+  test("float inputs against an exact BigDecimal oracle (seeded random)") {
+    // the reference checks float fuzzy joins against a 128-digit Decimal
+    // oracle (test/test_ops.py:124-164); same idea with scala BigDecimal
+    val rnd = new scala.util.Random(23)
+    val lv = List.fill(30)((rnd.nextFloat() - 0.5f) * 20f)
+    val rv = List.fill(30)((rnd.nextFloat() - 0.5f) * 20f)
+    val tol = 0.75
+    val l = lv.zipWithIndex.map { case (v, i) => (i, v) }.toDF("lid", "v")
+    val r = rv.zipWithIndex.map { case (v, i) => (i, v) }.toDF("rid", "w")
+    val got = rowSet(
+      FuzzyJoin.numeric(l, r, tol, leftOn = Some("v"), rightOn = Some("w"))
+        .select("lid", "rid"))
+    val oracle = (for {
+      (a, i) <- lv.zipWithIndex; (b, j) <- rv.zipWithIndex
+      // widen exactly as the engine does (float -> double), then exact
+      // decimal arithmetic for the band check
+      if (BigDecimal(a.toDouble) - BigDecimal(b.toDouble)).abs <= BigDecimal(tol)
+    } yield Seq(i.toString, j.toString)).toSet
+    assert(got == oracle)
+  }
+
   test("every output pair satisfies the band predicate") {
     // property asserted by the reference's hypothesis tests
     // (test/test_ops.py:151-155)

@@ -62,6 +62,26 @@ class ThetaJoinSuite extends SparkSpec {
     assert(rowSet(out.select("lid", "rid")) == Set(Seq("1", "10")))
   }
 
+  test("unit-circle invariant: theta matches (cos t, sin t) pairs of the same angle") {
+    // port of the reference's hypothesis test (test/test_ops.py:429-450):
+    // join x-coords with y-coords on |x^2 + y^2 - 1| < eps; points from
+    // the same angle always match, far-apart angles never do
+    val rnd = new scala.util.Random(17)
+    val angles = Seq.fill(30)(rnd.nextDouble() * 2 * math.Pi)
+    val xs = angles.zipWithIndex.map { case (a, i) => (i, math.cos(a)) }.toDF("aid", "x")
+    val ys = angles.zipWithIndex.map { case (a, i) => (i, math.sin(a)) }.toDF("bid", "y")
+    val out = ThetaJoin.udf[Double, Double](xs, ys,
+      (x: Double, y: Double) => math.abs(x * x + y * y - 1.0) < 1e-9,
+      leftOn = Some("x"), rightOn = Some("y"))
+    val pairs = out.select("aid", "bid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    angles.indices.foreach(i => assert(pairs.contains((i, i)), s"same angle $i must match"))
+    // every matched pair genuinely satisfies the invariant
+    pairs.foreach { case (i, j) =>
+      val v = math.cos(angles(i)); val w = math.sin(angles(j))
+      assert(math.abs(v * v + w * w - 1.0) < 1e-9)
+    }
+  }
+
   test("equality conjunct in an expression condition plans a hash join, not BNLJ") {
     // the Spark-first reason to prefer the Column overload: Catalyst
     // extracts equi-conjuncts and avoids the nested loop
