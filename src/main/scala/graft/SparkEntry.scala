@@ -293,6 +293,23 @@ object SparkEntry {
       exact.join(drops, exact("doc_id") === col("__dropid"), "left_anti")
         .select(col("doc_id"), q4(col("__q")).as("quality"))
     }),
+    "source_similarity" -> ((s, dir) => { // signature-based — rows-only check
+      import s.implicits._
+      // one MinHash signature per SOURCE (group-level aggregator: only
+      // k-long buffers cross the shuffle), then pairwise estimated
+      // Jaccard between whole sub-corpora without any cross join of docs
+      val d = t(s, dir, "documents")
+        .select(col("source"), TextFunctions.shingles(col("text"), 3).as("sh"))
+      val sigs = d.as[(String, Seq[String])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.functions.MinHashAggregator(128).toColumn.name("sig"))
+        .toDF("source", "sig")
+      val est = udf((a: Seq[Long], b: Seq[Long]) =>
+        graft.functions.MinHashAggregator.estimateJaccard(a, b))
+      sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          round(est(col("a.sig"), col("b.sig")), 4).as("est_jaccard"))
+    }),
     // ---- multimodal plumbing (decode is a deterministic stub) -------------
     "multimodal_features" -> ((s, dir) => { // stub features -> ANN; rows-only
       val feats = Multimodal.featureStub(
