@@ -72,6 +72,17 @@ class FuzzyJoinRewriteSuite extends SparkSpec {
     }
   }
 
+  test("SQL-text band joins are rewritten too (no Scala API involved)") {
+    withRule {
+      l.createOrReplaceTempView("fz_l")
+      r.createOrReplaceTempView("fz_r")
+      val out = spark.sql(
+        "SELECT lid, rid FROM fz_l JOIN fz_r ON abs(v - w) <= 0.2")
+      assert(!out.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(rowSet(out) == Set(Seq("1", "10"), Seq("2", "20")))
+    }
+  }
+
   test("GraftExtensions wires the rule and graft_dot into a fresh session") {
     val orig = spark
     SparkSession.clearActiveSession()
