@@ -165,6 +165,9 @@ object SparkEntry {
     "stream_window_counts" -> ((s, dir) =>
       Streaming.windowedEventCounts(t(s, dir, "events"), "ts", "event_type",
         windowDur = "1 hour", watermarkDelay = "10 minutes")),
+    "stream_sliding_counts" -> ((s, dir) =>
+      Streaming.slidingEventCounts(t(s, dir, "events"), "ts", "event_type",
+        windowDur = "1 hour", slide = "15 minutes")),
     "stream_band_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
@@ -500,6 +503,15 @@ object SparkEntry {
           |WHERE c.event_type = 'click' AND v.event_type = 'view'
           |  AND epoch_us(c.ts) >= epoch_us(v.ts) - 90000000
           |  AND epoch_us(c.ts) <= epoch_us(v.ts) + 90000000""".stripMargin,
+      "stream_sliding_counts" ->
+        """SELECT ws * 900000000 AS window_start_us, event_type, count(*) AS n
+          |FROM (
+          |  SELECT event_type,
+          |         unnest(generate_series(
+          |           CAST(floor((epoch_us(ts) - 3600000000) / 900000000) + 1 AS BIGINT),
+          |           CAST(floor(epoch_us(ts) / 900000000) AS BIGINT))) AS ws
+          |  FROM events)
+          |GROUP BY 1, 2""".stripMargin,
       "sessionize_events" ->
         """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
           |m AS (SELECT user_id, us,

@@ -34,9 +34,19 @@ object Dedup {
     * whitespace/case-normalized text fingerprint. The shuffle key is the
     * 32-hex-char MD5, not the document body.
     */
-  def exact(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+  def exact(df: DataFrame, textCol: String, orderCol: String): DataFrame =
+    exactBy(df, textCol, Seq(col(orderCol).asc))
+
+  /** Exact dedup with an explicit keep policy: the first row per
+    * fingerprint under `keepOrder` survives — e.g.
+    * `Seq(col("quality").desc, col("doc_id").asc)` keeps the
+    * highest-quality copy with a deterministic tie-break. Always end the
+    * ordering with a unique column or survivors are partition-order
+    * dependent.
+    */
+  def exactBy(df: DataFrame, textCol: String, keepOrder: Seq[Column]): DataFrame = {
     val fp = TextFunctions.fingerprint(col(textCol))
-    val w = Window.partitionBy(fp).orderBy(col(orderCol).asc)
+    val w = Window.partitionBy(fp).orderBy(keepOrder: _*)
     df.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")

@@ -33,9 +33,24 @@ object Streaming {
       typeCol: String,
       windowDur: String = "1 hour",
       watermarkDelay: String = "10 minutes"): DataFrame =
+    slidingEventCounts(events, tsCol, typeCol, windowDur, windowDur, watermarkDelay)
+
+  /** Sliding-window variant: each event lands in `windowDur/slide`
+    * overlapping windows (tumbling = slide == windowDur). State per key
+    * stays bounded by the watermark exactly as in the tumbling case —
+    * the overlap multiplies rows *entering* the aggregation, not state
+    * retention.
+    */
+  def slidingEventCounts(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      windowDur: String,
+      slide: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
     events
       .withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), windowDur), col(typeCol))
+      .groupBy(window(col(tsCol), windowDur, slide), col(typeCol))
       .agg(count(lit(1)).as("n"))
       .select(
         unix_micros(col("window.start")).as("window_start_us"),

@@ -21,6 +21,16 @@ class DedupSuite extends SparkSpec {
     assert(rowSet(out.select("doc_id")) == Set(Seq("1"), Seq("2"), Seq("4")))
   }
 
+  test("exactBy keeps the best row per fingerprint under a custom policy") {
+    val df = Seq(
+      (1, "same text", 0.2), (2, "same  TEXT", 0.9), (3, "same text", 0.5),
+      (4, "other", 0.1)).toDF("doc_id", "text", "quality")
+    val out = Dedup.exactBy(df, "text",
+      Seq(org.apache.spark.sql.functions.col("quality").desc,
+        org.apache.spark.sql.functions.col("doc_id").asc))
+    assert(rowSet(out.select("doc_id")) == Set(Seq("2"), Seq("4")))
+  }
+
   test("ngram jaccard finds the near-dup pair with exact counts") {
     val out = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
     // docs 1 and 2 share 6 of their 7 3-shingles each -> J = 6/8 = 0.75;

@@ -54,6 +54,46 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows: each event lands in windowDur/slide overlapping windows") {
+    val one = Seq(Tuple2(ts("2024-01-01 00:40:00"), "click")).toDF("ts", "event_type")
+    val out = Streaming.slidingEventCounts(one, "ts", "event_type", "1 hour", "15 minutes")
+    val starts = out.collect().map(_.getLong(0)).sorted.toSeq
+    def us(s: String) = ts(s).getTime * 1000L
+    // 00:40 falls in windows starting 23:45, 00:00, 00:15, 00:30
+    assert(starts == Seq(
+      us("2023-12-31 23:45:00"), us("2024-01-01 00:00:00"),
+      us("2024-01-01 00:15:00"), us("2024-01-01 00:30:00")))
+  }
+
+  test("append mode drops events later than the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = Streaming.windowedEventCounts(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      windowDur = "1 hour", watermarkDelay = "10 minutes")
+    val q = counts.writeStream
+      .format("memory").queryName("late_test").outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:05:00"), "click"))
+      q.processAllAvailable()
+      // advance the watermark far past the [10:00, 11:00) window
+      input.addData((ts("2024-01-01 12:00:00"), "click"))
+      q.processAllAvailable()
+      // too late: watermark is 11:50, the 10:xx window is closed
+      input.addData((ts("2024-01-01 10:10:00"), "click"))
+      q.processAllAvailable()
+      // push the watermark past [12:00, 13:00) so it finalizes too
+      input.addData((ts("2024-01-01 14:00:00"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("late_test").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+      val h10 = ts("2024-01-01 10:00:00").getTime * 1000L
+      val h12 = ts("2024-01-01 12:00:00").getTime * 1000L
+      assert(rows(h10) == 1L, s"late event must not count: $rows") // not 2
+      assert(rows(h12) == 1L)
+    } finally q.stop()
+  }
+
   test("sessionize on batch: gap splits, trailing session emitted") {
     val ev = Seq(
       Streaming.UserEvent(1, ts("2024-01-01 00:00:00")),
