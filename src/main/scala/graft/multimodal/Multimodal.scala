@@ -34,9 +34,10 @@ object Multimodal {
   def withBinaryPayload(df: DataFrame, srcCol: String, binCol: String = "payload"): DataFrame =
     df.withColumn(binCol, encode(col(srcCol), "UTF-8"))
 
-  /** STUB decoder: ??? would call the real codec here. The fake is
-    * deterministic in the payload bytes so tests and oracles can predict
-    * it: width/height fold the byte length, format sniffs a magic byte.
+  /** STUB decoder (a real codec call goes here; none ships in this
+    * container). The fake is deterministic in the payload bytes so tests
+    * and oracles can predict it: width/height fold the byte length,
+    * format sniffs a magic byte.
     */
   def decodeImageStub(bytes: Array[Byte]): Row = {
     val len = bytes.length.toLong
@@ -88,7 +89,7 @@ object Multimodal {
     df.withColumn(outCol, extract(org.apache.spark.sql.functions.col(binCol)))
   }
 
-  /** STUB resize: ??? a real codec would decode, scale, re-encode; the
+  /** STUB resize: a real codec would decode, scale, and re-encode; the
     * deterministic fake truncates/zero-pads the payload to `targetBytes`
     * — the plumbing (binary in, binary out, length contract) is what
     * downstream stages depend on.

@@ -58,7 +58,7 @@ object AsOfJoin {
     val idOut = if (r.columns.contains(rightId)) rightId else rightId + suffixes._2
 
     def bucket(v: org.apache.spark.sql.Column) =
-      floor(unix_micros(v) / lit(tolUs)).cast(LongType)
+      graft.functions.LongMath.floorDiv(unix_micros(v), tolUs)
     val signedDelta = unix_micros(col(c.leftCol)) - unix_micros(col(c.rightCol))
     val inBand = direction match {
       case "nearest"  => abs(signedDelta) <= lit(tolUs)

@@ -330,73 +330,124 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Connected components over a near-dup pair list: label propagation
-    * (each node takes the min id reachable through its neighbors) until
-    * fixpoint — the step that turns pairwise similarity output into
-    * dedup CLUSTERS (a chain a~b~c is one duplicate group even when
-    * (a,c) itself is below threshold). Output: `(id, component)` for
-    * every node appearing in `pairs`, component = min id in the group.
+  /** Connected components over a near-dup pair list: each node takes the
+    * min id reachable through its neighbors, to fixpoint — the step that
+    * turns pairwise similarity output into dedup CLUSTERS (a chain a~b~c
+    * is one duplicate group even when (a,c) itself is below threshold).
+    * Output: `(id, component)` for every node appearing in `pairs`,
+    * component = min id in the group. Ids may be any orderable type
+    * (numeric, string, timestamp — the fixpoint test is a changed-label
+    * count, not an arithmetic checksum).
     *
-    * Scale shape: each iteration is one shuffled join + aggregate;
-    * convergence takes O(graph diameter) iterations and near-dup
-    * clusters are shallow. `localCheckpoint` cuts the growing lineage
-    * each round (iterative DataFrame loops otherwise re-plan the whole
-    * history). The driver-side loop only reads one Boolean per
-    * iteration (did anything change) — the data never leaves executors.
+    * Adaptive strategy, same spirit as Spark's broadcast-side pick:
+    *  - `<= localThreshold` edges (the pair list is already counted for
+    *    partition sizing): collect the EDGE LIST — never the corpus —
+    *    to the driver and run union-find, one job instead of one per
+    *    propagation round. A near-dup graph is a sliver of the corpus,
+    *    so this is the common case even at large scale, and the cap
+    *    bounds driver memory by construction.
+    *  - larger graphs: distributed label propagation, one shuffled
+    *    join + aggregate per round, with POINTER JUMPING
+    *    (`label(x) <- label(label(x))`) folded into each round so
+    *    convergence takes O(log diameter) rounds instead of
+    *    O(diameter). `localCheckpoint` cuts the growing lineage each
+    *    round; the driver reads one changed-count per round.
     */
   def connectedComponents(
-      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25,
+      localThreshold: Long = 1000000L): DataFrame = {
     // materialize the pair list ONCE before mirroring: `pairs` is
     // usually the output of an expensive similarity join, and the
     // symmetric union would otherwise re-run that subtree twice
     val p = pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))
       .localCheckpoint(true)
+    val nEdges = p.count()
+    if (nEdges <= localThreshold) return localComponents(p)
+
     val edgesRaw = p
       .union(p.select(col("__dst").as("__src"), col("__src").as("__dst")))
       .localCheckpoint(true)
-    // size the iteration to the graph, not the session default: near-dup
-    // graphs are usually a sliver of the corpus, and label propagation
-    // over a handful of rows should not pay a 32-partition shuffle per
-    // round (at 100 TB the same rule lands on many partitions)
+    // size the iteration to the graph, not the session default: label
+    // propagation over a modest pair list should not pay a 32-partition
+    // shuffle per round (at 100 TB the same rule lands on many partitions)
     val parts = math.max(1, math.min(
-      (edgesRaw.count() / 500000L).toInt,
+      (nEdges / 250000L).toInt,
       pairs.sparkSession.sparkContext.defaultParallelism))
     val edges = edgesRaw.repartition(parts, col("__dst")).localCheckpoint(true)
     var labels = edges.select(col("__src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
-    // labels only ever DECREASE under min-propagation, so an unchanged
-    // sum(component) proves the fixpoint — one cheap aggregate per
-    // iteration instead of an old-vs-new join
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .collect()(0) match {
-        case row if row.isNullAt(0) => java.math.BigDecimal.ZERO
-        case row => row.getDecimal(0)
-      }
-    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels, edges("__dst") === labels("id"))
         .groupBy(col("__src")).agg(min(col("component")).as("__nmin"))
-      val next = labels
+      val prop = labels
         .join(nbrMin, labels("id") === nbrMin("__src"), "left")
-        .select(labels("id"),
+        .select(labels("id").as("id"),
           least(col("component"), coalesce(col("__nmin"), col("component")))
-            .as("component"))
+            .as("component"),
+          (col("__nmin").isNotNull && col("__nmin") < col("component")).as("__chg"))
+      // pointer jumping: follow the new label one more hop in the same
+      // round. At neighbor-fixpoint labels are constant per component,
+      // so the jump is a no-op and the __chg-based convergence test
+      // stays sound.
+      val next = prop.as("n1")
+        .join(
+          prop.select(col("id").as("__jid"), col("component").as("__jcomp")).as("n2"),
+          col("n1.component") === col("__jid"), "left")
+        .select(col("n1.id").as("id"),
+          coalesce(col("__jcomp"), col("n1.component")).as("component"),
+          col("n1.__chg").as("__chg"))
         .localCheckpoint(true)
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
+      val chgRow = next.agg(sum(when(col("__chg"), 1L).otherwise(0L))).collect()(0)
+      converged = chgRow.isNullAt(0) || chgRow.getLong(0) == 0L
+      labels = next.drop("__chg")
       iter += 1
     }
     if (!converged)
       System.err.println(
         s"[graft] WARN: connectedComponents stopped after $maxIter iterations before fixpoint")
     labels
+  }
+
+  /** Driver-side union-find over a BOUNDED edge list (caller enforces the
+    * cap). The min-id component representative is still computed by the
+    * engine (`min` over the group), so id ordering semantics match the
+    * distributed path for every orderable type.
+    */
+  private def localComponents(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    val edgeRows = p.collect()
+    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
+    def indexOf(v: Any): Int = idx.getOrElseUpdate(v, idx.size)
+    val es = edgeRows.map(r => (indexOf(r.get(0)), indexOf(r.get(1))))
+    val parent = Array.tabulate(idx.size)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val ids = new Array[Any](idx.size)
+    idx.foreach { case (v, i) => ids(i) = v }
+    val idType = p.schema.fields(0).dataType
+    val outRows = ids.zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.Row(v, find(i))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("__g", org.apache.spark.sql.types.IntegerType)))
+    val grouped = spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows.toIndexedSeq, 1), schema)
+    val reps = grouped.groupBy(col("__g")).agg(min(col("id")).as("component"))
+    grouped.join(reps, "__g").select(col("id"), col("component"))
   }
 
   /** Exact embedding near-dup: all pairs (idA < idB) with cosine >=

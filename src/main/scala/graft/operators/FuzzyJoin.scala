@@ -6,6 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.LongMath
+
 /** Fuzzy (band / tolerance) inner join: match rows where
   * `abs(left.col - right.col) <= tol` on one numeric, timestamp, or
   * decimal column per side.
@@ -65,10 +67,30 @@ object FuzzyJoin {
     val rf = right.filter(isFiniteValue(right, cols.rightCol))
     val (l, r, c) = JoinSpec.applySuffixes(lf, rf, cols, suffixes)
 
-    def bucket(v: Column): Column = floor(v.cast(DoubleType) / lit(tol)).cast(LongType)
-    val residual =
-      abs(col(c.leftCol).cast(DoubleType) - col(c.rightCol).cast(DoubleType)) <= lit(tol)
-    bucketedJoin(l, r, bucket(col(c.leftCol)), bucket(col(c.rightCol)), residual)
+    if (isIntegral(left.schema(cols.leftCol).dataType) &&
+        isIntegral(right.schema(cols.rightCol).dataType)) {
+      // Exact integer path: DOUBLE bucketing mis-assigns buckets for
+      // |v| > 2^53 (epoch-nanos, raw long keys) — a silent false
+      // negative. For integer columns `|a - b| <= tol` is equivalent to
+      // `|a - b| <= floor(tol)`, so both the bucket (exact long
+      // floor-div) and the residual (DECIMAL(20,0) difference — no
+      // overflow for any long pair) stay in exact arithmetic.
+      val tolL = math.max(0L, math.floor(tol).toLong)
+      val w = math.max(1L, tolL)
+      def bucket(v: Column): Column = LongMath.floorDiv(v, w)
+      bucketedJoin(l, r, bucket(col(c.leftCol)), bucket(col(c.rightCol)),
+        integralResidual(col(c.leftCol), col(c.rightCol), tolL),
+        adaptiveDrift = false)
+    } else {
+      def bucket(v: Column): Column = floor(v.cast(DoubleType) / lit(tol)).cast(LongType)
+      val residual =
+        abs(col(c.leftCol).cast(DoubleType) - col(c.rightCol).cast(DoubleType)) <= lit(tol)
+      // fractional path: bucket drift from division rounding is possible
+      // once |v/tol| approaches 2^52; bucketedJoin widens the explode
+      // adaptively so those extremes stay exact too
+      bucketedJoin(l, r, bucket(col(c.leftCol)), bucket(col(c.rightCol)), residual,
+        adaptiveDrift = true)
+    }
   }
 
   /** Timestamp/date fuzzy join with a time tolerance (reference requires
@@ -101,10 +123,13 @@ object FuzzyJoin {
     val rf = widen(right, cols.rightCol).filter(col(cols.rightCol).isNotNull)
     val (l, r, c) = JoinSpec.applySuffixes(lf, rf, cols, suffixes)
 
-    def bucket(v: Column): Column = floor(unix_micros(v) / lit(tolUs)).cast(LongType)
+    // exact long floor-div on epoch micros (double division drifts once
+    // |epoch/tol| nears 2^52 — reachable with a 1 µs tolerance)
+    def bucket(v: Column): Column = LongMath.floorDiv(unix_micros(v), tolUs)
     val residual =
       abs(unix_micros(col(c.leftCol)) - unix_micros(col(c.rightCol))) <= lit(tolUs)
-    bucketedJoin(l, r, bucket(col(c.leftCol)), bucket(col(c.rightCol)), residual)
+    bucketedJoin(l, r, bucket(col(c.leftCol)), bucket(col(c.rightCol)), residual,
+      adaptiveDrift = false)
   }
 
   /** Decimal fuzzy join with exact decimal tolerance arithmetic — the
@@ -139,9 +164,15 @@ object FuzzyJoin {
     val (l, r, c) = JoinSpec.applySuffixes(lf, rf, cols, suffixes)
 
     val tolLit = lit(tol)
-    def bucket(v: Column): Column = floor(v / tolLit).cast(LongType)
+    // exact decimal bucketing: `floor(v / tol)` alone rounds the quotient
+    // to the division result scale first, which can cross an integer
+    // boundary (quotient within 5e-7 of an integer) and mis-bucket by
+    // one on each side. `(v - pmod(v, tol)) / tol` divides an exact
+    // multiple, so the quotient is an exact integer at any scale.
+    def bucket(v: Column): Column = ((v - pmod(v, tolLit)) / tolLit).cast(LongType)
     val residual = abs(col(c.leftCol) - col(c.rightCol)) <= tolLit
-    bucketedJoin(l, r, bucket(col(c.leftCol)), bucket(col(c.rightCol)), residual)
+    bucketedJoin(l, r, bucket(col(c.leftCol)), bucket(col(c.rightCol)), residual,
+      adaptiveDrift = false)
   }
 
   /** Naive form: the literal `abs(l - r) <= tol` non-equi join. Catalyst
@@ -163,8 +194,14 @@ object FuzzyJoin {
     val lf = left.filter(isFiniteValue(left, cols.leftCol))
     val rf = right.filter(isFiniteValue(right, cols.rightCol))
     val (l, r, c) = JoinSpec.applySuffixes(lf, rf, cols, suffixes)
+    // integer columns compare in exact arithmetic (mirrors [[numeric]]'s
+    // integral path, so naive ≡ bucketed holds at any long magnitude)
     val cond =
-      abs(l(c.leftCol).cast(DoubleType) - r(c.rightCol).cast(DoubleType)) <= lit(tol)
+      if (isIntegral(left.schema(cols.leftCol).dataType) &&
+          isIntegral(right.schema(cols.rightCol).dataType))
+        integralResidual(l(c.leftCol), r(c.rightCol), math.max(0L, math.floor(tol).toLong))
+      else
+        abs(l(c.leftCol).cast(DoubleType) - r(c.rightCol).cast(DoubleType)) <= lit(tol)
     l.join(r, cond, "inner")
   }
 
@@ -172,18 +209,46 @@ object FuzzyJoin {
     * its bucket ±1; the join key is a plain equi-key so Catalyst picks a
     * shuffled hash or sort-merge join (or broadcast when one side is
     * small), never a nested loop.
+    *
+    * `adaptiveDrift` (fractional path only): `floor(v / tol)` in DOUBLE
+    * can drift from the true bucket once |v / tol| approaches 2^52
+    * (division relative error ~ ulp scales with the quotient), so the
+    * explode half-width grows by `|bucket| / 2^50` — zero extra buckets
+    * for every normal input, correctness preserved at the extremes.
     */
   private def bucketedJoin(
       l: DataFrame,
       r: DataFrame,
       lBucket: Column,
       rBucket: Column,
-      residual: Column): DataFrame = {
+      residual: Column,
+      adaptiveDrift: Boolean): DataFrame = {
     val outCols = l.columns ++ r.columns
     val lb = l.withColumn(BL, lBucket)
-    val rb = r.withColumn(BR, explode(array(rBucket - 1, rBucket, rBucket + 1)))
+    val rb =
+      if (adaptiveDrift) {
+        val d = (abs(rBucket) / lit(1L << 50)).cast(LongType)
+        r.withColumn(BR,
+          explode(sequence(rBucket - lit(1L) - d, rBucket + lit(1L) + d)))
+      } else {
+        r.withColumn(BR, explode(array(rBucket - 1, rBucket, rBucket + 1)))
+      }
     lb.join(rb, col(BL) === col(BR) && residual, "inner")
       .select(outCols.map(col).toIndexedSeq: _*)
+  }
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Exact `|l - r| <= tolL` for integer columns: the difference is
+    * computed in DECIMAL(20,0) (covers the full 2^64 span — no long
+    * overflow, no double rounding above 2^53).
+    */
+  private def integralResidual(lc: Column, rc: Column, tolL: Long): Column = {
+    val dec = DecimalType(20, 0)
+    abs(lc.cast(dec) - rc.cast(dec)) <= lit(java.math.BigDecimal.valueOf(tolL))
   }
 
   /** NaN/±Inf/null are dropped before matching, as the reference does

@@ -63,9 +63,10 @@ object IntervalJoin {
     Seq(leftStart -> left, leftEnd -> left, rightStart -> right, rightEnd -> right)
       .foreach { case (c, df) => check(df, c) }
     // NTZ casts to TimestampType under the session zone (UTC for this
-    // engine) before the epoch bucketing
+    // engine) before the epoch bucketing; exact long floor-div (double
+    // division drifts once |epoch/width| nears 2^52)
     join(left, right, leftStart, leftEnd, rightStart, rightEnd, suffixes,
-      v => floor(unix_micros(v.cast(TimestampType)) / lit(w)).cast(LongType))
+      v => graft.functions.LongMath.floorDiv(unix_micros(v.cast(TimestampType)), w))
   }
 
   private val BL = "__graft_iv_bl"

@@ -37,49 +37,99 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private val BL = "__graft_fzrw_bl"
   private val BR = "__graft_fzrw_br"
 
+  /** How the rewrite buckets a given pair of side types (the types as
+    * analysis coerced them — a long column compared against a fractional
+    * column arrives here as a DOUBLE `Cast`, so each mode's bucket sees
+    * exactly the value the naive plan's residual compares):
+    *  - [[ExactLong]]: both sides integral (the condition subtracts in
+    *    64-bit integers and only casts the |diff|) — bucket in exact
+    *    long floor-division, width = ceil(tol) plus a slack covering the
+    *    |diff|→double rounding at tolerances beyond 2^53. One deliberate
+    *    non-equivalence: when `l - r` overflows (pairs >= 2^63 apart)
+    *    the non-ANSI naive plan wraps and can spuriously "match"; the
+    *    rewrite does not reproduce that artifact (ANSI mode would raise
+    *    there).
+    *  - [[DoubleBuckets]]: sides are fractional after coercion — DOUBLE
+    *    bucketing with an adaptive explode width covering division
+    *    drift once |v/tol| approaches 2^52.
+    */
+  private sealed trait BucketMode
+  private case class ExactLong(w: Long) extends BucketMode
+  private case object DoubleBuckets extends BucketMode
+
+  /** Matches the `|a - b|` shape of a band conjunct, looking through the
+    * numeric cast analysis wraps around integral `abs` results.
+    */
+  private object BandDiff {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Abs(Subtract(a, b, _), _) => Some((a, b))
+      case Cast(Abs(Subtract(a, b, _), _), _: NumericType, _, _) => Some((a, b))
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, _, Inner, Some(cond), _)
         if j.resolved && !left.output.exists(_.name == BL) =>
       findBand(splitConjunctivePredicates(cond), j) match {
-        case Some((l, r, tol)) => rewrite(j, l, r, tol)
+        case Some((l, r, tol, mode)) => rewrite(j, l, r, tol, mode)
         case None => j
       }
   }
 
   /** Locate an `abs(a - b) <= tol` conjunct with sides cleanly split
-    * across the join inputs; returns (leftExpr, rightExpr, tol).
+    * across the join inputs; returns (leftExpr, rightExpr, tol, mode).
     */
   private def findBand(
-      conjuncts: Seq[Expression], j: Join): Option[(Expression, Expression, Double)] =
+      conjuncts: Seq[Expression],
+      j: Join): Option[(Expression, Expression, Double, BucketMode)] =
     conjuncts.collectFirst(Function.unlift {
-      case LessThanOrEqual(Abs(Subtract(a, b, _), _), Literal(v, dt)) =>
+      case LessThanOrEqual(BandDiff(a, b), Literal(v, dt)) =>
         assign(a, b, v, dt, j)
-      case GreaterThanOrEqual(Literal(v, dt), Abs(Subtract(a, b, _), _)) =>
+      case GreaterThanOrEqual(Literal(v, dt), BandDiff(a, b)) =>
         assign(a, b, v, dt, j)
       case _ => None
     })
 
   private def assign(
       a: Expression, b: Expression, v: Any, dt: DataType,
-      j: Join): Option[(Expression, Expression, Double)] =
+      j: Join): Option[(Expression, Expression, Double, BucketMode)] =
     for {
       tol <- literalToDouble(v, dt) if tol > 0
       sides <-
         if (fromSide(a, j.left) && fromSide(b, j.right)) Some((a, b))
         else if (fromSide(b, j.left) && fromSide(a, j.right)) Some((b, a))
         else None
-      if bucketable(sides._1.dataType) && bucketable(sides._2.dataType)
-    } yield (sides._1, sides._2, tol)
+      mode <- bucketMode(sides._1.dataType, sides._2.dataType, tol)
+    } yield (sides._1, sides._2, tol, mode)
 
   private def fromSide(e: Expression, side: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(side.outputSet)
 
-  /** Types whose values bucket exactly through a DOUBLE division. */
-  private def bucketable(dt: DataType): Boolean = dt match {
-    case _: DecimalType => false
-    case _: NumericType => true
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   }
+
+  /** Slack on the exact-long bucket width: the naive plan computes the
+    * integer |l - r| exactly and then casts it for the comparison, so a
+    * matching pair can exceed ceil(tol) only by the |diff|→double
+    * rounding error at tolerances beyond 2^53 (<= 2048 with a 2x
+    * margin here). Costs nothing at normal tolerances.
+    */
+  private val LongCastSlack = 4096L
+
+  private def bucketMode(l: DataType, r: DataType, tol: Double): Option[BucketMode] =
+    (l, r) match {
+      case (_: DecimalType, _) | (_, _: DecimalType) => None
+      case (a, b) if isIntegral(a) && isIntegral(b) =>
+        // ceil(tol) + slack must not overflow
+        if (tol < (1L << 60).toDouble)
+          Some(ExactLong(math.max(1L, math.ceil(tol).toLong) + LongCastSlack))
+        else None
+      case (_: NumericType, _: NumericType) => Some(DoubleBuckets)
+      case _ => None
+    }
 
   private def literalToDouble(v: Any, dt: DataType): Option[Double] = (v, dt) match {
     case (null, _) => None
@@ -90,16 +140,33 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def rewrite(
-      j: Join, l: Expression, r: Expression, tol: Double): LogicalPlan = {
-    def bucket(e: Expression): Expression =
-      Cast(Floor(Divide(Cast(e, DoubleType), Literal(tol))), LongType)
+      j: Join, l: Expression, r: Expression, tol: Double,
+      mode: BucketMode): LogicalPlan = {
+    def bucket(e: Expression): Expression = mode match {
+      case ExactLong(w) =>
+        graft.functions.LongMath.floorDivExpr(Cast(e, LongType), w)
+      case DoubleBuckets =>
+        Cast(Floor(Divide(Cast(e, DoubleType), Literal(tol))), LongType)
+    }
     val blAlias = Alias(bucket(l), BL)()
     val left2 = Project(j.left.output :+ blAlias, j.left)
     val br = bucket(r)
+    val candidates: Expression = mode match {
+      case ExactLong(_) =>
+        CreateArray(Seq(Subtract(br, Literal(1L)), br, Add(br, Literal(1L))))
+      case DoubleBuckets =>
+        // adaptive drift width (see FuzzyJoin.bucketedJoin): 0 extra
+        // buckets below |bucket| = 2^50, grows with division drift above
+        val d = Cast(
+          Divide(Abs(Cast(br, DoubleType)), Literal((1L << 50).toDouble)),
+          LongType)
+        val half = Add(Literal(1L), d)
+        new Sequence(Subtract(br, half), Add(br, half), None)
+          .withTimeZone(conf.sessionLocalTimeZone)
+    }
     val brAttr = AttributeReference(BR, LongType, nullable = true)()
     val gen = Generate(
-      Explode(CreateArray(Seq(
-        Subtract(br, Literal(1L)), br, Add(br, Literal(1L))))),
+      Explode(candidates),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(brAttr), child = j.right)
     val newCond = And(EqualTo(blAlias.toAttribute, brAttr), j.condition.get)

@@ -109,7 +109,11 @@ object Streaming {
           open match {
             case null => open = OpenSession(t, t, 1)
             case o if t - o.lastUs <= gapUs =>
-              open = OpenSession(o.startUs, math.max(o.lastUs, t), o.n + 1)
+              // min() on the start too: a late-but-within-watermark event
+              // from an earlier micro-batch can precede the open
+              // session's first event; batch mode sorts the whole group
+              // so only streaming sees this
+              open = OpenSession(math.min(o.startUs, t), math.max(o.lastUs, t), o.n + 1)
             case o =>
               closed += Session(userId, o.startUs, o.lastUs, o.n)
               open = OpenSession(t, t, 1)
@@ -167,8 +171,8 @@ object Streaming {
     val r = if (right.isStreaming) right.withWatermark(rightTs, watermarkDelay) else right
     val iv = expr(s"INTERVAL $tolUs MICROSECONDS")
     val lb = l.withColumn("__graft_sbl",
-      floor(unix_micros(col(leftTs)) / lit(tolUs)))
-    val rBucket = floor(unix_micros(col(rightTs)) / lit(tolUs))
+      graft.functions.LongMath.floorDiv(unix_micros(col(leftTs)), tolUs))
+    val rBucket = graft.functions.LongMath.floorDiv(unix_micros(col(rightTs)), tolUs)
     val rb = r.withColumn("__graft_sbr",
       explode(array(rBucket - 1, rBucket, rBucket + 1)))
     lb.join(rb,

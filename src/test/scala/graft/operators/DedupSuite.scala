@@ -127,9 +127,34 @@ class DedupSuite extends SparkSpec {
 
   test("connected components converge on a long chain (diameter > 2)") {
     val pairs = (0 until 15).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val out = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    // localThreshold = 0 forces the distributed label-propagation path
+    val out = Dedup.connectedComponents(pairs, "doc_a", "doc_b", localThreshold = 0)
     assert(out.select("component").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
     assert(out.count() == 16)
+  }
+
+  test("distributed propagation handles STRING ids (type-agnostic fixpoint)") {
+    // round-2 ADVICE: the old DECIMAL-cast label checksum was null for
+    // non-numeric ids, so any chain longer than 2 'converged' after one
+    // round with wrong components
+    val pairs = (0 until 12).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs, "doc_a", "doc_b", localThreshold = 0)
+    val comp = out.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp.size == 13)
+    assert(comp.values.toSet == Set("n00"))
+  }
+
+  test("local union-find and distributed propagation agree on a random graph") {
+    val rnd = new scala.util.Random(3)
+    val pairs = (0 until 80).map(_ => (rnd.nextInt(50), rnd.nextInt(50)))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val dist = Dedup.connectedComponents(pairs, "doc_a", "doc_b", localThreshold = 0)
+    assertSameRows(
+      local.orderBy("id").select("id", "component"),
+      dist.orderBy("id").select("id", "component"))
   }
 
   test("embedding near-dup: brute force finds the close pair with true cosine") {

@@ -83,6 +83,38 @@ class FuzzyJoinRewriteSuite extends SparkSpec {
     }
   }
 
+  test("bigint band joins rewrite through exact long buckets (values above 2^53)") {
+    val base = Long.MaxValue - 100000L
+    val lb = Seq((1, base), (2, base + 3000L), (3, base + 50000L)).toDF("lid", "v")
+    val rb = Seq((10, base + 1000L), (20, base + 3500L), (30, base + 49000L)).toDF("rid", "w")
+    // ground truth = the naive nested-loop plan (the rewrite's contract
+    // is exact equivalence with it, double coercion and all)
+    val naive = rowSet(
+      lb.join(rb, abs(col("v") - col("w")) <= lit(1500.0)).select("lid", "rid"))
+    withRule {
+      val rw = lb.join(rb, abs(col("v") - col("w")) <= lit(1500.0))
+      val plan = rw.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+      assert(rowSet(rw.select("lid", "rid")) == naive)
+    }
+  }
+
+  test("long-vs-fractional band joins rewrite on the COERCED value, drift-widened") {
+    // analysis casts the long side to double, so the bucket and the
+    // residual both see the coerced value; the adaptive explode width
+    // covers division drift at |v/tol| >> 2^50 (buckets here are ~9e17)
+    val lb = Seq((1, Long.MaxValue - 5000L), (2, 1000L)).toDF("lid", "v")
+    val rb = Seq((10, (Long.MaxValue - 5000L).toDouble), (20, 990.5)).toDF("rid", "w")
+    val naive = rowSet(
+      lb.join(rb, abs(col("v") - col("w")) <= lit(10.0)).select("lid", "rid"))
+    withRule {
+      val rw = lb.join(rb, abs(col("v") - col("w")) <= lit(10.0))
+      val plan = rw.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+      assert(rowSet(rw.select("lid", "rid")) == naive)
+    }
+  }
+
   test("GraftExtensions wires the rule and graft_dot into a fresh session") {
     val orig = spark
     SparkSession.clearActiveSession()
