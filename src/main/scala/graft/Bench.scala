@@ -14,7 +14,8 @@ object Bench {
     */
   private val headline = Seq(
     "fuzzy_join_acctbal", "fuzzy_join_ts", "fuzzy_join_decimal",
-    "ineq_join_acctbal", "ineq_join_dates", "interval_join_orders",
+    "ineq_join_acctbal", "ineq_join_dates", "ineq_join_shuffled",
+    "interval_join_orders",
     "theta_join_mod", "asof_join_events",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_embedding", "ann_topk",
@@ -30,6 +31,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -106,6 +106,22 @@ object SparkEntry {
         .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"),
           to_date(col("o_orderdate")).as("o_date"), to_date(col("l_shipdate")).as("l_date"))
     }),
+    "ineq_join_shuffled" -> ((s, dir) => {
+      // large x large range join: a dedicated child session disables
+      // broadcasting entirely, so (with GraftExtensions on) the
+      // shuffled IEJoin-style exec must carry the join — the round-2
+      // verdict's top scale gap, now oracle-checked
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = t(s2, dir, "orders").filter(
+        col("o_orderdate") >= to_timestamp(lit("2001-07-01")) &&
+          col("o_orderdate") < to_timestamp(lit("2001-07-08")))
+      val li = t(s2, dir, "lineitem").filter(
+        col("l_shipdate") >= to_timestamp(lit("2001-06-25")) &&
+          col("l_shipdate") < to_timestamp(lit("2001-07-10")))
+      IneqJoin(o, li, how = "<", leftOn = Some("o_orderdate"), rightOn = Some("l_shipdate"))
+        .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
     "ineq_join_str" -> ((s, dir) => {
       IneqJoin(t(s, dir, "nation"), t(s, dir, "region"), how = "<",
           leftOn = Some("n_name"), rightOn = Some("r_name"))
@@ -465,6 +481,12 @@ object SparkEntry {
           |FROM orders, lineitem
           |WHERE o_orderdate >= TIMESTAMP '2001-06-15'
           |  AND l_shipdate >= TIMESTAMP '2001-06-01' AND l_shipdate < TIMESTAMP '2001-07-15'
+          |  AND o_orderdate < l_shipdate""".stripMargin,
+      "ineq_join_shuffled" ->
+        """SELECT o_orderkey, l_orderkey, l_linenumber
+          |FROM orders, lineitem
+          |WHERE o_orderdate >= TIMESTAMP '2001-07-01' AND o_orderdate < TIMESTAMP '2001-07-08'
+          |  AND l_shipdate >= TIMESTAMP '2001-06-25' AND l_shipdate < TIMESTAMP '2001-07-10'
           |  AND o_orderdate < l_shipdate""".stripMargin,
       "ineq_join_str" ->
         """SELECT n_nationkey, n_name, r_regionkey, r_name

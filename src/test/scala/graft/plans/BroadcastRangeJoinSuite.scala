@@ -128,6 +128,98 @@ class BroadcastRangeJoinSuite extends SparkSpec {
     }
   }
 
+  test("non-broadcastable right side plans as ShuffledRangeJoinExec") {
+    withStrategy { s =>
+      import s.implicits._
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val l = (0 until 100).map(i => (i, i * 1.0)).toDF("lid", "a")
+        val r = (0 until 50).map(i => (i, i * 2.0)).toDF("rid", "b")
+        val j = l.join(r, col("a") < col("b"))
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("ShuffledRangeJoin"), plan.take(600))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("shuffled range join matches the nested-loop results for all operators") {
+    val rnd = new scala.util.Random(33)
+    val ldata = (0 until 90).map(i => (i, rnd.nextDouble() * 100))
+    val rdata = (0 until 70).map(i => (i, rnd.nextDouble() * 100))
+    val expected = {
+      val l = ldata.toDF("lid", "a")
+      val r = rdata.toDF("rid", "b")
+      Seq("<", "<=", ">=", ">").map { op =>
+        op -> rowSet(l.join(r, condOf(op)).select("lid", "rid"))
+      }.toMap
+    }
+    withStrategy { s =>
+      import s.implicits._
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val l = ldata.toDF("lid", "a")
+        val r = rdata.toDF("rid", "b")
+        for ((op, want) <- expected) {
+          val j = l.join(r, condOf(op))
+          assert(j.queryExecution.executedPlan.toString.contains("ShuffledRangeJoin"))
+          assert(rowSet(j.select("lid", "rid")) == want, s"op $op")
+        }
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("shuffled range join: residuals, null keys, string keys, duplicates") {
+    withStrategy { s =>
+      import s.implicits._
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val l = Seq((1, Some("aa")), (2, Some("mm")), (3, None), (4, Some("aa")))
+          .toDF("lid", "k")
+        val r = Seq((10, Some("bb"), 1), (20, Some("zz"), 0), (30, None, 1))
+          .toDF("rid", "k2", "keep")
+        val j = l.join(r, col("k") < col("k2") && col("keep") === 1)
+        assert(j.queryExecution.executedPlan.toString.contains("ShuffledRangeJoin"))
+        // duplicates expand, nulls drop, residual keeps only rid=10
+        assert(rowSet(j.select("lid", "rid")) ==
+          Set(Seq("1", "10"), Seq("4", "10")))
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("small LEFT side broadcasts swapped (no shuffle, original column order)") {
+    withStrategy { s =>
+      import s.implicits._
+      // leave the threshold at default: both sides are tiny, but the
+      // strategy prefers broadcast-right; force the left-swap arm by
+      // making only the right side exceed the threshold
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "2048")
+        val l = Seq((1, 10), (2, 20)).toDF("lid", "a") // tiny
+        val r = (0 until 2000).map(i => (i, i % 40, f"pad$i%06d" * 4)).toDF("rid", "b", "pad")
+        val j = l.join(r, col("a") < col("b"))
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastRangeJoin"), plan.take(800))
+        assert(j.columns.toSeq == Seq("lid", "a", "rid", "b", "pad"))
+        val expected = (for {
+          (lid, a) <- Seq((1, 10), (2, 20)); i <- 0 until 2000; if a < i % 40
+        } yield Seq(lid.toString, i.toString)).toSet
+        assert(rowSet(j.select("lid", "rid")) == expected)
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  private def condOf(op: String): org.apache.spark.sql.Column = op match {
+    case "<" => col("a") < col("b")
+    case "<=" => col("a") <= col("b")
+    case ">=" => col("a") >= col("b")
+    case ">" => col("a") > col("b")
+  }
+
   test("IneqJoin operator rides the custom exec under the extension") {
     withStrategy { s =>
       import s.implicits._
