@@ -236,16 +236,38 @@ object SparkEntry {
         n = 3, threshold = 0.6)
       Dedup.connectedComponents(pairs, "doc_a", "doc_b")
     }),
-    "dedup_simhash" -> ((s, dir) => { // approximate blocking — rows-only check
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 7)
+    "dedup_simhash" -> ((s, dir) => {
+      // blocking-completeness self-check (the reference's
+      // cross-implementation-oracle idea, test/test_ops.py:37-48): the
+      // pigeonhole-blocked pair set must EQUAL the naive all-pairs
+      // Hamming join, so the query outputs their symmetric difference
+      // and the DuckDB oracle is the empty relation. The pairs
+      // themselves are simhashPairs' normal output (spec-tested).
+      val d = t(s, dir, "documents")
+      val blocked = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 7)
+      val naive = Dedup.simhashPairsNaive(d, "doc_id", "text", maxHamming = 7)
+      blocked.exceptAll(naive).withColumn("src", lit("blocked_only"))
+        .unionByName(naive.exceptAll(blocked).withColumn("src", lit("exact_only")))
     }),
     "dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
-    "dedup_embedding_lsh" -> ((s, dir) => { // approximate — rows-only check
-      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      // LSH-vs-exact recall summary: n_exact is SQL-derivable (the
+      // dedup_embedding oracle), n_lsh / n_lsh_in_exact are the
+      // deterministic LSH outcome on the gate dataset (seedless
+      // hyperplanes), pinned as oracle constants. n_lsh_in_exact ==
+      // n_lsh also proves zero false positives (exact verification).
+      val e = t(s, dir, "embeddings")
+      val exact = Dedup.embeddingNearDup(e, "vec_id", "embedding", 0.45)
+        .select("id_a", "id_b")
+      val lsh = Dedup.embeddingNearDupLsh(e, "vec_id", "embedding", 0.45)
+        .select("id_a", "id_b")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(lsh.join(exact, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("n_lsh_in_exact")))
     }),
     // ---- similarity search ------------------------------------------------
     "ann_topk" -> ((s, dir) => {
@@ -253,15 +275,22 @@ object SparkEntry {
       SimilaritySearch.bruteForceTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
     }),
-    "ann_topk_lsh" -> ((s, dir) => { // approximate recall — rows-only check
+    "ann_topk_lsh" -> ((s, dir) => {
+      // recall@5 of LSH vs the exact scan, emitted as the result so the
+      // gate checks it: n_queries is SQL-derivable, n_results/recall are
+      // the deterministic outcome on the gate dataset (oracle constants)
       val e = t(s, dir, "embeddings")
-      SimilaritySearch.lshTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+      val q = e.filter(col("vec_id") < 20)
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.lshTopK(q, e, "vec_id", "embedding", k = 5),
+        SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
     }),
-    "ann_topk_ivf" -> ((s, dir) => { // approximate recall — rows-only check
+    "ann_topk_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      SimilaritySearch.ivfTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+      val q = e.filter(col("vec_id") < 20)
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.ivfTopK(q, e, "vec_id", "embedding", k = 5),
+        SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
     }),
     // ---- text analysis ----------------------------------------------------
     "text_stats" -> ((s, dir) => {
@@ -312,11 +341,16 @@ object SparkEntry {
       exact.join(drops, exact("doc_id") === col("__dropid"), "left_anti")
         .select(col("doc_id"), q4(col("__q")).as("quality"))
     }),
-    "source_similarity" -> ((s, dir) => { // signature-based — rows-only check
+    "source_similarity" -> ((s, dir) => {
       import s.implicits._
       // one MinHash signature per SOURCE (group-level aggregator: only
       // k-long buffers cross the shuffle), then pairwise estimated
-      // Jaccard between whole sub-corpora without any cross join of docs
+      // Jaccard between whole sub-corpora without any cross join of
+      // docs. The gate-checkable output: the TRUE source-level Jaccard
+      // (SQL-derivable, computed here from the exact shingle sets) plus
+      // a flag that the signature estimate landed within the 3-sigma
+      // band of the k=128 estimator — the oracle emits TRUE for every
+      // pair, so one out-of-band estimate fails the hash.
       val d = t(s, dir, "documents")
         .select(col("source"), TextFunctions.shingles(col("text"), 3).as("sh"))
       val sigs = d.as[(String, Seq[String])]
@@ -325,9 +359,27 @@ object SparkEntry {
         .toDF("source", "sig")
       val est = udf((a: Seq[Long], b: Seq[Long]) =>
         graft.functions.MinHashAggregator.estimateJaccard(a, b))
-      sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+      val pairsEst = sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
         .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
-          round(est(col("a.sig"), col("b.sig")), 4).as("est_jaccard"))
+          est(col("a.sig"), col("b.sig")).as("__est"))
+      val sets = d.select(col("source"), explode(col("sh")).as("s")).distinct()
+      val sizes = sets.groupBy("source").agg(count(lit(1)).as("__n"))
+      val inter = sets.as("x")
+        .join(sets.as("y"), col("x.s") === col("y.s") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+        .agg(count(lit(1)).as("__i"))
+      // 3σ of the MinHash estimator: sqrt(j(1-j)/128) <= 0.0442
+      val bound = 3.0 * 0.0442
+      pairsEst
+        .join(inter, Seq("source_a", "source_b"), "left")
+        .join(sizes.select(col("source").as("source_a"), col("__n").as("__na")), "source_a")
+        .join(sizes.select(col("source").as("source_b"), col("__n").as("__nb")), "source_b")
+        .withColumn("__i0", coalesce(col("__i"), lit(0L)))
+        .withColumn("__true",
+          col("__i0").cast(DoubleType) / (col("__na") + col("__nb") - col("__i0")))
+        .select(col("source_a"), col("source_b"),
+          q4(col("__true")).as("true_jaccard"),
+          (abs(col("__est") - col("__true")) <= lit(bound)).as("est_within_bound"))
     }),
     // ---- multimodal plumbing (decode is a deterministic stub) -------------
     "multimodal_features" -> ((s, dir) => { // stub features -> ANN; rows-only
@@ -635,6 +687,46 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
           |  FROM sc)
           |SELECT query_id, neighbor_id, round(cos, 4) AS cosine FROM r WHERE rn <= 5""".stripMargin),
+      // Approximate-operator gate checks. The approximate outcome values
+      // (n_results / recall / n_lsh) are deterministic on the gate
+      // dataset — seedless hashes, no RNG — and are pinned as constants
+      // measured at sf0.01; the exact-side values (n_queries, n_exact,
+      // true_jaccard) are computed by DuckDB from the tables.
+      "ann_topk_lsh" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(0.68 AS DOUBLE) AS recall""".stripMargin,
+      "ann_topk_ivf" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(0.62 AS DOUBLE) AS recall""".stripMargin,
+      "dedup_simhash" ->
+        """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+          |       CAST(NULL AS INT) AS hamming, CAST(NULL AS VARCHAR) AS src
+          |WHERE false""".stripMargin,
+      "dedup_embedding_lsh" -> (embUnnest +
+        """, d AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dp
+          |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+          |  GROUP BY 1, 2),
+          |x AS (
+          |  SELECT count(*) AS n_exact FROM d
+          |  JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
+          |  WHERE dp / (na.n * nb.n) >= 0.45)
+          |SELECT n_exact, CAST(13 AS BIGINT) AS n_lsh,
+          |       CAST(13 AS BIGINT) AS n_lsh_in_exact FROM x""".stripMargin),
+      "source_similarity" -> (shinglesBase.stripSuffix(",\n") + """,
+        |ss AS (SELECT DISTINCT d.source, s.shingle
+        |       FROM sh s JOIN documents d ON d.doc_id = s.doc_id),
+        |scnt AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+        |prs AS (SELECT a.source AS source_a, b.source AS source_b, a.n AS na, b.n AS nb
+        |        FROM scnt a JOIN scnt b ON a.source < b.source),
+        |sinter AS (SELECT x.source AS source_a, y.source AS source_b, count(*) AS i
+        |           FROM ss x JOIN ss y ON x.shingle = y.shingle AND x.source < y.source
+        |           GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b,
+        |       floor((coalesce(i, 0) * 1.0 / (p.na + p.nb - coalesce(i, 0))) * 10000) / 10000
+        |         AS true_jaccard,
+        |       TRUE AS est_within_bound
+        |FROM prs p LEFT JOIN sinter USING (source_a, source_b)""".stripMargin),
       "text_stats" ->
         (s"""WITH tok AS ($tok),
            |agg AS (SELECT doc_id, count(*) AS n_tokens,

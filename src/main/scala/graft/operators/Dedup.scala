@@ -330,6 +330,23 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Naive all-pairs Hamming join over the SimHash signatures — the
+    * O(n²) cross-implementation oracle for [[simhashPairs]] (whose
+    * pigeonhole blocking must be exactly equivalent). Only the 8-byte
+    * signatures cross the join, but the pair count is inherently
+    * quadratic: this is for verification harnesses, not production.
+    */
+  def simhashPairsNaive(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 7): DataFrame = {
+    val sig = withSimhash(df.select(col(idCol).as("__id"), col(textCol)), textCol)
+      .select(col("__id"), col("simhash"))
+    sig.as("a").join(sig.as("b"), col("a.__id") < col("b.__id"))
+      .select(
+        col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over a near-dup pair list: each node takes the
     * min id reachable through its neighbors, to fixpoint — the step that
     * turns pairwise similarity output into dedup CLUSTERS (a chain a~b~c

@@ -131,6 +131,31 @@ object SimilaritySearch {
       .drop("__rn")
   }
 
+  /** Micro-averaged recall of an approximate top-k result against the
+    * exact one — the cross-implementation-oracle idea the reference's
+    * tests use (test/test_ops.py:37-48), emitted AS the query output so
+    * the driver's DuckDB gate can check the approximate operators too:
+    * `(n_queries, n_results, recall)`, one row. Recall is
+    * sum(hits)/sum(k) over integer counts (micro-average), so the value
+    * is deterministic — no float summation-order wobble — and the gate
+    * oracle can pin it.
+    */
+  def recallSummary(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select("query_id", "neighbor_id")
+    val e = exact.select("query_id", "neighbor_id")
+    val hits = a.join(e, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+    val totals = e.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("__k_total"))
+    val nApprox = a.agg(count(lit(1)).as("n_results"))
+    totals.crossJoin(nApprox).crossJoin(hits)
+      .select(
+        col("n_queries"), col("n_results"),
+        (floor(col("__hits").cast("double") / col("__k_total") * 10000) / 10000)
+          .as("recall"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH banding (deterministic
     * hyperplanes from SplitMix64, same family as
     * [[Dedup.embeddingNearDupLsh]]). Exact rescoring on candidates, so
