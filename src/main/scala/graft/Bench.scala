@@ -16,7 +16,7 @@ object Bench {
     "fuzzy_join_acctbal", "fuzzy_join_ts", "fuzzy_join_decimal",
     "ineq_join_acctbal", "ineq_join_dates", "ineq_join_shuffled",
     "interval_join_orders",
-    "theta_join_mod", "asof_join_events",
+    "theta_join_mod", "asof_join_events", "asof_join_unbounded",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_embedding", "ann_topk",
     "text_quality", "doc_fingerprint", "agg_pricing",

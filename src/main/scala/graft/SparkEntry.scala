@@ -161,6 +161,21 @@ object SparkEntry {
         .select(col("click_id"), col("view_id"),
           abs(unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("delta_us"))
     }),
+    "asof_join_unbounded" -> ((s, dir) => {
+      // merge_asof shape: no tolerance, nearest preceding view per click
+      // (sort-based plan — the band-bucket rewrite cannot express tol=∞)
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      // one view per timestamp (max id) so the as-of pick is well-defined
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("ts").as("view_ts")).agg(max(col("event_id")).as("view_id"))
+      AsOfJoin.unbounded(clicks, views, rightId = "view_id",
+          leftOn = Some("click_ts"), rightOn = Some("view_ts"))
+        .select(col("click_id"), col("view_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("view_ts")).as("view_us"))
+    }),
     // ---- interval (range-overlap) join ------------------------------------
     "interval_join_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -559,6 +574,13 @@ object SparkEntry {
           |                  row_number() OVER (PARTITION BY cid ORDER BY abs(cus - vus), vus, vid) AS rn
           |           FROM c, v WHERE abs(cus - vus) <= 120000000)
           |SELECT cid AS click_id, vid AS view_id, d AS delta_us FROM j WHERE rn = 1""".stripMargin,
+      "asof_join_unbounded" ->
+        """WITH c AS (SELECT event_id AS click_id, epoch_us(ts) AS click_us
+          |           FROM events WHERE event_type = 'click'),
+          |     v AS (SELECT epoch_us(ts) AS view_us, max(event_id) AS view_id
+          |           FROM events WHERE event_type = 'view' GROUP BY 1)
+          |SELECT c.click_id, v.view_id, c.click_us, v.view_us
+          |FROM c ASOF JOIN v ON c.click_us >= v.view_us""".stripMargin,
       "interval_join_orders" ->
         """SELECT o_orderkey, l_orderkey, l_linenumber
           |FROM orders, lineitem

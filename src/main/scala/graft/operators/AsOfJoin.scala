@@ -2,10 +2,10 @@ package graft.operators
 
 import java.time.Duration
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** As-of join: for every left row, the single nearest right row on a
   * timestamp column, within an optional tolerance. A natural extension of
@@ -81,5 +81,114 @@ object AsOfJoin {
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
       .select(outCols: _*)
+  }
+
+  /** Unbounded as-of join — the `merge_asof` production shape: for every
+    * left row, the single nearest PRECEDING (`direction = "backward"`,
+    * `r.ts <= l.ts`) or FOLLOWING (`"forward"`, `r.ts >= l.ts`) right
+    * row, with NO tolerance window. The band-bucket rewrite cannot
+    * express tol = ∞, so this is a sort-based plan instead:
+    *
+    *  1. union both sides tagged, range-repartition on the join column —
+    *     the engine's scalable global sort primitive (sampled bounds);
+    *  2. per partition, one running-window pass carries the latest
+    *     right-row payload onto each left row (right rows order before
+    *     left rows at equal timestamps, so the bound is inclusive);
+    *  3. a partition-level carry fixes the boundary: the extreme right
+    *     row of each partition (one row per partition) is cumulated
+    *     across the partition sequence, so a left row whose match lives
+    *     in an earlier (later, for forward) partition still finds it.
+    *
+    * No shuffle moves more than the data once; the carry frame is one
+    * row per partition. Ties on the timestamp break to the LARGEST
+    * `rightId` for backward and the SMALLEST for forward
+    * (deterministic). Inner semantics: left rows with no match drop.
+    */
+  def unbounded(
+      left: DataFrame,
+      right: DataFrame,
+      rightId: String,
+      on: Option[String] = None,
+      leftOn: Option[String] = None,
+      rightOn: Option[String] = None,
+      direction: String = "backward",
+      suffixes: (String, String) = ("_x", "_y")): DataFrame = {
+    require(Set("backward", "forward")(direction),
+      s"direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
+    val cols = JoinSpec.resolve(on, leftOn, rightOn)
+    JoinSpec.requireColumn(left, cols.leftCol, "left")
+    JoinSpec.requireColumn(right, cols.rightCol, "right")
+    JoinSpec.requireColumn(right, rightId, "right")
+    val lf = left.filter(col(cols.leftCol).isNotNull)
+    val rf = right.filter(col(cols.rightCol).isNotNull)
+    val (l, r, c) = JoinSpec.applySuffixes(lf, rf, cols, suffixes)
+    val idOut = if (r.columns.contains(rightId)) rightId else rightId + suffixes._2
+    require(l.schema(c.leftCol).dataType == r.schema(c.rightCol).dataType,
+      s"as-of join columns must share a type, got " +
+        s"${l.schema(c.leftCol).dataType} vs ${r.schema(c.rightCol).dataType}")
+
+    val TS = "__graft_uasof_ts"
+    val TAG = "__graft_uasof_tag"
+    val TIE = "__graft_uasof_tie"
+    val LROW = "__graft_uasof_l"
+    val RROW = "__graft_uasof_r"
+    val PID = "__graft_uasof_pid"
+    val lType = StructType(l.schema.fields)
+    val rType = StructType(r.schema.fields)
+    val tieType = r.schema(idOut).dataType
+
+    val lT = l.select(
+      col(c.leftCol).as(TS), lit(1).as(TAG), lit(null).cast(tieType).as(TIE),
+      struct(l.columns.map(col).toIndexedSeq: _*).as(LROW),
+      lit(null).cast(rType).as(RROW))
+    val rT = r.select(
+      col(c.rightCol).as(TS), lit(0).as(TAG), col(idOut).as(TIE),
+      lit(null).cast(lType).as(LROW),
+      struct(r.columns.map(col).toIndexedSeq: _*).as(RROW))
+    val p = left.sparkSession.sessionState.conf.numShufflePartitions
+    // spark_partition_id is nondeterministic, so the projection stays
+    // pinned above the range exchange (and AQE only merges ADJACENT
+    // range partitions, which keeps pid order aligned with ts order).
+    // MATERIALIZE once: the frame feeds three subtrees (window, carry,
+    // pid list), and each re-execution would re-sample the range bounds
+    // and renumber pids — the carry join would then mix two different
+    // partitionings. One pass over the data, same trade as any sort
+    // materialization.
+    val parted = lT.unionByName(rT)
+      .repartitionByRange(p, col(TS), col(TAG))
+      .withColumn(PID, spark_partition_id())
+      .localCheckpoint(true)
+
+    val wOrd: Seq[Column] =
+      if (backward) Seq(col(TS).asc, col(TAG).asc, col(TIE).asc)
+      else Seq(col(TS).desc, col(TAG).asc, col(TIE).desc)
+    val w = Window.partitionBy(col(PID)).orderBy(wOrd: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = parted.withColumn("__graft_within",
+      last(col(RROW), ignoreNulls = true).over(w))
+
+    // one extreme right row per partition, cumulated across partitions
+    val ext =
+      if (backward) max_by(col(RROW), struct(col(TS), col(TIE)))
+      else min_by(col(RROW), struct(col(TS), col(TIE)))
+    val perPart = parted.filter(col(TAG) === 0)
+      .groupBy(col(PID)).agg(ext.as("__graft_ext"))
+    val wc = Window
+      .orderBy(if (backward) col(PID).asc else col(PID).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = parted.select(col(PID)).distinct()
+      .join(perPart, Seq(PID), "left")
+      .withColumn("__graft_carry", last(col("__graft_ext"), ignoreNulls = true).over(wc))
+      .select(col(PID), col("__graft_carry"))
+
+    val matched = withIn.join(broadcast(carry), Seq(PID), "left")
+      .withColumn("__graft_match",
+        coalesce(col("__graft_within"), col("__graft_carry")))
+      .filter(col(TAG) === 1 && col("__graft_match").isNotNull)
+    val outCols =
+      l.columns.map(n => col(s"$LROW.`$n`").as(n)) ++
+        r.columns.map(n => col(s"__graft_match.`$n`").as(n))
+    matched.select(outCols.toIndexedSeq: _*)
   }
 }

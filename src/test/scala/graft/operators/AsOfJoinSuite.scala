@@ -75,4 +75,76 @@ class AsOfJoinSuite extends SparkSpec {
         leftOn = Some("cts"), rightOn = Some("vts"), direction = "sideways")
     }
   }
+
+  // ---- unbounded (merge_asof shape) ----------------------------------
+
+  private def unboundedExpected(
+      ls: Seq[(Int, Int)], rs: Seq[(Int, Int)], backward: Boolean): Set[Seq[String]] =
+    ls.flatMap { case (lid, v) =>
+      val cand =
+        if (backward) rs.filter(_._2 <= v) else rs.filter(_._2 >= v)
+      if (cand.isEmpty) None
+      else {
+        val bestW = if (backward) cand.map(_._2).max else cand.map(_._2).min
+        val ties = cand.filter(_._2 == bestW).map(_._1)
+        // ts tie: backward keeps the LARGEST rightId, forward the smallest
+        val rid = if (backward) ties.max else ties.min
+        Some(Seq(lid.toString, rid.toString))
+      }
+    }.toSet
+
+  test("unbounded backward: latest right at-or-before each left row, across partitions") {
+    val rnd = new scala.util.Random(11)
+    val ls = (0 until 60).map(i => (i, rnd.nextInt(1000)))
+    val rs = (0 until 25).map(i => (1000 + i, rnd.nextInt(1000)))
+    val out = AsOfJoin.unbounded(
+      ls.toDF("lid", "v"), rs.toDF("rid", "w"), rightId = "rid",
+      leftOn = Some("v"), rightOn = Some("w"))
+    assert(rowSet(out.select("lid", "rid")) == unboundedExpected(ls, rs, backward = true))
+  }
+
+  test("unbounded forward: earliest right at-or-after, min-id tie break") {
+    val ls = Seq((1, 10), (2, 55), (3, 97), (4, 200))
+    val rs = Seq((10, 50), (11, 50), (12, 98))
+    val out = AsOfJoin.unbounded(
+      ls.toDF("lid", "v"), rs.toDF("rid", "w"), rightId = "rid",
+      leftOn = Some("v"), rightOn = Some("w"), direction = "forward")
+    // lid 4 has no following right row -> dropped (inner)
+    assert(rowSet(out.select("lid", "rid")) ==
+      Set(Seq("1", "10"), Seq("2", "12"), Seq("3", "12")))
+  }
+
+  test("unbounded: equal timestamps are inclusive, backward tie keeps max id") {
+    val ls = Seq((1, 50))
+    val rs = Seq((10, 50), (11, 50), (12, 40))
+    val out = AsOfJoin.unbounded(
+      ls.toDF("lid", "v"), rs.toDF("rid", "w"), rightId = "rid",
+      leftOn = Some("v"), rightOn = Some("w"))
+    assert(rowSet(out.select("lid", "rid")) == Set(Seq("1", "11")))
+  }
+
+  test("unbounded: carry crosses partitions when all rights precede all lefts") {
+    // rights cluster at tiny values, lefts at large — with 4 shuffle
+    // partitions the match for every left row lives in an earlier range
+    // partition, so only the carry can supply it
+    val rs = (0 until 8).map(i => (100 + i, i))
+    val ls = (0 until 40).map(i => (i, 10000 + i))
+    val out = AsOfJoin.unbounded(
+      ls.toDF("lid", "v"), rs.toDF("rid", "w"), rightId = "rid",
+      leftOn = Some("v"), rightOn = Some("w"))
+    assert(out.count() == 40)
+    // every left matches the globally-latest right (rid 107, w=7)
+    assert(out.select("rid").distinct().collect().map(_.getInt(0)).toSeq == Seq(107))
+  }
+
+  test("unbounded: timestamps work end to end (type-generic join column)") {
+    val ls = Seq((1, Timestamp.valueOf("2024-01-01 10:00:30")),
+      (2, Timestamp.valueOf("2024-01-01 09:00:00"))).toDF("lid", "cts")
+    val rs = Seq((10, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (11, Timestamp.valueOf("2024-01-01 09:30:00"))).toDF("rid", "vts")
+    val out = AsOfJoin.unbounded(ls, rs, rightId = "rid",
+      leftOn = Some("cts"), rightOn = Some("vts"))
+    // click at 09:00 precedes every view -> dropped
+    assert(rowSet(out.select("lid", "rid")) == Set(Seq("1", "10")))
+  }
 }
