@@ -348,7 +348,10 @@ object SparkEntry {
       // quality/langId/fingerprint chain ~4x (in production this is
       // the point where the cleaned corpus is written back to parquet)
       val exact = Dedup.exact(filtered, "text", "doc_id").localCheckpoint(true)
-      val pairs = Dedup.ngramJaccard(exact, "doc_id", "text", n = 3, threshold = 0.6)
+      // adaptive: probes posting-list skew and swaps in the prefix-filter
+      // variant when boilerplate-style hot shingles would blow up the
+      // plain inverted index (crossover measured in tools/PrefixBench)
+      val pairs = Dedup.ngramJaccardAuto(exact, "doc_id", "text", n = 3, threshold = 0.6)
         .select("doc_a", "doc_b")
       val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       val drops = comps.filter(col("id") =!= col("component"))

@@ -144,6 +144,42 @@ object Dedup {
       .select("doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard")
   }
 
+  /** Adaptive set-similarity self-join: probes the corpus for hot
+    * shingles and picks [[ngramJaccard]] (plain inverted index — wins
+    * when posting lists are short) or [[ngramJaccardPrefix]] (prefix
+    * filter — wins once a posting list passes the quadratic-blowup
+    * knee). The two variants are output-identical (DedupSuite), so the
+    * choice is purely physical — the same adaptive spirit as AQE's
+    * join-strategy replanning, done at operator level because the knee
+    * depends on data Spark's stats don't model (co-occurrence skew).
+    *
+    * The probe hash-samples `probeFraction` of the docs (deterministic
+    * md5 buckets), counts shingle frequencies, and scales the hottest
+    * posting list back up. NOTE the probe is an EAGER job at call time
+    * (like IneqJoin's range pruning): two small scans buy the right
+    * plan for the dominant join. `hotPostingCutoff` comes from the
+    * measured crossover in tools/PrefixBench (see PLANS.md).
+    */
+  def ngramJaccardAuto(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6,
+      probeFraction: Double = 0.02, hotPostingCutoff: Long = 2000L): DataFrame = {
+    val sample = Sampling.hashSample(
+      df.select(col(idCol).as("__id"), col(textCol).as("__t")), "__id", probeFraction)
+    val maxPosting = sample
+      .select(explode(TextFunctions.shingles(col("__t"), n)).as("__s"))
+      .groupBy(xxhash64(col("__s"))).agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c"))).collect()(0) match {
+        case row if row.isNullAt(0) => 0L
+        case row => row.getLong(0)
+      }
+    val estHottest = (maxPosting / probeFraction).toLong
+    if (estHottest > hotPostingCutoff)
+      ngramJaccardPrefix(df, idCol, textCol, n, threshold)
+    else
+      ngramJaccard(df, idCol, textCol, n, threshold)
+  }
+
   /** Cross-corpus set-similarity join: pairs `(left id, right id)` whose
     * shingle Jaccard is >= `threshold`, between two different tables
     * (the two-sided generalization of the self-join [[ngramJaccard]];

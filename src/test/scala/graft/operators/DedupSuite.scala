@@ -81,6 +81,25 @@ class DedupSuite extends SparkSpec {
     }
   }
 
+  test("ngramJaccardAuto picks by posting-list skew, output identical either way") {
+    val rnd = new scala.util.Random(5)
+    def words(n: Int) = (0 until n).map(_ => f"w${rnd.nextInt(400)}%03d").mkString(" ")
+    // hot corpus: every doc shares a boilerplate prefix -> hottest
+    // posting list == corpus size
+    val hot = (0 until 40).map(i => (i, s"terms of service apply here ${words(8)}"))
+      .toDF("doc_id", "text")
+    val plainOut = Dedup.ngramJaccard(hot, "doc_id", "text", 3, 0.6)
+      .select("doc_a", "doc_b")
+    // probeFraction 1.0: deterministic full probe on the tiny fixture;
+    // cutoff 20 forces the prefix arm, cutoff 1000 the inverted arm
+    val viaPrefix = Dedup.ngramJaccardAuto(hot, "doc_id", "text", 3, 0.6,
+      probeFraction = 1.0, hotPostingCutoff = 20).select("doc_a", "doc_b")
+    val viaPlain = Dedup.ngramJaccardAuto(hot, "doc_id", "text", 3, 0.6,
+      probeFraction = 1.0, hotPostingCutoff = 1000).select("doc_a", "doc_b")
+    assert(rowSet(viaPrefix) == rowSet(plainOut))
+    assert(rowSet(viaPlain) == rowSet(plainOut))
+  }
+
   test("minhash bands must divide numHashes") {
     intercept[IllegalArgumentException] {
       Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 100, bands = 32)
