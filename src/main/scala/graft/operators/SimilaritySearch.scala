@@ -23,14 +23,38 @@ import graft.functions.VectorFunctions
   */
 object SimilaritySearch {
 
+  /** True when the query side's estimated size exceeds the session
+    * broadcast threshold — the foot-gun guard for [[bruteForceTopK]],
+    * which broadcasts the query set with a non-equi condition.
+    */
+  def querySideOversized(queries: DataFrame): Boolean = {
+    val conf = queries.sparkSession.sessionState.conf
+    conf.autoBroadcastJoinThreshold > 0 &&
+      queries.queryExecution.optimizedPlan.stats.sizeInBytes >
+        BigInt(conf.autoBroadcastJoinThreshold)
+  }
+
   /** Exact top-k neighbors per query by cosine. `queries`/`corpus` carry
     * `(idCol, vecCol)`. Output: `(query_id, neighbor_id, cosine)`,
     * `k` rows per query, self-matches excluded, deterministic tie-break
     * (higher cosine first, then smaller neighbor id).
+    *
+    * The plan broadcasts the QUERY side and scans the corpus exactly
+    * once, so it is sized for `|queries| <<` broadcast threshold. A
+    * larger query set still computes correctly but ships the whole set
+    * to every corpus partition — the call warns ([[querySideOversized]])
+    * and the caller should switch to [[lshTopK]] (or join per-batch).
+    * Exactness is never silently traded for speed: the auto-route is
+    * the caller's decision.
     */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    if (querySideOversized(queries))
+      System.err.println(
+        "[graft] WARN: bruteForceTopK query side exceeds the broadcast " +
+          "threshold; every corpus partition receives the full query set. " +
+          "Consider lshTopK (approximate) or batching the queries.")
     val q = queries.select(
       col(idCol).as("query_id"),
       VectorFunctions.asDouble(col(vecCol)).as("__qv"),

@@ -90,4 +90,17 @@ class SimilaritySearchSuite extends SparkSpec {
     }
     assert(lshAll.nonEmpty)
   }
+
+  test("oversized-query-side guard trips on the threshold, results stay exact") {
+    val vecs = (0 until 50).map(i => (i, Array.fill(8)(i * 0.1 + 1.0))).toDF("id", "emb")
+    assert(!SimilaritySearch.querySideOversized(vecs.limit(2)))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+      assert(SimilaritySearch.querySideOversized(vecs))
+      // the guard warns but never silently swaps in an approximation
+      val out = SimilaritySearch.bruteForceTopK(vecs.limit(3), vecs, "id", "emb", k = 2)
+      assert(out.count() == 6)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
