@@ -43,6 +43,15 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else if (name == "documents" || name == "embeddings") {
+      // the driver testdata ships each table as ONE parquet row group,
+      // so a scan is a single split no matter what maxPartitionBytes
+      // says — and these two tables feed CPU-heavy per-row work
+      // (shingling, quality regexes, vector kernels) that would all run
+      // on one core. One tiny shuffle spreads the rows; a production
+      // table has many files/row groups and never needs this.
+      s.read.parquet(s"$dir/$name.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** Flagship: fuzzy band join on account balances (reference operator

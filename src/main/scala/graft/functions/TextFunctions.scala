@@ -94,15 +94,43 @@ object TextFunctions {
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on", "with", "as")
 
+  private val EnglishStopwordSet: Set[String] = EnglishStopwords.toSet
+
   /** Composite quality score in [0, 1]: long-enough docs with a healthy
     * stopword ratio and low punctuation noise score high. Deterministic
     * arithmetic only — reproducible across engines for the oracle.
+    *
+    * One imperative pass (same justification as [[shingles]], measured in
+    * tools/BenchRepro): the expression form re-splits the text for the
+    * token count and the stopword filter, and the higher-order `filter`
+    * is interpreted — ~4 passes over every document, ~5x this UDF. The
+    * arithmetic below is ORDERED IDENTICALLY to the DuckDB oracle SQL,
+    * so the doubles are bit-equal.
     */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
-    val stopScore = least(stopwordRatio(text, EnglishStopwords) * lit(5.0), lit(1.0))
-    val punctPenalty = least(punctRatio(text) * lit(5.0), lit(1.0))
-    lenScore * lit(0.5) + stopScore * lit(0.3) + (lit(1.0) - punctPenalty) * lit(0.2)
+  def qualityScore(text: Column): Column = qualityUdf(text)
+
+  private val qualityUdf = udf { text: String =>
+    if (text == null) 0.0
+    else {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length
+      var sw = 0
+      toks.foreach { t => if (EnglishStopwordSet.contains(t.toLowerCase)) sw += 1 }
+      var punct = 0
+      var i = 0
+      while (i < text.length) {
+        (text.charAt(i): @annotation.switch) match {
+          case '.' | ',' | '!' | '?' | ';' | ':' => punct += 1
+          case _ => ()
+        }
+        i += 1
+      }
+      val lenScore = math.min(n / 50.0, 1.0)
+      val stopScore = if (n == 0) 0.0 else math.min(sw.toDouble / n * 5.0, 1.0)
+      val punctPenalty =
+        if (text.isEmpty) 0.0 else math.min(punct.toDouble / text.length * 5.0, 1.0)
+      lenScore * 0.5 + stopScore * 0.3 + (1.0 - punctPenalty) * 0.2
+    }
   }
 
   /** Language-ID heuristic: score = marker-token hits per language; the
@@ -111,26 +139,56 @@ object TextFunctions {
     * An n-gram/marker heuristic, not a model — by design (no model deps
     * in a pure-SQL pipeline); precision is what a prefilter needs.
     */
-  def langId(text: Column): Column = {
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "a", "and", "of", "to", "is"),
-      "es" -> Seq("el", "la", "los", "de", "que", "y"),
-      "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
-      "fr" -> Seq("le", "la", "les", "et", "est", "que"))
-    val t = tokens(lower(text))
-    def score(words: Seq[String]): Column = {
-      val set = array(words.map(lit): _*)
-      size(filter(t, w => array_contains(set, w)))
+  def langId(text: Column): Column = langIdUdf(text)
+
+  private val LangMarkers: Array[(String, Set[String])] = Array(
+    "en" -> Set("the", "a", "and", "of", "to", "is"),
+    "es" -> Set("el", "la", "los", "de", "que", "y"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Set("le", "la", "les", "et", "est", "que"))
+
+  /** One imperative pass (same justification as [[qualityScore]]): the
+    * expression form ran four interpreted higher-order `filter`s over a
+    * re-split token array, each duplicated by the greatest/when chains.
+    * Semantics unchanged: marker-token hits per language, best score
+    * wins, ties break en > es > de > fr, CJK short-circuits on
+    * Unicode-script ratio > 0.3.
+    */
+  private val langIdUdf = udf { text: String =>
+    if (text == null) "und"
+    else {
+      var cjk = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (c >= '一' && c <= '鿿') cjk += 1
+        i += 1
+      }
+      // denominator in CODE POINTS: Spark's length() and the oracle's
+      // length() count characters, not UTF-16 units
+      val nChars = text.codePointCount(0, text.length)
+      if (nChars > 0 && cjk.toDouble / nChars > 0.3) "zh"
+      else {
+        val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        val scores = new Array[Int](LangMarkers.length)
+        toks.foreach { t =>
+          var j = 0
+          while (j < LangMarkers.length) {
+            if (LangMarkers(j)._2.contains(t)) scores(j) += 1
+            j += 1
+          }
+        }
+        var best = 0
+        var bestIdx = -1
+        var j = 0
+        while (j < scores.length) {
+          // strict > keeps the FIRST language on ties: en > es > de > fr
+          if (scores(j) > best) { best = scores(j); bestIdx = j }
+          j += 1
+        }
+        if (bestIdx < 0) "und" else LangMarkers(bestIdx)._1
+      }
     }
-    val cjkRatio =
-      when(length(text) === 0, lit(0.0)).otherwise(
-        length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("double") / length(text))
-    val scored = markers.map { case (lang, ws) => (lang, score(ws)) }
-    val best = scored.tail.foldLeft(scored.head._2)((m, s) => greatest(m, s._2))
-    val pick = scored.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    when(cjkRatio > lit(0.3), lit("zh")).otherwise(pick)
   }
 
   /** Document fingerprint: MD5 of whitespace-normalized, lower-cased

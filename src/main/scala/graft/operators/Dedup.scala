@@ -81,8 +81,12 @@ object Dedup {
     val tok = sh.select(col("__id"), explode(col("__sh")).as("__s"))
       .select(col("__id"), xxhash64(col("__s")).as("__h"))
     val counts = sh.select(col("__id"), size(col("__sh")).as("__n"))
+    // shuffle-hash instead of sort-merge: the posting join's value is in
+    // the per-key expansion, not ordering — two full sorts of the
+    // exploded token table would dominate the stage
     val inter = tok.as("a")
-      .join(tok.as("b"), col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+      .join(tok.hint("shuffle_hash").as("b"),
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .agg(count(lit(1)).as("intersection"))
     inter
@@ -127,7 +131,8 @@ object Dedup {
       .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
     val cands = prefix.as("a")
-      .join(prefix.as("b"), col("a.__s") === col("b.__s") && col("a.__id") < col("b.__id"))
+      .join(prefix.hint("shuffle_hash").as("b"),
+        col("a.__s") === col("b.__s") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cands
@@ -198,7 +203,7 @@ object Dedup {
     val rb = prep(right, rightId, rightText)
     val ltok = la.select(col("__id").as("__ida"), explode(col("__sh")).as("__s"))
     val rtok = rb.select(col("__id").as("__idb"), explode(col("__sh")).as("__s"))
-    val inter = ltok.join(rtok, "__s")
+    val inter = ltok.join(rtok.hint("shuffle_hash"), "__s")
       .groupBy(col("__ida").as("id_left"), col("__idb").as("id_right"))
       .agg(count(lit(1)).as("intersection"))
     inter
@@ -281,7 +286,7 @@ object Dedup {
       array_position(zip_with(col("a.__bks"), col("b.__bks"), (x, y) => x === y),
         true) - 1
     val cands = banded.as("a")
-      .join(banded.as("b"),
+      .join(banded.hint("shuffle_hash").as("b"),
         col("a.__band") === col("b.__band") && col("a.__bh") === col("b.__bh") &&
           col("a.__id") < col("b.__id") && col("a.__band") === firstShared)
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
