@@ -220,6 +220,14 @@ object SparkEntry {
           unix_micros(col("click_ts")).as("click_us"),
           unix_micros(col("view_ts")).as("view_us"))
     }),
+    "stream_dedup_events" -> ((s, dir) => {
+      // batch run of the stream dedup operator (stream behavior proven
+      // over MemoryStream in StreamingSuite); duplicates share every
+      // output column except ts, which is dropped for determinism
+      Streaming.exactDedup(t(s, dir, "events"),
+          Seq("user_id", "event_type", "props"), "ts")
+        .select("fingerprint", "user_id", "event_type")
+    }),
     "sessionize_events" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events")
@@ -409,12 +417,15 @@ object SparkEntry {
           (abs(col("__est") - col("__true")) <= lit(bound)).as("est_within_bound"))
     }),
     // ---- multimodal plumbing (decode is a deterministic stub) -------------
-    "multimodal_features" -> ((s, dir) => { // stub features -> ANN; rows-only
+    "multimodal_features" -> ((s, dir) => {
+      // stub features -> ANN. The byte-histogram stub IS SQL-expressible
+      // (hex(encode(text)) exposes the payload bytes to DuckDB), so even
+      // the multimodal plumbing query gets a full hash oracle.
       val feats = Multimodal.featureStub(
         Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"), "payload")
       SimilaritySearch.bruteForceTopK(
           feats.filter(col("doc_id") < 10), feats, "doc_id", "features", k = 3)
-        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+        .select(col("query_id"), col("neighbor_id"), q4(col("cosine")).as("cosine"))
     }),
     "multimodal_meta" -> ((s, dir) => {
       val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
@@ -620,6 +631,13 @@ object SparkEntry {
           |           CAST(floor(epoch_us(ts) / 900000000) AS BIGINT))) AS ws
           |  FROM events)
           |GROUP BY 1, 2""".stripMargin,
+      "stream_dedup_events" ->
+        """SELECT DISTINCT
+          |  md5(lower(regexp_replace(trim(concat_ws(chr(1),
+          |    CAST(user_id AS VARCHAR), event_type, props)), '\s+', ' ', 'g')))
+          |    AS fingerprint,
+          |  user_id, event_type
+          |FROM events""".stripMargin,
       "sessionize_events" ->
         """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
           |m AS (SELECT user_id, us,
@@ -871,6 +889,31 @@ object SparkEntry {
           |SELECT e.doc_id, floor(e.q * 10000) / 10000 AS quality
           |FROM exact e LEFT JOIN comp ON comp.id = e.doc_id
           |WHERE comp.id IS NULL OR comp.component = e.doc_id""".stripMargin,
+      "multimodal_features" ->
+        """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+          |ix AS (SELECT doc_id, h, unnest(range(1, length(h) // 2 + 1)) AS i FROM hx),
+          |byt AS (SELECT doc_id,
+          |          CAST(('0x' || substr(h, CAST(2 * i - 1 AS BIGINT), 2)) AS INT) % 16 AS bin
+          |        FROM ix),
+          |hist AS (SELECT doc_id, bin, count(*) AS c FROM byt GROUP BY 1, 2),
+          |nrm AS (SELECT doc_id, sqrt(sum(CAST(c AS DOUBLE) * CAST(c AS DOUBLE))) AS n
+          |        FROM hist GROUP BY doc_id),
+          |feat AS (SELECT h.doc_id, bin, CAST(CAST(c AS DOUBLE) / n AS FLOAT) AS f
+          |         FROM hist h JOIN nrm USING (doc_id)),
+          |fn AS (SELECT doc_id, sqrt(sum(CAST(f AS DOUBLE) * CAST(f AS DOUBLE))) AS fn
+          |       FROM feat GROUP BY doc_id),
+          |d AS (SELECT q.doc_id AS qid, c.doc_id AS nid,
+          |             sum(CAST(q.f AS DOUBLE) * CAST(c.f AS DOUBLE)) AS dp
+          |      FROM feat q JOIN feat c USING (bin)
+          |      WHERE q.doc_id < 10 AND q.doc_id <> c.doc_id GROUP BY 1, 2),
+          |sc AS (SELECT qid, nid, dp / (a.fn * b.fn) AS cos
+          |       FROM d JOIN fn a ON a.doc_id = qid JOIN fn b ON b.doc_id = nid),
+          |r AS (SELECT qid, nid, cos,
+          |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+          |      FROM sc)
+          |SELECT qid AS query_id, nid AS neighbor_id,
+          |       floor(cos * 10000) / 10000 AS cosine
+          |FROM r WHERE rn <= 3""".stripMargin,
       "multimodal_meta" ->
         """SELECT doc_id,
           |  CAST(strlen(text) % 640 + 1 AS INT) AS width,

@@ -183,6 +183,37 @@ object Streaming {
       .drop("__graft_sbl", "__graft_sbr")
   }
 
+  /** Batch/stream-unified EXACT dedup on a composite key: one row per
+    * fingerprint (md5 of the normalized, -joined key columns —
+    * the same engine-portable fingerprint the batch Dedup uses). On a
+    * batch frame this is a plain distinct; on a stream it is the
+    * state-store dedup operator, and `boundState = true` (default)
+    * uses `dropDuplicatesWithinWatermark` so a 100 TB/day stream keeps
+    * only watermark-horizon state — the standard trade: a duplicate
+    * arriving later than the watermark delay is re-emitted, exactly the
+    * contract of within-watermark dedup.
+    *
+    * Output = fingerprint + the key columns + `tsCol` (the event-time
+    * column must survive for the stream's watermark; duplicates agree
+    * on every column EXCEPT possibly `tsCol`, so drop it downstream
+    * when a fully deterministic projection is needed).
+    */
+  def exactDedup(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermarkDelay: String = "10 minutes",
+      boundState: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val marked = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
+    val fp = graft.functions.TextFunctions.fingerprint(
+      concat_ws("", keyCols.map(c => col(c).cast("string")): _*))
+    val keyed = marked.select(
+      (fp.as("fingerprint") +: keyCols.map(col)) :+ col(tsCol): _*)
+    if (df.isStreaming && boundState) keyed.dropDuplicatesWithinWatermark("fingerprint")
+    else keyed.dropDuplicates("fingerprint")
+  }
+
   /** File-source stream over a directory of parquet drops — the
     * production shape (`readStream` on an arrival directory). Schema must
     * be fixed up front (streaming sources cannot infer).

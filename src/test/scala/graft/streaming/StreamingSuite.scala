@@ -214,6 +214,37 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactDedup on a stream drops cross-batch duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val deduped = Streaming.exactDedup(
+      in.toDF().toDF("user_id", "payload", "ts"),
+      Seq("user_id", "payload"), "ts", watermarkDelay = "10 minutes")
+    val q = deduped.selectExpr("user_id", "payload").writeStream
+      .format("memory").queryName("sdd_test").outputMode("append").start()
+    try {
+      in.addData((1L, "a", ts("2024-01-01 00:00:00")), (2L, "b", ts("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      // same keys again in a LATER micro-batch, within the watermark
+      in.addData((1L, "a", ts("2024-01-01 00:01:00")), (3L, "c", ts("2024-01-01 00:01:30")))
+      q.processAllAvailable()
+      val got = spark.table("sdd_test").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  test("exactDedup batch form equals a plain distinct on the key projection") {
+    val df = Seq(
+      (1L, "x", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, "x", Timestamp.valueOf("2024-01-01 01:00:00")), // dup, later ts
+      (2L, "x", Timestamp.valueOf("2024-01-01 02:00:00")))
+      .toDF("user_id", "payload", "ts")
+    val out = Streaming.exactDedup(df, Seq("user_id", "payload"), "ts")
+      .select("user_id", "payload")
+    assert(rowSet(out) == Set(Seq("1", "x"), Seq("2", "x")))
+  }
+
   test("parquetStream reads a drop directory with the batch schema") {
     val dir = new java.io.File("target/test-tmp/stream-drop")
     dir.mkdirs()
