@@ -488,6 +488,50 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("n_rows"), col("sum_qty"))
     }),
+    "cube_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_rows"), col("sum_qty"))
+    }),
+    "pivot_returns" -> ((s, dir) => {
+      // pivot: one column per return flag, rows per line status
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType))
+        .select(col("l_linestatus"),
+          coalesce(col("A"), lit(0.0)).as("qty_a"),
+          coalesce(col("N"), lit(0.0)).as("qty_n"),
+          coalesce(col("R"), lit(0.0)).as("qty_r"))
+    }),
+    "window_running_revenue" -> ((s, dir) => {
+      // running per-customer revenue: frame-based window (rows unbounded
+      // preceding), deterministic order via the unique order key
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("running_revenue"))
+    }),
+    "salted_join_orders" -> ((s, dir) => {
+      // hot-key scatter: the salted join must equal the plain equi-join
+      // (oracle); the salt spreads a skewed build key over `salt`
+      // sub-partitions at the cost of exploding the dimension side
+      Relational.saltedEquiJoin(
+          t(s, dir, "orders"), t(s, dir, "customer"),
+          "o_custkey", "c_custkey", salt = 8)
+        .select("o_orderkey", "o_custkey", "c_nationkey")
+    }),
     "mem_estimate" -> ((s, dir) => {
       import s.implicits._
       // O4 (_estimate_mem_cost_cartesian, pandance/pandance.py:894-917)
@@ -664,6 +708,30 @@ object SparkEntry {
           |       count(*) AS n_rows,
           |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+      "cube_pricing" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          |       coalesce(l_linestatus, 'ALL') AS linestatus,
+          |       count(*) AS n_rows,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+      "pivot_returns" ->
+        """SELECT l_linestatus,
+          |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'A'
+          |       THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_a,
+          |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'N'
+          |       THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_n,
+          |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'R'
+          |       THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_r
+          |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+      "window_running_revenue" ->
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
+          |FROM orders WHERE o_custkey < 100""".stripMargin,
+      "salted_join_orders" ->
+        """SELECT o_orderkey, o_custkey, c_nationkey
+          |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
       "mem_estimate" ->
         """SELECT ((SELECT count(*) FROM customer) * (SELECT count(*) FROM supplier)
           |        * 16) // 1048576 AS est_mib""".stripMargin,
