@@ -34,6 +34,37 @@ private[plans] object RangeProbe {
     arr
   }
 
+  /** Flat emit loop for one probe row's contiguous match run: a single
+    * hand-rolled iterator instead of range/map/filter/map chains — the
+    * output of an inequality join is the dominant cost, so per-row
+    * iterator overhead is the throughput knob.
+    */
+  def emitRun(
+      lrow: InternalRow,
+      sorted: Array[(Any, InternalRow)],
+      start: Int,
+      end: Int,
+      joined: JoinedRow,
+      residual: Option[Expression],
+      toUnsafe: UnsafeProjection): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      private var j = start
+      private var ready: InternalRow = _
+      private def advance(): Unit =
+        while (ready == null && j < end) {
+          val r = joined(lrow, sorted(j)._2)
+          j += 1
+          if (residual.isEmpty || residual.get.eval(r) == true) ready = r
+        }
+      override def hasNext: Boolean = { advance(); ready != null }
+      override def next(): InternalRow = {
+        advance()
+        val r = ready
+        ready = null
+        toUnsafe(r)
+      }
+    }
+
   /** [start, end) of rows in `sorted` matching `v OP key`. */
   def matchRange(
       sorted: Array[(Any, InternalRow)],
@@ -110,10 +141,7 @@ case class BroadcastRangeJoinExec(
         if (v == null) Iterator.empty
         else {
           val (start, end) = RangeProbe.matchRange(sorted, v, opLocal, keyOrdering)
-          Iterator.range(start, end).map { j =>
-            joined(lrow, sorted(j)._2)
-          }.filter(r => boundResidual.forall(_.eval(r) == true))
-            .map(toUnsafe)
+          RangeProbe.emitRun(lrow, sorted, start, end, joined, boundResidual, toUnsafe)
         }
       }
     }
@@ -213,10 +241,7 @@ case class ShuffledRangeJoinExec(
       else lIter.flatMap { lrow =>
         val v = boundLeftKey.eval(lrow)
         val (start, end) = RangeProbe.matchRange(sorted, v, opLocal, keyOrdering)
-        Iterator.range(start, end).map { j =>
-          joined(lrow, sorted(j)._2)
-        }.filter(r => boundResidual.forall(_.eval(r) == true))
-          .map(toUnsafe)
+        RangeProbe.emitRun(lrow, sorted, start, end, joined, boundResidual, toUnsafe)
       }
     }
   }
