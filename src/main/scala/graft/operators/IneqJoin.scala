@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
   *    without running the join at all (O(n+m) instead of O(n·m)).
   *
   * The two extreme aggregates are tiny all-to-one jobs (partial
-  * aggregation map-side, single row shuffled). `prune = false` skips them
-  * for pipelines where inputs are known to interleave.
+  * aggregation map-side, single row shuffled). NOTE: with the default
+  * `prune = true` they run EAGERLY when this function is called — a
+  * deliberate laziness break (two small jobs buy an asymptotic rewrite
+  * of the join), same trade as Dedup.ngramJaccardAuto's probe. Pass
+  * `prune = false` for fully lazy plan construction or when inputs are
+  * known to interleave.
   */
 object IneqJoin {
 

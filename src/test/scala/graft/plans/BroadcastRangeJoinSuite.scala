@@ -190,6 +190,26 @@ class BroadcastRangeJoinSuite extends SparkSpec {
     }
   }
 
+  test("shuffled range join stays correct under heavy duplicate keys (skew)") {
+    // range partitioning cannot split equal keys — a hot key lands in
+    // one partition; slower, but every pair must still appear exactly once
+    val ldata = (0 until 200).map(i => (i, if (i % 2 == 0) 50.0 else i.toDouble))
+    val rdata = (0 until 100).map(i => (i, if (i % 3 == 0) 50.0 else i * 2.0))
+    val expected = (for {
+      (lid, a) <- ldata; (rid, b) <- rdata; if a < b
+    } yield Seq(lid.toString, rid.toString)).toSet
+    withStrategy { s =>
+      import s.implicits._
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = ldata.toDF("lid", "a").join(rdata.toDF("rid", "b"), col("a") < col("b"))
+        assert(j.queryExecution.executedPlan.toString.contains("ShuffledRangeJoin"))
+        assert(rowSet(j.select("lid", "rid")) == expected)
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("small LEFT side broadcasts swapped (no shuffle, original column order)") {
     withStrategy { s =>
       import s.implicits._
