@@ -678,7 +678,9 @@ object SparkEntry {
       "stream_dedup_events" ->
         """SELECT DISTINCT
           |  md5(lower(regexp_replace(trim(concat_ws(chr(1),
-          |    CAST(user_id AS VARCHAR), event_type, props)), '\s+', ' ', 'g')))
+          |    coalesce(CAST(user_id AS VARCHAR), chr(2) || 'NULL'),
+          |    coalesce(event_type, chr(2) || 'NULL'),
+          |    coalesce(props, chr(2) || 'NULL'))), '\s+', ' ', 'g')))
           |    AS fingerprint,
           |  user_id, event_type
           |FROM events""".stripMargin,

@@ -110,12 +110,14 @@ object TextFunctions {
   def qualityScore(text: Column): Column = qualityUdf(text)
 
   private val qualityUdf = udf { text: String =>
-    if (text == null) 0.0
+    if (text == null) null
     else {
       val toks = text.trim.split("\\s+").filter(_.nonEmpty)
       val n = toks.length
       var sw = 0
-      toks.foreach { t => if (EnglishStopwordSet.contains(t.toLowerCase)) sw += 1 }
+      toks.foreach { t =>
+        if (EnglishStopwordSet.contains(t.toLowerCase(java.util.Locale.ROOT))) sw += 1
+      }
       var punct = 0
       var i = 0
       while (i < text.length) {
@@ -125,11 +127,15 @@ object TextFunctions {
         }
         i += 1
       }
+      // ratio denominator in CODE POINTS — Spark's length() and the
+      // oracle's length() count characters, not UTF-16 units
+      val nChars = text.codePointCount(0, text.length)
       val lenScore = math.min(n / 50.0, 1.0)
       val stopScore = if (n == 0) 0.0 else math.min(sw.toDouble / n * 5.0, 1.0)
       val punctPenalty =
-        if (text.isEmpty) 0.0 else math.min(punct.toDouble / text.length * 5.0, 1.0)
-      lenScore * 0.5 + stopScore * 0.3 + (1.0 - punctPenalty) * 0.2
+        if (nChars == 0) 0.0 else math.min(punct.toDouble / nChars * 5.0, 1.0)
+      java.lang.Double.valueOf(
+        lenScore * 0.5 + stopScore * 0.3 + (1.0 - punctPenalty) * 0.2)
     }
   }
 
@@ -169,7 +175,7 @@ object TextFunctions {
       val nChars = text.codePointCount(0, text.length)
       if (nChars > 0 && cjk.toDouble / nChars > 0.3) "zh"
       else {
-        val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        val toks = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
         val scores = new Array[Int](LangMarkers.length)
         toks.foreach { t =>
           var j = 0

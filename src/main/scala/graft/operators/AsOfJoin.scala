@@ -150,13 +150,17 @@ object AsOfJoin {
     // spark_partition_id is nondeterministic, so the projection stays
     // pinned above the range exchange (and AQE only merges ADJACENT
     // range partitions, which keeps pid order aligned with ts order).
+    // Range-partition on TS ALONE: equal timestamps must co-locate
+    // regardless of side, or a boundary between right rows and left
+    // rows at the same timestamp would hide the equal-ts match from the
+    // forward window (the carry only covers strictly later partitions).
     // MATERIALIZE once: the frame feeds three subtrees (window, carry,
     // pid list), and each re-execution would re-sample the range bounds
     // and renumber pids — the carry join would then mix two different
     // partitionings. One pass over the data, same trade as any sort
     // materialization.
     val parted = lT.unionByName(rT)
-      .repartitionByRange(p, col(TS), col(TAG))
+      .repartitionByRange(p, col(TS))
       .withColumn(PID, spark_partition_id())
       .localCheckpoint(true)
 

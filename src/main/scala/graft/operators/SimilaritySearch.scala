@@ -29,9 +29,13 @@ object SimilaritySearch {
     */
   def querySideOversized(queries: DataFrame): Boolean = {
     val conf = queries.sparkSession.sessionState.conf
-    conf.autoBroadcastJoinThreshold > 0 &&
-      queries.queryExecution.optimizedPlan.stats.sizeInBytes >
-        BigInt(conf.autoBroadcastJoinThreshold)
+    // threshold <= 0 means the user disabled broadcasting entirely —
+    // the strongest signal they fear large broadcasts, so fall back to
+    // the stock 10 MB default as the warn cap instead of going silent
+    val cap =
+      if (conf.autoBroadcastJoinThreshold > 0) conf.autoBroadcastJoinThreshold
+      else 10L << 20
+    queries.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(cap)
   }
 
   /** Exact top-k neighbors per query by cosine. `queries`/`corpus` carry
@@ -165,8 +169,10 @@ object SimilaritySearch {
     * oracle can pin it.
     */
   def recallSummary(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val a = approx.select("query_id", "neighbor_id")
-    val e = exact.select("query_id", "neighbor_id")
+    // both inputs feed two aggregate subtrees each; materialize the key
+    // pairs once so the expensive ANN plans don't execute twice
+    val a = approx.select("query_id", "neighbor_id").localCheckpoint(true)
+    val e = exact.select("query_id", "neighbor_id").localCheckpoint(true)
     val hits = a.join(e, Seq("query_id", "neighbor_id"), "left_semi")
       .agg(count(lit(1)).as("__hits"))
     val totals = e.agg(

@@ -108,11 +108,18 @@ object Streaming {
         ts.foreach { t =>
           open match {
             case null => open = OpenSession(t, t, 1)
+            case o if t < o.startUs - gapUs =>
+              // late-but-within-watermark event from an earlier
+              // micro-batch, more than a gap BEFORE the open session:
+              // a separate earlier session. Emit it closed immediately
+              // (bounded state keeps one open session per user; batch
+              // mode sorts the group and never takes this branch)
+              closed += Session(userId, t, t, 1)
             case o if t - o.lastUs <= gapUs =>
-              // min() on the start too: a late-but-within-watermark event
-              // from an earlier micro-batch can precede the open
-              // session's first event; batch mode sorts the whole group
-              // so only streaming sees this
+              // within a gap of the open session on either side: merge,
+              // extending the start backwards for late out-of-order
+              // events (batch mode sorts, so only streaming sees t <
+              // startUs here)
               open = OpenSession(math.min(o.startUs, t), math.max(o.lastUs, t), o.n + 1)
             case o =>
               closed += Session(userId, o.startUs, o.lastUs, o.n)
@@ -206,8 +213,12 @@ object Streaming {
       boundState: Boolean = true): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column required")
     val marked = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
+    // NULL keys must stay distinguishable: concat_ws SKIPS nulls, so
+    // (1, null, "x") and (1, "x", null) would otherwise collide on one
+    // fingerprint -- coalesce each key to an explicit \\u0002-marked token
     val fp = graft.functions.TextFunctions.fingerprint(
-      concat_ws("", keyCols.map(c => col(c).cast("string")): _*))
+      concat_ws("",
+        keyCols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*))
     val keyed = marked.select(
       (fp.as("fingerprint") +: keyCols.map(col)) :+ col(tsCol): _*)
     if (df.isStreaming && boundState) keyed.dropDuplicatesWithinWatermark("fingerprint")

@@ -114,6 +114,23 @@ class AsOfJoinSuite extends SparkSpec {
       Set(Seq("1", "10"), Seq("2", "12"), Seq("3", "12")))
   }
 
+  test("unbounded: heavy timestamp duplication across partitions, both directions") {
+    // only ~20 distinct ts values over 180 rows: range-partition bounds
+    // fall ON duplicated timestamps, which is exactly where a (ts, tag)
+    // partitioning would split right rows from left rows at equal ts
+    // and lose forward equal-ts matches
+    val rnd = new scala.util.Random(23)
+    val ls = (0 until 120).map(i => (i, rnd.nextInt(20) * 10))
+    val rs = (0 until 60).map(i => (1000 + i, rnd.nextInt(20) * 10))
+    for (dir <- Seq("backward", "forward")) {
+      val out = AsOfJoin.unbounded(
+        ls.toDF("lid", "v"), rs.toDF("rid", "w"), rightId = "rid",
+        leftOn = Some("v"), rightOn = Some("w"), direction = dir)
+      assert(rowSet(out.select("lid", "rid")) ==
+        unboundedExpected(ls, rs, backward = dir == "backward"), s"direction $dir")
+    }
+  }
+
   test("unbounded: equal timestamps are inclusive, backward tie keeps max id") {
     val ls = Seq((1, 50))
     val rs = Seq((10, 50), (11, 50), (12, 40))

@@ -234,6 +234,37 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: late event far before the open session becomes its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.UserEvent]
+    val q = Streaming.sessionize(in.toDS(), gapUs = 60L * 1000000,
+        watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("sz_late").outputMode("append").start()
+    try {
+      in.addData(Streaming.UserEvent(1L, ts("2024-01-01 10:05:00")),
+        Streaming.UserEvent(1L, ts("2024-01-01 10:05:30")))
+      q.processAllAvailable()
+      // late (within watermark) but > gap BEFORE the open session start:
+      // must close as a separate singleton, not stretch the open session
+      in.addData(Streaming.UserEvent(1L, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      val got = spark.table("sz_late").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val t0 = ts("2024-01-01 10:01:00").getTime * 1000
+      assert(got.contains((t0, t0, 1L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("exactDedup null key columns stay distinguishable (no concat_ws collision)") {
+    val df = Seq(
+      (Some(1L), Some("x"), Timestamp.valueOf("2024-01-01 00:00:00")),
+      (Some(1L), None, Timestamp.valueOf("2024-01-01 00:01:00")),
+      (None, Some("1x"), Timestamp.valueOf("2024-01-01 00:02:00")))
+      .toDF("user_id", "payload", "ts")
+    val out = Streaming.exactDedup(df, Seq("user_id", "payload"), "ts")
+    assert(out.count() == 3)
+  }
+
   test("exactDedup batch form equals a plain distinct on the key projection") {
     val df = Seq(
       (1L, "x", Timestamp.valueOf("2024-01-01 00:00:00")),
