@@ -383,7 +383,7 @@ object SparkEntry {
       // Jaccard between whole sub-corpora without any cross join of
       // docs. The gate-checkable output: the TRUE source-level Jaccard
       // (SQL-derivable, computed here from the exact shingle sets) plus
-      // a flag that the signature estimate landed within the 3-sigma
+      // a flag that the signature estimate landed within the 4-sigma
       // band of the k=128 estimator — the oracle emits TRUE for every
       // pair, so one out-of-band estimate fails the hash.
       val d = t(s, dir, "documents")
@@ -403,8 +403,11 @@ object SparkEntry {
         .join(sets.as("y"), col("x.s") === col("y.s") && col("x.source") < col("y.source"))
         .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
         .agg(count(lit(1)).as("__i"))
-      // 3σ of the MinHash estimator: sqrt(j(1-j)/128) <= 0.0442
-      val bound = 3.0 * 0.0442
+      // 4σ of the MinHash estimator (σ = sqrt(j(1-j)/128) <= 0.0442):
+      // with 190 pairs a 3σ band has a ~40% chance of one tail
+      // exceedance somewhere (observed at sf0.1); 4σ keeps the check
+      // meaningful at ~1% family-wise failure odds
+      val bound = 4.0 * 0.0442
       pairsEst
         .join(inter, Seq("source_a", "source_b"), "left")
         .join(sizes.select(col("source").as("source_a"), col("__n").as("__na")), "source_a")
