@@ -1,0 +1,172 @@
+package graft.operators
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Seeded differential fuzzing of the join operators against their
+  * naive forms — the reference's cross-implementation-oracle technique
+  * (test/test_ops.py:37-48) pushed across types, magnitudes, and
+  * tolerances in one sweep. Every rewrite (bucketed band join, range
+  * exec routing, unbounded as-of) must agree with the plain Catalyst
+  * plan on every generated input, including extreme magnitudes and
+  * duplicate-heavy keys.
+  */
+class DifferentialFuzzSuite extends SparkSpec {
+  import spark.implicits._
+
+  private val rounds = 8
+
+  test("FuzzyJoin.numeric == naive across magnitudes/types/tolerances") {
+    val rnd = new scala.util.Random(101)
+    for (round <- 0 until rounds) {
+      val tol = math.pow(10, rnd.nextInt(6) - 2) * (rnd.nextDouble() + 0.1)
+      val magnitude = math.pow(10, rnd.nextInt(8))
+      def vals(n: Int) = (0 until n).map(_ =>
+        (rnd.nextGaussian() * magnitude * 0.01).round * tol / 2 + rnd.nextGaussian())
+      val l = vals(50).zipWithIndex.map(_.swap).toDF("lid", "v")
+      val r = vals(40).zipWithIndex.map { case (v, i) => (i + 100, v) }.toDF("rid", "w")
+      val fast = FuzzyJoin.numeric(l, r, tol, leftOn = Some("v"), rightOn = Some("w"))
+      val naive = FuzzyJoin.naive(l, r, tol, leftOn = Some("v"), rightOn = Some("w"))
+      assert(rowSet(fast.select("lid", "rid")) == rowSet(naive.select("lid", "rid")),
+        s"round $round tol=$tol magnitude=$magnitude")
+    }
+  }
+
+  test("FuzzyJoin integral path == BigInt ground truth at random long magnitudes") {
+    val rnd = new scala.util.Random(202)
+    for (round <- 0 until rounds) {
+      val shift = rnd.nextInt(62)
+      val base = (rnd.nextLong() >> shift) << shift // varied magnitude
+      val spread = math.max(10L, math.abs(base) >> 40)
+      def vals(n: Int) = (0 until n).map(_ => base + rnd.nextLong(2 * spread + 1) - spread)
+      val tol = rnd.nextDouble() * spread
+      val lv = vals(40).zipWithIndex.map(_.swap)
+      val rv = vals(40).zipWithIndex.map { case (v, i) => (i + 100, v) }
+      val tolL = math.max(0L, math.floor(tol).toLong)
+      val expected = (for {
+        (li, a) <- lv; (ri, b) <- rv
+        if (BigInt(a) - BigInt(b)).abs <= tolL
+      } yield Seq(li.toString, ri.toString)).toSet
+      if (tol >= 1) { // operator requires tol > 0 and floor >= 1 to be meaningful
+        val out = FuzzyJoin.numeric(
+          lv.toDF("lid", "v"), rv.toDF("rid", "w"), tol,
+          leftOn = Some("v"), rightOn = Some("w"))
+        assert(rowSet(out.select("lid", "rid")) == expected,
+          s"round $round base=$base tol=$tol")
+      }
+    }
+  }
+
+  test("FuzzyJoin.decimal == driver-side BigDecimal ground truth") {
+    val rnd = new scala.util.Random(303)
+    for (round <- 0 until rounds) {
+      val scale = rnd.nextInt(4)
+      def dec(): java.math.BigDecimal =
+        new java.math.BigDecimal(rnd.nextLong(2000000) - 1000000)
+          .movePointLeft(scale).setScale(scale)
+      val tol = new java.math.BigDecimal(rnd.nextLong(500) + 1).movePointLeft(scale)
+        .setScale(scale)
+      val lv = (0 until 40).map(i => (i, dec()))
+      val rv = (0 until 40).map(i => (i + 100, dec()))
+      val expected = (for {
+        (li, a) <- lv; (ri, b) <- rv
+        if a.subtract(b).abs.compareTo(tol) <= 0
+      } yield Seq(li.toString, ri.toString)).toSet
+      val dt = DecimalType(12, scale)
+      val l = lv.toDF("lid", "v").withColumn("v", col("v").cast(dt))
+      val r = rv.toDF("rid", "w").withColumn("w", col("w").cast(dt))
+      val out = FuzzyJoin.decimal(l, r, tol, leftOn = Some("v"), rightOn = Some("w"))
+      assert(rowSet(out.select("lid", "rid")) == expected, s"round $round scale=$scale")
+    }
+  }
+
+  test("FuzzyJoin.time == driver-side ground truth on epoch micros") {
+    val rnd = new scala.util.Random(404)
+    for (round <- 0 until rounds) {
+      val base = 1700000000000000L + rnd.nextLong(100000000000L)
+      val tolUs = rnd.nextLong(100000000L) + 1
+      def ts(n: Int) = (0 until n).map(_ => base + rnd.nextLong(4 * tolUs) - 2 * tolUs)
+      val lv = ts(40).zipWithIndex.map(_.swap)
+      val rv = ts(40).zipWithIndex.map { case (v, i) => (i + 100, v) }
+      val expected = (for {
+        (li, a) <- lv; (ri, b) <- rv; if math.abs(a - b) <= tolUs
+      } yield Seq(li.toString, ri.toString)).toSet
+      def toDf(vs: Seq[(Int, Long)], id: String, c: String) =
+        vs.toDF(id, "__us").withColumn(c, timestamp_micros(col("__us"))).drop("__us")
+      val out = FuzzyJoin.time(
+        toDf(lv, "lid", "v"), toDf(rv, "rid", "w"),
+        Duration.ofNanos(tolUs * 1000), leftOn = Some("v"), rightOn = Some("w"))
+      assert(rowSet(out.select("lid", "rid")) == expected, s"round $round tolUs=$tolUs")
+    }
+  }
+
+  test("IneqJoin == plain non-equi join for random data and all operators") {
+    val rnd = new scala.util.Random(505)
+    for (round <- 0 until rounds) {
+      val how = Seq("<", "<=", ">=", ">")(rnd.nextInt(4))
+      val dup = rnd.nextInt(5) + 1 // duplicate-heavy keys sometimes
+      def vals(n: Int) = (0 until n).map(_ => (rnd.nextInt(30) / dup).toDouble)
+      val l = vals(60).zipWithIndex.map(_.swap).toDF("lid", "v")
+      val r = vals(50).zipWithIndex.map { case (v, i) => (i + 100, v) }.toDF("rid", "w")
+      val out = IneqJoin(l, r, how, leftOn = Some("v"), rightOn = Some("w"))
+      val cond = how match {
+        case "<" => col("v") < col("w")
+        case "<=" => col("v") <= col("w")
+        case ">=" => col("v") >= col("w")
+        case ">" => col("v") > col("w")
+      }
+      val naive = l.join(r, cond, "inner")
+      assert(rowSet(out.select("lid", "rid")) == rowSet(naive.select("lid", "rid")),
+        s"round $round how=$how dup=$dup")
+    }
+  }
+
+  test("ThetaJoin Column and UDF forms == crossJoin + filter") {
+    val rnd = new scala.util.Random(606)
+    for (round <- 0 until rounds) {
+      val m = rnd.nextInt(7) + 2
+      val l = (0 until 40).map(i => (i, rnd.nextInt(100))).toDF("lid", "a")
+      val r = (0 until 30).map(i => (i + 100, rnd.nextInt(100))).toDF("rid", "b")
+      val exprForm = ThetaJoin(l, r, (x, y) => x % m === y % m,
+        leftOn = Some("a"), rightOn = Some("b"))
+      val udfForm = ThetaJoin.udf[Int, Int](l, r, (x: Int, y: Int) => x % m == y % m,
+        leftOn = Some("a"), rightOn = Some("b"))
+      val naive = l.crossJoin(r).filter(col("a") % m === col("b") % m)
+      val want = rowSet(naive.select("lid", "rid"))
+      assert(rowSet(exprForm.select("lid", "rid")) == want, s"round $round m=$m expr")
+      assert(rowSet(udfForm.select("lid", "rid")) == want, s"round $round m=$m udf")
+    }
+  }
+
+  test("AsOfJoin.unbounded == window-computed ground truth on random data") {
+    val rnd = new scala.util.Random(707)
+    for (round <- 0 until rounds) {
+      val spreadPow = rnd.nextInt(4) + 1
+      val spread = math.pow(10, spreadPow).toInt
+      val ls = (0 until 70).map(i => (i, rnd.nextInt(spread)))
+      val rs = (0 until 35).map(i => (1000 + i, rnd.nextInt(spread)))
+      for (dir <- Seq("backward", "forward")) {
+        val backward = dir == "backward"
+        val expected = ls.flatMap { case (lid, v) =>
+          val cand = if (backward) rs.filter(_._2 <= v) else rs.filter(_._2 >= v)
+          if (cand.isEmpty) None
+          else {
+            val bw = if (backward) cand.map(_._2).max else cand.map(_._2).min
+            val ties = cand.filter(_._2 == bw).map(_._1)
+            Some(Seq(lid.toString, (if (backward) ties.max else ties.min).toString))
+          }
+        }.toSet
+        val out = AsOfJoin.unbounded(
+          ls.toDF("lid", "v"), rs.toDF("rid", "w"), rightId = "rid",
+          leftOn = Some("v"), rightOn = Some("w"), direction = dir)
+        assert(rowSet(out.select("lid", "rid")) == expected, s"round $round $dir")
+      }
+    }
+  }
+}
