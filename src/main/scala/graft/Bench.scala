@@ -47,13 +47,14 @@ object Bench {
         catch { case _: Throwable => () }
       }
 
-    // two timed runs, report the min: the first run at the target SF
+    // three timed runs, report the min: the first run at the target SF
     // still pays one-off AQE replanning + codegen specialization the
-    // sf0.001 warmup can't reach; steady-state throughput is what a
+    // sf0.001 warmup can't reach, and box noise on shared hardware is
+    // worth a third sample; steady-state throughput is what a
     // long-running cluster job sees.
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
-      val secs = (1 to 2).map { _ =>
+      val secs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }

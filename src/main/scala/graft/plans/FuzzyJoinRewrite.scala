@@ -52,10 +52,18 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     *  - [[DoubleBuckets]]: sides are fractional after coercion — DOUBLE
     *    bucketing with an adaptive explode width covering division
     *    drift once |v/tol| approaches 2^52.
+    *  - [[ExactDecimal]]: both sides decimal with a decimal tolerance —
+    *    exact decimal bucketing via `(v - pmod(v, tol)) / tol` (dividing
+    *    an exact multiple, so the quotient never rounds across an
+    *    integer boundary; plain `floor(v / tol)` can, because decimal
+    *    division rounds to the result scale first). Gated to combined
+    *    precision <= 18 so the quotient provably fits the division
+    *    result type and a LONG bucket key.
     */
   private sealed trait BucketMode
   private case class ExactLong(w: Long) extends BucketMode
   private case object DoubleBuckets extends BucketMode
+  private case class ExactDecimal(tol: Literal, ct: DecimalType) extends BucketMode
 
   /** Matches the `|a - b|` shape of a band conjunct, looking through the
     * numeric cast analysis wraps around integral `abs` results.
@@ -112,7 +120,7 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if (fromSide(a, j.left) && fromSide(b, j.right)) Some((a, b))
         else if (fromSide(b, j.left) && fromSide(a, j.right)) Some((b, a))
         else None
-      mode <- bucketMode(sides._1.dataType, sides._2.dataType, tol)
+      mode <- bucketMode(sides._1.dataType, sides._2.dataType, tol, v, dt)
     } yield (sides._1, sides._2, tol, mode)
 
   private def fromSide(e: Expression, side: LogicalPlan): Boolean =
@@ -131,9 +139,25 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     */
   private val LongCastSlack = 4096L
 
-  private def bucketMode(l: DataType, r: DataType, tol: Double): Option[BucketMode] =
+  private def bucketMode(
+      l: DataType, r: DataType, tol: Double,
+      v: Any, dt: DataType): Option[BucketMode] =
     (l, r) match {
-      case (_: DecimalType, _) | (_, _: DecimalType) => None
+      case (dl: DecimalType, dr: DecimalType) =>
+        (v, dt) match {
+          case (d: Decimal, dtol: DecimalType) if d.toBigDecimal.signum > 0 =>
+            // common type holding every side value and the tolerance
+            val s = Seq(dl.scale, dr.scale, dtol.scale).max
+            val intDigits = Seq(
+              dl.precision - dl.scale, dr.precision - dr.scale,
+              dtol.precision - dtol.scale).max
+            val p = intDigits + s
+            // |v/tol| < 10^p must fit the division result's integral
+            // capacity and a LONG key; p <= 18 guarantees both
+            if (p <= 18) Some(ExactDecimal(Literal(d, dtol), DecimalType(p, s)))
+            else None
+          case _ => None
+        }
       case (a, b) if isIntegral(a) && isIntegral(b) =>
         // ceil(tol) + slack must not overflow
         if (tol < (1L << 60).toDouble)
@@ -159,12 +183,23 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         graft.functions.LongMath.floorDivExpr(Cast(e, LongType), w)
       case DoubleBuckets =>
         Cast(Floor(Divide(Cast(e, DoubleType), Literal(tol))), LongType)
+      case ExactDecimal(tolLit, ct) =>
+        // (v - pmod(v, tol)) / tol: dividing an exact multiple keeps the
+        // quotient an exact integer at any result scale. All binary ops
+        // are built on a single common decimal type (raw post-analysis
+        // expressions get no coercion pass).
+        val ec = Cast(e, ct)
+        val tc = Cast(tolLit, ct)
+        val pm = Cast(Pmod(ec, tc), ct)
+        val wide = DecimalType(math.min(38, ct.precision + 1), ct.scale)
+        val div = Divide(Cast(Subtract(ec, pm), wide), Cast(tc, wide))
+        Cast(div, LongType)
     }
     val blAlias = Alias(bucket(l), BL)()
     val left2 = Project(j.left.output :+ blAlias, j.left)
     val br = bucket(r)
     val candidates: Expression = mode match {
-      case ExactLong(_) =>
+      case ExactLong(_) | ExactDecimal(_, _) =>
         CreateArray(Seq(Subtract(br, Literal(1L)), br, Add(br, Literal(1L))))
       case DoubleBuckets =>
         // adaptive drift width (see FuzzyJoin.bucketedJoin): 0 extra

@@ -62,13 +62,40 @@ class FuzzyJoinRewriteSuite extends SparkSpec {
     }
   }
 
-  test("decimal band joins are left to the nested loop (exact arithmetic)") {
+  test("decimal columns with a DOUBLE tolerance stay on the nested loop") {
+    // the naive residual is the double-rounded decimal diff; no bucket
+    // scheme is exact against that coercion, so the rule stays away
     val ld = l.select($"lid", $"v".cast(DecimalType(10, 2)).as("v"))
     val rd = r.select($"rid", $"w".cast(DecimalType(10, 2)).as("w"))
     withRule {
       val out = ld.join(rd, abs(col("v") - col("w")) <= lit(0.2))
       assert(out.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
       assert(rowSet(out.select("lid", "rid")) == Set(Seq("1", "10"), Seq("2", "20")))
+    }
+  }
+
+  test("decimal band joins with a DECIMAL tolerance rewrite through exact buckets") {
+    val rnd = new scala.util.Random(12)
+    val ldata = (0 until 60).map(i => (i, rnd.nextInt(20000)))
+    val rdata = (0 until 50).map(i => (i + 100, rnd.nextInt(20000)))
+    def dec(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.withColumn(c, (col(c) / 100.0).cast(DecimalType(10, 2)))
+    val ld = dec(ldata.toDF("lid", "v"), "v")
+    val rd = dec(rdata.toDF("rid", "w"), "w")
+    val tol = lit(new java.math.BigDecimal("0.25"))
+    val naive = rowSet(ld.join(rd, abs(col("v") - col("w")) <= tol).select("lid", "rid"))
+    withRule {
+      val out = ld.join(rd, abs(col("v") - col("w")) <= tol)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+      assert(rowSet(out.select("lid", "rid")) == naive)
+    }
+    // over-wide precision opts out (quotient no longer provably exact)
+    val wide = ld.withColumn("v", col("v").cast(DecimalType(38, 2)))
+    val wider = rd.withColumn("w", col("w").cast(DecimalType(38, 2)))
+    withRule {
+      val out = wide.join(wider, abs(col("v") - col("w")) <= tol)
+      assert(out.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
     }
   }
 
