@@ -268,6 +268,14 @@ object SparkEntry {
         n = 3, threshold = 0.6)
       Dedup.connectedComponents(pairs, "doc_a", "doc_b")
     }),
+    "dedup_components_distributed" -> ((s, dir) => {
+      // same clustering, but localThreshold = 0 forces the distributed
+      // pointer-jumping label propagation — both component strategies
+      // face the recursive-CTE oracle
+      val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.6)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b", localThreshold = 0)
+    }),
     "dedup_simhash" -> ((s, dir) => {
       // blocking-completeness self-check (the reference's
       // cross-implementation-oracle idea, test/test_ops.py:37-48): the
@@ -761,6 +769,19 @@ object SparkEntry {
           |JOIN cnt cb ON cb.doc_id = doc_b
           |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin),
       "dedup_components" -> (shingles3.replace("WITH tokp", "WITH RECURSIVE tokp") +
+        """,pairs AS (
+          |  SELECT doc_a, doc_b FROM inter
+          |  JOIN cnt ca ON ca.doc_id = doc_a
+          |  JOIN cnt cb ON cb.doc_id = doc_b
+          |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6),
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |          UNION SELECT doc_b, doc_a FROM pairs),
+          |reach AS (
+          |  SELECT DISTINCT src AS id, src AS r FROM edges
+          |  UNION
+          |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r)
+          |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin),
+      "dedup_components_distributed" -> (shingles3.replace("WITH tokp", "WITH RECURSIVE tokp") +
         """,pairs AS (
           |  SELECT doc_a, doc_b FROM inter
           |  JOIN cnt ca ON ca.doc_id = doc_a
