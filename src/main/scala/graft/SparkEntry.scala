@@ -476,6 +476,40 @@ object SparkEntry {
           q4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
           q4(expr("percentile(o_totalprice, 0.99)")).as("p99"))
     }),
+    "quantiles_sketch" -> ((s, dir) => {
+      // sketch-based percentiles self-checked against the exact sort-based
+      // values (SQL-derivable): one row per percentile with a flag that
+      // the sketch landed within 0.5% relative error at accuracy 10000
+      val o = t(s, dir, "orders")
+      val exact = o.agg(
+        expr("percentile(o_totalprice, 0.5)").as("e50"),
+        expr("percentile(o_totalprice, 0.9)").as("e90"),
+        expr("percentile(o_totalprice, 0.99)").as("e99"))
+      val approx = o.agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("a90"),
+        expr("approx_percentile(o_totalprice, 0.99, 10000)").as("a99"))
+      exact.crossJoin(approx).select(
+        explode(array(
+          struct(lit(0.5).as("pct"), q4(col("e50")).as("exact"),
+            (abs(col("a50") - col("e50")) <= col("e50") * 0.005).as("sketch_ok")),
+          struct(lit(0.9).as("pct"), q4(col("e90")).as("exact"),
+            (abs(col("a90") - col("e90")) <= col("e90") * 0.005).as("sketch_ok")),
+          struct(lit(0.99).as("pct"), q4(col("e99")).as("exact"),
+            (abs(col("a99") - col("e99")) <= col("e99") * 0.005).as("sketch_ok")))).as("r"))
+        .select(col("r.pct"), col("r.exact"), col("r.sketch_ok"))
+    }),
+    "distinct_sketch_events" -> ((s, dir) => {
+      // HyperLogLog++ distinct-user count self-checked against the exact
+      // count (SQL-derivable); rsd 0.01 keeps the sketch within ~3%
+      val ev = t(s, dir, "events")
+      ev.agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("__approx"))
+        .select(col("exact_users"),
+          (abs(col("__approx") - col("exact_users")) <=
+            col("exact_users") * 0.03).as("sketch_ok"))
+    }),
     "semi_join_customers" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -709,6 +743,17 @@ object SparkEntry {
           |SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
           |       count(*) AS n_events
           |FROM s GROUP BY user_id, sid""".stripMargin,
+      "quantiles_sketch" ->
+        """SELECT pct, floor(e * 10000) / 10000 AS exact, TRUE AS sketch_ok
+          |FROM (
+          |  SELECT 0.5 AS pct, quantile_cont(o_totalprice, 0.5) AS e FROM orders
+          |  UNION ALL
+          |  SELECT 0.9, quantile_cont(o_totalprice, 0.9) FROM orders
+          |  UNION ALL
+          |  SELECT 0.99, quantile_cont(o_totalprice, 0.99) FROM orders)""".stripMargin,
+      "distinct_sketch_events" ->
+        """SELECT count(DISTINCT user_id) AS exact_users, TRUE AS sketch_ok
+          |FROM events""".stripMargin,
       "semi_join_customers" ->
         """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
           |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
