@@ -721,11 +721,17 @@ object SparkEntry {
           |  FROM events)
           |GROUP BY 1, 2""".stripMargin,
       "stream_dedup_events" ->
+        // mirrors Streaming.exactDedup's injective key encoding exactly:
+        // escape chr(2)->chr(2)chr(2), chr(1)->chr(2)'s', NULL->chr(2)'n',
+        // join on chr(1), raw md5 (no case folding)
         """SELECT DISTINCT
-          |  md5(lower(regexp_replace(trim(concat_ws(chr(1),
-          |    coalesce(CAST(user_id AS VARCHAR), chr(2) || 'NULL'),
-          |    coalesce(event_type, chr(2) || 'NULL'),
-          |    coalesce(props, chr(2) || 'NULL'))), '\s+', ' ', 'g')))
+          |  md5(concat_ws(chr(1),
+          |    coalesce(replace(replace(CAST(user_id AS VARCHAR),
+          |      chr(2), chr(2) || chr(2)), chr(1), chr(2) || 's'), chr(2) || 'n'),
+          |    coalesce(replace(replace(event_type,
+          |      chr(2), chr(2) || chr(2)), chr(1), chr(2) || 's'), chr(2) || 'n'),
+          |    coalesce(replace(replace(props,
+          |      chr(2), chr(2) || chr(2)), chr(1), chr(2) || 's'), chr(2) || 'n')))
           |    AS fingerprint,
           |  user_id, event_type
           |FROM events""".stripMargin,

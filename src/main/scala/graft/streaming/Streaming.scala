@@ -191,7 +191,7 @@ object Streaming {
   }
 
   /** Batch/stream-unified EXACT dedup on a composite key: one row per
-    * fingerprint (md5 of the normalized, -joined key columns —
+    * fingerprint (md5 of the injectively \u0001-joined key columns —
     * the same engine-portable fingerprint the batch Dedup uses). On a
     * batch frame this is a plain distinct; on a stream it is the
     * state-store dedup operator, and `boundState = true` (default)
@@ -213,12 +213,29 @@ object Streaming {
       boundState: Boolean = true): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column required")
     val marked = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
-    // NULL keys must stay distinguishable: concat_ws SKIPS nulls, so
-    // (1, null, "x") and (1, "x", null) would otherwise collide on one
-    // fingerprint -- coalesce each key to an explicit \\u0002-marked token
-    val fp = graft.functions.TextFunctions.fingerprint(
-      concat_ws("",
-        keyCols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*))
+    // Injective key-tuple encoding. A naive concat collides distinct
+    // tuples three ways: no separator merges ("ab","c") with ("a","bc");
+    // a bare null token merges the string "NULL" with SQL NULL; and any
+    // fixed marker scheme is still ambiguous against values that CONTAIN
+    // the marker characters. Classic escaping closes all three (escape
+    // char E = \u0002, separator S = \u0001):
+    //   1. escape the escape char:  E -> E E
+    //   2. escape the separator:    S -> E 's'
+    //   3. SQL NULL -> the token E 'n'  (unreachable from any value:
+    //      an escaped value's E chars always pair up or precede 's')
+    // joined on S, then a RAW md5 -- deliberately NOT the case-folding,
+    // whitespace-normalizing TextFunctions.fingerprint, which is meant
+    // for document-body dedup and would silently merge "A" with "a"
+    // when used on a key tuple. The oracle SQL mirrors this encoding
+    // byte-for-byte via chr(1)/chr(2).
+    val encoded = keyCols.map { c =>
+      val s = col(c).cast("string")
+      coalesce(
+        replace(replace(s, lit("\u0002"), lit("\u0002\u0002")),
+          lit("\u0001"), lit("\u0002s")),
+        lit("\u0002n"))
+    }
+    val fp = md5(concat_ws("\u0001", encoded: _*))
     val keyed = marked.select(
       (fp.as("fingerprint") +: keyCols.map(col)) :+ col(tsCol): _*)
     if (df.isStreaming && boundState) keyed.dropDuplicatesWithinWatermark("fingerprint")

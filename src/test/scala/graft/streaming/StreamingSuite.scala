@@ -265,6 +265,39 @@ class StreamingSuite extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("exactDedup fingerprint is injective against adversarial key tuples") {
+    // every failure mode of a naive concat fingerprint, in one frame:
+    // boundary shift, the string "NULL" vs SQL NULL, case folding,
+    // whitespace folding, and values containing the marker chars
+    // themselves (separator \u0001, escape \u0002, the null token)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows: Seq[(Option[String], Option[String])] = Seq(
+      (Some("ab"), Some("c")),
+      (Some("a"), Some("bc")),             // boundary shift
+      (Some("NULL"), Some("x")),
+      (None, Some("x")),                   // literal "NULL" vs null
+      (Some("A"), Some("y")),
+      (Some("a"), Some("y")),              // case must NOT fold
+      (Some("a b"), Some("z")),
+      (Some("a  b"), Some("z")),           // whitespace must NOT fold
+      (Some("a\u0001"), Some("b")),     // separator inside a value
+      (Some("a"), Some("\u0001b")),
+      (Some("a\u0002"), Some("b")),     // escape char inside a value
+      (Some("a"), Some("\u0002b")),
+      (Some("\u0002n"), Some("w")),     // value equal to the null token
+      (None, Some("w")))
+    val df = rows.map { case (a, b) => (a.orNull, b.orNull, t0) }
+      .toDF("k1", "k2", "ts")
+    val out = Streaming.exactDedup(df, Seq("k1", "k2"), "ts")
+    // all 14 tuples are distinct -> all 14 fingerprints must survive
+    assert(out.count() == rows.size)
+    assert(out.select("fingerprint").distinct().count() == rows.size)
+    // and a true duplicate still collapses
+    val dup = (rows ++ rows.take(1)).map { case (a, b) => (a.orNull, b.orNull, t0) }
+      .toDF("k1", "k2", "ts")
+    assert(Streaming.exactDedup(dup, Seq("k1", "k2"), "ts").count() == rows.size)
+  }
+
   test("exactDedup batch form equals a plain distinct on the key projection") {
     val df = Seq(
       (1L, "x", Timestamp.valueOf("2024-01-01 00:00:00")),
