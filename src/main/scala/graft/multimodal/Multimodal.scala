@@ -9,13 +9,17 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, and run decode / feature-extract
   * / frame-sample as partition-batched transforms.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): [[decodeImageStub]] derives deterministic fake metadata
-  * from the bytes. Everything around the stub — schema handling, the
-  * `mapPartitions` batch shape (the Scala analogue of `mapInPandas`:
-  * iterator-of-rows in, iterator-of-rows out, one JVM-side batch per
-  * partition), partitioning, and sampling — is real and tested, so
-  * swapping in a real codec is a one-function change.
+  * IMAGE decode and resize are REAL: `javax.imageio` ships in the JDK
+  * (`java.desktop` module) and handles PNG/JPEG/GIF/BMP headless with
+  * zero extra dependencies — [[decodeImage]] reads true width/height
+  * from the header (no pixel decode for metadata), [[resizeImage]]
+  * decodes, rescales, and re-encodes PNG. Payloads ImageIO cannot read
+  * (e.g. the testdata's text-byte stand-ins, or audio/video, whose
+  * codecs genuinely are absent here) fall back to the deterministic
+  * stubs so every function stays total over arbitrary binary and
+  * oracle-predictable. The `mapPartitions` batch shape (the Scala
+  * analogue of `mapInPandas`: iterator-of-rows in, iterator-of-rows
+  * out, per-partition codec reuse) is the scale contract either way.
   */
 object Multimodal {
 
@@ -34,10 +38,9 @@ object Multimodal {
   def withBinaryPayload(df: DataFrame, srcCol: String, binCol: String = "payload"): DataFrame =
     df.withColumn(binCol, encode(col(srcCol), "UTF-8"))
 
-  /** STUB decoder (a real codec call goes here; none ships in this
-    * container). The fake is deterministic in the payload bytes so tests
-    * and oracles can predict it: width/height fold the byte length,
-    * format sniffs a magic byte.
+  /** Fallback decoder for payloads ImageIO cannot read. Deterministic in
+    * the payload bytes so tests and oracles can predict it: width/height
+    * fold the byte length, format sniffs a magic byte.
     */
   def decodeImageStub(bytes: Array[Byte]): Row = {
     val len = bytes.length.toLong
@@ -45,6 +48,34 @@ object Multimodal {
     val height = ((len / 640L) % 480L).toInt + 1
     val format = if (bytes.nonEmpty && (bytes(0) & 0xff) == 0x89) "png" else "raw"
     Row(width, height, format, len)
+  }
+
+  /** Real image metadata via JDK ImageIO: true width/height/format read
+    * from the image HEADER only (`ImageReader.getWidth` never decodes
+    * pixel data — at 100 TB the metadata pass stays I/O-bound, not
+    * codec-bound). Non-image payloads fall back to [[decodeImageStub]].
+    */
+  def decodeImage(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.isEmpty) return decodeImageStub(
+      if (bytes == null) Array.empty[Byte] else bytes)
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) decodeImageStub(bytes)
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(in, true, true)
+          Row(reader.getWidth(0), reader.getHeight(0),
+            reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
+            bytes.length.toLong)
+        } finally reader.dispose()
+      }
+    } catch {
+      // a sniffable-but-corrupt header: same contract as unreadable
+      case scala.util.control.NonFatal(_) => decodeImageStub(bytes)
+    } finally in.close()
   }
 
   /** Decode metadata for every row, batched per partition
@@ -59,9 +90,10 @@ object Multimodal {
     val binIdx = df.schema.fieldIndex(binCol)
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
     df.mapPartitions { rows =>
-      // per-partition setup (real codec init would go here, once)
+      // ImageIO's plugin registry lookup happens per call; the partition
+      // batch amortizes JIT + registry warm-up across the partition
       rows.map { row =>
-        val meta = decodeImageStub(row.getAs[Array[Byte]](binIdx))
+        val meta = decodeImage(row.getAs[Array[Byte]](binIdx))
         Row.fromSeq(keepIdx.map(row.get) ++ meta.toSeq)
       }
     }
@@ -89,10 +121,9 @@ object Multimodal {
     df.withColumn(outCol, extract(org.apache.spark.sql.functions.col(binCol)))
   }
 
-  /** STUB resize: a real codec would decode, scale, and re-encode; the
-    * deterministic fake truncates/zero-pads the payload to `targetBytes`
-    * — the plumbing (binary in, binary out, length contract) is what
-    * downstream stages depend on.
+  /** STUB resize (non-image payloads): truncates/zero-pads the payload
+    * to `targetBytes` — the plumbing (binary in, binary out, length
+    * contract) is what downstream stages depend on.
     */
   def resizeStub(df: DataFrame, binCol: String, targetBytes: Int,
       outCol: String = "resized"): DataFrame = {
@@ -102,6 +133,51 @@ object Multimodal {
       java.util.Arrays.copyOf(src, targetBytes)
     }
     df.withColumn(outCol, resize(org.apache.spark.sql.functions.col(binCol)))
+  }
+
+  /** Real image resize via JDK ImageIO + Graphics2D: decode, bilinear
+    * rescale to `w`×`h`, re-encode PNG. Payloads ImageIO cannot decode
+    * pass through unchanged with `<outCol>_ok = false` — a 100 TB corpus
+    * always carries a tail of corrupt media, and a resize stage that
+    * throws on the first bad payload kills the job. `mapPartitions`
+    * (not a UDF) because BOTH outputs derive from one expensive decode:
+    * a UDF referenced by two projection expressions is inlined and
+    * re-decoded per reference by CollapseProject.
+    */
+  def resizeImage(df: DataFrame, binCol: String, w: Int, h: Int,
+      outCol: String = "resized"): DataFrame = {
+    require(w > 0 && h > 0)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField(outCol, BinaryType, nullable = true),
+      StructField(outCol + "_ok", BooleanType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val resized: Option[Array[Byte]] =
+          if (bytes == null) None
+          else try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val out = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, w, h, null)
+              } finally g.dispose()
+              val buf = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", buf)
+              Some(buf.toByteArray)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        Row.fromSeq(row.toSeq ++ Seq(resized.getOrElse(bytes), resized.isDefined))
+      }
+    }
   }
 
   /** Deterministic frame sampling: split the payload into `n` equal

@@ -39,6 +39,52 @@ class MultimodalSuite extends SparkSpec {
     assert(row.getString(2) == "png")
   }
 
+  /** Render a real `w`×`h` image and encode it with ImageIO. */
+  private def realImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, buf)
+    buf.toByteArray
+  }
+
+  test("decodeImage reads TRUE dimensions and format from real PNG and JPEG bytes") {
+    val png = Multimodal.decodeImage(realImage(37, 21, "png"))
+    assert((png.getInt(0), png.getInt(1), png.getString(2)) == (37, 21, "png"))
+    val jpg = Multimodal.decodeImage(realImage(64, 48, "jpg"))
+    assert((jpg.getInt(0), jpg.getInt(1)) == (64, 48))
+    assert(jpg.getString(2).startsWith("jp")) // "jpeg" / "jpg" per plugin
+  }
+
+  test("decodeMeta on a mixed corpus: real metadata for images, stub for text bytes") {
+    val rows = Seq(
+      (1, realImage(37, 21, "png")),
+      (2, "plain text, not an image".getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "payload")
+    val out = Multimodal.decodeMeta(df, "payload", keepCols = Seq("doc_id"))
+    val m = out.collect().map(r => r.getInt(0) ->
+      (r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4))).toMap
+    assert(m(1) == (37, 21, "png", rows.head._2.length.toLong))
+    val stub = Multimodal.decodeImageStub(rows(1)._2)
+    assert(m(2) == (stub.getInt(0), stub.getInt(1), "raw", rows(1)._2.length.toLong))
+  }
+
+  test("resizeImage rescales decodable payloads and passes through the rest") {
+    val df = Seq(
+      (1, realImage(100, 60, "png")),
+      (2, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.resizeImage(df, "payload", w = 25, h = 15).collect()
+      .map(r => r.getInt(0) -> (r.getAs[Array[Byte]](2), r.getBoolean(3))).toMap
+    val (rbytes, ok) = out(1)
+    assert(ok)
+    val back = Multimodal.decodeImage(rbytes)
+    assert((back.getInt(0), back.getInt(1), back.getString(2)) == (25, 15, "png"))
+    val (passthrough, ok2) = out(2)
+    assert(!ok2 && new String(passthrough, "UTF-8") == "not an image")
+  }
+
   test("featureStub emits unit-norm float vectors usable by the similarity operators") {
     val out = Multimodal.featureStub(
       Multimodal.withBinaryPayload(docs, "text"), "payload", dim = 8)
