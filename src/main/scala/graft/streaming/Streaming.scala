@@ -71,15 +71,22 @@ object Streaming {
     */
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
 
-  /** Gap-based sessionization with `flatMapGroupsWithState`: events of a
-    * user belong to one session while consecutive gaps are <= `gapUs`.
+  /** Gap-based sessionization: events of a user belong to one session
+    * while consecutive gaps are <= `gapUs`.
     *
-    * Streaming: closed sessions are emitted as soon as a later event (or
-    * an event-time timeout) proves the gap; the single open session per
-    * user lives in the state store with a timeout at `last + gap`.
-    * Batch: each group sees all its events at once, timeouts never fire,
-    * and the trailing open session is emitted too (a batch has no
-    * "later data").
+    * Streaming: `flatMapGroupsWithState` — closed sessions are emitted
+    * as soon as a later event (or an event-time timeout) proves the gap;
+    * the single open session per user lives in the state store with a
+    * timeout at `last + gap`. The per-call sort buffer holds one user's
+    * events from ONE micro-batch (trigger-bounded), never their history.
+    *
+    * Batch: a window plan — gap flags via `lag`, session ids via a
+    * running sum, one aggregate. WindowExec sorts (user, ts) with the
+    * external spillable sort, so a pathological single user with a
+    * billion events never has to fit in an executor's memory (the
+    * previous `mapGroups`-style implementation buffered `it.toArray`
+    * per user). Both modes produce identical sessions on the same data,
+    * which is what the driver's oracle checks.
     */
   def sessionize(
       events: Dataset[UserEvent],
@@ -87,7 +94,26 @@ object Streaming {
       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val emitTrailing = !events.isStreaming
+
+    if (!events.isStreaming) {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+      return events.toDF()
+        .select(col("user_id"), unix_micros(col("ts")).as("__us"))
+        // first event of a user: lag is null -> comparison null -> brk 0
+        .withColumn("__brk",
+          when(col("__us") - lag(col("__us"), 1).over(byUser) > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("__sid", sum(col("__brk")).over(byUser))
+        .groupBy(col("user_id"), col("__sid"))
+        .agg(
+          min(col("__us")).as("session_start_us"),
+          max(col("__us")).as("session_end_us"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"))
+        .as[Session]
+    }
 
     def process(
         userId: Long,
@@ -99,7 +125,7 @@ object Streaming {
         Iterator.single(Session(userId, s.startUs, s.lastUs, s.n))
       } else {
         // full microsecond precision: getTime() is only ms; the fractional
-        // second lives in getNanos()
+        // second lives in getNanos(). Bounded: one user, one micro-batch.
         val ts = it.map { e =>
           math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
         }.toArray.sorted
@@ -112,14 +138,12 @@ object Streaming {
               // late-but-within-watermark event from an earlier
               // micro-batch, more than a gap BEFORE the open session:
               // a separate earlier session. Emit it closed immediately
-              // (bounded state keeps one open session per user; batch
-              // mode sorts the group and never takes this branch)
+              // (bounded state keeps one open session per user)
               closed += Session(userId, t, t, 1)
             case o if t - o.lastUs <= gapUs =>
               // within a gap of the open session on either side: merge,
               // extending the start backwards for late out-of-order
-              // events (batch mode sorts, so only streaming sees t <
-              // startUs here)
+              // events
               open = OpenSession(math.min(o.startUs, t), math.max(o.lastUs, t), o.n + 1)
             case o =>
               closed += Session(userId, o.startUs, o.lastUs, o.n)
@@ -127,28 +151,16 @@ object Streaming {
           }
         }
         if (open != null) {
-          if (emitTrailing) {
-            closed += Session(userId, open.startUs, open.lastUs, open.n)
-            state.remove()
-          } else {
-            state.update(open)
-            state.setTimeoutTimestamp(open.lastUs / 1000L + gapUs / 1000L)
-          }
+          state.update(open)
+          state.setTimeoutTimestamp(open.lastUs / 1000L + gapUs / 1000L)
         }
         closed.result().iterator
       }
     }
 
-    // event-time timeouts need a watermark; on batch both the watermark
-    // and the timeout are inert
-    val timeout =
-      if (events.isStreaming) GroupStateTimeout.EventTimeTimeout
-      else GroupStateTimeout.NoTimeout
-    val marked =
-      if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
-    marked
+    events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(process)
   }
 
   /** Stream-stream band join — the streaming form of the reference's

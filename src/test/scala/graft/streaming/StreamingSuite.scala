@@ -108,6 +108,32 @@ class StreamingSuite extends SparkSpec {
       Streaming.Session(2, us("2024-01-01 00:00:00"), us("2024-01-01 00:00:00"), 1)))
   }
 
+  test("batch sessionize runs as a window plan and survives one huge user") {
+    // 50k events for ONE user: the old batch path buffered the whole
+    // group in an array per user; the window plan external-sorts
+    val gapUs = 30L * 60 * 1000000L
+    val rnd = new scala.util.Random(7)
+    var t = 1700000000000L // epoch ms
+    val times = (0 until 50000).map { _ =>
+      t += (if (rnd.nextInt(200) == 0) 3600L * 1000 else rnd.nextInt(1000).toLong + 1)
+      t
+    }
+    val ev = times.map(ms => Streaming.UserEvent(1L, new Timestamp(ms))).toDS()
+    val out = Streaming.sessionize(ev, gapUs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a window plan:\n$plan")
+    assert(!plan.contains("FlatMapGroupsWithState"),
+      "batch mode must not route through the state-store operator")
+    // reference sessions by a driver-side fold over the sorted times
+    val expected = times.sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+      case (Nil, ms) => List((ms, ms, 1L))
+      case ((s0, e0, n0) :: rest, ms) =>
+        if ((ms - e0) * 1000L <= gapUs) (s0, ms, n0 + 1) :: rest
+        else (ms, ms, 1L) :: (s0, e0, n0) :: rest
+    }.map { case (s, e, n) => Streaming.Session(1L, s * 1000L, e * 1000L, n) }.toSet
+    assert(out.collect().toSet == expected)
+  }
+
   test("sessionize over a MemoryStream: closed sessions emitted incrementally, state carries") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.UserEvent]
