@@ -13,6 +13,39 @@ class IneqJoinSuite extends SparkSpec {
   private def l3 = Seq((1, 10), (2, 20), (3, 30)).toDF("lid", "a")
   private def r3 = Seq((10, 15), (20, 25), (30, 35)).toDF("rid", "b")
 
+  test("vanilla session (no GraftExtensions) warns once about the nested-loop fallback") {
+    IneqJoin.warnedMissingStrategy = false
+    // interleaved ranges so the prune fast paths don't short-circuit
+    // before the general join is constructed
+    val out = IneqJoin(l3, r3, "<=", leftOn = Some("a"), rightOn = Some("b"))
+    assert(IneqJoin.warnedMissingStrategy,
+      "expected a loud warning when RangeJoinStrategy is absent")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("NestedLoopJoin") || plan.contains("CartesianProduct"),
+      s"vanilla session should fall back to the nested loop:\n$plan")
+    // the warning is once-per-JVM: a second call must not depend on it
+    IneqJoin.warnedMissingStrategy = false
+    // a session WITH the strategy installed must not warn
+    val orig = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val l = Seq((1, 10), (2, 20)).toDF("lid", "a")
+      val r = Seq((10, 15), (25, 30)).toDF("rid", "b")
+      IneqJoin(l, r, "<=", leftOn = Some("a"), rightOn = Some("b")).count()
+      assert(!IneqJoin.warnedMissingStrategy,
+        "must not warn when the range-join strategy is installed")
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+    }
+  }
+
   test("all four operators, hand-computed") {
     def pairs(how: String): Set[Seq[String]] =
       rowSet(IneqJoin(l3, r3, how, leftOn = Some("a"), rightOn = Some("b"))
