@@ -178,7 +178,11 @@ object AsOfJoin {
       else min_by(col(RROW), struct(col(TS), col(TIE)))
     val perPart = parted.filter(col(TAG) === 0)
       .groupBy(col(PID)).agg(ext.as("__graft_ext"))
-    val wc = Window
+    // partitionBy(lit(1)): this frame is O(#partitions) rows (one per
+    // pid), so single-partition execution is the point, not a bottleneck
+    // — the constant key just keeps WindowExec from logging its
+    // "No Partition Defined" performance warning on every run
+    val wc = Window.partitionBy(lit(1))
       .orderBy(if (backward) col(PID).asc else col(PID).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = parted.select(col(PID)).distinct()
