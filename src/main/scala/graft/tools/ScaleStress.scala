@@ -46,6 +46,36 @@ object ScaleStress {
   }
 }
 
+/** Worst-case round count for distributed connected components: a PATH
+  * graph (diameter = edge count) is the adversarial input for label
+  * propagation. Prints rounds-to-fixpoint and wall time so the
+  * O(log₄ diameter) claim in [[graft.operators.Dedup.connectedComponents]]
+  * stays measured, not asserted.
+  */
+object ScaleStressCC {
+  def main(args: Array[String]): Unit = {
+    val nEdges = args.headOption.map(_.toInt).getOrElse(600000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // path 0-1-2-...-nEdges: one component, diameter nEdges
+    val pairs = spark.range(nEdges)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val t0 = System.nanoTime()
+    val (labels, rounds) = graft.operators.Dedup.connectedComponentsImpl(
+      pairs, "a", "b", maxIter = 40, localThreshold = 0L)
+    val comps = labels.select("component").distinct().count()
+    println(f"[stress-cc] path($nEdges): $rounds rounds, " +
+      f"$comps component(s), ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    assert(comps == 1L, s"path graph must collapse to 1 component, got $comps")
+    spark.stop()
+  }
+}
+
 /** Prefix-filter variant on the same stress corpus. */
 object ScaleStressPrefix {
   def main(args: Array[String]): Unit = {

@@ -164,6 +164,17 @@ class DedupSuite extends SparkSpec {
     assert(comp.values.toSet == Set("n00"))
   }
 
+  test("double pointer jump reaches log4 rounds on a path graph") {
+    // per-round reach is c <- 4c+4 (neighbor-min + two jumps): a
+    // diameter-63 path needs 3 covering rounds + 1 to observe the
+    // fixpoint. The single-jump recurrence (c <- 2c+2) would need 6.
+    val pairs = (0 until 63).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (out, rounds) = Dedup.connectedComponentsImpl(
+      pairs, "doc_a", "doc_b", maxIter = 25, localThreshold = 0)
+    assert(out.select("component").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+    assert(rounds <= 4, s"expected <=4 rounds on a 63-edge path, took $rounds")
+  }
+
   test("local union-find and distributed propagation agree on a random graph") {
     val rnd = new scala.util.Random(3)
     val pairs = (0 until 80).map(_ => (rnd.nextInt(50), rnd.nextInt(50)))
