@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.{Partitioner, RangePartitioner}
+import org.apache.spark.Partitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
@@ -148,22 +148,148 @@ case class BroadcastRangeJoinExec(
   }
 }
 
+/** Skew-aware replacement for [[RangePartitioner]] in the shuffled range
+  * join. Spark's RangePartitioner cannot split EQUAL keys: every row of
+  * one hot key lands in a single partition, and a 50%-duplicate right
+  * side was measured at 2.5× the uniform case's per-row cost (PLANS.md).
+  * This partitioning samples the keyed RDD ONCE (reservoir per input
+  * partition + exact counts, the same job shape RangePartitioner runs)
+  * and derives BOTH:
+  *
+  *  - `bounds` — p−1 weighted-quantile cut keys (duplicate keys collapse
+  *    into one bucket, exactly like RangePartitioner); and
+  *  - `sizes`  — per-bucket SALT sub-slot counts `s_i = max(1,
+  *    round(share_i · p))`, where `share_i` is the bucket's sampled mass.
+  *    A balanced bucket gets 1 slot (zero overhead vs the unsalted
+  *    plan); a bucket holding a hot key gets ~its proportional share of
+  *    the cluster.
+  *
+  * Right rows go to slot `offset(bucket) + counter % s_bucket` (counter
+  * = per-map-partition round-robin, so even FULLY identical rows
+  * spread). Left rows fan out to every slot of every bucket they could
+  * match — and because global slot ids are bucket-prefix-sum ordered,
+  * that is still one CONTIGUOUS pid range, same as the unsalted plan.
+  * Each qualifying pair still meets exactly once: the right row's slot
+  * is unique, and the left row visits it iff it visits the bucket.
+  */
+private[plans] final class SaltedRangePartitioning(
+    rdd: RDD[(Any, InternalRow)],
+    targetParts: Int)(implicit ord: Ordering[Any]) extends Serializable {
+
+  val (bounds: Array[Any], sizes: Array[Int]) = {
+    val perPart = math.max(1, math.ceil(
+      3.0 * math.min(20.0 * targetParts, 1e6) / math.max(1, rdd.partitions.length)).toInt)
+    val sketched: Array[(Long, Array[Any])] =
+      rdd.mapPartitionsWithIndex { (idx, it) =>
+        // reservoir sample of keys + exact count, seeded by partition id
+        val sample = new Array[Any](perPart)
+        val rng = new java.util.Random(0x9e3779b97f4a7c15L ^ idx)
+        var n = 0L
+        it.foreach { case (k, _) =>
+          if (n < perPart) sample(n.toInt) = k
+          else {
+            val j = (rng.nextDouble() * (n + 1)).toLong
+            if (j < perPart) sample(j.toInt) = k
+          }
+          n += 1
+        }
+        val kept = if (n < perPart) sample.take(n.toInt) else sample
+        Iterator.single((n, kept))
+      }.collect()
+
+    val total = sketched.map(_._1).sum
+    if (total == 0L) (Array.empty[Any], Array(1))
+    else {
+      // weight each sampled key by rows-represented, then cut p-1 bounds
+      // at equal cumulative-weight steps (weighted quantiles)
+      val candidates = sketched.flatMap { case (n, ks) =>
+        if (ks.isEmpty) Array.empty[(Any, Double)]
+        else { val w = n.toDouble / ks.length; ks.map(k => (k, w)) }
+      }
+      java.util.Arrays.sort(candidates, Ordering.by[(Any, Double), Any](_._1)(ord))
+      val sumW = candidates.map(_._2).sum
+      val p = math.max(1, targetParts)
+      val step = sumW / p
+      val bnds = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var cum = 0.0
+      var target = step
+      candidates.foreach { case (k, w) =>
+        cum += w
+        if (cum >= target && bnds.size < p - 1 &&
+            (bnds.isEmpty || ord.compare(k, bnds.last) > 0)) {
+          bnds += k
+          target += step
+        }
+      }
+      val boundsArr = bnds.toArray
+      // sampled mass per bucket -> proportional sub-slot count
+      val share = new Array[Double](boundsArr.length + 1)
+      candidates.foreach { case (k, w) => share(bucketIn(boundsArr, k)) += w }
+      val sz = share.map(s => math.max(1, math.round(s / sumW * p).toInt))
+      (boundsArr, sz)
+    }
+  }
+
+  private val offsets: Array[Int] = sizes.scanLeft(0)(_ + _).init
+  val numPartitions: Int = offsets.last + sizes.last
+  def numBuckets: Int = sizes.length
+  def maxSlots: Int = sizes.max
+
+  /** First bucket whose upper bound is >= k (keys above every bound →
+    * last bucket) — monotone in k, so left fan-out runs stay contiguous.
+    */
+  private def bucketIn(bs: Array[Any], k: Any): Int = {
+    var lo = 0
+    var hi = bs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ord.compare(bs(mid), k) < 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  def bucketOf(k: Any): Int = bucketIn(bounds, k)
+
+  /** Global slot for a right row: its bucket's offset plus a round-robin
+    * salt. The counter spreads even identical rows; determinism across
+    * task retries matches the upstream's own order determinism (the same
+    * contract Spark's round-robin repartition relies on).
+    */
+  def slotOf(k: Any, counter: Int): Int = {
+    val b = bucketIn(bounds, k)
+    val s = sizes(b)
+    offsets(b) + (if (s == 1) 0 else Integer.remainderUnsigned(counter, s))
+  }
+
+  /** Contiguous global-pid range a left row must visit: all slots of all
+    * buckets at-or-after (ascending ops) / at-or-before (descending) its
+    * home bucket.
+    */
+  def leftSlotRange(v: Any, ascending: Boolean): Range = {
+    val b = bucketIn(bounds, v)
+    if (ascending) offsets(b) until numPartitions
+    else 0 until (offsets(b) + sizes(b))
+  }
+}
+
 /** Shuffle-based range join for large×large inputs — the IEJoin-style
   * plan the broadcast variant cannot serve (SURVEY.md §4.1 M3; round-2
   * verdict's top gap):
   *
-  *  1. sample the RIGHT side's join keys (Spark's weighted
-  *     RangePartitioner sampling — skew-balanced) to derive P range
-  *     bounds;
-  *  2. shuffle each right row to its home range partition (exactly one);
-  *  3. replicate each left row to every partition that can hold a
-  *     matching right key — a contiguous partition SUFFIX for `<`/`<=`,
-  *     PREFIX for `>`/`>=` (range partitioning is monotone in the key);
-  *  4. per partition: sort the right fragment, binary-search each left
-  *     row, emit the contiguous match run ([[RangeProbe]]).
+  *  1. sample the RIGHT side's join keys once
+  *     ([[SaltedRangePartitioning]]) to derive range-bucket bounds AND
+  *     per-bucket salt sub-slot counts (hot EQUAL keys, which range
+  *     partitioning alone cannot split, get proportionally many slots);
+  *  2. shuffle each right row to its home slot (exactly one);
+  *  3. replicate each left row to every slot that can hold a matching
+  *     right key — a contiguous slot SUFFIX for `<`/`<=`, PREFIX for
+  *     `>`/`>=` (bucketing is monotone in the key; slot ids are
+  *     bucket-prefix-sum ordered);
+  *  4. per slot: sort the right fragment, binary-search each left row,
+  *     emit the contiguous match run ([[RangeProbe]]).
   *
   * Each qualifying pair meets in exactly one partition (the right row's
-  * home), so no dedup pass is needed. Left replication is bounded by the
+  * unique slot), so no dedup pass is needed. Left replication is bounded by the
   * number of partitions actually containing matches, which the output
   * itself must touch — replication cost is amortized by the inherent
   * O(output) lower bound of an inequality join. The sampling pass
@@ -205,16 +331,21 @@ case class ShuffledRangeJoinExec(
         if (k == null) Iterator.empty else Iterator.single((k, r.copy()))
       }
     }
-    val rangePart = new RangePartitioner[Any, InternalRow](
-      targetParts, rightKeyed, ascending = true)
-    val p = math.max(1, rangePart.numPartitions)
+    val rangePart = new SaltedRangePartitioning(rightKeyed, targetParts)
+    val p = rangePart.numPartitions
     val idPart = new Partitioner {
       override def numPartitions: Int = p
       override def getPartition(key: Any): Int = key.asInstanceOf[Int]
     }
 
     val rightShuffled = rightKeyed
-      .map { case (k, row) => (rangePart.getPartition(k), row) }
+      .mapPartitions { it =>
+        var cnt = 0
+        it.map { case (k, row) =>
+          cnt += 1
+          (rangePart.slotOf(k, cnt), row)
+        }
+      }
       .partitionBy(idPart)
       .values
     val ascending = opLocal == "<" || opLocal == "<="
@@ -223,12 +354,11 @@ case class ShuffledRangeJoinExec(
         val v = boundLeftKey.eval(r)
         if (v == null) Iterator.empty
         else {
-          val home = rangePart.getPartition(v)
           val row = r.copy()
           // matching right keys are OP-bounded by v, so they live in a
-          // contiguous partition run relative to v's home partition
-          val range = if (ascending) home until p else 0 to home
-          range.iterator.map(pid => (pid, row))
+          // contiguous slot run relative to v's home bucket (salted
+          // sub-slots of a bucket are globally contiguous by prefix sum)
+          rangePart.leftSlotRange(v, ascending).iterator.map(pid => (pid, row))
         }
       }
     }.partitionBy(idPart).values

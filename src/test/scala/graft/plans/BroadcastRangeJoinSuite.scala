@@ -210,6 +210,60 @@ class BroadcastRangeJoinSuite extends SparkSpec {
     }
   }
 
+  test("salted sub-slots: exactly-once under a hot right key (multiset compare)") {
+    // >50% of the right rows share ONE key, so SaltedRangePartitioning
+    // assigns that bucket multiple sub-slots; every qualifying pair must
+    // still appear exactly once — including pairs from FULLY identical
+    // right rows, which the round-robin salt spreads across slots
+    val ldata = (0 until 300).map(i => (i, i.toDouble / 3))
+    val rdata = (0 until 200).map(i => (i, if (i % 2 == 0) 42.0 else i.toDouble)) ++
+      Seq((999, 42.0), (999, 42.0)) // identical rows: pair count must be 2
+    val expected = (for { (lid, a) <- ldata; (rid, b) <- rdata; if a < b }
+      yield (lid, rid)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    withStrategy { s =>
+      import s.implicits._
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = ldata.toDF("lid", "a").join(rdata.toDF("rid", "b"), col("a") < col("b"))
+        assert(j.queryExecution.executedPlan.toString.contains("ShuffledRangeJoin"))
+        val got = j.groupBy("lid", "rid").count().collect()
+          .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+        assert(got == expected)
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("SaltedRangePartitioning gives a hot key proportional sub-slots") {
+    withStrategy { s =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      // 50% of the mass on one key -> its bucket should get ~p/2 slots
+      val keys = s.sparkContext.parallelize(
+        (0 until 10000).map(i =>
+          (if (i % 2 == 0) 500.0 else i.toDouble): Any), 8)
+        .map(k => (k, null: InternalRow))
+      implicit val ord: Ordering[Any] =
+        org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(
+          org.apache.spark.sql.types.DoubleType)
+      val part = new SaltedRangePartitioning(keys, 32)
+      val hot = part.bucketOf(500.0)
+      assert(part.sizes(hot) >= 8,
+        s"hot bucket got ${part.sizes(hot)} slots of ${part.numPartitions}")
+      // round-robin salt actually reaches every slot of the hot bucket
+      val slots = (0 until 200).map(c => part.slotOf(500.0, c)).distinct
+      assert(slots.size == part.sizes(hot))
+      // left fan-out (ascending) covers exactly the suffix of slots
+      val r = part.leftSlotRange(400.0, ascending = true)
+      assert(r.last == part.numPartitions - 1 && r.nonEmpty)
+      // a balanced distribution degenerates to one slot per bucket
+      val uniform = s.sparkContext.parallelize(
+        (0 until 10000).map(i => (i.toDouble: Any)), 8)
+        .map(k => (k, null: InternalRow))
+      val upart = new SaltedRangePartitioning(uniform, 32)
+      assert(upart.maxSlots <= 2, s"uniform keys salted to ${upart.maxSlots} slots")
+    }
+  }
+
   test("small LEFT side broadcasts swapped (no shuffle, original column order)") {
     withStrategy { s =>
       import s.implicits._
