@@ -99,6 +99,27 @@ object SparkEntry {
           col("c_bal_dec").cast(DoubleType).as("c_bal_dec"),
           col("s_bal_dec").cast(DoubleType).as("s_bal_dec"))
     }),
+    "fuzzy_join_sql" -> ((s, dir) => {
+      // the FUZZY JOIN SQL surface (GraftSqlParser, injected by
+      // GraftExtensions): desugars to abs(a-b) <= tol, which the
+      // FuzzyJoinRewrite rule then buckets — same plan path as the
+      // operator API. Falls back to explicit desugaring (loudly) when
+      // the session parser lacks the extension.
+      t(s, dir, "customer").createOrReplaceTempView("graft_sql_cust")
+      t(s, dir, "supplier").createOrReplaceTempView("graft_sql_supp")
+      val q = """SELECT c_custkey, c_acctbal, s_suppkey, s_acctbal
+                |FROM graft_sql_cust FUZZY JOIN graft_sql_supp
+                |ON c_acctbal NEAR s_acctbal WITHIN 2.5""".stripMargin
+      try s.sql(q)
+      catch {
+        case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+          System.err.println(
+            "[graft] WARN: session parser lacks the FUZZY JOIN syntax " +
+              "(set spark.sql.extensions=graft.plans.GraftExtensions); " +
+              "desugaring explicitly")
+          s.sql(graft.plans.GraftSqlParser.desugar(q))
+      }
+    }),
     // ---- O3 ineq_join ----------------------------------------------------
     "ineq_join_acctbal" -> ((s, dir) => {
       IneqJoin(
@@ -652,6 +673,9 @@ object SparkEntry {
           |FROM customer, supplier
           |WHERE abs(CAST(c_acctbal AS DECIMAL(12,2)) - CAST(s_acctbal AS DECIMAL(12,2)))
           |      <= CAST(2.50 AS DECIMAL(12,2))""".stripMargin,
+      "fuzzy_join_sql" ->
+        """SELECT c_custkey, c_acctbal, s_suppkey, s_acctbal
+          |FROM customer, supplier WHERE abs(c_acctbal - s_acctbal) <= 2.5""".stripMargin,
       "ineq_join_acctbal" ->
         "SELECT c_custkey, s_suppkey FROM customer, supplier WHERE c_acctbal >= s_acctbal",
       "ineq_join_dates" ->

@@ -230,6 +230,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FuzzyJoinRewrite)
     ext.injectPlannerStrategy(_ => RangeJoinStrategy)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

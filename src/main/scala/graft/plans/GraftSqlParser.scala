@@ -1,0 +1,214 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL surface for the band join (SURVEY.md §7.5 stretch; the
+  * reference exposes `fuzzy_join` only as a library call —
+  * pandance/pandance.py:376-418 — so this is a beyond-reference
+  * convenience on top of the same semantics):
+  *
+  * {{{
+  *   SELECT ... FROM l FUZZY JOIN r ON l.a NEAR r.b WITHIN 0.5 [AND ...]
+  * }}}
+  *
+  * desugars, before delegation to Spark's parser, into
+  *
+  * {{{
+  *   SELECT ... FROM l JOIN r ON abs((l.a) - (r.b)) <= (0.5) [AND ...]
+  * }}}
+  *
+  * which [[FuzzyJoinRewrite]] then turns into the bucketed equi-join —
+  * so the syntax and the transparent optimization share one plan path,
+  * and the naive-join semantics (`abs(a−b) <= tol`) stay the single
+  * source of truth.
+  *
+  * The desugarer is a character-accurate token scanner, not a regex: it
+  * skips string literals (`'…'`, `"…"`, with `''`/backslash escapes),
+  * backquoted identifiers, `--` line comments and nested `/* … */`
+  * bracketed comments, and tracks parenthesis depth, so `FUZZY JOIN`
+  * inside a string/comment is untouched and `NEAR`/`WITHIN` are only
+  * keywords at the top level of the ON clause of a `FUZZY JOIN` (a
+  * column actually named `near` can be written `` `near` ``). Multiple
+  * fuzzy joins per statement (including inside subqueries) desugar
+  * iteratively. Everything else — any statement without the phrase —
+  * passes through byte-identical.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser.desugar
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(desugar(sqlText))
+
+  override def parsePlanWithParameters(
+      sqlText: String, ctx: ParameterContext): LogicalPlan =
+    delegate.parsePlanWithParameters(desugar(sqlText), ctx)
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(desugar(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  /** One scanned token: uppercased word or single punctuation char, its
+    * [start, end) slice of the original text, and the paren depth at its
+    * position. String literals, quoted identifiers, and comments are
+    * skipped entirely (they can never be keywords); other characters
+    * (operators, digits, whitespace) are not cut points and are carried
+    * through untouched by slice-based reassembly.
+    */
+  private final case class Tok(word: String, start: Int, end: Int, depth: Int)
+
+  private def scan(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    val n = sql.length
+    var i = 0
+    var depth = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        val q = c
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          val ch = sql.charAt(i)
+          if (ch == '\\') i += 2
+          else if (ch == q) {
+            if (i + 1 < n && sql.charAt(i + 1) == q) i += 2 else { done = true; i += 1 }
+          } else i += 1
+        }
+      } else if (c == '`') {
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (sql.charAt(i) == '`') {
+            if (i + 1 < n && sql.charAt(i + 1) == '`') i += 2 else { done = true; i += 1 }
+          } else i += 1
+        }
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        var d = 1
+        i += 2
+        while (i < n && d > 0) {
+          if (i + 1 < n && sql.charAt(i) == '/' && sql.charAt(i + 1) == '*') { d += 1; i += 2 }
+          else if (i + 1 < n && sql.charAt(i) == '*' && sql.charAt(i + 1) == '/') { d -= 1; i += 2 }
+          else i += 1
+        }
+      } else if (c == '(') {
+        out += Tok("(", i, i + 1, depth); depth += 1; i += 1
+      } else if (c == ')') {
+        depth -= 1; out += Tok(")", i, i + 1, depth); i += 1
+      } else if (c == ',' || c == ';') {
+        out += Tok(c.toString, i, i + 1, depth); i += 1
+      } else if (c.isLetter || c == '_') {
+        val s = i
+        while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+        out += Tok(sql.substring(s, i).toUpperCase(java.util.Locale.ROOT), s, i, depth)
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Keywords that end an ON clause at its own depth. */
+  private val ClauseEnd: Set[String] = Set(
+    "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "SEMI", "ANTI",
+    "NATURAL", "FUZZY", "LATERAL", "WHERE", "GROUP", "HAVING", "WINDOW",
+    "ORDER", "SORT", "CLUSTER", "DISTRIBUTE", "LIMIT", "OFFSET", "UNION",
+    "EXCEPT", "INTERSECT", "MINUS", ",", ";")
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(
+      s"[GRAFT] FUZZY JOIN syntax: $msg — expected " +
+        "`FUZZY JOIN <rel> ON <expr> NEAR <expr> WITHIN <tolerance> [AND ...]`")
+
+  /** Rewrite the first `FUZZY JOIN … ON a NEAR b WITHIN tol` in `sql`
+    * into standard syntax; None when no fuzzy join is present.
+    */
+  private def desugarFirst(sql: String): Option[String] = {
+    val toks = scan(sql)
+    val fz = toks.indices.find { k =>
+      toks(k).word == "FUZZY" && k + 1 < toks.length &&
+        toks(k + 1).word == "JOIN" && toks(k + 1).depth == toks(k).depth
+    }
+    fz.map { k =>
+      val d = toks(k).depth
+      // the ON of this join: first ON at the same depth; another join or
+      // clause keyword first means the fuzzy join has no direct ON
+      var j = k + 2
+      while (j < toks.length &&
+          !(toks(j).depth == d && toks(j).word == "ON")) {
+        if (toks(j).depth == d && ClauseEnd.contains(toks(j).word))
+          fail("no ON clause directly after FUZZY JOIN")
+        if (toks(j).depth < d) fail("no ON clause directly after FUZZY JOIN")
+        j += 1
+      }
+      if (j >= toks.length) fail("no ON clause directly after FUZZY JOIN")
+      val on = j
+      // ON-clause region: up to a clause keyword at depth d, a token at
+      // shallower depth (closing a subquery), or end of statement
+      var e = on + 1
+      while (e < toks.length && toks(e).depth >= d &&
+          !(toks(e).depth == d && ClauseEnd.contains(toks(e).word))) e += 1
+      val clauseEndPos = if (e < toks.length) toks(e).start else sql.length
+      def findKw(from: Int, kw: String): Option[Int] =
+        (from until e).find(x => toks(x).depth == d && toks(x).word == kw)
+      val near = findKw(on + 1, "NEAR").getOrElse(fail("no NEAR in the ON clause"))
+      val within = findKw(near + 1, "WITHIN").getOrElse(fail("no WITHIN after NEAR"))
+      // tolerance runs to the first top-level AND/OR (trailing residual
+      // conjuncts stay as written) or to the end of the ON clause
+      val tolEnd = (within + 1 until e)
+        .find(x => toks(x).depth == d && (toks(x).word == "AND" || toks(x).word == "OR"))
+        .map(toks(_).start).getOrElse(clauseEndPos)
+      val a = sql.substring(toks(on).end, toks(near).start).trim
+      val b = sql.substring(toks(near).end, toks(within).start).trim
+      val tol = sql.substring(toks(within).end, tolEnd).trim
+      if (a.isEmpty || b.isEmpty || tol.isEmpty)
+        fail("empty expression around NEAR/WITHIN")
+      sql.substring(0, toks(k).start) +
+        sql.substring(toks(k + 1).start, toks(on).end) +
+        s" abs(($a) - ($b)) <= ($tol) " +
+        sql.substring(tolEnd)
+    }
+  }
+
+  /** Desugar every `FUZZY JOIN` in the statement; non-fuzzy SQL returns
+    * unchanged (same String instance — zero cost on the common path).
+    */
+  def desugar(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    var more = true
+    while (more && guard < 100) {
+      desugarFirst(cur) match {
+        case Some(next) => cur = next; guard += 1
+        case None => more = false
+      }
+    }
+    cur
+  }
+}

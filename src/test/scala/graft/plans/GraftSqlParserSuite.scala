@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** FUZZY JOIN SQL syntax: desugaring correctness (token scanner edge
+  * cases), end-to-end result equivalence with the operator API, and the
+  * plan shape (the desugared join must ride the bucketed rewrite, not a
+  * nested loop).
+  */
+class GraftSqlParserSuite extends SparkSpec {
+  import GraftSqlParser.desugar
+
+  test("plain SQL passes through unchanged (same instance)") {
+    val q = "SELECT a, b FROM t WHERE abs(a - b) <= 0.5 ORDER BY a"
+    assert(desugar(q) eq q)
+  }
+
+  test("basic desugar shape") {
+    val q = "SELECT * FROM l FUZZY JOIN r ON l.a NEAR r.b WITHIN 0.5"
+    assert(desugar(q) ==
+      "SELECT * FROM l JOIN r ON abs((l.a) - (r.b)) <= (0.5) ")
+  }
+
+  test("trailing residual conjuncts and WHERE survive verbatim") {
+    val q = "SELECT * FROM l FUZZY JOIN r ON l.a NEAR r.b WITHIN 1.5 " +
+      "AND l.k < r.k WHERE l.a > 0"
+    val d = desugar(q)
+    assert(d.contains("ON abs((l.a) - (r.b)) <= (1.5) AND l.k < r.k"))
+    assert(d.contains("WHERE l.a > 0"))
+  }
+
+  test("FUZZY JOIN inside strings and comments is untouched") {
+    val q1 = "SELECT 'use FUZZY JOIN ON a NEAR b WITHIN 2' AS hint FROM t"
+    assert(desugar(q1) eq q1)
+    val q2 = "SELECT a FROM t -- FUZZY JOIN r ON x NEAR y WITHIN 1\nWHERE a > 0"
+    assert(desugar(q2) eq q2)
+    val q3 = "SELECT a FROM t /* nested /* FUZZY JOIN */ comment */ WHERE a > 0"
+    assert(desugar(q3) eq q3)
+  }
+
+  test("backquoted identifiers named like the keywords are not keywords") {
+    val q = "SELECT `near`, `within` FROM t FUZZY JOIN r ON t.a NEAR r.b WITHIN 2"
+    val d = desugar(q)
+    assert(d.startsWith("SELECT `near`, `within` FROM t JOIN r ON abs((t.a) - (r.b)) <= (2)"))
+  }
+
+  test("two fuzzy joins in one statement both desugar") {
+    val q = "SELECT * FROM a FUZZY JOIN b ON a.x NEAR b.y WITHIN 1 " +
+      "FUZZY JOIN c ON b.y NEAR c.z WITHIN 2"
+    val d = desugar(q)
+    assert(d.contains("JOIN b ON abs((a.x) - (b.y)) <= (1)"))
+    assert(d.contains("JOIN c ON abs((b.y) - (c.z)) <= (2)"))
+    assert(!d.toUpperCase.contains("FUZZY"))
+  }
+
+  test("fuzzy join inside a subquery desugars at its own depth") {
+    val q = "SELECT * FROM (SELECT l.a AS a FROM l FUZZY JOIN r ON l.a NEAR r.b " +
+      "WITHIN 0.25) s WHERE s.a > 1"
+    val d = desugar(q)
+    assert(d.contains("JOIN r ON abs((l.a) - (r.b)) <= (0.25) "))
+    assert(d.endsWith("s WHERE s.a > 1"))
+  }
+
+  test("subquery as the join relation: ON found at the join's depth") {
+    val q = "SELECT * FROM l FUZZY JOIN (SELECT b FROM r WHERE b > 0) rr " +
+      "ON l.a NEAR rr.b WITHIN 3"
+    val d = desugar(q)
+    assert(d.contains("(SELECT b FROM r WHERE b > 0) rr ON abs((l.a) - (rr.b)) <= (3)"))
+  }
+
+  test("function calls in the NEAR operands keep their commas") {
+    val q = "SELECT * FROM l FUZZY JOIN r ON round(l.a, 2) NEAR round(r.b, 2) WITHIN 1"
+    assert(desugar(q).contains("ON abs((round(l.a, 2)) - (round(r.b, 2))) <= (1)"))
+  }
+
+  test("malformed fuzzy joins fail loudly, not silently") {
+    def bad(q: String): Unit = {
+      val e = intercept[IllegalArgumentException](desugar(q))
+      assert(e.getMessage.contains("FUZZY JOIN"))
+    }
+    bad("SELECT * FROM l FUZZY JOIN r WHERE l.a > 0")            // no ON
+    bad("SELECT * FROM l FUZZY JOIN r ON l.a < r.b")             // no NEAR
+    bad("SELECT * FROM l FUZZY JOIN r ON l.a NEAR r.b")          // no WITHIN
+    bad("SELECT * FROM l FUZZY JOIN r JOIN x ON a NEAR b WITHIN 1") // ON not direct
+  }
+
+  test("end-to-end: FUZZY JOIN SQL == operator API == naive join") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s.implicits._
+      val l = (0 until 300).map(i => (i, i * 0.37)).toDF("lid", "a")
+      val r = (0 until 200).map(i => (i, i * 0.61)).toDF("rid", "b")
+      l.createOrReplaceTempView("fzl")
+      r.createOrReplaceTempView("fzr")
+      val viaSql = s.sql(
+        "SELECT lid, rid FROM fzl FUZZY JOIN fzr ON a NEAR b WITHIN 0.5")
+      // the desugared plan must ride the bucketed rewrite, not a loop
+      val plan = viaSql.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+      val viaApi = graft.operators.FuzzyJoin.numeric(
+        l, r, tol = 0.5, leftOn = Some("a"), rightOn = Some("b"))
+        .select("lid", "rid")
+      val naive = l.hint("broadcast").crossJoin(r)
+        .filter(abs(col("a") - col("b")) <= 0.5).select("lid", "rid")
+      val sqlRows = viaSql.collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+      assert(sqlRows == viaApi.collect().map(x => (x.getInt(0), x.getInt(1))).toSet)
+      assert(sqlRows == naive.collect().map(x => (x.getInt(0), x.getInt(1))).toSet)
+    } finally {
+      // no s.stop(): the builder reuses the shared local SparkContext
+      // (same pattern as BroadcastRangeJoinSuite.withStrategy)
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
+}
