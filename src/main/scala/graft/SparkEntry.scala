@@ -256,6 +256,20 @@ object SparkEntry {
         .as[Streaming.UserEvent]
       Streaming.sessionize(ev, gapUs = 30L * 60 * 1000000).toDF()
     }),
+    "stream_asof_events" -> ((s, dir) => {
+      // batch run of the streaming as-of join (stream behavior — waiting
+      // on the watermark so out-of-order refs still win — proven over
+      // MemoryStream in StreamingSuite): latest view at-or-before each
+      // click per user, within 30 minutes
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      def side(tp: String) = ev.filter(col("event_type") === tp)
+        .select(col("user_id").cast(LongType).as("key"), col("ts"),
+          col("event_id").cast(LongType).as("id"))
+        .as[Streaming.AsOfEvent]
+      Streaming.asOfJoin(side("click"), side("view"),
+        Duration.ofMinutes(30)).toDF()
+    }),
     // ---- dedup -----------------------------------------------------------
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -773,6 +787,17 @@ object SparkEntry {
           |SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
           |       count(*) AS n_events
           |FROM s GROUP BY user_id, sid""".stripMargin,
+      "stream_asof_events" ->
+        """WITH p AS (SELECT user_id AS key, event_id AS probe_id, epoch_us(ts) AS probe_us
+          |           FROM events WHERE event_type = 'click'),
+          |     r AS (SELECT user_id, event_id AS ref_id, epoch_us(ts) AS ref_us
+          |           FROM events WHERE event_type = 'view'),
+          |     j AS (SELECT key, probe_id, probe_us, ref_id, ref_us,
+          |                  row_number() OVER (PARTITION BY key, probe_id
+          |                                     ORDER BY ref_us DESC, ref_id DESC) AS rn
+          |           FROM p JOIN r ON p.key = r.user_id
+          |            AND ref_us <= probe_us AND ref_us >= probe_us - 1800000000)
+          |SELECT key, probe_id, probe_us, ref_id, ref_us FROM j WHERE rn = 1""".stripMargin,
       "quantiles_sketch" ->
         """SELECT pct, floor(e * 10000) / 10000 AS exact, TRUE AS sketch_ok
           |FROM (

@@ -202,6 +202,142 @@ object Streaming {
       .drop("__graft_sbl", "__graft_sbr")
   }
 
+  /** One side's event for [[asOfJoin]]: the join key, the event time,
+    * and an opaque payload HANDLE (row id). Only `(id, ts)` pairs enter
+    * the state store — payloads are joined back by id downstream, so
+    * state per key is bounded by `tol + watermark` worth of ids no
+    * matter how wide the rows are.
+    */
+  final case class AsOfEvent(key: Long, ts: Timestamp, id: Long)
+
+  /** Internal tagged union row of the two input streams. */
+  final case class TaggedAsOf(key: Long, ts: Timestamp, id: Long, isRef: Boolean)
+
+  /** One as-of match: the probe row and the latest reference row at or
+    * before it (within tolerance), ts as epoch micros (engine-portable).
+    */
+  final case class AsOfMatch(
+      key: Long, probe_id: Long, probe_us: Long, ref_id: Long, ref_us: Long)
+
+  /** State-store record per key: pending probe and buffered reference
+    * `(us, id)` pairs as primitive arrays (encoder-friendly, compact).
+    */
+  final case class AsOfState(
+      refUs: Array[Long], refId: Array[Long],
+      probeUs: Array[Long], probeId: Array[Long])
+
+  /** Streaming as-of join (backward, within tolerance) — the streaming
+    * form of the reference's merge_asof-style join
+    * (pandance/pandance.py:22; batch form in graft.operators.AsOfJoin):
+    * for each probe event, the LATEST reference event of the same key
+    * with `ref.ts <= probe.ts` and `probe.ts - ref.ts <= tol` (ties on
+    * ts broken by max id, deterministically). Inner semantics: probes
+    * with no reference in range emit nothing.
+    *
+    * Streaming: tag + union the two streams, group by key, buffer ONLY
+    * `(id, ts)` pairs in the state store. A probe is emitted exactly
+    * when the watermark passes its event time — any reference that
+    * could still beat the current best (out-of-order, within the
+    * watermark delay) has provably arrived by then — and references
+    * older than `watermark - tol` are evicted (no unemitted probe can
+    * reach them). An event-time timeout flushes pending probes for keys
+    * that receive no further traffic. State per key is bounded by the
+    * watermark horizon + tolerance, independent of stream volume.
+    *
+    * Batch: the same semantics as one join + window plan (band join on
+    * the bucket-free key equality, `row_number` over refs descending),
+    * which is what the driver's DuckDB oracle checks.
+    */
+  def asOfJoin(
+      probe: Dataset[AsOfEvent],
+      ref: Dataset[AsOfEvent],
+      tol: java.time.Duration,
+      watermarkDelay: String = "10 minutes"): Dataset[AsOfMatch] = {
+    val spark = probe.sparkSession
+    import spark.implicits._
+    val tolUs = tol.toNanos / 1000L
+    require(tolUs > 0, s"tolerance must be >= 1 microsecond, got $tol")
+
+    if (!probe.isStreaming && !ref.isStreaming) {
+      import org.apache.spark.sql.expressions.Window
+      val p = probe.toDF().select(col("key"),
+        unix_micros(col("ts")).as("probe_us"), col("id").as("probe_id"))
+      val r = ref.toDF().select(col("key").as("__rkey"),
+        unix_micros(col("ts")).as("ref_us"), col("id").as("ref_id"))
+      val w = Window.partitionBy(col("key"), col("probe_id"))
+        .orderBy(col("ref_us").desc, col("ref_id").desc)
+      return p.join(r,
+          col("key") === col("__rkey") &&
+            col("ref_us") <= col("probe_us") &&
+            col("ref_us") >= col("probe_us") - tolUs)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("key"), col("probe_id"), col("probe_us"),
+          col("ref_id"), col("ref_us"))
+        .as[AsOfMatch]
+    }
+
+    def usOf(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def process(
+        key: Long,
+        it: Iterator[TaggedAsOf],
+        state: GroupState[AsOfState]): Iterator[AsOfMatch] = {
+      val st = state.getOption.getOrElse(
+        AsOfState(Array.empty, Array.empty, Array.empty, Array.empty))
+      var refs = st.refUs.zip(st.refId)
+      var probes = st.probeUs.zip(st.probeId)
+      if (!state.hasTimedOut) {
+        // bounded: one key's events from ONE micro-batch
+        val (newRefs, newProbes) = it.toArray.partition(_.isRef)
+        refs ++= newRefs.map(e => (usOf(e.ts), e.id))
+        probes ++= newProbes.map(e => (usOf(e.ts), e.id))
+      }
+      // emission threshold: STRICTLY below the watermark — an event AT
+      // the watermark is not yet final (Spark admits rows == watermark)
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (ready, pending) = probes.partition(_._1 < wmUs)
+      val out = ready.sortBy(p => (p._1, p._2)).iterator.flatMap { case (pUs, pId) =>
+        // latest ref at-or-before the probe within tol; ties -> max id
+        var bestUs = Long.MinValue
+        var bestId = Long.MinValue
+        refs.foreach { case (rUs, rId) =>
+          if (rUs <= pUs && pUs - rUs <= tolUs &&
+              (rUs > bestUs || (rUs == bestUs && rId > bestId))) {
+            bestUs = rUs; bestId = rId
+          }
+        }
+        if (bestUs == Long.MinValue) Iterator.empty
+        else Iterator.single(AsOfMatch(key, pId, pUs, bestId, bestUs))
+      }.toVector
+      // refs older than wm - tol can never match a pending/future probe
+      // (all have ts >= wm); pending probes keep their full range alive
+      val keepRefs = refs.filter(_._1 >= wmUs - tolUs)
+      if (pending.isEmpty && keepRefs.isEmpty) state.remove()
+      else {
+        state.update(AsOfState(
+          keepRefs.map(_._1), keepRefs.map(_._2),
+          pending.map(_._1), pending.map(_._2)))
+        if (pending.nonEmpty)
+          // fire once the watermark passes the earliest pending probe
+          state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1L)
+        else
+          // refs-only state: expire when the eviction horizon passes the
+          // newest ref (timeout must sit beyond the current watermark)
+          state.setTimeoutTimestamp(
+            math.max(refs.map(_._1).max + tolUs, wmUs + 1000L) / 1000L + 1L)
+      }
+      out.iterator
+    }
+
+    val tagged = probe.map(e => TaggedAsOf(e.key, e.ts, e.id, isRef = false))
+      .unionByName(ref.map(e => TaggedAsOf(e.key, e.ts, e.id, isRef = true)))
+    tagged.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(process)
+  }
+
   /** Batch/stream-unified EXACT dedup on a composite key: one row per
     * fingerprint (md5 of the injectively \u0001-joined key columns —
     * the same engine-portable fingerprint the batch Dedup uses). On a

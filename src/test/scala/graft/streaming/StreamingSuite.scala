@@ -335,6 +335,71 @@ class StreamingSuite extends SparkSpec {
     assert(rowSet(out) == Set(Seq("1", "x"), Seq("2", "x")))
   }
 
+  test("asOfJoin batch: latest ref at-or-before each probe, tol + tie rules") {
+    import Streaming.AsOfEvent
+    val probe = Seq(
+      AsOfEvent(1, ts("2024-01-01 00:10:00"), 101),
+      AsOfEvent(1, ts("2024-01-01 00:30:00"), 102),  // nothing within 5 min
+      AsOfEvent(2, ts("2024-01-01 00:10:00"), 103)). // key isolation
+      toDS()
+    val ref = Seq(
+      AsOfEvent(1, ts("2024-01-01 00:09:00"), 201),
+      AsOfEvent(1, ts("2024-01-01 00:09:30"), 202),  // latest -> wins for 101
+      AsOfEvent(1, ts("2024-01-01 00:09:30"), 203),  // same ts: max id wins
+      AsOfEvent(1, ts("2024-01-01 00:11:00"), 204),  // after probe: excluded
+      AsOfEvent(2, ts("2024-01-01 00:06:00"), 205)).
+      toDS()
+    val out = Streaming.asOfJoin(probe, ref, java.time.Duration.ofMinutes(5))
+      .collect().map(m => (m.key, m.probe_id, m.ref_id)).toSet
+    assert(out == Set((1L, 101L, 203L), (2L, 103L, 205L)))
+  }
+
+  test("asOfJoin stream: out-of-order ref in a later batch still wins; live == batch") {
+    import Streaming.{AsOfEvent, AsOfMatch}
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[AsOfEvent]
+    val rIn = MemoryStream[AsOfEvent]
+    val out = Streaming.asOfJoin(
+      pIn.toDS(), rIn.toDS(),
+      java.time.Duration.ofMinutes(5), watermarkDelay = "2 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("asof_test").outputMode("append").start()
+    try {
+      // batch 1: the probe and a FARTHER ref arrive; watermark (00:08)
+      // has not passed the probe (00:10), so nothing may be emitted yet
+      pIn.addData(AsOfEvent(1, ts("2024-01-01 00:10:00"), 101))
+      rIn.addData(AsOfEvent(1, ts("2024-01-01 00:09:00"), 201))
+      q.processAllAvailable()
+      assert(spark.table("asof_test").isEmpty,
+        "premature emission: a closer ref could still arrive")
+      // batch 2: the CLOSER ref arrives out of order (00:09:30 > wm
+      // 00:08, so it is admitted), plus a watermark-advancing ref
+      rIn.addData(
+        AsOfEvent(1, ts("2024-01-01 00:09:30"), 202),
+        AsOfEvent(2, ts("2024-01-01 00:20:00"), 999))
+      q.processAllAvailable()
+      // batch 3: any traffic triggers the event-time timeout flush for
+      // key 1 (wm is now 00:18, past the probe)
+      rIn.addData(AsOfEvent(2, ts("2024-01-01 00:21:00"), 998))
+      q.processAllAvailable()
+      val live = spark.table("asof_test").as[AsOfMatch]
+        .collect().map(m => (m.key, m.probe_id, m.ref_id)).toSet
+      // emit-on-arrival would have paired 101 with 201; waiting for the
+      // watermark pairs it with the out-of-order but closer 202
+      assert(live == Set((1L, 101L, 202L)))
+      // batch parity on the same event set
+      val batch = Streaming.asOfJoin(
+        Seq(AsOfEvent(1, ts("2024-01-01 00:10:00"), 101)).toDS(),
+        Seq(AsOfEvent(1, ts("2024-01-01 00:09:00"), 201),
+          AsOfEvent(1, ts("2024-01-01 00:09:30"), 202),
+          AsOfEvent(2, ts("2024-01-01 00:20:00"), 999),
+          AsOfEvent(2, ts("2024-01-01 00:21:00"), 998)).toDS(),
+        java.time.Duration.ofMinutes(5))
+        .collect().map(m => (m.key, m.probe_id, m.ref_id)).toSet
+      assert(live == batch)
+    } finally q.stop()
+  }
+
   test("parquetStream reads a drop directory with the batch schema") {
     val dir = new java.io.File("target/test-tmp/stream-drop")
     dir.mkdirs()
