@@ -378,6 +378,17 @@ object SparkEntry {
         round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
         TextFunctions.tokenEstimate(col("text")).as("token_est"))
     }),
+    "heavy_hitters_tokens" -> ((s, dir) => {
+      // exact heavy hitters via the two-pass Misra-Gries plan: the
+      // k-bounded sketch nominates candidates (deterministically
+      // complete above n/(k+1)), a recount of just those keys makes the
+      // counts exact — so the result provably equals the full
+      // GROUP BY HAVING the oracle runs
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      Sketches.heavyHitters(toks, col("w"), threshold = 50)
+        .select(col("value").as("w"), col("cnt"))
+    }),
     "text_quality" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(
@@ -984,6 +995,11 @@ object SparkEntry {
            |  CAST(ceil(length(trim(d.text)) / 4.0)
            |       + length(regexp_replace(d.text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS token_est
            |FROM documents d JOIN agg ON agg.doc_id = d.doc_id""".stripMargin),
+      "heavy_hitters_tokens" ->
+        (s"""WITH tok AS ($tok),
+           |tot AS (SELECT count(*) AS n FROM tok)
+           |SELECT w, count(*) AS cnt FROM tok, tot GROUP BY w, tot.n
+           |HAVING count(*) > n / 50.0""".stripMargin),
       "text_quality" ->
         (s"""WITH tok AS ($tok),
            |agg AS (SELECT doc_id, count(*) AS n,

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{FreqSummary, FrequentItemsAggregator}
+
+/** Misra–Gries heavy hitters: the deterministic no-false-negative
+  * guarantee under k far below the distinct count, parallel-merge
+  * soundness, and exactness of the two-pass plan vs a plain
+  * GROUP BY HAVING.
+  */
+class SketchesSuite extends SparkSpec {
+  import spark.implicits._
+
+  /** Zipf-ish stream: item i (1..50) appears ceil(3000/i) times —
+    * 150k-ish values, 50 distinct, heavily skewed head.
+    */
+  private def zipf: Seq[String] =
+    (1 to 50).flatMap(i => Seq.fill(3000 / i)(s"w$i"))
+
+  test("summary never misses an item above n/(k+1), counts are lower bounds") {
+    val data = new scala.util.Random(7).shuffle(zipf)
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = data.size.toLong
+    val k = 10 // far below the 50 distinct values
+    val s: FreqSummary = data.toDS().repartition(8)
+      .select(new FrequentItemsAggregator(k).toColumn).head()
+    assert(s.n == n)
+    assert(s.counts.size <= k)
+    val mustHave = truth.filter(_._2 > n / (k + 1).toDouble).keySet
+    assert(mustHave.subsetOf(s.counts.keySet),
+      s"missing guaranteed items: ${mustHave -- s.counts.keySet}")
+    // reported counts never exceed the truth (MG only undercounts)
+    s.counts.foreach { case (w, c) => assert(c <= truth(w), s"$w overcounted") }
+  }
+
+  test("heavyHitters equals the exact GROUP BY HAVING plan") {
+    val df = new scala.util.Random(7).shuffle(zipf).toDF("value").repartition(8)
+    val threshold = 25 // items above n/25 = 4%
+    val got = Sketches.heavyHitters(df, col("value"), threshold)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = df.count()
+    val exact = df.groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > n.toDouble / threshold)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == exact)
+    assert(exact.nonEmpty, "test data must actually contain heavy hitters")
+  }
+
+  test("uniform data: no value above threshold, empty result, empty-safe") {
+    val df = (1 to 1000).map(i => s"u${i % 100}").toDF("value")
+    val out = Sketches.heavyHitters(df, col("value"), threshold = 50)
+    assert(out.collect().isEmpty) // all values at exactly 1%, none above 2%
+    val none = Sketches.heavyHitters(df.limit(0), col("value"), threshold = 50)
+    assert(none.collect().isEmpty)
+  }
+
+  test("nulls are ignored, non-string values are counted via cast") {
+    val df = Seq[(Integer, Int)]((7, 1), (7, 2), (null.asInstanceOf[Integer], 3), (8, 4))
+      .toDF("value", "x")
+    val out = Sketches.heavyHitters(df, col("value"), threshold = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // 3 non-null values, cutoff 1.5: only 7 (count 2) qualifies
+    assert(out == Map("7" -> 2L))
+  }
+}
