@@ -14,12 +14,15 @@ object Bench {
     */
   private val headline = Seq(
     "fuzzy_join_acctbal", "fuzzy_join_ts", "fuzzy_join_decimal",
+    "fuzzy_join_sql",
     "ineq_join_acctbal", "ineq_join_dates", "ineq_join_shuffled",
     "interval_join_orders",
     "theta_join_mod", "asof_join_events", "asof_join_unbounded",
+    "stream_asof_events",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_embedding", "ann_topk",
-    "text_quality", "doc_fingerprint", "agg_pricing",
+    "text_quality", "doc_fingerprint", "heavy_hitters_tokens",
+    "agg_pricing",
     "stream_window_counts", "sessionize_events", "pipeline_clean_corpus")
 
   def main(args: Array[String]): Unit = {
