@@ -64,17 +64,105 @@ object Sources {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
-  /** Sorted-within-partitions parquet sink: `repartition(keys)` +
-    * `sortWithinPartitions(keys)` gives run-length/delta-friendly pages
-    * and min-max row-group statistics that make key-range scans skip
-    * row groups — the poor man's clustering index for parquet lakes.
+  /** Range-clustered parquet sink: `repartitionByRange(keys)` +
+    * `sortWithinPartitions(keys)` gives each FILE a contiguous,
+    * non-overlapping key range (tight file-level min-max for file
+    * skipping), run-length/delta-friendly pages, and row-group
+    * statistics that make key-range scans skip row groups — the poor
+    * man's clustering index for parquet lakes. (A hash `repartition`
+    * would co-locate equal keys too, but every file would span the full
+    * key range and file-level pruning would never fire.) Equal keys
+    * still land in one partition — range partitioning never splits a
+    * key.
     */
   def writeClustered(
       df: DataFrame, path: String, clusterCols: Seq[String], numFiles: Int,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     import org.apache.spark.sql.functions.col
-    df.repartition(numFiles, clusterCols.map(col): _*)
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode(mode).parquet(path)
+  }
+
+  /** Z-ORDER clustered parquet sink: rows are laid out along a Morton
+    * curve over `zCols`, so every file's min-max box is tight in EVERY
+    * clustered dimension — one layout serves range scans on any of
+    * them. [[writeClustered]] on `(a, b)` prunes only queries that
+    * constrain `a`; a `b`-only predicate reads every file. At 100 TB
+    * the difference is the whole scan.
+    *
+    * Mechanics:
+    *  1. each dimension is rank-normalized to `bitsPerDim` bits through
+    *     its own sampled quantiles (`approxQuantile`, driver-held
+    *     boundaries — robust to skew, where min-max linear scaling
+    *     collapses);
+    *  2. per row, the dimension buckets' bits interleave into one long
+    *     z-value. This is a Scala UDF by design: the boundary arrays
+    *     are closure state a codegen expression cannot hold, and the
+    *     write path evaluates it exactly once per row — the projection-
+    *     collapse re-evaluation hazard that disqualifies UDFs in query
+    *     paths does not apply;
+    *  3. `repartitionByRange` on the z-value + a within-partition sort,
+    *     so both FILES and row groups tile the curve.
+    *
+    * Timestamp/date dimensions normalize via their epoch value; nulls
+    * sort first (bucket 0 in every dimension).
+    */
+  def writeZOrdered(
+      df: DataFrame, path: String, zCols: Seq[String], numFiles: Int,
+      bitsPerDim: Int = 12,
+      saveMode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions._
+    require(zCols.size >= 2, "z-ordering needs >= 2 dimensions (use writeClustered for 1)")
+    require(zCols.size * bitsPerDim <= 63,
+      s"${zCols.size} dims x $bitsPerDim bits exceeds one long")
+    val buckets = 1 << bitsPerDim
+    val numeric = zCols.map { c =>
+      val e = df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+        case _: org.apache.spark.sql.types.DateType => col(c).cast("long")
+        case _ => col(c)
+      }
+      e.cast("double")
+    }
+    val tmpNames = zCols.indices.map(i => s"__graft_zd$i")
+    val widened = df.withColumns(tmpNames.zip(numeric).toMap)
+    // sampled quantile cut points per dimension (driver-held: at most
+    // dims x 2^bits doubles — the same bounded-collect contract as the
+    // IVF centroids)
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds: Array[Array[Double]] =
+      tmpNames.map(n => widened.stat.approxQuantile(n, probes, 0.001)).toArray
+    val nDims = zCols.size
+    val bits = bitsPerDim
+    val zOf = udf { (vs: Seq[java.lang.Double]) =>
+      var z = 0L
+      var i = 0
+      while (i < nDims) {
+        val v = if (vs(i) == null) Double.NegativeInfinity else vs(i).doubleValue()
+        val bs = bounds(i)
+        // first cut point > v == the bucket index (nulls -> 0)
+        var lo = 0
+        var hi = bs.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (bs(mid) <= v) lo = mid + 1 else hi = mid
+        }
+        var j = 0
+        while (j < bits) {
+          z |= ((lo.toLong >> j) & 1L) << (j * nDims + i)
+          j += 1
+        }
+        i += 1
+      }
+      z
+    }
+    widened
+      .withColumn("__graft_z", zOf(array(tmpNames.map(col): _*)))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .drop(tmpNames: _*)
+      .write.mode(saveMode).parquet(path)
   }
 }

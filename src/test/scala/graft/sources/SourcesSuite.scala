@@ -64,6 +64,46 @@ class SourcesSuite extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(k)"), plan.take(600))
   }
 
+  test("z-ordered write: every dimension's per-file min-max box is prunable") {
+    // two independent uniform dims; the measure of layout quality is
+    // how many FILES a range predicate on each dim could touch, judged
+    // by per-file min-max (exactly what parquet row-group stats and
+    // file skipping act on)
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 60000)
+      .map(_ => (rnd.nextInt(10000), rnd.nextInt(10000)))
+      .toDF("a", "b")
+    val zdir = s"$tmp/zorder"
+    val ldir = s"$tmp/linear"
+    Sources.writeZOrdered(df, zdir, Seq("a", "b"), numFiles = 32)
+    Sources.writeClustered(df, ldir, Seq("a"), numFiles = 32)
+
+    def filesTouching(dir: String, colName: String, lo: Int, hi: Int): Long = {
+      val boxes = Sources.parquet(spark, dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(colName)).as("mn"), max(col(colName)).as("mx"))
+      boxes.filter(col("mx") >= lo && col("mn") <= hi).count()
+    }
+    val zTotal = Sources.parquet(spark, zdir)
+      .select(input_file_name()).distinct().count()
+    assert(zTotal >= 16, s"expected ~32 z-files, got $zTotal")
+
+    // a 5%-range predicate on EACH dim, same layout
+    val zA = filesTouching(zdir, "a", 4000, 4499)
+    val zB = filesTouching(zdir, "b", 4000, 4499)
+    val lA = filesTouching(ldir, "a", 4000, 4499)
+    val lB = filesTouching(ldir, "b", 4000, 4499)
+    // linear-by-a prunes a tightly but cannot prune b at all
+    assert(lA <= 4, s"linear layout should prune its own key, touched $lA")
+    assert(lB >= 30, s"linear layout cannot prune b, touched $lB")
+    // the z-order layout prunes BOTH dims substantially
+    assert(zA <= zTotal / 2, s"z-order should prune a: $zA of $zTotal")
+    assert(zB <= zTotal / 2, s"z-order should prune b: $zB of $zTotal")
+    // round-trip integrity
+    assert(Sources.parquet(spark, zdir).count() == 60000)
+    assert(rowSet(Sources.parquet(spark, zdir)) == rowSet(df))
+  }
+
   test("bucketed tables join without a shuffle (no Exchange in the plan)") {
     val a = (0 until 500).map(i => (i % 50, s"a$i")).toDF("k", "av")
     val b = (0 until 300).map(i => (i % 50, s"bv$i")).toDF("k", "bv")
