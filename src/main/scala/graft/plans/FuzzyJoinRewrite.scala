@@ -24,9 +24,12 @@ import graft.functions.DotProduct
   * The original condition is kept verbatim as the residual, so the
   * rewrite is exact for every input the naive plan handles (NaN/Inf rows
   * bucket somewhere but the residual comparison rejects them, same as the
-  * nested loop). Non-DOUBLE-safe types (decimals) are left alone — the
-  * nested loop is correct there and decimal bucket arithmetic has its own
-  * rounding rules.
+  * nested loop). Each side-type pair gets its own exact bucket
+  * arithmetic (see [[BucketMode]]): integral sides bucket in 64-bit
+  * longs, decimal sides in exact decimal division (precision-gated),
+  * TIMESTAMP sides with an `INTERVAL` tolerance on `unix_micros`, and
+  * fractional sides in doubles with an adaptive drift-covering explode
+  * width.
   *
   * Idempotence: the rewritten join's left child projects the bucket
   * column; its presence guards re-application (optimizer batches run to
@@ -64,14 +67,24 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private case class ExactLong(w: Long) extends BucketMode
   private case object DoubleBuckets extends BucketMode
   private case class ExactDecimal(tol: Literal, ct: DecimalType) extends BucketMode
+  /** Timestamp sides with a day-time interval tolerance: bucket on
+    * `unix_micros` in exact 64-bit arithmetic (both the interval and the
+    * timestamp are microsecond longs internally — no rounding anywhere,
+    * so no slack is needed).
+    */
+  private case class ExactMicros(w: Long) extends BucketMode
 
   /** Matches the `|a - b|` shape of a band conjunct, looking through the
-    * numeric cast analysis wraps around integral `abs` results.
+    * numeric cast analysis wraps around integral `abs` results. The
+    * timestamp case matches the analyzer's `SubtractTimestamps` rewrite
+    * of `ts - ts` (modern day-time-interval semantics only; the legacy
+    * CalendarInterval mode compares differently and is left alone).
     */
   private object BandDiff {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case Abs(Subtract(a, b, _), _) => Some((a, b))
       case Cast(Abs(Subtract(a, b, _), _), _: NumericType, _, _) => Some((a, b))
+      case Abs(SubtractTimestamps(a, b, false, _), _) => Some((a, b))
       case _ => None
     }
   }
@@ -163,12 +176,19 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if (tol < (1L << 60).toDouble)
           Some(ExactLong(math.max(1L, math.ceil(tol).toLong) + LongCastSlack))
         else None
+      case (TimestampType, TimestampType) => (v, dt) match {
+        case (micros: java.lang.Long, _: DayTimeIntervalType) =>
+          Some(ExactMicros(math.max(1L, micros.longValue())))
+        case _ => None
+      }
       case (_: NumericType, _: NumericType) => Some(DoubleBuckets)
       case _ => None
     }
 
   private def literalToDouble(v: Any, dt: DataType): Option[Double] = (v, dt) match {
     case (null, _) => None
+    case (micros: java.lang.Long, _: DayTimeIntervalType) =>
+      Some(micros.doubleValue())
     case (x: Number, _: NumericType) if !dt.isInstanceOf[DecimalType] =>
       Some(x.doubleValue())
     case (d: Decimal, _) => Some(d.toDouble)
@@ -181,6 +201,8 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     def bucket(e: Expression): Expression = mode match {
       case ExactLong(w) =>
         graft.functions.LongMath.floorDivExpr(Cast(e, LongType), w)
+      case ExactMicros(w) =>
+        graft.functions.LongMath.floorDivExpr(UnixMicros(e), w)
       case DoubleBuckets =>
         Cast(Floor(Divide(Cast(e, DoubleType), Literal(tol))), LongType)
       case ExactDecimal(tolLit, ct) =>
@@ -199,7 +221,7 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val left2 = Project(j.left.output :+ blAlias, j.left)
     val br = bucket(r)
     val candidates: Expression = mode match {
-      case ExactLong(_) | ExactDecimal(_, _) =>
+      case ExactLong(_) | ExactDecimal(_, _) | ExactMicros(_) =>
         CreateArray(Seq(Subtract(br, Literal(1L)), br, Add(br, Literal(1L))))
       case DoubleBuckets =>
         // adaptive drift width (see FuzzyJoin.bucketedJoin): 0 extra

@@ -142,6 +142,53 @@ class FuzzyJoinRewriteSuite extends SparkSpec {
     }
   }
 
+  test("timestamp band joins with an INTERVAL tolerance rewrite on unix_micros") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val lt = Seq((1, t("2024-01-01 00:00:00")), (2, t("2024-01-01 00:10:00")),
+      (3, t("2024-01-01 00:10:00.000003"))).toDF("lid", "lts")
+    val rt = Seq((10, t("2024-01-01 00:02:59")), (20, t("2024-01-01 00:03:01")),
+      (30, t("2024-01-01 00:13:00")), (40, t("2024-01-01 00:10:00.000002")))
+      .toDF("rid", "rts")
+    val cond = abs(col("lts") - col("rts")) <= expr("INTERVAL '3' MINUTE")
+    // ground truth from the naive nested loop, boundary-inclusive
+    val naive = rowSet(lt.join(rt, cond).select("lid", "rid"))
+    withRule {
+      val rw = lt.join(rt, cond)
+      val plan = rw.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+      assert(rowSet(rw.select("lid", "rid")) == naive)
+      assert(naive.contains(Seq("1", "10")) && naive.contains(Seq("2", "30")),
+        "tolerance boundary rows must be present for the spec to mean anything")
+    }
+  }
+
+  test("FUZZY JOIN SQL with an INTERVAL tolerance gets the bucketed plan end-to-end") {
+    // parser desugar (ts NEAR ts WITHIN INTERVAL) -> analyzer
+    // (SubtractTimestamps) -> this rule (ExactMicros buckets): the full
+    // SQL surface for the reference's fuzzy time join
+    val s2 = {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]").withExtensions(new GraftExtensions).getOrCreate()
+    }
+    try {
+      import s2.implicits._
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      Seq((1, t("2024-01-01 00:00:00")), (2, t("2024-01-01 00:10:00")))
+        .toDF("lid", "lts").createOrReplaceTempView("fz_ts_l")
+      Seq((10, t("2024-01-01 00:02:00")), (30, t("2024-01-01 00:20:00")))
+        .toDF("rid", "rts").createOrReplaceTempView("fz_ts_r")
+      val out = s2.sql("SELECT lid, rid FROM fz_ts_l FUZZY JOIN fz_ts_r " +
+        "ON lts NEAR rts WITHIN INTERVAL '3' MINUTE")
+      assert(!out.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(out.collect().map(x => (x.getInt(0), x.getInt(1))).toSet == Set((1, 10)))
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("GraftExtensions wires the rule and graft_dot into a fresh session") {
     val orig = spark
     SparkSession.clearActiveSession()
