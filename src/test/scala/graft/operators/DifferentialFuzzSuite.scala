@@ -169,4 +169,34 @@ class DifferentialFuzzSuite extends SparkSpec {
       }
     }
   }
+
+  test("Streaming.asOfJoin batch plan == brute-force model on random data") {
+    import graft.streaming.Streaming
+    import Streaming.AsOfEvent
+    val rnd = new scala.util.Random(808)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(offSec: Int) = new Timestamp(base + offSec * 1000L)
+    for (round <- 0 until rounds) {
+      val horizon = 1 + rnd.nextInt(3000)
+      val tolSec = 1 + rnd.nextInt(120)
+      // duplicate-heavy: few keys, colliding timestamps included
+      val probes = (0 until 60).map(i =>
+        AsOfEvent(rnd.nextInt(4).toLong, t(rnd.nextInt(horizon)), 100 + i))
+      val refs = (0 until 40).map(i =>
+        AsOfEvent(rnd.nextInt(4).toLong, t(rnd.nextInt(horizon)), 500 + i))
+      val expected = probes.flatMap { p =>
+        val cand = refs.filter(r => r.key == p.key &&
+          !r.ts.after(p.ts) && p.ts.getTime - r.ts.getTime <= tolSec * 1000L)
+        if (cand.isEmpty) None
+        else {
+          val best = cand.maxBy(r => (r.ts.getTime, r.id))
+          Some((p.key, p.id, best.id))
+        }
+      }.toSet
+      val out = Streaming.asOfJoin(
+          probes.toDS(), refs.toDS(), Duration.ofSeconds(tolSec))
+        .collect().map(m => (m.key, m.probe_id, m.ref_id)).toSet
+      assert(out == expected, s"round $round tol=${tolSec}s horizon=${horizon}s")
+    }
+  }
 }
