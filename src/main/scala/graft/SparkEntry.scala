@@ -488,6 +488,15 @@ object SparkEntry {
       val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
       Multimodal.decodeMeta(withBin, "payload", keepCols = Seq("doc_id"))
     }),
+    "multimodal_audio_meta" -> ((s, dir) => {
+      // real WAV/AIFF header decode is proven on generated fixtures in
+      // MultimodalSuite; the text-byte corpus exercises the total-
+      // function stub path, which the oracle mirrors arithmetically
+      val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
+      Multimodal.decodeAudioMeta(withBin, "payload", keepCols = Seq("doc_id"))
+        .select(col("doc_id"), col("sample_rate").cast(DoubleType).as("sample_rate"),
+          col("channels"), col("frames"), col("encoding"), col("byte_len"))
+    }),
     // ---- deterministic sampling / splits -----------------------------------
     "sample_hash_events" -> ((s, dir) => {
       Sampling.hashSample(t(s, dir, "events"), "event_id", fraction = 0.1)
@@ -1130,6 +1139,14 @@ object SparkEntry {
           |  CAST((strlen(text) // 640) % 480 + 1 AS INT) AS height,
           |  CASE WHEN strlen(text) > 0 AND ascii(substr(text, 1, 1)) = 137
           |       THEN 'png' ELSE 'raw' END AS format,
+          |  CAST(strlen(text) AS BIGINT) AS byte_len
+          |FROM documents""".stripMargin,
+      "multimodal_audio_meta" ->
+        """SELECT doc_id,
+          |  0.0 AS sample_rate,
+          |  0 AS channels,
+          |  CAST(strlen(text) // 4 AS BIGINT) AS frames,
+          |  'raw' AS encoding,
           |  CAST(strlen(text) AS BIGINT) AS byte_len
           |FROM documents""".stripMargin,
       "sample_hash_events" ->

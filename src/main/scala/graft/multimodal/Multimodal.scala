@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, and run decode / feature-extract
   * / frame-sample as partition-batched transforms.
   *
-  * IMAGE decode and resize are REAL: `javax.imageio` ships in the JDK
-  * (`java.desktop` module) and handles PNG/JPEG/GIF/BMP headless with
-  * zero extra dependencies — [[decodeImage]] reads true width/height
-  * from the header (no pixel decode for metadata), [[resizeImage]]
-  * decodes, rescales, and re-encodes PNG. Payloads ImageIO cannot read
-  * (e.g. the testdata's text-byte stand-ins, or audio/video, whose
+  * IMAGE decode/resize and AUDIO header decode are REAL: `javax.imageio`
+  * and `javax.sound.sampled` ship in the JDK (`java.desktop` module) and
+  * handle PNG/JPEG/GIF/BMP and WAV/AIFF/AU headless with zero extra
+  * dependencies — [[decodeImage]] reads true width/height from the
+  * header (no pixel decode for metadata), [[resizeImage]] decodes,
+  * rescales, and re-encodes PNG, [[decodeAudio]] reads sample rate /
+  * channels / frame count from the header. Payloads the JDK cannot read
+  * (e.g. the testdata's text-byte stand-ins, or compressed video, whose
   * codecs genuinely are absent here) fall back to the deterministic
   * stubs so every function stays total over arbitrary binary and
   * oracle-predictable. The `mapPartitions` batch shape (the Scala
@@ -94,6 +96,64 @@ object Multimodal {
       // batch amortizes JIT + registry warm-up across the partition
       rows.map { row =>
         val meta = decodeImage(row.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(keepIdx.map(row.get) ++ meta.toSeq)
+      }
+    }
+  }
+
+  /** Metadata struct produced by the audio decoder. */
+  val AudioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", FloatType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("frames", LongType, nullable = false),
+    StructField("encoding", StringType, nullable = false),
+    StructField("byte_len", LongType, nullable = false)))
+
+  /** Fallback audio metadata for payloads the JDK sound stack cannot
+    * parse — deterministic in the byte length, like [[decodeImageStub]].
+    */
+  def decodeAudioStub(bytes: Array[Byte]): Row = {
+    val len = if (bytes == null) 0L else bytes.length.toLong
+    Row(0f, 0, len / 4L, "raw", len)
+  }
+
+  /** Real audio metadata via JDK `javax.sound.sampled` (java.desktop,
+    * zero extra dependencies): WAV/AIFF/AU headers parse headless —
+    * sample rate, channels, frame count, encoding — without reading the
+    * sample data (header-bound, so the metadata pass over a 100 TB
+    * audio corpus stays I/O-bound). Unparseable payloads (compressed
+    * codecs, corrupt headers, non-audio bytes) fall back to
+    * [[decodeAudioStub]] — same total-function contract as the image
+    * path.
+    */
+  def decodeAudio(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.isEmpty) return decodeAudioStub(bytes)
+    try {
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val af = fmt.getFormat
+      Row(af.getSampleRate, af.getChannels, fmt.getFrameLength.toLong,
+        af.getEncoding.toString.toLowerCase(java.util.Locale.ROOT),
+        bytes.length.toLong)
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException =>
+        decodeAudioStub(bytes)
+      case scala.util.control.NonFatal(_) => decodeAudioStub(bytes)
+    }
+  }
+
+  /** Audio-metadata batch transform — same partition-batched shape as
+    * [[decodeMeta]].
+    */
+  def decodeAudioMeta(df: DataFrame, binCol: String, keepCols: Seq[String]): DataFrame = {
+    val outSchema = StructType(
+      keepCols.map(c => df.schema(c)) ++ AudioMetaSchema.fields)
+    val keepIdx = keepCols.map(df.schema.fieldIndex)
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val meta = decodeAudio(row.getAs[Array[Byte]](binIdx))
         Row.fromSeq(keepIdx.map(row.get) ++ meta.toSeq)
       }
     }

@@ -109,6 +109,38 @@ class MultimodalSuite extends SparkSpec {
     }
   }
 
+  /** Encode a real PCM WAV in memory via the JDK sound stack. */
+  private def realWav(sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+    val af = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * af.getFrameSize)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), af, nFrames.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  test("decodeAudio reads TRUE sample rate/channels/frames from real WAV bytes") {
+    val row = Multimodal.decodeAudio(realWav(16000f, 2, 320))
+    assert(row.getFloat(0) == 16000f)
+    assert(row.getInt(1) == 2)
+    assert(row.getLong(2) == 320L)
+    assert(row.getString(3).contains("pcm"))
+  }
+
+  test("decodeAudioMeta on a mixed corpus: real metadata for WAV, stub for text") {
+    val rows = Seq(
+      (1, realWav(8000f, 1, 100)),
+      (2, "not audio at all".getBytes("UTF-8")))
+    val df = rows.toDF("id", "payload")
+    val out = Multimodal.decodeAudioMeta(df, "payload", Seq("id"))
+    val m = out.collect().map(r =>
+      r.getInt(0) -> (r.getFloat(1), r.getInt(2), r.getLong(3), r.getString(4))).toMap
+    assert(m(1) == (8000f, 1, 100L, "pcm_signed"))
+    assert(m(2)._1 == 0f && m(2)._4 == "raw") // stub path, total function
+  }
+
   test("frameSample slices the payload into n positive-length frames") {
     val out = Multimodal.frameSample(
       Multimodal.withBinaryPayload(docs.filter($"doc_id" === 2), "text"),
