@@ -49,17 +49,33 @@ object PlanDump {
         |instead of the BroadcastNestedLoopJoin compare loop.""".stripMargin,
     "ineq_join_shuffled" ->
       """Large x large range join with broadcasting disabled: the
-        |`ShuffledRangeJoinExec` samples the right side's keys, shuffles
-        |right rows to range partitions, replicates left rows only across
-        |the contiguous partition run that can match, and sort+probes per
-        |partition. No broadcast, no nested loop — the round-2 verdict's
-        |top scale gap closed.""".stripMargin,
+        |`ShuffledRangeJoinExec` samples the right side's keys once for
+        |BOTH range-bucket bounds and per-bucket salt sub-slots (hot
+        |equal keys split proportionally — round-4 skew fix), shuffles
+        |right rows to their slot, replicates left rows only across the
+        |contiguous slot run that can match, and sort+probes per
+        |partition. No broadcast, no nested loop.""".stripMargin,
     "asof_join_unbounded" ->
       """Unbounded as-of (merge_asof): union-tag + range repartition (the
         |engine's scalable global sort), one running-window pass per
         |partition, and a one-row-per-partition carry for cross-boundary
         |matches. The range exchange is materialized once so the window
-        |and the carry share one sampled partitioning.""".stripMargin)
+        |and the carry share one sampled partitioning.""".stripMargin,
+    "fuzzy_join_sql" ->
+      """The FUZZY JOIN SQL syntax end to end: GraftSqlParser desugars
+        |`ON a NEAR b WITHIN tol` to `abs(a-b) <= tol`, the optimizer
+        |rule buckets it — same hash-join-on-bucket shape as the operator
+        |API, no nested loop, scans pushed down.""".stripMargin,
+    "stream_asof_events" ->
+      """Streaming as-of's batch form: equi-join on the key + band
+        |residual, then the latest-ref rank as `WindowGroupLimit` before
+        |the exchange — candidates collapse to one row per probe on the
+        |map side.""".stripMargin,
+    "heavy_hitters_tokens" ->
+      """Two-pass Misra-Gries heavy hitters: pass 1 is ObjectHashAggregate
+        |with PARTIAL mode before the single-row exchange (k-entry maps
+        |cross the shuffle, not tokens); pass 2 re-scans with the <= k
+        |candidates as an `In` filter and exact-counts only those.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -88,34 +104,19 @@ object PlanDump {
       sb.append(plan.linesIterator.take(40).mkString("\n"))
       sb.append("\n```\n")
     }
-    sb.append("""
-## Prefix-filter crossover (tools/PrefixBench, sf0.1 corpus, local[32])
-
-`Dedup.ngramJaccardAuto` probes posting-list skew and swaps the plain
-inverted index for the prefix-filtered variant past the measured knee
-(~2000-doc hottest posting list):
-
-| corpus | hottest posting | inverted | prefix | auto picks |
-|---|---|---|---|---|
-| plain sf0.1 | ~short | 3.0 s | 4.8 s | inverted (3.9 s) |
-| 10% boilerplate | ~500 | 3.2 s | 4.1 s | inverted (3.0 s) |
-| 30% boilerplate | ~1500 | 4.5 s | 4.4 s | inverted (4.3 s) |
-| 60% boilerplate | ~3000 | 11.5 s | 4.8 s | prefix (4.9 s) |
-
-At 100 TB the same probe runs on a hash-sample and the knee is what it
-protects against: one boilerplate shingle shared by 1% of a 10B-doc
-corpus would otherwise put 10^16 candidate pairs through the join.
-
-## Shuffled range join at scale (tools/RangeBenchLarge, local[32], broadcast off)
-
-| shape | output | time | note |
-|---|---|---|---|
-| 5M x 1M selective | 144k rows | 5.2 s | matching-bound; the nested-loop alternative is 5e12 predicate evaluations (~hours) |
-| 5M x 1M output-bound | 1.25B rows | 18 s | ~70M joined rows/s across 32 cores — output materialization IS the cost |
-| 5M x 1M, half the right keys identical | 1.87B rows | 49 s | range partitioning cannot split equal keys, so one partition carries the hot key: 2.5x throughput hit, still correct and completing |
-""")
-    Files.writeString(Paths.get(out), sb.toString)
+    // everything from the marker on is manually maintained measurement
+    // evidence (bench tables, stress runs) — preserved across dumps
+    val marker = "<!-- MANUAL EVIDENCE — preserved by PlanDump -->"
+    val manualTail =
+      if (Files.exists(Paths.get(out))) {
+        val existing = new String(Files.readAllBytes(Paths.get(out)), "UTF-8")
+        val i = existing.indexOf(marker)
+        if (i >= 0) existing.substring(i) else marker + "\n"
+      } else marker + "\n"
+    sb.append("\n").append(manualTail)
+    Files.write(Paths.get(out), sb.toString.getBytes("UTF-8"))
     println(s"[plandump] wrote $out")
     spark.stop()
   }
+
 }
