@@ -360,6 +360,16 @@ object SparkEntry {
         SimilaritySearch.lshTopK(q, e, "vec_id", "embedding", k = 5),
         SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
     }),
+    "ann_topk_sq8" -> ((s, dir) => {
+      // SQ8-quantized scan (8x smaller vectors, integer ByteDot kernel)
+      // vs the exact scan; recall@5 on the gate dataset is deterministic
+      // (oracle constant, measured at sf0.01)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.sq8TopK(q, e, "vec_id", "embedding", k = 5),
+        SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
+    }),
     "ann_topk_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 20)
@@ -964,6 +974,9 @@ object SparkEntry {
       "ann_topk_ivf" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(0.62 AS DOUBLE) AS recall""".stripMargin,
+      "ann_topk_sq8" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(0.99 AS DOUBLE) AS recall""".stripMargin,
       "dedup_simhash" ->
         """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
           |       CAST(NULL AS INT) AS hamming, CAST(NULL AS VARCHAR) AS src

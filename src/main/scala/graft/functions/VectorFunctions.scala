@@ -55,6 +55,55 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unsigned-byte dot product of two `binary` columns — the query-time
+  * kernel of SQ8-quantized similarity search ([[VectorFunctions.sq8Quantize]]).
+  * Same native-Expression rationale as [[DotProduct]]: the loop reads
+  * raw `byte[]`, stays inside whole-stage codegen, and the integer
+  * multiply-accumulate is what makes an 8× smaller vector also CHEAPER
+  * to score, not just cheaper to shuffle.
+  */
+case class ByteDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_byte_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += (x(i) & 0xff).toLong * (y(i) & 0xff).toLong; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long)($a[$i] & 0xff) * (long)($b[$i] & 0xff);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** One SQ8-quantized vector: `value[i] ~ vmin + step * (bytes[i] & 0xff)`,
+  * with the byte sum and length precomputed so a full dot product needs
+  * only ONE byte-dot pass at query time (see [[VectorFunctions.sq8Dot]]).
+  */
+final case class Sq8(bytes: Array[Byte], vmin: Double, step: Double, bsum: Long, n: Int)
+
 /** Column-level vector helpers over `array<float>` / `array<double>`
   * embedding columns (testdata: `embeddings.embedding` is
   * `array<float>`, FIXTURES.md §B).
@@ -88,6 +137,62 @@ object VectorFunctions {
     val d = asDouble(v)
     transform(d, x => x / sqrt(aggregate(d, lit(0.0), (acc, e) => acc + e * e)))
   }
+
+  /** SQ8 scalar quantization: `array<double>` → struct
+    * `(bytes, vmin, step, bsum, n)` with each component mapped to one
+    * unsigned byte on the vector's own [min, max] range. 8× smaller
+    * than `array<double>` — at 100 TB that is 8× less broadcast, 8×
+    * less shuffle, and an integer inner loop ([[graft.functions.ByteDot]]).
+    * A Scala UDF by design: quantization is a one-time WRITE-path
+    * transform (materialize the struct column next to — or instead of —
+    * the float vectors), so the projection-collapse re-evaluation
+    * hazard that rules out UDFs in query paths does not apply.
+    */
+  def sq8Quantize(v: Column): Column = sq8Udf(asDouble(v))
+
+  private val sq8Udf = udf { v: Seq[Double] =>
+    val n = v.length
+    if (n == 0) Sq8(Array.empty[Byte], 0.0, 0.0, 0L, 0)
+    else {
+      var mn = Double.PositiveInfinity
+      var mx = Double.NegativeInfinity
+      v.foreach { x => if (x < mn) mn = x; if (x > mx) mx = x }
+      val step = if (mx > mn) (mx - mn) / 255.0 else 1.0
+      val bytes = new Array[Byte](n)
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val b = math.max(0, math.min(255, math.round((v(i) - mn) / step).toInt))
+        bytes(i) = b.toByte
+        s += b
+        i += 1
+      }
+      Sq8(bytes, mn, step, s, n)
+    }
+  }
+
+  /** Approximate dot product of two SQ8 structs with ONE byte-dot pass:
+    * expanding `Σ (mnA + stA·bA[i]) · (mnB + stB·bB[i])` gives
+    * `stA·stB·Σ bA·bB + stA·mnB·ΣbA + stB·mnA·ΣbB + n·mnA·mnB`,
+    * and the byte sums / length were precomputed at quantize time — so
+    * the only per-pair work is the codegen'd integer kernel.
+    */
+  def sq8Dot(a: Column, b: Column): Column = {
+    val byteDot = GraftInternals.toColumn(
+      ByteDot(
+        GraftInternals.toExpression(a.getField("bytes")),
+        GraftInternals.toExpression(b.getField("bytes"))))
+    a.getField("step") * b.getField("step") * byteDot +
+      a.getField("step") * b.getField("vmin") * a.getField("bsum") +
+      b.getField("step") * a.getField("vmin") * b.getField("bsum") +
+      a.getField("n") * a.getField("vmin") * b.getField("vmin")
+  }
+
+  /** Approximate cosine from SQ8 structs (quantized norms — fully
+    * self-contained, the float vectors are not needed at query time).
+    */
+  def sq8Cosine(a: Column, b: Column): Column =
+    sq8Dot(a, b) / (sqrt(sq8Dot(a, a)) * sqrt(sq8Dot(b, b)))
 
   /** Register `graft_dot` for SQL use (`SELECT graft_dot(a.e, b.e) ...`). */
   def register(spark: SparkSession): Unit =

@@ -168,6 +168,41 @@ object SimilaritySearch {
     * is deterministic — no float summation-order wobble — and the gate
     * oracle can pin it.
     */
+  /** SQ8-quantized brute-force top-k: both sides quantize to one byte
+    * per component ([[VectorFunctions.sq8Quantize]]), so the broadcast
+    * and the scan move 8× fewer bytes than [[bruteForceTopK]] and the
+    * inner loop is the codegen'd integer [[graft.functions.ByteDot]].
+    * Scores are approximate (per-component quantization error ≤ step/2);
+    * ranking quality is measured by the recall gate, not assumed. At
+    * 100 TB this is the memory-bandwidth-bound scan path — quantize
+    * ONCE at write time, keep the float vectors out of the hot loop
+    * entirely.
+    */
+  def sq8TopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    if (querySideOversized(queries))
+      System.err.println(
+        "[graft] WARN: sq8TopK query side exceeds the broadcast " +
+          "threshold even quantized; consider batching the queries.")
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      VectorFunctions.sq8Quantize(col(vecCol)).as("__qq"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      VectorFunctions.sq8Quantize(col(vecCol)).as("__cq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        VectorFunctions.sq8Cosine(col("__qq"), col("__cq")).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   def recallSummary(approx: DataFrame, exact: DataFrame): DataFrame = {
     // both inputs feed two aggregate subtrees each; materialize the key
     // pairs once so the expensive ANN plans don't execute twice

@@ -91,6 +91,40 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(lshAll.nonEmpty)
   }
 
+  test("ByteDot and sq8Dot: quantized dot tracks the true dot within bound") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val rnd = new scala.util.Random(21)
+    val vecs = (0 until 40).map(i =>
+      (i, Array.fill(64)(rnd.nextDouble() * 2 - 1))).toDF("id", "emb")
+    val q = vecs.select(col("id"), VectorFunctions.sq8Quantize(col("emb")).as("s"),
+      col("emb"))
+    val pairs = q.as("a").join(q.as("b"), col("a.id") < col("b.id"))
+      .select(
+        VectorFunctions.dot(col("a.emb"), col("b.emb")).as("true_dot"),
+        VectorFunctions.sq8Dot(col("a.s"), col("b.s")).as("q_dot"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (t, a) = (r.getDouble(0), r.getDouble(1))
+      // per-component error <= step/2 (~ range/510); 64 dims, unit range:
+      // generous absolute envelope, tight in practice
+      assert(math.abs(t - a) <= 0.5, s"true $t vs quantized $a")
+    }
+  }
+
+  test("sq8TopK recovers the exact top-k on separated data (recall 1.0)") {
+    val q = corpus.filter($"id" === 1)
+    val sq = SimilaritySearch.sq8TopK(q, corpus, "id", "emb", k = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(sq == Seq((1, 2), (1, 5)))
+    val summary = SimilaritySearch.recallSummary(
+      SimilaritySearch.sq8TopK(corpus, corpus, "id", "emb", k = 2),
+      SimilaritySearch.bruteForceTopK(corpus, corpus, "id", "emb", k = 2))
+      .collect()(0)
+    assert(summary.getDouble(2) >= 0.9, s"sq8 recall ${summary.getDouble(2)}")
+  }
+
   test("oversized-query-side guard trips on the threshold, results stay exact") {
     val vecs = (0 until 50).map(i => (i, Array.fill(8)(i * 0.1 + 1.0))).toDF("id", "emb")
     assert(!SimilaritySearch.querySideOversized(vecs.limit(2)))
