@@ -516,6 +516,13 @@ object SparkEntry {
       Sampling.trainValTest(t(s, dir, "documents"), "doc_id")
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
     }),
+    "sample_capped_source" -> ((s, dir) => {
+      // at most 20 docs per source, md5-of-id order: the per-domain cap
+      // of corpus curation, deterministic and engine-portable so the
+      // oracle reproduces the EXACT kept set
+      Sampling.cappedPerGroup(t(s, dir, "documents"), "source", "doc_id", n = 20)
+        .select("doc_id", "source")
+    }),
     // ---- relational built-ins (coverage: scan/filter/agg/window/setops/sort)
     "agg_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1176,6 +1183,13 @@ object SparkEntry {
           |            ELSE 'train' END AS split,
           |       count(*) AS n
           |FROM b GROUP BY 1""".stripMargin,
+      "sample_capped_source" ->
+        """SELECT doc_id, source FROM (
+          |  SELECT doc_id, source,
+          |         row_number() OVER (PARTITION BY source
+          |                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+          |  FROM documents)
+          |WHERE rn <= 20""".stripMargin,
       "agg_pricing" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -60,4 +60,25 @@ object Sampling {
     }
     df.filter(b < (frac * buckets).cast("long"))
   }
+
+  /** At most `n` rows per group, chosen DETERMINISTICALLY by md5-of-id
+    * order (ties impossible: ids are distinct; the hash order is a
+    * stable, engine-portable "random" order, so the cap is an unbiased
+    * sample that never changes across runs or engines). The dominant
+    * corpus-curation primitive — "at most N documents per domain" —
+    * planned as `row_number` over (group, hash): Spark's rank-limit
+    * pushdown (`WindowGroupLimit`) keeps only n rows per group per
+    * partition BEFORE the shuffle, so a 100 TB corpus with a billion-doc
+    * domain never materializes that domain's full candidate list.
+    */
+  def cappedPerGroup(
+      df: DataFrame, groupCol: String, idCol: String, n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")))
+    df.withColumn("__graft_capn", row_number().over(w))
+      .filter(col("__graft_capn") <= n)
+      .drop("__graft_capn")
+  }
 }

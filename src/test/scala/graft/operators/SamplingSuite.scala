@@ -40,6 +40,25 @@ class SamplingSuite extends SparkSpec {
     subsetSplits.foreach { case (id, s) => assert(fullSplits(id) == s) }
   }
 
+  test("cappedPerGroup keeps exactly min(n, group size) rows, deterministically") {
+    val df = (0 until 200).map(i => (i, s"g${i % 5}")).toDF("id", "grp")
+      .union(Seq((9001, "tiny")).toDF("id", "grp"))
+    val out = Sampling.cappedPerGroup(df, "grp", "id", n = 7)
+    val sizes = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("g0" -> 7L, "g1" -> 7L, "g2" -> 7L, "g3" -> 7L, "g4" -> 7L,
+      "tiny" -> 1L))
+    // deterministic: same rows every run
+    val a = out.collect().map(_.getInt(0)).toSet
+    val b = Sampling.cappedPerGroup(df, "grp", "id", n = 7).collect().map(_.getInt(0)).toSet
+    assert(a == b)
+    // rank-limit pushdown reaches the plan (partial WindowGroupLimit
+    // before the exchange keeps per-partition candidates at n)
+    val plan = Sampling.cappedPerGroup(df, "grp", "id", n = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(600))
+  }
+
   test("stratifiedHashSample applies per-stratum fractions") {
     val out = Sampling.stratifiedHashSample(ids, "g", "id",
       Map("g0" -> 0.1, "g1" -> 1.0), defaultFraction = 0.0)
