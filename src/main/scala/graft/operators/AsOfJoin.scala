@@ -178,11 +178,14 @@ object AsOfJoin {
       else min_by(col(RROW), struct(col(TS), col(TIE)))
     val perPart = parted.filter(col(TAG) === 0)
       .groupBy(col(PID)).agg(ext.as("__graft_ext"))
-    // partitionBy(lit(1)): this frame is O(#partitions) rows (one per
-    // pid), so single-partition execution is the point, not a bottleneck
-    // — the constant key just keeps WindowExec from logging its
-    // "No Partition Defined" performance warning on every run
-    val wc = Window.partitionBy(lit(1))
+    // partitionBy(pmod(PID, 1)): this frame is O(#partitions) rows (one
+    // per pid), so single-partition execution is the point, not a
+    // bottleneck — the constant-valued key just keeps WindowExec from
+    // logging its "No Partition Defined" performance warning on every
+    // run. It must be NON-FOLDABLE: a plain lit(1) is stripped by
+    // Spark 4's EliminateWindowPartitions rule, putting the warning
+    // right back; pmod(PID, 1) is always 0 but survives the optimizer.
+    val wc = Window.partitionBy(pmod(col(PID), lit(1)))
       .orderBy(if (backward) col(PID).asc else col(PID).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = parted.select(col(PID)).distinct()

@@ -26,21 +26,36 @@ object Relational {
 
   /** Equi-join with key salting for skew: the build side replicates each
     * row `salt` times with salt ids 0..salt-1; the probe side scatters
-    * each row to ONE random-but-deterministic salt (hash of the whole
-    * probe row), so a hot key's probe rows spread over `salt` reducers
-    * instead of one straggler.
+    * each row to ONE salt via a per-partition row counter
+    * (`monotonically_increasing_id` increments by one within each map
+    * partition, so consecutive rows cycle round-robin through the
+    * slots). A counter rather than a row hash on purpose: the
+    * pathological hot key is many IDENTICAL probe rows, and any
+    * content hash sends all of them to the SAME slot — the exact
+    * straggler the operator exists to break up. Same trick as
+    * [[graft.plans.SaltedRangePartitioning]]'s per-map-partition
+    * counter; the join result is salt-assignment-independent (every
+    * slot carries the full build side), so counter nondeterminism
+    * across task retries cannot change the output.
     *
     * AQE's skew-join splitting usually makes this unnecessary — reach for
     * it when a single key is so hot that even a split partition is one
     * task (or when a deterministic layout is needed across stages).
     * Build-side replication costs `salt`×|right|: salt the SMALL side.
     */
+  /** The probe side of [[saltedEquiJoin]] with its assigned salt slot
+    * kept as `__graft_salt` — package-private so the suite can assert
+    * that identical hot-key rows actually spread across slots.
+    */
+  private[graft] def saltedProbe(left: DataFrame, salt: Int): DataFrame =
+    left.withColumn("__graft_salt",
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
+
   def saltedEquiJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, salt: Int): DataFrame = {
     require(salt > 1, s"salt must be > 1, got $salt")
-    val saltL = pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salt))
-    val l = left.withColumn("__graft_salt", saltL)
+    val l = saltedProbe(left, salt)
     val r = right.withColumn("__graft_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     l.join(r,

@@ -41,6 +41,29 @@ class RelationalSuite extends SparkSpec {
     assertSameRows(salted, plain)
   }
 
+  test("saltedEquiJoin spreads FULLY IDENTICAL hot-key probe rows across all slots") {
+    // the pathological case a content-hash salt gets wrong: every probe
+    // row is byte-identical, so hash(row) puts all of them in ONE slot
+    // and the straggler survives. The round-robin counter must hit
+    // min(salt, N) distinct slots even then.
+    val salt = 8
+    val n = 100
+    // one map partition: the counter is per-partition, and the scenario
+    // being modeled is a hot key with MANY rows per partition (a 3-row
+    // local partition can only ever reach 3 slots)
+    val probe = Seq.fill(n)((1, "same-payload")).toDF("k", "pv").coalesce(1)
+    val slots = Relational.saltedProbe(probe, salt)
+      .agg(countDistinct(col("__graft_salt"))).collect()(0).getLong(0)
+    assert(slots == math.min(salt, n).toLong,
+      s"identical rows clumped into $slots of $salt slots")
+    // and the join output is still exactly the plain equi-join
+    val build = Seq((1, "dim1"), (2, "dim2")).toDF("bk", "bv")
+    val plain = probe.join(build, probe("k") === build("bk")).select("k", "pv", "bk", "bv")
+    val salted = Relational.saltedEquiJoin(probe, build, "k", "bk", salt)
+      .select("k", "pv", "bk", "bv")
+    assertSameRows(salted, plain)
+  }
+
   test("cross-corpus ngram jaccard join pairs only across the two inputs") {
     val incoming = Seq(
       (1, "the quick brown fox jumps over the lazy dog"),
