@@ -50,26 +50,37 @@ object Bench {
         catch { case _: Throwable => () }
       }
 
-    // three timed runs, report the min: the first run at the target SF
-    // still pays one-off AQE replanning + codegen specialization the
-    // sf0.001 warmup can't reach, and box noise on shared hardware is
-    // worth a third sample; steady-state throughput is what a
-    // long-running cluster job sees.
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val fn = SparkEntry.queries(name)
-      val secs = (1 to 3).map { _ =>
+    // three timed passes over the WHOLE suite (not 3 back-to-back runs
+    // per query): back-to-back repeats of one query share page cache,
+    // JIT state, and any transient box noise, so their min hides
+    // cross-invocation variance — the round-4 ineq_join_acctbal reading
+    // whipsawed 0.8 s -> 1.85 s -> 0.67 s across rounds while its
+    // within-invocation min looked stable. Interleaving whole-suite
+    // passes makes each sample an independent visit, and reporting the
+    // per-query SPREAD (max - min across passes) alongside the min lets
+    // the gate distinguish a real regression from a noisy sample.
+    val names = headline.filter(SparkEntry.queries.contains)
+    val passes = 3
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    (1 to passes).foreach { _ =>
+      names.foreach { name =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-        (System.nanoTime() - t0) / 1e9
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        val s = (System.nanoTime() - t0) / 1e9
+        samples(name) = s :: samples.getOrElse(name, Nil)
       }
-      name -> secs.min
     }
+    val results = names.map(n => n -> samples(n).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val spreads = names.map { n =>
+      val ss = samples(n)
+      "\"" + n + "\":" + f"${ss.max - ss.min}%.3f"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
