@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,53 +80,63 @@ object SimilaritySearch {
       .drop("__rn")
   }
 
-  /** IVF (inverted-file) approximate top-k — the learned-bucketing scale
-    * path the spec pairs with LSH: k-means centroids partition the
-    * corpus into `nCentroids` cells; a query probes only its `nProbe`
-    * nearest cells and rescores those candidates exactly.
-    *
-    * Fully deterministic: centroids initialize from the corpus vectors
-    * with the smallest md5-derived id hash (seedless, engine-stable) and
-    * Lloyd iterations are plain averages. Centroids live on the driver
-    * between iterations (k×dim doubles — that is how IVF training works
-    * at any scale; the corpus itself never leaves the executors).
-    *
-    * Cost per query: `nCentroids` centroid dots + |corpus|·nProbe/
-    * nCentroids candidate dots — vs |corpus| for brute force. Recall is
-    * approximate at cell boundaries; returned cosines are exact.
+  /** Centroid matrix as a literal `array<struct<cell,v,n>>` column — the
+    * "broadcast" for per-row cell assignment: k×dim doubles folded into
+    * the plan, so assignment is a row-local expression with NO udf, NO
+    * join, and NO shuffle (the alternative — crossJoin with a centroid
+    * table + re-group per row — would shuffle |corpus|×k rows just to
+    * undo its own explode).
     */
-  def ivfTopK(
-      queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
-    require(nProbe >= 1 && nProbe <= nCentroids)
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"),
-      VectorFunctions.asDouble(col(vecCol)).as("__cv"),
-      VectorFunctions.norm(col(vecCol)).as("__cn"))
-      .localCheckpoint(true) // scanned once per Lloyd iteration + search
+  private def centroidArray(centroids: Array[Array[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (v, i) =>
+      struct(
+        lit(i).as("cell"),
+        array(v.map(lit): _*).as("v"),
+        lit(math.sqrt(v.map(x => x * x).sum)).as("n"))
+    }.toIndexedSeq: _*)
 
-    // deterministic seed vectors: smallest md5-hash of the id
+  /** `dot(vec, ct.v) / ct.n` via higher-order functions — same value,
+    * same left-to-right summation order, as the driver-side scoring
+    * loop, so expression-assigned cells match driver-computed ones
+    * bit-for-bit (the suite pins this).
+    */
+  private def centroidScore(ct: Column, vec: Column): Column =
+    when(ct.getField("n") > 0,
+      aggregate(zip_with(ct.getField("v"), vec, (a, b) => a * b),
+        lit(0.0), (s, x) => s + x) / ct.getField("n"))
+      .otherwise(lit(0.0))
+
+  /** Row-local argmax cell (highest cosine, ties to the smaller cell id)
+    * over the literal centroid array.
+    */
+  private def bestCellExpr(vec: Column, cents: Column): Column =
+    aggregate(cents,
+      struct(lit(-1).as("cell"), lit(Double.NegativeInfinity).as("score")),
+      (acc, ct) =>
+        when(centroidScore(ct, vec) > acc.getField("score"),
+          struct(ct.getField("cell").as("cell"),
+            centroidScore(ct, vec).as("score")))
+          .otherwise(acc))
+      .getField("cell")
+
+  /** Deterministic Lloyd k-means over a prepared
+    * `(neighbor_id, __cv, __cn)` frame: centroids initialize from the
+    * corpus vectors with the smallest md5-derived id hash (seedless,
+    * engine-stable) and iterations are plain averages. Centroids live on
+    * the driver between iterations (k×dim doubles — that is how IVF
+    * training works at any scale; the corpus itself never leaves the
+    * executors).
+    */
+  private def trainCentroids(
+      c: DataFrame, nCentroids: Int, iters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = c
       .withColumn("__h", md5(col("neighbor_id").cast("string")))
       .orderBy(col("__h")).limit(nCentroids)
       .select("__cv").collect().map(_.getSeq[Double](0).toArray)
-
-    def nearestUdf(cents: Array[Array[Double]], n: Int) =
-      udf((vec: Seq[Double]) => {
-        // top-n centroid ids by cosine (centroid norms folded in)
-        val scored = cents.zipWithIndex.map { case (ct, i) =>
-          var dp = 0.0; var nc = 0.0
-          var j = 0
-          while (j < ct.length && j < vec.length) { dp += ct(j) * vec(j); nc += ct(j) * ct(j); j += 1 }
-          (if (nc > 0) dp / math.sqrt(nc) else 0.0, i)
-        }
-        scored.sortBy { case (s, i) => (-s, i) }.take(n).map(_._2)
-      })
-
     var it = 0
     while (it < iters) {
-      val assigned = c.withColumn("__cell", nearestUdf(centroids, 1)(col("__cv"))(0))
+      val assigned =
+        c.withColumn("__cell", bestCellExpr(col("__cv"), centroidArray(centroids)))
       val means = assigned
         .select(col("__cell"), posexplode(col("__cv")).as(Seq("__pos", "__v")))
         .groupBy(col("__cell"), col("__pos")).agg(avg(col("__v")).as("__m"))
@@ -138,16 +148,44 @@ object SimilaritySearch {
       centroids = Array.tabulate(centroids.length)(i => means.getOrElse(i, centroids(i)))
       it += 1
     }
+    centroids
+  }
 
-    val cells = c.withColumn("__cell", nearestUdf(centroids, 1)(col("__cv"))(0))
-    val q = queries.select(
-      col(idCol).as("query_id"),
-      VectorFunctions.asDouble(col(vecCol)).as("__qv"),
-      VectorFunctions.norm(col(vecCol)).as("__qn"))
-      .withColumn("__cell", explode(nearestUdf(centroids, nProbe)(col("__qv"))))
+  private def prepared(df: DataFrame, idCol: String, vecCol: String,
+      idAlias: String, vecAlias: String, normAlias: String): DataFrame =
+    df.select(
+      col(idCol).as(idAlias),
+      VectorFunctions.asDouble(col(vecCol)).as(vecAlias),
+      VectorFunctions.norm(col(vecCol)).as(normAlias))
+
+  /** Queries annotated with their `nProbe` nearest cells: one batched
+    * pass — broadcast crossJoin against the (tiny) centroid table,
+    * codegen dot product, window top-nProbe per query. No per-row UDF
+    * anywhere on the search path.
+    */
+  private def probeCells(
+      q: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cscore").desc, col("__cell").asc)
+    q.crossJoin(broadcast(cents))
+      .withColumn("__cscore",
+        when(col("__ctn") > 0,
+          VectorFunctions.dot(col("__qv"), col("__ctv")) / col("__ctn"))
+          .otherwise(lit(0.0)))
+      .withColumn("__crn", row_number().over(w))
+      .filter(col("__crn") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__cell"))
+  }
+
+  /** Candidate join + exact rescore + top-k, shared by the in-memory and
+    * persisted IVF paths. `cells` carries
+    * `(neighbor_id, __cv, __cn, __cell)`.
+    */
+  private def ivfSearch(
+      probed: DataFrame, cells: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(q)
+    broadcast(probed)
       .join(cells, Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
@@ -157,6 +195,92 @@ object SimilaritySearch {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
+  }
+
+  /** IVF (inverted-file) approximate top-k — the learned-bucketing scale
+    * path the spec pairs with LSH: k-means centroids partition the
+    * corpus into `nCentroids` cells; a query probes only its `nProbe`
+    * nearest cells and rescores those candidates exactly.
+    *
+    * Trains in-process on every call — the right shape for ad-hoc use.
+    * A production pipeline trains ONCE via [[buildIvfIndex]] and serves
+    * queries from the persisted index with [[searchIvf]].
+    *
+    * Cost per query: `nCentroids` centroid dots + |corpus|·nProbe/
+    * nCentroids candidate dots — vs |corpus| for brute force. Recall is
+    * approximate at cell boundaries; returned cosines are exact.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids)
+    val c = prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+      .localCheckpoint(true) // scanned once per Lloyd iteration + search
+    val centroids = trainCentroids(c, nCentroids, iters)
+    val cells =
+      c.withColumn("__cell", bestCellExpr(col("__cv"), centroidArray(centroids)))
+    val cents = centroidTable(queries.sparkSession, centroids)
+    val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    ivfSearch(probeCells(q, cents, nProbe), cells, k)
+  }
+
+  private def centroidTable(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.toIndexedSeq
+      .map { case (v, i) => (i, v, math.sqrt(v.map(x => x * x).sum)) }
+      .toDF("__cell", "__ctv", "__ctn")
+  }
+
+  /** Train an IVF index ONCE and persist it (the index lifecycle a
+    * 100 TB ANN deployment needs — [[ivfTopK]] retrains per call):
+    *
+    *  - `indexDir/centroids` — `(cell, centroid, cnorm)`, k rows.
+    *  - `indexDir/cells` — the corpus vectors PARTITIONED BY cell, so a
+    *    probe of `nProbe` cells is a partition-pruned scan that never
+    *    touches the other `nCentroids − nProbe` directories (dynamic
+    *    partition pruning from the broadcast probe join; 15/16 of the
+    *    corpus is never read at the defaults).
+    *
+    * Assignment is the row-local argmax expression — building the index
+    * shuffles nothing but the write itself.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      nCentroids: Int = 16, iters: Int = 5): Unit = {
+    val c = prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+      .localCheckpoint(true)
+    val centroids = trainCentroids(c, nCentroids, iters)
+    centroidTable(c.sparkSession, centroids)
+      .select(col("__cell").as("cell"), col("__ctv").as("centroid"),
+        col("__ctn").as("cnorm"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    c.withColumn("cell", bestCellExpr(col("__cv"), centroidArray(centroids)))
+      .select(col("neighbor_id"), col("__cv").as("vec"), col("__cn").as("norm"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
+  /** Serve top-k queries from a persisted [[buildIvfIndex]] index — no
+    * retraining, no UDF: centroids load as a k-row broadcast table,
+    * queries pick their `nProbe` cells in one batched pass, and the
+    * candidate scan prunes to the probed cell partitions.
+    */
+  def searchIvf(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell").as("__cell"), col("centroid").as("__ctv"),
+        col("cnorm").as("__ctn"))
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .select(col("neighbor_id"), col("vec").as("__cv"), col("norm").as("__cn"),
+        col("cell").as("__cell"))
+    val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    ivfSearch(probeCells(q, cents, nProbe), cells, k)
   }
 
   /** Micro-averaged recall of an approximate top-k result against the

@@ -73,6 +73,40 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(got.toSet == again.toSet)
   }
 
+  test("persisted IVF index: searchIvf serves without retraining and matches ivfTopK") {
+    val rnd = new scala.util.Random(31)
+    val centers = Seq(
+      Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0),
+      Array(0, 0, 10.0, 0), Array(0, 0, 0, 10.0))
+    val vecs = (0 until 120).map { i =>
+      val ctr = centers(i % 4)
+      (i, ctr.map(_ + rnd.nextGaussian() * 0.5))
+    }.toDF("id", "emb")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    SimilaritySearch.buildIvfIndex(vecs, "id", "emb", dir,
+      nCentroids = 8, iters = 4)
+    // the index layout is the scale contract: centroids are k rows, the
+    // corpus is partitioned by cell so an nProbe search prunes to its
+    // probed directories
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cellDirs.nonEmpty && cellDirs.size <= 8, s"cell dirs: $cellDirs")
+    // search path takes only the index dir — retraining is structurally
+    // impossible — and agrees with the train-per-call path, which uses
+    // the same deterministic trainer
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toSet
+    val fromIndex = key(SimilaritySearch.searchIvf(
+      spark, dir, vecs, "id", "emb", k = 3, nProbe = 3))
+    val inMemory = key(SimilaritySearch.ivfTopK(vecs, vecs, "id", "emb", k = 3,
+      nCentroids = 8, nProbe = 3, iters = 4))
+    assert(fromIndex == inMemory)
+    // a second search hits the same stored index (stable across calls)
+    val again = key(SimilaritySearch.searchIvf(
+      spark, dir, vecs, "id", "emb", k = 3, nProbe = 3))
+    assert(again == fromIndex)
+  }
+
   test("LSH top-k returns true cosines for whatever it returns") {
     val rnd = new scala.util.Random(11)
     val vecs = (0 until 80).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
