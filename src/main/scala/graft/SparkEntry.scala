@@ -206,6 +206,34 @@ object SparkEntry {
           unix_micros(col("click_ts")).as("click_us"),
           unix_micros(col("view_ts")).as("view_us"))
     }),
+    "asof_join_sql" -> ((s, dir) => {
+      // the ASOF JOIN SQL surface (GraftSqlParser): the parser splices
+      // the AsOfJoin.unbounded plan in for the two relations — same
+      // range-shuffled union + window plan as the operator API. DuckDB
+      // runs its native ASOF JOIN as the oracle. Falls back loudly to
+      // the library call when the session parser lacks the extension.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), unix_micros(col("ts")).as("click_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(unix_micros(col("ts")).as("view_us"))
+        .agg(max(col("event_id")).as("view_id"))
+      clicks.createOrReplaceTempView("graft_sql_clicks")
+      views.createOrReplaceTempView("graft_sql_views")
+      val q = """SELECT click_id, view_id, click_us, view_us
+                |FROM graft_sql_clicks ASOF JOIN graft_sql_views
+                |ON click_us >= view_us""".stripMargin
+      try s.sql(q)
+      catch {
+        case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+          System.err.println(
+            "[graft] WARN: session parser lacks GraftSqlParser; running " +
+              "AsOfJoin.unbounded directly for asof_join_sql")
+          AsOfJoin.unbounded(clicks, views, rightId = "view_id",
+              leftOn = Some("click_us"), rightOn = Some("view_us"))
+            .select(col("click_id"), col("view_id"), col("click_us"), col("view_us"))
+      }
+    }),
     // ---- interval (range-overlap) join ------------------------------------
     "interval_join_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -776,6 +804,13 @@ object SparkEntry {
           |           FROM c, v WHERE abs(cus - vus) <= 120000000)
           |SELECT cid AS click_id, vid AS view_id, d AS delta_us FROM j WHERE rn = 1""".stripMargin,
       "asof_join_unbounded" ->
+        """WITH c AS (SELECT event_id AS click_id, epoch_us(ts) AS click_us
+          |           FROM events WHERE event_type = 'click'),
+          |     v AS (SELECT epoch_us(ts) AS view_us, max(event_id) AS view_id
+          |           FROM events WHERE event_type = 'view' GROUP BY 1)
+          |SELECT c.click_id, v.view_id, c.click_us, v.view_us
+          |FROM c ASOF JOIN v ON c.click_us >= v.view_us""".stripMargin,
+      "asof_join_sql" ->
         """WITH c AS (SELECT event_id AS click_id, epoch_us(ts) AS click_us
           |           FROM events WHERE event_type = 'click'),
           |     v AS (SELECT epoch_us(ts) AS view_us, max(event_id) AS view_id

@@ -38,17 +38,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * passes through byte-identical.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  import GraftSqlParser.desugar
+  import GraftSqlParser.{desugar, desugarAsOf}
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(desugar(sqlText))
+    delegate.parsePlan(desugarAsOf(desugar(sqlText)))
 
   override def parsePlanWithParameters(
       sqlText: String, ctx: ParameterContext): LogicalPlan =
-    delegate.parsePlanWithParameters(desugar(sqlText), ctx)
+    delegate.parsePlanWithParameters(desugarAsOf(desugar(sqlText)), ctx)
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(desugar(sqlText))
+    delegate.parseQuery(desugarAsOf(desugar(sqlText)))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -205,6 +205,156 @@ object GraftSqlParser {
     var more = true
     while (more && guard < 100) {
       desugarFirst(cur) match {
+        case Some(next) => cur = next; guard += 1
+        case None => more = false
+      }
+    }
+    cur
+  }
+
+  // ---------------------------------------------------------------------
+  // ASOF JOIN (DuckDB-compatible surface for AsOfJoin.unbounded):
+  //
+  //   SELECT ... FROM l ASOF JOIN r ON l.ts >= r.ts ...
+  //
+  // `>=` matches the nearest PRECEDING right row (backward), `<=` the
+  // nearest FOLLOWING (forward) — inner semantics, no tolerance, exactly
+  // AsOfJoin.unbounded. Unlike FUZZY JOIN this cannot desugar to plain
+  // SQL (the scalable plan is a range-shuffled union + windows, not a
+  // join Catalyst could discover), so the parser builds the unbounded
+  // plan for the two relations directly and splices it back into the
+  // statement as a temp view.
+  //
+  // Contract (violations fail loudly, never silently):
+  //  - each side of ASOF JOIN is a simple relation — a table/view name
+  //    or a parenthesized subquery — not an unparenthesized join chain;
+  //  - the ON clause is a single `col >= col` / `col <= col` inequality
+  //    (qualify duplicate-named columns inside subquery sides instead);
+  //  - downstream references use the join's OUTPUT column names (the
+  //    library call's suffix rules) — relation aliases do not survive
+  //    the splice;
+  //  - ties on equal right timestamps break to the largest (backward) /
+  //    smallest (forward) right timestamp-column value, so results are
+  //    deterministic when right timestamps are unique (the usual as-of
+  //    precondition; pre-aggregate the right side otherwise);
+  //  - the range-partition pass runs when the statement is PARSED
+  //    (spark.sql), not at first action — the sort materializes once.
+  // ---------------------------------------------------------------------
+
+  private def asofFail(msg: String): Nothing =
+    throw new IllegalArgumentException(
+      s"[GRAFT] ASOF JOIN syntax: $msg — expected " +
+        "`<rel> ASOF JOIN <rel> ON <leftCol> >= <rightCol>` " +
+        "(or `<=` for a forward join); each side a simple relation, " +
+        "one inequality, no other conjuncts")
+
+  /** Bare (last-segment, unquoted) column name of a possibly-qualified
+    * reference; None when the text is not a plain column reference.
+    */
+  private def bareColumn(text: String): Option[String] = {
+    val seg = "(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+    val re = s"^$seg(\\.$seg)*$$".r
+    val t = text.trim
+    re.findFirstIn(t).map { _ =>
+      val last = t.substring(t.lastIndexOf('.') + 1)
+      if (last.startsWith("`")) last.stripPrefix("`").stripSuffix("`") else last
+    }
+  }
+
+  private def desugarAsOfFirst(sql: String): Option[String] = {
+    val toks = scan(sql)
+    val az = toks.indices.find { k =>
+      toks(k).word == "ASOF" && k + 1 < toks.length &&
+        toks(k + 1).word == "JOIN" && toks(k + 1).depth == toks(k).depth
+    }
+    az.map { k =>
+      val d = toks(k).depth
+      // left relation: back to the FROM / ',' introducing this item; any
+      // join keyword in between means a compound left side (unsupported)
+      var b = k - 1
+      while (b >= 0 && !(toks(b).depth == d &&
+          (toks(b).word == "FROM" || toks(b).word == ","))) {
+        if (toks(b).depth == d &&
+            (ClauseEnd.contains(toks(b).word) || toks(b).word == "ON"))
+          asofFail(s"left side of ASOF JOIN is not a simple relation")
+        if (toks(b).depth < d) asofFail("ASOF JOIN outside a FROM item")
+        b -= 1
+      }
+      if (b < 0) asofFail("ASOF JOIN without a FROM clause")
+      val leftStart = toks(b).end
+      val leftText = sql.substring(leftStart, toks(k).start).trim
+      // ON of this join
+      var j = k + 2
+      while (j < toks.length && !(toks(j).depth == d && toks(j).word == "ON")) {
+        if (toks(j).depth <= d && ClauseEnd.contains(toks(j).word))
+          asofFail("no ON clause directly after ASOF JOIN")
+        if (toks(j).depth < d) asofFail("no ON clause directly after ASOF JOIN")
+        j += 1
+      }
+      if (j >= toks.length) asofFail("no ON clause directly after ASOF JOIN")
+      val on = j
+      val rightText = sql.substring(toks(k + 1).end, toks(on).start).trim
+      if (leftText.isEmpty || rightText.isEmpty)
+        asofFail("empty relation around ASOF JOIN")
+      // ON-clause region, single conjunct only
+      var e = on + 1
+      while (e < toks.length && toks(e).depth >= d &&
+          !(toks(e).depth == d && ClauseEnd.contains(toks(e).word))) {
+        if (toks(e).depth == d && (toks(e).word == "AND" || toks(e).word == "OR"))
+          asofFail("ASOF JOIN takes a single timestamp inequality " +
+            "(fold equi-conditions into the relations)")
+        e += 1
+      }
+      val clauseEndPos = if (e < toks.length) toks(e).start else sql.length
+      val cond = sql.substring(toks(on).end, clauseEndPos)
+      val (opPos, op) = {
+        val ge = cond.indexOf(">=")
+        val le = cond.indexOf("<=")
+        if (ge >= 0 && (le < 0 || ge < le)) (ge, ">=")
+        else if (le >= 0) (le, "<=")
+        else asofFail("ON clause must compare with >= or <=")
+      }
+      val aText = cond.substring(0, opPos)
+      val bText = cond.substring(opPos + 2)
+      val aCol = bareColumn(aText).getOrElse(
+        asofFail(s"'${aText.trim}' is not a plain column reference"))
+      val bCol = bareColumn(bText).getOrElse(
+        asofFail(s"'${bText.trim}' is not a plain column reference"))
+
+      val spark = org.apache.spark.sql.SparkSession.active
+      def rel(text: String) = spark.sql(s"SELECT * FROM $text")
+      val lDf = rel(leftText)
+      val rDf = rel(rightText)
+      // assign the inequality sides to the relations by column lookup;
+      // `l.ts >= r.ts` is backward (nearest preceding), flipped operand
+      // order flips the direction
+      val (leftOn, rightOn, backward) =
+        if (lDf.columns.contains(aCol) && rDf.columns.contains(bCol))
+          (aCol, bCol, op == ">=")
+        else if (lDf.columns.contains(bCol) && rDf.columns.contains(aCol))
+          (bCol, aCol, op == "<=")
+        else asofFail(s"cannot resolve '$aCol' / '$bCol' against the two sides")
+      val joined = graft.operators.AsOfJoin.unbounded(
+        lDf, rDf, rightId = rightOn,
+        leftOn = Some(leftOn), rightOn = Some(rightOn),
+        direction = if (backward) "backward" else "forward")
+      val view = s"graft_asof_${(sql.hashCode.toLong & 0xffffffffL).toHexString}_${toks(k).start}"
+      joined.createOrReplaceTempView(view)
+      sql.substring(0, leftStart) + s" $view " + sql.substring(clauseEndPos)
+    }
+  }
+
+  /** Splice every `ASOF JOIN` in the statement into its unbounded-as-of
+    * plan; statements without the phrase return unchanged (same String
+    * instance).
+    */
+  def desugarAsOf(sql: String): String = {
+    if (!sql.toUpperCase(java.util.Locale.ROOT).contains("ASOF")) return sql
+    var cur = sql
+    var guard = 0
+    var more = true
+    while (more && guard < 100) {
+      desugarAsOfFirst(cur) match {
         case Some(next) => cur = next; guard += 1
         case None => more = false
       }

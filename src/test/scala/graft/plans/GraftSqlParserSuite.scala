@@ -87,6 +87,77 @@ class GraftSqlParserSuite extends SparkSpec {
     bad("SELECT * FROM l FUZZY JOIN r JOIN x ON a NEAR b WITHIN 1") // ON not direct
   }
 
+  test("ASOF JOIN: plain SQL without the phrase passes through unchanged") {
+    val q = "SELECT a FROM t WHERE a >= 1"
+    assert(GraftSqlParser.desugarAsOf(q) eq q)
+    // the word inside a string literal is not a keyword
+    val q2 = "SELECT 'ASOF JOIN r ON a >= b' AS hint FROM t"
+    assert(GraftSqlParser.desugarAsOf(q2) eq q2)
+  }
+
+  test("malformed ASOF joins fail loudly, not silently") {
+    // desugarAsOf touches the session only after the shape checks pass,
+    // so pure-syntax failures need no relations
+    def bad(q: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](GraftSqlParser.desugarAsOf(q))
+      assert(e.getMessage.contains("ASOF JOIN"), e.getMessage)
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    bad("SELECT * FROM l ASOF JOIN r WHERE a >= b", "no ON clause")
+    bad("SELECT * FROM l JOIN x ON p = q ASOF JOIN r ON a >= b",
+      "not a simple relation")
+    bad("SELECT * FROM l ASOF JOIN r ON a >= b AND c = d", "single timestamp")
+    bad("SELECT * FROM l ASOF JOIN r ON a > b", ">= or <=")
+    bad("SELECT * FROM l ASOF JOIN r ON a + 1 >= b", "plain column")
+  }
+
+  test("end-to-end: ASOF JOIN SQL == AsOfJoin.unbounded, both directions") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s.implicits._
+      val quotes = Seq((10L, 100), (20L, 101), (30L, 102), (45L, 103))
+        .toDF("qts", "qid")
+      val trades = Seq((5L, 1), (12L, 2), (31L, 3), (60L, 4))
+        .toDF("tts", "tid")
+      trades.createOrReplaceTempView("asof_trades")
+      quotes.createOrReplaceTempView("asof_quotes")
+      val back = s.sql(
+        """SELECT tid, qid, tts, qts FROM asof_trades ASOF JOIN asof_quotes
+          |ON tts >= qts""".stripMargin)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      // nearest preceding quote per trade; trade at 5 has none (inner)
+      assert(back == Set((2, 100), (3, 102), (4, 103)))
+      val fwd = s.sql(
+        """SELECT tid, qid FROM asof_trades ASOF JOIN asof_quotes
+          |ON tts <= qts""".stripMargin)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      // nearest following quote per trade; trade at 60 has none
+      assert(fwd == Set((1, 100), (2, 101), (3, 103)))
+      // flipped operand order flips the assignment, not the semantics
+      val flipped = s.sql(
+        """SELECT tid, qid FROM asof_trades ASOF JOIN asof_quotes
+          |ON qts <= tts""".stripMargin)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(flipped == back.map { case (t, q) => (t, q) })
+      // equivalence with the library call
+      val viaApi = graft.operators.AsOfJoin.unbounded(
+        trades, quotes, rightId = "qts",
+        leftOn = Some("tts"), rightOn = Some("qts"))
+        .select("tid", "qid")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(back == viaApi)
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
+
   test("end-to-end: FUZZY JOIN SQL == operator API == naive join") {
     val orig = spark
     SparkSession.clearActiveSession()
