@@ -549,6 +549,15 @@ object SparkEntry {
         .select(col("doc_id"), col("sample_rate").cast(DoubleType).as("sample_rate"),
           col("channels"), col("frames"), col("encoding"), col("byte_len"))
     }),
+    "multimodal_video_meta" -> ((s, dir) => {
+      // real ISO-BMFF box walk is proven on generated containers in
+      // MultimodalSuite; the text-byte corpus exercises the total-
+      // function stub path, which the oracle mirrors arithmetically
+      val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
+      Multimodal.decodeVideoMeta(withBin, "payload", keepCols = Seq("doc_id"))
+        .select(col("doc_id"), col("duration_ms"), col("n_tracks"),
+          col("width"), col("height"), col("codec"), col("brand"), col("byte_len"))
+    }),
     // ---- deterministic sampling / splits -----------------------------------
     "sample_hash_events" -> ((s, dir) => {
       Sampling.hashSample(t(s, dir, "events"), "event_id", fraction = 0.1)
@@ -1219,6 +1228,13 @@ object SparkEntry {
           |  0 AS channels,
           |  CAST(strlen(text) // 4 AS BIGINT) AS frames,
           |  'raw' AS encoding,
+          |  CAST(strlen(text) AS BIGINT) AS byte_len
+          |FROM documents""".stripMargin,
+      "multimodal_video_meta" ->
+        """SELECT doc_id,
+          |  CAST(strlen(text) // 8 AS BIGINT) AS duration_ms,
+          |  0 AS n_tracks, 0 AS width, 0 AS height,
+          |  'raw' AS codec, 'none' AS brand,
           |  CAST(strlen(text) AS BIGINT) AS byte_len
           |FROM documents""".stripMargin,
       "sample_hash_events" ->

@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
   * dependencies — [[decodeImage]] reads true width/height from the
   * header (no pixel decode for metadata), [[resizeImage]] decodes,
   * rescales, and re-encodes PNG, [[decodeAudio]] reads sample rate /
-  * channels / frame count from the header. Payloads the JDK cannot read
-  * (e.g. the testdata's text-byte stand-ins, or compressed video, whose
-  * codecs genuinely are absent here) fall back to the deterministic
-  * stubs so every function stays total over arbitrary binary and
-  * oracle-predictable. The `mapPartitions` batch shape (the Scala
+  * channels / frame count from the header, and [[decodeVideo]] walks
+  * ISO-BMFF (MP4) container boxes for duration / tracks / dimensions /
+  * codec fourcc — header-only, no codec required. Payloads none of
+  * these can read (e.g. the testdata's text-byte stand-ins; full video
+  * decode needs codecs genuinely absent here) fall back to the
+  * deterministic stubs so every function stays total over arbitrary
+  * binary and oracle-predictable. The `mapPartitions` batch shape (the Scala
   * analogue of `mapInPandas`: iterator-of-rows in, iterator-of-rows
   * out, per-partition codec reuse) is the scale contract either way.
   */
@@ -154,6 +156,161 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { row =>
         val meta = decodeAudio(row.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(keepIdx.map(row.get) ++ meta.toSeq)
+      }
+    }
+  }
+
+  /** Metadata struct produced by the video container decoder. */
+  val VideoMetaSchema: StructType = StructType(Seq(
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("codec", StringType, nullable = false),
+    StructField("brand", StringType, nullable = false),
+    StructField("byte_len", LongType, nullable = false)))
+
+  /** Fallback video metadata for payloads that are not ISO-BMFF —
+    * deterministic in the byte length, like the other stubs.
+    */
+  def decodeVideoStub(bytes: Array[Byte]): Row = {
+    val len = if (bytes == null) 0L else bytes.length.toLong
+    Row(len / 8L, 0, 0, 0, "raw", "none", len)
+  }
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def fourcc(b: Array[Byte], o: Int): String = {
+    val cs = new Array[Char](4)
+    var i = 0
+    while (i < 4) {
+      val c = b(o + i) & 0xff
+      cs(i) = if (c >= 0x20 && c < 0x7f) c.toChar else '?'
+      i += 1
+    }
+    new String(cs)
+  }
+
+  /** Child boxes of the byte region [start, end): (type, payloadStart,
+    * boxEnd). Malformed sizes throw (caught by [[decodeVideo]] → stub);
+    * `boxEnd > off` guarantees progress, so no input can loop.
+    */
+  private def boxes(b: Array[Byte], start: Int, end: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var off = start
+      def hasNext: Boolean = off + 8 <= end
+      def next(): (String, Int, Int) = {
+        val size = be32(b, off)
+        val typ = fourcc(b, off + 4)
+        val (payload, boxEnd) =
+          if (size == 1) {
+            require(off + 16 <= end, "truncated largesize box")
+            (off.toLong + 16, off + be64(b, off + 8))
+          } else if (size == 0) (off.toLong + 8, end.toLong)
+          else (off.toLong + 8, off + size)
+        require(boxEnd > off + 7 && boxEnd <= end, s"bad box size at $off")
+        val r = (typ, payload.toInt, boxEnd.toInt)
+        off = boxEnd.toInt
+        r
+      }
+    }
+
+  private def findBox(
+      b: Array[Byte], start: Int, end: Int, path: String*): Option[(Int, Int)] =
+    path.foldLeft(Option((start, end))) { (acc, name) =>
+      acc.flatMap { case (s, e) =>
+        boxes(b, s, e).find(_._1 == name).map(t => (t._2, t._3)) }
+    }
+
+  /** ISO-BMFF (MP4/MOV/M4A) container walk — header-only, no codec
+    * involved, so it runs on the bare JDK exactly like the audio-header
+    * path: `ftyp` gives the brand, `moov/mvhd` duration and timescale,
+    * each `moov/trak` counts a track, the first `tkhd` with nonzero
+    * dimensions gives width/height (16.16 fixed point), and the first
+    * `stsd` sample entry gives the codec fourcc. Full video DECODE is
+    * out of scope by construction (no codecs in the JDK); container
+    * METADATA is what a 100 TB curation pass filters on anyway
+    * (duration/resolution/codec gates), and it reads a few hundred
+    * header bytes per object.
+    */
+  private def parseIsoBmff(b: Array[Byte]): Option[Row] = {
+    val top = boxes(b, 0, b.length)
+    if (!top.hasNext) return None
+    val (t0, p0, e0) = top.next()
+    // the ftyp-first requirement is the sniff: arbitrary bytes would
+    // need their first 8 bytes to spell a plausible size + 'ftyp'
+    if (t0 != "ftyp" || e0 - p0 < 4) return None
+    val brand = fourcc(b, p0)
+    var moov: Option[(Int, Int)] = None
+    while (top.hasNext && moov.isEmpty) {
+      val (t, p, e) = top.next()
+      if (t == "moov") moov = Some((p, e))
+    }
+    val (ms, me) = moov.getOrElse(return None)
+    var durationMs = 0L
+    var nTracks = 0
+    var width = 0
+    var height = 0
+    var codec = ""
+    boxes(b, ms, me).foreach {
+      case ("mvhd", p, _) =>
+        val v = b(p) & 0xff
+        if (v == 1) {
+          val ts = be32(b, p + 20); val dur = be64(b, p + 24)
+          if (ts > 0) durationMs = dur * 1000L / ts
+        } else {
+          val ts = be32(b, p + 12); val dur = be32(b, p + 16)
+          if (ts > 0) durationMs = dur * 1000L / ts
+        }
+      case ("trak", p, e) =>
+        nTracks += 1
+        findBox(b, p, e, "tkhd").foreach { case (tp, _) =>
+          val v = b(tp) & 0xff
+          val dimOff = if (v == 1) tp + 88 else tp + 76
+          val w = (be32(b, dimOff) >> 16).toInt
+          val h = (be32(b, dimOff + 4) >> 16).toInt
+          if (width == 0 && w > 0 && h > 0) { width = w; height = h }
+        }
+        if (codec.isEmpty)
+          findBox(b, p, e, "mdia", "minf", "stbl", "stsd").foreach { case (sp, se) =>
+            // stsd payload: version+flags, entry_count, then entries of
+            // [size][format fourcc]
+            if (se - sp >= 16 && be32(b, sp + 4) > 0) codec = fourcc(b, sp + 12)
+          }
+      case _ => ()
+    }
+    Some(Row(durationMs, nTracks, width, height,
+      if (codec.isEmpty) "none" else codec, brand, b.length.toLong))
+  }
+
+  /** Video container metadata: real ISO-BMFF box walk for MP4-family
+    * payloads, [[decodeVideoStub]] for everything else — the same
+    * total-function contract as the image and audio paths.
+    */
+  def decodeVideo(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.length < 16) return decodeVideoStub(bytes)
+    try parseIsoBmff(bytes).getOrElse(decodeVideoStub(bytes))
+    catch { case scala.util.control.NonFatal(_) => decodeVideoStub(bytes) }
+  }
+
+  /** Video-metadata batch transform — same partition-batched shape as
+    * [[decodeMeta]] / [[decodeAudioMeta]].
+    */
+  def decodeVideoMeta(df: DataFrame, binCol: String, keepCols: Seq[String]): DataFrame = {
+    val outSchema = StructType(
+      keepCols.map(c => df.schema(c)) ++ VideoMetaSchema.fields)
+    val keepIdx = keepCols.map(df.schema.fieldIndex)
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val meta = decodeVideo(row.getAs[Array[Byte]](binIdx))
         Row.fromSeq(keepIdx.map(row.get) ++ meta.toSeq)
       }
     }

@@ -141,6 +141,72 @@ class MultimodalSuite extends SparkSpec {
     assert(m(2)._1 == 0f && m(2)._4 == "raw") // stub path, total function
   }
 
+  /** Minimal ISO-BMFF fixture: real box structure (ftyp + moov with
+    * mvhd, a video trak with tkhd dimensions and an stsd codec entry,
+    * and an audio trak), no media data — exactly the bytes a container
+    * metadata walk reads.
+    */
+  private def minimalMp4(
+      brand: String, timescale: Long, duration: Long,
+      w: Int, h: Int, codec: String): Array[Byte] = {
+    def be32(v: Long) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ be32(0) ++
+      brand.getBytes("US-ASCII"))
+    // mvhd v0: creation, modification, timescale, duration, then rate/
+    // volume/reserved/matrix/predefines/next-track-id (zeros suffice)
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++
+      be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+      Array.fill[Byte](80)(0))
+    // tkhd v0: creation, modification, track id, reserved, duration,
+    // reserved(8), layer/group/volume/reserved(8), matrix(36), w, h
+    def tkhd(id: Long, wf: Int, hf: Int) = box("tkhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(id) ++ be32(0) ++
+        be32(duration) ++ Array.fill[Byte](8)(0) ++ Array.fill[Byte](8)(0) ++
+        Array.fill[Byte](36)(0) ++ be32(wf.toLong << 16) ++ be32(hf.toLong << 16))
+    def stsd(fourcc: String) = box("stsd",
+      Array[Byte](0, 0, 0, 0) ++ be32(1) ++
+        box(fourcc, Array.fill[Byte](8)(0)))
+    def trak(id: Long, wf: Int, hf: Int, fourcc: String) = box("trak",
+      tkhd(id, wf, hf) ++
+        box("mdia", box("minf", box("stbl", stsd(fourcc)))))
+    ftyp ++ box("moov", mvhd ++ trak(1, w, h, codec) ++ trak(2, 0, 0, "mp4a"))
+  }
+
+  test("decodeVideo walks a real ISO-BMFF container: duration, tracks, dims, codec") {
+    val mp4 = minimalMp4("isom", timescale = 1000, duration = 5500,
+      w = 640, h = 360, codec = "avc1")
+    val row = Multimodal.decodeVideo(mp4)
+    assert(row.getLong(0) == 5500L) // duration_ms = duration/timescale
+    assert(row.getInt(1) == 2)      // both traks counted
+    assert(row.getInt(2) == 640 && row.getInt(3) == 360)
+    assert(row.getString(4) == "avc1")
+    assert(row.getString(5) == "isom")
+    assert(row.getLong(6) == mp4.length.toLong)
+    // a different timescale rescales the duration
+    val ntsc = Multimodal.decodeVideo(minimalMp4("mp42", 90000, 450000, 1920, 1080, "hvc1"))
+    assert(ntsc.getLong(0) == 5000L && ntsc.getInt(2) == 1920)
+    assert(ntsc.getString(4) == "hvc1" && ntsc.getString(5) == "mp42")
+  }
+
+  test("decodeVideoMeta on a mixed corpus: box walk for MP4, stub for text bytes") {
+    val rows = Seq(
+      (1, minimalMp4("isom", 600, 1200, 320, 240, "avc1")),
+      (2, "definitely not a video".getBytes("UTF-8")))
+    val df = rows.toDF("id", "payload")
+    val out = Multimodal.decodeVideoMeta(df, "payload", Seq("id"))
+    val m = out.collect().map(r =>
+      r.getInt(0) -> (r.getLong(1), r.getInt(2), r.getInt(3), r.getString(5), r.getString(6))).toMap
+    assert(m(1) == (2000L, 2, 320, "avc1", "isom"))
+    val textLen = "definitely not a video".getBytes("UTF-8").length.toLong
+    assert(m(2) == (textLen / 8L, 0, 0, "raw", "none")) // stub, total function
+    // truncated/corrupt MP4 falls back to the stub instead of throwing
+    val corrupt = minimalMp4("isom", 600, 1200, 320, 240, "avc1").take(20)
+    assert(Multimodal.decodeVideo(corrupt).getString(5) == "none")
+  }
+
   test("frameSample slices the payload into n positive-length frames") {
     val out = Multimodal.frameSample(
       Multimodal.withBinaryPayload(docs.filter($"doc_id" === 2), "text"),
