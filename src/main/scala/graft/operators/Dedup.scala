@@ -104,9 +104,10 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Exact set-similarity join with prefix filtering (the classic
-    * refinement from the set-similarity-join literature — PAPERS.md):
-    * identical output to [[ngramJaccard]], far fewer candidate pairs.
+  /** Exact set-similarity join with prefix filtering plus the PPJoin
+    * length and positional refinements (the classic pipeline from the
+    * set-similarity-join literature — PAPERS.md): identical output to
+    * [[ngramJaccard]], far fewer candidate pairs.
     *
     * Shingles are globally ordered by (frequency, value) — rarest first —
     * and each document only indexes its first `|S| - ceil(t*|S|) + 1`
@@ -116,11 +117,39 @@ object Dedup {
     * the overlap below t*|S| — contradiction), so the candidate set stays
     * complete; candidates are then verified on the full shingle sets.
     *
+    * Two provably output-identical prunes run INSIDE the posting join,
+    * before the dedup + verify stages ever see the pair:
+    *
+    *  - LENGTH filter: Jaccard >= t forces
+    *    `intersection >= t * max(|A|,|B|)` while
+    *    `intersection <= min(|A|,|B|)`, so any true pair satisfies
+    *    `min >= t * max`. Size-mismatched docs sharing one rare shingle
+    *    drop at the join.
+    *  - POSITIONAL filter: a true pair's overlap is
+    *    `O >= t/(1+t) * (|A|+|B|)` (rewrite Jaccard with
+    *    `union = |A|+|B|-O`). For its smallest common shingle — at
+    *    prefix ranks i in A, j in B — every shared shingle sits at or
+    *    after those ranks, so `O <= 1 + min(|A|-i, |B|-j)`. Candidates
+    *    whose upper bound can't reach the overlap threshold drop; the
+    *    smallest-common-shingle pairing always survives for a true
+    *    pair, so completeness holds. (Each joined token pair is tested
+    *    independently — keep-if-ANY-passes, a superset of canonical
+    *    PPJoin's first-common-token test, hence safe.)
+    *
+    * Both prunes compare integers against double products; `FpSlack`
+    * absorbs float rounding so a boundary pair can never be lost to a
+    * half-ulp (prunes may only ever KEEP extra pairs — verification is
+    * exact).
+    *
     * Scale shape: the inverted index shrinks by ~t, and because the
     * ordering puts FREQUENT shingles last, the quadratic per-shingle
-    * pair blowup concentrates on rare shingles with tiny posting lists.
+    * pair blowup concentrates on rare shingles with tiny posting lists;
+    * the length + positional prunes then cut the surviving candidates
+    * again before the (shuffling) dropDuplicates and the verify join.
     * Costs one extra frequency aggregation + a per-doc rank window.
     */
+  private val FpSlack = 1e-6
+
   def ngramJaccardPrefix(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
@@ -134,9 +163,18 @@ object Dedup {
     val prefix = tok.join(freq, "__s")
       .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+    val lengthFilter =
+      col("a.__n") * lit(threshold) <= col("b.__n") + lit(FpSlack) &&
+        col("b.__n") * lit(threshold) <= col("a.__n") + lit(FpSlack)
+    val overlapLowerBound =
+      lit(threshold / (1.0 + threshold)) * (col("a.__n") + col("b.__n"))
+    val overlapUpperBound = lit(1) +
+      least(col("a.__n") - col("a.__rank"), col("b.__n") - col("b.__rank"))
+    val positionalFilter = overlapUpperBound >= overlapLowerBound - lit(FpSlack)
     val cands = prefix.as("a")
       .join(prefix.hint("shuffle_hash").as("b"),
-        col("a.__s") === col("b.__s") && col("a.__id") < col("b.__id"))
+        col("a.__s") === col("b.__s") && col("a.__id") < col("b.__id") &&
+          lengthFilter && positionalFilter)
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cands

@@ -81,6 +81,36 @@ class DedupSuite extends SparkSpec {
     }
   }
 
+  test("PPJoin length + positional filters stay output-identical under length skew") {
+    // corpus engineered at the filters' pressure points: wildly
+    // length-mismatched docs sharing rare shingles (length filter
+    // territory), exact duplicates and boundary-Jaccard mutations
+    // (nothing true may drop), and long docs whose only shared shingles
+    // sit late in the rarest-first prefix (positional filter territory)
+    val rnd = new scala.util.Random(7)
+    val words = Vector("kap", "lam", "mu", "nu", "xi", "omi", "pi", "rho", "sig", "tau")
+    def sent(n: Int) = (0 until n).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val shortBase = sent(8)
+    val longBase = sent(60)
+    val corpus = (
+      // short docs + their mutations (boundary pairs near any threshold)
+      (0 until 10).map(i => (i, if (i % 2 == 0) shortBase else shortBase + " " + sent(2))) ++
+      // the same rare tail glued onto very different lengths
+      Seq((20, shortBase + " uniqzz"), (21, longBase + " uniqzz")) ++
+      // exact duplicates (Jaccard 1.0 must always survive)
+      Seq((30, longBase), (31, longBase)) ++
+      // independent long docs
+      (40 until 46).map(i => (i, sent(55)))
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.6, 0.8, 1.0)) {
+      val plain = Dedup.ngramJaccard(corpus, "doc_id", "text", 3, t)
+        .select("doc_a", "doc_b", "jaccard")
+      val prefix = Dedup.ngramJaccardPrefix(corpus, "doc_id", "text", 3, t)
+        .select("doc_a", "doc_b", "jaccard")
+      assert(rowSet(plain) == rowSet(prefix), s"threshold $t")
+    }
+  }
+
   test("ngramJaccardAuto picks by posting-list skew, output identical either way") {
     val rnd = new scala.util.Random(5)
     def words(n: Int) = (0 until n).map(_ => f"w${rnd.nextInt(400)}%03d").mkString(" ")
