@@ -76,6 +76,72 @@ object ScaleStressCC {
   }
 }
 
+/** The FULL pipeline_clean_corpus composition (quality gate -> language
+  * gate -> exact dedup -> adaptive near-dup clustering -> connected
+  * components -> representative-per-cluster anti-join) on the `copies`×
+  * duplicated stress corpus, with a per-stage wall-time breakdown. The
+  * components are individually stress-measured above; this answers the
+  * question they can't: does the COMPOSITION hold up when every doc has
+  * `copies` exact duplicates (the order-of-operations claim — exact
+  * dedup first collapses the k² posting blowup — under its own worst
+  * case).
+  */
+object ScaleStressPipeline {
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.TextFunctions
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val big = (0 until copies).map(i =>
+      base.select((col("doc_id") + lit(i * 1000000)).as("doc_id"), col("text")))
+      .reduce(_ union _).localCheckpoint(true)
+    println(s"[stress-pipe] corpus: ${big.count()} docs (${copies}x)")
+    val tAll = System.nanoTime()
+    def stage[T](l: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress-pipe] $l: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // EXACTLY the SparkEntry composition, stage-materialized so each
+    // phase gets its own wall clock (the extra checkpoints make the
+    // breakdown; the one after exact dedup exists in the query too)
+    val filtered = stage("quality+lang gates") {
+      big.select(col("doc_id"), col("text"),
+          TextFunctions.qualityScore(col("text")).as("__q"),
+          TextFunctions.langId(col("text")).as("__lang"))
+        .filter(col("__q") >= 0.5 && col("__lang") === "en")
+        .localCheckpoint(true)
+    }
+    println(s"[stress-pipe]   gated docs: ${filtered.count()}")
+    val exact = stage("exact dedup") {
+      Dedup.exact(filtered, "text", "doc_id").localCheckpoint(true)
+    }
+    println(s"[stress-pipe]   unique docs: ${exact.count()}")
+    val pairs = stage("adaptive near-dup join (incl. probe)") {
+      Dedup.ngramJaccardAuto(exact, "doc_id", "text", n = 3, threshold = 0.6)
+        .select("doc_a", "doc_b").localCheckpoint(true)
+    }
+    println(s"[stress-pipe]   near-dup pairs: ${pairs.count()}")
+    val comps = stage("connected components") {
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b").localCheckpoint(true)
+    }
+    val kept = stage("representative anti-join") {
+      val drops = comps.filter(col("id") =!= col("component"))
+        .select(col("id").as("__dropid"))
+      exact.join(drops, exact("doc_id") === col("__dropid"), "left_anti").count()
+    }
+    println(f"[stress-pipe] TOTAL: ${(System.nanoTime() - tAll) / 1e9}%.2f s, kept $kept docs")
+    spark.stop()
+  }
+}
+
 /** Prefix-filter variant on the same stress corpus. */
 object ScaleStressPrefix {
   def main(args: Array[String]): Unit = {
