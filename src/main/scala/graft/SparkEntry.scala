@@ -206,6 +206,27 @@ object SparkEntry {
           unix_micros(col("click_ts")).as("click_us"),
           unix_micros(col("view_ts")).as("view_us"))
     }),
+    "asof_join_by" -> ((s, dir) => {
+      // grouped merge_asof (by=user): each click matches the nearest
+      // preceding view OF THE SAME USER — the production as-of shape
+      // (per-symbol quotes, per-user attribution). DuckDB's ASOF JOIN
+      // with an equality conjunct is the oracle.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id"))
+        .groupBy("user_id", "view_ts")
+        .agg(max(col("event_id")).as("view_id"))
+      AsOfJoin.unbounded(clicks, views, rightId = "view_id",
+          leftOn = Some("click_ts"), rightOn = Some("view_ts"),
+          by = Seq("user_id"))
+        .select(col("click_id"), col("view_id"),
+          col("user_id_x").as("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("view_ts")).as("view_us"))
+    }),
     "asof_join_sql" -> ((s, dir) => {
       // the ASOF JOIN SQL surface (GraftSqlParser): the parser splices
       // the AsOfJoin.unbounded plan in for the two relations — same
@@ -819,6 +840,13 @@ object SparkEntry {
           |           FROM events WHERE event_type = 'view' GROUP BY 1)
           |SELECT c.click_id, v.view_id, c.click_us, v.view_us
           |FROM c ASOF JOIN v ON c.click_us >= v.view_us""".stripMargin,
+      "asof_join_by" ->
+        """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+          |           FROM events WHERE event_type = 'click'),
+          |     v AS (SELECT user_id, epoch_us(ts) AS view_us, max(event_id) AS view_id
+          |           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+          |SELECT c.click_id, v.view_id, c.user_id, c.click_us, v.view_us
+          |FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.click_us >= v.view_us""".stripMargin,
       "asof_join_sql" ->
         """WITH c AS (SELECT event_id AS click_id, epoch_us(ts) AS click_us
           |           FROM events WHERE event_type = 'click'),

@@ -33,6 +33,23 @@ object AsOfJoin {
   private val RID = "__graft_asof_rowid"
   private val DELTA = "__graft_asof_delta"
 
+  /** Post-suffix names of the same-name `by` columns on each side: a
+    * grouped as-of join only ever matches rows with EQUAL group keys
+    * (pandas `merge_asof(by=...)`), and since the keys exist on both
+    * sides they are always in the suffix overlap.
+    */
+  private def byCols(
+      left: DataFrame, right: DataFrame, by: Seq[String],
+      suffixes: (String, String)): (Seq[String], Seq[String]) = {
+    by.foreach { c =>
+      JoinSpec.requireColumn(left, c, "left (by)")
+      JoinSpec.requireColumn(right, c, "right (by)")
+    }
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    (by.map(c => if (overlap(c)) c + suffixes._1 else c),
+      by.map(c => if (overlap(c)) c + suffixes._2 else c))
+  }
+
   def time(
       left: DataFrame,
       right: DataFrame,
@@ -42,6 +59,7 @@ object AsOfJoin {
       leftOn: Option[String] = None,
       rightOn: Option[String] = None,
       direction: String = "nearest",
+      by: Seq[String] = Nil,
       suffixes: (String, String) = ("_x", "_y")): DataFrame = {
     require(Set("nearest", "backward", "forward")(direction),
       s"direction must be nearest|backward|forward, got $direction")
@@ -50,6 +68,7 @@ object AsOfJoin {
     val cols = JoinSpec.resolve(on, leftOn, rightOn)
     JoinSpec.requireColumn(left, cols.leftCol, "left")
     JoinSpec.requireColumn(right, cols.rightCol, "right")
+    val (byL, byR) = byCols(left, right, by, suffixes)
 
     val lf = left.filter(col(cols.leftCol).isNotNull).withColumn(RID, monotonically_increasing_id())
     val rf = right.filter(col(cols.rightCol).isNotNull)
@@ -69,8 +88,14 @@ object AsOfJoin {
     val lb = l.withColumn("__graft_bl", bucket(col(c.leftCol)))
     val rb = r.withColumn("__graft_br",
       explode(array(bucket(col(c.rightCol)) - 1, bucket(col(c.rightCol)), bucket(col(c.rightCol)) + 1)))
+    // group keys join as extra EQUI conjuncts — they tighten the hash
+    // key (bucket, by...), so grouped as-of gets better partitioning for
+    // free; null group keys drop (inner equi semantics, like pandas)
+    val byMatch = byL.zip(byR)
+      .map { case (a, b) => col(a) === col(b) }
+      .foldLeft(lit(true))(_ && _)
     val cands = lb
-      .join(rb, col("__graft_bl") === col("__graft_br") && inBand, "inner")
+      .join(rb, col("__graft_bl") === col("__graft_br") && byMatch && inBand, "inner")
       .withColumn(DELTA, abs(signedDelta))
 
     val w = Window
@@ -112,6 +137,7 @@ object AsOfJoin {
       leftOn: Option[String] = None,
       rightOn: Option[String] = None,
       direction: String = "backward",
+      by: Seq[String] = Nil,
       suffixes: (String, String) = ("_x", "_y")): DataFrame = {
     require(Set("backward", "forward")(direction),
       s"direction must be backward|forward, got $direction")
@@ -120,6 +146,7 @@ object AsOfJoin {
     JoinSpec.requireColumn(left, cols.leftCol, "left")
     JoinSpec.requireColumn(right, cols.rightCol, "right")
     JoinSpec.requireColumn(right, rightId, "right")
+    val (byL, byR) = byCols(left, right, by, suffixes)
     val lf = left.filter(col(cols.leftCol).isNotNull)
     val rf = right.filter(col(cols.rightCol).isNotNull)
     val (l, r, c) = JoinSpec.applySuffixes(lf, rf, cols, suffixes)
@@ -127,6 +154,11 @@ object AsOfJoin {
     require(l.schema(c.leftCol).dataType == r.schema(c.rightCol).dataType,
       s"as-of join columns must share a type, got " +
         s"${l.schema(c.leftCol).dataType} vs ${r.schema(c.rightCol).dataType}")
+    byL.zip(byR).foreach { case (a, b) =>
+      require(l.schema(a).dataType == r.schema(b).dataType,
+        s"as-of by columns must share a type, got " +
+          s"${l.schema(a).dataType} vs ${r.schema(b).dataType}")
+    }
 
     val TS = "__graft_uasof_ts"
     val TAG = "__graft_uasof_tag"
@@ -134,66 +166,85 @@ object AsOfJoin {
     val LROW = "__graft_uasof_l"
     val RROW = "__graft_uasof_r"
     val PID = "__graft_uasof_pid"
+    val K = by.indices.map(i => s"__graft_uasof_k$i")
     val lType = StructType(l.schema.fields)
     val rType = StructType(r.schema.fields)
     val tieType = r.schema(idOut).dataType
 
-    val lT = l.select(
-      col(c.leftCol).as(TS), lit(1).as(TAG), lit(null).cast(tieType).as(TIE),
-      struct(l.columns.map(col).toIndexedSeq: _*).as(LROW),
-      lit(null).cast(rType).as(RROW))
-    val rT = r.select(
-      col(c.rightCol).as(TS), lit(0).as(TAG), col(idOut).as(TIE),
-      lit(null).cast(lType).as(LROW),
-      struct(r.columns.map(col).toIndexedSeq: _*).as(RROW))
+    // group keys are normalized to K(i) on both sides so the union
+    // aligns; null keys drop (inner equi semantics, like pandas `by=`)
+    val lT = l.filter(byL.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
+      .select(byL.map(col).zip(K).map { case (cc, k) => cc.as(k) } ++ Seq(
+        col(c.leftCol).as(TS), lit(1).as(TAG), lit(null).cast(tieType).as(TIE),
+        struct(l.columns.map(col).toIndexedSeq: _*).as(LROW),
+        lit(null).cast(rType).as(RROW)): _*)
+    val rT = r.filter(byR.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
+      .select(byR.map(col).zip(K).map { case (cc, k) => cc.as(k) } ++ Seq(
+        col(c.rightCol).as(TS), lit(0).as(TAG), col(idOut).as(TIE),
+        lit(null).cast(lType).as(LROW),
+        struct(r.columns.map(col).toIndexedSeq: _*).as(RROW)): _*)
     val p = left.sparkSession.sessionState.conf.numShufflePartitions
     // spark_partition_id is nondeterministic, so the projection stays
     // pinned above the range exchange (and AQE only merges ADJACENT
     // range partitions, which keeps pid order aligned with ts order).
-    // Range-partition on TS ALONE: equal timestamps must co-locate
-    // regardless of side, or a boundary between right rows and left
-    // rows at the same timestamp would hide the equal-ts match from the
-    // forward window (the carry only covers strictly later partitions).
+    // Range-partition on (K..., TS): rows of one group stay contiguous
+    // in the compound order, ascending ts with ascending pid, so the
+    // per-group carry below remains correct when a group spans a
+    // partition boundary. Equal timestamps must co-locate regardless of
+    // side (never add TAG/TIE to the range key), or a boundary between
+    // right rows and left rows at the same timestamp would hide the
+    // equal-ts match from the forward window (the carry only covers
+    // strictly later partitions).
     // MATERIALIZE once: the frame feeds three subtrees (window, carry,
     // pid list), and each re-execution would re-sample the range bounds
     // and renumber pids — the carry join would then mix two different
     // partitionings. One pass over the data, same trade as any sort
     // materialization.
     val parted = lT.unionByName(rT)
-      .repartitionByRange(p, col(TS))
+      .repartitionByRange(p, (K.map(col) :+ col(TS)): _*)
       .withColumn(PID, spark_partition_id())
       .localCheckpoint(true)
 
     val wOrd: Seq[Column] =
       if (backward) Seq(col(TS).asc, col(TAG).asc, col(TIE).asc)
       else Seq(col(TS).desc, col(TAG).asc, col(TIE).desc)
-    val w = Window.partitionBy(col(PID)).orderBy(wOrd: _*)
+    val w = Window.partitionBy((col(PID) +: K.map(col)): _*).orderBy(wOrd: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withIn = parted.withColumn("__graft_within",
       last(col(RROW), ignoreNulls = true).over(w))
 
-    // one extreme right row per partition, cumulated across partitions
+    // one extreme right row per partition (and group), cumulated across
+    // the partition sequence — for a grouped join the cumulation runs
+    // PER GROUP (real window partitions); ungrouped keeps the
+    // O(#partitions) single-partition frame
     val ext =
       if (backward) max_by(col(RROW), struct(col(TS), col(TIE)))
       else min_by(col(RROW), struct(col(TS), col(TIE)))
     val perPart = parted.filter(col(TAG) === 0)
-      .groupBy(col(PID)).agg(ext.as("__graft_ext"))
-    // partitionBy(pmod(PID, 1)): this frame is O(#partitions) rows (one
-    // per pid), so single-partition execution is the point, not a
-    // bottleneck — the constant-valued key just keeps WindowExec from
-    // logging its "No Partition Defined" performance warning on every
-    // run. It must be NON-FOLDABLE: a plain lit(1) is stripped by
-    // Spark 4's EliminateWindowPartitions rule, putting the warning
-    // right back; pmod(PID, 1) is always 0 but survives the optimizer.
-    val wc = Window.partitionBy(pmod(col(PID), lit(1)))
+      .groupBy((col(PID) +: K.map(col)): _*).agg(ext.as("__graft_ext"))
+    // partitionBy(pmod(PID, 1)) in the ungrouped case: that frame is
+    // O(#partitions) rows (one per pid), so single-partition execution
+    // is the point, not a bottleneck — the constant-valued key just
+    // keeps WindowExec from logging its "No Partition Defined"
+    // performance warning on every run. It must be NON-FOLDABLE: a
+    // plain lit(1) is stripped by Spark 4's EliminateWindowPartitions
+    // rule, putting the warning right back; pmod(PID, 1) is always 0
+    // but survives the optimizer.
+    val carryKeys: Seq[Column] =
+      if (K.isEmpty) Seq(pmod(col(PID), lit(1))) else K.map(col)
+    val wc = Window.partitionBy(carryKeys: _*)
       .orderBy(if (backward) col(PID).asc else col(PID).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = parted.select(col(PID)).distinct()
-      .join(perPart, Seq(PID), "left")
+    val carry = parted.select((col(PID) +: K.map(col)): _*).distinct()
+      .join(perPart, PID +: K, "left")
       .withColumn("__graft_carry", last(col("__graft_ext"), ignoreNulls = true).over(wc))
-      .select(col(PID), col("__graft_carry"))
+      .select((Seq(col(PID)) ++ K.map(col) ++ Seq(col("__graft_carry"))): _*)
 
-    val matched = withIn.join(broadcast(carry), Seq(PID), "left")
+    // ungrouped carry is one row per partition — always broadcast;
+    // grouped carry is O(groups crossing a boundary) and joins back on
+    // (pid, keys), so the planner picks (AQE broadcasts when small)
+    val carryJ = if (K.isEmpty) broadcast(carry) else carry
+    val matched = withIn.join(carryJ, PID +: K, "left")
       .withColumn("__graft_match",
         coalesce(col("__graft_within"), col("__graft_carry")))
       .filter(col(TAG) === 1 && col("__graft_match").isNotNull)

@@ -228,8 +228,10 @@ object GraftSqlParser {
   // Contract (violations fail loudly, never silently):
   //  - each side of ASOF JOIN is a simple relation — a table/view name
   //    or a parenthesized subquery — not an unparenthesized join chain;
-  //  - the ON clause is a single `col >= col` / `col <= col` inequality
-  //    (qualify duplicate-named columns inside subquery sides instead);
+  //  - the ON clause is one `col >= col` / `col <= col` inequality plus
+  //    optional same-name `col = col` equalities, which become the
+  //    grouped join's by-keys (DuckDB's `ON l.k = r.k AND l.ts >= r.ts`
+  //    shape); no OR, no expressions around the columns;
   //  - downstream references use the join's OUTPUT column names (the
   //    library call's suffix rules) — relation aliases do not survive
   //    the splice;
@@ -296,30 +298,52 @@ object GraftSqlParser {
       val rightText = sql.substring(toks(k + 1).end, toks(on).start).trim
       if (leftText.isEmpty || rightText.isEmpty)
         asofFail("empty relation around ASOF JOIN")
-      // ON-clause region, single conjunct only
+      // ON-clause region: top-level AND splits conjuncts (DuckDB's
+      // grouped form — equalities become by-keys); OR is unsupported
       var e = on + 1
+      val andPos = Vector.newBuilder[Int]
       while (e < toks.length && toks(e).depth >= d &&
           !(toks(e).depth == d && ClauseEnd.contains(toks(e).word))) {
-        if (toks(e).depth == d && (toks(e).word == "AND" || toks(e).word == "OR"))
-          asofFail("ASOF JOIN takes a single timestamp inequality " +
-            "(fold equi-conditions into the relations)")
+        if (toks(e).depth == d && toks(e).word == "OR")
+          asofFail("OR in the ON clause is unsupported")
+        if (toks(e).depth == d && toks(e).word == "AND") andPos += e
         e += 1
       }
       val clauseEndPos = if (e < toks.length) toks(e).start else sql.length
-      val cond = sql.substring(toks(on).end, clauseEndPos)
-      val (opPos, op) = {
+      val bounds = (toks(on).end +: andPos.result().map(toks(_).end)) zip
+        (andPos.result().map(toks(_).start) :+ clauseEndPos)
+      // classify each conjunct: exactly one `col >= col` / `col <= col`
+      // inequality; every other must be a same-name `col = col` equality
+      // (the by-keys of a grouped as-of)
+      var ineq: Option[(String, String, String)] = None
+      val byKeys = Vector.newBuilder[String]
+      bounds.foreach { case (cs, ce) =>
+        val cond = sql.substring(cs, ce)
+        def side(from: Int, to: Int, what: String): String =
+          bareColumn(cond.substring(from, to)).getOrElse(
+            asofFail(s"'${cond.substring(from, to).trim}' is not a plain " +
+              s"column reference ($what)"))
         val ge = cond.indexOf(">=")
         val le = cond.indexOf("<=")
-        if (ge >= 0 && (le < 0 || ge < le)) (ge, ">=")
-        else if (le >= 0) (le, "<=")
-        else asofFail("ON clause must compare with >= or <=")
+        if (ge >= 0 || le >= 0) {
+          val (p, op) =
+            if (ge >= 0 && (le < 0 || ge < le)) (ge, ">=") else (le, "<=")
+          if (ineq.isDefined)
+            asofFail("more than one timestamp inequality in the ON clause")
+          ineq = Some((side(0, p, "inequality"), side(p + 2, cond.length, "inequality"), op))
+        } else {
+          val eq = cond.indexOf('=')
+          if (eq < 0) asofFail("each ON conjunct must be an equality or a >=/<= inequality")
+          val a = side(0, eq, "equality")
+          val b = side(eq + 1, cond.length, "equality")
+          if (a != b)
+            asofFail(s"by-key equality must reference the same column name " +
+              s"on both sides, got '$a' = '$b'")
+          byKeys += a
+        }
       }
-      val aText = cond.substring(0, opPos)
-      val bText = cond.substring(opPos + 2)
-      val aCol = bareColumn(aText).getOrElse(
-        asofFail(s"'${aText.trim}' is not a plain column reference"))
-      val bCol = bareColumn(bText).getOrElse(
-        asofFail(s"'${bText.trim}' is not a plain column reference"))
+      val (aCol, bCol, op) = ineq.getOrElse(
+        asofFail("ON clause must contain a >= or <= timestamp inequality"))
 
       val spark = org.apache.spark.sql.SparkSession.active
       def rel(text: String) = spark.sql(s"SELECT * FROM $text")
@@ -337,7 +361,8 @@ object GraftSqlParser {
       val joined = graft.operators.AsOfJoin.unbounded(
         lDf, rDf, rightId = rightOn,
         leftOn = Some(leftOn), rightOn = Some(rightOn),
-        direction = if (backward) "backward" else "forward")
+        direction = if (backward) "backward" else "forward",
+        by = byKeys.result())
       val view = s"graft_asof_${(sql.hashCode.toLong & 0xffffffffL).toHexString}_${toks(k).start}"
       joined.createOrReplaceTempView(view)
       sql.substring(0, leftStart) + s" $view " + sql.substring(clauseEndPos)

@@ -164,4 +164,80 @@ class AsOfJoinSuite extends SparkSpec {
     // click at 09:00 precedes every view -> dropped
     assert(rowSet(out.select("lid", "rid")) == Set(Seq("1", "10")))
   }
+
+  // ---- grouped (merge_asof by=...) -----------------------------------
+
+  private def groupedExpected(
+      ls: Seq[(Int, String, Int)], rs: Seq[(Int, String, Int)],
+      backward: Boolean): Set[Seq[String]] =
+    ls.flatMap { case (lid, g, v) =>
+      val cand = rs.filter(r => r._2 == g &&
+        (if (backward) r._3 <= v else r._3 >= v))
+      if (cand.isEmpty) None
+      else {
+        val bestW = if (backward) cand.map(_._3).max else cand.map(_._3).min
+        val ties = cand.filter(_._3 == bestW).map(_._1)
+        Some(Seq(lid.toString, (if (backward) ties.max else ties.min).toString))
+      }
+    }.toSet
+
+  test("unbounded by-key: matches stay inside the group, both directions") {
+    val rnd = new scala.util.Random(23)
+    val groups = Vector("a", "b", "c", "d")
+    // duplicated values across groups so an ungrouped join WOULD cross
+    // keys; 32 shuffle partitions over 120 rows force most groups to
+    // span partition boundaries, exercising the per-group carry
+    val ls = (0 until 80).map(i => (i, groups(rnd.nextInt(4)), rnd.nextInt(300)))
+    val rs = (0 until 40).map(i => (1000 + i, groups(rnd.nextInt(4)), rnd.nextInt(300)))
+    val ldf = ls.toDF("lid", "g", "v")
+    val rdf = rs.toDF("rid", "g", "w")
+    val back = AsOfJoin.unbounded(ldf, rdf, rightId = "rid",
+      leftOn = Some("v"), rightOn = Some("w"), by = Seq("g"))
+    assert(rowSet(back.select("lid", "rid")) == groupedExpected(ls, rs, backward = true))
+    // group key comes out suffixed on both sides (standard header rules)
+    assert(back.columns.contains("g_x") && back.columns.contains("g_y"))
+    assert(back.filter($"g_x" =!= $"g_y").count() == 0)
+    val fwd = AsOfJoin.unbounded(ldf, rdf, rightId = "rid",
+      leftOn = Some("v"), rightOn = Some("w"), direction = "forward", by = Seq("g"))
+    assert(rowSet(fwd.select("lid", "rid")) == groupedExpected(ls, rs, backward = false))
+  }
+
+  test("unbounded by-key: carry crosses partitions inside one group only") {
+    // group "hot" has all rights at small values and lefts at large
+    // values (carry must supply every match); group "cold" has NO right
+    // rows at all — its lefts must drop, never borrow hot's carry
+    val rs = (0 until 6).map(i => (100 + i, "hot", i))
+    val ls = (0 until 30).map(i => (i, if (i % 2 == 0) "hot" else "cold", 10000 + i))
+    val out = AsOfJoin.unbounded(
+      ls.toDF("lid", "g", "v"), rs.toDF("rid", "g", "w"), rightId = "rid",
+      leftOn = Some("v"), rightOn = Some("w"), by = Seq("g"))
+    val got = out.select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(got.length == 15 && got.forall(_._1 % 2 == 0))
+    assert(got.map(_._2).distinct.toSeq == Seq(105)) // latest hot right
+  }
+
+  test("time by-key: tolerance matches stay inside the group; nulls drop") {
+    val clicks = Seq(
+      (1, "u1", ts("2024-01-01 00:10:00")),
+      (2, "u2", ts("2024-01-01 00:10:00")),
+      (3, null.asInstanceOf[String], ts("2024-01-01 00:10:00"))
+    ).toDF("cid", "user", "cts")
+    val views = Seq(
+      (10, "u1", ts("2024-01-01 00:09:00")),
+      (11, "u2", ts("2024-01-01 00:10:30")),
+      (12, null.asInstanceOf[String], ts("2024-01-01 00:10:00"))
+    ).toDF("vid", "user", "vts")
+    val out = AsOfJoin.time(clicks, views, Duration.ofMinutes(2), rightId = "vid",
+      leftOn = Some("cts"), rightOn = Some("vts"), by = Seq("user"))
+    // u1 click matches ONLY u1's view (ungrouped would pick vid 12 at
+    // zero delta); null keys never match anything
+    assert(rowSet(out.select("cid", "vid")) == Set(Seq("1", "10"), Seq("2", "11")))
+  }
+
+  test("by column missing on a side raises") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.time(clicks, views, Duration.ofMinutes(2), rightId = "vid",
+        leftOn = Some("cts"), rightOn = Some("vts"), by = Seq("user"))
+    }
+  }
 }

@@ -106,8 +106,13 @@ class GraftSqlParserSuite extends SparkSpec {
     bad("SELECT * FROM l ASOF JOIN r WHERE a >= b", "no ON clause")
     bad("SELECT * FROM l JOIN x ON p = q ASOF JOIN r ON a >= b",
       "not a simple relation")
-    bad("SELECT * FROM l ASOF JOIN r ON a >= b AND c = d", "single timestamp")
-    bad("SELECT * FROM l ASOF JOIN r ON a > b", ">= or <=")
+    bad("SELECT * FROM l ASOF JOIN r ON a >= b AND c = d", "same column name")
+    bad("SELECT * FROM l ASOF JOIN r ON a >= b AND c >= d",
+      "more than one timestamp inequality")
+    bad("SELECT * FROM l ASOF JOIN r ON a = a", ">= or <= timestamp inequality")
+    bad("SELECT * FROM l ASOF JOIN r ON a > b",
+      "equality or a >=/<= inequality")
+    bad("SELECT * FROM l ASOF JOIN r ON a >= b OR c >= d", "OR in the ON")
     bad("SELECT * FROM l ASOF JOIN r ON a + 1 >= b", "plain column")
   }
 
@@ -152,6 +157,20 @@ class GraftSqlParserSuite extends SparkSpec {
         .select("tid", "qid")
         .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
       assert(back == viaApi)
+      // grouped form: same-name equality conjuncts become by-keys
+      val gq = Seq((10L, "a", 100), (20L, "a", 101), (15L, "b", 102))
+        .toDF("qts", "sym", "qid")
+      val gt = Seq((12L, "a", 1), (16L, "b", 2), (14L, "b", 3))
+        .toDF("tts", "sym", "tid")
+      gt.createOrReplaceTempView("asof_gtrades")
+      gq.createOrReplaceTempView("asof_gquotes")
+      val grouped = s.sql(
+        """SELECT tid, qid FROM asof_gtrades ASOF JOIN asof_gquotes
+          |ON sym = sym AND tts >= qts""".stripMargin)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      // trade(12,a)->quote(10,a); trade(16,b)->quote(15,b); trade(14,b)
+      // has no preceding b quote and must NOT borrow a's quote at 10
+      assert(grouped == Set((1, 100), (2, 102)))
     } finally {
       SparkSession.setActiveSession(orig)
       SparkSession.setDefaultSession(orig)
