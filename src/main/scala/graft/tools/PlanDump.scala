@@ -75,7 +75,14 @@ object PlanDump {
       """Two-pass Misra-Gries heavy hitters: pass 1 is ObjectHashAggregate
         |with PARTIAL mode before the single-row exchange (k-entry maps
         |cross the shuffle, not tokens); pass 2 re-scans with the <= k
-        |candidates as an `In` filter and exact-counts only those.""".stripMargin)
+        |candidates as an `In` filter and exact-counts only those.""".stripMargin,
+    "asof_join_by" ->
+      """Grouped merge_asof (by=user): ONE range exchange on the compound
+        |(key, ts) order keeps each group contiguous, the running window
+        |and the boundary carry both run per (partition, key), and the
+        |carry join is a plain equi-join on (pid, key) — per-group state
+        |never concentrates on a single partition, so a hot user cannot
+        |serialize the join.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
