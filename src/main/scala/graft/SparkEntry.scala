@@ -570,6 +570,28 @@ object SparkEntry {
         .select(col("doc_id"), col("sample_rate").cast(DoubleType).as("sample_rate"),
           col("channels"), col("frames"), col("encoding"), col("byte_len"))
     }),
+    "dedup_lines" -> ((s, dir) => {
+      // C4-style inter-document line dedup on a synthesized multi-line
+      // corpus (the raw docs are single-line): each doc carries its
+      // source domain as a line — shared across the domain's docs, so
+      // it survives only in the smallest doc_id — its unique text line,
+      // and a REPEAT of the source line (intra-doc duplicate, dropped
+      // everywhere)
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("source"), col("text"), col("source")).as("text"))
+      Dedup.lineDedup(d, "doc_id", "text")
+    }),
+    "text_repetition" -> ((s, dir) => {
+      // Gopher/C4 repetition gates: duplicate-line fraction on the
+      // synthesized multi-line text, top-token share on the raw text —
+      // both pure scan-projection expressions (no shuffle)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        concat_ws("\n", col("source"), col("text"), col("source")).as("t2"))
+      d.select(col("doc_id"),
+        size(TextFunctions.lines(col("t2"))).as("n_lines"),
+        q4(TextFunctions.dupLineRatio(col("t2"))).as("dup_line_ratio"),
+        q4(TextFunctions.topTokenRatio(col("text"))).as("top_token_ratio"))
+    }),
     "multimodal_video_meta" -> ((s, dir) => {
       // real ISO-BMFF box walk is proven on generated containers in
       // MultimodalSuite; the text-byte corpus exercises the total-
@@ -1258,6 +1280,37 @@ object SparkEntry {
           |  'raw' AS encoding,
           |  CAST(strlen(text) AS BIGINT) AS byte_len
           |FROM documents""".stripMargin,
+      "dedup_lines" ->
+        """WITH d AS (SELECT doc_id,
+          |             source || chr(10) || text || chr(10) || source AS t2
+          |           FROM documents),
+          |ln AS (SELECT doc_id, trim(l) AS line, pos FROM (
+          |         SELECT doc_id, unnest(string_split(t2, chr(10))) AS l,
+          |                generate_subscripts(string_split(t2, chr(10)), 1) AS pos
+          |         FROM d)
+          |       WHERE length(trim(l)) > 0),
+          |w AS (SELECT doc_id, pos, line,
+          |             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+          |      FROM ln)
+          |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+          |FROM w WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+      "text_repetition" ->
+        """WITH d AS (SELECT doc_id, text,
+          |             source || chr(10) || text || chr(10) || source AS t2
+          |           FROM documents),
+          |ls AS (SELECT doc_id,
+          |         list_filter(list_transform(string_split(t2, chr(10)), x -> trim(x)),
+          |                     x -> length(x) > 0) AS ll
+          |       FROM d),
+          |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |        FROM documents),
+          |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+          |m AS (SELECT doc_id, max(c) AS mc, sum(c) AS n FROM tc GROUP BY 1)
+          |SELECT d.doc_id, len(ls.ll) AS n_lines,
+          |  floor((1.0 - len(list_distinct(ls.ll)) * 1.0 / len(ls.ll)) * 10000) / 10000
+          |    AS dup_line_ratio,
+          |  floor(mc * 1.0 / m.n * 10000) / 10000 AS top_token_ratio
+          |FROM d JOIN ls ON ls.doc_id = d.doc_id JOIN m ON m.doc_id = d.doc_id""".stripMargin,
       "multimodal_video_meta" ->
         """SELECT doc_id,
           |  CAST(strlen(text) // 8 AS BIGINT) AS duration_ms,

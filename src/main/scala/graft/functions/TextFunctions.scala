@@ -80,6 +80,38 @@ object TextFunctions {
     when(length(text) === 0, lit(0.0)).otherwise(
       length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") / length(text))
 
+  /** Non-empty trimmed lines of the document — the unit of the
+    * C4-family repetition signals and of [[graft.operators.Dedup.lineDedup]].
+    */
+  def lines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Fraction of lines that repeat an earlier line of the SAME document
+    * (`1 − distinct/total`; 0.0 for line-less docs) — the Gopher-style
+    * intra-document repetition gate: templated or scraper-looped pages
+    * score high and get filtered before any expensive dedup join runs.
+    */
+  def dupLineRatio(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) > 0,
+      lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Frequency share of the single most repeated token (0.0 for empty
+    * docs) — the top-n-gram repetition gate at n = 1. Evaluated per row
+    * over the token array (O(distinct × tokens) interpreted, fine at
+    * document granularity); the whole signal stays inside the scan
+    * projection — no shuffle, no grouping.
+    */
+  def topTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    val top = aggregate(array_distinct(t), lit(0),
+      (acc, w) => greatest(acc, size(filter(t, x => x === w))))
+    when(size(t) > 0, top.cast("double") / size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Fraction of tokens found in `stopwords`. A standard fluency signal:
     * natural text has a stable stopword ratio; keyword-stuffed or
     * boilerplate text does not.

@@ -260,6 +260,36 @@ object Dedup {
       .select("id_left", "id_right", "intersection", "size_left", "size_right", "jaccard")
   }
 
+  /** Inter-document LINE-level dedup (the C4-style preprocessing step):
+    * every distinct non-empty trimmed line is kept only at its FIRST
+    * occurrence across the corpus — ordered by (id, line position), so
+    * the earliest document wins and a line repeated later in the SAME
+    * document drops too. Documents are reassembled from their surviving
+    * lines in original order; documents that lose every line drop.
+    *
+    * Scale shape: explode to (line, id, pos), one hash shuffle
+    * partitioned by the line text, `row_number = 1` — which Spark plans
+    * as `WindowGroupLimit`, collapsing each line's occurrence list
+    * map-side before the exchange — then one shuffle back by id to
+    * reassemble. Two shuffles of the line corpus total; no joins, no
+    * driver state. Boilerplate lines (the common case this exists for)
+    * are hot keys, but WindowGroupLimit's partial mode means only ONE
+    * row per (line, map partition) reaches the reduce side, so a line
+    * shared by every document costs #partitions rows, not #docs.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ls = df.select(col(idCol).as("__id"),
+      posexplode(TextFunctions.lines(col(textCol))).as(Seq("__pos", "__line")))
+    val w = Window.partitionBy(col("__line"))
+      .orderBy(col("__id").asc, col("__pos").asc)
+    ls.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__line")))).as("__kl"))
+      .select(col("__id").as(idCol),
+        array_join(col("__kl.__line"), "\n").as(textCol))
+  }
+
   /** One UDF pass per document: MinHash signature (`sig[i] = min over
     * shingles of a_i * fnv64(shingle) + b_i`) folded directly into
     * `bands` 64-bit band keys. Computing the keys *inside* the UDF

@@ -98,4 +98,33 @@ class TextFunctionsSuite extends SparkSpec {
       .select(TextFunctions.tokenEstimate($"text")).collect()(0)
     assert(row.getLong(0) == 6L)
   }
+
+  test("lines splits on newline, trims, and drops empties") {
+    val row = one("  first line \n\n second \n   \nthird")
+      .select(TextFunctions.lines($"text")).collect()(0)
+    assert(row.getSeq[String](0) == Seq("first line", "second", "third"))
+  }
+
+  test("dupLineRatio counts repeated lines within one document") {
+    val r = Seq(
+      (1, "a\nb\na\na"),   // 4 lines, 2 distinct -> 0.5
+      (2, "x\ny\nz"),      // no repeats -> 0.0
+      (3, "only"),         // single line -> 0.0
+      (4, "")              // no lines -> 0.0 (guarded)
+    ).toDF("id", "text")
+      .select($"id", TextFunctions.dupLineRatio($"text").as("r"))
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(r(1) == 0.5 && r(2) == 0.0 && r(3) == 0.0 && r(4) == 0.0)
+  }
+
+  test("topTokenRatio is the most frequent token's share") {
+    val r = Seq(
+      (1, "spam spam spam ham"), // 3/4
+      (2, "all words differ here"),
+      (3, "   ")                 // empty -> 0.0 (guarded)
+    ).toDF("id", "text")
+      .select($"id", TextFunctions.topTokenRatio($"text").as("r"))
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(r(1) == 0.75 && r(2) == 0.25 && r(3) == 0.0)
+  }
 }

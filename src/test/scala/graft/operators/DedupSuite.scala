@@ -231,6 +231,25 @@ class DedupSuite extends SparkSpec {
     assert(math.abs(rows(0).getDouble(2) - expected) < 1e-9)
   }
 
+  test("lineDedup: first occurrence wins across docs, order preserved, empty docs drop") {
+    val docs = Seq(
+      (1, "header\nunique one\nheader"),   // intra-doc repeat of header drops
+      (2, "header\nunique two"),           // header lost to doc 1
+      (3, "unique one\nheader"),           // BOTH lines seen earlier -> doc drops
+      (4, "  spaced   \nlast")             // trims; 'spaced' is new
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1 -> "header\nunique one",
+      2 -> "unique two",
+      4 -> "spaced\nlast"))
+    // deterministic across runs (window order is total)
+    val again = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
+
   test("embedding LSH near-dup is a verified subset of brute force") {
     val rnd = new scala.util.Random(7)
     val vecs = (0 until 60).map { i =>
