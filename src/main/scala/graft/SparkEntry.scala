@@ -298,6 +298,17 @@ object SparkEntry {
           Seq("user_id", "event_type", "props"), "ts")
         .select("fingerprint", "user_id", "event_type")
     }),
+    "stream_capped_events" -> ((s, dir) => {
+      // batch run of the streaming per-key rate cap (watermark-final
+      // emission + late displacement proven over MemoryStream in
+      // StreamingSuite): at most 3 earliest events per user per hour
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast(LongType).as("key"), col("ts"),
+          col("event_id").as("id"))
+        .as[Streaming.CapEvent]
+      Streaming.cappedPerWindow(ev, n = 3, java.time.Duration.ofHours(1)).toDF()
+    }),
     "sessionize_events" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events")
@@ -918,6 +929,16 @@ object SparkEntry {
           |    AS fingerprint,
           |  user_id, event_type
           |FROM events""".stripMargin,
+      "stream_capped_events" ->
+        """WITH e AS (SELECT user_id AS key, epoch_us(ts) AS ts_us, event_id AS id
+          |           FROM events),
+          |w AS (SELECT key, (ts_us // 3600000000) * 3600000000 AS window_start_us,
+          |             id, ts_us,
+          |             row_number() OVER (
+          |               PARTITION BY key, ts_us // 3600000000
+          |               ORDER BY ts_us, id) AS rn
+          |      FROM e)
+          |SELECT key, window_start_us, id, ts_us FROM w WHERE rn <= 3""".stripMargin,
       "sessionize_events" ->
         """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
           |m AS (SELECT user_id, us,

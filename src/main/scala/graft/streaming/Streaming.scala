@@ -390,6 +390,92 @@ object Streaming {
     else keyed.dropDuplicates("fingerprint")
   }
 
+  /** One event for [[cappedPerWindow]]. */
+  final case class CapEvent(key: Long, ts: Timestamp, id: Long)
+
+  /** One kept row of [[cappedPerWindow]]. */
+  final case class CappedRow(key: Long, window_start_us: Long, id: Long, ts_us: Long)
+
+  /** State-store record: the <= n best (tsUs, id) pairs of one
+    * (key, window). Public for the state encoder's generated code.
+    */
+  final case class CapState(kept: Seq[(Long, Long)])
+
+  /** Streaming per-key rate cap: at most `n` events per key per tumbling
+    * window, keeping the EARLIEST by (event time, id) — the ingestion-
+    * side analog of [[graft.operators.Sampling.cappedPerGroup]] ("at
+    * most N docs per source per hour"), with a deterministic, batch-
+    * reproducible definition (event order, never arrival order).
+    *
+    * Streaming: `flatMapGroupsWithState` keyed by (key, window start).
+    * State holds at most `n` (tsUs, id) pairs; each micro-batch merges
+    * its events and re-truncates, so a key flooding a window costs n
+    * longs of state, not its event count. Results emit ONLY when the
+    * watermark passes the window end (event-time timeout) — a late
+    * event inside the allowed delay can still displace a kept row, so
+    * earlier emission would not be final.
+    *
+    * Batch: the same definition as one window-rank plan (rank by
+    * (ts, id) within (key, window) <= n) — which is what the DuckDB
+    * oracle checks.
+    */
+  def cappedPerWindow(
+      events: Dataset[CapEvent],
+      n: Int,
+      windowDur: java.time.Duration,
+      watermarkDelay: String = "10 minutes"): Dataset[CappedRow] = {
+    require(n > 0, s"cap must be positive, got $n")
+    val windowUs = windowDur.toNanos / 1000L
+    require(windowUs > 0, s"window must be >= 1 microsecond, got $windowDur")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    if (!events.isStreaming) {
+      import org.apache.spark.sql.expressions.Window
+      val us = unix_micros(col("ts"))
+      val ws = graft.functions.LongMath.floorDiv(us, windowUs) * windowUs
+      val w = Window.partitionBy(col("key"), col("window_start_us"))
+        .orderBy(col("ts_us").asc, col("id").asc)
+      return events.toDF()
+        .select(col("key"), ws.as("window_start_us"), col("id"), us.as("ts_us"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n)
+        .drop("__rn")
+        .as[CappedRow]
+    }
+
+    def tsUs(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def process(
+        kw: (Long, Long),
+        it: Iterator[CapEvent],
+        state: GroupState[CapState]): Iterator[CappedRow] = {
+      val (key, windowStartUs) = kw
+      if (state.hasTimedOut) {
+        val kept = state.get.kept
+        state.remove()
+        kept.iterator.map { case (t, id) => CappedRow(key, windowStartUs, id, t) }
+      } else {
+        val incoming = it.map(e => (tsUs(e.ts), e.id))
+        val merged = (state.getOption.map(_.kept).getOrElse(Nil) ++ incoming)
+          .sorted.take(n)
+        state.update(CapState(merged))
+        // fire when the watermark passes the window end; a window whose
+        // end already trails the watermark (late-but-allowed data near
+        // the horizon) must still set a FUTURE timeout or the state
+        // store rejects it
+        val endMs = math.floorDiv(windowStartUs + windowUs, 1000L)
+        state.setTimeoutTimestamp(math.max(endMs, state.getCurrentWatermarkMs() + 1))
+        Iterator.empty
+      }
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.key, math.floorDiv(tsUs(e.ts), windowUs) * windowUs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(process)
+  }
+
   /** File-source stream over a directory of parquet drops — the
     * production shape (`readStream` on an arrival directory). Schema must
     * be fixed up front (streaming sources cannot infer).

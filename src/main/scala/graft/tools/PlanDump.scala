@@ -77,12 +77,15 @@ object PlanDump {
         |cross the shuffle, not tokens); pass 2 re-scans with the <= k
         |candidates as an `In` filter and exact-counts only those.""".stripMargin,
     "asof_join_by" ->
-      """Grouped merge_asof (by=user): ONE range exchange on the compound
+      """Grouped merge_asof (by=user): a range exchange on the compound
         |(key, ts) order keeps each group contiguous, the running window
         |and the boundary carry both run per (partition, key), and the
-        |carry join is a plain equi-join on (pid, key) — per-group state
-        |never concentrates on a single partition, so a hot user cannot
-        |serialize the join.""".stripMargin)
+        |carry join is a plain equi-join on (pid, key) — per-group work
+        |is bounded by PARTITION size, not key size, so a hot user
+        |cannot serialize the join (the simpler partitionBy(user) window
+        |would). The hash exchange above the checkpointed scan is the
+        |known price of pinning sampled pids (the checkpoint erases
+        |partitioning info); it moves each partition wholesale, once.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -414,4 +414,57 @@ class StreamingSuite extends SparkSpec {
       assert(spark.table("ps_test").agg(sum("n")).collect()(0).getLong(0) == 4L)
     } finally q.stop()
   }
+
+  test("cappedPerWindow batch: n earliest per (key, window), (ts, id) tie-break") {
+    val evs = Seq(
+      Streaming.CapEvent(1, ts("2024-01-01 00:05:00"), 13),
+      Streaming.CapEvent(1, ts("2024-01-01 00:01:00"), 12),
+      Streaming.CapEvent(1, ts("2024-01-01 00:01:00"), 11), // ts tie -> smaller id wins
+      Streaming.CapEvent(1, ts("2024-01-01 00:40:00"), 14), // over cap, dropped
+      Streaming.CapEvent(1, ts("2024-01-01 01:10:00"), 15), // next window, kept
+      Streaming.CapEvent(2, ts("2024-01-01 00:30:00"), 21)  // other key, kept
+    ).toDS()
+    val out = Streaming.cappedPerWindow(evs, n = 3,
+      windowDur = java.time.Duration.ofHours(1))
+    assert(out.collect().map(_.id).toSet == Set(11, 12, 13, 15, 21))
+  }
+
+  test("cappedPerWindow over a MemoryStream: watermark-final, late displacement, == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.CapEvent]
+    val capped = Streaming.cappedPerWindow(input.toDS(), n = 2,
+      windowDur = java.time.Duration.ofHours(1), watermarkDelay = "30 minutes")
+    val q = capped.writeStream
+      .format("memory").queryName("cap_test").outputMode("append").start()
+    try {
+      // batch 1: three events in window 0 — cap is 2, but nothing may
+      // emit yet (a late event could still displace a kept row)
+      input.addData(
+        Streaming.CapEvent(1, ts("2024-01-01 00:30:00"), 3),
+        Streaming.CapEvent(1, ts("2024-01-01 00:40:00"), 4),
+        Streaming.CapEvent(1, ts("2024-01-01 00:50:00"), 5))
+      q.processAllAvailable()
+      assert(spark.table("cap_test").count() == 0)
+      // batch 2: a LATE but in-watermark earlier event (00:35 >= the
+      // 00:20 watermark) displaces id 4 from the kept pair
+      input.addData(Streaming.CapEvent(1, ts("2024-01-01 00:35:00"), 9))
+      q.processAllAvailable()
+      assert(spark.table("cap_test").count() == 0)
+      // batch 3: watermark passes the window end -> final rows emit
+      input.addData(Streaming.CapEvent(1, ts("2024-01-01 02:00:00"), 99))
+      q.processAllAvailable()
+      val got = spark.table("cap_test").as[Streaming.CappedRow]
+        .collect().map(_.id).toSet
+      assert(got == Set(3, 9))
+      // live result == the batch definition on the same data
+      val allEvents = Seq(
+        Streaming.CapEvent(1, ts("2024-01-01 00:30:00"), 3),
+        Streaming.CapEvent(1, ts("2024-01-01 00:40:00"), 4),
+        Streaming.CapEvent(1, ts("2024-01-01 00:50:00"), 5),
+        Streaming.CapEvent(1, ts("2024-01-01 00:35:00"), 9)).toDS()
+      val batchIds = Streaming.cappedPerWindow(allEvents, n = 2,
+        windowDur = java.time.Duration.ofHours(1)).collect().map(_.id).toSet
+      assert(batchIds == got)
+    } finally q.stop()
+  }
 }
