@@ -581,6 +581,17 @@ object SparkEntry {
         .select(col("doc_id"), col("sample_rate").cast(DoubleType).as("sample_rate"),
           col("channels"), col("frames"), col("encoding"), col("byte_len"))
     }),
+    "text_scrub" -> ((s, dir) => {
+      // PII scrub over text synthesized to contain every pattern class
+      // (the raw corpus has none): an email, a URL with a path, and a
+      // long digit run, all varying per row
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com via "),
+          lit("http://ex.com/p/"), col("doc_id"), lit("?k=v"),
+          lit(" acct 900112233"), col("doc_id")).as("t2"))
+      d.select(col("doc_id"), TextFunctions.scrubPii(col("t2")).as("scrubbed"))
+    }),
     "dedup_lines" -> ((s, dir) => {
       // C4-style inter-document line dedup on a synthesized multi-line
       // corpus (the raw docs are single-line): each doc carries its
@@ -1301,6 +1312,19 @@ object SparkEntry {
           |  'raw' AS encoding,
           |  CAST(strlen(text) AS BIGINT) AS byte_len
           |FROM documents""".stripMargin,
+      "text_scrub" ->
+        """WITH d AS (SELECT doc_id,
+          |  text || ' contact user' || doc_id || '@example.com via ' ||
+          |  'http://ex.com/p/' || doc_id || '?k=v' ||
+          |  ' acct 900112233' || doc_id AS t2
+          |FROM documents)
+          |SELECT doc_id,
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(t2, 'https?://\S+', '<URL>', 'g'),
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+          |FROM d""".stripMargin,
       "dedup_lines" ->
         """WITH d AS (SELECT doc_id,
           |             source || chr(10) || text || chr(10) || source AS t2

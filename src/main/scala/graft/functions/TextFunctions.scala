@@ -80,6 +80,22 @@ object TextFunctions {
     when(length(text) === 0, lit(0.0)).otherwise(
       length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") / length(text))
 
+  /** PII scrub for corpus curation: email addresses → `<EMAIL>`,
+    * URLs → `<URL>`, digit runs of 7+ (phone/account shapes) → `<NUM>`.
+    * URLs scrub FIRST so an address embedded in one is swallowed whole;
+    * the replacement tokens contain no digits, so the number pass can
+    * never re-match inside them. Three codegen'd `regexp_replace`
+    * passes over the scan projection — no UDF, no shuffle — with
+    * patterns kept to the RE2-portable subset so external engines (and
+    * the DuckDB gate) reproduce the bytes exactly.
+    */
+  def scrubPii(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://\\S+", "<URL>")
+    val noEmail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "[0-9]{7,}", "<NUM>")
+  }
+
   /** Non-empty trimmed lines of the document — the unit of the
     * C4-family repetition signals and of [[graft.operators.Dedup.lineDedup]].
     */

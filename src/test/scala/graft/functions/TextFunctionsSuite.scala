@@ -99,6 +99,23 @@ class TextFunctionsSuite extends SparkSpec {
     assert(row.getLong(0) == 6L)
   }
 
+  test("scrubPii masks URLs, emails, and long digit runs — and nothing else") {
+    val cases = Seq(
+      (1, "mail me at jo.doe+x@sub.example.org today",
+        "mail me at <EMAIL> today"),
+      (2, "see https://a.b/c?d=e#f and http://plain.com",
+        "see <URL> and <URL>"),
+      (3, "call 12345678 ext 123456", // 8 digits masked, 6 kept
+        "call <NUM> ext 123456"),
+      (4, "url with creds http://user@host.com/p stays one token",
+        "url with creds <URL> stays one token"),
+      (5, "clean text, nothing to hide", "clean text, nothing to hide")
+    ).toDF("id", "text", "want")
+    val got = cases.select($"id", TextFunctions.scrubPii($"text").as("got"), $"want")
+      .collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(2), s"case ${r.getInt(0)}"))
+  }
+
   test("lines splits on newline, trims, and drops empties") {
     val row = one("  first line \n\n second \n   \nthird")
       .select(TextFunctions.lines($"text")).collect()(0)
