@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination for LLM training corpora: flag training
+  * documents that share word n-grams with an evaluation/benchmark set,
+  * so eval-set leakage can be dropped (or down-weighted) before
+  * training. This is the standard n-gram collision check (e.g. GPT-3
+  * app. C / PaLM-style 8-gram overlap), expressed Spark-first.
+  *
+  * Beyond the reference surface (SURVEY.md §2.4 — the reference has no
+  * corpus-curation layer); same shingle unit as
+  * [[graft.operators.Dedup.ngramJaccard]].
+  *
+  * Scale design (the asymmetry IS the design): the training corpus is
+  * ~100 TB but eval benchmarks are MBs. So the eval side is collapsed
+  * to DISTINCT 64-bit shingle hashes and broadcast; the train side is
+  * ONE scan — explode distinct-per-doc shingles, hash, broadcast-probe,
+  * partial-count — and the only shuffle carries one `(doc_id, counts)`
+  * row per contaminated-or-not document (map-side partial agg), never
+  * text, never shingle strings. With `broadcastEval = false` the same
+  * plan degrades gracefully to a hash join on the 8-byte key for
+  * eval sets too big to broadcast.
+  */
+object Decontaminate {
+
+  /** Per-training-doc n-gram collision stats against `eval`.
+    *
+    * Returns one row per CONTAMINATED train doc (≥ 1 shared n-gram):
+    * `(<idCol>, n_shared, n_shingles, contamination)` where `n_shared`
+    * counts the doc's distinct n-grams that occur anywhere in the eval
+    * set, `n_shingles` its distinct n-grams, and `contamination` the
+    * 4-decimal-floored ratio. Docs shorter than `n` tokens have no
+    * shingles and cannot be flagged — by construction, matching the
+    * n-gram-collision definition.
+    */
+  def ngramOverlap(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
+    val trainShingles = train
+      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
+      .select(col(idCol), xxhash64(col("__s")).as("__h"))
+    val evalHashes = eval
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
+      .select(xxhash64(col("__s")).as("__h"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val evalSide = if (broadcastEval) broadcast(evalHashes) else evalHashes
+    // one scan of train: left-probe the eval set, then a single partial
+    // aggregation keyed by doc id; count(__hit) counts non-null = matches
+    trainShingles
+      .join(evalSide, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .select(
+        col(idCol),
+        col("n_shared"),
+        col("n_shingles"),
+        (floor(col("n_shared") * lit(10000.0) / col("n_shingles")) / lit(10000.0))
+          .as("contamination"))
+  }
+
+  /** Pair-level attribution: which eval doc contaminated which train
+    * doc, with the shared-shingle count — for auditing the flags
+    * `ngramOverlap` raises. Costs a shuffle keyed by `(train, eval)`
+    * doc-id pairs (still never text), so run it on the flagged subset,
+    * not the full corpus.
+    */
+  def ngramOverlapPairs(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
+    val trainShingles = train
+      .select(col(idCol).as("id_train"), explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
+      .select(col("id_train"), xxhash64(col("__s")).as("__h"))
+    val evalShingles = eval
+      .select(col(idCol).as("id_eval"), explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
+      .select(col("id_eval"), xxhash64(col("__s")).as("__h"))
+    val evalSide = if (broadcastEval) broadcast(evalShingles) else evalShingles
+    trainShingles
+      .join(evalSide, "__h")
+      .groupBy(col("id_train"), col("id_eval"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+}
