@@ -22,6 +22,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_embedding", "ann_topk",
     "text_quality", "doc_fingerprint", "heavy_hitters_tokens",
+    "decontaminate_docs", "bm25_search", "lm_score_docs",
     "agg_pricing",
     "stream_window_counts", "sessionize_events", "pipeline_clean_corpus")
 

@@ -358,6 +358,20 @@ object SparkEntry {
         .select(col("id_left"), col("id_right"), col("intersection"),
           col("size_left"), col("size_right"), q4(col("jaccard")).as("jaccard"))
     }),
+    "dedup_incremental" -> ((s, dir) => {
+      // index LIFECYCLE: persist the MinHash band index of the corpus
+      // (odd ids) once, then dedup the incoming batch (even ids)
+      // against the index — corpus text is never rescanned. Threshold
+      // 0.8 puts the 32x4 banding miss probability at ~5e-8, so the
+      // output equals the exact cross join the oracle computes.
+      val d = t(s, dir, "documents")
+      val idx = s"/tmp/graft_minhash_index_${math.abs(dir.hashCode)}"
+      Dedup.buildMinhashIndex(d.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+      Dedup.dedupAgainstMinhashIndex(s, d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", idx, threshold = 0.8)
+        .select(col("id_left"), col("id_right"), col("intersection"),
+          col("size_left"), col("size_right"), q4(col("jaccard")).as("jaccard"))
+    }),
     "dedup_components" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.6)
@@ -622,6 +636,29 @@ object SparkEntry {
       Multimodal.decodeVideoMeta(withBin, "payload", keepCols = Seq("doc_id"))
         .select(col("doc_id"), col("duration_ms"), col("n_tracks"),
           col("width"), col("height"), col("codec"), col("brand"), col("byte_len"))
+    }),
+    // ---- corpus curation: decontamination / retrieval / LM scoring ---------
+    "decontaminate_docs" -> ((s, dir) => {
+      // benchmark-decontamination: docs with id % 5 == 0 stand in for a
+      // held-out eval set; the rest is the training corpus. Any train
+      // doc sharing a word 3-gram with the eval side gets flagged with
+      // its collision count and contamination ratio.
+      val d = t(s, dir, "documents")
+      Decontaminate.ngramOverlap(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 3)
+    }),
+    "bm25_search" -> ((s, dir) => {
+      // lexical top-20 for a 3-term keyword query; scoring documented in
+      // Search.scala (idf floored at 1e-4, contributions summed as
+      // exact 1e-8-grid longs so the oracle is bit-reproducible)
+      Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "stream", "spark"), k = 20)
+    }),
+    "lm_score_docs" -> ((s, dir) => {
+      // perplexity-proxy quality signal: train add-one bigram stats on
+      // the corpus itself, score every doc's mean bigram log-prob
+      LangModel.score(t(s, dir, "documents"), "doc_id", "text")
     }),
     // ---- deterministic sampling / splits -----------------------------------
     "sample_hash_events" -> ((s, dir) => {
@@ -1071,6 +1108,19 @@ object SparkEntry {
           |  UNION
           |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r)
           |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin),
+      "dedup_incremental" -> (shinglesBase +
+        """inter AS (
+          |  SELECT x.doc_id AS id_left, y.doc_id AS id_right, count(*) AS i
+          |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+          |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+          |  GROUP BY 1, 2)
+          |SELECT id_left, id_right, i AS intersection,
+          |       ca.n AS size_left, cb.n AS size_right,
+          |       floor((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 AS jaccard
+          |FROM inter
+          |JOIN cnt ca ON ca.doc_id = id_left
+          |JOIN cnt cb ON cb.doc_id = id_right
+          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin),
       "dedup_cross_corpus" -> (shinglesBase +
         """inter AS (
           |  SELECT x.doc_id AS id_left, y.doc_id AS id_right, count(*) AS i
@@ -1363,6 +1413,57 @@ object SparkEntry {
           |  'raw' AS codec, 'none' AS brand,
           |  CAST(strlen(text) AS BIGINT) AS byte_len
           |FROM documents""".stripMargin,
+      "decontaminate_docs" -> (shinglesBase +
+        """ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 0),
+          |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),
+          |agg AS (
+          |  SELECT tr.doc_id, count(*) AS n_shingles, count(ev.shingle) AS n_shared
+          |  FROM tr LEFT JOIN ev ON ev.shingle = tr.shingle
+          |  GROUP BY 1)
+          |SELECT doc_id, n_shared, n_shingles,
+          |       floor(n_shared * 10000.0 / n_shingles) / 10000.0 AS contamination
+          |FROM agg WHERE n_shared > 0""".stripMargin),
+      "bm25_search" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |  FROM documents),
+          |len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+          |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM len),
+          |post AS (SELECT doc_id, w, count(*) AS tf FROM tok
+          |         WHERE w IN ('vector', 'stream', 'spark') GROUP BY 1, 2),
+          |dfs AS (SELECT w, count(*) AS df FROM post GROUP BY 1),
+          |sc AS (
+          |  SELECT p.doc_id,
+          |         CAST(floor(
+          |           (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 10000.0) / 10000.0)
+          |           * (tf * (1.2 + 1.0)
+          |              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (total_dl * 1.0 / n_docs))))
+          |           * 100000000.0) AS BIGINT) AS contrib
+          |  FROM post p JOIN dfs USING (w) JOIN len USING (doc_id) CROSS JOIN stats)
+          |SELECT doc_id, sum(contrib) / 100000000.0 AS score, count(*) AS n_terms_hit
+          |FROM sc GROUP BY doc_id
+          |ORDER BY sum(contrib) DESC, doc_id LIMIT 20""".stripMargin,
+      "lm_score_docs" ->
+        """WITH tokp AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |  FROM documents),
+          |bi AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+          |       FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+          |uc AS (SELECT w, count(*) AS cu FROM tokp GROUP BY 1),
+          |v AS (SELECT count(*) AS nv FROM uc),
+          |lp AS (
+          |  SELECT d.doc_id,
+          |         CAST(floor(ln((COALESCE(bc.cb, 0) + 1.0)
+          |                       / (COALESCE(uc.cu, 0) + v.nv)) * 10000.0) AS BIGINT) AS lp
+          |  FROM bi d
+          |  LEFT JOIN bc ON bc.w1 = d.w1 AND bc.w2 = d.w2
+          |  LEFT JOIN uc ON uc.w = d.w1
+          |  CROSS JOIN v)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
+          |FROM lp GROUP BY doc_id""".stripMargin,
       "sample_hash_events" ->
         """SELECT event_id, event_type, user_id FROM events
           |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -375,6 +375,99 @@ object Dedup {
           (col("size_a") + col("size_b") - col("intersection")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard")
+  }
+
+  /** Persist a MinHash LSH index of the corpus, so later batches dedup
+    * against it WITHOUT rescanning corpus text — the production shape
+    * for a growing corpus: index once, then each day's crawl delta joins
+    * the index, not the 100 TB of documents.
+    *
+    * Layout under `path`:
+    *   - `postings/` — `(band, bh, doc_id)`, repartitioned by the band
+    *     key so a delta probe shuffles only its own keys against a
+    *     co-clustered table, `sortWithinPartitions` for row-group
+    *     min/max locality;
+    *   - `sketches/` — `(doc_id, sh, bks)` where `sh` is the doc's
+    *     distinct shingle set as SORTED xxhash64 longs — exact-
+    *     verification payload at 8 bytes/shingle, no corpus text in the
+    *     index — and `bks` the band-key array;
+    *   - `meta/` — one row `(n, num_hashes, bands)` so search always
+    *     hashes the delta with the index's own parameters.
+    *
+    * The corpus text is scanned ONCE: sketches are written first (the
+    * only step that shingles documents) and the postings table derives
+    * from re-reading the 8-byte-per-shingle sketches, not the corpus.
+    */
+  def buildMinhashIndex(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      bandBuckets: Int = 64): Unit = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val spark = docs.sparkSession
+    docs
+      .select(col(idCol).as("doc_id"), TextFunctions.shingles(col(textCol), n).as("__s"))
+      .filter(size(col("__s")) > 0)
+      .select(col("doc_id"),
+        array_sort(transform(col("__s"), s => xxhash64(s))).as("sh"),
+        minhashBandKeys(numHashes, bands)(col("__s")).as("bks"))
+      .write.mode("overwrite").parquet(s"$path/sketches")
+    spark.read.parquet(s"$path/sketches")
+      .select(col("doc_id"), posexplode(col("bks")).as(Seq("band", "bh")))
+      .repartition(bandBuckets, col("band"), col("bh"))
+      .sortWithinPartitions("band", "bh")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    import spark.implicits._
+    Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Near-dup join of a new batch against a [[buildMinhashIndex]] index:
+    * band the delta with the index's parameters, equi-join the postings
+    * on `(band, bh)`, collapse to distinct candidate pairs, then verify
+    * EXACTLY against the stored shingle-hash sketches. Same contract as
+    * [[ngramJaccardJoin]] (delta = left, corpus = right): no false
+    * positives; false negatives bounded by the banding curve.
+    *
+    * Scale shape: the banding join ships only `(id, band, key)` rows
+    * against a co-clustered postings table; candidate collapse is a
+    * groupBy on bare 16-byte id pairs (cheapest possible shuffle — the
+    * in-memory variant's first-shared-band trick would need the corpus
+    * band arrays duplicated into every posting row here); sketches are
+    * fetched once per distinct pair. Corpus text is never read.
+    */
+  def dedupAgainstMinhashIndex(
+      spark: SparkSession, delta: DataFrame, idCol: String, textCol: String,
+      path: String, threshold: Double = 0.6): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (n, numHashes, bands) =
+      (meta.getAs[Int]("n"), meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"))
+    val sh = delta
+      .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), n).as("__s"))
+      .filter(size(col("__s")) > 0)
+      .select(col("__id"),
+        array_sort(transform(col("__s"), s => xxhash64(s))).as("__sha"),
+        minhashBandKeys(numHashes, bands)(col("__s")).as("__bks"))
+    val banded = sh.select(col("__id"), posexplode(col("__bks")).as(Seq("__band", "__bh")))
+    val postings = spark.read.parquet(s"$path/postings")
+    val cands = banded
+      .join(postings, col("__band") === col("band") && col("__bh") === col("bh"))
+      .groupBy(col("__id").as("id_left"), col("doc_id").as("id_right"))
+      .agg(count(lit(1)).as("__nb"))
+      .select("id_left", "id_right")
+    cands
+      .join(sh.select(col("__id"), col("__sha")), col("id_left") === col("__id"))
+      .drop("__id")
+      .join(spark.read.parquet(s"$path/sketches").select(
+        col("doc_id").as("__rid"), col("sh").as("__shb")),
+        col("id_right") === col("__rid"))
+      .withColumn("intersection", size(array_intersect(col("__sha"), col("__shb"))).cast("long"))
+      .withColumn("size_left", size(col("__sha")).cast("long"))
+      .withColumn("size_right", size(col("__shb")).cast("long"))
+      .withColumn("jaccard",
+        col("intersection").cast("double") /
+          (col("size_left") + col("size_right") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_left", "id_right", "intersection", "size_left", "size_right", "jaccard")
   }
 
   /** 64-bit SimHash of the token multiset: bit j of the signature is the

@@ -76,6 +76,35 @@ object PlanDump {
         |with PARTIAL mode before the single-row exchange (k-entry maps
         |cross the shuffle, not tokens); pass 2 re-scans with the <= k
         |candidates as an `In` filter and exact-counts only those.""".stripMargin,
+    "dedup_incremental" ->
+      """Incremental dedup against the persisted band index: the delta
+        |bands itself with the index's stored parameters and equi-joins
+        |the co-clustered postings parquet on (band, key); candidates
+        |collapse to bare 16-byte id pairs in a partial-agg shuffle;
+        |exact verification joins the 8-byte-per-shingle sketch arrays
+        |— the corpus TEXT is nowhere in this plan.""".stripMargin,
+    "decontaminate_docs" ->
+      """Benchmark decontamination: the eval side collapses to distinct
+        |64-bit shingle hashes and BROADCASTS (eval benchmarks are MBs,
+        |the corpus is the big side); the train side is one scan —
+        |explode, hash, broadcast-probe, partial-count — and the only
+        |exchange carries one (doc_id, counts) row per doc from the
+        |map-side partial HashAggregate. No text and no shingle strings
+        |ever cross a shuffle.""".stripMargin,
+    "bm25_search" ->
+      """BM25 top-k: the `term IN (query)` filter sits UNDER the postings
+        |aggregation, so only query-term postings reach the exchange;
+        |doc-frequency (<= |query| rows) and corpus stats (1 row)
+        |broadcast back into the scoring join; the final ranking is
+        |TakeOrderedAndProject (per-partition heaps), never a global
+        |sort.""".stripMargin,
+    "lm_score_docs" ->
+      """Corpus-trained bigram LM scoring: training is two hash
+        |aggregations keyed by xxhash64 of the bigram/unigram (8-byte
+        |keys, map-side partials); scoring re-joins each doc's bigrams
+        |by the same hashed keys — plain shuffled joins AQE can flip to
+        |broadcast for small domain models — and ships one row per doc
+        |out of the final partial agg.""".stripMargin,
     "asof_join_by" ->
       """Grouped merge_asof (by=user): a range exchange on the compound
         |(key, ts) order keeps each group contiguous, the running window

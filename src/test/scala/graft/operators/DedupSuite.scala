@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Dedup operators (training-data pipeline surface): exact, n-gram
@@ -261,5 +263,41 @@ class DedupSuite extends SparkSpec {
     val lsh = rowSet(Dedup.embeddingNearDupLsh(df, "vid", "emb", 0.95).select("id_a", "id_b"))
     assert(lsh.subsetOf(brute))
     assert(lsh.contains(Seq("100", "101"))) // identical directions always collide
+  }
+
+  test("persisted minhash index reproduces the exact cross-corpus join") {
+    // near-identical pairs (j >= 0.8) so the 32x4 banding curve's miss
+    // probability is ~1e-7 — the index path must equal the exact join
+    val corpus = Seq(
+      (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3, "one two three four five six seven eight nine ten"),
+      (5, "totally unrelated corpus document with its own words here")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),   // = doc 1
+      (4, "one two three four five six seven eight nine ELEVEN"),        // ~ doc 3
+      (6, "fresh never seen before text about something else entirely")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", dir, n = 3)
+    val viaIndex = Dedup.dedupAgainstMinhashIndex(spark, delta, "doc_id", "text", dir, threshold = 0.6)
+    val exact = Dedup.ngramJaccardJoin(delta, "doc_id", "text", corpus, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .select(col("id_left"), col("id_right"), col("intersection").cast("long"),
+        col("size_left").cast("long"), col("size_right").cast("long"), col("jaccard"))
+      .toDF("id_left", "id_right", "intersection", "size_left", "size_right", "jaccard")
+    assertSameRows(viaIndex.orderBy("id_left"), exact.orderBy("id_left"))
+  }
+
+  test("index search picks up the index's own parameters from meta") {
+    val corpus = Seq((1, "a b c d e")).toDF("doc_id", "text")
+    val delta = Seq((2, "a b c d e")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx2").toString
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", dir, n = 2, numHashes = 64, bands = 16)
+    val out = Dedup.dedupAgainstMinhashIndex(spark, delta, "doc_id", "text", dir, threshold = 0.9)
+      .collect()
+    assert(out.length == 1)
+    // n = 2 shingles of a 5-token doc: 4 distinct
+    assert(out(0).getAs[Long]("size_left") == 4L && out(0).getAs[Double]("jaccard") == 1.0)
   }
 }
