@@ -660,6 +660,21 @@ object SparkEntry {
       // the corpus itself, score every doc's mean bigram log-prob
       LangModel.score(t(s, dir, "documents"), "doc_id", "text")
     }),
+    "dedup_mask_windows" -> ((s, dir) => {
+      // Lee-et-al-style exact substring dedup at 5-token-window
+      // granularity: any window seen at an earlier (id, pos) masks its
+      // span; docs reassemble from surviving tokens
+      Dedup.maskRepeatedWindows(t(s, dir, "documents"), "doc_id", "text", k = 5)
+    }),
+    "pack_sequences" -> ((s, dir) => {
+      // greedy sequence packing into 128-token training bins, sharded
+      // by 25-doc id chunks (chunk-scoped greedy = embarrassingly
+      // parallel; the oracle replays the same recursion per chunk)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      Packing.packGreedy(d, "doc_id", "n_tokens", maxLen = 128,
+        chunk = expr("doc_id div 25"))
+    }),
     // ---- deterministic sampling / splits -----------------------------------
     "sample_hash_events" -> ((s, dir) => {
       Sampling.hashSample(t(s, dir, "events"), "event_id", fraction = 0.1)
@@ -1464,6 +1479,45 @@ object SparkEntry {
           |SELECT doc_id, count(*) AS n_bigrams,
           |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
           |FROM lp GROUP BY doc_id""".stripMargin,
+      "dedup_mask_windows" ->
+        """WITH tokp AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |  FROM documents),
+          |win AS (
+          |  SELECT a.doc_id, a.pos,
+          |         a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS win
+          |  FROM tokp a
+          |  JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          |  JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+          |  JOIN tokp d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+          |  JOIN tokp e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+          |rnw AS (SELECT doc_id, pos,
+          |               row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+          |        FROM win),
+          |cov AS (SELECT DISTINCT doc_id, pos + o AS p
+          |        FROM rnw CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o)
+          |        WHERE rn > 1),
+          |kept AS (SELECT t.doc_id, t.pos, t.w
+          |         FROM tokp t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.p = t.pos
+          |         WHERE cov.p IS NULL)
+          |SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text
+          |FROM kept GROUP BY doc_id""".stripMargin,
+      "pack_sequences" ->
+        (s"""WITH RECURSIVE tok AS ($tok),
+           |tc AS (SELECT doc_id, count(*) AS toks FROM tok GROUP BY 1),
+           |d AS (SELECT doc_id // 25 AS chunk, doc_id AS id, toks,
+           |             row_number() OVER (PARTITION BY doc_id // 25 ORDER BY doc_id) AS rn
+           |      FROM tc),
+           |rec AS (
+           |  SELECT chunk, id, rn, CAST(0 AS BIGINT) AS bin, toks AS fill
+           |  FROM d WHERE rn = 1
+           |  UNION ALL
+           |  SELECT d.chunk, d.id, d.rn,
+           |         CASE WHEN r.fill + d.toks > 128 THEN r.bin + 1 ELSE r.bin END,
+           |         CASE WHEN r.fill + d.toks > 128 THEN d.toks ELSE r.fill + d.toks END
+           |  FROM rec r JOIN d ON d.chunk = r.chunk AND d.rn = r.rn + 1)
+           |SELECT id AS doc_id, chunk, bin, fill AS bin_fill FROM rec""".stripMargin),
       "sample_hash_events" ->
         """SELECT event_id, event_type, user_id FROM events
           |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)

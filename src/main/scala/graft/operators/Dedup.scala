@@ -470,6 +470,62 @@ object Dedup {
       .select("id_left", "id_right", "intersection", "size_left", "size_right", "jaccard")
   }
 
+  /** Positioned k-token windows (NON-distinct — every occurrence is a
+    * maskable span), one imperative pass per doc (same justification as
+    * [[TextFunctions.shingles]]: the higher-order-function expression
+    * form is interpreted and re-evaluated on projection collapse).
+    */
+  private def windowsUdf(k: Int) = udf { text: String =>
+    if (text == null) Array.empty[(Int, String)]
+    else {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < k) Array.empty[(Int, String)]
+      else Array.tabulate(toks.length - k + 1) { i =>
+        (i, toks.slice(i, i + k).mkString(" "))
+      }
+    }
+  }
+
+  /** Repeated-substring dedup at token-window granularity (the
+    * span-level counterpart of [[lineDedup]], after Lee et al.'s exact
+    * substring dedup in "Deduplicating Training Data Makes Language
+    * Models Better"): any k-token window whose exact text occurred at
+    * an earlier global position (ordered by `(id, pos)`) marks its k
+    * token positions as duplicated; masked tokens are removed and each
+    * doc is reassembled from its surviving tokens in order. Docs that
+    * lose every token drop. Catches boilerplate that line dedup misses
+    * (mid-line templates, run-on scraper text without newlines).
+    *
+    * Scale shape: the occurrence shuffle carries `(xxhash64(window),
+    * id, pos)` — 8-byte keys, never window text; rank = `row_number
+    * = 1` per window INVERTED (duplicates = rn > 1), so every
+    * occurrence of a hot boilerplate window must reach its reducer —
+    * that cost is inherent to "keep exactly the first occurrence"
+    * (unlike [[lineDedup]]'s keep-one, the duplicate SET is the
+    * output); masked positions explode k-fold but only for duplicated
+    * windows; reassembly is one hash shuffle by id.
+    */
+  def maskRepeatedWindows(df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    require(k > 0, s"maskRepeatedWindows: k must be positive, got $k")
+    val tokp = df.select(col(idCol).as("__id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val wins = df.select(col(idCol).as("__id"),
+        explode(windowsUdf(k)(col(textCol))).as("__w"))
+      .select(col("__id"), col("__w._1").as("__pos"), xxhash64(col("__w._2")).as("__h"))
+    val w = Window.partitionBy(col("__h")).orderBy(col("__id").asc, col("__pos").asc)
+    val dupStarts = wins.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("__id"), col("__pos"))
+    val covered = dupStarts
+      .select(col("__id"), explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__p"))
+      .distinct()
+    tokp
+      .join(covered, tokp("__id") === covered("__id") && col("__pos") === col("__p"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__tok")))).as("__kt"))
+      .select(col("__id").as(idCol), array_join(col("__kt.__tok"), " ").as(textCol))
+  }
+
   /** 64-bit SimHash of the token multiset: bit j of the signature is the
     * sign of `sum over tokens of (bit j of fnv64(token) ? +1 : -1)`.
     */

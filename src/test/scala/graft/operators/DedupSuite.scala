@@ -289,6 +289,33 @@ class DedupSuite extends SparkSpec {
     assertSameRows(viaIndex.orderBy("id_left"), exact.orderBy("id_left"))
   }
 
+  test("maskRepeatedWindows: later exact spans drop, first occurrence survives") {
+    val docs = Seq(
+      (1, "the quick brown fox jumps over the lazy dog"),
+      (2, "intro words the quick brown fox jumps closing words"),   // shares a 5-gram with doc 1
+      (3, "the quick brown fox jumps over the lazy dog"),           // full duplicate of doc 1 -> drops
+      (4, "totally fresh content with no repeats at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.maskRepeatedWindows(docs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    // doc 1 is the first occurrence of all its windows: intact
+    assert(out(1) == "the quick brown fox jumps over the lazy dog")
+    // doc 2: positions 2..6 ("the quick brown fox jumps") masked
+    assert(out(2) == "intro words closing words")
+    // doc 3: every token covered by a duplicated window -> dropped
+    assert(!out.contains(3))
+    assert(out(4) == "totally fresh content with no repeats at all")
+  }
+
+  test("maskRepeatedWindows masks intra-document repetition too") {
+    val docs = Seq(
+      (1, "a b c d e x x a b c d e")   // second "a b c d e" repeats (k=5)
+    ).toDF("doc_id", "text")
+    val out = Dedup.maskRepeatedWindows(docs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "a b c d e x x")
+  }
+
   test("index search picks up the index's own parameters from meta") {
     val corpus = Seq((1, "a b c d e")).toDF("doc_id", "text")
     val delta = Seq((2, "a b c d e")).toDF("doc_id", "text")

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackingSuite extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent scalar greedy packer. */
+  private def expected(
+      docs: Seq[(Long, Long)], maxLen: Long, chunkOf: Long => Long): Set[(Long, Long, Long, Long)] =
+    docs.groupBy { case (id, _) => chunkOf(id) }.flatMap { case (chunk, ds) =>
+      var bin = 0L; var fill = 0L; var first = true
+      ds.sortBy(_._1).map { case (id, toks) =>
+        if (!first && fill + toks > maxLen) { bin += 1; fill = 0 }
+        first = false
+        fill += toks
+        (id, chunk, bin, fill)
+      }
+    }.toSet
+
+  test("greedy packing matches an independent scalar packer") {
+    val docs = Seq[(Long, Long)](
+      (1, 40), (2, 50), (3, 30), (4, 100), (5, 10), (6, 10),
+      (11, 60), (12, 60), (13, 1))
+    val df = docs.toDF("doc_id", "n_tokens")
+    val got = Packing.packGreedy(df, "doc_id", "n_tokens", maxLen = 100, chunk = expr("doc_id div 10"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected(docs, 100, _ / 10))
+  }
+
+  test("no bin exceeds maxLen unless a single doc does") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 300L).map(i => (i, 1L + rnd.nextInt(80)))
+    val out = Packing.packGreedy(docs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens",
+        maxLen = 128, chunk = expr("doc_id div 50"))
+      .groupBy("chunk", "bin").agg(max("bin_fill").as("total"), count(lit(1)).as("n"))
+      .collect()
+    assert(out.forall(r => r.getAs[Long]("total") <= 128))
+    // sanity: packs multiple docs per bin, not one-per-bin
+    assert(out.exists(_.getAs[Long]("n") > 1))
+  }
+
+  test("an oversized doc occupies a bin alone") {
+    val docs = Seq[(Long, Long)]((1, 10), (2, 500), (3, 10))
+    val out = Packing.packGreedy(docs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens",
+        maxLen = 100, chunk = lit(0))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 0L, 10L), (2L, 1L, 500L), (3L, 2L, 10L)))
+  }
+
+  test("bins are chunk-local: chunks pack independently") {
+    val docs = Seq[(Long, Long)]((1, 90), (10, 90), (11, 90))
+    val out = Packing.packGreedy(docs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens",
+        maxLen = 100, chunk = expr("doc_id div 10"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // doc 1 in chunk 0 bin 0; docs 10, 11 in chunk 1 bins 0, 1
+    assert(out == Map((1L, 0L) -> 0L, (10L, 1L) -> 0L, (11L, 1L) -> 1L))
+  }
+}
