@@ -53,14 +53,16 @@ object Search {
     require(queryTerms.nonEmpty, "bm25TopK: empty query")
     val terms = queryTerms.distinct
 
-    // one corpus scan: per-doc length + the doc's postings restricted to
-    // the query terms (the isin filter runs inside the scan projection,
-    // before the explode output ever reaches a shuffle)
-    val tokens = docs.select(
-      col(idCol).as("__id"),
-      explode(TextFunctions.tokens(col(textCol))).as("__t"))
-    val lengths = tokens.groupBy("__id").agg(count(lit(1)).as("__dl"))
-    val postings = tokens
+    // one corpus scan: per-doc length is size(tokens) in the scan
+    // projection — NO explode+re-aggregate shuffle for lengths — and
+    // the doc's postings restrict to the query terms before the explode
+    // output ever reaches a shuffle
+    val lengths = docs.select(
+        col(idCol).as("__id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("__dl"))
+      .filter(col("__dl") > 0) // token-less docs are outside the corpus stats
+    val postings = docs
+      .select(col(idCol).as("__id"), explode(TextFunctions.tokens(col(textCol))).as("__t"))
       .filter(col("__t").isin(terms: _*))
       .groupBy("__id", "__t")
       .agg(count(lit(1)).as("__tf"))
@@ -113,11 +115,12 @@ object Search {
       textCol: String,
       path: String,
       termBuckets: Int = 64): Unit = {
-    val tokens = docs.select(
-      col(idCol).as("doc_id"),
-      explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val lengths = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val lengths = docs.select(
+        col(idCol).as("doc_id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+    docs.select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .repartition(termBuckets, col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$path/postings")
