@@ -660,6 +660,17 @@ object SparkEntry {
       // the corpus itself, score every doc's mean bigram log-prob
       LangModel.score(t(s, dir, "documents"), "doc_id", "text")
     }),
+    "text_normalize" -> ((s, dir) => {
+      // the corpus is ASCII, so prepend decomposed/accented literals to
+      // give normalization real work: NFC composes E+◌́ to É, accent
+      // folding strips the marks; the oracle carries the SAME literals
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextFunctions.normalizeNfc(
+          concat(lit("École naïve "), col("text"))).as("nfc_text"),
+        TextFunctions.stripAccents(
+          concat(lit("École naïve ü "), col("text"))).as("folded_text"))
+    }),
     "dedup_mask_windows" -> ((s, dir) => {
       // Lee-et-al-style exact substring dedup at 5-token-window
       // granularity: any window seen at an earlier (id, pos) masks its
@@ -1479,6 +1490,10 @@ object SparkEntry {
           |SELECT doc_id, count(*) AS n_bigrams,
           |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
           |FROM lp GROUP BY doc_id""".stripMargin,
+      "text_normalize" ->
+        ("SELECT doc_id, nfc_normalize('École naïve ' || text) AS nfc_text, " +
+          "strip_accents('École naïve ü ' || text) AS folded_text " +
+          "FROM documents"),
       "dedup_mask_windows" ->
         """WITH tokp AS (
           |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,

@@ -252,4 +252,40 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Unicode NFC normalization — the canonical first step of corpus
+    * curation (mixed crawls carry the same glyph as composed and
+    * decomposed codepoints; unnormalized text defeats exact dedup and
+    * fingerprinting). UDF over `java.text.Normalizer` (Spark has no
+    * normalization built-in); pure per-row scan work, no shuffle.
+    */
+  def normalizeNfc(text: Column): Column = nfcUdf(text)
+
+  private val nfcUdf = udf { s: String =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
+  /** Accent folding: NFD-decompose, drop combining marks (Unicode
+    * category Mn), leaving base letters — "école naïve ü" →
+    * "ecole naive u". Matches the conventional utf8proc/DuckDB
+    * `strip_accents` behavior on decomposable accents; letters with no
+    * canonical decomposition (ø, ł) pass through on both engines.
+    */
+  def stripAccents(text: Column): Column = stripAccentsUdf(text)
+
+  private val stripAccentsUdf = udf { s: String =>
+    if (s == null) null
+    else {
+      val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder(d.length)
+      var i = 0
+      while (i < d.length) {
+        val ch = d.charAt(i)
+        if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
+        i += 1
+      }
+      sb.toString
+    }
+  }
 }

@@ -144,4 +144,30 @@ class TextFunctionsSuite extends SparkSpec {
       .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
     assert(r(1) == 0.75 && r(2) == 0.25 && r(3) == 0.0)
   }
+
+  test("normalizeNfc composes decomposed sequences; idempotent on composed text") {
+    val r = Seq(
+      (1, "École naïve"), // decomposed: E+◌́, i+◌̈
+      (2, "École naïve"),   // already composed
+      (3, "plain ascii")
+    ).toDF("id", "text")
+      .select($"id", TextFunctions.normalizeNfc($"text").as("t"))
+      .collect().map(x => x.getInt(0) -> x.getString(1)).toMap
+    assert(r(1) == "École naïve")
+    assert(r(2) == "École naïve")
+    assert(r(3) == "plain ascii")
+  }
+
+  test("stripAccents folds to base letters, DuckDB strip_accents semantics") {
+    val r = Seq(
+      (1, "École naïve ü"),
+      (2, "École"),          // decomposed input folds too
+      (3, "no accents at all")
+    ).toDF("id", "text")
+      .select($"id", TextFunctions.stripAccents($"text").as("t"))
+      .collect().map(x => x.getInt(0) -> x.getString(1)).toMap
+    assert(r(1) == "Ecole naive u")
+    assert(r(2) == "Ecole")
+    assert(r(3) == "no accents at all")
+  }
 }
