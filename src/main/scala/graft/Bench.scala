@@ -20,6 +20,7 @@ object Bench {
     "theta_join_mod", "asof_join_events", "asof_join_unbounded",
     "asof_join_sql", "asof_join_by", "stream_asof_events",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_mask_windows", "pack_sequences",
     "dedup_embedding", "ann_topk",
     "text_quality", "doc_fingerprint", "heavy_hitters_tokens",
     "decontaminate_docs", "bm25_search", "lm_score_docs",

@@ -660,6 +660,34 @@ object SparkEntry {
       // the corpus itself, score every doc's mean bigram log-prob
       LangModel.score(t(s, dir, "documents"), "doc_id", "text")
     }),
+    "sql_curation" -> ((s, dir) => {
+      // the curation kernels on the pure-SQL surface: GraftExtensions
+      // registers graft_quality / graft_lang_id / graft_fingerprint /
+      // graft_token_estimate (and more) as SQL functions — same
+      // expressions as the Column API, so one oracle covers both. Falls
+      // back loudly to the Column API without the extension.
+      val d = t(s, dir, "documents")
+      d.createOrReplaceTempView("graft_sql_docs")
+      val q = """SELECT doc_id,
+                |  CAST(floor(graft_quality(text) * 10000) / 10000.0 AS DOUBLE) AS quality,
+                |  graft_lang_id(text) AS lang_detected,
+                |  graft_fingerprint(text) AS fingerprint,
+                |  graft_token_estimate(text) AS token_est
+                |FROM graft_sql_docs""".stripMargin
+      try s.sql(q)
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"[graft] sql_curation: graft_* SQL functions unavailable " +
+              s"(${e.getClass.getSimpleName}) — session lacks GraftExtensions; " +
+              "falling back to the Column API")
+          d.select(col("doc_id"),
+            q4(TextFunctions.qualityScore(col("text"))).as("quality"),
+            TextFunctions.langId(col("text")).as("lang_detected"),
+            TextFunctions.fingerprint(col("text")).as("fingerprint"),
+            TextFunctions.tokenEstimate(col("text")).as("token_est"))
+      }
+    }),
     "text_normalize" -> ((s, dir) => {
       // the corpus is ASCII, so prepend decomposed/accented literals to
       // give normalization real work: NFC composes E+◌́ to É, accent
@@ -1490,6 +1518,40 @@ object SparkEntry {
           |SELECT doc_id, count(*) AS n_bigrams,
           |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
           |FROM lp GROUP BY doc_id""".stripMargin,
+      "sql_curation" ->
+        (s"""WITH tok AS ($tok),
+           |agg AS (SELECT doc_id, count(*) AS n,
+           |  sum(CASE WHEN lower(w) IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as')
+           |      THEN 1 ELSE 0 END) AS sw
+           |  FROM tok GROUP BY doc_id),
+           |ltok AS (SELECT doc_id, lower(w2) AS w FROM (
+           |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w2
+           |  FROM documents)),
+           |sc AS (SELECT doc_id,
+           |  sum(CASE WHEN w IN ('the','a','and','of','to','is') THEN 1 ELSE 0 END) AS s_en,
+           |  sum(CASE WHEN w IN ('el','la','los','de','que','y') THEN 1 ELSE 0 END) AS s_es,
+           |  sum(CASE WHEN w IN ('der','die','das','und','ist','nicht') THEN 1 ELSE 0 END) AS s_de,
+           |  sum(CASE WHEN w IN ('le','la','les','et','est','que') THEN 1 ELSE 0 END) AS s_fr
+           |  FROM ltok GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  floor((least(agg.n / 50.0, 1.0) * 0.5
+           |        + least(agg.sw * 1.0 / agg.n * 5.0, 1.0) * 0.3
+           |        + (1.0 - least(length(regexp_replace(d.text, '[^.,!?;:]', '', 'g')) * 1.0
+           |                       / length(d.text) * 5.0, 1.0)) * 0.2) * 10000) / 10000.0 AS quality,
+           |  CASE
+           |    WHEN length(regexp_replace(d.text, '[^' || chr(19968) || '-' || chr(40959) || ']', '', 'g'))
+           |         * 1.0 / length(d.text) > 0.3 THEN 'zh'
+           |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+           |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+           |    WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+           |    WHEN s_fr > 0 THEN 'fr'
+           |    ELSE 'und' END AS lang_detected,
+           |  md5(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))) AS fingerprint,
+           |  CAST(ceil(length(trim(d.text)) / 4.0)
+           |       + length(regexp_replace(d.text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS token_est
+           |FROM documents d
+           |JOIN agg ON agg.doc_id = d.doc_id
+           |JOIN sc ON sc.doc_id = d.doc_id""".stripMargin),
       "text_normalize" ->
         ("SELECT doc_id, nfc_normalize('École naïve ' || text) AS nfc_text, " +
           "strip_accents('École naïve ü ' || text) AS folded_text " +

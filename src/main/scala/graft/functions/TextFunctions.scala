@@ -128,6 +128,34 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  /** Raw kernels mirroring [[dupLineRatio]] / [[topTokenRatio]] for the
+    * SQL surface (GraftExtensions registers them as ScalaUDFs — the
+    * higher-order-function Column trees don't survive the conversion to
+    * a standalone Catalyst expression). Agreement with the Column
+    * forms is suite-asserted.
+    */
+  private[graft] val dupLineRatioFn: String => java.lang.Double = { text =>
+    if (text == null) java.lang.Double.valueOf(0.0)
+    else {
+      val ls = text.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+      if (ls.length == 0) java.lang.Double.valueOf(0.0)
+      else java.lang.Double.valueOf(1.0 - ls.distinct.length.toDouble / ls.length)
+    }
+  }
+
+  private[graft] val topTokenRatioFn: String => java.lang.Double = { text =>
+    if (text == null) java.lang.Double.valueOf(0.0)
+    else {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) java.lang.Double.valueOf(0.0)
+      else {
+        var top = 0
+        toks.groupBy(identity).foreach { case (_, g) => if (g.length > top) top = g.length }
+        java.lang.Double.valueOf(top.toDouble / toks.length)
+      }
+    }
+  }
+
   /** Fraction of tokens found in `stopwords`. A standard fluency signal:
     * natural text has a stable stopword ratio; keyword-stuffed or
     * boilerplate text does not.
@@ -157,7 +185,12 @@ object TextFunctions {
     */
   def qualityScore(text: Column): Column = qualityUdf(text)
 
-  private val qualityUdf = udf { text: String =>
+  private lazy val qualityUdf = udf(qualityFn)
+
+  /** Raw kernel, exposed so GraftExtensions can register the same
+    * function on the SQL surface as a ScalaUDF expression.
+    */
+  private[graft] val qualityFn: String => java.lang.Double = { text =>
     if (text == null) null
     else {
       val toks = text.trim.split("\\s+").filter(_.nonEmpty)
@@ -195,6 +228,8 @@ object TextFunctions {
     */
   def langId(text: Column): Column = langIdUdf(text)
 
+  private lazy val langIdUdf = udf(langIdFn)
+
   private val LangMarkers: Array[(String, Set[String])] = Array(
     "en" -> Set("the", "a", "and", "of", "to", "is"),
     "es" -> Set("el", "la", "los", "de", "que", "y"),
@@ -208,7 +243,7 @@ object TextFunctions {
     * wins, ties break en > es > de > fr, CJK short-circuits on
     * Unicode-script ratio > 0.3.
     */
-  private val langIdUdf = udf { text: String =>
+  private[graft] val langIdFn: String => String = { text =>
     if (text == null) "und"
     else {
       var cjk = 0
@@ -261,7 +296,9 @@ object TextFunctions {
     */
   def normalizeNfc(text: Column): Column = nfcUdf(text)
 
-  private val nfcUdf = udf { s: String =>
+  private lazy val nfcUdf = udf(nfcFn)
+
+  private[graft] val nfcFn: String => String = { s =>
     if (s == null) null
     else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
   }
@@ -274,7 +311,9 @@ object TextFunctions {
     */
   def stripAccents(text: Column): Column = stripAccentsUdf(text)
 
-  private val stripAccentsUdf = udf { s: String =>
+  private lazy val stripAccentsUdf = udf(stripAccentsFn)
+
+  private[graft] val stripAccentsFn: String => String = { s =>
     if (s == null) null
     else {
       val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)

@@ -244,11 +244,54 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 /** Session-extension entry point: enables the transparent band-join
-  * rewrite and registers `graft_dot` as a SQL function. Activate with
+  * rewrite and registers the `graft_*` SQL functions — `graft_dot`
+  * (native codegen Expression) plus the curation scalar kernels from
+  * [[graft.functions.TextFunctions]], exposed to pure-SQL users by
+  * converting the Column composition back to its Catalyst expression
+  * (expression-built kernels stay codegen'd; the UDF-backed ones ride
+  * the same ScalaUDF the DataFrame API uses). Activate with
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `builder.withExtensions(new GraftExtensions)`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import graft.functions.TextFunctions
+
+  /** UDF-backed kernels: register the SAME raw lambda the DataFrame
+    * `udf()` wrapper uses as a ScalaUDF expression (Column trees don't
+    * convert to standalone Catalyst expressions through the classic
+    * adapter; the encoder-less ScalaUDF path boxes UTF8String→String
+    * exactly like `udf()` does).
+    */
+  private def scalarFn(name: String, f: AnyRef, dt: org.apache.spark.sql.types.DataType) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo("graft.functions.TextFunctions", name),
+    (exprs: Seq[Expression]) => ScalaUDF(f, dt, exprs, udfName = Some(name)))
+
+  /** Expression-built kernels re-stated as direct Catalyst trees — the
+    * analyzer type-coerces them exactly as it does the Column forms, so
+    * the SQL surface stays codegen'd (no UDF). Agreement with the
+    * Column API is suite-asserted.
+    */
+  private def scrubExpr(e: Expression): Expression =
+    RegExpReplace(
+      RegExpReplace(
+        RegExpReplace(e, Literal("https?://\\S+"), Literal("<URL>")),
+        Literal("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), Literal("<EMAIL>")),
+      Literal("[0-9]{7,}"), Literal("<NUM>"))
+
+  private def fingerprintExpr(e: Expression): Expression =
+    Md5(Cast(Lower(RegExpReplace(StringTrim(e), Literal("\\s+"), Literal(" "))), BinaryType))
+
+  private def tokenEstimateExpr(e: Expression): Expression =
+    Cast(Add(
+      Ceil(Divide(Cast(Length(StringTrim(e)), DoubleType), Literal(4.0))),
+      Cast(Length(RegExpReplace(e, Literal("[^.,!?;:]"), Literal(""))), LongType)), LongType)
+
+  private def exprFn(name: String, f: Expression => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo("graft.functions.TextFunctions", name),
+    (exprs: Seq[Expression]) => f(exprs.head))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FuzzyJoinRewrite)
     ext.injectPlannerStrategy(_ => RangeJoinStrategy)
@@ -257,5 +300,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction(scalarFn("graft_quality", TextFunctions.qualityFn, DoubleType))
+    ext.injectFunction(scalarFn("graft_lang_id", TextFunctions.langIdFn, StringType))
+    ext.injectFunction(scalarFn("graft_nfc", TextFunctions.nfcFn, StringType))
+    ext.injectFunction(scalarFn("graft_strip_accents", TextFunctions.stripAccentsFn, StringType))
+    ext.injectFunction(scalarFn("graft_dup_line_ratio", TextFunctions.dupLineRatioFn, DoubleType))
+    ext.injectFunction(scalarFn("graft_top_token_ratio", TextFunctions.topTokenRatioFn, DoubleType))
+    ext.injectFunction(exprFn("graft_scrub", scrubExpr))
+    ext.injectFunction(exprFn("graft_fingerprint", fingerprintExpr))
+    ext.injectFunction(exprFn("graft_token_estimate", tokenEstimateExpr))
   }
 }

@@ -212,4 +212,50 @@ class FuzzyJoinRewriteSuite extends SparkSpec {
       SparkSession.setDefaultSession(orig)
     }
   }
+
+  test("graft_* curation SQL functions equal their Column-API kernels") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val docs = Seq(
+        (1, "The quick brown fox, it jumps over the lazy dog in the field."),
+        (2, "el la de que y los el la"),
+        (3, "reach me at someone@example.com or https://x.test/page 12345678"),
+        (4, "École naïve ü text")
+      ).toDF("doc_id", "text")
+      docs.createOrReplaceTempView("gx_docs")
+      val viaSql = s2.sql("""
+        SELECT doc_id, graft_quality(text) AS q, graft_lang_id(text) AS l,
+               graft_scrub(text) AS s, graft_fingerprint(text) AS f,
+               graft_token_estimate(text) AS te, graft_nfc(text) AS n,
+               graft_strip_accents(text) AS sa,
+               graft_dup_line_ratio(text) AS dl, graft_top_token_ratio(text) AS tt
+        FROM gx_docs""")
+      val viaApi = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+        graft.functions.TextFunctions.langId(col("text")).as("l"),
+        graft.functions.TextFunctions.scrubPii(col("text")).as("s"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("f"),
+        graft.functions.TextFunctions.tokenEstimate(col("text")).as("te"),
+        graft.functions.TextFunctions.normalizeNfc(col("text")).as("n"),
+        graft.functions.TextFunctions.stripAccents(col("text")).as("sa"),
+        graft.functions.TextFunctions.dupLineRatio(col("text")).as("dl"),
+        graft.functions.TextFunctions.topTokenRatio(col("text")).as("tt"))
+      assert(rowSet(viaSql) == rowSet(viaApi))
+      // spot-check semantics, not just agreement
+      val byId = viaSql.collect().map(r => r.getInt(0) -> r).toMap
+      assert(byId(2).getAs[String]("l") == "es")
+      assert(byId(3).getAs[String]("s") == "reach me at <EMAIL> or <URL> <NUM>")
+      assert(byId(4).getAs[String]("sa") == "Ecole naive u text")
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
 }
