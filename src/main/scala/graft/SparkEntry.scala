@@ -465,6 +465,18 @@ object SparkEntry {
         SimilaritySearch.searchIvf(s, idx, q, "vec_id", "embedding", k = 5),
         SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
     }),
+    "ann_topk_ivf_sq8" -> ((s, dir) => {
+      // IVF-SQ8 lifecycle: quantized cells persisted once (~8x smaller
+      // index), probes run the integer ByteDot kernel partition-pruned
+      // to the probed cells; recall measured against the exact top-k
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val idx = s"/tmp/graft_ivf_sq8_index_${math.abs(dir.hashCode)}"
+      SimilaritySearch.buildIvfSq8Index(e, "vec_id", "embedding", idx)
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.searchIvfSq8(s, idx, q, "vec_id", "embedding", k = 5),
+        SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
+    }),
     // ---- text analysis ----------------------------------------------------
     "text_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1226,6 +1238,9 @@ object SparkEntry {
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(0.62 AS DOUBLE) AS recall""".stripMargin,
       "ann_topk_ivf_persisted" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(0.62 AS DOUBLE) AS recall""".stripMargin,
+      "ann_topk_ivf_sq8" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(0.62 AS DOUBLE) AS recall""".stripMargin,
       "ann_topk_sq8" ->

@@ -264,6 +264,65 @@ object SimilaritySearch {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
   }
 
+  /** IVF-SQ8 persisted index: same learned cells as [[buildIvfIndex]],
+    * but the stored vectors are SQ8-quantized structs — ~8× smaller
+    * cells on disk and over the wire, and probe-time scoring runs the
+    * codegen'd integer [[graft.functions.ByteDot]] kernel (the classic
+    * IVF+SQ combination). Centroids stay float: k×dim doubles, exact
+    * cell choice. At 100 TB the cells ARE the index cost — an 8×
+    * smaller candidate scan is the difference between memory-bandwidth-
+    * bound and disk-bound probes.
+    */
+  def buildIvfSq8Index(
+      corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      nCentroids: Int = 16, iters: Int = 5): Unit = {
+    val c = prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+      .localCheckpoint(true)
+    val centroids = trainCentroids(c, nCentroids, iters)
+    centroidTable(c.sparkSession, centroids)
+      .select(col("__cell").as("cell"), col("__ctv").as("centroid"),
+        col("__ctn").as("cnorm"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    c.withColumn("cell", bestCellExpr(col("__cv"), centroidArray(centroids)))
+      .select(col("neighbor_id"),
+        VectorFunctions.sq8Quantize(col("__cv")).as("qvec"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
+  /** Serve top-k from a [[buildIvfSq8Index]] index: cell choice uses the
+    * FLOAT query against the float centroids (identical to
+    * [[searchIvf]]'s — quantization never moves a query to the wrong
+    * cell), candidate scoring runs the integer kernel against the
+    * stored bytes, partition-pruned to the probed cells. Cosines are
+    * approximate (≤ step/2 per component); gate with [[recallSummary]].
+    */
+  def searchIvfSq8(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell").as("__cell"), col("centroid").as("__ctv"),
+        col("cnorm").as("__ctn"))
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .select(col("neighbor_id"), col("qvec").as("__cq"), col("cell").as("__cell"))
+    val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    val probed = probeCells(q, cents, nProbe)
+      .withColumn("__qq", VectorFunctions.sq8Quantize(col("__qv")))
+      .select(col("query_id"), col("__qq"), col("__cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(probed)
+      .join(cells, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        VectorFunctions.sq8Cosine(col("__qq"), col("__cq")).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Serve top-k queries from a persisted [[buildIvfIndex]] index — no
     * retraining, no UDF: centroids load as a k-row broadcast table,
     * queries pick their `nProbe` cells in one batched pass, and the

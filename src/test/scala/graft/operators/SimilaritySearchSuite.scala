@@ -107,6 +107,45 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(again == fromIndex)
   }
 
+  test("IVF-SQ8 index: 8x-smaller cells, integer-kernel probes, high recall") {
+    val rnd = new scala.util.Random(31)
+    // realistic dimensionality: at dim 4 the struct constants would
+    // swamp the byte payload and the size claim would be meaningless
+    val dim = 64
+    val centers = (0 until 4).map { c =>
+      Array.tabulate(dim)(j => if (j == c) 10.0 else 0.0)
+    }
+    val vecs = (0 until 120).map { i =>
+      val ctr = centers(i % 4)
+      (i, ctr.map(_ + rnd.nextGaussian() * 0.5))
+    }.toDF("id", "emb")
+    val dirF = java.nio.file.Files.createTempDirectory("graft_ivf_f").toString
+    val dirQ = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+    SimilaritySearch.buildIvfIndex(vecs, "id", "emb", dirF, nCentroids = 8, iters = 4)
+    SimilaritySearch.buildIvfSq8Index(vecs, "id", "emb", dirQ, nCentroids = 8, iters = 4)
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(p))
+    }
+    // quantized cells materially smaller than float cells. The raw
+    // payload ratio is ~7x (64 bytes + 28 bytes of constants vs 512
+    // bytes of doubles) but per-file parquet footers dominate at this
+    // toy row count, so assert the direction with margin, not the 8x.
+    assert(bytes(s"$dirQ/cells") < bytes(s"$dirF/cells") * 0.8,
+      s"sq8 cells ${bytes(s"$dirQ/cells")} vs float ${bytes(s"$dirF/cells")}")
+    // same deterministic trainer → identical cell layout; probes agree
+    // with the float index on well-separated data
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val sq8 = SimilaritySearch.searchIvfSq8(spark, dirQ, vecs, "id", "emb", k = 3, nProbe = 3)
+    val fl = SimilaritySearch.searchIvf(spark, dirF, vecs, "id", "emb", k = 3, nProbe = 3)
+    val summary = SimilaritySearch.recallSummary(sq8, fl).collect()(0)
+    assert(summary.getDouble(2) >= 0.9, s"ivf-sq8 recall vs float ivf: ${summary.getDouble(2)}")
+    assert(key(sq8).size == 120 * 3)
+  }
+
   test("LSH top-k returns true cosines for whatever it returns") {
     val rnd = new scala.util.Random(11)
     val vecs = (0 until 80).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
