@@ -52,6 +52,8 @@ object Packing {
       maxLen: Long,
       chunk: Column): DataFrame = {
     require(maxLen > 0, s"packGreedy: maxLen must be positive, got $maxLen")
+    require(!Seq("chunk", "bin", "bin_fill").contains(idCol),
+      s"packGreedy: idCol '$idCol' collides with an output column")
     val spark = docs.sparkSession
     import spark.implicits._
     val in = docs.select(

@@ -38,6 +38,25 @@ object IvfIndexCheck {
     println(f"build=$tBuild%.2fs search=$tSearch%.2fs rows=$n dpp=$dpp")
     plan.linesIterator.filter(_.contains("PartitionFilters"))
       .foreach(l => println(l.trim.take(400)))
+
+    // the SQ8 variant must keep the same pruning property with the
+    // quantized cells, and its index should be materially smaller
+    val idxQ = java.nio.file.Files.createTempDirectory("graft_ivf_sq8_check").toString
+    val t2 = System.nanoTime()
+    SimilaritySearch.buildIvfSq8Index(e, "vec_id", "embedding", idxQ)
+    val tBuildQ = (System.nanoTime() - t2) / 1e9
+    val resQ = SimilaritySearch.searchIvfSq8(spark, idxQ, q, "vec_id", "embedding", 5)
+    val t3 = System.nanoTime()
+    val nQ = resQ.count()
+    val tSearchQ = (System.nanoTime() - t3) / 1e9
+    val dppQ = resQ.queryExecution.executedPlan.toString.contains("dynamicpruning")
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(p))
+    }
+    println(f"sq8: build=$tBuildQ%.2fs search=$tSearchQ%.2fs rows=$nQ dpp=$dppQ " +
+      f"cells=${dirBytes(s"$idxQ/cells")}%d B vs float ${dirBytes(s"$idx/cells")}%d B")
     spark.stop()
   }
 }
