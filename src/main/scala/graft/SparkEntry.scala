@@ -372,6 +372,19 @@ object SparkEntry {
         .select(col("id_left"), col("id_right"), col("intersection"),
           col("size_left"), col("size_right"), q4(col("jaccard")).as("jaccard"))
     }),
+    "stream_index_dedup" -> ((s, dir) => {
+      // the streaming ingest gate's batch-unified form: the SAME
+      // stateless stream-static plan (first-shared-band anchor, no
+      // aggregation state) that gates a live crawl, on the batch frame;
+      // oracle = the exact cross-corpus join, like dedup_incremental
+      val d = t(s, dir, "documents")
+      val idx = s"/tmp/graft_minhash_stream_idx_${math.abs(dir.hashCode)}"
+      Dedup.buildMinhashIndex(d.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+      Streaming.dedupAgainstMinhashIndex(s, d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", idx, threshold = 0.8)
+        .select(col("id_left"), col("id_right"), col("intersection"),
+          col("size_left"), col("size_right"), q4(col("jaccard")).as("jaccard"))
+    }),
     "dedup_components" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.6)
@@ -1174,6 +1187,19 @@ object SparkEntry {
           |  UNION
           |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r)
           |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin),
+      "stream_index_dedup" -> (shinglesBase +
+        """inter AS (
+          |  SELECT x.doc_id AS id_left, y.doc_id AS id_right, count(*) AS i
+          |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+          |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+          |  GROUP BY 1, 2)
+          |SELECT id_left, id_right, i AS intersection,
+          |       ca.n AS size_left, cb.n AS size_right,
+          |       floor((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 AS jaccard
+          |FROM inter
+          |JOIN cnt ca ON ca.doc_id = id_left
+          |JOIN cnt cb ON cb.doc_id = id_right
+          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin),
       "dedup_incremental" -> (shinglesBase +
         """inter AS (
           |  SELECT x.doc_id AS id_left, y.doc_id AS id_right, count(*) AS i

@@ -299,7 +299,7 @@ object Dedup {
     * times; (2) the per-permutation affine constants are precomputed
     * once here, not re-derived per shingle.
     */
-  private def minhashBandKeys(numHashes: Int, bands: Int) = {
+  private[graft] def minhashBandKeys(numHashes: Int, bands: Int) = {
     val rows = numHashes / bands
     val as = Array.tabulate(numHashes)(i => Hashing.splitmix64(2L * i) | 1L)
     val bs = Array.tabulate(numHashes)(i => Hashing.splitmix64(2L * i + 1))

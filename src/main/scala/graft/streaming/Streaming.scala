@@ -480,6 +480,58 @@ object Streaming {
     * production shape (`readStream` on an arrival directory). Schema must
     * be fixed up front (streaming sources cannot infer).
     */
+  /** Streaming near-dup gate against a persisted
+    * [[graft.operators.Dedup.buildMinhashIndex]] index: each incoming
+    * doc bands itself with the index's stored parameters, probes the
+    * static postings, exact-verifies against the static sketches, and
+    * emits `(id_left, id_right, intersection, size_left, size_right,
+    * jaccard)` rows for every indexed near-duplicate — the ingest-time
+    * dedup gate a live crawl needs, serving the SAME index the batch
+    * path maintains.
+    *
+    * Entirely STATELESS: stream-static inner joins keep no state, and
+    * exactly-once per pair comes from the first-shared-band anchor
+    * (the sketches table stores each corpus doc's band-key array, so
+    * the in-row comparison works) instead of a streaming aggregation —
+    * no watermark, no state store, append mode. Works identically on a
+    * batch frame (batch/stream unified like every transform here).
+    */
+  def dedupAgainstMinhashIndex(
+      spark: SparkSession, stream: DataFrame, idCol: String, textCol: String,
+      indexPath: String, threshold: Double = 0.6): DataFrame = {
+    import graft.functions.TextFunctions
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (n, numHashes, bands) =
+      (meta.getAs[Int]("n"), meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"))
+    val sh = stream
+      .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), n).as("__s"))
+      .filter(size(col("__s")) > 0)
+      .select(col("__id"),
+        array_sort(transform(col("__s"), s => xxhash64(s))).as("__sha"),
+        graft.operators.Dedup.minhashBandKeys(numHashes, bands)(col("__s")).as("__bks"))
+    val banded = sh.select(col("__id"), col("__sha"), col("__bks"),
+      posexplode(col("__bks")).as(Seq("__band", "__bh")))
+    val postings = spark.read.parquet(s"$indexPath/postings")
+    val sketches = spark.read.parquet(s"$indexPath/sketches").select(
+      col("doc_id").as("__rid"), col("sh").as("__shb"), col("bks").as("__rbks"))
+    // first band the two signatures share — in-row anchor, no agg state
+    val firstShared =
+      array_position(zip_with(col("__bks"), col("__rbks"), (x, y) => x === y), true) - 1
+    banded
+      .join(postings, col("__band") === col("band") && col("__bh") === col("bh"))
+      .join(sketches, col("doc_id") === col("__rid"))
+      .filter(col("__band") === firstShared)
+      .withColumn("intersection", size(array_intersect(col("__sha"), col("__shb"))).cast("long"))
+      .withColumn("size_left", size(col("__sha")).cast("long"))
+      .withColumn("size_right", size(col("__shb")).cast("long"))
+      .withColumn("jaccard",
+        col("intersection").cast("double") /
+          (col("size_left") + col("size_right") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__id").as("id_left"), col("doc_id").as("id_right"),
+        col("intersection"), col("size_left"), col("size_right"), col("jaccard"))
+  }
+
   def parquetStream(spark: SparkSession, dir: String, schemaOf: DataFrame): DataFrame =
     spark.readStream.schema(schemaOf.schema).parquet(dir)
 }

@@ -467,4 +467,51 @@ class StreamingSuite extends SparkSpec {
       assert(batchIds == got)
     } finally q.stop()
   }
+
+  test("streaming index dedup: stateless gate equals the batch index join") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx_stream").toString
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", dir, n = 3)
+
+    // batch frame through the STREAMING transform == batch operator
+    val delta = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "one two three four five six seven eight nine ELEVEN"),
+      (6L, "fresh unrelated text words entirely different here now")
+    ).toDF("doc_id", "text")
+    val viaStreamFn = Streaming.dedupAgainstMinhashIndex(
+      spark, delta, "doc_id", "text", dir, threshold = 0.6)
+    val viaBatch = Dedup.dedupAgainstMinhashIndex(
+      spark, delta, "doc_id", "text", dir, threshold = 0.6)
+    assertSameRows(viaStreamFn.orderBy("id_left"), viaBatch.orderBy("id_left"))
+
+    // live MemoryStream: stateless append, matches arrive per batch
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val gated = Streaming.dedupAgainstMinhashIndex(
+      spark, input.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, threshold = 0.6)
+    assert(gated.isStreaming)
+    val q = gated.writeStream
+      .format("memory").queryName("idx_dedup_test").outputMode("append").start()
+    try {
+      input.addData((2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      q.processAllAvailable()
+      val after1 = spark.table("idx_dedup_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after1 == Set((2L, 1L)))
+      input.addData(
+        (4L, "one two three four five six seven eight nine ELEVEN"),
+        (6L, "fresh unrelated text words entirely different here now"))
+      q.processAllAvailable()
+      val after2 = spark.table("idx_dedup_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after2 == Set((2L, 1L), (4L, 3L)))
+      // exactly-once per pair (first-shared-band anchor, no duplicates)
+      assert(spark.table("idx_dedup_test").count() == 2)
+    } finally q.stop()
+  }
 }
