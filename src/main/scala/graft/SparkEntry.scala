@@ -685,6 +685,23 @@ object SparkEntry {
       // the corpus itself, score every doc's mean bigram log-prob
       LangModel.score(t(s, dir, "documents"), "doc_id", "text")
     }),
+    "corpus_profile" -> ((s, dir) => {
+      // the curation report: one corpus scan -> per-source profile plus
+      // the grand-total row (rollup). Quality averages via exact
+      // scaled-long sums so engine summation order cannot flip a bit.
+      val d = t(s, dir, "documents")
+      val scored = d.select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("__nt"),
+        floor(TextFunctions.qualityScore(col("text")) * lit(10000.0)).cast("long").as("__q"),
+        TextFunctions.langId(col("text")).as("__lang"))
+      scored.rollup(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("n_tokens"),
+          (floor(sum(col("__q")) * lit(1.0) / count(lit(1))) / lit(10000.0))
+            .as("avg_quality"),
+          countDistinct(col("__lang")).as("n_langs"))
+    }),
     "sql_curation" -> ((s, dir) => {
       // the curation kernels on the pure-SQL surface: GraftExtensions
       // registers graft_quality / graft_lang_id / graft_fingerprint /
@@ -1559,6 +1576,42 @@ object SparkEntry {
           |SELECT doc_id, count(*) AS n_bigrams,
           |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
           |FROM lp GROUP BY doc_id""".stripMargin,
+      "corpus_profile" ->
+        (s"""WITH tok AS ($tok),
+           |agg AS (SELECT doc_id, count(*) AS n,
+           |  sum(CASE WHEN lower(w) IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as')
+           |      THEN 1 ELSE 0 END) AS sw
+           |  FROM tok GROUP BY doc_id),
+           |ltok AS (SELECT doc_id, lower(w2) AS w FROM (
+           |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w2
+           |  FROM documents)),
+           |sc AS (SELECT doc_id,
+           |  sum(CASE WHEN w IN ('the','a','and','of','to','is') THEN 1 ELSE 0 END) AS s_en,
+           |  sum(CASE WHEN w IN ('el','la','los','de','que','y') THEN 1 ELSE 0 END) AS s_es,
+           |  sum(CASE WHEN w IN ('der','die','das','und','ist','nicht') THEN 1 ELSE 0 END) AS s_de,
+           |  sum(CASE WHEN w IN ('le','la','les','et','est','que') THEN 1 ELSE 0 END) AS s_fr
+           |  FROM ltok GROUP BY doc_id),
+           |per_doc AS (
+           |  SELECT d.source, agg.n AS nt,
+           |    CAST(floor((least(agg.n / 50.0, 1.0) * 0.5
+           |        + least(agg.sw * 1.0 / agg.n * 5.0, 1.0) * 0.3
+           |        + (1.0 - least(length(regexp_replace(d.text, '[^.,!?;:]', '', 'g')) * 1.0
+           |                       / length(d.text) * 5.0, 1.0)) * 0.2) * 10000) AS BIGINT) AS q,
+           |    CASE
+           |      WHEN length(regexp_replace(d.text, '[^' || chr(19968) || '-' || chr(40959) || ']', '', 'g'))
+           |           * 1.0 / length(d.text) > 0.3 THEN 'zh'
+           |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+           |      WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+           |      WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+           |      WHEN s_fr > 0 THEN 'fr'
+           |      ELSE 'und' END AS lang
+           |  FROM documents d
+           |  JOIN agg ON agg.doc_id = d.doc_id
+           |  JOIN sc ON sc.doc_id = d.doc_id)
+           |SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+           |       floor(sum(q) * 1.0 / count(*)) / 10000.0 AS avg_quality,
+           |       count(DISTINCT lang) AS n_langs
+           |FROM per_doc GROUP BY ROLLUP (source)""".stripMargin),
       "sql_curation" ->
         (s"""WITH tok AS ($tok),
            |agg AS (SELECT doc_id, count(*) AS n,
