@@ -105,6 +105,30 @@ object PlanDump {
         |by the same hashed keys — plain shuffled joins AQE can flip to
         |broadcast for small domain models — and ships one row per doc
         |out of the final partial agg.""".stripMargin,
+    "dedup_mask_windows" ->
+      """Repeated-window substring dedup: the occurrence shuffle carries
+        |(xxhash64(window), id, pos) — 8-byte keys, no window text; the
+        |rn>1 inversion keeps the duplicate SET (that set IS the
+        |output); masked positions explode k-fold only for duplicated
+        |windows; reassembly is one hash shuffle by id with the same
+        |collect-sort shape as lineDedup.""".stripMargin,
+    "pack_sequences" ->
+      """Chunk-scoped greedy packing: one hash exchange on the chunk
+        |key, then MapGroups over a per-partition SORTED group iterator
+        |(flatMapSortedGroups — spillable sort, constant per-group
+        |state, nothing collected). Embarrassingly parallel across
+        |chunks at any corpus size.""".stripMargin,
+    "stream_index_dedup" ->
+      """The streaming ingest gate's batch-unified plan: band keys from
+        |one UDF pass, equi-join against the PERSISTED postings parquet,
+        |sketch join for exact verification, first-shared-band filter
+        |for exactly-once — no aggregation anywhere, which is what makes
+        |the same plan run stateless under a stream.""".stripMargin,
+    "corpus_profile" ->
+      """One corpus scan -> rollup profile: partial HashAggregate under
+        |the exchange (expand for the rollup grouping sets), exact
+        |scaled-long quality sums, one row per (source) plus the grand
+        |total.""".stripMargin,
     "asof_join_by" ->
       """Grouped merge_asof (by=user): a range exchange on the compound
         |(key, ts) order keeps each group contiguous, the running window
