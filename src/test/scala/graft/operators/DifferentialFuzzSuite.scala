@@ -199,4 +199,105 @@ class DifferentialFuzzSuite extends SparkSpec {
       assert(out == expected, s"round $round tol=${tolSec}s horizon=${horizon}s")
     }
   }
+
+  /** Random word-salad docs with heavy phrase reuse — the adversarial
+    * shape for the round-6 curation operators.
+    */
+  private def randomDocs(rnd: scala.util.Random, n: Int): Seq[(Long, String)] = {
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val phrases = Array.fill(4)(Array.fill(6)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    (0L until n.toLong).map { i =>
+      val parts = (0 until 1 + rnd.nextInt(4)).map { _ =>
+        if (rnd.nextBoolean()) phrases(rnd.nextInt(phrases.length))
+        else Array.fill(3 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      (i, parts.mkString(" "))
+    }
+  }
+
+  test("maskRepeatedWindows == scalar reference on phrase-reusing corpora") {
+    val rnd = new scala.util.Random(404)
+    for (round <- 0 until rounds) {
+      val k = 3 + rnd.nextInt(3)
+      val docs = randomDocs(rnd, 25)
+      // scalar reference: global first-occurrence scan in (id, pos) order
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty) }
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = toks.flatMap { case (id, ts) =>
+        val masked = Array.fill(ts.length)(false)
+        (0 to ts.length - k).foreach { i =>
+          val w = ts.slice(i, i + k).mkString(" ")
+          if (!seen.add(w)) (i until i + k).foreach(masked(_) = true)
+        }
+        val kept = ts.indices.filterNot(masked).map(ts)
+        if (kept.isEmpty) None else Some(id -> kept.mkString(" "))
+      }.toMap
+      val got = Dedup.maskRepeatedWindows(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected, s"round $round k=$k")
+    }
+  }
+
+  test("packGreedy invariants: every doc exactly once, bins never overflow, fills consistent") {
+    val rnd = new scala.util.Random(505)
+    for (round <- 0 until rounds) {
+      val maxLen = 50L + rnd.nextInt(200)
+      val docs = (0L until 80L).map(i => (i, 1L + rnd.nextInt(90)))
+      val chunkSize = 7 + rnd.nextInt(20)
+      val out = Packing.packGreedy(docs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens",
+          maxLen, expr(s"doc_id div $chunkSize"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.map(_._1).sorted.toSeq == docs.map(_._1), s"round $round: docs lost or duplicated")
+      val byTok = docs.toMap
+      out.groupBy(o => (o._2, o._3)).foreach { case ((chunk, bin), rows) =>
+        val total = rows.map(o => byTok(o._1)).sum
+        assert(rows.map(_._4).max == total, s"round $round bin ($chunk,$bin) fill mismatch")
+        // a bin over maxLen is only legal as a single oversized doc
+        assert(total <= maxLen || rows.length == 1,
+          s"round $round bin ($chunk,$bin) overflows with ${rows.length} docs")
+      }
+    }
+  }
+
+  test("decontaminate counts == scalar shingle-set arithmetic") {
+    val rnd = new scala.util.Random(606)
+    for (round <- 0 until rounds) {
+      val n = 2 + rnd.nextInt(3)
+      val docs = randomDocs(rnd, 30)
+      val (evalSet, train) = docs.partition(_._1 % 4 == 0)
+      def shingleSet(t: String) =
+        t.split("\\s+").filter(_.nonEmpty).sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSet
+      val evalShingles = evalSet.flatMap(d => shingleSet(d._2)).toSet
+      val expected = train.flatMap { case (id, t) =>
+        val sh = shingleSet(t)
+        val shared = sh.count(evalShingles.contains)
+        if (sh.isEmpty || shared == 0) None
+        else Some(id -> (shared.toLong, sh.size.toLong))
+      }.toMap
+      val got = Decontaminate.ngramOverlap(
+          train.toDF("doc_id", "text"), evalSet.toDF("doc_id", "text"),
+          "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == expected, s"round $round n=$n")
+    }
+  }
+
+  test("index dedup == in-memory cross-corpus join at high threshold") {
+    val rnd = new scala.util.Random(707)
+    for (round <- 0 until 4) {
+      val docs = randomDocs(rnd, 30)
+      val (corpus, delta) = docs.partition(_._1 % 2 == 0)
+      val dir = java.nio.file.Files.createTempDirectory(s"mhfuzz$round").toString
+      Dedup.buildMinhashIndex(corpus.toDF("doc_id", "text"), "doc_id", "text", dir, n = 3)
+      val viaIndex = Dedup.dedupAgainstMinhashIndex(
+          spark, delta.toDF("doc_id", "text"), "doc_id", "text", dir, threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Dedup.ngramJaccardJoin(
+          delta.toDF("doc_id", "text"), "doc_id", "text",
+          corpus.toDF("doc_id", "text"), "doc_id", "text", n = 3, threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaIndex == exact, s"round $round")
+    }
+  }
 }
