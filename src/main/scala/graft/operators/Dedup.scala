@@ -497,13 +497,15 @@ object Dedup {
     * (mid-line templates, run-on scraper text without newlines).
     *
     * Scale shape: the occurrence shuffle carries `(xxhash64(window),
-    * id, pos)` — 8-byte keys, never window text; rank = `row_number
-    * = 1` per window INVERTED (duplicates = rn > 1), so every
-    * occurrence of a hot boilerplate window must reach its reducer —
-    * that cost is inherent to "keep exactly the first occurrence"
-    * (unlike [[lineDedup]]'s keep-one, the duplicate SET is the
-    * output); masked positions explode k-fold but only for duplicated
-    * windows; reassembly is one hash shuffle by id.
+    * id, pos)` — 8-byte keys, never window text. "First occurrence"
+    * is a `min(struct(id, pos))` AGGREGATE per window hash (map-side
+    * partial: a boilerplate window repeated in 1% of the corpus
+    * collapses to one row per map partition before the exchange),
+    * and duplicates are the occurrences ≠ their window's min via a
+    * plain equi-join — which AQE can skew-split, where the equivalent
+    * `row_number` window would sort every occurrence of the hottest
+    * window in ONE task. Masked positions explode k-fold but only for
+    * duplicated windows; reassembly is one hash shuffle by id.
     */
   def maskRepeatedWindows(df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
     require(k > 0, s"maskRepeatedWindows: k must be positive, got $k")
@@ -512,9 +514,12 @@ object Dedup {
     val wins = df.select(col(idCol).as("__id"),
         explode(windowsUdf(k)(col(textCol))).as("__w"))
       .select(col("__id"), col("__w._1").as("__pos"), xxhash64(col("__w._2")).as("__h"))
-    val w = Window.partitionBy(col("__h")).orderBy(col("__id").asc, col("__pos").asc)
-    val dupStarts = wins.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1)
+    val firsts = wins
+      .groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    val dupStarts = wins
+      .join(firsts, "__h")
+      .filter(struct(col("__id"), col("__pos")) =!= col("__first"))
       .select(col("__id"), col("__pos"))
     val covered = dupStarts
       .select(col("__id"), explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__p"))

@@ -107,11 +107,14 @@ object PlanDump {
         |out of the final partial agg.""".stripMargin,
     "dedup_mask_windows" ->
       """Repeated-window substring dedup: the occurrence shuffle carries
-        |(xxhash64(window), id, pos) — 8-byte keys, no window text; the
-        |rn>1 inversion keeps the duplicate SET (that set IS the
-        |output); masked positions explode k-fold only for duplicated
-        |windows; reassembly is one hash shuffle by id with the same
-        |collect-sort shape as lineDedup.""".stripMargin,
+        |(xxhash64(window), id, pos) — 8-byte keys, no window text;
+        |"first occurrence" is a min(struct(id,pos)) aggregate with
+        |MAP-SIDE PARTIALS (a boilerplate window collapses to one row
+        |per map partition before the exchange) and duplicates come
+        |from an AQE-skew-splittable equi-join, not a row_number sort
+        |that would serialize the hottest window in one task; masked
+        |positions explode k-fold only for duplicated windows;
+        |reassembly is one hash shuffle by id.""".stripMargin,
     "pack_sequences" ->
       """Chunk-scoped greedy packing: one hash exchange on the chunk
         |key, then MapGroups over a per-partition SORTED group iterator
