@@ -529,6 +529,21 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
     }),
     // ---- end-to-end training-data pipeline (composition showpiece) --------
+    "pipeline_pack_clean" -> ((s, dir) => {
+      // the OTHER half of the preprocessing story (pipeline_clean_corpus
+      // covers dedup): quality gate -> benchmark decontamination (eval =
+      // id % 10 == 0) -> greedy sequence packing of the surviving docs.
+      // One declarative plan; the oracle replays it with a recursive CTE.
+      val d = t(s, dir, "documents")
+      val evalSet = d.filter(col("doc_id") % 10 === 0)
+      val train = d.filter(col("doc_id") % 10 =!= 0)
+        .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+      val flagged = Decontaminate.ngramOverlap(train, evalSet, "doc_id", "text", n = 3)
+      val clean = train.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      Packing.packGreedy(clean, "doc_id", "n_tokens", maxLen = 128,
+        chunk = expr("doc_id div 25"))
+    }),
     "pipeline_clean_corpus" -> ((s, dir) => {
       // quality gate -> language gate -> exact dedup -> near-dup
       // clustering -> keep one representative per cluster
@@ -1674,6 +1689,47 @@ object SparkEntry {
           |         WHERE cov.p IS NULL)
           |SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text
           |FROM kept GROUP BY doc_id""".stripMargin,
+      "pipeline_pack_clean" ->
+        (s"""WITH RECURSIVE tok AS ($tok),
+           |agg AS (SELECT doc_id, count(*) AS n,
+           |  sum(CASE WHEN lower(w) IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as')
+           |      THEN 1 ELSE 0 END) AS sw
+           |  FROM tok GROUP BY doc_id),
+           |q AS (SELECT d.doc_id,
+           |  (least(agg.n / 50.0, 1.0) * 0.5
+           |   + least(agg.sw * 1.0 / agg.n * 5.0, 1.0) * 0.3
+           |   + (1.0 - least(length(regexp_replace(d.text, '[^.,!?;:]', '', 'g')) * 1.0
+           |                  / length(d.text) * 5.0, 1.0)) * 0.2) AS qv
+           |  FROM documents d JOIN agg ON agg.doc_id = d.doc_id),
+           |train AS (SELECT doc_id FROM q WHERE doc_id % 10 <> 0 AND qv >= 0.5),
+           |tokp AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+           |         generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+           |  FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+           |  FROM tokp a
+           |  JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+           |  JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+           |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+           |flagged AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+           |            WHERE s.doc_id % 10 <> 0),
+           |clean AS (SELECT doc_id FROM train
+           |          WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+           |tc AS (SELECT t.doc_id, count(*) AS toks FROM tok t
+           |       JOIN clean c ON c.doc_id = t.doc_id GROUP BY 1),
+           |d2 AS (SELECT doc_id // 25 AS chunk, doc_id AS id, toks,
+           |              row_number() OVER (PARTITION BY doc_id // 25 ORDER BY doc_id) AS rn
+           |       FROM tc),
+           |rec AS (
+           |  SELECT chunk, id, rn, CAST(0 AS BIGINT) AS bin, toks AS fill
+           |  FROM d2 WHERE rn = 1
+           |  UNION ALL
+           |  SELECT d2.chunk, d2.id, d2.rn,
+           |         CASE WHEN r.fill + d2.toks > 128 THEN r.bin + 1 ELSE r.bin END,
+           |         CASE WHEN r.fill + d2.toks > 128 THEN d2.toks ELSE r.fill + d2.toks END
+           |  FROM rec r JOIN d2 ON d2.chunk = r.chunk AND d2.rn = r.rn + 1)
+           |SELECT id AS doc_id, chunk, bin, fill AS bin_fill FROM rec""".stripMargin),
       "pack_sequences" ->
         (s"""WITH RECURSIVE tok AS ($tok),
            |tc AS (SELECT doc_id, count(*) AS toks FROM tok GROUP BY 1),
