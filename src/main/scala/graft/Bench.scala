@@ -25,7 +25,8 @@ object Bench {
     "text_quality", "doc_fingerprint", "heavy_hitters_tokens",
     "decontaminate_docs", "bm25_search", "lm_score_docs",
     "agg_pricing",
-    "stream_window_counts", "sessionize_events", "pipeline_clean_corpus")
+    "stream_window_counts", "sessionize_events", "pipeline_clean_corpus",
+    "pipeline_pack_clean")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
