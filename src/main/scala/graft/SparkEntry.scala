@@ -700,6 +700,23 @@ object SparkEntry {
       // the corpus itself, score every doc's mean bigram log-prob
       LangModel.score(t(s, dir, "documents"), "doc_id", "text")
     }),
+    "source_jsonl_roundtrip" -> ((s, dir) => {
+      // the ingestion path on the oracle gate: parquet -> JSONL on disk
+      // -> schema-explicit jsonl reader -> per-source aggregate. Proves
+      // the reader parses what the writer wrote (bytes through Jackson
+      // and back), not just that the suite's fixtures parse.
+      val d = t(s, dir, "documents")
+      val path = s"/tmp/graft_jsonl_roundtrip_${math.abs(dir.hashCode)}"
+      d.select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .write.mode("overwrite").json(path)
+      graft.sources.Sources.jsonl(s, path, StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
     "corpus_profile" -> ((s, dir) => {
       // the curation report: one corpus scan -> per-source profile plus
       // the grand-total row (rollup). Quality averages via exact
@@ -1591,6 +1608,11 @@ object SparkEntry {
           |SELECT doc_id, count(*) AS n_bigrams,
           |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
           |FROM lp GROUP BY doc_id""".stripMargin,
+      "source_jsonl_roundtrip" ->
+        """SELECT source, count(*) AS n_docs,
+          |       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+          |       count(DISTINCT lang) AS n_langs
+          |FROM documents GROUP BY source""".stripMargin,
       "corpus_profile" ->
         (s"""WITH tok AS ($tok),
            |agg AS (SELECT doc_id, count(*) AS n,

@@ -283,6 +283,63 @@ class DifferentialFuzzSuite extends SparkSpec {
     }
   }
 
+  test("bm25TopK == scalar model over random corpora and query sets") {
+    val rnd = new scala.util.Random(808)
+    val k1 = 1.2; val b = 0.75
+    for (round <- 0 until rounds) {
+      val docs = randomDocs(rnd, 20)
+      val vocab = Array("alpha", "beta", "gamma", "delta", "eps")
+      val terms = (0 until 1 + rnd.nextInt(3)).map(_ => vocab(rnd.nextInt(vocab.length))).distinct
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val n = docs.size.toDouble
+      val avgdl = toks.values.map(_.size).sum * 1.0 / n
+      val expected = docs.flatMap { case (id, _) =>
+        val contribs = terms.flatMap { term =>
+          val tf = toks(id).count(_ == term).toDouble
+          if (tf == 0) None else {
+            val df = docs.count { case (i, _) => toks(i).contains(term) }.toDouble
+            val idf = math.floor(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e4) / 1e4
+            val dl = toks(id).size.toDouble
+            Some(math.floor(
+              idf * (tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))) * 1e8).toLong)
+          }
+        }
+        if (contribs.isEmpty) None else Some(id -> (contribs.sum / 1e8, contribs.size.toLong))
+      }.toMap
+      val got = Search.bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text", terms, k = 50)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(got == expected, s"round $round terms=$terms")
+    }
+  }
+
+  test("LangModel.scoreAgainst == scalar model with a held-out scoring set") {
+    val rnd = new scala.util.Random(909)
+    for (round <- 0 until rounds) {
+      val all = randomDocs(rnd, 24)
+      val (train, score) = all.partition(_._1 % 3 != 0)
+      def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+      val uni = train.flatMap(d => toks(d._2)).groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val bi = train.flatMap(d => toks(d._2).sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+        .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+      val v = uni.size.toLong
+      val expected = score.flatMap { case (id, t) =>
+        val pairs = toks(t).sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+        if (pairs.isEmpty) None
+        else {
+          val lps = pairs.map { p =>
+            math.floor(math.log(
+              (bi.getOrElse(p, 0L) + 1.0) / (uni.getOrElse(p._1, 0L) + v)) * 1e4).toLong
+          }
+          Some(id -> (pairs.size.toLong, math.floor(lps.sum * 1.0 / pairs.size) / 1e4))
+        }
+      }.toMap
+      val got = LangModel.scoreAgainst(
+          train.toDF("doc_id", "text"), score.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == expected, s"round $round")
+    }
+  }
+
   test("index dedup == in-memory cross-corpus join at high threshold") {
     val rnd = new scala.util.Random(707)
     for (round <- 0 until 4) {
