@@ -762,6 +762,15 @@ object SparkEntry {
             TextFunctions.tokenEstimate(col("text")).as("token_est"))
       }
     }),
+    "doc_winnow" -> ((s, dir) => {
+      // rolling-hash winnowing fingerprints (k=4 char-grams, window 5):
+      // any shared substring of length >= 8 chars puts at least one
+      // equal hash in both docs' sets. Exploded to (doc_id, fp) rows so
+      // the oracle hash-checks every selected value.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.winnowedFingerprints(col("text"), k = 4, w = 5)).as("fp"))
+    }),
     "text_normalize" -> ((s, dir) => {
       // the corpus is ASCII, so prepend decomposed/accented literals to
       // give normalization real work: NFC composes E+◌́ to É, accent
@@ -1683,6 +1692,30 @@ object SparkEntry {
            |FROM documents d
            |JOIN agg ON agg.doc_id = d.doc_id
            |JOIN sc ON sc.doc_id = d.doc_id""".stripMargin),
+      "doc_winnow" ->
+        """WITH ch AS (
+          |  SELECT doc_id, unicode(c2) AS u, pos FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c2,
+          |           generate_subscripts(regexp_split_to_array(text, ''), 1) AS pos
+          |    FROM documents)),
+          |kh AS (
+          |  SELECT a.doc_id, a.pos,
+          |    (((CAST(a.u AS BIGINT) % 1000000007) * 257 + b.u) % 1000000007
+          |      * 257 + c.u) % 1000000007 * 257 + d.u AS h0
+          |  FROM ch a
+          |  JOIN ch b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          |  JOIN ch c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+          |  JOIN ch d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3),
+          |khm AS (SELECT doc_id, pos, h0 % 1000000007 AS h FROM kh),
+          |st AS (SELECT doc_id, count(*) AS nh FROM khm GROUP BY 1),
+          |wm AS (
+          |  SELECT k.doc_id, k.pos,
+          |         min(h) OVER (PARTITION BY k.doc_id ORDER BY k.pos
+          |                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS m
+          |  FROM khm k)
+          |SELECT DISTINCT w2.doc_id, w2.m AS fp
+          |FROM wm w2 JOIN st ON st.doc_id = w2.doc_id
+          |WHERE w2.pos <= st.nh - 4""".stripMargin,
       "text_normalize" ->
         ("SELECT doc_id, nfc_normalize('École naïve ' || text) AS nfc_text, " +
           "strip_accents('École naïve ü ' || text) AS folded_text " +

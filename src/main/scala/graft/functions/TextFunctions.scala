@@ -288,6 +288,62 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Winnowing fingerprints (Schleimer et al., the MOSS algorithm):
+    * Rabin-Karp-style rolling hashes of character `k`-grams, then the
+    * minimum hash of every window of `w` consecutive k-gram hashes —
+    * the guarantee is that any shared substring of length ≥ k + w − 1
+    * contributes at least one IDENTICAL fingerprint to both documents,
+    * so overlap detection reduces to an equi-join on the selected
+    * hashes. This is the rolling-hash document fingerprint (vs
+    * [[fingerprint]]'s whole-document MD5): robust to insertions far
+    * from the match, position-independent.
+    *
+    * Arithmetic is plain `(h·B + codepoint) mod M` over exact longs
+    * (B = 257, M = 1e9+7), reproducible in any engine — the DuckDB
+    * oracle recomputes it character-by-character. Returns the doc's
+    * distinct selected hashes, sorted; empty for docs shorter than
+    * k + w − 1 characters.
+    */
+  def winnowedFingerprints(text: Column, k: Int = 4, w: Int = 5): Column =
+    winnowUdf(k, w)(text)
+
+  private def winnowUdf(k: Int, w: Int) = udf { text: String =>
+    if (text == null) Array.empty[Long]
+    else {
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      val nh = n - k + 1
+      if (nh < w) Array.empty[Long]
+      else {
+        val M = 1000000007L
+        val B = 257L
+        val hs = new Array[Long](nh)
+        var i = 0
+        while (i < nh) {
+          var h = 0L
+          var j = 0
+          while (j < k) { h = (h * B + cps(i + j)) % M; j += 1 }
+          hs(i) = h
+          i += 1
+        }
+        val sel = new java.util.TreeSet[java.lang.Long]()
+        var p = 0
+        while (p <= nh - w) {
+          var m = Long.MaxValue
+          var q = p
+          while (q < p + w) { if (hs(q) < m) m = hs(q); q += 1 }
+          sel.add(m)
+          p += 1
+        }
+        val out = new Array[Long](sel.size)
+        var x = 0
+        val it = sel.iterator()
+        while (it.hasNext) { out(x) = it.next(); x += 1 }
+        out
+      }
+    }
+  }
+
   /** Unicode NFC normalization — the canonical first step of corpus
     * curation (mixed crawls carry the same glyph as composed and
     * decomposed codepoints; unnormalized text defeats exact dedup and

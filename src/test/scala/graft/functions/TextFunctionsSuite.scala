@@ -158,6 +158,34 @@ class TextFunctionsSuite extends SparkSpec {
     assert(r(3) == "plain ascii")
   }
 
+  test("winnowing guarantee: shared substrings >= k+w-1 chars share a fingerprint") {
+    val shared = "the exact same boilerplate sentence"
+    val docs = Seq(
+      (1, s"unique preamble one $shared and a distinct tail here"),
+      (2, s"totally different opening $shared closing words vary"),
+      (3, "no overlap with anything else in this corpus at all")
+    ).toDF("id", "text")
+    val fps = docs.select($"id", TextFunctions.winnowedFingerprints($"text").as("f"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1) intersect fps(2)).nonEmpty, "shared substring produced no common fingerprint")
+    // and fingerprints are selective: the unrelated doc shares (almost)
+    // nothing — allow tiny incidental overlap from short common words
+    assert((fps(1) intersect fps(3)).size <= fps(1).size / 4)
+  }
+
+  test("winnowedFingerprints: short docs yield none; deterministic across calls") {
+    val docs = Seq((1, "tiny"), (2, "exactly8"), (3, "this one is long enough for windows"))
+      .toDF("id", "text")
+    val fps = docs.select($"id", TextFunctions.winnowedFingerprints($"text", k = 4, w = 5).as("f"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1).isEmpty)          // < k+w-1 = 8 chars of hashes... 4 chars -> 1 hash < w
+    assert(fps(2).size == 1)        // 8 chars -> 5 hashes -> exactly one full window
+    assert(fps(3).nonEmpty)
+    val again = docs.select($"id", TextFunctions.winnowedFingerprints($"text", k = 4, w = 5).as("f"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(again == fps)
+  }
+
   test("stripAccents folds to base letters, DuckDB strip_accents semantics") {
     val r = Seq(
       (1, "École naïve ü"),
