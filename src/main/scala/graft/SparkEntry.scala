@@ -762,6 +762,15 @@ object SparkEntry {
             TextFunctions.tokenEstimate(col("text")).as("token_est"))
       }
     }),
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      // MOSS-style substring-overlap pairs: >= 10 shared winnowing
+      // fingerprints means >= 10 independent 8+-char substring matches.
+      // On a 100-doc slice: the tiny-vocab synthetic corpus is so
+      // substring-dense that the full cross product would qualify.
+      Dedup.winnowOverlapPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", k = 4, w = 5, minShared = 10)
+    }),
     "doc_winnow" -> ((s, dir) => {
       // rolling-hash winnowing fingerprints (k=4 char-grams, window 5):
       // any shared substring of length >= 8 chars puts at least one
@@ -972,6 +981,31 @@ object SparkEntry {
     // shared SQL fragments (DuckDB dialect)
     val tok =
       "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents"
+    val winnowBase =
+      """WITH ch AS (
+        |  SELECT doc_id, unicode(c2) AS u, pos FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c2,
+        |           generate_subscripts(regexp_split_to_array(text, ''), 1) AS pos
+        |    FROM documents)),
+        |kh AS (
+        |  SELECT a.doc_id, a.pos,
+        |    (((CAST(a.u AS BIGINT) % 1000000007) * 257 + b.u) % 1000000007
+        |      * 257 + c.u) % 1000000007 * 257 + d.u AS h0
+        |  FROM ch a
+        |  JOIN ch b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN ch c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |  JOIN ch d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3),
+        |khm AS (SELECT doc_id, pos, h0 % 1000000007 AS h FROM kh),
+        |st AS (SELECT doc_id, count(*) AS nh FROM khm GROUP BY 1),
+        |wm AS (
+        |  SELECT k.doc_id, k.pos,
+        |         min(h) OVER (PARTITION BY k.doc_id ORDER BY k.pos
+        |                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS m
+        |  FROM khm k),
+        |fullw AS (
+        |  SELECT w2.doc_id, w2.m FROM wm w2 JOIN st ON st.doc_id = w2.doc_id
+        |  WHERE w2.pos <= st.nh - 4)
+        |""".stripMargin
     val shinglesBase =
       """WITH tokp AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
@@ -1692,30 +1726,13 @@ object SparkEntry {
            |FROM documents d
            |JOIN agg ON agg.doc_id = d.doc_id
            |JOIN sc ON sc.doc_id = d.doc_id""".stripMargin),
-      "doc_winnow" ->
-        """WITH ch AS (
-          |  SELECT doc_id, unicode(c2) AS u, pos FROM (
-          |    SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c2,
-          |           generate_subscripts(regexp_split_to_array(text, ''), 1) AS pos
-          |    FROM documents)),
-          |kh AS (
-          |  SELECT a.doc_id, a.pos,
-          |    (((CAST(a.u AS BIGINT) % 1000000007) * 257 + b.u) % 1000000007
-          |      * 257 + c.u) % 1000000007 * 257 + d.u AS h0
-          |  FROM ch a
-          |  JOIN ch b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-          |  JOIN ch c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-          |  JOIN ch d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3),
-          |khm AS (SELECT doc_id, pos, h0 % 1000000007 AS h FROM kh),
-          |st AS (SELECT doc_id, count(*) AS nh FROM khm GROUP BY 1),
-          |wm AS (
-          |  SELECT k.doc_id, k.pos,
-          |         min(h) OVER (PARTITION BY k.doc_id ORDER BY k.pos
-          |                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS m
-          |  FROM khm k)
-          |SELECT DISTINCT w2.doc_id, w2.m AS fp
-          |FROM wm w2 JOIN st ON st.doc_id = w2.doc_id
-          |WHERE w2.pos <= st.nh - 4""".stripMargin,
+      "doc_winnow" -> (winnowBase +
+        """SELECT DISTINCT doc_id, m AS fp FROM fullw""".stripMargin),
+      "dedup_winnow_pairs" -> (winnowBase +
+        """, fp AS (SELECT DISTINCT doc_id, m FROM fullw WHERE doc_id % 5 = 0)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          |FROM fp a JOIN fp b ON b.m = a.m AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin),
       "text_normalize" ->
         ("SELECT doc_id, nfc_normalize('École naïve ' || text) AS nfc_text, " +
           "strip_accents('École naïve ü ' || text) AS folded_text " +

@@ -531,6 +531,32 @@ object Dedup {
       .select(col("__id").as(idCol), array_join(col("__kt.__tok"), " ").as(textCol))
   }
 
+  /** Winnowing overlap pairs (the MOSS use of
+    * [[TextFunctions.winnowedFingerprints]]): doc pairs sharing at
+    * least `minShared` selected rolling-hash fingerprints — i.e. pairs
+    * with that many independent >= k+w−1-char substring matches.
+    * Complements [[ngramJaccard]] (whole-document set similarity) with
+    * substring-level overlap detection that a few shared sentences
+    * trigger even when the documents differ everywhere else.
+    *
+    * Scale shape: identical to the other inverted-index joins — the
+    * fingerprint explode ships `(id, fp)` longs, the self-equi-join on
+    * `fp` meets only docs that share a fingerprint, and the pair count
+    * is a partial-agg groupBy on bare id pairs.
+    */
+  def winnowOverlapPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5, minShared: Int = 2): DataFrame = {
+    val fps = df.select(col(idCol).as("__id"),
+      explode(TextFunctions.winnowedFingerprints(col(textCol), k, w)).as("__fp"))
+    fps.as("a")
+      .join(fps.hint("shuffle_hash").as("b"),
+        col("a.__fp") === col("b.__fp") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 64-bit SimHash of the token multiset: bit j of the signature is the
     * sign of `sum over tokens of (bit j of fnv64(token) ? +1 : -1)`.
     */
