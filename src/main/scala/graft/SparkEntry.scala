@@ -717,6 +717,20 @@ object SparkEntry {
           sum(length(col("text"))).as("n_chars"),
           countDistinct(col("lang")).as("n_langs"))
     }),
+    "source_csv_roundtrip" -> ((s, dir) => {
+      // CSV leg of the ingestion gate: quoted fields (the text column
+      // carries commas/punctuation) survive the writer->reader trip
+      val d = t(s, dir, "documents")
+      val path = s"/tmp/graft_csv_roundtrip_${math.abs(dir.hashCode)}"
+      d.select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      graft.sources.Sources.csv(s, path, StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"))
+    }),
     "corpus_profile" -> ((s, dir) => {
       // the curation report: one corpus scan -> per-source profile plus
       // the grand-total row (rollup). Quality averages via exact
@@ -1656,6 +1670,10 @@ object SparkEntry {
           |       CAST(sum(length(text)) AS BIGINT) AS n_chars,
           |       count(DISTINCT lang) AS n_langs
           |FROM documents GROUP BY source""".stripMargin,
+      "source_csv_roundtrip" ->
+        """SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(length(text)) AS BIGINT) AS n_chars
+          |FROM documents GROUP BY lang""".stripMargin,
       "corpus_profile" ->
         (s"""WITH tok AS ($tok),
            |agg AS (SELECT doc_id, count(*) AS n,
