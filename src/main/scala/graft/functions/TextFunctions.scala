@@ -18,6 +18,18 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= lit(""))
 
+  /** The ONE JVM-side tokenizer behind every imperative kernel
+    * ([[shingles]], `Dedup.maskRepeatedWindows`'s window spans) that
+    * must agree positionally with the column-expression [[tokens]].
+    * Kept here so a change to tokenization cannot desynchronize the
+    * kernels from the expression; TextFunctionsSuite pins their
+    * agreement on whitespace edge cases.
+    */
+  private[graft] val tokenize: String => Array[String] = { text =>
+    if (text == null) Array.empty[String]
+    else text.trim.split("\\s+").filter(_.nonEmpty)
+  }
+
   /** Word n-gram shingles (space-joined), distinct, first-occurrence
     * order. The unit of all Jaccard-based dedup (Dedup.ngramJaccard /
     * minhashLsh).
@@ -32,9 +44,8 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column = shingleUdf(n)(text)
 
   private def shingleUdf(n: Int) = udf { text: String =>
-    if (text == null) Array.empty[String]
-    else {
-      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    {
+      val toks = tokenize(text)
       if (toks.length < n) Array.empty[String]
       else {
         val seen = new java.util.LinkedHashSet[String]()

@@ -476,13 +476,13 @@ object Dedup {
     * form is interpreted and re-evaluated on projection collapse).
     */
   private def windowsUdf(k: Int) = udf { text: String =>
-    if (text == null) Array.empty[(Int, String)]
-    else {
-      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-      if (toks.length < k) Array.empty[(Int, String)]
-      else Array.tabulate(toks.length - k + 1) { i =>
-        (i, toks.slice(i, i + k).mkString(" "))
-      }
+    // TextFunctions.tokenize, NOT a local split: window starts must
+    // align positionally with the posexplode of TextFunctions.tokens
+    // in maskRepeatedWindows — one tokenizer, one definition.
+    val toks = TextFunctions.tokenize(text)
+    if (toks.length < k) Array.empty[(Int, String)]
+    else Array.tabulate(toks.length - k + 1) { i =>
+      (i, toks.slice(i, i + k).mkString(" "))
     }
   }
 

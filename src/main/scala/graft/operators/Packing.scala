@@ -56,10 +56,17 @@ object Packing {
       s"packGreedy: idCol '$idCol' collides with an output column")
     val spark = docs.sparkSession
     import spark.implicits._
+    // Contract errors, not encoder NPEs: a null id/token value or a
+    // non-castable chunk expression fails HERE with a named message
+    // (assert_true is codegen'd inline — no extra pass), matching the
+    // explicit require() style above.
+    def checked(c: Column, what: String): Column =
+      when(assert_true(c.isNotNull,
+        lit(s"packGreedy: $what is null or not castable to long")).isNull, c)
     val in = docs.select(
-      chunk.cast("long").as("chunk"),
-      col(idCol).cast("long").as("id"),
-      col(tokensCol).cast("long").as("toks"))
+      checked(chunk.cast("long"), "chunk expression").as("chunk"),
+      checked(col(idCol).cast("long"), s"idCol '$idCol'").as("id"),
+      checked(col(tokensCol).cast("long"), s"tokensCol '$tokensCol'").as("toks"))
       .as[(Long, Long, Long)]
     in.groupByKey(_._1)
       .flatMapSortedGroups(col("id").asc) { (chunkKey: Long, it: Iterator[(Long, Long, Long)]) =>

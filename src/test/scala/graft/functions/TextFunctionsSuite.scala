@@ -19,6 +19,26 @@ class TextFunctionsSuite extends SparkSpec {
     assert(out == Seq("the", "quick", "brown", "fox"))
   }
 
+  test("tokenize (JVM kernel) agrees with tokens (column expr) on whitespace edge cases") {
+    // the imperative kernels (shingles, window spans) index token
+    // POSITIONS that must line up with posexplode(tokens(...)) — pin
+    // the two tokenizers together on every whitespace shape
+    val cases = Seq(
+      null, "", " ", "   ", "\t", "\n", "\f\r",
+      "a", " a ", "a b", "a  b", "\ta\tb\t", "a\nb", " \n a \t b \r ",
+      "one two three", "x y", // NBSP is NOT \s — must stay one token
+      "trailing  ", "  leading", "mixed \t\n mixed")
+    for (txt <- cases) {
+      // tokens(null) is a null array and tokenize(null) an empty one —
+      // both explode to zero rows, the shape every kernel consumes
+      val viaExpr = Option(one(txt)
+        .select(TextFunctions.tokens($"text")).collect()(0).getSeq[String](0))
+        .getOrElse(Seq.empty)
+      val viaKernel = TextFunctions.tokenize(txt).toSeq
+      assert(viaExpr == viaKernel, s"text=${Option(txt).map("`" + _ + "`")}")
+    }
+  }
+
   test("shingles: consecutive n-grams, distinct, first-occurrence order") {
     val out = one("a b c d a b c d")
       .select(TextFunctions.shingles($"text", 3)).collect()(0).getSeq[String](0)

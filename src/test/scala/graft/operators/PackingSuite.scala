@@ -30,6 +30,19 @@ class PackingSuite extends SparkSpec {
     assert(got == expected(docs, 100, _ / 10))
   }
 
+  test("null token counts fail with a named contract error, not an encoder NPE") {
+    val df = Seq[(Long, java.lang.Long)]((1L, 40L), (2L, null), (3L, 30L))
+      .toDF("doc_id", "n_tokens")
+    val ex = intercept[Exception] {
+      Packing.packGreedy(df, "doc_id", "n_tokens", maxLen = 100,
+        chunk = expr("doc_id div 10")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("packGreedy: tokensCol 'n_tokens'")),
+      s"got: ${messages(ex)}")
+  }
+
   test("no bin exceeds maxLen unless a single doc does") {
     val rnd = new scala.util.Random(11)
     val docs = (1L to 300L).map(i => (i, 1L + rnd.nextInt(80)))
