@@ -33,6 +33,17 @@ object SparkEntry {
     */
   private def q4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
 
+  /** Per-JVM token in every scratch path the gate queries write under
+    * /tmp (indexes, roundtrip files): two concurrent gate/bench runs on
+    * the same testdata dir get disjoint paths instead of overwriting
+    * each other's artifacts mid-read.
+    */
+  private val runToken: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  private def scratch(kind: String, dir: String): String =
+    s"/tmp/graft_${kind}_${math.abs(dir.hashCode)}_$runToken"
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is ns-precision parquet (TESTDATA/FIXTURES): Spark's
@@ -365,7 +376,7 @@ object SparkEntry {
       // 0.8 puts the 32x4 banding miss probability at ~5e-8, so the
       // output equals the exact cross join the oracle computes.
       val d = t(s, dir, "documents")
-      val idx = s"/tmp/graft_minhash_index_${math.abs(dir.hashCode)}"
+      val idx = scratch("minhash_index", dir)
       Dedup.buildMinhashIndex(d.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
       Dedup.dedupAgainstMinhashIndex(s, d.filter(col("doc_id") % 2 === 0),
           "doc_id", "text", idx, threshold = 0.8)
@@ -378,7 +389,7 @@ object SparkEntry {
       // aggregation state) that gates a live crawl, on the batch frame;
       // oracle = the exact cross-corpus join, like dedup_incremental
       val d = t(s, dir, "documents")
-      val idx = s"/tmp/graft_minhash_stream_idx_${math.abs(dir.hashCode)}"
+      val idx = scratch("minhash_stream_idx", dir)
       Dedup.buildMinhashIndex(d.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
       Streaming.dedupAgainstMinhashIndex(s, d.filter(col("doc_id") % 2 === 0),
           "doc_id", "text", idx, threshold = 0.8)
@@ -472,7 +483,7 @@ object SparkEntry {
       // so the recall constant is shared.
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 20)
-      val idx = s"/tmp/graft_ivf_index_${math.abs(dir.hashCode)}"
+      val idx = scratch("ivf_index", dir)
       SimilaritySearch.buildIvfIndex(e, "vec_id", "embedding", idx)
       SimilaritySearch.recallSummary(
         SimilaritySearch.searchIvf(s, idx, q, "vec_id", "embedding", k = 5),
@@ -484,7 +495,7 @@ object SparkEntry {
       // to the probed cells; recall measured against the exact top-k
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 20)
-      val idx = s"/tmp/graft_ivf_sq8_index_${math.abs(dir.hashCode)}"
+      val idx = scratch("ivf_sq8_index", dir)
       SimilaritySearch.buildIvfSq8Index(e, "vec_id", "embedding", idx)
       SimilaritySearch.recallSummary(
         SimilaritySearch.searchIvfSq8(s, idx, q, "vec_id", "embedding", k = 5),
@@ -706,7 +717,7 @@ object SparkEntry {
       // the reader parses what the writer wrote (bytes through Jackson
       // and back), not just that the suite's fixtures parse.
       val d = t(s, dir, "documents")
-      val path = s"/tmp/graft_jsonl_roundtrip_${math.abs(dir.hashCode)}"
+      val path = scratch("jsonl_roundtrip", dir)
       d.select(col("doc_id"), col("text"), col("lang"), col("source"))
         .write.mode("overwrite").json(path)
       graft.sources.Sources.jsonl(s, path, StructType(Seq(
@@ -721,7 +732,7 @@ object SparkEntry {
       // CSV leg of the ingestion gate: quoted fields (the text column
       // carries commas/punctuation) survive the writer->reader trip
       val d = t(s, dir, "documents")
-      val path = s"/tmp/graft_csv_roundtrip_${math.abs(dir.hashCode)}"
+      val path = scratch("csv_roundtrip", dir)
       d.select(col("doc_id"), col("text"), col("lang"), col("source"))
         .write.mode("overwrite").option("header", "true").csv(path)
       graft.sources.Sources.csv(s, path, StructType(Seq(

@@ -404,21 +404,27 @@ object Dedup {
       bandBuckets: Int = 64): Unit = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val spark = docs.sparkSession
-    docs
-      .select(col(idCol).as("doc_id"), TextFunctions.shingles(col(textCol), n).as("__s"))
-      .filter(size(col("__s")) > 0)
-      .select(col("doc_id"),
-        array_sort(transform(col("__s"), s => xxhash64(s))).as("sh"),
-        minhashBandKeys(numHashes, bands)(col("__s")).as("bks"))
-      .write.mode("overwrite").parquet(s"$path/sketches")
-    spark.read.parquet(s"$path/sketches")
-      .select(col("doc_id"), posexplode(col("bks")).as(Seq("band", "bh")))
-      .repartition(bandBuckets, col("band"), col("bh"))
-      .sortWithinPartitions("band", "bh")
-      .write.mode("overwrite").parquet(s"$path/postings")
-    import spark.implicits._
-    Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // all three tables land in a fresh version dir; the _LATEST pointer
+    // flips only after meta — a mid-build failure or a rebuild racing a
+    // reader can never expose mismatched tables (IndexIO scaladoc)
+    graft.sources.IndexIO.publish(spark, path) { vdir =>
+      docs
+        .select(col(idCol).as("doc_id"), TextFunctions.shingles(col(textCol), n).as("__s"))
+        .filter(size(col("__s")) > 0)
+        .select(col("doc_id"),
+          array_sort(transform(col("__s"), s => xxhash64(s))).as("sh"),
+          minhashBandKeys(numHashes, bands)(col("__s")).as("bks"))
+        .write.mode("overwrite").parquet(s"$vdir/sketches")
+      spark.read.parquet(s"$vdir/sketches")
+        .select(col("doc_id"), posexplode(col("bks")).as(Seq("band", "bh")))
+        .repartition(bandBuckets, col("band"), col("bh"))
+        .sortWithinPartitions("band", "bh")
+        .write.mode("overwrite").parquet(s"$vdir/postings")
+      import spark.implicits._
+      Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
+    ()
   }
 
   /** Near-dup join of a new batch against a [[buildMinhashIndex]] index:
@@ -438,7 +444,8 @@ object Dedup {
   def dedupAgainstMinhashIndex(
       spark: SparkSession, delta: DataFrame, idCol: String, textCol: String,
       path: String, threshold: Double = 0.6): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    val meta = spark.read.parquet(s"$vdir/meta").head()
     val (n, numHashes, bands) =
       (meta.getAs[Int]("n"), meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"))
     val sh = delta
@@ -448,7 +455,7 @@ object Dedup {
         array_sort(transform(col("__s"), s => xxhash64(s))).as("__sha"),
         minhashBandKeys(numHashes, bands)(col("__s")).as("__bks"))
     val banded = sh.select(col("__id"), posexplode(col("__bks")).as(Seq("__band", "__bh")))
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = spark.read.parquet(s"$vdir/postings")
     val cands = banded
       .join(postings, col("__band") === col("band") && col("__bh") === col("bh"))
       .groupBy(col("__id").as("id_left"), col("doc_id").as("id_right"))
@@ -457,7 +464,7 @@ object Dedup {
     cands
       .join(sh.select(col("__id"), col("__sha")), col("id_left") === col("__id"))
       .drop("__id")
-      .join(spark.read.parquet(s"$path/sketches").select(
+      .join(spark.read.parquet(s"$vdir/sketches").select(
         col("doc_id").as("__rid"), col("sh").as("__shb")),
         col("id_right") === col("__rid"))
       .withColumn("intersection", size(array_intersect(col("__sha"), col("__shb"))).cast("long"))

@@ -115,18 +115,25 @@ object Search {
       textCol: String,
       path: String,
       termBuckets: Int = 64): Unit = {
-    val lengths = docs.select(
-        col(idCol).as("doc_id"),
-        size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
-      .filter(col("dl") > 0)
-    docs.select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .repartition(termBuckets, col("term"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(s"$path/postings")
-    lengths.write.mode("overwrite").parquet(s"$path/lengths")
-    lengths.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+    // three tables, one atomic publish: postings/lengths/stats land in
+    // a fresh version dir and the _LATEST pointer flips last, so a
+    // mid-build failure or a rebuild under a reader never exposes
+    // postings from one corpus snapshot with stats from another
+    graft.sources.IndexIO.publish(docs.sparkSession, path) { vdir =>
+      val lengths = docs.select(
+          col(idCol).as("doc_id"),
+          size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
+        .filter(col("dl") > 0)
+      docs.select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .repartition(termBuckets, col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$vdir/postings")
+      lengths.write.mode("overwrite").parquet(s"$vdir/lengths")
+      lengths.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+        .write.mode("overwrite").parquet(s"$vdir/stats")
+    }
+    ()
   }
 
   /** Serve a BM25 top-k from a [[buildBm25Index]] index. The postings
@@ -143,10 +150,11 @@ object Search {
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25SearchIndex: empty query")
     val terms = queryTerms.distinct
-    val postings = spark.read.parquet(s"$path/postings")
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    val postings = spark.read.parquet(s"$vdir/postings")
       .filter(col("term").isin(terms: _*))
-    val lengths = spark.read.parquet(s"$path/lengths")
-    val stats = spark.read.parquet(s"$path/stats")
+    val lengths = spark.read.parquet(s"$vdir/lengths")
+    val stats = spark.read.parquet(s"$vdir/stats")
     val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
 
     postings

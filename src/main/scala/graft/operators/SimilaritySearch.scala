@@ -253,15 +253,20 @@ object SimilaritySearch {
     val c = prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
       .localCheckpoint(true)
     val centroids = trainCentroids(c, nCentroids, iters)
-    centroidTable(c.sparkSession, centroids)
-      .select(col("__cell").as("cell"), col("__ctv").as("centroid"),
-        col("__ctn").as("cnorm"))
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    c.withColumn("cell", bestCellExpr(col("__cv"), centroidArray(centroids)))
-      .select(col("neighbor_id"), col("__cv").as("vec"), col("__cn").as("norm"),
-        col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+    // centroids + cells publish atomically (IndexIO): a probe can never
+    // pair one training run's centroids with another's cell assignments
+    graft.sources.IndexIO.publish(c.sparkSession, indexDir) { vdir =>
+      centroidTable(c.sparkSession, centroids)
+        .select(col("__cell").as("cell"), col("__ctv").as("centroid"),
+          col("__ctn").as("cnorm"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$vdir/centroids")
+      c.withColumn("cell", bestCellExpr(col("__cv"), centroidArray(centroids)))
+        .select(col("neighbor_id"), col("__cv").as("vec"), col("__cn").as("norm"),
+          col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/cells")
+    }
+    ()
   }
 
   /** IVF-SQ8 persisted index: same learned cells as [[buildIvfIndex]],
@@ -279,15 +284,18 @@ object SimilaritySearch {
     val c = prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
       .localCheckpoint(true)
     val centroids = trainCentroids(c, nCentroids, iters)
-    centroidTable(c.sparkSession, centroids)
-      .select(col("__cell").as("cell"), col("__ctv").as("centroid"),
-        col("__ctn").as("cnorm"))
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    c.withColumn("cell", bestCellExpr(col("__cv"), centroidArray(centroids)))
-      .select(col("neighbor_id"),
-        VectorFunctions.sq8Quantize(col("__cv")).as("qvec"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+    graft.sources.IndexIO.publish(c.sparkSession, indexDir) { vdir =>
+      centroidTable(c.sparkSession, centroids)
+        .select(col("__cell").as("cell"), col("__ctv").as("centroid"),
+          col("__ctn").as("cnorm"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$vdir/centroids")
+      c.withColumn("cell", bestCellExpr(col("__cv"), centroidArray(centroids)))
+        .select(col("neighbor_id"),
+          VectorFunctions.sq8Quantize(col("__cv")).as("qvec"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/cells")
+    }
+    ()
   }
 
   /** Serve top-k from a [[buildIvfSq8Index]] index: cell choice uses the
@@ -301,10 +309,11 @@ object SimilaritySearch {
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 4): DataFrame = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
+    val cents = spark.read.parquet(s"$vdir/centroids")
       .select(col("cell").as("__cell"), col("centroid").as("__ctv"),
         col("cnorm").as("__ctn"))
-    val cells = spark.read.parquet(s"$indexDir/cells")
+    val cells = spark.read.parquet(s"$vdir/cells")
       .select(col("neighbor_id"), col("qvec").as("__cq"), col("cell").as("__cell"))
     val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
     val probed = probeCells(q, cents, nProbe)
@@ -332,10 +341,11 @@ object SimilaritySearch {
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 4): DataFrame = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
+    val cents = spark.read.parquet(s"$vdir/centroids")
       .select(col("cell").as("__cell"), col("centroid").as("__ctv"),
         col("cnorm").as("__ctn"))
-    val cells = spark.read.parquet(s"$indexDir/cells")
+    val cells = spark.read.parquet(s"$vdir/cells")
       .select(col("neighbor_id"), col("vec").as("__cv"), col("norm").as("__cn"),
         col("cell").as("__cell"))
     val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")

@@ -56,7 +56,8 @@ object IvfIndexCheck {
       walk(new java.io.File(p))
     }
     println(f"sq8: build=$tBuildQ%.2fs search=$tSearchQ%.2fs rows=$nQ dpp=$dppQ " +
-      f"cells=${dirBytes(s"$idxQ/cells")}%d B vs float ${dirBytes(s"$idx/cells")}%d B")
+      f"cells=${dirBytes(s"${graft.sources.IndexIO.resolve(spark, idxQ)}/cells")}%d B" +
+      f" vs float ${dirBytes(s"${graft.sources.IndexIO.resolve(spark, idx)}/cells")}%d B")
     spark.stop()
   }
 }

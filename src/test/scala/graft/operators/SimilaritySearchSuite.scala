@@ -88,7 +88,8 @@ class SimilaritySearchSuite extends SparkSpec {
     // the index layout is the scale contract: centroids are k rows, the
     // corpus is partitioned by cell so an nProbe search prunes to its
     // probed directories
-    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+    val cellDirs = new java.io.File(
+        s"${graft.sources.IndexIO.resolve(spark, dir)}/cells").listFiles()
       .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
     assert(cellDirs.nonEmpty && cellDirs.size <= 8, s"cell dirs: $cellDirs")
     // search path takes only the index dir — retraining is structurally
@@ -133,8 +134,10 @@ class SimilaritySearchSuite extends SparkSpec {
     // payload ratio is ~7x (64 bytes + 28 bytes of constants vs 512
     // bytes of doubles) but per-file parquet footers dominate at this
     // toy row count, so assert the direction with margin, not the 8x.
-    assert(bytes(s"$dirQ/cells") < bytes(s"$dirF/cells") * 0.8,
-      s"sq8 cells ${bytes(s"$dirQ/cells")} vs float ${bytes(s"$dirF/cells")}")
+    val (vQ, vF) = (graft.sources.IndexIO.resolve(spark, dirQ),
+      graft.sources.IndexIO.resolve(spark, dirF))
+    assert(bytes(s"$vQ/cells") < bytes(s"$vF/cells") * 0.8,
+      s"sq8 cells ${bytes(s"$vQ/cells")} vs float ${bytes(s"$vF/cells")}")
     // same deterministic trainer → identical cell layout; probes agree
     // with the float index on well-separated data
     def key(df: org.apache.spark.sql.DataFrame) =

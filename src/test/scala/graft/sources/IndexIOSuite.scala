@@ -1,0 +1,75 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Atomic versioned index publish/resolve: the lifecycle contract every
+  * persisted index (minhash, bm25, ivf) builds on.
+  */
+class IndexIOSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def newBase(): String =
+    Files.createTempDirectory("graft_indexio").toString
+
+  private def writeTable(vdir: String, name: String, rows: Seq[Int]): Unit =
+    rows.toDF("x").write.mode("overwrite").parquet(s"$vdir/$name")
+
+  test("publish then resolve returns a complete version; rebuild flips the pointer") {
+    val base = newBase()
+    val v1 = IndexIO.publish(spark, base) { vdir =>
+      writeTable(vdir, "a", Seq(1, 2)); writeTable(vdir, "b", Seq(3))
+    }
+    assert(IndexIO.resolve(spark, base) == v1)
+    assert(spark.read.parquet(s"$v1/a").count() == 2)
+    val v2 = IndexIO.publish(spark, base) { vdir =>
+      writeTable(vdir, "a", Seq(9)); writeTable(vdir, "b", Seq(8))
+    }
+    assert(v2 != v1)
+    assert(IndexIO.resolve(spark, base) == v2)
+    assert(spark.read.parquet(s"${IndexIO.resolve(spark, base)}/a").count() == 1)
+  }
+
+  test("a failed build leaves the pointer on the previous complete version") {
+    val base = newBase()
+    val v1 = IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1)))
+    intercept[RuntimeException] {
+      IndexIO.publish(spark, base) { vdir =>
+        writeTable(vdir, "a", Seq(2))
+        throw new RuntimeException("mid-build crash before all tables landed")
+      }
+    }
+    // readers still get the complete v1 — never the torn partial build
+    assert(IndexIO.resolve(spark, base) == v1)
+    assert(spark.read.parquet(s"${IndexIO.resolve(spark, base)}/a")
+      .as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("resolve on a never-published path fails loudly, not with a parquet probe error") {
+    val base = newBase()
+    // even a torn build's version dir must not be picked up
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/v-deadbeef"))
+    val ex = intercept[IllegalStateException](IndexIO.resolve(spark, base))
+    assert(ex.getMessage.contains("no committed index"), ex.getMessage)
+  }
+
+  test("a reader holding a resolved version survives one concurrent rebuild") {
+    val base = newBase()
+    IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1, 2, 3)))
+    val held = IndexIO.resolve(spark, base)
+    val df = spark.read.parquet(s"$held/a") // long-lived plan, re-lists files per action
+    IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(7)))
+    // the rebuild published a SIBLING version; the held one is intact
+    // (prune keeps the pre-flip version for exactly this reader)
+    assert(df.count() == 3)
+    // and superseded versions do get pruned: after one more publish,
+    // only two v-dirs remain
+    IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(8)))
+    val vdirs = new java.io.File(base).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v-")).map(_.getName)
+    assert(vdirs.length == 2, s"expected 2 kept versions, got: ${vdirs.toSeq}")
+  }
+}
