@@ -1004,8 +1004,12 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     // shared SQL fragments (DuckDB dialect)
+    // `w <> ''` mirrors TextFunctions.tokens' drop-empty semantics:
+    // DuckDB's regexp_split_to_array('') is [''] — without the filter an
+    // empty/whitespace-only document would contribute a phantom token
     val tok =
-      "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents"
+      "SELECT doc_id, w FROM (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents) WHERE w <> ''"
     val winnowBase =
       """WITH ch AS (
         |  SELECT doc_id, unicode(c2) AS u, pos FROM (
@@ -1636,9 +1640,14 @@ object SparkEntry {
           |       floor(n_shared * 10000.0 / n_shingles) / 10000.0 AS contamination
           |FROM agg WHERE n_shared > 0""".stripMargin),
       "bm25_search" ->
+        // `WHERE w <> ''`: DuckDB's regexp_split_to_array('') is [''],
+        // so without the filter an empty/whitespace-only doc would count
+        // one phantom token into N/avgdl where TextFunctions.tokens
+        // yields zero — same drop-empty semantics as the Spark side
         """WITH tok AS (
-          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-          |  FROM documents),
+          |  SELECT doc_id, w FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |    FROM documents) WHERE w <> ''),
           |len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
           |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM len),
           |post AS (SELECT doc_id, w, count(*) AS tf FROM tok
