@@ -742,6 +742,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("n_chars"))
     }),
+    "source_orc_roundtrip" -> ((s, dir) => {
+      // ORC leg of the ingestion gate (Hive-era lakes): write ORC, read
+      // it back through the schema-explicit native vectorized reader
+      val d = t(s, dir, "documents")
+      val path = scratch("orc_roundtrip", dir)
+      d.select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .write.mode("overwrite").orc(path)
+      graft.sources.Sources.orc(s, path, StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+    "decontaminate_bloom" -> ((s, dir) => {
+      // the Bloom-prefilter path to the SAME contamination contract as
+      // decontaminate_docs: no false negatives, false positives die in
+      // the exact confirm — so the two queries share one oracle, which
+      // is precisely the claim worth checking
+      val d = t(s, dir, "documents")
+      Decontaminate.ngramOverlapBloom(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 3)
+    }),
+    "decontaminate_containment" -> ((s, dir) => {
+      // asymmetric containment: fraction of each eval item found in a
+      // train doc — catches a benchmark item pasted into a long page,
+      // where Jaccard stays ~0
+      val d = t(s, dir, "documents")
+      Decontaminate.containmentPairs(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 3, minContainment = 0.2)
+    }),
+    "mix_sources" -> ((s, dir) => {
+      // domain mixing: largest corpus hitting 50/30/20 proportions over
+      // three sources without upsampling, membership by md5-of-id
+      Sampling.mixSources(t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source")
+    }),
+    "shuffle_corpus" -> ((s, dir) => {
+      // reproducible global training order: dense rank by (md5(id), id)
+      // via the two-pass bucket-offset plan — no single-partition sort
+      Sampling.globalShuffleRank(t(s, dir, "documents"), "doc_id")
+        .select("doc_id", "shuffle_rank")
+    }),
     "corpus_profile" -> ((s, dir) => {
       // the curation report: one corpus scan -> per-source profile plus
       // the grand-total row (rollup). Quality averages via exact
@@ -1694,6 +1741,53 @@ object SparkEntry {
         """SELECT lang, count(*) AS n_docs,
           |       CAST(sum(length(text)) AS BIGINT) AS n_chars
           |FROM documents GROUP BY lang""".stripMargin,
+      "source_orc_roundtrip" ->
+        """SELECT source, count(*) AS n_docs,
+          |       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+          |       min(doc_id) AS min_id, max(doc_id) AS max_id
+          |FROM documents GROUP BY source""".stripMargin,
+      // decontaminate_bloom: Bloom prefilter + exact confirm is output-
+      // identical to the exact path — the oracle IS decontaminate_docs'
+      "decontaminate_bloom" -> (shinglesBase +
+        """ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 0),
+          |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),
+          |agg AS (
+          |  SELECT tr.doc_id, count(*) AS n_shingles, count(ev.shingle) AS n_shared
+          |  FROM tr LEFT JOIN ev ON ev.shingle = tr.shingle
+          |  GROUP BY 1)
+          |SELECT doc_id, n_shared, n_shingles,
+          |       floor(n_shared * 10000.0 / n_shingles) / 10000.0 AS contamination
+          |FROM agg WHERE n_shared > 0""".stripMargin),
+      "decontaminate_containment" -> (shinglesBase +
+        """ev AS (SELECT doc_id AS id_eval, shingle FROM sh WHERE doc_id % 5 = 0),
+          |evn AS (SELECT id_eval, count(*) AS n_eval_shingles FROM ev GROUP BY 1),
+          |tr AS (SELECT doc_id AS id_train, shingle FROM sh WHERE doc_id % 5 <> 0),
+          |pr AS (SELECT id_train, id_eval, count(*) AS n_shared
+          |       FROM tr JOIN ev USING (shingle) GROUP BY 1, 2)
+          |SELECT id_train, id_eval, n_shared, n_eval_shingles,
+          |       floor(n_shared * 10000.0 / n_eval_shingles) / 10000.0 AS containment
+          |FROM pr JOIN evn USING (id_eval)
+          |WHERE floor(n_shared * 10000.0 / n_eval_shingles) / 10000.0 >= 0.2""".stripMargin),
+      // mix_sources: arithmetic mirrors Sampling.mixSources left-to-
+      // right in doubles (t*wt/n*buckets), so floor() agrees bitwise
+      "mix_sources" ->
+        """WITH cnt AS (
+          |  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents
+          |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+          |w AS (SELECT * FROM (VALUES
+          |  ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+          |  ('src2', CAST(0.2 AS DOUBLE))) AS t(source, wt)),
+          |tm AS (SELECT min(n / wt) AS tt FROM cnt JOIN w USING (source)),
+          |th AS (SELECT source, CAST(floor(tt * wt / n * 10000) AS BIGINT) AS thr
+          |       FROM cnt JOIN w USING (source) CROSS JOIN tm)
+          |SELECT d.doc_id, d.source FROM documents d JOIN th ON th.source = d.source
+          |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          |      % 10000 < thr""".stripMargin,
+      "shuffle_corpus" ->
+        """SELECT doc_id,
+          |       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+          |         AS shuffle_rank
+          |FROM documents""".stripMargin,
       "corpus_profile" ->
         (s"""WITH tok AS ($tok),
            |agg AS (SELECT doc_id, count(*) AS n,

@@ -70,6 +70,103 @@ object Decontaminate {
           .as("contamination"))
   }
 
+  /** [[ngramOverlap]] with a Bloom-filter prefilter — IDENTICAL output
+    * (Bloom has no false negatives, and false positives die in the
+    * exact confirm join), different constant factors where they matter
+    * at 100 TB:
+    *
+    *  - the eval set ships as a Bloom filter at ~1.2 bytes per shingle
+    *    (fpp 1e-3) instead of a broadcast-hash-join table at ~16+ —
+    *    a 100M-shingle eval suite is a ~150 MB broadcast instead of a
+    *    multi-GB one that would force the join to a full shuffle;
+    *  - membership is tested INSIDE the scan projection on the doc's
+    *    shingle-hash array, so a clean document (the overwhelming
+    *    majority) is dropped by a scan-local filter before the explode,
+    *    the join operator, or the aggregation hash map ever see it —
+    *    the per-doc agg then runs only on the ~fpp-sized candidate set.
+    *
+    * The exact confirm join probes the true hash set with only the
+    * bloom-hit shingles, so the output matches [[ngramOverlap]] even
+    * when the filter lies.
+    */
+  def ngramOverlapBloom(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      fpp: Double = 1e-3): DataFrame = {
+    val spark = train.sparkSession
+    val evalHashes = eval
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
+      .select(xxhash64(col("__s")).as("__h"))
+      .distinct()
+    // eval is MB-scale: one tiny count job sizes the filter exactly
+    val nEval = evalHashes.count()
+    val bloom = evalHashes.stat.bloomFilter("__h", math.max(nEval, 1L), fpp)
+    val bf = spark.sparkContext.broadcast(bloom)
+    val bloomHits = udf { hs: Seq[Long] => hs.filter(h => bf.value.mightContainLong(h)) }
+    val candidates = train
+      .select(col(idCol), TextFunctions.shingles(col(textCol), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"),
+        bloomHits(transform(col("__sh"), s => xxhash64(s))).as("__cand"))
+      .filter(size(col("__cand")) > 0) // clean docs stop here, pre-shuffle
+    candidates
+      .select(col(idCol), col("n_shingles"), explode(col("__cand")).as("__h"))
+      .join(broadcast(evalHashes.withColumn("__hit", lit(1))), Seq("__h"), "left")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(count(col("__hit")).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .select(
+        col(idCol),
+        col("n_shared"),
+        col("n_shingles"),
+        (floor(col("n_shared") * lit(10000.0) / col("n_shingles")) / lit(10000.0))
+          .as("contamination"))
+  }
+
+  /** Asymmetric CONTAINMENT check: fraction of an eval item's n-grams
+    * found in a training doc — `|train ∩ eval_item| / |eval_item|` per
+    * (train, eval) pair. This is the contamination geometry Jaccard
+    * misses: a 200-token benchmark item pasted into a 100k-token web
+    * page has Jaccard ≈ 0 but containment 1.0. Returns
+    * `(id_train, id_eval, n_shared, n_eval_shingles, containment)` for
+    * pairs at or above `minContainment` (4-decimal-floored ratio).
+    *
+    * Scale shape mirrors [[ngramOverlapPairs]]: eval shingles (with
+    * their per-item counts riding along) broadcast as 8-byte hashes;
+    * one train scan; the only shuffle is the matched-pair aggregation
+    * on bare id pairs with map-side partials.
+    */
+  def containmentPairs(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minContainment: Double = 0.5,
+      broadcastEval: Boolean = true): DataFrame = {
+    val trainShingles = train
+      .select(col(idCol).as("id_train"), explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
+      .select(col("id_train"), xxhash64(col("__s")).as("__h"))
+    val evalShingles = eval
+      .select(col(idCol).as("id_eval"), TextFunctions.shingles(col(textCol), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("id_eval"), size(col("__sh")).cast("long").as("n_eval_shingles"),
+        explode(col("__sh")).as("__s"))
+      .select(col("id_eval"), col("n_eval_shingles"), xxhash64(col("__s")).as("__h"))
+    val evalSide = if (broadcastEval) broadcast(evalShingles) else evalShingles
+    trainShingles
+      .join(evalSide, "__h")
+      .groupBy(col("id_train"), col("id_eval"), col("n_eval_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("containment",
+        floor(col("n_shared") * lit(10000.0) / col("n_eval_shingles")) / lit(10000.0))
+      .filter(col("containment") >= minContainment)
+      .select("id_train", "id_eval", "n_shared", "n_eval_shingles", "containment")
+  }
+
   /** Pair-level attribution: which eval doc contaminated which train
     * doc, with the shared-shingle count — for auditing the flags
     * `ngramOverlap` raises. Costs a shuffle keyed by `(train, eval)`

@@ -61,6 +61,90 @@ object Sampling {
     df.filter(b < (frac * buckets).cast("long"))
   }
 
+  /** Deterministic source-mixture sampling: downsample each source so
+    * the kept rows hit target proportions `weights` (source → fraction
+    * of the OUTPUT), at the largest total size achievable WITHOUT
+    * upsampling — the domain-mixing step of a training-data pipeline
+    * ("50% web, 30% books, 20% code"), reproducible across engines and
+    * runs because membership is md5-of-id, not an RNG stream.
+    *
+    * Given observed counts `n_s` and weights `w_s`, the largest total
+    * `T` with `T·w_s <= n_s` for every weighted source is
+    * `T = min_s n_s/w_s`; each source keeps a `T·w_s/n_s` hash-fraction
+    * of its rows (the binding source keeps everything). Sources not in
+    * `weights` are dropped. Achieved proportions are exact up to hash
+    * granularity (`1/buckets`).
+    *
+    * Scale shape: one count aggregation (#sources rows, collected),
+    * then one scan with a broadcast threshold join — no shuffle of the
+    * kept rows; the corpus is filtered in place.
+    */
+  def mixSources(
+      df: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Double], buckets: Int = 10000): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"mixSources: weights must be positive, got $weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weights.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"mixSources: weighted sources absent from the data: $missing")
+    // arithmetic order matters: the oracle replicates t*w/n*buckets
+    // left-to-right in doubles, so identical IEEE results on both sides
+    val t = counts.map { case (s, n) => n / weights(s) }.min
+    val thresholds = counts.map { case (s, n) =>
+      (s, math.floor(t * weights(s) / n * buckets).toLong)
+    }
+    val thDf = broadcast(thresholds.toSeq.toDF(sourceCol, "__thr"))
+    df.join(thDf, sourceCol)
+      .filter(hashBucket(col(idCol), buckets) < col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Deterministic global shuffle rank: a dense `0..n-1` ordering of
+    * the corpus by `(md5(id), id)` — the reproducible "random" training
+    * order — WITHOUT the single-partition sort that `row_number()` over
+    * an unpartitioned window would plan.
+    *
+    * Two-pass distributed ranking: bucket every row by an ORDER-
+    * PRESERVING prefix of the hash (top 32 bits scaled to `buckets`, so
+    * bucket boundaries respect the global hash order), count rows per
+    * bucket (tiny aggregate, collected), and broadcast the cumulative
+    * offsets back; a row's rank is its bucket's offset plus its
+    * `row_number` within the bucket — windows partitioned by bucket run
+    * in parallel across the cluster, each sorting ~n/buckets rows with
+    * the external spillable sort. The classic distributed dense-rank
+    * shape (what `zipWithIndex` does at the RDD layer), kept in the
+    * DataFrame plan.
+    */
+  def globalShuffleRank(
+      df: DataFrame, idCol: String, buckets: Int = 1024,
+      rankCol: String = "shuffle_rank"): DataFrame = {
+    require(buckets > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = md5(col(idCol).cast("string"))
+    // top 32 bits of the hash, scaled: lexicographic md5-hex order ==
+    // numeric order of the 8-hex-char prefix, so bucket is monotone in h
+    val b = (conv(substring(h, 1, 8), 16, 10).cast("long") * buckets / lit(4294967296L))
+      .cast("int")
+    val withB = df.withColumn("__bkt", b)
+    val counts = withB.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (bk, n)) => (bk, acc + n) }
+      .init.map { case (_, off) => off }
+    val offDf = broadcast(
+      counts.map(_._1).zip(offsets).toSeq.toDF("__bkt", "__off"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__bkt")).orderBy(h.asc, col(idCol).asc)
+    withB.join(offDf, "__bkt")
+      .withColumn(rankCol, col("__off") + row_number().over(w) - 1)
+      .drop("__bkt", "__off")
+  }
+
   /** At most `n` rows per group, chosen DETERMINISTICALLY by md5-of-id
     * order (ties impossible: ids are distinct; the hash order is a
     * stable, engine-portable "random" order, so the cap is an unbiased

@@ -37,6 +37,15 @@ object Sources {
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC with an explicit schema — the other columnar lake format a
+    * 100 TB pipeline meets (Hive-era lakes are ORC). Spark's native
+    * vectorized ORC reader gives the same pushdown/pruning contract as
+    * parquet: predicates reach stripe/row-group indexes, unprojected
+    * columns are never decoded.
+    */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Hive-style partitioned parquet sink: one directory per partition
     * value, enabling partition pruning for every downstream reader.
     * Cardinality rule of thumb: partition columns with <= ~10k distinct

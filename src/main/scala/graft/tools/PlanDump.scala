@@ -141,7 +141,28 @@ object PlanDump {
         |cannot serialize the join (the simpler partitionBy(user) window
         |would). The hash exchange above the checkpointed scan is the
         |known price of pinning sampled pids (the checkpoint erases
-        |partitioning info); it moves each partition wholesale, once.""".stripMargin)
+        |partitioning info); it moves each partition wholesale, once.""".stripMargin,
+    "decontaminate_bloom" ->
+      """Bloom-prefiltered decontamination: eval shingles collapse into a
+        |driver-built Bloom filter (~1.2 B/shingle) probed INSIDE the
+        |train scan's projection on the shingle-hash array — the
+        |size(__cand) > 0 Filter sits directly on the scan, so clean
+        |docs (the overwhelming majority) die before the explode, the
+        |confirm join, or any exchange. The exact confirm join then only
+        |sees bloom hits, making the output identical to the exact
+        |path's (shared oracle proves it).""".stripMargin,
+    "mix_sources" ->
+      """Domain mixing: per-source thresholds (computed from one tiny
+        |count agg) broadcast-join onto the corpus scan; the md5-bucket
+        |filter keeps rows in place — no shuffle of kept data, the plan
+        |is scan -> BroadcastHashJoin -> Filter.""".stripMargin,
+    "shuffle_corpus" ->
+      """Reproducible global training order WITHOUT a global sort: rank =
+        |broadcast per-bucket offset + row_number over a window
+        |PARTITIONED by the order-preserving hash-prefix bucket. The
+        |only exchange is hash-by-bucket (parallel); no
+        |`Exchange SinglePartition` anywhere — the degenerate plan an
+        |unpartitioned row_number() would produce.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

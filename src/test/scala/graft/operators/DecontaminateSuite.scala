@@ -56,6 +56,51 @@ class DecontaminateSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assertSameRows(a.orderBy("doc_id"), b.orderBy("doc_id"))
   }
 
+  test("bloom prefilter path is output-identical to the exact path") {
+    val a = Decontaminate.ngramOverlapBloom(train, evalSet, "doc_id", "text", n = 3)
+    val b = Decontaminate.ngramOverlap(train, evalSet, "doc_id", "text", n = 3)
+    assertSameRows(a.orderBy("doc_id"), b.orderBy("doc_id"))
+  }
+
+  test("bloom false positives die in the exact confirm (adversarial fpp)") {
+    // a near-useless filter (fpp 0.5) floods the confirm join with
+    // false candidates on a 200-doc clean corpus; output must still be
+    // exactly the exact path's
+    val bigTrain = (train.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      (100L until 300L).map(i => (i, s"clean doc ${i} body ${i * 7} tail ${i * 13} pad end")))
+      .toSeq.toDF("doc_id", "text")
+    val a = Decontaminate.ngramOverlapBloom(bigTrain, evalSet, "doc_id", "text",
+      n = 3, fpp = 0.5)
+    val b = Decontaminate.ngramOverlap(bigTrain, evalSet, "doc_id", "text", n = 3)
+    assertSameRows(a.orderBy("doc_id"), b.orderBy("doc_id"))
+  }
+
+  test("containment catches an eval item embedded in a long doc where Jaccard fails") {
+    val longDoc = (1 to 200).map(i => s"w$i").mkString(" ") + " b c d e " +
+      (201 to 400).map(i => s"w$i").mkString(" ")
+    val tr = Seq((50L, longDoc)).toDF("doc_id", "text")
+    val out = Decontaminate.containmentPairs(tr, evalSet, "doc_id", "text",
+        n = 3, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // eval 10 = "b c d e": both its shingles {bcd, cde} occur in the page
+    assert(out.toSeq == Seq((50L, 10L, 2L, 2L, 1.0)))
+    // while symmetric Jaccard on the same pair is ~2/400 — far below any
+    // dedup threshold (the geometry this operator exists for)
+    val jac = Dedup.ngramJaccardJoin(
+      tr, "doc_id", "text",
+      evalSet.filter($"doc_id" === 10L), "doc_id", "text", n = 3, threshold = 0.0)
+    val j = jac.collect()(0).getAs[Double]("jaccard")
+    assert(j < 0.02, s"jaccard unexpectedly high: $j")
+  }
+
+  test("containment respects the threshold and counts per eval item") {
+    val out = Decontaminate.containmentPairs(train, evalSet, "doc_id", "text",
+        n = 3, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).sortBy(p => (p._1, p._2))
+    // eval 10 has 2 shingles; doc 1 contains both (1.0), doc 3 one (0.5)
+    assert(out.toSeq == Seq((1L, 10L, 1.0), (3L, 10L, 0.5)))
+  }
+
   private def collectBroadcasts(plan: SparkPlan): Seq[SparkPlan] =
     collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
 }

@@ -67,4 +67,58 @@ class SamplingSuite extends SparkSpec {
     assert(byG("g1") > 600) // ~667 rows kept fully
     assert(byG("g0") < 150) // ~10% of 667
   }
+
+  test("mixSources hits the target mixture without upsampling; binding source keeps all") {
+    // 600/300/300 rows over three sources; weights 0.5/0.3/0.2.
+    // T = min(600/0.5, 300/0.3, 300/0.2) = 1000 with s1 binding at
+    // rate 1.0; expected kept ≈ 500/300/200 (exact up to hash noise)
+    val df = ((0 until 600).map(i => (i.toLong, "s0")) ++
+      (1000 until 1300).map(i => (i.toLong, "s1")) ++
+      (2000 until 2300).map(i => (i.toLong, "s2"))).toDF("id", "src")
+    val out = Sampling.mixSources(df, "src", "id",
+      Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2))
+    val byS = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("s1") == 300, s"binding source must keep everything: $byS")
+    // hash membership is bernoulli-ish per id: sd ~ sqrt(n*r*(1-r)) ≈ 11
+    assert(math.abs(byS("s0") - 500) < 35 && math.abs(byS("s2") - 200) < 35, s"$byS")
+    // unweighted sources are dropped entirely
+    val withExtra = df.union(Seq((9999L, "s3")).toDF("id", "src"))
+    assert(!Sampling.mixSources(withExtra, "src", "id", Map("s0" -> 1.0))
+      .select("src").distinct().collect().map(_.getString(0)).contains("s3"))
+    // deterministic: same rows under different partitioning
+    val a = out.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixSources(df.repartition(17), "src", "id",
+      Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("mixSources fails loudly when a weighted source is absent") {
+    val df = (0 until 10).map(i => (i.toLong, "s0")).toDF("id", "src")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.mixSources(df, "src", "id", Map("s0" -> 0.5, "ghost" -> 0.5))
+    }
+    assert(ex.getMessage.contains("ghost"))
+  }
+
+  test("globalShuffleRank is the dense (md5, id) rank, without a global sort") {
+    val df = (0 until 3000).map(i => Tuple1(i.toLong)).toDF("id")
+    val out = Sampling.globalShuffleRank(df, "id", buckets = 64)
+    val got = out.select("id", "shuffle_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // dense 0..n-1, and ordered exactly like the scalar (md5, id) sort
+    assert(got.map(_._2).sorted.toSeq == (0L until 3000L).toSeq)
+    def hex(l: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(l.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val expected = got.map(_._1).sortBy(id => (hex(id), id)).zipWithIndex
+      .map { case (id, r) => (id, r.toLong) }.toMap
+    got.foreach { case (id, r) => assert(r == expected(id), s"id=$id") }
+    // the ranking window partitions by bucket — no single-partition sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global rank degenerated to one partition:\n$plan")
+  }
 }

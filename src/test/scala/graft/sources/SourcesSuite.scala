@@ -40,6 +40,22 @@ class SourcesSuite extends SparkSpec {
     assert(rowSet(df) == Set(Seq("1", "a"), Seq("2", "b")))
   }
 
+  test("orc with explicit schema round-trips types and pushes filters to the scan") {
+    val dir = s"$tmp/orc"
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", 3.5))
+      .toDF("id", "name", "score")
+    df.write.mode("overwrite").orc(dir)
+    // file-based relations are nullable regardless of writer schema
+    val schema = StructType(df.schema.map(_.copy(nullable = true)))
+    val back = Sources.orc(spark, dir, schema)
+    assert(back.schema == schema)
+    assert(rowSet(back) == rowSet(df))
+    val plan = Sources.orc(spark, dir, schema).filter($"id" > 1).select("name")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"no pushed filter in ORC scan:\n$plan")
+  }
+
   test("partitioned write produces hive-style dirs and prunes on read") {
     val dir = s"$tmp/part"
     val df = Seq((1, "a", "2024-01-01"), (2, "b", "2024-01-02"), (3, "c", "2024-01-02"))
