@@ -23,7 +23,8 @@ object Bench {
     "dedup_mask_windows", "pack_sequences",
     "dedup_embedding", "ann_topk",
     "text_quality", "doc_fingerprint", "heavy_hitters_tokens",
-    "decontaminate_docs", "bm25_search", "lm_score_docs",
+    "decontaminate_docs", "decontaminate_bloom", "bm25_search", "lm_score_docs",
+    "mix_sources", "shuffle_corpus",
     "agg_pricing",
     "stream_window_counts", "sessionize_events", "pipeline_clean_corpus",
     "pipeline_pack_clean")

@@ -43,29 +43,33 @@ object TextFunctions {
     */
   def shingles(text: Column, n: Int): Column = shingleUdf(n)(text)
 
-  private def shingleUdf(n: Int) = udf { text: String =>
-    {
-      val toks = tokenize(text)
-      if (toks.length < n) Array.empty[String]
-      else {
-        val seen = new java.util.LinkedHashSet[String]()
-        val sb = new java.lang.StringBuilder(64)
-        var i = 0
-        while (i <= toks.length - n) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(i + j))
-            j += 1
-          }
-          seen.add(sb.toString)
-          i += 1
+  /** The JVM kernel behind [[shingles]] — exposed (package-private) so
+    * fused kernels (e.g. Decontaminate's bloom probe) share the ONE
+    * shingle definition instead of re-implementing tokenize+join.
+    */
+  private[graft] def distinctShingles(text: String, n: Int): Array[String] = {
+    val toks = tokenize(text)
+    if (toks.length < n) Array.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
         }
-        seen.toArray(new Array[String](seen.size))
+        seen.add(sb.toString)
+        i += 1
       }
+      seen.toArray(new Array[String](seen.size))
     }
   }
+
+  private def shingleUdf(n: Int) = udf { text: String => distinctShingles(text, n) }
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

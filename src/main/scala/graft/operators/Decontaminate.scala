@@ -88,6 +88,17 @@ object Decontaminate {
     * The exact confirm join probes the true hash set with only the
     * bloom-hit shingles, so the output matches [[ngramOverlap]] even
     * when the filter lies.
+    *
+    * `fpp` is PER SHINGLE; a doc of s shingles false-positives at
+    * ~s·fpp, so keep fpp ≪ 1/avg_shingles or the candidate set (and
+    * the confirm join) inflates by that factor — measured in
+    * tools/BloomStress: fpp 1e-3 on 33-shingle docs let 3.3% of a
+    * clean 3M-doc corpus through; 1e-5 costs only ~2.4 bits/shingle
+    * more and closes it. Wall-clock on a single box is scan-bound and
+    * ~parity with the exact path; what the bloom buys at cluster scale
+    * is the broadcast (a few MiB vs a multi-hundred-MB hash relation
+    * for a GB-scale eval suite) and an aggregation keyed only by
+    * candidates instead of every train doc.
     */
   def ngramOverlapBloom(
       train: DataFrame,
@@ -95,29 +106,60 @@ object Decontaminate {
       idCol: String,
       textCol: String,
       n: Int = 8,
-      fpp: Double = 1e-3): DataFrame = {
+      fpp: Double = 1e-5): DataFrame = {
     val spark = train.sparkSession
-    val evalHashes = eval
+    val evalSh = eval
       .select(explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
       .select(xxhash64(col("__s")).as("__h"))
-      .distinct()
-    // eval is MB-scale: one tiny count job sizes the filter exactly
-    val nEval = evalHashes.count()
-    val bloom = evalHashes.stat.bloomFilter("__h", math.max(nEval, 1L), fpp)
+    // size the filter from the NON-distinct stream: sum(size(...)) is a
+    // scan-local aggregate (no distinct exchange), and overestimating
+    // items only lowers the effective fpp. Bloom inserts are idempotent,
+    // so the build also skips the distinct — stat.bloomFilter is one
+    // shuffle-free treeAggregate over the eval scan.
+    val bound = eval
+      .select(coalesce(sum(size(TextFunctions.shingles(col(textCol), n))), lit(0L)))
+      .head().getLong(0)
+    val bloom = evalSh.stat.bloomFilter("__h", math.max(bound, 1L), fpp)
     val bf = spark.sparkContext.broadcast(bloom)
-    val bloomHits = udf { hs: Seq[Long] => hs.filter(h => bf.value.mightContainLong(h)) }
+    // shingle + hash + probe FUSED into one JVM pass per doc (sharing
+    // TextFunctions' shingle kernel, hashes via the same XXH64 Spark's
+    // xxhash64 expression computes — spec-pinned). A two-UDF chain
+    // (shingles -> probe) re-decodes every shingle string across the
+    // catalyst boundary and measurably dominates the scan
+    // (tools/BloomStress); here each shingle is built once, hashed
+    // once, and only the bloom hits materialize.
+    val kernel = udf { text: String =>
+      val sh = TextFunctions.distinctShingles(text, n)
+      if (sh.isEmpty) null
+      else {
+        val hits = Array.newBuilder[Long]
+        var i = 0
+        while (i < sh.length) {
+          val h = sparkXxhash64(sh(i))
+          if (bf.value.mightContainLong(h)) hits += h
+          i += 1
+        }
+        (sh.length.toLong, hits.result())
+      }
+    }
     val candidates = train
-      .select(col(idCol), TextFunctions.shingles(col(textCol), n).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"),
-        bloomHits(transform(col("__sh"), s => xxhash64(s))).as("__cand"))
-      .filter(size(col("__cand")) > 0) // clean docs stop here, pre-shuffle
-    candidates
+      .select(col(idCol), kernel(col(textCol)).as("__k"))
+      .filter(col("__k").isNotNull && size(col("__k._2")) > 0) // clean docs stop here, pre-shuffle
+      .select(col(idCol), col("__k._1").as("n_shingles"), col("__k._2").as("__cand"))
+    // exact confirm with the BUILD SIDE REVERSED: the candidate set is
+    // ~(contamination + fpp)-sized, so broadcast IT and stream the eval
+    // scan past it — never a distinct-exchange or a multi-million-entry
+    // broadcast relation of the full eval hash set (which would re-pay
+    // exactly the cost the bloom exists to avoid; measured 15 s -> 7 s
+    // in tools/BloomStress). distinct() collapses repeated eval
+    // occurrences AFTER the match, when rows are already candidate-few.
+    val candEx = candidates
       .select(col(idCol), col("n_shingles"), explode(col("__cand")).as("__h"))
-      .join(broadcast(evalHashes.withColumn("__hit", lit(1))), Seq("__h"), "left")
+    evalSh.join(broadcast(candEx), "__h")
+      .select(col(idCol), col("n_shingles"), col("__h"))
+      .distinct() // a pure-false-positive doc vanishes here, like the exact path
       .groupBy(col(idCol), col("n_shingles"))
-      .agg(count(col("__hit")).as("n_shared"))
-      .filter(col("n_shared") > 0)
+      .agg(count(lit(1)).as("n_shared"))
       .select(
         col(idCol),
         col("n_shared"),
@@ -125,6 +167,16 @@ object Decontaminate {
         (floor(col("n_shared") * lit(10000.0) / col("n_shingles")) / lit(10000.0))
           .as("contamination"))
   }
+
+  /** Spark's `xxhash64` on a string column, JVM-side: same XXH64 over
+    * the UTF-8 bytes with the expression's default seed 42, so hashes
+    * computed inside a kernel UDF join exactly against hashes computed
+    * by the codegen expression (DecontaminateSuite pins the equality).
+    */
+  private[graft] def sparkXxhash64(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L)
 
   /** Asymmetric CONTAINMENT check: fraction of an eval item's n-grams
     * found in a training doc — `|train ∩ eval_item| / |eval_item|` per

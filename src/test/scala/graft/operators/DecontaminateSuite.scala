@@ -75,6 +75,13 @@ class DecontaminateSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assertSameRows(a.orderBy("doc_id"), b.orderBy("doc_id"))
   }
 
+  test("kernel-side xxhash64 equals the codegen expression (seed 42, UTF-8)") {
+    val strs = Seq("", "a", "b c d", "unicode: é ü 漢字", "tok_123_456", " spaces  ")
+    val viaExpr = strs.toDF("s").select(xxhash64($"s")).collect().map(_.getLong(0))
+    val viaKernel = strs.map(Decontaminate.sparkXxhash64)
+    assert(viaExpr.toSeq == viaKernel, s"expr=${viaExpr.toSeq} kernel=$viaKernel")
+  }
+
   test("containment catches an eval item embedded in a long doc where Jaccard fails") {
     val longDoc = (1 to 200).map(i => s"w$i").mkString(" ") + " b c d e " +
       (201 to 400).map(i => s"w$i").mkString(" ")
