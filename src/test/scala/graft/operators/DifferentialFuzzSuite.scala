@@ -340,6 +340,93 @@ class DifferentialFuzzSuite extends SparkSpec {
     }
   }
 
+  test("bloom decontamination == exact path on random corpora, even with a lying filter") {
+    val rnd = new scala.util.Random(808)
+    for (round <- 0 until 6) {
+      val docs = randomDocs(rnd, 40)
+      val (evalSet, train) = docs.partition(_._1 % 4 == 0)
+      val n = 2 + rnd.nextInt(3)
+      val fpp = Seq(1e-5, 1e-2, 0.5)(round % 3) // incl. near-useless filter
+      val exact = Decontaminate.ngramOverlap(
+        train.toDF("doc_id", "text"), evalSet.toDF("doc_id", "text"), "doc_id", "text", n)
+      val bloom = Decontaminate.ngramOverlapBloom(
+        train.toDF("doc_id", "text"), evalSet.toDF("doc_id", "text"), "doc_id", "text", n, fpp)
+      assert(rowSet(bloom) == rowSet(exact), s"round $round n=$n fpp=$fpp")
+    }
+  }
+
+  test("containmentPairs == scalar recompute on random corpora") {
+    val rnd = new scala.util.Random(909)
+    for (round <- 0 until 6) {
+      val docs = randomDocs(rnd, 30)
+      val (evalSet, train) = docs.partition(_._1 % 3 == 0)
+      val n = 2 + rnd.nextInt(2)
+      val minC = Seq(0.0, 0.3, 0.6)(round % 3)
+      def sh(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).sliding(n)
+        .filter(_.length == n).map(_.mkString(" ")).toSet
+      val expected = (for {
+        (tid, tt) <- train; (eid, et) <- evalSet
+        ts = sh(tt); es = sh(et)
+        if es.nonEmpty
+        shared = (ts & es).size.toLong
+        if shared > 0
+        c = math.floor(shared * 10000.0 / es.size) / 10000.0
+        if c >= minC
+      } yield (tid, eid, shared, es.size.toLong, c)).toSet
+      val got = Decontaminate.containmentPairs(
+          train.toDF("doc_id", "text"), evalSet.toDF("doc_id", "text"),
+          "doc_id", "text", n, minContainment = minC)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      assert(got == expected, s"round $round n=$n minC=$minC")
+    }
+  }
+
+  private def scalarBucket(id: Long, buckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % buckets
+  }
+
+  test("mixSources == scalar recompute with identical threshold arithmetic") {
+    val rnd = new scala.util.Random(1010)
+    for (round <- 0 until 6) {
+      val sources = Seq("a", "b", "c")
+      val rows = (0 until 300 + rnd.nextInt(300)).map { i =>
+        (rnd.nextLong(1000000L), sources(rnd.nextInt(3)))
+      }.distinctBy(_._1)
+      val w = {
+        val raw = sources.map(_ -> (0.1 + rnd.nextDouble())).toMap
+        val tot = raw.values.sum
+        raw.map { case (k, v) => k -> v / tot }
+      }
+      val counts = rows.groupBy(_._2).map { case (s, g) => s -> g.size.toLong }
+      val t = counts.map { case (s, cnt) => cnt / w(s) }.min
+      val thr = counts.map { case (s, cnt) => s -> math.floor(t * w(s) / cnt * 10000).toLong }
+      val expected = rows.filter { case (id, s) => scalarBucket(id, 10000) < thr(s) }.toSet
+      val got = Sampling.mixSources(rows.toDF("id", "src"), "src", "id", w)
+        .select("id", "src").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == expected, s"round $round w=$w")
+    }
+  }
+
+  test("globalShuffleRank == scalar (md5, id) rank across bucket counts and id shapes") {
+    val rnd = new scala.util.Random(1111)
+    for (round <- 0 until 6) {
+      val ids = (0 until 200 + rnd.nextInt(400)).map(_ =>
+        rnd.nextLong()).distinct // full-range longs, incl. negatives
+      val buckets = Seq(1, 7, 64, 1024)(round % 4)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(l: Long) = md.digest(l.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expected = ids.sortBy(id => (hex(id), id)).zipWithIndex
+        .map { case (id, r) => id -> r.toLong }.toMap
+      val got = Sampling.globalShuffleRank(
+          ids.map(Tuple1(_)).toDF("id"), "id", buckets = buckets)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"round $round buckets=$buckets n=${ids.size}")
+    }
+  }
+
   test("index dedup == in-memory cross-corpus join at high threshold") {
     val rnd = new scala.util.Random(707)
     for (round <- 0 until 4) {
