@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level shingle kernel shared by the interpreted and generated
+  * paths of [[ShinglesExpr]]. Operates directly on the UTF-8 bytes of
+  * a Tungsten `UTF8String` — no decode to `java.lang.String`, no regex,
+  * no re-encode of the result — while replicating
+  * [[TextFunctions.distinctShingles]]' semantics EXACTLY (the
+  * differential spec in TextFunctionsSuite pins them together):
+  *
+  *  - trim strips leading/trailing chars <= U+0020 (`String.trim`);
+  *    in UTF-8 those are exactly the bytes <= 0x20 — multi-byte
+  *    sequences only use bytes >= 0x80, so byte scanning is exact;
+  *  - tokens split on runs of Java-regex `\s` = [ \t\n\x0B\f\r]
+  *    (ASCII-only by default — NBSP etc. are NOT separators), empties
+  *    dropped;
+  *  - shingles are the n-token windows joined by a single space,
+  *    DISTINCT in first-occurrence order (`UTF8String` equality is
+  *    binary equality, same as `String` equality on the decoded text).
+  */
+object ShinglesKernel {
+
+  private def isSep(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  def compute(u: UTF8String, n: Int): ArrayData = {
+    if (u == null) return new GenericArrayData(Array.empty[Any])
+    val bytes = u.getBytes
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && (bytes(lo) & 0xff) <= 0x20) lo += 1
+    while (hi > lo && (bytes(hi - 1) & 0xff) <= 0x20) hi -= 1
+    // token spans over the trimmed range
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var m = 0
+    var i = lo
+    while (i < hi) {
+      while (i < hi && isSep(bytes(i))) i += 1
+      if (i < hi) {
+        val s = i
+        while (i < hi && !isSep(bytes(i))) i += 1
+        if (m == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(m) = s
+        ends(m) = i
+        m += 1
+      }
+    }
+    if (m < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var k = 0
+      while (k <= m - n) {
+        var len = n - 1
+        var j = 0
+        while (j < n) { len += ends(k + j) - starts(k + j); j += 1 }
+        val out = new Array[Byte](len)
+        var p = 0
+        j = 0
+        while (j < n) {
+          if (j > 0) { out(p) = 0x20; p += 1 }
+          val l = ends(k + j) - starts(k + j)
+          System.arraycopy(bytes, starts(k + j), out, p, l)
+          p += l
+          j += 1
+        }
+        seen.add(UTF8String.fromBytes(out))
+        k += 1
+      }
+      new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+    }
+  }
+}
+
+/** `shingles(text, n)` as a native Catalyst expression (the build
+  * spec's preference order: native `Expression` > Scala UDF). The UDF
+  * form pays a full UTF-8 decode of the document, a regex split over
+  * `java.lang.String`, per-shingle `String` allocation, and a
+  * re-encode of every output element back to `UTF8String`; this
+  * expression slices token byte ranges out of the input and emits
+  * `UTF8String`s directly, and its generated code is a single static
+  * call that stays inside the WholeStageCodegen span. Shingling sits
+  * under every text-dedup/decontamination scan, so this is the
+  * hottest text kernel in the engine (measured in PLANS.md round 7).
+  *
+  * Null text yields an EMPTY array (matching the UDF it replaces, so
+  * `shingles` keeps its total-function contract); the expression is
+  * therefore never null-producing on its own.
+  */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, s"shingles: n must be positive, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    ShinglesKernel.compute(v.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.ShinglesKernel.compute(
+            ${childGen.isNull} ? null : ${childGen.value}, $n);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Kernel for [[BloomHitsExpr]]: xxhash64 each shingle's UTF-8 bytes
+  * (identical to the `xxhash64` expression — same XXH64, same seed 42,
+  * no decode to `String`) and keep the hashes the Bloom filter accepts.
+  */
+object BloomHitsKernel {
+  def compute(arr: ArrayData, bloom: org.apache.spark.util.sketch.BloomFilter): ArrayData = {
+    val m = arr.numElements()
+    val hits = Array.newBuilder[Long]
+    var i = 0
+    while (i < m) {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        arr.getUTF8String(i), StringType, 42L)
+      if (bloom.mightContainLong(h)) hits += h
+      i += 1
+    }
+    new GenericArrayData(hits.result())
+  }
+}
+
+/** `array<string> -> array<long>`: the Bloom-filter membership probe of
+  * Decontaminate's prefilter path as a native expression. A UDF here
+  * would force catalyst to DECODE every shingle `UTF8String` into a
+  * `java.lang.String` just so the UDF can hash its re-encoded bytes;
+  * this expression hashes the Tungsten bytes in place and emits a
+  * primitive long array. The filter rides the expression into the
+  * executors via a plan reference (`addReferenceObj`), codegen is one
+  * static call inside the whole-stage span.
+  */
+case class BloomHitsExpr(
+    child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def prettyName: String = "graft_bloom_hits"
+
+  override def nullSafeEval(input: Any): Any =
+    BloomHitsKernel.compute(input.asInstanceOf[ArrayData], bloom)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomRef = ctx.addReferenceObj("graftBloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BloomHitsKernel.compute($c, $bloomRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

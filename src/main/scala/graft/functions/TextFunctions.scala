@@ -34,14 +34,22 @@ object TextFunctions {
     * order. The unit of all Jaccard-based dedup (Dedup.ngramJaccard /
     * minhashLsh).
     *
-    * Implemented as a Scala UDF rather than composed built-ins: the
-    * equivalent `transform(sequence, slice, concat_ws)` expression tree
-    * is interpreted (higher-order functions have no codegen) and costs
-    * ~0.7 ms/doc — ~100× this UDF — and Catalyst's projection collapse
-    * re-evaluates it at every reference. One imperative pass is the
-    * scalable form.
+    * Three implementations were measured (per the build spec's
+    * preference order): the composed-built-ins expression tree
+    * (`transform(sequence, slice, concat_ws)`) is interpreted —
+    * higher-order functions have no codegen — and costs ~0.7 ms/doc;
+    * a Scala UDF is ~100× faster but still decodes the document to
+    * `String`, regex-splits, and re-encodes every output shingle; the
+    * native [[ShinglesExpr]] slices token byte ranges straight out of
+    * the Tungsten `UTF8String` with no decode/regex/re-encode and its
+    * generated code is one static call inside the WholeStageCodegen
+    * span (speedup measured in PLANS.md round 7; semantics pinned to
+    * [[distinctShingles]] by a differential spec).
     */
-  def shingles(text: Column, n: Int): Column = shingleUdf(n)(text)
+  def shingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftInternals
+    GraftInternals.toColumn(ShinglesExpr(GraftInternals.toExpression(text), n))
+  }
 
   /** The JVM kernel behind [[shingles]] — exposed (package-private) so
     * fused kernels (e.g. Decontaminate's bloom probe) share the ONE
@@ -69,7 +77,6 @@ object TextFunctions {
     }
   }
 
-  private def shingleUdf(n: Int) = udf { text: String => distinctShingles(text, n) }
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -107,7 +107,6 @@ object Decontaminate {
       textCol: String,
       n: Int = 8,
       fpp: Double = 1e-5): DataFrame = {
-    val spark = train.sparkSession
     val evalSh = eval
       .select(explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
       .select(xxhash64(col("__s")).as("__h"))
@@ -120,32 +119,21 @@ object Decontaminate {
       .select(coalesce(sum(size(TextFunctions.shingles(col(textCol), n))), lit(0L)))
       .head().getLong(0)
     val bloom = evalSh.stat.bloomFilter("__h", math.max(bound, 1L), fpp)
-    val bf = spark.sparkContext.broadcast(bloom)
-    // shingle + hash + probe FUSED into one JVM pass per doc (sharing
-    // TextFunctions' shingle kernel, hashes via the same XXH64 Spark's
-    // xxhash64 expression computes — spec-pinned). A two-UDF chain
-    // (shingles -> probe) re-decodes every shingle string across the
-    // catalyst boundary and measurably dominates the scan
-    // (tools/BloomStress); here each shingle is built once, hashed
-    // once, and only the bloom hits materialize.
-    val kernel = udf { text: String =>
-      val sh = TextFunctions.distinctShingles(text, n)
-      if (sh.isEmpty) null
-      else {
-        val hits = Array.newBuilder[Long]
-        var i = 0
-        while (i < sh.length) {
-          val h = sparkXxhash64(sh(i))
-          if (bf.value.mightContainLong(h)) hits += h
-          i += 1
-        }
-        (sh.length.toLong, hits.result())
-      }
-    }
+    // shingle + hash + probe as TWO NATIVE EXPRESSIONS in one scan
+    // projection (ShinglesExpr slices token bytes out of the Tungsten
+    // string; BloomHitsExpr hashes those bytes in place — no
+    // UTF8String->String decode anywhere, unlike any UDF form, and the
+    // whole chain stays in whole-stage codegen; measured in
+    // tools/BloomStress). Only the bloom hits ever materialize.
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val bloomHits = (sh: Column) =>
+      toColumn(graft.functions.BloomHitsExpr(toExpression(sh), bloom))
     val candidates = train
-      .select(col(idCol), kernel(col(textCol)).as("__k"))
-      .filter(col("__k").isNotNull && size(col("__k._2")) > 0) // clean docs stop here, pre-shuffle
-      .select(col(idCol), col("__k._1").as("n_shingles"), col("__k._2").as("__cand"))
+      .select(col(idCol), TextFunctions.shingles(col(textCol), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"),
+        bloomHits(col("__sh")).as("__cand"))
+      .filter(size(col("__cand")) > 0) // clean docs stop here, pre-shuffle
     // exact confirm with the BUILD SIDE REVERSED: the candidate set is
     // ~(contamination + fpp)-sized, so broadcast IT and stream the eval
     // scan past it — never a distinct-exchange or a multi-million-entry

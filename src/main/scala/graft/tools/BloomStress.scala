@@ -79,24 +79,16 @@ object BloomStress {
         evalSh.stat.bloomFilter("__h", math.max(bound, 1L), 1e-5)
       }
       println(s"[bloom-stress]   bloom bits: ${bloom.bitSize()} (~${bloom.bitSize() / 8 / 1024 / 1024} MiB)")
-      t("  stage: train scan -> candidates (via full operator minus eval-side reuse)") {
-        val bfb = spark.sparkContext.broadcast(bloom)
-        val kernel = udf { text: String =>
-          val sh = TextFunctions.distinctShingles(text, 8)
-          if (sh.isEmpty) null
-          else {
-            val hits = Array.newBuilder[Long]
-            var i = 0
-            while (i < sh.length) {
-              val h = Decontaminate.sparkXxhash64(sh(i))
-              if (bfb.value.mightContainLong(h)) hits += h
-              i += 1
-            } // fpp 1e-5: per-DOC false-positive rate ~33x that
-            (sh.length.toLong, hits.result())
-          }
-        }
-        val c = train.select(col("doc_id"), kernel(col("text")).as("__k"))
-          .filter(col("__k").isNotNull && size(col("__k._2")) > 0).count()
+      t("  stage: train scan -> candidates (native shingle + bloom-probe expressions)") {
+        import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+        // fpp 1e-5: per-DOC false-positive rate is ~33x that
+        val c = train
+          .select(col("doc_id"), TextFunctions.shingles(col("text"), 8).as("__sh"))
+          .filter(size(col("__sh")) > 0)
+          .select(col("doc_id"),
+            toColumn(graft.functions.BloomHitsExpr(toExpression(col("__sh")), bloom))
+              .as("__cand"))
+          .filter(size(col("__cand")) > 0).count()
         println(s"[bloom-stress]   candidates: $c")
       }
     }

@@ -39,6 +39,37 @@ class TextFunctionsSuite extends SparkSpec {
     }
   }
 
+  test("native ShinglesExpr == String-kernel distinctShingles on adversarial inputs") {
+    val rnd = new scala.util.Random(4242)
+    val seps = Array(" ", "\t", "\n", "", "\f", "\r", "  ", " \t ")
+    val atoms = Array("a", "word", "é", "漢字", "x y", "", "Ünïcødé",
+      "emoji😀", "123", "a.b,c")
+    def randomText(): String = {
+      val parts = (0 until rnd.nextInt(12)).map { _ =>
+        if (rnd.nextInt(4) == 0) seps(rnd.nextInt(seps.length))
+        else atoms(rnd.nextInt(atoms.length))
+      }
+      val pad = if (rnd.nextBoolean()) " " else " \t"
+      pad + parts.mkString("") + (if (rnd.nextBoolean()) " " else "\n")
+    }
+    val cases = Seq(null, "", " ", "", "a", "a b c") ++ (0 until 300).map(_ => randomText())
+    for (n <- 1 to 4; txt <- cases) {
+      // codegen path (whole-stage projection over a DataFrame)
+      val viaExpr = Option(one(txt)
+        .select(TextFunctions.shingles($"text", n)).collect()(0).getSeq[String](0))
+        .getOrElse(Seq.empty)
+      // interpreted path (direct kernel eval on the UTF8String form)
+      val ad = ShinglesKernel.compute(
+        if (txt == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(txt), n)
+      val viaEval = (0 until ad.numElements())
+        .map(i => ad.getUTF8String(i).toString)
+      // reference String kernel
+      val viaKernel = TextFunctions.distinctShingles(txt, n).toSeq
+      assert(viaExpr == viaKernel, s"codegen: n=$n text=${Option(txt).map("`" + _ + "`")}")
+      assert(viaEval == viaKernel, s"eval: n=$n text=${Option(txt).map("`" + _ + "`")}")
+    }
+  }
+
   test("shingles: consecutive n-grams, distinct, first-occurrence order") {
     val out = one("a b c d a b c d")
       .select(TextFunctions.shingles($"text", 3)).collect()(0).getSeq[String](0)
