@@ -29,14 +29,16 @@ object ShinglesKernel {
   private def isSep(b: Byte): Boolean =
     b == 0x20 || (b >= 0x09 && b <= 0x0d)
 
-  def compute(u: UTF8String, n: Int): ArrayData = {
-    if (u == null) return new GenericArrayData(Array.empty[Any])
-    val bytes = u.getBytes
+  /** Token byte spans `(starts, ends, count)` of the trimmed text — the
+    * ONE byte-level tokenizer under [[ShinglesExpr]] and
+    * [[WindowHashesExpr]], positionally identical to
+    * [[TextFunctions.tokenize]] / `tokens()` (suite-pinned).
+    */
+  private[functions] def tokenSpans(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
     var lo = 0
     var hi = bytes.length
     while (lo < hi && (bytes(lo) & 0xff) <= 0x20) lo += 1
     while (hi > lo && (bytes(hi - 1) & 0xff) <= 0x20) hi -= 1
-    // token spans over the trimmed range
     var cap = 16
     var starts = new Array[Int](cap)
     var ends = new Array[Int](cap)
@@ -57,6 +59,13 @@ object ShinglesKernel {
         m += 1
       }
     }
+    (starts, ends, m)
+  }
+
+  def compute(u: UTF8String, n: Int): ArrayData = {
+    if (u == null) return new GenericArrayData(Array.empty[Any])
+    val bytes = u.getBytes
+    val (starts, ends, m) = tokenSpans(bytes)
     if (m < n) new GenericArrayData(Array.empty[Any])
     else {
       val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -119,6 +128,95 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
           graft.functions.ShinglesKernel.compute(
             ${childGen.isNull} ? null : ${childGen.value}, $n);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Kernel for [[WindowHashesExpr]]: every k-token window's position and
+  * the xxhash64 of its space-joined text — computed by hashing the
+  * window's bytes assembled in ONE reused scratch buffer. No window
+  * string is ever allocated (the UDF form built and re-encoded one per
+  * window); hashes equal `xxhash64(window_string)` bit-for-bit because
+  * the assembled bytes ARE that string's UTF-8 encoding (suite-pinned).
+  */
+object WindowHashesKernel {
+  def compute(u: UTF8String, k: Int): ArrayData = {
+    if (u == null) return new GenericArrayData(Array.empty[Any])
+    val bytes = u.getBytes
+    val (starts, ends, m) = ShinglesKernel.tokenSpans(bytes)
+    if (m < k) new GenericArrayData(Array.empty[Any])
+    else {
+      // scratch sized to the longest window
+      var maxLen = 0
+      var w = 0
+      while (w <= m - k) {
+        var len = k - 1
+        var j = 0
+        while (j < k) { len += ends(w + j) - starts(w + j); j += 1 }
+        if (len > maxLen) maxLen = len
+        w += 1
+      }
+      val buf = new Array[Byte](maxLen)
+      val out = new Array[Any](m - k + 1)
+      w = 0
+      while (w <= m - k) {
+        var p = 0
+        var j = 0
+        while (j < k) {
+          if (j > 0) { buf(p) = 0x20; p += 1 }
+          val l = ends(w + j) - starts(w + j)
+          System.arraycopy(bytes, starts(w + j), buf, p, l)
+          p += l
+          j += 1
+        }
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, p, 42L)
+        out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](w, h))
+        w += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** `string -> array<struct<pos:int, h:long>>`: the occurrence stream of
+  * [[graft.operators.Dedup.maskRepeatedWindows]] as a native
+  * expression — window POSITIONS align with `posexplode(tokens(...))`
+  * by sharing the byte tokenizer, and window HASHES equal
+  * `xxhash64(window_text)` without ever materializing the text.
+  */
+case class WindowHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k > 0, s"windowHashes: k must be positive, got $k")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.LongType,
+        nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    WindowHashesKernel.compute(v.asInstanceOf[UTF8String], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.WindowHashesKernel.compute(
+            ${childGen.isNull} ? null : ${childGen.value}, $k);
       """
     ev.copy(code = resultCode, isNull = FalseLiteral)
   }

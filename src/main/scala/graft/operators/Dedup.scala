@@ -477,20 +477,15 @@ object Dedup {
       .select("id_left", "id_right", "intersection", "size_left", "size_right", "jaccard")
   }
 
-  /** Positioned k-token windows (NON-distinct — every occurrence is a
-    * maskable span), one imperative pass per doc (same justification as
-    * [[TextFunctions.shingles]]: the higher-order-function expression
-    * form is interpreted and re-evaluated on projection collapse).
+  /** Positioned k-token window hashes (NON-distinct — every occurrence
+    * is a maskable span), as the native [[graft.functions.WindowHashesExpr]]:
+    * positions align with `posexplode(tokens(...))` via the shared byte
+    * tokenizer, hashes equal `xxhash64(window_text)` without ever
+    * building the window string.
     */
-  private def windowsUdf(k: Int) = udf { text: String =>
-    // TextFunctions.tokenize, NOT a local split: window starts must
-    // align positionally with the posexplode of TextFunctions.tokens
-    // in maskRepeatedWindows — one tokenizer, one definition.
-    val toks = TextFunctions.tokenize(text)
-    if (toks.length < k) Array.empty[(Int, String)]
-    else Array.tabulate(toks.length - k + 1) { i =>
-      (i, toks.slice(i, i + k).mkString(" "))
-    }
+  private def windowHashes(k: Int)(text: Column): Column = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    toColumn(graft.functions.WindowHashesExpr(toExpression(text), k))
   }
 
   /** Repeated-substring dedup at token-window granularity (the
@@ -519,8 +514,8 @@ object Dedup {
     val tokp = df.select(col(idCol).as("__id"),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "__tok")))
     val wins = df.select(col(idCol).as("__id"),
-        explode(windowsUdf(k)(col(textCol))).as("__w"))
-      .select(col("__id"), col("__w._1").as("__pos"), xxhash64(col("__w._2")).as("__h"))
+        explode(windowHashes(k)(col(textCol))).as("__w"))
+      .select(col("__id"), col("__w.pos").as("__pos"), col("__w.h").as("__h"))
     val firsts = wins
       .groupBy(col("__h"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__first"))

@@ -70,6 +70,30 @@ class TextFunctionsSuite extends SparkSpec {
     }
   }
 
+  test("WindowHashesExpr: positions align with tokenize, hashes equal xxhash64(window)") {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val rnd = new scala.util.Random(777)
+    val vocab = Array("a", "bb", "word", "é漢", "x,y", "z.")
+    val texts = Seq(null, "", "  ", "a b", " a  b\tc \n d ") ++ (0 until 60).map { _ =>
+      (0 until rnd.nextInt(9)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(Seq(" ", "\t", "\n  ")(rnd.nextInt(3)))
+    }
+    for (k <- 1 to 3; txt <- texts) {
+      val got = one(txt).select(
+          explode(toColumn(WindowHashesExpr(toExpression($"text"), k))).as("w"))
+        .select($"w.pos", $"w.h").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val toks = TextFunctions.tokenize(txt)
+      val windows = if (toks.length < k) Seq.empty
+        else (0 to toks.length - k).map(i => (i, toks.slice(i, i + k).mkString(" ")))
+      val expected = if (windows.isEmpty) Seq.empty else {
+        val hs = windows.map(_._2).toDF("s").select(xxhash64($"s"))
+          .collect().map(_.getLong(0))
+        windows.map(_._1).zip(hs)
+      }
+      assert(got == expected, s"k=$k text=${Option(txt).map("`" + _ + "`")}")
+    }
+  }
+
   test("shingles: consecutive n-grams, distinct, first-occurrence order") {
     val out = one("a b c d a b c d")
       .select(TextFunctions.shingles($"text", 3)).collect()(0).getSeq[String](0)
