@@ -27,7 +27,7 @@ object Bench {
     "mix_sources", "shuffle_corpus",
     "agg_pricing",
     "stream_window_counts", "sessionize_events", "pipeline_clean_corpus",
-    "pipeline_pack_clean")
+    "pipeline_pack_clean", "pipeline_chunk_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -789,6 +789,23 @@ object SparkEntry {
       Sampling.globalShuffleRank(t(s, dir, "documents"), "doc_id")
         .select("doc_id", "shuffle_rank")
     }),
+    "chunk_documents" -> ((s, dir) => {
+      // context-window chunking: 64-token chunks, 8-token overlap — a
+      // pure scan projection (no shuffle; ChunkingSuite plan-asserts)
+      Chunking.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 64, overlap = 8)
+    }),
+    "pipeline_chunk_pack" -> ((s, dir) => {
+      // the long-doc training shape end-to-end: chunk to 64-token
+      // context windows, then greedy-pack the chunks into 128-token
+      // bins — chunking is scan-local, packing one hash shuffle; cid
+      // encodes (doc, chunk) so the pack order is deterministic
+      val chunks = Chunking.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+          maxTokens = 64, overlap = 8)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"), col("n_tokens"))
+      Packing.packGreedy(chunks, "cid", "n_tokens", maxLen = 128,
+        chunk = expr("cid div 25000"))
+    }),
     "corpus_profile" -> ((s, dir) => {
       // the curation report: one corpus scan -> per-source profile plus
       // the grand-total row (rollup). Quality averages via exact
@@ -1783,6 +1800,46 @@ object SparkEntry {
           |SELECT d.doc_id, d.source FROM documents d JOIN th ON th.source = d.source
           |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
           |      % 10000 < thr""".stripMargin,
+      "chunk_documents" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS toks
+          |  FROM documents),
+          |c AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+          |g AS (SELECT doc_id, toks, n,
+          |        unnest(range(0, CAST(1 + ceil(greatest(n - 64, 0) / 56.0) AS INT)))
+          |          AS chunk_id
+          |      FROM c)
+          |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+          |       array_to_string(list_slice(toks, chunk_id * 56 + 1, chunk_id * 56 + 64), ' ')
+          |         AS text,
+          |       CAST(least(64, n - chunk_id * 56) AS BIGINT) AS n_tokens
+          |FROM g""".stripMargin,
+      "pipeline_chunk_pack" ->
+        """WITH RECURSIVE t AS (
+          |  SELECT doc_id,
+          |         list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS toks
+          |  FROM documents),
+          |c AS (SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) > 0),
+          |g AS (SELECT doc_id, n,
+          |        unnest(range(0, CAST(1 + ceil(greatest(n - 64, 0) / 56.0) AS INT)))
+          |          AS chunk_id
+          |      FROM c),
+          |tc AS (SELECT doc_id * 1000 + chunk_id AS cid,
+          |              least(64, n - chunk_id * 56) AS toks
+          |       FROM g),
+          |d AS (SELECT cid // 25000 AS chunk, cid AS id, toks,
+          |             row_number() OVER (PARTITION BY cid // 25000 ORDER BY cid) AS rn
+          |      FROM tc),
+          |rec AS (
+          |  SELECT chunk, id, rn, CAST(0 AS BIGINT) AS bin, toks AS fill
+          |  FROM d WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.chunk, d.id, d.rn,
+          |         CASE WHEN r.fill + d.toks > 128 THEN r.bin + 1 ELSE r.bin END,
+          |         CASE WHEN r.fill + d.toks > 128 THEN d.toks ELSE r.fill + d.toks END
+          |  FROM rec r JOIN d ON d.chunk = r.chunk AND d.rn = r.rn + 1)
+          |SELECT id AS cid, chunk, bin, CAST(fill AS BIGINT) AS bin_fill FROM rec""".stripMargin,
       "shuffle_corpus" ->
         """SELECT doc_id,
           |       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1

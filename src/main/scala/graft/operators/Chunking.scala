@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Context-window chunking: split documents into at-most-`maxTokens`-
+  * token chunks with `overlap` tokens shared between consecutive chunks
+  * — the step between curation and packing that decides how a long
+  * document becomes training sequences ([[Packing.packGreedy]] then
+  * bins the chunks). Beyond the reference surface (SURVEY.md §2.4).
+  *
+  * Scale shape: pure scan-projection — tokens from the codegen'd
+  * `tokens()` expression, chunk ids from an exploded `sequence`, chunk
+  * text from `slice` + `array_join`. No shuffle at all: a 100 TB corpus
+  * chunks at scan speed and the (id, chunk_id) output is deterministic,
+  * so reruns and engines agree (the DuckDB oracle recomputes it).
+  */
+object Chunking {
+
+  /** One row per chunk: `(<idCol>, chunk_id, <textCol>, n_tokens)`.
+    * Chunk `c` covers tokens `[c·stride, c·stride + maxTokens)` with
+    * `stride = maxTokens − overlap`; the last chunk may be shorter,
+    * docs with ≤ `maxTokens` tokens yield exactly one chunk, empty
+    * docs none. Chunk text rejoins its tokens with single spaces
+    * (whitespace-normalized by construction — the tokenizer defines
+    * the token stream, not the original spacing).
+    */
+  def chunkByTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"chunkByTokens: maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"chunkByTokens: overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    val toks = TextFunctions.tokens(col(textCol))
+    // 1 + ceil((n - maxTokens) / stride) chunks cover n tokens; the
+    // double division matches the oracle's ceil(x / stride) exactly
+    val nChunks = (lit(1) +
+      ceil(greatest(size(col("__toks")) - maxTokens, lit(0)) / lit(stride)).cast("int"))
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        array_join(slice(col("__toks"), col("chunk_id") * stride + 1, lit(maxTokens)), " ")
+          .as(textCol),
+        least(lit(maxTokens), size(col("__toks")) - col("chunk_id") * stride)
+          .cast("long").as("n_tokens"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ChunkingSuite extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent scalar chunker. */
+  private def expected(
+      docs: Seq[(Long, String)], maxTokens: Int, overlap: Int): Set[(Long, Int, String, Long)] = {
+    val stride = maxTokens - overlap
+    docs.flatMap { case (id, text) =>
+      val toks = Option(text).map(_.trim.split("\\s+").filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      if (toks.isEmpty) Seq.empty
+      else {
+        val nc = 1 + math.ceil(math.max(toks.length - maxTokens, 0).toDouble / stride).toInt
+        (0 until nc).map { c =>
+          val chunk = toks.slice(c * stride, c * stride + maxTokens)
+          (id, c, chunk.mkString(" "), chunk.length.toLong)
+        }
+      }
+    }.toSet
+  }
+
+  private def run(docs: Seq[(Long, String)], maxTokens: Int, overlap: Int) =
+    Chunking.chunkByTokens(docs.toDF("doc_id", "text"), "doc_id", "text", maxTokens, overlap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+
+  test("chunking matches the scalar reference across shapes") {
+    val rnd = new scala.util.Random(55)
+    for (round <- 0 until 8) {
+      val maxT = 2 + rnd.nextInt(6)
+      val over = rnd.nextInt(maxT)
+      val docs = (0L until 25L).map { i =>
+        (i, (0 until rnd.nextInt(30)).map(j => s"t${(i + j) % 7}").mkString("  "))
+      }
+      assert(run(docs, maxT, over) == expected(docs, maxT, over),
+        s"round $round maxTokens=$maxT overlap=$over")
+    }
+  }
+
+  test("short docs yield one chunk, empty and null docs none") {
+    val docs = Seq((1L, "a b c"), (2L, ""), (3L, "   "), (4L, null: String))
+    assert(run(docs, 10, 2) == Set((1L, 0, "a b c", 3L)))
+  }
+
+  test("consecutive chunks overlap by exactly `overlap` tokens") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val out = run(Seq((7L, text)), maxTokens = 4, overlap = 2).toSeq.sortBy(_._2)
+    assert(out.map(_._3) == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    // every token position is covered and n_tokens is the chunk's size
+    assert(out.map(_._4).sum == 4 * 4)
+  }
+
+  test("chunking is a pure scan projection — no exchange in the plan") {
+    val plan = Chunking.chunkByTokens(
+        Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 2, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
+  }
+}
