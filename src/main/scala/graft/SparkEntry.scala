@@ -383,6 +383,21 @@ object SparkEntry {
         .select(col("id_left"), col("id_right"), col("intersection"),
           col("size_left"), col("size_right"), q4(col("jaccard")).as("jaccard"))
     }),
+    "dedup_incremental_appended" -> ((s, dir) => {
+      // index APPEND lifecycle: base index on a third of the corpus,
+      // a second third appended as an immutable segment (one pass over
+      // the NEW docs only — nothing rewritten), then the final third
+      // dedups against the whole accumulated chain. Oracle = the exact
+      // cross join against BOTH indexed thirds.
+      val d = t(s, dir, "documents")
+      val idx = scratch("minhash_appended_idx", dir)
+      Dedup.buildMinhashIndex(d.filter(col("doc_id") % 3 === 1), "doc_id", "text", idx)
+      Dedup.appendToMinhashIndex(d.filter(col("doc_id") % 3 === 2), "doc_id", "text", idx)
+      Dedup.dedupAgainstMinhashIndex(s, d.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", idx, threshold = 0.8)
+        .select(col("id_left"), col("id_right"), col("intersection"),
+          col("size_left"), col("size_right"), q4(col("jaccard")).as("jaccard"))
+    }),
     "stream_index_dedup" -> ((s, dir) => {
       // the streaming ingest gate's batch-unified form: the SAME
       // stateless stream-static plan (first-shared-band anchor, no
@@ -1390,6 +1405,19 @@ object SparkEntry {
           |  SELECT x.doc_id AS id_left, y.doc_id AS id_right, count(*) AS i
           |  FROM sh x JOIN sh y ON x.shingle = y.shingle
           |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+          |  GROUP BY 1, 2)
+          |SELECT id_left, id_right, i AS intersection,
+          |       ca.n AS size_left, cb.n AS size_right,
+          |       floor((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 AS jaccard
+          |FROM inter
+          |JOIN cnt ca ON ca.doc_id = id_left
+          |JOIN cnt cb ON cb.doc_id = id_right
+          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin),
+      "dedup_incremental_appended" -> (shinglesBase +
+        """inter AS (
+          |  SELECT x.doc_id AS id_left, y.doc_id AS id_right, count(*) AS i
+          |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+          |  WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
           |  GROUP BY 1, 2)
           |SELECT id_left, id_right, i AS intersection,
           |       ca.n AS size_left, cb.n AS size_right,

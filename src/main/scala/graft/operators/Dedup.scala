@@ -441,10 +441,55 @@ object Dedup {
     * band arrays duplicated into every posting row here); sketches are
     * fetched once per distinct pair. Corpus text is never read.
     */
+  /** Append a new batch to an existing [[buildMinhashIndex]] index
+    * WITHOUT touching the existing data: the delta's sketches and
+    * postings (banded with the index's OWN parameters, read from the
+    * current meta) land in a fresh segment directory and
+    * [[graft.sources.IndexIO.publishDelta]] links it into the segment
+    * chain — readers union the segments, so growing the index costs
+    * one pass over the NEW documents only. This is the daily-crawl
+    * lifecycle: index the corpus once, append each day's delta,
+    * dedup incoming batches against the whole accumulated index.
+    */
+  def appendToMinhashIndex(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      bandBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    val meta = spark.read.parquet(s"$vdir/meta").head()
+    val (n, numHashes, bands) =
+      (meta.getAs[Int]("n"), meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"))
+    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+      docs
+        .select(col(idCol).as("doc_id"), TextFunctions.shingles(col(textCol), n).as("__s"))
+        .filter(size(col("__s")) > 0)
+        .select(col("doc_id"),
+          array_sort(transform(col("__s"), s => xxhash64(s))).as("sh"),
+          minhashBandKeys(numHashes, bands)(col("__s")).as("bks"))
+        .write.mode("overwrite").parquet(s"$seg/sketches")
+      spark.read.parquet(s"$seg/sketches")
+        .select(col("doc_id"), posexplode(col("bks")).as(Seq("band", "bh")))
+        .repartition(bandBuckets, col("band"), col("bh"))
+        .sortWithinPartitions("band", "bh")
+        .write.mode("overwrite").parquet(s"$seg/postings")
+      import spark.implicits._
+      Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/meta")
+    }
+    ()
+  }
+
   def dedupAgainstMinhashIndex(
       spark: SparkSession, delta: DataFrame, idCol: String, textCol: String,
       path: String, threshold: Double = 0.6): DataFrame = {
     val vdir = graft.sources.IndexIO.resolve(spark, path)
+    // the index may be an append CHAIN: union the immutable segments
+    // (one for a plain build). Parameters come from the resolved
+    // version's meta; appends copy them forward, so the chain is
+    // self-consistent by construction.
+    val segs = graft.sources.IndexIO.segments(spark, path)
+    def table(name: String): DataFrame =
+      segs.map(s => spark.read.parquet(s"$s/$name")).reduce(_ unionByName _)
     val meta = spark.read.parquet(s"$vdir/meta").head()
     val (n, numHashes, bands) =
       (meta.getAs[Int]("n"), meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"))
@@ -455,7 +500,7 @@ object Dedup {
         array_sort(transform(col("__s"), s => xxhash64(s))).as("__sha"),
         minhashBandKeys(numHashes, bands)(col("__s")).as("__bks"))
     val banded = sh.select(col("__id"), posexplode(col("__bks")).as(Seq("__band", "__bh")))
-    val postings = spark.read.parquet(s"$vdir/postings")
+    val postings = table("postings")
     val cands = banded
       .join(postings, col("__band") === col("band") && col("__bh") === col("bh"))
       .groupBy(col("__id").as("id_left"), col("doc_id").as("id_right"))
@@ -464,7 +509,7 @@ object Dedup {
     cands
       .join(sh.select(col("__id"), col("__sha")), col("id_left") === col("__id"))
       .drop("__id")
-      .join(spark.read.parquet(s"$vdir/sketches").select(
+      .join(table("sketches").select(
         col("doc_id").as("__rid"), col("sh").as("__shb")),
         col("id_right") === col("__rid"))
       .withColumn("intersection", size(array_intersect(col("__sha"), col("__shb"))).cast("long"))

@@ -501,10 +501,13 @@ object Streaming {
       indexPath: String, threshold: Double = 0.6): DataFrame = {
     import graft.functions.TextFunctions
     // resolve the committed version ONCE at plan time: every micro-batch
-    // re-lists files under this frozen version dir, so a concurrent
-    // index rebuild (which publishes a sibling version and flips
+    // re-lists files under these frozen segment dirs, so a concurrent
+    // index rebuild/append (which publishes a sibling version and flips
     // _LATEST) can never tear the long-running gate mid-stream
     val vdir = graft.sources.IndexIO.resolve(spark, indexPath)
+    val segs = graft.sources.IndexIO.segments(spark, indexPath)
+    def table(name: String): DataFrame =
+      segs.map(s => spark.read.parquet(s"$s/$name")).reduce(_ unionByName _)
     val meta = spark.read.parquet(s"$vdir/meta").head()
     val (n, numHashes, bands) =
       (meta.getAs[Int]("n"), meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"))
@@ -516,8 +519,8 @@ object Streaming {
         graft.operators.Dedup.minhashBandKeys(numHashes, bands)(col("__s")).as("__bks"))
     val banded = sh.select(col("__id"), col("__sha"), col("__bks"),
       posexplode(col("__bks")).as(Seq("__band", "__bh")))
-    val postings = spark.read.parquet(s"$vdir/postings")
-    val sketches = spark.read.parquet(s"$vdir/sketches").select(
+    val postings = table("postings")
+    val sketches = table("sketches").select(
       col("doc_id").as("__rid"), col("sh").as("__shb"), col("bks").as("__rbks"))
     // first band the two signatures share — in-row anchor, no agg state
     val firstShared =

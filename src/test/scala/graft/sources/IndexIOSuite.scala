@@ -56,6 +56,31 @@ class IndexIOSuite extends SparkSpec {
     assert(ex.getMessage.contains("no committed index"), ex.getMessage)
   }
 
+  test("publishDelta chains immutable segments; readers union; prune keeps the chain") {
+    val base = newBase()
+    IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1, 2)))
+    IndexIO.publishDelta(spark, base)(vdir => writeTable(vdir, "a", Seq(3)))
+    IndexIO.publishDelta(spark, base)(vdir => writeTable(vdir, "a", Seq(4, 5)))
+    val segs = IndexIO.segments(spark, base)
+    assert(segs.length == 3, s"expected a 3-segment chain, got $segs")
+    val union = segs.map(s => spark.read.parquet(s"$s/a")).reduce(_ union _)
+      .as[Int].collect().toSet
+    assert(union == Set(1, 2, 3, 4, 5))
+    // every chained segment dir survives pruning (they back the data)
+    segs.foreach(s => assert(new java.io.File(s).isDirectory, s"pruned live segment $s"))
+    // a full rebuild starts a fresh single-segment chain
+    IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(9)))
+    assert(IndexIO.segments(spark, base).length == 1)
+  }
+
+  test("publishDelta without a committed base fails loudly") {
+    val base = newBase()
+    val ex = intercept[IllegalStateException] {
+      IndexIO.publishDelta(spark, base)(vdir => writeTable(vdir, "a", Seq(1)))
+    }
+    assert(ex.getMessage.contains("no committed base"), ex.getMessage)
+  }
+
   test("a reader holding a resolved version survives one concurrent rebuild") {
     val base = newBase()
     IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1, 2, 3)))
