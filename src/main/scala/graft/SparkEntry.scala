@@ -504,6 +504,22 @@ object SparkEntry {
         SimilaritySearch.searchIvf(s, idx, q, "vec_id", "embedding", k = 5),
         SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
     }),
+    "ann_topk_ivf_appended" -> ((s, dir) => {
+      // ANN index APPEND lifecycle: train + build on the even half,
+      // append the odd half to the EXISTING centroids (no retrain, one
+      // pass over the new vectors, immutable segment chain), then
+      // search the chained index against the full-corpus exact top-k
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val idx = scratch("ivf_appended_idx", dir)
+      SimilaritySearch.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx)
+      SimilaritySearch.appendToIvfIndex(s, idx,
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.searchIvf(s, idx, q, "vec_id", "embedding", k = 5),
+        SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
+    }),
     "ann_topk_ivf_sq8" -> ((s, dir) => {
       // IVF-SQ8 lifecycle: quantized cells persisted once (~8x smaller
       // index), probes run the integer ByteDot kernel partition-pruned
@@ -1482,6 +1498,11 @@ object SparkEntry {
       "ann_topk_ivf_sq8" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(0.62 AS DOUBLE) AS recall""".stripMargin,
+      // half-corpus training (the append case) costs recall vs the
+      // 0.62 full-train constant — measured at sf0.01 like the others
+      "ann_topk_ivf_appended" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(0.5 AS DOUBLE) AS recall""".stripMargin,
       "ann_topk_sq8" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(0.99 AS DOUBLE) AS recall""".stripMargin,

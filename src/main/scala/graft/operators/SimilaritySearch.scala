@@ -269,6 +269,37 @@ object SimilaritySearch {
     ()
   }
 
+  /** Append new vectors to a [[buildIvfIndex]] index WITHOUT
+    * retraining or rewriting: the existing centroids (k×dim, read once
+    * to the driver) assign the new vectors to their cells, and the new
+    * cell files land in a fresh immutable segment chained via
+    * [[graft.sources.IndexIO.publishDelta]] — searches union the
+    * chain. The centroid table is copied forward so every version
+    * resolves its own. One pass over the NEW vectors only; recall
+    * properties are those of the original training (append enough
+    * drifted data and a rebuild re-trains — that's a policy decision,
+    * not this operator's).
+    */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
+    val cents = spark.read.parquet(s"$vdir/centroids")
+      .orderBy(col("cell"))
+      .select("centroid").collect().map(_.getSeq[Double](0).toArray)
+    val c = prepared(newVectors, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+    graft.sources.IndexIO.publishDelta(spark, indexDir) { seg =>
+      spark.read.parquet(s"$vdir/centroids")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$seg/centroids")
+      c.withColumn("cell", bestCellExpr(col("__cv"), centroidArray(cents)))
+        .select(col("neighbor_id"), col("__cv").as("vec"), col("__cn").as("norm"),
+          col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$seg/cells")
+    }
+    ()
+  }
+
   /** IVF-SQ8 persisted index: same learned cells as [[buildIvfIndex]],
     * but the stored vectors are SQ8-quantized structs — ~8× smaller
     * cells on disk and over the wire, and probe-time scoring runs the
@@ -313,7 +344,9 @@ object SimilaritySearch {
     val cents = spark.read.parquet(s"$vdir/centroids")
       .select(col("cell").as("__cell"), col("centroid").as("__ctv"),
         col("cnorm").as("__ctn"))
-    val cells = spark.read.parquet(s"$vdir/cells")
+    val cells = graft.sources.IndexIO.segments(spark, indexDir)
+      .map(seg => spark.read.parquet(s"$seg/cells"))
+      .reduce(_ unionByName _)
       .select(col("neighbor_id"), col("qvec").as("__cq"), col("cell").as("__cell"))
     val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
     val probed = probeCells(q, cents, nProbe)
@@ -345,7 +378,12 @@ object SimilaritySearch {
     val cents = spark.read.parquet(s"$vdir/centroids")
       .select(col("cell").as("__cell"), col("centroid").as("__ctv"),
         col("cnorm").as("__ctn"))
-    val cells = spark.read.parquet(s"$vdir/cells")
+    // the index may be an append chain (appendToIvfIndex): union the
+    // immutable segments' cells; cell-partition pruning applies per
+    // segment scan, so probes still skip unprobed directories
+    val cells = graft.sources.IndexIO.segments(spark, indexDir)
+      .map(seg => spark.read.parquet(s"$seg/cells"))
+      .reduce(_ unionByName _)
       .select(col("neighbor_id"), col("vec").as("__cv"), col("norm").as("__cn"),
         col("cell").as("__cell"))
     val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")

@@ -108,6 +108,36 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(again == fromIndex)
   }
 
+  test("appended IVF index: chain holds every vector; probe-all search is EXACT") {
+    val rnd = new scala.util.Random(47)
+    val centers = Seq(
+      Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0),
+      Array(0, 0, 10.0, 0), Array(0, 0, 0, 10.0))
+    val vecs = (0 until 160).map { i =>
+      (i, centers(i % 4).map(_ + rnd.nextGaussian() * 0.5))
+    }.toDF("id", "emb")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    SimilaritySearch.buildIvfIndex(vecs.filter($"id" % 2 === 0), "id", "emb", dir,
+      nCentroids = 4, iters = 3)
+    SimilaritySearch.appendToIvfIndex(spark, dir, vecs.filter($"id" % 2 === 1), "id", "emb")
+    // two immutable segments, all 160 vectors reachable
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 2)
+    val q = vecs.filter($"id" < 10)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toSet
+    // probing EVERY cell makes IVF exact — over the whole chain, so a
+    // lost segment row would break equality with brute force
+    val all = key(SimilaritySearch.searchIvf(spark, dir, q, "id", "emb", k = 3, nProbe = 4))
+    val exact = key(SimilaritySearch.bruteForceTopK(q, vecs, "id", "emb", k = 3))
+    assert(all == exact)
+    // and a second append keeps working (chain of 3)
+    SimilaritySearch.appendToIvfIndex(spark, dir,
+      (1000 until 1010).map(i => (i, centers(i % 4))).toDF("id", "emb"), "id", "emb")
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 3)
+    val bigger = SimilaritySearch.searchIvf(spark, dir, q, "id", "emb", k = 3, nProbe = 4)
+    assert(bigger.count() == 30)
+  }
+
   test("IVF-SQ8 index: 8x-smaller cells, integer-kernel probes, high recall") {
     val rnd = new scala.util.Random(31)
     // realistic dimensionality: at dim 4 the struct constants would
