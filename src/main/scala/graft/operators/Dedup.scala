@@ -479,6 +479,35 @@ object Dedup {
     ()
   }
 
+  /** Compact an append chain back to ONE co-clustered segment — from
+    * the index's own data, never the corpus text: sketches carry the
+    * full 8-byte-per-shingle payload, so the merged postings re-derive
+    * from the unioned sketches exactly as in [[buildMinhashIndex]].
+    * Restores the single co-clustered postings table that banding
+    * probes join against (a K-segment chain probes K separately-
+    * clustered tables); publishes as a fresh single-segment version,
+    * pre-flip readers keep their chain. No-op on an unchained index.
+    */
+  def compactMinhashIndex(
+      spark: SparkSession, path: String, bandBuckets: Int = 64): Unit = {
+    val segs = graft.sources.IndexIO.segments(spark, path)
+    if (segs.length <= 1) return
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    val meta = spark.read.parquet(s"$vdir/meta")
+    val sketches = segs.map(s => spark.read.parquet(s"$s/sketches"))
+      .reduce(_ unionByName _)
+    graft.sources.IndexIO.publish(spark, path) { nv =>
+      sketches.write.mode("overwrite").parquet(s"$nv/sketches")
+      spark.read.parquet(s"$nv/sketches")
+        .select(col("doc_id"), posexplode(col("bks")).as(Seq("band", "bh")))
+        .repartition(bandBuckets, col("band"), col("bh"))
+        .sortWithinPartitions("band", "bh")
+        .write.mode("overwrite").parquet(s"$nv/postings")
+      meta.coalesce(1).write.mode("overwrite").parquet(s"$nv/meta")
+    }
+    ()
+  }
+
   def dedupAgainstMinhashIndex(
       spark: SparkSession, delta: DataFrame, idCol: String, textCol: String,
       path: String, threshold: Double = 0.6): DataFrame = {

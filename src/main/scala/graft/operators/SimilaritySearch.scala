@@ -300,6 +300,27 @@ object SimilaritySearch {
     ()
   }
 
+  /** Compact an IVF append chain to one segment: union the chain's
+    * cells and rewrite them as a single cell-partitioned table (one
+    * directory per cell again, instead of one per cell per segment),
+    * centroids carried forward. Publishes as a fresh single-segment
+    * version; pre-flip readers keep their chain. No-op on an unchained
+    * index.
+    */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    val segs = graft.sources.IndexIO.segments(spark, indexDir)
+    if (segs.length <= 1) return
+    val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
+    val cents = spark.read.parquet(s"$vdir/centroids")
+    val cells = segs.map(s => spark.read.parquet(s"$s/cells")).reduce(_ unionByName _)
+    graft.sources.IndexIO.publish(spark, indexDir) { nv =>
+      cents.repartition(1).write.mode("overwrite").parquet(s"$nv/centroids")
+      cells.write.mode("overwrite").partitionBy("cell").parquet(s"$nv/cells")
+    }
+    ()
+  }
+
   /** IVF-SQ8 persisted index: same learned cells as [[buildIvfIndex]],
     * but the stored vectors are SQ8-quantized structs — ~8× smaller
     * cells on disk and over the wire, and probe-time scoring runs the

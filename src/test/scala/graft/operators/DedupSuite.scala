@@ -289,6 +289,39 @@ class DedupSuite extends SparkSpec {
     assertSameRows(viaIndex.orderBy("id_left"), exact.orderBy("id_left"))
   }
 
+  test("appended minhash index == exact join over the union; compaction preserves results") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val appended = Seq(
+      (5L, "red orange yellow green blue indigo violet colors rainbow sky"),
+      (7L, "totally unrelated corpus document with its own words here")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  // = base doc 1
+      (6L, "red orange yellow green blue indigo violet colors rainbow SEA"), // ~ appended doc 5
+      (8L, "fresh never seen before text about something else entirely")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx_app").toString
+    Dedup.buildMinhashIndex(base, "doc_id", "text", dir, n = 3)
+    Dedup.appendToMinhashIndex(appended, "doc_id", "text", dir)
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 2)
+    def run() = Dedup.dedupAgainstMinhashIndex(spark, delta, "doc_id", "text", dir,
+        threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaChain = run()
+    val exact = Dedup.ngramJaccardJoin(delta, "doc_id", "text",
+        base.unionByName(appended), "doc_id", "text", n = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaChain == exact) // match against BOTH the base and the appended segment
+    assert(viaChain.map(_._2).contains(5L), s"appended segment unreachable: $viaChain")
+    // compaction: one segment, identical matches
+    Dedup.compactMinhashIndex(spark, dir)
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1)
+    assert(run() == viaChain)
+  }
+
   test("maskRepeatedWindows: later exact spans drop, first occurrence survives") {
     val docs = Seq(
       (1, "the quick brown fox jumps over the lazy dog"),

@@ -134,8 +134,13 @@ class SimilaritySearchSuite extends SparkSpec {
     SimilaritySearch.appendToIvfIndex(spark, dir,
       (1000 until 1010).map(i => (i, centers(i % 4))).toDF("id", "emb"), "id", "emb")
     assert(graft.sources.IndexIO.segments(spark, dir).length == 3)
-    val bigger = SimilaritySearch.searchIvf(spark, dir, q, "id", "emb", k = 3, nProbe = 4)
-    assert(bigger.count() == 30)
+    val bigger = key(SimilaritySearch.searchIvf(spark, dir, q, "id", "emb", k = 3, nProbe = 4))
+    assert(bigger.size == 30)
+    // compaction collapses the chain to one segment, results unchanged
+    SimilaritySearch.compactIvfIndex(spark, dir)
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1)
+    assert(key(SimilaritySearch.searchIvf(spark, dir, q, "id", "emb", k = 3, nProbe = 4))
+      == bigger)
   }
 
   test("IVF-SQ8 index: 8x-smaller cells, integer-kernel probes, high recall") {
