@@ -7,9 +7,15 @@ package graft.functions
 object Hashing {
 
   /** FNV-1a 64-bit over UTF-8 bytes. */
-  def fnv1a64(s: String): Long = {
+  def fnv1a64(s: String): Long =
+    fnv1a64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Same hash from raw UTF-8 bytes — a Tungsten `UTF8String`'s bytes
+    * ARE the string's UTF-8 encoding, so hashing them here equals
+    * `fnv1a64(string)` bit-for-bit with no decode (suite-pinned).
+    */
+  def fnv1a64(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
-    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
     while (i < bytes.length) {
       h ^= (bytes(i) & 0xffL)

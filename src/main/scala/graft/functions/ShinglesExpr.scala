@@ -225,6 +225,80 @@ case class WindowHashesExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Kernel for [[MinHashBandKeysExpr]]: the fused signature+banding
+  * pass of `Dedup.minhashBandKeys`, fed by the shingle `UTF8String`s'
+  * raw bytes — FNV-1a over bytes equals FNV-1a over the decoded string
+  * (both hash the UTF-8 encoding), so band keys are bit-identical to
+  * the UDF form it replaces while skipping the per-shingle decode.
+  */
+object MinHashBandKeysKernel {
+  def compute(
+      arr: ArrayData, numHashes: Int, bands: Int,
+      as: Array[Long], bs: Array[Long]): ArrayData = {
+    val rows = numHashes / bands
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val m = arr.numElements()
+    var e = 0
+    while (e < m) {
+      val base = Hashing.fnv1a64(arr.getUTF8String(e).getBytes)
+      var i = 0
+      while (i < numHashes) {
+        val h = as(i) * base + bs(i)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      e += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var k = 0xcbf29ce484222325L
+      var r = 0
+      while (r < rows) {
+        k = Hashing.splitmix64(k ^ sig(b * rows + r))
+        r += 1
+      }
+      out(b) = k
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `array<string> -> array<long>`: MinHash band keys as a native
+  * expression. The O(|shingles| × numHashes) signature loop was
+  * already fused in the UDF form; this removes the remaining
+  * per-shingle `UTF8String -> String` decode at the catalyst boundary
+  * and keeps the call inside the WholeStageCodegen span.
+  */
+case class MinHashBandKeysExpr(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression {
+
+  require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+
+  // per-permutation affine constants, precomputed once per plan
+  private val as = Array.tabulate(numHashes)(i => Hashing.splitmix64(2L * i) | 1L)
+  private val bs = Array.tabulate(numHashes)(i => Hashing.splitmix64(2L * i + 1))
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def prettyName: String = "graft_minhash_band_keys"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashBandKeysKernel.compute(input.asInstanceOf[ArrayData], numHashes, bands, as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("graftMinhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("graftMinhashBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashBandKeysKernel.compute(" +
+        s"$c, $numHashes, $bands, $asRef, $bsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Kernel for [[BloomHitsExpr]]: xxhash64 each shingle's UTF-8 bytes
   * (identical to the `xxhash64` expression — same XXH64, same seed 42,
   * no decode to `String`) and keep the hashes the Bloom filter accepts.

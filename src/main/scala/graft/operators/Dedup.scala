@@ -290,40 +290,22 @@ object Dedup {
         array_join(col("__kl.__line"), "\n").as(textCol))
   }
 
-  /** One UDF pass per document: MinHash signature (`sig[i] = min over
+  /** One fused pass per document: MinHash signature (`sig[i] = min over
     * shingles of a_i * fnv64(shingle) + b_i`) folded directly into
-    * `bands` 64-bit band keys. Computing the keys *inside* the UDF
-    * matters twice over: (1) Catalyst's projection collapse would
-    * otherwise inline the signature UDF into every one of the `bands`
-    * band-hash expressions and re-run the k×|shingles| work `bands`
-    * times; (2) the per-permutation affine constants are precomputed
-    * once here, not re-derived per shingle.
+    * `bands` 64-bit band keys, as the native
+    * [[graft.functions.MinHashBandKeysExpr]]. Fusing matters twice
+    * over: (1) splitting signature and band hashing would re-run the
+    * k×|shingles| signature work once per band on projection collapse;
+    * (2) the per-permutation affine constants are precomputed once per
+    * plan. The native form additionally hashes the shingle bytes
+    * without decoding them (values bit-identical to the former UDF —
+    * spec-pinned), so persisted band indexes stay valid.
     */
-  private[graft] def minhashBandKeys(numHashes: Int, bands: Int) = {
-    val rows = numHashes / bands
-    val as = Array.tabulate(numHashes)(i => Hashing.splitmix64(2L * i) | 1L)
-    val bs = Array.tabulate(numHashes)(i => Hashing.splitmix64(2L * i + 1))
-    udf((shingles: Seq[String]) => {
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      shingles.foreach { s =>
-        val base = Hashing.fnv1a64(s)
-        var i = 0
-        while (i < numHashes) {
-          val h = as(i) * base + bs(i)
-          if (h < sig(i)) sig(i) = h
-          i += 1
-        }
-      }
-      Array.tabulate(bands) { b =>
-        var k = 0xcbf29ce484222325L
-        var r = 0
-        while (r < rows) {
-          k = Hashing.splitmix64(k ^ sig(b * rows + r))
-          r += 1
-        }
-        k
-      }
-    })
+  private[graft] def minhashBandKeys(numHashes: Int, bands: Int): Column => Column = {
+    sh => {
+      import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+      toColumn(graft.functions.MinHashBandKeysExpr(toExpression(sh), numHashes, bands))
+    }
   }
 
   /** MinHash+LSH near-dup join: signatures → `bands` bands of

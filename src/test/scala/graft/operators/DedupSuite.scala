@@ -289,6 +289,35 @@ class DedupSuite extends SparkSpec {
     assertSameRows(viaIndex.orderBy("id_left"), exact.orderBy("id_left"))
   }
 
+  test("native band keys == scalar signature+banding replica (UDF-era values)") {
+    val (numHashes, bands) = (128, 32)
+    val rows = numHashes / bands
+    val docs = Seq(
+      "alpha beta gamma delta epsilon", "unicode é 漢字 emoji😀 tokens",
+      "a b", "x").zipWithIndex.map(_.swap)
+    val got = docs.toDF("id", "text")
+      .select($"id", Dedup.minhashBandKeys(numHashes, bands)(
+        graft.functions.TextFunctions.shingles($"text", 2)).as("bks"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    for ((id, text) <- docs) {
+      val sh = graft.functions.TextFunctions.distinctShingles(text, 2)
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      sh.foreach { s =>
+        val base = graft.functions.Hashing.fnv1a64(s) // String overload
+        for (i <- 0 until numHashes) {
+          val h = graft.functions.Hashing.permute(base, i)
+          if (h < sig(i)) sig(i) = h
+        }
+      }
+      val expected = (0 until bands).map { b =>
+        (0 until rows).foldLeft(0xcbf29ce484222325L) { (k, r) =>
+          graft.functions.Hashing.splitmix64(k ^ sig(b * rows + r))
+        }
+      }
+      assert(got(id) == expected, s"doc $id")
+    }
+  }
+
   test("appended minhash index == exact join over the union; compaction preserves results") {
     val base = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
