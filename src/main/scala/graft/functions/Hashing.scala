@@ -25,6 +25,20 @@ object Hashing {
     h
   }
 
+  /** FNV-1a over a byte RANGE `[from, until)` — lets token-span kernels
+    * hash a token in place without slicing a per-token array.
+    */
+  def fnv1a64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   /** SplitMix64 — used to derive per-permutation affine constants. */
   def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L

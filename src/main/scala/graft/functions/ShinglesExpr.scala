@@ -299,6 +299,71 @@ case class MinHashBandKeysExpr(child: Expression, numHashes: Int, bands: Int)
     copy(child = newChild)
 }
 
+/** Kernel for [[SimHash64Expr]]: tokenize the text's bytes with the
+  * shared span tokenizer (positionally identical to
+  * `TextFunctions.tokens` — suite-pinned) and fold each token's FNV-1a
+  * hash into the 64 SimHash bit counters, hashing token byte ranges in
+  * place. Values are bit-identical to
+  * `simhash64_udf(tokens(text))` because FNV over the span bytes
+  * equals FNV over the decoded token string.
+  */
+object SimHashKernel {
+  def compute(u: UTF8String): Long = {
+    if (u == null) return 0L // empty token multiset, all counters at -0 -> sign bits 0
+    val bytes = u.getBytes
+    val (starts, ends, m) = ShinglesKernel.tokenSpans(bytes)
+    val acc = new Array[Int](64)
+    var t = 0
+    while (t < m) {
+      val h = Hashing.fnv1a64(bytes, starts(t), ends(t))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+}
+
+/** `string -> bigint`: 64-bit SimHash of the token multiset as a native
+  * expression. Replaces the former `simhash64(tokens(text))` UDF chain:
+  * the tokens ARRAY is never materialized (the spans feed the bit
+  * counters directly), no UTF-8 decode happens, and the call stays
+  * inside the WholeStageCodegen span. Null text hashes like an empty
+  * document (signature 0), keeping the total-function contract of the
+  * UDF it replaces.
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_simhash64"
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    SimHashKernel.compute(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        long ${ev.value} = graft.functions.SimHashKernel.compute(
+          ${childGen.isNull} ? null : ${childGen.value});
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Kernel for [[BloomHitsExpr]]: xxhash64 each shingle's UTF-8 bytes
   * (identical to the `xxhash64` expression — same XXH64, same seed 42,
   * no decode to `String`) and keep the hashes the Bloom filter accepts.

@@ -98,6 +98,67 @@ case class ByteDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Kernel for [[SignBandKeysExpr]]: `bits` random-hyperplane sign bits
+  * (components are deterministic ±1 from SplitMix64 — no stored model)
+  * packed into one long, then sliced into `bands` keys of `bits/bands`
+  * bits. Bit-identical to the UDF form it replaces (spec-pinned), so
+  * persisted embedding-LSH band keys stay valid.
+  */
+object SignBandKeysKernel {
+  def compute(arr: ArrayData, bits: Int, bands: Int, mask: Long): ArrayData = {
+    val width = bits / bands
+    val n = arr.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val r = Hashing.splitmix64(b.toLong * 100003L + i)
+        val v = arr.getDouble(i)
+        s += (if (r < 0) -v else v)
+        i += 1
+      }
+      if (s > 0) sig |= (1L << b)
+      b += 1
+    }
+    val out = new Array[Long](bands)
+    var c = 0
+    while (c < bands) { out(c) = (sig >>> (c * width)) & mask; c += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `array<double> -> array<long>`: random-hyperplane LSH band keys as a
+  * native expression. Keeps the one-pass fusion of the UDF it replaces
+  * (band keys computed directly — a signature column consumed by
+  * per-band expressions would re-run the whole signature per band on
+  * projection collapse) and drops the `Seq[Double]` boxing at the
+  * catalyst boundary: the loop reads primitive doubles out of Tungsten
+  * `ArrayData` inside the WholeStageCodegen span.
+  */
+case class SignBandKeysExpr(child: Expression, bits: Int, bands: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(bits % bands == 0, "bands must divide bits")
+  require(bits <= 64, "at most 64 sign bits")
+
+  private val mask = { val w = bits / bands; if (w >= 64) -1L else (1L << w) - 1 }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sign_band_keys"
+
+  override def nullSafeEval(input: Any): Any =
+    SignBandKeysKernel.compute(input.asInstanceOf[ArrayData], bits, bands, mask)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignBandKeysKernel.compute($c, $bits, $bands, ${mask}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One SQ8-quantized vector: `value[i] ~ vmin + step * (bytes[i] & 0xff)`,
   * with the byte sum and length precomputed so a full dot product needs
   * only ONE byte-dot pass at query time (see [[VectorFunctions.sq8Dot]]).
@@ -199,39 +260,14 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
 
-  /** Random-hyperplane LSH band keys for a vector, in ONE UDF pass:
-    * `bits` sign bits (hyperplane components are deterministic ±1 from
-    * SplitMix64 — no stored model) grouped into `bands` keys of
-    * `bits/bands` bits each. Returning the band keys directly — rather
-    * than a signature column consumed by per-band expressions — matters
-    * at scale: Catalyst's projection collapse would inline a signature
-    * UDF into every band expression and recompute the whole signature
-    * `bands` times per row (the Dedup.minhashLsh lesson).
-    *
-    * Bit-compatible with the banding previously inlined in
-    * Dedup/SimilaritySearch: band c holds signature bits
+  /** Random-hyperplane LSH band keys for a vector — the native
+    * [[SignBandKeysExpr]]. Bit-compatible with the banding previously
+    * inlined in Dedup/SimilaritySearch (and with the UDF form this
+    * replaces, spec-pinned): band c holds signature bits
     * [c*width, (c+1)*width).
     */
-  def signBandKeys(bits: Int, bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    require(bits % bands == 0, "bands must divide bits")
-    require(bits <= 64, "at most 64 sign bits")
-    val width = bits / bands
-    val mask = if (width >= 64) -1L else (1L << width) - 1
-    udf((vec: Seq[Double]) => {
-      var sig = 0L
-      var b = 0
-      while (b < bits) {
-        var s = 0.0
-        var i = 0
-        while (i < vec.length) {
-          val r = Hashing.splitmix64(b.toLong * 100003L + i)
-          s += (if (r < 0) -vec(i) else vec(i))
-          i += 1
-        }
-        if (s > 0) sig |= (1L << b)
-        b += 1
-      }
-      Array.tabulate(bands)(c => (sig >>> (c * width)) & mask)
-    })
+  def signBandKeys(bits: Int, bands: Int): Column => Column = { vec =>
+    GraftInternals.toColumn(
+      SignBandKeysExpr(GraftInternals.toExpression(asDouble(vec)), bits, bands))
   }
 }

@@ -617,26 +617,18 @@ object Dedup {
 
   /** 64-bit SimHash of the token multiset: bit j of the signature is the
     * sign of `sum over tokens of (bit j of fnv64(token) ? +1 : -1)`.
+    * Native [[graft.functions.SimHash64Expr]] straight over the text —
+    * the tokens array is never materialized (values bit-identical to
+    * the former `udf(tokens(text))` chain, spec-pinned).
     */
-  private val simhash64 = udf((toks: Seq[String]) => {
-    val acc = new Array[Int](64)
-    toks.foreach { t =>
-      val h = Hashing.fnv1a64(t)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
-        j += 1
-      }
-    }
-    var sig = 0L
-    var j = 0
-    while (j < 64) { if (acc(j) > 0) sig |= (1L << j); j += 1 }
-    sig
-  })
+  private def simhash64(text: Column): Column = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    toColumn(graft.functions.SimHash64Expr(toExpression(text)))
+  }
 
   /** Append a `simhash` bigint column. */
   def withSimhash(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("simhash", simhash64(TextFunctions.tokens(col(textCol))))
+    df.withColumn("simhash", simhash64(col(textCol)))
 
   /** SimHash near-dup pairs with Hamming distance <= `maxHamming`.
     * Blocking: split the 64-bit signature into `maxHamming + 1` chunks —

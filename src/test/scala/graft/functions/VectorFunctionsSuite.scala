@@ -57,4 +57,31 @@ class VectorFunctionsSuite extends SparkSpec {
     val out = spark.sql("SELECT graft_dot(a, b) FROM vf_pairs").collect()
     assert(out.map(_.getDouble(0)).toSet == Set(32.0, 0.0))
   }
+
+  test("native sign band keys == scalar hyperplane replica (UDF-era values)") {
+    val (bits, bands) = (16, 4)
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val vecs = Seq(
+      Array(0.3, -1.2, 4.5, 0.0, 2.2),
+      Array(-0.5, -0.5),
+      Array(1e-9, -1e-9, 0.0),
+      Array.tabulate(64)(i => math.sin(i.toDouble)))
+    val got = vecs.zipWithIndex.map(_.swap).toDF("id", "v")
+      .select($"id", VectorFunctions.signBandKeys(bits, bands)($"v").as("bks"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    for ((vec, id) <- vecs.zipWithIndex) {
+      var sig = 0L
+      for (b <- 0 until bits) {
+        var s = 0.0
+        for (i <- vec.indices) {
+          val r = Hashing.splitmix64(b.toLong * 100003L + i)
+          s += (if (r < 0) -vec(i) else vec(i))
+        }
+        if (s > 0) sig |= (1L << b)
+      }
+      val expected = (0 until bands).map(c => (sig >>> (c * width)) & mask)
+      assert(got(id) == expected, s"vec $id")
+    }
+  }
 }

@@ -318,6 +318,26 @@ class DedupSuite extends SparkSpec {
     }
   }
 
+  test("native simhash == scalar token-hash replica (UDF-era values)") {
+    val docs = Seq(
+      "alpha beta gamma delta epsilon", "unicode é 漢字 emoji😀 tokens",
+      "  leading and trailing   ", "", "x").zipWithIndex.map(_.swap)
+    val got = Dedup.withSimhash(docs.toDF("id", "text"), "text")
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    for ((id, text) <- docs) {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val acc = new Array[Int](64)
+      toks.foreach { t =>
+        val h = graft.functions.Hashing.fnv1a64(t) // String overload
+        for (j <- 0 until 64)
+          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+      }
+      var sig = 0L
+      for (j <- 0 until 64) if (acc(j) > 0) sig |= (1L << j)
+      assert(got(id) == sig, s"doc $id")
+    }
+  }
+
   test("appended minhash index == exact join over the union; compaction preserves results") {
     val base = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
