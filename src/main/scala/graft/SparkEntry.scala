@@ -814,6 +814,14 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source")
     }),
+    "mix_temperature" -> ((s, dir) => {
+      // temperature mixing WITH upsampling: source share ∝ n^0.5, total
+      // 800 rows over a 500-doc corpus — small sources repeat
+      // deterministically (floor(f) copies + md5-fraction extra copy)
+      Sampling.mixSourcesTemperature(t(s, dir, "documents"), "source", "doc_id",
+        alpha = 0.5, totalRows = 800)
+        .select("doc_id", "source", "mix_copy")
+    }),
     "shuffle_corpus" -> ((s, dir) => {
       // reproducible global training order: dense rank by (md5(id), id)
       // via the two-pass bucket-offset plan — no single-partition sort
@@ -1849,6 +1857,31 @@ object SparkEntry {
           |SELECT d.doc_id, d.source FROM documents d JOIN th ON th.source = d.source
           |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
           |      % 10000 < thr""".stripMargin,
+      // mix_temperature: weights floored to a 1e-4 grid and summed as
+      // exact BIGINTs (pow is not correctly rounded; the sum must be
+      // order-free), then the factor replays the Scala side's
+      // left-to-right doubles totalRows * (w/z) / n verbatim
+      "mix_temperature" ->
+        """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+          |w AS (SELECT source, n,
+          |        CAST(floor(pow(CAST(n AS DOUBLE), 0.5) * 10000) AS BIGINT) AS ws
+          |      FROM cnt),
+          |z AS (SELECT CAST(sum(ws) AS BIGINT) AS zs FROM w),
+          |f AS (SELECT source, n,
+          |        CAST(800 AS DOUBLE) * (CAST(ws AS DOUBLE) / CAST(zs AS DOUBLE))
+          |          / CAST(n AS DOUBLE) AS f
+          |      FROM w CROSS JOIN z),
+          |fac AS (SELECT source, CAST(floor(f) AS BIGINT) AS cf,
+          |               CAST(floor((f - floor(f)) * 10000) AS BIGINT) AS thr
+          |        FROM f),
+          |k AS (SELECT doc_id, d.source,
+          |        cf + (CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+          |                        AS UBIGINT) % 10000 < thr
+          |              THEN 1 ELSE 0 END) AS copies
+          |      FROM documents d JOIN fac ON fac.source = d.source)
+          |SELECT doc_id, source,
+          |       CAST(unnest(range(0, CAST(copies AS INT))) AS BIGINT) AS mix_copy
+          |FROM k WHERE copies > 0""".stripMargin,
       "chunk_documents" ->
         """WITH t AS (
           |  SELECT doc_id,

@@ -104,6 +104,62 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Temperature-based source mixing WITH upsampling — the standard
+    * multilingual/multi-domain LM recipe: source `s` with `n_s` rows
+    * gets output share `n_s^alpha / Σ_t n_t^alpha` of `totalRows`
+    * (alpha = 1 keeps natural proportions, alpha = 0 equalizes sources,
+    * alpha ∈ (0,1) boosts small sources). Unlike [[mixSources]], the
+    * per-source factor `f_s = totalRows·share_s / n_s` may EXCEED 1:
+    * every row then emits `floor(f_s)` copies, plus one more for the
+    * deterministic md5-hash fraction `f_s − floor(f_s)` of ids — so
+    * repetition counts are reproducible across engines and runs, and an
+    * incremental rerun repeats exactly the same rows.
+    *
+    * Engine-portable arithmetic: `pow` is not correctly rounded (libm
+    * vs JVM may differ in the last ulp), so weights are floored to a
+    * 1e-4 grid and summed as EXACT scaled longs (order-free — no
+    * dependence on either engine's aggregation order); the factor is
+    * then the fixed left-to-right double expression
+    * `totalRows * (w/z) / n` that the oracle replays verbatim.
+    *
+    * Scale shape: one count aggregation (#sources rows, collected),
+    * factors broadcast back; copies materialize as an
+    * `explode(sequence(...))` in the scan projection — kept rows never
+    * shuffle, and upsampled duplicates are created where the row
+    * already lives.
+    */
+  def mixSourcesTemperature(
+      df: DataFrame, sourceCol: String, idCol: String,
+      alpha: Double, totalRows: Long,
+      buckets: Int = 10000, copyCol: String = "mix_copy"): DataFrame = {
+    require(alpha >= 0, s"mixSourcesTemperature: alpha must be >= 0, got $alpha")
+    require(totalRows > 0, s"mixSourcesTemperature: totalRows must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.nonEmpty, "mixSourcesTemperature: empty input")
+    val wScaled = counts.map { case (s, n) =>
+      s -> math.floor(math.pow(n.toDouble, alpha) * 10000).toLong
+    }.toMap
+    val z = wScaled.values.sum // exact long sum, aggregation-order-free
+    val factors = counts.map { case (s, n) =>
+      // left-to-right doubles, mirrored verbatim in the oracle SQL
+      val f = totalRows.toDouble * (wScaled(s).toDouble / z.toDouble) / n.toDouble
+      val full = math.floor(f).toLong
+      val thr = math.floor((f - math.floor(f)) * buckets).toLong
+      (s, full, thr)
+    }
+    val fDf = broadcast(factors.toSeq.toDF(sourceCol, "__full", "__thr"))
+    df.join(fDf, sourceCol)
+      .withColumn("__copies",
+        col("__full") +
+          when(hashBucket(col(idCol), buckets) < col("__thr"), 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn(copyCol, explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__full", "__thr", "__copies")
+  }
+
   /** Deterministic global shuffle rank: a dense `0..n-1` ordering of
     * the corpus by `(md5(id), id)` — the reproducible "random" training
     * order — WITHOUT the single-partition sort that `row_number()` over

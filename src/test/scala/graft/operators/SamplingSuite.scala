@@ -94,6 +94,39 @@ class SamplingSuite extends SparkSpec {
     assert(a == b)
   }
 
+  test("mixSourcesTemperature upsamples small sources deterministically") {
+    // 800 / 100 rows over two sources, alpha = 0.5, total = 900:
+    // shares ∝ sqrt(n) → s0 ≈ 0.739, s1 ≈ 0.261 → f_s0 ≈ 0.83 (downsample),
+    // f_s1 ≈ 2.35 (2 full copies + ~35% a third)
+    val df = ((0 until 800).map(i => (i.toLong, "s0")) ++
+      (1000 until 1100).map(i => (i.toLong, "s1"))).toDF("id", "src")
+    val out = Sampling.mixSourcesTemperature(df, "src", "id",
+      alpha = 0.5, totalRows = 900)
+    val byS = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected ≈ 900·share: s0 ≈ 665, s1 ≈ 235 (hash noise ≈ sqrt-scale)
+    assert(math.abs(byS("s0") - 665) < 40, s"$byS")
+    assert(math.abs(byS("s1") - 235) < 25, s"$byS")
+    // every s1 id appears at least twice (floor(f) = 2), never 4+ times
+    val perId = out.filter($"src" === "s1").groupBy("id").count()
+      .collect().map(_.getLong(1))
+    assert(perId.forall(c => c == 2 || c == 3), s"copy counts: ${perId.toSet}")
+    // copy indexes are dense 0..c-1
+    val copies = out.filter($"id" === 1000L).select("mix_copy")
+      .collect().map(_.getLong(0)).sorted
+    assert(copies.sameElements(0L until copies.length))
+    // deterministic under repartitioning
+    val a = out.groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sampling.mixSourcesTemperature(df.repartition(17), "src", "id",
+      alpha = 0.5, totalRows = 900)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // alpha = 0 equalizes: both sources target 450
+    val eq = Sampling.mixSourcesTemperature(df, "src", "id", alpha = 0.0, totalRows = 900)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(eq("s0") - 450) < 40 && math.abs(eq("s1") - 450) < 15, s"$eq")
+  }
+
   test("mixSources fails loudly when a weighted source is absent") {
     val df = (0 until 10).map(i => (i.toLong, "s0")).toDF("id", "src")
     val ex = intercept[IllegalArgumentException] {
