@@ -457,6 +457,20 @@ object SparkEntry {
         .crossJoin(lsh.join(exact, Seq("id_a", "id_b"), "left_semi")
           .agg(count(lit(1)).as("n_lsh_in_exact")))
     }),
+    "pipeline_semantic_dedup" -> ((s, dir) => {
+      // semantic dedup end-to-end: exact near-dup pairs (cos >= 0.45) →
+      // connected-components clustering → keep each cluster's min-id
+      // representative, everything else dropped; isolated vectors
+      // survive untouched. The exact pair join keeps the oracle pure
+      // SQL; embeddingNearDupLsh is the drop-in scale path for the
+      // pair stage (recall-gated by dedup_embedding_lsh).
+      val e = t(s, dir, "embeddings")
+      val pairs = Dedup.embeddingNearDup(e, "vec_id", "embedding", 0.45)
+        .select("id_a", "id_b")
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val drop = comp.filter(col("id") =!= col("component")).select("id")
+      e.join(drop, e("vec_id") === drop("id"), "left_anti").select("vec_id")
+    }),
     // ---- similarity search ------------------------------------------------
     "ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1476,6 +1490,24 @@ object SparkEntry {
           |SELECT id_a, id_b, round(dp / (na.n * nb.n), 4) AS cosine
           |FROM d JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
           |WHERE dp / (na.n * nb.n) >= 0.45""".stripMargin),
+      "pipeline_semantic_dedup" -> (embUnnest.replace("WITH e AS (", "WITH RECURSIVE e AS (") +
+        """, d AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dp
+          |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+          |  GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT id_a, id_b FROM d
+          |  JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
+          |  WHERE dp / (na.n * nb.n) >= 0.45),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          |          UNION SELECT id_b, id_a FROM pairs),
+          |reach AS (
+          |  SELECT DISTINCT src AS id, src AS r FROM edges
+          |  UNION
+          |  SELECT reach.id, e2.dst AS r FROM reach JOIN edges e2 ON e2.src = reach.r),
+          |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+          |SELECT vec_id FROM embeddings
+          |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin),
       "ann_topk" -> (embUnnest +
         """, d AS (
           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dp
