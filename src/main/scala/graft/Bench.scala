@@ -24,7 +24,8 @@ object Bench {
     "dedup_embedding", "ann_topk",
     "text_quality", "doc_fingerprint", "heavy_hitters_tokens",
     "decontaminate_docs", "decontaminate_bloom", "bm25_search", "lm_score_docs",
-    "mix_sources", "shuffle_corpus",
+    "mix_sources", "mix_temperature", "shuffle_corpus",
+    "pipeline_semantic_dedup",
     "agg_pricing",
     "stream_window_counts", "sessionize_events", "pipeline_clean_corpus",
     "pipeline_pack_clean", "pipeline_chunk_pack")
