@@ -33,6 +33,10 @@ class PlanContractSuite extends SparkSpec {
     ("window_top_suppliers", Seq("WindowGroupLimit"), Seq.empty),
     ("mix_sources", Seq("BroadcastHashJoin"),
       Seq("CartesianProduct", "SortMergeJoin")),
+    // upsampled copies materialize as Generate in the scan projection;
+    // the factor join must broadcast, kept rows never hash-shuffle
+    ("mix_temperature", Seq("BroadcastHashJoin", "Generate"),
+      Seq("CartesianProduct", "SortMergeJoin", "Exchange hashpartitioning")),
     ("shuffle_corpus", Seq.empty, Seq("Exchange SinglePartition")),
     ("chunk_documents", Seq.empty,
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning")),

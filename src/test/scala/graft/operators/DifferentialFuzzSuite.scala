@@ -238,6 +238,44 @@ class DifferentialFuzzSuite extends SparkSpec {
     }
   }
 
+  test("mixSourcesTemperature == scalar replica exactly, across alphas and shapes") {
+    val rnd = new scala.util.Random(707)
+    val buckets = 10000
+    def md5Bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.map(b => f"${b & 0xff}%02x").mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    for (round <- 0 until rounds) {
+      val nSources = 1 + rnd.nextInt(4)
+      val rows = (0 until nSources).flatMap { s =>
+        val size = 5 + rnd.nextInt(120)
+        (0 until size).map(i => (s * 100000L + i, s"src$s"))
+      }
+      val alpha = Seq(0.0, 0.3, 0.7, 1.0, 1.5)(rnd.nextInt(5))
+      val total = 50L + rnd.nextInt(400)
+      val got = Sampling.mixSourcesTemperature(
+          rows.toDF("id", "src"), "src", "id", alpha, total)
+        .groupBy("id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // scalar replica of the documented arithmetic
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val wScaled = counts.map { case (s, n) =>
+        s -> math.floor(math.pow(n.toDouble, alpha) * 10000).toLong
+      }
+      val z = wScaled.values.sum
+      val expected = rows.flatMap { case (id, s) =>
+        val f = total.toDouble * (wScaled(s).toDouble / z.toDouble) / counts(s).toDouble
+        val full = math.floor(f).toLong
+        val thr = math.floor((f - math.floor(f)) * buckets).toLong
+        val c = full + (if (md5Bucket(id) < thr) 1L else 0L)
+        if (c > 0) Some(id -> c) else None
+      }.toMap
+      assert(got == expected, s"round $round alpha=$alpha total=$total")
+    }
+  }
+
   test("packGreedy invariants: every doc exactly once, bins never overflow, fills consistent") {
     val rnd = new scala.util.Random(505)
     for (round <- 0 until rounds) {
