@@ -836,6 +836,15 @@ object SparkEntry {
         alpha = 0.5, totalRows = 800)
         .select("doc_id", "source", "mix_copy")
     }),
+    "mix_temperature_tokens" -> ((s, dir) => {
+      // the token-budget form real LM mixes use: source share ∝
+      // (Σ tokens)^0.7 of a 60k-token budget; the per-source rate is
+      // still a row multiplier, so copies stay md5-deterministic
+      val d = t(s, dir, "documents")
+      Sampling.mixSourcesTemperatureWeighted(d, "source", "doc_id",
+        TextFunctions.tokenCount(col("text")), alpha = 0.7, totalBudget = 60000)
+        .select("doc_id", "source", "mix_copy")
+    }),
     "shuffle_corpus" -> ((s, dir) => {
       // reproducible global training order: dense rank by (md5(id), id)
       // via the two-pass bucket-offset plan — no single-partition sort
@@ -1901,6 +1910,34 @@ object SparkEntry {
           |z AS (SELECT CAST(sum(ws) AS BIGINT) AS zs FROM w),
           |f AS (SELECT source, n,
           |        CAST(800 AS DOUBLE) * (CAST(ws AS DOUBLE) / CAST(zs AS DOUBLE))
+          |          / CAST(n AS DOUBLE) AS f
+          |      FROM w CROSS JOIN z),
+          |fac AS (SELECT source, CAST(floor(f) AS BIGINT) AS cf,
+          |               CAST(floor((f - floor(f)) * 10000) AS BIGINT) AS thr
+          |        FROM f),
+          |k AS (SELECT doc_id, d.source,
+          |        cf + (CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+          |                        AS UBIGINT) % 10000 < thr
+          |              THEN 1 ELSE 0 END) AS copies
+          |      FROM documents d JOIN fac ON fac.source = d.source)
+          |SELECT doc_id, source,
+          |       CAST(unnest(range(0, CAST(copies AS INT))) AS BIGINT) AS mix_copy
+          |FROM k WHERE copies > 0""".stripMargin,
+      // mix_temperature_tokens: same arithmetic as mix_temperature but
+      // the per-source mass is the exact BIGINT token sum (drop-empty
+      // tokenizer semantics, the chunk_documents toks fragment)
+      "mix_temperature_tokens" ->
+        """WITH cnt AS (
+          |  SELECT source,
+          |         CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          |                                  w -> w <> ''))) AS BIGINT) AS n
+          |  FROM documents GROUP BY 1),
+          |w AS (SELECT source, n,
+          |        CAST(floor(pow(CAST(n AS DOUBLE), 0.7) * 10000) AS BIGINT) AS ws
+          |      FROM cnt WHERE n > 0),
+          |z AS (SELECT CAST(sum(ws) AS BIGINT) AS zs FROM w),
+          |f AS (SELECT source, n,
+          |        CAST(60000 AS DOUBLE) * (CAST(ws AS DOUBLE) / CAST(zs AS DOUBLE))
           |          / CAST(n AS DOUBLE) AS f
           |      FROM w CROSS JOIN z),
           |fac AS (SELECT source, CAST(floor(f) AS BIGINT) AS cf,

@@ -131,21 +131,46 @@ object Sampling {
   def mixSourcesTemperature(
       df: DataFrame, sourceCol: String, idCol: String,
       alpha: Double, totalRows: Long,
-      buckets: Int = 10000, copyCol: String = "mix_copy"): DataFrame = {
+      buckets: Int = 10000, copyCol: String = "mix_copy"): DataFrame =
+    mixTemperatureImpl(df, sourceCol, idCol, lit(1L), alpha, totalRows,
+      buckets, copyCol)
+
+  /** [[mixSourcesTemperature]] in a WEIGHT space — the form real LM
+    * mixes use: `totalBudget` and the per-source masses are sums of
+    * `weight` (typically a token count), so source `s` receives budget
+    * share `W_s^alpha / Σ W_t^alpha` measured in TOKENS, not rows. The
+    * per-source rate `f_s = totalBudget·share_s / W_s` is still a ROW
+    * multiplier (each emitted copy carries the row's whole weight), so
+    * the copies arithmetic, md5 determinism, and engine-portable
+    * grid/scaled-long weight handling are identical to the row form.
+    * Sources whose weight sums to zero carry no budget and are dropped.
+    */
+  def mixSourcesTemperatureWeighted(
+      df: DataFrame, sourceCol: String, idCol: String, weight: Column,
+      alpha: Double, totalBudget: Long,
+      buckets: Int = 10000, copyCol: String = "mix_copy"): DataFrame =
+    mixTemperatureImpl(df, sourceCol, idCol, weight.cast("long"), alpha,
+      totalBudget, buckets, copyCol)
+
+  private def mixTemperatureImpl(
+      df: DataFrame, sourceCol: String, idCol: String, weight: Column,
+      alpha: Double, totalBudget: Long,
+      buckets: Int, copyCol: String): DataFrame = {
     require(alpha >= 0, s"mixSourcesTemperature: alpha must be >= 0, got $alpha")
-    require(totalRows > 0, s"mixSourcesTemperature: totalRows must be positive")
+    require(totalBudget > 0, s"mixSourcesTemperature: total budget must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val counts = df.groupBy(col(sourceCol)).agg(sum(weight).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    require(counts.nonEmpty, "mixSourcesTemperature: empty input")
+      .filter(_._2 > 0) // zero-mass sources carry no budget
+    require(counts.nonEmpty, "mixSourcesTemperature: no source with positive mass")
     val wScaled = counts.map { case (s, n) =>
       s -> math.floor(math.pow(n.toDouble, alpha) * 10000).toLong
     }.toMap
     val z = wScaled.values.sum // exact long sum, aggregation-order-free
     val factors = counts.map { case (s, n) =>
       // left-to-right doubles, mirrored verbatim in the oracle SQL
-      val f = totalRows.toDouble * (wScaled(s).toDouble / z.toDouble) / n.toDouble
+      val f = totalBudget.toDouble * (wScaled(s).toDouble / z.toDouble) / n.toDouble
       val full = math.floor(f).toLong
       val thr = math.floor((f - math.floor(f)) * buckets).toLong
       (s, full, thr)

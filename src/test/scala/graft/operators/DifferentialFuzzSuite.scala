@@ -276,6 +276,47 @@ class DifferentialFuzzSuite extends SparkSpec {
     }
   }
 
+  test("mixSourcesTemperatureWeighted == scalar replica; zero-mass sources drop") {
+    val rnd = new scala.util.Random(808)
+    val buckets = 10000
+    def md5Bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"${b & 0xff}%02x").mkString.substring(0, 8), 16) % buckets
+    }
+    for (round <- 0 until rounds) {
+      val nSources = 2 + rnd.nextInt(3)
+      val rows = (0 until nSources).flatMap { s =>
+        val size = 5 + rnd.nextInt(80)
+        // one source is all-zero-weight: it must vanish from the output
+        (0 until size).map(i =>
+          (s * 100000L + i, s"src$s", if (s == 0) 0L else 1L + rnd.nextInt(200)))
+      }
+      val alpha = Seq(0.0, 0.5, 1.0)(rnd.nextInt(3))
+      val budget = 2000L + rnd.nextInt(30000)
+      val got = Sampling.mixSourcesTemperatureWeighted(
+          rows.toDF("id", "src", "wt"), "src", "id", col("wt"), alpha, budget)
+        .groupBy("id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val mass = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+        .filter(_._2 > 0)
+      val wScaled = mass.map { case (s, n) =>
+        s -> math.floor(math.pow(n.toDouble, alpha) * 10000).toLong
+      }
+      val z = wScaled.values.sum
+      val expected = rows.filter(r => mass.contains(r._2)).flatMap { case (id, s, _) =>
+        val f = budget.toDouble * (wScaled(s).toDouble / z.toDouble) / mass(s).toDouble
+        val full = math.floor(f).toLong
+        val thr = math.floor((f - math.floor(f)) * buckets).toLong
+        val c = full + (if (md5Bucket(id) < thr) 1L else 0L)
+        if (c > 0) Some(id -> c) else None
+      }.toMap
+      assert(got == expected, s"round $round alpha=$alpha budget=$budget")
+      assert(!got.keys.exists(_ < 100000L), s"round $round: zero-mass source leaked")
+    }
+  }
+
   test("packGreedy invariants: every doc exactly once, bins never overflow, fills consistent") {
     val rnd = new scala.util.Random(505)
     for (round <- 0 until rounds) {
