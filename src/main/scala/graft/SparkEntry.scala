@@ -497,6 +497,17 @@ object SparkEntry {
         SimilaritySearch.sq8TopK(q, e, "vec_id", "embedding", k = 5),
         SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
     }),
+    "ann_topk_pq" -> ((s, dir) => {
+      // product-quantized ADC scan (64 dims -> 8 code bytes, per-query
+      // lookup table, m adds per pair) vs the exact scan; recall@5 on
+      // the gate dataset is deterministic (oracle constant, sf0.01)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.pqTopK(q, e, "vec_id", "embedding", k = 5,
+          m = 32, kCodes = 32),
+        SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
+    }),
     "ann_topk_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 20)
@@ -1555,6 +1566,13 @@ object SparkEntry {
       "ann_topk_sq8" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(0.99 AS DOUBLE) AS recall""".stripMargin,
+      // PQ at 32 code bytes (8x smaller than the float32 vectors): the
+      // deterministic recall@5 outcome on the near-random gate
+      // embeddings — real clustered embeddings quantize better; the
+      // constant documents the honest measured point, like ivf's 0.62
+      "ann_topk_pq" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(0.78 AS DOUBLE) AS recall""".stripMargin,
       "dedup_simhash" ->
         """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
           |       CAST(NULL AS INT) AS hamming, CAST(NULL AS VARCHAR) AS src

@@ -478,6 +478,104 @@ object SimilaritySearch {
     * [[Dedup.embeddingNearDupLsh]]). Exact rescoring on candidates, so
     * returned cosines are true cosines; only recall is approximate.
     */
+  /** Deterministic per-subspace Lloyd k-means (L2) on a driver-side
+    * sample — PQ codebooks are trained on a bounded sample by design
+    * (the codebook is m×kCodes×subDim doubles regardless of corpus
+    * size; faiss does the same). Init = first `kCodes` sample
+    * subvectors in md5-of-id order (seedless, engine-stable); empty
+    * clusters keep their previous codeword; ties go to the smaller
+    * code. Returns the flattened row-major codebook of
+    * [[graft.functions.PqKernel]].
+    */
+  private[graft] def trainPqCodebooks(
+      sample: Array[Array[Double]], m: Int, kCodes: Int, subDim: Int,
+      iters: Int): Array[Double] = {
+    val cb = new Array[Double](m * kCodes * subDim)
+    var j = 0
+    while (j < m) {
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      var cents = Array.tabulate(kCodes)(c => subs(c % subs.length).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(kCodes)(new Array[Double](subDim))
+        val ns = new Array[Int](kCodes)
+        subs.foreach { s =>
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < kCodes) {
+            var d = 0.0
+            var t = 0
+            while (t < subDim) { val x = s(t) - cents(c)(t); d += x * x; t += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var t = 0
+          while (t < subDim) { sums(best)(t) += s(t); t += 1 }
+          ns(best) += 1
+        }
+        cents = Array.tabulate(kCodes)(c =>
+          if (ns(c) == 0) cents(c)
+          else Array.tabulate(subDim)(t => sums(c)(t) / ns(c)))
+        it += 1
+      }
+      var c = 0
+      while (c < kCodes) {
+        System.arraycopy(cents(c), 0, cb, (j * kCodes + c) * subDim, subDim)
+        c += 1
+      }
+      j += 1
+    }
+    cb
+  }
+
+  /** Product-quantized top-k by approximate cosine (PQ/ADC): corpus
+    * vectors compress to `m` code BYTES each (64-dim float64 → 64×
+    * smaller than array<double>), and each query scores a pair with
+    * `m` table lookups instead of a `dim`-long multiply-add. Codebooks
+    * train on a deterministic md5-ordered sample (driver-side — the
+    * model is m×kCodes×subDim doubles at ANY corpus scale), encode is
+    * one native-expression corpus scan, and the per-query ADC table
+    * (m×kCodes dots) is computed once per query row, not per pair.
+    * Approximate cosine = adc / (|q| · |reconstructed x|); recall is
+    * gated like the other approximate paths ([[recallSummary]]).
+    */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, kCodes: Int = 16, sampleN: Int = 2048,
+      iters: Int = 8): DataFrame = {
+    val cv = prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+    val dim = cv.select(size(col("__cv"))).first().getInt(0)
+    require(dim % m == 0, s"pqTopK: m ($m) must divide dim ($dim)")
+    val subDim = dim / m
+    val sample = cv
+      .withColumn("__h", md5(col("neighbor_id").cast("string")))
+      .orderBy(col("__h")).limit(sampleN)
+      .select("__cv").collect().map(_.getSeq[Double](0).toArray)
+    val cb = trainPqCodebooks(sample, m, kCodes, subDim, iters)
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val enc = cv.select(col("neighbor_id"),
+      toColumn(graft.functions.PqEncodeExpr(
+        toExpression(col("__cv")), m, kCodes, subDim, cb)).as("__pq"))
+    val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+      .select(col("query_id"), col("__qn"),
+        toColumn(graft.functions.PqTableExpr(
+          toExpression(col("__qv")), m, kCodes, subDim, cb)).as("__tab"))
+    val adc = toColumn(graft.functions.PqAdcExpr(
+      toExpression(col("__pq.codes")), toExpression(col("__tab")), kCodes))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q)
+      .join(enc, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("__qn") > 0 && col("__pq.rnorm") > 0,
+          adc / (col("__qn") * col("__pq.rnorm"))).otherwise(lit(0.0)).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
