@@ -508,6 +508,21 @@ object SparkEntry {
           m = 32, kCodes = 32),
         SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
     }),
+    "ann_topk_pq_persisted" -> ((s, dir) => {
+      // PQ index lifecycle: train + encode + persist once (buildPqIndex,
+      // atomic IndexIO publish), then serve from the stored codes — the
+      // float vectors are never read on the search path. Same
+      // deterministic trainer and params as ann_topk_pq, so the recall
+      // constant is shared.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val idx = scratch("pq_index", dir)
+      SimilaritySearch.buildPqIndex(e, "vec_id", "embedding", idx,
+        m = 32, kCodes = 32)
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.searchPqIndex(s, idx, q, "vec_id", "embedding", k = 5),
+        SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
+    }),
     "ann_topk_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 20)
@@ -1571,6 +1586,10 @@ object SparkEntry {
       // embeddings — real clustered embeddings quantize better; the
       // constant documents the honest measured point, like ivf's 0.62
       "ann_topk_pq" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(0.78 AS DOUBLE) AS recall""".stripMargin,
+      // persisted form: same deterministic trainer + params -> same 0.78
+      "ann_topk_pq_persisted" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(0.78 AS DOUBLE) AS recall""".stripMargin,
       "dedup_simhash" ->

@@ -576,6 +576,104 @@ object SimilaritySearch {
       .drop("__rn")
   }
 
+  /** Train-once PQ index: codebooks (self-describing — m/kCodes/subDim
+    * ride with the flattened array) plus the encoded corpus
+    * `(neighbor_id, codes, rnorm)` — 8-64× smaller than the float
+    * vectors, which never need to be read again at query time.
+    * Published atomically ([[graft.sources.IndexIO.publish]]).
+    */
+  def buildPqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      m: Int = 32, kCodes: Int = 32, sampleN: Int = 2048,
+      iters: Int = 8): Unit = {
+    val cv = prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+    val dim = cv.select(size(col("__cv"))).first().getInt(0)
+    require(dim % m == 0, s"buildPqIndex: m ($m) must divide dim ($dim)")
+    val subDim = dim / m
+    val sample = cv
+      .withColumn("__h", md5(col("neighbor_id").cast("string")))
+      .orderBy(col("__h")).limit(sampleN)
+      .select("__cv").collect().map(_.getSeq[Double](0).toArray)
+    val cb = trainPqCodebooks(sample, m, kCodes, subDim, iters)
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.sources.IndexIO.publish(spark, indexDir) { vdir =>
+      Seq((m, kCodes, subDim, cb.toSeq)).toDF("m", "k_codes", "sub_dim", "cb")
+        .repartition(1).write.mode("overwrite").parquet(s"$vdir/codebook")
+      cv.select(col("neighbor_id"),
+          toColumn(graft.functions.PqEncodeExpr(
+            toExpression(col("__cv")), m, kCodes, subDim, cb)).as("__pq"))
+        .select(col("neighbor_id"), col("__pq.codes").as("codes"),
+          col("__pq.rnorm").as("rnorm"))
+        .write.mode("overwrite").parquet(s"$vdir/codes")
+    }
+    ()
+  }
+
+  /** Append vectors to a [[buildPqIndex]] index WITHOUT retraining:
+    * the stored codebooks encode the new rows, and the new codes land
+    * in an immutable segment chained via `publishDelta` — one scan of
+    * the NEW vectors only, searches union the chain. The codebook is
+    * copied forward so every version resolves its own.
+    */
+  def appendToPqIndex(
+      newVectors: DataFrame, idCol: String, vecCol: String,
+      indexDir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val vdir0 = graft.sources.IndexIO.resolve(spark, indexDir)
+    val meta = spark.read.parquet(s"$vdir0/codebook").collect()(0)
+    val (m, kCodes, subDim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val cb = meta.getSeq[Double](3).toArray
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    graft.sources.IndexIO.publishDelta(spark, indexDir) { vdir =>
+      spark.read.parquet(s"$vdir0/codebook")
+        .repartition(1).write.mode("overwrite").parquet(s"$vdir/codebook")
+      prepared(newVectors, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+        .select(col("neighbor_id"),
+          toColumn(graft.functions.PqEncodeExpr(
+            toExpression(col("__cv")), m, kCodes, subDim, cb)).as("__pq"))
+        .select(col("neighbor_id"), col("__pq.codes").as("codes"),
+          col("__pq.rnorm").as("rnorm"))
+        .write.mode("overwrite").parquet(s"$vdir/codes")
+    }
+    ()
+  }
+
+  /** Serve top-k from a persisted PQ index: the float corpus is never
+    * read — only `m` code bytes + one norm per row cross the scan, and
+    * each pair costs `m` table-lookup adds. Index parameters come from
+    * the index itself (self-describing codebook row).
+    */
+  def searchPqIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
+    val meta = spark.read.parquet(s"$vdir/codebook").collect()(0)
+    val (m, kCodes, subDim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val cb = meta.getSeq[Double](3).toArray
+    val codes = graft.sources.IndexIO.segments(spark, indexDir)
+      .map(seg => spark.read.parquet(s"$seg/codes"))
+      .reduce(_ unionByName _)
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+      .select(col("query_id"), col("__qn"),
+        toColumn(graft.functions.PqTableExpr(
+          toExpression(col("__qv")), m, kCodes, subDim, cb)).as("__tab"))
+    val adc = toColumn(graft.functions.PqAdcExpr(
+      toExpression(col("codes")), toExpression(col("__tab")), kCodes))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q)
+      .join(codes, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("__qn") > 0 && col("rnorm") > 0,
+          adc / (col("__qn") * col("rnorm"))).otherwise(lit(0.0)).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,

@@ -311,6 +311,50 @@ class SimilaritySearchSuite extends SparkSpec {
     println(s"[pq-spec] fine recall@3 = ${summary.getDouble(2)}")
   }
 
+  test("PQ index: search without retrain == in-query pqTopK; append finds duplicates") {
+    val rnd = new scala.util.Random(31)
+    val centers = Seq(
+      Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0),
+      Array(0, 0, 10.0, 0), Array(0, 0, 0, 10.0))
+    val vecs = (0 until 120).map { i =>
+      val ctr = centers(i % 4)
+      (i, ctr.map(_ + rnd.nextGaussian() * 0.5))
+    }.toDF("id", "emb")
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_idx_").toString
+    SimilaritySearch.buildPqIndex(vecs, "id", "emb", idx,
+      m = 2, kCodes = 8, sampleN = 120, iters = 6)
+    // same deterministic trainer, same sample order -> bit-equal results
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(asSet(SimilaritySearch.searchPqIndex(spark, idx, vecs, "id", "emb", k = 3)) ==
+      asSet(SimilaritySearch.pqTopK(vecs, vecs, "id", "emb", k = 3,
+        m = 2, kCodes = 8, sampleN = 120, iters = 6)))
+    // append EXACT duplicates of ids 0..4 under new ids 1000..1004: the
+    // stored codebook (no retrain) encodes them to identical codes, so
+    // each duplicate must achieve the MAXIMUM cosine for its original
+    // (top-k membership would be tie-break luck — coarse codes tie)
+    val origRows = vecs.filter($"id" < 5).collect()
+      .map(r => (r.getInt(0) + 1000, r.getSeq[Double](1).toArray))
+    SimilaritySearch.appendToPqIndex(origRows.toSeq.toDF("id", "emb"), "id", "emb", idx)
+    // identical input + same stored codebook -> identical codes, so for
+    // any query the duplicate scores EXACTLY like its original (ADC
+    // cosine is a pure function of the codes)
+    val after = SimilaritySearch.searchPqIndex(spark, idx,
+        vecs.filter($"id" === 0), "id", "emb", k = 200)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    for (i <- 1 until 5)
+      assert(after(1000 + i) == after(i),
+        s"appended duplicate of $i scores differently for query 0")
+    // and the appended rows carry byte-identical codes in the chain
+    val segs = graft.sources.IndexIO.segments(spark, idx)
+    assert(segs.length == 2, s"expected a 2-segment chain, got $segs")
+    val allCodes = segs.map(s => spark.read.parquet(s"$s/codes"))
+      .reduce(_ unionByName _).collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    for (i <- 0 until 5)
+      assert(allCodes(1000 + i) == allCodes(i), s"codes differ for duplicate $i")
+  }
+
   test("oversized-query-side guard trips on the threshold, results stay exact") {
     val vecs = (0 until 50).map(i => (i, Array.fill(8)(i * 0.1 + 1.0))).toDF("id", "emb")
     assert(!SimilaritySearch.querySideOversized(vecs.limit(2)))
