@@ -21,7 +21,7 @@ object Bench {
     "asof_join_sql", "asof_join_by", "stream_asof_events",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_mask_windows", "pack_sequences",
-    "dedup_embedding", "ann_topk",
+    "dedup_embedding", "ann_topk", "ann_topk_pq",
     "text_quality", "doc_fingerprint", "heavy_hitters_tokens",
     "decontaminate_docs", "decontaminate_bloom", "bm25_search", "lm_score_docs",
     "mix_sources", "mix_temperature", "shuffle_corpus",
