@@ -640,6 +640,26 @@ object SimilaritySearch {
     ()
   }
 
+  /** Collapse a [[appendToPqIndex]] chain back to ONE segment — rebuilt
+    * from the stored codes alone (the float corpus is never read),
+    * published atomically so readers flip from the old chain to the
+    * compacted version in one pointer move. Results are identical by
+    * construction: the code rows are unioned unchanged.
+    */
+  def compactPqIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    val segs = graft.sources.IndexIO.segments(spark, indexDir)
+    if (segs.length <= 1) return
+    val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
+    val cb = spark.read.parquet(s"$vdir/codebook")
+    val codes = segs.map(s => spark.read.parquet(s"$s/codes")).reduce(_ unionByName _)
+    graft.sources.IndexIO.publish(spark, indexDir) { nv =>
+      cb.repartition(1).write.mode("overwrite").parquet(s"$nv/codebook")
+      codes.write.mode("overwrite").parquet(s"$nv/codes")
+    }
+    ()
+  }
+
   /** Serve top-k from a persisted PQ index: the float corpus is never
     * read — only `m` code bytes + one norm per row cross the scan, and
     * each pair costs `m` table-lookup adds. Index parameters come from

@@ -353,6 +353,11 @@ class SimilaritySearchSuite extends SparkSpec {
       .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     for (i <- 0 until 5)
       assert(allCodes(1000 + i) == allCodes(i), s"codes differ for duplicate $i")
+    // compaction: one segment, identical search results
+    val before = asSet(SimilaritySearch.searchPqIndex(spark, idx, vecs, "id", "emb", k = 3))
+    SimilaritySearch.compactPqIndex(spark, idx)
+    assert(graft.sources.IndexIO.segments(spark, idx).length == 1)
+    assert(asSet(SimilaritySearch.searchPqIndex(spark, idx, vecs, "id", "emb", k = 3)) == before)
   }
 
   test("oversized-query-side guard trips on the threshold, results stay exact") {
