@@ -58,6 +58,20 @@ object IvfIndexCheck {
     println(f"sq8: build=$tBuildQ%.2fs search=$tSearchQ%.2fs rows=$nQ dpp=$dppQ " +
       f"cells=${dirBytes(s"${graft.sources.IndexIO.resolve(spark, idxQ)}/cells")}%d B" +
       f" vs float ${dirBytes(s"${graft.sources.IndexIO.resolve(spark, idx)}/cells")}%d B")
+
+    // PQ: the smallest index of the family — m code bytes per vector.
+    // Report size vs the float cells and the search wall time.
+    val idxP = java.nio.file.Files.createTempDirectory("graft_pq_check").toString
+    val t4 = System.nanoTime()
+    SimilaritySearch.buildPqIndex(e, "vec_id", "embedding", idxP)
+    val tBuildP = (System.nanoTime() - t4) / 1e9
+    val resP = SimilaritySearch.searchPqIndex(spark, idxP, q, "vec_id", "embedding", 5)
+    val t5 = System.nanoTime()
+    val nP = resP.count()
+    val tSearchP = (System.nanoTime() - t5) / 1e9
+    println(f"pq: build=$tBuildP%.2fs search=$tSearchP%.2fs rows=$nP " +
+      f"codes=${dirBytes(s"${graft.sources.IndexIO.resolve(spark, idxP)}/codes")}%d B" +
+      f" vs float cells ${dirBytes(s"${graft.sources.IndexIO.resolve(spark, idx)}/cells")}%d B")
     spark.stop()
   }
 }
