@@ -141,9 +141,29 @@ object Decontaminate {
     // exactly the cost the bloom exists to avoid; measured 15 s -> 7 s
     // in tools/BloomStress). distinct() collapses repeated eval
     // occurrences AFTER the match, when rows are already candidate-few.
-    val candEx = candidates
+    //
+    // The sizing argument above assumes contamination is small; an
+    // adversarially dirty corpus (a crawl embedding the benchmark
+    // wholesale) makes the candidate set proportional to the CORPUS and
+    // an unconditional broadcast a driver/executor OOM. So count the
+    // candidate hashes first — the count runs the same scan the confirm
+    // join needs anyway, and the materialized candidates are reused via
+    // localCheckpoint, so the corpus is still shingled exactly once —
+    // and fall back to a plain hash join on the 8-byte key when the
+    // estimate exceeds the session broadcast threshold (mirrors
+    // SimilaritySearch.querySideOversized; adversarial run in
+    // tools/BloomStress, numbers in PLANS.md).
+    val cand = candidates.localCheckpoint(true)
+    val candHashes = cand.agg(coalesce(sum(size(col("__cand"))), lit(0L)))
+      .head().getLong(0)
+    val conf = train.sparkSession.sessionState.conf
+    val cap = if (conf.autoBroadcastJoinThreshold > 0) conf.autoBroadcastJoinThreshold
+      else 10L << 20
+    // ~24 bytes per exploded candidate row (8-byte hash + id + count)
+    val candEx0 = cand
       .select(col(idCol), col("n_shingles"), explode(col("__cand")).as("__h"))
-    evalSh.join(broadcast(candEx), "__h")
+    val candEx = if (candHashes * 24 <= cap) broadcast(candEx0) else candEx0
+    evalSh.join(candEx, "__h")
       .select(col(idCol), col("n_shingles"), col("__h"))
       .distinct() // a pure-false-positive doc vanishes here, like the exact path
       .groupBy(col(idCol), col("n_shingles"))

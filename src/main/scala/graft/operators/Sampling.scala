@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Sizing rule for [[globalShuffleRank]]'s derived bucket count: each
+    * bucket's within-partition sort handles about this many rows (~1 GB
+    * at a typical 100 B/row), comfortably in-memory for an executor
+    * core while keeping the per-bucket count map broadcastable.
+    */
+  val ShuffleRankTargetRowsPerBucket: Long = 10L * 1000 * 1000
+
   /** Stable bucket in [0, buckets): first 8 hex chars of md5 of the id's
     * string form. md5 is md5 everywhere — Spark, DuckDB, Python — so the
     * assignment is reproducible across engines (unlike xxhash64/`hash`,
@@ -200,17 +207,40 @@ object Sampling {
     * the external spillable sort. The classic distributed dense-rank
     * shape (what `zipWithIndex` does at the RDD layer), kept in the
     * DataFrame plan.
+    *
+    * `buckets <= 0` (the default) derives the count from the plan's
+    * row-count estimate, targeting [[ShuffleRankTargetRowsPerBucket]]
+    * rows per within-bucket sort (md5 spreads rows uniformly, so the
+    * target is also the expected size): a flat default would mean
+    * ~100 GB-per-bucket sorts at 100 TB — spillable but slow — or
+    * thousands of near-empty buckets on a small frame. Clamped to
+    * [parallelism, 1 << 20]; the broadcast offset map stays tiny (one
+    * (int, long) pair per bucket) at either end.
     */
   def globalShuffleRank(
-      df: DataFrame, idCol: String, buckets: Int = 1024,
+      df: DataFrame, idCol: String, buckets: Int = 0,
       rankCol: String = "shuffle_rank"): DataFrame = {
-    require(buckets > 0)
     val spark = df.sparkSession
     import spark.implicits._
+    val nBuckets =
+      if (buckets > 0) buckets
+      else {
+        val stats = df.queryExecution.optimizedPlan.stats
+        // rowCount when the source has stats; else bytes at a
+        // conservative ~100 B/row — overestimating rows only makes
+        // buckets smaller than target, never a too-big sort
+        val estRows = stats.rowCount.map(_.toLong)
+          .getOrElse((stats.sizeInBytes / 100).toLong max 1L)
+        val target = // ceil(estRows / targetRowsPerBucket)
+          (estRows + ShuffleRankTargetRowsPerBucket - 1) / ShuffleRankTargetRowsPerBucket
+        math.min(1L << 20,
+          math.max(spark.sparkContext.defaultParallelism.toLong, target)).toInt
+      }
+    val buckets0 = nBuckets
     val h = md5(col(idCol).cast("string"))
     // top 32 bits of the hash, scaled: lexicographic md5-hex order ==
     // numeric order of the 8-hex-char prefix, so bucket is monotone in h
-    val b = (conv(substring(h, 1, 8), 16, 10).cast("long") * buckets / lit(4294967296L))
+    val b = (conv(substring(h, 1, 8), 16, 10).cast("long") * buckets0 / lit(4294967296L))
       .cast("int")
     val withB = df.withColumn("__bkt", b)
     val counts = withB.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))

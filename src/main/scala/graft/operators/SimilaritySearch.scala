@@ -288,6 +288,12 @@ object SimilaritySearch {
       .orderBy(col("cell"))
       .select("centroid").collect().map(_.getSeq[Double](0).toArray)
     val c = prepared(newVectors, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+    // fail loudly on a dimension mismatch: bestCellExpr would otherwise
+    // zip the shorter prefix and assign every new vector a garbage cell
+    val newDim = c.select(size(col("__cv"))).first().getInt(0)
+    require(cents.isEmpty || newDim == cents(0).length,
+      s"appendToIvfIndex: new vectors have dim $newDim but the index at " +
+        s"$indexDir was trained on dim ${cents(0).length}")
     graft.sources.IndexIO.publishDelta(spark, indexDir) { seg =>
       spark.read.parquet(s"$vdir/centroids")
         .repartition(1)
@@ -625,6 +631,12 @@ object SimilaritySearch {
     val meta = spark.read.parquet(s"$vdir0/codebook").collect()(0)
     val (m, kCodes, subDim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val cb = meta.getSeq[Double](3).toArray
+    // same loud-failure contract as appendToIvfIndex: a mismatched dim
+    // must not reach the encode kernel as an array-bounds error
+    val newDim = newVectors.select(size(col(vecCol))).first().getInt(0)
+    require(newDim == m * subDim,
+      s"appendToPqIndex: new vectors have dim $newDim but the index at " +
+        s"$indexDir encodes dim ${m * subDim} (m=$m x subDim=$subDim)")
     import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
     graft.sources.IndexIO.publishDelta(spark, indexDir) { vdir =>
       spark.read.parquet(s"$vdir0/codebook")

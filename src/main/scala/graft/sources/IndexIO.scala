@@ -20,10 +20,13 @@ import org.apache.spark.sql.SparkSession
   *   - every build writes ALL its tables under a fresh
   *     `<path>/v-<uuid>/` directory, invisible to readers;
   *   - the version's `_SEGMENTS` file lists the IMMUTABLE data
-  *     directories that make up the index at that version — just
-  *     itself for a full build, the parent's segments plus itself for
-  *     an incremental append ([[publishDelta]]); readers scan the
-  *     union, so "append" never rewrites or mutates existing data;
+  *     directories that make up the index at that version (as
+  *     directory names RELATIVE to the index base, so a moved or
+  *     re-mounted index keeps its chains; absolute entries from older
+  *     builds still resolve) — just itself for a full build, the
+  *     parent's segments plus itself for an incremental append
+  *     ([[publishDelta]]); readers scan the union, so "append" never
+  *     rewrites or mutates existing data;
   *   - the single-file pointer `<path>/_LATEST` (the uuid, written via
   *     create-temp + atomic rename-overwrite) is flipped LAST;
   *   - readers resolve `_LATEST` once and then read only that
@@ -33,13 +36,30 @@ import org.apache.spark.sql.SparkSession
   *
   * A failed build leaves the pointer on the previous complete version;
   * a path with no pointer fails loudly at resolve time instead of
-  * probing torn tables. Version directories not referenced by the
-  * current or pre-flip version's segments are pruned on publish.
+  * probing torn tables.
+  *
+  * Retention: publish-time pruning keeps the [[RetainVersions]] most
+  * recently published COMPLETE versions (plus everything their segment
+  * chains reference), so a long-lived reader — e.g. the streaming dedup
+  * gate, which resolves its segments once at plan time — survives
+  * `RetainVersions − 1` subsequent publishes, not just one. Directories
+  * WITHOUT a `_SEGMENTS` file are never pruned: that file is written
+  * last by the build, so its absence marks an IN-FLIGHT (or crashed)
+  * build — a concurrent publisher finishing first must not delete a
+  * sibling mid-build. Crashed-build debris is reclaimed by the explicit
+  * [[vacuum]], which takes an age bound instead of guessing liveness.
   */
 object IndexIO {
 
   private val Pointer = "_LATEST"
   private val SegmentsFile = "_SEGMENTS"
+
+  /** Complete versions kept by publish-time pruning (newest-first by
+    * publish order). 3 = the new version, the pre-flip version a
+    * current reader may hold, and one more so a reader that resolved
+    * JUST before the pre-flip publish still has its segments.
+    */
+  val RetainVersions = 3
 
   /** Run `build` against a fresh version directory under `path`, then
     * atomically flip `<path>/_LATEST` to it. Returns the published
@@ -70,24 +90,62 @@ object IndexIO {
     build(vdir.toString)
     val newSegments =
       (if (delta) parentSegments else Seq.empty) :+ vdir.toString
-    writeFile(fs, new Path(vdir, SegmentsFile), newSegments.mkString("\n"))
+    // segment entries are stored as names relative to the index base so
+    // the chain survives a directory move/rename or a different mount URI
+    writeFile(fs, new Path(vdir, SegmentsFile),
+      newSegments.map(p => new Path(p).getName).mkString("\n"))
     val tmp = new Path(base, s".$Pointer.$version")
     writeFile(fs, tmp, version)
     // FileContext.rename(OVERWRITE) is the atomic single-file swap on
     // HDFS-like stores (FileSystem.rename refuses an existing target)
     FileContext.getFileContext(base.toUri, conf)
       .rename(tmp, new Path(base, Pointer), Options.Rename.OVERWRITE)
-    // prune versions referenced by neither the new nor the pre-flip
-    // version — current readers can hold at most the pre-flip segments
-    val keep = (newSegments ++ parentSegments ++
-      previous.map(v => versionDir(base, v).toString))
-      .map(p => new Path(p).getName).toSet
+    prune(fs, base, RetainVersions)
+    vdir.toString
+  }
+
+  /** Drop complete version dirs not reachable from the `retain` most
+    * recently published versions' segment chains. In-flight dirs (no
+    * `_SEGMENTS` yet) are never touched — see the retention contract in
+    * the object scaladoc.
+    */
+  private def prune(fs: FileSystem, base: Path, retain: Int): Unit = {
+    val vdirs = fs.listStatus(base).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("v-"))
+    val complete = vdirs.flatMap { st =>
+      val seg = new Path(st.getPath, SegmentsFile)
+      if (fs.exists(seg)) Some(st.getPath -> fs.getFileStatus(seg).getModificationTime)
+      else None
+    }
+    val kept = complete.sortBy(-_._2).take(math.max(retain, 1)).map(_._1)
+    val keep = kept.flatMap(v => readSegments(fs, v).map(p => new Path(p).getName))
+      .toSet ++ kept.map(_.getName)
+    complete.foreach { case (p, _) =>
+      if (!keep.contains(p.getName)) fs.delete(p, true)
+    }
+  }
+
+  /** Explicit GC for index directories: apply the [[prune]] retention
+    * policy with a caller-chosen version count AND reclaim in-flight
+    * debris (dirs without `_SEGMENTS`) older than `staleAfterMs` —
+    * crashed builds never finish, so age is the only liveness signal.
+    * Publish-time pruning deliberately never touches those (a live
+    * concurrent build looks identical); run vacuum from a maintenance
+    * job that knows no build is in flight, or with a generous age.
+    */
+  def vacuum(spark: SparkSession, path: String, retainVersions: Int = RetainVersions,
+      staleAfterMs: Long = 24L * 3600 * 1000): Unit = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    prune(fs, base, retainVersions)
+    val now = System.currentTimeMillis()
     fs.listStatus(base).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("v-") && !keep.contains(name))
+      if (st.isDirectory && st.getPath.getName.startsWith("v-") &&
+          !fs.exists(new Path(st.getPath, SegmentsFile)) &&
+          now - st.getModificationTime > staleAfterMs)
         fs.delete(st.getPath, true)
     }
-    vdir.toString
   }
 
   /** The committed version directory under `path`, or a loud error if
@@ -121,6 +179,9 @@ object IndexIO {
     val f = new Path(vdir, SegmentsFile)
     if (!fs.exists(f)) Seq(vdir.toString) // pre-segments layout
     else readFile(fs, f).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      // relative entries (current layout) resolve against the index
+      // base; absolute entries (older builds) pass through unchanged
+      .map(e => if (e.contains("/")) e else new Path(vdir.getParent, e).toString)
   }
 
   private def writeFile(fs: FileSystem, p: Path, content: String): Unit = {

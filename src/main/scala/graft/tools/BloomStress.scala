@@ -47,9 +47,9 @@ object BloomStress {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
-      // the forced-broadcast leg ships a >8 GB-threshold-free relation;
-      // keep drivers honest about what the exact path costs
-      .config("spark.driver.memory", "16g")
+      // NOTE: driver heap CANNOT be set here in local mode — the JVM is
+      // already running. Launch with -Xmx16g (or --driver-memory 16g via
+      // spark-submit); the forced-broadcast leg needs it.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -60,4 +60,50 @@ class PlanContractSuite extends SparkSpec {
       for (f <- forbidden)
         assert(!plan.contains(f), s"$name plan degenerated to `$f`:\n$plan")
     }
+
+  // ---- ANN top-k shapes --------------------------------------------------
+  // The registered ann_topk_* gate queries wrap the search in
+  // recallSummary (whose localCheckpoint truncates the plan), so the
+  // load-bearing shapes are asserted on the underlying search plans
+  // directly. Every ANN top-k depends on Spark's rank-limit pushdown
+  // (WindowGroupLimit) to avoid shuffling the full |Q|x|C| scored-pair
+  // stream, and the persisted-IVF probe depends on dynamic partition
+  // pruning to skip unprobed cell directories.
+
+  import org.apache.spark.sql.functions.col
+  import graft.operators.SimilaritySearch
+
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("plan contract: ann_topk (brute force) keeps WindowGroupLimit") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
+    val plan = SimilaritySearch.bruteForceTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"ann_topk plan lost rank-limit pushdown:\n$plan")
+  }
+
+  test("plan contract: ann_topk_pq keeps WindowGroupLimit") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
+    val plan = SimilaritySearch.pqTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5,
+        m = 32, kCodes = 32)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"ann_topk_pq plan lost rank-limit pushdown:\n$plan")
+  }
+
+  test("plan contract: searchIvf keeps WindowGroupLimit + dynamic cell pruning") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
+    val idx = java.nio.file.Files.createTempDirectory("graft_plan_ivf").toString
+    SimilaritySearch.buildIvfIndex(emb, "vec_id", "embedding", idx)
+    val plan = SimilaritySearch.searchIvf(
+        spark, idx, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"ann_topk_ivf_persisted plan lost rank-limit pushdown:\n$plan")
+    assert(plan.contains("dynamicpruning"),
+      s"ann_topk_ivf_persisted probe lost dynamic cell pruning:\n$plan")
+  }
 }

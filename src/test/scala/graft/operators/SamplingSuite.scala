@@ -154,4 +154,23 @@ class SamplingSuite extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       s"global rank degenerated to one partition:\n$plan")
   }
+
+  test("globalShuffleRank derives its bucket count from data size by default") {
+    // default (buckets <= 0): derived from the plan's row estimate with
+    // a 10M-rows-per-bucket target, floored at the cluster parallelism —
+    // on this tiny frame that floor binds, and the rank is still dense
+    val df = (0 until 500).map(i => Tuple1(i.toLong)).toDF("id")
+    val out = Sampling.globalShuffleRank(df, "id")
+    assert(out.select("shuffle_rank").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 500L).toSeq)
+    // a huge synthetic estimate still clamps to the 1 << 20 cap: the
+    // derivation itself is pure arithmetic, pin it directly
+    val target = Sampling.ShuffleRankTargetRowsPerBucket
+    def derived(estRows: Long): Long =
+      math.min(1L << 20, math.max(spark.sparkContext.defaultParallelism.toLong,
+        (estRows + target - 1) / target))
+    assert(derived(1L) == spark.sparkContext.defaultParallelism)
+    assert(derived(1000L * 1000 * 1000 * 1000) == (1000L * 1000 * 1000 * 1000 + target - 1) / target)
+    assert(derived(Long.MaxValue / 2) == 1L << 20)
+  }
 }

@@ -81,20 +81,52 @@ class IndexIOSuite extends SparkSpec {
     assert(ex.getMessage.contains("no committed base"), ex.getMessage)
   }
 
-  test("a reader holding a resolved version survives one concurrent rebuild") {
+  test("a reader holding a resolved version survives RetainVersions-1 rebuilds") {
     val base = newBase()
     IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1, 2, 3)))
     val held = IndexIO.resolve(spark, base)
     val df = spark.read.parquet(s"$held/a") // long-lived plan, re-lists files per action
+    // a reader that resolved once (the streaming gate shape) keeps its
+    // segments through RetainVersions-1 = 2 subsequent publishes
     IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(7)))
-    // the rebuild published a SIBLING version; the held one is intact
-    // (prune keeps the pre-flip version for exactly this reader)
     assert(df.count() == 3)
-    // and superseded versions do get pruned: after one more publish,
-    // only two v-dirs remain
     IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(8)))
+    assert(df.count() == 3)
+    // and superseded versions DO get pruned eventually: after a third
+    // publish the held version is outside the retention window
+    IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(9)))
     val vdirs = new java.io.File(base).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v-")).map(_.getName)
-    assert(vdirs.length == 2, s"expected 2 kept versions, got: ${vdirs.toSeq}")
+    assert(vdirs.length == IndexIO.RetainVersions,
+      s"expected ${IndexIO.RetainVersions} kept versions, got: ${vdirs.toSeq}")
+    assert(!vdirs.contains(new java.io.File(held).getName),
+      s"4-publishes-old version should be pruned: ${vdirs.toSeq}")
+  }
+
+  test("an in-flight sibling build is never pruned by a finishing publisher") {
+    val base = newBase()
+    IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1)))
+    // simulate a concurrent publisher mid-build: data written, no
+    // _SEGMENTS yet (that file lands last)
+    val inflight = s"$base/v-00000000inflight"
+    writeTable(inflight, "a", Seq(42))
+    (1 to 4).foreach(i => IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(i))))
+    assert(new java.io.File(inflight).isDirectory,
+      "publish pruned a sibling build that had not yet published")
+    // vacuum with an age bound reclaims it once it is genuinely stale
+    IndexIO.vacuum(spark, base, staleAfterMs = 0L)
+    assert(!new java.io.File(inflight).exists(), "vacuum should reclaim stale debris")
+  }
+
+  test("segment chains survive a directory move (relative _SEGMENTS entries)") {
+    val base = newBase()
+    IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1, 2)))
+    IndexIO.publishDelta(spark, base)(vdir => writeTable(vdir, "a", Seq(3)))
+    val moved = newBase() + "_moved"
+    assert(new java.io.File(base).renameTo(new java.io.File(moved)), "rename failed")
+    val union = IndexIO.segments(spark, moved)
+      .map(s => spark.read.parquet(s"$s/a")).reduce(_ union _)
+      .as[Int].collect().toSet
+    assert(union == Set(1, 2, 3), "append chain broke after moving the index dir")
   }
 }
