@@ -530,6 +530,34 @@ object SparkEntry {
         SimilaritySearch.ivfTopK(q, e, "vec_id", "embedding", k = 5),
         SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
     }),
+    "ann_topk_ivf_pq" -> ((s, dir) => {
+      // the billion-vector composition: PQ codes INSIDE learned IVF
+      // cells — probe nProbe cells, score candidates from m code bytes
+      // via ADC (residual encoding). Recall@5 on the gate dataset is
+      // the deterministic outcome (oracle constant, sf0.01).
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.ivfPqTopK(q, e, "vec_id", "embedding", k = 5,
+          nCentroids = 16, nProbe = 8, m = 32, kCodes = 32),
+        SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
+    }),
+    "ann_topk_ivf_pq_persisted" -> ((s, dir) => {
+      // IVF×PQ index lifecycle: train both quantizers + encode + persist
+      // once (atomic publish), then serve from the stored cells — the
+      // float vectors are never read on the search path, and the probe
+      // scan partition-prunes to the probed cells. Same deterministic
+      // trainers as ann_topk_ivf_pq, so the recall constant is shared.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val idx = scratch("ivfpq_index", dir)
+      SimilaritySearch.buildIvfPqIndex(e, "vec_id", "embedding", idx,
+        nCentroids = 16, m = 32, kCodes = 32)
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.searchIvfPq(s, idx, q, "vec_id", "embedding", k = 5,
+          nProbe = 8),
+        SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
+    }),
     "ann_topk_ivf_persisted" -> ((s, dir) => {
       // index LIFECYCLE: train + persist once (buildIvfIndex), then
       // serve the queries from the stored index (searchIvf) — no
@@ -1592,6 +1620,17 @@ object SparkEntry {
       "ann_topk_pq_persisted" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(0.78 AS DOUBLE) AS recall""".stripMargin,
+      // IVF×PQ at nProbe 8/16: cell pruning stacks its misses on top of
+      // the PQ ranking error, so the constant sits below flat PQ's 0.78
+      // on the near-random gate vectors — measured at sf0.01, honest
+      // like the others (clustered real embeddings prune far better)
+      "ann_topk_ivf_pq" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(0.71 AS DOUBLE) AS recall""".stripMargin,
+      // persisted form: same deterministic trainers + params -> shared constant
+      "ann_topk_ivf_pq_persisted" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(0.71 AS DOUBLE) AS recall""".stripMargin,
       "dedup_simhash" ->
         """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
           |       CAST(NULL AS INT) AS hamming, CAST(NULL AS VARCHAR) AS src

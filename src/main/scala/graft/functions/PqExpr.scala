@@ -101,6 +101,133 @@ object PqKernel {
   }
 }
 
+/** Fused assign-and-encode kernel for the IVF×PQ composition (the
+  * billion-vector index shape: PQ codes stored INSIDE learned IVF
+  * cells, so a probe prunes to nProbe cells and scores candidates with
+  * ADC — faiss's IndexIVFPQ, re-expressed as one scan expression).
+  * Per corpus row:
+  *
+  *   1. cell = argmax-cosine centroid, replicating
+  *      `SimilaritySearch.bestCellExpr`'s arithmetic exactly (same
+  *      left-to-right dot, same `score > best` strict comparison, so
+  *      ties keep the smaller cell, zero-norm centroids score 0.0);
+  *   2. residual r = x − centroid(cell) — RESIDUAL encoding: residuals
+  *      are centered near zero, so the same codebook bits carry far
+  *      more precision than raw-vector PQ;
+  *   3. codes = per-subspace nearest codeword of r ([[PqKernel]]'s L2
+  *      rule, ties to the smaller code);
+  *   4. rnorm = |centroid(cell) + decode(codes)| — the reconstructed
+  *      vector's norm, precomputed so query-time cosine needs no
+  *      second pass.
+  *
+  * Centroids ride flattened row-major (`cents[cell*dim + t]`) with
+  * their norms precomputed, codebooks as in [[PqKernel]].
+  */
+object IvfPqKernel {
+
+  /** Argmax-cosine cell, bit-compatible with `bestCellExpr` (suite-
+    * pinned): products and sums accumulate left-to-right, zero-norm
+    * centroids score 0.0, strict `>` keeps the first (smallest) cell.
+    */
+  def bestCell(arr: ArrayData, cents: Array[Double], cnorms: Array[Double],
+      dim: Int): Int = {
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cnorms.length) {
+      var score = 0.0
+      if (cnorms(c) > 0) {
+        var s = 0.0
+        var t = 0
+        while (t < dim) { s += cents(c * dim + t) * arr.getDouble(t); t += 1 }
+        score = s / cnorms(c)
+      }
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def encode(arr: ArrayData, cents: Array[Double], cnorms: Array[Double],
+      dim: Int, m: Int, kCodes: Int, subDim: Int,
+      cb: Array[Double]): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val cell = bestCell(arr, cents, cnorms, dim)
+    val cbase = cell * dim
+    val codes = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < kCodes) {
+        var d = 0.0
+        var t = 0
+        val base = (j * kCodes + c) * subDim
+        while (t < subDim) {
+          val r = arr.getDouble(j * subDim + t) - cents(cbase + j * subDim + t)
+          val diff = r - cb(base + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best.toByte
+      j += 1
+    }
+    var s = 0.0
+    j = 0
+    while (j < m) {
+      val base = (j * kCodes + (codes(j) & 0xff)) * subDim
+      var t = 0
+      while (t < subDim) {
+        val v = cents(cbase + j * subDim + t) + cb(base + t)
+        s += v * v
+        t += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cell, codes, math.sqrt(s)))
+  }
+}
+
+/** `array<double> -> struct<cell: int, codes: binary, rnorm: double>`:
+  * the IVF×PQ write-path expression — cell assignment, residual PQ
+  * encode, and reconstructed norm in ONE pass over the scan, no
+  * intermediate residual array materialized in the plan.
+  */
+case class IvfPqEncodeExpr(child: Expression, cents: Array[Double],
+    cnorms: Array[Double], dim: Int, m: Int, kCodes: Int, subDim: Int,
+    cb: Array[Double]) extends UnaryExpression {
+
+  require(kCodes <= 256, "one byte per code: kCodes <= 256")
+  require(m * subDim == dim, s"m ($m) x subDim ($subDim) must equal dim ($dim)")
+  require(cnorms.nonEmpty, "at least one centroid")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("codes", BinaryType, nullable = false),
+    StructField("rnorm", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_ivfpq_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    IvfPqKernel.encode(input.asInstanceOf[ArrayData], cents, cnorms, dim,
+      m, kCodes, subDim, cb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("graftIvfPqCents", cents, "double[]")
+    val cnormsRef = ctx.addReferenceObj("graftIvfPqCnorms", cnorms, "double[]")
+    val cbRef = ctx.addReferenceObj("graftIvfPqCb", cb, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.IvfPqKernel.encode($c, $centsRef, " +
+        s"$cnormsRef, $dim, $m, $kCodes, $subDim, $cbRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `array<double> -> struct<codes: binary, rnorm: double>`: PQ-encode a
   * vector against literal codebooks. A write-path expression (one
   * evaluation per corpus row, output materialized or persisted), but

@@ -582,6 +582,280 @@ object SimilaritySearch {
       .drop("__rn")
   }
 
+  // ---- IVF×PQ composition ------------------------------------------------
+
+  /** Flatten a centroid matrix row-major with precomputed norms — the
+    * reference-object form [[graft.functions.IvfPqEncodeExpr]] carries
+    * into the executors.
+    */
+  private def flatCentroids(
+      centroids: Array[Array[Double]]): (Array[Double], Array[Double], Int) = {
+    val dim = centroids(0).length
+    val flat = new Array[Double](centroids.length * dim)
+    centroids.zipWithIndex.foreach { case (v, i) =>
+      System.arraycopy(v, 0, flat, i * dim, dim)
+    }
+    (flat, centroids.map(v => math.sqrt(v.map(x => x * x).sum)), dim)
+  }
+
+  /** Driver-side cell assignment for the PQ training sample — same
+    * arithmetic as [[graft.functions.IvfPqKernel.bestCell]] (and so as
+    * `bestCellExpr`): left-to-right dot, zero-norm scores 0, ties keep
+    * the smaller cell.
+    */
+  private def bestCellScalar(v: Array[Double], centroids: Array[Array[Double]],
+      cnorms: Array[Double]): Int = {
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      var score = 0.0
+      if (cnorms(c) > 0) {
+        var s = 0.0
+        var t = 0
+        while (t < v.length) { s += centroids(c)(t) * v(t); t += 1 }
+        score = s / cnorms(c)
+      }
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** PQ codebooks trained on the RESIDUALS of a deterministic
+    * md5-ordered corpus sample (train vs its assigned centroid — the
+    * residual geometry the stored codes live in).
+    */
+  private def trainResidualCodebooks(
+      c: DataFrame, centroids: Array[Array[Double]], cnorms: Array[Double],
+      m: Int, kCodes: Int, subDim: Int, sampleN: Int, iters: Int): Array[Double] = {
+    val sample = c
+      .withColumn("__h", md5(col("neighbor_id").cast("string")))
+      .orderBy(col("__h")).limit(sampleN)
+      .select("__cv").collect().map(_.getSeq[Double](0).toArray)
+    val residuals = sample.map { v =>
+      val cell = bestCellScalar(v, centroids, cnorms)
+      Array.tabulate(v.length)(t => v(t) - centroids(cell)(t))
+    }
+    trainPqCodebooks(residuals, m, kCodes, subDim, iters)
+  }
+
+  /** Probe + ADC scoring shared by the in-memory and persisted IVF×PQ
+    * paths. `q` carries `(query_id, __qv, __qn)`; `cents` the centroid
+    * table; `codes` `(neighbor_id, codes, rnorm, __cell)`. The per-query
+    * ADC table is computed ONCE per query (the residual decomposition
+    * `cos(q, x̂) = (q·c + q·dec(codes)) / (|q|·|x̂|)` needs only the RAW
+    * query's table — `q·dec` is codebook lookups, `q·c` rides out of the
+    * probe join), so a candidate pair costs `m` adds regardless of dim.
+    */
+  private def ivfPqSearch(
+      q: DataFrame, cents: DataFrame, codes: DataFrame, k: Int, nProbe: Int,
+      m: Int, kCodes: Int, subDim: Int, cb: Array[Double]): DataFrame = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val qt = q.select(col("query_id"), col("__qv"), col("__qn"),
+      toColumn(graft.functions.PqTableExpr(
+        toExpression(col("__qv")), m, kCodes, subDim, cb)).as("__tab"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cscore").desc, col("__cell").asc)
+    val probed = qt.crossJoin(broadcast(cents))
+      .withColumn("__cdot", VectorFunctions.dot(col("__qv"), col("__ctv")))
+      .withColumn("__cscore",
+        when(col("__ctn") > 0, col("__cdot") / col("__ctn")).otherwise(lit(0.0)))
+      .withColumn("__crn", row_number().over(w1))
+      .filter(col("__crn") <= nProbe)
+      .select(col("query_id"), col("__qn"), col("__tab"), col("__cdot"), col("__cell"))
+    val adc = toColumn(graft.functions.PqAdcExpr(
+      toExpression(col("codes")), toExpression(col("__tab")), kCodes))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(probed)
+      .join(codes, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("__qn") > 0 && col("rnorm") > 0,
+          (col("__cdot") + adc) / (col("__qn") * col("rnorm")))
+          .otherwise(lit(0.0)).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** IVF×PQ approximate top-k — the standard billion-vector composition
+    * (faiss IndexIVFPQ): learned cells prune the candidate set to
+    * `nProbe/nCentroids` of the corpus AND the candidates score as `m`
+    * code bytes via ADC, so the probe moves `m + 8` bytes per candidate
+    * instead of `8·dim` — the flat-PQ scan ([[pqTopK]]) keeps the byte
+    * economy but streams ALL codes past each query; IVF alone prunes
+    * cells but ships float vectors. Trains in-process; the production
+    * lifecycle is [[buildIvfPqIndex]] / [[searchIvfPq]].
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 5,
+      m: Int = 32, kCodes: Int = 32, sampleN: Int = 2048,
+      pqIters: Int = 8): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids)
+    val c = prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+      .localCheckpoint(true)
+    val dim0 = c.select(size(col("__cv"))).first().getInt(0)
+    require(dim0 % m == 0, s"ivfPqTopK: m ($m) must divide dim ($dim0)")
+    val subDim = dim0 / m
+    val centroids = trainCentroids(c, nCentroids, iters)
+    val (flat, cnorms, dim) = flatCentroids(centroids)
+    val cb = trainResidualCodebooks(c, centroids, cnorms, m, kCodes, subDim,
+      sampleN, pqIters)
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val enc = c.select(col("neighbor_id"),
+        toColumn(graft.functions.IvfPqEncodeExpr(
+          toExpression(col("__cv")), flat, cnorms, dim, m, kCodes, subDim, cb))
+          .as("__e"))
+      .select(col("neighbor_id"), col("__e.codes").as("codes"),
+        col("__e.rnorm").as("rnorm"), col("__e.cell").as("__cell"))
+    val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    ivfPqSearch(q, centroidTable(queries.sparkSession, centroids), enc,
+      k, nProbe, m, kCodes, subDim, cb)
+  }
+
+  /** Train-once IVF×PQ index: `centroids` (k rows) + self-describing
+    * `codebook` + `cells` — the encoded corpus `(neighbor_id, codes,
+    * rnorm)` PARTITIONED BY cell, so a probe is a partition-pruned scan
+    * of nProbe directories whose rows are `m` code bytes + one norm.
+    * At the defaults that is 16×-compressed payload over 1/4 of the
+    * corpus vs [[buildPqIndex]]'s full-corpus code scan — the candidate
+    * bytes table in `tools/IvfIndexCheck` quantifies it. Published
+    * atomically ([[graft.sources.IndexIO]]).
+    */
+  def buildIvfPqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      nCentroids: Int = 16, iters: Int = 5,
+      m: Int = 32, kCodes: Int = 32, sampleN: Int = 2048,
+      pqIters: Int = 8): Unit = {
+    val c = prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+      .localCheckpoint(true)
+    val dim0 = c.select(size(col("__cv"))).first().getInt(0)
+    require(dim0 % m == 0, s"buildIvfPqIndex: m ($m) must divide dim ($dim0)")
+    val subDim = dim0 / m
+    val centroids = trainCentroids(c, nCentroids, iters)
+    val (flat, cnorms, dim) = flatCentroids(centroids)
+    val cb = trainResidualCodebooks(c, centroids, cnorms, m, kCodes, subDim,
+      sampleN, pqIters)
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.sources.IndexIO.publish(spark, indexDir) { vdir =>
+      centroidTable(spark, centroids)
+        .select(col("__cell").as("cell"), col("__ctv").as("centroid"),
+          col("__ctn").as("cnorm"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$vdir/centroids")
+      Seq((m, kCodes, subDim, cb.toSeq)).toDF("m", "k_codes", "sub_dim", "cb")
+        .repartition(1).write.mode("overwrite").parquet(s"$vdir/codebook")
+      c.select(col("neighbor_id"),
+          toColumn(graft.functions.IvfPqEncodeExpr(
+            toExpression(col("__cv")), flat, cnorms, dim, m, kCodes, subDim, cb))
+            .as("__e"))
+        .select(col("neighbor_id"), col("__e.codes").as("codes"),
+          col("__e.rnorm").as("rnorm"), col("__e.cell").as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/cells")
+    }
+    ()
+  }
+
+  /** Load the (centroids, codebook) model of a [[buildIvfPqIndex]]
+    * version dir: `(centroid matrix, cnorms, dim, m, kCodes, subDim,
+    * flattened codebooks)`.
+    */
+  private def loadIvfPqModel(spark: org.apache.spark.sql.SparkSession, vdir: String)
+      : (Array[Array[Double]], Array[Double], Int, Int, Int, Int, Array[Double]) = {
+    val cents = spark.read.parquet(s"$vdir/centroids")
+      .orderBy(col("cell"))
+      .select("centroid").collect().map(_.getSeq[Double](0).toArray)
+    val meta = spark.read.parquet(s"$vdir/codebook").collect()(0)
+    val (m, kCodes, subDim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val cb = meta.getSeq[Double](3).toArray
+    val cnorms = cents.map(v => math.sqrt(v.map(x => x * x).sum))
+    (cents, cnorms, cents(0).length, m, kCodes, subDim, cb)
+  }
+
+  /** Append vectors to a [[buildIvfPqIndex]] index WITHOUT retraining:
+    * the stored centroids assign cells, the stored codebooks encode the
+    * residuals, and the new cell files land in an immutable
+    * `publishDelta` segment — one pass over the NEW vectors only, model
+    * copied forward so every version resolves its own.
+    */
+  def appendToIvfPqIndex(
+      newVectors: DataFrame, idCol: String, vecCol: String,
+      indexDir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val vdir0 = graft.sources.IndexIO.resolve(spark, indexDir)
+    val (cents, cnorms, dim, m, kCodes, subDim, cb) = loadIvfPqModel(spark, vdir0)
+    val newDim = newVectors.select(size(col(vecCol))).first().getInt(0)
+    require(newDim == dim,
+      s"appendToIvfPqIndex: new vectors have dim $newDim but the index at " +
+        s"$indexDir was trained on dim $dim")
+    val (flat, _, _) = flatCentroids(cents)
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    graft.sources.IndexIO.publishDelta(spark, indexDir) { seg =>
+      spark.read.parquet(s"$vdir0/centroids")
+        .repartition(1).write.mode("overwrite").parquet(s"$seg/centroids")
+      spark.read.parquet(s"$vdir0/codebook")
+        .repartition(1).write.mode("overwrite").parquet(s"$seg/codebook")
+      prepared(newVectors, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+        .select(col("neighbor_id"),
+          toColumn(graft.functions.IvfPqEncodeExpr(
+            toExpression(col("__cv")), flat, cnorms, dim, m, kCodes, subDim, cb))
+            .as("__e"))
+        .select(col("neighbor_id"), col("__e.codes").as("codes"),
+          col("__e.rnorm").as("rnorm"), col("__e.cell").as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$seg/cells")
+    }
+    ()
+  }
+
+  /** Collapse an [[appendToIvfPqIndex]] chain to ONE cell-partitioned
+    * segment, from the stored codes alone. Identical results by
+    * construction (code rows unioned unchanged).
+    */
+  def compactIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    val segs = graft.sources.IndexIO.segments(spark, indexDir)
+    if (segs.length <= 1) return
+    val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
+    val cents = spark.read.parquet(s"$vdir/centroids")
+    val cbdf = spark.read.parquet(s"$vdir/codebook")
+    val cells = segs.map(s => spark.read.parquet(s"$s/cells")).reduce(_ unionByName _)
+    graft.sources.IndexIO.publish(spark, indexDir) { nv =>
+      cents.repartition(1).write.mode("overwrite").parquet(s"$nv/centroids")
+      cbdf.repartition(1).write.mode("overwrite").parquet(s"$nv/codebook")
+      cells.write.mode("overwrite").partitionBy("cell").parquet(s"$nv/cells")
+    }
+    ()
+  }
+
+  /** Serve top-k from a persisted [[buildIvfPqIndex]] index: the float
+    * corpus is never read — centroid pick from the k-row broadcast
+    * table, candidate scan partition-pruned to the probed cells, each
+    * candidate scored from `m` code bytes + one norm via ADC.
+    */
+  def searchIvfPq(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
+    val (_, _, _, m, kCodes, subDim, cb) = loadIvfPqModel(spark, vdir)
+    val cents = spark.read.parquet(s"$vdir/centroids")
+      .select(col("cell").as("__cell"), col("centroid").as("__ctv"),
+        col("cnorm").as("__ctn"))
+    val codes = graft.sources.IndexIO.segments(spark, indexDir)
+      .map(seg => spark.read.parquet(s"$seg/cells"))
+      .reduce(_ unionByName _)
+      .select(col("neighbor_id"), col("codes"), col("rnorm"),
+        col("cell").as("__cell"))
+    val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    ivfPqSearch(q, cents, codes, k, nProbe, m, kCodes, subDim, cb)
+  }
+
   /** Train-once PQ index: codebooks (self-describing — m/kCodes/subDim
     * ride with the flattened array) plus the encoded corpus
     * `(neighbor_id, codes, rnorm)` — 8-64× smaller than the float

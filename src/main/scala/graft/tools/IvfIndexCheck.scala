@@ -72,6 +72,30 @@ object IvfIndexCheck {
     println(f"pq: build=$tBuildP%.2fs search=$tSearchP%.2fs rows=$nP " +
       f"codes=${dirBytes(s"${graft.sources.IndexIO.resolve(spark, idxP)}/codes")}%d B" +
       f" vs float cells ${dirBytes(s"${graft.sources.IndexIO.resolve(spark, idx)}/cells")}%d B")
+
+    // IVF×PQ: PQ codes inside IVF cells — the probe reads nProbe of
+    // nCentroids cell DIRECTORIES of code bytes, so the candidate bytes
+    // actually scanned are (nProbe/nCentroids) × the PQ code payload:
+    // below flat PQ (which streams ALL codes past each query) AND below
+    // the float/SQ8 cells. Report the probed-bytes estimate explicitly.
+    val idxC = java.nio.file.Files.createTempDirectory("graft_ivfpq_check").toString
+    val t6 = System.nanoTime()
+    SimilaritySearch.buildIvfPqIndex(e, "vec_id", "embedding", idxC)
+    val tBuildC = (System.nanoTime() - t6) / 1e9
+    val resC = SimilaritySearch.searchIvfPq(spark, idxC, q, "vec_id", "embedding", 5)
+    val t7 = System.nanoTime()
+    val nC = resC.count()
+    val tSearchC = (System.nanoTime() - t7) / 1e9
+    val dppC = resC.queryExecution.executedPlan.toString.contains("dynamicpruning")
+    val vdirC = graft.sources.IndexIO.resolve(spark, idxC)
+    val cellBytesC = dirBytes(s"$vdirC/cells")
+    // probed bytes: sum the nProbe=4 largest cell=* dirs as the worst case
+    val probed = new java.io.File(s"$vdirC/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(f => dirBytes(f.toString)).sorted.reverse.take(4).sum
+    println(f"ivfpq: build=$tBuildC%.2fs search=$tSearchC%.2fs rows=$nC dpp=$dppC " +
+      f"cells=$cellBytesC%d B probed(4 largest)=$probed%d B " +
+      f"vs flat pq codes ${dirBytes(s"${graft.sources.IndexIO.resolve(spark, idxP)}/codes")}%d B")
     spark.stop()
   }
 }

@@ -360,6 +360,106 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(asSet(SimilaritySearch.searchPqIndex(spark, idx, vecs, "id", "emb", k = 3)) == before)
   }
 
+  test("ivfPqTopK: cluster fidelity, recall, determinism; kernel cell rule pinned") {
+    val rnd = new scala.util.Random(31)
+    val centers = Seq(
+      Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0),
+      Array(0, 0, 10.0, 0), Array(0, 0, 0, 10.0))
+    val vecs = (0 until 120).map { i =>
+      val ctr = centers(i % 4)
+      (i, ctr.map(_ + rnd.nextGaussian() * 0.5))
+    }.toDF("id", "emb")
+    // probe-all keeps cell pruning out of the recall equation, so the
+    // comparison isolates the residual-PQ scoring: residual codes are
+    // centered, so even a modest codebook ranks within-cluster
+    val out = SimilaritySearch.ivfPqTopK(vecs, vecs, "id", "emb", k = 3,
+      nCentroids = 4, nProbe = 4, iters = 4, m = 4, kCodes = 32,
+      sampleN = 120, pqIters = 6)
+    val exact = SimilaritySearch.bruteForceTopK(vecs, vecs, "id", "emb", k = 3)
+    val summary = SimilaritySearch.recallSummary(out, exact).collect()(0)
+    assert(summary.getDouble(2) >= 0.9,
+      s"ivfpq probe-all recall ${summary.getDouble(2)}")
+    // nProbe = 1 on well-separated clusters: every neighbor still comes
+    // from the query's own cluster (the probed cell IS the cluster)
+    SimilaritySearch.ivfPqTopK(vecs, vecs, "id", "emb", k = 3,
+        nCentroids = 4, nProbe = 1, iters = 4, m = 2, kCodes = 8,
+        sampleN = 120, pqIters = 6)
+      .collect().foreach { r =>
+        assert(r.getInt(0) % 4 == r.getInt(1) % 4,
+          s"neighbor from the wrong cluster: $r")
+      }
+    // deterministic under re-partitioning (seedless trainer, md5 sample)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs(out) == pairs(SimilaritySearch.ivfPqTopK(
+      vecs.repartition(7), vecs.repartition(5), "id", "emb", k = 3,
+      nCentroids = 4, nProbe = 4, iters = 4, m = 4, kCodes = 32,
+      sampleN = 120, pqIters = 6)))
+    // kernel cell rule: ties keep the smaller cell, zero-norm scores 0
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cents = Array(0.0, 1.0, /*cell1=*/ 0.0, 1.0, /*cell2 zero*/ 0.0, 0.0)
+    val cnorms = Array(1.0, 1.0, 0.0)
+    val v = new GenericArrayData(Array[Any](0.0, 2.0))
+    assert(graft.functions.IvfPqKernel.bestCell(v, cents, cnorms, 2) == 0,
+      "tie must keep the smaller cell")
+    val vneg = new GenericArrayData(Array[Any](0.0, -2.0))
+    // both real cells score negative; the zero-norm cell's 0.0 wins
+    assert(graft.functions.IvfPqKernel.bestCell(vneg, cents, cnorms, 2) == 2,
+      "zero-norm centroid must score 0.0, not -inf or NaN")
+  }
+
+  test("IVF×PQ index: search == in-query; append duplicates; compact; DPP-prunable") {
+    val rnd = new scala.util.Random(31)
+    val centers = Seq(
+      Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0),
+      Array(0, 0, 10.0, 0), Array(0, 0, 0, 10.0))
+    val vecs = (0 until 120).map { i =>
+      val ctr = centers(i % 4)
+      (i, ctr.map(_ + rnd.nextGaussian() * 0.5))
+    }.toDF("id", "emb")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx_").toString
+    SimilaritySearch.buildIvfPqIndex(vecs, "id", "emb", idx,
+      nCentroids = 4, iters = 4, m = 2, kCodes = 8, sampleN = 120, pqIters = 6)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    // same deterministic trainers -> the persisted search is bit-equal
+    // to the in-query composition
+    assert(asSet(SimilaritySearch.searchIvfPq(spark, idx, vecs, "id", "emb",
+        k = 3, nProbe = 2)) ==
+      asSet(SimilaritySearch.ivfPqTopK(vecs, vecs, "id", "emb", k = 3,
+        nCentroids = 4, nProbe = 2, iters = 4, m = 2, kCodes = 8,
+        sampleN = 120, pqIters = 6)))
+    // appended exact duplicates encode to identical (cell, codes) via
+    // the STORED model — scores equal their originals for any query
+    val origRows = vecs.filter($"id" < 5).collect()
+      .map(r => (r.getInt(0) + 1000, r.getSeq[Double](1).toArray))
+    SimilaritySearch.appendToIvfPqIndex(origRows.toSeq.toDF("id", "emb"), "id", "emb", idx)
+    val after = SimilaritySearch.searchIvfPq(spark, idx,
+        vecs.filter($"id" === 0), "id", "emb", k = 200, nProbe = 4)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    for (i <- 1 until 5)
+      assert(after(1000 + i) == after(i),
+        s"appended duplicate of $i scores differently for query 0")
+    // dim mismatch on append fails loudly, not with garbage cells
+    val bad = Seq((9999, Array(1.0, 2.0))).toDF("id", "emb")
+    val ex = intercept[IllegalArgumentException] {
+      SimilaritySearch.appendToIvfPqIndex(bad, "id", "emb", idx)
+    }
+    assert(ex.getMessage.contains("dim"), ex.getMessage)
+    // compaction: one segment, identical results
+    val before = asSet(SimilaritySearch.searchIvfPq(spark, idx, vecs, "id", "emb", k = 3))
+    SimilaritySearch.compactIvfPqIndex(spark, idx)
+    assert(graft.sources.IndexIO.segments(spark, idx).length == 1)
+    assert(asSet(SimilaritySearch.searchIvfPq(spark, idx, vecs, "id", "emb", k = 3)) == before)
+    // the probe is a partition-pruned scan: cells live as cell=N dirs
+    // and the executed plan carries dynamic partition pruning
+    val plan = SimilaritySearch.searchIvfPq(spark, idx,
+        vecs.filter($"id" === 0), "id", "emb", k = 3, nProbe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"IVF×PQ probe lost DPP:\n$plan")
+  }
+
   test("oversized-query-side guard trips on the threshold, results stay exact") {
     val vecs = (0 until 50).map(i => (i, Array.fill(8)(i * 0.1 + 1.0))).toDF("id", "emb")
     assert(!SimilaritySearch.querySideOversized(vecs.limit(2)))
