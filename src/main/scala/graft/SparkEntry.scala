@@ -398,6 +398,23 @@ object SparkEntry {
         .select(col("id_left"), col("id_right"), col("intersection"),
           col("size_left"), col("size_right"), q4(col("jaccard")).as("jaccard"))
     }),
+    "dedup_incremental_deleted" -> ((s, dir) => {
+      // index DELETE lifecycle (takedown/revocation): corpus indexed
+      // once, then docs with doc_id % 10 = 5 are tombstoned — a tiny
+      // delta segment, nothing rewritten — and the incoming batch
+      // dedups against the live remainder. Oracle = the exact cross
+      // join excluding the deleted docs; compaction equivalence is
+      // suite-proven (IncrementalDedupSuite).
+      val d = t(s, dir, "documents")
+      val idx = scratch("minhash_deleted_idx", dir)
+      Dedup.buildMinhashIndex(d.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+      Dedup.deleteFromMinhashIndex(s,
+        idx, d.filter(col("doc_id") % 10 === 5).select("doc_id"), "doc_id")
+      Dedup.dedupAgainstMinhashIndex(s, d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", idx, threshold = 0.8)
+        .select(col("id_left"), col("id_right"), col("intersection"),
+          col("size_left"), col("size_right"), q4(col("jaccard")).as("jaccard"))
+    }),
     "stream_index_dedup" -> ((s, dir) => {
       // the streaming ingest gate's batch-unified form: the SAME
       // stateless stream-static plan (first-shared-band anchor, no
@@ -587,6 +604,24 @@ object SparkEntry {
       SimilaritySearch.recallSummary(
         SimilaritySearch.searchIvf(s, idx, q, "vec_id", "embedding", k = 5),
         SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
+    }),
+    "ann_topk_ivf_deleted" -> ((s, dir) => {
+      // ANN index DELETE lifecycle: full-corpus index, vectors with
+      // vec_id % 7 = 3 tombstoned (deleteFromAnnIndex — an immutable
+      // delta segment; searches anti-join the broadcast tombstones),
+      // then recall measured against the exact top-k over the LIVE
+      // corpus — a surviving deleted neighbor would displace a correct
+      // one and move the pinned constant.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val idx = scratch("ivf_deleted_idx", dir)
+      SimilaritySearch.buildIvfIndex(e, "vec_id", "embedding", idx)
+      SimilaritySearch.deleteFromAnnIndex(s, idx,
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.searchIvf(s, idx, q, "vec_id", "embedding", k = 5),
+        SimilaritySearch.bruteForceTopK(q, e.filter(col("vec_id") % 7 =!= 3),
+          "vec_id", "embedding", k = 5))
     }),
     "ann_topk_ivf_sq8" -> ((s, dir) => {
       // IVF-SQ8 lifecycle: quantized cells persisted once (~8x smaller
@@ -1514,6 +1549,19 @@ object SparkEntry {
           |JOIN cnt ca ON ca.doc_id = id_left
           |JOIN cnt cb ON cb.doc_id = id_right
           |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin),
+      "dedup_incremental_deleted" -> (shinglesBase +
+        """inter AS (
+          |  SELECT x.doc_id AS id_left, y.doc_id AS id_right, count(*) AS i
+          |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+          |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1 AND y.doc_id % 10 <> 5
+          |  GROUP BY 1, 2)
+          |SELECT id_left, id_right, i AS intersection,
+          |       ca.n AS size_left, cb.n AS size_right,
+          |       floor((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 AS jaccard
+          |FROM inter
+          |JOIN cnt ca ON ca.doc_id = id_left
+          |JOIN cnt cb ON cb.doc_id = id_right
+          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin),
       "dedup_incremental_appended" -> (shinglesBase +
         """inter AS (
           |  SELECT x.doc_id AS id_left, y.doc_id AS id_right, count(*) AS i
@@ -1606,6 +1654,12 @@ object SparkEntry {
       "ann_topk_ivf_appended" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(0.5 AS DOUBLE) AS recall""".stripMargin,
+      // delete lifecycle: same full-corpus trainer as the 0.62
+      // constant, exact side restricted to the live (non-tombstoned)
+      // corpus — measured at sf0.01 like the others
+      "ann_topk_ivf_deleted" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(0.6 AS DOUBLE) AS recall""".stripMargin,
       "ann_topk_sq8" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(0.99 AS DOUBLE) AS recall""".stripMargin,

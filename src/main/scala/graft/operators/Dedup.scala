@@ -461,14 +461,37 @@ object Dedup {
     ()
   }
 
+  /** Publish a TOMBSTONE segment deleting `ids` from a
+    * [[buildMinhashIndex]] index — the takedown/revocation path a crawl
+    * corpus needs, WITHOUT rebuilding: the existing segments stay
+    * immutable; searches anti-join the (tiny, broadcast) tombstone set;
+    * [[compactMinhashIndex]] drops the rows physically. Log-structured
+    * semantics ([[graft.sources.IndexIO.withoutTombstoned]]): the
+    * delete covers data indexed BEFORE it; a later append of the same
+    * id resurrects it.
+    */
+  def deleteFromMinhashIndex(
+      spark: SparkSession, path: String, ids: DataFrame, idCol: String): Unit = {
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    val meta = spark.read.parquet(s"$vdir/meta")
+    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+      ids.select(col(idCol).as("doc_id")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/tombstones")
+      meta.coalesce(1).write.mode("overwrite").parquet(s"$seg/meta")
+    }
+    ()
+  }
+
   /** Compact an append chain back to ONE co-clustered segment — from
     * the index's own data, never the corpus text: sketches carry the
     * full 8-byte-per-shingle payload, so the merged postings re-derive
     * from the unioned sketches exactly as in [[buildMinhashIndex]].
     * Restores the single co-clustered postings table that banding
     * probes join against (a K-segment chain probes K separately-
-    * clustered tables); publishes as a fresh single-segment version,
-    * pre-flip readers keep their chain. No-op on an unchained index.
+    * clustered tables); tombstoned docs are dropped PHYSICALLY and the
+    * tombstones themselves are not carried forward. Publishes as a
+    * fresh single-segment version, pre-flip readers keep their chain.
+    * No-op on an unchained index.
     */
   def compactMinhashIndex(
       spark: SparkSession, path: String, bandBuckets: Int = 64): Unit = {
@@ -476,8 +499,9 @@ object Dedup {
     if (segs.length <= 1) return
     val vdir = graft.sources.IndexIO.resolve(spark, path)
     val meta = spark.read.parquet(s"$vdir/meta")
-    val sketches = segs.map(s => spark.read.parquet(s"$s/sketches"))
-      .reduce(_ unionByName _)
+    val sketches = graft.sources.IndexIO.withoutTombstoned(
+      graft.sources.IndexIO.chainTable(spark, path, "sketches").get,
+      graft.sources.IndexIO.chainTable(spark, path, "tombstones"), "doc_id")
     graft.sources.IndexIO.publish(spark, path) { nv =>
       sketches.write.mode("overwrite").parquet(s"$nv/sketches")
       spark.read.parquet(s"$nv/sketches")
@@ -497,10 +521,18 @@ object Dedup {
     // the index may be an append CHAIN: union the immutable segments
     // (one for a plain build). Parameters come from the resolved
     // version's meta; appends copy them forward, so the chain is
-    // self-consistent by construction.
-    val segs = graft.sources.IndexIO.segments(spark, path)
-    def table(name: String): DataFrame =
-      segs.map(s => spark.read.parquet(s"$s/$name")).reduce(_ unionByName _)
+    // self-consistent by construction. Tombstoned docs are filtered
+    // from the SKETCHES only — a dead doc's postings may still raise a
+    // candidate, but the pair dies at the inner sketch join, so one
+    // broadcast anti-join covers the delete (postings stay untouched).
+    val tombs = graft.sources.IndexIO.chainTable(spark, path, "tombstones")
+    def table(name: String): DataFrame = {
+      val data = graft.sources.IndexIO.chainTable(spark, path, name).getOrElse(
+        throw new IllegalStateException(s"index at $path has no $name table"))
+      if (name == "sketches")
+        graft.sources.IndexIO.withoutTombstoned(data, tombs, "doc_id")
+      else data.drop("__seg")
+    }
     val meta = spark.read.parquet(s"$vdir/meta").head()
     val (n, numHashes, bands) =
       (meta.getAs[Int]("n"), meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"))

@@ -23,6 +23,52 @@ import graft.functions.VectorFunctions
   */
 object SimilaritySearch {
 
+  /** Publish a TOMBSTONE segment deleting `ids` from ANY persisted ANN
+    * index ([[buildIvfIndex]], [[buildIvfSq8Index]], [[buildPqIndex]],
+    * [[buildIvfPqIndex]]) — the takedown/revocation path, WITHOUT a
+    * rebuild: data segments stay immutable; searches anti-join the
+    * (tiny, broadcast) tombstone set; the index's compact drops dead
+    * rows physically. Log-structured semantics
+    * ([[graft.sources.IndexIO.withoutTombstoned]]): the delete covers
+    * vectors indexed BEFORE it; a later append of the same id
+    * resurrects it. The current version's model tables (centroids /
+    * codebook / meta — whichever the index carries) are copied forward
+    * so append/search keep resolving them from the newest segment.
+    */
+  def deleteFromAnnIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      ids: DataFrame, idCol: String): Unit = {
+    val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    graft.sources.IndexIO.publishDelta(spark, indexDir) { seg =>
+      for (t <- Seq("centroids", "codebook", "meta")) {
+        val p = new org.apache.hadoop.fs.Path(s"$vdir/$t")
+        if (p.getFileSystem(conf).exists(p))
+          spark.read.parquet(p.toString).repartition(1)
+            .write.mode("overwrite").parquet(s"$seg/$t")
+      }
+      ids.select(col(idCol).as("neighbor_id")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/tombstones")
+    }
+    ()
+  }
+
+  /** Union of a persisted ANN chain's `name` table with tombstoned rows
+    * filtered out ([[graft.sources.IndexIO.withoutTombstoned]] — the
+    * log-ordered anti-join). All index-family searches and compactions
+    * read their cells/codes through this, so a [[deleteFromAnnIndex]]
+    * takes effect on every path without per-index plumbing.
+    */
+  private def liveChain(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      name: String): DataFrame = {
+    val data = graft.sources.IndexIO.chainTable(spark, indexDir, name).getOrElse(
+      throw new IllegalStateException(s"ANN index at $indexDir has no $name table"))
+    graft.sources.IndexIO.withoutTombstoned(
+      data, graft.sources.IndexIO.chainTable(spark, indexDir, "tombstones"),
+      "neighbor_id")
+  }
+
   /** True when the query side's estimated size exceeds the session
     * broadcast threshold — the foot-gun guard for [[bruteForceTopK]],
     * which broadcasts the query set with a non-equi condition.
@@ -319,7 +365,9 @@ object SimilaritySearch {
     if (segs.length <= 1) return
     val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
     val cents = spark.read.parquet(s"$vdir/centroids")
-    val cells = segs.map(s => spark.read.parquet(s"$s/cells")).reduce(_ unionByName _)
+    // liveChain: tombstoned rows die physically here, and the fresh
+    // single-segment publish carries no tombstone table forward
+    val cells = liveChain(spark, indexDir, "cells")
     graft.sources.IndexIO.publish(spark, indexDir) { nv =>
       cents.repartition(1).write.mode("overwrite").parquet(s"$nv/centroids")
       cells.write.mode("overwrite").partitionBy("cell").parquet(s"$nv/cells")
@@ -371,9 +419,7 @@ object SimilaritySearch {
     val cents = spark.read.parquet(s"$vdir/centroids")
       .select(col("cell").as("__cell"), col("centroid").as("__ctv"),
         col("cnorm").as("__ctn"))
-    val cells = graft.sources.IndexIO.segments(spark, indexDir)
-      .map(seg => spark.read.parquet(s"$seg/cells"))
-      .reduce(_ unionByName _)
+    val cells = liveChain(spark, indexDir, "cells")
       .select(col("neighbor_id"), col("qvec").as("__cq"), col("cell").as("__cell"))
     val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
     val probed = probeCells(q, cents, nProbe)
@@ -408,9 +454,7 @@ object SimilaritySearch {
     // the index may be an append chain (appendToIvfIndex): union the
     // immutable segments' cells; cell-partition pruning applies per
     // segment scan, so probes still skip unprobed directories
-    val cells = graft.sources.IndexIO.segments(spark, indexDir)
-      .map(seg => spark.read.parquet(s"$seg/cells"))
-      .reduce(_ unionByName _)
+    val cells = liveChain(spark, indexDir, "cells")
       .select(col("neighbor_id"), col("vec").as("__cv"), col("norm").as("__cn"),
         col("cell").as("__cell"))
     val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
@@ -824,7 +868,7 @@ object SimilaritySearch {
     val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
     val cents = spark.read.parquet(s"$vdir/centroids")
     val cbdf = spark.read.parquet(s"$vdir/codebook")
-    val cells = segs.map(s => spark.read.parquet(s"$s/cells")).reduce(_ unionByName _)
+    val cells = liveChain(spark, indexDir, "cells")
     graft.sources.IndexIO.publish(spark, indexDir) { nv =>
       cents.repartition(1).write.mode("overwrite").parquet(s"$nv/centroids")
       cbdf.repartition(1).write.mode("overwrite").parquet(s"$nv/codebook")
@@ -847,9 +891,7 @@ object SimilaritySearch {
     val cents = spark.read.parquet(s"$vdir/centroids")
       .select(col("cell").as("__cell"), col("centroid").as("__ctv"),
         col("cnorm").as("__ctn"))
-    val codes = graft.sources.IndexIO.segments(spark, indexDir)
-      .map(seg => spark.read.parquet(s"$seg/cells"))
-      .reduce(_ unionByName _)
+    val codes = liveChain(spark, indexDir, "cells")
       .select(col("neighbor_id"), col("codes"), col("rnorm"),
         col("cell").as("__cell"))
     val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
@@ -938,7 +980,7 @@ object SimilaritySearch {
     if (segs.length <= 1) return
     val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
     val cb = spark.read.parquet(s"$vdir/codebook")
-    val codes = segs.map(s => spark.read.parquet(s"$s/codes")).reduce(_ unionByName _)
+    val codes = liveChain(spark, indexDir, "codes")
     graft.sources.IndexIO.publish(spark, indexDir) { nv =>
       cb.repartition(1).write.mode("overwrite").parquet(s"$nv/codebook")
       codes.write.mode("overwrite").parquet(s"$nv/codes")
@@ -958,9 +1000,7 @@ object SimilaritySearch {
     val meta = spark.read.parquet(s"$vdir/codebook").collect()(0)
     val (m, kCodes, subDim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val cb = meta.getSeq[Double](3).toArray
-    val codes = graft.sources.IndexIO.segments(spark, indexDir)
-      .map(seg => spark.read.parquet(s"$seg/codes"))
-      .reduce(_ unionByName _)
+    val codes = liveChain(spark, indexDir, "codes")
     import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
     val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
       .select(col("query_id"), col("__qn"),

@@ -172,6 +172,48 @@ object IndexIO {
     readSegments(fs, vdir)
   }
 
+  /** Chain-ordered union of `<segment>/<name>` across the CURRENT
+    * index, each row tagged with its segment's chain position in
+    * `__seg` (0 = oldest). Segments lacking the table are skipped —
+    * that is how tombstone-only delete segments coexist with data
+    * segments. None when no segment carries the table.
+    */
+  def chainTable(spark: SparkSession, path: String, name: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    segments(spark, path).zipWithIndex.flatMap { case (s, i) =>
+      val p = new Path(s, name)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p))
+        Some(spark.read.parquet(p.toString)
+          .withColumn("__seg", org.apache.spark.sql.functions.lit(i)))
+      else None
+    }.reduceOption(_ unionByName _)
+  }
+
+  /** Log-structured delete semantics over a [[chainTable]] pair: a data
+    * row is DEAD iff a tombstone for its id sits LATER in the chain —
+    * so deletes only affect data already in the index when they were
+    * published, and re-appending an id after its delete resurrects it
+    * (the usual LSM/Delta contract). Tombstone sets are takedown-sized
+    * (tiny next to the corpus), so the anti-join broadcasts them.
+    * Drops the `__seg` ordinal from the surviving rows.
+    */
+  def withoutTombstoned(
+      data: org.apache.spark.sql.DataFrame,
+      tombstones: Option[org.apache.spark.sql.DataFrame],
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    tombstones match {
+      case None => data.drop("__seg")
+      case Some(t) =>
+        val tt = broadcast(t.select(col(idCol).as("__tid"), col("__seg").as("__tseg")))
+        data.join(tt,
+            data(idCol) === tt("__tid") && tt("__tseg") > data("__seg"), "left_anti")
+          .drop("__seg")
+    }
+  }
+
   private def versionDir(base: Path, version: String): Path =
     new Path(base, s"v-$version")
 

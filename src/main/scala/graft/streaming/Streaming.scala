@@ -505,9 +505,17 @@ object Streaming {
     // index rebuild/append (which publishes a sibling version and flips
     // _LATEST) can never tear the long-running gate mid-stream
     val vdir = graft.sources.IndexIO.resolve(spark, indexPath)
-    val segs = graft.sources.IndexIO.segments(spark, indexPath)
-    def table(name: String): DataFrame =
-      segs.map(s => spark.read.parquet(s"$s/$name")).reduce(_ unionByName _)
+    // chainTable skips tombstone-only delete segments (they carry no
+    // postings/sketches); deleted docs are filtered from the STATIC
+    // sketches side, so the stream-static join stays stateless
+    val tombs = graft.sources.IndexIO.chainTable(spark, indexPath, "tombstones")
+    def table(name: String): DataFrame = {
+      val data = graft.sources.IndexIO.chainTable(spark, indexPath, name).getOrElse(
+        throw new IllegalStateException(s"index at $indexPath has no $name table"))
+      if (name == "sketches")
+        graft.sources.IndexIO.withoutTombstoned(data, tombs, "doc_id")
+      else data.drop("__seg")
+    }
     val meta = spark.read.parquet(s"$vdir/meta").head()
     val (n, numHashes, bands) =
       (meta.getAs[Int]("n"), meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"))

@@ -371,6 +371,43 @@ class DedupSuite extends SparkSpec {
     assert(run() == viaChain)
   }
 
+  test("tombstoned minhash index: delete excludes, re-append resurrects, compact drops physically") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (5L, "totally unrelated corpus document with its own words here")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  // = doc 1
+      (4L, "one two three four five six seven eight nine ELEVEN")        // ~ doc 3
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx_del").toString
+    Dedup.buildMinhashIndex(base, "doc_id", "text", dir, n = 3)
+    def run() = Dedup.dedupAgainstMinhashIndex(spark, delta, "doc_id", "text", dir,
+        threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run() == Set((2L, 1L), (4L, 3L)))
+    // takedown of doc 3: matches against it vanish, doc 1 unaffected
+    Dedup.deleteFromMinhashIndex(spark, dir, Seq(3L).toDF("doc_id"), "doc_id")
+    assert(run() == Set((2L, 1L)))
+    // re-appending the doc AFTER its delete resurrects it (log order:
+    // the tombstone only covers data indexed before it)
+    Dedup.appendToMinhashIndex(
+      Seq((3L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(run() == Set((2L, 1L), (4L, 3L)))
+    // delete again, then compact: one physical segment, no tombstone
+    // table carried forward, deleted doc gone from the stored sketches
+    Dedup.deleteFromMinhashIndex(spark, dir, Seq(3L).toDF("doc_id"), "doc_id")
+    Dedup.compactMinhashIndex(spark, dir)
+    val segs = graft.sources.IndexIO.segments(spark, dir)
+    assert(segs.length == 1)
+    assert(!new java.io.File(s"${segs.head}/tombstones").exists)
+    assert(spark.read.parquet(s"${segs.head}/sketches")
+      .filter($"doc_id" === 3L).isEmpty)
+    assert(run() == Set((2L, 1L)))
+  }
+
   test("maskRepeatedWindows: later exact spans drop, first occurrence survives") {
     val docs = Seq(
       (1, "the quick brown fox jumps over the lazy dog"),

@@ -143,6 +143,65 @@ class SimilaritySearchSuite extends SparkSpec {
       == bigger)
   }
 
+  test("tombstoned ANN index: delete excludes, re-append resurrects, compact drops physically") {
+    val rnd = new scala.util.Random(53)
+    val centers = Seq(
+      Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0),
+      Array(0, 0, 10.0, 0), Array(0, 0, 0, 10.0))
+    val vecs = (0 until 120).map { i =>
+      (i, centers(i % 4).map(_ + rnd.nextGaussian() * 0.5))
+    }.toDF("id", "emb")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    SimilaritySearch.buildIvfIndex(vecs, "id", "emb", dir, nCentroids = 4, iters = 3)
+    val deleted = vecs.filter($"id" % 5 === 0)
+    SimilaritySearch.deleteFromAnnIndex(spark, dir, deleted.select("id"), "id")
+    val q = vecs.filter($"id" < 10)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toSet
+    // probe-all search is exact, so the tombstone contract is equality
+    // with brute force over the LIVE corpus — not just id absence
+    def run() = key(SimilaritySearch.searchIvf(spark, dir, q, "id", "emb", k = 3, nProbe = 4))
+    assert(run() == key(SimilaritySearch.bruteForceTopK(
+      q, vecs.filter($"id" % 5 =!= 0), "id", "emb", k = 3)))
+    // re-append the deleted vectors: the tombstone covers only data
+    // indexed before it, so every id is live again
+    SimilaritySearch.appendToIvfIndex(spark, dir, deleted, "id", "emb")
+    assert(run() == key(SimilaritySearch.bruteForceTopK(q, vecs, "id", "emb", k = 3)))
+    // delete again + compact: one physical segment, tombstones not
+    // carried forward, dead rows out of the stored cells
+    SimilaritySearch.deleteFromAnnIndex(spark, dir, deleted.select("id"), "id")
+    SimilaritySearch.compactIvfIndex(spark, dir)
+    val segs = graft.sources.IndexIO.segments(spark, dir)
+    assert(segs.length == 1)
+    assert(!new java.io.File(s"${segs.head}/tombstones").exists)
+    assert(spark.read.parquet(s"${segs.head}/cells")
+      .filter($"neighbor_id" % 5 === 0).isEmpty)
+    assert(run() == key(SimilaritySearch.bruteForceTopK(
+      q, vecs.filter($"id" % 5 =!= 0), "id", "emb", k = 3)))
+  }
+
+  test("tombstoned PQ index: codes chain honors deletes through search and compact") {
+    val rnd = new scala.util.Random(59)
+    val dim = 16
+    val vecs = (0 until 80).map { i =>
+      (i, Array.fill(dim)(rnd.nextGaussian()))
+    }.toDF("id", "emb")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_del").toString
+    SimilaritySearch.buildPqIndex(vecs, "id", "emb", dir, m = 4, kCodes = 8)
+    SimilaritySearch.deleteFromAnnIndex(spark, dir,
+      vecs.filter($"id" < 40).select("id"), "id")
+    val q = vecs.filter($"id" < 5)
+    def ids() = SimilaritySearch.searchPqIndex(spark, dir, q, "id", "emb", k = 5)
+      .collect().map(_.getInt(1)).toSet
+    assert(ids().forall(_ >= 40), "deleted code rows must not be scored")
+    SimilaritySearch.compactPqIndex(spark, dir)
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1)
+    assert(ids().forall(_ >= 40))
+    // append after compaction keeps working on the compacted chain
+    SimilaritySearch.appendToPqIndex(vecs.filter($"id" < 40), "id", "emb", dir)
+    assert(!ids().forall(_ >= 40))
+  }
+
   test("IVF-SQ8 index: 8x-smaller cells, integer-kernel probes, high recall") {
     val rnd = new scala.util.Random(31)
     // realistic dimensionality: at dim 4 the struct constants would
