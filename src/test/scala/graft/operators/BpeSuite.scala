@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Byte-level BPE: trainer pinned to an independent naive reference,
+  * the native expression pinned to a scalar replay of the merge
+  * application, and the persisted-index / chunking lifecycles.
+  */
+class BpeSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def hexOf(s: String): String =
+    s.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+
+  /** Independent reference: apply merges sequentially, leftmost scan
+    * with explicit index stepping (the textbook formulation — the
+    * kernel uses offset-walking and the oracle a fold; all three must
+    * agree).
+    */
+  private def applyRef(wordHex: String, merges: Seq[(String, String)]): Seq[String] = {
+    var t: Seq[String] = (0 until wordHex.length / 2)
+      .map(i => wordHex.substring(2 * i, 2 * i + 2))
+    for ((l, r) <- merges) {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < t.length) {
+        if (i + 1 < t.length && t(i) == l && t(i + 1) == r) { out += l + r; i += 2 }
+        else { out += t(i); i += 1 }
+      }
+      t = out.toSeq
+    }
+    t
+  }
+
+  /** Independent reference trainer (map-based, different data layout
+    * than trainLocal's).
+    */
+  private def trainRef(words: Seq[(String, Long)], m: Int): Seq[(String, String)] = {
+    var state: Seq[(Seq[String], Long)] = words.map { case (w, c) =>
+      ((0 until w.length / 2).map(i => w.substring(2 * i, 2 * i + 2)), c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (merges.length < m && continue) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((t, c) <- state; i <- 0 until t.length - 1)
+        pc((t(i), t(i + 1))) = pc.getOrElse((t(i), t(i + 1)), 0L) + c
+      if (pc.isEmpty) continue = false
+      else {
+        val (l, r) = pc.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+        merges += ((l, r))
+        state = state.map { case (t, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < t.length) {
+            if (i + 1 < t.length && t(i) == l && t(i + 1) == r) { out += l + r; i += 2 }
+            else { out += t(i); i += 1 }
+          }
+          (out.toSeq, c)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("trainLocal matches the independent reference (ties, runs, unicode)") {
+    val words = Seq(
+      (hexOf("the"), 10L), (hexOf("then"), 5L), (hexOf("aaaa"), 4L),
+      (hexOf("é漢"), 3L), (hexOf("x"), 7L), (hexOf("abab"), 2L))
+    for (m <- Seq(1, 3, 8, 50)) {
+      assert(BpeTokenizer.trainLocal(words, m) == trainRef(words, m), s"numMerges=$m")
+    }
+  }
+
+  test("trainLocal stops when the vocabulary exhausts (single-token words only)") {
+    // every word collapses to one token long before 100 merges
+    val words = Seq((hexOf("ab"), 3L), (hexOf("cd"), 2L))
+    val merges = BpeTokenizer.trainLocal(words, 100)
+    assert(merges == Seq(("61", "62"), ("63", "64")))
+  }
+
+  test("counting weighs every adjacent position (overlapping runs)") {
+    // 'aaa' x1 has TWO (61,61) positions; 'bc' x3 has three (62,63):
+    // Sennrich counting must prefer (62,63). A per-word-distinct
+    // counter would tie at 1v1 and pick (61,61) by hex order.
+    val words = Seq((hexOf("aaa"), 1L), (hexOf("bc"), 3L))
+    assert(BpeTokenizer.trainLocal(words, 1).head == ("62", "63"))
+  }
+
+  test("native expression == scalar replay on edge cases") {
+    val docs = Seq(
+      (1, "the cat sat on the mat the cat"),
+      (2, "aaaa aaaa aa a aaa the hat"),
+      (3, "  the   thematic math the "),
+      (4, "éé é 😀😀 the é"),
+      (5, ""),
+      (6, "   "),
+      (7, null.asInstanceOf[String])).toDF("id", "text")
+    val merges = BpeTokenizer.trainBpe(docs, "text", trainWords = 8, numMerges = 12)
+    assert(merges.nonEmpty)
+    val got = docs.select(col("id"),
+        BpeTokenizer.bpeTokenCount(col("text"), merges).as("n"),
+        BpeTokenizer.bpeTokens(col("text"), merges).as("toks"))
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getSeq[String](2)))).toMap
+    for ((id, text) <- Seq(1 -> "the cat sat on the mat the cat",
+        2 -> "aaaa aaaa aa a aaa the hat", 3 -> "  the   thematic math the ",
+        4 -> "éé é 😀😀 the é", 5 -> "", 6 -> "   ", 7 -> null)) {
+      val words =
+        if (text == null) Array.empty[String]
+        else text.trim.split("\\s+").filter(_.nonEmpty)
+      val exp = words.toSeq.flatMap(w => applyRef(hexOf(w), merges))
+      assert(got(id)._2 == exp, s"doc $id tokens")
+      assert(got(id)._1 == exp.length, s"doc $id count")
+    }
+  }
+
+  test("persisted index roundtrip: build once, load, same merges") {
+    val docs = Seq((1, "red orange red yellow red orange")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_idx").toString
+    BpeTokenizer.buildBpeIndex(docs, "text", dir, trainWords = 8, numMerges = 10)
+    val loaded = BpeTokenizer.loadBpeMerges(spark, dir)
+    assert(loaded == BpeTokenizer.trainBpe(docs, "text", 8, 10))
+    assert(loaded.nonEmpty)
+  }
+
+  test("chunkByBpe: budget-exact chunks, hex concat reassembles the doc") {
+    val docs = Seq(
+      (1, "alpha beta gamma delta epsilon zeta"),
+      (2, "a"),
+      (3, "")).toDF("id", "text")
+    val merges = BpeTokenizer.trainBpe(docs, "text", trainWords = 8, numMerges = 6)
+    val max = 4
+    val chunks = BpeTokenizer.chunkByBpe(docs, "id", "text", merges, max)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // every chunk except a doc's last is exactly max tokens
+    val byDoc = chunks.groupBy(_._1)
+    assert(!byDoc.contains(3)) // empty doc chunks to nothing
+    for ((id, cs) <- byDoc) {
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq, s"doc $id chunk ids")
+      sorted.dropRight(1).foreach(c => assert(c._3 == max, s"doc $id non-final chunk"))
+      assert(sorted.last._3 <= max && sorted.last._3 > 0)
+      // reassembly: chunk hex concatenation == word-bytes concatenation
+      val text = Map(1 -> "alpha beta gamma delta epsilon zeta", 2 -> "a")(id)
+      val expHex = text.trim.split("\\s+").filter(_.nonEmpty).map(hexOf).mkString
+      assert(sorted.map(_._4).mkString == expHex, s"doc $id reassembly")
+      // chunk token counts match the hex payload against the replay
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => applyRef(hexOf(w), merges))
+      assert(sorted.map(_._3).sum == toks.length)
+    }
+  }
+
+  test("bpe count on the gate corpus never exceeds byte count, beats whitespace x1") {
+    // sanity on real data: merges only shrink the byte-token stream,
+    // and subword counts are >= whitespace word counts
+    val docs = Seq(
+      (1, "one two three four"), (2, "supercalifragilistic")).toDF("id", "text")
+    val merges = BpeTokenizer.trainBpe(docs, "text", 8, 8)
+    val got = docs.select(col("id"),
+        BpeTokenizer.bpeTokenCount(col("text"), merges).as("n"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("w"),
+        length(col("text")).as("b"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    got.foreach { case (id, n, w, b) =>
+      assert(n >= w, s"doc $id: subword count below word count")
+      assert(n <= b, s"doc $id: subword count above byte count")
+    }
+  }
+}
