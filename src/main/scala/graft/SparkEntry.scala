@@ -428,6 +428,19 @@ object SparkEntry {
         .select(col("id_left"), col("id_right"), col("intersection"),
           col("size_left"), col("size_right"), q4(col("jaccard")).as("jaccard"))
     }),
+    "stream_decontaminate" -> ((s, dir) => {
+      // ingest-time decontamination gate, batch-unified form: the SAME
+      // stateless scan-projection plan (Bloom prefilter -> exact
+      // sorted-set confirm, both native expressions) that drops
+      // contaminated docs from a live crawl, on the batch frame; same
+      // eval split as decontaminate_docs, oracle = its complement
+      // (the CLEAN side, zero-shingle docs included)
+      val d = t(s, dir, "documents")
+      Streaming.decontaminateGate(s, d.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", d.filter(col("doc_id") % 5 === 0), "text", n = 3)
+        .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+          col("contamination"))
+    }),
     "dedup_components" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.6)
@@ -634,6 +647,43 @@ object SparkEntry {
       SimilaritySearch.recallSummary(
         SimilaritySearch.searchIvfSq8(s, idx, q, "vec_id", "embedding", k = 5),
         SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
+    }),
+    // ---- BPE tokenizer ----------------------------------------------------
+    "bpe_train" -> ((s, dir) => {
+      // corpus-trained byte-level BPE: one distributed word-count pass,
+      // deterministic top-W cap, driver-side merge loop (the
+      // trainPqCodebooks pattern). Oracle = the SAME evolution unrolled
+      // stage-by-stage in SQL (bpeOraclePrefix), so every (rank, l, r)
+      // hex row must match byte-for-byte.
+      import s.implicits._
+      BpeTokenizer.trainBpe(t(s, dir, "documents"), "text",
+          trainWords = BpeGateWords, numMerges = BpeGateMerges)
+        .zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "l", "r")
+    }),
+    "tokenize_bpe" -> ((s, dir) => {
+      // tokenizer lifecycle: train + persist the merge table once
+      // (atomic IndexIO publish), resolve it, and count SUBWORD tokens
+      // per doc with the native codegen expression — the real token
+      // accounting chunking/packing/token-budget mixing should bill
+      // against (whitespace counts drift 2-4x by language/code mix).
+      val d = t(s, dir, "documents")
+      val idx = scratch("bpe_index", dir)
+      BpeTokenizer.buildBpeIndex(d, "text", idx,
+        trainWords = BpeGateWords, numMerges = BpeGateMerges)
+      val merges = BpeTokenizer.loadBpeMerges(s, idx)
+      d.select(col("doc_id"),
+        BpeTokenizer.bpeTokenCount(col("text"), merges).cast("long").as("n_tokens"))
+    }),
+    "chunk_documents_bpe" -> ((s, dir) => {
+      // context-window chunking at SUBWORD granularity: chunk budgets
+      // measured in BPE tokens, boundaries wherever the budget lands
+      // (mid-word, even mid-UTF-8 — hence hex chunk payloads). Same
+      // zero-shuffle scan shape as chunk_documents.
+      val d = t(s, dir, "documents")
+      val merges = BpeTokenizer.trainBpe(d, "text",
+        trainWords = BpeGateWords, numMerges = BpeGateMerges)
+      BpeTokenizer.chunkByBpe(d, "doc_id", "text", merges, maxTokens = BpeGateChunk)
     }),
     // ---- text analysis ----------------------------------------------------
     "text_stats" -> ((s, dir) => {
@@ -1217,6 +1267,77 @@ object SparkEntry {
     })
   )
 
+  /** BPE gate parameters, shared by the queries and the generated
+    * oracle so the two replay the identical training run. 24 < the
+    * gate corpus's distinct-word count, so the top-W cap path is
+    * actually exercised.
+    */
+  private val BpeGateWords = 24
+  private val BpeGateMerges = 64
+  private val BpeGateChunk = 32
+
+  /** DuckDB replay of [[graft.operators.BpeTokenizer]]'s training
+    * evolution as UNROLLED chained CTEs — one `(p_i, m_i, s_i)` stage
+    * per merge, because DuckDB 1.0 recursive CTEs cannot aggregate
+    * over the recursive reference. Every stage is MATERIALIZED: each
+    * references the previous twice, so default inlining would double
+    * the plan per stage (2^64 subtrees). Stage semantics mirror the
+    * kernel exactly:
+    *
+    *  - `p_i`: argmax adjacent pair over train words, weights = word
+    *    counts x every adjacent position, ties `(count DESC, l, r)`
+    *    on hex strings (= byte order in both engines);
+    *  - `m_i`: the pick as a 1-row aggregate — NULL when the
+    *    vocabulary exhausted, which turns the stage into a no-op
+    *    (early-stop agreement with `trainLocal`);
+    *  - `s_i`: leftmost merge application via a `list_reduce` fold —
+    *    the accumulator's last token is the MERGED token after a
+    *    merge, which reproduces the run-parity rule (`aaa` under
+    *    `(a,a)` -> `aa a`) with no lookahead. State rides as the
+    *    space-joined hex token string; hex never collides with the
+    *    separator or LIKE wildcards.
+    *
+    * All distinct corpus words ride through the stages (train flag
+    * only gates the counts), so the final state IS the tokenization
+    * of every word — the tokenize/chunk oracles just join it back to
+    * the documents.
+    */
+  private def bpeOraclePrefix(w: Int, m: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS MATERIALIZED (
+      |  SELECT hex(w) AS wh, count(*) AS cnt
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1),
+      |wt AS MATERIALIZED (
+      |  SELECT wh, cnt, (row_number() OVER (ORDER BY cnt DESC, wh)) <= $w AS tr FROM w0),
+      |s0 AS MATERIALIZED (
+      |  SELECT wh, cnt, tr,
+      |         array_to_string(list_transform(generate_series(1, length(wh)//2),
+      |                                        i -> substring(wh, 2*i-1, 2)), ' ') AS s
+      |  FROM wt)""".stripMargin
+    for (i <- 1 to m) {
+      sb ++= s""",
+      |p$i AS MATERIALIZED (
+      |  SELECT l, r FROM (
+      |    SELECT toks[u.i] AS l, toks[u.i + 1] AS r, sum(cnt) AS c
+      |    FROM (SELECT string_split(s, ' ') AS toks, cnt FROM s${i - 1} WHERE tr) z,
+      |         unnest(generate_series(1, length(z.toks) - 1)) AS u(i)
+      |    GROUP BY 1, 2) q
+      |  ORDER BY c DESC, l, r LIMIT 1),
+      |m$i AS MATERIALIZED (SELECT min(l) AS l, min(r) AS r FROM p$i),
+      |s$i AS MATERIALIZED (
+      |  SELECT wh, cnt, tr,
+      |    CASE WHEN m.l IS NULL THEN s
+      |    ELSE list_reduce(string_split(s, ' '), (acc, x) ->
+      |      CASE WHEN x = m.r AND acc = m.l THEN acc || x
+      |           WHEN x = m.r AND acc LIKE '% ' || m.l
+      |             THEN left(acc, length(acc) - length(m.l) - 1) || ' ' || m.l || x
+      |           ELSE acc || ' ' || x END) END AS s
+      |  FROM s${i - 1}, m$i m)""".stripMargin
+    }
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = {
     // shared SQL fragments (DuckDB dialect)
     // `w <> ''` mirrors TextFunctions.tokens' drop-empty semantics:
@@ -1549,6 +1670,42 @@ object SparkEntry {
           |JOIN cnt ca ON ca.doc_id = id_left
           |JOIN cnt cb ON cb.doc_id = id_right
           |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin),
+      "bpe_train" -> (bpeOraclePrefix(BpeGateWords, BpeGateMerges) + "\n" +
+        (1 to BpeGateMerges).map(i =>
+          s"SELECT CAST(${i - 1} AS INT) AS rank, l, r FROM p$i").mkString("\nUNION ALL ")),
+      "tokenize_bpe" -> (bpeOraclePrefix(BpeGateWords, BpeGateMerges) +
+        s""",
+          |tokq AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          |  FROM documents),
+          |wtok AS (
+          |  SELECT doc_id, len(string_split(sf.s, ' ')) AS n
+          |  FROM tokq JOIN s$BpeGateMerges sf ON hex(tokq.w) = sf.wh
+          |  WHERE tokq.w <> '')
+          |SELECT d.doc_id, CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens
+          |FROM documents d LEFT JOIN wtok ON wtok.doc_id = d.doc_id
+          |GROUP BY 1""".stripMargin),
+      "chunk_documents_bpe" -> (bpeOraclePrefix(BpeGateWords, BpeGateMerges) +
+        s""",
+          |tokq AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+          |  FROM documents),
+          |wtk AS (
+          |  SELECT doc_id, pos, string_split(sf.s, ' ') AS toks
+          |  FROM tokq JOIN s$BpeGateMerges sf ON hex(tokq.w) = sf.wh
+          |  WHERE tokq.w <> ''),
+          |tk AS (
+          |  SELECT doc_id, pos, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ti
+          |  FROM wtk),
+          |sq AS (
+          |  SELECT doc_id, tok,
+          |         row_number() OVER (PARTITION BY doc_id ORDER BY pos, ti) - 1 AS tp
+          |  FROM tk)
+          |SELECT doc_id, CAST(tp // $BpeGateChunk AS INT) AS chunk_id,
+          |       CAST(count(*) AS INT) AS n_tokens,
+          |       string_agg(tok, '' ORDER BY tp) AS chunk_hex
+          |FROM sq GROUP BY 1, 2""".stripMargin),
       "dedup_incremental_deleted" -> (shinglesBase +
         """inter AS (
           |  SELECT x.doc_id AS id_left, y.doc_id AS id_right, count(*) AS i
@@ -2003,6 +2160,24 @@ object SparkEntry {
           |SELECT doc_id, n_shared, n_shingles,
           |       floor(n_shared * 10000.0 / n_shingles) / 10000.0 AS contamination
           |FROM agg WHERE n_shared > 0""".stripMargin),
+      // stream_decontaminate: the gate keeps what decontaminate_docs
+      // doesn't flag — train docs with NO shared shingle (zero-shingle
+      // docs are unflaggable by construction, hence clean)
+      "stream_decontaminate" -> (shinglesBase +
+        """ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 0),
+          |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),
+          |agg AS (
+          |  SELECT tr.doc_id, count(*) AS n_shingles, count(ev.shingle) AS n_shared
+          |  FROM tr LEFT JOIN ev ON ev.shingle = tr.shingle
+          |  GROUP BY 1)
+          |SELECT d.doc_id,
+          |       CAST(coalesce(a.n_shared, 0) AS BIGINT) AS n_shared,
+          |       CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+          |       coalesce(floor(a.n_shared * 10000.0 / a.n_shingles) / 10000.0, 0.0)
+          |         AS contamination
+          |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+          |WHERE d.doc_id % 5 <> 0
+          |  AND coalesce(a.n_shared, 0) = 0""".stripMargin),
       "decontaminate_containment" -> (shinglesBase +
         """ev AS (SELECT doc_id AS id_eval, shingle FROM sh WHERE doc_id % 5 = 0),
           |evn AS (SELECT id_eval, count(*) AS n_eval_shingles FROM ev GROUP BY 1),

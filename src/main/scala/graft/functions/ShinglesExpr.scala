@@ -413,3 +413,47 @@ case class BloomHitsExpr(
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+object SortedHitCountKernel {
+  def compute(arr: ArrayData, sorted: Array[Long]): Long = {
+    val m = arr.numElements()
+    var i = 0
+    var c = 0L
+    while (i < m) {
+      if (java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** `array<long> -> long`: exact membership count of candidate hashes in
+  * a sorted 64-bit hash set, via binary search. This is the streaming
+  * decontamination gate's in-row EXACT confirm: the Bloom prefilter
+  * ([[BloomHitsExpr]]) emits the might-contain hashes, this expression
+  * counts the true hits, and the whole contamination decision stays a
+  * stateless scan projection — no stream-static join, no aggregation
+  * state, append mode. The sorted array rides to executors as a plan
+  * reference (one broadcast-task-binary copy per executor, 8 bytes per
+  * eval shingle); binary search costs log2(|eval|) probes but only
+  * Bloom SURVIVORS (~contamination + fpp of shingles) ever pay it.
+  */
+case class SortedHitCountExpr(
+    child: Expression,
+    sorted: Array[Long]) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_sorted_hit_count"
+
+  override def nullSafeEval(input: Any): Any =
+    SortedHitCountKernel.compute(input.asInstanceOf[ArrayData], sorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("graftSortedSet", sorted, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SortedHitCountKernel.compute($c, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -548,6 +548,94 @@ object Streaming {
         col("intersection"), col("size_left"), col("size_right"), col("jaccard"))
   }
 
+  /** Streaming benchmark-decontamination gate: drop documents that
+    * share word n-grams with a held-out eval set AT INGEST, so a live
+    * crawl never writes contaminated rows into the training corpus.
+    * Same contamination contract as
+    * [[graft.operators.Decontaminate.ngramOverlap]] (a doc's distinct
+    * n-grams vs the eval set's, ratio 4-decimal-floored), composed
+    * into a purely STATELESS map-only plan:
+    *
+    *  - the eval set is collapsed at plan time (static side, batch
+    *    jobs) into a Bloom filter (~1.2-4.8 bytes/shingle) plus the
+    *    exact sorted 64-bit hash set (8 bytes/shingle) — the standard
+    *    corpus/eval asymmetry: the corpus is 100 TB, benchmarks are
+    *    MBs, so the whole eval side rides to executors as plan
+    *    references;
+    *  - each incoming doc shingles, Bloom-probes, and exact-confirms
+    *    inside ONE scan projection ([[graft.functions.ShinglesExpr]] ->
+    *    [[graft.functions.BloomHitsExpr]] ->
+    *    [[graft.functions.SortedHitCountExpr]], all codegen): clean
+    *    docs (the overwhelming majority) die on the empty Bloom-hit
+    *    array without ever paying a binary search, false positives die
+    *    in the exact confirm — output is EXACTLY the batch definition's.
+    *
+    * No stream-static join, no aggregation, no watermark, no state
+    * store: append mode, and the same function serves batch backfill
+    * (the suite proves batch ≡ stream). Emits the surviving rows with
+    * `(n_shared, n_shingles, contamination)` appended for audit.
+    *
+    * `maxExactHashes` bounds the driver-collected exact set (default
+    * 32M hashes = 256 MB); a genuinely larger eval suite should be
+    * decontaminated in batch ([[graft.operators.Decontaminate]]'s
+    * join forms) rather than at ingest.
+    */
+  def decontaminateGate(
+      spark: SparkSession,
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      n: Int = 8,
+      maxContamination: Double = 0.0,
+      fpp: Double = 1e-5,
+      maxExactHashes: Long = 32L << 20): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val evalSh = eval
+      .select(explode(TextFunctions.shingles(col(evalTextCol), n)).as("__s"))
+      .select(xxhash64(col("__s")).as("__h"))
+    // sizing bound from the non-distinct stream: scan-local aggregate,
+    // overestimation only lowers the effective fpp (Decontaminate's
+    // ngramOverlapBloom argument, same build)
+    val bound = eval
+      .select(coalesce(sum(size(TextFunctions.shingles(col(evalTextCol), n))), lit(0L)))
+      .head().getLong(0)
+    val bloom = evalSh.stat.bloomFilter("__h", math.max(bound, 1L), fpp)
+    // the exact confirm set: distinct eval hashes, sorted for binary
+    // search. sort().collect() not collect().sorted — the sort runs
+    // distributed and the driver only concatenates ordered partitions.
+    val exact = evalSh.distinct().sort("__h").collect().map(_.getLong(0))
+    require(exact.length <= maxExactHashes,
+      s"eval set has ${exact.length} distinct shingle hashes > " +
+        s"maxExactHashes=$maxExactHashes; decontaminate in batch instead " +
+        "(Decontaminate.ngramOverlap with broadcastEval=false)")
+    val bloomHits = (sh: org.apache.spark.sql.Column) =>
+      toColumn(graft.functions.BloomHitsExpr(toExpression(sh), bloom))
+    val exactCount = (cand: org.apache.spark.sql.Column) =>
+      toColumn(graft.functions.SortedHitCountExpr(toExpression(cand), exact))
+    stream
+      .withColumn("__sh",
+        coalesce(TextFunctions.shingles(col(textCol), n),
+          array().cast("array<string>")))
+      .withColumn("__cand", bloomHits(col("__sh")))
+      .withColumn("n_shingles", size(col("__sh")).cast("long"))
+      .withColumn("n_shared",
+        when(size(col("__cand")) === 0, lit(0L)).otherwise(exactCount(col("__cand"))))
+      .withColumn("contamination",
+        when(col("n_shingles") === 0, lit(0.0)).otherwise(
+          floor(col("n_shared") * lit(10000.0) / col("n_shingles")) / lit(10000.0)))
+      // the DROP decision compares the EXACT ratio on the 1e-4 grid in
+      // long arithmetic (the engine's libm-proof idiom — see
+      // Sampling.mixTemperature): gating on the floored double would
+      // let 1 shared shingle in a >10k-shingle doc through at
+      // threshold 0. The floored `contamination` column is for audit.
+      .filter(col("n_shared") * lit(10000L) <=
+        col("n_shingles") * lit(math.round(maxContamination * 10000)))
+      .drop("__sh", "__cand")
+  }
+
   def parquetStream(spark: SparkSession, dir: String, schemaOf: DataFrame): DataFrame =
     spark.readStream.schema(schemaOf.schema).parquet(dir)
 }

@@ -514,4 +514,74 @@ class StreamingSuite extends SparkSpec {
       assert(spark.table("idx_dedup_test").count() == 2)
     } finally q.stop()
   }
+
+  test("decontaminateGate: batch form equals the exact batch complement") {
+    import graft.operators.Decontaminate
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "completely unrelated words in this training document here"),
+      // contains an eval 3-gram ("quick brown fox")
+      (2L, "someone wrote the quick brown fox jumps right into the corpus"),
+      (3L, "short doc"), // < 3 tokens of shingle: unflaggable => clean
+      (4L, "pack my box with five dozen liquor jugs and more text"),
+      (5L, "another clean document with its own distinct vocabulary")
+    ).toDF("doc_id", "text")
+
+    val kept = Streaming.decontaminateGate(
+      spark, corpus, "doc_id", "text", evalSet, "text", n = 3)
+    assert(kept.columns.toSeq ==
+      Seq("doc_id", "text", "n_shingles", "n_shared", "contamination"))
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    // flagged by the batch operator == dropped by the gate
+    val flagged = Decontaminate.ngramOverlap(corpus, evalSet, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged == Set(2L, 4L))
+    assert(keptIds == Set(1L, 3L, 5L))
+    // audit columns: clean docs report 0 shared; zero-shingle doc is (0,0,0.0)
+    val r3 = kept.filter($"doc_id" === 3L)
+      .select("n_shingles", "n_shared", "contamination").head()
+    assert(r3.getLong(0) == 0 && r3.getLong(1) == 0 && r3.getDouble(2) == 0.0)
+  }
+
+  test("decontaminateGate: nonzero threshold keeps lightly-contaminated docs") {
+    val evalSet = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    // doc 1: 1 shared shingle of 8 => exact ratio 0.125
+    val corpus = Seq(
+      (1L, "alpha beta gamma one two three four five six seven"),
+      (2L, "alpha beta gamma alpha beta gamma seven")).toDF("doc_id", "text")
+    val at01 = Streaming.decontaminateGate(
+      spark, corpus, "doc_id", "text", evalSet, "text", n = 3,
+      maxContamination = 0.1).select("doc_id").as[Long].collect().toSet
+    val at02 = Streaming.decontaminateGate(
+      spark, corpus, "doc_id", "text", evalSet, "text", n = 3,
+      maxContamination = 0.13).select("doc_id").as[Long].collect().toSet
+    assert(at01 == Set.empty[Long]) // 0.125 > 0.1: dropped
+    assert(at02 == Set(1L))         // 0.125 <= 0.13: kept; doc 2 still out
+  }
+
+  test("decontaminateGate over a MemoryStream: stateless append, same keeps") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val gated = Streaming.decontaminateGate(
+      spark, input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      evalSet, "text", n = 3)
+    assert(gated.isStreaming)
+    val q = gated.selectExpr("doc_id").writeStream
+      .format("memory").queryName("decon_gate_test").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "completely unrelated words in this training document here"),
+        (2L, "someone wrote the quick brown fox jumps right into the corpus"))
+      q.processAllAvailable()
+      assert(spark.table("decon_gate_test").as[Long].collect().toSet == Set(1L))
+      input.addData((3L, "the lazy dog sat around all afternoon"))
+      q.processAllAvailable()
+      // "the lazy dog" is an eval shingle -> doc 3 dropped at ingest
+      assert(spark.table("decon_gate_test").as[Long].collect().toSet == Set(1L))
+    } finally q.stop()
+  }
 }
