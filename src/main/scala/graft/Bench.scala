@@ -21,9 +21,11 @@ object Bench {
     "asof_join_sql", "asof_join_by", "stream_asof_events",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_mask_windows", "pack_sequences",
-    "dedup_embedding", "ann_topk", "ann_topk_pq",
+    "dedup_embedding", "ann_topk", "ann_topk_pq", "ann_topk_ivf_pq",
     "text_quality", "doc_fingerprint", "heavy_hitters_tokens",
-    "decontaminate_docs", "decontaminate_bloom", "bm25_search", "lm_score_docs",
+    "tokenize_bpe",
+    "decontaminate_docs", "decontaminate_bloom", "stream_decontaminate",
+    "bm25_search", "lm_score_docs",
     "mix_sources", "mix_temperature", "shuffle_corpus",
     "pipeline_semantic_dedup",
     "agg_pricing",
