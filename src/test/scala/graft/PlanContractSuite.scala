@@ -40,6 +40,24 @@ class PlanContractSuite extends SparkSpec {
     ("shuffle_corpus", Seq.empty, Seq("Exchange SinglePartition")),
     ("chunk_documents", Seq.empty,
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning")),
+    // BPE chunking keeps chunk_documents' zero-shuffle scan shape —
+    // tokens, chunk ids and slices are all projections
+    ("chunk_documents_bpe", Seq.empty,
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning")),
+    // subword token counting is one scan projection: no join with a
+    // merge table, no data-movement shuffle (round-robin from
+    // SparkEntry.t excepted, as everywhere)
+    ("tokenize_bpe", Seq.empty,
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition", "BroadcastExchange", "Join")),
+    // the ingest gate is a STATELESS scan projection + filter: the
+    // whole eval side rides as plan references (bloom + sorted set),
+    // so a join / aggregate / shuffle means the shape regressed to a
+    // plan that couldn't serve a stream without state
+    ("stream_decontaminate", Seq.empty,
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition", "BroadcastExchange", "Join",
+        "HashAggregate")),
     ("dedup_minhash", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     ("dedup_ngram_jaccard", Seq.empty,
