@@ -588,6 +588,22 @@ object SparkEntry {
           nProbe = 8),
         SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
     }),
+    "ann_topk_ivf_pq_rerank" -> ((s, dir) => {
+      // two-stage retrieval: ADC shortlist (4k per query) from the
+      // persisted IVF×PQ index, then exact float re-ranking — recovers
+      // the PQ quantization error, so recall must sit ABOVE the plain
+      // IVF×PQ constant at the same nProbe (only cell-pruning misses
+      // remain). Deterministic trainers -> oracle constant, sf0.01.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val idx = scratch("ivfpq_rr_index", dir)
+      SimilaritySearch.buildIvfPqIndex(e, "vec_id", "embedding", idx,
+        nCentroids = 16, m = 32, kCodes = 32)
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.searchIvfPqRerank(s, idx, q, e, "vec_id", "embedding",
+          k = 5, nProbe = 8),
+        SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
+    }),
     "ann_topk_ivf_persisted" -> ((s, dir) => {
       // index LIFECYCLE: train + persist once (buildIvfIndex), then
       // serve the queries from the stored index (searchIvf) — no
@@ -1017,6 +1033,17 @@ object SparkEntry {
       // via the two-pass bucket-offset plan — no single-partition sort
       Sampling.globalShuffleRank(t(s, dir, "documents"), "doc_id")
         .select("doc_id", "shuffle_rank")
+    }),
+    "sample_token_budget" -> ((s, dir) => {
+      // "build a ≤15k-token training set from this corpus" (the sf0.01
+      // corpus holds ~27k whitespace tokens, so the boundary bisects):
+      // strict prefix of the md5 order under a global running token
+      // sum — bucket-offset cumsum, off-budget buckets pruned by the
+      // broadcast join before any window sorts them
+      val d = t(s, dir, "documents")
+      Sampling.sampleToTokenBudget(d, "doc_id",
+          TextFunctions.tokenCount(col("text")), budget = 15000, buckets = 8)
+        .select("doc_id", "cum_tokens")
     }),
     "chunk_documents" -> ((s, dir) => {
       // context-window chunking: 64-token chunks, 8-token overlap — a
@@ -1900,6 +1927,12 @@ object SparkEntry {
       "ann_topk_ivf_pq_persisted" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(0.71 AS DOUBLE) AS recall""".stripMargin,
+      // exact re-ranking recovers PQ quantization error: 0.71 -> 0.81
+      // at the same nProbe on the gate vectors (cell-pruning misses
+      // are all that remain) — measured at sf0.01, deterministic
+      "ann_topk_ivf_pq_rerank" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(0.81 AS DOUBLE) AS recall""".stripMargin,
       "dedup_simhash" ->
         """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
           |       CAST(NULL AS INT) AS hamming, CAST(NULL AS VARCHAR) AS src
@@ -2314,6 +2347,21 @@ object SparkEntry {
           |SELECT doc_id, source,
           |       CAST(unnest(range(0, CAST(copies AS INT))) AS BIGINT) AS mix_copy
           |FROM k WHERE copies > 0""".stripMargin,
+      // sample_token_budget: global running-sum prefix in md5 order —
+      // the engine's bucket-offset plan must equal the flat window
+      "sample_token_budget" ->
+        """WITH tc AS (
+          |  SELECT doc_id,
+          |         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          |                         w -> w <> '')) AS n
+          |  FROM documents),
+          |o AS (
+          |  SELECT doc_id,
+          |         sum(n) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM tc)
+          |SELECT doc_id, CAST(cum AS BIGINT) AS cum_tokens
+          |FROM o WHERE cum <= 15000""".stripMargin,
       // mix_temperature_tokens_bpe: same mixing tail, `cnt` swapped to
       // per-source sums of the BPE stages' final-state token counts
       "mix_temperature_tokens_bpe" -> (bpeOraclePrefix(BpeGateWords, BpeGateMerges) +

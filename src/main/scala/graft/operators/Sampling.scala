@@ -256,6 +256,77 @@ object Sampling {
       .drop("__bkt", "__off")
   }
 
+  /** Deterministic token-budget prefix sample: keep the documents whose
+    * CUMULATIVE token count, taken in `(md5(id), id)` order, stays
+    * within `budget` — "build an exactly-≤-B-token training set from a
+    * bigger corpus", the last step before a training run is sized. The
+    * hash order makes the prefix an unbiased, engine-portable sample
+    * (same keep set every run, every engine); the contract is a strict
+    * prefix — once a doc crosses the budget, nothing after it refills
+    * the gap (refilling would make the keep set order-dependent and
+    * unreproducible).
+    *
+    * Scale shape = [[globalShuffleRank]]'s two-pass bucket-offset
+    * cumulative sum, with one extra lever: buckets whose EXCLUSIVE
+    * token offset already exceeds the budget are dropped by the
+    * broadcast-join pre-filter before any window runs — sampling a
+    * 1 T-token subset out of a 100 T-token corpus sorts ~1% of the
+    * buckets and never touches the rest. Per-bucket token sums (one
+    * tiny collected aggregate) ride back as broadcast offsets; the
+    * within-bucket running sum is a window over ~rows/buckets rows.
+    *
+    * Returns the kept rows with `cum_tokens` (inclusive global running
+    * total) appended. Null token values are contract errors (packGreedy
+    * style), not silent drops; zero-token docs cost nothing and are
+    * kept wherever they land.
+    */
+  def sampleToTokenBudget(
+      df: DataFrame, idCol: String, tokens: Column, budget: Long,
+      buckets: Int = 0): DataFrame = {
+    require(budget >= 0, s"sampleToTokenBudget: negative budget $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBuckets =
+      if (buckets > 0) buckets
+      else {
+        val stats = df.queryExecution.optimizedPlan.stats
+        val estRows = stats.rowCount.map(_.toLong)
+          .getOrElse((stats.sizeInBytes / 100).toLong max 1L)
+        val target =
+          (estRows + ShuffleRankTargetRowsPerBucket - 1) / ShuffleRankTargetRowsPerBucket
+        math.min(1L << 20,
+          math.max(spark.sparkContext.defaultParallelism.toLong, target)).toInt
+      }
+    val h = md5(col(idCol).cast("string"))
+    val b = (conv(substring(h, 1, 8), 16, 10).cast("long") * nBuckets / lit(4294967296L))
+      .cast("int")
+    val tokChecked =
+      when(assert_true(tokens.isNotNull,
+        lit("sampleToTokenBudget: token expression is null")).isNull,
+        tokens.cast("long"))
+    val withB = df.withColumn("__tok", tokChecked).withColumn("__bkt", b)
+    val sums = withB.groupBy(col("__bkt")).agg(sum(col("__tok")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sums.scanLeft((0, 0L)) { case ((_, acc), (bk, s)) => (bk, acc + s) }
+      .init.map { case (_, off) => off }
+    // keep only buckets that can still contribute (off <= budget: a
+    // boundary bucket may still fit rows; `<=` not `<` so zero-token
+    // rows sitting exactly on the budget line survive, matching the
+    // global cum<=budget rule) — the inner broadcast join IS the prune
+    val offDf = broadcast(
+      sums.map(_._1).zip(offsets).toSeq.toDF("__bkt", "__off")
+        .filter(col("__off") <= budget))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__bkt")).orderBy(h.asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols = df.columns.map(col).toSeq :+
+      (col("__off") + col("__cum")).as("cum_tokens")
+    withB.join(offDf, "__bkt")
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .filter(col("__off") + col("__cum") <= budget)
+      .select(outCols: _*)
+  }
+
   /** At most `n` rows per group, chosen DETERMINISTICALLY by md5-of-id
     * order (ties impossible: ids are distinct; the hash order is a
     * stable, engine-portable "random" order, so the cap is an unbiased

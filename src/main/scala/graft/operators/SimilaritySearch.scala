@@ -898,6 +898,47 @@ object SimilaritySearch {
     ivfPqSearch(q, cents, codes, k, nProbe, m, kCodes, subDim, cb)
   }
 
+  /** Two-stage retrieval over a [[buildIvfPqIndex]] index: ADC
+    * shortlists `kShortlist` candidates per query (default 4k), then
+    * the shortlist is EXACT-rescored against the raw float vectors and
+    * cut to top-k — the standard re-ranking step (faiss
+    * `IndexRefineFlat`) that removes PQ quantization error from the
+    * final ranking. Cell-pruning misses remain (a neighbor in an
+    * unprobed cell can't be recovered), so recall lands between plain
+    * IVF×PQ and float IVF at the same nProbe; returned cosines are
+    * TRUE cosines, not ADC estimates.
+    *
+    * Scale shape: stage 1 is [[searchIvfPq]] unchanged (float corpus
+    * never read); stage 2 reads the corpus ONCE, streamed past the
+    * broadcast shortlist+query-vector relation (|Q|·kShortlist rows —
+    * query sets are small by contract, `querySideOversized` guards the
+    * assumption upstream), so re-ranking costs one corpus scan and no
+    * shuffle of vector payloads.
+    */
+  def searchIvfPqRerank(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      kShortlist: Int = 0, nProbe: Int = 4): DataFrame = {
+    val ks = if (kShortlist > 0) kShortlist else 4 * k
+    require(ks >= k, s"searchIvfPqRerank: shortlist $ks smaller than k $k")
+    val sl = searchIvfPq(spark, indexDir, queries, idCol, vecCol, ks, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    val c = prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(sl.join(q, "query_id"))
+      .join(c, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("__qn") > 0 && col("__cn") > 0,
+          VectorFunctions.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+          .otherwise(lit(0.0)).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Train-once PQ index: codebooks (self-describing — m/kCodes/subDim
     * ride with the flattened array) plus the encoded corpus
     * `(neighbor_id, codes, rnorm)` — 8-64× smaller than the float

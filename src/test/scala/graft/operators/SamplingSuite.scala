@@ -173,4 +173,48 @@ class SamplingSuite extends SparkSpec {
     assert(derived(1000L * 1000 * 1000 * 1000) == (1000L * 1000 * 1000 * 1000 + target - 1) / target)
     assert(derived(Long.MaxValue / 2) == 1L << 20)
   }
+
+  test("sampleToTokenBudget: strict md5-order prefix, any bucket count") {
+    val docs = (0 until 500).map(i => (i.toLong, (i % 37) + 1L)).toDF("id", "toks")
+    // driver-side reference: sort by (md5(id), id), running sum, prefix
+    def h(i: Long) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = (0 until 500).map(i => (i.toLong, (i % 37) + 1L))
+      .sortBy { case (i, _) => (h(i), i) }
+    val budget = 3000L
+    var acc = 0L
+    val expect = ordered.flatMap { case (i, t) =>
+      acc += t; if (acc <= budget) Some(i -> acc) else None
+    }.toMap
+    for (b <- Seq(1, 3, 8, 64)) {
+      val got = Sampling.sampleToTokenBudget(docs, "id", col("toks"), budget, buckets = b)
+        .select("id", "cum_tokens").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"bucket count $b changed the keep set")
+    }
+  }
+
+  test("sampleToTokenBudget: zero-token rows are free; strict prefix does not refill") {
+    val docs = Seq((1L, 10L), (2L, 0L), (3L, 25L), (4L, 5L)).toDF("id", "toks")
+    // md5 order of 1..4: compute via the operator at a huge budget
+    val order = Sampling.sampleToTokenBudget(docs, "id", col("toks"), 1000L, buckets = 2)
+      .select("id", "cum_tokens").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(order.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    // pick a budget that lands mid-prefix: everything with cum<=that stays,
+    // later smaller docs must NOT sneak in
+    val sortedByCum = order.sortBy(_._2)
+    val cut = sortedByCum(1)._2 // after two docs
+    val kept = Sampling.sampleToTokenBudget(docs, "id", col("toks"), cut, buckets = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == sortedByCum.takeWhile(_._2 <= cut).map(_._1).toSet)
+  }
+
+  test("sampleToTokenBudget: zero budget keeps only leading zero-token rows") {
+    val docs = Seq((1L, 3L), (2L, 0L)).toDF("id", "toks")
+    val kept = Sampling.sampleToTokenBudget(docs, "id", col("toks"), 0L, buckets = 2)
+      .select("id", "cum_tokens").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // only rows whose running total stays at 0 survive
+    assert(kept.forall(_._2 == 0L))
+  }
 }

@@ -519,6 +519,38 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(plan.contains("dynamicpruning"), s"IVF×PQ probe lost DPP:\n$plan")
   }
 
+  test("searchIvfPqRerank: exact cosines; all-cells+full shortlist == brute force") {
+    val rnd = new scala.util.Random(47)
+    val centers = Seq(
+      Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0),
+      Array(0, 0, 10.0, 0), Array(0, 0, 0, 10.0))
+    val vecs = (0 until 80).map { i =>
+      val ctr = centers(i % 4)
+      (i, ctr.map(_ + rnd.nextGaussian() * 0.5))
+    }.toDF("id", "emb")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_rr_").toString
+    SimilaritySearch.buildIvfPqIndex(vecs, "id", "emb", idx,
+      nCentroids = 4, iters = 4, m = 2, kCodes = 8, sampleN = 80, pqIters = 6)
+    val q = vecs.filter($"id" < 6)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    // nProbe = all cells and shortlist >= corpus: the ADC stage cannot
+    // drop a true neighbor and exact re-scoring restores the true
+    // ranking, so the result IS brute force (modulo float rounding)
+    val rr = SimilaritySearch.searchIvfPqRerank(spark, idx, q, vecs,
+      "id", "emb", k = 3, kShortlist = 100, nProbe = 4)
+    val bf = SimilaritySearch.bruteForceTopK(q, vecs, "id", "emb", k = 3)
+    assert(asSet(rr) == asSet(bf))
+    // returned cosines are TRUE cosines even at small shortlists: every
+    // (query, neighbor, cosine) the rerank emits appears identically in
+    // the brute-force ALL-pairs scoring
+    val rrSmall = SimilaritySearch.searchIvfPqRerank(spark, idx, q, vecs,
+      "id", "emb", k = 3, kShortlist = 6, nProbe = 2)
+    val all = asSet(SimilaritySearch.bruteForceTopK(q, vecs, "id", "emb", k = 80))
+    assert(asSet(rrSmall).subsetOf(all))
+  }
+
   test("oversized-query-side guard trips on the threshold, results stay exact") {
     val vecs = (0 until 50).map(i => (i, Array.fill(8)(i * 0.1 + 1.0))).toDF("id", "emb")
     assert(!SimilaritySearch.querySideOversized(vecs.limit(2)))
