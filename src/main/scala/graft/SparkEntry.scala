@@ -441,6 +441,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shared"), col("n_shingles"),
           col("contamination"))
     }),
+    "stream_ingest_pipeline" -> ((s, dir) => {
+      // the live-crawl ingest path END TO END in one stateless plan:
+      // decontamination gate (Bloom + exact confirm in the scan
+      // filter) -> context-window chunking (pure projection) — both
+      // batch/stream-unified, so this exact composition serves a
+      // readStream with zero state. Oracle = chunk SQL over the clean
+      // complement.
+      val d = t(s, dir, "documents")
+      val clean = Streaming.decontaminateGate(s, d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", d.filter(col("doc_id") % 5 === 0), "text", n = 3)
+      Chunking.chunkByTokens(clean.select("doc_id", "text"), "doc_id", "text",
+        maxTokens = 64, overlap = 8)
+    }),
     "dedup_components" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.6)
@@ -1044,6 +1057,19 @@ object SparkEntry {
       Sampling.sampleToTokenBudget(d, "doc_id",
           TextFunctions.tokenCount(col("text")), budget = 15000, buckets = 8)
         .select("doc_id", "cum_tokens")
+    }),
+    "sample_token_budget_by_source" -> ((s, dir) => {
+      // the data-recipe form: explicit per-source token budgets, each
+      // source an independent md5-order prefix; sources absent from
+      // the recipe are dropped (silence is exclusion). Each gate
+      // source holds ~1.1-1.6k tokens, so 800/1200/400 bisect, take
+      // all, and take a third respectively.
+      val d = t(s, dir, "documents")
+      Sampling.sampleToTokenBudgetByGroup(d, "source", "doc_id",
+          TextFunctions.tokenCount(col("text")),
+          budgets = Map("src0" -> 800L, "src1" -> 1200L, "src2" -> 400L),
+          buckets = 4)
+        .select("doc_id", "source", "cum_tokens")
     }),
     "chunk_documents" -> ((s, dir) => {
       // context-window chunking: 64-token chunks, 8-token overlap — a
@@ -2269,6 +2295,34 @@ object SparkEntry {
           |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
           |WHERE d.doc_id % 5 <> 0
           |  AND coalesce(a.n_shared, 0) = 0""".stripMargin),
+      // stream_ingest_pipeline: the chunk_documents SQL restricted to
+      // the decontamination gate's clean complement
+      "stream_ingest_pipeline" -> (shinglesBase +
+        """ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 0),
+          |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),
+          |agg AS (
+          |  SELECT tr.doc_id, count(ev.shingle) AS n_shared
+          |  FROM tr LEFT JOIN ev ON ev.shingle = tr.shingle
+          |  GROUP BY 1),
+          |clean AS (
+          |  SELECT d.doc_id, d.text FROM documents d
+          |  LEFT JOIN agg a ON a.doc_id = d.doc_id
+          |  WHERE d.doc_id % 5 <> 0 AND coalesce(a.n_shared, 0) = 0),
+          |t2 AS (
+          |  SELECT doc_id,
+          |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+          |                     w -> w <> '') AS toks
+          |  FROM clean),
+          |c2 AS (SELECT doc_id, toks, len(toks) AS n FROM t2 WHERE len(toks) > 0),
+          |g2 AS (SELECT doc_id, toks, n,
+          |         unnest(range(0, CAST(1 + ceil(greatest(n - 64, 0) / 56.0) AS INT)))
+          |           AS chunk_id
+          |       FROM c2)
+          |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+          |       array_to_string(list_slice(toks, chunk_id * 56 + 1, chunk_id * 56 + 64), ' ')
+          |         AS text,
+          |       CAST(least(64, n - chunk_id * 56) AS BIGINT) AS n_tokens
+          |FROM g2""".stripMargin),
       "decontaminate_containment" -> (shinglesBase +
         """ev AS (SELECT doc_id AS id_eval, shingle FROM sh WHERE doc_id % 5 = 0),
           |evn AS (SELECT id_eval, count(*) AS n_eval_shingles FROM ev GROUP BY 1),
@@ -2362,6 +2416,22 @@ object SparkEntry {
           |  FROM tc)
           |SELECT doc_id, CAST(cum AS BIGINT) AS cum_tokens
           |FROM o WHERE cum <= 15000""".stripMargin,
+      "sample_token_budget_by_source" ->
+        """WITH tc AS (
+          |  SELECT doc_id, source,
+          |         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          |                         w -> w <> '')) AS n
+          |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+          |o AS (
+          |  SELECT doc_id, source,
+          |         sum(n) OVER (PARTITION BY source
+          |                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |         CASE source WHEN 'src0' THEN 800
+          |                     WHEN 'src1' THEN 1200 ELSE 400 END AS b
+          |  FROM tc)
+          |SELECT doc_id, source, CAST(cum AS BIGINT) AS cum_tokens
+          |FROM o WHERE cum <= b""".stripMargin,
       // mix_temperature_tokens_bpe: same mixing tail, `cnt` swapped to
       // per-source sums of the BPE stages' final-state token counts
       "mix_temperature_tokens_bpe" -> (bpeOraclePrefix(BpeGateWords, BpeGateMerges) +

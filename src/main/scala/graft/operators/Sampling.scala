@@ -327,6 +327,68 @@ object Sampling {
       .select(outCols: _*)
   }
 
+  /** Per-group [[sampleToTokenBudget]] — THE data-recipe primitive:
+    * "B_s tokens from source s" for an explicit budget map, each
+    * group's keep set an independent strict md5-order prefix. Groups
+    * ABSENT from the map are dropped (a recipe is exhaustive by
+    * contract — silence is exclusion, not unlimited).
+    *
+    * Same two-pass shape keyed by `(group, bucket)`: the collected
+    * aggregate is one row per group per bucket (bounded by
+    * #groups × buckets — recipes name domains/sources, not documents),
+    * offsets accumulate within each group, and the broadcast pre-join
+    * drops every bucket whose group offset already exceeds that
+    * group's budget before any window runs.
+    */
+  def sampleToTokenBudgetByGroup(
+      df: DataFrame, groupCol: String, idCol: String, tokens: Column,
+      budgets: Map[String, Long], buckets: Int = 0): DataFrame = {
+    require(budgets.nonEmpty, "sampleToTokenBudgetByGroup: empty budget map")
+    require(budgets.values.forall(_ >= 0),
+      s"sampleToTokenBudgetByGroup: negative budget in $budgets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBuckets =
+      if (buckets > 0) buckets
+      else math.max(spark.sparkContext.defaultParallelism, 1)
+    val h = md5(col(idCol).cast("string"))
+    val b = (conv(substring(h, 1, 8), 16, 10).cast("long") * nBuckets / lit(4294967296L))
+      .cast("int")
+    val tokChecked =
+      when(assert_true(tokens.isNotNull,
+        lit("sampleToTokenBudgetByGroup: token expression is null")).isNull,
+        tokens.cast("long"))
+    val withB = df
+      .filter(col(groupCol).isin(budgets.keys.toSeq: _*))
+      .withColumn("__tok", tokChecked).withColumn("__bkt", b)
+    val sums = withB.groupBy(col(groupCol), col("__bkt"))
+      .agg(sum(col("__tok")).as("__s"))
+      .collect().toSeq.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy { case (g, bk, _) => (g, bk) }
+    val offsets = sums
+      .groupBy(_._1)
+      .flatMap { case (g, rows) =>
+        val sorted = rows.sortBy(_._2)
+        sorted.map(_._2).zip(
+          sorted.map(_._3).scanLeft(0L)(_ + _).init).map { case (bk, off) => (g, bk, off) }
+      }.toSeq
+    val offDf = broadcast(
+      offsets.toDF(groupCol, "__bkt", "__off")
+        .filter(col("__off") <=
+          element_at(typedLit(budgets), col(groupCol))))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol), col("__bkt"))
+      .orderBy(h.asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols = df.columns.map(col).toSeq :+
+      (col("__off") + col("__cum")).as("cum_tokens")
+    withB.join(offDf, Seq(groupCol, "__bkt"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .filter(col("__off") + col("__cum") <=
+        element_at(typedLit(budgets), col(groupCol)))
+      .select(outCols: _*)
+  }
+
   /** At most `n` rows per group, chosen DETERMINISTICALLY by md5-of-id
     * order (ties impossible: ids are distinct; the hash order is a
     * stable, engine-portable "random" order, so the cap is an unbiased

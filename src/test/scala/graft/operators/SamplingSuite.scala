@@ -210,6 +210,31 @@ class SamplingSuite extends SparkSpec {
     assert(kept == sortedByCum.takeWhile(_._2 <= cut).map(_._1).toSet)
   }
 
+  test("sampleToTokenBudgetByGroup: independent per-group prefixes; absent groups drop") {
+    val docs = (0 until 300).map(i => (i.toLong, s"g${i % 3}", (i % 11) + 1L))
+      .toDF("id", "g", "toks")
+    val budgets = Map("g0" -> 120L, "g1" -> 55L) // g2 absent -> dropped
+    def h(i: Long) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = (0 until 300).map(i => (i.toLong, s"g${i % 3}", (i % 11) + 1L))
+      .groupBy(_._2).filter(x => budgets.contains(x._1))
+      .flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy { case (i, _, _) => (h(i), i) }.flatMap { case (i, _, t) =>
+          acc += t
+          if (acc <= budgets(g)) Some((i, g) -> acc) else None
+        }
+      }.toMap
+    for (b <- Seq(1, 4, 16)) {
+      val got = Sampling.sampleToTokenBudgetByGroup(
+          docs, "g", "id", col("toks"), budgets, buckets = b)
+        .select("id", "g", "cum_tokens").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == expect, s"bucket count $b changed the per-group keep sets")
+    }
+  }
+
   test("sampleToTokenBudget: zero budget keeps only leading zero-token rows") {
     val docs = Seq((1L, 3L), (2L, 0L)).toDF("id", "toks")
     val kept = Sampling.sampleToTokenBudget(docs, "id", col("toks"), 0L, buckets = 2)

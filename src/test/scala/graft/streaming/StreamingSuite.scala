@@ -561,6 +561,31 @@ class StreamingSuite extends SparkSpec {
     assert(at02 == Set(1L))         // 0.125 <= 0.13: kept; doc 2 still out
   }
 
+  test("gate -> chunk composition streams statelessly (the ingest pipeline)") {
+    import graft.operators.Chunking
+    implicit val sqlCtx = spark.sqlContext
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val piped = Chunking.chunkByTokens(
+      Streaming.decontaminateGate(spark, input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", evalSet, "text", n = 3).select("doc_id", "text"),
+      "doc_id", "text", maxTokens = 4, overlap = 1)
+    assert(piped.isStreaming)
+    val q = piped.selectExpr("doc_id", "chunk_id", "n_tokens").writeStream
+      .format("memory").queryName("ingest_pipe_test").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "one two three four five six seven"),              // clean: 3 chunks
+        (2L, "carries the quick brown fox jumps along with it")) // contaminated
+      q.processAllAvailable()
+      val got = spark.table("ingest_pipe_test").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // stride = 3: chunks cover tokens 1-4 and 4-7 (coverage complete)
+      assert(got == Set((1L, 0, 4L), (1L, 1, 4L)))
+    } finally q.stop()
+  }
+
   test("decontaminateGate over a MemoryStream: stateless append, same keeps") {
     implicit val sqlCtx = spark.sqlContext
     val evalSet = Seq(
