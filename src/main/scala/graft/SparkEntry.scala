@@ -441,6 +441,22 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shared"), col("n_shingles"),
           col("contamination"))
     }),
+    "stream_decontaminate_indexed" -> ((s, dir) => {
+      // the persisted-artifact form of the ingest gate: the benchmark
+      // suite is built as a hash index (half at build, half appended —
+      // exercising the segment chain), and the gate resolves it instead
+      // of re-shingling eval text. Shares stream_decontaminate's
+      // oracle: output identity with the frame form IS the claim.
+      val d = t(s, dir, "documents")
+      val idx = scratch("eval_index", dir)
+      Decontaminate.buildEvalIndex(d.filter(col("doc_id") % 10 === 0), "text",
+        idx, n = 3)
+      Decontaminate.appendToEvalIndex(d.filter(col("doc_id") % 10 === 5), "text", idx)
+      Streaming.decontaminateGateFromIndex(s, d.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", idx)
+        .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+          col("contamination"))
+    }),
     "stream_ingest_pipeline" -> ((s, dir) => {
       // the live-crawl ingest path END TO END in one stateless plan:
       // decontamination gate (Bloom + exact confirm in the scan
@@ -2281,6 +2297,24 @@ object SparkEntry {
       // doesn't flag — train docs with NO shared shingle (zero-shingle
       // docs are unflaggable by construction, hence clean)
       "stream_decontaminate" -> (shinglesBase +
+        """ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 0),
+          |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),
+          |agg AS (
+          |  SELECT tr.doc_id, count(*) AS n_shingles, count(ev.shingle) AS n_shared
+          |  FROM tr LEFT JOIN ev ON ev.shingle = tr.shingle
+          |  GROUP BY 1)
+          |SELECT d.doc_id,
+          |       CAST(coalesce(a.n_shared, 0) AS BIGINT) AS n_shared,
+          |       CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+          |       coalesce(floor(a.n_shared * 10000.0 / a.n_shingles) / 10000.0, 0.0)
+          |         AS contamination
+          |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+          |WHERE d.doc_id % 5 <> 0
+          |  AND coalesce(a.n_shared, 0) = 0""".stripMargin),
+      // stream_decontaminate_indexed: the persisted-artifact gate is
+      // output-identical to the frame form — same oracle, like
+      // decontaminate_bloom shares decontaminate_docs'
+      "stream_decontaminate_indexed" -> (shinglesBase +
         """ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 0),
           |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),
           |agg AS (

@@ -227,6 +227,69 @@ object Decontaminate {
       .select("id_train", "id_eval", "n_shared", "n_eval_shingles", "containment")
   }
 
+  /** Persist an eval/benchmark set as a DECONTAMINATION INDEX: the
+    * distinct 64-bit shingle hashes plus the shingle width `n`,
+    * published atomically via [[graft.sources.IndexIO]]. Every
+    * decontamination job (batch or the streaming gate) resolves the
+    * artifact instead of re-shingling the benchmark suite — and when
+    * the suite grows (a new benchmark added), [[appendToEvalIndex]]
+    * chains the new hashes as an immutable segment with no rewrite.
+    * Benchmark text never leaves the build job; the artifact is
+    * hashes only.
+    */
+  def buildEvalIndex(
+      eval: DataFrame, textCol: String, path: String, n: Int = 8): Unit = {
+    val spark = eval.sparkSession
+    import spark.implicits._
+    graft.sources.IndexIO.publish(spark, path) { vdir =>
+      eval
+        .select(explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
+        .select(xxhash64(col("__s")).as("h"))
+        .distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/hashes")
+      Seq(Tuple1(n)).toDF("n")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
+    ()
+  }
+
+  /** Append new eval items to a [[buildEvalIndex]] artifact: shingle
+    * width comes from the stored meta, the new distinct hashes land in
+    * an immutable `publishDelta` segment (readers union the chain;
+    * duplicate hashes across segments are collapsed at read time).
+    */
+  def appendToEvalIndex(
+      newEval: DataFrame, textCol: String, path: String): Unit = {
+    val spark = newEval.sparkSession
+    import spark.implicits._
+    val n = evalIndexN(spark, path)
+    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+      newEval
+        .select(explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
+        .select(xxhash64(col("__s")).as("h"))
+        .distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/hashes")
+      Seq(Tuple1(n)).toDF("n")
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/meta")
+    }
+    ()
+  }
+
+  /** Shingle width of a persisted eval index (from the resolved
+    * version's meta). */
+  def evalIndexN(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    spark.read.parquet(s"$vdir/meta").head().getInt(0)
+  }
+
+  /** The union of an eval index chain's hash segments (distinct). */
+  def evalIndexHashes(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    graft.sources.IndexIO.chainTable(spark, path, "hashes")
+      .getOrElse(throw new IllegalStateException(
+        s"eval index at $path has no hashes table"))
+      .select(col("h")).distinct()
+
   /** Pair-level attribution: which eval doc contaminated which train
     * doc, with the shared-shingle count — for auditing the flags
     * `ngramOverlap` raises. Costs a shuffle keyed by `(train, eval)`

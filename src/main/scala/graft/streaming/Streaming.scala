@@ -592,25 +592,63 @@ object Streaming {
       fpp: Double = 1e-5,
       maxExactHashes: Long = 32L << 20): DataFrame = {
     import graft.functions.TextFunctions
-    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
-    val evalSh = eval
-      .select(explode(TextFunctions.shingles(col(evalTextCol), n)).as("__s"))
-      .select(xxhash64(col("__s")).as("__h"))
-    // sizing bound from the non-distinct stream: scan-local aggregate,
-    // overestimation only lowers the effective fpp (Decontaminate's
-    // ngramOverlapBloom argument, same build)
-    val bound = eval
-      .select(coalesce(sum(size(TextFunctions.shingles(col(evalTextCol), n))), lit(0L)))
-      .head().getLong(0)
-    val bloom = evalSh.stat.bloomFilter("__h", math.max(bound, 1L), fpp)
     // the exact confirm set: distinct eval hashes, sorted for binary
     // search. sort().collect() not collect().sorted — the sort runs
     // distributed and the driver only concatenates ordered partitions.
-    val exact = evalSh.distinct().sort("__h").collect().map(_.getLong(0))
+    val exact = eval
+      .select(explode(TextFunctions.shingles(col(evalTextCol), n)).as("__s"))
+      .select(xxhash64(col("__s")).as("__h"))
+      .distinct().sort("__h").collect().map(_.getLong(0))
+    gateCore(stream, idCol, textCol, n, exact, maxContamination, fpp,
+      maxExactHashes)
+  }
+
+  /** [[decontaminateGate]] against a persisted
+    * [[graft.operators.Decontaminate.buildEvalIndex]] artifact: the
+    * benchmark suite is shingled ONCE at build time and every gate job
+    * (or restart of a long-running stream) resolves the hash chain —
+    * shingle width comes from the stored meta, appends to the suite
+    * are picked up at next plan time, and the benchmark text itself is
+    * never needed again. Output-identical to the frame form on the
+    * same eval set, by construction (shared core).
+    */
+  def decontaminateGateFromIndex(
+      spark: SparkSession,
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      maxContamination: Double = 0.0,
+      fpp: Double = 1e-5,
+      maxExactHashes: Long = 32L << 20): DataFrame = {
+    import graft.operators.Decontaminate
+    val n = Decontaminate.evalIndexN(spark, indexPath)
+    val exact = Decontaminate.evalIndexHashes(spark, indexPath)
+      .sort("h").collect().map(_.getLong(0))
+    gateCore(stream, idCol, textCol, n, exact, maxContamination, fpp,
+      maxExactHashes)
+  }
+
+  private def gateCore(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      exact: Array[Long],
+      maxContamination: Double,
+      fpp: Double,
+      maxExactHashes: Long): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
     require(exact.length <= maxExactHashes,
       s"eval set has ${exact.length} distinct shingle hashes > " +
         s"maxExactHashes=$maxExactHashes; decontaminate in batch instead " +
         "(Decontaminate.ngramOverlap with broadcastEval=false)")
+    // the Bloom prefilter builds driver-side from the already-collected
+    // exact set (idempotent inserts, one pass) — no second eval scan
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(exact.length.toLong, 1L), fpp)
+    exact.foreach(bloom.putLong)
     val bloomHits = (sh: org.apache.spark.sql.Column) =>
       toColumn(graft.functions.BloomHitsExpr(toExpression(sh), bloom))
     val exactCount = (cand: org.apache.spark.sql.Column) =>

@@ -561,6 +561,36 @@ class StreamingSuite extends SparkSpec {
     assert(at02 == Set(1L))         // 0.125 <= 0.13: kept; doc 2 still out
   }
 
+  test("decontaminateGateFromIndex: build/append chain == frame-form gate") {
+    import graft.operators.Decontaminate
+    val evalA = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val evalB = Seq((101L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "completely unrelated words in this training document here"),
+      (2L, "someone wrote the quick brown fox jumps right into the corpus"),
+      (4L, "pack my box with five dozen liquor jugs and more text"),
+      (5L, "another clean document with its own distinct vocabulary")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_eval_idx_").toString
+    Decontaminate.buildEvalIndex(evalA, "text", idx, n = 3)
+    // before the append, only evalA's shingles gate: doc 4 passes
+    val before = Streaming.decontaminateGateFromIndex(
+      spark, corpus, "doc_id", "text", idx)
+      .select("doc_id").as[Long].collect().toSet
+    assert(before == Set(1L, 4L, 5L))
+    Decontaminate.appendToEvalIndex(evalB, "text", idx)
+    val after = Streaming.decontaminateGateFromIndex(
+      spark, corpus, "doc_id", "text", idx)
+      .select("doc_id").as[Long].collect().toSet
+    // chain == the frame form over the union
+    val direct = Streaming.decontaminateGate(spark, corpus, "doc_id", "text",
+      evalA.union(evalB), "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == direct && after == Set(1L, 5L))
+  }
+
   test("gate -> chunk composition streams statelessly (the ingest pipeline)") {
     import graft.operators.Chunking
     implicit val sqlCtx = spark.sqlContext
