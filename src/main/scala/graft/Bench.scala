@@ -27,6 +27,7 @@ object Bench {
     "decontaminate_docs", "decontaminate_bloom", "stream_decontaminate",
     "bm25_search", "lm_score_docs",
     "mix_sources", "mix_temperature", "shuffle_corpus",
+    "sample_token_budget",
     "pipeline_semantic_dedup",
     "agg_pricing",
     "stream_window_counts", "sessionize_events", "pipeline_clean_corpus",
