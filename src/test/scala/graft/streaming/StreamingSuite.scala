@@ -561,6 +561,65 @@ class StreamingSuite extends SparkSpec {
     assert(at02 == Set(1L))         // 0.125 <= 0.13: kept; doc 2 still out
   }
 
+  test("self-maintaining index: stream appends its survivors per batch == batch build") {
+    // the full live-crawl write path: gate the stream, then each
+    // micro-batch APPENDS its surviving docs to the minhash index via
+    // foreachBatch + appendToMinhashIndex — the index that future
+    // batches (and the batch engine) dedup against maintains itself
+    // from the stream, and ends EQUAL to building it from the union in
+    // one batch job.
+    import graft.operators.{Decontaminate, Dedup}
+    implicit val sqlCtx = spark.sqlContext
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val seed = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val idxStream = java.nio.file.Files.createTempDirectory("graft_selfmaint_s_").toString
+    val idxBatch = java.nio.file.Files.createTempDirectory("graft_selfmaint_b_").toString
+    Dedup.buildMinhashIndex(seed, "doc_id", "text", idxStream, n = 3)
+    val input = MemoryStream[(Long, String)]
+    val gated = Streaming.decontaminateGate(spark,
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", evalSet, "text", n = 3)
+    val q = gated.select("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Dedup.appendToMinhashIndex(batch, "doc_id", "text", idxStream)
+      }
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "one two three four five six seven eight nine ten"),
+        (2L, "carries the quick brown fox jumps along so it must be dropped"))
+      q.processAllAvailable()
+      input.addData(
+        (3L, "fresh unrelated text words entirely different here now"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch-built reference over seed + the CLEAN stream docs
+    val cleanUnion = seed.union(Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (3L, "fresh unrelated text words entirely different here now")
+    ).toDF("doc_id", "text"))
+    Dedup.buildMinhashIndex(cleanUnion, "doc_id", "text", idxBatch, n = 3)
+    // identical dedup behavior from both indexes on fresh probes: near-
+    // dups of every clean doc hit, the contaminated doc was never indexed
+    val probes = Seq(
+      (21L, "one two three four five six seven eight nine ELEVEN"),
+      (22L, "fresh unrelated text words entirely different here NOW TOO"),
+      (23L, "carries the quick brown fox jumps along so it must be dropped"),
+      (24L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    def hits(idx: String) = Dedup.dedupAgainstMinhashIndex(
+        spark, probes, "doc_id", "text", idx, threshold = 0.5)
+      .select("id_left", "id_right").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromStream = hits(idxStream)
+    assert(fromStream == hits(idxBatch))
+    assert(fromStream.contains((21L, 1L)) && fromStream.contains((24L, 10L)))
+    assert(!fromStream.exists(_._2 == 2L)) // gated doc never entered the index
+  }
+
   test("decontaminateGateFromIndex: build/append chain == frame-form gate") {
     import graft.operators.Decontaminate
     val evalA = Seq((100L, "the quick brown fox jumps over the lazy dog"))
