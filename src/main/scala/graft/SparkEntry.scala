@@ -496,6 +496,21 @@ object SparkEntry {
       blocked.exceptAll(naive).withColumn("src", lit("blocked_only"))
         .unionByName(naive.exceptAll(blocked).withColumn("src", lit("exact_only")))
     }),
+    "stream_embedding_dedup" -> ((s, dir) => {
+      // SEMANTIC ingest gate: embedding near-dups against the persisted
+      // IVF index through the stream-safe in-row cell choice (no
+      // window, no state — the embedding twin of stream_index_dedup).
+      // nProbe = all 16 cells makes the probe exhaustive, so the
+      // oracle is the exact cross-half cosine join.
+      val e = t(s, dir, "embeddings")
+      val idx = scratch("ivf_gate_idx", dir)
+      SimilaritySearch.buildIvfIndex(e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", idx)
+      SimilaritySearch.dedupAgainstIvfIndex(s, idx,
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          threshold = 0.45, nProbe = 16)
+        .select(col("id_left"), col("id_right"), q4(col("cosine")).as("cosine"))
+    }),
     "dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
@@ -1877,6 +1892,19 @@ object SparkEntry {
           |       floor(quantile_cont(o_totalprice, 0.9) * 10000) / 10000 AS p90,
           |       floor(quantile_cont(o_totalprice, 0.99) * 10000) / 10000 AS p99
           |FROM orders""".stripMargin,
+      // stream_embedding_dedup: exhaustive-probe gate == exact
+      // cross-half cosine pairs
+      "stream_embedding_dedup" -> (embUnnest +
+        """, d AS (
+          |  SELECT a.vec_id AS id_left, b.vec_id AS id_right, sum(a.v * b.v) AS dp
+          |  FROM e a JOIN e b ON a.i = b.i
+          |   AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+          |  GROUP BY 1, 2)
+          |SELECT id_left, id_right,
+          |       floor(dp / (na.n * nb.n) * 10000) / 10000 AS cosine
+          |FROM d JOIN nrm na ON na.vec_id = id_left
+          |       JOIN nrm nb ON nb.vec_id = id_right
+          |WHERE dp / (na.n * nb.n) >= 0.45""".stripMargin),
       "dedup_embedding" -> (embUnnest +
         """, d AS (
           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dp

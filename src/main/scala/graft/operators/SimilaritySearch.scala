@@ -461,6 +461,60 @@ object SimilaritySearch {
     ivfSearch(probeCells(q, cents, nProbe), cells, k)
   }
 
+  /** Row-local top-`nProbe` cells (cosine desc, cell-id tiebreak) over
+    * the literal centroid array — [[probeCells]]' choice WITHOUT the
+    * window, so it is usable on a STREAM (windows need state; a struct
+    * sort over k centroids is a projection). Sorting on
+    * `(-score, cell)` makes `array_sort`'s lexicographic struct order
+    * exactly the window's `(score desc, cell asc)`.
+    */
+  private def topCellsExpr(vec: Column, cents: Column, nProbe: Int): Column =
+    slice(
+      array_sort(transform(cents, ct =>
+        struct((-centroidScore(ct, vec)).as("ns"), ct.getField("cell").as("cell")))),
+      1, nProbe).getField("cell")
+
+  /** Semantic near-duplicate gate against a persisted [[buildIvfIndex]]
+    * index, STREAM-SAFE: each incoming embedding picks its `nProbe`
+    * nearest cells IN-ROW ([[topCellsExpr]] — no window, no state),
+    * stream-static-joins the index's cell rows, exact-rescoring every
+    * candidate against the stored float vectors. Emits
+    * `(id_left, id_right, cosine)` for every indexed near-duplicate at
+    * or above `threshold` — the embedding twin of
+    * [[graft.streaming.Streaming.dedupAgainstMinhashIndex]], closing
+    * the ingest story for semantic dedup: a live crawl drops
+    * embedding-near-dups against the batch-maintained index with zero
+    * streaming state. Exactly-once per pair by construction (cells
+    * partition the corpus; probed cells are distinct). With
+    * `nProbe = nCentroids` the probe is exhaustive and the gate is
+    * EXACT — the oracle-checkable configuration. Batch/stream unified
+    * like every transform here; tombstoned ids never match.
+    */
+  def dedupAgainstIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      probes: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nProbe: Int = 4): DataFrame = {
+    val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
+    // k×dim model, collected once at plan time (same bound as training)
+    val cents = spark.read.parquet(s"$vdir/centroids").orderBy("cell")
+      .select("centroid").collect().map(_.getSeq[Double](0).toArray)
+    require(nProbe >= 1 && nProbe <= cents.length,
+      s"dedupAgainstIvfIndex: nProbe $nProbe outside [1, ${cents.length}]")
+    val cells = liveChain(spark, indexDir, "cells")
+      .select(col("neighbor_id"), col("vec").as("__cv"), col("norm").as("__cn"),
+        col("cell").as("__cell"))
+    prepared(probes, idCol, vecCol, "query_id", "__qv", "__qn")
+      .withColumn("__cell",
+        explode(topCellsExpr(col("__qv"), centroidArray(cents), nProbe)))
+      .join(cells, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id").as("id_left"), col("neighbor_id").as("id_right"),
+        when(col("__qn") > 0 && col("__cn") > 0,
+          VectorFunctions.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+          .otherwise(lit(0.0)).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Micro-averaged recall of an approximate top-k result against the
     * exact one — the cross-implementation-oracle idea the reference's
     * tests use (test/test_ops.py:37-48), emitted AS the query output so

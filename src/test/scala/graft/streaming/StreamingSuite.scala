@@ -561,6 +561,43 @@ class StreamingSuite extends SparkSpec {
     assert(at02 == Set(1L))         // 0.125 <= 0.13: kept; doc 2 still out
   }
 
+  test("dedupAgainstIvfIndex streams: in-row cell choice, stateless append") {
+    import graft.operators.SimilaritySearch
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0), Array(0, 0, 10.0, 0))
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, centers(i % 3).map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_gate_").toString
+    SimilaritySearch.buildIvfIndex(corpus, "vec_id", "embedding", idx,
+      nCentroids = 3, iters = 4)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val gated = SimilaritySearch.dedupAgainstIvfIndex(spark, idx,
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      threshold = 0.9, nProbe = 1)
+    assert(gated.isStreaming)
+    val q = gated.selectExpr("id_left", "id_right").writeStream
+      .format("memory").queryName("ivf_gate_test").outputMode("append").start()
+    try {
+      input.addData(
+        (100L, centers(0).toSeq),                       // near-dup of cluster 0
+        (101L, Seq(5.0, -5.0, 5.0, -5.0)))              // far from everything
+      q.processAllAvailable()
+      val got = spark.table("ivf_gate_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.nonEmpty && got.forall(_._1 == 100L))
+      // every emitted pair is a true near-dup: exact batch join agrees
+      val batchPairs = SimilaritySearch.dedupAgainstIvfIndex(spark, idx,
+          Seq((100L, centers(0).toSeq)).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", threshold = 0.9, nProbe = 3)
+        .select("id_left", "id_right").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.subsetOf(batchPairs))
+    } finally q.stop()
+  }
+
   test("self-maintaining index: stream appends its survivors per batch == batch build") {
     // the full live-crawl write path: gate the stream, then each
     // micro-batch APPENDS its surviving docs to the minhash index via
