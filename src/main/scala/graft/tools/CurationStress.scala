@@ -69,6 +69,25 @@ object CurationStress {
       println("[stress]   rows: " + Packing.packGreedy(
         d, "doc_id", "n_tokens", 128, expr("doc_id div 25")).count())
     }
+    // round-8 additions
+    t("streaming decontamination gate (batch-unified, 4% eval)") {
+      println("[stress]   kept: " + graft.streaming.Streaming.decontaminateGate(
+        spark, big.filter(col("doc_id") % 25 =!= 0), "doc_id", "text",
+        big.filter(col("doc_id") % 25 === 0), "text", n = 3).count())
+    }
+    t("token-budget prefix sample (half the corpus tokens)") {
+      val total = big.select(coalesce(
+        sum(TextFunctions.tokenCount(col("text"))), lit(0L))).head().getLong(0)
+      println("[stress]   kept: " + graft.operators.Sampling.sampleToTokenBudget(
+        big, "doc_id", TextFunctions.tokenCount(col("text")), total / 2).count() +
+        s" (budget ${total / 2})")
+    }
+    t("bpe tokenize (W=4096, M=256 corpus-trained)") {
+      val merges = graft.operators.BpeTokenizer.trainBpe(big, "text")
+      println("[stress]   tokens: " + big.select(coalesce(sum(
+        graft.operators.BpeTokenizer.bpeTokenCount(col("text"), merges)), lit(0L)))
+        .head().getLong(0) + s" (${merges.length} merges)")
+    }
     spark.stop()
   }
 }
