@@ -523,4 +523,44 @@ class DifferentialFuzzSuite extends SparkSpec {
       assert(viaIndex == exact, s"round $round")
     }
   }
+
+  test("decontaminateGate == ngramOverlap complement on random corpora") {
+    val rnd = new scala.util.Random(808)
+    for (round <- 0 until rounds) {
+      val n = 2 + rnd.nextInt(3)
+      val corpus = randomDocs(rnd, 30)
+      val evalSet = randomDocs(rnd, 6).map { case (i, t) => (i + 1000, t) }
+      val corpusDf = corpus.toDF("doc_id", "text")
+      val evalDf = evalSet.toDF("doc_id", "text")
+      val kept = graft.streaming.Streaming.decontaminateGate(
+          spark, corpusDf, "doc_id", "text", evalDf, "text", n = n)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val flagged = graft.operators.Decontaminate.ngramOverlap(
+          corpusDf, evalDf, "doc_id", "text", n = n)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == corpus.map(_._1).toSet -- flagged, s"round $round n=$n")
+    }
+  }
+
+  test("sampleToTokenBudget == scalar prefix reference across random shapes") {
+    val rnd = new scala.util.Random(909)
+    def h(i: Long) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (round <- 0 until rounds) {
+      val nDocs = 20 + rnd.nextInt(200)
+      val docs = (0 until nDocs).map(i => (i.toLong, rnd.nextInt(40).toLong))
+      val budget = rnd.nextLong(math.max(docs.map(_._2).sum, 1L))
+      val buckets = 1 + rnd.nextInt(32)
+      var acc = 0L
+      val expect = docs.sortBy { case (i, _) => (h(i), i) }.flatMap { case (i, t) =>
+        acc += t; if (acc <= budget) Some(i -> acc) else None
+      }.toMap
+      val got = Sampling.sampleToTokenBudget(
+          docs.toDF("id", "toks"), "id", col("toks"), budget, buckets)
+        .select("id", "cum_tokens").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"round $round docs=$nDocs budget=$budget buckets=$buckets")
+    }
+  }
 }
