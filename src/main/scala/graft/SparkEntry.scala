@@ -470,6 +470,19 @@ object SparkEntry {
       Chunking.chunkByTokens(clean.select("doc_id", "text"), "doc_id", "text",
         maxTokens = 64, overlap = 8)
     }),
+    "stream_ingest_pipeline_bpe" -> ((s, dir) => {
+      // the ingest path at SUBWORD granularity: gate -> BPE chunking,
+      // still one stateless plan (the tokenizer is a pre-trained
+      // artifact, chunking a projection). Oracle = the BPE stage chain
+      // + the chunk tail restricted to the clean complement.
+      val d = t(s, dir, "documents")
+      val merges = BpeTokenizer.trainBpe(d, "text",
+        trainWords = BpeGateWords, numMerges = BpeGateMerges)
+      val clean = Streaming.decontaminateGate(s, d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", d.filter(col("doc_id") % 5 === 0), "text", n = 3)
+      BpeTokenizer.chunkByBpe(clean.select("doc_id", "text"), "doc_id", "text",
+        merges, maxTokens = BpeGateChunk)
+    }),
     "dedup_components" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.6)
@@ -1848,6 +1861,48 @@ object SparkEntry {
           |         CASE WHEN r.fill + pd.toks > 512 THEN pd.toks ELSE r.fill + pd.toks END
           |  FROM rec r JOIN pd ON pd.chunk = r.chunk AND pd.rn = r.rn + 1)
           |SELECT id AS doc_id, chunk, bin, fill AS bin_fill FROM rec""".stripMargin),
+      // stream_ingest_pipeline_bpe: BPE stages + the 3-gram clean
+      // complement + the chunk_documents_bpe tail over clean docs only
+      "stream_ingest_pipeline_bpe" -> (bpeOraclePrefix(BpeGateWords, BpeGateMerges) +
+        s""",
+          |tokp2 AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+          |  FROM documents),
+          |sh2 AS (
+          |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+          |  FROM tokp2 a
+          |  JOIN tokp2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          |  JOIN tokp2 c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+          |ev2 AS (SELECT DISTINCT shingle FROM sh2 WHERE doc_id % 5 = 0),
+          |tr2 AS (SELECT doc_id, shingle FROM sh2 WHERE doc_id % 5 <> 0),
+          |agg2 AS (
+          |  SELECT tr2.doc_id, count(ev2.shingle) AS n_shared
+          |  FROM tr2 LEFT JOIN ev2 ON ev2.shingle = tr2.shingle
+          |  GROUP BY 1),
+          |clean AS (
+          |  SELECT d.doc_id, d.text FROM documents d
+          |  LEFT JOIN agg2 a ON a.doc_id = d.doc_id
+          |  WHERE d.doc_id % 5 <> 0 AND coalesce(a.n_shared, 0) = 0),
+          |tokq AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+          |  FROM clean),
+          |wtk AS (
+          |  SELECT doc_id, pos, string_split(sf.s, ' ') AS toks
+          |  FROM tokq JOIN s$BpeGateMerges sf ON hex(tokq.w) = sf.wh
+          |  WHERE tokq.w <> ''),
+          |tk AS (
+          |  SELECT doc_id, pos, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ti
+          |  FROM wtk),
+          |sq AS (
+          |  SELECT doc_id, tok,
+          |         row_number() OVER (PARTITION BY doc_id ORDER BY pos, ti) - 1 AS tp
+          |  FROM tk)
+          |SELECT doc_id, CAST(tp // $BpeGateChunk AS INT) AS chunk_id,
+          |       CAST(count(*) AS INT) AS n_tokens,
+          |       string_agg(tok, '' ORDER BY tp) AS chunk_hex
+          |FROM sq GROUP BY 1, 2""".stripMargin),
       "dedup_incremental_deleted" -> (shinglesBase +
         """inter AS (
           |  SELECT x.doc_id AS id_left, y.doc_id AS id_right, count(*) AS i
