@@ -58,6 +58,18 @@ class PlanContractSuite extends SparkSpec {
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
         "Exchange SinglePartition", "BroadcastExchange", "Join",
         "HashAggregate")),
+    // gate -> chunk (whitespace and BPE): still pure scan-side plans
+    ("stream_ingest_pipeline", Seq.empty,
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition", "Join", "HashAggregate")),
+    ("stream_ingest_pipeline_bpe", Seq.empty,
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition", "Join", "HashAggregate")),
+    // the semantic IVF gate necessarily joins the index cells, but a
+    // `Window [` operator would mean the stream-safe in-row cell
+    // choice regressed to probeCells' stateful window
+    ("stream_embedding_dedup", Seq.empty,
+      Seq("Window [", "Exchange SinglePartition", "CartesianProduct")),
     ("dedup_minhash", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     ("dedup_ngram_jaccard", Seq.empty,
