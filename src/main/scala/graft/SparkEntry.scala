@@ -470,6 +470,19 @@ object SparkEntry {
       Chunking.chunkByTokens(clean.select("doc_id", "text"), "doc_id", "text",
         maxTokens = 64, overlap = 8)
     }),
+    "stream_lm_gate" -> ((s, dir) => {
+      // CCNet-style quality gate AT INGEST: a count-pruned bigram model
+      // (KenLM-style cutoffs, persisted via IndexIO) scores each doc
+      // with ONE in-row kernel call; keeps docs whose mean bigram
+      // log-prob clears -3.42 (≈ top 72% of the gate corpus). No join,
+      // no agg, no state — the oracle replays the pruned model in SQL.
+      val d = t(s, dir, "documents")
+      val idx = scratch("lm_gate_index", dir)
+      LangModel.buildLmIndex(d, "text", idx,
+        minBigramCount = 2, minUnigramCount = 2)
+      Streaming.lmGate(s, d, "doc_id", "text", idx, minAvgLogp = -3.42)
+        .select("doc_id", "n_bigrams", "avg_logp")
+    }),
     "stream_ingest_pipeline_bpe" -> ((s, dir) => {
       // the ingest path at SUBWORD granularity: gate -> BPE chunking,
       // still one stateless plan (the tokenizer is a pre-trained
@@ -2329,6 +2342,32 @@ object SparkEntry {
           |SELECT doc_id, sum(contrib) / 100000000.0 AS score, count(*) AS n_terms_hit
           |FROM sc GROUP BY doc_id
           |ORDER BY sum(contrib) DESC, doc_id LIMIT 20""".stripMargin,
+      // stream_lm_gate: lm_score_docs' scoring with KenLM-style count
+      // cutoffs (HAVING >= 2) on both tables; |V| stays unpruned
+      "stream_lm_gate" ->
+        """WITH tokp AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |  FROM documents),
+          |bi AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+          |       FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2
+          |       HAVING count(*) >= 2),
+          |uc AS (SELECT w, count(*) AS cu FROM tokp GROUP BY 1
+          |       HAVING count(*) >= 2),
+          |v AS (SELECT count(DISTINCT w) AS nv FROM tokp),
+          |lp AS (
+          |  SELECT d.doc_id,
+          |         CAST(floor(ln((COALESCE(bc.cb, 0) + 1.0)
+          |                       / (COALESCE(uc.cu, 0) + v.nv)) * 10000.0) AS BIGINT) AS lp
+          |  FROM bi d
+          |  LEFT JOIN bc ON bc.w1 = d.w1 AND bc.w2 = d.w2
+          |  LEFT JOIN uc ON uc.w = d.w1
+          |  CROSS JOIN v)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
+          |FROM lp GROUP BY doc_id
+          |HAVING CAST(floor(sum(lp) * 1.0 / count(*)) AS BIGINT) >= -34200""".stripMargin,
       "lm_score_docs" ->
         """WITH tokp AS (
           |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,

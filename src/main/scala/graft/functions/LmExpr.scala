@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** In-row bigram LM scoring kernel for the streaming quality gate:
+  * tokenizes the UTF-8 bytes with EXACTLY
+  * [[TextFunctions.tokens]]' semantics (trim of chars <= U+0020,
+  * split on ASCII `\s` runs, empties dropped — the byte-level rules
+  * [[ShinglesKernel]] pins against the Column form), hashes each
+  * token and adjacent pair with Spark's own `XxHash64Function` chain
+  * (`xxhash64(w)` = seed 42; `xxhash64(w1, w2)` = w2 hashed with
+  * w1's hash as seed — bit-identical to the batch path's keys), looks
+  * both up in the PRUNED model's sorted key arrays by binary search,
+  * and folds the add-one-smoothed log-probability on the exact
+  * 1e-4-grid long ([[graft.operators.LangModel]]'s determinism
+  * contract: floor4 right after the `ln`, long sums, order-free).
+  *
+  * Returns `(n_bigrams, lp_sum)`; a doc with < 2 tokens scores
+  * `(0, 0)`.
+  */
+object LmScoreKernel {
+
+  private def isSep(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  def compute(
+      text: UTF8String,
+      bigramKeys: Array[Long], bigramCounts: Array[Long],
+      unigramKeys: Array[Long], unigramCounts: Array[Long],
+      vocab: Long): InternalRow = {
+    val bytes = text.getBytes
+    // trim: String.trim strips chars <= U+0020 == bytes <= 0x20 in UTF-8
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && (bytes(lo) & 0xff) <= 0x20) lo += 1
+    while (hi > lo && (bytes(hi - 1) & 0xff) <= 0x20) hi -= 1
+    // token ranges
+    var n = 0L
+    var lpSum = 0L
+    var prevHash = 0L          // xxhash64(w_{i-1}) with seed 42
+    var i = lo
+    var first = true
+    while (i < hi) {
+      while (i < hi && isSep(bytes(i))) i += 1
+      if (i < hi) {
+        val s = i
+        while (i < hi && !isSep(bytes(i))) i += 1
+        val tok = UTF8String.fromBytes(bytes, s, i - s)
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(tok, StringType, 42L)
+        if (!first) {
+          // xxhash64(w1, w2): w2 hashed with w1's hash-from-seed-42 as
+          // seed — prevHash is exactly that value already
+          val bh = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(tok, StringType, prevHash)
+          val cb =
+            if (bigramKeys.length == 0) 0L
+            else {
+              val p = java.util.Arrays.binarySearch(bigramKeys, bh)
+              if (p >= 0) bigramCounts(p) else 0L
+            }
+          val cu =
+            if (unigramKeys.length == 0) 0L
+            else {
+              val p = java.util.Arrays.binarySearch(unigramKeys, prevHash)
+              if (p >= 0) unigramCounts(p) else 0L
+            }
+          lpSum += math.floor(
+            math.log((cb + 1.0) / (cu + vocab.toDouble)) * 10000.0).toLong
+          n += 1L
+        }
+        prevHash = h
+        first = false
+      }
+    }
+    InternalRow(n, lpSum)
+  }
+}
+
+/** `string -> struct<n_bigrams: long, lp_sum: long>`: the whole
+  * per-document LM scoring of the streaming gate as ONE scan
+  * projection — the pruned model rides to executors as plan
+  * references (sorted key/count arrays), so scoring needs no join,
+  * no aggregation, and no state: exactly what lets the quality gate
+  * run on a stream.
+  */
+case class LmScoreExpr(
+    child: Expression,
+    bigramKeys: Array[Long], bigramCounts: Array[Long],
+    unigramKeys: Array[Long], unigramCounts: Array[Long],
+    vocab: Long) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("lp_sum", LongType, nullable = false)))
+  override def prettyName: String = "graft_lm_score"
+
+  override def nullSafeEval(input: Any): Any =
+    LmScoreKernel.compute(input.asInstanceOf[UTF8String],
+      bigramKeys, bigramCounts, unigramKeys, unigramCounts, vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bk = ctx.addReferenceObj("graftLmBk", bigramKeys, "long[]")
+    val bc = ctx.addReferenceObj("graftLmBc", bigramCounts, "long[]")
+    val uk = ctx.addReferenceObj("graftLmUk", unigramKeys, "long[]")
+    val uc = ctx.addReferenceObj("graftLmUc", unigramCounts, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LmScoreKernel.compute($c, $bk, $bc, $uk, $uc, ${vocab}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -91,6 +91,97 @@ object LangModel {
   def score(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreAgainst(docs, docs, idCol, textCol)
 
+  /** A pruned bigram model held driver-side: sorted hash-key arrays
+    * plus parallel counts, and the UNPRUNED vocabulary size (the
+    * smoothing denominator — pruning changes which counts survive,
+    * never the vocabulary the model was trained over).
+    */
+  final case class LmModel(
+      bigramKeys: Array[Long], bigramCounts: Array[Long],
+      unigramKeys: Array[Long], unigramCounts: Array[Long],
+      vocab: Long)
+
+  /** Train and persist a COUNT-PRUNED bigram model (KenLM-style count
+    * cutoffs: bigrams below `minBigramCount` and unigrams below
+    * `minUnigramCount` are dropped; a pruned entry scores as unseen).
+    * Count cutoffs — not top-K — because the cutoff is replayable by
+    * any engine without tiebreak coupling, and it is how n-gram models
+    * are actually shipped. The artifact is hashes + counts only
+    * (8+8 bytes per surviving n-gram), published atomically via
+    * [[graft.sources.IndexIO]]; at web scale the cutoff is what turns
+    * a billions-of-bigrams table into a broadcastable model.
+    */
+  def buildLmIndex(
+      train: DataFrame, textCol: String, path: String,
+      minBigramCount: Long = 2, minUnigramCount: Long = 2): Unit = {
+    require(minBigramCount >= 1 && minUnigramCount >= 1,
+      "buildLmIndex: count cutoffs must be >= 1")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val trainBigrams = bigrams(train, textCol).select(
+      xxhash64(col("__w1"), col("__w2")).as("h"))
+    val bigramCounts = trainBigrams.groupBy("h").agg(count(lit(1)).as("c"))
+    val unigramCounts = train
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .select(xxhash64(col("__w")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val vocab = unigramCounts.count() // |V| BEFORE pruning
+    graft.sources.IndexIO.publish(spark, path) { vdir =>
+      bigramCounts.filter(col("c") >= minBigramCount)
+        .write.mode("overwrite").parquet(s"$vdir/bigrams")
+      unigramCounts.filter(col("c") >= minUnigramCount)
+        .write.mode("overwrite").parquet(s"$vdir/unigrams")
+      Seq((vocab, minBigramCount, minUnigramCount))
+        .toDF("vocab", "min_bigram", "min_unigram")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
+    ()
+  }
+
+  /** Load a [[buildLmIndex]] artifact into driver memory (sorted for
+    * the kernel's binary search). Size = the pruned model, bounded by
+    * the cutoffs — the require mirrors the gate's other
+    * driver-collected artifacts.
+    */
+  def loadLmModel(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxEntries: Long = 32L << 20): LmModel = {
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    def sorted(name: String): (Array[Long], Array[Long]) = {
+      val rows = spark.read.parquet(s"$vdir/$name").sort("h")
+        .collect()
+      (rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+    }
+    val (bk, bc) = sorted("bigrams")
+    val (uk, uc) = sorted("unigrams")
+    require(bk.length + uk.length <= maxEntries,
+      s"LM model at $path has ${bk.length + uk.length} entries > $maxEntries; " +
+        "raise the count cutoffs")
+    val vocab = spark.read.parquet(s"$vdir/meta").head().getLong(0)
+    LmModel(bk, bc, uk, uc, vocab)
+  }
+
+  /** Score docs against a loaded pruned model with the in-row kernel —
+    * one scan projection, no joins, no aggregation (stream-safe; the
+    * suite pins it bit-equal to [[scoreAgainst]] when the cutoffs are
+    * 1). Docs with zero bigrams get no row, like the batch path.
+    */
+  def scoreWithModel(
+      docs: DataFrame, idCol: String, textCol: String, model: LmModel): DataFrame = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val sc = toColumn(graft.functions.LmScoreExpr(
+      toExpression(col(textCol)), model.bigramKeys, model.bigramCounts,
+      model.unigramKeys, model.unigramCounts, model.vocab))
+    docs
+      .withColumn("__lm", sc)
+      .filter(col("__lm.n_bigrams") > 0)
+      .select(
+        col(idCol),
+        col("__lm.n_bigrams").as("n_bigrams"),
+        (floor(col("__lm.lp_sum") * lit(1.0) / col("__lm.n_bigrams")) / lit(10000.0))
+          .as("avg_logp"))
+  }
+
   /** Consecutive token pairs of `textCol`, NON-distinct (every
     * occurrence is a training/scoring event), other columns preserved.
     */

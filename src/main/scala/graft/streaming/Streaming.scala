@@ -674,6 +674,46 @@ object Streaming {
       .drop("__sh", "__cand")
   }
 
+  /** Streaming LM quality gate (the CCNet-style perplexity filter AT
+    * INGEST): score each incoming doc against a persisted
+    * [[graft.operators.LangModel.buildLmIndex]] pruned bigram model
+    * and keep docs whose mean bigram log-prob clears `minAvgLogp` —
+    * boilerplate/spam/wrong-language docs score far below the corpus
+    * norm and die in the scan. The model rides as plan references
+    * (sorted hash arrays), scoring is ONE in-row kernel call
+    * ([[graft.functions.LmScoreExpr]]): no join, no aggregation, no
+    * state — append mode, batch/stream unified.
+    *
+    * The keep decision compares exact 1e-4-grid longs
+    * (`floor(lp_sum / n)` vs the threshold on the same grid), so no
+    * doc flips on a double edge. Docs with zero bigrams (< 2 tokens)
+    * cannot be scored and FAIL CLOSED — a quality gate admits only
+    * what it can measure. Emits kept rows + `(n_bigrams, avg_logp)`.
+    */
+  def lmGate(
+      spark: SparkSession,
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelPath: String,
+      minAvgLogp: Double): DataFrame = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val model = graft.operators.LangModel.loadLmModel(spark, modelPath)
+    val sc = toColumn(graft.functions.LmScoreExpr(
+      toExpression(col(textCol)), model.bigramKeys, model.bigramCounts,
+      model.unigramKeys, model.unigramCounts, model.vocab))
+    val minGrid = math.round(minAvgLogp * 10000)
+    stream
+      .withColumn("__lm", sc)
+      .filter(col("__lm.n_bigrams") > 0 &&
+        floor(col("__lm.lp_sum") * lit(1.0) / col("__lm.n_bigrams")).cast("long")
+          >= lit(minGrid))
+      .withColumn("n_bigrams", col("__lm.n_bigrams"))
+      .withColumn("avg_logp",
+        floor(col("__lm.lp_sum") * lit(1.0) / col("__lm.n_bigrams")) / lit(10000.0))
+      .drop("__lm")
+  }
+
   def parquetStream(spark: SparkSession, dir: String, schemaOf: DataFrame): DataFrame =
     spark.readStream.schema(schemaOf.schema).parquet(dir)
 }

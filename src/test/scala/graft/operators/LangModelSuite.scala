@@ -61,4 +61,41 @@ class LangModelSuite extends SparkSpec {
     val floorLp = math.floor(math.log(1.0 / v) * 1e4) / 1e4
     assert(got(9L)._2 == floorLp)
   }
+
+  test("scoreWithModel (cutoffs=1) is bit-equal to scoreAgainst") {
+    val docs = (0L until 40L).map { i =>
+      (i, Seq.fill(3 + (i % 7).toInt)(s"w${(i * 13) % 9}").mkString(" ") +
+        " the cat sat on the mat near the dog " + s"tail${i % 5}")
+    }.toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_lm_idx_").toString
+    LangModel.buildLmIndex(docs, "text", path,
+      minBigramCount = 1, minUnigramCount = 1)
+    val model = LangModel.loadLmModel(spark, path)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val viaKernel = asMap(LangModel.scoreWithModel(docs, "doc_id", "text", model))
+    val viaBatch = asMap(LangModel.score(docs, "doc_id", "text"))
+    assert(viaKernel == viaBatch)
+  }
+
+  test("count pruning: pruned bigrams score as unseen, vocab stays unpruned") {
+    // "the cat" occurs 3x, "cat sat" 1x: cutoff 2 prunes "cat sat"
+    val train = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the cat naps")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_lm_idx2_").toString
+    LangModel.buildLmIndex(train, "text", path,
+      minBigramCount = 2, minUnigramCount = 1)
+    val model = LangModel.loadLmModel(spark, path)
+    assert(model.vocab == 5) // the, cat, sat, ran, naps
+    val probe = Seq((9L, "the cat sat")).toDF("doc_id", "text")
+    val got = LangModel.scoreWithModel(probe, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    // bigram 1: "the cat" survives (c=3, cu(the)=3, V): floor4(ln(4/(3+V)))
+    // bigram 2: "cat sat" pruned -> unseen (c=0, cu(cat)=3): floor4(ln(1/(3+V)))
+    val v = model.vocab.toDouble
+    val lp1 = math.floor(math.log(4.0 / (3 + v)) * 1e4).toLong
+    val lp2 = math.floor(math.log(1.0 / (3 + v)) * 1e4).toLong
+    assert(got == (2L, math.floor((lp1 + lp2) / 2.0) / 1e4))
+  }
 }

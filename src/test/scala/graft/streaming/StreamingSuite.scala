@@ -561,6 +561,42 @@ class StreamingSuite extends SparkSpec {
     assert(at02 == Set(1L))         // 0.125 <= 0.13: kept; doc 2 still out
   }
 
+  test("lmGate streams: in-row scoring, fail-closed on unscorable docs") {
+    import graft.operators.LangModel
+    implicit val sqlCtx = spark.sqlContext
+    // train on clean prose; the junk doc's bigrams are all unseen and
+    // its unigrams unknown, so it scores far below the norm
+    val train = (0L until 20L).map(i =>
+      (i, "the cat sat on the mat and the dog ran in the park")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_lm_gate_").toString
+    LangModel.buildLmIndex(train, "text", idx,
+      minBigramCount = 1, minUnigramCount = 1)
+    val input = MemoryStream[(Long, String)]
+    val gated = Streaming.lmGate(spark,
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+      minAvgLogp = -2.0)
+    assert(gated.isStreaming)
+    val q = gated.selectExpr("doc_id").writeStream
+      .format("memory").queryName("lm_gate_test").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the cat sat on the mat"),          // in-model: high score
+        (2L, "zxq qzx xqz zqx qxz zzz"),          // junk: all unseen
+        (3L, "single"))                           // < 2 tokens: fail closed
+      q.processAllAvailable()
+      val kept = spark.table("lm_gate_test").as[Long].collect().toSet
+      assert(kept == Set(1L))
+    } finally q.stop()
+    // batch-unified: same keeps on the batch frame
+    val batchKept = Streaming.lmGate(spark, Seq(
+        (1L, "the cat sat on the mat"),
+        (2L, "zxq qzx xqz zqx qxz zzz"),
+        (3L, "single")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, minAvgLogp = -2.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(1L))
+  }
+
   test("dedupAgainstIvfIndex streams: in-row cell choice, stateless append") {
     import graft.operators.SimilaritySearch
     implicit val sqlCtx = spark.sqlContext
