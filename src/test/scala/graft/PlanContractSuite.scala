@@ -70,6 +70,12 @@ class PlanContractSuite extends SparkSpec {
     // choice regressed to probeCells' stateful window
     ("stream_embedding_dedup", Seq.empty,
       Seq("Window [", "Exchange SinglePartition", "CartesianProduct")),
+    // LM quality gate: one in-row kernel call — the model is a plan
+    // reference, so any join/agg means scoring regressed to the
+    // count-table joins of the batch path (stateful on a stream)
+    ("stream_lm_gate", Seq.empty,
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition", "Join", "HashAggregate")),
     ("dedup_minhash", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     ("dedup_ngram_jaccard", Seq.empty,
