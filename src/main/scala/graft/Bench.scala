@@ -25,6 +25,7 @@ object Bench {
     "text_quality", "doc_fingerprint", "heavy_hitters_tokens",
     "tokenize_bpe",
     "decontaminate_docs", "decontaminate_bloom", "stream_decontaminate",
+    "stream_lm_gate",
     "bm25_search", "lm_score_docs",
     "mix_sources", "mix_temperature", "shuffle_corpus",
     "sample_token_budget",

@@ -82,6 +82,12 @@ object CurationStress {
         big, "doc_id", TextFunctions.tokenCount(col("text")), total / 2).count() +
         s" (budget ${total / 2})")
     }
+    t("lm gate (pruned model, threshold -3.42)") {
+      val lmIdx = "/tmp/graft_stress_lm_index"
+      graft.operators.LangModel.buildLmIndex(big, "text", lmIdx)
+      println("[stress]   kept: " + graft.streaming.Streaming.lmGate(
+        spark, big, "doc_id", "text", lmIdx, minAvgLogp = -3.42).count())
+    }
     t("bpe tokenize (W=4096, M=256 corpus-trained)") {
       val merges = graft.operators.BpeTokenizer.trainBpe(big, "text")
       println("[stress]   tokens: " + big.select(coalesce(sum(
