@@ -716,4 +716,15 @@ object Streaming {
 
   def parquetStream(spark: SparkSession, dir: String, schemaOf: DataFrame): DataFrame =
     spark.readStream.schema(schemaOf.schema).parquet(dir)
+
+  /** JSONL drop-directory stream — the format crawls actually arrive
+    * in. Schema must be explicit (streaming sources cannot infer);
+    * parsing matches [[graft.sources.Sources.jsonl]]'s batch reader,
+    * so a backfill over the same files and the live stream see the
+    * same rows. Compose with the gates above for the full ingest path:
+    * `jsonlStream → decontaminateGate/lmGate → chunk → sink`.
+    */
+  def jsonlStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).json(dir)
 }

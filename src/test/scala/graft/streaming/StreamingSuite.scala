@@ -415,6 +415,29 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("jsonlStream -> gate: the file-drop ingest path end to end") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_drop_").toFile
+    Seq(
+      (1L, "completely unrelated words in this training document here"),
+      (2L, "someone wrote the quick brown fox jumps right into the corpus"))
+      .toDF("doc_id", "text").write.mode("overwrite").json(dir.getPath)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val stream = Streaming.jsonlStream(spark, dir.getPath, schema)
+    assert(stream.isStreaming)
+    val gated = Streaming.decontaminateGate(
+      spark, stream, "doc_id", "text", evalSet, "text", n = 3)
+    val q = gated.selectExpr("doc_id").writeStream
+      .format("memory").queryName("jsonl_gate_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsonl_gate_test").as[Long].collect().toSet == Set(1L))
+    } finally q.stop()
+  }
+
   test("cappedPerWindow batch: n earliest per (key, window), (ts, id) tie-break") {
     val evs = Seq(
       Streaming.CapEvent(1, ts("2024-01-01 00:05:00"), 13),
