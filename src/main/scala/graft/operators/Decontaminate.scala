@@ -154,15 +154,24 @@ object Decontaminate {
     // SimilaritySearch.querySideOversized; adversarial run in
     // tools/BloomStress, numbers in PLANS.md).
     val cand = candidates.localCheckpoint(true)
-    val candHashes = cand.agg(coalesce(sum(size(col("__cand"))), lit(0L)))
+    // size the broadcast from MEASURED per-row width, not a constant:
+    // the exploded row carries (idCol, n_shingles, hash), and idCol can
+    // be a 300-byte URL — a flat 24 B/row estimate under-counts by 10x
+    // on exactly the corpora (web crawls) this fallback protects. One
+    // aggregate over the checkpointed candidates measures both.
+    val idBytes: Column = cand.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.StringType => length(col(idCol)).cast("long") + 20L
+      case _ => lit(8L)
+    }
+    val candBytes = cand
+      .agg(coalesce(sum(size(col("__cand")).cast("long") * (idBytes + lit(16L))), lit(0L)))
       .head().getLong(0)
     val conf = train.sparkSession.sessionState.conf
     val cap = if (conf.autoBroadcastJoinThreshold > 0) conf.autoBroadcastJoinThreshold
       else 10L << 20
-    // ~24 bytes per exploded candidate row (8-byte hash + id + count)
     val candEx0 = cand
       .select(col(idCol), col("n_shingles"), explode(col("__cand")).as("__h"))
-    val candEx = if (candHashes * 24 <= cap) broadcast(candEx0) else candEx0
+    val candEx = if (candBytes <= cap) broadcast(candEx0) else candEx0
     evalSh.join(candEx, "__h")
       .select(col(idCol), col("n_shingles"), col("__h"))
       .distinct() // a pure-false-positive doc vanishes here, like the exact path

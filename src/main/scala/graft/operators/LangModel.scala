@@ -121,10 +121,15 @@ object LangModel {
     val trainBigrams = bigrams(train, textCol).select(
       xxhash64(col("__w1"), col("__w2")).as("h"))
     val bigramCounts = trainBigrams.groupBy("h").agg(count(lit(1)).as("c"))
+    // materialize the unigram aggregate ONCE: both the pre-prune |V|
+    // count and the pruned write need it, and each is an action — an
+    // unmaterialized frame would re-run the full tokenize+agg corpus
+    // scan (|V| must be pre-prune, so it cannot come from the artifact)
     val unigramCounts = train
       .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
       .select(xxhash64(col("__w")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val vocab = unigramCounts.count() // |V| BEFORE pruning
     graft.sources.IndexIO.publish(spark, path) { vdir =>
       bigramCounts.filter(col("c") >= minBigramCount)
@@ -147,6 +152,14 @@ object LangModel {
       spark: org.apache.spark.sql.SparkSession, path: String,
       maxEntries: Long = 32L << 20): LmModel = {
     val vdir = graft.sources.IndexIO.resolve(spark, path)
+    // guard BEFORE collecting: a count is one cheap job; a require that
+    // fires after the driver holds the oversized Row arrays is
+    // documentation, not protection
+    val entries = spark.read.parquet(s"$vdir/bigrams").count() +
+      spark.read.parquet(s"$vdir/unigrams").count()
+    require(entries <= maxEntries,
+      s"LM model at $path has $entries entries > $maxEntries; " +
+        "raise the count cutoffs")
     def sorted(name: String): (Array[Long], Array[Long]) = {
       val rows = spark.read.parquet(s"$vdir/$name").sort("h")
         .collect()
@@ -154,9 +167,6 @@ object LangModel {
     }
     val (bk, bc) = sorted("bigrams")
     val (uk, uc) = sorted("unigrams")
-    require(bk.length + uk.length <= maxEntries,
-      s"LM model at $path has ${bk.length + uk.length} entries > $maxEntries; " +
-        "raise the count cutoffs")
     val vocab = spark.read.parquet(s"$vdir/meta").head().getLong(0)
     LmModel(bk, bc, uk, uc, vocab)
   }

@@ -217,31 +217,53 @@ object Sampling {
     * [parallelism, 1 << 20]; the broadcast offset map stays tiny (one
     * (int, long) pair per bucket) at either end.
     */
+  /** Null or NEGATIVE token values are contract errors, not silent
+    * behavior: a negative count breaks the running sum's monotonicity,
+    * which both the strict-prefix contract and the off-budget bucket
+    * prune depend on (a pruned bucket could secretly dip back under
+    * budget). assert_true is codegen'd inline — no extra pass.
+    */
+  private def checkedTokens(tokens: Column, op: String): Column = {
+    val t = tokens.cast("long")
+    when(assert_true(t.isNotNull && t >= 0,
+      lit(s"$op: token expression is null, not castable to long, " +
+        "or negative")).isNull, t)
+  }
+
+  /** Stats-derived bucket count shared by every bucket-offset two-pass
+    * in this object: rowCount when the source has stats, else bytes at
+    * a conservative ~100 B/row (overestimating rows only makes buckets
+    * smaller than target, never a too-big sort); targets
+    * [[ShuffleRankTargetRowsPerBucket]] rows per within-bucket sort,
+    * clamped to [parallelism, 1 << 20].
+    */
+  private def deriveBuckets(df: DataFrame): Int = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    val estRows = stats.rowCount.map(_.toLong)
+      .getOrElse((stats.sizeInBytes / 100).toLong max 1L)
+    val target =
+      (estRows + ShuffleRankTargetRowsPerBucket - 1) / ShuffleRankTargetRowsPerBucket
+    math.min(1L << 20,
+      math.max(df.sparkSession.sparkContext.defaultParallelism.toLong, target)).toInt
+  }
+
+  /** Order-preserving hash-prefix bucket of `md5(id)`: top 32 bits of
+    * the hash scaled to `n` — lexicographic md5-hex order == numeric
+    * order of the 8-hex-char prefix, so the bucket is monotone in the
+    * hash order every two-pass rank/cumsum here relies on.
+    */
+  private def hashPrefixBucket(h: Column, n: Int): Column =
+    (conv(substring(h, 1, 8), 16, 10).cast("long") * n / lit(4294967296L))
+      .cast("int")
+
   def globalShuffleRank(
       df: DataFrame, idCol: String, buckets: Int = 0,
       rankCol: String = "shuffle_rank"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val nBuckets =
-      if (buckets > 0) buckets
-      else {
-        val stats = df.queryExecution.optimizedPlan.stats
-        // rowCount when the source has stats; else bytes at a
-        // conservative ~100 B/row — overestimating rows only makes
-        // buckets smaller than target, never a too-big sort
-        val estRows = stats.rowCount.map(_.toLong)
-          .getOrElse((stats.sizeInBytes / 100).toLong max 1L)
-        val target = // ceil(estRows / targetRowsPerBucket)
-          (estRows + ShuffleRankTargetRowsPerBucket - 1) / ShuffleRankTargetRowsPerBucket
-        math.min(1L << 20,
-          math.max(spark.sparkContext.defaultParallelism.toLong, target)).toInt
-      }
-    val buckets0 = nBuckets
+    val buckets0 = if (buckets > 0) buckets else deriveBuckets(df)
     val h = md5(col(idCol).cast("string"))
-    // top 32 bits of the hash, scaled: lexicographic md5-hex order ==
-    // numeric order of the 8-hex-char prefix, so bucket is monotone in h
-    val b = (conv(substring(h, 1, 8), 16, 10).cast("long") * buckets0 / lit(4294967296L))
-      .cast("int")
+    val b = hashPrefixBucket(h, buckets0)
     val withB = df.withColumn("__bkt", b)
     val counts = withB.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -286,24 +308,10 @@ object Sampling {
     require(budget >= 0, s"sampleToTokenBudget: negative budget $budget")
     val spark = df.sparkSession
     import spark.implicits._
-    val nBuckets =
-      if (buckets > 0) buckets
-      else {
-        val stats = df.queryExecution.optimizedPlan.stats
-        val estRows = stats.rowCount.map(_.toLong)
-          .getOrElse((stats.sizeInBytes / 100).toLong max 1L)
-        val target =
-          (estRows + ShuffleRankTargetRowsPerBucket - 1) / ShuffleRankTargetRowsPerBucket
-        math.min(1L << 20,
-          math.max(spark.sparkContext.defaultParallelism.toLong, target)).toInt
-      }
+    val nBuckets = if (buckets > 0) buckets else deriveBuckets(df)
     val h = md5(col(idCol).cast("string"))
-    val b = (conv(substring(h, 1, 8), 16, 10).cast("long") * nBuckets / lit(4294967296L))
-      .cast("int")
-    val tokChecked =
-      when(assert_true(tokens.isNotNull,
-        lit("sampleToTokenBudget: token expression is null")).isNull,
-        tokens.cast("long"))
+    val b = hashPrefixBucket(h, nBuckets)
+    val tokChecked = checkedTokens(tokens, "sampleToTokenBudget")
     val withB = df.withColumn("__tok", tokChecked).withColumn("__bkt", b)
     val sums = withB.groupBy(col("__bkt")).agg(sum(col("__tok")).as("__s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -348,16 +356,10 @@ object Sampling {
       s"sampleToTokenBudgetByGroup: negative budget in $budgets")
     val spark = df.sparkSession
     import spark.implicits._
-    val nBuckets =
-      if (buckets > 0) buckets
-      else math.max(spark.sparkContext.defaultParallelism, 1)
+    val nBuckets = if (buckets > 0) buckets else deriveBuckets(df)
     val h = md5(col(idCol).cast("string"))
-    val b = (conv(substring(h, 1, 8), 16, 10).cast("long") * nBuckets / lit(4294967296L))
-      .cast("int")
-    val tokChecked =
-      when(assert_true(tokens.isNotNull,
-        lit("sampleToTokenBudgetByGroup: token expression is null")).isNull,
-        tokens.cast("long"))
+    val b = hashPrefixBucket(h, nBuckets)
+    val tokChecked = checkedTokens(tokens, "sampleToTokenBudgetByGroup")
     val withB = df
       .filter(col(groupCol).isin(budgets.keys.toSeq: _*))
       .withColumn("__tok", tokChecked).withColumn("__bkt", b)

@@ -335,10 +335,15 @@ object SimilaritySearch {
       .select("centroid").collect().map(_.getSeq[Double](0).toArray)
     val c = prepared(newVectors, idCol, vecCol, "neighbor_id", "__cv", "__cn")
     // fail loudly on a dimension mismatch: bestCellExpr would otherwise
-    // zip the shorter prefix and assign every new vector a garbage cell
-    val newDim = c.select(size(col("__cv"))).first().getInt(0)
-    require(cents.isEmpty || newDim == cents(0).length,
-      s"appendToIvfIndex: new vectors have dim $newDim but the index at " +
+    // zip the shorter prefix and assign every new vector a garbage cell.
+    // An EMPTY batch (quiet crawl window) is a NO-OP, not a crash and
+    // not a new version: a partitionBy write of zero rows produces a
+    // directory the chain reader cannot infer a schema from
+    val newDim = c.select(size(col("__cv"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    if (newDim.isEmpty) return
+    require(cents.isEmpty || newDim.get == cents(0).length,
+      s"appendToIvfIndex: new vectors have dim ${newDim.get} but the index at " +
         s"$indexDir was trained on dim ${cents(0).length}")
     graft.sources.IndexIO.publishDelta(spark, indexDir) { seg =>
       spark.read.parquet(s"$vdir/centroids")
@@ -888,9 +893,12 @@ object SimilaritySearch {
     val spark = newVectors.sparkSession
     val vdir0 = graft.sources.IndexIO.resolve(spark, indexDir)
     val (cents, cnorms, dim, m, kCodes, subDim, cb) = loadIvfPqModel(spark, vdir0)
-    val newDim = newVectors.select(size(col(vecCol))).first().getInt(0)
-    require(newDim == dim,
-      s"appendToIvfPqIndex: new vectors have dim $newDim but the index at " +
+    // empty batch -> no-op (see appendToIvfIndex)
+    val newDim = newVectors.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    if (newDim.isEmpty) return
+    require(newDim.get == dim,
+      s"appendToIvfPqIndex: new vectors have dim ${newDim.get} but the index at " +
         s"$indexDir was trained on dim $dim")
     val (flat, _, _) = flatCentroids(cents)
     import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
@@ -1043,10 +1051,13 @@ object SimilaritySearch {
     val (m, kCodes, subDim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val cb = meta.getSeq[Double](3).toArray
     // same loud-failure contract as appendToIvfIndex: a mismatched dim
-    // must not reach the encode kernel as an array-bounds error
-    val newDim = newVectors.select(size(col(vecCol))).first().getInt(0)
-    require(newDim == m * subDim,
-      s"appendToPqIndex: new vectors have dim $newDim but the index at " +
+    // must not reach the encode kernel as an array-bounds error;
+    // empty batch -> no-op (see appendToIvfIndex)
+    val newDim = newVectors.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    if (newDim.isEmpty) return
+    require(newDim.get == m * subDim,
+      s"appendToPqIndex: new vectors have dim ${newDim.get} but the index at " +
         s"$indexDir encodes dim ${m * subDim} (m=$m x subDim=$subDim)")
     import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
     graft.sources.IndexIO.publishDelta(spark, indexDir) { vdir =>

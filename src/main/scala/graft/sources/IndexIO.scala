@@ -117,7 +117,18 @@ object IndexIO {
       if (fs.exists(seg)) Some(st.getPath -> fs.getFileStatus(seg).getModificationTime)
       else None
     }
-    val kept = complete.sortBy(-_._2).take(math.max(retain, 1)).map(_._1)
+    // the version _LATEST names is live BY DEFINITION and must survive
+    // regardless of mtime ordering: object stores round mtimes to
+    // seconds, so rapid publishes tie and a stable sort could rank the
+    // pointed-at version out of the retain window — deleting the dir
+    // the pointer names bricks the index
+    val pointerFile = new Path(base, Pointer)
+    val pointed: Set[String] =
+      if (fs.exists(pointerFile)) Set(readFile(fs, pointerFile).trim) else Set.empty
+    val kept = complete
+      .sortBy { case (p, m) => (-m, p.getName) } // total order even on mtime ties
+      .take(math.max(retain, 1)).map(_._1) ++
+      complete.map(_._1).filter(p => pointed.contains(p.getName))
     val keep = kept.flatMap(v => readSegments(fs, v).map(p => new Path(p).getName))
       .toSet ++ kept.map(_.getName)
     complete.foreach { case (p, _) =>

@@ -551,10 +551,16 @@ object Streaming {
   /** Streaming benchmark-decontamination gate: drop documents that
     * share word n-grams with a held-out eval set AT INGEST, so a live
     * crawl never writes contaminated rows into the training corpus.
-    * Same contamination contract as
+    * Same contamination GEOMETRY as
     * [[graft.operators.Decontaminate.ngramOverlap]] (a doc's distinct
-    * n-grams vs the eval set's, ratio 4-decimal-floored), composed
-    * into a purely STATELESS map-only plan:
+    * n-grams vs the eval set's), composed into a purely STATELESS
+    * map-only plan. The DROP decision compares the EXACT ratio
+    * `n_shared / n_shingles` against `maxContamination` on the 1e-4
+    * long grid — NOT the floored 4-decimal value the audit column
+    * reports (flooring would let 1 shared shingle in a >10k-shingle
+    * doc through at threshold 0; at threshold 0 exact-ratio gating is
+    * precisely "no shared shingle", the batch complement the oracle
+    * checks). Structure:
     *
     *  - the eval set is collapsed at plan time (static side, batch
     *    jobs) into a Bloom filter (~1.2-4.8 bytes/shingle) plus the
@@ -592,15 +598,12 @@ object Streaming {
       fpp: Double = 1e-5,
       maxExactHashes: Long = 32L << 20): DataFrame = {
     import graft.functions.TextFunctions
-    // the exact confirm set: distinct eval hashes, sorted for binary
-    // search. sort().collect() not collect().sorted — the sort runs
-    // distributed and the driver only concatenates ordered partitions.
-    val exact = eval
+    val hashes = eval
       .select(explode(TextFunctions.shingles(col(evalTextCol), n)).as("__s"))
       .select(xxhash64(col("__s")).as("__h"))
-      .distinct().sort("__h").collect().map(_.getLong(0))
-    gateCore(stream, idCol, textCol, n, exact, maxContamination, fpp,
-      maxExactHashes)
+      .distinct()
+    gateCore(stream, idCol, textCol, n,
+      collectExact(hashes, "__h", maxExactHashes), maxContamination, fpp)
   }
 
   /** [[decontaminateGate]] against a persisted
@@ -623,10 +626,28 @@ object Streaming {
       maxExactHashes: Long = 32L << 20): DataFrame = {
     import graft.operators.Decontaminate
     val n = Decontaminate.evalIndexN(spark, indexPath)
-    val exact = Decontaminate.evalIndexHashes(spark, indexPath)
-      .sort("h").collect().map(_.getLong(0))
-    gateCore(stream, idCol, textCol, n, exact, maxContamination, fpp,
-      maxExactHashes)
+    gateCore(stream, idCol, textCol, n,
+      collectExact(Decontaminate.evalIndexHashes(spark, indexPath), "h",
+        maxExactHashes),
+      maxContamination, fpp)
+  }
+
+  /** Count-guarded collect of a distinct hash frame into the sorted
+    * exact-confirm array. The guard runs BEFORE the collect — counting
+    * first costs one cheap aggregate job, but a guard that fires only
+    * after the driver already holds an oversized Row array would be
+    * documentation, not protection.
+    */
+  private def collectExact(
+      hashes: DataFrame, hashCol: String, maxExactHashes: Long): Array[Long] = {
+    val cnt = hashes.count()
+    require(cnt <= maxExactHashes,
+      s"eval set has $cnt distinct shingle hashes > " +
+        s"maxExactHashes=$maxExactHashes; decontaminate in batch instead " +
+        "(Decontaminate.ngramOverlap with broadcastEval=false)")
+    // sort().collect() not collect().sorted — the sort runs distributed
+    // and the driver only concatenates ordered partitions
+    hashes.sort(hashCol).collect().map(_.getLong(0))
   }
 
   private def gateCore(
@@ -636,14 +657,9 @@ object Streaming {
       n: Int,
       exact: Array[Long],
       maxContamination: Double,
-      fpp: Double,
-      maxExactHashes: Long): DataFrame = {
+      fpp: Double): DataFrame = {
     import graft.functions.TextFunctions
     import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
-    require(exact.length <= maxExactHashes,
-      s"eval set has ${exact.length} distinct shingle hashes > " +
-        s"maxExactHashes=$maxExactHashes; decontaminate in batch instead " +
-        "(Decontaminate.ngramOverlap with broadcastEval=false)")
     // the Bloom prefilter builds driver-side from the already-collected
     // exact set (idempotent inserts, one pass) — no second eval scan
     val bloom = org.apache.spark.util.sketch.BloomFilter

@@ -551,6 +551,30 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(asSet(rrSmall).subsetOf(all))
   }
 
+  test("appending an EMPTY batch publishes an empty segment, never crashes") {
+    val vecs = (0 until 40).map(i => (i, Array.tabulate(4)(d => (i + d).toDouble)))
+      .toDF("id", "emb")
+    val empty = vecs.filter($"id" < 0)
+    val ivf = java.nio.file.Files.createTempDirectory("graft_empty_ivf_").toString
+    SimilaritySearch.buildIvfIndex(vecs, "id", "emb", ivf, nCentroids = 2, iters = 2)
+    val before = SimilaritySearch.searchIvf(spark, ivf,
+      vecs.filter($"id" === 0), "id", "emb", k = 3, nProbe = 2).collect().toSet
+    SimilaritySearch.appendToIvfIndex(spark, ivf, empty, "id", "emb")
+    assert(SimilaritySearch.searchIvf(spark, ivf,
+      vecs.filter($"id" === 0), "id", "emb", k = 3, nProbe = 2).collect().toSet == before)
+    val pq = java.nio.file.Files.createTempDirectory("graft_empty_pq_").toString
+    SimilaritySearch.buildPqIndex(vecs, "id", "emb", pq, m = 2, kCodes = 4, sampleN = 40)
+    SimilaritySearch.appendToPqIndex(empty, "id", "emb", pq)
+    assert(SimilaritySearch.searchPqIndex(spark, pq,
+      vecs.filter($"id" === 0), "id", "emb", k = 3).count() == 3)
+    val ivfpq = java.nio.file.Files.createTempDirectory("graft_empty_ivfpq_").toString
+    SimilaritySearch.buildIvfPqIndex(vecs, "id", "emb", ivfpq,
+      nCentroids = 2, iters = 2, m = 2, kCodes = 4, sampleN = 40)
+    SimilaritySearch.appendToIvfPqIndex(empty, "id", "emb", ivfpq)
+    assert(SimilaritySearch.searchIvfPq(spark, ivfpq,
+      vecs.filter($"id" === 0), "id", "emb", k = 3, nProbe = 2).count() == 3)
+  }
+
   test("oversized-query-side guard trips on the threshold, results stay exact") {
     val vecs = (0 until 50).map(i => (i, Array.fill(8)(i * 0.1 + 1.0))).toDF("id", "emb")
     assert(!SimilaritySearch.querySideOversized(vecs.limit(2)))
