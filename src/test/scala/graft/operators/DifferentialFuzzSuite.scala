@@ -539,6 +539,24 @@ class DifferentialFuzzSuite extends SparkSpec {
           corpusDf, evalDf, "doc_id", "text", n = n)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(kept == corpus.map(_._1).toSet -- flagged, s"round $round n=$n")
+      // nonzero threshold: the documented EXACT-ratio rule (not the
+      // floored audit value) decides, against the batch stats
+      val thr = Seq(0.1, 0.25, 0.5)(rnd.nextInt(3))
+      val keptT = graft.streaming.Streaming.decontaminateGate(
+          spark, corpusDf, "doc_id", "text", evalDf, "text", n = n,
+          maxContamination = thr)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val stats = graft.operators.Decontaminate.ngramOverlap(
+          corpusDf, evalDf, "doc_id", "text", n = n)
+        .select("doc_id", "n_shared", "n_shingles").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val expectT = corpus.map(_._1).filter { id =>
+        stats.get(id) match {
+          case None => true // unflagged: 0 shared
+          case Some((sh, tot)) => sh * 10000 <= tot * math.round(thr * 10000)
+        }
+      }.toSet
+      assert(keptT == expectT, s"round $round n=$n thr=$thr")
     }
   }
 

@@ -129,4 +129,29 @@ class IndexIOSuite extends SparkSpec {
       .as[Int].collect().toSet
     assert(union == Set(1, 2, 3), "append chain broke after moving the index dir")
   }
+
+  test("pruning never deletes the version _LATEST names, even on mtime ties") {
+    val base = newBase()
+    // several rapid publishes; the LAST one owns the pointer
+    val versions = (0 until 4).map { i =>
+      IndexIO.publish(spark, base) { vdir => writeTable(vdir, "a", Seq(i)) }
+    }
+    // force every surviving _SEGMENTS mtime EQUAL — the object-store
+    // second-granularity scenario where sort order alone cannot rank
+    // the live version into the retain window
+    val conf = spark.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    val t = System.currentTimeMillis() - 60000
+    fs.listStatus(basePath).foreach { st =>
+      val seg = new org.apache.hadoop.fs.Path(st.getPath, "_SEGMENTS")
+      if (st.isDirectory && fs.exists(seg)) fs.setTimes(seg, t, -1)
+    }
+    // aggressive retention under the tie: the pointed-at version must
+    // survive no matter where its name sorts
+    IndexIO.vacuum(spark, base, retainVersions = 1)
+    val live = IndexIO.resolve(spark, base)
+    assert(live == versions.last)
+    assert(spark.read.parquet(s"$live/a").collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
 }
