@@ -123,8 +123,11 @@ object IndexIO {
     // pointed-at version out of the retain window — deleting the dir
     // the pointer names bricks the index
     val pointerFile = new Path(base, Pointer)
+    // the pointer stores the bare version id; dirs are named v-<id>
     val pointed: Set[String] =
-      if (fs.exists(pointerFile)) Set(readFile(fs, pointerFile).trim) else Set.empty
+      if (fs.exists(pointerFile))
+        Set(versionDir(base, readFile(fs, pointerFile).trim).getName)
+      else Set.empty
     val kept = complete
       .sortBy { case (p, m) => (-m, p.getName) } // total order even on mtime ties
       .take(math.max(retain, 1)).map(_._1) ++
