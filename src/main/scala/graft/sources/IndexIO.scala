@@ -162,6 +162,13 @@ object IndexIO {
     }
   }
 
+  /** True when `path` holds a committed index (pointer present and
+    * non-empty) — the cheap build-or-reuse probe for callers that want
+    * to skip a rebuild when a published version already exists.
+    */
+  def exists(spark: SparkSession, path: String): Boolean =
+    currentVersion(spark, path).isDefined
+
   /** The committed version directory under `path`, or a loud error if
     * no build ever published (or the published version was removed).
     */
