@@ -62,10 +62,17 @@ object Bench {
     // artifact pay the build here, so every timed pass — including the
     // first — measures steady-state serving only and the per-query
     // spread stays box-noise-sized instead of carrying one train+encode.
+    val setupFailed = scala.collection.mutable.ListBuffer.empty[String]
     Seq("ann_topk_ivf_pq_search").filter(SparkEntry.queries.contains)
       .foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] setup $name failed: $e") }
+        catch { case e: Throwable =>
+          // record it: when setup fails, the first timed pass pays the
+          // full build cost and the spread metric would misread as box
+          // noise — the JSON marker makes the condition attributable
+          setupFailed += name
+          System.err.println(s"[bench] setup $name failed: $e")
+        }
       }
 
     // three timed passes over the WHOLE suite (not 3 back-to-back runs
@@ -80,25 +87,36 @@ object Bench {
     val names = headline.filter(SparkEntry.queries.contains)
     val passes = 3
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     (1 to passes).foreach { _ =>
       names.foreach { name =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        val s = (System.nanoTime() - t0) / 1e9
-        samples(name) = s :: samples.getOrElse(name, Nil)
+        // a sample is recorded ONLY when the query completes: timing a
+        // throw would report time-to-exception as a 10-20x "speedup" and
+        // deflate the suite total (round-10 events family did exactly that)
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          val s = (System.nanoTime() - t0) / 1e9
+          samples(name) = s :: samples.getOrElse(name, Nil)
+        } catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: $e")
+        }
       }
     }
-    val results = names.map(n => n -> samples(n).min)
+    val timed = names.filter(samples.contains)
+    val results = timed.map(n => n -> samples(n).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val spreads = names.map { n =>
+    val spreads = timed.map { n =>
       val ss = samples(n)
       "\"" + n + "\":" + f"${ss.max - ss.min}%.3f"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val setupFailedJson = setupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"spread":$spreads,"failed":$failedJson,"setup_failed":$setupFailedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,14 +46,25 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is ns-precision parquet (TESTDATA/FIXTURES): Spark's
-      // reader rejects TIMESTAMP(NANOS) outright, so read it as a long
-      // (ns since epoch) and convert with exact integer arithmetic
-      // (`div`, not `/` — long/long division is double and loses
-      // precision at 1e18 ns). DuckDB's epoch_us() truncates the same way.
+      // events.ts has shipped as both TIMESTAMP(NANOS) (older testdata
+      // generations) and timestamp[us] (current), so branch on the type
+      // Spark actually loaded rather than hard-coding one contract.
+      // nanosAsLong stays set so a future ns regeneration still reads:
+      // Spark rejects TIMESTAMP(NANOS) outright without it, and with it
+      // the column arrives as int64 ns, converted below with exact
+      // integer arithmetic (`div`, not `/` — long/long division is
+      // double and loses precision at 1e18 ns; DuckDB's epoch_us()
+      // truncates the same way).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          // session timezone is UTC, so the NTZ→TZ cast is value-preserving
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df // TimestampType: already the contract type
+      }
     } else if (name == "documents" || name == "embeddings") {
       // the driver testdata ships each table as ONE parquet row group,
       // so a scan is a single split no matter what maxPartitionBytes

@@ -29,6 +29,14 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           e.getStackTrace.take(8).foreach(f => System.err.println(s"    at $f"))
+          // loud failure: leave a sentinel where the result parquet would
+          // be, so the driver's compare reports this query as `err`
+          // instead of silently omitting it (a throwing query must show
+          // up red, not absent, in CORRECTNESS_r{N})
+          val d = new java.io.File(s"$outDir/$name")
+          d.mkdirs()
+          Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"),
+            s"${e.getClass.getName}: ${e.getMessage}\n")
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

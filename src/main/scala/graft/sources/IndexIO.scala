@@ -162,12 +162,18 @@ object IndexIO {
     }
   }
 
-  /** True when `path` holds a committed index (pointer present and
-    * non-empty) — the cheap build-or-reuse probe for callers that want
-    * to skip a rebuild when a published version already exists.
+  /** True when `path` holds a committed index — the build-or-reuse probe
+    * for callers that want to skip a rebuild when a published version
+    * already exists. Mirrors [[resolve]]'s second check: a pointer whose
+    * version dir was removed (external vacuum, partial /tmp cleanup)
+    * reads as "no committed index" so the caller rebuilds instead of
+    * failing at resolve() for the rest of the JVM's lifetime.
     */
   def exists(spark: SparkSession, path: String): Boolean =
-    currentVersion(spark, path).isDefined
+    currentVersion(spark, path).exists { v =>
+      val vdir = versionDir(new Path(path), v)
+      vdir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(vdir)
+    }
 
   /** The committed version directory under `path`, or a loud error if
     * no build ever published (or the published version was removed).
