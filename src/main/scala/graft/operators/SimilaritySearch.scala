@@ -73,7 +73,18 @@ object SimilaritySearch {
     * broadcast threshold — the foot-gun guard for [[bruteForceTopK]],
     * which broadcasts the query set with a non-equi condition.
     */
-  def querySideOversized(queries: DataFrame): Boolean = {
+  def querySideOversized(queries: DataFrame): Boolean =
+    querySideOversized(queries, 0L)
+
+  /** Width-aware variant for plans that attach per-row payload the
+    * optimizer's stats can't see — PQ ADC tables (m×kCodes doubles per
+    * query), probe fan-out (nProbe rows per query), shortlist×vector
+    * expansion. `extraBytesPerRow` is charged for every estimated input
+    * row before comparing against the broadcast threshold, so a 100k-row
+    * query frame that LOOKS like 2 MB of ids but becomes gigabytes of
+    * ADC tables still trips the guard.
+    */
+  def querySideOversized(queries: DataFrame, extraBytesPerRow: Long): Boolean = {
     val conf = queries.sparkSession.sessionState.conf
     // threshold <= 0 means the user disabled broadcasting entirely —
     // the strongest signal they fear large broadcasts, so fall back to
@@ -81,8 +92,28 @@ object SimilaritySearch {
     val cap =
       if (conf.autoBroadcastJoinThreshold > 0) conf.autoBroadcastJoinThreshold
       else 10L << 20
-    queries.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(cap)
+    val stats = queries.queryExecution.optimizedPlan.stats
+    // exact rowCount needs CBO stats the session rarely has; the
+    // 32-byte floor per row is conservative (an id + a vector pointer
+    // can't be smaller), so wide derived payloads still register
+    val rows =
+      stats.rowCount.getOrElse((stats.sizeInBytes / 32).max(BigInt(1)))
+    stats.sizeInBytes + rows * BigInt(extraBytesPerRow) > BigInt(cap)
   }
+
+  /** Broadcast `df` unless the caller's guard tripped: the oversized
+    * path keeps the SAME declarative join (equi probes degrade to a
+    * shuffle join, the flat non-equi scan to a partitioned cartesian)
+    * instead of forcing a multi-GB driver collect — correctness
+    * identical, Catalyst picks the distribution.
+    */
+  private def maybeBroadcast(df: DataFrame, oversized: Boolean, what: String): DataFrame =
+    if (oversized) {
+      System.err.println(
+        s"[graft] WARN: $what query-side relation exceeds the broadcast " +
+          "threshold; using a non-broadcast (shuffle) join instead.")
+      df
+    } else broadcast(df)
 
   /** Exact top-k neighbors per query by cosine. `queries`/`corpus` carry
     * `(idCol, vecCol)`. Output: `(query_id, neighbor_id, cosine)`,
@@ -675,7 +706,10 @@ object SimilaritySearch {
       toExpression(col("__pq.codes")), toExpression(col("__tab")), kCodes))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(q)
+    // guard the forced broadcast: each query row carries an m×kCodes
+    // double ADC table the optimizer's stats don't see
+    maybeBroadcast(q,
+        querySideOversized(queries, m.toLong * kCodes * 8 + 16), "pqTopK")
       .join(enc, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         when(col("__qn") > 0 && col("__pq.rnorm") > 0,
@@ -771,7 +805,13 @@ object SimilaritySearch {
       toExpression(col("codes")), toExpression(col("__tab")), kCodes))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(probed)
+    // guard the forced broadcast: the probe fan-out is nProbe rows per
+    // query, each carrying the m×kCodes double ADC table — payload the
+    // optimizer's stats don't see. Oversized → equi shuffle join on
+    // __cell (cell-partitioned codes side co-locates for free).
+    maybeBroadcast(probed,
+        querySideOversized(q, nProbe.toLong * (m.toLong * kCodes * 8 + 48)),
+        "ivfPqSearch")
       .join(codes, Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -972,10 +1012,11 @@ object SimilaritySearch {
     *
     * Scale shape: stage 1 is [[searchIvfPq]] unchanged (float corpus
     * never read); stage 2 reads the corpus ONCE, streamed past the
-    * broadcast shortlist+query-vector relation (|Q|·kShortlist rows —
-    * query sets are small by contract, `querySideOversized` guards the
-    * assumption upstream), so re-ranking costs one corpus scan and no
-    * shuffle of vector payloads.
+    * broadcast shortlist+query-vector relation (|Q|·kShortlist rows),
+    * so re-ranking costs one corpus scan and no shuffle of vector
+    * payloads. A query frame whose shortlist expansion would exceed
+    * the broadcast threshold is guarded HERE ([[querySideOversized]]
+    * width-aware) and degrades to an equi shuffle join on neighbor_id.
     */
   def searchIvfPqRerank(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
@@ -990,7 +1031,13 @@ object SimilaritySearch {
     val c = prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(sl.join(q, "query_id"))
+    // each query row fans out to kShortlist rows each carrying the
+    // dim-double query vector — charge that width to the guard
+    val dim = queries.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    maybeBroadcast(sl.join(q, "query_id"),
+        querySideOversized(queries, ks.toLong * (dim.toLong * 8 + 24)),
+        "searchIvfPqRerank")
       .join(c, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         when(col("__qn") > 0 && col("__cn") > 0,

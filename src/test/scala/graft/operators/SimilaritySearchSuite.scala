@@ -587,4 +587,63 @@ class SimilaritySearchSuite extends SparkSpec {
       assert(out.count() == 6)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("width-aware guard: per-row payload charges rows the stats can't see") {
+    val vecs = (0 until 50).map(i => (i, Array.fill(8)(i * 0.1 + 1.0))).toDF("id", "emb")
+    // the bare frame fits comfortably under the 10 MB default…
+    assert(!SimilaritySearch.querySideOversized(vecs))
+    // …but 1 MB of derived payload per row (a wide ADC table) does not
+    assert(SimilaritySearch.querySideOversized(vecs, 1L << 20))
+  }
+
+  test("PQ family degrades to non-broadcast joins on an oversized query frame") {
+    val rnd = new scala.util.Random(31)
+    val centers = Seq(
+      Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0),
+      Array(0, 0, 10.0, 0), Array(0, 0, 0, 10.0))
+    val vecs = (0 until 120).map { i =>
+      val ctr = centers(i % 4)
+      (i, ctr.map(_ + rnd.nextGaussian() * 0.5))
+    }.toDF("id", "emb")
+    val q = vecs.filter($"id" < 6)
+    val idx = java.nio.file.Files.createTempDirectory("graft_guard_ivfpq_").toString
+    SimilaritySearch.buildIvfPqIndex(vecs, "id", "emb", idx,
+      nCentroids = 4, iters = 4, m = 2, kCodes = 8, sampleN = 120, pqIters = 6)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), math.round(r.getDouble(2) * 1e9))).toSet
+    // reference results under the default threshold (broadcast path)
+    val pqRef = asSet(SimilaritySearch.pqTopK(q, vecs, "id", "emb", k = 3,
+      m = 2, kCodes = 8, sampleN = 120))
+    val ivfPqRef = asSet(SimilaritySearch.searchIvfPq(spark, idx, q,
+      "id", "emb", k = 3, nProbe = 2))
+    val rrRef = asSet(SimilaritySearch.searchIvfPqRerank(spark, idx, q, vecs,
+      "id", "emb", k = 3, kShortlist = 12, nProbe = 4))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+      // flat PQ: the non-equi join must fall back to a partitioned
+      // cartesian, not a forced query-side broadcast
+      val pq = SimilaritySearch.pqTopK(q, vecs, "id", "emb", k = 3,
+        m = 2, kCodes = 8, sampleN = 120)
+      val pqPlan = pq.queryExecution.executedPlan.toString
+      assert(pqPlan.contains("CartesianProduct"),
+        s"pqTopK oversized fallback kept a broadcast:\n$pqPlan")
+      assert(asSet(pq) == pqRef)
+      // IVF×PQ probe: the equi join on __cell must degrade to a
+      // shuffle join (sort-merge or shuffled-hash), same rows out
+      val sp = SimilaritySearch.searchIvfPq(spark, idx, q,
+        "id", "emb", k = 3, nProbe = 2)
+      val spPlan = sp.queryExecution.executedPlan.toString
+      assert(spPlan.contains("SortMergeJoin") || spPlan.contains("ShuffledHashJoin"),
+        s"searchIvfPq oversized fallback kept a broadcast:\n$spPlan")
+      assert(asSet(sp) == ivfPqRef)
+      // rerank: exact rescore join on neighbor_id degrades the same way
+      val rr = SimilaritySearch.searchIvfPqRerank(spark, idx, q, vecs,
+        "id", "emb", k = 3, kShortlist = 12, nProbe = 4)
+      val rrPlan = rr.queryExecution.executedPlan.toString
+      assert(rrPlan.contains("SortMergeJoin") || rrPlan.contains("ShuffledHashJoin"),
+        s"searchIvfPqRerank oversized fallback kept a broadcast:\n$rrPlan")
+      assert(asSet(rr) == rrRef)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
