@@ -693,14 +693,16 @@ object SparkEntry {
       // persisted IVF×PQ index, then exact float re-ranking — recovers
       // the PQ quantization error, so recall must sit ABOVE the plain
       // IVF×PQ constant at the same nProbe (only cell-pruning misses
-      // remain). Deterministic trainers -> oracle constant, sf0.01.
+      // remain). SELF-CONTAINED: the rescore vectors resolve from the
+      // index's own side-file, no corpus handle on the serve path.
+      // Deterministic trainers -> oracle constant, sf0.01.
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 20)
       val idx = scratch("ivfpq_rr_index", dir)
       SimilaritySearch.buildIvfPqIndex(e, "vec_id", "embedding", idx,
         nCentroids = 16, m = 32, kCodes = 32)
       SimilaritySearch.recallSummary(
-        SimilaritySearch.searchIvfPqRerank(s, idx, q, e, "vec_id", "embedding",
+        SimilaritySearch.searchIvfPqRerank(s, idx, q, "vec_id", "embedding",
           k = 5, nProbe = 8),
         SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
     }),

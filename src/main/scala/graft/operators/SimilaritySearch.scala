@@ -901,6 +901,11 @@ object SimilaritySearch {
         .select(col("neighbor_id"), col("__e.codes").as("codes"),
           col("__e.rnorm").as("rnorm"), col("__e.cell").as("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/cells")
+      // raw-vector side-file: makes two-stage retrieval
+      // ([[searchIvfPqRerank]]) self-contained — production rescoring
+      // works off the index artifact alone, no original-corpus handle
+      c.select(col("neighbor_id"), col("__cv").as("vec"), col("__cn").as("vnorm"))
+        .write.mode("overwrite").parquet(s"$vdir/vectors")
     }
     ()
   }
@@ -947,14 +952,17 @@ object SimilaritySearch {
         .repartition(1).write.mode("overwrite").parquet(s"$seg/centroids")
       spark.read.parquet(s"$vdir0/codebook")
         .repartition(1).write.mode("overwrite").parquet(s"$seg/codebook")
-      prepared(newVectors, idCol, vecCol, "neighbor_id", "__cv", "__cn")
-        .select(col("neighbor_id"),
+      val nv = prepared(newVectors, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+        .localCheckpoint(true)
+      nv.select(col("neighbor_id"),
           toColumn(graft.functions.IvfPqEncodeExpr(
             toExpression(col("__cv")), flat, cnorms, dim, m, kCodes, subDim, cb))
             .as("__e"))
         .select(col("neighbor_id"), col("__e.codes").as("codes"),
           col("__e.rnorm").as("rnorm"), col("__e.cell").as("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$seg/cells")
+      nv.select(col("neighbor_id"), col("__cv").as("vec"), col("__cn").as("vnorm"))
+        .write.mode("overwrite").parquet(s"$seg/vectors")
     }
     ()
   }
@@ -971,10 +979,17 @@ object SimilaritySearch {
     val cents = spark.read.parquet(s"$vdir/centroids")
     val cbdf = spark.read.parquet(s"$vdir/codebook")
     val cells = liveChain(spark, indexDir, "cells")
+    // vectors side-file is optional (indexes built before it existed);
+    // carry it forward when present so rerank stays self-contained
+    val vecs = graft.sources.IndexIO.chainTable(spark, indexDir, "vectors")
+      .map(v => graft.sources.IndexIO.withoutTombstoned(
+        v, graft.sources.IndexIO.chainTable(spark, indexDir, "tombstones"),
+        "neighbor_id"))
     graft.sources.IndexIO.publish(spark, indexDir) { nv =>
       cents.repartition(1).write.mode("overwrite").parquet(s"$nv/centroids")
       cbdf.repartition(1).write.mode("overwrite").parquet(s"$nv/codebook")
       cells.write.mode("overwrite").partitionBy("cell").parquet(s"$nv/cells")
+      vecs.foreach(_.write.mode("overwrite").parquet(s"$nv/vectors"))
     }
     ()
   }
@@ -1022,13 +1037,50 @@ object SimilaritySearch {
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
+      kShortlist: Int, nProbe: Int): DataFrame =
+    rerankShortlist(spark, indexDir, queries,
+      prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn"),
+      idCol, vecCol, k, kShortlist, nProbe)
+
+  /** Self-contained two-stage retrieval: the exact-rescore vectors come
+    * from the index's own `vectors` side-file ([[buildIvfPqIndex]]
+    * writes it, appends chain it, tombstones apply) — production
+    * retrieval works off the index artifact alone, no original-corpus
+    * handle. Fails loudly on an index built before the side-file
+    * existed (rebuild, or pass an explicit rescore corpus via the
+    * other overload).
+    */
+  def searchIvfPqRerank(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
       kShortlist: Int = 0, nProbe: Int = 4): DataFrame = {
+    val vecs = graft.sources.IndexIO.chainTable(spark, indexDir, "vectors")
+      .getOrElse(throw new IllegalStateException(
+        s"ANN index at $indexDir has no vectors side-file (built before " +
+          "self-contained rerank existed) — rebuild the index, or pass an " +
+          "explicit rescore corpus"))
+    val live = graft.sources.IndexIO.withoutTombstoned(
+      vecs, graft.sources.IndexIO.chainTable(spark, indexDir, "tombstones"),
+      "neighbor_id")
+      .select(col("neighbor_id"), col("vec").as("__cv"), col("vnorm").as("__cn"))
+    rerankShortlist(spark, indexDir, queries, live, idCol, vecCol, k,
+      kShortlist, nProbe)
+  }
+
+  /** Shared rescore stage: ADC shortlist via [[searchIvfPq]], then the
+    * exact cosine against `rescore` `(neighbor_id, __cv, __cn)`, cut to
+    * top-k.
+    */
+  private def rerankShortlist(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, rescore: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      kShortlist: Int, nProbe: Int): DataFrame = {
     val ks = if (kShortlist > 0) kShortlist else 4 * k
     require(ks >= k, s"searchIvfPqRerank: shortlist $ks smaller than k $k")
     val sl = searchIvfPq(spark, indexDir, queries, idCol, vecCol, ks, nProbe)
       .select(col("query_id"), col("neighbor_id"))
     val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
-    val c = prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     // each query row fans out to kShortlist rows each carrying the
@@ -1038,7 +1090,7 @@ object SimilaritySearch {
     maybeBroadcast(sl.join(q, "query_id"),
         querySideOversized(queries, ks.toLong * (dim.toLong * 8 + 24)),
         "searchIvfPqRerank")
-      .join(c, Seq("neighbor_id"))
+      .join(rescore, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         when(col("__qn") > 0 && col("__cn") > 0,
           VectorFunctions.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))

@@ -549,6 +549,54 @@ class SimilaritySearchSuite extends SparkSpec {
       "id", "emb", k = 3, kShortlist = 6, nProbe = 2)
     val all = asSet(SimilaritySearch.bruteForceTopK(q, vecs, "id", "emb", k = 80))
     assert(asSet(rrSmall).subsetOf(all))
+    // SELF-CONTAINED form: rescore vectors resolve from the index's own
+    // side-file — bit-equal to the explicit-corpus call
+    val rrSelf = SimilaritySearch.searchIvfPqRerank(spark, idx, q,
+      "id", "emb", k = 3, kShortlist = 100, nProbe = 4)
+    assert(asSet(rrSelf) == asSet(rr))
+  }
+
+  test("self-contained rerank follows the index lifecycle: append, delete, compact") {
+    val rnd = new scala.util.Random(47)
+    val centers = Seq(
+      Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0),
+      Array(0, 0, 10.0, 0), Array(0, 0, 0, 10.0))
+    val vecs = (0 until 80).map { i =>
+      val ctr = centers(i % 4)
+      (i, ctr.map(_ + rnd.nextGaussian() * 0.5))
+    }.toDF("id", "emb")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_rr_lc_").toString
+    SimilaritySearch.buildIvfPqIndex(vecs, "id", "emb", idx,
+      nCentroids = 4, iters = 4, m = 2, kCodes = 8, sampleN = 80, pqIters = 6)
+    val q = vecs.filter($"id" === 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getInt(1)).toSet
+    // appended duplicates of ids 1..4 surface through the side-file too
+    val dups = vecs.filter($"id" >= 1 && $"id" <= 4).collect()
+      .map(r => (r.getInt(0) + 1000, r.getSeq[Double](1).toArray)).toSeq
+    SimilaritySearch.appendToIvfPqIndex(dups.toDF("id", "emb"), "id", "emb", idx)
+    val afterAppend = SimilaritySearch.searchIvfPqRerank(spark, idx, q,
+      "id", "emb", k = 160, kShortlist = 200, nProbe = 4)
+    val got = afterAppend.collect()
+      .map(r => r.getInt(1) -> math.round(r.getDouble(2) * 1e9)).toMap
+    for (i <- 1 to 4)
+      assert(got(1000 + i) == got(i),
+        s"appended duplicate of $i rescored differently")
+    // delete id 2: the tombstone must hide it from the rescore stage
+    SimilaritySearch.deleteFromAnnIndex(spark, idx, Seq(2).toDF("id"), "id")
+    val afterDelete = SimilaritySearch.searchIvfPqRerank(spark, idx, q,
+      "id", "emb", k = 160, kShortlist = 200, nProbe = 4)
+    assert(!ids(afterDelete).contains(2), "deleted id 2 still in rerank")
+    assert(ids(afterDelete).contains(1002), "resurrect-by-append id gone")
+    // compact collapses the chain; rerank results survive unchanged
+    val before = afterDelete.collect()
+      .map(r => (r.getInt(0), r.getInt(1), math.round(r.getDouble(2) * 1e9))).toSet
+    SimilaritySearch.compactIvfPqIndex(spark, idx)
+    assert(graft.sources.IndexIO.segments(spark, idx).length == 1)
+    val afterCompact = SimilaritySearch.searchIvfPqRerank(spark, idx, q,
+      "id", "emb", k = 160, kShortlist = 200, nProbe = 4)
+    assert(afterCompact.collect()
+      .map(r => (r.getInt(0), r.getInt(1), math.round(r.getDouble(2) * 1e9))).toSet == before)
   }
 
   test("appending an EMPTY batch publishes an empty segment, never crashes") {
