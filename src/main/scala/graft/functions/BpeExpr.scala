@@ -20,6 +20,21 @@ final class BpeModel(
     val left: Array[Array[Byte]], val right: Array[Array[Byte]]) extends Serializable {
   @transient lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+
+  /** `(left, right)` byte pair → lowest rank, for the priority-merge
+    * inference kernel — built once per executor, O(numMerges).
+    */
+  @transient lazy val pairRank: java.util.HashMap[String, Integer] = {
+    val h = new java.util.HashMap[String, Integer](left.length * 2)
+    var i = 0
+    while (i < left.length) {
+      h.putIfAbsent(
+        BpeKernel.pairKey(left(i), 0, left(i).length, right(i), 0, right(i).length),
+        Integer.valueOf(i))
+      i += 1
+    }
+    h
+  }
 }
 
 /** Tokenization kernel shared by the interpreted and generated paths
@@ -30,15 +45,19 @@ final class BpeModel(
   *    ([[ShinglesKernel.tokenSpans]], positionally identical to
   *    `tokens()`), so BPE counts and whitespace counts are over the
   *    same words;
-  *  - each word starts as its UTF-8 bytes (one token per byte) and
-  *    merges apply IN RANK ORDER, each exhaustively left-to-right —
-  *    the exact evolution training produced, so corpus words
-  *    re-tokenize to their training-time form (cheaper than the
-  *    min-rank-priority inference loop it agrees with there, and
-  *    deterministic on unseen words too);
+  *  - each word starts as its UTF-8 bytes (one token per byte) and the
+  *    lowest-RANK adjacent pair merges first (leftmost on rank ties) —
+  *    the min-rank priority loop, O(len·log len) per cold word and
+  *    INDEPENDENT of merge-table size. On a training-produced merge
+  *    table this is the exact evolution training produced (every
+  *    merge's operands derive from strictly earlier ranks, so the
+  *    rank-order replay and the priority loop agree — pinned by the
+  *    32k-merge differential spec in BpeSuite, with
+  *    [[BpeKernel.lensRankOrder]] kept as the oracle);
   *  - leftmost application: a merged token is never the left operand
   *    of the same merge in the same pass (run parity — `aaa` under
-  *    `(a,a)` gives `[aa, a]`).
+  *    `(a,a)` gives `[aa, a]`; the priority loop's leftmost-first
+  *    tie-break reproduces it).
   *
   * Merges never cross word boundaries (the classic pre-tokenization
   * contract), so documents tokenize word-by-word and the per-word
@@ -72,9 +91,95 @@ object BpeKernel {
     true
   }
 
-  /** Token lengths of ONE word after all merges, in order. Lengths are
-    * offset-free, so one cache entry serves every occurrence of the
-    * word anywhere in the corpus.
+  /** Collision-free key for a byte-pair: a length-prefix char plus the
+    * two token byte regions widened to chars — cheap to build from a
+    * word's byte regions with no intermediate copies.
+    */
+  private[functions] def pairKey(
+      b1: Array[Byte], o1: Int, l1: Int,
+      b2: Array[Byte], o2: Int, l2: Int): String = {
+    val chars = new Array[Char](l1 + l2 + 1)
+    chars(0) = l1.toChar
+    var i = 0
+    while (i < l1) { chars(i + 1) = (b1(o1 + i) & 0xff).toChar; i += 1 }
+    i = 0
+    while (i < l2) { chars(l1 + 1 + i) = (b2(o2 + i) & 0xff).toChar; i += 1 }
+    new String(chars)
+  }
+
+  /** Token lengths of ONE word under the min-rank priority merge:
+    * nodes form a doubly-linked list, a heap of `(rank << 32 | pos)`
+    * longs orders candidate pairs lowest-rank-first (leftmost on
+    * ties — node index = original byte offset, and a merge keeps the
+    * LEFT node's index, so the order is stable), and stale entries are
+    * dropped by the `alive`/`curRank` check (token bytes only ever
+    * grow, so a pair's content — and therefore its rank — can never
+    * revert to match an old entry). O(len·log len) per word, merge
+    * lookups O(1) via [[BpeModel.pairRank]]: cost is independent of
+    * merge-table size, unlike the rank-order replay.
+    */
+  private def mergeWordPriority(bytes: Array[Byte], s: Int, e: Int, m: BpeModel): Array[Int] = {
+    val n0 = e - s
+    val len = new Array[Int](n0)
+    java.util.Arrays.fill(len, 1)
+    if (n0 <= 1) return len
+    val off = new Array[Int](n0)
+    val nxt = new Array[Int](n0)
+    val prv = new Array[Int](n0)
+    val alive = new Array[Boolean](n0)
+    val curRank = new Array[Int](n0)
+    var i = 0
+    while (i < n0) {
+      off(i) = s + i; nxt(i) = i + 1; prv(i) = i - 1; alive(i) = true
+      i += 1
+    }
+    nxt(n0 - 1) = -1
+    val ranks = m.pairRank
+    val heap = new java.util.PriorityQueue[java.lang.Long]()
+    def push(a: Int): Unit = {
+      val j = nxt(a)
+      var r = Int.MaxValue
+      if (j >= 0) {
+        val hit = ranks.get(pairKey(bytes, off(a), len(a), bytes, off(j), len(j)))
+        if (hit != null) r = hit.intValue()
+      }
+      curRank(a) = r
+      if (r != Int.MaxValue) heap.add(java.lang.Long.valueOf((r.toLong << 32) | a))
+    }
+    i = 0
+    while (i < n0) { push(i); i += 1 }
+    var n = n0
+    while (n > 1 && !heap.isEmpty) {
+      val top = heap.poll().longValue()
+      val r = (top >>> 32).toInt
+      val a = (top & 0xffffffffL).toInt
+      if (alive(a) && curRank(a) == r) {
+        val j = nxt(a)
+        len(a) += len(j)
+        alive(j) = false
+        curRank(j) = Int.MaxValue
+        val k = nxt(j)
+        nxt(a) = k
+        if (k >= 0) prv(k) = a
+        n -= 1
+        push(a)
+        val p = prv(a)
+        if (p >= 0) push(p)
+      }
+    }
+    val out = new Array[Int](n)
+    var w = 0
+    var cur = 0 // merges always kill the RIGHT node, so node 0 is the head
+    while (cur >= 0) { out(w) = len(cur); w += 1; cur = nxt(cur) }
+    out
+  }
+
+  /** Token lengths of ONE word replaying merges IN RANK ORDER, each
+    * exhaustively left-to-right — the training-evolution semantics the
+    * DuckDB oracle unrolls, kept as the differential oracle for
+    * [[mergeWordPriority]] (O(numMerges·len), so not the serving
+    * path). Lengths are offset-free, so one cache entry serves every
+    * occurrence of the word anywhere in the corpus.
     */
   private def mergeWord(bytes: Array[Byte], s: Int, e: Int, m: BpeModel): Array[Int] = {
     var lens = new Array[Int](e - s)
@@ -115,10 +220,18 @@ object BpeKernel {
     val key = new String(bytes, s, e - s, java.nio.charset.StandardCharsets.ISO_8859_1)
     val hit = m.cache.get(key)
     if (hit != null) return hit
-    val lens = mergeWord(bytes, s, e, m)
+    val lens = mergeWordPriority(bytes, s, e, m)
     if (m.cache.size < CacheCap) m.cache.put(key, lens)
     lens
   }
+
+  /** Test hooks for the kernel differential (BpeSuite): the serving
+    * priority loop vs the rank-order training-evolution oracle.
+    */
+  private[graft] def lensPriority(bytes: Array[Byte], s: Int, e: Int, m: BpeModel): Array[Int] =
+    mergeWordPriority(bytes, s, e, m)
+  private[graft] def lensRankOrder(bytes: Array[Byte], s: Int, e: Int, m: BpeModel): Array[Int] =
+    mergeWord(bytes, s, e, m)
 
   /** BPE token count of the whole document (0 for null/blank). */
   def count(u: UTF8String, m: BpeModel): Int = {

@@ -152,6 +152,59 @@ class BpeSuite extends SparkSpec {
     }
   }
 
+  test("priority kernel == rank-order oracle at 32k merges (well-formed table)") {
+    // well-formed construction mirroring what training produces: every
+    // merge's operands are single bytes or tokens formed by STRICTLY
+    // earlier merges, and no two merges create the same byte string
+    // (the regime where the min-rank priority loop and the rank-order
+    // replay provably coincide — a duplicate-token table can diverge)
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdef".getBytes("UTF-8").toSeq
+    val vocab = scala.collection.mutable.ArrayBuffer[String](
+      alphabet.map(b => f"${b.toInt & 0xff}%02X"): _*)
+    val seen = scala.collection.mutable.Set[String](vocab.toSeq: _*)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.length < 32768) {
+      val l = vocab(rnd.nextInt(vocab.length))
+      val r = vocab(rnd.nextInt(vocab.length))
+      val c = l + r
+      if (c.length <= 24 && seen.add(c)) { merges += ((l, r)); vocab += c }
+    }
+    val m = graft.functions.BpeKernel.compile(merges.toSeq)
+    val K = graft.functions.BpeKernel
+    for (trial <- 0 until 120) {
+      val len = 1 + rnd.nextInt(32)
+      val bytes = Array.fill(len)(alphabet(rnd.nextInt(alphabet.length)).toByte)
+      val pri = K.lensPriority(bytes, 0, len, m).toSeq
+      val ord = K.lensRankOrder(bytes, 0, len, m).toSeq
+      assert(pri == ord,
+        s"kernel divergence on ${new String(bytes, "UTF-8")} (trial $trial): $pri vs $ord")
+      assert(pri.sum == len, s"lengths must cover the word (trial $trial)")
+    }
+  }
+
+  test("priority kernel == rank-order oracle on trainer-produced merges (fuzz)") {
+    val rnd = new scala.util.Random(11)
+    // real trainer output over run-heavy text (ties, runs, multi-byte)
+    val corpus = (0 until 60).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(8))(
+        Seq("aa", "aaa", "ab", "the", "then", "éé", "abab", "ba")(rnd.nextInt(8)))
+        .mkString(" "))
+    }.toDF("id", "text")
+    val merges = BpeTokenizer.trainBpe(corpus, "text", trainWords = 64, numMerges = 48)
+    val m = graft.functions.BpeKernel.compile(merges)
+    val K = graft.functions.BpeKernel
+    val alpha = "abthené ".toCharArray
+    for (trial <- 0 until 2000) {
+      val w = Array.fill(1 + rnd.nextInt(12))(alpha(rnd.nextInt(alpha.length))).mkString
+        .replace(" ", "a")
+      val bytes = w.getBytes("UTF-8")
+      assert(K.lensPriority(bytes, 0, bytes.length, m).toSeq ==
+        K.lensRankOrder(bytes, 0, bytes.length, m).toSeq,
+        s"divergence on '$w' (trial $trial)")
+    }
+  }
+
   test("bpe count on the gate corpus never exceeds byte count, beats whitespace x1") {
     // sanity on real data: merges only shrink the byte-token stream,
     // and subword counts are >= whitespace word counts
