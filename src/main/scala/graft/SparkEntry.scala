@@ -1028,6 +1028,27 @@ object SparkEntry {
       // the corpus itself, score every doc's mean bigram log-prob
       LangModel.score(t(s, dir, "documents"), "doc_id", "text")
     }),
+    "lm_score_trigram" -> ((s, dir) => {
+      // ORDER-3 quality signal with stupid backoff (Brants 2007):
+      // trigram ratio, else 0.4x bigram ratio, else the add-one
+      // unigram floor — CCNet-grade filtering needs the longer
+      // context (bigram models can't see stilted 3-gram patterns).
+      // Oracle replays the exact backoff CASE in SQL.
+      LangModel.score3(t(s, dir, "documents"), "doc_id", "text")
+    }),
+    "stream_lm_gate3" -> ((s, dir) => {
+      // the order-3 gate AT INGEST: count-pruned trigram model (KenLM
+      // cutoffs), ONE in-row kernel call per doc, no join/agg/state.
+      // Threshold -3.33 keeps ≈77% of the gate corpus (nearest doc is
+      // 3+ grid units away — no knife edge); the oracle replays the
+      // pruned model in SQL.
+      val d = t(s, dir, "documents")
+      val idx = scratch("lm3_gate_index", dir)
+      LangModel.buildLmIndex(d, "text", idx,
+        minBigramCount = 2, minUnigramCount = 2, minTrigramCount = 2)
+      Streaming.lmGate3(s, d, "doc_id", "text", idx, minAvgLogp = -3.33)
+        .select("doc_id", "n_trigrams", "avg_logp")
+    }),
     "source_jsonl_roundtrip" -> ((s, dir) => {
       // the ingestion path on the oracle gate: parquet -> JSONL on disk
       // -> schema-explicit jsonl reader -> per-source aggregate. Proves
@@ -2426,6 +2447,81 @@ object SparkEntry {
           |SELECT doc_id, count(*) AS n_bigrams,
           |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
           |FROM lp GROUP BY doc_id""".stripMargin,
+      // lm_score_trigram / stream_lm_gate3: order-3 stupid backoff —
+      // the CASE replays scoreAgainst3's double arithmetic in the same
+      // evaluation order; the gate variant adds HAVING >= 2 cutoffs on
+      // all three count tables (N and |V| stay unpruned) + the grid
+      // threshold
+      "lm_score_trigram" ->
+        """WITH tokp AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |  FROM documents),
+          |tri AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3
+          |        FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          |                    JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+          |tc AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+          |bi AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+          |       FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+          |uc AS (SELECT w, count(*) AS cu FROM tokp GROUP BY 1),
+          |st AS (SELECT count(DISTINCT w) AS nv, count(*) AS n_tok FROM tokp),
+          |lp AS (
+          |  SELECT t.doc_id,
+          |         CAST(floor(ln(
+          |           CASE WHEN tc.c3 IS NOT NULL AND b12.cb IS NOT NULL
+          |                  THEN tc.c3 * 1.0 / b12.cb
+          |                WHEN b23.cb IS NOT NULL AND u2.cu IS NOT NULL
+          |                  THEN 0.4 * b23.cb / u2.cu
+          |                ELSE 0.16 * (COALESCE(u3.cu, 0) + 1.0) / (st.n_tok + st.nv)
+          |           END) * 10000.0) AS BIGINT) AS lp
+          |  FROM tri t
+          |  LEFT JOIN tc ON tc.w1 = t.w1 AND tc.w2 = t.w2 AND tc.w3 = t.w3
+          |  LEFT JOIN bc b12 ON b12.w1 = t.w1 AND b12.w2 = t.w2
+          |  LEFT JOIN bc b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
+          |  LEFT JOIN uc u2 ON u2.w = t.w2
+          |  LEFT JOIN uc u3 ON u3.w = t.w3
+          |  CROSS JOIN st)
+          |SELECT doc_id, count(*) AS n_trigrams,
+          |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
+          |FROM lp GROUP BY doc_id""".stripMargin,
+      "stream_lm_gate3" ->
+        """WITH tokp AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |  FROM documents),
+          |tri AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3
+          |        FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          |                    JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+          |tc AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY 1, 2, 3
+          |       HAVING count(*) >= 2),
+          |bi AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+          |       FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2
+          |       HAVING count(*) >= 2),
+          |uc AS (SELECT w, count(*) AS cu FROM tokp GROUP BY 1
+          |       HAVING count(*) >= 2),
+          |st AS (SELECT count(DISTINCT w) AS nv, count(*) AS n_tok FROM tokp),
+          |lp AS (
+          |  SELECT t.doc_id,
+          |         CAST(floor(ln(
+          |           CASE WHEN tc.c3 IS NOT NULL AND b12.cb IS NOT NULL
+          |                  THEN tc.c3 * 1.0 / b12.cb
+          |                WHEN b23.cb IS NOT NULL AND u2.cu IS NOT NULL
+          |                  THEN 0.4 * b23.cb / u2.cu
+          |                ELSE 0.16 * (COALESCE(u3.cu, 0) + 1.0) / (st.n_tok + st.nv)
+          |           END) * 10000.0) AS BIGINT) AS lp
+          |  FROM tri t
+          |  LEFT JOIN tc ON tc.w1 = t.w1 AND tc.w2 = t.w2 AND tc.w3 = t.w3
+          |  LEFT JOIN bc b12 ON b12.w1 = t.w1 AND b12.w2 = t.w2
+          |  LEFT JOIN bc b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
+          |  LEFT JOIN uc u2 ON u2.w = t.w2
+          |  LEFT JOIN uc u3 ON u3.w = t.w3
+          |  CROSS JOIN st)
+          |SELECT doc_id, count(*) AS n_trigrams,
+          |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
+          |FROM lp GROUP BY doc_id
+          |HAVING CAST(floor(sum(lp) * 1.0 / count(*)) AS BIGINT) >= -33300""".stripMargin,
       "source_jsonl_roundtrip" ->
         """SELECT source, count(*) AS n_docs,
           |       CAST(sum(length(text)) AS BIGINT) AS n_chars,

@@ -81,6 +81,82 @@ object LmScoreKernel {
   }
 }
 
+/** Order-3 sibling of [[LmScoreKernel]]: stupid-backoff scoring
+  * ([[graft.operators.LangModel.scoreAgainst3]]'s arithmetic, exactly
+  * — same double evaluation order, floor4 after the `ln`, long sums)
+  * over sorted pruned trigram/bigram/unigram arrays. The hash chains
+  * reproduce Spark's `xxhash64(w1, w2, w3)` (each argument hashed
+  * with the previous chain value as seed, from 42), so model keys
+  * built by the batch aggregations match bit-for-bit.
+  *
+  * Returns `(n_trigrams, lp_sum)`; a doc with < 3 tokens scores
+  * `(0, 0)`.
+  */
+object LmScore3Kernel {
+
+  private def isSep(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  private def lookup(keys: Array[Long], counts: Array[Long], h: Long): Long =
+    if (keys.length == 0) 0L
+    else {
+      val p = java.util.Arrays.binarySearch(keys, h)
+      if (p >= 0) counts(p) else 0L
+    }
+
+  def compute(
+      text: UTF8String,
+      triKeys: Array[Long], triCounts: Array[Long],
+      biKeys: Array[Long], biCounts: Array[Long],
+      uniKeys: Array[Long], uniCounts: Array[Long],
+      vocab: Long, nTokens: Long): InternalRow = {
+    val bytes = text.getBytes
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && (bytes(lo) & 0xff) <= 0x20) lo += 1
+    while (hi > lo && (bytes(hi - 1) & 0xff) <= 0x20) hi -= 1
+    var n = 0L
+    var lpSum = 0L
+    var hPrev = 0L   // xxhash64(w_{i-1}) from seed 42
+    var pPrev = 0L   // xxhash64(w_{i-2}, w_{i-1}) chain
+    var seen = 0
+    var i = lo
+    while (i < hi) {
+      while (i < hi && isSep(bytes(i))) i += 1
+      if (i < hi) {
+        val s = i
+        while (i < hi && !isSep(bytes(i))) i += 1
+        val tok = UTF8String.fromBytes(bytes, s, i - s)
+        val F = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        val h = F.hash(tok, StringType, 42L)
+        val p = if (seen >= 1) F.hash(tok, StringType, hPrev) else 0L
+        if (seen >= 2) {
+          val tr = F.hash(tok, StringType, pPrev)
+          val c3 = lookup(triKeys, triCounts, tr)
+          val c12 = lookup(biKeys, biCounts, pPrev)
+          val x =
+            if (c3 > 0 && c12 > 0) c3 * 1.0 / c12
+            else {
+              val c23 = lookup(biKeys, biCounts, p)
+              val c2 = lookup(uniKeys, uniCounts, hPrev)
+              if (c23 > 0 && c2 > 0) 0.4 * c23 / c2
+              else {
+                val c3u = lookup(uniKeys, uniCounts, h)
+                0.16 * (c3u + 1.0) / (nTokens + vocab)
+              }
+            }
+          lpSum += math.floor(math.log(x) * 10000.0).toLong
+          n += 1L
+        }
+        pPrev = p
+        hPrev = h
+        seen += 1
+      }
+    }
+    InternalRow(n, lpSum)
+  }
+}
+
 /** `string -> struct<n_bigrams: long, lp_sum: long>`: the whole
   * per-document LM scoring of the streaming gate as ONE scan
   * projection — the pruned model rides to executors as plan
@@ -110,6 +186,42 @@ case class LmScoreExpr(
     val uc = ctx.addReferenceObj("graftLmUc", unigramCounts, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.LmScoreKernel.compute($c, $bk, $bc, $uk, $uc, ${vocab}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `string -> struct<n_trigrams: long, lp_sum: long>`: order-3
+  * stupid-backoff scoring as ONE scan projection ([[LmScore3Kernel]])
+  * — the streaming-gate shape at order 3.
+  */
+case class LmScore3Expr(
+    child: Expression,
+    trigramKeys: Array[Long], trigramCounts: Array[Long],
+    bigramKeys: Array[Long], bigramCounts: Array[Long],
+    unigramKeys: Array[Long], unigramCounts: Array[Long],
+    vocab: Long, nTokens: Long) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_trigrams", LongType, nullable = false),
+    StructField("lp_sum", LongType, nullable = false)))
+  override def prettyName: String = "graft_lm_score3"
+
+  override def nullSafeEval(input: Any): Any =
+    LmScore3Kernel.compute(input.asInstanceOf[UTF8String],
+      trigramKeys, trigramCounts, bigramKeys, bigramCounts,
+      unigramKeys, unigramCounts, vocab, nTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tk = ctx.addReferenceObj("graftLm3Tk", trigramKeys, "long[]")
+    val tc = ctx.addReferenceObj("graftLm3Tc", trigramCounts, "long[]")
+    val bk = ctx.addReferenceObj("graftLm3Bk", bigramKeys, "long[]")
+    val bc = ctx.addReferenceObj("graftLm3Bc", bigramCounts, "long[]")
+    val uk = ctx.addReferenceObj("graftLm3Uk", unigramKeys, "long[]")
+    val uc = ctx.addReferenceObj("graftLm3Uc", unigramCounts, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LmScore3Kernel.compute($c, $tk, $tc, $bk, $bc, $uk, $uc, ${vocab}L, ${nTokens}L);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

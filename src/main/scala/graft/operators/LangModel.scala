@@ -91,6 +91,88 @@ object LangModel {
   def score(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreAgainst(docs, docs, idCol, textCol)
 
+  /** ORDER-3 scoring with stupid backoff (Brants et al. 2007, the
+    * web-scale standard: no discounting to tune, score ratios backed
+    * off with a fixed α=0.4): each trigram position scores
+    *
+    *   x = c(w1w2w3)/c(w1w2)              when both survive
+    *     | 0.4·c(w2w3)/c(w2)              else, when both survive
+    *     | 0.16·(c(w3)+1)/(N+V)           terminal add-one floor
+    *
+    * and lp = floor4(ln x) on the exact 1e-4 grid as usual. The
+    * terminal floor keeps the function total (a pure stupid-backoff
+    * chain ends at c(w3)/N, which is −∞ on unseen words). Returns
+    * `(<idCol>, n_trigrams, avg_logp)` for docs with ≥ 1 trigram.
+    *
+    * Scale design mirrors [[scoreAgainst]]: count tables keyed by
+    * xxhash64 chains (8-byte keys), five shuffled equi-joins that AQE
+    * can flip to broadcast under a domain model; the pruned serving
+    * form is [[scoreWithModel3]] (one scan projection, no joins).
+    */
+  def scoreAgainst3(
+      train: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val trainTris = trigrams(train, textCol).select(
+      xxhash64(col("__w1"), col("__w2"), col("__w3")).as("__th"))
+    val triCounts = trainTris.groupBy("__th").agg(count(lit(1)).as("__c3"))
+    val trainBi = bigrams(train, textCol).select(
+      xxhash64(col("__w1"), col("__w2")).as("__bh"))
+    val biCounts = trainBi.groupBy("__bh").agg(count(lit(1)).as("__cb"))
+    val trainTokens = train.select(
+      explode(TextFunctions.tokens(col(textCol))).as("__w"))
+    val uniCounts = trainTokens
+      .select(xxhash64(col("__w")).as("__uh"))
+      .groupBy("__uh").agg(count(lit(1)).as("__cu"))
+    // N (total tokens) and |V| of the train corpus: one scalar row
+    val stats = trainTokens
+      .agg(count(lit(1)).as("__n"), countDistinct(col("__w")).as("__v"))
+
+    val docTris = trigrams(docs.select(col(idCol), col(textCol)), textCol)
+      .select(
+        col(idCol),
+        xxhash64(col("__w1"), col("__w2"), col("__w3")).as("__th"),
+        xxhash64(col("__w1"), col("__w2")).as("__h12"),
+        xxhash64(col("__w2"), col("__w3")).as("__h23"),
+        xxhash64(col("__w2")).as("__h2"),
+        xxhash64(col("__w3")).as("__h3"))
+
+    docTris
+      .join(triCounts, Seq("__th"), "left")
+      .join(biCounts.select(col("__bh").as("__h12"), col("__cb").as("__c12")),
+        Seq("__h12"), "left")
+      .join(biCounts.select(col("__bh").as("__h23"), col("__cb").as("__c23")),
+        Seq("__h23"), "left")
+      .join(uniCounts.select(col("__uh").as("__h2"), col("__cu").as("__c2")),
+        Seq("__h2"), "left")
+      .join(uniCounts.select(col("__uh").as("__h3"), col("__cu").as("__c3u")),
+        Seq("__h3"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("__x",
+        when(col("__c3").isNotNull && col("__c12").isNotNull,
+          col("__c3") * lit(1.0) / col("__c12"))
+        .when(col("__c23").isNotNull && col("__c2").isNotNull,
+          lit(0.4) * col("__c23") / col("__c2"))
+        .otherwise(
+          lit(0.16) * (coalesce(col("__c3u"), lit(0L)) + lit(1.0))
+            / (col("__n") + col("__v"))))
+      .withColumn("__lp", floor(log(col("__x")) * lit(10000.0)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(col("__lp")).as("__lp_sum"))
+      .select(
+        col(idCol),
+        col("n_trigrams"),
+        (floor(col("__lp_sum") * lit(1.0) / col("n_trigrams")) / lit(10000.0))
+          .as("avg_logp"))
+  }
+
+  /** Order-3 self-scoring ([[scoreAgainst3]] with train = docs). */
+  def score3(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreAgainst3(docs, docs, idCol, textCol)
+
   /** A pruned bigram model held driver-side: sorted hash-key arrays
     * plus parallel counts, and the UNPRUNED vocabulary size (the
     * smoothing denominator — pruning changes which counts survive,
@@ -113,31 +195,39 @@ object LangModel {
     */
   def buildLmIndex(
       train: DataFrame, textCol: String, path: String,
-      minBigramCount: Long = 2, minUnigramCount: Long = 2): Unit = {
-    require(minBigramCount >= 1 && minUnigramCount >= 1,
+      minBigramCount: Long = 2, minUnigramCount: Long = 2,
+      minTrigramCount: Long = 2): Unit = {
+    require(minBigramCount >= 1 && minUnigramCount >= 1 && minTrigramCount >= 1,
       "buildLmIndex: count cutoffs must be >= 1")
     val spark = train.sparkSession
     import spark.implicits._
+    val trainTrigrams = trigrams(train, textCol).select(
+      xxhash64(col("__w1"), col("__w2"), col("__w3")).as("h"))
+    val trigramCounts = trainTrigrams.groupBy("h").agg(count(lit(1)).as("c"))
     val trainBigrams = bigrams(train, textCol).select(
       xxhash64(col("__w1"), col("__w2")).as("h"))
     val bigramCounts = trainBigrams.groupBy("h").agg(count(lit(1)).as("c"))
-    // materialize the unigram aggregate ONCE: both the pre-prune |V|
-    // count and the pruned write need it, and each is an action — an
-    // unmaterialized frame would re-run the full tokenize+agg corpus
-    // scan (|V| must be pre-prune, so it cannot come from the artifact)
+    // materialize the unigram aggregate ONCE: the pre-prune |V| count,
+    // the pre-prune N sum, and the pruned write each need it, and each
+    // is an action — an unmaterialized frame would re-run the full
+    // tokenize+agg corpus scan (|V| and N must be pre-prune, so they
+    // cannot come from the artifact)
     val unigramCounts = train
       .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
       .select(xxhash64(col("__w")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     val vocab = unigramCounts.count() // |V| BEFORE pruning
+    val nTokens = unigramCounts.agg(sum(col("c"))).head().getLong(0) // N BEFORE pruning
     graft.sources.IndexIO.publish(spark, path) { vdir =>
+      trigramCounts.filter(col("c") >= minTrigramCount)
+        .write.mode("overwrite").parquet(s"$vdir/trigrams")
       bigramCounts.filter(col("c") >= minBigramCount)
         .write.mode("overwrite").parquet(s"$vdir/bigrams")
       unigramCounts.filter(col("c") >= minUnigramCount)
         .write.mode("overwrite").parquet(s"$vdir/unigrams")
-      Seq((vocab, minBigramCount, minUnigramCount))
-        .toDF("vocab", "min_bigram", "min_unigram")
+      Seq((vocab, minBigramCount, minUnigramCount, minTrigramCount, nTokens))
+        .toDF("vocab", "min_bigram", "min_unigram", "min_trigram", "n_tokens")
         .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
     }
     ()
@@ -192,6 +282,68 @@ object LangModel {
           .as("avg_logp"))
   }
 
+  /** A pruned ORDER-3 model held driver-side: sorted hash-key arrays
+    * for trigram/bigram/unigram counts, plus the UNPRUNED vocabulary
+    * size and token total (the terminal-floor denominators).
+    */
+  final case class LmModel3(
+      trigramKeys: Array[Long], trigramCounts: Array[Long],
+      bigramKeys: Array[Long], bigramCounts: Array[Long],
+      unigramKeys: Array[Long], unigramCounts: Array[Long],
+      vocab: Long, nTokens: Long)
+
+  /** Load a [[buildLmIndex]] artifact as an order-3 model. Fails
+    * loudly on a pre-trigram artifact (rebuild the index).
+    */
+  def loadLmModel3(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxEntries: Long = 32L << 20): LmModel3 = {
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    val triPath = new org.apache.hadoop.fs.Path(s"$vdir/trigrams")
+    require(triPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(triPath),
+      s"LM index at $path has no trigram table (built before order-3 " +
+        "support) — rebuild with buildLmIndex")
+    val entries = spark.read.parquet(s"$vdir/trigrams").count() +
+      spark.read.parquet(s"$vdir/bigrams").count() +
+      spark.read.parquet(s"$vdir/unigrams").count()
+    require(entries <= maxEntries,
+      s"LM model at $path has $entries entries > $maxEntries; " +
+        "raise the count cutoffs")
+    def sorted(name: String): (Array[Long], Array[Long]) = {
+      val rows = spark.read.parquet(s"$vdir/$name").sort("h").collect()
+      (rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+    }
+    val (tk, tc) = sorted("trigrams")
+    val (bk, bc) = sorted("bigrams")
+    val (uk, uc) = sorted("unigrams")
+    val meta = spark.read.parquet(s"$vdir/meta").head()
+    LmModel3(tk, tc, bk, bc, uk, uc,
+      meta.getLong(0), meta.getAs[Long]("n_tokens"))
+  }
+
+  /** Order-3 scoring against a loaded pruned model with the in-row
+    * kernel — one scan projection, no joins (stream-safe; the suite
+    * pins it bit-equal to [[scoreAgainst3]] when the cutoffs are 1).
+    * Docs with zero trigrams get no row, like the batch path.
+    */
+  def scoreWithModel3(
+      docs: DataFrame, idCol: String, textCol: String, model: LmModel3): DataFrame = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val sc = toColumn(graft.functions.LmScore3Expr(
+      toExpression(col(textCol)),
+      model.trigramKeys, model.trigramCounts,
+      model.bigramKeys, model.bigramCounts,
+      model.unigramKeys, model.unigramCounts, model.vocab, model.nTokens))
+    docs
+      .withColumn("__lm", sc)
+      .filter(col("__lm.n_trigrams") > 0)
+      .select(
+        col(idCol),
+        col("__lm.n_trigrams").as("n_trigrams"),
+        (floor(col("__lm.lp_sum") * lit(1.0) / col("__lm.n_trigrams")) / lit(10000.0))
+          .as("avg_logp"))
+  }
+
   /** Consecutive token pairs of `textCol`, NON-distinct (every
     * occurrence is a training/scoring event), other columns preserved.
     */
@@ -205,5 +357,26 @@ object LangModel {
       .withColumn("__w1", col("__pair.w1"))
       .withColumn("__w2", col("__pair.w2"))
       .drop("__pair", textCol)
+  }
+
+  /** Consecutive token triples of `textCol`, NON-distinct, other
+    * columns preserved — the order-3 sibling of [[bigrams]] (zip of
+    * three shifted slices; one projection, no join).
+    */
+  private def trigrams(d: DataFrame, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val n3 = greatest(size(toks) - 2, lit(0))
+    d.withColumn("__tri",
+        explode(zip_with(
+          zip_with(
+            slice(toks, lit(1), n3),
+            slice(toks, lit(2), n3),
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+          slice(toks, lit(3), n3),
+          (p, c) => struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"), c.as("w3")))))
+      .withColumn("__w1", col("__tri.w1"))
+      .withColumn("__w2", col("__tri.w2"))
+      .withColumn("__w3", col("__tri.w3"))
+      .drop("__tri", textCol)
   }
 }

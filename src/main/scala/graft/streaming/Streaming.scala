@@ -730,6 +730,37 @@ object Streaming {
       .drop("__lm")
   }
 
+  /** Order-3 quality gate ([[lmGate]] at trigram order): one in-row
+    * stupid-backoff kernel call per doc, no join/agg/state — the
+    * pruned model rides as plan references. Keeps docs whose mean
+    * trigram log-prob clears `minAvgLogp` on the exact 1e-4 grid.
+    */
+  def lmGate3(
+      spark: SparkSession,
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelPath: String,
+      minAvgLogp: Double): DataFrame = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val model = graft.operators.LangModel.loadLmModel3(spark, modelPath)
+    val sc = toColumn(graft.functions.LmScore3Expr(
+      toExpression(col(textCol)),
+      model.trigramKeys, model.trigramCounts,
+      model.bigramKeys, model.bigramCounts,
+      model.unigramKeys, model.unigramCounts, model.vocab, model.nTokens))
+    val minGrid = math.round(minAvgLogp * 10000)
+    stream
+      .withColumn("__lm", sc)
+      .filter(col("__lm.n_trigrams") > 0 &&
+        floor(col("__lm.lp_sum") * lit(1.0) / col("__lm.n_trigrams")).cast("long")
+          >= lit(minGrid))
+      .withColumn("n_trigrams", col("__lm.n_trigrams"))
+      .withColumn("avg_logp",
+        floor(col("__lm.lp_sum") * lit(1.0) / col("__lm.n_trigrams")) / lit(10000.0))
+      .drop("__lm")
+  }
+
   def parquetStream(spark: SparkSession, dir: String, schemaOf: DataFrame): DataFrame =
     spark.readStream.schema(schemaOf.schema).parquet(dir)
 

@@ -78,6 +78,113 @@ class LangModelSuite extends SparkSpec {
     assert(viaKernel == viaBatch)
   }
 
+  /** Independent scalar reimplementation of the order-3 stupid-backoff
+    * formula (same double evaluation order as the kernel and batch).
+    */
+  private def expected3(
+      train: Seq[(Long, String)], docs: Seq[(Long, String)]): Map[Long, (Long, Double)] = {
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    val trainToks = train.flatMap { case (_, t) => toks(t) }
+    val uni = trainToks.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val bi = train.flatMap { case (_, t) => toks(t).sliding(2).filter(_.size == 2).map(p => (p(0), p(1))) }
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val tri = train.flatMap { case (_, t) =>
+      toks(t).sliding(3).filter(_.size == 3).map(p => (p(0), p(1), p(2))) }
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val v = uni.size.toLong
+    val nTok = trainToks.size.toLong
+    docs.flatMap { case (id, t) =>
+      val tris = toks(t).sliding(3).filter(_.size == 3).map(p => (p(0), p(1), p(2))).toSeq
+      if (tris.isEmpty) None
+      else {
+        val lps = tris.map { case (w1, w2, w3) =>
+          val c3 = tri.getOrElse((w1, w2, w3), 0L)
+          val c12 = bi.getOrElse((w1, w2), 0L)
+          val x =
+            if (c3 > 0 && c12 > 0) c3 * 1.0 / c12
+            else {
+              val c23 = bi.getOrElse((w2, w3), 0L)
+              val c2 = uni.getOrElse(w2, 0L)
+              if (c23 > 0 && c2 > 0) 0.4 * c23 / c2
+              else 0.16 * (uni.getOrElse(w3, 0L) + 1.0) / (nTok + v)
+            }
+          math.floor(math.log(x) * 1e4).toLong
+        }
+        Some(id -> (tris.size.toLong,
+          math.floor(lps.sum * 1.0 / tris.size) / 1e4))
+      }
+    }.toMap
+  }
+
+  test("order-3 self-scoring matches an independent scalar implementation") {
+    val docs = corpus.as[(Long, String)].collect().toSeq
+    val got = LangModel.score3(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected3(docs, docs))
+    // doc 4 ("zz") has no trigram → no row
+    assert(!got.contains(4L))
+  }
+
+  test("order-3 backoff fires per branch: trigram hit, bigram backoff, floor") {
+    val train = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "b c d")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "a b c"),   // trigram seen: x = c3/c12
+      (11L, "x b c"),   // trigram unseen, (b c) seen: x = .4*c23/c2
+      (12L, "x y z")    // everything unseen: terminal floor
+    ).toDF("doc_id", "text")
+    val trainSeq = train.as[(Long, String)].collect().toSeq
+    val docsSeq = docs.as[(Long, String)].collect().toSeq
+    val got = LangModel.scoreAgainst3(train, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected3(trainSeq, docsSeq))
+    // branch sanity: seen trigram outranks backoff, backoff outranks floor
+    assert(got(10L)._2 > got(11L)._2 && got(11L)._2 > got(12L)._2)
+  }
+
+  test("scoreWithModel3 (cutoffs=1) is bit-equal to scoreAgainst3; stream gate matches") {
+    val docs = (0L until 40L).map { i =>
+      (i, Seq.fill(3 + (i % 7).toInt)(s"w${(i * 13) % 9}").mkString(" ") +
+        " the cat sat on the mat near the dog " + s"tail${i % 5}")
+    }.toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_lm3_idx_").toString
+    LangModel.buildLmIndex(docs, "text", path,
+      minBigramCount = 1, minUnigramCount = 1, minTrigramCount = 1)
+    val model = LangModel.loadLmModel3(spark, path)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val viaKernel = asMap(LangModel.scoreWithModel3(docs, "doc_id", "text", model))
+    val viaBatch = asMap(LangModel.score3(docs, "doc_id", "text"))
+    assert(viaKernel == viaBatch)
+    // the streaming gate form == batch filtered at the same grid cut
+    val thr = viaBatch.values.map(_._2).toSeq.sorted.apply(viaBatch.size / 2)
+    val gated = asMap(graft.streaming.Streaming.lmGate3(
+      spark, docs, "doc_id", "text", path, thr)
+      .select("doc_id", "n_trigrams", "avg_logp"))
+    assert(gated == viaBatch.filter { case (_, (_, lp)) => lp >= thr })
+  }
+
+  test("order-3 pruning: pruned trigrams back off, terminal floor stays unpruned") {
+    // "a b c" x3 survives cutoff 2; "b c d" x1 prunes -> its trigram
+    // backs off to the (c d) bigram, which also prunes -> floor
+    val train = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"), (4L, "b c d")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_lm3_idx2_").toString
+    LangModel.buildLmIndex(train, "text", path,
+      minBigramCount = 2, minUnigramCount = 1, minTrigramCount = 2)
+    val model = LangModel.loadLmModel3(spark, path)
+    assert(model.vocab == 4 && model.nTokens == 12)
+    val probe = Seq((9L, "b c d")).toDF("doc_id", "text")
+    val got = LangModel.scoreWithModel3(probe, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    // trigram (b,c,d) pruned; bigram (c,d) pruned but (b,c) survives
+    // (c=4); backoff needs BOTH c23=(c,d) and c2=(c): (c,d) pruned ->
+    // terminal floor with cu(d)=1: 0.16 * 2 / (12 + 4)
+    val lp = math.floor(math.log(0.16 * (1 + 1.0) / (12 + 4)) * 1e4).toLong
+    assert(got == (1L, math.floor(lp * 1.0 / 1) / 1e4))
+  }
+
   test("count pruning: pruned bigrams score as unseen, vocab stays unpruned") {
     // "the cat" occurs 3x, "cat sat" 1x: cutoff 2 prunes "cat sat"
     val train = Seq(
