@@ -1049,6 +1049,30 @@ object SparkEntry {
       Streaming.lmGate3(s, d, "doc_id", "text", idx, minAvgLogp = -3.33)
         .select("doc_id", "n_trigrams", "avg_logp")
     }),
+    "stream_pack_sequences" -> ((s, dir) => {
+      // the live ingest pipeline ENDING IN PACKING: gate → token count
+      // → incremental greedy packing whose open-bin carry state
+      // crosses micro-batch boundaries (IncrementalPacker — the
+      // foreachBatch core of Streaming.packStream). Driven here as
+      // id-ordered micro-batches of width 130 — NOT a multiple of the
+      // 25-doc chunk shard, so open bins genuinely straddle batches —
+      // and the result must equal the one-shot batch packing of the
+      // gated corpus, which is what the oracle replays.
+      val d = t(s, dir, "documents")
+      val clean = Streaming.decontaminateGate(s, d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", d.filter(col("doc_id") % 5 === 0), "text", n = 3)
+      val counts = clean.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .localCheckpoint(true)
+      val maxId = counts.agg(max(col("doc_id"))).head().getLong(0)
+      val packer = new Packing.IncrementalPacker(
+        "doc_id", "n_tokens", 128, expr("doc_id div 25"))
+      val width = 130L
+      (0L to maxId / width).map { b =>
+        packer.addBatch(counts.filter(
+          col("doc_id") >= b * width && col("doc_id") < (b + 1) * width))
+      }.reduce(_ unionByName _)
+    }),
     "source_jsonl_roundtrip" -> ((s, dir) => {
       // the ingestion path on the oracle gate: parquet -> JSONL on disk
       // -> schema-explicit jsonl reader -> per-source aggregate. Proves
@@ -2522,6 +2546,37 @@ object SparkEntry {
           |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
           |FROM lp GROUP BY doc_id
           |HAVING CAST(floor(sum(lp) * 1.0 / count(*)) AS BIGINT) >= -33300""".stripMargin,
+      // stream_pack_sequences: incremental micro-batch packing with
+      // carry-over ≡ one-shot batch packing of the gated corpus — the
+      // oracle replays the clean complement + the pack recursion
+      "stream_pack_sequences" -> (shinglesBase.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 0),
+          |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),
+          |agg AS (
+          |  SELECT tr.doc_id, count(ev.shingle) AS n_shared
+          |  FROM tr LEFT JOIN ev ON ev.shingle = tr.shingle
+          |  GROUP BY 1),
+          |clean AS (
+          |  SELECT d.doc_id, d.text FROM documents d
+          |  LEFT JOIN agg a ON a.doc_id = d.doc_id
+          |  WHERE d.doc_id % 5 <> 0 AND coalesce(a.n_shared, 0) = 0),
+          |tc2 AS (
+          |  SELECT doc_id,
+          |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          |                              w -> w <> '')) AS BIGINT) AS toks
+          |  FROM clean),
+          |dd AS (SELECT doc_id // 25 AS chunk, doc_id AS id, toks,
+          |              row_number() OVER (PARTITION BY doc_id // 25 ORDER BY doc_id) AS rn
+          |       FROM tc2),
+          |rec AS (
+          |  SELECT chunk, id, rn, CAST(0 AS BIGINT) AS bin, toks AS fill
+          |  FROM dd WHERE rn = 1
+          |  UNION ALL
+          |  SELECT dd.chunk, dd.id, dd.rn,
+          |         CASE WHEN r.fill + dd.toks > 128 THEN r.bin + 1 ELSE r.bin END,
+          |         CASE WHEN r.fill + dd.toks > 128 THEN dd.toks ELSE r.fill + dd.toks END
+          |  FROM rec r JOIN dd ON dd.chunk = r.chunk AND dd.rn = r.rn + 1)
+          |SELECT id AS doc_id, chunk, bin, fill AS bin_fill FROM rec""".stripMargin),
       "source_jsonl_roundtrip" ->
         """SELECT source, count(*) AS n_docs,
           |       CAST(sum(length(text)) AS BIGINT) AS n_chars,

@@ -50,7 +50,27 @@ object Packing {
       idCol: String,
       tokensCol: String,
       maxLen: Long,
-      chunk: Column): DataFrame = {
+      chunk: Column): DataFrame =
+    packGreedyFrom(docs, idCol, tokensCol, maxLen, chunk, Map.empty)
+
+  /** [[packGreedy]] continuing from per-chunk carry-over state
+    * (`chunk -> (open bin id, open bin fill)`) — the micro-batch step
+    * of the STREAMING packer: batch N+1 keeps filling the bin batch N
+    * left open instead of starting every chunk at bin 0. An empty
+    * carry is exactly [[packGreedy]].
+    *
+    * The carry rides into tasks as a closure constant: one small tuple
+    * per chunk ever touched (a chunk is a caller-chosen shard key —
+    * takedown-sized, not row-scaled). Streams over genuinely unbounded
+    * chunk spaces should re-shard, not grow the carry.
+    */
+  def packGreedyFrom(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      maxLen: Long,
+      chunk: Column,
+      carry: Map[Long, (Long, Long)]): DataFrame = {
     require(maxLen > 0, s"packGreedy: maxLen must be positive, got $maxLen")
     require(!Seq("chunk", "bin", "bin_fill").contains(idCol),
       s"packGreedy: idCol '$idCol' collides with an output column")
@@ -70,9 +90,12 @@ object Packing {
       .as[(Long, Long, Long)]
     in.groupByKey(_._1)
       .flatMapSortedGroups(col("id").asc) { (chunkKey: Long, it: Iterator[(Long, Long, Long)]) =>
-        var bin = 0L
-        var fill = 0L
-        var first = true
+        val carried = carry.get(chunkKey)
+        var bin = carried.map(_._1).getOrElse(0L)
+        var fill = carried.map(_._2).getOrElse(0L)
+        // continuing an open bin: the chunk's next doc is NOT "first"
+        // (a doc that doesn't fit must open the next bin)
+        var first = carried.isEmpty
         it.map { case (_, id, toks) =>
           if (!first && fill + toks > maxLen) { bin += 1; fill = 0L }
           first = false
@@ -81,5 +104,39 @@ object Packing {
         }
       }
       .toDF(idCol, "chunk", "bin", "bin_fill")
+  }
+
+  /** Driver-held carry-over state for streaming packing: feed each
+    * micro-batch (arrival order = packing order; sorted by id within
+    * the batch) and write the returned packed rows; the open-bin state
+    * crosses batch boundaries. Thread-safe the way foreachBatch needs
+    * (batches are sequential; the lock is belt-and-braces).
+    */
+  final class IncrementalPacker(
+      idCol: String, tokensCol: String, maxLen: Long, chunkExpr: Column)
+      extends Serializable {
+    @volatile private var carry: Map[Long, (Long, Long)] = Map.empty
+
+    /** Current per-chunk open-bin state (for tests/checkpointing). */
+    def state: Map[Long, (Long, Long)] = carry
+
+    /** Pack one micro-batch continuing from the carried state; returns
+      * the packed rows (materialized — safe to write AND to fold state
+      * from without recomputation).
+      */
+    def addBatch(batch: DataFrame): DataFrame = synchronized {
+      val packed = packGreedyFrom(batch, idCol, tokensCol, maxLen, chunkExpr, carry)
+        .localCheckpoint(true)
+      // the open bin after this batch = the LAST doc's (bin, fill) per
+      // chunk — one row per chunk touched, bounded by the shard count
+      val last = packed.groupBy(col("chunk"))
+        .agg(max_by(
+          struct(col("bin"), col("bin_fill")),
+          struct(col("bin"), col(idCol))).as("s"))
+        .select(col("chunk"), col("s.bin"), col("s.bin_fill"))
+        .collect()
+      carry = carry ++ last.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      packed
+    }
   }
 }

@@ -761,6 +761,32 @@ object Streaming {
       .drop("__lm")
   }
 
+  /** Streaming sequence packing: a `foreachBatch` sink whose carry-over
+    * open-bin state ([[graft.operators.Packing.IncrementalPacker]])
+    * crosses micro-batch boundaries, so the live ingest pipeline can
+    * end gate → chunk → PACK instead of stopping at chunking. Arrival
+    * order is packing order (sorted by id within each batch) — when
+    * docs arrive id-ordered, the packed output is bit-equal to the
+    * batch [[graft.operators.Packing.packGreedy]] over the union
+    * (StreamingSuite pins it). `write` receives each batch's packed
+    * rows `(<idCol>, chunk, bin, bin_fill)`, already materialized.
+    */
+  def packStream(
+      stream: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      maxLen: Long,
+      chunk: org.apache.spark.sql.Column)(write: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val packer = new graft.operators.Packing.IncrementalPacker(
+      idCol, tokensCol, maxLen, chunk)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        write(packer.addBatch(batch))
+      }
+  }
+
   def parquetStream(spark: SparkSession, dir: String, schemaOf: DataFrame): DataFrame =
     spark.readStream.schema(schemaOf.schema).parquet(dir)
 

@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.operators.Packing
 
 /** Structured-Streaming surface: the batch/stream-unified transforms,
   * driven BOTH ways — batch frames for oracle parity, MemoryStream for
@@ -792,6 +793,45 @@ class StreamingSuite extends SparkSpec {
       q.processAllAvailable()
       // "the lazy dog" is an eval shingle -> doc 3 dropped at ingest
       assert(spark.table("decon_gate_test").as[Long].collect().toSet == Set(1L))
+    } finally q.stop()
+  }
+
+  test("packStream over a MemoryStream: carry-over bins == one-shot batch packing") {
+    implicit val sqlCtx = spark.sqlContext
+    // 30 docs, chunk width 10, maxLen 64: several chunks straddle the
+    // micro-batch boundaries below, so open bins MUST carry over
+    val rnd = new scala.util.Random(5)
+    val docs = (0L until 30L).map(i => (i, 5L + rnd.nextInt(40)))
+    val input = MemoryStream[(Long, Long)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = Streaming.packStream(
+        input.toDF().toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", maxLen = 64, chunk = expr("doc_id div 10")) { packed =>
+        collected ++= packed.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        ()
+      }
+      .start()
+    try {
+      // id-ordered arrival in ragged batches (7/12/11 — none aligned
+      // to the 10-doc chunk width)
+      input.addData(docs.slice(0, 7))
+      q.processAllAvailable()
+      input.addData(docs.slice(7, 19))
+      q.processAllAvailable()
+      input.addData(docs.slice(19, 30))
+      q.processAllAvailable()
+      val batch = Packing.packGreedy(
+          docs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens",
+          maxLen = 64, chunk = expr("doc_id div 10"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(collected.toSet == batch)
+      // sanity: at least one bin actually straddled a batch boundary
+      // (same (chunk, bin) written from two different micro-batches
+      // would double-count if carry state were wrong — set equality
+      // above catches it; this asserts the scenario occurred at all)
+      val perChunkBins = collected.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+      assert(perChunkBins.values.exists(_ >= 1), "test data never filled a bin")
     } finally q.stop()
   }
 }
