@@ -1023,6 +1023,19 @@ object SparkEntry {
       Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("vector", "stream", "spark"), k = 20)
     }),
+    "bm25_search_deleted" -> ((s, dir) => {
+      // the TAKEDOWN path without a rebuild: build the inverted index,
+      // tombstone-delete doc_id % 7 == 0 (a delta segment with
+      // corrected stats), serve the same query — must equal BM25 over
+      // the corpus WITHOUT the deleted docs (df, N, avgdl all shift),
+      // which is exactly what the oracle computes
+      val d = t(s, dir, "documents")
+      val idx = scratch("bm25_del_index", dir)
+      Search.buildBm25Index(d, "doc_id", "text", idx)
+      Search.deleteFromBm25Index(s, idx,
+        d.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+      Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
+    }),
     "lm_score_docs" -> ((s, dir) => {
       // perplexity-proxy quality signal: train add-one bigram stats on
       // the corpus itself, score every doc's mean bigram log-prob
@@ -2408,6 +2421,29 @@ object SparkEntry {
           |  SELECT doc_id, w FROM (
           |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
           |    FROM documents) WHERE w <> ''),
+          |len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+          |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM len),
+          |post AS (SELECT doc_id, w, count(*) AS tf FROM tok
+          |         WHERE w IN ('vector', 'stream', 'spark') GROUP BY 1, 2),
+          |dfs AS (SELECT w, count(*) AS df FROM post GROUP BY 1),
+          |sc AS (
+          |  SELECT p.doc_id,
+          |         CAST(floor(
+          |           (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 10000.0) / 10000.0)
+          |           * (tf * (1.2 + 1.0)
+          |              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (total_dl * 1.0 / n_docs))))
+          |           * 100000000.0) AS BIGINT) AS contrib
+          |  FROM post p JOIN dfs USING (w) JOIN len USING (doc_id) CROSS JOIN stats)
+          |SELECT doc_id, sum(contrib) / 100000000.0 AS score, count(*) AS n_terms_hit
+          |FROM sc GROUP BY doc_id
+          |ORDER BY sum(contrib) DESC, doc_id LIMIT 20""".stripMargin,
+      // bm25_search_deleted: serving after a tombstone delete == BM25
+      // over the corpus minus the deleted docs (df/N/avgdl all shift)
+      "bm25_search_deleted" ->
+        """WITH tok AS (
+          |  SELECT doc_id, w FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |    FROM documents WHERE doc_id % 7 <> 0) WHERE w <> ''),
           |len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
           |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM len),
           |post AS (SELECT doc_id, w, count(*) AS tf FROM tok

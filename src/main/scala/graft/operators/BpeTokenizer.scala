@@ -99,6 +99,15 @@ object BpeTokenizer {
   /** Train and persist the merge table (+ params) as an atomic
     * [[graft.sources.IndexIO]] version — the tokenizer artifact every
     * downstream job resolves instead of retraining.
+    *
+    * Takedown contract: the artifact holds NO per-document rows — only
+    * the trained merge list — so there is nothing to tombstone; a doc
+    * takedown that must erase training influence means retraining and
+    * republishing (one [[buildBpeIndex]] call; the version flip is
+    * atomic under readers). Same contract as the other trained model
+    * artifacts (IVF centroids, PQ codebooks, LM count cutoffs), unlike
+    * ROW-holding indexes (BM25 postings, ANN cells, minhash bands),
+    * which take [[graft.sources.IndexIO.withoutTombstoned]] deletes.
     */
   def buildBpeIndex(docs: DataFrame, textCol: String, path: String,
       trainWords: Int = 4096, numMerges: Int = 256): Unit = {

@@ -136,10 +136,74 @@ object Search {
     ()
   }
 
+  /** Tombstone-delete docs from a [[buildBm25Index]] index WITHOUT a
+    * rebuild (the takedown path, mirroring
+    * [[SimilaritySearch.deleteFromAnnIndex]]): publishes a delta
+    * segment carrying the tombstone ids plus CORRECTED corpus stats
+    * (N and total length shrink by the deleted docs' live lengths —
+    * serving stays O(1), no stats rescan per query). Readers anti-join
+    * postings and lengths against the tombstone chain; per-term df is
+    * computed from live postings at query time, so it corrects itself.
+    * [[compactBm25Index]] drops dead rows physically.
+    */
+  def deleteFromBm25Index(
+      spark: SparkSession, path: String, ids: DataFrame, idCol: String): Unit = {
+    import spark.implicits._
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    val tomb = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // live lengths BEFORE this delete: only still-live docs may shrink
+    // the stats (double-deleting an id must not subtract twice)
+    val del = liveTable(spark, path, "lengths").join(tomb, "doc_id")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+      .head()
+    val stats = spark.read.parquet(s"$vdir/stats").head()
+    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+      tomb.coalesce(1).write.mode("overwrite").parquet(s"$seg/tombstones")
+      Seq((stats.getLong(0) - del.getLong(0), stats.getLong(1) - del.getLong(1)))
+        .toDF("n_docs", "total_dl")
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/stats")
+    }
+    ()
+  }
+
+  /** Collapse a tombstoned [[buildBm25Index]] chain to ONE segment:
+    * live postings re-bucketed by term, live lengths, the corrected
+    * stats carried forward. Identical serving results by construction.
+    */
+  def compactBm25Index(
+      spark: SparkSession, path: String, termBuckets: Int = 64): Unit = {
+    if (graft.sources.IndexIO.segments(spark, path).length <= 1) return
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    val postings = liveTable(spark, path, "postings")
+    val lengths = liveTable(spark, path, "lengths")
+    val stats = spark.read.parquet(s"$vdir/stats")
+    graft.sources.IndexIO.publish(spark, path) { nv =>
+      postings.repartition(termBuckets, col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$nv/postings")
+      lengths.write.mode("overwrite").parquet(s"$nv/lengths")
+      stats.coalesce(1).write.mode("overwrite").parquet(s"$nv/stats")
+    }
+    ()
+  }
+
+  /** A chain table with the tombstone anti-join applied ([[
+    * graft.sources.IndexIO.withoutTombstoned]] — log-ordered, so only
+    * rows indexed BEFORE the delete die).
+    */
+  private def liveTable(spark: SparkSession, path: String, name: String): DataFrame =
+    graft.sources.IndexIO.withoutTombstoned(
+      graft.sources.IndexIO.chainTable(spark, path, name).getOrElse(
+        throw new IllegalStateException(s"BM25 index at $path has no $name table")),
+      graft.sources.IndexIO.chainTable(spark, path, "tombstones"),
+      "doc_id")
+
   /** Serve a BM25 top-k from a [[buildBm25Index]] index. The postings
     * scan carries a pushed-down `term IN (…)` filter (row-group
     * min/max skips non-matching buckets' files outright); scoring
-    * arithmetic is identical to [[bm25TopK]].
+    * arithmetic is identical to [[bm25TopK]]. Postings and lengths
+    * read through the tombstone chain; stats come from the newest
+    * segment (corrected at delete time).
     */
   def bm25SearchIndex(
       spark: SparkSession,
@@ -151,9 +215,13 @@ object Search {
     require(queryTerms.nonEmpty, "bm25SearchIndex: empty query")
     val terms = queryTerms.distinct
     val vdir = graft.sources.IndexIO.resolve(spark, path)
-    val postings = spark.read.parquet(s"$vdir/postings")
-      .filter(col("term").isin(terms: _*))
-    val lengths = spark.read.parquet(s"$vdir/lengths")
+    val postings = graft.sources.IndexIO.withoutTombstoned(
+      graft.sources.IndexIO.chainTable(spark, path, "postings").getOrElse(
+        throw new IllegalStateException(s"BM25 index at $path has no postings table"))
+        .filter(col("term").isin(terms: _*)),
+      graft.sources.IndexIO.chainTable(spark, path, "tombstones"),
+      "doc_id")
+    val lengths = liveTable(spark, path, "lengths")
     val stats = spark.read.parquet(s"$vdir/stats")
     val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
 

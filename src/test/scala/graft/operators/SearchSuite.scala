@@ -86,4 +86,34 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$plan")
   }
+
+  test("tombstone delete: serving == BM25 over the remaining corpus, no rebuild") {
+    val dir = Files.createTempDirectory("bm25del").toString
+    Search.buildBm25Index(corpus, "doc_id", "text", dir, termBuckets = 4)
+    Search.deleteFromBm25Index(spark, dir,
+      Seq(1L, 4L).toDF("doc_id"), "doc_id")
+    val remaining = corpus.filter(!$"doc_id".isin(1L, 4L))
+    val served = Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10)
+    // deleting docs shifts df, N, and avgdl — the full rescore over the
+    // remaining corpus is the ground truth
+    assertSameRows(
+      Search.bm25TopK(remaining, "doc_id", "text", Seq("spark", "filter"), k = 10),
+      served)
+    assert(!served.collect().map(_.getLong(0)).contains(1L))
+    // double-delete of an already-dead id must not subtract stats twice
+    Search.deleteFromBm25Index(spark, dir, Seq(1L).toDF("doc_id"), "doc_id")
+    val stats = spark.read.parquet(
+      graft.sources.IndexIO.resolve(spark, dir) + "/stats").head()
+    assert(stats.getLong(0) == 3L, s"n_docs ${stats.getLong(0)} after double delete")
+    // compaction drops dead rows physically; results identical
+    val before = rowSet(Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10))
+    Search.compactBm25Index(spark, dir, termBuckets = 4)
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1)
+    assert(rowSet(Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10)) == before)
+    // the compacted postings physically exclude the tombstoned docs
+    val live = spark.read.parquet(
+      graft.sources.IndexIO.resolve(spark, dir) + "/postings")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(!live.contains(1L) && !live.contains(4L))
+  }
 }
