@@ -25,8 +25,9 @@ object Bench {
     "text_quality", "doc_fingerprint", "heavy_hitters_tokens",
     "tokenize_bpe",
     "decontaminate_docs", "decontaminate_bloom", "stream_decontaminate",
-    "stream_lm_gate",
-    "bm25_search", "lm_score_docs",
+    "stream_lm_gate", "stream_lm_gate3", "lm_score_trigram",
+    "bm25_search", "bm25_search_deleted", "lm_score_docs",
+    "stream_pack_sequences",
     "mix_sources", "mix_temperature", "shuffle_corpus",
     "sample_token_budget",
     "pipeline_semantic_dedup",
@@ -63,7 +64,8 @@ object Bench {
     // first — measures steady-state serving only and the per-query
     // spread stays box-noise-sized instead of carrying one train+encode.
     val setupFailed = scala.collection.mutable.ListBuffer.empty[String]
-    Seq("ann_topk_ivf_pq_search", "stream_lm_gate").filter(SparkEntry.queries.contains)
+    Seq("ann_topk_ivf_pq_search", "stream_lm_gate", "stream_lm_gate3")
+      .filter(SparkEntry.queries.contains)
       .foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Throwable =>

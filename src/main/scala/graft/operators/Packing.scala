@@ -138,5 +138,29 @@ object Packing {
       carry = carry ++ last.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       packed
     }
+
+    /** Snapshot the carry state as an atomic [[graft.sources.IndexIO]]
+      * version (call after the batch's output commits — the usual
+      * checkpoint ordering: state snapshot may lag output, never lead,
+      * so a restart repacks from a bin boundary instead of losing one).
+      */
+    def saveState(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+      synchronized {
+        import spark.implicits._
+        val rows = carry.toSeq.map { case (c, (b, f)) => (c, b, f) }
+        graft.sources.IndexIO.publish(spark, path) { vdir =>
+          rows.toDF("chunk", "bin", "fill")
+            .coalesce(1).write.mode("overwrite").parquet(s"$vdir/state")
+        }
+        ()
+      }
+
+    /** Resume from a [[saveState]] snapshot (restart path). */
+    def restoreState(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+      synchronized {
+        val vdir = graft.sources.IndexIO.resolve(spark, path)
+        carry = spark.read.parquet(s"$vdir/state").collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      }
   }
 }

@@ -63,6 +63,36 @@ class PackingSuite extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L, 10L), (2L, 1L, 500L), (3L, 2L, 10L)))
   }
 
+  test("packer restart from a saved state snapshot continues seamlessly") {
+    val docs = (0L until 24L).map(i => (i, 20L + (i % 3) * 15L))
+    val chunkE = org.apache.spark.sql.functions.expr("doc_id div 8")
+    def run(batches: Seq[Seq[(Long, Long)]], restartAfter: Int): Seq[(Long, Long, Long, Long)] = {
+      val path = java.nio.file.Files.createTempDirectory("graft_pack_state_").toString
+      var p = new Packing.IncrementalPacker("doc_id", "n_tokens", 64, chunkE)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      batches.zipWithIndex.foreach { case (b, i) =>
+        if (i == restartAfter) {
+          // simulate a crash: a FRESH packer restored from the snapshot
+          p = new Packing.IncrementalPacker("doc_id", "n_tokens", 64, chunkE)
+          p.restoreState(spark, path)
+        }
+        out ++= p.addBatch(b.toDF("doc_id", "n_tokens")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        p.saveState(spark, path)
+      }
+      out.toSeq
+    }
+    val batches = Seq(docs.slice(0, 7), docs.slice(7, 15), docs.slice(15, 24))
+    val withRestart = run(batches, restartAfter = 2)
+    val continuous = run(batches, restartAfter = -1)
+    assert(withRestart.toSet == continuous.toSet)
+    // and both equal the one-shot batch packing
+    val oneShot = Packing.packGreedy(docs.toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", maxLen = 64, chunk = chunkE)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(withRestart.toSet == oneShot)
+  }
+
   test("bins are chunk-local: chunks pack independently") {
     val docs = Seq[(Long, Long)]((1, 90), (10, 90), (11, 90))
     val out = Packing.packGreedy(docs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens",
