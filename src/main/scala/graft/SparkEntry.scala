@@ -1082,14 +1082,19 @@ object SparkEntry {
       val counts = clean.select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"))
         .localCheckpoint(true)
-      val maxId = counts.agg(max(col("doc_id"))).head().getLong(0)
+      // an all-contaminated corpus gates to EMPTY: max(doc_id) is NULL
+      // then, and one empty addBatch is the whole (empty) answer
+      val maxRow = counts.agg(max(col("doc_id"))).head()
       val packer = new Packing.IncrementalPacker(
         "doc_id", "n_tokens", 128, expr("doc_id div 25"))
-      val width = 130L
-      (0L to maxId / width).map { b =>
-        packer.addBatch(counts.filter(
-          col("doc_id") >= b * width && col("doc_id") < (b + 1) * width))
-      }.reduce(_ unionByName _)
+      if (maxRow.isNullAt(0)) packer.addBatch(counts)
+      else {
+        val width = 130L
+        (0L to maxRow.getLong(0) / width).map { b =>
+          packer.addBatch(counts.filter(
+            col("doc_id") >= b * width && col("doc_id") < (b + 1) * width))
+        }.reduce(_ unionByName _)
+      }
     }),
     "source_jsonl_roundtrip" -> ((s, dir) => {
       // the ingestion path on the oracle gate: parquet -> JSONL on disk
