@@ -33,6 +33,27 @@ class IndexIOSuite extends SparkSpec {
     assert(spark.read.parquet(s"${IndexIO.resolve(spark, base)}/a").count() == 1)
   }
 
+  test("exists: false before publish, true after, false again on a dangling pointer") {
+    val base = newBase()
+    assert(!IndexIO.exists(spark, base))
+    val v1 = IndexIO.publish(spark, base) { vdir => writeTable(vdir, "a", Seq(1)) }
+    assert(IndexIO.exists(spark, base))
+    // external vacuum / partial /tmp cleanup removes the version dir
+    // but leaves _LATEST: exists must read as "no committed index" so
+    // build-or-reuse callers rebuild instead of failing at resolve()
+    // for the rest of the JVM's lifetime
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(v1))
+    assert(!IndexIO.exists(spark, base))
+    // and a rebuild through the normal path heals it
+    IndexIO.publish(spark, base) { vdir => writeTable(vdir, "a", Seq(2)) }
+    assert(IndexIO.exists(spark, base))
+    assert(spark.read.parquet(s"${IndexIO.resolve(spark, base)}/a").count() == 1)
+  }
+
   test("a failed build leaves the pointer on the previous complete version") {
     val base = newBase()
     val v1 = IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1)))
