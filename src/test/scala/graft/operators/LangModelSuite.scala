@@ -164,6 +164,23 @@ class LangModelSuite extends SparkSpec {
     assert(gated == viaBatch.filter { case (_, (_, lp)) => lp >= thr })
   }
 
+  test("order-3 differential fuzz: Spark == scalar oracle on random corpora") {
+    val rnd = new scala.util.Random(23)
+    val words = Seq("a", "b", "c", "the", "cat", "sat", "ran", "é")
+    for (trial <- 0 until 6) {
+      val train = (0L until 12L).map { i =>
+        (i, Seq.fill(1 + rnd.nextInt(9))(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val docs = (100L until 110L).map { i =>
+        (i, Seq.fill(rnd.nextInt(8))(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val got = LangModel.scoreAgainst3(
+          train.toDF("doc_id", "text"), docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == expected3(train, docs), s"trial $trial diverged")
+    }
+  }
+
   test("order-3 pruning: pruned trigrams back off, terminal floor stays unpruned") {
     // "a b c" x3 survives cutoff 2; "b c d" x1 prunes -> its trigram
     // backs off to the (c d) bigram, which also prunes -> floor
