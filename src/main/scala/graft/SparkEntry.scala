@@ -1339,6 +1339,16 @@ object SparkEntry {
       Sampling.hashSample(t(s, dir, "events"), "event_id", fraction = 0.1)
         .select("event_id", "event_type", "user_id")
     }),
+    "sample_stratified" -> ((s, dir) => {
+      // class rebalancing: per-source keep fractions by the SAME md5
+      // bucket rule as hashSample (membership is a function of the id,
+      // so the sample is stable under re-partitioning and appends);
+      // unlisted sources keep the 0.5 default
+      Sampling.stratifiedHashSample(t(s, dir, "documents"), "source", "doc_id",
+          fractions = Map("src0" -> 1.0, "src1" -> 0.2, "src2" -> 0.0),
+          defaultFraction = 0.5)
+        .select("doc_id", "source")
+    }),
     "split_counts" -> ((s, dir) => {
       Sampling.trainValTest(t(s, dir, "documents"), "doc_id")
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
@@ -3066,6 +3076,12 @@ object SparkEntry {
         """SELECT event_id, event_type, user_id FROM events
           |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
           |      % 10000 < 1000""".stripMargin,
+      "sample_stratified" ->
+        """SELECT doc_id, source FROM documents
+          |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          |      % 10000
+          |      < CAST(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.2
+          |                         WHEN 'src2' THEN 0.0 ELSE 0.5 END * 10000 AS BIGINT)""".stripMargin,
       "split_counts" ->
         """WITH b AS (
           |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
