@@ -797,6 +797,24 @@ object SparkEntry {
       d.select(col("doc_id"),
         BpeTokenizer.bpeTokenCount(col("text"), merges).cast("long").as("n_tokens"))
     }),
+    "tokenize_bpe_ids" -> ((s, dir) => {
+      // text -> VOCABULARY IDS, the projection a training consumer
+      // actually reads: ids 0-255 are the single bytes, 256+rank the
+      // merge outputs — the fixed assignment of a rank-ordered BPE
+      // vocab. One row per token position; the oracle rebuilds the
+      // same vocab from the replayed merges and joins the per-token
+      // hex stream against it.
+      val d = t(s, dir, "documents")
+      val idx = scratch("bpe_ids_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        BpeTokenizer.buildBpeIndex(d, "text", idx,
+          trainWords = BpeGateWords, numMerges = BpeGateMerges)
+      val merges = BpeTokenizer.loadBpeMerges(s, idx)
+      d.select(col("doc_id"),
+          posexplode(BpeTokenizer.bpeTokenIds(col("text"), merges)))
+        .select(col("doc_id"), col("pos").cast("int").as("seq"),
+          col("col").as("tok_id"))
+    }),
     "chunk_documents_bpe" -> ((s, dir) => {
       // context-window chunking at SUBWORD granularity: chunk budgets
       // measured in BPE tokens, boundaries wherever the budget lands
@@ -1933,6 +1951,36 @@ object SparkEntry {
           |SELECT d.doc_id, CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens
           |FROM documents d LEFT JOIN wtok ON wtok.doc_id = d.doc_id
           |GROUP BY 1""".stripMargin),
+      "tokenize_bpe_ids" -> (bpeOraclePrefix(BpeGateWords, BpeGateMerges) +
+        s""",
+          |tokq AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+          |  FROM documents),
+          |wtk AS (
+          |  SELECT doc_id, pos, string_split(sf.s, ' ') AS toks
+          |  FROM tokq JOIN s$BpeGateMerges sf ON hex(tokq.w) = sf.wh
+          |  WHERE tokq.w <> ''),
+          |tk AS (
+          |  SELECT doc_id, pos, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ti
+          |  FROM wtk),
+          |sq AS (
+          |  SELECT doc_id, tok,
+          |         row_number() OVER (PARTITION BY doc_id ORDER BY pos, ti) - 1 AS tp
+          |  FROM tk),
+          |vocab AS MATERIALIZED (
+          |  SELECT tokh, MIN(id) AS id FROM (
+          |    SELECT upper(lpad(to_hex(i), 2, '0')) AS tokh, CAST(i AS INT) AS id
+          |    FROM range(256) t(i)
+          |    UNION ALL
+          |""".stripMargin +
+        (1 to BpeGateMerges).map(i =>
+          s"    SELECT l || r AS tokh, CAST(${255 + i} AS INT) AS id FROM p$i")
+          .mkString("\n    UNION ALL\n") +
+        """
+          |  ) GROUP BY 1)
+          |SELECT sq.doc_id, CAST(sq.tp AS INT) AS seq, v.id AS tok_id
+          |FROM sq JOIN vocab v ON v.tokh = sq.tok""".stripMargin),
       "chunk_documents_bpe" -> (bpeOraclePrefix(BpeGateWords, BpeGateMerges) +
         s""",
           |tokq AS (

@@ -35,6 +35,32 @@ final class BpeModel(
     }
     h
   }
+
+  /** Token bytes (ISO-8859-1 key) → vocabulary id: ids 0–255 are the
+    * single bytes, `256 + rank` the merge outputs (lowest rank wins on
+    * a duplicate concatenation) — the fixed id assignment every
+    * rank-ordered BPE vocabulary uses.
+    */
+  @transient lazy val tokenId: java.util.HashMap[String, Integer] = {
+    val h = new java.util.HashMap[String, Integer](left.length * 2 + 512)
+    var b = 0
+    while (b < 256) {
+      h.put(new String(Array(b.toByte), java.nio.charset.StandardCharsets.ISO_8859_1),
+        Integer.valueOf(b))
+      b += 1
+    }
+    var i = 0
+    while (i < left.length) {
+      val tok = new Array[Byte](left(i).length + right(i).length)
+      System.arraycopy(left(i), 0, tok, 0, left(i).length)
+      System.arraycopy(right(i), 0, tok, left(i).length, right(i).length)
+      h.putIfAbsent(
+        new String(tok, java.nio.charset.StandardCharsets.ISO_8859_1),
+        Integer.valueOf(256 + i))
+      i += 1
+    }
+    h
+  }
 }
 
 /** Tokenization kernel shared by the interpreted and generated paths
@@ -280,6 +306,41 @@ object BpeKernel {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** The document's BPE tokens as VOCABULARY IDS in order (0–255 the
+    * bytes, 256+rank the merges — [[BpeModel.tokenId]]): the text→ids
+    * step a training pipeline feeds the model. Total function:
+    * null/blank → empty array. A merged token is by construction a
+    * merge output (or a single byte), so the lookup cannot miss on a
+    * model the tokens were produced with; a miss is a model/text
+    * mismatch and fails loudly.
+    */
+  def tokenIds(u: UTF8String, m: BpeModel): ArrayData = {
+    if (u == null) return new GenericArrayData(Array.empty[Any])
+    val bytes = u.getBytes
+    val (starts, ends, nw) = ShinglesKernel.tokenSpans(bytes)
+    val ids = m.tokenId
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var w = 0
+    while (w < nw) {
+      val lens = wordLens(bytes, starts(w), ends(w), m)
+      var off = starts(w)
+      var t = 0
+      while (t < lens.length) {
+        val key = new String(bytes, off, lens(t),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val id = ids.get(key)
+        if (id == null) throw new IllegalStateException(
+          s"BPE token of length ${lens(t)} not in the vocabulary — " +
+            "tokens were produced with a different merge table")
+        out += id.intValue()
+        off += lens(t)
+        t += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** `bpe_count(text)`: subword token count under a trained merge list —
@@ -309,6 +370,41 @@ case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
         ${childGen.code}
         int ${ev.value} = graft.functions.BpeKernel.count(
           ${childGen.isNull} ? null : ${childGen.value}, $mRef);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `bpe_token_ids(text)`: the document's subword tokens as vocabulary
+  * ids ([[BpeKernel.tokenIds]]) — text→ids for the training consumer.
+  * Total function: null/blank → empty array.
+  */
+case class BpeIdsExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bpe_token_ids"
+  override def nullable: Boolean = false
+
+  @transient private lazy val model: BpeModel = BpeKernel.compile(merges)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    BpeKernel.tokenIds(v.asInstanceOf[UTF8String], model)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("graftBpeModel", model, classOf[BpeModel].getName)
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.BpeKernel.tokenIds(
+            ${childGen.isNull} ? null : ${childGen.value}, $mRef);
       """
     ev.copy(code = resultCode, isNull = FalseLiteral)
   }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{BpeCountExpr, BpeTokensExpr, TextFunctions}
+import graft.functions.{BpeCountExpr, BpeIdsExpr, BpeTokensExpr, TextFunctions}
 
 /** Corpus-trained byte-level BPE tokenizer — the real subword token
   * accounting behind every "≤ maxTokens" contract in the pipeline
@@ -147,6 +147,15 @@ object BpeTokenizer {
   def bpeTokens(text: Column, merges: Seq[(String, String)]): Column = {
     import org.apache.spark.sql.GraftInternals
     GraftInternals.toColumn(BpeTokensExpr(GraftInternals.toExpression(text), merges))
+  }
+
+  /** The document's BPE tokens as VOCABULARY IDS in order (0–255 the
+    * single bytes, 256+rank the merges) — the text→ids projection a
+    * training consumer reads.
+    */
+  def bpeTokenIds(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.GraftInternals
+    GraftInternals.toColumn(BpeIdsExpr(GraftInternals.toExpression(text), merges))
   }
 
   /** Context-window chunking at SUBWORD granularity: chunk `c` covers

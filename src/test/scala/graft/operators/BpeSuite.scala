@@ -152,6 +152,31 @@ class BpeSuite extends SparkSpec {
     }
   }
 
+  test("token ids: positionally aligned with hex tokens, fixed vocab assignment") {
+    val docs = Seq(
+      (1, "the cat sat on the mat the cat"),
+      (2, "aaaa aaaa aa a aaa the hat"),
+      (3, "éé é 😀😀 the é"),
+      (4, ""),
+      (5, null.asInstanceOf[String])).toDF("id", "text")
+    val merges = BpeTokenizer.trainBpe(docs, "text", trainWords = 8, numMerges = 12)
+    // vocabulary: 0-255 the bytes, 256+rank the merge outputs
+    val vocab = (0 until 256).map(b => f"$b%02X" -> b).toMap ++
+      merges.zipWithIndex.reverseIterator.map { case ((l, r), i) => (l + r) -> (256 + i) }.toMap
+    val got = docs.select(col("id"),
+        BpeTokenizer.bpeTokens(col("text"), merges).as("hex"),
+        BpeTokenizer.bpeTokenIds(col("text"), merges).as("ids"))
+      .collect().map(r => (r.getInt(0), r.getSeq[String](1), r.getSeq[Int](2)))
+    got.foreach { case (id, hex, ids) =>
+      assert(hex.length == ids.length, s"doc $id length mismatch")
+      hex.zip(ids).foreach { case (h, i) =>
+        assert(vocab(h) == i, s"doc $id: token $h mapped to $i, expected ${vocab(h)}")
+      }
+    }
+    // empty/null docs produce empty id arrays
+    assert(got.filter(g => g._1 >= 4).forall(_._3.isEmpty))
+  }
+
   test("priority kernel == rank-order oracle at 32k merges (well-formed table)") {
     // well-formed construction mirroring what training produces: every
     // merge's operands are single bytes or tokens formed by STRICTLY
