@@ -170,6 +170,67 @@ class DifferentialFuzzSuite extends SparkSpec {
     }
   }
 
+  test("AsOfJoin.time == scalar model across directions and tolerances") {
+    val rnd = new scala.util.Random(909)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(off: Long) = new Timestamp(base + off)
+    for (round <- 0 until rounds) {
+      val horizonMs = 1000L * (1 + rnd.nextInt(500))
+      val tolMs = 1L + rnd.nextInt(60000)
+      // duplicate-heavy timestamps: collisions exercise every tie rule
+      val ls = (0 until 50).map(i => (i, ts(rnd.between(0L, horizonMs))))
+      val rs = (0 until 30).map(i => (100 + i, ts(rnd.between(0L, horizonMs))))
+      for (dir <- Seq("nearest", "backward", "forward")) {
+        val expected = ls.flatMap { case (lid, lt) =>
+          val cand = rs.filter { case (_, rt) =>
+            val d = lt.getTime - rt.getTime
+            dir match {
+              case "nearest"  => math.abs(d) <= tolMs
+              case "backward" => d >= 0 && d <= tolMs
+              case "forward"  => d <= 0 && -d <= tolMs
+            }
+          }
+          if (cand.isEmpty) None
+          else {
+            // documented tie chain: smallest |delta|, earlier right ts,
+            // smallest rightId
+            val best = cand.minBy { case (rid, rt) =>
+              (math.abs(lt.getTime - rt.getTime), rt.getTime, rid.toLong) }
+            Some(Seq(lid.toString, best._1.toString))
+          }
+        }.toSet
+        val out = AsOfJoin.time(ls.toDF("lid", "lts"), rs.toDF("rid", "rts"),
+          Duration.ofMillis(tolMs), rightId = "rid",
+          leftOn = Some("lts"), rightOn = Some("rts"), direction = dir)
+        assert(rowSet(out.select("lid", "rid")) == expected,
+          s"round $round $dir tol=${tolMs}ms")
+      }
+    }
+  }
+
+  test("IncrementalPacker over random ragged id-ordered splits == packGreedy") {
+    val rnd = new scala.util.Random(313)
+    for (round <- 0 until rounds) {
+      val n = 30 + rnd.nextInt(40)
+      val docs = (0L until n.toLong).map(i => (i, 1L + rnd.nextInt(50)))
+      val maxLen = 32L + rnd.nextInt(96)
+      val chunkW = 5 + rnd.nextInt(12)
+      val chunkE = expr(s"doc_id div $chunkW")
+      val bounds = ((0 until 1 + rnd.nextInt(4)).map(_ => rnd.nextInt(n)) ++ Seq(0, n))
+        .distinct.sorted
+      val packer = new Packing.IncrementalPacker("doc_id", "n_tokens", maxLen, chunkE)
+      val got = bounds.sliding(2).flatMap { case Seq(a, b) =>
+        packer.addBatch(docs.slice(a, b).toDF("doc_id", "n_tokens")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }.toSet
+      val oneShot = Packing.packGreedy(docs.toDF("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", maxLen, chunkE)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == oneShot,
+        s"round $round maxLen=$maxLen chunkW=$chunkW bounds=$bounds")
+    }
+  }
+
   test("Streaming.asOfJoin batch plan == brute-force model on random data") {
     import graft.streaming.Streaming
     import Streaming.AsOfEvent
