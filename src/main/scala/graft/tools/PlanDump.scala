@@ -162,7 +162,48 @@ object PlanDump {
         |PARTITIONED by the order-preserving hash-prefix bucket. The
         |only exchange is hash-by-bucket (parallel); no
         |`Exchange SinglePartition` anywhere — the degenerate plan an
-        |unpartitioned row_number() would produce.""".stripMargin)
+        |unpartitioned row_number() would produce.""".stripMargin,
+    "stream_lm_gate3" ->
+      """Order-3 quality gate: a scan-side Filter + Project — the pruned
+        |trigram/bigram/unigram arrays ride as plan references into the
+        |`graft_lm_score3` kernel; no join, no aggregate, no data-moving
+        |exchange (the RoundRobin below is the testdata loader's
+        |single-row-group spread, not the operator). Codegen
+        |subexpression elimination evaluates the kernel once per row in
+        |the Filter stage (+ once in the Project for survivors), and the
+        |per-executor word cache absorbs the repeat. Stateless, hence
+        |streamable.""".stripMargin,
+    "lm_score_trigram" ->
+      """Batch order-3 scoring: five equi-joins against the count tables
+        |(trigram, 2x bigram, 2x unigram — all hash-keyed 8-byte
+        |xxhash64 chains) + one broadcast of the one-row N/|V| stats.
+        |Shuffled hash joins at corpus scale that AQE flips to broadcast
+        |under a small domain model; the per-doc reduction ships one row
+        |per doc. The serving path (stream_lm_gate3) avoids all five
+        |joins.""".stripMargin,
+    "bm25_search_deleted" ->
+      """Serving across a tombstone chain: the postings scan still
+        |carries the pushed `term IN` filter (PushedFilters reaches
+        |parquet below the anti-join), tombstones broadcast into a
+        |left-anti join (takedown-sized), stats come from the newest
+        |segment's one-row table. df re-aggregates from live postings —
+        |a <= |query|-row aggregate.""".stripMargin,
+    "stream_pack_sequences" ->
+      """Incremental packing micro-batch: one hash exchange on the chunk
+        |shard key, then `flatMapSortedGroups` streams each chunk's docs
+        |through constant carry state — group size never bounds memory,
+        |and the carry map is one tuple per shard (driver-held between
+        |batches, snapshot-persisted for restarts).""".stripMargin,
+    "tokenize_bpe_ids" ->
+      """text->ids: the whole tokenization is one codegen'd scan
+        |projection (`graft_bpe_token_ids` + posexplode Generate) — no
+        |shuffle at all; the merge table and vocab map are plan
+        |references, per-word results cached per executor.""".stripMargin,
+    "sample_stratified" ->
+      """Per-stratum rebalancing: a scan-side Filter on the md5 bucket
+        |against a CASE of per-source thresholds — zero shuffle, zero
+        |joins; membership is a pure function of the id, so the sample
+        |is stable under re-partitioning and appends.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
