@@ -380,6 +380,21 @@ object SparkEntry {
         .select(col("id_left"), col("id_right"), col("intersection"),
           col("size_left"), col("size_right"), q4(col("jaccard")).as("jaccard"))
     }),
+    "dedup_cross_corpus_lsh" -> ((s, dir) => {
+      // the SAME cross-corpus dedup through the banded LSH path — the
+      // 100 TB shape (band-key shuffle + exactly-once candidates, no
+      // shared-shingle posting explosion). Shares dedup_cross_corpus's
+      // oracle: output identity with the exact posting join IS the
+      // claim (the gate corpus' cross pairs sit far above the banding
+      // curve's knee, and detection is deterministic — fixed hashes).
+      val d = t(s, dir, "documents")
+      Dedup.minhashLshJoin(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+        .select(col("id_left"), col("id_right"), col("intersection"),
+          col("size_left"), col("size_right"), q4(col("jaccard")).as("jaccard"))
+    }),
     "dedup_incremental" -> ((s, dir) => {
       // index LIFECYCLE: persist the MinHash band index of the corpus
       // (odd ids) once, then dedup the incoming batch (even ids)
@@ -2101,6 +2116,21 @@ object SparkEntry {
           |JOIN cnt cb ON cb.doc_id = id_right
           |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin),
       "dedup_cross_corpus" -> (shinglesBase +
+        """inter AS (
+          |  SELECT x.doc_id AS id_left, y.doc_id AS id_right, count(*) AS i
+          |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+          |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+          |  GROUP BY 1, 2)
+          |""".stripMargin +
+        """SELECT id_left, id_right, i AS intersection, ca.n AS size_left, cb.n AS size_right,
+          |       floor((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 AS jaccard
+          |FROM inter
+          |JOIN cnt ca ON ca.doc_id = id_left
+          |JOIN cnt cb ON cb.doc_id = id_right
+          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5""".stripMargin),
+      // dedup_cross_corpus_lsh: the banded LSH path is output-identical
+      // to the exact posting join on the gate corpus — shared oracle
+      "dedup_cross_corpus_lsh" -> (shinglesBase +
         """inter AS (
           |  SELECT x.doc_id AS id_left, y.doc_id AS id_right, count(*) AS i
           |  FROM sh x JOIN sh y ON x.shingle = y.shingle

@@ -359,6 +359,59 @@ object Dedup {
       .select("doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard")
   }
 
+  /** Cross-corpus MinHash+LSH near-dup join ([[minhashLsh]] between two
+    * tables): banded candidates sharing any band, exact Jaccard
+    * verification ≥ `threshold`. Output matches [[ngramJaccardJoin]],
+    * so either serves a pipeline — this one is the 100 TB path across
+    * two crawls: the banding shuffle moves `(id, band, key)` rows only
+    * and candidates are exactly-once via the first-shared-band anchor,
+    * so the exact verify touches candidate pairs — the posting join of
+    * [[ngramJaccardJoin]] moves every shared-shingle occurrence, which
+    * goes quadratic in hot boilerplate shared between corpora. False
+    * negatives bounded by the banding curve `1-(1-j^r)^b` (detection is
+    * DETERMINISTIC per pair — fixed hash family — so a gate oracle can
+    * pin exact-equality where the corpus' duplicate pairs sit well
+    * above the curve's knee).
+    */
+  def minhashLshJoin(
+      left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    def prep(df: DataFrame, id: String, text: String) = df
+      .select(col(id).as("__id"), TextFunctions.shingles(col(text), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    def banded(sh: DataFrame) = sh
+      .withColumn("__bks", minhashBandKeys(numHashes, bands)(col("__sh")))
+      .select(col("__id"), col("__bks"),
+        posexplode(col("__bks")).as(Seq("__band", "__bh")))
+    val la = prep(left, leftId, leftText)
+    val rb = prep(right, rightId, rightText)
+    // first-shared-band anchor (see minhashLsh): near-identical docs
+    // agree on ~every band and must still surface exactly once
+    val firstShared =
+      array_position(zip_with(col("a.__bks"), col("b.__bks"), (x, y) => x === y),
+        true) - 1
+    val cands = banded(la).as("a")
+      .join(banded(rb).hint("shuffle_hash").as("b"),
+        col("a.__band") === col("b.__band") && col("a.__bh") === col("b.__bh") &&
+          col("a.__band") === firstShared)
+      .select(col("a.__id").as("id_left"), col("b.__id").as("id_right"))
+    cands
+      .join(la.select(col("__id"), col("__sh").as("__sha")), col("id_left") === col("__id"))
+      .drop("__id")
+      .join(rb.select(col("__id"), col("__sh").as("__shb")), col("id_right") === col("__id"))
+      .withColumn("intersection", size(array_intersect(col("__sha"), col("__shb"))))
+      .withColumn("size_left", size(col("__sha")))
+      .withColumn("size_right", size(col("__shb")))
+      .withColumn("jaccard",
+        col("intersection").cast("double") /
+          (col("size_left") + col("size_right") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_left", "id_right", "intersection", "size_left", "size_right", "jaccard")
+  }
+
   /** Persist a MinHash LSH index of the corpus, so later batches dedup
     * against it WITHOUT rescanning corpus text — the production shape
     * for a growing corpus: index once, then each day's crawl delta joins

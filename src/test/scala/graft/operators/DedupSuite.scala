@@ -61,6 +61,37 @@ class DedupSuite extends SparkSpec {
     assert(lsh.contains(Seq("1", "2")))
   }
 
+  test("minhashLshJoin: verified subset of exact cross join; exactly-once on near-identicals") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def doc() = Array.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    // batch reuses some corpus docs near-verbatim: those pairs sit at
+    // jaccard ~1 where banding detection is certain
+    val corpusDocs = (1L to 20L by 2).map(i => (i, doc()))
+    val batchDocs = (2L to 20L by 2).map { i =>
+      val base = corpusDocs((i.toInt / 2 - 1) % corpusDocs.size)._2
+      (i, if (i % 4 == 0) base + " zeta" else doc())
+    }
+    val exact = Dedup.ngramJaccardJoin(
+        batchDocs.toDF("doc_id", "text"), "doc_id", "text",
+        corpusDocs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRows = Dedup.minhashLshJoin(
+        batchDocs.toDF("doc_id", "text"), "doc_id", "text",
+        corpusDocs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // no false positives (exact verification), exactly-once per pair
+    // (first-shared-band anchor — a near-identical pair agrees on ~all
+    // 32 bands and must still surface once)
+    assert(lshRows.toSet.subsetOf(exact))
+    assert(lshRows.length == lshRows.toSet.size, "pair surfaced more than once")
+    // the planted near-verbatim reuses sit at jaccard ~1: all found
+    val planted = exact.filter { case (b, c) => b % 4 == 0 && c == b - 1 }
+    assert(planted.subsetOf(lshRows.toSet), s"missed planted dup: $planted")
+  }
+
   test("prefix-filtered set-similarity join == plain inverted-index join") {
     // exactness of the prefix filter (smallest common shingle lands in
     // both prefixes) on seeded random near-dup docs at several thresholds
