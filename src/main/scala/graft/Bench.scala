@@ -20,7 +20,8 @@ object Bench {
     "theta_join_mod", "asof_join_events", "asof_join_unbounded",
     "asof_join_sql", "asof_join_by", "stream_asof_events",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
-    "dedup_mask_windows", "pack_sequences",
+    "dedup_cross_corpus_lsh", "dedup_mask_windows", "pack_sequences",
+    "tokenize_bpe_ids",
     "dedup_embedding", "ann_topk", "ann_topk_pq", "ann_topk_ivf_pq_search",
     "text_quality", "doc_fingerprint", "heavy_hitters_tokens",
     "tokenize_bpe",
