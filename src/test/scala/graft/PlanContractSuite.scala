@@ -83,6 +83,8 @@ class PlanContractSuite extends SparkSpec {
         "Exchange SinglePartition", "Join", "HashAggregate")),
     ("dedup_minhash", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    ("dedup_cross_corpus_lsh", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     ("dedup_ngram_jaccard", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     ("decontaminate_docs", Seq("BroadcastExchange"),
