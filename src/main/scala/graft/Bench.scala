@@ -65,7 +65,8 @@ object Bench {
     // first — measures steady-state serving only and the per-query
     // spread stays box-noise-sized instead of carrying one train+encode.
     val setupFailed = scala.collection.mutable.ListBuffer.empty[String]
-    Seq("ann_topk_ivf_pq_search", "stream_lm_gate", "stream_lm_gate3")
+    Seq("ann_topk_ivf_pq_search", "stream_lm_gate", "stream_lm_gate3",
+        "tokenize_bpe_ids")
       .filter(SparkEntry.queries.contains)
       .foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).count()

@@ -567,6 +567,36 @@ class DifferentialFuzzSuite extends SparkSpec {
     }
   }
 
+  test("minhashLshJoin == ngramJaccardJoin on near-verbatim planted dups (fuzz)") {
+    val rnd = new scala.util.Random(515)
+    for (round <- 0 until rounds) {
+      val docs = randomDocs(rnd, 24)
+      // batch = phrase-heavy rewrites of corpus docs: planted overlaps
+      // land at high jaccard, noise pairs scatter below the threshold
+      val corpus = docs.zipWithIndex.map { case ((_, t), i) => (1000L + i, t) }
+      val batch = docs.zipWithIndex.map { case ((_, t), i) =>
+        (2000L + i, if (i % 3 == 0) t else t.split(" ").drop(1).mkString(" ") + " omega")
+      }
+      val exact = Dedup.ngramJaccardJoin(
+          batch.toDF("doc_id", "text"), "doc_id", "text",
+          corpus.toDF("doc_id", "text"), "doc_id", "text",
+          n = 3, threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = Dedup.minhashLshJoin(
+          batch.toDF("doc_id", "text"), "doc_id", "text",
+          corpus.toDF("doc_id", "text"), "doc_id", "text",
+          n = 3, numHashes = 128, bands = 32, threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(lsh.toSet.subsetOf(exact), s"round $round: false positive")
+      assert(lsh.length == lsh.toSet.size, s"round $round: pair duplicated")
+      // at threshold 0.7 and 32x4 banding, detection prob >= 1-(1-0.7^4)^32
+      // ~ 0.9998 per pair AND is deterministic — identical-text pairs
+      // (every i % 3 == 0) share all bands and can never be missed
+      val certain = exact.filter { case (b, c) => (b - 2000) == (c - 1000) && (b - 2000) % 3 == 0 }
+      assert(certain.subsetOf(lsh.toSet), s"round $round: missed identical pair")
+    }
+  }
+
   test("index dedup == in-memory cross-corpus join at high threshold") {
     val rnd = new scala.util.Random(707)
     for (round <- 0 until 4) {
