@@ -840,6 +840,17 @@ object SparkEntry {
         trainWords = BpeGateWords, numMerges = BpeGateMerges)
       BpeTokenizer.chunkByBpe(d, "doc_id", "text", merges, maxTokens = BpeGateChunk)
     }),
+    "chunk_documents_bpe_overlap" -> ((s, dir) => {
+      // OVERLAPPING subword context windows (stride = max - overlap =
+      // 24): the training-context overlap at BPE granularity — chunk c
+      // covers tokens [24c, 24c+32), window tails repeat into the next
+      // chunk. Oracle materializes each window by token-range join.
+      val d = t(s, dir, "documents")
+      val merges = BpeTokenizer.trainBpe(d, "text",
+        trainWords = BpeGateWords, numMerges = BpeGateMerges)
+      BpeTokenizer.chunkByBpe(d, "doc_id", "text", merges,
+        maxTokens = BpeGateChunk, overlap = 8)
+    }),
     "pack_sequences_bpe" -> ((s, dir) => {
       // the packing contract re-billed in SUBWORD tokens: same
       // chunk-scoped greedy packer, token column swapped from the
@@ -2017,6 +2028,37 @@ object SparkEntry {
           |       CAST(count(*) AS INT) AS n_tokens,
           |       string_agg(tok, '' ORDER BY tp) AS chunk_hex
           |FROM sq GROUP BY 1, 2""".stripMargin),
+      // chunk_documents_bpe_overlap: stride-24 windows of 32 BPE tokens
+      // — each window materialized by a token-range join on [24c, 24c+32)
+      "chunk_documents_bpe_overlap" -> (bpeOraclePrefix(BpeGateWords, BpeGateMerges) +
+        s""",
+          |tokq AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+          |  FROM documents),
+          |wtk AS (
+          |  SELECT doc_id, pos, string_split(sf.s, ' ') AS toks
+          |  FROM tokq JOIN s$BpeGateMerges sf ON hex(tokq.w) = sf.wh
+          |  WHERE tokq.w <> ''),
+          |tk AS (
+          |  SELECT doc_id, pos, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ti
+          |  FROM wtk),
+          |sq AS (
+          |  SELECT doc_id, tok,
+          |         row_number() OVER (PARTITION BY doc_id ORDER BY pos, ti) - 1 AS tp
+          |  FROM tk),
+          |nt AS (SELECT doc_id, count(*) AS n FROM sq GROUP BY 1),
+          |ch AS (
+          |  SELECT doc_id, n,
+          |         unnest(range(0, CAST(1 + ceil(greatest(n - $BpeGateChunk, 0) / 24.0) AS INT)))
+          |           AS chunk_id
+          |  FROM nt)
+          |SELECT ch.doc_id, CAST(ch.chunk_id AS INT) AS chunk_id,
+          |       CAST(count(*) AS INT) AS n_tokens,
+          |       string_agg(sq.tok, '' ORDER BY sq.tp) AS chunk_hex
+          |FROM ch JOIN sq ON sq.doc_id = ch.doc_id
+          |  AND sq.tp >= ch.chunk_id * 24 AND sq.tp < ch.chunk_id * 24 + $BpeGateChunk
+          |GROUP BY 1, 2""".stripMargin),
       // pack_sequences_bpe: the pack_sequences recursion with `tc`
       // swapped from whitespace counts to the BPE stages' final-state
       // token counts. WITH RECURSIVE heads the whole CTE list (DuckDB

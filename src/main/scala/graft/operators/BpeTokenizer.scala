@@ -159,29 +159,38 @@ object BpeTokenizer {
   }
 
   /** Context-window chunking at SUBWORD granularity: chunk `c` covers
-    * BPE tokens `[c·maxTokens, (c+1)·maxTokens)` of the document's
-    * token stream. Output `(<idCol>, chunk_id, n_tokens, chunk_hex)`
-    * — `chunk_hex` is the chunk's bytes hex-rendered because a chunk
-    * boundary may split a word mid-UTF-8-sequence (token budgets cut
-    * where the budget says, not where characters end). Same zero-
-    * shuffle scan shape as [[Chunking.chunkByTokens]]: tokens, chunk
-    * ids and slices are all projections; empty docs chunk to nothing.
+    * BPE tokens `[c·stride, c·stride + maxTokens)` of the document's
+    * token stream, `stride = maxTokens - overlap` (`overlap = 0`, the
+    * default, gives disjoint budget-exact chunks; a positive overlap
+    * repeats the window tail into the next chunk — the standard
+    * training-context overlap, parity with
+    * [[Chunking.chunkByTokens]]). Output `(<idCol>, chunk_id,
+    * n_tokens, chunk_hex)` — `chunk_hex` is the chunk's bytes
+    * hex-rendered because a chunk boundary may split a word
+    * mid-UTF-8-sequence (token budgets cut where the budget says, not
+    * where characters end). Same zero-shuffle scan shape as
+    * [[Chunking.chunkByTokens]]: tokens, chunk ids and slices are all
+    * projections; empty docs chunk to nothing.
     */
   def chunkByBpe(df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)], maxTokens: Int): DataFrame = {
+      merges: Seq[(String, String)], maxTokens: Int, overlap: Int = 0): DataFrame = {
     require(maxTokens > 0, s"chunkByBpe: maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"chunkByBpe: overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
     df.select(col(idCol), bpeTokens(col(textCol), merges).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .select(col(idCol), col("__toks"),
         explode(sequence(lit(0),
-          ceil(size(col("__toks")) / lit(maxTokens.toDouble)).cast("int") - 1))
+          ceil(greatest(size(col("__toks")) - maxTokens, lit(0)) / lit(stride.toDouble))
+            .cast("int")))
           .as("chunk_id"))
       .select(
         col(idCol),
         col("chunk_id"),
-        least(lit(maxTokens), size(col("__toks")) - col("chunk_id") * maxTokens)
+        least(lit(maxTokens), size(col("__toks")) - col("chunk_id") * stride)
           .cast("int").as("n_tokens"),
-        array_join(slice(col("__toks"), col("chunk_id") * maxTokens + 1, lit(maxTokens)), "")
+        array_join(slice(col("__toks"), col("chunk_id") * stride + 1, lit(maxTokens)), "")
           .as("chunk_hex"))
   }
 }

@@ -230,6 +230,34 @@ class BpeSuite extends SparkSpec {
     }
   }
 
+  test("chunkByBpe overlap: stride windows, tails repeat, zero overlap unchanged") {
+    val docs = Seq((1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("id", "text")
+    val merges = BpeTokenizer.trainBpe(docs, "text", trainWords = 16, numMerges = 6)
+    val n = docs.select(BpeTokenizer.bpeTokenCount(col("text"), merges))
+      .collect()(0).getInt(0)
+    val max = 8
+    val ov = 3
+    val stride = max - ov
+    val chunks = BpeTokenizer.chunkByBpe(docs, "id", "text", merges, max, ov)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).sortBy(_._1)
+    // chunk count = 1 + ceil((n - max) / stride); every non-final chunk
+    // is budget-exact; chunk c starts at token c*stride
+    assert(chunks.length == 1 + math.ceil(math.max(n - max, 0) / stride.toDouble).toInt)
+    chunks.dropRight(1).foreach(c => assert(c._2 == max, s"chunk ${c._1} not full"))
+    val full = docs.select(BpeTokenizer.bpeTokens(col("text"), merges))
+      .collect()(0).getSeq[String](0)
+    chunks.foreach { case (cid, nt, hex) =>
+      assert(hex == full.slice(cid * stride, cid * stride + max).mkString(""),
+        s"chunk $cid payload")
+      assert(nt == math.min(max, n - cid * stride), s"chunk $cid count")
+    }
+    // overlap=0 (default) stays the historical disjoint partition
+    val disjoint = BpeTokenizer.chunkByBpe(docs, "id", "text", merges, max)
+      .collect().map(r => r.getString(3)).mkString("")
+    assert(disjoint == full.mkString(""), "disjoint chunks must reassemble")
+  }
+
   test("bpe count on the gate corpus never exceeds byte count, beats whitespace x1") {
     // sanity on real data: merges only shrink the byte-token stream,
     // and subword counts are >= whitespace word counts
