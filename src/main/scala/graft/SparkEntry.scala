@@ -526,6 +526,21 @@ object SparkEntry {
       BpeTokenizer.chunkByBpe(clean.select("doc_id", "text"), "doc_id", "text",
         merges, maxTokens = BpeGateChunk)
     }),
+    "dedup_keep_best" -> ((s, dir) => {
+      // curation composition: near-dup clusters → keep the HIGHEST-
+      // QUALITY member, not first/min-id (the policy real pipelines
+      // want — boilerplate-laden copies lose to the clean original).
+      // The argmax runs on the exact 1e-4 quality grid, so the keep
+      // decision replays bit-for-bit in any engine.
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccard(d, "doc_id", "text", n = 3, threshold = 0.6)
+      val scored = d.select(col("doc_id"),
+        floor(TextFunctions.qualityScore(col("text")) * lit(10000.0))
+          .cast("long").as("q_grid"))
+      Dedup.keepBestByComponent(pairs, "doc_a", "doc_b", scored, "doc_id", "q_grid")
+        .select(col("component"), col("keep_id"),
+          (col("score") / lit(10000.0)).as("quality"))
+    }),
     "dedup_components" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.6)
@@ -1910,6 +1925,38 @@ object SparkEntry {
           |JOIN cnt ca ON ca.doc_id = doc_a
           |JOIN cnt cb ON cb.doc_id = doc_b
           |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin),
+      // dedup_keep_best: components + per-cluster argmax on the exact
+      // quality grid (window rn=1 — DuckDB's arg_max is tie-unstable)
+      "dedup_keep_best" -> (shingles3.replace("WITH tokp", "WITH RECURSIVE tokp") +
+        """,pairs AS (
+          |  SELECT doc_a, doc_b FROM inter
+          |  JOIN cnt ca ON ca.doc_id = doc_a
+          |  JOIN cnt cb ON cb.doc_id = doc_b
+          |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6),
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |          UNION SELECT doc_b, doc_a FROM pairs),
+          |reach AS (
+          |  SELECT DISTINCT src AS id, src AS r FROM edges
+          |  UNION
+          |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r),
+          |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+          |tq AS (SELECT doc_id, w FROM tokp WHERE w <> ''),
+          |qagg AS (SELECT doc_id, count(*) AS n,
+          |  sum(CASE WHEN lower(w) IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as')
+          |      THEN 1 ELSE 0 END) AS sw
+          |  FROM tq GROUP BY doc_id),
+          |qual AS (SELECT d.doc_id,
+          |  CAST(floor((least(qagg.n / 50.0, 1.0) * 0.5
+          |        + least(qagg.sw * 1.0 / qagg.n * 5.0, 1.0) * 0.3
+          |        + (1.0 - least(length(regexp_replace(d.text, '[^.,!?;:]', '', 'g')) * 1.0
+          |                       / length(d.text) * 5.0, 1.0)) * 0.2) * 10000) AS BIGINT) AS qg
+          |  FROM documents d JOIN qagg ON qagg.doc_id = d.doc_id),
+          |rep AS (SELECT c.component, c.id, q.qg,
+          |        row_number() OVER (PARTITION BY c.component
+          |                           ORDER BY q.qg DESC, c.id ASC) AS rn
+          |        FROM comp c JOIN qual q ON q.doc_id = c.id)
+          |SELECT component, id AS keep_id, qg / 10000.0 AS quality
+          |FROM rep WHERE rn = 1""".stripMargin),
       "dedup_components" -> (shingles3.replace("WITH tokp", "WITH RECURSIVE tokp") +
         """,pairs AS (
           |  SELECT doc_a, doc_b FROM inter

@@ -803,6 +803,31 @@ object Dedup {
       localThreshold: Long = 250000L): DataFrame =
     connectedComponentsImpl(pairs, aCol, bCol, maxIter, localThreshold)._1
 
+  /** Representative selection over near-dup clusters by a QUALITY
+    * policy (keep-the-best, not keep-the-first): clusters from
+    * [[connectedComponents]] over `pairs`, representative = the member
+    * maximizing `scoreCol` (ties: smaller id). Returns `(component,
+    * keep_id, score)` — one row per multi-doc cluster; docs outside
+    * every pair are implicitly kept (cluster rows are dedup-decision
+    * rows, pair-scaled, never corpus-scaled). For an engine-portable
+    * argmax, pass a score already on an exact grid (e.g.
+    * `floor(quality·1e4)` as a long): the ordering is then integer
+    * comparison, immune to last-ulp double drift.
+    */
+  def keepBestByComponent(
+      pairs: DataFrame, aCol: String, bCol: String,
+      scored: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    comps
+      .join(scored.select(col(idCol).as("id"), col(scoreCol).as("__score")), "id")
+      .groupBy(col("component"))
+      .agg(max_by(
+        struct(col("id"), col("__score")),
+        struct(col("__score"), -col("id"))).as("__k"))
+      .select(col("component"), col("__k.id").as("keep_id"),
+        col("__k.__score").as("score"))
+  }
+
   /** Implementation that also reports the number of propagation rounds
     * taken (−1 on the driver-side union-find path). Exposed package-
     * private so [[graft.tools.ScaleStressCC]] can keep the round count

@@ -250,6 +250,17 @@ class DedupSuite extends SparkSpec {
       dist.orderBy("id").select("id", "component"))
   }
 
+  test("keepBestByComponent: highest score wins per cluster, min-id tiebreak") {
+    // clusters {1,2,3} and {10,11}; scores pick 2 and tie 10/11 -> 10
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val scored = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L), (99L, 100L))
+      .toDF("doc_id", "q")
+    val got = Dedup.keepBestByComponent(pairs, "doc_a", "doc_b", scored, "doc_id", "q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // component labels are the cluster min id; doc 99 is in no pair -> no row
+    assert(got == Set((1L, 2L, 9L), (10L, 10L, 4L)))
+  }
+
   test("embedding near-dup: brute force finds the close pair with true cosine") {
     val vecs = Seq(
       (1, Array(1.0, 0.0, 0.0)),
