@@ -722,6 +722,26 @@ object SparkEntry {
           nProbe = 8),
         SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 5))
     }),
+    "ann_topk_ivf_pq_filtered" -> ((s, dir) => {
+      // CONSTRAINED serving: top-k among an allowlist only (license
+      // filter, decontaminated subset, tenant scope) — the allowlist
+      // prunes candidates BEFORE the rank cut, so k still fills from
+      // allowed docs. Shares the serving index (same build params);
+      // exact side = brute force over the allowed subset. Recall
+      // constant pinned at sf0.01 (deterministic trainers).
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val idx = scratch("ivfpq_srv_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        SimilaritySearch.buildIvfPqIndex(e, "vec_id", "embedding", idx,
+          nCentroids = 16, m = 32, kCodes = 32)
+      val allowed = e.filter(col("vec_id") % 3 =!= 0).select("vec_id")
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.searchIvfPqWhere(s, idx, q, "vec_id", "embedding",
+          k = 5, allowed, nProbe = 8),
+        SimilaritySearch.bruteForceTopK(q, e.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", k = 5))
+    }),
     "ann_topk_ivf_pq_rerank" -> ((s, dir) => {
       // two-stage retrieval: ADC shortlist (4k per query) from the
       // persisted IVF×PQ index, then exact float re-ranking — recovers
@@ -2347,6 +2367,12 @@ object SparkEntry {
       "ann_topk_ivf_pq_search" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(0.71 AS DOUBLE) AS recall""".stripMargin,
+      // allowlist pre-filter: k still fills (100 results), recall dips
+      // 0.71 -> 0.68 only through cell pruning of allowed-subset
+      // neighbors (the cut itself never drops allowed candidates)
+      "ann_topk_ivf_pq_filtered" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(0.68 AS DOUBLE) AS recall""".stripMargin,
       // exact re-ranking recovers PQ quantization error: 0.71 -> 0.81
       // at the same nProbe on the gate vectors (cell-pruning misses
       // are all that remain) — measured at sf0.01, deterministic

@@ -1015,6 +1015,34 @@ object SimilaritySearch {
     ivfPqSearch(q, cents, codes, k, nProbe, m, kCodes, subDim, cb)
   }
 
+  /** FILTERED serving from a [[buildIvfPqIndex]] index: top-k among
+    * the `allowed` ids only (license filters, decontaminated subsets,
+    * per-tenant scopes). The allowlist applies to the candidate codes
+    * BEFORE the rank cut — a pre-filter, so a sparse allowlist costs
+    * recall only through cell pruning, never through the cut (the
+    * post-filter alternative returns < k rows whenever the unfiltered
+    * top-k happens to land outside the allowlist). The semi-join is a
+    * plain equi-join on neighbor_id: AQE broadcasts a takedown-sized
+    * allowlist, shuffles a corpus-scale one.
+    */
+  def searchIvfPqWhere(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      allowed: DataFrame, nProbe: Int = 4): DataFrame = {
+    val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
+    val (_, _, _, m, kCodes, subDim, cb) = loadIvfPqModel(spark, vdir)
+    val cents = spark.read.parquet(s"$vdir/centroids")
+      .select(col("cell").as("__cell"), col("centroid").as("__ctv"),
+        col("cnorm").as("__ctn"))
+    val allow = allowed.select(col(idCol).as("neighbor_id")).distinct()
+    val codes = liveChain(spark, indexDir, "cells")
+      .select(col("neighbor_id"), col("codes"), col("rnorm"),
+        col("cell").as("__cell"))
+      .join(allow, Seq("neighbor_id"), "left_semi")
+    val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    ivfPqSearch(q, cents, codes, k, nProbe, m, kCodes, subDim, cb)
+  }
+
   /** Two-stage retrieval over a [[buildIvfPqIndex]] index: ADC
     * shortlists `kShortlist` candidates per query (default 4k), then
     * the shortlist is EXACT-rescored against the raw float vectors and

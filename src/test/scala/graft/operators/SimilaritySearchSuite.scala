@@ -556,6 +556,43 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(asSet(rrSelf) == asSet(rr))
   }
 
+  test("searchIvfPqWhere: probe-all filtered search == brute force on the allowed subset") {
+    val rnd = new scala.util.Random(47)
+    val centers = Seq(
+      Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0),
+      Array(0, 0, 10.0, 0), Array(0, 0, 0, 10.0))
+    val vecs = (0 until 80).map { i =>
+      val ctr = centers(i % 4)
+      (i, ctr.map(_ + rnd.nextGaussian() * 0.5))
+    }.toDF("id", "emb")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_fil_").toString
+    // the rich codebook of the ivfPqTopK recall spec: m=2/kCodes=8
+    // cannot rank near-tie neighbors INSIDE a cluster, and a filtered
+    // top-k among ~20 allowed cluster members is exactly that regime
+    SimilaritySearch.buildIvfPqIndex(vecs, "id", "emb", idx,
+      nCentroids = 4, iters = 4, m = 4, kCodes = 32, sampleN = 80, pqIters = 6)
+    val q = vecs.filter($"id" < 6)
+    val allowed = vecs.filter($"id" % 3 =!= 0).select("id")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    // probe-all + PQ scoring: the candidate SET equals the allowed
+    // subset, so every returned neighbor must be allowed and the top-k
+    // under exact rescoring must match brute force on that subset
+    val got = SimilaritySearch.searchIvfPqWhere(spark, idx, q,
+      "id", "emb", k = 3, allowed, nProbe = 4)
+    got.collect().foreach(r =>
+      assert(r.getInt(1) % 3 != 0, s"disallowed neighbor ${r.getInt(1)}"))
+    assert(got.groupBy("query_id").count().collect().forall(_.getLong(1) == 3),
+      "pre-filter must still fill k among allowed candidates")
+    // recall vs exact top-3 on the allowed subset: well-separated
+    // clusters + probe-all leaves only PQ quantization error
+    val exact = SimilaritySearch.bruteForceTopK(q,
+      vecs.filter($"id" % 3 =!= 0), "id", "emb", k = 3)
+    val inter = pairs(got).intersect(pairs(exact)).size
+    assert(inter >= 15, s"filtered recall too low: $inter/18")
+  }
+
   test("self-contained rerank follows the index lifecycle: append, delete, compact") {
     val rnd = new scala.util.Random(47)
     val centers = Seq(
