@@ -149,4 +149,24 @@ class PlanContractSuite extends SparkSpec {
     assert(plan.contains("dynamicpruning"),
       s"ann_topk_ivf_persisted probe lost dynamic cell pruning:\n$plan")
   }
+
+  test("plan contract: searchIvfPqWhere keeps WindowGroupLimit, allowlist is a semi-join") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
+    val idx = java.nio.file.Files.createTempDirectory("graft_plan_ivfpq_w").toString
+    SimilaritySearch.buildIvfPqIndex(emb, "vec_id", "embedding", idx,
+      nCentroids = 4, iters = 3, m = 4, kCodes = 16, sampleN = 256)
+    val plan = SimilaritySearch.searchIvfPqWhere(
+        spark, idx, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5,
+        allowed = emb.filter(col("vec_id") % 3 =!= 0).select("vec_id"), nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"filtered search lost rank-limit pushdown:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"allowlist did not plan as a semi-join:\n$plan")
+    // the only nested-loop allowed is the k-row centroid broadcast
+    // cross (cell choice); a CartesianProduct would mean the allowlist
+    // or candidate join lost its equi keys
+    assert(!plan.contains("CartesianProduct"),
+      s"filtered search degenerated to an unbounded join:\n$plan")
+  }
 }
