@@ -742,6 +742,28 @@ object SparkEntry {
         SimilaritySearch.bruteForceTopK(q, e.filter(col("vec_id") % 3 =!= 0),
           "vec_id", "embedding", k = 5))
     }),
+    "ann_topk_ivf_pq_meta" -> ((s, dir) => {
+      // METADATA-scoped serving: the filterable attribute (label —
+      // stand-in for source/license/tenant) is a PARTITION column of
+      // the index's cells layout, so the scope predicate prunes at the
+      // parquet scan (PartitionFilters) instead of semi-joining an
+      // allowlist — the corpus-scale-allowlist shape
+      // ann_topk_ivf_pq_filtered's id form can't prune. Exact side =
+      // brute force over the scoped subset; recall constant pinned at
+      // sf0.01 (deterministic trainers).
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20).select("vec_id", "embedding")
+      val idx = scratch("ivfpq_meta_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        SimilaritySearch.buildIvfPqIndex(e, "vec_id", "embedding", idx,
+          nCentroids = 16, m = 32, kCodes = 32, metaCol = Some("label"))
+      val odd = Seq("1", "3", "5", "7", "9")
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.searchIvfPqWhereMeta(s, idx, q, "vec_id", "embedding",
+          k = 5, metaValues = odd, nProbe = 8),
+        SimilaritySearch.bruteForceTopK(q, e.filter(col("label") % 2 === 1),
+          "vec_id", "embedding", k = 5))
+    }),
     "ann_topk_ivf_pq_rerank" -> ((s, dir) => {
       // two-stage retrieval: ADC shortlist (4k per query) from the
       // persisted IVF×PQ index, then exact float re-ranking — recovers
@@ -1132,6 +1154,15 @@ object SparkEntry {
       // Oracle replays the exact backoff CASE in SQL.
       LangModel.score3(t(s, dir, "documents"), "doc_id", "text")
     }),
+    "lm_score_4gram" -> ((s, dir) => {
+      // ORDER-N surface at N=4 (scoreAgainstN generalizes the backoff
+      // walk to any order; the trigram query pins the dedicated N=3
+      // path): 4-gram ratio, else 0.4x trigram ratio, else 0.4²x
+      // bigram ratio, else the 0.4³ add-one floor — factors are the
+      // repeated double product, which the oracle replays as literal
+      // 0.4*0.4 chains.
+      LangModel.scoreN(t(s, dir, "documents"), "doc_id", "text", order = 4)
+    }),
     "stream_lm_gate3" -> ((s, dir) => {
       // the order-3 gate AT INGEST: count-pruned trigram model (KenLM
       // cutoffs), ONE in-row kernel call per doc, no join/agg/state.
@@ -1174,6 +1205,40 @@ object SparkEntry {
             col("doc_id") >= b * width && col("doc_id") < (b + 1) * width))
         }.reduce(_ unionByName _)
       }
+    }),
+    "stream_pack_state" -> ((s, dir) => {
+      // packing with the open-bin carry in the REAL state store
+      // (flatMapGroupsWithState keyed by chunk — the unbounded-shard
+      // shape; stream_pack_sequences's IncrementalPacker is the
+      // driver-carry alternative). Driven as an actual streaming
+      // query: MemoryStream fed id-ordered micro-batches of width 130
+      // — NOT a multiple of the 20-doc chunk shard, so open bins
+      // straddle batches and the carry genuinely crosses micro-batch
+      // boundaries through the store — memory sink, append mode. The
+      // result must equal the one-shot batch packing of the corpus,
+      // which the oracle replays.
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val d = t(s, dir, "documents")
+      val counts = d.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+        .collect()
+        .map(r => Streaming.PackDoc(r.getLong(0) / 20, r.getLong(0), r.getLong(1)))
+        .sortBy(_.id)
+      implicit val sqlCtx = s.sqlContext
+      val input = MemoryStream[Streaming.PackDoc]
+      val packed = Streaming.packSequencesState(input.toDS(), maxLen = 96)
+      val sink = s"stream_pack_state_$runToken"
+      val q = packed.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        counts.grouped(130).foreach { b =>
+          input.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink)
+        .select(col("id").as("doc_id"), col("chunk"), col("bin"), col("bin_fill"))
+        .localCheckpoint(true)
     }),
     "source_jsonl_roundtrip" -> ((s, dir) => {
       // the ingestion path on the oracle gate: parquet -> JSONL on disk
@@ -2376,6 +2441,12 @@ object SparkEntry {
       // exact re-ranking recovers PQ quantization error: 0.71 -> 0.81
       // at the same nProbe on the gate vectors (cell-pruning misses
       // are all that remain) — measured at sf0.01, deterministic
+      // meta scope (label odd) over the same serving index family:
+      // recall measured at sf0.01 — cell pruning only, the partition
+      // filter costs nothing through the cut
+      "ann_topk_ivf_pq_meta" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(0.67 AS DOUBLE) AS recall""".stripMargin,
       "ann_topk_ivf_pq_rerank" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(0.81 AS DOUBLE) AS recall""".stripMargin,
@@ -2758,6 +2829,54 @@ object SparkEntry {
           |SELECT doc_id, count(*) AS n_trigrams,
           |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
           |FROM lp GROUP BY doc_id""".stripMargin,
+      // lm_score_4gram: the order-4 backoff CASE — keep the exact
+      // double chains; the compounded factors MUST go through
+      // CAST(0.4 AS DOUBLE)*0.4[*0.4] (DuckDB folds a bare 0.4*0.4 in
+      // DECIMAL to exactly 0.16, one ulp off the double product
+      // LangModel.backoffFactors computes)
+      "lm_score_4gram" ->
+        """WITH tokp AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |  FROM documents),
+          |qd AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3, d.w AS w4
+          |       FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          |                   JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+          |                   JOIN tokp d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3),
+          |qc AS (SELECT w1, w2, w3, w4, count(*) AS c4 FROM qd GROUP BY 1, 2, 3, 4),
+          |tri AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3
+          |        FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          |                    JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+          |tc AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+          |bi AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+          |       FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+          |uc AS (SELECT w, count(*) AS cu FROM tokp GROUP BY 1),
+          |st AS (SELECT count(DISTINCT w) AS nv, count(*) AS n_tok FROM tokp),
+          |lp AS (
+          |  SELECT t.doc_id,
+          |         CAST(floor(ln(
+          |           CASE WHEN qc.c4 IS NOT NULL AND t123.c3 IS NOT NULL
+          |                  THEN qc.c4 * 1.0 / t123.c3
+          |                WHEN t234.c3 IS NOT NULL AND b23.cb IS NOT NULL
+          |                  THEN 0.4 * t234.c3 / b23.cb
+          |                WHEN b34.cb IS NOT NULL AND u3.cu IS NOT NULL
+          |                  THEN CAST(0.4 AS DOUBLE) * 0.4 * b34.cb / u3.cu
+          |                ELSE CAST(0.4 AS DOUBLE) * 0.4 * 0.4 * (COALESCE(u4.cu, 0) + 1.0)
+          |                       / (st.n_tok + st.nv)
+          |           END) * 10000.0) AS BIGINT) AS lp
+          |  FROM qd t
+          |  LEFT JOIN qc ON qc.w1 = t.w1 AND qc.w2 = t.w2 AND qc.w3 = t.w3 AND qc.w4 = t.w4
+          |  LEFT JOIN tc t123 ON t123.w1 = t.w1 AND t123.w2 = t.w2 AND t123.w3 = t.w3
+          |  LEFT JOIN tc t234 ON t234.w1 = t.w2 AND t234.w2 = t.w3 AND t234.w3 = t.w4
+          |  LEFT JOIN bc b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
+          |  LEFT JOIN bc b34 ON b34.w1 = t.w3 AND b34.w2 = t.w4
+          |  LEFT JOIN uc u3 ON u3.w = t.w3
+          |  LEFT JOIN uc u4 ON u4.w = t.w4
+          |  CROSS JOIN st)
+          |SELECT doc_id, count(*) AS n_ngrams,
+          |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
+          |FROM lp GROUP BY doc_id""".stripMargin,
       "stream_lm_gate3" ->
         """WITH tokp AS (
           |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
@@ -2826,6 +2945,28 @@ object SparkEntry {
           |         CASE WHEN r.fill + dd.toks > 128 THEN dd.toks ELSE r.fill + dd.toks END
           |  FROM rec r JOIN dd ON dd.chunk = r.chunk AND dd.rn = r.rn + 1)
           |SELECT id AS doc_id, chunk, bin, fill AS bin_fill FROM rec""".stripMargin),
+      // stream_pack_state: state-store packing of an id-ordered feed ≡
+      // one-shot greedy batch packing — the oracle replays the pack
+      // recursion over the whole corpus (no gate stage here; the state
+      // store itself is the claim)
+      "stream_pack_state" ->
+        """WITH RECURSIVE tc AS (
+          |  SELECT doc_id,
+          |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          |                              w -> w <> '')) AS BIGINT) AS toks
+          |  FROM documents),
+          |dd AS (SELECT doc_id // 20 AS chunk, doc_id AS id, toks,
+          |              row_number() OVER (PARTITION BY doc_id // 20 ORDER BY doc_id) AS rn
+          |       FROM tc),
+          |rec AS (
+          |  SELECT chunk, id, rn, CAST(0 AS BIGINT) AS bin, toks AS fill
+          |  FROM dd WHERE rn = 1
+          |  UNION ALL
+          |  SELECT dd.chunk, dd.id, dd.rn,
+          |         CASE WHEN r.fill + dd.toks > 96 THEN r.bin + 1 ELSE r.bin END,
+          |         CASE WHEN r.fill + dd.toks > 96 THEN dd.toks ELSE r.fill + dd.toks END
+          |  FROM rec r JOIN dd ON dd.chunk = r.chunk AND dd.rn = r.rn + 1)
+          |SELECT id AS doc_id, chunk, bin, fill AS bin_fill FROM rec""".stripMargin,
       "source_jsonl_roundtrip" ->
         """SELECT source, count(*) AS n_docs,
           |       CAST(sum(length(text)) AS BIGINT) AS n_chars,

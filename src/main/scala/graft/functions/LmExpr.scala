@@ -157,6 +157,96 @@ object LmScore3Kernel {
   }
 }
 
+/** ORDER-N sibling of [[LmScore3Kernel]]: the stupid-backoff walk
+  * generalized to arbitrary order with ONE sorted key/count array per
+  * order (`keys(k-1)` holds the k-grams) and a ring of hash-chain
+  * values — `chain(k)` is Spark's `xxhash64` of the k-gram ending at
+  * the current token, computed incrementally from the previous
+  * token's `chain(k-1)` (each token hashed with the prior chain value
+  * as seed, from 42), so every lookup key matches the batch
+  * aggregations bit-for-bit. Backoff factors are the repeated product
+  * `0.4·0.4·…` ([[graft.operators.LangModel.backoffFactors]] — the
+  * N=3 instance therefore agrees with [[LmScore3Kernel]] only up to
+  * the final ulp of its literal `0.16`).
+  *
+  * Returns `(n_ngrams, lp_sum)`; a doc with < order tokens scores
+  * `(0, 0)`.
+  */
+object LmScoreNKernel {
+
+  private def isSep(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  private def lookup(keys: Array[Long], counts: Array[Long], h: Long): Long =
+    if (keys.length == 0) 0L
+    else {
+      val p = java.util.Arrays.binarySearch(keys, h)
+      if (p >= 0) counts(p) else 0L
+    }
+
+  def compute(
+      text: UTF8String, order: Int,
+      keys: Array[Array[Long]], counts: Array[Array[Long]],
+      vocab: Long, nTokens: Long): InternalRow = {
+    val bytes = text.getBytes
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && (bytes(lo) & 0xff) <= 0x20) lo += 1
+    while (hi > lo && (bytes(hi - 1) & 0xff) <= 0x20) hi -= 1
+    val factors = graft.operators.LangModel.backoffFactors(order)
+    // chainPrev(k) / chainCur(k): xxhash64 of the k-gram ending at the
+    // previous / current token (1-indexed; valid when enough seen)
+    val chainPrev = new Array[Long](order + 1)
+    val chainCur = new Array[Long](order + 1)
+    var seen = 0
+    var n = 0L
+    var lpSum = 0L
+    var i = lo
+    while (i < hi) {
+      while (i < hi && isSep(bytes(i))) i += 1
+      if (i < hi) {
+        val s = i
+        while (i < hi && !isSep(bytes(i))) i += 1
+        val tok = UTF8String.fromBytes(bytes, s, i - s)
+        val F = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        chainCur(1) = F.hash(tok, StringType, 42L)
+        var k = 2
+        while (k <= order) {
+          chainCur(k) = if (seen >= k - 1) F.hash(tok, StringType, chainPrev(k - 1)) else 0L
+          k += 1
+        }
+        if (seen >= order - 1) {
+          // level j: numerator = (order−j)-gram ending HERE, denominator
+          // = (order−1−j)-gram ending at the previous token
+          var x = 0.0
+          var hit = false
+          var j = 0
+          while (j <= order - 2 && !hit) {
+            val cn = lookup(keys(order - j - 1), counts(order - j - 1),
+              chainCur(order - j))
+            val cd = lookup(keys(order - j - 2), counts(order - j - 2),
+              chainPrev(order - j - 1))
+            if (cn > 0 && cd > 0) {
+              x = factors(j) * cn / cd
+              hit = true
+            }
+            j += 1
+          }
+          if (!hit) {
+            val cl = lookup(keys(0), counts(0), chainCur(1))
+            x = factors(order - 1) * (cl + 1.0) / (nTokens + vocab)
+          }
+          lpSum += math.floor(math.log(x) * 10000.0).toLong
+          n += 1L
+        }
+        System.arraycopy(chainCur, 0, chainPrev, 0, order + 1)
+        seen += 1
+      }
+    }
+    InternalRow(n, lpSum)
+  }
+}
+
 /** `string -> struct<n_bigrams: long, lp_sum: long>`: the whole
   * per-document LM scoring of the streaming gate as ONE scan
   * projection — the pruned model rides to executors as plan
@@ -186,6 +276,37 @@ case class LmScoreExpr(
     val uc = ctx.addReferenceObj("graftLmUc", unigramCounts, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.LmScoreKernel.compute($c, $bk, $bc, $uk, $uc, ${vocab}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `string -> struct<n_ngrams: long, lp_sum: long>`: order-N
+  * stupid-backoff scoring as ONE scan projection ([[LmScoreNKernel]])
+  * — the streaming-gate shape at arbitrary order; the per-order
+  * key/count arrays ride as plan references.
+  */
+case class LmScoreNExpr(
+    child: Expression,
+    order: Int,
+    keys: Array[Array[Long]], counts: Array[Array[Long]],
+    vocab: Long, nTokens: Long) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ngrams", LongType, nullable = false),
+    StructField("lp_sum", LongType, nullable = false)))
+  override def prettyName: String = "graft_lm_score_n"
+
+  override def nullSafeEval(input: Any): Any =
+    LmScoreNKernel.compute(input.asInstanceOf[UTF8String],
+      order, keys, counts, vocab, nTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ks = ctx.addReferenceObj("graftLmNKs", keys, "long[][]")
+    val cs = ctx.addReferenceObj("graftLmNCs", counts, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LmScoreNKernel.compute($c, $order, $ks, $cs, ${vocab}L, ${nTokens}L);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -344,6 +344,222 @@ object LangModel {
           .as("avg_logp"))
   }
 
+  /** ORDER-N scoring with stupid backoff — [[scoreAgainst3]]
+    * generalized: each N-gram position walks the backoff chain
+    *
+    *   x = c(w_{1..N})/c(w_{1..N−1})                    level 0
+    *     | 0.4^j · c(w_{j+1..N})/c(w_{j+1..N−1})        level j
+    *     | 0.4^(N−1) · (c(w_N)+1)/(Ntok+V)              terminal floor
+    *
+    * with lp = floor4(ln x) on the exact 1e-4 grid. Backoff factors
+    * are the REPEATED PRODUCT 0.4·0.4·… (left-assoc double chain, the
+    * replayable definition an oracle can reproduce) — note this makes
+    * the N=3 instance agree with [[scoreAgainst3]] only up to the
+    * final ulp of its literal `0.16`, so the two stay separate
+    * surfaces. Returns `(<idCol>, n_ngrams, avg_logp)` for docs with
+    * ≥ 1 N-gram.
+    *
+    * Scale design mirrors [[scoreAgainst3]]: count tables for orders
+    * 1..N keyed by xxhash64 chains (8-byte keys, map-side partial
+    * agg), 2(N−1)+1 shuffled equi-joins that AQE can flip to
+    * broadcast under a domain model; the pruned serving form is
+    * [[scoreWithModelN]] (one scan projection, no joins).
+    */
+  def scoreAgainstN(
+      train: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      order: Int): DataFrame = {
+    require(order >= 2, s"scoreAgainstN: order must be >= 2, got $order")
+    val counts: Map[Int, DataFrame] = (1 to order).map { k =>
+      k -> ngramsK(train.select(col(textCol)), textCol, k)
+        .select(xxhash64((1 to k).map(j => col(s"__w$j")): _*).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+    }.toMap
+    val stats = train
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .agg(count(lit(1)).as("__n"), countDistinct(col("__w")).as("__v"))
+
+    // hash of words a..b (1-based inclusive) of the current N-gram
+    def h(a: Int, b: Int): Column =
+      xxhash64((a to b).map(j => col(s"__w$j")): _*)
+    // level j needs numerator gram (j+1..N) and denominator gram
+    // (j+1..N−1); the terminal needs the last word alone
+    val grams = ngramsK(docs.select(col(idCol), col(textCol)), textCol, order)
+      .select(col(idCol) +: ((0 until order - 1).flatMap(j => Seq(
+        h(j + 1, order).as(s"__num$j"),
+        h(j + 1, order - 1).as(s"__den$j"))) :+
+        h(order, order).as("__last")): _*)
+
+    var joined = grams
+    for (j <- 0 until order - 1) {
+      joined = joined
+        .join(counts(order - j)
+          .select(col("h").as(s"__num$j"), col("c").as(s"__cn$j")),
+          Seq(s"__num$j"), "left")
+        .join(counts(order - 1 - j)
+          .select(col("h").as(s"__den$j"), col("c").as(s"__cd$j")),
+          Seq(s"__den$j"), "left")
+    }
+    joined = joined
+      .join(counts(1).select(col("h").as("__last"), col("c").as("__cl")),
+        Seq("__last"), "left")
+      .crossJoin(broadcast(stats))
+
+    val factors = backoffFactors(order)
+    val terminal: Column =
+      lit(factors(order - 1)) * (coalesce(col("__cl"), lit(0L)) + lit(1.0)) /
+        (col("__n") + col("__v"))
+    val x = (0 until order - 1).foldRight(terminal) { (j, rest) =>
+      when(col(s"__cn$j").isNotNull && col(s"__cd$j").isNotNull,
+        lit(factors(j)) * col(s"__cn$j") / col(s"__cd$j"))
+        .otherwise(rest)
+    }
+    joined
+      .withColumn("__lp", floor(log(x) * lit(10000.0)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(col("__lp")).as("__lp_sum"))
+      .select(
+        col(idCol),
+        col("n_ngrams"),
+        (floor(col("__lp_sum") * lit(1.0) / col("n_ngrams")) / lit(10000.0))
+          .as("avg_logp"))
+  }
+
+  /** Order-N self-scoring ([[scoreAgainstN]] with train = docs). */
+  def scoreN(docs: DataFrame, idCol: String, textCol: String, order: Int): DataFrame =
+    scoreAgainstN(docs, docs, idCol, textCol, order)
+
+  /** Backoff factors `1, 0.4, 0.4·0.4, …` as the left-assoc repeated
+    * double product — shared between the batch plan, the kernel, and
+    * (by replay) the DuckDB oracles.
+    */
+  private[graft] def backoffFactors(order: Int): Array[Double] = {
+    val f = new Array[Double](order)
+    f(0) = 1.0
+    for (j <- 1 until order) f(j) = f(j - 1) * 0.4
+    f
+  }
+
+  /** A pruned ORDER-N model held driver-side: one sorted hash-key /
+    * count array pair per order (index k−1 holds the k-grams), plus
+    * the UNPRUNED vocabulary size and token total.
+    */
+  final case class LmModelN(
+      order: Int,
+      keys: Array[Array[Long]], counts: Array[Array[Long]],
+      vocab: Long, nTokens: Long)
+
+  /** Train and persist a count-pruned ORDER-N model ([[buildLmIndex]]
+    * generalized): tables `grams_1 .. grams_<order>` of
+    * (xxhash64-chain key, count) with a per-order count cutoff
+    * applied, published atomically via [[graft.sources.IndexIO]].
+    * `minCount` prunes every order the same way (KenLM-style; a
+    * pruned entry scores as unseen — |V| and N stay pre-prune).
+    */
+  def buildLmIndexN(
+      train: DataFrame, textCol: String, path: String,
+      order: Int, minCount: Long = 2): Unit = {
+    require(order >= 2, s"buildLmIndexN: order must be >= 2, got $order")
+    require(minCount >= 1, "buildLmIndexN: count cutoff must be >= 1")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val unigramCounts = train
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .select(xxhash64(col("__w")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val vocab = unigramCounts.count()
+    val nTokens = unigramCounts.agg(sum(col("c"))).head().getLong(0)
+    graft.sources.IndexIO.publish(spark, path) { vdir =>
+      unigramCounts.filter(col("c") >= minCount)
+        .write.mode("overwrite").parquet(s"$vdir/grams_1")
+      for (k <- 2 to order) {
+        ngramsK(train.select(col(textCol)), textCol, k)
+          .select(xxhash64((1 to k).map(j => col(s"__w$j")): _*).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= minCount)
+          .write.mode("overwrite").parquet(s"$vdir/grams_$k")
+      }
+      Seq((order, vocab, nTokens, minCount))
+        .toDF("order", "vocab", "n_tokens", "min_count")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
+    ()
+  }
+
+  /** Load a [[buildLmIndexN]] artifact into driver memory (sorted for
+    * the kernel's binary search).
+    */
+  def loadLmModelN(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxEntries: Long = 32L << 20): LmModelN = {
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$vdir/meta")
+    require(metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(metaPath) &&
+        spark.read.parquet(s"$vdir/meta").schema.fieldNames.contains("order"),
+      s"LM index at $path is not an order-N artifact — build with buildLmIndexN")
+    val meta = spark.read.parquet(s"$vdir/meta").head()
+    val order = meta.getAs[Int]("order")
+    val entries = (1 to order)
+      .map(k => spark.read.parquet(s"$vdir/grams_$k").count()).sum
+    require(entries <= maxEntries,
+      s"LM model at $path has $entries entries > $maxEntries; " +
+        "raise the count cutoff")
+    val sorted = (1 to order).map { k =>
+      val rows = spark.read.parquet(s"$vdir/grams_$k").sort("h").collect()
+      (rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+    }
+    LmModelN(order, sorted.map(_._1).toArray, sorted.map(_._2).toArray,
+      meta.getAs[Long]("vocab"), meta.getAs[Long]("n_tokens"))
+  }
+
+  /** Order-N scoring against a loaded pruned model with the in-row
+    * kernel — one scan projection, no joins (stream-safe; the suite
+    * pins it bit-equal to [[scoreAgainstN]] when the cutoff is 1).
+    * Docs with zero N-grams get no row, like the batch path.
+    */
+  def scoreWithModelN(
+      docs: DataFrame, idCol: String, textCol: String, model: LmModelN): DataFrame = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val sc = toColumn(graft.functions.LmScoreNExpr(
+      toExpression(col(textCol)),
+      model.order, model.keys, model.counts, model.vocab, model.nTokens))
+    docs
+      .withColumn("__lm", sc)
+      .filter(col("__lm.n_ngrams") > 0)
+      .select(
+        col(idCol),
+        col("__lm.n_ngrams").as("n_ngrams"),
+        (floor(col("__lm.lp_sum") * lit(1.0) / col("__lm.n_ngrams")) / lit(10000.0))
+          .as("avg_logp"))
+  }
+
+  /** Consecutive token k-tuples of `textCol`, NON-distinct, other
+    * columns preserved as `__w1..__wk` — [[bigrams]]/[[trigrams]]
+    * generalized by folding zip_with over k shifted slices (one
+    * projection, no join, no shuffle).
+    */
+  private[graft] def ngramsK(d: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"ngramsK: k must be >= 1, got $k")
+    val toks = TextFunctions.tokens(col(textCol))
+    val nk = greatest(size(toks) - (k - 1), lit(0))
+    var cur: Column = transform(slice(toks, lit(1), nk),
+      a => struct(a.as("w1")))
+    for (j <- 2 to k) {
+      val prevFields = (1 until j).map(f => s"w$f")
+      cur = zip_with(cur, slice(toks, lit(j), nk), (p, c) =>
+        struct((prevFields.map(f => p.getField(f).as(f)) :+ c.as(s"w$j")): _*))
+    }
+    val others = d.columns.filter(_ != textCol).map(col).toSeq
+    d.withColumn("__g", explode(cur))
+      .select(others ++ (1 to k).map(j => col(s"__g.w$j").as(s"__w$j")): _*)
+  }
+
   /** Consecutive token pairs of `textCol`, NON-distinct (every
     * occurrence is a training/scoring event), other columns preserved.
     */

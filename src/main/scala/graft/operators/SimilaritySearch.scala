@@ -873,9 +873,23 @@ object SimilaritySearch {
       corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
       nCentroids: Int = 16, iters: Int = 5,
       m: Int = 32, kCodes: Int = 32, sampleN: Int = 2048,
-      pqIters: Int = 8): Unit = {
-    val c = prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
-      .localCheckpoint(true)
+      pqIters: Int = 8, metaCol: Option[String] = None): Unit = {
+    // metaCol: a filterable attribute (source, license, tenant) stored
+    // INTO the cells as a second PARTITION column — a meta-scoped
+    // search ([[searchIvfPqWhereMeta]]) then prunes at the parquet
+    // scan (PartitionFilters), never joining an allowlist. The right
+    // shape when the filter domain is small and corpus-scale (every
+    // row has one of a few values): an id-allowlist of arbitrary rows
+    // stays [[searchIvfPqWhere]]'s semi-join.
+    val c = (metaCol match {
+      case Some(mc) => corpus.select(
+        col(idCol).as("neighbor_id"),
+        VectorFunctions.asDouble(col(vecCol)).as("__cv"),
+        VectorFunctions.norm(col(vecCol)).as("__cn"),
+        col(mc).cast("string").as("__meta"))
+      case None =>
+        prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+    }).localCheckpoint(true)
     val dim0 = c.select(size(col("__cv"))).first().getInt(0)
     require(dim0 % m == 0, s"buildIvfPqIndex: m ($m) must divide dim ($dim0)")
     val subDim = dim0 / m
@@ -894,13 +908,19 @@ object SimilaritySearch {
         .write.mode("overwrite").parquet(s"$vdir/centroids")
       Seq((m, kCodes, subDim, cb.toSeq)).toDF("m", "k_codes", "sub_dim", "cb")
         .repartition(1).write.mode("overwrite").parquet(s"$vdir/codebook")
-      c.select(col("neighbor_id"),
-          toColumn(graft.functions.IvfPqEncodeExpr(
-            toExpression(col("__cv")), flat, cnorms, dim, m, kCodes, subDim, cb))
-            .as("__e"))
-        .select(col("neighbor_id"), col("__e.codes").as("codes"),
-          col("__e.rnorm").as("rnorm"), col("__e.cell").as("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/cells")
+      val encoded = c.select(
+          (col("neighbor_id") +:
+            toColumn(graft.functions.IvfPqEncodeExpr(
+              toExpression(col("__cv")), flat, cnorms, dim, m, kCodes, subDim, cb))
+              .as("__e") +:
+            metaCol.map(_ => col("__meta")).toSeq): _*)
+        .select(
+          (col("neighbor_id") +: col("__e.codes").as("codes") +:
+            col("__e.rnorm").as("rnorm") +: col("__e.cell").as("cell") +:
+            metaCol.map(_ => col("__meta").as("meta")).toSeq): _*)
+      encoded.write.mode("overwrite")
+        .partitionBy(("cell" +: metaCol.map(_ => "meta").toSeq): _*)
+        .parquet(s"$vdir/cells")
       // raw-vector side-file: makes two-stage retrieval
       // ([[searchIvfPqRerank]]) self-contained — production rescoring
       // works off the index artifact alone, no original-corpus handle
@@ -934,10 +954,19 @@ object SimilaritySearch {
     */
   def appendToIvfPqIndex(
       newVectors: DataFrame, idCol: String, vecCol: String,
-      indexDir: String): Unit = {
+      indexDir: String, metaCol: Option[String] = None): Unit = {
     val spark = newVectors.sparkSession
     val vdir0 = graft.sources.IndexIO.resolve(spark, indexDir)
     val (cents, cnorms, dim, m, kCodes, subDim, cb) = loadIvfPqModel(spark, vdir0)
+    // a meta-partitioned index must keep its layout through appends:
+    // segment schemas have to agree for the chain union to resolve
+    val baseHasMeta = spark.read.parquet(s"$vdir0/cells")
+      .schema.fieldNames.contains("meta")
+    require(baseHasMeta == metaCol.isDefined,
+      if (baseHasMeta)
+        s"appendToIvfPqIndex: index at $indexDir is meta-partitioned; pass metaCol"
+      else
+        s"appendToIvfPqIndex: index at $indexDir has no meta column; drop metaCol")
     // empty batch -> no-op (see appendToIvfIndex)
     val newDim = newVectors.select(size(col(vecCol))).limit(1).collect()
       .headOption.map(_.getInt(0))
@@ -952,15 +981,28 @@ object SimilaritySearch {
         .repartition(1).write.mode("overwrite").parquet(s"$seg/centroids")
       spark.read.parquet(s"$vdir0/codebook")
         .repartition(1).write.mode("overwrite").parquet(s"$seg/codebook")
-      val nv = prepared(newVectors, idCol, vecCol, "neighbor_id", "__cv", "__cn")
-        .localCheckpoint(true)
-      nv.select(col("neighbor_id"),
-          toColumn(graft.functions.IvfPqEncodeExpr(
-            toExpression(col("__cv")), flat, cnorms, dim, m, kCodes, subDim, cb))
-            .as("__e"))
-        .select(col("neighbor_id"), col("__e.codes").as("codes"),
-          col("__e.rnorm").as("rnorm"), col("__e.cell").as("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$seg/cells")
+      val nv = (metaCol match {
+        case Some(mc) => newVectors.select(
+          col(idCol).as("neighbor_id"),
+          VectorFunctions.asDouble(col(vecCol)).as("__cv"),
+          VectorFunctions.norm(col(vecCol)).as("__cn"),
+          col(mc).cast("string").as("__meta"))
+        case None =>
+          prepared(newVectors, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+      }).localCheckpoint(true)
+      nv.select(
+          (col("neighbor_id") +:
+            toColumn(graft.functions.IvfPqEncodeExpr(
+              toExpression(col("__cv")), flat, cnorms, dim, m, kCodes, subDim, cb))
+              .as("__e") +:
+            metaCol.map(_ => col("__meta")).toSeq): _*)
+        .select(
+          (col("neighbor_id") +: col("__e.codes").as("codes") +:
+            col("__e.rnorm").as("rnorm") +: col("__e.cell").as("cell") +:
+            metaCol.map(_ => col("__meta").as("meta")).toSeq): _*)
+        .write.mode("overwrite")
+        .partitionBy(("cell" +: metaCol.map(_ => "meta").toSeq): _*)
+        .parquet(s"$seg/cells")
       nv.select(col("neighbor_id"), col("__cv").as("vec"), col("__cn").as("vnorm"))
         .write.mode("overwrite").parquet(s"$seg/vectors")
     }
@@ -985,10 +1027,14 @@ object SimilaritySearch {
       .map(v => graft.sources.IndexIO.withoutTombstoned(
         v, graft.sources.IndexIO.chainTable(spark, indexDir, "tombstones"),
         "neighbor_id"))
+    // a meta-partitioned index compacts to the same (cell, meta) layout
+    val partCols =
+      if (cells.schema.fieldNames.contains("meta")) Seq("cell", "meta")
+      else Seq("cell")
     graft.sources.IndexIO.publish(spark, indexDir) { nv =>
       cents.repartition(1).write.mode("overwrite").parquet(s"$nv/centroids")
       cbdf.repartition(1).write.mode("overwrite").parquet(s"$nv/codebook")
-      cells.write.mode("overwrite").partitionBy("cell").parquet(s"$nv/cells")
+      cells.write.mode("overwrite").partitionBy(partCols: _*).parquet(s"$nv/cells")
       vecs.foreach(_.write.mode("overwrite").parquet(s"$nv/vectors"))
     }
     ()
@@ -1039,6 +1085,41 @@ object SimilaritySearch {
       .select(col("neighbor_id"), col("codes"), col("rnorm"),
         col("cell").as("__cell"))
       .join(allow, Seq("neighbor_id"), "left_semi")
+    val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    ivfPqSearch(q, cents, codes, k, nProbe, m, kCodes, subDim, cb)
+  }
+
+  /** METADATA-scoped serving from a meta-partitioned
+    * [[buildIvfPqIndex]] index (built with `metaCol`): top-k among the
+    * corpus rows whose stored meta value is in `metaValues`. The
+    * filter lands on a PARTITION column of the cells layout, so it
+    * prunes at the parquet scan — `(cell, meta)` directories outside
+    * the probed cells × allowed values are never opened, no allowlist
+    * relation is built, joined, or shuffled. Contrast
+    * [[searchIvfPqWhere]]: that takes an arbitrary id SET (a semi-join
+    * whose build side scales with the allowlist); this takes a
+    * PREDICATE over a low-cardinality attribute and costs zero extra
+    * data movement however large the allowed population is — the
+    * corpus-scale-allowlist shape the id form can't prune.
+    */
+  def searchIvfPqWhereMeta(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      metaValues: Seq[String], nProbe: Int = 4): DataFrame = {
+    require(metaValues.nonEmpty, "searchIvfPqWhereMeta: empty metaValues")
+    val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
+    val (_, _, _, m, kCodes, subDim, cb) = loadIvfPqModel(spark, vdir)
+    val cents = spark.read.parquet(s"$vdir/centroids")
+      .select(col("cell").as("__cell"), col("centroid").as("__ctv"),
+        col("cnorm").as("__ctn"))
+    val chain = liveChain(spark, indexDir, "cells")
+    require(chain.schema.fieldNames.contains("meta"),
+      s"searchIvfPqWhereMeta: index at $indexDir was not built with a metaCol " +
+        "(cells carry no meta partition column)")
+    val codes = chain
+      .filter(col("meta").isin(metaValues.map(v => v: Any): _*))
+      .select(col("neighbor_id"), col("codes"), col("rnorm"),
+        col("cell").as("__cell"))
     val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
     ivfPqSearch(q, cents, codes, k, nProbe, m, kCodes, subDim, cb)
   }

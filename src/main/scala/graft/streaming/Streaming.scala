@@ -787,6 +787,83 @@ object Streaming {
       }
   }
 
+  /** One input doc of [[packSequencesState]]: shard key, packing-order
+    * id, token count.
+    */
+  final case class PackDoc(chunk: Long, id: Long, toks: Long)
+
+  /** One packed row of [[packSequencesState]] (same contract as
+    * [[graft.operators.Packing.packGreedy]]'s output).
+    */
+  final case class PackedSeq(id: Long, chunk: Long, bin: Long, bin_fill: Long)
+
+  /** State-store record of [[packSequencesState]]: the open bin of one
+    * chunk. Public for the state encoder's generated code.
+    */
+  final case class PackBinState(bin: Long, fill: Long)
+
+  /** Streaming sequence packing whose open-bin carry lives in the REAL
+    * state store (`flatMapGroupsWithState` keyed by chunk), not a
+    * driver-held map — the unbounded-shard-space shape
+    * [[packStream]]'s `IncrementalPacker` deliberately is not: a crawl
+    * sharded into millions of chunks costs one (bin, fill) pair of
+    * per-key store state each (RocksDB/HDFS-backed, checkpointed,
+    * restart-safe with the query's own checkpoint — no side snapshot
+    * protocol), while the driver carry would hold the whole map on one
+    * heap and lose it on restart without [[graft.operators.Packing.IncrementalPacker.saveState]].
+    *
+    * Semantics match [[packStream]]: arrival order is packing order
+    * (sorted by id within each micro-batch group), a doc that does not
+    * fit opens the next bin, an oversized doc occupies a bin alone.
+    * Placement is FINAL on arrival (later docs never move earlier
+    * ones), so rows emit immediately in append mode and no watermark
+    * or timeout is needed; state never expires (an idle chunk's open
+    * bin must survive arbitrarily long gaps — it is 16 bytes).
+    * When the feed is id-ordered across batches the output is
+    * bit-equal to the batch [[graft.operators.Packing.packGreedy]]
+    * over the union (StreamingSuite + the gate's DuckDB replay pin
+    * it). On a BATCH dataset, delegates to `packGreedy` directly —
+    * batch/stream unified like every transform here.
+    */
+  def packSequencesState(
+      docs: Dataset[PackDoc], maxLen: Long): Dataset[PackedSeq] = {
+    require(maxLen > 0, s"packSequencesState: maxLen must be positive, got $maxLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    if (!docs.isStreaming)
+      return graft.operators.Packing
+        .packGreedy(docs.toDF(), "id", "toks", maxLen, col("chunk"))
+        .select(col("id"), col("chunk"), col("bin"), col("bin_fill"))
+        .as[PackedSeq]
+
+    def process(
+        chunk: Long,
+        it: Iterator[PackDoc],
+        state: GroupState[PackBinState]): Iterator[PackedSeq] = {
+      // one micro-batch's docs for one chunk: bounded by the batch,
+      // sorted here because flatMapGroupsWithState guarantees no
+      // within-group order (contrast batch flatMapSortedGroups)
+      val batch = it.toArray.sortBy(d => (d.id, d.toks))
+      var bin = state.getOption.map(_.bin).getOrElse(0L)
+      var fill = state.getOption.map(_.fill).getOrElse(0L)
+      // continuing an open bin: the chunk's next doc is NOT "first"
+      var first = state.getOption.isEmpty
+      val out = batch.map { d =>
+        if (!first && fill + d.toks > maxLen) { bin += 1; fill = 0L }
+        first = false
+        fill += d.toks
+        PackedSeq(d.id, chunk, bin, fill)
+      }
+      if (batch.nonEmpty) state.update(PackBinState(bin, fill))
+      out.iterator
+    }
+
+    docs.groupByKey(_.chunk)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+  }
+
   def parquetStream(spark: SparkSession, dir: String, schemaOf: DataFrame): DataFrame =
     spark.readStream.schema(schemaOf.schema).parquet(dir)
 

@@ -202,6 +202,108 @@ class LangModelSuite extends SparkSpec {
     assert(got == (1L, math.floor(lp * 1.0 / 1) / 1e4))
   }
 
+  /** Independent scalar reimplementation of the ORDER-N stupid-backoff
+    * formula (generic: tuple keys, repeated-product factors — same
+    * double evaluation order as the kernel and batch plan).
+    */
+  private def expectedN(
+      train: Seq[(Long, String)], docs: Seq[(Long, String)],
+      order: Int): Map[Long, (Long, Double)] = {
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    val trainToks = train.flatMap { case (_, t) => toks(t) }
+    val grams: Map[Int, Map[Seq[String], Long]] = (1 to order).map { k =>
+      k -> train.flatMap { case (_, t) => toks(t).sliding(k).filter(_.size == k) }
+        .groupBy(identity).map { case (g, o) => (g: Seq[String]) -> o.size.toLong }
+    }.toMap
+    val v = grams(1).size.toLong
+    val nTok = trainToks.size.toLong
+    val factors = new Array[Double](order)
+    factors(0) = 1.0
+    for (j <- 1 until order) factors(j) = factors(j - 1) * 0.4
+    docs.flatMap { case (id, t) =>
+      val ws = toks(t).sliding(order).filter(_.size == order).toSeq
+      if (ws.isEmpty) None
+      else {
+        val lps = ws.map { g =>
+          var x = 0.0
+          var hit = false
+          var j = 0
+          while (j <= order - 2 && !hit) {
+            val cn = grams(order - j).getOrElse(g.drop(j), 0L)
+            val cd = grams(order - j - 1).getOrElse(g.slice(j, order - 1), 0L)
+            if (cn > 0 && cd > 0) { x = factors(j) * cn / cd; hit = true }
+            j += 1
+          }
+          if (!hit)
+            x = factors(order - 1) * (grams(1).getOrElse(Seq(g.last), 0L) + 1.0) / (nTok + v)
+          math.floor(math.log(x) * 1e4).toLong
+        }
+        Some(id -> (ws.size.toLong, math.floor(lps.sum * 1.0 / ws.size) / 1e4))
+      }
+    }.toMap
+  }
+
+  test("order-N (4) self-scoring matches the scalar implementation") {
+    val four = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"), (3L, "b c d e a b"),
+      (4L, "x y")).toDF("doc_id", "text")
+    val docs = four.as[(Long, String)].collect().toSeq
+    val got = LangModel.scoreN(four, "doc_id", "text", order = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expectedN(docs, docs, 4))
+    assert(!got.contains(4L)) // < 4 tokens: no 4-gram, no row
+  }
+
+  test("order-N differential fuzz: batch plan == kernel == scalar oracle") {
+    val rnd = new scala.util.Random(29)
+    val words = Seq("a", "b", "c", "the", "cat", "sat", "ran", "é")
+    for (trial <- 0 until 4) {
+      val order = 3 + (trial % 2) // exercise N=3 and N=4
+      val train = (0L until 12L).map { i =>
+        (i, Seq.fill(1 + rnd.nextInt(10))(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val docs = (100L until 110L).map { i =>
+        (i, Seq.fill(rnd.nextInt(9))(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val oracle = expectedN(train, docs, order)
+      val got = LangModel.scoreAgainstN(
+          train.toDF("doc_id", "text"), docs.toDF("doc_id", "text"),
+          "doc_id", "text", order)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == oracle, s"trial $trial (order $order) batch diverged")
+      // serving kernel on the UNPRUNED persisted model: bit-equal too
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_lmn_fuzz_${trial}_").toString
+      LangModel.buildLmIndexN(train.toDF("doc_id", "text"), "text", path,
+        order, minCount = 1)
+      val model = LangModel.loadLmModelN(spark, path)
+      assert(model.order == order)
+      val viaKernel = LangModel.scoreWithModelN(
+          docs.toDF("doc_id", "text"), "doc_id", "text", model)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(viaKernel == oracle, s"trial $trial (order $order) kernel diverged")
+    }
+  }
+
+  test("order-N pruning: cutoff applies per order, |V| and N stay pre-prune") {
+    val train = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "b c d e")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_lmn_idx_").toString
+    LangModel.buildLmIndexN(train, "text", path, order = 4, minCount = 2)
+    val model = LangModel.loadLmModelN(spark, path)
+    assert(model.vocab == 5 && model.nTokens == 12)
+    // (b c d e) x1 pruned; backoff (c d e)/(c d): trigram (c,d,e) x1
+    // pruned too; (d e)/(d): bigram (d,e) x1 pruned; terminal floor
+    // with c(e)=1 pruned -> 0 (unigram cutoff also 2): 0.4^3*(0+1)/(12+5)
+    val probe = Seq((9L, "b c d e")).toDF("doc_id", "text")
+    val got = LangModel.scoreWithModelN(probe, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    val f3 = 1.0 * 0.4 * 0.4 * 0.4
+    val lp = math.floor(math.log(f3 * (0 + 1.0) / (12 + 5)) * 1e4).toLong
+    assert(got == (1L, math.floor(lp * 1.0 / 1) / 1e4))
+  }
+
   test("count pruning: pruned bigrams score as unseen, vocab stays unpruned") {
     // "the cat" occurs 3x, "cat sat" 1x: cutoff 2 prunes "cat sat"
     val train = Seq(

@@ -556,6 +556,92 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(asSet(rrSelf) == asSet(rr))
   }
 
+  test("searchIvfPqWhereMeta: partition-scoped search == id-allowlist search on the same population") {
+    val rnd = new scala.util.Random(53)
+    val centers = Seq(
+      Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0),
+      Array(0, 0, 10.0, 0), Array(0, 0, 0, 10.0))
+    val vecs = (0 until 80).map { i =>
+      val ctr = centers(i % 4)
+      (i, ctr.map(_ + rnd.nextGaussian() * 0.5), s"src${i % 3}")
+    }.toDF("id", "emb", "src")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_meta_").toString
+    SimilaritySearch.buildIvfPqIndex(vecs, "id", "emb", idx,
+      nCentroids = 4, iters = 4, m = 4, kCodes = 32, sampleN = 80, pqIters = 6,
+      metaCol = Some("src"))
+    val q = vecs.filter($"id" < 6).select("id", "emb")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    // the meta predicate src IN (src0, src2) selects exactly the ids
+    // with id % 3 != 1 — so the partition-scoped search must return
+    // the SAME rows as the id-allowlist form over that population
+    val got = SimilaritySearch.searchIvfPqWhereMeta(spark, idx, q,
+      "id", "emb", k = 3, metaValues = Seq("src0", "src2"), nProbe = 4)
+    got.collect().foreach(r =>
+      assert(r.getInt(1) % 3 != 1, s"out-of-scope neighbor ${r.getInt(1)}"))
+    assert(got.groupBy("query_id").count().collect().forall(_.getLong(1) == 3),
+      "meta scope must still fill k")
+    val viaIds = SimilaritySearch.searchIvfPqWhere(spark, idx, q,
+      "id", "emb", k = 3,
+      allowed = vecs.filter($"id" % 3 =!= 1).select("id"), nProbe = 4)
+    assert(pairs(got) == pairs(viaIds))
+    // meta scoping is a PARTITION filter, not a join: the cells scan
+    // prunes (cell, meta) directories; no semi-join builds an allowlist
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftSemi"),
+      s"meta scope planned as a semi-join:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*meta".r.findFirstIn(plan).isDefined,
+      s"meta predicate did not reach the cells scan as a partition filter:\n$plan")
+  }
+
+  test("meta-partitioned IVF×PQ index lifecycle: append requires meta, compact keeps the layout") {
+    val rnd = new scala.util.Random(59)
+    val centers = Seq(
+      Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0),
+      Array(0, 0, 10.0, 0), Array(0, 0, 0, 10.0))
+    def mk(ids: Range) = ids.map { i =>
+      val ctr = centers(i % 4)
+      (i, ctr.map(_ + rnd.nextGaussian() * 0.5), s"src${i % 3}")
+    }.toDF("id", "emb", "src")
+    val base = mk(0 until 60)
+    val extra = mk(60 until 80)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_meta_lc_").toString
+    SimilaritySearch.buildIvfPqIndex(base, "id", "emb", idx,
+      nCentroids = 4, iters = 4, m = 4, kCodes = 32, sampleN = 60, pqIters = 6,
+      metaCol = Some("src"))
+    // an append that forgot the meta column must fail loudly, not
+    // corrupt the chain with a schema-mismatched segment
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.appendToIvfPqIndex(extra, "id", "emb", idx)
+    }
+    SimilaritySearch.appendToIvfPqIndex(extra, "id", "emb", idx,
+      metaCol = Some("src"))
+    SimilaritySearch.deleteFromAnnIndex(spark, idx,
+      Seq(3, 63).toDF("id"), "id")
+    val q = base.filter($"id" < 6).select("id", "emb")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    val before = pairs(SimilaritySearch.searchIvfPqWhereMeta(spark, idx, q,
+      "id", "emb", k = 3, metaValues = Seq("src0", "src2"), nProbe = 4))
+    // appended rows are visible through the meta scope; deleted ids are not
+    assert(before.nonEmpty)
+    assert(!before.exists(p => p._2 == 3 || p._2 == 63), "tombstoned id served")
+    SimilaritySearch.compactIvfPqIndex(spark, idx)
+    val after = pairs(SimilaritySearch.searchIvfPqWhereMeta(spark, idx, q,
+      "id", "emb", k = 3, metaValues = Seq("src0", "src2"), nProbe = 4))
+    assert(after == before, "compaction changed meta-scoped results")
+    // the compacted segment preserved the (cell, meta) directory layout
+    val vdir = graft.sources.IndexIO.resolve(spark, idx)
+    val cellDirs = new java.io.File(s"$vdir/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.startsWith("cell=")))
+    val metaDirs = new java.io.File(s"$vdir/cells").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).filter(_.isDirectory)
+      .map(_.getName)
+    assert(metaDirs.nonEmpty && metaDirs.forall(_.startsWith("meta=")),
+      s"compacted cells lost the meta partition level: ${metaDirs.mkString(",")}")
+  }
+
   test("searchIvfPqWhere: probe-all filtered search == brute force on the allowed subset") {
     val rnd = new scala.util.Random(47)
     val centers = Seq(

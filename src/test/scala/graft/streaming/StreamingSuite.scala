@@ -834,4 +834,60 @@ class StreamingSuite extends SparkSpec {
       assert(perChunkBins.values.exists(_ >= 1), "test data never filled a bin")
     } finally q.stop()
   }
+
+  test("packSequencesState: state-store carry == one-shot batch packing") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 30L).map(i =>
+      Streaming.PackDoc(chunk = i / 10, id = i, toks = 5L + rnd.nextInt(40)))
+    val input = MemoryStream[Streaming.PackDoc]
+    val q = Streaming.packSequencesState(input.toDS(), maxLen = 64)
+      .writeStream.format("memory").queryName("pack_state_test")
+      .outputMode("append").start()
+    try {
+      // id-ordered arrival in ragged batches (7/12/11 — none aligned
+      // to the 10-doc chunk width), same scenario as the packStream
+      // test but with the carry in the STATE STORE, not a driver map
+      input.addData(docs.slice(0, 7)); q.processAllAvailable()
+      input.addData(docs.slice(7, 19)); q.processAllAvailable()
+      input.addData(docs.slice(19, 30)); q.processAllAvailable()
+      val got = spark.table("pack_state_test").as[Streaming.PackedSeq]
+        .collect().toSet
+      val batch = Streaming.packSequencesState(docs.toDS(), maxLen = 64)
+        .collect().toSet
+      assert(got == batch)
+      assert(got.exists(_.bin >= 1), "test data never filled a bin")
+      // a bin genuinely straddled a micro-batch boundary: some (chunk,
+      // bin) pair contains ids from both sides of an addData split
+      val straddled = got.groupBy(p => (p.chunk, p.bin)).values.exists(g =>
+        g.exists(_.id < 7) && g.exists(_.id >= 7) ||
+          g.exists(_.id < 19) && g.exists(_.id >= 19))
+      assert(straddled, "no bin straddled a batch boundary")
+    } finally q.stop()
+  }
+
+  test("packSequencesState batch path == packGreedy; within-batch arrival order irrelevant") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 25L).map(i =>
+      Streaming.PackDoc(chunk = i / 8, id = i, toks = 10L + rnd.nextInt(30)))
+    val viaGreedy = Packing.packGreedy(
+        docs.map(d => (d.id, d.toks, d.chunk)).toDF("id", "toks", "chunk"),
+        "id", "toks", maxLen = 50, chunk = col("chunk"))
+      .select("id", "chunk", "bin", "bin_fill")
+      .as[Streaming.PackedSeq].collect().toSet
+    assert(Streaming.packSequencesState(docs.toDS(), maxLen = 50)
+      .collect().toSet == viaGreedy)
+    // shuffled within ONE micro-batch: the group sorts by id before
+    // packing, so the output is the same as sorted arrival
+    val input = MemoryStream[Streaming.PackDoc]
+    val q = Streaming.packSequencesState(input.toDS(), maxLen = 50)
+      .writeStream.format("memory").queryName("pack_state_shuf")
+      .outputMode("append").start()
+    try {
+      input.addData(rnd.shuffle(docs)); q.processAllAvailable()
+      assert(spark.table("pack_state_shuf").as[Streaming.PackedSeq]
+        .collect().toSet == viaGreedy)
+    } finally q.stop()
+  }
 }
