@@ -272,8 +272,10 @@ object LangModel {
     val sc = toColumn(graft.functions.LmScoreExpr(
       toExpression(col(textCol)), model.bigramKeys, model.bigramCounts,
       model.unigramKeys, model.unigramCounts, model.vocab))
+    // Generate fence: one kernel call per row (the filter + project
+    // pair would otherwise re-evaluate it — see Streaming.lmGate)
     docs
-      .withColumn("__lm", sc)
+      .withColumn("__lm", explode(array(sc)))
       .filter(col("__lm.n_bigrams") > 0)
       .select(
         col(idCol),
@@ -334,8 +336,9 @@ object LangModel {
       model.trigramKeys, model.trigramCounts,
       model.bigramKeys, model.bigramCounts,
       model.unigramKeys, model.unigramCounts, model.vocab, model.nTokens))
+    // Generate fence: one kernel call per row (see Streaming.lmGate)
     docs
-      .withColumn("__lm", sc)
+      .withColumn("__lm", explode(array(sc)))
       .filter(col("__lm.n_trigrams") > 0)
       .select(
         col(idCol),
@@ -529,8 +532,9 @@ object LangModel {
     val sc = toColumn(graft.functions.LmScoreNExpr(
       toExpression(col(textCol)),
       model.order, model.keys, model.counts, model.vocab, model.nTokens))
+    // Generate fence: one kernel call per row (see Streaming.lmGate)
     docs
-      .withColumn("__lm", sc)
+      .withColumn("__lm", explode(array(sc)))
       .filter(col("__lm.n_ngrams") > 0)
       .select(
         col(idCol),

@@ -719,8 +719,13 @@ object Streaming {
       toExpression(col(textCol)), model.bigramKeys, model.bigramCounts,
       model.unigramKeys, model.unigramCounts, model.vocab))
     val minGrid = math.round(minAvgLogp * 10000)
+    // explode(array(..)) fences the kernel behind a Generate: without
+    // it, filter pushdown + projection collapse re-evaluate the
+    // scoring kernel in BOTH the Filter condition and the survivors'
+    // Project — the fence makes it one call per row (plan-contract
+    // pinned), at the cost of a row-copy through GenerateExec
     stream
-      .withColumn("__lm", sc)
+      .withColumn("__lm", explode(array(sc)))
       .filter(col("__lm.n_bigrams") > 0 &&
         floor(col("__lm.lp_sum") * lit(1.0) / col("__lm.n_bigrams")).cast("long")
           >= lit(minGrid))
@@ -750,8 +755,9 @@ object Streaming {
       model.bigramKeys, model.bigramCounts,
       model.unigramKeys, model.unigramCounts, model.vocab, model.nTokens))
     val minGrid = math.round(minAvgLogp * 10000)
+    // Generate fence — one kernel call per row (see lmGate)
     stream
-      .withColumn("__lm", sc)
+      .withColumn("__lm", explode(array(sc)))
       .filter(col("__lm.n_trigrams") > 0 &&
         floor(col("__lm.lp_sum") * lit(1.0) / col("__lm.n_trigrams")).cast("long")
           >= lit(minGrid))

@@ -104,6 +104,22 @@ class PlanContractSuite extends SparkSpec {
         assert(!plan.contains(f), s"$name plan degenerated to `$f`:\n$plan")
     }
 
+  test("plan contract: LM gates evaluate the scoring kernel ONCE per row") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
+    // the Generate fence (explode(array(kernel))) keeps the kernel out
+    // of the Filter condition AND the survivors' Project — without it,
+    // pushdown + projection collapse plant a full scoring call in each
+    for ((name, marker) <- Seq(
+        ("stream_lm_gate", "graft_lm_score("),
+        ("stream_lm_gate3", "graft_lm_score3("))) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val count = plan.sliding(marker.length).count(_ == marker)
+      assert(count == 1,
+        s"$name plan calls the kernel $count times (want 1):\n$plan")
+    }
+  }
+
   // ---- ANN top-k shapes --------------------------------------------------
   // The registered ann_topk_* gate queries wrap the search in
   // recallSummary (whose localCheckpoint truncates the plan), so the
