@@ -23,12 +23,14 @@ object Bench {
     "dedup_cross_corpus_lsh", "dedup_mask_windows", "pack_sequences",
     "tokenize_bpe_ids",
     "dedup_embedding", "ann_topk", "ann_topk_pq", "ann_topk_ivf_pq_search",
+    "ann_topk_ivf_pq_meta",
     "text_quality", "doc_fingerprint", "heavy_hitters_tokens",
     "tokenize_bpe",
     "decontaminate_docs", "decontaminate_bloom", "stream_decontaminate",
     "stream_lm_gate", "stream_lm_gate3", "lm_score_trigram",
+    "lm_score_4gram",
     "bm25_search", "bm25_search_deleted", "lm_score_docs",
-    "stream_pack_sequences",
+    "stream_pack_sequences", "stream_pack_state",
     "mix_sources", "mix_temperature", "shuffle_corpus",
     "sample_token_budget",
     "pipeline_semantic_dedup",
@@ -65,8 +67,8 @@ object Bench {
     // first — measures steady-state serving only and the per-query
     // spread stays box-noise-sized instead of carrying one train+encode.
     val setupFailed = scala.collection.mutable.ListBuffer.empty[String]
-    Seq("ann_topk_ivf_pq_search", "stream_lm_gate", "stream_lm_gate3",
-        "tokenize_bpe_ids")
+    Seq("ann_topk_ivf_pq_search", "ann_topk_ivf_pq_meta",
+        "stream_lm_gate", "stream_lm_gate3", "tokenize_bpe_ids")
       .filter(SparkEntry.queries.contains)
       .foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).count()

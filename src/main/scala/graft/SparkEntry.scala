@@ -1154,6 +1154,16 @@ object SparkEntry {
       // Oracle replays the exact backoff CASE in SQL.
       LangModel.score3(t(s, dir, "documents"), "doc_id", "text")
     }),
+    "lm_score_kn" -> ((s, dir) => {
+      // interpolated Kneser-Ney (D=0.75): discounted bigram ratio
+      // interpolated with the CONTINUATION probability (how many
+      // contexts a word completes), add-one floor on the continuation
+      // for totality — the stronger smoothing next to the stupid-
+      // backoff family. Oracle replays every term as the same double
+      // chain (counts are integers; CAST(0.75 AS DOUBLE) forces the
+      // double product DuckDB's DECIMAL literals would fold exactly).
+      LangModel.scoreKN(t(s, dir, "documents"), "doc_id", "text")
+    }),
     "lm_score_4gram" -> ((s, dir) => {
       // ORDER-N surface at N=4 (scoreAgainstN generalizes the backoff
       // walk to any order; the trigram query pins the dedicated N=3
@@ -2827,6 +2837,43 @@ object SparkEntry {
           |  LEFT JOIN uc u3 ON u3.w = t.w3
           |  CROSS JOIN st)
           |SELECT doc_id, count(*) AS n_trigrams,
+          |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
+          |FROM lp GROUP BY doc_id""".stripMargin,
+      // lm_score_kn: interpolated KN — the CASE and the parenthesized
+      // double chains mirror LangModel.scoreAgainstKN term-for-term;
+      // fw/bw are DISTINCT-type counts over the bigram-type table
+      "lm_score_kn" ->
+        """WITH tokp AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |  FROM documents),
+          |bi AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+          |       FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+          |uc AS (SELECT w, count(*) AS cu FROM tokp GROUP BY 1),
+          |fw AS (SELECT w1, count(*) AS n1p FROM bc GROUP BY 1),
+          |bw AS (SELECT w2, count(*) AS nw2 FROM bc GROUP BY 1),
+          |st AS (SELECT (SELECT count(*) FROM bc) AS b_types,
+          |              (SELECT count(DISTINCT w) FROM tokp) AS nv),
+          |lp AS (
+          |  SELECT d.doc_id,
+          |         CAST(floor(ln(
+          |           CASE WHEN u1.cu IS NOT NULL THEN
+          |                  (greatest(COALESCE(bc.cb, 0) - CAST(0.75 AS DOUBLE), 0.0)
+          |                     / u1.cu)
+          |                  + ((CAST(0.75 AS DOUBLE) * COALESCE(fw.n1p, 0) / u1.cu)
+          |                     * ((COALESCE(bw.nw2, 0) + CAST(1.0 AS DOUBLE))
+          |                        / (st.b_types + st.nv)))
+          |                ELSE (COALESCE(bw.nw2, 0) + CAST(1.0 AS DOUBLE))
+          |                       / (st.b_types + st.nv)
+          |           END) * 10000.0) AS BIGINT) AS lp
+          |  FROM bi d
+          |  LEFT JOIN bc ON bc.w1 = d.w1 AND bc.w2 = d.w2
+          |  LEFT JOIN uc u1 ON u1.w = d.w1
+          |  LEFT JOIN fw ON fw.w1 = d.w1
+          |  LEFT JOIN bw ON bw.w2 = d.w2
+          |  CROSS JOIN st)
+          |SELECT doc_id, count(*) AS n_bigrams,
           |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
           |FROM lp GROUP BY doc_id""".stripMargin,
       // lm_score_4gram: the order-4 backoff CASE — keep the exact

@@ -436,6 +436,95 @@ object LangModel {
   def scoreN(docs: DataFrame, idCol: String, textCol: String, order: Int): DataFrame =
     scoreAgainstN(docs, docs, idCol, textCol, order)
 
+  /** INTERPOLATED KNESER–NEY bigram scoring (Kneser & Ney 1995; the
+    * stronger smoothing for when quality ranking matters more than
+    * raw gate throughput — continuation probability models how many
+    * CONTEXTS a word completes, not how often it occurs, which fixes
+    * the "San Francisco" artifact absolute discounting keeps):
+    *
+    *   p(w2|w1) = max(c(w1w2)−D, 0)/c(w1)
+    *              + (D·N1+(w1·)/c(w1)) · pc(w2)        c(w1) > 0
+    *            | pc(w2)                               w1 unseen
+    *   pc(w2)   = (N1+(·w2) + 1)/(B + V)
+    *
+    * with fixed discount `D = 0.75`, `N1+(w1·)` = distinct
+    * continuations of w1, `N1+(·w2)` = distinct left contexts of w2,
+    * `B` = distinct bigram types, `V` = vocab. The continuation term
+    * carries a +1/(B+V) add-one floor so the function is total
+    * (textbook KN assigns 0 to an unseen-as-continuation word, which
+    * is −∞ under ln). All inputs are integer counts, so the score is
+    * a fixed double-arithmetic chain a DuckDB oracle can replay
+    * term-for-term; lp = floor4(ln x) on the exact 1e-4 grid as
+    * everywhere. Returns `(<idCol>, n_bigrams, avg_logp)`.
+    *
+    * Scale shape matches [[scoreAgainst]]: the two distinct-count
+    * side tables (`N1+(w1·)`, `N1+(·w2)`) are aggregations OVER the
+    * already-aggregated bigram count table — no extra corpus scan —
+    * and everything joins by 8-byte hash keys.
+    */
+  def scoreAgainstKN(
+      train: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val D = 0.75
+    val trainBi = bigrams(train, textCol).select(
+      xxhash64(col("__w1"), col("__w2")).as("__bh"),
+      xxhash64(col("__w1")).as("__h1"),
+      xxhash64(col("__w2")).as("__h2"))
+    val biCounts = trainBi.groupBy("__bh")
+      .agg(count(lit(1)).as("__cb"),
+        first(col("__h1")).as("__h1"), first(col("__h2")).as("__h2"))
+      .localCheckpoint(true) // feeds three aggregates below — scan once
+    val fwTypes = biCounts.groupBy(col("__h1").as("__fh"))
+      .agg(count(lit(1)).as("__n1p"))
+    val bwTypes = biCounts.groupBy(col("__h2").as("__bh2"))
+      .agg(count(lit(1)).as("__nw2"))
+    val uniCounts = train
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .select(xxhash64(col("__w")).as("__uh"))
+      .groupBy("__uh").agg(count(lit(1)).as("__cu"))
+    val stats = biCounts.agg(count(lit(1)).as("__b"))
+      .crossJoin(uniCounts.agg(count(lit(1)).as("__v")))
+
+    val docBi = bigrams(docs.select(col(idCol), col(textCol)), textCol)
+      .select(
+        col(idCol),
+        xxhash64(col("__w1"), col("__w2")).as("__bh"),
+        xxhash64(col("__w1")).as("__uh"),
+        xxhash64(col("__w2")).as("__h2v"))
+
+    val pc = (coalesce(col("__nw2"), lit(0L)) + lit(1.0)) /
+      (col("__b") + col("__v"))
+    val seen =
+      (greatest(coalesce(col("__cb"), lit(0L)) - lit(D), lit(0.0)) / col("__cu")) +
+        ((lit(D) * coalesce(col("__n1p"), lit(0L)) / col("__cu")) * pc)
+    docBi
+      .join(biCounts.select(col("__bh"), col("__cb")), Seq("__bh"), "left")
+      .join(uniCounts, Seq("__uh"), "left")
+      .join(fwTypes.select(col("__fh").as("__uh"), col("__n1p")),
+        Seq("__uh"), "left")
+      .join(bwTypes.select(col("__bh2").as("__h2v"), col("__nw2")),
+        Seq("__h2v"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("__lp",
+        floor(log(when(col("__cu").isNotNull, seen).otherwise(pc))
+          * lit(10000.0)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("__lp")).as("__lp_sum"))
+      .select(
+        col(idCol),
+        col("n_bigrams"),
+        (floor(col("__lp_sum") * lit(1.0) / col("n_bigrams")) / lit(10000.0))
+          .as("avg_logp"))
+  }
+
+  /** KN self-scoring ([[scoreAgainstKN]] with train = docs). */
+  def scoreKN(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreAgainstKN(docs, docs, idCol, textCol)
+
   /** Backoff factors `1, 0.4, 0.4·0.4, …` as the left-assoc repeated
     * double product — shared between the batch plan, the kernel, and
     * (by replay) the DuckDB oracles.

@@ -285,6 +285,75 @@ class LangModelSuite extends SparkSpec {
     }
   }
 
+  /** Independent scalar reimplementation of the interpolated-KN
+    * formula (same paren/double order as the plan and the SQL oracle).
+    */
+  private def expectedKN(
+      train: Seq[(Long, String)], docs: Seq[(Long, String)]): Map[Long, (Long, Double)] = {
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    val trainToks = train.flatMap { case (_, t) => toks(t) }
+    val uni = trainToks.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val biAll = train.flatMap { case (_, t) =>
+      toks(t).sliding(2).filter(_.size == 2).map(p => (p(0), p(1))) }
+    val bi = biAll.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val fw = bi.keys.groupBy(_._1).map { case (w, g) => w -> g.size.toLong }
+    val bw = bi.keys.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val b = bi.size.toLong
+    val v = uni.size.toLong
+    docs.flatMap { case (id, t) =>
+      val pairs = toks(t).sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+      if (pairs.isEmpty) None
+      else {
+        val lps = pairs.map { case (w1, w2) =>
+          val pc = (bw.getOrElse(w2, 0L) + 1.0) / (b + v)
+          val x = uni.get(w1) match {
+            case Some(cu) =>
+              (math.max(bi.getOrElse((w1, w2), 0L) - 0.75, 0.0) / cu) +
+                ((0.75 * fw.getOrElse(w1, 0L) / cu) * pc)
+            case None => pc
+          }
+          math.floor(math.log(x) * 1e4).toLong
+        }
+        Some(id -> (pairs.size.toLong, math.floor(lps.sum * 1.0 / pairs.size) / 1e4))
+      }
+    }.toMap
+  }
+
+  test("interpolated KN matches the scalar implementation; continuation beats frequency") {
+    // "sf" follows many different contexts; "beans" is frequent but
+    // only ever follows "baked" — KN's continuation term must score
+    // an unseen "X sf" above an unseen "X beans"
+    val train = Seq(
+      (1L, "in sf today"), (2L, "to sf again"), (3L, "at sf now"),
+      (4L, "baked beans"), (5L, "baked beans"), (6L, "baked beans"),
+      (7L, "baked beans")).toDF("doc_id", "text")
+    val trainSeq = train.as[(Long, String)].collect().toSeq
+    val docs = Seq((10L, "went sf"), (11L, "went beans"), (12L, "in sf today"))
+    val got = LangModel.scoreAgainstKN(train, docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expectedKN(trainSeq, docs))
+    assert(got(10L)._2 > got(11L)._2,
+      "continuation probability must rank 'went sf' above 'went beans'")
+  }
+
+  test("interpolated KN differential fuzz: Spark == scalar oracle on random corpora") {
+    val rnd = new scala.util.Random(31)
+    val words = Seq("a", "b", "c", "the", "cat", "sat", "ran", "é")
+    for (trial <- 0 until 6) {
+      val train = (0L until 12L).map { i =>
+        (i, Seq.fill(1 + rnd.nextInt(9))(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val docs = (100L until 110L).map { i =>
+        (i, Seq.fill(rnd.nextInt(8))(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val got = LangModel.scoreAgainstKN(
+          train.toDF("doc_id", "text"), docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == expectedKN(train, docs), s"trial $trial diverged")
+    }
+  }
+
   test("order-N pruning: cutoff applies per order, |V| and N stay pre-prune") {
     val train = Seq(
       (1L, "a b c d"), (2L, "a b c d"), (3L, "b c d e")
