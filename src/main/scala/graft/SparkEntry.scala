@@ -1187,6 +1187,20 @@ object SparkEntry {
       Streaming.lmGate3(s, d, "doc_id", "text", idx, minAvgLogp = -3.33)
         .select("doc_id", "n_trigrams", "avg_logp")
     }),
+    "stream_kn_gate" -> ((s, dir) => {
+      // the interpolated-KN gate AT INGEST: count-pruned KN model
+      // (cutoffs 2/2; continuation stats stay pre-prune), ONE in-row
+      // kernel call per doc, no join/agg/state. Threshold pinned at
+      // sf0.01 away from any grid knife edge; the oracle replays the
+      // pruned model in SQL.
+      val d = t(s, dir, "documents")
+      val idx = scratch("kn_gate_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        LangModel.buildKnIndex(d, "text", idx,
+          minBigramCount = 2, minUnigramCount = 2)
+      Streaming.knGate(s, d, "doc_id", "text", idx, minAvgLogp = KnGateThreshold)
+        .select("doc_id", "n_bigrams", "avg_logp")
+    }),
     "stream_pack_sequences" -> ((s, dir) => {
       // the live ingest pipeline ENDING IN PACKING: gate → token count
       // → incremental greedy packing whose open-bin carry state
@@ -1221,12 +1235,14 @@ object SparkEntry {
       // (flatMapGroupsWithState keyed by chunk — the unbounded-shard
       // shape; stream_pack_sequences's IncrementalPacker is the
       // driver-carry alternative). Driven as an actual streaming
-      // query: MemoryStream fed id-ordered micro-batches of width 130
-      // — NOT a multiple of the 20-doc chunk shard, so open bins
+      // query: MemoryStream fed ~8 id-ordered micro-batches whose
+      // width is forced OFF the 20-doc chunk alignment, so open bins
       // straddle batches and the carry genuinely crosses micro-batch
-      // boundaries through the store — memory sink, append mode. The
-      // result must equal the one-shot batch packing of the corpus,
-      // which the oracle replays.
+      // boundaries through the store — memory sink, append mode. A
+      // FIXED batch count (not fixed width) keeps the measured cost
+      // the operator's, not the trigger overhead of |corpus|/width
+      // micro-batches. The result must equal the one-shot batch
+      // packing of the corpus, which the oracle replays.
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val d = t(s, dir, "documents")
@@ -1235,6 +1251,8 @@ object SparkEntry {
         .collect()
         .map(r => Streaming.PackDoc(r.getLong(0) / 20, r.getLong(0), r.getLong(1)))
         .sortBy(_.id)
+      val width0 = math.max(130, (counts.length + 7) / 8)
+      val width = if (width0 % 20 == 0) width0 + 1 else width0
       implicit val sqlCtx = s.sqlContext
       val input = MemoryStream[Streaming.PackDoc]
       val packed = Streaming.packSequencesState(input.toDS(), maxLen = 96)
@@ -1242,7 +1260,7 @@ object SparkEntry {
       val q = packed.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        counts.grouped(130).foreach { b =>
+        counts.grouped(width).foreach { b =>
           input.addData(b.toSeq); q.processAllAvailable()
         }
       } finally q.stop()
@@ -1677,6 +1695,13 @@ object SparkEntry {
   private val BpeGateWords = 24
   private val BpeGateMerges = 64
   private val BpeGateChunk = 32
+
+  /** stream_kn_gate threshold, shared by the query and the oracle's
+    * HAVING clause (as grid long ×1e4). Pinned at sf0.01 in a score
+    * gap: nearest docs sit 12+ grid units away on either side
+    * (−3.4672 below, −3.4647 above), keeps 480/500.
+    */
+  private val KnGateThreshold = -3.466
 
   /** DuckDB replay of [[graft.operators.BpeTokenizer]]'s training
     * evolution as UNROLLED chained CTEs — one `(p_i, m_i, s_i)` stage
@@ -2876,6 +2901,46 @@ object SparkEntry {
           |SELECT doc_id, count(*) AS n_bigrams,
           |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
           |FROM lp GROUP BY doc_id""".stripMargin,
+      // stream_kn_gate: the KN CASE over the PRUNED served tables
+      // (bc/uc HAVING >= 2) with continuation stats from the pre-prune
+      // type table bc0; threshold compares exact grid longs
+      "stream_kn_gate" ->
+        """WITH tokp AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |  FROM documents),
+          |bi AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+          |       FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          |bc0 AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+          |bc AS (SELECT * FROM bc0 WHERE cb >= 2),
+          |uc AS (SELECT w, count(*) AS cu FROM tokp GROUP BY 1
+          |       HAVING count(*) >= 2),
+          |fw AS (SELECT w1, count(*) AS n1p FROM bc0 GROUP BY 1),
+          |bw AS (SELECT w2, count(*) AS nw2 FROM bc0 GROUP BY 1),
+          |st AS (SELECT (SELECT count(*) FROM bc0) AS b_types,
+          |              (SELECT count(DISTINCT w) FROM tokp) AS nv),
+          |lp AS (
+          |  SELECT d.doc_id,
+          |         CAST(floor(ln(
+          |           CASE WHEN u1.cu IS NOT NULL THEN
+          |                  (greatest(COALESCE(bc.cb, 0) - CAST(0.75 AS DOUBLE), 0.0)
+          |                     / u1.cu)
+          |                  + ((CAST(0.75 AS DOUBLE) * COALESCE(fw.n1p, 0) / u1.cu)
+          |                     * ((COALESCE(bw.nw2, 0) + CAST(1.0 AS DOUBLE))
+          |                        / (st.b_types + st.nv)))
+          |                ELSE (COALESCE(bw.nw2, 0) + CAST(1.0 AS DOUBLE))
+          |                       / (st.b_types + st.nv)
+          |           END) * 10000.0) AS BIGINT) AS lp
+          |  FROM bi d
+          |  LEFT JOIN bc ON bc.w1 = d.w1 AND bc.w2 = d.w2
+          |  LEFT JOIN uc u1 ON u1.w = d.w1
+          |  LEFT JOIN fw ON fw.w1 = d.w1
+          |  LEFT JOIN bw ON bw.w2 = d.w2
+          |  CROSS JOIN st)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
+          |FROM lp GROUP BY doc_id
+          |HAVING CAST(floor(sum(lp) * 1.0 / count(*)) AS BIGINT) >= -34660""".stripMargin,
       // lm_score_4gram: the order-4 backoff CASE — keep the exact
       // double chains; the compounded factors MUST go through
       // CAST(0.4 AS DOUBLE)*0.4[*0.4] (DuckDB folds a bare 0.4*0.4 in

@@ -157,6 +157,75 @@ object LmScore3Kernel {
   }
 }
 
+/** Interpolated Kneser–Ney sibling of [[LmScoreKernel]]: per bigram
+  * position, the discounted ratio interpolated with the continuation
+  * probability ([[graft.operators.LangModel.scoreAgainstKN]]'s
+  * arithmetic exactly — same paren/double order), over sorted pruned
+  * arrays: bigram counts, unigram counts, per-word distinct
+  * continuation counts (`N1+(w1·)`) and distinct left-context counts
+  * (`N1+(·w2)`), plus the scalar bigram-type total `B` and vocab `V`.
+  *
+  * Returns `(n_bigrams, lp_sum)`; a doc with < 2 tokens scores
+  * `(0, 0)`.
+  */
+object LmScoreKnKernel {
+
+  private def isSep(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  private def lookup(keys: Array[Long], counts: Array[Long], h: Long): Long =
+    if (keys.length == 0) 0L
+    else {
+      val p = java.util.Arrays.binarySearch(keys, h)
+      if (p >= 0) counts(p) else 0L
+    }
+
+  def compute(
+      text: UTF8String,
+      biKeys: Array[Long], biCounts: Array[Long],
+      uniKeys: Array[Long], uniCounts: Array[Long],
+      fwKeys: Array[Long], fwCounts: Array[Long],
+      bwKeys: Array[Long], bwCounts: Array[Long],
+      bTypes: Long, vocab: Long): InternalRow = {
+    val bytes = text.getBytes
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && (bytes(lo) & 0xff) <= 0x20) lo += 1
+    while (hi > lo && (bytes(hi - 1) & 0xff) <= 0x20) hi -= 1
+    var n = 0L
+    var lpSum = 0L
+    var prevHash = 0L
+    var i = lo
+    var first = true
+    while (i < hi) {
+      while (i < hi && isSep(bytes(i))) i += 1
+      if (i < hi) {
+        val s = i
+        while (i < hi && !isSep(bytes(i))) i += 1
+        val tok = UTF8String.fromBytes(bytes, s, i - s)
+        val F = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        val h = F.hash(tok, StringType, 42L)
+        if (!first) {
+          val bh = F.hash(tok, StringType, prevHash)
+          val pc = (lookup(bwKeys, bwCounts, h) + 1.0) / (bTypes + vocab)
+          val cu = lookup(uniKeys, uniCounts, prevHash)
+          val x =
+            if (cu > 0) {
+              val cb = lookup(biKeys, biCounts, bh)
+              val n1p = lookup(fwKeys, fwCounts, prevHash)
+              (math.max(cb - 0.75, 0.0) / cu) + ((0.75 * n1p / cu) * pc)
+            } else pc
+          lpSum += math.floor(math.log(x) * 10000.0).toLong
+          n += 1L
+        }
+        prevHash = h
+        first = false
+      }
+    }
+    InternalRow(n, lpSum)
+  }
+}
+
 /** ORDER-N sibling of [[LmScore3Kernel]]: the stupid-backoff walk
   * generalized to arbitrary order with ONE sorted key/count array per
   * order (`keys(k-1)` holds the k-grams) and a ring of hash-chain
@@ -276,6 +345,46 @@ case class LmScoreExpr(
     val uc = ctx.addReferenceObj("graftLmUc", unigramCounts, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.LmScoreKernel.compute($c, $bk, $bc, $uk, $uc, ${vocab}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `string -> struct<n_bigrams: long, lp_sum: long>`: interpolated-KN
+  * scoring as ONE scan projection ([[LmScoreKnKernel]]) — the
+  * streaming-gate shape for the KN model; all six count arrays ride
+  * as plan references.
+  */
+case class LmScoreKnExpr(
+    child: Expression,
+    biKeys: Array[Long], biCounts: Array[Long],
+    uniKeys: Array[Long], uniCounts: Array[Long],
+    fwKeys: Array[Long], fwCounts: Array[Long],
+    bwKeys: Array[Long], bwCounts: Array[Long],
+    bTypes: Long, vocab: Long) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("lp_sum", LongType, nullable = false)))
+  override def prettyName: String = "graft_lm_score_kn"
+
+  override def nullSafeEval(input: Any): Any =
+    LmScoreKnKernel.compute(input.asInstanceOf[UTF8String],
+      biKeys, biCounts, uniKeys, uniCounts,
+      fwKeys, fwCounts, bwKeys, bwCounts, bTypes, vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bk = ctx.addReferenceObj("graftKnBk", biKeys, "long[]")
+    val bc = ctx.addReferenceObj("graftKnBc", biCounts, "long[]")
+    val uk = ctx.addReferenceObj("graftKnUk", uniKeys, "long[]")
+    val uc = ctx.addReferenceObj("graftKnUc", uniCounts, "long[]")
+    val fk = ctx.addReferenceObj("graftKnFk", fwKeys, "long[]")
+    val fc = ctx.addReferenceObj("graftKnFc", fwCounts, "long[]")
+    val wk = ctx.addReferenceObj("graftKnWk", bwKeys, "long[]")
+    val wc = ctx.addReferenceObj("graftKnWc", bwCounts, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LmScoreKnKernel.compute($c, $bk, $bc, $uk, $uc, $fk, $fc, $wk, $wc, ${bTypes}L, ${vocab}L);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -525,6 +525,115 @@ object LangModel {
   def scoreKN(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreAgainstKN(docs, docs, idCol, textCol)
 
+  /** A pruned KN model held driver-side: sorted hash-key arrays for
+    * bigram counts, unigram counts, per-word distinct-continuation
+    * counts (`N1+(w1·)`) and distinct-left-context counts
+    * (`N1+(·w2)`), plus the bigram-type total `B` and vocab `V`
+    * (computed PRE-prune — the continuation denominator is a model
+    * statistic, not an artifact row count).
+    */
+  final case class KnModel(
+      bigramKeys: Array[Long], bigramCounts: Array[Long],
+      unigramKeys: Array[Long], unigramCounts: Array[Long],
+      fwKeys: Array[Long], fwCounts: Array[Long],
+      bwKeys: Array[Long], bwCounts: Array[Long],
+      bTypes: Long, vocab: Long)
+
+  /** Train and persist a count-pruned interpolated-KN model: the four
+    * count tables of [[scoreAgainstKN]] keyed by xxhash64 (8+8 bytes
+    * per entry), cutoffs applied to the bigram/unigram OCCURRENCE
+    * tables only (a pruned bigram's discounted term vanishes and the
+    * score falls to its interpolation weight; the type-count tables
+    * and `B`/`V` stay pre-prune so the continuation distribution is
+    * unchanged). Published atomically via [[graft.sources.IndexIO]].
+    */
+  def buildKnIndex(
+      train: DataFrame, textCol: String, path: String,
+      minBigramCount: Long = 2, minUnigramCount: Long = 2): Unit = {
+    require(minBigramCount >= 1 && minUnigramCount >= 1,
+      "buildKnIndex: count cutoffs must be >= 1")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val biCounts = bigrams(train, textCol).select(
+        xxhash64(col("__w1"), col("__w2")).as("h"),
+        xxhash64(col("__w1")).as("h1"),
+        xxhash64(col("__w2")).as("h2"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("c"), first(col("h1")).as("h1"),
+        first(col("h2")).as("h2"))
+      .localCheckpoint(true)
+    val uniCounts = train
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .select(xxhash64(col("__w")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val bTypes = biCounts.count()
+    val vocab = uniCounts.count()
+    graft.sources.IndexIO.publish(spark, path) { vdir =>
+      biCounts.select("h", "c").filter(col("c") >= minBigramCount)
+        .write.mode("overwrite").parquet(s"$vdir/bigrams")
+      uniCounts.filter(col("c") >= minUnigramCount)
+        .write.mode("overwrite").parquet(s"$vdir/unigrams")
+      biCounts.groupBy(col("h1").as("h")).agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(s"$vdir/fw_types")
+      biCounts.groupBy(col("h2").as("h")).agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(s"$vdir/bw_types")
+      Seq((bTypes, vocab, minBigramCount, minUnigramCount))
+        .toDF("b_types", "vocab", "min_bigram", "min_unigram")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
+    ()
+  }
+
+  /** Load a [[buildKnIndex]] artifact into driver memory (sorted for
+    * the kernel's binary search).
+    */
+  def loadKnModel(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxEntries: Long = 32L << 20): KnModel = {
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    val entries = Seq("bigrams", "unigrams", "fw_types", "bw_types")
+      .map(t => spark.read.parquet(s"$vdir/$t").count()).sum
+    require(entries <= maxEntries,
+      s"KN model at $path has $entries entries > $maxEntries; " +
+        "raise the count cutoffs")
+    def sorted(name: String): (Array[Long], Array[Long]) = {
+      val rows = spark.read.parquet(s"$vdir/$name").sort("h").collect()
+      (rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+    }
+    val (bk, bc) = sorted("bigrams")
+    val (uk, uc) = sorted("unigrams")
+    val (fk, fc) = sorted("fw_types")
+    val (wk, wc) = sorted("bw_types")
+    val meta = spark.read.parquet(s"$vdir/meta").head()
+    KnModel(bk, bc, uk, uc, fk, fc, wk, wc,
+      meta.getAs[Long]("b_types"), meta.getAs[Long]("vocab"))
+  }
+
+  /** KN scoring against a loaded pruned model with the in-row kernel —
+    * one scan projection, no joins (stream-safe; the suite pins it
+    * bit-equal to [[scoreAgainstKN]] when the cutoffs are 1).
+    */
+  def scoreWithModelKN(
+      docs: DataFrame, idCol: String, textCol: String, model: KnModel): DataFrame = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val sc = toColumn(graft.functions.LmScoreKnExpr(
+      toExpression(col(textCol)),
+      model.bigramKeys, model.bigramCounts,
+      model.unigramKeys, model.unigramCounts,
+      model.fwKeys, model.fwCounts, model.bwKeys, model.bwCounts,
+      model.bTypes, model.vocab))
+    // Generate fence: one kernel call per row (see Streaming.lmGate)
+    docs
+      .withColumn("__lm", explode(array(sc)))
+      .filter(col("__lm.n_bigrams") > 0)
+      .select(
+        col(idCol),
+        col("__lm.n_bigrams").as("n_bigrams"),
+        (floor(col("__lm.lp_sum") * lit(1.0) / col("__lm.n_bigrams")) / lit(10000.0))
+          .as("avg_logp"))
+  }
+
   /** Backoff factors `1, 0.4, 0.4·0.4, …` as the left-assoc repeated
     * double product — shared between the batch plan, the kernel, and
     * (by replay) the DuckDB oracles.

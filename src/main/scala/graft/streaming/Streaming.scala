@@ -767,6 +767,39 @@ object Streaming {
       .drop("__lm")
   }
 
+  /** Interpolated-KN quality gate ([[lmGate]] with the KN smoothing):
+    * one in-row kernel call per doc against a persisted
+    * [[graft.operators.LangModel.buildKnIndex]] model — no join, no
+    * agg, no state; append mode, batch/stream unified. Keeps docs
+    * whose mean KN bigram log-prob clears `minAvgLogp` on the exact
+    * 1e-4 grid; docs with < 2 tokens fail closed.
+    */
+  def knGate(
+      spark: SparkSession,
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelPath: String,
+      minAvgLogp: Double): DataFrame = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val m = graft.operators.LangModel.loadKnModel(spark, modelPath)
+    val sc = toColumn(graft.functions.LmScoreKnExpr(
+      toExpression(col(textCol)),
+      m.bigramKeys, m.bigramCounts, m.unigramKeys, m.unigramCounts,
+      m.fwKeys, m.fwCounts, m.bwKeys, m.bwCounts, m.bTypes, m.vocab))
+    val minGrid = math.round(minAvgLogp * 10000)
+    // Generate fence — one kernel call per row (see lmGate)
+    stream
+      .withColumn("__lm", explode(array(sc)))
+      .filter(col("__lm.n_bigrams") > 0 &&
+        floor(col("__lm.lp_sum") * lit(1.0) / col("__lm.n_bigrams")).cast("long")
+          >= lit(minGrid))
+      .withColumn("n_bigrams", col("__lm.n_bigrams"))
+      .withColumn("avg_logp",
+        floor(col("__lm.lp_sum") * lit(1.0) / col("__lm.n_bigrams")) / lit(10000.0))
+      .drop("__lm")
+  }
+
   /** Streaming sequence packing: a `foreachBatch` sink whose carry-over
     * open-bin state ([[graft.operators.Packing.IncrementalPacker]])
     * crosses micro-batch boundaries, so the live ingest pipeline can

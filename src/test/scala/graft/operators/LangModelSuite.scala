@@ -354,6 +354,54 @@ class LangModelSuite extends SparkSpec {
     }
   }
 
+  test("scoreWithModelKN (cutoffs=1) is bit-equal to scoreAgainstKN; stream gate matches") {
+    val docs = (0L until 40L).map { i =>
+      (i, Seq.fill(3 + (i % 7).toInt)(s"w${(i * 13) % 9}").mkString(" ") +
+        " the cat sat on the mat near the dog " + s"tail${i % 5}")
+    }.toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_kn_idx_").toString
+    LangModel.buildKnIndex(docs, "text", path,
+      minBigramCount = 1, minUnigramCount = 1)
+    val model = LangModel.loadKnModel(spark, path)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val viaKernel = asMap(LangModel.scoreWithModelKN(docs, "doc_id", "text", model))
+    val viaBatch = asMap(LangModel.scoreKN(docs, "doc_id", "text"))
+    assert(viaKernel == viaBatch)
+    // gate form: kept set == batch scores above the threshold
+    val thr = viaBatch.values.map(_._2).toSeq.sorted.apply(viaBatch.size / 2)
+    val gated = asMap(graft.streaming.Streaming.knGate(
+      spark, docs, "doc_id", "text", path, thr)
+      .select("doc_id", "n_bigrams", "avg_logp"))
+    assert(gated == viaBatch.filter { case (_, (_, lp)) => lp >= thr })
+  }
+
+  test("KN pruning: pruned bigram loses its discounted term, continuation stats stay pre-prune") {
+    // "the cat" x3 survives cutoff 2; "cat sat" x1 prunes. B, V, and
+    // the type counts must NOT change under pruning.
+    val train = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the cat naps")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_kn_idx2_").toString
+    LangModel.buildKnIndex(train, "text", path,
+      minBigramCount = 2, minUnigramCount = 1)
+    val model = LangModel.loadKnModel(spark, path)
+    assert(model.vocab == 5 && model.bTypes == 4) // types pre-prune
+    assert(model.bigramKeys.length == 1)          // only "the cat" survives
+    val probe = Seq((9L, "the cat sat")).toDF("doc_id", "text")
+    val got = LangModel.scoreWithModelKN(probe, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    // bigram 1 "the cat": cb=3, cu(the)=3, n1p(the)=1, nw2(cat)=1
+    val pc1 = (1 + 1.0) / (4 + 5)
+    val x1 = (math.max(3 - 0.75, 0.0) / 3) + ((0.75 * 1 / 3) * pc1)
+    // bigram 2 "cat sat": cb pruned->0, cu(cat)=3, n1p(cat)=3, nw2(sat)=1
+    val pc2 = (1 + 1.0) / (4 + 5)
+    val x2 = (math.max(0 - 0.75, 0.0) / 3) + ((0.75 * 3 / 3) * pc2)
+    val lp1 = math.floor(math.log(x1) * 1e4).toLong
+    val lp2 = math.floor(math.log(x2) * 1e4).toLong
+    assert(got == (2L, math.floor((lp1 + lp2) / 2.0) / 1e4))
+  }
+
   test("order-N pruning: cutoff applies per order, |V| and N stay pre-prune") {
     val train = Seq(
       (1L, "a b c d"), (2L, "a b c d"), (3L, "b c d e")

@@ -866,6 +866,39 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("packSequencesState restart: open-bin state survives through the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    val docs = (0L until 24L).map(i =>
+      Streaming.PackDoc(chunk = i / 12, id = i, toks = 5L + rnd.nextInt(40)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pack_ckpt_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_pack_out_").toString
+    // parquet sink: the memory sink refuses checkpoint recovery, and a
+    // restartable file sink is the production shape anyway
+    def start(input: MemoryStream[Streaming.PackDoc]) =
+      Streaming.packSequencesState(input.toDS(), maxLen = 64)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    def written() = spark.read.parquet(out).as[Streaming.PackedSeq].collect().toSet
+    val in1 = MemoryStream[Streaming.PackDoc]
+    val q1 = start(in1)
+    try {
+      in1.addData(docs.slice(0, 13)); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(written().nonEmpty)
+    // a NEW query run over the same source + checkpoint: the open-bin
+    // state must resume from the store, not restart at bin 0
+    val q2 = start(in1)
+    try {
+      in1.addData(docs.slice(13, 24)); q2.processAllAvailable()
+      val batch = Streaming.packSequencesState(docs.toDS(), maxLen = 64)
+        .collect().toSet
+      assert(written() == batch,
+        "restarted query lost or reset the open-bin state")
+    } finally q2.stop()
+  }
+
   test("packSequencesState batch path == packGreedy; within-batch arrival order irrelevant") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(11)
