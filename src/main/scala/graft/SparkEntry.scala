@@ -887,6 +887,24 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("int").as("seq"),
           col("col").as("tok_id"))
     }),
+    "detokenize_bpe" -> ((s, dir) => {
+      // ids -> text roundtrip: decode(encode(text)) must equal the
+      // concatenation of the pre-tokenizer's words. The oracle
+      // computes that concat straight from the text (it never sees the
+      // merge table), so any drift in EITHER leg — merge application,
+      // id assignment, byte expansion — breaks the hash. Hex render
+      // because the driver compare is string-based and the concat can
+      // contain control bytes.
+      val d = t(s, dir, "documents")
+      val idx = scratch("bpe_ids_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        BpeTokenizer.buildBpeIndex(d, "text", idx,
+          trainWords = BpeGateWords, numMerges = BpeGateMerges)
+      val merges = BpeTokenizer.loadBpeMerges(s, idx)
+      d.select(col("doc_id"),
+        hex(BpeTokenizer.bpeDecode(
+          BpeTokenizer.bpeTokenIds(col("text"), merges), merges)).as("detok_hex"))
+    }),
     "chunk_documents_bpe" -> ((s, dir) => {
       // context-window chunking at SUBWORD granularity: chunk budgets
       // measured in BPE tokens, boundaries wherever the budget lands
@@ -1078,6 +1096,26 @@ object SparkEntry {
           lit("http://ex.com/p/"), col("doc_id"), lit("?k=v"),
           lit(" acct 900112233"), col("doc_id")).as("t2"))
       d.select(col("doc_id"), TextFunctions.scrubPii(col("t2")).as("scrubbed"))
+    }),
+    "extract_html" -> ((s, dir) => {
+      // HTML -> text over a synthesized page (the raw corpus is plain
+      // text): the doc's text is entity-escaped into a <p>, wrapped
+      // with head/style/script/comment chrome that extraction must
+      // drop whole, and a per-row heading that must survive. The
+      // oracle rebuilds the identical page in SQL and replays the
+      // extraction with DuckDB's RE2 — patterns are pinned to the
+      // portable subset, so the bytes must agree exactly (hex render:
+      // the driver compare is string-based and text is arbitrary).
+      val d = t(s, dir, "documents")
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val page = concat(
+        lit("<html><head><title>d</title><style type=\"text/css\">p { color: red; }" +
+          "</style></head><body>\n<h1 class=\"hd\">Doc "), col("doc_id"),
+        lit("</h1>\n<script>if (1 < 2) { alert(\"x&y\"); }</script><p>"), esc,
+        lit("&nbsp;&amp;lt;end&gt;</p><!-- trailing\ncomment --></body></html>"))
+      d.select(col("doc_id"),
+        hex(TextFunctions.extractHtml(page)).as("extracted_hex"))
     }),
     "dedup_lines" -> ((s, dir) => {
       // C4-style inter-document line dedup on a synthesized multi-line
@@ -2174,6 +2212,19 @@ object SparkEntry {
           |  ) GROUP BY 1)
           |SELECT sq.doc_id, CAST(sq.tp AS INT) AS seq, v.id AS tok_id
           |FROM sq JOIN vocab v ON v.tokh = sq.tok""".stripMargin),
+      // merge-table-free on purpose: the roundtrip claim is that
+      // decode inverts encode back to the pre-tokenizer's word concat,
+      // so the oracle computes that concat from the raw text alone
+      "detokenize_bpe" ->
+        """WITH tokp AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |  FROM documents)
+          |SELECT d.doc_id,
+          |       coalesce(string_agg(hex(t.w), '' ORDER BY t.pos), '') AS detok_hex
+          |FROM documents d
+          |LEFT JOIN (SELECT * FROM tokp WHERE w <> '') t ON t.doc_id = d.doc_id
+          |GROUP BY 1""".stripMargin,
       "chunk_documents_bpe" -> (bpeOraclePrefix(BpeGateWords, BpeGateMerges) +
         s""",
           |tokq AS (
@@ -2683,6 +2734,38 @@ object SparkEntry {
           |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           |    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
           |FROM d""".stripMargin,
+      "extract_html" ->
+        """WITH h AS (SELECT doc_id,
+          |  '<html><head><title>d</title><style type="text/css">p { color: red; }' ||
+          |  '</style></head><body>' || chr(10) || '<h1 class="hd">Doc ' || doc_id ||
+          |  '</h1>' || chr(10) || '<script>if (1 < 2) { alert("x&y"); }</script><p>' ||
+          |  regexp_replace(regexp_replace(regexp_replace(
+          |    text, '&', '&amp;', 'g'), '<', '&lt;', 'g'), '>', '&gt;', 'g') ||
+          |  '&nbsp;&amp;lt;end&gt;</p><!-- trailing' || chr(10) ||
+          |  'comment --></body></html>' AS page
+          |FROM documents),
+          |x AS (SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |    page,
+          |    '(?is)<script\b[^>]*>.*?</script[ \t\r\n\f]*>', ' ', 'g'),
+          |    '(?is)<style\b[^>]*>.*?</style[ \t\r\n\f]*>', ' ', 'g'),
+          |    '(?s)<!--.*?-->', ' ', 'g'),
+          |    '(?s)<[^>]*>', ' ', 'g') AS t
+          |FROM h),
+          |e AS (SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |  regexp_replace(regexp_replace(
+          |    t,
+          |    '(?i)&nbsp;', ' ', 'g'),
+          |    '(?i)&lt;', '<', 'g'),
+          |    '(?i)&gt;', '>', 'g'),
+          |    '(?i)&quot;', '"', 'g'),
+          |    '(?i)(&apos;|&#39;)', chr(39), 'g'),
+          |    '(?i)&amp;', '&', 'g') AS t
+          |FROM x)
+          |SELECT doc_id,
+          |  hex(trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g'))) AS extracted_hex
+          |FROM e""".stripMargin,
       "dedup_lines" ->
         """WITH d AS (SELECT doc_id,
           |             source || chr(10) || text || chr(10) || source AS t2

@@ -61,6 +61,28 @@ final class BpeModel(
     }
     h
   }
+
+  /** Vocabulary id → token bytes — the inverse of [[tokenId]]'s fixed
+    * assignment (0–255 single bytes, 256+rank the merge outputs).
+    * Decode never consults the dedup in [[tokenId]]: two merges that
+    * concatenate to the same bytes are distinct ids with identical
+    * byte expansions, so decode stays total over every id the encoder
+    * can emit.
+    */
+  @transient lazy val idBytes: Array[Array[Byte]] = {
+    val a = new Array[Array[Byte]](256 + left.length)
+    var b = 0
+    while (b < 256) { a(b) = Array(b.toByte); b += 1 }
+    var i = 0
+    while (i < left.length) {
+      val tok = new Array[Byte](left(i).length + right(i).length)
+      System.arraycopy(left(i), 0, tok, 0, left(i).length)
+      System.arraycopy(right(i), 0, tok, left(i).length, right(i).length)
+      a(256 + i) = tok
+      i += 1
+    }
+    a
+  }
 }
 
 /** Tokenization kernel shared by the interpreted and generated paths
@@ -341,6 +363,42 @@ object BpeKernel {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** ids → text: concatenates each id's token bytes
+    * ([[BpeModel.idBytes]]) — the exact inverse of [[tokenIds]] up to
+    * the pre-tokenizer, so `decode(encode(text))` is the
+    * concatenation of the text's whitespace words (separators are not
+    * tokens and are not reconstructed; a production tokenizer that
+    * must round-trip whitespace encodes it as part of the words, which
+    * is a pre-tokenizer choice, not a decode one). Total on null/empty
+    * input (→ empty string); an id outside `[0, 256+numMerges)` is a
+    * vocabulary mismatch and fails loudly.
+    */
+  def decode(ids: ArrayData, m: BpeModel): UTF8String = {
+    if (ids == null || ids.numElements() == 0) return UTF8String.EMPTY_UTF8
+    val tab = m.idBytes
+    val n = ids.numElements()
+    var len = 0
+    var i = 0
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id < 0 || id >= tab.length) throw new IllegalArgumentException(
+        s"BPE id $id outside the vocabulary [0, ${tab.length}) — " +
+          "ids were produced with a different merge table")
+      len += tab(id).length
+      i += 1
+    }
+    val out = new Array[Byte](len)
+    var off = 0
+    i = 0
+    while (i < n) {
+      val t = tab(ids.getInt(i))
+      System.arraycopy(t, 0, out, off, t.length)
+      off += t.length
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
 }
 
 /** `bpe_count(text)`: subword token count under a trained merge list —
@@ -404,6 +462,42 @@ case class BpeIdsExpr(child: Expression, merges: Seq[(String, String)])
         ${childGen.code}
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
           graft.functions.BpeKernel.tokenIds(
+            ${childGen.isNull} ? null : ${childGen.value}, $mRef);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `bpe_decode(ids)`: vocabulary ids → text ([[BpeKernel.decode]]) —
+  * the ids→text leg a serving/inspection path needs (sample a packed
+  * sequence back to readable text, audit a chunk boundary). Total
+  * function: null/empty → empty string.
+  */
+case class BpeDecodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_bpe_decode"
+  override def nullable: Boolean = false
+
+  @transient private lazy val model: BpeModel = BpeKernel.compile(merges)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    BpeKernel.decode(v.asInstanceOf[ArrayData], model)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("graftBpeModel", model, classOf[BpeModel].getName)
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+          graft.functions.BpeKernel.decode(
             ${childGen.isNull} ? null : ${childGen.value}, $mRef);
       """
     ev.copy(code = resultCode, isNull = FalseLiteral)

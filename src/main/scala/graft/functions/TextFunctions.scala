@@ -118,6 +118,39 @@ object TextFunctions {
     regexp_replace(noEmail, "[0-9]{7,}", "<NUM>")
   }
 
+  /** HTML → text extraction for web-scrape curation (the step before
+    * every quality/dedup signal on a CommonCrawl-shaped corpus):
+    * drops `<script>`/`<style>` payloads whole, then comments, then
+    * every remaining tag (each → one space so adjacent block texts
+    * don't fuse into a single word), decodes the six ubiquitous named
+    * entities (`&amp;` LAST, so `&amp;lt;` round-trips to the literal
+    * `&lt;` the author wrote instead of double-decoding to `<`), and
+    * collapses whitespace runs. Eight codegen'd `regexp_replace`
+    * passes on the scan projection — no UDF, no shuffle. Patterns stay
+    * inside the RE2-portable subset (no backreferences — script and
+    * style get separate passes; explicit `[ \t\r\n\f]` classes, since
+    * Java's `\s` and RE2's disagree on VT) so external engines and the
+    * DuckDB gate reproduce the bytes exactly. Numeric character
+    * references are out of scope for the regex subset (a general
+    * `&#NNN;` decode needs arithmetic) — a corpus needing them adds a
+    * native expression pass downstream.
+    */
+  def extractHtml(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?is)<script\\b[^>]*>.*?</script[ \\t\\r\\n\\f]*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style[ \\t\\r\\n\\f]*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val e1 = regexp_replace(noTags, "(?i)&nbsp;", " ")
+    val e2 = regexp_replace(e1, "(?i)&lt;", "<")
+    val e3 = regexp_replace(e2, "(?i)&gt;", ">")
+    val e4 = regexp_replace(e3, "(?i)&quot;", "\"")
+    val e5 = regexp_replace(e4, "(?i)(&apos;|&#39;)", "'")
+    val e6 = regexp_replace(e5, "(?i)&amp;", "&")
+    trim(regexp_replace(e6, "[ \\t\\r\\n\\f]+", " "))
+  }
+
   /** Non-empty trimmed lines of the document — the unit of the
     * C4-family repetition signals and of [[graft.operators.Dedup.lineDedup]].
     */

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{BpeCountExpr, BpeIdsExpr, BpeTokensExpr, TextFunctions}
+import graft.functions.{BpeCountExpr, BpeDecodeExpr, BpeIdsExpr, BpeTokensExpr, TextFunctions}
 
 /** Corpus-trained byte-level BPE tokenizer — the real subword token
   * accounting behind every "≤ maxTokens" contract in the pipeline
@@ -156,6 +156,18 @@ object BpeTokenizer {
   def bpeTokenIds(text: Column, merges: Seq[(String, String)]): Column = {
     import org.apache.spark.sql.GraftInternals
     GraftInternals.toColumn(BpeIdsExpr(GraftInternals.toExpression(text), merges))
+  }
+
+  /** ids → text, the inverse of [[bpeTokenIds]] up to the
+    * pre-tokenizer: `bpeDecode(bpeTokenIds(text))` is the
+    * concatenation of `text`'s whitespace words (separators are not
+    * tokens, so they are not reconstructed). The serving/audit leg —
+    * render a packed training sequence or a subword chunk back to
+    * readable text without a vocabulary table join.
+    */
+  def bpeDecode(ids: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.GraftInternals
+    GraftInternals.toColumn(BpeDecodeExpr(GraftInternals.toExpression(ids), merges))
   }
 
   /** Context-window chunking at SUBWORD granularity: chunk `c` covers

@@ -174,6 +174,30 @@ class TextFunctionsSuite extends SparkSpec {
     assert(row.getLong(0) == 6L)
   }
 
+  test("extractHtml: drops chrome whole, decodes entities in order, collapses whitespace") {
+    val cases = Seq(
+      // script/style payloads vanish whole, even with raw < inside
+      ("<p>a</p><script>if (1 < 2) { x(\"&\"); }</script><style>p{}</style>b", "a b"),
+      // attributes with > inside quotes are NOT handled (regex subset) — tag
+      // ends at the first >, the rest surfaces; pin that documented limit
+      ("<a href=\"x\">link</a> tail", "link tail"),
+      // comments drop, including multi-line
+      ("pre<!-- c1\nc2 -->post", "pre post"),
+      // entity decode order: &amp;lt; is the LITERAL &lt;, never <
+      ("&amp;lt;tag&gt; &quot;q&quot; &apos;a&#39; &nbsp;x", "&lt;tag> \"q\" 'a' x"),
+      // adjacent block tags don't fuse words; runs collapse
+      ("<div>one</div><div>two</div>", "one two"),
+      // case-insensitive tags and entities
+      ("<SCRIPT>x</SCRIPT><B>bold</B> &AMP;", "bold &"),
+      // plain text with no markup is just whitespace-normalized
+      ("  a\t b\r\nc  ", "a b c"),
+      ("", "")).toDF("text", "want")
+    val got = cases.select(TextFunctions.extractHtml($"text").as("got"), $"want")
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got '${r.getString(0)}' want '${r.getString(1)}'"))
+  }
+
   test("scrubPii masks URLs, emails, and long digit runs — and nothing else") {
     val cases = Seq(
       (1, "mail me at jo.doe+x@sub.example.org today",

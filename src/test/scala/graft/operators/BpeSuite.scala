@@ -177,6 +177,33 @@ class BpeSuite extends SparkSpec {
     assert(got.filter(g => g._1 >= 4).forall(_._3.isEmpty))
   }
 
+  test("decode inverts tokenIds back to the word concat (unicode, empty, null)") {
+    val docs = Seq(
+      (1, "the cat sat on the mat the cat"),
+      (2, "aaaa aaaa aa a aaa the hat"),
+      (3, "éé é 😀😀 the é"),
+      (4, "  spaced\tout\nwords  "),
+      (5, ""),
+      (6, null.asInstanceOf[String])).toDF("id", "text")
+    val merges = BpeTokenizer.trainBpe(docs, "text", trainWords = 8, numMerges = 12)
+    val got = docs.select(col("id"),
+        BpeTokenizer.bpeDecode(
+          BpeTokenizer.bpeTokenIds(col("text"), merges), merges).as("detok"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    val want = docs.collect().map { r =>
+      val t = Option(r.getString(1)).getOrElse("")
+      (r.getInt(0), t.trim.split("\\s+").filter(_.nonEmpty).mkString)
+    }.toMap
+    assert(got == want)
+    // an id outside the vocabulary is a model mismatch and fails loudly
+    val bad = intercept[Throwable] {
+      Seq(Seq(0, 256 + merges.length)).toDF("ids")
+        .select(BpeTokenizer.bpeDecode(col("ids"), merges)).collect()
+    }
+    assert(bad.getMessage.contains("different merge table") ||
+      Option(bad.getCause).exists(_.getMessage.contains("different merge table")))
+  }
+
   test("priority kernel == rank-order oracle at 32k merges (well-formed table)") {
     // well-formed construction mirroring what training produces: every
     // merge's operands are single bytes or tokens formed by STRICTLY
