@@ -1117,6 +1117,20 @@ object SparkEntry {
       d.select(col("doc_id"),
         hex(TextFunctions.extractHtml(page)).as("extracted_hex"))
     }),
+    "corpus_diff" -> ((s, dir) => {
+      // snapshot change feed: old = docs sans the 5-multiples with the
+      // 7-multiples edited, new = docs sans the 11-multiples. The diff
+      // must read the synthesis rule back out as added/removed/changed
+      // (the oracle derives the statuses straight from the rule — it
+      // never runs a join). Fingerprint projection before the join
+      // keeps the shuffle at (id, 8-byte hash) width.
+      val d = t(s, dir, "documents")
+      val oldSnap = d.where(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" OLD"))).otherwise(col("text")))
+      val newSnap = d.where(col("doc_id") % 11 =!= 0)
+      CorpusDiff.diff(oldSnap, newSnap, "doc_id", Seq("text"))
+    }),
     "dedup_lines" -> ((s, dir) => {
       // C4-style inter-document line dedup on a synthesized multi-line
       // corpus (the raw docs are single-line): each doc carries its
@@ -2766,6 +2780,17 @@ object SparkEntry {
           |SELECT doc_id,
           |  hex(trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g'))) AS extracted_hex
           |FROM e""".stripMargin,
+      // statuses derived straight from the synthesis rule, no join:
+      // an id divisible by both 5 and 11 is in neither snapshot
+      "corpus_diff" ->
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 5 = 0 THEN 'added'
+          |       WHEN doc_id % 11 = 0 THEN 'removed'
+          |       ELSE 'changed' END AS status
+          |FROM documents
+          |WHERE (doc_id % 5 = 0 AND doc_id % 11 <> 0)
+          |   OR (doc_id % 11 = 0 AND doc_id % 5 <> 0)
+          |   OR (doc_id % 7 = 0 AND doc_id % 5 <> 0 AND doc_id % 11 <> 0)""".stripMargin,
       "dedup_lines" ->
         """WITH d AS (SELECT doc_id,
           |             source || chr(10) || text || chr(10) || source AS t2
