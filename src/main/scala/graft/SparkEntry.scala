@@ -1392,6 +1392,15 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source")
     }),
+    "mix_epochs" -> ((s, dir) => {
+      // fixed data recipe: explicit per-source epoch counts (the
+      // shipped form of a training mix) — src0 2x, src1 2.5x (every
+      // row twice + md5-half a third time), src2 0.4x (downsample),
+      // every unlisted source dropped (a recipe is a whitelist)
+      Sampling.mixEpochs(t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 2.0, "src1" -> 2.5, "src2" -> 0.4))
+        .select(col("doc_id"), col("source"), col("epoch"))
+    }),
     "mix_temperature" -> ((s, dir) => {
       // temperature mixing WITH upsampling: source share ∝ n^0.5, total
       // 800 rows over a 500-doc corpus — small sources repeat
@@ -3302,6 +3311,23 @@ object SparkEntry {
           |SELECT d.doc_id, d.source FROM documents d JOIN th ON th.source = d.source
           |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
           |      % 10000 < thr""".stripMargin,
+      // fixed recipe — the per-source (floor, fraction-threshold)
+      // factors are compile-time constants, md5 bucket rule as above
+      "mix_epochs" ->
+        """WITH f AS (SELECT * FROM (VALUES
+          |  ('src0', CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+          |  ('src1', CAST(2 AS BIGINT), CAST(5000 AS BIGINT)),
+          |  ('src2', CAST(0 AS BIGINT), CAST(4000 AS BIGINT)))
+          |  AS t(source, fullc, thr)),
+          |c AS (
+          |  SELECT d.doc_id, d.source,
+          |    fullc + CASE WHEN
+          |      CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          |        % 10000 < thr THEN 1 ELSE 0 END AS copies
+          |  FROM documents d JOIN f ON f.source = d.source)
+          |SELECT doc_id, source, CAST(u.e AS BIGINT) AS epoch
+          |FROM c, unnest(generate_series(0, copies - 1)) AS u(e)
+          |WHERE copies > 0""".stripMargin,
       // mix_temperature: weights floored to a 1e-4 grid and summed as
       // exact BIGINTs (pow is not correctly rounded; the sum must be
       // order-free), then the factor replays the Scala side's

@@ -192,6 +192,47 @@ object Sampling {
       .drop("__full", "__thr", "__copies")
   }
 
+  /** Fixed data-recipe mixing: each source repeats for an explicit
+    * (possibly fractional) EPOCH count — `"wiki" -> 3.5` emits every
+    * wiki row 3 times plus a 4th copy for the deterministic md5-hash
+    * half of ids. The form a finalized training recipe ships in
+    * (epochs per source decided offline), where
+    * [[mixSourcesTemperature]] is the form that derives them. Sources
+    * absent from the recipe are dropped — a recipe is a whitelist, and
+    * silently passing an unlisted source through at 1.0 is how a
+    * stray corpus ends up in a training run.
+    *
+    * Scale shape: NO aggregation at all (the recipe is given, not
+    * derived) — a broadcast of the per-source `(floor, fraction)`
+    * factors into the scan, copies materialized by
+    * `explode(sequence(...))` where each row already lives; kept rows
+    * never shuffle. Fraction membership uses the same md5 bucket rule
+    * as every sampler here, so an incremental rerun repeats exactly
+    * the same rows.
+    */
+  def mixEpochs(
+      df: DataFrame, sourceCol: String, idCol: String,
+      epochs: Map[String, Double],
+      buckets: Int = 10000, copyCol: String = "epoch"): DataFrame = {
+    require(epochs.nonEmpty, "mixEpochs: empty recipe")
+    epochs.foreach { case (s, e) =>
+      require(e >= 0, s"mixEpochs: negative epoch count $e for source $s")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val factors = epochs.toSeq.map { case (s, e) =>
+      (s, math.floor(e).toLong, math.floor((e - math.floor(e)) * buckets).toLong)
+    }
+    val fDf = broadcast(factors.toDF(sourceCol, "__full", "__thr"))
+    df.join(fDf, sourceCol)
+      .withColumn("__copies",
+        col("__full") +
+          when(hashBucket(col(idCol), buckets) < col("__thr"), 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn(copyCol, explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__full", "__thr", "__copies")
+  }
+
   /** Deterministic global shuffle rank: a dense `0..n-1` ordering of
     * the corpus by `(md5(id), id)` — the reproducible "random" training
     * order — WITHOUT the single-partition sort that `row_number()` over

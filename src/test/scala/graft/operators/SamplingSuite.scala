@@ -127,6 +127,36 @@ class SamplingSuite extends SparkSpec {
     assert(math.abs(eq("s0") - 450) < 40 && math.abs(eq("s1") - 450) < 15, s"$eq")
   }
 
+  test("mixEpochs: floor copies + hash fraction, whitelist drop, determinism") {
+    val df = ((0 until 400).map(i => (i.toLong, "a")) ++
+      (1000 until 1400).map(i => (i.toLong, "b")) ++
+      (2000 until 2400).map(i => (i.toLong, "stray"))).toDF("id", "src")
+    val out = Sampling.mixEpochs(df, "src", "id",
+      Map("a" -> 2.5, "b" -> 0.25))
+    // unlisted source never passes through
+    assert(out.filter($"src" === "stray").count() == 0)
+    // a: every id 2 or 3 times, total ≈ 400·2.5
+    val perA = out.filter($"src" === "a").groupBy("id").count()
+      .collect().map(_.getLong(1))
+    assert(perA.length == 400 && perA.forall(c => c == 2 || c == 3), perA.toSet)
+    assert(math.abs(perA.sum - 1000) < 60, s"total ${perA.sum}")
+    // b: ~25% of ids once, the rest absent
+    val nB = out.filter($"src" === "b").count()
+    assert(math.abs(nB - 100) < 35, s"b rows $nB")
+    // copy indexes dense 0..c-1; zero-epoch source would drop (covered by b's absents)
+    val copies = out.filter($"id" === 0L).select("epoch")
+      .collect().map(_.getLong(0)).sorted
+    assert(copies.sameElements(0L until copies.length))
+    // deterministic under repartitioning
+    val a1 = out.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a2 = Sampling.mixEpochs(df.repartition(13), "src", "id",
+      Map("a" -> 2.5, "b" -> 0.25))
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a1 == a2)
+  }
+
   test("mixSources fails loudly when a weighted source is absent") {
     val df = (0 until 10).map(i => (i.toLong, "s0")).toDF("id", "src")
     val ex = intercept[IllegalArgumentException] {
