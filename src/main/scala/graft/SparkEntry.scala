@@ -1392,6 +1392,16 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source")
     }),
+    "quality_classifier" -> ((s, dir) => {
+      // weak-supervision NB filter: label = (lang = 'en') — cheap
+      // metadata standing in for the usual heuristic/trusted-domain
+      // weak label — train token log-odds, score every doc. The
+      // oracle retrains from scratch in SQL on the token strings
+      // (Spark trains on xxhash64 keys: count equality across the two
+      // keyings is part of the claim).
+      val d = t(s, dir, "documents")
+      QualityClassifier.score(d, "doc_id", "text", col("lang") === "en")
+    }),
     "mix_epochs" -> ((s, dir) => {
       // fixed data recipe: explicit per-source epoch counts (the
       // shipped form of a training mix) — src0 2x, src1 2.5x (every
@@ -3311,6 +3321,41 @@ object SparkEntry {
           |SELECT d.doc_id, d.source FROM documents d JOIN th ON th.source = d.source
           |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
           |      % 10000 < thr""".stripMargin,
+      // NB retrained from scratch on token STRINGS (Spark keys by
+      // xxhash64); grid arithmetic per the ln contract — floor4 right
+      // after every ln, exact BIGINT sums, doubles only at the ends
+      "quality_classifier" ->
+        """WITH lab AS (SELECT doc_id, (lang = 'en') AS lbl, text FROM documents),
+          |tok AS (SELECT doc_id, lbl, w FROM (
+          |  SELECT doc_id, lbl,
+          |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |  FROM lab) q WHERE w <> ''),
+          |tc AS (SELECT w,
+          |  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+          |  CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS cn
+          |  FROM tok GROUP BY 1),
+          |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+          |               CAST(sum(cn) AS BIGINT) AS nn, count(*) AS v FROM tc),
+          |dc AS (SELECT
+          |  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+          |  CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS dn
+          |  FROM lab),
+          |pri AS (SELECT
+          |  CAST(floor(ln(dp * 1.0 / (dp + dn)) * 10000) AS BIGINT)
+          |  - CAST(floor(ln(dn * 1.0 / (dp + dn)) * 10000) AS BIGINT) AS prior
+          |  FROM dc),
+          |delta AS (SELECT w,
+          |  CAST(floor(ln((cp + 1.0) / CAST(np + v AS DOUBLE)) * 10000) AS BIGINT)
+          |  - CAST(floor(ln((cn + 1.0) / CAST(nn + v AS DOUBLE)) * 10000) AS BIGINT)
+          |    AS d
+          |  FROM tc, tot),
+          |sc AS (SELECT t.doc_id, count(*) AS n_tokens,
+          |              CAST(sum(d.d) AS BIGINT) AS s
+          |  FROM tok t JOIN delta d ON d.w = t.w GROUP BY 1)
+          |SELECT sc.doc_id, sc.n_tokens,
+          |  CAST(s + prior AS DOUBLE) / 10000.0 AS score,
+          |  (s + prior) > 0 AS pred
+          |FROM sc, pri""".stripMargin,
       // fixed recipe — the per-source (floor, fraction-threshold)
       // factors are compile-time constants, md5 bucket rule as above
       "mix_epochs" ->

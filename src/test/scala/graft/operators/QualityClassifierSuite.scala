@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Naive Bayes weak-supervision classifier: pinned to an independent
+  * scalar replica of the grid arithmetic, plus separation on a corpus
+  * where the classes have disjoint marker tokens, OOV smoothing, and
+  * the one-class guard.
+  */
+class QualityClassifierSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def grid(x: Double): Long = math.floor(math.log(x) * 10000).toLong
+
+  /** Scalar NB replica (string-keyed, map-based — a different data
+    * layout than the operator's hash-keyed aggregation).
+    */
+  private def ref(docs: Seq[(Long, String, Boolean)], score: Seq[(Long, String)])
+      : Map[Long, (Long, Double, Boolean)] = {
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val cp = scala.collection.mutable.Map.empty[String, Long]
+    val cn = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, t, l) <- docs; w <- toks(t))
+      if (l) cp(w) = cp.getOrElse(w, 0L) + 1 else cn(w) = cn.getOrElse(w, 0L) + 1
+    val vocab = (cp.keySet ++ cn.keySet)
+    val (np, nn, v) = (cp.values.sum, cn.values.sum, vocab.size.toLong)
+    val dp = docs.count(_._3).toLong
+    val dn = docs.size - dp
+    val prior = grid(dp.toDouble / (dp + dn)) - grid(dn.toDouble / (dp + dn))
+    def delta(w: String): Long =
+      grid((cp.getOrElse(w, 0L) + 1.0) / (np + v)) -
+        grid((cn.getOrElse(w, 0L) + 1.0) / (nn + v))
+    score.flatMap { case (id, t) =>
+      val ws = toks(t)
+      if (ws.isEmpty) None
+      else {
+        val s = ws.map(delta).sum + prior
+        Some(id -> ((ws.size.toLong, s / 10000.0, s > 0)))
+      }
+    }.toMap
+  }
+
+  test("matches the scalar replica exactly (self-train, repeats, OOV via cross-score)") {
+    val train = Seq(
+      (1L, "good clean prose prose text", true),
+      (2L, "good text here", true),
+      (3L, "spam spam buy buy now", false),
+      (4L, "buy now spam", false),
+      (5L, "text prose now", true))
+    val docs = train.map { case (i, t, l) => (i, t, l) }.toDF("id", "text", "lbl")
+    val m = QualityClassifier.train(docs, "text", col("lbl"))
+    // cross-score a frame with an OOV token ("unseen") and an empty doc
+    val target = Seq((10L, "good prose"), (11L, "buy spam unseen"), (12L, "  "))
+    val got = QualityClassifier
+      .scoreWith(target.toDF("id", "text"), "id", "text", m)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(got == ref(train, target))
+    // self-scoring form agrees with train+scoreWith composition
+    val self = QualityClassifier.score(docs, "id", "text", col("lbl"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(self == ref(train, train.map(d => (d._1, d._2))))
+    // the markers separate: good/prose docs positive, spam docs negative
+    assert(self(1L)._3 && self(2L)._3 && !self(3L)._3 && !self(4L)._3)
+    assert(got(10L)._3 && !got(11L)._3)
+  }
+
+  test("one-class corpus fails loudly") {
+    val docs = Seq((1L, "a b", true), (2L, "c", true)).toDF("id", "text", "lbl")
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.train(docs, "text", col("lbl"))
+    }
+    assert(e.getMessage.contains("both classes"))
+  }
+}
