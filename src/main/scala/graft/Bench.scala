@@ -25,7 +25,7 @@ object Bench {
     "dedup_embedding", "ann_topk", "ann_topk_pq", "ann_topk_ivf_pq_search",
     "ann_topk_ivf_pq_meta",
     "text_quality", "doc_fingerprint", "heavy_hitters_tokens",
-    "tokenize_bpe",
+    "tokenize_bpe", "extract_html", "quality_classifier", "corpus_diff",
     "decontaminate_docs", "decontaminate_bloom", "stream_decontaminate",
     "stream_lm_gate", "stream_lm_gate3", "lm_score_trigram",
     "lm_score_4gram",

@@ -1253,6 +1253,21 @@ object SparkEntry {
       Streaming.knGate(s, d, "doc_id", "text", idx, minAvgLogp = KnGateThreshold)
         .select("doc_id", "n_bigrams", "avg_logp")
     }),
+    "stream_nb_gate" -> ((s, dir) => {
+      // the classifier gate AT INGEST: count-pruned NB model (cutoff
+      // 2; smoothing denominators stay pre-prune), ONE in-row kernel
+      // call per doc, no join/agg/state. minScore 0.0 is the decision
+      // boundary — the compare is on exact grid longs, so there is no
+      // threshold tuning to pin; the oracle replays the pruned model
+      // in SQL (pruned tokens score as unseen via the default floor).
+      val d = t(s, dir, "documents")
+      val idx = scratch("nb_gate_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        QualityClassifier.buildNbIndex(d, "text", col("lang") === "en",
+          idx, minCount = 2)
+      Streaming.nbGate(s, d, "doc_id", "text", idx, minScore = 0.0)
+        .select("doc_id", "n_tokens", "score")
+    }),
     "stream_pack_sequences" -> ((s, dir) => {
       // the live ingest pipeline ENDING IN PACKING: gate → token count
       // → incremental greedy packing whose open-bin carry state
@@ -3356,6 +3371,44 @@ object SparkEntry {
           |  CAST(s + prior AS DOUBLE) / 10000.0 AS score,
           |  (s + prior) > 0 AS pred
           |FROM sc, pri""".stripMargin,
+      // pruned-NB gate: same grid arithmetic as quality_classifier but
+      // the delta table keeps only count >= 2 tokens — pruned tokens
+      // fall to the unseen default floor via the LEFT JOIN coalesce;
+      // the keep rule compares exact BIGINTs (s + prior >= 0)
+      "stream_nb_gate" ->
+        """WITH lab AS (SELECT doc_id, (lang = 'en') AS lbl, text FROM documents),
+          |tok AS (SELECT doc_id, lbl, w FROM (
+          |  SELECT doc_id, lbl,
+          |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |  FROM lab) q WHERE w <> ''),
+          |tc AS (SELECT w,
+          |  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+          |  CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS cn
+          |  FROM tok GROUP BY 1),
+          |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+          |               CAST(sum(cn) AS BIGINT) AS nn, count(*) AS v FROM tc),
+          |dc AS (SELECT
+          |  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+          |  CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS dn
+          |  FROM lab),
+          |pri AS (SELECT
+          |  CAST(floor(ln(dp * 1.0 / (dp + dn)) * 10000) AS BIGINT)
+          |  - CAST(floor(ln(dn * 1.0 / (dp + dn)) * 10000) AS BIGINT) AS prior
+          |  FROM dc),
+          |delta AS (SELECT w,
+          |  CAST(floor(ln((cp + 1.0) / CAST(np + v AS DOUBLE)) * 10000) AS BIGINT)
+          |  - CAST(floor(ln((cn + 1.0) / CAST(nn + v AS DOUBLE)) * 10000) AS BIGINT)
+          |    AS d
+          |  FROM tc, tot WHERE cp + cn >= 2),
+          |dflt AS (SELECT
+          |  CAST(floor(ln(1.0 / CAST(np + v AS DOUBLE)) * 10000) AS BIGINT)
+          |  - CAST(floor(ln(1.0 / CAST(nn + v AS DOUBLE)) * 10000) AS BIGINT) AS dd
+          |  FROM tot),
+          |sc AS (SELECT t.doc_id, count(*) AS n_tokens,
+          |              CAST(sum(coalesce(d.d, dflt.dd)) AS BIGINT) AS s
+          |  FROM tok t LEFT JOIN delta d ON d.w = t.w CROSS JOIN dflt GROUP BY 1)
+          |SELECT sc.doc_id, sc.n_tokens, CAST(s + prior AS DOUBLE) / 10000.0 AS score
+          |FROM sc, pri WHERE s + prior >= 0""".stripMargin,
       // fixed recipe — the per-source (floor, fraction-threshold)
       // factors are compile-time constants, md5 bucket rule as above
       "mix_epochs" ->

@@ -104,4 +104,101 @@ object QualityClassifier {
   def score(docs: DataFrame, idCol: String, textCol: String,
       positive: Column): DataFrame =
     scoreWith(docs, idCol, textCol, train(docs, textCol, positive))
+
+  /** A pruned NB model held driver-side for in-row serving: sorted
+    * token-hash keys with parallel 1e-4-grid log-odds, plus the
+    * unseen-token floor and the class prior.
+    */
+  final case class NbServingModel(
+      keys: Array[Long], deltas: Array[Long],
+      defaultDelta: Long, priorDelta: Long)
+
+  /** Train and persist a COUNT-PRUNED NB model ([[LangModel]]'s
+    * artifact recipe: tokens seen fewer than `minCount` times across
+    * both classes are dropped and score as unseen — a count cutoff,
+    * not top-K, because the cutoff replays in any engine without
+    * tiebreak coupling). The artifact stores raw per-class counts
+    * plus the PRE-PRUNE totals (`Np`, `Nn`, `|V|`, doc counts) — the
+    * smoothing denominators must come from the full training run, and
+    * keeping counts rather than log-odds leaves the grid arithmetic
+    * in one place (model load). Published atomically via
+    * [[graft.sources.IndexIO]].
+    */
+  def buildNbIndex(docs: DataFrame, textCol: String, positive: Column,
+      path: String, minCount: Long = 2): Unit = {
+    require(minCount >= 1, "buildNbIndex: count cutoff must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lab = docs.select(positive.cast("boolean").as("__pos"),
+      col(textCol).as("__t"))
+    // materialized once: the pre-prune totals and the pruned write are
+    // separate actions over this aggregate
+    val tc = lab
+      .select(col("__pos"),
+        explode(TextFunctions.tokens(col("__t"))).as("__w"))
+      .select(col("__pos"), xxhash64(col("__w")).as("h"))
+      .groupBy("h")
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("cn"))
+      .localCheckpoint(true)
+    val c = tc.agg(sum("cp").as("np"), sum("cn").as("nn"),
+      count(lit(1)).as("v")).collect()(0)
+    val docCounts = lab.groupBy("__pos").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val (dp, dn) = (docCounts.getOrElse(true, 0L), docCounts.getOrElse(false, 0L))
+    require(dp > 0 && dn > 0,
+      s"buildNbIndex: both classes must be non-empty (pos=$dp, neg=$dn)")
+    graft.sources.IndexIO.publish(spark, path) { vdir =>
+      tc.filter(col("cp") + col("cn") >= minCount)
+        .write.mode("overwrite").parquet(s"$vdir/tokens")
+      Seq((c.getLong(0), c.getLong(1), c.getLong(2), dp, dn, minCount))
+        .toDF("np", "nn", "v", "dp", "dn", "min_count")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
+    ()
+  }
+
+  /** Load a [[buildNbIndex]] artifact into driver memory (sorted for
+    * the kernel's binary search), turning counts into grid log-odds
+    * with the exact train-time arithmetic. Count-guarded BEFORE the
+    * collect, like every driver-held artifact here.
+    */
+  def loadNbModel(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxEntries: Long = 32L << 20): NbServingModel = {
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    val entries = spark.read.parquet(s"$vdir/tokens").count()
+    require(entries <= maxEntries,
+      s"NB model at $path has $entries entries > $maxEntries; raise the count cutoff")
+    val m = spark.read.parquet(s"$vdir/meta").head()
+    val (np, nn, v) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    val (dp, dn) = (m.getLong(3), m.getLong(4))
+    val rows = spark.read.parquet(s"$vdir/tokens").sort("h").collect()
+    val keys = rows.map(_.getLong(0))
+    val deltas = rows.map(r =>
+      grid((r.getLong(1) + 1.0) / (np + v)) - grid((r.getLong(2) + 1.0) / (nn + v)))
+    NbServingModel(keys, deltas,
+      defaultDelta = grid(1.0 / (np + v)) - grid(1.0 / (nn + v)),
+      priorDelta = grid(dp.toDouble / (dp + dn)) - grid(dn.toDouble / (dp + dn)))
+  }
+
+  /** Score with a loaded pruned model via the in-row kernel — one scan
+    * projection, no joins, no aggregation (stream-safe). Bit-equal to
+    * [[scoreWith]] when `minCount = 1` (suite-pinned); zero-token docs
+    * get no row, like the batch path.
+    */
+  def scoreWithModel(docs: DataFrame, idCol: String, textCol: String,
+      m: NbServingModel): DataFrame = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val sc = toColumn(graft.functions.NbScoreExpr(
+      toExpression(col(textCol)), m.keys, m.deltas, m.defaultDelta))
+    // Generate fence: one kernel call per row (filter + project would
+    // re-evaluate the kernel otherwise — see Streaming.lmGate)
+    docs
+      .withColumn("__nb", explode(array(sc)))
+      .filter(col("__nb.n_tokens") > 0)
+      .select(col(idCol),
+        col("__nb.n_tokens").as("n_tokens"),
+        ((col("__nb.s_sum") + lit(m.priorDelta)) / lit(10000.0)).as("score"),
+        (col("__nb.s_sum") + lit(m.priorDelta) > 0).as("pred"))
+  }
 }

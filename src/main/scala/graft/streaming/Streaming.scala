@@ -800,6 +800,38 @@ object Streaming {
       .drop("__lm")
   }
 
+  /** Classifier quality gate: keep docs the pruned NB model
+    * ([[graft.operators.QualityClassifier.buildNbIndex]]) scores at or
+    * above `minScore` (0.0 = the decision boundary; positive raises
+    * precision). Same serving shape as [[lmGate]]: ONE in-row kernel
+    * call per doc behind a Generate fence, model as plan references —
+    * no join, no aggregation, no state. The threshold compares exact
+    * grid longs (`s_sum + prior >= round(minScore·1e4)`), so the gate
+    * agrees bit-for-bit with the batch scorer's `score`.
+    */
+  def nbGate(
+      spark: SparkSession,
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelPath: String,
+      minScore: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val m = graft.operators.QualityClassifier.loadNbModel(spark, modelPath)
+    val sc = toColumn(graft.functions.NbScoreExpr(
+      toExpression(col(textCol)), m.keys, m.deltas, m.defaultDelta))
+    val minGrid = math.round(minScore * 10000)
+    // Generate fence — one kernel call per row (see lmGate)
+    stream
+      .withColumn("__nb", explode(array(sc)))
+      .filter(col("__nb.n_tokens") > 0 &&
+        col("__nb.s_sum") + lit(m.priorDelta) >= lit(minGrid))
+      .withColumn("n_tokens", col("__nb.n_tokens"))
+      .withColumn("score",
+        (col("__nb.s_sum") + lit(m.priorDelta)) / lit(10000.0))
+      .drop("__nb")
+  }
+
   /** Streaming sequence packing: a `foreachBatch` sink whose carry-over
     * open-bin state ([[graft.operators.Packing.IncrementalPacker]])
     * crosses micro-batch boundaries, so the live ingest pipeline can

@@ -70,6 +70,42 @@ class QualityClassifierSuite extends SparkSpec {
     assert(got(10L)._3 && !got(11L)._3)
   }
 
+  test("serving kernel == batch scorer at minCount=1; pruning floors rare tokens") {
+    val docs = Seq(
+      (1L, "good clean prose prose text", true),
+      (2L, "good text here rareword", true),
+      (3L, "spam spam buy buy now", false),
+      (4L, "buy now spam", false),
+      (5L, "text prose now", true)).toDF("id", "text", "lbl")
+    val p1 = java.nio.file.Files.createTempDirectory("nbidx1").toString
+    QualityClassifier.buildNbIndex(docs, "text", col("lbl"), p1, minCount = 1)
+    val m1 = QualityClassifier.loadNbModel(spark, p1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val batch = rows(QualityClassifier.score(docs, "id", "text", col("lbl")))
+    val served = rows(QualityClassifier.scoreWithModel(docs, "id", "text", m1))
+    assert(served == batch)
+    // minCount=2 drops singletons ("rareword", "clean", "here") to the
+    // unseen floor: doc scores move, frequent-token evidence survives
+    val p2 = java.nio.file.Files.createTempDirectory("nbidx2").toString
+    QualityClassifier.buildNbIndex(docs, "text", col("lbl"), p2, minCount = 2)
+    val m2 = QualityClassifier.loadNbModel(spark, p2)
+    val pruned = rows(QualityClassifier.scoreWithModel(docs, "id", "text", m2))
+    assert(pruned.keySet == batch.keySet)
+    assert(pruned(3L)._3 == false && pruned(1L)._3 == true)
+    // an all-frequent-token doc is untouched by the cutoff
+    assert(pruned(5L) == batch(5L))
+    // and one carrying a singleton moved
+    assert(pruned(2L)._2 != batch(2L)._2)
+    // the streaming gate keeps exactly the batch-positive docs at the
+    // 0.0 boundary, with identical served scores
+    val gated = graft.streaming.Streaming
+      .nbGate(spark, docs, "id", "text", p2, minScore = 0.0)
+      .select("id", "n_tokens", "score").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(gated == pruned.filter(_._2._3).map { case (k, v) => k -> ((v._1, v._2)) })
+  }
+
   test("one-class corpus fails loudly") {
     val docs = Seq((1L, "a b", true), (2L, "c", true)).toDF("id", "text", "lbl")
     val e = intercept[IllegalArgumentException] {
