@@ -1407,6 +1407,16 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source")
     }),
+    "sample_top_fraction" -> ((s, dir) => {
+      // per-source quantile-threshold curation: keep the top 3/10 of
+      // each source by doc length. The cut is a RATIONAL on exact
+      // longs (rank·10 <= n·3) with md5-of-id tie-break; the oracle is
+      // the plain global-rank window — the Spark side is the two-pass
+      // distinct-score threshold, never "simplify" it to this window.
+      val d = t(s, dir, "documents")
+      Sampling.topFractionPerGroup(d, "source", "doc_id", col("n_chars"), 3, 10)
+        .select("doc_id", "source", "n_chars")
+    }),
     "quality_classifier" -> ((s, dir) => {
       // weak-supervision NB filter: label = (lang = 'en') — cheap
       // metadata standing in for the usual heuristic/trusted-domain
@@ -3336,6 +3346,15 @@ object SparkEntry {
           |SELECT d.doc_id, d.source FROM documents d JOIN th ON th.source = d.source
           |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
           |      % 10000 < thr""".stripMargin,
+      // the oracle ranks globally per source; rank·denom <= n·numer in
+      // exact integers — no doubles in the cut on either side
+      "sample_top_fraction" ->
+        """WITH r AS (SELECT doc_id, source, n_chars,
+          |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC,
+          |    md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk,
+          |  count(*) OVER (PARTITION BY source) AS n
+          |  FROM documents)
+          |SELECT doc_id, source, n_chars FROM r WHERE rk * 10 <= n * 3""".stripMargin,
       // NB retrained from scratch on token STRINGS (Spark keys by
       // xxhash64); grid arithmetic per the ln contract — floor4 right
       // after every ln, exact BIGINT sums, doubles only at the ends

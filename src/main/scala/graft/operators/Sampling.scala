@@ -432,6 +432,54 @@ object Sampling {
       .select(outCols: _*)
   }
 
+  /** Keep the top `numer/denom` fraction of each group by score — the
+    * quantile-threshold curation rule ("top 30% of each source by
+    * quality"), the fraction-form sibling of [[cappedPerGroup]]'s
+    * fixed N. The fraction is a RATIONAL, not a double: the keep rule
+    * is `rank · denom <= n_g · numer` in exact longs, so no engine's
+    * rounding can move the cut.
+    *
+    * NOT a per-group global sort: pass 1 aggregates `(group, score)`
+    * counts (one row per DISTINCT score — the table a cumulative
+    * window then walks, tiny next to the data), derives each group's
+    * keep-count and classifies every score as keep-all /
+    * threshold / drop; pass 2 equi-joins that verdict back and sorts
+    * ONLY the threshold ties (window over `(group, score)`), breaking
+    * them by md5-of-id — deterministic, engine-portable, unbiased.
+    * Rows below the threshold drop before the tie window, so the only
+    * row-level sort touches the boundary score's rows; a pathological
+    * group where every row shares one score degrades to sorting that
+    * group, which is the problem statement itself.
+    */
+  def topFractionPerGroup(
+      df: DataFrame, groupCol: String, idCol: String, score: Column,
+      numer: Long, denom: Long): DataFrame = {
+    require(denom > 0, s"topFractionPerGroup: denom must be positive, got $denom")
+    require(numer >= 0, s"topFractionPerGroup: negative numer $numer")
+    import org.apache.spark.sql.expressions.Window
+    val withS = df.withColumn("__sc", score)
+    val cnt = withS.groupBy(col(groupCol), col("__sc"))
+      .agg(count(lit(1)).as("__c"))
+    val wg = Window.partitionBy(col(groupCol))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("__sc").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = cnt
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wg))
+      // exact integer floor division — no doubles anywhere in the cut
+      .withColumn("__keep", expr(s"(__n * ${numer}L) div ${denom}L"))
+      .withColumn("__slots", col("__keep") - (col("__cum") - col("__c")))
+      .filter(col("__slots") > 0) // below-threshold scores never rejoin
+      .select(col(groupCol), col("__sc"), col("__cum"), col("__keep"),
+        col("__slots"))
+    val wTie = Window.partitionBy(col(groupCol), col("__sc"))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    withS.join(st, Seq(groupCol, "__sc"))
+      .withColumn("__rk", row_number().over(wTie))
+      .filter(col("__cum") <= col("__keep") || col("__rk") <= col("__slots"))
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** At most `n` rows per group, chosen DETERMINISTICALLY by md5-of-id
     * order (ties impossible: ids are distinct; the hash order is a
     * stable, engine-portable "random" order, so the cap is an unbiased

@@ -157,6 +157,35 @@ class SamplingSuite extends SparkSpec {
     assert(a1 == a2)
   }
 
+  test("topFractionPerGroup == global rank replica (ties, rationals, determinism)") {
+    // scores with heavy ties so the threshold lands INSIDE a tie set
+    val rows = (0 until 300).map { i =>
+      (i.toLong, s"g${i % 3}", (i % 7).toLong)
+    }
+    val df = rows.toDF("id", "grp", "sc")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    def refKeep(numer: Long, denom: Long): Set[Long] =
+      rows.groupBy(_._2).flatMap { case (_, g) =>
+        val keep = g.size * numer / denom
+        g.sortBy { case (id, _, sc) => (-sc, md5hex(id.toString), id) }
+          .take(keep.toInt).map(_._1)
+      }.toSet
+    for ((nu, de) <- Seq((3L, 10L), (1L, 4L), (1L, 1L), (0L, 5L), (2L, 3L))) {
+      val got = Sampling.topFractionPerGroup(df, "grp", "id", $"sc", nu, de)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == refKeep(nu, de), s"fraction $nu/$de")
+    }
+    // deterministic under repartitioning
+    val a = Sampling.topFractionPerGroup(df.repartition(11), "grp", "id", $"sc", 3, 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == refKeep(3, 10))
+    // output schema is the input schema
+    assert(Sampling.topFractionPerGroup(df, "grp", "id", $"sc", 1, 2).columns
+      .sameElements(df.columns))
+  }
+
   test("mixSources fails loudly when a weighted source is absent") {
     val df = (0 until 10).map(i => (i.toLong, "s0")).toDF("id", "src")
     val ex = intercept[IllegalArgumentException] {
