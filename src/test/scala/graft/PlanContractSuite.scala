@@ -81,6 +81,27 @@ class PlanContractSuite extends SparkSpec {
     ("stream_lm_gate3", Seq.empty,
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
         "Exchange SinglePartition", "Join", "HashAggregate")),
+    // HTML extraction is eight codegen'd regexp passes in ONE scan
+    // projection: any exchange or join means it left the scan
+    ("extract_html", Seq.empty,
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition", "BroadcastExchange", "Join",
+        "HashAggregate")),
+    // NB classifier gate: same stateless serving contract as the LM
+    // gates — the pruned model rides as plan references into one
+    // in-row kernel call
+    ("stream_nb_gate", Seq.empty,
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition", "Join", "HashAggregate")),
+    // snapshot diff: one equi-join of two slim (id, hash) projections —
+    // a nested-loop/cartesian means the fingerprint equi-key was lost
+    ("corpus_diff", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // top-fraction keeps the rank-limitable tie window and must never
+    // collapse the per-group threshold walk into a single partition
+    ("sample_top_fraction", Seq.empty,
+      Seq("Exchange SinglePartition", "CartesianProduct",
+        "BroadcastNestedLoopJoin")),
     ("dedup_minhash", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     ("dedup_cross_corpus_lsh", Seq.empty,
@@ -111,7 +132,8 @@ class PlanContractSuite extends SparkSpec {
     // pushdown + projection collapse plant a full scoring call in each
     for ((name, marker) <- Seq(
         ("stream_lm_gate", "graft_lm_score("),
-        ("stream_lm_gate3", "graft_lm_score3("))) {
+        ("stream_lm_gate3", "graft_lm_score3("),
+        ("stream_nb_gate", "graft_nb_score("))) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       val count = plan.sliding(marker.length).count(_ == marker)
