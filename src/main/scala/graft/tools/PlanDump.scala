@@ -203,7 +203,48 @@ object PlanDump {
       """Per-stratum rebalancing: a scan-side Filter on the md5 bucket
         |against a CASE of per-source thresholds — zero shuffle, zero
         |joins; membership is a pure function of the id, so the sample
-        |is stable under re-partitioning and appends.""".stripMargin)
+        |is stable under re-partitioning and appends.""".stripMargin,
+    "extract_html" ->
+      """HTML -> text is eight codegen'd `regexp_replace` passes fused in
+        |ONE scan projection (plan-contract pinned: no exchange, no join,
+        |no aggregate). At 100 TB this is the shape that matters: the
+        |extraction runs where each page already lives and the projection
+        |prunes to (doc_id, extracted) before anything moves.""".stripMargin,
+    "quality_classifier" ->
+      """Weak-supervision NB: train is one token-count HashAggregate on
+        |xxhash64 keys (the label folds into two partial sums — the
+        |shuffle carries (hash, cp, cn)); scoring re-explodes tokens and
+        |equi-joins the model, which AQE broadcasts at this vocabulary
+        |size and shuffles at web scale. No token string ever crosses an
+        |exchange — 8-byte hashes only.""".stripMargin,
+    "stream_nb_gate" ->
+      """The pruned-NB serving form: sorted key/delta arrays ride as plan
+        |references into ONE in-row kernel call per doc behind a Generate
+        |fence (plan-contract pinned to a single `graft_nb_score(`);
+        |no join, no aggregate, no exchange — the classifier gates a
+        |stream exactly like the LM gates.""".stripMargin,
+    "corpus_diff" ->
+      """Snapshot CDC: both sides project to (id, xxhash64) BEFORE the
+        |full-outer join, so diffing two 100 TB snapshots shuffles two
+        |16-byte columns; id-bucketed snapshots would co-locate and skip
+        |both exchanges. Status is a CASE over null-ness + fingerprint
+        |equality — no second pass.""".stripMargin,
+    "mix_epochs" ->
+      """Fixed-recipe mixing: no aggregation anywhere (the recipe is
+        |given) — a broadcast of per-source (floor, fraction) factors
+        |into the scan, copies materialized by Generate where each row
+        |lives. Kept rows never shuffle.""".stripMargin,
+    "sample_top_fraction" ->
+      """Rational top-fraction per group: pass 1 aggregates (group,
+        |score) counts and walks the DISTINCT-score table with cumulative
+        |windows (tiny next to the data); pass 2 equi-joins the verdict
+        |back and ranks ONLY the threshold tie set. The cut compares
+        |exact longs (rank*denom <= n*numer) — no doubles, no engine
+        |rounding drift, and no per-group global sort.""".stripMargin,
+    "detokenize_bpe" ->
+      """ids -> text -> hex: two native kernels (encode, decode) fused in
+        |one scan projection — the roundtrip claim costs one pass and
+        |nothing moves.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
