@@ -1117,6 +1117,35 @@ object SparkEntry {
       d.select(col("doc_id"),
         hex(TextFunctions.extractHtml(page)).as("extracted_hex"))
     }),
+    "pipeline_web_ingest" -> ((s, dir) => {
+      // the WEB-crawl ingest path END TO END: HTML extraction → PII
+      // scrub → NB classifier gate → context-window chunking, ONE
+      // stateless plan — every stage is a scan projection or an
+      // in-row kernel (zero exchanges end to end, plan-contract
+      // pinned), so this exact composition serves a readStream with
+      // no state. Pages synthesized as in extract_html (the corpus is
+      // plain text; a crawl delivers markup); the NB model trains on
+      // the raw corpus (the offline-labeled set) and gates the
+      // extracted stream.
+      val d = t(s, dir, "documents")
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val page = concat(
+        lit("<html><head><title>d</title><style type=\"text/css\">p { color: red; }" +
+          "</style></head><body>\n<h1 class=\"hd\">Doc "), col("doc_id"),
+        lit("</h1>\n<script>if (1 < 2) { alert(\"x&y\"); }</script><p>"), esc,
+        lit("&nbsp;&amp;lt;end&gt;</p><!-- trailing\ncomment --></body></html>"))
+      val idx = scratch("nb_gate_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        QualityClassifier.buildNbIndex(d, "text", col("lang") === "en",
+          idx, minCount = 2)
+      val extracted = d.select(col("doc_id"),
+        TextFunctions.scrubPii(TextFunctions.extractHtml(page)).as("text"))
+      val gated = Streaming.nbGate(s, extracted, "doc_id", "text", idx,
+        minScore = 0.0)
+      Chunking.chunkByTokens(gated.select("doc_id", "text"), "doc_id", "text",
+        maxTokens = 64, overlap = 8)
+    }),
     "corpus_diff" -> ((s, dir) => {
       // snapshot change feed: old = docs sans the 5-multiples with the
       // 7-multiples edited, new = docs sans the 11-multiples. The diff
@@ -2824,6 +2853,100 @@ object SparkEntry {
           |SELECT doc_id,
           |  hex(trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g'))) AS extracted_hex
           |FROM e""".stripMargin,
+      // the web-ingest composition: extraction chain (as extract_html,
+      // raw text out), scrub (as text_scrub), NB gate retrained on the
+      // RAW corpus (as stream_nb_gate), chunk tail (as
+      // stream_ingest_pipeline, 64/8 -> stride 56)
+      "pipeline_web_ingest" ->
+        """WITH h AS (SELECT doc_id,
+          |  '<html><head><title>d</title><style type="text/css">p { color: red; }' ||
+          |  '</style></head><body>' || chr(10) || '<h1 class="hd">Doc ' || doc_id ||
+          |  '</h1>' || chr(10) || '<script>if (1 < 2) { alert("x&y"); }</script><p>' ||
+          |  regexp_replace(regexp_replace(regexp_replace(
+          |    text, '&', '&amp;', 'g'), '<', '&lt;', 'g'), '>', '&gt;', 'g') ||
+          |  '&nbsp;&amp;lt;end&gt;</p><!-- trailing' || chr(10) ||
+          |  'comment --></body></html>' AS page
+          |FROM documents),
+          |x AS (SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |    page,
+          |    '(?is)<script\b[^>]*>.*?</script[ \t\r\n\f]*>', ' ', 'g'),
+          |    '(?is)<style\b[^>]*>.*?</style[ \t\r\n\f]*>', ' ', 'g'),
+          |    '(?s)<!--.*?-->', ' ', 'g'),
+          |    '(?s)<[^>]*>', ' ', 'g') AS t
+          |FROM h),
+          |e AS (SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |  regexp_replace(regexp_replace(
+          |    t,
+          |    '(?i)&nbsp;', ' ', 'g'),
+          |    '(?i)&lt;', '<', 'g'),
+          |    '(?i)&gt;', '>', 'g'),
+          |    '(?i)&quot;', '"', 'g'),
+          |    '(?i)(&apos;|&#39;)', chr(39), 'g'),
+          |    '(?i)&amp;', '&', 'g') AS t
+          |FROM x),
+          |ext AS (SELECT doc_id,
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(
+          |        trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g')),
+          |        'https?://\S+', '<URL>', 'g'),
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '[0-9]{7,}', '<NUM>', 'g') AS t
+          |FROM e),
+          |lab AS (SELECT doc_id, (lang = 'en') AS lbl, text FROM documents),
+          |tok AS (SELECT doc_id, lbl, w FROM (
+          |  SELECT doc_id, lbl,
+          |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |  FROM lab) q WHERE w <> ''),
+          |tc AS (SELECT w,
+          |  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+          |  CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS cn
+          |  FROM tok GROUP BY 1),
+          |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+          |               CAST(sum(cn) AS BIGINT) AS nn, count(*) AS v FROM tc),
+          |dc AS (SELECT
+          |  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+          |  CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS dn
+          |  FROM lab),
+          |pri AS (SELECT
+          |  CAST(floor(ln(dp * 1.0 / (dp + dn)) * 10000) AS BIGINT)
+          |  - CAST(floor(ln(dn * 1.0 / (dp + dn)) * 10000) AS BIGINT) AS prior
+          |  FROM dc),
+          |delta AS (SELECT w,
+          |  CAST(floor(ln((cp + 1.0) / CAST(np + v AS DOUBLE)) * 10000) AS BIGINT)
+          |  - CAST(floor(ln((cn + 1.0) / CAST(nn + v AS DOUBLE)) * 10000) AS BIGINT)
+          |    AS d
+          |  FROM tc, tot WHERE cp + cn >= 2),
+          |dflt AS (SELECT
+          |  CAST(floor(ln(1.0 / CAST(np + v AS DOUBLE)) * 10000) AS BIGINT)
+          |  - CAST(floor(ln(1.0 / CAST(nn + v AS DOUBLE)) * 10000) AS BIGINT) AS dd
+          |  FROM tot),
+          |stok AS (SELECT doc_id, w FROM (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(t), '\s+')) AS w
+          |  FROM ext) q WHERE w <> ''),
+          |sc AS (SELECT s2.doc_id,
+          |              CAST(sum(coalesce(d.d, dflt.dd)) AS BIGINT) AS s
+          |  FROM stok s2 LEFT JOIN delta d ON d.w = s2.w CROSS JOIN dflt GROUP BY 1),
+          |keep AS (SELECT ext.doc_id, ext.t AS text
+          |  FROM ext JOIN sc ON sc.doc_id = ext.doc_id CROSS JOIN pri
+          |  WHERE sc.s + pri.prior >= 0),
+          |t2 AS (
+          |  SELECT doc_id,
+          |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+          |                     w -> w <> '') AS toks
+          |  FROM keep),
+          |c2 AS (SELECT doc_id, toks, len(toks) AS n FROM t2 WHERE len(toks) > 0),
+          |g2 AS (SELECT doc_id, toks, n,
+          |         unnest(range(0, CAST(1 + ceil(greatest(n - 64, 0) / 56.0) AS INT)))
+          |           AS chunk_id
+          |       FROM c2)
+          |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+          |       array_to_string(list_slice(toks, chunk_id * 56 + 1, chunk_id * 56 + 64), ' ')
+          |         AS text,
+          |       CAST(least(64, n - chunk_id * 56) AS BIGINT) AS n_tokens
+          |FROM g2""".stripMargin,
       // statuses derived straight from the synthesis rule, no join:
       // an id divisible by both 5 and 11 is in neither snapshot
       "corpus_diff" ->

@@ -93,6 +93,12 @@ class PlanContractSuite extends SparkSpec {
     ("stream_nb_gate", Seq.empty,
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
         "Exchange SinglePartition", "Join", "HashAggregate")),
+    // the whole web-ingest path (extract -> scrub -> NB gate -> chunk)
+    // is scan projections + one in-row kernel: ANY exchange or join
+    // means a stage regressed out of the stateless stream-safe shape
+    ("pipeline_web_ingest", Seq.empty,
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition", "Join", "HashAggregate")),
     // snapshot diff: one equi-join of two slim (id, hash) projections —
     // a nested-loop/cartesian means the fingerprint equi-key was lost
     ("corpus_diff", Seq.empty,
