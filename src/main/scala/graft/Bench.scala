@@ -26,6 +26,7 @@ object Bench {
     "ann_topk_ivf_pq_meta",
     "text_quality", "doc_fingerprint", "heavy_hitters_tokens",
     "tokenize_bpe", "extract_html", "quality_classifier", "corpus_diff",
+    "stream_nb_gate", "pipeline_web_ingest", "sample_top_fraction",
     "decontaminate_docs", "decontaminate_bloom", "stream_decontaminate",
     "stream_lm_gate", "stream_lm_gate3", "lm_score_trigram",
     "lm_score_4gram",

@@ -1117,6 +1117,27 @@ object SparkEntry {
       d.select(col("doc_id"),
         hex(TextFunctions.extractHtml(page)).as("extracted_hex"))
     }),
+    "url_canonical" -> ((s, dir) => {
+      // crawl-dedup key normalization over synthesized URLs that hit
+      // every branch: mixed-case scheme/host (lowercased), default
+      // ports (dropped per scheme), utm_* params leading/trailing/
+      // inner (dropped, others keep order), fragments (dropped), bare
+      // "/" paths (dropped), case-sensitive paths (untouched)
+      val d = t(s, dir, "documents")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("HTTPS")),
+        lit("://Example"), col("doc_id") % 5, lit(".COM"),
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
+        when(col("doc_id") % 7 === 0, lit("/"))
+          .otherwise(concat(lit("/Path"), col("doc_id"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("?utm_source=news&id="), col("doc_id")))
+              .when(col("doc_id") % 3 === 1, lit("?utm_a=1"))
+              .otherwise(lit("?a=1&utm_b=2&c=3")))),
+        when(col("doc_id") % 4 === 0, lit("#Sec")).otherwise(lit("")))
+      d.select(col("doc_id"), url.as("raw_url"),
+        TextFunctions.canonicalizeUrl(url).as("canon_url"))
+    }),
     "pipeline_web_ingest" -> ((s, dir) => {
       // the WEB-crawl ingest path END TO END: HTML extraction → PII
       // scrub → NB classifier gate → context-window chunking, ONE
@@ -2853,6 +2874,44 @@ object SparkEntry {
           |SELECT doc_id,
           |  hex(trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g'))) AS extracted_hex
           |FROM e""".stripMargin,
+      // same construction, transformation replayed with DuckDB's RE2
+      // (replacement refs are \1 there vs Java's $1 — none used)
+      "url_canonical" ->
+        """WITH u AS (SELECT doc_id,
+          |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END) ||
+          |  '://Example' || (doc_id % 5) || '.COM' ||
+          |  (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
+          |  (CASE WHEN doc_id % 7 = 0 THEN '/'
+          |        ELSE '/Path' || doc_id ||
+          |          (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=news&id=' || doc_id
+          |                WHEN doc_id % 3 = 1 THEN '?utm_a=1'
+          |                ELSE '?a=1&utm_b=2&c=3' END) END) ||
+          |  (CASE WHEN doc_id % 4 = 0 THEN '#Sec' ELSE '' END) AS raw_url
+          |FROM documents),
+          |p AS (SELECT doc_id, raw_url,
+          |  lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          |    AS scheme,
+          |  lower(regexp_extract(raw_url, '^[^:/?#]+://([^/?#]*)', 1)) AS host,
+          |  regexp_extract(raw_url, '^[^:/?#]+://[^/?#]*(.*)$', 1) AS rest
+          |FROM u),
+          |q AS (SELECT doc_id, raw_url, scheme,
+          |  CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+          |       WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+          |       ELSE host END AS h2,
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(
+          |        regexp_replace(
+          |          regexp_replace(rest, '#.*$', ''),
+          |          '&utm_[^&]*', '', 'g'),
+          |        '\?utm_[^&]*&', '?'),
+          |      '\?utm_[^&]*$', ''),
+          |    '^/$', '') AS r5
+          |FROM p)
+          |SELECT doc_id, raw_url,
+          |  CASE WHEN scheme = '' THEN trim(raw_url)
+          |       ELSE scheme || '://' || h2 || r5 END AS canon_url
+          |FROM q""".stripMargin,
       // the web-ingest composition: extraction chain (as extract_html,
       // raw text out), scrub (as text_scrub), NB gate retrained on the
       // RAW corpus (as stream_nb_gate), chunk tail (as

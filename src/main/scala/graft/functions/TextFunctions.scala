@@ -151,6 +151,42 @@ object TextFunctions {
     trim(regexp_replace(e6, "[ \\t\\r\\n\\f]+", " "))
   }
 
+  /** URL canonicalization — the exact-dedup KEY for web corpora (the
+    * same page arrives under `HTTP://Host:80/x?utm_source=…#frag` and
+    * `http://host/x`; crawl dedup keys on the canonical form):
+    * scheme and host lowercase (they are case-insensitive; the path is
+    * NOT and stays untouched), default ports dropped (`:80` for http,
+    * `:443` for https), the fragment dropped (never sent to the
+    * server), `utm_*` tracking parameters dropped (leading or not,
+    * remaining params keep their order — canonicalization must not
+    * reorder, `?b=2&a=1` and `?a=1&b=2` are different resources to a
+    * strict server), and a bare `/` path dropped. A string without a
+    * `scheme://` prefix passes through trimmed — fail-open, the
+    * caller's corpus may mix keys. Pure `regexp_extract`/`replace`
+    * composition in the scan projection (RE2-portable patterns);
+    * compose with [[graft.operators.Dedup.exactBy]] for crawl dedup.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1))
+    val hostNoPort =
+      when(scheme === "http", regexp_replace(host, ":80$", ""))
+        .when(scheme === "https", regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    val rest = regexp_extract(u, "^[^:/?#]+://[^/?#]*(.*)$", 1)
+    // fragment, then non-leading utm_*, then leading-utm-with-successor
+    // (promotes the next param to leading), then lone leading utm,
+    // then a bare "/" path
+    val r1 = regexp_replace(rest, "#.*$", "")
+    val r2 = regexp_replace(r1, "&utm_[^&]*", "")
+    val r3 = regexp_replace(r2, "\\?utm_[^&]*&", "?")
+    val r4 = regexp_replace(r3, "\\?utm_[^&]*$", "")
+    val r5 = regexp_replace(r4, "^/$", "")
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), hostNoPort, r5))
+  }
+
   /** Non-empty trimmed lines of the document — the unit of the
     * C4-family repetition signals and of [[graft.operators.Dedup.lineDedup]].
     */

@@ -198,6 +198,32 @@ class TextFunctionsSuite extends SparkSpec {
       s"got '${r.getString(0)}' want '${r.getString(1)}'"))
   }
 
+  test("canonicalizeUrl: case, ports, utm params, fragments, bare paths, passthrough") {
+    val cases = Seq(
+      ("HTTP://Example.COM:80/Path?a=1#frag", "http://example.com/Path?a=1"),
+      ("https://Host.com:443/", "https://host.com"),
+      // non-default port survives; path case untouched
+      ("http://h.com:8080/CaseSensitive", "http://h.com:8080/CaseSensitive"),
+      // https keeps :80 (not its default)
+      ("https://h.com:80/x", "https://h.com:80/x"),
+      // utm: leading with successor, inner, trailing, lone
+      ("http://h.com/p?utm_s=1&a=2", "http://h.com/p?a=2"),
+      ("http://h.com/p?a=1&utm_s=2&b=3", "http://h.com/p?a=1&b=3"),
+      ("http://h.com/p?a=1&utm_s=2", "http://h.com/p?a=1"),
+      ("http://h.com/p?utm_s=2", "http://h.com/p"),
+      ("http://h.com/p?utm_a=1&utm_b=2&c=3", "http://h.com/p?c=3"),
+      ("http://h.com/p?utm_a=1&utm_b=2", "http://h.com/p"),
+      // param order preserved — canonicalization must not reorder
+      ("http://h.com/p?b=2&a=1", "http://h.com/p?b=2&a=1"),
+      // no scheme: trimmed passthrough
+      ("  not-a-url/path  ", "not-a-url/path"),
+      ("ftp://Mixed.Case/X", "ftp://mixed.case/X")).toDF("url", "want")
+    val got = cases.select(TextFunctions.canonicalizeUrl($"url").as("got"), $"want")
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got '${r.getString(0)}' want '${r.getString(1)}'"))
+  }
+
   test("scrubPii masks URLs, emails, and long digit runs — and nothing else") {
     val cases = Seq(
       (1, "mail me at jo.doe+x@sub.example.org today",
