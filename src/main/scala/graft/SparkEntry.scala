@@ -300,6 +300,24 @@ object SparkEntry {
     "stream_sliding_counts" -> ((s, dir) =>
       Streaming.slidingEventCounts(t(s, dir, "events"), "ts", "event_type",
         windowDur = "1 hour", slide = "15 minutes")),
+    "stream_distinct_users" -> ((s, dir) => {
+      // per-window HLL++ distinct users — the sketch IS the point:
+      // exact per-window countDistinct is unsupported on a stream
+      // (unbounded per-window key-set state) while the HLL buffer is
+      // fixed-size and map-side-mergeable. Self-checked per window
+      // against the SQL-derivable exact count (3% + 1 envelope at
+      // rsd 0.01).
+      val ev = t(s, dir, "events")
+      val apx = Streaming.windowedDistinct(ev, "ts", "user_id", "1 hour")
+      val exact = ev.groupBy(window(col("ts"), "1 hour"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("exact_users"))
+      apx.join(exact, "window_start_us")
+        .select(col("window_start_us"), col("exact_users"),
+          (abs(col("approx_keys") - col("exact_users")) <=
+            col("exact_users") * 0.03 + lit(1.0)).as("sketch_ok"))
+    }),
     "stream_band_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
@@ -2055,6 +2073,10 @@ object SparkEntry {
         """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
           |       event_type, count(*) AS n
           |FROM events GROUP BY 1, 2""".stripMargin,
+      "stream_distinct_users" ->
+        """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+          |       count(DISTINCT user_id) AS exact_users, true AS sketch_ok
+          |FROM events GROUP BY 1""".stripMargin,
       "stream_band_join" ->
         """SELECT c.event_id AS click_id, v.event_id AS view_id,
           |       epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us

@@ -56,6 +56,31 @@ object Streaming {
         unix_micros(col("window.start")).as("window_start_us"),
         col(typeCol), col("n"))
 
+  /** Per-window APPROXIMATE distinct keys (HyperLogLog++) — "distinct
+    * users per hour" on a live stream. The sketch is the point: exact
+    * per-window `countDistinct` is unsupported in streaming (state =
+    * the key set itself, unbounded per window); the HLL buffer is a
+    * fixed few KB per window regardless of cardinality, merges
+    * map-side, and its relative error is `rsd`. Batch/stream-unified:
+    * watermark applied only to a streaming input, so the same call
+    * faces the batch oracle and serves the stream.
+    */
+  def windowedDistinct(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowDur: String = "1 hour",
+      rsd: Double = 0.01,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay)
+      else events
+    in.groupBy(window(col(tsCol), windowDur))
+      .agg(approx_count_distinct(col(keyCol), rsd).as("approx_keys"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("approx_keys"))
+  }
+
   /** One user event (input shape of [[sessionize]]). */
   final case class UserEvent(user_id: Long, ts: Timestamp)
 

@@ -55,6 +55,38 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinct: HLL per window, exact on small cardinalities, streams") {
+    // batch: distinct users per hour — at these cardinalities the HLL
+    // estimate is exact, so the check is equality, not an envelope
+    val ev = Seq(
+      (ts("2024-01-01 00:05:00"), 1L), (ts("2024-01-01 00:10:00"), 1L),
+      (ts("2024-01-01 00:20:00"), 2L), (ts("2024-01-01 00:50:00"), 3L),
+      (ts("2024-01-01 01:05:00"), 1L), (ts("2024-01-01 01:06:00"), 4L))
+      .toDF("ts", "user_id")
+    val h0 = ts("2024-01-01 00:00:00").getTime * 1000L
+    val h1 = ts("2024-01-01 01:00:00").getTime * 1000L
+    val batch = Streaming.windowedDistinct(ev, "ts", "user_id", "1 hour")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == Map(h0 -> 3L, h1 -> 2L))
+    // same call over a MemoryStream with incremental arrival
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = Streaming.windowedDistinct(
+        input.toDF().toDF("ts", "user_id"), "ts", "user_id", "1 hour")
+      .writeStream.format("memory").queryName("wd_test")
+      .outputMode("complete").start()
+    try {
+      input.addData((ts("2024-01-01 00:05:00"), 1L), (ts("2024-01-01 00:20:00"), 2L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:10:00"), 1L), (ts("2024-01-01 00:50:00"), 3L),
+        (ts("2024-01-01 01:05:00"), 1L), (ts("2024-01-01 01:06:00"), 4L))
+      q.processAllAvailable()
+      val got = spark.table("wd_test").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("sliding windows: each event lands in windowDur/slide overlapping windows") {
     val one = Seq(Tuple2(ts("2024-01-01 00:40:00"), "click")).toDF("ts", "event_type")
     val out = Streaming.slidingEventCounts(one, "ts", "event_type", "1 hour", "15 minutes")
