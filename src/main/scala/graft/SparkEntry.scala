@@ -1266,6 +1266,15 @@ object SparkEntry {
       // the corpus itself, score every doc's mean bigram log-prob
       LangModel.score(t(s, dir, "documents"), "doc_id", "text")
     }),
+    "lm_ccnet_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail: per-language perplexity terciles over
+      // the bigram LM scores — rational-rank boundaries on exact
+      // longs, md5 tie-break on grid-score ties (common: avg_logp
+      // lives on the 1e-4 grid), no per-language global sort.
+      val d = t(s, dir, "documents")
+      LangModel.ccnetBuckets(d, "doc_id", "text", "lang")
+        .select("doc_id", "lang", "n_bigrams", "avg_logp", "bucket")
+    }),
     "lm_score_trigram" -> ((s, dir) => {
       // ORDER-3 quality signal with stupid backoff (Brants 2007):
       // trigram ratio, else 0.4x bigram ratio, else the add-one
@@ -3182,6 +3191,41 @@ object SparkEntry {
           |SELECT doc_id, count(*) AS n_bigrams,
           |       floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
           |FROM lp GROUP BY doc_id""".stripMargin,
+      // lm_score_docs' SQL + per-language tercile rank: the oracle
+      // ranks globally per lang; rk·3 <= n·{1,2} in exact integers
+      "lm_ccnet_buckets" ->
+        """WITH tokp AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |  FROM documents),
+          |bi AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+          |       FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+          |uc AS (SELECT w, count(*) AS cu FROM tokp GROUP BY 1),
+          |v AS (SELECT count(*) AS nv FROM uc),
+          |lp AS (
+          |  SELECT d.doc_id,
+          |         CAST(floor(ln((COALESCE(bc.cb, 0) + 1.0)
+          |                       / (COALESCE(uc.cu, 0) + v.nv)) * 10000.0) AS BIGINT) AS lp
+          |  FROM bi d
+          |  LEFT JOIN bc ON bc.w1 = d.w1 AND bc.w2 = d.w2
+          |  LEFT JOIN uc ON uc.w = d.w1
+          |  CROSS JOIN v),
+          |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+          |              floor(sum(lp) * 1.0 / count(*)) / 10000.0 AS avg_logp
+          |       FROM lp GROUP BY doc_id),
+          |j AS (SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logp
+          |      FROM sc s JOIN documents d USING (doc_id)),
+          |r AS (SELECT *,
+          |        row_number() OVER (PARTITION BY lang ORDER BY avg_logp DESC,
+          |          md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk,
+          |        count(*) OVER (PARTITION BY lang) AS n
+          |      FROM j)
+          |SELECT doc_id, lang, n_bigrams, avg_logp,
+          |  CASE WHEN rk * 3 <= n * 1 THEN 'head'
+          |       WHEN rk * 3 <= n * 2 THEN 'middle'
+          |       ELSE 'tail' END AS bucket
+          |FROM r""".stripMargin,
       // lm_score_trigram / stream_lm_gate3: order-3 stupid backoff —
       // the CASE replays scoreAgainst3's double arithmetic in the same
       // evaluation order; the gate variant adds HAVING >= 2 cutoffs on

@@ -91,6 +91,23 @@ object LangModel {
   def score(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreAgainst(docs, docs, idCol, textCol)
 
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020): per-group
+    * (typically per-language) perplexity terciles over the LM scores —
+    * `head` is the best-scoring third, the slice CCNet keeps or
+    * upweights. Buckets are rational-rank terciles via
+    * [[Sampling.quantileLabelsPerGroup]] (exact-long boundaries,
+    * md5-of-id tie-break on the grid-valued score ties, distinct-score
+    * walk instead of a per-group global sort). Zero-bigram docs are
+    * unscorable and get no row, like [[score]].
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val scored = score(docs, idCol, textCol)
+    val withG = scored.join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+    Sampling.quantileLabelsPerGroup(withG, groupCol, idCol, col("avg_logp"),
+      Seq((1L, 3L), (2L, 3L)), Seq("head", "middle", "tail"))
+  }
+
   /** ORDER-3 scoring with stupid backoff (Brants et al. 2007, the
     * web-scale standard: no discounting to tune, score ratios backed
     * off with a fixed α=0.4): each trigram position scores

@@ -480,6 +480,53 @@ object Sampling {
       .select(df.columns.map(col).toSeq: _*)
   }
 
+  /** Label every row of each group with its rational quantile bucket
+    * by score — the LABELING sibling of [[topFractionPerGroup]]
+    * (CCNet's head/middle/tail split is `cuts = (1,3), (2,3)` with
+    * three labels). Row with per-group rank `r` (score desc, md5-of-id
+    * tie-break) gets `labels(i)` for the first cut with
+    * `r · denom_i <= n_g · numer_i`, else the last label — exact
+    * longs, no doubles in any boundary.
+    *
+    * Same scale shape as [[topFractionPerGroup]]: the cumulative walk
+    * runs over the DISTINCT-score table; the only row-level window
+    * ranks ties within one `(group, score)` — a row's global rank is
+    * `(rows above its score) + (its tie rank)`, so no per-group
+    * global sort exists anywhere.
+    */
+  def quantileLabelsPerGroup(
+      df: DataFrame, groupCol: String, idCol: String, score: Column,
+      cuts: Seq[(Long, Long)], labels: Seq[String],
+      labelCol: String = "bucket"): DataFrame = {
+    require(labels.length == cuts.length + 1,
+      s"quantileLabelsPerGroup: ${cuts.length} cuts need ${cuts.length + 1} " +
+        s"labels, got ${labels.length}")
+    require(cuts.forall { case (nu, de) => de > 0 && nu >= 0 },
+      s"quantileLabelsPerGroup: invalid cut in $cuts")
+    import org.apache.spark.sql.expressions.Window
+    val withS = df.withColumn("__sc", score)
+    val cnt = withS.groupBy(col(groupCol), col("__sc"))
+      .agg(count(lit(1)).as("__c"))
+    val wg = Window.partitionBy(col(groupCol))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("__sc").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = cnt
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wg))
+      .select(col(groupCol), col("__sc"),
+        (col("__cum") - col("__c")).as("__cb"), col("__n"))
+    val wTie = Window.partitionBy(col(groupCol), col("__sc"))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    val rank = col("__cb") + row_number().over(wTie)
+    val label = cuts.zip(labels.init).foldRight(lit(labels.last): Column) {
+      case (((nu, de), lb), rest) =>
+        when(rank * lit(de) <= col("__n") * lit(nu), lit(lb)).otherwise(rest)
+    }
+    withS.join(st, Seq(groupCol, "__sc"))
+      .withColumn(labelCol, label)
+      .select(df.columns.map(col).toSeq :+ col(labelCol): _*)
+  }
+
   /** At most `n` rows per group, chosen DETERMINISTICALLY by md5-of-id
     * order (ties impossible: ids are distinct; the hash order is a
     * stable, engine-portable "random" order, so the cap is an unbiased

@@ -186,6 +186,37 @@ class SamplingSuite extends SparkSpec {
       .sameElements(df.columns))
   }
 
+  test("quantileLabelsPerGroup == global rank replica; partitions agree with topFraction") {
+    val rows = (0 until 300).map { i => (i.toLong, s"g${i % 3}", (i % 7).toLong) }
+    val df = rows.toDF("id", "grp", "sc")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val cuts = Seq((1L, 3L), (2L, 3L))
+    val labels = Seq("head", "middle", "tail")
+    val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+      val sorted = g.sortBy { case (id, _, sc) => (-sc, md5hex(id.toString), id) }
+      sorted.zipWithIndex.map { case ((id, _, _), i) =>
+        val r = i + 1L
+        val lbl = cuts.zip(labels.init)
+          .collectFirst { case ((nu, de), l) if r * de <= g.size * nu => l }
+          .getOrElse(labels.last)
+        id -> lbl
+      }
+    }
+    val got = Sampling.quantileLabelsPerGroup(df, "grp", "id", $"sc", cuts, labels)
+      .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want)
+    // the head bucket IS topFractionPerGroup at the same cut
+    val top = Sampling.topFractionPerGroup(df, "grp", "id", $"sc", 1, 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2 == "head").keySet == top)
+    // every input row is labeled exactly once; schema = input + bucket
+    assert(got.size == rows.size)
+    assert(Sampling.quantileLabelsPerGroup(df, "grp", "id", $"sc", cuts, labels)
+      .columns.sameElements(df.columns :+ "bucket"))
+  }
+
   test("mixSources fails loudly when a weighted source is absent") {
     val df = (0 until 10).map(i => (i.toLong, "s0")).toDF("id", "src")
     val ex = intercept[IllegalArgumentException] {
