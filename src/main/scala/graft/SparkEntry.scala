@@ -1135,6 +1135,22 @@ object SparkEntry {
       d.select(col("doc_id"),
         hex(TextFunctions.extractHtml(page)).as("extracted_hex"))
     }),
+    "gopher_rules" -> ((s, dir) => {
+      // Gopher rule-based quality flags: per-rule booleans + the
+      // conjunction, every ratio an exact-integer cross-multiplication
+      // (no doubles to drift between engines). minWords 25 so the
+      // gate corpus (10-99 words/doc) splits visibly on the rule.
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextFunctions.gopherFlags(col("text"), minWords = 25).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.word_count_ok").as("word_count_ok"),
+          col("g.word_len_ok").as("word_len_ok"),
+          col("g.symbol_ok").as("symbol_ok"),
+          col("g.alpha_ok").as("alpha_ok"),
+          col("g.stopword_ok").as("stopword_ok"),
+          col("g.pass").as("pass"))
+    }),
     "url_canonical" -> ((s, dir) => {
       // crawl-dedup key normalization over synthesized URLs that hit
       // every branch: mixed-case scheme/host (lowercased), default
@@ -2905,6 +2921,50 @@ object SparkEntry {
           |SELECT doc_id,
           |  hex(trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g'))) AS extracted_hex
           |FROM e""".stripMargin,
+      // exact-integer rule replicas; '#'/'...' counted via literal
+      // replace-and-measure on both sides
+      "gopher_rules" ->
+        """WITH b AS (SELECT doc_id, text,
+          |  list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS toks
+          |FROM documents),
+          |c AS (SELECT doc_id,
+          |  CAST(len(toks) AS BIGINT) AS n_words,
+          |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS BIGINT)
+          |    AS n_chars,
+          |  CAST((length(text) - length(replace(text, '#', ''))) +
+          |       (length(text) - length(replace(text, '...', ''))) / 3
+          |    AS BIGINT) AS n_sym,
+          |  CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+          |    AS BIGINT) AS n_alpha,
+          |  (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'the')
+          |        THEN 1 ELSE 0 END +
+          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'be')
+          |        THEN 1 ELSE 0 END +
+          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'to')
+          |        THEN 1 ELSE 0 END +
+          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'of')
+          |        THEN 1 ELSE 0 END +
+          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'and')
+          |        THEN 1 ELSE 0 END +
+          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'that')
+          |        THEN 1 ELSE 0 END +
+          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'have')
+          |        THEN 1 ELSE 0 END +
+          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'with')
+          |        THEN 1 ELSE 0 END) AS stop_hits
+          |FROM b)
+          |SELECT doc_id, n_words,
+          |  (n_words >= 25 AND n_words <= 100000) AS word_count_ok,
+          |  (3 * n_words <= n_chars AND n_chars <= 10 * n_words) AS word_len_ok,
+          |  (10 * n_sym < n_words) AS symbol_ok,
+          |  (5 * n_alpha > 4 * n_words) AS alpha_ok,
+          |  (stop_hits >= 2) AS stopword_ok,
+          |  ((n_words >= 25 AND n_words <= 100000)
+          |   AND (3 * n_words <= n_chars AND n_chars <= 10 * n_words)
+          |   AND (10 * n_sym < n_words)
+          |   AND (5 * n_alpha > 4 * n_words)
+          |   AND (stop_hits >= 2)) AS pass
+          |FROM c""".stripMargin,
       // same construction, transformation replayed with DuckDB's RE2
       // (replacement refs are \1 there vs Java's $1 — none used)
       "url_canonical" ->

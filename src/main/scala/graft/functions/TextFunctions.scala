@@ -151,6 +151,53 @@ object TextFunctions {
     trim(regexp_replace(e6, "[ \\t\\r\\n\\f]+", " "))
   }
 
+  /** Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1, the
+    * repetition signals living separately in [[dupLineRatio]] /
+    * [[topTokenRatio]]): named boolean signals plus the conjunction,
+    * so a pipeline can FILTER on `pass` and AUDIT on the per-rule
+    * columns (which rule kills a doc matters operationally). Every
+    * ratio compares EXACT INTEGER counts by cross-multiplication
+    * (`10·symbols < words`, never `symbols/words < 0.1`) — no doubles,
+    * no rounding drift between engines. `alpha` counts `[A-Za-z]`
+    * explicitly (documented ASCII choice, engine-portable where
+    * unicode letter classes are not); the stopword rule wants ≥ 2
+    * DISTINCT hits from the classic 8-word list.
+    *
+    * Returns a struct
+    * `(n_words, word_count_ok, word_len_ok, symbol_ok, alpha_ok,
+    * stopword_ok, pass)`; bounds are parameters with Gopher's
+    * defaults. One scan projection.
+    */
+  def gopherFlags(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    // character (not byte) length of the concatenated words
+    val nChars = length(regexp_replace(trim(text), "\\s+", "")).cast("long")
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses =
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val nSym = (hashes + ellipses).cast("long")
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val tl = transform(toks, w => lower(w))
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(sw => when(array_contains(tl, sw), 1).otherwise(0))
+      .reduce(_ + _)
+    val wordCountOk = nWords >= minWords && nWords <= maxWords
+    val wordLenOk = lit(3L) * nWords <= nChars && nChars <= lit(10L) * nWords
+    val symbolOk = lit(10L) * nSym < nWords
+    val alphaOk = lit(5L) * nAlpha > lit(4L) * nWords
+    val stopwordOk = stopHits >= 2
+    struct(
+      nWords.as("n_words"),
+      wordCountOk.as("word_count_ok"),
+      wordLenOk.as("word_len_ok"),
+      symbolOk.as("symbol_ok"),
+      alphaOk.as("alpha_ok"),
+      stopwordOk.as("stopword_ok"),
+      (wordCountOk && wordLenOk && symbolOk && alphaOk && stopwordOk).as("pass"))
+  }
+
   /** URL canonicalization — the exact-dedup KEY for web corpora (the
     * same page arrives under `HTTP://Host:80/x?utm_source=…#frag` and
     * `http://host/x`; crawl dedup keys on the canonical form):

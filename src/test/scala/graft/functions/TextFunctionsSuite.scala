@@ -198,6 +198,32 @@ class TextFunctionsSuite extends SparkSpec {
       s"got '${r.getString(0)}' want '${r.getString(1)}'"))
   }
 
+  test("gopherFlags: each rule trips independently on a crafted doc") {
+    def flags(t: String, minWords: Int = 3) =
+      one(t).select(TextFunctions.gopherFlags($"text", minWords = minWords).as("g"))
+        .select("g.*").collect()(0)
+    // clean prose: all rules pass
+    val ok = flags("the cat and that dog have fun with all of them be good")
+    assert(ok.getBoolean(6), ok.toString)
+    // too few words
+    assert(flags("of the", minWords = 3).getBoolean(1) == false)
+    // mean word length out of [3,10]: single-char words
+    val short = flags("a b c d e f g h i j the of")
+    assert(!short.getBoolean(2), short.toString)
+    // symbol-heavy: hashes + ellipses >= 10% of words
+    val sym = flags("the # cat # and # dog ... run ... far ... #")
+    assert(!sym.getBoolean(3), sym.toString)
+    // non-alphabetic words dominate
+    val num = flags("111 222 333 444 555 the of 666 777 888")
+    assert(!num.getBoolean(4), num.toString)
+    // only one distinct stopword (repeated) fails the >= 2 distinct rule
+    val stop = flags("the the the quick brown foxes jumping quickly")
+    assert(!stop.getBoolean(5), stop.toString)
+    // boundary: exactly 10*symbols == words fails the strict <
+    val edge = flags("# one two three four five six seven eight nine")
+    assert(!edge.getBoolean(3), edge.toString)
+  }
+
   test("canonicalizeUrl: case, ports, utm params, fragments, bare paths, passthrough") {
     val cases = Seq(
       ("HTTP://Example.COM:80/Path?a=1#frag", "http://example.com/Path?a=1"),
