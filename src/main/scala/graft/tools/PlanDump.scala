@@ -244,7 +244,28 @@ object PlanDump {
     "detokenize_bpe" ->
       """ids -> text -> hex: two native kernels (encode, decode) fused in
         |one scan projection — the roundtrip claim costs one pass and
-        |nothing moves.""".stripMargin)
+        |nothing moves.""".stripMargin,
+    "pipeline_web_ingest" ->
+      """The whole web-crawl ingest path — HTML extraction, PII scrub, NB
+        |classifier gate, context-window chunking — in ONE exchange-free
+        |plan (contract-pinned): regex passes and the NB kernel in the
+        |scan projection, chunk windows as a Generate. Stream-safe as-is;
+        |at 100 TB every page is processed exactly where it lands.""".stripMargin,
+    "gopher_rules" ->
+      """Rule-based quality audit: all six signals are exact-integer
+        |count comparisons inside one scan projection — no doubles, no
+        |shuffle, per-rule booleans so operations can see WHICH rule
+        |kills a document.""".stripMargin,
+    "lm_ccnet_buckets" ->
+      """CCNet terciles: LM scoring (two hash-keyed count aggregates)
+        |feeds the rational-rank labeler — the cumulative walk runs on
+        |the DISTINCT-score table and only tie sets see a row-level
+        |window, so per-language bucketing never globally sorts a
+        |language.""".stripMargin,
+    "stream_distinct_users" ->
+      """Per-window HLL++: fixed-size mergeable sketch state where exact
+        |streaming countDistinct is impossible; partial aggregation
+        |merges map-side, one slim shuffle of sketch buffers.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
