@@ -1138,11 +1138,15 @@ object SparkEntry {
     "gopher_rules" -> ((s, dir) => {
       // Gopher rule-based quality flags: per-rule booleans + the
       // conjunction, every ratio an exact-integer cross-multiplication
-      // (no doubles to drift between engines). minWords 25 so the
-      // gate corpus (10-99 words/doc) splits visibly on the rule.
+      // (no doubles to drift between engines). Bounds adapted to the
+      // gate corpus so every rule visibly splits it: minWords 25
+      // (docs run 10-99 words) and a corpus-frequent "stopword" list
+      // (the synthetic vocabulary has no English function words — the
+      // classic 8-word default would be constant-false here).
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
-          TextFunctions.gopherFlags(col("text"), minWords = 25).as("g"))
+          TextFunctions.gopherFlags(col("text"), minWords = 25,
+            stopwords = Seq("row", "table", "query", "value")).as("g"))
         .select(col("doc_id"), col("g.n_words").as("n_words"),
           col("g.word_count_ok").as("word_count_ok"),
           col("g.word_len_ok").as("word_len_ok"),
@@ -2936,21 +2940,13 @@ object SparkEntry {
           |    AS BIGINT) AS n_sym,
           |  CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
           |    AS BIGINT) AS n_alpha,
-          |  (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'the')
+          |  (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'row')
           |        THEN 1 ELSE 0 END +
-          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'be')
+          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'table')
           |        THEN 1 ELSE 0 END +
-          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'to')
+          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'query')
           |        THEN 1 ELSE 0 END +
-          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'of')
-          |        THEN 1 ELSE 0 END +
-          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'and')
-          |        THEN 1 ELSE 0 END +
-          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'that')
-          |        THEN 1 ELSE 0 END +
-          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'have')
-          |        THEN 1 ELSE 0 END +
-          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'with')
+          |   CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'value')
           |        THEN 1 ELSE 0 END) AS stop_hits
           |FROM b)
           |SELECT doc_id, n_words,

@@ -169,7 +169,10 @@ object TextFunctions {
     * defaults. One scan projection.
     */
   def gopherFlags(text: Column,
-      minWords: Int = 50, maxWords: Int = 100000): Column = {
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with")): Column = {
+    require(stopwords.nonEmpty, "gopherFlags: empty stopword list")
     val toks = tokens(text)
     val nWords = size(toks).cast("long")
     // character (not byte) length of the concatenated words
@@ -180,7 +183,7 @@ object TextFunctions {
     val nSym = (hashes + ellipses).cast("long")
     val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
     val tl = transform(toks, w => lower(w))
-    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = stopwords
       .map(sw => when(array_contains(tl, sw), 1).otherwise(0))
       .reduce(_ + _)
     val wordCountOk = nWords >= minWords && nWords <= maxWords

@@ -672,4 +672,74 @@ class DifferentialFuzzSuite extends SparkSpec {
       assert(got == expect, s"round $round docs=$nDocs budget=$budget buckets=$buckets")
     }
   }
+
+  test("topFraction + quantileLabels == global-rank replica across shapes") {
+    val rnd = new scala.util.Random(808)
+    def h(i: Long) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (round <- 0 until rounds) {
+      val nGroups = 1 + rnd.nextInt(5)
+      val nRows = 30 + rnd.nextInt(300)
+      val tieDensity = 1 + rnd.nextInt(12) // scores drawn from [0, tieDensity)
+      val rows = (0 until nRows).map(i =>
+        (i.toLong, s"g${rnd.nextInt(nGroups)}", rnd.nextInt(tieDensity).toLong))
+      val df = rows.toDF("id", "grp", "sc").repartition(1 + rnd.nextInt(8))
+      val nu = rnd.nextInt(5).toLong
+      val de = (1 + rnd.nextInt(7)).toLong
+      val byGroup = rows.groupBy(_._2)
+      def ranked(g: Seq[(Long, String, Long)]) =
+        g.sortBy { case (id, _, sc) => (-sc, h(id), id) }
+      // top-fraction replica
+      val wantTop = byGroup.flatMap { case (_, g) =>
+        ranked(g).take((g.size * nu / de).toInt).map(_._1)
+      }.toSet
+      val gotTop = Sampling.topFractionPerGroup(df, "grp", "id", $"sc", nu, de)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(gotTop == wantTop, s"round $round frac=$nu/$de ties=$tieDensity")
+      // label replica with a random second cut above the first
+      val nu2 = nu + 1 + rnd.nextInt(3)
+      val cuts = Seq((nu, de), (math.min(nu2, de), de))
+      val labels = Seq("a", "b", "c")
+      val wantLbl = byGroup.flatMap { case (_, g) =>
+        ranked(g).zipWithIndex.map { case ((id, _, _), i) =>
+          val r = i + 1L
+          id -> cuts.zip(labels.init)
+            .collectFirst { case ((cn, cd), l) if r * cd <= g.size * cn => l }
+            .getOrElse(labels.last)
+        }
+      }.toMap
+      val gotLbl = Sampling
+        .quantileLabelsPerGroup(df, "grp", "id", $"sc", cuts, labels)
+        .select("id", "bucket").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(gotLbl == wantLbl, s"round $round cuts=$cuts ties=$tieDensity")
+    }
+  }
+
+  test("NB serving kernel == batch scorer at cutoff 1 on random unicode corpora") {
+    val rnd = new scala.util.Random(909)
+    val words = Vector("the", "cat", "Übel", "döner", "数据", "x1", "spam",
+      "buy", "ok", "😀", "zz", "prose")
+    for (round <- 0 until 4) {
+      val nDocs = 12 + rnd.nextInt(30)
+      val docs = (0 until nDocs).map { i =>
+        val t = (0 until (1 + rnd.nextInt(14)))
+          .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+        (i.toLong, t, rnd.nextBoolean())
+      }
+      // guarantee both classes
+      val fixed = ((0L, "the cat", true)) +: ((1L, "spam buy", false)) +: docs.drop(2)
+      val df = fixed.toDF("id", "text", "lbl")
+      val p = java.nio.file.Files.createTempDirectory(s"nbfuzz$round").toString
+      QualityClassifier.buildNbIndex(df, "text", col("lbl"), p, minCount = 1)
+      val m = QualityClassifier.loadNbModel(spark, p)
+      def rows(d: DataFrame) = d.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+        .toMap
+      val batch = rows(QualityClassifier.score(df, "id", "text", col("lbl")))
+      val served = rows(QualityClassifier.scoreWithModel(df, "id", "text", m))
+      assert(served == batch, s"round $round")
+    }
+  }
 }
