@@ -1699,6 +1699,17 @@ object SparkEntry {
       Packing.packGreedy(d, "doc_id", "n_tokens", maxLen = 128,
         chunk = expr("doc_id div 25"))
     }),
+    "pack_sequences_bfd" -> ((s, dir) => {
+      // OFFLINE best-fit-decreasing packing, same shards/budget as
+      // pack_sequences: fuller bins when arrival order is free. The
+      // oracle replays the exact BFD evolution per chunk — a
+      // recursive CTE carrying the open-bin fill LIST, best bin =
+      // fullest that fits (first position on ties, = lowest bin id).
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      Packing.packBestFitDecreasing(d, "doc_id", "n_tokens", maxLen = 128,
+        chunk = expr("doc_id div 25"))
+    }),
     // ---- deterministic sampling / splits -----------------------------------
     "sample_hash_events" -> ((s, dir) => {
       Sampling.hashSample(t(s, dir, "events"), "event_id", fraction = 0.1)
@@ -4071,6 +4082,41 @@ object SparkEntry {
            |  SELECT d.chunk, d.id, d.rn,
            |         CASE WHEN r.fill + d.toks > 128 THEN r.bin + 1 ELSE r.bin END,
            |         CASE WHEN r.fill + d.toks > 128 THEN d.toks ELSE r.fill + d.toks END
+           |  FROM rec r JOIN d ON d.chunk = r.chunk AND d.rn = r.rn + 1)
+           |SELECT id AS doc_id, chunk, bin, fill AS bin_fill FROM rec""".stripMargin),
+      // BFD replay: the recursion carries the open-bin fill LIST;
+      // best bin = list_max of the fills that still fit (NULL -> new
+      // bin); list_position picks the FIRST max = lowest bin id, the
+      // same tie rule as the TreeMap kernel
+      "pack_sequences_bfd" ->
+        (s"""WITH RECURSIVE tok AS ($tok),
+           |tc AS (SELECT doc_id, count(*) AS toks FROM tok GROUP BY 1),
+           |d AS (SELECT doc_id // 25 AS chunk, doc_id AS id, toks,
+           |             row_number() OVER (PARTITION BY doc_id // 25
+           |                                ORDER BY toks DESC, doc_id) AS rn
+           |      FROM tc),
+           |rec AS (
+           |  SELECT chunk, id, rn, CAST(0 AS BIGINT) AS bin, toks AS fill,
+           |         [toks] AS fills
+           |  FROM d WHERE rn = 1
+           |  UNION ALL
+           |  SELECT d.chunk, d.id, d.rn,
+           |    CAST(CASE WHEN list_max(list_filter(r.fills, f -> f + d.toks <= 128)) IS NULL
+           |         THEN len(r.fills)
+           |         ELSE list_position(r.fills,
+           |                list_max(list_filter(r.fills, f -> f + d.toks <= 128))) - 1
+           |         END AS BIGINT),
+           |    CASE WHEN list_max(list_filter(r.fills, f -> f + d.toks <= 128)) IS NULL
+           |         THEN d.toks
+           |         ELSE list_max(list_filter(r.fills, f -> f + d.toks <= 128)) + d.toks
+           |         END,
+           |    CASE WHEN list_max(list_filter(r.fills, f -> f + d.toks <= 128)) IS NULL
+           |         THEN list_append(r.fills, d.toks)
+           |         ELSE list_transform(r.fills, (f, i) ->
+           |                CASE WHEN i = list_position(r.fills,
+           |                       list_max(list_filter(r.fills, f2 -> f2 + d.toks <= 128)))
+           |                     THEN f + d.toks ELSE f END)
+           |         END
            |  FROM rec r JOIN d ON d.chunk = r.chunk AND d.rn = r.rn + 1)
            |SELECT id AS doc_id, chunk, bin, fill AS bin_fill FROM rec""".stripMargin),
       "sample_hash_events" ->

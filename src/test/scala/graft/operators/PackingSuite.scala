@@ -63,6 +63,46 @@ class PackingSuite extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L, 10L), (2L, 1L, 500L), (3L, 2L, 10L)))
   }
 
+  test("packBestFitDecreasing == scalar replica; fuller bins, lower bound holds") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 0 until 6) {
+      val docs = (0 until 40 + rnd.nextInt(100)).map(i =>
+        (i.toLong, 1L + rnd.nextInt(90)))
+      val maxLen = 100L
+      val df = docs.toDF("id", "toks").repartition(1 + rnd.nextInt(6))
+      val got = Packing
+        .packBestFitDecreasing(df, "id", "toks", maxLen, expr("id div 16"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // scalar replica: sort desc (id tiebreak), fullest-that-fits,
+      // lowest bin id on equal fills
+      val want = docs.groupBy(_._1 / 16).flatMap { case (c, g) =>
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        g.sortBy { case (id, t) => (-t, id) }.map { case (id, t) =>
+          val cand = fills.zipWithIndex.filter { case (f, _) => f + t <= maxLen }
+          val idx =
+            if (cand.isEmpty) { fills += 0L; fills.length - 1 }
+            else cand.maxBy { case (f, i) => (f, -i) }._2
+          fills(idx) += t
+          id -> ((c, idx.toLong, fills(idx)))
+        }
+      }.toMap
+      assert(got == want, s"round $round")
+      // per-chunk lower bound: bins >= ceil(total / maxLen)
+      docs.groupBy(_._1 / 16).foreach { case (c, g) =>
+        val bins = got.filter(_._2._1 == c).values.map(_._2).max + 1
+        val lb = (g.map(_._2).sum + maxLen - 1) / maxLen
+        assert(bins >= lb, s"round $round chunk $c")
+      }
+    }
+    // an oversized doc still gets its own bin
+    val o = Packing.packBestFitDecreasing(
+        Seq((1L, 500L), (2L, 50L)).toDF("id", "toks"), "id", "toks", 100, lit(0))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(o == Set((1L, 0L, 500L), (2L, 1L, 50L)))
+  }
+
   test("packer restart from a saved state snapshot continues seamlessly") {
     val docs = (0L until 24L).map(i => (i, 20L + (i % 3) * 15L))
     val chunkE = org.apache.spark.sql.functions.expr("doc_id div 8")
