@@ -1504,6 +1504,18 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source")
     }),
+    "sample_by_quality" -> ((s, dir) => {
+      // importance sampling: per-doc keep probability =
+      // sigmoid(NB quality score) — the soft quality filter that keeps
+      // score diversity where a hard threshold cliffs. The score is an
+      // exact grid double, the sigmoid is evaluated identically in
+      // both engines, membership is the shared md5 bucket rule.
+      val d = t(s, dir, "documents")
+      val scored = QualityClassifier.score(d, "doc_id", "text",
+        col("lang") === "en").select(col("doc_id"), col("score"))
+      val p = lit(1.0) / (lit(1.0) + exp(-col("score")))
+      Sampling.keepByProbability(scored, "doc_id", p)
+    }),
     "sample_top_fraction" -> ((s, dir) => {
       // per-source quantile-threshold curation: keep the top 3/10 of
       // each source by doc length. The cut is a RATIONAL on exact
@@ -3661,6 +3673,42 @@ object SparkEntry {
           |SELECT d.doc_id, d.source FROM documents d JOIN th ON th.source = d.source
           |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
           |      % 10000 < thr""".stripMargin,
+      // quality_classifier's score SQL + the sigmoid keep rule; the
+      // score is an exact grid double so exp() sees identical inputs
+      "sample_by_quality" ->
+        """WITH lab AS (SELECT doc_id, (lang = 'en') AS lbl, text FROM documents),
+          |tok AS (SELECT doc_id, lbl, w FROM (
+          |  SELECT doc_id, lbl,
+          |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |  FROM lab) q WHERE w <> ''),
+          |tc AS (SELECT w,
+          |  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+          |  CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS cn
+          |  FROM tok GROUP BY 1),
+          |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+          |               CAST(sum(cn) AS BIGINT) AS nn, count(*) AS v FROM tc),
+          |dc AS (SELECT
+          |  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+          |  CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS dn
+          |  FROM lab),
+          |pri AS (SELECT
+          |  CAST(floor(ln(dp * 1.0 / (dp + dn)) * 10000) AS BIGINT)
+          |  - CAST(floor(ln(dn * 1.0 / (dp + dn)) * 10000) AS BIGINT) AS prior
+          |  FROM dc),
+          |delta AS (SELECT w,
+          |  CAST(floor(ln((cp + 1.0) / CAST(np + v AS DOUBLE)) * 10000) AS BIGINT)
+          |  - CAST(floor(ln((cn + 1.0) / CAST(nn + v AS DOUBLE)) * 10000) AS BIGINT)
+          |    AS d
+          |  FROM tc, tot),
+          |sc AS (SELECT t.doc_id, CAST(sum(d.d) AS BIGINT) AS s
+          |  FROM tok t JOIN delta d ON d.w = t.w GROUP BY 1),
+          |scored AS (SELECT sc.doc_id,
+          |  CAST(s + prior AS DOUBLE) / 10000.0 AS score FROM sc, pri)
+          |SELECT doc_id, score FROM scored
+          |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          |      % 10000
+          |  < CAST(least(greatest(floor((1.0 / (1.0 + exp(-score))) * 10000), 0.0),
+          |               10000.0) AS BIGINT)""".stripMargin,
       // the oracle ranks globally per source; rank·denom <= n·numer in
       // exact integers — no doubles in the cut on either side
       "sample_top_fraction" ->

@@ -192,6 +192,25 @@ object Sampling {
       .drop("__full", "__thr", "__copies")
   }
 
+  /** Keep each row with its OWN probability — the importance-sampling
+    * primitive behind quality-weighted corpus selection (keep
+    * probability rising with a classifier score, the
+    * DCLM/FineWeb-style soft filter that preserves score diversity
+    * where a hard threshold cliffs). Membership is the shared md5
+    * bucket rule against `floor(prob · buckets)`, so the decision is a
+    * pure function of `(id, prob)` — reproducible across engines,
+    * runs, and repartitioning, and an incremental rerun keeps exactly
+    * the same rows. The caller supplies `prob` already on a coarse
+    * grid (e.g. a 1e-4-floored sigmoid of an exact-grid score);
+    * clamping makes the function total on out-of-range inputs.
+    */
+  def keepByProbability(df: DataFrame, idCol: String, prob: Column,
+      buckets: Int = 10000): DataFrame = {
+    val thr = least(greatest(floor(prob * buckets), lit(0.0)), lit(buckets.toDouble))
+      .cast("long")
+    df.filter(hashBucket(col(idCol), buckets) < thr)
+  }
+
   /** Fixed data-recipe mixing: each source repeats for an explicit
     * (possibly fractional) EPOCH count — `"wiki" -> 3.5` emits every
     * wiki row 3 times plus a 4th copy for the deterministic md5-hash

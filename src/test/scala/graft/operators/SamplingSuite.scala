@@ -217,6 +217,27 @@ class SamplingSuite extends SparkSpec {
       .columns.sameElements(df.columns :+ "bucket"))
   }
 
+  test("keepByProbability: per-row membership, endpoints, clamp, determinism") {
+    val df = (0 until 2000).map(i => (i.toLong, i % 4)).toDF("id", "cls")
+    // p = 0 keeps none, p = 1 keeps all, p out of range clamps
+    assert(Sampling.keepByProbability(df, "id", lit(0.0)).count() == 0)
+    assert(Sampling.keepByProbability(df, "id", lit(1.0)).count() == 2000)
+    assert(Sampling.keepByProbability(df, "id", lit(-3.0)).count() == 0)
+    assert(Sampling.keepByProbability(df, "id", lit(7.0)).count() == 2000)
+    // per-row probability: class k kept at ~k/4 (hash noise ~ sqrt n)
+    val kept = Sampling.keepByProbability(df, "id", col("cls") / lit(4.0))
+      .groupBy("cls").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(!kept.contains(0))
+    assert(math.abs(kept(1) - 125) < 40 && math.abs(kept(2) - 250) < 50 &&
+      math.abs(kept(3) - 375) < 55, kept.toString)
+    // deterministic under repartitioning
+    val a = Sampling.keepByProbability(df.repartition(13), "id", col("cls") / lit(4.0))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.keepByProbability(df, "id", col("cls") / lit(4.0))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("mixSources fails loudly when a weighted source is absent") {
     val df = (0 until 10).map(i => (i.toLong, "s0")).toDF("id", "src")
     val ex = intercept[IllegalArgumentException] {
