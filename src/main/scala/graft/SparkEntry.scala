@@ -1504,6 +1504,16 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source")
     }),
+    "curriculum_order" -> ((s, dir) => {
+      // curriculum ordering: dense global 0..n-1 rank by doc length
+      // ascending (short-to-long schedule), md5 tie-break — the
+      // score-ordered sibling of shuffle_corpus. Never "simplify" the
+      // Spark side to one global window: the walk is over DISTINCT
+      // scores, rows sort only inside their tie sets.
+      val d = t(s, dir, "documents")
+      Sampling.curriculumRank(d, "doc_id", col("n_chars"), ascending = true)
+        .select(col("doc_id"), col("n_chars"), col("rank"))
+    }),
     "sample_by_quality" -> ((s, dir) => {
       // importance sampling: per-doc keep probability =
       // sigmoid(NB quality score) — the soft quality filter that keeps
@@ -3673,6 +3683,11 @@ object SparkEntry {
           |SELECT d.doc_id, d.source FROM documents d JOIN th ON th.source = d.source
           |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
           |      % 10000 < thr""".stripMargin,
+      "curriculum_order" ->
+        """SELECT doc_id, n_chars,
+          |  row_number() OVER (ORDER BY n_chars ASC,
+          |    md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) - 1 AS rank
+          |FROM documents""".stripMargin,
       // quality_classifier's score SQL + the sigmoid keep rule; the
       // score is an exact grid double so exp() sees identical inputs
       "sample_by_quality" ->

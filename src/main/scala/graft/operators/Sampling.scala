@@ -192,6 +192,36 @@ object Sampling {
       .drop("__full", "__thr", "__copies")
   }
 
+  /** Dense global `0..n-1` ordering by a SCORE — curriculum ordering
+    * (easy→hard by length, quality, or perplexity), where
+    * [[globalShuffleRank]] is the same contract ordered by hash.
+    * Deterministic: `(score, md5(id), id)`, so equal-score runs are a
+    * stable engine-portable shuffle, not input order.
+    *
+    * No single-partition sort of the DATA: the cumulative walk runs
+    * over the DISTINCT-score table (one row per score value — tiny for
+    * grid-valued scores; quantize a continuous score first), and rows
+    * only rank within their own score's tie window. A row's rank is
+    * `(rows with a strictly better score) + (its tie rank) − 1`.
+    */
+  def curriculumRank(df: DataFrame, idCol: String, score: Column,
+      ascending: Boolean = true, rankCol: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withS = df.withColumn("__sc", score)
+    val cnt = withS.groupBy(col("__sc")).agg(count(lit(1)).as("__c"))
+    val ord = if (ascending) col("__sc").asc else col("__sc").desc
+    val wOrd = Window.orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = cnt
+      .withColumn("__cb", sum(col("__c")).over(wOrd) - col("__c"))
+      .select(col("__sc"), col("__cb"))
+    val wTie = Window.partitionBy(col("__sc"))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    withS.join(st, Seq("__sc"))
+      .withColumn(rankCol, col("__cb") + row_number().over(wTie) - 1)
+      .select(df.columns.map(col).toSeq :+ col(rankCol): _*)
+  }
+
   /** Keep each row with its OWN probability — the importance-sampling
     * primitive behind quality-weighted corpus selection (keep
     * probability rising with a classifier score, the

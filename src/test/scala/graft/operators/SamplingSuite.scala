@@ -217,6 +217,25 @@ class SamplingSuite extends SparkSpec {
       .columns.sameElements(df.columns :+ "bucket"))
   }
 
+  test("curriculumRank == global sort replica; dense, deterministic, both directions") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 400).map(i => (i.toLong, rnd.nextInt(9).toLong))
+    val df = rows.toDF("id", "sc").repartition(7)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    for (asc <- Seq(true, false)) {
+      val want = rows.sortBy { case (id, sc) =>
+        (if (asc) sc else -sc, md5hex(id.toString), id)
+      }.zipWithIndex.map { case ((id, _), r) => id -> r.toLong }.toMap
+      val got = Sampling.curriculumRank(df, "id", $"sc", ascending = asc)
+        .select("id", "rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"ascending=$asc")
+      // dense 0..n-1
+      assert(got.values.toSeq.sorted == (0L until 400L))
+    }
+  }
+
   test("keepByProbability: per-row membership, endpoints, clamp, determinism") {
     val df = (0 until 2000).map(i => (i.toLong, i % 4)).toDF("id", "cls")
     // p = 0 keeps none, p = 1 keeps all, p out of range clamps
