@@ -21,6 +21,7 @@ object Bench {
     "asof_join_sql", "asof_join_by", "stream_asof_events",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_cross_corpus_lsh", "dedup_mask_windows", "pack_sequences",
+    "pack_sequences_bfd",
     "tokenize_bpe_ids",
     "dedup_embedding", "ann_topk", "ann_topk_pq", "ann_topk_ivf_pq_search",
     "ann_topk_ivf_pq_meta",
