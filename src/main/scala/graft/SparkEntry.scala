@@ -1536,6 +1536,15 @@ object SparkEntry {
       Sampling.topFractionPerGroup(d, "source", "doc_id", col("n_chars"), 3, 10)
         .select("doc_id", "source", "n_chars")
     }),
+    "lang_id_nb" -> ((s, dir) => {
+      // TRAINED language ID: multiclass NB over the token stream,
+      // labels = the corpus's own lang column (5 classes). The oracle
+      // retrains all five per-class models in SQL and replays the
+      // deterministic argmax (max grid score, lowest class name on
+      // ties — exact long equality, so the tie rule is replayable).
+      val d = t(s, dir, "documents")
+      QualityClassifier.predictMulticlass(d, "doc_id", "text", "lang")
+    }),
     "quality_classifier" -> ((s, dir) => {
       // weak-supervision NB filter: label = (lang = 'en') — cheap
       // metadata standing in for the usual heuristic/trusted-domain
@@ -3733,6 +3742,62 @@ object SparkEntry {
           |  count(*) OVER (PARTITION BY source) AS n
           |  FROM documents)
           |SELECT doc_id, source, n_chars FROM r WHERE rk * 10 <= n * 3""".stripMargin,
+      // five per-class NB models retrained in SQL; argmax by
+      // greatest() with first-match-in-class-name-order tie rule
+      "lang_id_nb" ->
+        """WITH tok AS (SELECT doc_id, w FROM (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |  FROM documents) q WHERE w <> ''),
+          |tl AS (SELECT t.doc_id, d.lang, t.w
+          |       FROM tok t JOIN documents d USING (doc_id)),
+          |tc AS (SELECT w,
+          |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_de,
+          |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+          |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS c_es,
+          |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS c_fr,
+          |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS c_zh
+          |  FROM tl GROUP BY 1),
+          |tot AS (SELECT
+          |  CAST(sum(c_de) AS BIGINT) AS n_de, CAST(sum(c_en) AS BIGINT) AS n_en,
+          |  CAST(sum(c_es) AS BIGINT) AS n_es, CAST(sum(c_fr) AS BIGINT) AS n_fr,
+          |  CAST(sum(c_zh) AS BIGINT) AS n_zh, count(*) AS v FROM tc),
+          |dc AS (SELECT
+          |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS d_de,
+          |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS d_en,
+          |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS d_es,
+          |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS d_fr,
+          |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS d_zh,
+          |  count(*) AS dt FROM documents),
+          |lp AS (SELECT w,
+          |  CAST(floor(ln((c_de + 1.0) / CAST(n_de + v AS DOUBLE)) * 10000) AS BIGINT) AS l_de,
+          |  CAST(floor(ln((c_en + 1.0) / CAST(n_en + v AS DOUBLE)) * 10000) AS BIGINT) AS l_en,
+          |  CAST(floor(ln((c_es + 1.0) / CAST(n_es + v AS DOUBLE)) * 10000) AS BIGINT) AS l_es,
+          |  CAST(floor(ln((c_fr + 1.0) / CAST(n_fr + v AS DOUBLE)) * 10000) AS BIGINT) AS l_fr,
+          |  CAST(floor(ln((c_zh + 1.0) / CAST(n_zh + v AS DOUBLE)) * 10000) AS BIGINT) AS l_zh
+          |  FROM tc, tot),
+          |sc AS (SELECT t.doc_id,
+          |  CAST(sum(l_de) AS BIGINT) AS s_de, CAST(sum(l_en) AS BIGINT) AS s_en,
+          |  CAST(sum(l_es) AS BIGINT) AS s_es, CAST(sum(l_fr) AS BIGINT) AS s_fr,
+          |  CAST(sum(l_zh) AS BIGINT) AS s_zh
+          |  FROM tok t JOIN lp USING (w) GROUP BY 1),
+          |pri AS (SELECT
+          |  CAST(floor(ln(d_de * 1.0 / dt) * 10000) AS BIGINT) AS p_de,
+          |  CAST(floor(ln(d_en * 1.0 / dt) * 10000) AS BIGINT) AS p_en,
+          |  CAST(floor(ln(d_es * 1.0 / dt) * 10000) AS BIGINT) AS p_es,
+          |  CAST(floor(ln(d_fr * 1.0 / dt) * 10000) AS BIGINT) AS p_fr,
+          |  CAST(floor(ln(d_zh * 1.0 / dt) * 10000) AS BIGINT) AS p_zh
+          |  FROM dc),
+          |fin AS (SELECT doc_id,
+          |  s_de + p_de AS t_de, s_en + p_en AS t_en, s_es + p_es AS t_es,
+          |  s_fr + p_fr AS t_fr, s_zh + p_zh AS t_zh
+          |  FROM sc, pri)
+          |SELECT doc_id,
+          |  CASE WHEN t_de = greatest(t_de, t_en, t_es, t_fr, t_zh) THEN 'de'
+          |       WHEN t_en = greatest(t_de, t_en, t_es, t_fr, t_zh) THEN 'en'
+          |       WHEN t_es = greatest(t_de, t_en, t_es, t_fr, t_zh) THEN 'es'
+          |       WHEN t_fr = greatest(t_de, t_en, t_es, t_fr, t_zh) THEN 'fr'
+          |       ELSE 'zh' END AS pred
+          |FROM fin""".stripMargin,
       // NB retrained from scratch on token STRINGS (Spark keys by
       // xxhash64); grid arithmetic per the ln contract — floor4 right
       // after every ln, exact BIGINT sums, doubles only at the ends

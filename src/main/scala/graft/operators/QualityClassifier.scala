@@ -181,6 +181,85 @@ object QualityClassifier {
       priorDelta = grid(dp.toDouble / (dp + dn)) - grid(dn.toDouble / (dp + dn)))
   }
 
+  /** MULTICLASS NB: train per-class token log-probs on a labeled
+    * corpus and predict the argmax class — the trained language
+    * identifier (labels = lang) or domain classifier, upgrading the
+    * n-gram-heuristic [[graft.functions.TextFunctions.langId]] to a
+    * corpus-fit model. Same grid contract as the binary form: floor4
+    * immediately after every `ln`, exact long sums, and a
+    * DETERMINISTIC argmax (max score, lowest class name on ties — a
+    * tie rule the oracle can replay, where "whichever aggregation
+    * order won" is not).
+    *
+    * Scale shape: the class set is collected once (guarded — a label
+    * column with thousands of distinct values is a key, not a class
+    * set); training is ONE `groupBy(token-hash)` with `#classes`
+    * conditional partial sums, so the shuffle carries `(hash,
+    * counts[])`; scoring explodes tokens, joins the model (hash keys),
+    * re-explodes the per-class log-prob array to `(id, class, lp)` and
+    * aggregates — rows scale as `tokens × classes`, with classes a
+    * small constant.
+    *
+    * Returns `(<idCol>, pred)` for docs with ≥ 1 token. Smoothing:
+    * add-one over the SHARED train vocabulary; a token unseen in a
+    * class contributes that class's floor, so every class scores every
+    * token.
+    */
+  def predictMulticlass(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, maxClasses: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lab = docs.select(col(labelCol).cast("string").as("__lbl"),
+      col(textCol).as("__t"))
+    val classCount = lab.select(col("__lbl")).distinct().count()
+    require(classCount >= 2 && classCount <= maxClasses,
+      s"predictMulticlass: $classCount classes (need 2..$maxClasses)")
+    val classes = lab.select(col("__lbl")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val clsAggs = classes.map(c =>
+      sum(when(col("__lbl") === c, 1L).otherwise(0L)).as(s"__c_$c"))
+    val tokC = lab
+      .select(col("__lbl"), explode(TextFunctions.tokens(col("__t"))).as("__w"))
+      .select(col("__lbl"), xxhash64(col("__w")).as("__th"))
+      .groupBy("__th")
+      .agg(clsAggs.head, clsAggs.tail: _*)
+      .localCheckpoint(true)
+    val totAggs = classes.map(c => sum(col(s"__c_$c")).as(s"__n_$c")) :+
+      count(lit(1)).as("__v")
+    val tot = tokC.agg(totAggs.head, totAggs.tail: _*).collect()(0)
+    val v = tot.getLong(classes.length)
+    val nc = classes.indices.map(i => classes(i) -> tot.getLong(i)).toMap
+    val docC = lab.groupBy("__lbl").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dTotal = docC.values.sum
+    val priors = classes.map(c =>
+      grid(docC(c).toDouble / dTotal)) // every class has >= 1 doc by construction
+    // model row: (hash, per-class grid log-prob array in `classes` order)
+    val lpArr = array(classes.map(c =>
+      floor(log((col(s"__c_$c") + lit(1.0)) / lit((nc(c) + v).toDouble))
+        * lit(10000.0)).cast("long")): _*)
+    val model = tokC.select(col("__th"), lpArr.as("__lp"))
+    val defaults = classes.map(c => grid(1.0 / (nc(c) + v)))
+    val defaultArr = array(defaults.map(lit(_)): _*)
+    val classArr = array(classes.map(lit(_)): _*)
+    val priorArr = array(priors.map(lit(_)): _*)
+    docs
+      .select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .select(col(idCol), xxhash64(col("__w")).as("__th"))
+      .join(model, Seq("__th"), "left")
+      .select(col(idCol),
+        posexplode(coalesce(col("__lp"), defaultArr)).as(Seq("__ci", "__clp")))
+      .groupBy(col(idCol), col("__ci"))
+      .agg(sum(col("__clp")).as("__s"))
+      .select(col(idCol), col("__ci"),
+        (col("__s") + element_at(priorArr, col("__ci") + 1)).as("__s"),
+        element_at(classArr, col("__ci") + 1).as("__cls"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__s")).as("__neg"), col("__cls"))).as("__best"))
+      .select(col(idCol), col("__best.__cls").as("pred"))
+  }
+
   /** Score with a loaded pruned model via the in-row kernel — one scan
     * projection, no joins, no aggregation (stream-safe). Bit-equal to
     * [[scoreWith]] when `minCount = 1` (suite-pinned); zero-token docs

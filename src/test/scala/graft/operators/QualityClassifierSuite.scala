@@ -106,6 +106,54 @@ class QualityClassifierSuite extends SparkSpec {
     assert(gated == pruned.filter(_._2._3).map { case (k, v) => k -> ((v._1, v._2)) })
   }
 
+  test("multiclass NB: marker separation, scalar replica, deterministic tie rule") {
+    val docs = Seq(
+      (1L, "aaa aaa bbb shared", "A"),
+      (2L, "aaa shared shared", "A"),
+      (3L, "xxx yyy shared", "B"),
+      (4L, "xxx xxx yyy", "B"),
+      (5L, "mmm nnn ooo", "C"),
+      (6L, "mmm shared nnn", "C")).toDF("id", "text", "lbl")
+    val got = QualityClassifier.predictMulticlass(docs, "id", "text", "lbl")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // scalar replica (string-keyed)
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val rows = Seq(
+      (1L, "aaa aaa bbb shared", "A"), (2L, "aaa shared shared", "A"),
+      (3L, "xxx yyy shared", "B"), (4L, "xxx xxx yyy", "B"),
+      (5L, "mmm nnn ooo", "C"), (6L, "mmm shared nnn", "C"))
+    val classes = rows.map(_._3).distinct.sorted
+    val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((_, t, l) <- rows; w <- toks(t))
+      cnt((l, w)) = cnt.getOrElse((l, w), 0L) + 1
+    val vocab = rows.flatMap(r => toks(r._2)).distinct
+    val nC = classes.map(c => c -> cnt.filter(_._1._1 == c).values.sum).toMap
+    val v = vocab.size.toLong
+    val dC = classes.map(c => c -> rows.count(_._3 == c).toLong).toMap
+    def g(x: Double) = math.floor(math.log(x) * 10000).toLong
+    val want = rows.map { case (id, t, _) =>
+      val scores = classes.map { c =>
+        val s = toks(t).map(w =>
+          g((cnt.getOrElse((c, w), 0L) + 1.0) / (nC(c) + v))).sum +
+          g(dC(c).toDouble / rows.size)
+        (c, s)
+      }
+      val best = scores.minBy { case (c, s) => (-s, c) }._1
+      id -> best
+    }.toMap
+    assert(got == want)
+    // markers dominate: each doc self-classifies
+    assert(got == Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B",
+      5L -> "C", 6L -> "C"))
+    // (the replica's minBy((-score, class)) pins the tie rule)
+    // one-class corpus fails the class guard loudly
+    val one = Seq((1L, "a b", "X"), (2L, "c", "X")).toDF("id", "text", "lbl")
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.predictMulticlass(one, "id", "text", "lbl")
+    }
+    assert(e.getMessage.contains("classes"))
+  }
+
   test("one-class corpus fails loudly") {
     val docs = Seq((1L, "a b", true), (2L, "c", true)).toDF("id", "text", "lbl")
     val e = intercept[IllegalArgumentException] {
