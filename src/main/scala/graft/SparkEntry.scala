@@ -1135,6 +1135,20 @@ object SparkEntry {
       d.select(col("doc_id"),
         hex(TextFunctions.extractHtml(page)).as("extracted_hex"))
     }),
+    "clean_lines" -> ((s, dir) => {
+      // C4 line-level cleaning over synthesized multi-line pages (the
+      // corpus is single-line): the prose line survives (>= 3 words,
+      // terminal punctuation), the nav bar (no punctuation), the
+      // cookie banner and the javascript notice (marker terms), and
+      // the too-short line are all dropped. Hex render: the surviving
+      // text is arbitrary.
+      val d = t(s, dir, "documents")
+      val page = concat(col("text"), lit(".\nHome | About | Contact\n" +
+        "This site uses cookie banners everywhere.\nok.\n" +
+        "Enable javascript to continue."))
+      d.select(col("doc_id"),
+        hex(TextFunctions.cleanLines(page)).as("cleaned_hex"))
+    }),
     "gopher_rules" -> ((s, dir) => {
       // Gopher rule-based quality flags: per-rule booleans + the
       // conjunction, every ratio an exact-integer cross-multiplication
@@ -2967,6 +2981,25 @@ object SparkEntry {
           |SELECT doc_id,
           |  hex(trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g'))) AS extracted_hex
           |FROM e""".stripMargin,
+      // line-filter replica: same three keep rules over the same
+      // synthesized page; list ops + RE2-portable patterns
+      "clean_lines" ->
+        """WITH p AS (SELECT doc_id,
+          |  text || '.' || chr(10) || 'Home | About | Contact' || chr(10) ||
+          |  'This site uses cookie banners everywhere.' || chr(10) || 'ok.' ||
+          |  chr(10) || 'Enable javascript to continue.' AS page
+          |FROM documents),
+          |k AS (SELECT doc_id,
+          |  list_filter(list_transform(string_split(page, chr(10)), l -> trim(l)),
+          |    l -> len(list_filter(regexp_split_to_array(l, '[ \t]+'),
+          |               w -> w <> '')) >= 3
+          |         AND regexp_matches(l, '[.!?"]$')
+          |         AND NOT regexp_matches(lower(l),
+          |               'javascript|cookie|privacy policy|terms of use'))
+          |    AS kept
+          |FROM p)
+          |SELECT doc_id, hex(array_to_string(kept, chr(10))) AS cleaned_hex
+          |FROM k""".stripMargin,
       // exact-integer rule replicas; '#'/'...' counted via literal
       // replace-and-measure on both sides
       "gopher_rules" ->

@@ -243,6 +243,27 @@ object TextFunctions {
   def lines(text: Column): Column =
     filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
 
+  /** C4-style LINE-level cleaning (Raffel et al. 2020 §2.2 — the
+    * filter that turned CommonCrawl into C4, applied line-wise where
+    * the document filters are doc-wise): keep only lines that (a) have
+    * at least `minWords` whitespace words, (b) end in terminal
+    * punctuation (`.`/`!`/`?`/`"` — navigation and boilerplate lines
+    * don't), and (c) don't carry boilerplate markers (`javascript`,
+    * `cookie`, `privacy policy`, `terms of use`, case-insensitive —
+    * the classic C4 list minus the lorem-ipsum doc-level rule).
+    * Returns the surviving lines rejoined with `\n` (empty string when
+    * nothing survives — compose with a doc-level min-length gate).
+    * Pure array projection in the scan: split → filter lambdas →
+    * join, no UDF, no shuffle.
+    */
+  def cleanLines(text: Column, minWords: Int = 3): Column = {
+    val kept = filter(transform(split(text, "\n"), l => trim(l)), l =>
+      size(filter(split(l, "[ \\t]+"), w => length(w) > 0)) >= minWords &&
+        l.rlike("[.!?\"]$") &&
+        !lower(l).rlike("javascript|cookie|privacy policy|terms of use"))
+    array_join(kept, "\n")
+  }
+
   /** Fraction of lines that repeat an earlier line of the SAME document
     * (`1 − distinct/total`; 0.0 for line-less docs) — the Gopher-style
     * intra-document repetition gate: templated or scraper-looped pages

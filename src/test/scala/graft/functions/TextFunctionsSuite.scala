@@ -198,6 +198,29 @@ class TextFunctionsSuite extends SparkSpec {
       s"got '${r.getString(0)}' want '${r.getString(1)}'"))
   }
 
+  test("cleanLines: C4 keep rules — words, terminal punctuation, boilerplate markers") {
+    val cases = Seq(
+      // prose survives; nav (no punct), cookie banner, short line drop
+      ("Real prose stays right here.\nHome | About\nThis uses cookie consent.\nok.",
+        "Real prose stays right here."),
+      // quotes and !/? count as terminal; case-insensitive markers
+      ("He said \"stay tuned.\"\nEnable JAVASCRIPT now please.\nIs this kept today?",
+        "He said \"stay tuned.\"\nIs this kept today?"),
+      // privacy policy / terms of use markers
+      ("See our privacy policy today.\nRead the terms of use first.\nNormal line kept here.",
+        "Normal line kept here."),
+      // whitespace-only and empty lines vanish; surviving order preserved
+      ("  \nFirst good line stays.\n\nSecond good line stays.\n   ",
+        "First good line stays.\nSecond good line stays."),
+      // nothing survives -> empty string
+      ("Home | About\nok.", ""),
+      ("", "")).toDF("text", "want")
+    val got = cases.select(TextFunctions.cleanLines($"text").as("got"), $"want")
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got '${r.getString(0)}' want '${r.getString(1)}'"))
+  }
+
   test("gopherFlags: each rule trips independently on a crafted doc") {
     def flags(t: String, minWords: Int = 3) =
       one(t).select(TextFunctions.gopherFlags($"text", minWords = minWords).as("g"))
