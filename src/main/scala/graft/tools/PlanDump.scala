@@ -265,7 +265,36 @@ object PlanDump {
     "stream_distinct_users" ->
       """Per-window HLL++: fixed-size mergeable sketch state where exact
         |streaming countDistinct is impossible; partial aggregation
-        |merges map-side, one slim shuffle of sketch buffers.""".stripMargin)
+        |merges map-side, one slim shuffle of sketch buffers.""".stripMargin,
+    "pack_sequences_bfd" ->
+      """Best-fit-decreasing: same one-hash-shuffle shape as packGreedy,
+        |per-group state = a fill-keyed TreeMap (O(log bins)/doc). 233
+        |bins vs first-fit's 290 on the gate corpus (mean fill 96.5 vs
+        |80.1 of 128) — 20% fewer sequences for the same tokens.""".stripMargin,
+    "sample_by_quality" ->
+      """Importance sampling: the NB score plan (hash-keyed count agg +
+        |token join) feeding a scan-side sigmoid-threshold Filter on the
+        |md5 bucket — per-row probability, zero extra shuffles past the
+        |scoring aggregation.""".stripMargin,
+    "curriculum_order" ->
+      """Dense global rank by score: the cumulative walk runs on the
+        |DISTINCT-score table (a window over score values, not rows);
+        |rows rank only inside their tie sets. No single-partition sort
+        |of the data anywhere.""".stripMargin,
+    "lang_id_nb" ->
+      """Trained multiclass language ID: one token-count aggregate with
+        |#classes conditional partial sums (shuffle carries (hash,
+        |counts[])), scoring re-explodes per class and argmaxes with a
+        |deterministic tie rule. Self-accuracy on the SYNTHETIC corpus is
+        |~the prior (its text is label-independent by construction — the
+        |same vocabulary for every lang value); the suite's marker corpus
+        |pins perfect separation when signal exists, and correctness is
+        |the exact five-model oracle replay, not accuracy.""".stripMargin,
+    "clean_lines" ->
+      """C4 line filter: split -> three keep rules as array lambdas ->
+        |rejoin, all in the scan projection. The rules are RE2-portable
+        |regex + integer word counts, so the oracle replays the bytes
+        |exactly.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
