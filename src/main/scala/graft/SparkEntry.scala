@@ -1379,6 +1379,20 @@ object SparkEntry {
       Streaming.nbGate(s, d, "doc_id", "text", idx, minScore = 0.0)
         .select("doc_id", "n_tokens", "score")
     }),
+    "stream_lang_gate" -> ((s, dir) => {
+      // "English only" AT INGEST with the TRAINED identifier: pruned
+      // multiclass NB model (count cutoff 2), ONE in-row kernel call
+      // per doc, keep docs predicted 'en'. The oracle replays the
+      // pruned five-class model in SQL (pruned tokens fall to every
+      // class's floor) and filters the same argmax.
+      val d = t(s, dir, "documents")
+      val idx = scratch("lang_gate_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        QualityClassifier.buildNbMulticlassIndex(d, "text", "lang",
+          idx, minCount = 2)
+      Streaming.langGate(s, d, "doc_id", "text", idx, keep = "en")
+        .select("doc_id", "lang")
+    }),
     "stream_pack_sequences" -> ((s, dir) => {
       // the live ingest pipeline ENDING IN PACKING: gate → token count
       // → incremental greedy packing whose open-bin carry state
@@ -3866,6 +3880,68 @@ object SparkEntry {
           |  CAST(s + prior AS DOUBLE) / 10000.0 AS score,
           |  (s + prior) > 0 AS pred
           |FROM sc, pri""".stripMargin,
+      // pruned five-class replay + the 'en' argmax filter; pruned
+      // tokens coalesce to EVERY class's smoothing floor
+      "stream_lang_gate" ->
+        """WITH tok AS (SELECT doc_id, w FROM (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |  FROM documents) q WHERE w <> ''),
+          |tl AS (SELECT t.doc_id, d.lang, t.w
+          |       FROM tok t JOIN documents d USING (doc_id)),
+          |tc AS (SELECT w,
+          |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_de,
+          |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+          |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS c_es,
+          |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS c_fr,
+          |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS c_zh
+          |  FROM tl GROUP BY 1),
+          |tot AS (SELECT
+          |  CAST(sum(c_de) AS BIGINT) AS n_de, CAST(sum(c_en) AS BIGINT) AS n_en,
+          |  CAST(sum(c_es) AS BIGINT) AS n_es, CAST(sum(c_fr) AS BIGINT) AS n_fr,
+          |  CAST(sum(c_zh) AS BIGINT) AS n_zh, count(*) AS v FROM tc),
+          |dc AS (SELECT
+          |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS d_de,
+          |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS d_en,
+          |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS d_es,
+          |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS d_fr,
+          |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS d_zh,
+          |  count(*) AS dt FROM documents),
+          |lp AS (SELECT w,
+          |  CAST(floor(ln((c_de + 1.0) / CAST(n_de + v AS DOUBLE)) * 10000) AS BIGINT) AS l_de,
+          |  CAST(floor(ln((c_en + 1.0) / CAST(n_en + v AS DOUBLE)) * 10000) AS BIGINT) AS l_en,
+          |  CAST(floor(ln((c_es + 1.0) / CAST(n_es + v AS DOUBLE)) * 10000) AS BIGINT) AS l_es,
+          |  CAST(floor(ln((c_fr + 1.0) / CAST(n_fr + v AS DOUBLE)) * 10000) AS BIGINT) AS l_fr,
+          |  CAST(floor(ln((c_zh + 1.0) / CAST(n_zh + v AS DOUBLE)) * 10000) AS BIGINT) AS l_zh
+          |  FROM tc, tot WHERE c_de + c_en + c_es + c_fr + c_zh >= 2),
+          |dflt AS (SELECT
+          |  CAST(floor(ln(1.0 / CAST(n_de + v AS DOUBLE)) * 10000) AS BIGINT) AS f_de,
+          |  CAST(floor(ln(1.0 / CAST(n_en + v AS DOUBLE)) * 10000) AS BIGINT) AS f_en,
+          |  CAST(floor(ln(1.0 / CAST(n_es + v AS DOUBLE)) * 10000) AS BIGINT) AS f_es,
+          |  CAST(floor(ln(1.0 / CAST(n_fr + v AS DOUBLE)) * 10000) AS BIGINT) AS f_fr,
+          |  CAST(floor(ln(1.0 / CAST(n_zh + v AS DOUBLE)) * 10000) AS BIGINT) AS f_zh
+          |  FROM tot),
+          |sc AS (SELECT t.doc_id,
+          |  CAST(sum(coalesce(l_de, f_de)) AS BIGINT) AS s_de,
+          |  CAST(sum(coalesce(l_en, f_en)) AS BIGINT) AS s_en,
+          |  CAST(sum(coalesce(l_es, f_es)) AS BIGINT) AS s_es,
+          |  CAST(sum(coalesce(l_fr, f_fr)) AS BIGINT) AS s_fr,
+          |  CAST(sum(coalesce(l_zh, f_zh)) AS BIGINT) AS s_zh
+          |  FROM tok t LEFT JOIN lp ON lp.w = t.w CROSS JOIN dflt GROUP BY 1),
+          |pri AS (SELECT
+          |  CAST(floor(ln(d_de * 1.0 / dt) * 10000) AS BIGINT) AS p_de,
+          |  CAST(floor(ln(d_en * 1.0 / dt) * 10000) AS BIGINT) AS p_en,
+          |  CAST(floor(ln(d_es * 1.0 / dt) * 10000) AS BIGINT) AS p_es,
+          |  CAST(floor(ln(d_fr * 1.0 / dt) * 10000) AS BIGINT) AS p_fr,
+          |  CAST(floor(ln(d_zh * 1.0 / dt) * 10000) AS BIGINT) AS p_zh
+          |  FROM dc),
+          |fin AS (SELECT doc_id,
+          |  s_de + p_de AS t_de, s_en + p_en AS t_en, s_es + p_es AS t_es,
+          |  s_fr + p_fr AS t_fr, s_zh + p_zh AS t_zh
+          |  FROM sc, pri)
+          |SELECT f.doc_id, d.lang
+          |FROM fin f JOIN documents d USING (doc_id)
+          |WHERE t_en = greatest(t_de, t_en, t_es, t_fr, t_zh)
+          |  AND t_de <> greatest(t_de, t_en, t_es, t_fr, t_zh)""".stripMargin,
       // pruned-NB gate: same grid arithmetic as quality_classifier but
       // the delta table keeps only count >= 2 tokens — pruned tokens
       // fall to the unseen default floor via the LEFT JOIN coalesce;

@@ -260,6 +260,112 @@ object QualityClassifier {
       .select(col(idCol), col("__best.__cls").as("pred"))
   }
 
+  /** A pruned MULTICLASS NB model held driver-side: sorted token-hash
+    * keys, a flat `lps[keyIdx · nClasses + c]` grid log-prob table,
+    * per-class smoothing floors and priors, and the sorted class
+    * names (index = argmax output).
+    */
+  final case class NbMulticlassModel(
+      classes: Array[String], keys: Array[Long], lps: Array[Long],
+      defaults: Array[Long], priors: Array[Long])
+
+  /** Train and persist a COUNT-PRUNED multiclass NB model (tokens
+    * seen fewer than `minCount` times ACROSS classes drop and score
+    * as unseen in every class). Artifact = per-class raw counts +
+    * pre-prune totals, same recipe as [[buildNbIndex]]; classes are
+    * collected once (guarded) and stored sorted.
+    */
+  def buildNbMulticlassIndex(docs: DataFrame, textCol: String,
+      labelCol: String, path: String, minCount: Long = 2,
+      maxClasses: Int = 1000): Unit = {
+    require(minCount >= 1, "buildNbMulticlassIndex: count cutoff must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lab = docs.select(col(labelCol).cast("string").as("__lbl"),
+      col(textCol).as("__t"))
+    val classCount = lab.select(col("__lbl")).distinct().count()
+    require(classCount >= 2 && classCount <= maxClasses,
+      s"buildNbMulticlassIndex: $classCount classes (need 2..$maxClasses)")
+    val classes = lab.select(col("__lbl")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val clsAggs = classes.indices.map(i =>
+      sum(when(col("__lbl") === classes(i), 1L).otherwise(0L)).as(s"c$i"))
+    val tokC = lab
+      .select(col("__lbl"), explode(TextFunctions.tokens(col("__t"))).as("__w"))
+      .select(col("__lbl"), xxhash64(col("__w")).as("h"))
+      .groupBy("h")
+      .agg(clsAggs.head, clsAggs.tail: _*)
+      .localCheckpoint(true)
+    val totAggs = classes.indices.map(i => sum(col(s"c$i")).as(s"n$i")) :+
+      count(lit(1)).as("v")
+    val tot = tokC.agg(totAggs.head, totAggs.tail: _*).collect()(0)
+    val ns = classes.indices.map(tot.getLong(_)).toArray
+    val v = tot.getLong(classes.length)
+    val docCounts = lab.groupBy("__lbl").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ds = classes.map(docCounts(_))
+    graft.sources.IndexIO.publish(spark, path) { vdir =>
+      tokC.filter(classes.indices.map(i => col(s"c$i")).reduce(_ + _) >= minCount)
+        .write.mode("overwrite").parquet(s"$vdir/tokens")
+      Seq((classes.toSeq, ns.toSeq, ds.toSeq, v, minCount))
+        .toDF("classes", "ns", "ds", "v", "min_count")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
+    ()
+  }
+
+  /** Load a [[buildNbMulticlassIndex]] artifact (sorted keys, flat
+    * per-class grid table) — count-guarded before the collect.
+    */
+  def loadNbMulticlassModel(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxEntries: Long = 32L << 20): NbMulticlassModel = {
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    val entries = spark.read.parquet(s"$vdir/tokens").count()
+    require(entries <= maxEntries,
+      s"multiclass NB model at $path has $entries entries > $maxEntries; " +
+        "raise the count cutoff")
+    val m = spark.read.parquet(s"$vdir/meta").head()
+    val classes = m.getSeq[String](0).toArray
+    val ns = m.getSeq[Long](1).toArray
+    val ds = m.getSeq[Long](2).toArray
+    val v = m.getLong(3)
+    val nc = classes.length
+    val rows = spark.read.parquet(s"$vdir/tokens").sort("h").collect()
+    val keys = rows.map(_.getLong(0))
+    val lps = new Array[Long](rows.length * nc)
+    var i = 0
+    while (i < rows.length) {
+      var c = 0
+      while (c < nc) {
+        lps(i * nc + c) = grid((rows(i).getLong(1 + c) + 1.0) / (ns(c) + v))
+        c += 1
+      }
+      i += 1
+    }
+    val dTotal = ds.sum
+    NbMulticlassModel(classes, keys, lps,
+      defaults = classes.indices.map(c => grid(1.0 / (ns(c) + v))).toArray,
+      priors = classes.indices.map(c => grid(ds(c).toDouble / dTotal)).toArray)
+  }
+
+  /** Predict with a loaded pruned multiclass model via the in-row
+    * kernel — one scan projection behind a Generate fence (no join,
+    * no aggregation; stream-safe). Bit-equal to [[predictMulticlass]]
+    * at `minCount = 1` (suite-pinned); zero-token docs get no row,
+    * like the batch path.
+    */
+  def predictWithModel(docs: DataFrame, idCol: String, textCol: String,
+      m: NbMulticlassModel): DataFrame = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val ci = toColumn(graft.functions.NbPredictExpr(
+      toExpression(col(textCol)), m.keys, m.lps, m.defaults, m.priors))
+    val classArr = array(m.classes.map(lit(_)): _*)
+    docs
+      .withColumn("__ci", explode(array(ci)))
+      .filter(col("__ci") >= 0)
+      .select(col(idCol), element_at(classArr, col("__ci") + 1).as("pred"))
+  }
+
   /** Score with a loaded pruned model via the in-row kernel — one scan
     * projection, no joins, no aggregation (stream-safe). Bit-equal to
     * [[scoreWith]] when `minCount = 1` (suite-pinned); zero-token docs

@@ -857,6 +857,35 @@ object Streaming {
       .drop("__nb")
   }
 
+  /** Language gate: keep docs the pruned multiclass NB model
+    * ([[graft.operators.QualityClassifier.buildNbMulticlassIndex]])
+    * predicts as `keep` — "English only" at ingest with a TRAINED
+    * identifier instead of the n-gram heuristic. Same serving shape as
+    * the other gates: ONE in-row kernel call per doc behind a Generate
+    * fence, model as plan references, no join/agg/state. Zero-token
+    * docs are unclassifiable and fail closed (dropped).
+    */
+  def langGate(
+      spark: SparkSession,
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelPath: String,
+      keep: String): DataFrame = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val m = graft.operators.QualityClassifier.loadNbMulticlassModel(spark, modelPath)
+    val keepIdx = m.classes.indexOf(keep)
+    require(keepIdx >= 0,
+      s"langGate: class '$keep' not in the model's classes ${m.classes.mkString(",")}")
+    val ci = toColumn(graft.functions.NbPredictExpr(
+      toExpression(col(textCol)), m.keys, m.lps, m.defaults, m.priors))
+    // Generate fence — one kernel call per row (see lmGate)
+    stream
+      .withColumn("__ci", explode(array(ci)))
+      .filter(col("__ci") === keepIdx)
+      .drop("__ci")
+  }
+
   /** Streaming sequence packing: a `foreachBatch` sink whose carry-over
     * open-bin state ([[graft.operators.Packing.IncrementalPacker]])
     * crosses micro-batch boundaries, so the live ingest pipeline can

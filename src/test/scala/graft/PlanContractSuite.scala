@@ -93,6 +93,10 @@ class PlanContractSuite extends SparkSpec {
     ("stream_nb_gate", Seq.empty,
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
         "Exchange SinglePartition", "Join", "HashAggregate")),
+    // multiclass language gate: same stateless serving contract
+    ("stream_lang_gate", Seq.empty,
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition", "Join", "HashAggregate")),
     // the whole web-ingest path (extract -> scrub -> NB gate -> chunk)
     // is scan projections + one in-row kernel: ANY exchange or join
     // means a stage regressed out of the stateless stream-safe shape
@@ -139,7 +143,8 @@ class PlanContractSuite extends SparkSpec {
     for ((name, marker) <- Seq(
         ("stream_lm_gate", "graft_lm_score("),
         ("stream_lm_gate3", "graft_lm_score3("),
-        ("stream_nb_gate", "graft_nb_score("))) {
+        ("stream_nb_gate", "graft_nb_score("),
+        ("stream_lang_gate", "graft_nb_predict("))) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       val count = plan.sliding(marker.length).count(_ == marker)

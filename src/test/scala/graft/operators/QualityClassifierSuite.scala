@@ -154,6 +154,47 @@ class QualityClassifierSuite extends SparkSpec {
     assert(e.getMessage.contains("classes"))
   }
 
+  test("multiclass serving kernel == batch predict at minCount=1; langGate filters") {
+    val docs = Seq(
+      (1L, "aaa aaa bbb shared", "A"),
+      (2L, "aaa shared shared", "A"),
+      (3L, "xxx yyy shared", "B"),
+      (4L, "xxx xxx yyy", "B"),
+      (5L, "mmm nnn ooo", "C"),
+      (6L, "mmm shared nnn", "C"),
+      (7L, "   ", "A")).toDF("id", "text", "lbl")
+    val p = java.nio.file.Files.createTempDirectory("nbmc").toString
+    QualityClassifier.buildNbMulticlassIndex(docs, "text", "lbl", p, minCount = 1)
+    val m = QualityClassifier.loadNbMulticlassModel(spark, p)
+    val batch = QualityClassifier.predictMulticlass(docs, "id", "text", "lbl")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val served = QualityClassifier.predictWithModel(docs, "id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(served == batch)
+    // the blank doc is unclassifiable on both paths
+    assert(!served.contains(7L) && !batch.contains(7L))
+    // gate keeps exactly the docs predicted as the keep class
+    val gated = graft.streaming.Streaming
+      .langGate(spark, docs, "id", "text", p, keep = "B")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gated == batch.filter(_._2 == "B").keySet)
+    // unknown keep class fails loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.langGate(spark, docs, "id", "text", p, "nope")
+    }
+    assert(e.getMessage.contains("not in the model"))
+    // pruning (minCount=2) floors singletons in EVERY class — still
+    // agrees with a replica built from the pruned counts (markers are
+    // frequent, so classification survives)
+    val p2 = java.nio.file.Files.createTempDirectory("nbmc2").toString
+    QualityClassifier.buildNbMulticlassIndex(docs, "text", "lbl", p2, minCount = 2)
+    val m2 = QualityClassifier.loadNbMulticlassModel(spark, p2)
+    val pruned = QualityClassifier.predictWithModel(docs, "id", "text", m2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pruned.keySet == batch.keySet)
+    assert(pruned(1L) == "A" && pruned(3L) == "B" && pruned(5L) == "C")
+  }
+
   test("one-class corpus fails loudly") {
     val docs = Seq((1L, "a b", true), (2L, "c", true)).toDF("id", "text", "lbl")
     val e = intercept[IllegalArgumentException] {
