@@ -1532,6 +1532,17 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source")
     }),
+    "shard_by_tokens" -> ((s, dir) => {
+      // writer-side token-balanced sharding: every doc assigned the
+      // output shard where its tokens START in the deterministic md5
+      // order, 2000-token shards. The oracle is a plain global window
+      // cumsum; the Spark side is the two-pass bucket-offset scheme —
+      // never "simplify" it to one global window.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      Sampling.assignTokenShards(d, "doc_id", col("n_tokens"), shardTokens = 2000)
+        .select(col("doc_id"), col("shard"), col("cum_tokens"))
+    }),
     "curriculum_order" -> ((s, dir) => {
       // curriculum ordering: dense global 0..n-1 rank by doc length
       // ascending (short-to-long schedule), md5 tie-break — the
@@ -3739,6 +3750,18 @@ object SparkEntry {
           |SELECT d.doc_id, d.source FROM documents d JOIN th ON th.source = d.source
           |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
           |      % 10000 < thr""".stripMargin,
+      "shard_by_tokens" ->
+        (s"""WITH tok AS ($tok),
+           |tc AS (SELECT d.doc_id, CAST(count(t.w) AS BIGINT) AS toks
+           |       FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
+           |       GROUP BY 1),
+           |r AS (SELECT doc_id, toks,
+           |        sum(toks) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+           |          doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+           |      FROM tc)
+           |SELECT doc_id, CAST((cum - toks) // 2000 AS BIGINT) AS shard,
+           |       CAST(cum AS BIGINT) AS cum_tokens
+           |FROM r""".stripMargin),
       "curriculum_order" ->
         """SELECT doc_id, n_chars,
           |  row_number() OVER (ORDER BY n_chars ASC,

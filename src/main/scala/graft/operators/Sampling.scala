@@ -425,6 +425,52 @@ object Sampling {
       .select(outCols: _*)
   }
 
+  /** Assign every row an OUTPUT SHARD so each shard holds ≈
+    * `shardTokens` tokens — the writer-side step that turns a curated
+    * corpus into N balanced training files (row-count partitioning
+    * skews shard sizes 2-4× when doc lengths do; token balancing is
+    * what the trainer's data loader actually wants). A row's shard is
+    * `floor(tokens-before-it / shardTokens)` in the deterministic
+    * global md5-of-id order — a doc straddling a boundary stays whole
+    * in its starting shard (±1 doc of drift, never a split doc), and
+    * the assignment is a pure function of the corpus, reproducible
+    * across engines and reruns. Output: input columns +
+    * `(shard, cum_tokens)`; write with `partitionBy("shard")`.
+    *
+    * Scale shape: [[sampleToTokenBudget]]'s two-pass bucket-offset
+    * cumulative sum — per-bucket sums (tiny aggregate, broadcast
+    * offsets), then windows WITHIN buckets only; no global sort, no
+    * single-partition window.
+    */
+  def assignTokenShards(
+      df: DataFrame, idCol: String, tokens: Column, shardTokens: Long,
+      buckets: Int = 0): DataFrame = {
+    require(shardTokens > 0,
+      s"assignTokenShards: shardTokens must be positive, got $shardTokens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBuckets = if (buckets > 0) buckets else deriveBuckets(df)
+    val h = md5(col(idCol).cast("string"))
+    val b = hashPrefixBucket(h, nBuckets)
+    val tokChecked = checkedTokens(tokens, "assignTokenShards")
+    val withB = df.withColumn("__tok", tokChecked).withColumn("__bkt", b)
+    val sums = withB.groupBy(col("__bkt")).agg(sum(col("__tok")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sums.scanLeft((0, 0L)) { case ((_, acc), (bk, s)) => (bk, acc + s) }
+      .init.map { case (_, off) => off }
+    val offDf = broadcast(
+      sums.map(_._1).zip(offsets).toSeq.toDF("__bkt", "__off"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__bkt")).orderBy(h.asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols = df.columns.map(col).toSeq :+
+      expr(s"(__off + __cum - __tok) div ${shardTokens}L").as("shard") :+
+      (col("__off") + col("__cum")).as("cum_tokens")
+    withB.join(offDf, "__bkt")
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .select(outCols: _*)
+  }
+
   /** Per-group [[sampleToTokenBudget]] — THE data-recipe primitive:
     * "B_s tokens from source s" for an explicit budget map, each
     * group's keep set an independent strict md5-order prefix. Groups

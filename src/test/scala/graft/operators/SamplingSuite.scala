@@ -217,6 +217,33 @@ class SamplingSuite extends SparkSpec {
       .columns.sameElements(df.columns :+ "bucket"))
   }
 
+  test("assignTokenShards == global cumsum replica; balanced, whole docs") {
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 500).map(i => (i.toLong, (1 + rnd.nextInt(50)).toLong))
+    val df = docs.toDF("id", "toks").repartition(9)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val shardTokens = 300L
+    var acc = 0L
+    val want = docs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .map { case (id, t) =>
+        val shard = acc / shardTokens
+        acc += t
+        id -> ((shard, acc))
+      }.toMap
+    for (buckets <- Seq(0, 1, 7, 64)) {
+      val got = Sampling.assignTokenShards(df, "id", $"toks", shardTokens, buckets)
+        .select("id", "shard", "cum_tokens").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want, s"buckets=$buckets")
+    }
+    // every shard except the last holds >= shardTokens (docs straddle,
+    // never split): shard s starts before s*B and runs past (s+1)*B
+    val byShard = want.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byShard.keySet == (0L until byShard.keySet.max + 1).toSet)
+  }
+
   test("curriculumRank == global sort replica; dense, deterministic, both directions") {
     val rnd = new scala.util.Random(17)
     val rows = (0 until 400).map(i => (i.toLong, rnd.nextInt(9).toLong))
