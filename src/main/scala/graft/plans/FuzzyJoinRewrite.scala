@@ -292,6 +292,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft.functions.TextFunctions", name),
     (exprs: Seq[Expression]) => f(exprs.head))
 
+  /** Column-API functions surfaced verbatim in SQL: the builder runs
+    * the SAME Column composition the Scala API runs and unwraps the
+    * tree, so SQL ≡ Column agreement holds by construction (and stays
+    * codegen'd — these compositions are built-in expressions only).
+    */
+  private def colFn(name: String, f: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo("graft.functions.TextFunctions", name),
+    (exprs: Seq[Expression]) => {
+      import org.apache.spark.sql.GraftInternals.toRealExpression
+      // run the Column composition over a named placeholder, then graft
+      // the caller's argument into the unresolved tree — the analyzer
+      // resolves/coerces it exactly like the Column API's output
+      val template =
+        toRealExpression(f(org.apache.spark.sql.functions.col("__graft_arg__")))
+      template.transformUp {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts == Seq("__graft_arg__") => exprs.head
+      }
+    })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FuzzyJoinRewrite)
     ext.injectPlannerStrategy(_ => RangeJoinStrategy)
@@ -309,5 +331,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(exprFn("graft_scrub", scrubExpr))
     ext.injectFunction(exprFn("graft_fingerprint", fingerprintExpr))
     ext.injectFunction(exprFn("graft_token_estimate", tokenEstimateExpr))
+    ext.injectFunction(colFn("graft_extract_html", TextFunctions.extractHtml))
+    ext.injectFunction(colFn("graft_canonical_url", TextFunctions.canonicalizeUrl))
+    ext.injectFunction(colFn("graft_clean_lines", TextFunctions.cleanLines(_)))
   }
 }

@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftInternals {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Full ColumnNode → Expression conversion (not the lazy wrapper):
+    * what the analyzer runs when a DataFrame plan is built. Needed
+    * where an actual Catalyst tree must exist OUTSIDE a plan — e.g.
+    * surfacing a Column-composed kernel as a SQL function.
+    */
+  def toRealExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

@@ -253,6 +253,19 @@ class FuzzyJoinRewriteSuite extends SparkSpec {
       assert(byId(2).getAs[String]("l") == "es")
       assert(byId(3).getAs[String]("s") == "reach me at <EMAIL> or <URL> <NUM>")
       assert(byId(4).getAs[String]("sa") == "Ecole naive u text")
+      // the web-curation trio rides the SAME Column composition in SQL
+      val web = Seq(
+        (1, "<p>keep this.</p><script>drop() { x < 1; }</script>",
+          "HTTP://Ex.COM:80/P?utm_a=1&b=2#f",
+          "Good line stays here.\nHome | Nav\nCookie notice applies here.")
+      ).toDF("id", "html", "url", "lines")
+      web.createOrReplaceTempView("gx_web")
+      val webSql = s2.sql("""
+        SELECT graft_extract_html(html) AS h, graft_canonical_url(url) AS u,
+               graft_clean_lines(lines) AS c FROM gx_web""").collect()(0)
+      assert(webSql.getString(0) == "keep this.")
+      assert(webSql.getString(1) == "http://ex.com/P?b=2")
+      assert(webSql.getString(2) == "Good line stays here.")
     } finally {
       SparkSession.setActiveSession(orig)
       SparkSession.setDefaultSession(orig)
