@@ -56,6 +56,26 @@ object Sources {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** TOKEN-BALANCED training-shard sink: every row gets its shard from
+    * [[graft.operators.Sampling.assignTokenShards]] (≈ `shardTokens`
+    * tokens per shard, whole docs, deterministic md5 order), rows are
+    * repartitioned BY the shard id so each shard is one output task,
+    * and the sink writes `shard=N/` directories the trainer's loader
+    * can consume file-per-shard. This is the writer row-count
+    * partitioning can't replace: with skewed doc lengths, equal-count
+    * files drift 2-4× in token mass, and the loader's steps-per-file
+    * assumption breaks.
+    */
+  def writeTokenShards(
+      df: DataFrame, path: String, idCol: String,
+      tokens: org.apache.spark.sql.Column, shardTokens: Long,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.Sampling.assignTokenShards(df, idCol, tokens, shardTokens)
+      .repartition(col("shard"))
+      .write.mode(mode).partitionBy("shard").parquet(path)
+  }
+
   /** Bucketed table sink: rows hash-partitioned into `numBuckets` files
     * per partition by `bucketCols` and sorted within each bucket.
     * Joins/aggregations between tables bucketed the same way on the same

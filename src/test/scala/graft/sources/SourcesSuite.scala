@@ -69,6 +69,36 @@ class SourcesSuite extends SparkSpec {
     assert(!scanDesc.contains("2024-01-01"), scanDesc.take(400))
   }
 
+  test("token-shard write: shard dirs, whole docs, balanced token mass") {
+    val dir = s"$tmp/tokshards"
+    val rnd = new scala.util.Random(5)
+    val docs = (0 until 300).map(i => (i.toLong, (1 + rnd.nextInt(40)).toLong))
+    val df = docs.toDF("id", "toks")
+    val shardTokens = 500L
+    Sources.writeTokenShards(df, dir, "id", col("toks"), shardTokens)
+    assert(new java.io.File(s"$dir/shard=0").isDirectory)
+    val back = Sources.parquet(spark, dir)
+    // every doc exactly once, token mass conserved
+    assert(back.count() == 300)
+    assert(back.agg(sum("toks")).head().getLong(0) == docs.map(_._2).sum)
+    // shard ids contiguous; every shard within one-doc drift of target
+    val sums = back.groupBy("shard").agg(sum("toks").as("s"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(sums.keySet == (0L until sums.keySet.max + 1).toSet)
+    val maxDoc = docs.map(_._2).max
+    sums.filter(_._1 < sums.keySet.max).foreach { case (sh, s) =>
+      assert(s >= shardTokens - maxDoc && s <= shardTokens + maxDoc,
+        s"shard $sh mass $s target $shardTokens")
+    }
+    // assignment matches the operator (the write adds nothing)
+    val direct = graft.operators.Sampling
+      .assignTokenShards(df, "id", col("toks"), shardTokens)
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = back.select("id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got == direct)
+  }
+
   test("clustered write sorts within files so row-group stats enable skipping") {
     val dir = s"$tmp/clustered"
     val df = (0 until 1000).map(i => (i % 97, s"v$i")).toDF("k", "v")
