@@ -28,7 +28,8 @@ object Bench {
     "text_quality", "doc_fingerprint", "heavy_hitters_tokens",
     "tokenize_bpe", "extract_html", "quality_classifier", "corpus_diff",
     "stream_nb_gate", "pipeline_web_ingest", "sample_top_fraction",
-    "gopher_rules", "lm_ccnet_buckets",
+    "gopher_rules", "lm_ccnet_buckets", "clean_lines", "lang_id_nb",
+    "stream_lang_gate", "shard_by_tokens",
     "decontaminate_docs", "decontaminate_bloom", "stream_decontaminate",
     "stream_lm_gate", "stream_lm_gate3", "lm_score_trigram",
     "lm_score_4gram",

@@ -294,7 +294,18 @@ object PlanDump {
       """C4 line filter: split -> three keep rules as array lambdas ->
         |rejoin, all in the scan projection. The rules are RE2-portable
         |regex + integer word counts, so the oracle replays the bytes
-        |exactly.""".stripMargin)
+        |exactly.""".stripMargin,
+    "stream_lang_gate" ->
+      """Trained 'English only' at ingest: the pruned multiclass model
+        |(sorted keys + flat per-class log-prob table) rides as plan
+        |references into ONE graft_nb_predict call per doc — stateless,
+        |exchange-free, contract-pinned like the other gates.""".stripMargin,
+    "shard_by_tokens" ->
+      """Token-balanced output sharding: the two-pass bucket-offset
+        |cumulative sum (per-bucket sums -> broadcast offsets -> windows
+        |WITHIN buckets) assigns every doc the shard where its tokens
+        |start. No global sort; compose with Sources.writeTokenShards
+        |for shard=N/ training files.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
