@@ -1190,6 +1190,27 @@ object SparkEntry {
       d.select(col("doc_id"), url.as("raw_url"),
         TextFunctions.canonicalizeUrl(url).as("canon_url"))
     }),
+    "dedup_by_url" -> ((s, dir) => {
+      // crawl dedup ON THE CANONICAL URL: five raw variants of the
+      // same page (case, default port, utm params, fragment) collapse
+      // to one fetch per (host-mod, path) — exactBy keyed on
+      // canonicalizeUrl, keep-first by doc_id. The synthesized URL
+      // varies by doc_id % 5 ONLY through canonicalization-removable
+      // noise, so each group of 5 doc_ids with equal host-mod and
+      // path-mod keeps exactly its minimum.
+      val d = t(s, dir, "documents")
+      val raw = concat(
+        when(col("doc_id") % 5 === 0, lit("HTTP://Site")).otherwise(lit("http://site")),
+        col("doc_id") % 7, lit(".com"),
+        when(col("doc_id") % 5 === 1, lit(":80")).otherwise(lit("")),
+        lit("/page"), col("doc_id") % 11,
+        when(col("doc_id") % 5 === 2, lit("?utm_s=x")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 3, lit("#frag")).otherwise(lit("")))
+      val withUrl = d.select(col("doc_id"), raw.as("raw_url"),
+        TextFunctions.canonicalizeUrl(raw).as("canon"))
+      Dedup.exactBy(withUrl, "canon", Seq(col("doc_id").asc))
+        .select("doc_id", "canon")
+    }),
     "pipeline_web_ingest" -> ((s, dir) => {
       // the WEB-crawl ingest path END TO END: HTML extraction → PII
       // scrub → NB classifier gate → context-window chunking, ONE
@@ -3099,6 +3120,15 @@ object SparkEntry {
           |  CASE WHEN scheme = '' THEN trim(raw_url)
           |       ELSE scheme || '://' || h2 || r5 END AS canon_url
           |FROM q""".stripMargin,
+      // the oracle derives the canonical form CLOSED-FORM from the
+      // synthesis rule (all the injected noise is exactly what
+      // canonicalization removes) — it never runs the regex chain, so
+      // agreement proves the chain strips precisely the noise
+      "dedup_by_url" ->
+        """WITH c AS (SELECT doc_id,
+          |  'http://site' || (doc_id % 7) || '.com/page' || (doc_id % 11) AS canon
+          |FROM documents)
+          |SELECT min(doc_id) AS doc_id, canon FROM c GROUP BY canon""".stripMargin,
       // the web-ingest composition: extraction chain (as extract_html,
       // raw text out), scrub (as text_scrub), NB gate retrained on the
       // RAW corpus (as stream_nb_gate), chunk tail (as
