@@ -1190,6 +1190,18 @@ object SparkEntry {
       d.select(col("doc_id"), url.as("raw_url"),
         TextFunctions.canonicalizeUrl(url).as("canon_url"))
     }),
+    "embedding_drift" -> ((s, dir) => {
+      // distribution-shift monitor: cosine of the two halves' mean
+      // embedding vectors. Engine-exact: components floored to 1e-7
+      // grid longs, order-free integer sums, cosine of the SUM
+      // vectors (scales cancel) via int128/BigInt — both engines
+      // evaluate the identical IEEE expression over identical ints.
+      val e = t(s, dir, "embeddings")
+      Sketches.embeddingDrift(
+        e.filter(col("vec_id") % 2 === 0).select("embedding"),
+        e.filter(col("vec_id") % 2 === 1).select("embedding"),
+        "embedding")
+    }),
     "dedup_by_url" -> ((s, dir) => {
       // crawl dedup ON THE CANONICAL URL: five raw variants of the
       // same page (case, default port, utm params, fragment) collapse
@@ -3120,6 +3132,31 @@ object SparkEntry {
           |  CASE WHEN scheme = '' THEN trim(raw_url)
           |       ELSE scheme || '://' || h2 || r5 END AS canon_url
           |FROM q""".stripMargin,
+      // per-dim exact grid-long sums -> int128 cosine of sum vectors
+      "embedding_drift" ->
+        """WITH e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+          |                  generate_subscripts(embedding, 1) AS i
+          |           FROM embeddings),
+          |g AS (SELECT i,
+          |  CAST(sum(CASE WHEN vec_id % 2 = 0
+          |           THEN CAST(floor(v * 10000000.0) AS BIGINT) ELSE 0 END)
+          |    AS HUGEINT) AS sa,
+          |  CAST(sum(CASE WHEN vec_id % 2 = 1
+          |           THEN CAST(floor(v * 10000000.0) AS BIGINT) ELSE 0 END)
+          |    AS HUGEINT) AS sb
+          |  FROM e GROUP BY i),
+          |t AS (SELECT CAST(sum(sa * sb) AS HUGEINT) AS num,
+          |             CAST(sum(sa * sa) AS HUGEINT) AS da,
+          |             CAST(sum(sb * sb) AS HUGEINT) AS db FROM g),
+          |n AS (SELECT
+          |  CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          |  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          |  FROM embeddings)
+          |SELECT n_a, n_b,
+          |  floor(CAST(num AS DOUBLE)
+          |        / (sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE)))
+          |        * 10000) / 10000 AS cos_means
+          |FROM t, n""".stripMargin,
       // the oracle derives the canonical form CLOSED-FORM from the
       // synthesis rule (all the injected noise is exactly what
       // canonicalization removes) — it never runs the regex chain, so

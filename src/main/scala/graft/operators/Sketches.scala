@@ -53,4 +53,51 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > summary.n.toDouble / threshold)
   }
+
+  /** Embedding DISTRIBUTION-SHIFT monitor: cosine between the mean
+    * vectors of two snapshots — the one-number drift signal that tells
+    * an incremental pipeline "this crawl's embedding distribution
+    * moved; re-examine the ANN index / classifier thresholds" before
+    * anything downstream degrades quietly. Near 1.0 = stable; falling
+    * = drift.
+    *
+    * Engine-exact by construction: each component is floored onto an
+    * exact 1e-7 grid long FIRST, per-dimension sums run over exact
+    * longs (order-free — no double-summation nondeterminism across
+    * partitions, runs, or engines), and the cosine of the mean vectors
+    * equals the cosine of the grid SUM vectors (the `1/(grid·n)` scale
+    * factors cancel), so the final value is a fixed IEEE expression
+    * over exact integers — `Σ sa·sb / (√Σsa² · √Σsb²)` in BigInt on
+    * the driver, int128 in the SQL oracle. The only shuffle carries
+    * one `(dim, sumA, sumB)` row per dimension; the collect is
+    * dim-bounded.
+    *
+    * Output: one row `(n_a, n_b, cos_means)` (cosine floored to the
+    * 1e-4 grid). Empty or zero-vector sides are contract errors.
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def sums(df: DataFrame): (Long, Map[Int, BigInt]) = {
+      val rows = df
+        .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("__d", "__v")))
+        .select(col("__d"), floor(col("__v") * lit(1.0e7)).cast("long").as("__g"))
+        .groupBy("__d").agg(sum(col("__g")).as("__s"))
+        .collect().map(r => r.getInt(0) -> BigInt(r.getLong(1))).toMap
+      (df.count(), rows)
+    }
+    val (nA, sa) = sums(a)
+    val (nB, sb) = sums(b)
+    require(nA > 0 && nB > 0, "embeddingDrift: empty snapshot")
+    require(sa.keySet == sb.keySet,
+      s"embeddingDrift: dimension mismatch (${sa.size} vs ${sb.size})")
+    val dims = sa.keys.toSeq.sorted
+    val num = dims.map(d => sa(d) * sb(d)).sum
+    val da = dims.map(d => sa(d) * sa(d)).sum
+    val db = dims.map(d => sb(d) * sb(d)).sum
+    require(da > 0 && db > 0, "embeddingDrift: zero mean vector")
+    val cos = num.toDouble / (math.sqrt(da.toDouble) * math.sqrt(db.toDouble))
+    Seq((nA, nB, math.floor(cos * 10000) / 10000))
+      .toDF("n_a", "n_b", "cos_means")
+  }
 }

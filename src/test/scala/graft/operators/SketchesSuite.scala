@@ -19,6 +19,44 @@ class SketchesSuite extends SparkSpec {
   private def zipf: Seq[String] =
     (1 to 50).flatMap(i => Seq.fill(3000 / i)(s"w$i"))
 
+  test("embeddingDrift: identical snapshots ~1.0, orthogonal ~0.0, scalar replica") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 40).map(_ => Array.fill(8)(rnd.nextGaussian().toFloat))
+    val a = vecs.map(Tuple1(_)).toDF("embedding")
+    // same distribution against itself: cosine of identical means = 1
+    val self = Sketches.embeddingDrift(a, a, "embedding").head()
+    assert(self.getLong(0) == 40 && self.getLong(1) == 40)
+    assert(self.getDouble(2) >= 0.9999, self.toString)
+    // disjoint axes: means orthogonal
+    val x = (0 until 10).map(_ => Tuple1(Array(1f, 0f))).toDF("embedding")
+    val y = (0 until 20).map(_ => Tuple1(Array(0f, 1f))).toDF("embedding")
+    val ortho = Sketches.embeddingDrift(x, y, "embedding").head()
+    assert(math.abs(ortho.getDouble(2)) <= 0.0001, ortho.toString)
+    // scalar replica of the exact-grid arithmetic on a random split
+    val b = vecs.take(17).map(v => Tuple1(v.map(x2 => x2 + 0.3f))).toDF("embedding")
+    val got = Sketches.embeddingDrift(a, b, "embedding").head().getDouble(2)
+    def gridSums(vs: Seq[Array[Float]]): Array[BigInt] = {
+      val s = Array.fill(8)(BigInt(0))
+      for (v <- vs; d <- 0 until 8)
+        s(d) += BigInt(math.floor(v(d).toDouble * 1.0e7).toLong)
+      s
+    }
+    val sa = gridSums(vecs)
+    val sb = gridSums(vecs.take(17).map(_.map(_ + 0.3f)))
+    val num = (0 until 8).map(d => sa(d) * sb(d)).sum
+    val da = (0 until 8).map(d => sa(d) * sa(d)).sum
+    val db = (0 until 8).map(d => sb(d) * sb(d)).sum
+    val want = math.floor(num.toDouble /
+      (math.sqrt(da.toDouble) * math.sqrt(db.toDouble)) * 10000) / 10000
+    assert(got == want)
+    // dimension mismatch fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Sketches.embeddingDrift(a, x, "embedding")
+    }
+    assert(e.getMessage.contains("dimension"))
+  }
+
   test("summary never misses an item above n/(k+1), counts are lower bounds") {
     val data = new scala.util.Random(7).shuffle(zipf)
     val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
