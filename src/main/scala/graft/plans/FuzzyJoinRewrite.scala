@@ -334,5 +334,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(colFn("graft_extract_html", TextFunctions.extractHtml))
     ext.injectFunction(colFn("graft_canonical_url", TextFunctions.canonicalizeUrl))
     ext.injectFunction(colFn("graft_clean_lines", TextFunctions.cleanLines(_)))
+    ext.injectFunction(colFn("graft_gopher", t => TextFunctions.gopherFlags(t)))
   }
 }

@@ -103,6 +103,13 @@ class PlanContractSuite extends SparkSpec {
     ("pipeline_web_ingest", Seq.empty,
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
         "Exchange SinglePartition", "Join", "HashAggregate")),
+    // trained language ID: hash-keyed aggregates + model equi-join,
+    // never a nested loop
+    ("lang_id_nb", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // crawl dedup keeps the rank-limit pushdown on the keep-first rule
+    ("dedup_by_url", Seq("WindowGroupLimit"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // snapshot diff: one equi-join of two slim (id, hash) projections —
     // a nested-loop/cartesian means the fingerprint equi-key was lost
     ("corpus_diff", Seq.empty,

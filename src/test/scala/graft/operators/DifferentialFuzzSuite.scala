@@ -717,6 +717,54 @@ class DifferentialFuzzSuite extends SparkSpec {
     }
   }
 
+  test("multiclass NB batch == serving kernel == scalar replica on random corpora") {
+    val rnd = new scala.util.Random(1001)
+    val words = Vector("alpha", "beta", "gamma", "delta", "Übel", "数据",
+      "x", "yy", "zzz", "shared", "común", "mot")
+    for (round <- 0 until 4) {
+      val nClasses = 2 + rnd.nextInt(3)
+      val classes = (0 until nClasses).map(c => s"c$c")
+      val docs = (0 until 20 + rnd.nextInt(40)).map { i =>
+        val t = (0 until (1 + rnd.nextInt(10)))
+          .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+        (i.toLong, t, classes(rnd.nextInt(nClasses)))
+      }
+      // every class inhabited
+      val fixed = classes.zipWithIndex.map { case (c, i) =>
+        (1000L + i, s"seed$i word", c)
+      } ++ docs
+      val df = fixed.toDF("id", "text", "lbl")
+      val batch = QualityClassifier.predictMulticlass(df, "id", "text", "lbl")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // scalar replica
+      def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((_, t, l) <- fixed; w <- toks(t))
+        cnt((l, w)) = cnt.getOrElse((l, w), 0L) + 1
+      val sorted = classes.sorted
+      val nC = sorted.map(c => c -> cnt.filter(_._1._1 == c).values.sum).toMap
+      val v = fixed.flatMap(r => toks(r._2)).distinct.size.toLong
+      val dC = sorted.map(c => c -> fixed.count(_._3 == c).toLong).toMap
+      def g(x: Double) = math.floor(math.log(x) * 10000).toLong
+      val want = fixed.flatMap { case (id, t, _) =>
+        val ws = toks(t)
+        if (ws.isEmpty) None
+        else Some(id -> sorted.map { c =>
+          (c, ws.map(w => g((cnt.getOrElse((c, w), 0L) + 1.0) / (nC(c) + v))).sum
+            + g(dC(c).toDouble / fixed.size))
+        }.minBy { case (c, s) => (-s, c) }._1)
+      }.toMap
+      assert(batch == want, s"round $round classes=$nClasses")
+      // serving at cutoff 1 == batch
+      val p = java.nio.file.Files.createTempDirectory(s"nbmcf$round").toString
+      QualityClassifier.buildNbMulticlassIndex(df, "text", "lbl", p, minCount = 1)
+      val m = QualityClassifier.loadNbMulticlassModel(spark, p)
+      val served = QualityClassifier.predictWithModel(df, "id", "text", m)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(served == batch, s"round $round serving")
+    }
+  }
+
   test("NB serving kernel == batch scorer at cutoff 1 on random unicode corpora") {
     val rnd = new scala.util.Random(909)
     val words = Vector("the", "cat", "Übel", "döner", "数据", "x1", "spam",

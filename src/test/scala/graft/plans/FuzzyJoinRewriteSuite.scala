@@ -266,6 +266,10 @@ class FuzzyJoinRewriteSuite extends SparkSpec {
       assert(webSql.getString(0) == "keep this.")
       assert(webSql.getString(1) == "http://ex.com/P?b=2")
       assert(webSql.getString(2) == "Good line stays here.")
+      // gopher flags as a SQL struct, field access included
+      val gq = s2.sql(
+        "SELECT graft_gopher(lines).n_words AS n FROM gx_web").collect()(0)
+      assert(gq.getLong(0) == 11, gq.toString)
     } finally {
       SparkSession.setActiveSession(orig)
       SparkSession.setDefaultSession(orig)
