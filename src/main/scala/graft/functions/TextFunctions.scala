@@ -118,6 +118,19 @@ object TextFunctions {
     regexp_replace(noEmail, "[0-9]{7,}", "<NUM>")
   }
 
+  /** Compression-ratio repetitiveness signal
+    * ([[CompressionKernel.ratio]]): deflated-size / raw-size on the
+    * 1e-4 grid. Low = diffusely redundant (templated/looped pages);
+    * prose sits ~0.4-0.7. Suite-covered ordering signal, not
+    * SQL-oracle-replayable (no portable deflate) — treat thresholds
+    * as tunables.
+    */
+  def compressionRatio(text: Column): Column = {
+    import org.apache.spark.sql.GraftInternals
+    GraftInternals.toColumn(
+      graft.functions.CompressionRatioExpr(GraftInternals.toExpression(text)))
+  }
+
   /** HTML → text extraction for web-scrape curation (the step before
     * every quality/dedup signal on a CommonCrawl-shaped corpus):
     * drops `<script>`/`<style>` payloads whole, then comments, then

@@ -198,6 +198,27 @@ class TextFunctionsSuite extends SparkSpec {
       s"got '${r.getString(0)}' want '${r.getString(1)}'"))
   }
 
+  test("compressionRatio: repetition compresses, prose doesn't, bounds hold") {
+    val nav = ("Home | About | Contact | Login\n" * 50)
+    val prose = "The committee reviewed seventeen distinct proposals during " +
+      "the autumn session, rejecting most on procedural grounds while " +
+      "advancing three toward a floor vote despite vocal opposition."
+    val rows = Seq(("nav", nav), ("prose", prose), ("empty", ""),
+      ("null", null.asInstanceOf[String]))
+      .toDF("k", "text")
+      .select($"k", TextFunctions.compressionRatio($"text").as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows("nav") < 0.15, rows.toString)       // diffuse repetition
+    assert(rows("prose") > 0.4, rows.toString)      // natural text
+    assert(rows("nav") < rows("prose"))
+    assert(rows("empty") == 1.0 && rows("null") == 1.0)
+    rows.values.foreach(v => assert(v > 0.0 && v <= 1.5, rows.toString))
+    // grid-valued and deterministic across evaluations
+    val again = one(nav).select(TextFunctions.compressionRatio($"text"))
+      .collect()(0).getDouble(0)
+    assert(again == rows("nav") && (again * 10000).isWhole)
+  }
+
   test("cleanLines: C4 keep rules — words, terminal punctuation, boilerplate markers") {
     val cases = Seq(
       // prose survives; nav (no punct), cookie banner, short line drop
