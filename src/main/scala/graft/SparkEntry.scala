@@ -1190,6 +1190,39 @@ object SparkEntry {
       d.select(col("doc_id"), url.as("raw_url"),
         TextFunctions.canonicalizeUrl(url).as("canon_url"))
     }),
+    "multimodal_image_dedup" -> ((s, dir) => {
+      // perceptual image dedup: five structurally distinct rendered
+      // PNGs assigned by doc_id % 5 (identical bytes inside a class).
+      // At radius 0 the perceptual pairs must be EXACTLY the
+      // same-class pairs — the oracle derives them from the
+      // assignment rule alone, never touching a pixel. Robustness to
+      // noise/brightness/re-encode is pinned in MultimodalSuite; the
+      // gate pins hash determinism + the blocked Hamming join.
+      val d = t(s, dir, "documents").select("doc_id")
+      def render(k: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until 64; y <- 0 until 64) {
+          val bright = k match {
+            case 0 => x < 32
+            case 1 => y < 32
+            case 2 => ((x / 8) + (y / 8)) % 2 == 0
+            case 3 => (x / 16) % 2 == 0
+            case _ => x > y
+          }
+          val v = if (bright) 215 else 40
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        buf.toByteArray
+      }
+      val pngs = (0 until 5).map(render)
+      val withP = d.withColumn("payload",
+        element_at(array(pngs.map(lit(_)): _*), (col("doc_id") % 5).cast("int") + 1))
+      Multimodal.imageNearDupPairs(withP, "doc_id", "payload", maxHamming = 0)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    }),
     "embedding_drift" -> ((s, dir) => {
       // distribution-shift monitor: cosine of the two halves' mean
       // embedding vectors. Engine-exact: components floored to 1e-7
@@ -3132,6 +3165,11 @@ object SparkEntry {
           |  CASE WHEN scheme = '' THEN trim(raw_url)
           |       ELSE scheme || '://' || h2 || r5 END AS canon_url
           |FROM q""".stripMargin,
+      // same-class pairs straight from the assignment rule
+      "multimodal_image_dedup" ->
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |FROM documents a JOIN documents b
+          |  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id""".stripMargin,
       // per-dim exact grid-long sums -> int128 cosine of sum vectors
       "embedding_drift" ->
         """WITH e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,

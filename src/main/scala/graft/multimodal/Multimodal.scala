@@ -397,6 +397,96 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash (aHash) PERCEPTUAL image fingerprint: full
+    * decode (unlike the header-only metadata pass), integer luminance
+    * average-pooled onto an 8×8 grid (fixed scan order — no
+    * interpolation-kernel nondeterminism), bit `i` = cell `i` brighter
+    * than the global mean. Re-encodes, mild noise, and resizes move
+    * few bits; unrelated images differ in ~32 — the standard
+    * near-dup-image signature. Payloads ImageIO cannot decode fall
+    * back to an FNV-1a byte hash (identical bytes still dedup;
+    * perceptual radius just doesn't apply), so the function is total
+    * over the corrupt tail a real corpus always carries.
+    */
+  def aHash64(bytes: Array[Byte]): Long = {
+    def fnv(b: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+    if (bytes == null || bytes.isEmpty) return fnv(Array.empty[Byte])
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return fnv(bytes)
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(7, x * 8 / w)
+        val rgb = img.getRGB(x, y)
+        val lum = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        sums(gy * 8 + gx) += lum
+        cnts(gy * 8 + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = sums.sum
+    val n = cnts.sum
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      // cellAvg > globalAvg via exact cross-multiplication; an empty
+      // cell (tiny image) compares as not-brighter
+      if (cnts(i) > 0 &&
+          java.math.BigInteger.valueOf(sums(i)).multiply(
+            java.math.BigInteger.valueOf(n)).compareTo(
+            java.math.BigInteger.valueOf(total).multiply(
+              java.math.BigInteger.valueOf(cnts(i)))) > 0)
+        sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  /** Append a perceptual-hash column, batched per partition like the
+    * decoders (codec warm-up amortized; payload column dropped).
+    */
+  def withAHash(df: DataFrame, binCol: String, keepCols: Seq[String],
+      outCol: String = "ahash"): DataFrame = {
+    val outSchema = StructType(keepCols.map(c => df.schema(c)) :+
+      StructField(outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val keepIdx = keepCols.map(df.schema.fieldIndex)
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        Row.fromSeq(keepIdx.map(row.get) :+
+          aHash64(row.getAs[Array[Byte]](binIdx)))
+      }
+    }
+  }
+
+  /** Near-duplicate IMAGE pairs within a perceptual Hamming radius —
+    * [[aHash64]] signatures through the pigeonhole-blocked Hamming
+    * join ([[graft.operators.Dedup.hammingPairs64]]): candidates only
+    * meet on a shared signature chunk, so the join never goes
+    * all-pairs; the expensive part (decode) is one pass, 8 bytes per
+    * image cross the shuffle. Output `(id_a, id_b, hamming)`.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 7): DataFrame =
+    graft.operators.Dedup.hammingPairs64(
+      withAHash(df, binCol, Seq(idCol)), idCol, "ahash", maxHamming)
+
   /** Deterministic frame sampling: split the payload into `n` equal
     * byte-range "frames" (a real video pipeline would seek keyframes; the
     * slicing/explode plumbing is identical). Output: one row per frame

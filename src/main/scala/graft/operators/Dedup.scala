@@ -728,6 +728,42 @@ object Dedup {
     * dropDuplicates shuffle (measured 470s -> seconds at 50k docs with
     * 10x duplication, tools/ScaleStress).
     */
+  /** Generic 64-bit-signature Hamming pair join — [[simhashPairs]]'s
+    * pigeonhole blocking over ANY precomputed signature column
+    * (perceptual image hashes, audio fingerprints): split into
+    * `maxHamming + 1` chunks, candidates = pairs agreeing on at least
+    * one chunk (pigeonhole-exact for the radius), exactly-once via the
+    * first-shared-chunk rule, verify by `bit_count(xor)`. Output:
+    * `(id_a, id_b, hamming)`.
+    */
+  def hammingPairs64(
+      df: DataFrame, idCol: String, sigCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"hammingPairs64: maxHamming must be in [0, 64), got $maxHamming")
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    val sig = df.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+    def chunkOf(s: Column, c: Int): Column =
+      shiftrightunsigned(s, c * width).bitwiseAND(lit(mask))
+    val chunkCols = (0 until chunks).map(c => chunkOf(col("__sig"), c))
+    val blocked = sig.select(
+      col("__id"), col("__sig"),
+      posexplode(array(chunkCols: _*)).as(Seq("__chunk", "__cv")))
+    val firstShared = (chunks - 1 to 0 by -1).foldLeft(lit(chunks)) { (acc, c) =>
+      when(chunkOf(col("a.__sig"), c) === chunkOf(col("b.__sig"), c), lit(c))
+        .otherwise(acc)
+    }
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.__chunk") === col("b.__chunk") && col("a.__cv") === col("b.__cv") &&
+          col("a.__id") < col("b.__id") && col("a.__chunk") === firstShared)
+      .select(
+        col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        bit_count(col("a.__sig").bitwiseXOR(col("b.__sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 7): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks

@@ -216,4 +216,72 @@ class MultimodalSuite extends SparkSpec {
     val total = frames.map(_.getAs[Array[Byte]](1).length).sum
     assert(total == 700)
   }
+
+  /** A structured gradient image with optional per-pixel noise and a
+    * brightness shift — the perceptual-robustness test material.
+    */
+  private def gradImage(seed: Int, noise: Int, shift: Int): Array[Byte] = {
+    val (w, h) = (64, 64)
+    val rnd = new scala.util.Random(seed)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val base = if (((x / 8) + (y / 8)) % 2 == 0) 40 else 215 // checkerboard
+      val v = math.max(0, math.min(255,
+        base + shift + (if (noise > 0) rnd.nextInt(2 * noise + 1) - noise else 0)))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("aHash64: stable under noise/re-encode/brightness, far for unrelated, total") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.aHash64(gradImage(1, 0, 0))
+    // identical bytes: identical hash
+    assert(base == Multimodal.aHash64(gradImage(1, 0, 0)))
+    // mild noise and global brightness shift barely move the hash
+    assert(ham(base, Multimodal.aHash64(gradImage(2, 12, 0))) <= 4)
+    assert(ham(base, Multimodal.aHash64(gradImage(1, 0, 25))) <= 4)
+    // the inverted checkerboard is maximally far
+    val inverted = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val v = if (((x / 8) + (y / 8)) % 2 == 0) 215 else 40
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      Multimodal.aHash64(buf.toByteArray)
+    }
+    assert(ham(base, inverted) >= 48, ham(base, inverted).toString)
+    // non-image payloads: deterministic byte-hash fallback, still dedups
+    val t1 = Multimodal.aHash64("not an image".getBytes("UTF-8"))
+    assert(t1 == Multimodal.aHash64("not an image".getBytes("UTF-8")))
+    assert(t1 != Multimodal.aHash64("other bytes".getBytes("UTF-8")))
+  }
+
+  test("imageNearDupPairs: blocked join == naive hamming over the hashes") {
+    val payloads = (0 until 24).map { i =>
+      // 6 visual classes, mild per-instance noise inside each
+      (i.toLong, gradImage(100 + i, 10, 0), i % 6)
+    }
+    // classes differ by brightness bands so cross-class distance is large
+    val imgs = payloads.map { case (id, _, cls) =>
+      (id, gradImage(200 + id.toInt, 6, cls * 35))
+    }
+    val df = imgs.toDF("id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(df, "id", "payload", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // naive cross-check over the same hashes
+    val hashes = imgs.map { case (id, b) => id -> Multimodal.aHash64(b) }
+    val naive = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (a, b, d)).toSet
+    assert(pairs == naive)
+    assert(pairs.nonEmpty, "expected at least some same-class pairs")
+  }
 }
