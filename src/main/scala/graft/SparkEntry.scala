@@ -1223,6 +1223,36 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(withP, "doc_id", "payload", maxHamming = 0)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     }),
+    "multimodal_audio_dedup" -> ((s, dir) => {
+      // audio near-dup on the gate: five distinct energy-envelope WAVs
+      // assigned by doc_id % 5 (identical bytes per class) — radius-0
+      // pairs ≡ the assignment rule, derived by the oracle without
+      // touching a sample. Volume invariance and envelope sensitivity
+      // are suite-pinned.
+      val d = t(s, dir, "documents").select("doc_id")
+      def wav(k: Int): Array[Byte] = {
+        val af = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val n = 1600
+        val pcm = new Array[Byte](n * 2)
+        for (f <- 0 until n) {
+          val loud = (f * 4 / n) % 5 == k % 4 || (k == 4 && f < n / 8)
+          val v = (if (loud) 20000 else 1500).toShort
+          pcm(2 * f) = (v & 0xff).toByte
+          pcm(2 * f + 1) = ((v >> 8) & 0xff).toByte
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), af, n.toLong)
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+        buf.toByteArray
+      }
+      val wavs = (0 until 5).map(wav)
+      val withP = d.withColumn("payload",
+        element_at(array(wavs.map(lit(_)): _*), (col("doc_id") % 5).cast("int") + 1))
+      Multimodal.audioNearDupPairs(withP, "doc_id", "payload", maxHamming = 0)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    }),
     "embedding_drift" -> ((s, dir) => {
       // distribution-shift monitor: cosine of the two halves' mean
       // embedding vectors. Engine-exact: components floored to 1e-7

@@ -487,6 +487,110 @@ object Multimodal {
     graft.operators.Dedup.hammingPairs64(
       withAHash(df, binCol, Seq(idCol)), idCol, "ahash", maxHamming)
 
+  /** 64-bit energy-envelope audio fingerprint — [[aHash64]]'s sibling
+    * for sound: decode to PCM (JDK sound stack), mono-mix, split the
+    * sample stream into 64 equal windows, bit `i` = window `i` louder
+    * than the global mean (exact integer cross-multiplication over
+    * summed |amplitude|). VOLUME-INVARIANT by construction (a gain
+    * multiplies every window; the compare-to-mean cancels it) and
+    * stable under lossless re-encode; NOT time-shift invariant (the
+    * envelope shifts with the audio — an alignment-seeking fingerprint
+    * is a chromaprint, out of scope). Undecodable payloads fall back
+    * to the FNV byte hash — identical bytes still dedup.
+    */
+  def audioHash64(bytes: Array[Byte]): Long = {
+    def fnv(b: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+    if (bytes == null || bytes.isEmpty) return fnv(
+      if (bytes == null) Array.empty[Byte] else bytes)
+    val pcm: Array[Long] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            in.getFormat.getSampleRate, 16, in.getFormat.getChannels,
+            in.getFormat.getChannels * 2, in.getFormat.getSampleRate, false)
+          val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          try {
+            val raw = dec.readAllBytes()
+            val ch = target.getChannels
+            val nFrames = raw.length / (2 * ch)
+            val out = new Array[Long](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              var acc = 0L
+              var c = 0
+              while (c < ch) {
+                val o = (f * ch + c) * 2
+                val s = ((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort
+                acc += math.abs(s.toLong)
+                c += 1
+              }
+              out(f) = acc // mono-mix as the channel |amplitude| sum
+              f += 1
+            }
+            out
+          } finally dec.close()
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => null }
+    if (pcm == null || pcm.length == 0) return fnv(bytes)
+    val n = pcm.length
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var f = 0
+    while (f < n) {
+      val w = math.min(63, f.toLong * 64 / n).toInt
+      sums(w) += pcm(f)
+      cnts(w) += 1
+      f += 1
+    }
+    val total = sums.sum
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (cnts(i) > 0 &&
+          java.math.BigInteger.valueOf(sums(i)).multiply(
+            java.math.BigInteger.valueOf(n.toLong)).compareTo(
+            java.math.BigInteger.valueOf(total).multiply(
+              java.math.BigInteger.valueOf(cnts(i)))) > 0)
+        sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  /** Append an audio-fingerprint column — partition-batched like the
+    * decoders.
+    */
+  def withAudioHash(df: DataFrame, binCol: String, keepCols: Seq[String],
+      outCol: String = "audio_hash"): DataFrame = {
+    val outSchema = StructType(keepCols.map(c => df.schema(c)) :+
+      StructField(outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val keepIdx = keepCols.map(df.schema.fieldIndex)
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        Row.fromSeq(keepIdx.map(row.get) :+
+          audioHash64(row.getAs[Array[Byte]](binIdx)))
+      }
+    }
+  }
+
+  /** Near-duplicate AUDIO pairs within a Hamming radius — the
+    * [[imageNearDupPairs]] shape over [[audioHash64]] envelopes.
+    */
+  def audioNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 7): DataFrame =
+    graft.operators.Dedup.hammingPairs64(
+      withAudioHash(df, binCol, Seq(idCol)), idCol, "audio_hash", maxHamming)
+
   /** Deterministic frame sampling: split the payload into `n` equal
     * byte-range "frames" (a real video pipeline would seek keyframes; the
     * slicing/explode plumbing is identical). Output: one row per frame

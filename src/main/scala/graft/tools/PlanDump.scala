@@ -305,7 +305,17 @@ object PlanDump {
         |cumulative sum (per-bucket sums -> broadcast offsets -> windows
         |WITHIN buckets) assigns every doc the shard where its tokens
         |start. No global sort; compose with Sources.writeTokenShards
-        |for shard=N/ training files.""".stripMargin)
+        |for shard=N/ training files.""".stripMargin,
+    "dedup_by_url" ->
+      """Crawl dedup on the canonical URL: canonicalization in the scan
+        |projection, keep-first as a WindowGroupLimit-planned rank
+        |filter (contract-pinned) — the shuffle carries (url-fingerprint,
+        |id), never page bodies.""".stripMargin,
+    "multimodal_image_dedup" ->
+      """Perceptual image dedup: one decode pass per image (mapPartitions,
+        |codec amortized), then 8-byte aHash signatures through the
+        |pigeonhole-blocked Hamming join — candidates meet only on a
+        |shared signature chunk, pairs verify by bit_count(xor).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

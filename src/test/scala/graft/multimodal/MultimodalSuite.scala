@@ -236,6 +236,63 @@ class MultimodalSuite extends SparkSpec {
     buf.toByteArray
   }
 
+  /** WAV with an explicit per-frame envelope (|amplitude| pattern). */
+  private def envelopeWav(nFrames: Int, gain: Double, pattern: Int => Double)
+      : Array[Byte] = {
+    val af = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    for (f <- 0 until nFrames) {
+      val v = math.max(-32767, math.min(32767,
+        (pattern(f) * gain * 20000).toInt)).toShort
+      pcm(2 * f) = (v & 0xff).toByte
+      pcm(2 * f + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), af, nFrames.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  test("audioHash64: volume-invariant, envelope-sensitive, total on non-audio") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // loud first half, quiet second half
+    val pat: Int => Double = f => if (f < 3200) 1.0 else 0.05
+    val base = Multimodal.audioHash64(envelopeWav(6400, 1.0, pat))
+    // identical bytes → identical hash; HALF the volume → identical hash
+    assert(base == Multimodal.audioHash64(envelopeWav(6400, 1.0, pat)))
+    assert(ham(base, Multimodal.audioHash64(envelopeWav(6400, 0.5, pat))) <= 2)
+    // the mirrored envelope is far
+    val mirrored = Multimodal.audioHash64(
+      envelopeWav(6400, 1.0, f => if (f < 3200) 0.05 else 1.0))
+    assert(ham(base, mirrored) >= 48, ham(base, mirrored).toString)
+    // non-audio payloads: deterministic fallback, still dedups
+    val t1 = Multimodal.audioHash64("not audio".getBytes("UTF-8"))
+    assert(t1 == Multimodal.audioHash64("not audio".getBytes("UTF-8")))
+    assert(t1 != Multimodal.audioHash64("different".getBytes("UTF-8")))
+  }
+
+  test("audioNearDupPairs: blocked join == naive hamming over envelopes") {
+    // 4 envelope classes, per-instance gain variation inside each
+    val wavs = (0 until 16).map { i =>
+      val cls = i % 4
+      val pat: Int => Double = f =>
+        if ((f * 4 / 3200) % 4 == cls) 1.0 else 0.08
+      (i.toLong, envelopeWav(3200, 0.6 + 0.1 * (i / 4), pat))
+    }
+    val df = wavs.toDF("id", "payload")
+    val pairs = Multimodal.audioNearDupPairs(df, "id", "payload", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hashes = wavs.map { case (id, b) => id -> Multimodal.audioHash64(b) }
+    val naive = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (a, b, d)).toSet
+    assert(pairs == naive)
+    assert(pairs.nonEmpty)
+  }
+
   test("aHash64: stable under noise/re-encode/brightness, far for unrelated, total") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val base = Multimodal.aHash64(gradImage(1, 0, 0))
