@@ -1235,7 +1235,10 @@ object SparkEntry {
         val n = 1600
         val pcm = new Array[Byte](n * 2)
         for (f <- 0 until n) {
-          val loud = (f * 4 / n) % 5 == k % 4 || (k == 4 && f < n / 8)
+          // five structurally distinct envelopes: one loud quarter each
+          // for k = 0..3, quarters 0+2 for k = 4
+          val q = f * 4 / n
+          val loud = q == k || (k == 4 && (q == 0 || q == 2))
           val v = (if (loud) 20000 else 1500).toShort
           pcm(2 * f) = (v & 0xff).toByte
           pcm(2 * f + 1) = ((v >> 8) & 0xff).toByte
@@ -3195,6 +3198,11 @@ object SparkEntry {
           |  CASE WHEN scheme = '' THEN trim(raw_url)
           |       ELSE scheme || '://' || h2 || r5 END AS canon_url
           |FROM q""".stripMargin,
+      // same-class pairs straight from the assignment rule
+      "multimodal_audio_dedup" ->
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |FROM documents a JOIN documents b
+          |  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id""".stripMargin,
       // same-class pairs straight from the assignment rule
       "multimodal_image_dedup" ->
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
