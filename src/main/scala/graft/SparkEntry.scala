@@ -1223,6 +1223,42 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(withP, "doc_id", "payload", maxHamming = 0)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     }),
+    "multimodal_image_dedup_indexed" -> ((s, dir) => {
+      // the INCREMENTAL form: even docs' images hashed ONCE into a
+      // persisted 8-byte-per-image index, odd docs probe it without
+      // the corpus re-decoding — radius-0 matches ≡ same-class
+      // (odd, even) pairs from the assignment rule.
+      val d = t(s, dir, "documents").select("doc_id")
+      def render(k: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until 64; y <- 0 until 64) {
+          val bright = k match {
+            case 0 => x < 32
+            case 1 => y < 32
+            case 2 => ((x / 8) + (y / 8)) % 2 == 0
+            case 3 => (x / 16) % 2 == 0
+            case _ => x > y
+          }
+          val v = if (bright) 215 else 40
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        buf.toByteArray
+      }
+      val pngs = (0 until 5).map(render)
+      val withP = d.withColumn("payload",
+        element_at(array(pngs.map(lit(_)): _*), (col("doc_id") % 5).cast("int") + 1))
+      val idx = scratch("ahash_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        Multimodal.buildAHashIndex(
+          withP.filter(col("doc_id") % 2 === 0), "doc_id", "payload", idx)
+      Multimodal.dedupAgainstAHashIndex(s,
+          withP.filter(col("doc_id") % 2 === 1), "doc_id", "payload", idx,
+          maxHamming = 0)
+        .select(col("doc_id"), col("index_id"))
+    }),
     "multimodal_audio_dedup" -> ((s, dir) => {
       // audio near-dup on the gate: five distinct energy-envelope WAVs
       // assigned by doc_id % 5 (identical bytes per class) — radius-0
@@ -3198,6 +3234,12 @@ object SparkEntry {
           |  CASE WHEN scheme = '' THEN trim(raw_url)
           |       ELSE scheme || '://' || h2 || r5 END AS canon_url
           |FROM q""".stripMargin,
+      // same-class (odd probe, even index) pairs from the rule
+      "multimodal_image_dedup_indexed" ->
+        """SELECT a.doc_id, b.doc_id AS index_id
+          |FROM documents a JOIN documents b
+          |  ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          | AND a.doc_id % 5 = b.doc_id % 5""".stripMargin,
       // same-class pairs straight from the assignment rule
       "multimodal_audio_dedup" ->
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -591,6 +591,72 @@ object Multimodal {
     graft.operators.Dedup.hammingPairs64(
       withAudioHash(df, binCol, Seq(idCol)), idCol, "audio_hash", maxHamming)
 
+  /** Persist a perceptual-hash index: images decoded ONCE, 8 bytes per
+    * image stored — each new crawl batch then dedups against the whole
+    * image corpus WITHOUT re-decoding it ([[dedupAgainstAHashIndex]]),
+    * the [[graft.operators.Dedup.buildMinhashIndex]] lifecycle for
+    * pixels. Atomic versioned publish via IndexIO; `append` grows the
+    * index by immutable segments, `delete` publishes takedown
+    * tombstones readers anti-join.
+    */
+  def buildAHashIndex(df: DataFrame, idCol: String, binCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    graft.sources.IndexIO.publish(spark, path) { vdir =>
+      withAHash(df, binCol, Seq(idCol))
+        .write.mode("overwrite").parquet(s"$vdir/hashes")
+    }
+    ()
+  }
+
+  /** Append a new batch's hashes as an immutable delta segment (the
+    * daily-crawl step; existing segments never rewrite).
+    */
+  def appendToAHashIndex(df: DataFrame, idCol: String, binCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
+      withAHash(df, binCol, Seq(idCol))
+        .write.mode("overwrite").parquet(s"$vdir/hashes")
+    }
+    ()
+  }
+
+  /** Publish takedown tombstones — deleted ids stop matching without a
+    * rebuild (readers anti-join; re-appending later resurrects).
+    */
+  def deleteFromAHashIndex(ids: DataFrame, idCol: String, path: String): Unit = {
+    val spark = ids.sparkSession
+    graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
+      ids.select(col(idCol)).distinct()
+        .write.mode("overwrite").parquet(s"$vdir/tombstones")
+    }
+    ()
+  }
+
+  /** Probe a batch of images against the persisted index: the batch is
+    * decoded once, the index contributes 8-byte rows only, candidates
+    * meet on shared signature chunks
+    * ([[graft.operators.Dedup.hammingJoin64]]). Output
+    * `(<idCol>, index_id, hamming)` — batch images within the radius
+    * of an already-indexed image.
+    */
+  def dedupAgainstAHashIndex(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, binCol: String, path: String,
+      maxHamming: Int = 7): DataFrame = {
+    val data = graft.sources.IndexIO.chainTable(spark, path, "hashes")
+      .getOrElse(throw new IllegalStateException(
+        s"dedupAgainstAHashIndex: no hashes at $path"))
+    val tomb = graft.sources.IndexIO.chainTable(spark, path, "tombstones")
+    val live = graft.sources.IndexIO.withoutTombstoned(data, tomb, idCol)
+    graft.operators.Dedup.hammingJoin64(
+        withAHash(batch, binCol, Seq(idCol)), idCol, "ahash",
+        live.withColumnRenamed(idCol, "__index_id"), "__index_id", "ahash",
+        maxHamming)
+      .select(col("id_a").as(idCol), col("id_b").as("index_id"), col("hamming"))
+  }
+
   /** Deterministic frame sampling: split the payload into `n` equal
     * byte-range "frames" (a real video pipeline would seek keyframes; the
     * slicing/explode plumbing is identical). Output: one row per frame

@@ -764,6 +764,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Two-corpus form of [[hammingPairs64]] — probe a batch of
+    * signatures against a reference set (the incremental-image-dedup
+    * join): same pigeonhole blocking, exactly-once via the
+    * first-shared-chunk rule, no self-pair constraint (the sides are
+    * distinct). Output `(id_a, id_b, hamming)` with `id_a` from
+    * `left`.
+    */
+  def hammingJoin64(
+      left: DataFrame, leftIdCol: String, leftSigCol: String,
+      right: DataFrame, rightIdCol: String, rightSigCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"hammingJoin64: maxHamming must be in [0, 64), got $maxHamming")
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    def chunkOf(s: Column, c: Int): Column =
+      shiftrightunsigned(s, c * width).bitwiseAND(lit(mask))
+    def blocked(df: DataFrame, id: String, sig: String): DataFrame = {
+      val s = df.select(col(id).as("__id"), col(sig).as("__sig"))
+      s.select(col("__id"), col("__sig"),
+        posexplode(array((0 until chunks).map(c => chunkOf(col("__sig"), c)): _*))
+          .as(Seq("__chunk", "__cv")))
+    }
+    val firstShared = (chunks - 1 to 0 by -1).foldLeft(lit(chunks)) { (acc, c) =>
+      when(chunkOf(col("a.__sig"), c) === chunkOf(col("b.__sig"), c), lit(c))
+        .otherwise(acc)
+    }
+    blocked(left, leftIdCol, leftSigCol).as("a")
+      .join(blocked(right, rightIdCol, rightSigCol).as("b"),
+        col("a.__chunk") === col("b.__chunk") && col("a.__cv") === col("b.__cv") &&
+          col("a.__chunk") === firstShared)
+      .select(
+        col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        bit_count(col("a.__sig").bitwiseXOR(col("b.__sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 7): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks

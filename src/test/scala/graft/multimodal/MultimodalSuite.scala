@@ -293,6 +293,31 @@ class MultimodalSuite extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("aHash index lifecycle: build/append/probe == naive; tombstones drop matches") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val imgs = (0 until 18).map(i => (i.toLong, gradImage(300 + i, 8, (i % 3) * 40)))
+    val (idxSide, probeSide) = imgs.partition(_._1 % 2 == 0)
+    val p = java.nio.file.Files.createTempDirectory("ahashidx").toString
+    Multimodal.buildAHashIndex(
+      idxSide.take(5).toDF("id", "payload"), "id", "payload", p)
+    Multimodal.appendToAHashIndex(
+      idxSide.drop(5).toDF("id", "payload"), "id", "payload", p)
+    def probe() = Multimodal.dedupAgainstAHashIndex(
+        spark, probeSide.toDF("id", "payload"), "id", "payload", p, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val naive = (for {
+      (a, ba) <- probeSide
+      (b, bb) <- idxSide
+      d = ham(Multimodal.aHash64(ba), Multimodal.aHash64(bb)) if d <= 6
+    } yield (a, b, d)).toSet
+    assert(probe() == naive)
+    assert(naive.nonEmpty)
+    // takedown: the deleted index id stops matching without a rebuild
+    val victim = naive.head._2
+    Multimodal.deleteFromAHashIndex(Seq(victim).toDF("id"), "id", p)
+    assert(probe() == naive.filterNot(_._2 == victim))
+  }
+
   test("aHash64: stable under noise/re-encode/brightness, far for unrelated, total") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val base = Multimodal.aHash64(gradImage(1, 0, 0))
