@@ -318,6 +318,30 @@ class MultimodalSuite extends SparkSpec {
     assert(probe() == naive.filterNot(_._2 == victim))
   }
 
+  test("image dedup gate serves a STREAM: MemoryStream probe == batch probe") {
+    val imgs = (0 until 12).map(i => (i.toLong, gradImage(400 + i, 8, (i % 3) * 40)))
+    val (idxSide, probeSide) = imgs.partition(_._1 % 2 == 0)
+    val p = java.nio.file.Files.createTempDirectory("ahashstream").toString
+    Multimodal.buildAHashIndex(idxSide.toDF("id", "payload"), "id", "payload", p)
+    val batch = Multimodal.dedupAgainstAHashIndex(
+        spark, probeSide.toDF("id", "payload"), "id", "payload", p, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte])]
+    val gated = Multimodal.dedupAgainstAHashIndex(
+      spark, input.toDF().toDF("id", "payload"), "id", "payload", p, maxHamming = 6)
+    val q = gated.writeStream.format("memory").queryName("ahash_gate")
+      .outputMode("append").start()
+    try {
+      probeSide.grouped(2).foreach { b => input.addData(b); q.processAllAvailable() }
+      val live = spark.table("ahash_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(live == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("aHash64: stable under noise/re-encode/brightness, far for unrelated, total") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val base = Multimodal.aHash64(gradImage(1, 0, 0))
