@@ -634,6 +634,51 @@ object Multimodal {
     ()
   }
 
+  /** [[buildAHashIndex]]'s audio sibling — envelope hashes persisted
+    * once, batches probe without re-decoding the audio corpus. Same
+    * segment/tombstone lifecycle (the index layout is identical; only
+    * the hash function differs).
+    */
+  def buildAudioHashIndex(df: DataFrame, idCol: String, binCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    graft.sources.IndexIO.publish(spark, path) { vdir =>
+      withAudioHash(df, binCol, Seq(idCol)).withColumnRenamed("audio_hash", "ahash")
+        .write.mode("overwrite").parquet(s"$vdir/hashes")
+    }
+    ()
+  }
+
+  /** Append an audio batch's envelope hashes as a delta segment. */
+  def appendToAudioHashIndex(df: DataFrame, idCol: String, binCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
+      withAudioHash(df, binCol, Seq(idCol)).withColumnRenamed("audio_hash", "ahash")
+        .write.mode("overwrite").parquet(s"$vdir/hashes")
+    }
+    ()
+  }
+
+  /** Probe an audio batch against a [[buildAudioHashIndex]] artifact
+    * (tombstones via [[deleteFromAHashIndex]] — the layout is shared).
+    */
+  def dedupAgainstAudioHashIndex(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, binCol: String, path: String,
+      maxHamming: Int = 7): DataFrame = {
+    val data = graft.sources.IndexIO.chainTable(spark, path, "hashes")
+      .getOrElse(throw new IllegalStateException(
+        s"dedupAgainstAudioHashIndex: no hashes at $path"))
+    val tomb = graft.sources.IndexIO.chainTable(spark, path, "tombstones")
+    val live = graft.sources.IndexIO.withoutTombstoned(data, tomb, idCol)
+    graft.operators.Dedup.hammingJoin64(
+        withAudioHash(batch, binCol, Seq(idCol)), idCol, "audio_hash",
+        live.withColumnRenamed(idCol, "__index_id"), "__index_id", "ahash",
+        maxHamming)
+      .select(col("id_a").as(idCol), col("id_b").as("index_id"), col("hamming"))
+  }
+
   /** Probe a batch of images against the persisted index: the batch is
     * decoded once, the index contributes 8-byte rows only, candidates
     * meet on shared signature chunks

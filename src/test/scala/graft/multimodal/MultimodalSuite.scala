@@ -273,6 +273,31 @@ class MultimodalSuite extends SparkSpec {
     assert(t1 != Multimodal.audioHash64("different".getBytes("UTF-8")))
   }
 
+  test("audio-hash index: build/append/probe == naive cross hamming") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val wavs = (0 until 12).map { i =>
+      val cls = i % 3
+      val pat: Int => Double = f => if ((f * 3 / 3200) % 3 == cls) 1.0 else 0.08
+      (i.toLong, envelopeWav(3200, 0.5 + 0.1 * (i / 3), pat))
+    }
+    val (idxSide, probeSide) = wavs.partition(_._1 % 2 == 0)
+    val p = java.nio.file.Files.createTempDirectory("audioidx").toString
+    Multimodal.buildAudioHashIndex(
+      idxSide.take(3).toDF("id", "payload"), "id", "payload", p)
+    Multimodal.appendToAudioHashIndex(
+      idxSide.drop(3).toDF("id", "payload"), "id", "payload", p)
+    val got = Multimodal.dedupAgainstAudioHashIndex(
+        spark, probeSide.toDF("id", "payload"), "id", "payload", p, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val naive = (for {
+      (a, ba) <- probeSide
+      (b, bb) <- idxSide
+      d = ham(Multimodal.audioHash64(ba), Multimodal.audioHash64(bb)) if d <= 6
+    } yield (a, b, d)).toSet
+    assert(got == naive)
+    assert(naive.nonEmpty)
+  }
+
   test("audioNearDupPairs: blocked join == naive hamming over envelopes") {
     // 4 envelope classes, per-instance gain variation inside each
     val wavs = (0 until 16).map { i =>
