@@ -905,6 +905,20 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("int").as("seq"),
           col("col").as("tok_id"))
     }),
+    "chunk_documents_sentences" -> ((s, dir) => {
+      // SENTENCE-BOUNDARY chunking (the RAG form): the corpus carries
+      // no punctuation, so both sides synthesize a period after every
+      // 7th word (Spark transform is 0-indexed, DuckDB's lambda
+      // 1-indexed — (i+1)%7 vs i%7 mark the same positions), then
+      // chunk at 48 tokens with the whole-sentence start-based rule.
+      val d = t(s, dir, "documents")
+      val toks = TextFunctions.tokens(col("text"))
+      val punct = array_join(transform(toks, (w, i) =>
+        when((i + 1) % 7 === 0, concat(w, lit("."))).otherwise(w)), " ")
+      Chunking.chunkBySentences(
+        d.select(col("doc_id"), punct.as("text")), "doc_id", "text",
+        maxTokens = 48)
+    }),
     "detokenize_bpe" -> ((s, dir) => {
       // ids -> text roundtrip: decode(encode(text)) must equal the
       // concatenation of the pre-tokenizer's words. The oracle
@@ -2587,6 +2601,34 @@ object SparkEntry {
           |  ) GROUP BY 1)
           |SELECT sq.doc_id, CAST(sq.tp AS INT) AS seq, v.id AS tok_id
           |FROM sq JOIN vocab v ON v.tokh = sq.tok""".stripMargin),
+      // sentence extraction + window cumsum replay; sentence indexes
+      // re-ranked AFTER the empty filter, like the Spark array filter
+      "chunk_documents_sentences" ->
+        """WITH base AS (SELECT doc_id,
+          |  array_to_string(list_transform(
+          |    list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> ''),
+          |    (w, i) -> CASE WHEN i % 7 = 0 THEN w || '.' ELSE w END), ' ') AS text
+          |  FROM documents),
+          |s0 AS (SELECT doc_id,
+          |  unnest(regexp_extract_all(text, '[^.!?]*[.!?]+[ \t\r\n]*|[^.!?]+$')) AS s,
+          |  generate_subscripts(
+          |    regexp_extract_all(text, '[^.!?]*[.!?]+[ \t\r\n]*|[^.!?]+$'), 1) AS idx
+          |  FROM base),
+          |s1 AS (SELECT doc_id, trim(s) AS s, idx FROM s0 WHERE trim(s) <> ''),
+          |s2 AS (SELECT doc_id, s,
+          |  row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS rn,
+          |  CAST(len(list_filter(regexp_split_to_array(s, '\s+'), w -> w <> ''))
+          |    AS BIGINT) AS c
+          |  FROM s1),
+          |s3 AS (SELECT doc_id, s, rn, c,
+          |  coalesce(sum(c) OVER (PARTITION BY doc_id ORDER BY rn
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          |  FROM s2),
+          |s4 AS (SELECT doc_id, s, rn, c,
+          |  CAST(floor(cb / 48.0) AS INT) AS chunk_id FROM s3)
+          |SELECT doc_id, chunk_id, string_agg(s, ' ' ORDER BY rn) AS text,
+          |  CAST(sum(c) AS BIGINT) AS n_tokens
+          |FROM s4 GROUP BY 1, 2""".stripMargin,
       // merge-table-free on purpose: the roundtrip claim is that
       // decode inverts encode back to the pre-tokenizer's word concat,
       // so the oracle computes that concat from the raw text alone

@@ -54,4 +54,58 @@ object Chunking {
         least(lit(maxTokens), size(col("__toks")) - col("chunk_id") * stride)
           .cast("long").as("n_tokens"))
   }
+
+  /** SENTENCE-BOUNDARY chunking — the RAG/semantic form: chunks never
+    * cut mid-sentence. Sentences are `[^.!?]*[.!?]+` runs (plus a
+    * final unterminated tail), a pattern deliberately inside the
+    * RE2-portable subset (no lookbehind — RE2 has none, and the
+    * DuckDB oracle replays the same extraction). A sentence goes to
+    * chunk `floor(tokens-before-it / maxTokens)` — the same
+    * whole-unit start-based rule as [[graft.operators.Sampling.assignTokenShards]]:
+    * chunks hold ≈ `maxTokens` tokens, a sentence straddling the
+    * boundary stays whole in its starting chunk (±1 sentence of
+    * drift, never a split sentence), and the rule is prefix-sum
+    * expressible — no path-dependent greedy state.
+    *
+    * Same zero-shuffle scan-projection shape as [[chunkByTokens]]:
+    * extraction, per-sentence token counts, prefix sums, and chunk
+    * assembly are all array higher-order functions (the prefix sums
+    * are O(sentences²) slices per doc — sentences per document number
+    * in the hundreds, not the millions; the alternative is a per-doc
+    * window and a shuffle). Output `(<idCol>, chunk_id, <textCol>,
+    * n_tokens)`; sentence-less docs yield nothing.
+    */
+  def chunkBySentences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Long): DataFrame = {
+    require(maxTokens > 0,
+      s"chunkBySentences: maxTokens must be positive, got $maxTokens")
+    val raw = regexp_extract_all(col(textCol),
+      lit("[^.!?]*[.!?]+[ \\t\\r\\n]*|[^.!?]+$"), lit(0))
+    val sents = filter(transform(raw, s => trim(s)), s => length(s) > 0)
+    df.select(col(idCol), sents.as("__sents"))
+      .filter(size(col("__sents")) > 0)
+      .withColumn("__cnts", transform(col("__sents"), s =>
+        size(filter(split(s, "\\s+"), w => length(w) > 0)).cast("long")))
+      .withColumn("__chunks", transform(
+        sequence(lit(0), size(col("__sents")) - 1), i =>
+          floor(aggregate(slice(col("__cnts"), lit(1), i), lit(0L), _ + _)
+            / lit(maxTokens.toDouble)).cast("int")))
+      .select(col(idCol), col("__sents"), col("__cnts"),
+        explode(array_distinct(col("__chunks"))).as("chunk_id"),
+        col("__chunks"))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        array_join(
+          zip_with(col("__sents"), col("__chunks"), (s, c) =>
+            when(c === col("chunk_id"), s)),
+          " ").as(textCol),
+        aggregate(
+          zip_with(col("__cnts"), col("__chunks"), (n, c) =>
+            when(c === col("chunk_id"), n).otherwise(0L)),
+          lit(0L), _ + _).as("n_tokens"))
+  }
 }

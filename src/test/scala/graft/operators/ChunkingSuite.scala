@@ -62,4 +62,47 @@ class ChunkingSuite extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
   }
+
+  test("chunkBySentences == scalar replica; whole sentences; zero shuffle") {
+    import scala.jdk.CollectionConverters._
+    val docs = Seq(
+      (1L, "One two three. Four five? Six seven eight! Nine ten eleven."),
+      (2L, "NoTerminalPunctuation just words flowing here"),
+      (3L, ""),
+      (4L, "A. B. C. D. E. F. G. H."),
+      (5L, "This single sentence is longer than any chunk budget here today."))
+      .toDF("id", "text")
+    def replica(text: String, maxTokens: Long): Seq[(Int, String, Long)] = {
+      val m = java.util.regex.Pattern
+        .compile("[^.!?]*[.!?]+[ \\t\\r\\n]*|[^.!?]+$").matcher(text)
+      val sents = Iterator.continually(m).takeWhile(_.find())
+        .map(_.group().trim).filter(_.nonEmpty).toSeq
+      val cnts = sents.map(_.split("\\s+").count(_.nonEmpty).toLong)
+      val cum = cnts.scanLeft(0L)(_ + _).init
+      val ids = cum.map(cb => math.floor(cb / maxTokens.toDouble).toInt)
+      ids.distinct.map { c =>
+        val sel = sents.zip(cnts).zip(ids).filter(_._2 == c).map(_._1)
+        (c, sel.map(_._1).mkString(" "), sel.map(_._2).sum)
+      }
+    }
+    for (budget <- Seq(3L, 5L, 8L, 100L)) {
+      val got = Chunking.chunkBySentences(docs, "id", "text", budget)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val want = (for {
+        (id, t) <- Seq((1L, "One two three. Four five? Six seven eight! Nine ten eleven."),
+          (2L, "NoTerminalPunctuation just words flowing here"), (3L, ""),
+          (4L, "A. B. C. D. E. F. G. H."),
+          (5L, "This single sentence is longer than any chunk budget here today."))
+        (c, txt, n) <- replica(t, budget)
+      } yield (id, c, txt, n)).toSet
+      assert(got == want, s"budget=$budget")
+    }
+    // sentences are never split: every chunk text is a concatenation of
+    // full sentences (ends with punctuation or the doc's own tail)
+    val chunks = Chunking.chunkBySentences(docs, "id", "text", 5)
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sentence chunking shuffled:\n$plan")
+  }
 }
