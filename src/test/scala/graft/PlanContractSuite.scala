@@ -44,6 +44,10 @@ class PlanContractSuite extends SparkSpec {
     // tokens, chunk ids and slices are all projections
     ("chunk_documents_bpe", Seq.empty,
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning")),
+    // sentence chunking: extraction/prefix-sums/assembly are all array
+    // HOFs in the scan projection — no shuffle
+    ("chunk_documents_sentences", Seq.empty,
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning")),
     // subword token counting is one scan projection: no join with a
     // merge table, no data-movement shuffle (round-robin from
     // SparkEntry.t excepted, as everywhere)
