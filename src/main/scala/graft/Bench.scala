@@ -31,7 +31,7 @@ object Bench {
     "gopher_rules", "lm_ccnet_buckets", "clean_lines", "lang_id_nb",
     "stream_lang_gate", "shard_by_tokens", "dedup_by_url",
     "embedding_drift", "multimodal_image_dedup", "multimodal_audio_dedup",
-    "multimodal_image_dedup_indexed",
+    "multimodal_image_dedup_indexed", "chunk_documents_sentences",
     "decontaminate_docs", "decontaminate_bloom", "stream_decontaminate",
     "stream_lm_gate", "stream_lm_gate3", "lm_score_trigram",
     "lm_score_4gram",

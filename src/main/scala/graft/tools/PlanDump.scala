@@ -315,7 +315,17 @@ object PlanDump {
       """Perceptual image dedup: one decode pass per image (mapPartitions,
         |codec amortized), then 8-byte aHash signatures through the
         |pigeonhole-blocked Hamming join — candidates meet only on a
-        |shared signature chunk, pairs verify by bit_count(xor).""".stripMargin)
+        |shared signature chunk, pairs verify by bit_count(xor).""".stripMargin,
+    "chunk_documents_sentences" ->
+      """Sentence-boundary chunking: extraction, per-sentence token
+        |counts, prefix sums, and chunk assembly are ALL array
+        |higher-order functions in the scan projection — zero shuffle
+        |(contract-pinned), whole sentences, start-based budget.""".stripMargin,
+    "embedding_drift" ->
+      """Distribution-shift monitor: per-dimension exact grid-long sums
+        |(one (dim, sa, sb) row per dimension crosses the shuffle),
+        |int128/BigInt cosine of the SUM vectors on the driver — the
+        |scale factors cancel, so the value is engine-exact.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
