@@ -919,6 +919,19 @@ object SparkEntry {
         d.select(col("doc_id"), punct.as("text")), "doc_id", "text",
         maxTokens = 48)
     }),
+    "chunk_documents_sentences_overlap" -> ((s, dir) => {
+      // overlapped sentence chunking (RAG context windows): 48-token
+      // windows at stride 40 — a sentence joins every chunk whose
+      // window covers its start, so window tails repeat into the next
+      // chunk without ever splitting a sentence.
+      val d = t(s, dir, "documents")
+      val toks = TextFunctions.tokens(col("text"))
+      val punct = array_join(transform(toks, (w, i) =>
+        when((i + 1) % 7 === 0, concat(w, lit("."))).otherwise(w)), " ")
+      Chunking.chunkBySentences(
+        d.select(col("doc_id"), punct.as("text")), "doc_id", "text",
+        maxTokens = 48, overlapTokens = 8)
+    }),
     "detokenize_bpe" -> ((s, dir) => {
       // ids -> text roundtrip: decode(encode(text)) must equal the
       // concatenation of the pre-tokenizer's words. The oracle
@@ -2627,6 +2640,38 @@ object SparkEntry {
           |s4 AS (SELECT doc_id, s, rn, c,
           |  CAST(floor(cb / 48.0) AS INT) AS chunk_id FROM s3)
           |SELECT doc_id, chunk_id, string_agg(s, ' ' ORDER BY rn) AS text,
+          |  CAST(sum(c) AS BIGINT) AS n_tokens
+          |FROM s4 GROUP BY 1, 2""".stripMargin,
+      // the overlapped form: each sentence explodes to its chunk
+      // interval lo..hi (stride 40, window 48) via generate_series
+      "chunk_documents_sentences_overlap" ->
+        """WITH base AS (SELECT doc_id,
+          |  array_to_string(list_transform(
+          |    list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> ''),
+          |    (w, i) -> CASE WHEN i % 7 = 0 THEN w || '.' ELSE w END), ' ') AS text
+          |  FROM documents),
+          |s0 AS (SELECT doc_id,
+          |  unnest(regexp_extract_all(text, '[^.!?]*[.!?]+[ \t\r\n]*|[^.!?]+$')) AS s,
+          |  generate_subscripts(
+          |    regexp_extract_all(text, '[^.!?]*[.!?]+[ \t\r\n]*|[^.!?]+$'), 1) AS idx
+          |  FROM base),
+          |s1 AS (SELECT doc_id, trim(s) AS s, idx FROM s0 WHERE trim(s) <> ''),
+          |s2 AS (SELECT doc_id, s,
+          |  row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS rn,
+          |  CAST(len(list_filter(regexp_split_to_array(s, '\s+'), w -> w <> ''))
+          |    AS BIGINT) AS c
+          |  FROM s1),
+          |s3 AS (SELECT doc_id, s, rn, c,
+          |  coalesce(sum(c) OVER (PARTITION BY doc_id ORDER BY rn
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          |  FROM s2),
+          |s4 AS (SELECT doc_id, s, rn, c,
+          |  unnest(generate_series(
+          |    greatest(CAST(0 AS BIGINT), CAST(ceil((cb - 48 + 1) / 40.0) AS BIGINT)),
+          |    CAST(floor(cb / 40.0) AS BIGINT))) AS cid
+          |  FROM s3)
+          |SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+          |  string_agg(s, ' ' ORDER BY rn) AS text,
           |  CAST(sum(c) AS BIGINT) AS n_tokens
           |FROM s4 GROUP BY 1, 2""".stripMargin,
       // merge-table-free on purpose: the roundtrip claim is that

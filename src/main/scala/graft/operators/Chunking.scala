@@ -79,9 +79,18 @@ object Chunking {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxTokens: Long): DataFrame = {
+      maxTokens: Long,
+      overlapTokens: Long = 0): DataFrame = {
     require(maxTokens > 0,
       s"chunkBySentences: maxTokens must be positive, got $maxTokens")
+    require(overlapTokens >= 0 && overlapTokens < maxTokens,
+      s"chunkBySentences: overlap must be in [0, maxTokens), got $overlapTokens")
+    // with overlap, chunk c's token window is [c·stride, c·stride+max):
+    // a sentence starting at cumBefore cb lands in every chunk
+    // ceil((cb−max+1)/stride) .. floor(cb/stride) (clamped at 0) — the
+    // same interval-membership grid as the token chunker's overlap,
+    // collapsing to the single start chunk at overlap 0
+    val stride = maxTokens - overlapTokens
     val raw = regexp_extract_all(col(textCol),
       lit("[^.!?]*[.!?]+[ \\t\\r\\n]*|[^.!?]+$"), lit(0))
     val sents = filter(transform(raw, s => trim(s)), s => length(s) > 0)
@@ -89,23 +98,27 @@ object Chunking {
       .filter(size(col("__sents")) > 0)
       .withColumn("__cnts", transform(col("__sents"), s =>
         size(filter(split(s, "\\s+"), w => length(w) > 0)).cast("long")))
-      .withColumn("__chunks", transform(
-        sequence(lit(0), size(col("__sents")) - 1), i =>
-          floor(aggregate(slice(col("__cnts"), lit(1), i), lit(0L), _ + _)
-            / lit(maxTokens.toDouble)).cast("int")))
-      .select(col(idCol), col("__sents"), col("__cnts"),
-        explode(array_distinct(col("__chunks"))).as("chunk_id"),
-        col("__chunks"))
+      .withColumn("__chunksOf", transform(
+        sequence(lit(0), size(col("__sents")) - 1), i => {
+          val cb = aggregate(slice(col("__cnts"), lit(1), i), lit(0L), _ + _)
+          sequence(
+            greatest(lit(0L),
+              ceil((cb - lit(maxTokens) + lit(1L)) / lit(stride.toDouble))
+                .cast("long")),
+            floor(cb / lit(stride.toDouble)).cast("long"))
+        }))
+      .select(col(idCol), col("__sents"), col("__cnts"), col("__chunksOf"),
+        explode(array_distinct(flatten(col("__chunksOf")))).as("__cid"))
       .select(
         col(idCol),
-        col("chunk_id"),
+        col("__cid").cast("int").as("chunk_id"),
         array_join(
-          zip_with(col("__sents"), col("__chunks"), (s, c) =>
-            when(c === col("chunk_id"), s)),
+          zip_with(col("__sents"), col("__chunksOf"), (s, cs) =>
+            when(array_contains(cs, col("__cid")), s)),
           " ").as(textCol),
         aggregate(
-          zip_with(col("__cnts"), col("__chunks"), (n, c) =>
-            when(c === col("chunk_id"), n).otherwise(0L)),
+          zip_with(col("__cnts"), col("__chunksOf"), (n, cs) =>
+            when(array_contains(cs, col("__cid")), n).otherwise(0L)),
           lit(0L), _ + _).as("n_tokens"))
   }
 }

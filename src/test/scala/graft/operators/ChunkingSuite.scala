@@ -105,4 +105,36 @@ class ChunkingSuite extends SparkSpec {
     val plan = chunks.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sentence chunking shuffled:\n$plan")
   }
+
+  test("chunkBySentences overlap: interval membership replica, tails repeat") {
+    val doc = "One two three. Four five. Six seven. Eight nine ten. Eleven twelve."
+    val docs = Seq((1L, doc)).toDF("id", "text")
+    def replica(maxTokens: Long, overlap: Long): Set[(Int, String, Long)] = {
+      val stride = maxTokens - overlap
+      val sents = doc.split("(?<=[.!?])\\s+").map(_.trim).filter(_.nonEmpty).toSeq
+      val cnts = sents.map(_.split("\\s+").count(_.nonEmpty).toLong)
+      val cum = cnts.scanLeft(0L)(_ + _).init
+      val memberships = cum.map { cb =>
+        val lo = math.max(0L,
+          math.ceil((cb - maxTokens + 1) / stride.toDouble).toLong)
+        val hi = math.floor(cb / stride.toDouble).toLong
+        (lo to hi).toSet
+      }
+      memberships.flatten.toSet.map { (c: Long) =>
+        val sel = sents.zip(cnts).zip(memberships).filter(_._2.contains(c)).map(_._1)
+        (c.toInt, sel.map(_._1).mkString(" "), sel.map(_._2).sum)
+      }
+    }
+    for ((mt, ov) <- Seq((6L, 2L), (5L, 1L), (8L, 3L), (6L, 0L))) {
+      val got = Chunking.chunkBySentences(docs, "id", "text", mt, ov)
+        .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(got == replica(mt, ov), s"max=$mt overlap=$ov")
+    }
+    // overlapping chunks actually share sentences
+    val ov = Chunking.chunkBySentences(docs, "id", "text", 6, 2)
+      .collect().map(_.getString(2))
+    assert(ov.length >= 2)
+    val allSents = ov.flatMap(_.split("(?<=[.!?])\\s+"))
+    assert(allSents.length > allSents.distinct.length, ov.mkString(" | "))
+  }
 }
