@@ -45,8 +45,10 @@ class PlanContractSuite extends SparkSpec {
     ("chunk_documents_bpe", Seq.empty,
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning")),
     // sentence chunking: extraction/prefix-sums/assembly are all array
-    // HOFs in the scan projection — no shuffle
+    // HOFs in the scan projection — no shuffle (overlap included)
     ("chunk_documents_sentences", Seq.empty,
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning")),
+    ("chunk_documents_sentences_overlap", Seq.empty,
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning")),
     // subword token counting is one scan projection: no join with a
     // merge table, no data-movement shuffle (round-robin from
