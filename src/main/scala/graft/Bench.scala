@@ -31,7 +31,8 @@ object Bench {
     "gopher_rules", "lm_ccnet_buckets", "clean_lines", "lang_id_nb",
     "stream_lang_gate", "shard_by_tokens", "dedup_by_url",
     "embedding_drift", "multimodal_image_dedup", "multimodal_audio_dedup",
-    "multimodal_image_dedup_indexed", "chunk_documents_sentences",
+    "multimodal_image_dedup_indexed", "multimodal_image_dedup_phash",
+    "chunk_documents_sentences",
     "decontaminate_docs", "decontaminate_bloom", "stream_decontaminate",
     "stream_lm_gate", "stream_lm_gate3", "lm_score_trigram",
     "lm_score_4gram",
@@ -127,8 +128,24 @@ object Bench {
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val setupFailedJson = setupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Full artifact goes to a committed file: the one-line stdout JSON
+    // outgrew the driver's tail capture once the suite passed ~50 rows
+    // (medians truncated, `parsed: null` in 10 of 11 rounds). The file
+    // carries everything; stdout stays compact (2-decimal medians, no
+    // spread map) so the captured line parses again.
+    val fullJson =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"spread":$spreads,"failed":$failedJson,"setup_failed":$setupFailedJson,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
+      try w.println(fullJson) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
+    val qsShort = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"spread":$spreads,"failed":$failedJson,"setup_failed":$setupFailedJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsShort,"failed":$failedJson,"setup_failed":$setupFailedJson,"sf":"$sfDir","detail":"$outPath"}""")
     spark.stop()
   }
 }

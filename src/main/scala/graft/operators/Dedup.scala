@@ -735,8 +735,93 @@ object Dedup {
     * one chunk (pigeonhole-exact for the radius), exactly-once via the
     * first-shared-chunk rule, verify by `bit_count(xor)`. Output:
     * `(id_a, id_b, hamming)`.
+    *
+    * Hot-signature collapse: web crawls are full of constant images
+    * (spacers, blanks, tracking pixels) that all map to ONE signature;
+    * blocking raw rows would put all S of them into the same
+    * `(chunk, value)` block in every chunk, and the block join would do
+    * S²/2 comparisons × (maxHamming+1) chunks inside single tasks. So
+    * the pigeonhole join runs over DISTINCT signatures — sized by
+    * content diversity, not corpus size — and the result is re-expanded
+    * to id pairs with two sig-keyed equi-joins (AQE-skew-splittable) plus
+    * a same-signature self-join for the hamming-0 pairs. Output is
+    * row-identical to blocking the raw rows (DifferentialFuzz-pinned);
+    * per-task candidate work is bounded by distinct-sig counts
+    * (measured: tools/ImageDedupStress).
     */
   def hammingPairs64(
+      df: DataFrame, idCol: String, sigCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"hammingPairs64: maxHamming must be in [0, 64), got $maxHamming")
+    val ids = df.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+    val sigPairs = distinctSigPairs64(
+      ids.select(col("__sig")).distinct(),
+      ids.select(col("__sig")).distinct(), maxHamming, oriented = true)
+    // Cross-signature pairs: re-attach ids on both sides. The id-order
+    // orientation (and the degenerate duplicate-id guard) mirrors the
+    // raw-row join's `a.__id < b.__id` exactly.
+    val cross = sigPairs
+      .join(ids.as("ia"), col("sig_a") === col("ia.__sig"))
+      .join(ids.as("ib"), col("sig_b") === col("ib.__sig"))
+      .filter(col("ia.__id") =!= col("ib.__id"))
+      .select(
+        least(col("ia.__id"), col("ib.__id")).as("id_a"),
+        greatest(col("ia.__id"), col("ib.__id")).as("id_b"),
+        col("hamming"))
+    // Equal-signature pairs (hamming 0) vanish from the distinct-sig
+    // join; they come back as a sig-keyed self-join — output-sized work,
+    // which is the floor for this pair list.
+    val same = ids.as("sa")
+      .join(ids.as("sb"),
+        col("sa.__sig") === col("sb.__sig") && col("sa.__id") < col("sb.__id"))
+      .select(col("sa.__id").as("id_a"), col("sb.__id").as("id_b"),
+        lit(0).as("hamming"))
+    cross.unionByName(same)
+  }
+
+  /** Pigeonhole block join over two DISTINCT-signature tables: output
+    * `(sig_a, sig_b, hamming)` with `hamming <= maxHamming`, each
+    * qualifying pair exactly once (first-shared-chunk rule). With
+    * `oriented` the pair space is halved by `sig_a < sig_b` (self-join
+    * form); without, all left×right matches including equal signatures
+    * are kept (two-corpus form).
+    */
+  private def distinctSigPairs64(
+      leftSigs: DataFrame, rightSigs: DataFrame, maxHamming: Int,
+      oriented: Boolean): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    // Long shifts are mod-64 in the JVM: (1L << 64) - 1 would be 0, so
+    // the single-chunk case needs the full mask spelled out.
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    def chunkOf(s: Column, c: Int): Column =
+      shiftrightunsigned(s, c * width).bitwiseAND(lit(mask))
+    def blocked(sigs: DataFrame): DataFrame =
+      sigs.select(col("__sig"),
+        posexplode(array((0 until chunks).map(c => chunkOf(col("__sig"), c)): _*))
+          .as(Seq("__chunk", "__cv")))
+    val firstShared = (chunks - 1 to 0 by -1).foldLeft(lit(chunks)) { (acc, c) =>
+      when(chunkOf(col("a.__sig"), c) === chunkOf(col("b.__sig"), c), lit(c))
+        .otherwise(acc)
+    }
+    val base =
+      col("a.__chunk") === col("b.__chunk") && col("a.__cv") === col("b.__cv") &&
+        col("a.__chunk") === firstShared
+    val cond = if (oriented) base && col("a.__sig") < col("b.__sig") else base
+    blocked(leftSigs).as("a")
+      .join(blocked(rightSigs).as("b"), cond)
+      .select(
+        col("a.__sig").as("sig_a"), col("b.__sig").as("sig_b"),
+        bit_count(col("a.__sig").bitwiseXOR(col("b.__sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Raw-row (uncollapsed) form of [[hammingPairs64]] — kept as the
+    * differential oracle for the distinct-signature rewrite. Quadratic
+    * inside a block when many rows share one signature: verification
+    * harnesses only, never production.
+    */
+  private[graft] def hammingPairs64Uncollapsed(
       df: DataFrame, idCol: String, sigCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"hammingPairs64: maxHamming must be in [0, 64), got $maxHamming")
@@ -769,9 +854,33 @@ object Dedup {
     * join): same pigeonhole blocking, exactly-once via the
     * first-shared-chunk rule, no self-pair constraint (the sides are
     * distinct). Output `(id_a, id_b, hamming)` with `id_a` from
-    * `left`.
+    * `left`. Same hot-signature collapse as [[hammingPairs64]]: the
+    * block join runs over distinct signatures per side (equal-signature
+    * matches survive — no orientation constraint for distinct sides) and
+    * ids re-attach afterwards, so S left-blanks × T right-blanks cost an
+    * S×T expansion join, never an (S+T)²·chunks block.
     */
   def hammingJoin64(
+      left: DataFrame, leftIdCol: String, leftSigCol: String,
+      right: DataFrame, rightIdCol: String, rightSigCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"hammingJoin64: maxHamming must be in [0, 64), got $maxHamming")
+    val lids = left.select(col(leftIdCol).as("__id"), col(leftSigCol).as("__sig"))
+    val rids = right.select(col(rightIdCol).as("__id"), col(rightSigCol).as("__sig"))
+    val sigPairs = distinctSigPairs64(
+      lids.select(col("__sig")).distinct(),
+      rids.select(col("__sig")).distinct(), maxHamming, oriented = false)
+    sigPairs
+      .join(lids.as("ia"), col("sig_a") === col("ia.__sig"))
+      .join(rids.as("ib"), col("sig_b") === col("ib.__sig"))
+      .select(col("ia.__id").as("id_a"), col("ib.__id").as("id_b"), col("hamming"))
+  }
+
+  /** Raw-row (uncollapsed) form of [[hammingJoin64]] — differential
+    * oracle for the distinct-signature rewrite; harness use only.
+    */
+  private[graft] def hammingJoin64Uncollapsed(
       left: DataFrame, leftIdCol: String, leftSigCol: String,
       right: DataFrame, rightIdCol: String, rightSigCol: String,
       maxHamming: Int): DataFrame = {
@@ -803,33 +912,14 @@ object Dedup {
   }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 7): DataFrame = {
-    val chunks = maxHamming + 1
-    val width = 64 / chunks
-    // Long shifts are mod-64 in the JVM: (1L << 64) - 1 would be 0, so
-    // the single-chunk case (maxHamming = 0) needs the full mask spelled
-    // out or every signature would block to the same bucket.
-    val mask = if (width >= 64) -1L else (1L << width) - 1
+    // Delegates to the generic distinct-signature Hamming kernel:
+    // exact-duplicate texts share one SimHash, so a crawl with heavy
+    // boilerplate has the same hot-signature block problem the
+    // perceptual hashes do — the collapse covers both.
     val sig = withSimhash(df.select(col(idCol).as("__id"), col(textCol)), textCol)
       .select(col("__id"), col("simhash"))
-    def chunkOf(s: Column, c: Int): Column =
-      shiftrightunsigned(s, c * width).bitwiseAND(lit(mask))
-    val chunkCols = (0 until chunks).map(c => chunkOf(col("simhash"), c))
-    val blocked = sig.select(
-      col("__id"), col("simhash"),
-      posexplode(array(chunkCols: _*)).as(Seq("__chunk", "__cv")))
-    // smallest chunk index on which the two signatures agree
-    val firstShared = (chunks - 1 to 0 by -1).foldLeft(lit(chunks)) { (acc, c) =>
-      when(chunkOf(col("a.simhash"), c) === chunkOf(col("b.simhash"), c), lit(c))
-        .otherwise(acc)
-    }
-    blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.__chunk") === col("b.__chunk") && col("a.__cv") === col("b.__cv") &&
-          col("a.__id") < col("b.__id") && col("a.__chunk") === firstShared)
-      .select(
-        col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    hammingPairs64(sig, "__id", "simhash", maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
   }
 
   /** Naive all-pairs Hamming join over the SimHash signatures — the

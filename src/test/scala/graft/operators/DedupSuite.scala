@@ -196,6 +196,46 @@ class DedupSuite extends SparkSpec {
     assert(rowSet(out.select("doc_a", "doc_b")) == Set(Seq("1", "2")))
   }
 
+  test("hammingPairs64 distinct-sig collapse ≡ raw-row blocking (hot signatures)") {
+    // worst case for the raw-row block join: a large fraction of rows
+    // share ONE signature (blank/spacer images in a crawl). The
+    // collapsed rewrite must return the identical pair list, radius 0
+    // and a mid radius both.
+    val rnd = new scala.util.Random(42)
+    val base = rnd.nextLong() & ~0xFFL
+    val rows = (0 until 60).map { i =>
+      val sig =
+        if (i % 3 == 0) 0L                      // hot: 20 rows, one signature
+        else if (i % 3 == 1) base | (i & 7).toLong // near cluster (hamming <= 3)
+        else rnd.nextLong()
+      (i, sig)
+    }
+    val df = rows.toDF("id", "sig")
+    for (maxH <- Seq(0, 3, 7)) {
+      val fast = rowSet(Dedup.hammingPairs64(df, "id", "sig", maxH))
+      val slow = rowSet(Dedup.hammingPairs64Uncollapsed(df, "id", "sig", maxH))
+      assert(fast == slow, s"maxHamming=$maxH")
+      assert(fast.nonEmpty)
+    }
+  }
+
+  test("hammingJoin64 distinct-sig collapse ≡ raw-row blocking (two corpora)") {
+    val rnd = new scala.util.Random(7)
+    val mk = (n: Int, off: Int) => (0 until n).map { i =>
+      val sig = if (i % 4 == 0) -1L else rnd.nextLong()
+      (i + off, sig)
+    }
+    val l = mk(40, 0).toDF("lid", "lsig")
+    val r = mk(30, 1000).toDF("rid", "rsig")
+    for (maxH <- Seq(0, 7)) {
+      val fast = rowSet(Dedup.hammingJoin64(l, "lid", "lsig", r, "rid", "rsig", maxH))
+      val slow = rowSet(
+        Dedup.hammingJoin64Uncollapsed(l, "lid", "lsig", r, "rid", "rsig", maxH))
+      assert(fast == slow, s"maxHamming=$maxH")
+      assert(fast.nonEmpty)
+    }
+  }
+
   test("connected components: chains collapse to one cluster, min id labels") {
     val pairs = Seq(
       (1, 2), (2, 3),      // chain 1-2-3 (1,3 not paired directly)
