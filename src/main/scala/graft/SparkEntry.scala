@@ -1286,6 +1286,56 @@ object SparkEntry {
           maxHamming = 0)
         .select(col("doc_id"), col("index_id"))
     }),
+    "multimodal_image_dedup_phash" -> ((s, dir) => {
+      // CROP/RESCALE-robust perceptual dedup on the DCT hash: three
+      // structurally distinct low-frequency patterns, each in three
+      // GEOMETRIC variants (original 64², bilinear-free re-render at
+      // 96², 4px-border crop) assigned by doc_id % 9. At radius 16
+      // the pHash pairs must be EXACTLY the same-pattern pairs —
+      // variants of one pattern sit ≤15 bits apart, distinct patterns
+      // ≥22 (margins measured by tools/PHashProbe, pinned in
+      // MultimodalSuite) — so the oracle derives the pairs from the
+      // assignment rule alone. aHash would NOT pass this gate: crops
+      // and rescales of these patterns move whole aHash rows.
+      val d = t(s, dir, "documents").select("doc_id")
+      def render(kind: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h) {
+          val fx = x.toDouble / w
+          val fy = y.toDouble / h
+          val bright = kind match {
+            case 1 => fx > fy
+            case 2 => (fx - 0.5) * (fx - 0.5) + (fy - 0.5) * (fy - 0.5) < 0.09
+            case _ => fx + fy < 0.7
+          }
+          val v = if (bright) 210 else 45
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        img
+      }
+      def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        buf.toByteArray
+      }
+      val payloads = for (kind <- Seq(1, 2, 4); v <- 0 until 3) yield v match {
+        case 0 => png(render(kind, 64, 64))
+        case 1 => png(render(kind, 96, 96))
+        case _ =>
+          val base = render(kind, 64, 64)
+          val sub = base.getSubimage(4, 4, 56, 56)
+          val out = new java.awt.image.BufferedImage(
+            56, 56, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try g.drawImage(sub, 0, 0, null) finally g.dispose()
+          png(out)
+      }
+      val withP = d.withColumn("payload",
+        element_at(array(payloads.map(lit(_)): _*), (col("doc_id") % 9).cast("int") + 1))
+      Multimodal.imageNearDupPairsPhash(withP, "doc_id", "payload", maxHamming = 16)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    }),
     "multimodal_audio_dedup" -> ((s, dir) => {
       // audio near-dup on the gate: five distinct energy-envelope WAVs
       // assigned by doc_id % 5 (identical bytes per class) — radius-0
@@ -3332,6 +3382,14 @@ object SparkEntry {
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           |FROM documents a JOIN documents b
           |  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id""".stripMargin,
+      // same-pattern pairs from the doc_id % 9 assignment rule (three
+      // patterns × three geometric variants; the radius-16 join must
+      // reproduce the pattern grouping exactly)
+      "multimodal_image_dedup_phash" ->
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |FROM documents a JOIN documents b
+          |  ON (a.doc_id % 9) // 3 = (b.doc_id % 9) // 3
+          | AND a.doc_id < b.doc_id""".stripMargin,
       // same-class pairs straight from the assignment rule
       "multimodal_image_dedup" ->
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -457,11 +457,180 @@ object Multimodal {
     sig
   }
 
-  /** Append a perceptual-hash column, batched per partition like the
-    * decoders (codec warm-up amortized; payload column dropped).
+  /** Pooled 32×32 luminance grid of a decoded image — the shared
+    * front-end of [[pHash64]]: integer average pooling in a fixed scan
+    * order (same determinism contract as [[aHash64]]'s 8×8 pooling).
+    */
+  private def luma32(img: java.awt.image.BufferedImage): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](1024)
+    val cnts = new Array[Long](1024)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(31, y * 32 / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(31, x * 32 / w)
+        val rgb = img.getRGB(x, y)
+        val lum = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        sums(gy * 32 + gx) += lum
+        cnts(gy * 32 + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](1024)
+    var i = 0
+    while (i < 1024) {
+      if (cnts(i) > 0) out(i) = sums(i).toDouble / cnts(i).toDouble
+      i += 1
+    }
+    out
+  }
+
+  /** DCT-II basis for the 32-point transform, StrictMath so the table
+    * is bit-identical on every executor JVM (Math.cos is allowed 1 ulp
+    * of platform slack; a hash function can't be).
+    */
+  private lazy val dctCos: Array[Double] = {
+    val t = new Array[Double](32 * 32)
+    var u = 0
+    while (u < 32) {
+      var x = 0
+      while (x < 32) {
+        t(u * 32 + x) = StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 64.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** 64-bit DCT perceptual hash (pHash) — [[aHash64]]'s crop/rescale-
+    * robust sibling: decode, average-pool luminance onto a 32×32 grid,
+    * 2-D DCT-II, keep the top-left 8×8 low-frequency block, bit `i` =
+    * coefficient `i` above the median of the 63 non-DC coefficients.
+    * Low frequencies encode the global structure, so rescales, small
+    * crops, paddings, noise, and brightness shifts move few bits,
+    * where [[aHash64]]'s direct cell-vs-mean compare flips whole rows —
+    * the standard web-image near-dup signature for geometric
+    * perturbation classes. Deterministic: integer pooling in fixed
+    * scan order, StrictMath DCT table, fixed summation order (Java's
+    * fp semantics are strict since JEP 306). Undecodable payloads fall
+    * back to the same FNV-1a byte hash as [[aHash64]] — total over the
+    * corrupt tail.
+    */
+  def pHash64(bytes: Array[Byte]): Long = {
+    def fnv(b: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+    if (bytes == null || bytes.isEmpty) return fnv(
+      if (bytes == null) Array.empty[Byte] else bytes)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return fnv(bytes)
+    val f = luma32(img)
+    // 2-D DCT-II, low-frequency 8×8 block only (rows first, then
+    // columns — 32×8 + 8×8 dot products, not the full 32×32 transform)
+    val rows8 = new Array[Double](32 * 8) // rows8(y*8+u) = sum_x f(y,x)·cos[u,x]
+    var y = 0
+    while (y < 32) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0.0
+        var x = 0
+        while (x < 32) { acc += f(y * 32 + x) * dctCos(u * 32 + x); x += 1 }
+        rows8(y * 8 + u) = acc
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](64) // coef(v*8+u) = sum_y rows8(y,u)·cos[v,y]
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0.0
+        var yy = 0
+        while (yy < 32) { acc += rows8(yy * 8 + u) * dctCos(v * 32 + yy); yy += 1 }
+        coef(v * 8 + u) = acc
+        u += 1
+      }
+      v += 1
+    }
+    // Quantize each AC coefficient to a scale-relative grid BEFORE the
+    // median split. A raw median is unstable exactly on the images a
+    // crawl is full of (flat regions, synthetic graphics): their
+    // spectrum concentrates in a few coefficients and the other ~56 sit
+    // at numerical noise around zero, so the median lands inside that
+    // near-zero mass and every perturbation re-rolls those bits. On the
+    // grid (step = maxAbs/64, round-to-nearest) the near-zero mass is
+    // exactly 0 and stays 0 under any perturbation smaller than half a
+    // step, while genuinely structured coefficients keep their coarse
+    // magnitude. DC (coef 0) tracks overall brightness and is excluded
+    // from the median; its bit compares like the rest.
+    var maxAbs = 0.0
+    var i = 1
+    while (i < 64) {
+      val a = StrictMath.abs(coef(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    if (maxAbs == 0.0) return 0L
+    val step = maxAbs / 64.0
+    val q = new Array[Long](64)
+    i = 0
+    while (i < 64) { q(i) = StrictMath.round(coef(i) / step); i += 1 }
+    val ac = new Array[Long](63)
+    System.arraycopy(q, 1, ac, 0, 63)
+    java.util.Arrays.sort(ac)
+    val median = ac(31)
+    var sig = 0L
+    i = 0
+    while (i < 64) {
+      if (q(i) > median) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  /** Append a perceptual-hash column. The hash is a native Catalyst
+    * expression ([[graft.functions.AHash64Expr]]) evaluated in the SCAN
+    * projection — it composes with streaming gates and whole-stage
+    * plans exactly like the text kernels (`ShinglesExpr`,
+    * `BpeTokensExpr`), instead of forcing an object-serialization
+    * boundary. The JDK codec state it needs is per-executor by
+    * construction: the ImageIO plugin registry is a JVM-wide singleton
+    * warmed on first use, and the kernel disables ImageIO's temp-FILE
+    * cache once per JVM so every decode stays in-memory.
     */
   def withAHash(df: DataFrame, binCol: String, keepCols: Seq[String],
       outCol: String = "ahash"): DataFrame = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    df.select(keepCols.map(col) :+
+      toColumn(graft.functions.AHash64Expr(toExpression(col(binCol)))).as(outCol): _*)
+  }
+
+  /** [[withAHash]] with the DCT hash — same projection shape. */
+  def withPHash(df: DataFrame, binCol: String, keepCols: Seq[String],
+      outCol: String = "phash"): DataFrame = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    df.select(keepCols.map(col) :+
+      toColumn(graft.functions.PHash64Expr(toExpression(col(binCol)))).as(outCol): _*)
+  }
+
+  /** The former `mapPartitions` form of [[withAHash]] — kept as the
+    * differential oracle for the expression rewrite (bit-equality
+    * suite); harness use only.
+    */
+  private[graft] def withAHashPartitioned(df: DataFrame, binCol: String,
+      keepCols: Seq[String], outCol: String = "ahash"): DataFrame = {
     val outSchema = StructType(keepCols.map(c => df.schema(c)) :+
       StructField(outCol, org.apache.spark.sql.types.LongType, nullable = false))
     val keepIdx = keepCols.map(df.schema.fieldIndex)
@@ -486,6 +655,17 @@ object Multimodal {
       maxHamming: Int = 7): DataFrame =
     graft.operators.Dedup.hammingPairs64(
       withAHash(df, binCol, Seq(idCol)), idCol, "ahash", maxHamming)
+
+  /** [[imageNearDupPairs]] over the DCT hash ([[pHash64]]) — the
+    * blocking, exactly-once rule, and verify are hash-agnostic, so the
+    * crop/rescale-robust signature rides the identical join. Use a
+    * wider radius than aHash (geometric perturbations move a few more
+    * bits than noise does; the suite pins the margins).
+    */
+  def imageNearDupPairsPhash(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 10): DataFrame =
+    graft.operators.Dedup.hammingPairs64(
+      withPHash(df, binCol, Seq(idCol)), idCol, "phash", maxHamming)
 
   /** 64-bit energy-envelope audio fingerprint — [[aHash64]]'s sibling
     * for sound: decode to PCM (JDK sound stack), mono-mix, split the
@@ -565,11 +745,21 @@ object Multimodal {
     sig
   }
 
-  /** Append an audio-fingerprint column — partition-batched like the
-    * decoders.
+  /** Append an audio-fingerprint column — native expression in the
+    * scan projection, like [[withAHash]].
     */
   def withAudioHash(df: DataFrame, binCol: String, keepCols: Seq[String],
       outCol: String = "audio_hash"): DataFrame = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    df.select(keepCols.map(col) :+
+      toColumn(graft.functions.AudioHash64Expr(toExpression(col(binCol)))).as(outCol): _*)
+  }
+
+  /** The former `mapPartitions` form of [[withAudioHash]] — differential
+    * oracle for the expression rewrite; harness use only.
+    */
+  private[graft] def withAudioHashPartitioned(df: DataFrame, binCol: String,
+      keepCols: Seq[String], outCol: String = "audio_hash"): DataFrame = {
     val outSchema = StructType(keepCols.map(c => df.schema(c)) :+
       StructField(outCol, org.apache.spark.sql.types.LongType, nullable = false))
     val keepIdx = keepCols.map(df.schema.fieldIndex)

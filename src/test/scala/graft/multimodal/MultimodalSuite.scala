@@ -394,6 +394,123 @@ class MultimodalSuite extends SparkSpec {
     assert(t1 != Multimodal.aHash64("other bytes".getBytes("UTF-8")))
   }
 
+  /** Low-frequency structured image for the pHash pins: smooth regions
+    * (half-plane / diagonal / disc), pattern picked by `kind`, with
+    * optional per-pixel noise. PNG-encoded at `w`×`h`.
+    */
+  private def structImage(kind: Int, w: Int, h: Int, noise: Int,
+      seed: Int = 0): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val fx = x.toDouble / w
+      val fy = y.toDouble / h
+      val bright = kind match {
+        case 0 => fx < 0.5
+        case 1 => fx > fy
+        case 2 => (fx - 0.5) * (fx - 0.5) + (fy - 0.5) * (fy - 0.5) < 0.09
+        case 3 => fy < 0.33 || fy > 0.66
+        case _ => fx + fy < 0.7
+      }
+      val base = if (bright) 210 else 45
+      val v = math.max(0, math.min(255,
+        base + (if (noise > 0) rnd.nextInt(2 * noise + 1) - noise else 0)))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  /** Decode + central crop by `border` pixels per side + PNG re-encode. */
+  private def croppedPng(bytes: Array[Byte], border: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val sub = img.getSubimage(border, border,
+      img.getWidth - 2 * border, img.getHeight - 2 * border)
+    val out = new java.awt.image.BufferedImage(
+      sub.getWidth, sub.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try g.drawImage(sub, 0, 0, null) finally g.dispose()
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", buf)
+    buf.toByteArray
+  }
+
+  test("pHash64: stable under rescale/crop/noise/brightness, far for unrelated, total") {
+    // margins measured with tools/PHashProbe over the deterministic
+    // fixtures; the scale-relative coefficient quantization is what
+    // keeps low-complexity (flat/synthetic) images stable — a raw
+    // median split re-rolled ~25 bits under noise on half-plane images
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.pHash64(structImage(1, 64, 64, 0))
+    // identical bytes: identical hash
+    assert(base == Multimodal.pHash64(structImage(1, 64, 64, 0)))
+    // RESCALE (both directions) — the aHash weak spot this hash covers
+    val up = Multimodal.pHash64(structImage(1, 96, 96, 0))
+    val down = Multimodal.pHash64(structImage(1, 40, 40, 0))
+    assert(ham(base, up) <= 4, s"rescale up moved ${ham(base, up)} bits")
+    assert(ham(base, down) <= 4, s"rescale down moved ${ham(base, down)} bits")
+    // CROP of a 4px border (12.5% linear)
+    val crop = Multimodal.pHash64(croppedPng(structImage(1, 64, 64, 0), 4))
+    assert(ham(base, crop) <= 4, s"crop moved ${ham(base, crop)} bits")
+    // per-pixel noise
+    val noisy = Multimodal.pHash64(structImage(1, 64, 64, 12, seed = 9))
+    assert(ham(base, noisy) <= 4, s"noise moved ${ham(base, noisy)} bits")
+    // structurally different patterns are far
+    for (k <- Seq(0, 2, 4)) {
+      val other = Multimodal.pHash64(structImage(k, 64, 64, 0))
+      assert(ham(base, other) >= 16, s"kind $k only ${ham(base, other)} bits away")
+    }
+    // non-image payloads: deterministic byte-hash fallback, still dedups
+    val t1 = Multimodal.pHash64("not an image".getBytes("UTF-8"))
+    assert(t1 == Multimodal.pHash64("not an image".getBytes("UTF-8")))
+    assert(t1 != Multimodal.pHash64("other bytes".getBytes("UTF-8")))
+  }
+
+  test("imageNearDupPairsPhash: rescaled+cropped variants cluster by base image") {
+    // 3 bases × (original, rescaled, cropped): pairs at the radius must
+    // be exactly the same-base pairs — the oracle-replayable assignment
+    // rule the gate query uses. Kinds 1/2/4 (probe: minCross 22,
+    // maxSame 15 → radius 16 splits with 6 bits of margin both ways).
+    val variants = for {
+      (kind, b) <- Seq(1, 2, 4).zipWithIndex
+      (payload, v) <- {
+        val orig = structImage(kind, 64, 64, 0)
+        Seq((orig, 0), (structImage(kind, 96, 96, 0), 1), (croppedPng(orig, 4), 2))
+      }
+    } yield (b.toLong * 10 + v, payload, b)
+    val df = variants.map { case (id, p, _) => (id, p) }.toDF("id", "payload")
+    val pairs = Multimodal.imageNearDupPairsPhash(df, "id", "payload", maxHamming = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (a, _, ba) <- variants; (b, _, bb) <- variants if a < b && ba == bb
+    } yield (a, b)).toSet
+    assert(pairs == expected)
+  }
+
+  test("perceptual hash EXPRESSIONS are bit-equal to the mapPartitions forms") {
+    // image: real PNGs + text bytes + empty payload through both paths
+    val imgRows = Seq(
+      (1L, gradImage(1, 0, 0)), (2L, gradImage(2, 10, 15)),
+      (3L, structImage(2, 48, 48, 5)), (4L, "not an image".getBytes("UTF-8")),
+      (5L, Array.empty[Byte])).toDF("id", "payload")
+    val exprA = Multimodal.withAHash(imgRows, "payload", Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val partA = Multimodal.withAHashPartitioned(imgRows, "payload", Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exprA == partA)
+    // audio: real WAV + junk bytes
+    val audRows = Seq(
+      (1L, envelopeWav(3200, 1.0, f => if (f < 1600) 1.0 else 0.1)),
+      (2L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    val exprW = Multimodal.withAudioHash(audRows, "payload", Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val partW = Multimodal.withAudioHashPartitioned(audRows, "payload", Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exprW == partW)
+  }
+
   test("imageNearDupPairs: blocked join == naive hamming over the hashes") {
     val payloads = (0 until 24).map { i =>
       // 6 visual classes, mild per-instance noise inside each
