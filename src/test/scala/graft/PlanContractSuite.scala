@@ -148,6 +148,26 @@ class PlanContractSuite extends SparkSpec {
         assert(!plan.contains(f), s"$name plan degenerated to `$f`:\n$plan")
     }
 
+  test("plan contract: perceptual hashes evaluate in the scan projection") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
+    // the expression rewrite's point: no object-serialization boundary,
+    // no exchange — the hash is a projection over the scan, so it
+    // composes with streaming gates and pushdown like the text kernels
+    import graft.multimodal.Multimodal
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val withBin = Multimodal.withBinaryPayload(docs, "text")
+    for ((marker, df) <- Seq(
+        ("graft_ahash64(", Multimodal.withAHash(withBin, "payload", Seq("doc_id"))),
+        ("graft_phash64(", Multimodal.withPHash(withBin, "payload", Seq("doc_id"))),
+        ("graft_audiohash64(", Multimodal.withAudioHash(withBin, "payload", Seq("doc_id"))))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(marker), s"plan lost `$marker`:\n$plan")
+      for (f <- Seq("SerializeFromObject", "DeserializeToObject",
+          "MapPartitions", "Exchange"))
+        assert(!plan.contains(f), s"perceptual-hash plan carries `$f`:\n$plan")
+    }
+  }
+
   test("plan contract: LM gates evaluate the scoring kernel ONCE per row") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
     // the Generate fence (explode(array(kernel))) keeps the kernel out
