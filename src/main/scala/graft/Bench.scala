@@ -30,7 +30,8 @@ object Bench {
     "stream_nb_gate", "pipeline_web_ingest", "sample_top_fraction",
     "gopher_rules", "lm_ccnet_buckets", "clean_lines", "lang_id_nb",
     "stream_lang_gate", "shard_by_tokens", "dedup_by_url",
-    "embedding_drift", "multimodal_image_dedup", "multimodal_audio_dedup",
+    "embedding_drift", "stream_embedding_drift",
+    "multimodal_image_dedup", "multimodal_audio_dedup",
     "multimodal_image_dedup_indexed", "multimodal_image_dedup_phash",
     "chunk_documents_sentences",
     "decontaminate_docs", "decontaminate_bloom", "stream_decontaminate",

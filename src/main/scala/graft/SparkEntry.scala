@@ -1381,6 +1381,24 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 1).select("embedding"),
         "embedding")
     }),
+    "stream_embedding_drift" -> ((s, dir) => {
+      // the WINDOWED drift monitor (stream-servable form of
+      // embedding_drift): odd vectors flow through 2-minute event-time
+      // windows (ts synthesized as epoch + vec_id seconds), each
+      // window's exact grid-long sum vector meets the pinned even-half
+      // reference in one cosine per window — engine-exact like the
+      // batch monitor (grid longs, BigInt/HUGEINT dot products, one
+      // correctly-rounded double cast each, 1e-4 floor). MemoryStream
+      // ≡ batch is StreamingSuite-pinned; state per window is one
+      // long[dim] + a count under the watermark.
+      val e = t(s, dir, "embeddings")
+      val ref = e.filter(col("vec_id") % 2 === 0).select("embedding")
+      val mon = e.filter(col("vec_id") % 2 === 1)
+        .select(timestamp_micros(col("vec_id").cast(LongType) * 1000000L).as("ts"),
+          col("embedding"))
+      Streaming.windowedEmbeddingDrift(mon, "ts", "embedding",
+        ref, "embedding", windowDur = "2 minutes")
+    }),
     "dedup_by_url" -> ((s, dir) => {
       // crawl dedup ON THE CANONICAL URL: five raw variants of the
       // same page (case, default port, utm params, fragment) collapse
@@ -3395,6 +3413,34 @@ object SparkEntry {
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           |FROM documents a JOIN documents b
           |  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id""".stripMargin,
+      // per-window grid-long sums of the odd half vs the even-half
+      // reference; HUGEINT dot products, 1e-4-floored cosine per window
+      "stream_embedding_drift" ->
+        """WITH ref AS (
+          |  SELECT i, CAST(sum(CAST(floor(v * 10000000.0) AS BIGINT)) AS HUGEINT) AS s
+          |  FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+          |               generate_subscripts(embedding, 1) AS i
+          |        FROM embeddings WHERE vec_id % 2 = 0)
+          |  GROUP BY i),
+          |mon AS (
+          |  SELECT ws, i, CAST(sum(CAST(floor(v * 10000000.0) AS BIGINT)) AS HUGEINT) AS s
+          |  FROM (SELECT (vec_id // 120) * 120 * 1000000 AS ws,
+          |               unnest(CAST(embedding AS DOUBLE[])) AS v,
+          |               generate_subscripts(embedding, 1) AS i
+          |        FROM embeddings WHERE vec_id % 2 = 1)
+          |  GROUP BY ws, i),
+          |cnt AS (SELECT (vec_id // 120) * 120 * 1000000 AS ws, count(*) AS n
+          |        FROM embeddings WHERE vec_id % 2 = 1 GROUP BY 1),
+          |dots AS (SELECT m.ws,
+          |               CAST(sum(m.s * r.s) AS HUGEINT) AS num,
+          |               CAST(sum(m.s * m.s) AS HUGEINT) AS dm,
+          |               CAST(sum(r.s * r.s) AS HUGEINT) AS dr
+          |        FROM mon m JOIN ref r ON m.i = r.i GROUP BY m.ws)
+          |SELECT d.ws AS window_start_us, cnt.n,
+          |  floor(CAST(num AS DOUBLE)
+          |        / (sqrt(CAST(dm AS DOUBLE)) * sqrt(CAST(dr AS DOUBLE)))
+          |        * 10000) / 10000 AS cos_ref
+          |FROM dots d JOIN cnt ON d.ws = cnt.ws""".stripMargin,
       // per-dim exact grid-long sums -> int128 cosine of sum vectors
       "embedding_drift" ->
         """WITH e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Element-wise EXACT-GRID vector sum aggregator: each component is
+  * floored onto the 1e-7 grid as a long FIRST, then summed exactly —
+  * the aggregation core of
+  * [[graft.operators.Sketches.embeddingDrift]] in a form a STREAMING
+  * window aggregation can hold as state (one long[] + nothing else per
+  * window, merged map-side like any associative aggregate; no
+  * double-summation order nondeterminism across partitions or
+  * micro-batches).
+  *
+  * Same malformed-input contract as the batch monitor: a null vector,
+  * a null/NaN/±Inf component, or a dimension mismatch FAILS the query
+  * instead of quietly skewing the drift measurement.
+  */
+class GridSumAggregator
+    extends Aggregator[Seq[Double], Array[Long], Array[Long]] {
+
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  override def reduce(buf: Array[Long], vec: Seq[Double]): Array[Long] = {
+    require(vec != null, "gridSum: null vector")
+    val out = if (buf.length == 0) new Array[Long](vec.length) else buf
+    require(out.length == vec.length,
+      s"gridSum: dimension mismatch (${out.length} vs ${vec.length})")
+    var i = 0
+    while (i < out.length) {
+      val v = vec(i)
+      require(!v.isNaN && !v.isInfinite, s"gridSum: non-finite component at $i")
+      out(i) += StrictMath.floor(v * 1.0e7).toLong
+      i += 1
+    }
+    out
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (a.length == 0) b
+    else if (b.length == 0) a
+    else {
+      require(a.length == b.length,
+        s"gridSum: dimension mismatch (${a.length} vs ${b.length})")
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+object GridSumAggregator {
+
+  /** Cosine of two exact grid-sum vectors — the fixed IEEE expression
+    * the batch monitor and the SQL oracle both evaluate: exact BigInt
+    * dot products (grid-sum products overflow a long), each cast to
+    * double once (correctly rounded), `num / (sqrt(da) * sqrt(db))`,
+    * floored onto the 1e-4 grid. Zero vectors are a contract error.
+    */
+  def cosFloored(a: Seq[Long], b: Seq[Long]): Double = {
+    require(a.length == b.length && a.nonEmpty,
+      s"cosFloored: dimension mismatch (${a.length} vs ${b.length})")
+    var num = BigInt(0)
+    var da = BigInt(0)
+    var db = BigInt(0)
+    var i = 0
+    while (i < a.length) {
+      val x = BigInt(a(i)); val y = BigInt(b(i))
+      num += x * y; da += x * x; db += y * y
+      i += 1
+    }
+    require(da > 0 && db > 0, "cosFloored: zero vector")
+    val cos = num.toDouble / (math.sqrt(da.toDouble) * math.sqrt(db.toDouble))
+    math.floor(cos * 10000) / 10000
+  }
+}

@@ -79,18 +79,41 @@ object Sketches {
     val spark = a.sparkSession
     import spark.implicits._
     def sums(df: DataFrame): (Long, Map[Int, BigInt]) = {
+      // malformed inputs FAIL instead of skewing the measurement: a
+      // NaN casts to grid 0 (non-ANSI double->long) and a null
+      // component silently drops out of its dimension's sum — both
+      // would move cos_means with no signal that the CORPUS, not the
+      // distribution, changed. Null vectors would vanish in the
+      // explode, so they're counted against the total on one pass.
+      val counts = df.agg(
+        count(lit(1)).as("__n"), count(col(vecCol)).as("__nv")).collect()(0)
+      require(counts.getLong(0) == counts.getLong(1),
+        s"embeddingDrift: ${counts.getLong(0) - counts.getLong(1)} null vectors")
       val rows = df
         .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("__d", "__v")))
-        .select(col("__d"), floor(col("__v") * lit(1.0e7)).cast("long").as("__g"))
-        .groupBy("__d").agg(sum(col("__g")).as("__s"))
-        .collect().map(r => r.getInt(0) -> BigInt(r.getLong(1))).toMap
-      (df.count(), rows)
+        .select(col("__d"),
+          when(col("__v").isNull || isnan(col("__v")) ||
+              col("__v") === Double.PositiveInfinity ||
+              col("__v") === Double.NegativeInfinity, lit(1L))
+            .otherwise(lit(0L)).as("__bad"),
+          floor(col("__v") * lit(1.0e7)).cast("long").as("__g"))
+        .groupBy("__d")
+        .agg(sum(col("__g")).as("__s"), sum(col("__bad")).as("__b"))
+        .collect()
+      val bad = rows.map(_.getLong(2)).sum
+      require(bad == 0,
+        s"embeddingDrift: $bad null/NaN/Inf vector components")
+      (counts.getLong(0), rows.map(r => r.getInt(0) -> BigInt(r.getLong(1))).toMap)
     }
     val (nA, sa) = sums(a)
     val (nB, sb) = sums(b)
     require(nA > 0 && nB > 0, "embeddingDrift: empty snapshot")
-    require(sa.keySet == sb.keySet,
-      s"embeddingDrift: dimension mismatch (${sa.size} vs ${sb.size})")
+    require(sa.keySet == sb.keySet, {
+      val onlyA = (sa.keySet -- sb.keySet).toSeq.sorted.take(8)
+      val onlyB = (sb.keySet -- sa.keySet).toSeq.sorted.take(8)
+      s"embeddingDrift: dimension key mismatch — a-only dims $onlyA, " +
+        s"b-only dims $onlyB (|a|=${sa.size}, |b|=${sb.size})"
+    })
     val dims = sa.keys.toSeq.sorted
     val num = dims.map(d => sa(d) * sb(d)).sum
     val da = dims.map(d => sa(d) * sa(d)).sum

@@ -81,6 +81,59 @@ object Streaming {
         col("approx_keys"))
   }
 
+  /** Per-window EMBEDDING DRIFT vs a pinned reference snapshot — the
+    * streaming form of [[graft.operators.Sketches.embeddingDrift]]:
+    * each window's mean embedding (as exact 1e-7 grid-long SUMS — the
+    * `1/(grid·n)` scales cancel in the cosine) against the reference
+    * corpus's sum vector, so a shift in what's flowing through the
+    * pipeline shows up as `cos_ref` falling BEFORE downstream ANN
+    * indexes / classifier thresholds quietly degrade.
+    *
+    * Scale shape: ONE stateful aggregation — state per window is a
+    * single `long[dim]` + a count (a [[graft.functions.GridSumAggregator]]
+    * buffer, associative, merged map-side), watermark-bounded like any
+    * windowed agg; the reference collapses to one dim-long sum vector
+    * computed once on the batch side and shipped in the closure. The
+    * cosine is evaluated per WINDOW row (post-aggregation, never
+    * per-event): exact BigInt dot products, one correctly-rounded
+    * double cast each, floored to the 1e-4 grid — bit-identical to the
+    * batch monitor and the SQL oracle's HUGEINT arithmetic.
+    *
+    * Batch/stream-unified: watermark applied only to a streaming
+    * input; the same call faces the DuckDB oracle and serves the
+    * stream (MemoryStream ≡ batch suite-pinned). Output:
+    * `(window_start_us, n, cos_ref)`.
+    */
+  def windowedEmbeddingDrift(
+      stream: DataFrame,
+      tsCol: String,
+      vecCol: String,
+      reference: DataFrame,
+      refVecCol: String,
+      windowDur: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val gridSum =
+      org.apache.spark.sql.functions.udaf(new graft.functions.GridSumAggregator())
+    val refRow = reference
+      .agg(gridSum(col(refVecCol).cast("array<double>")).as("__s"),
+        count(lit(1)).as("__n"))
+      .collect()(0) // one row: the dim-bounded reference sum vector
+    require(refRow.getLong(1) > 0, "windowedEmbeddingDrift: empty reference")
+    val refSums: Array[Long] = refRow.getSeq[Long](0).toArray
+    val cosRef = udf((s: Seq[Long]) =>
+      graft.functions.GridSumAggregator.cosFloored(s, refSums.toSeq))
+    val in =
+      if (stream.isStreaming) stream.withWatermark(tsCol, watermarkDelay)
+      else stream
+    in.groupBy(window(col(tsCol), windowDur))
+      .agg(gridSum(col(vecCol).cast("array<double>")).as("__sums"),
+        count(lit(1)).as("n"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("n"),
+        cosRef(col("__sums")).as("cos_ref"))
+  }
+
   /** One user event (input shape of [[sessionize]]). */
   final case class UserEvent(user_id: Long, ts: Timestamp)
 

@@ -50,11 +50,32 @@ class SketchesSuite extends SparkSpec {
     val want = math.floor(num.toDouble /
       (math.sqrt(da.toDouble) * math.sqrt(db.toDouble)) * 10000) / 10000
     assert(got == want)
-    // dimension mismatch fails loudly
+    // dimension mismatch fails loudly AND names the differing keys
     val e = intercept[IllegalArgumentException] {
       Sketches.embeddingDrift(a, x, "embedding")
     }
-    assert(e.getMessage.contains("dimension"))
+    assert(e.getMessage.contains("dimension key mismatch") &&
+      e.getMessage.contains("a-only"), e.getMessage)
+  }
+
+  test("embeddingDrift rejects malformed vectors instead of skewing the measure") {
+    // a NaN would cast to grid 0 and a null component would drop out of
+    // its dimension's sum — both must FAIL, not move cos_means
+    val good = Seq(Tuple1(Array(1f, 0f))).toDF("embedding")
+    val nan = Seq(Tuple1(Array(Float.NaN, 1f))).toDF("embedding")
+    val inf = Seq(Tuple1(Array(Float.PositiveInfinity, 1f))).toDF("embedding")
+    for (bad <- Seq(nan, inf)) {
+      val e = intercept[IllegalArgumentException] {
+        Sketches.embeddingDrift(good, bad, "embedding")
+      }
+      assert(e.getMessage.contains("null/NaN/Inf"), e.getMessage)
+    }
+    val nullVec = Seq(Tuple1(Array(1f, 0f)), Tuple1(null: Array[Float]))
+      .toDF("embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.embeddingDrift(good, nullVec, "embedding")
+    }
+    assert(e2.getMessage.contains("null vectors"), e2.getMessage)
   }
 
   test("summary never misses an item above n/(k+1), counts are lower bounds") {

@@ -87,6 +87,60 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedEmbeddingDrift: per-window cosine vs reference, streams == batch") {
+    val ref = Seq(
+      Tuple1(Seq(1.0, 0.0, 0.5)), Tuple1(Seq(0.8, 0.2, 0.4)))
+      .toDF("embedding")
+    val ev = Seq(
+      (ts("2024-01-01 00:05:00"), Seq(1.0, 0.1, 0.5)),
+      (ts("2024-01-01 00:20:00"), Seq(0.9, 0.0, 0.45)),
+      (ts("2024-01-01 01:10:00"), Seq(-0.5, 1.0, 0.0)), // drifted hour
+      (ts("2024-01-01 01:20:00"), Seq(-0.4, 0.9, 0.1)))
+      .toDF("ts", "embedding")
+    val h0 = ts("2024-01-01 00:00:00").getTime * 1000L
+    val h1 = ts("2024-01-01 01:00:00").getTime * 1000L
+    val batch = Streaming.windowedEmbeddingDrift(
+        ev, "ts", "embedding", ref, "embedding", "1 hour")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(batch.keySet == Set(h0, h1))
+    assert(batch(h0)._1 == 2L && batch(h1)._1 == 2L)
+    // hour 0 tracks the reference; hour 1 points elsewhere
+    assert(batch(h0)._2 > 0.99, s"stable window read ${batch(h0)._2}")
+    assert(batch(h1)._2 < 0.2, s"drifted window read ${batch(h1)._2}")
+    // the same call serves a MemoryStream with incremental arrival
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Seq[Double])]
+    val q = Streaming.windowedEmbeddingDrift(
+        input.toDF().toDF("ts", "embedding"), "ts", "embedding",
+        ref, "embedding", "1 hour")
+      .writeStream.format("memory").queryName("drift_test")
+      .outputMode("complete").start()
+    try {
+      input.addData((ts("2024-01-01 00:05:00"), Seq(1.0, 0.1, 0.5)),
+        (ts("2024-01-01 01:10:00"), Seq(-0.5, 1.0, 0.0)))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:20:00"), Seq(0.9, 0.0, 0.45)),
+        (ts("2024-01-01 01:20:00"), Seq(-0.4, 0.9, 0.1)))
+      q.processAllAvailable()
+      val got = spark.table("drift_test").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("windowedEmbeddingDrift fails loudly on malformed vectors") {
+    val ref = Seq(Tuple1(Seq(1.0, 0.0))).toDF("embedding")
+    val bad = Seq((ts("2024-01-01 00:05:00"), Seq(Double.NaN, 1.0)))
+      .toDF("ts", "embedding")
+    val e = intercept[Exception] {
+      Streaming.windowedEmbeddingDrift(
+        bad, "ts", "embedding", ref, "embedding", "1 hour").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("non-finite")), e.toString)
+  }
+
   test("sliding windows: each event lands in windowDur/slide overlapping windows") {
     val one = Seq(Tuple2(ts("2024-01-01 00:40:00"), "click")).toDF("ts", "event_type")
     val out = Streaming.slidingEventCounts(one, "ts", "event_type", "1 hour", "15 minutes")
