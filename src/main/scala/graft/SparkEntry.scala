@@ -1814,6 +1814,19 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       QualityClassifier.predictMulticlass(d, "doc_id", "text", "lang")
     }),
+    "lang_id_nb_priors" -> ((s, dir) => {
+      // the RECIPE-prior form: identical five-class token model, but
+      // priors from an explicit skewed mix (de 8×, everything else 1)
+      // instead of corpus doc counts — the knob a skewed corpus needs.
+      // Prior = floor4(ln(w_c / Σw)) with the sum in sorted-class
+      // order, so the oracle replays the constants ln(8/12), ln(1/12)
+      // directly; near-tie docs visibly shift toward 'de' relative to
+      // lang_id_nb (the two gates share the token CTEs, not the prior).
+      val d = t(s, dir, "documents")
+      QualityClassifier.predictMulticlass(d, "doc_id", "text", "lang",
+        priorWeights = Map("de" -> 8.0, "en" -> 1.0, "es" -> 1.0,
+          "fr" -> 1.0, "zh" -> 1.0))
+    }),
     "quality_classifier" -> ((s, dir) => {
       // weak-supervision NB filter: label = (lang = 'en') — cheap
       // metadata standing in for the usual heuristic/trusted-domain
@@ -4233,6 +4246,54 @@ object SparkEntry {
           |  CAST(floor(ln(d_fr * 1.0 / dt) * 10000) AS BIGINT) AS p_fr,
           |  CAST(floor(ln(d_zh * 1.0 / dt) * 10000) AS BIGINT) AS p_zh
           |  FROM dc),
+          |fin AS (SELECT doc_id,
+          |  s_de + p_de AS t_de, s_en + p_en AS t_en, s_es + p_es AS t_es,
+          |  s_fr + p_fr AS t_fr, s_zh + p_zh AS t_zh
+          |  FROM sc, pri)
+          |SELECT doc_id,
+          |  CASE WHEN t_de = greatest(t_de, t_en, t_es, t_fr, t_zh) THEN 'de'
+          |       WHEN t_en = greatest(t_de, t_en, t_es, t_fr, t_zh) THEN 'en'
+          |       WHEN t_es = greatest(t_de, t_en, t_es, t_fr, t_zh) THEN 'es'
+          |       WHEN t_fr = greatest(t_de, t_en, t_es, t_fr, t_zh) THEN 'fr'
+          |       ELSE 'zh' END AS pred
+          |FROM fin""".stripMargin,
+      // lang_id_nb's token model with the RECIPE prior constants
+      // ln(8/12) / ln(1/12) in place of the doc-count priors
+      "lang_id_nb_priors" ->
+        """WITH tok AS (SELECT doc_id, w FROM (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |  FROM documents) q WHERE w <> ''),
+          |tl AS (SELECT t.doc_id, d.lang, t.w
+          |       FROM tok t JOIN documents d USING (doc_id)),
+          |tc AS (SELECT w,
+          |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_de,
+          |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+          |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS c_es,
+          |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS c_fr,
+          |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS c_zh
+          |  FROM tl GROUP BY 1),
+          |tot AS (SELECT
+          |  CAST(sum(c_de) AS BIGINT) AS n_de, CAST(sum(c_en) AS BIGINT) AS n_en,
+          |  CAST(sum(c_es) AS BIGINT) AS n_es, CAST(sum(c_fr) AS BIGINT) AS n_fr,
+          |  CAST(sum(c_zh) AS BIGINT) AS n_zh, count(*) AS v FROM tc),
+          |lp AS (SELECT w,
+          |  CAST(floor(ln((c_de + 1.0) / CAST(n_de + v AS DOUBLE)) * 10000) AS BIGINT) AS l_de,
+          |  CAST(floor(ln((c_en + 1.0) / CAST(n_en + v AS DOUBLE)) * 10000) AS BIGINT) AS l_en,
+          |  CAST(floor(ln((c_es + 1.0) / CAST(n_es + v AS DOUBLE)) * 10000) AS BIGINT) AS l_es,
+          |  CAST(floor(ln((c_fr + 1.0) / CAST(n_fr + v AS DOUBLE)) * 10000) AS BIGINT) AS l_fr,
+          |  CAST(floor(ln((c_zh + 1.0) / CAST(n_zh + v AS DOUBLE)) * 10000) AS BIGINT) AS l_zh
+          |  FROM tc, tot),
+          |sc AS (SELECT t.doc_id,
+          |  CAST(sum(l_de) AS BIGINT) AS s_de, CAST(sum(l_en) AS BIGINT) AS s_en,
+          |  CAST(sum(l_es) AS BIGINT) AS s_es, CAST(sum(l_fr) AS BIGINT) AS s_fr,
+          |  CAST(sum(l_zh) AS BIGINT) AS s_zh
+          |  FROM tok t JOIN lp USING (w) GROUP BY 1),
+          |pri AS (SELECT
+          |  CAST(floor(ln(8.0 / 12.0) * 10000) AS BIGINT) AS p_de,
+          |  CAST(floor(ln(1.0 / 12.0) * 10000) AS BIGINT) AS p_en,
+          |  CAST(floor(ln(1.0 / 12.0) * 10000) AS BIGINT) AS p_es,
+          |  CAST(floor(ln(1.0 / 12.0) * 10000) AS BIGINT) AS p_fr,
+          |  CAST(floor(ln(1.0 / 12.0) * 10000) AS BIGINT) AS p_zh),
           |fin AS (SELECT doc_id,
           |  s_de + p_de AS t_de, s_en + p_en AS t_en, s_es + p_es AS t_es,
           |  s_fr + p_fr AS t_fr, s_zh + p_zh AS t_zh

@@ -51,6 +51,11 @@ object QualityClassifier {
   def train(docs: DataFrame, textCol: String, positive: Column): NbModel = {
     val lab = docs.select(positive.cast("boolean").as("__pos"),
       col(textCol).as("__t"))
+    // localCheckpoint: the totals below are COLLECTED from this
+    // aggregate while tokenDelta re-reads it lazily — a
+    // non-deterministic source could otherwise diverge the delta table
+    // from its own denominators, and every downstream action would
+    // re-run the full training aggregation
     val tc = lab
       .select(col("__pos"),
         explode(TextFunctions.tokens(col("__t"))).as("__w"))
@@ -58,6 +63,7 @@ object QualityClassifier {
       .groupBy("__th")
       .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__cp"),
         sum(when(!col("__pos"), 1L).otherwise(0L)).as("__cn"))
+      .localCheckpoint(true)
     // three scalars in one row, and the two class doc-counts: bounded
     // collects (the guard runs BEFORE anything else can misbehave)
     val c = tc.agg(sum("__cp").as("np"), sum("__cn").as("nn"),
@@ -204,27 +210,44 @@ object QualityClassifier {
     * add-one over the SHARED train vocabulary; a token unseen in a
     * class contributes that class's floor, so every class scores every
     * token.
+    *
+    * `priorWeights`: an explicit RECIPE prior overriding the
+    * data-derived doc-count priors — the knob a skewed corpus needs
+    * (a crawl that is 90% English should not make 'en' win every
+    * near-tie). Must cover every class exactly, with positive finite
+    * weights; the prior becomes `floor4(ln(w_c / Σw))` with the sum in
+    * sorted-class order, so any engine replays it from the recipe
+    * constants alone.
     */
   def predictMulticlass(docs: DataFrame, idCol: String, textCol: String,
-      labelCol: String, maxClasses: Int = 1000): DataFrame = {
+      labelCol: String, maxClasses: Int = 1000,
+      priorWeights: Map[String, Double] = Map.empty): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val lab = docs.select(col(labelCol).cast("string").as("__lbl"),
       col(textCol).as("__t"))
-    val classCount = lab.select(col("__lbl")).distinct().count()
-    require(classCount >= 2 && classCount <= maxClasses,
-      s"predictMulticlass: $classCount classes (need 2..$maxClasses)")
-    val classes = lab.select(col("__lbl")).distinct()
-      .collect().map(_.getString(0)).sorted
-    val clsAggs = classes.map(c =>
-      sum(when(col("__lbl") === c, 1L).otherwise(0L)).as(s"__c_$c"))
+    // one distinct-collect guards the class set AND surfaces nulls —
+    // a null label is a data error, not a class (it would NPE the
+    // sort and produce an unmatchable aggregation column)
+    val classesRaw = lab.select(col("__lbl")).distinct()
+      .collect().map(_.getString(0))
+    require(!classesRaw.contains(null),
+      "predictMulticlass: null labels — filter or relabel them first")
+    require(classesRaw.length >= 2 && classesRaw.length <= maxClasses,
+      s"predictMulticlass: ${classesRaw.length} classes (need 2..$maxClasses)")
+    val classes = classesRaw.sorted
+    // index-based internal column names: a label value containing a
+    // dot/backtick (or case-variant duplicates under case-insensitive
+    // resolution) must never reach an identifier
+    val clsAggs = classes.indices.map(i =>
+      sum(when(col("__lbl") === classes(i), 1L).otherwise(0L)).as(s"__c$i"))
     val tokC = lab
       .select(col("__lbl"), explode(TextFunctions.tokens(col("__t"))).as("__w"))
       .select(col("__lbl"), xxhash64(col("__w")).as("__th"))
       .groupBy("__th")
       .agg(clsAggs.head, clsAggs.tail: _*)
       .localCheckpoint(true)
-    val totAggs = classes.map(c => sum(col(s"__c_$c")).as(s"__n_$c")) :+
+    val totAggs = classes.indices.map(i => sum(col(s"__c$i")).as(s"__n$i")) :+
       count(lit(1)).as("__v")
     val tot = tokC.agg(totAggs.head, totAggs.tail: _*).collect()(0)
     val v = tot.getLong(classes.length)
@@ -232,11 +255,21 @@ object QualityClassifier {
     val docC = lab.groupBy("__lbl").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val dTotal = docC.values.sum
-    val priors = classes.map(c =>
-      grid(docC(c).toDouble / dTotal)) // every class has >= 1 doc by construction
+    val priors =
+      if (priorWeights.nonEmpty) {
+        require(priorWeights.keySet == classes.toSet,
+          s"predictMulticlass: priorWeights must cover the classes exactly " +
+            s"(classes=${classes.toSeq}, weights=${priorWeights.keySet.toSeq.sorted})")
+        require(priorWeights.values.forall(w =>
+            w > 0 && !w.isNaN && !w.isInfinite),
+          "predictMulticlass: prior weights must be positive and finite")
+        val z = classes.map(priorWeights).sum // sorted-class order: replayable
+        classes.map(c => grid(priorWeights(c) / z))
+      } else classes.map(c =>
+        grid(docC(c).toDouble / dTotal)) // every class has >= 1 doc by construction
     // model row: (hash, per-class grid log-prob array in `classes` order)
-    val lpArr = array(classes.map(c =>
-      floor(log((col(s"__c_$c") + lit(1.0)) / lit((nc(c) + v).toDouble))
+    val lpArr = array(classes.indices.map(i =>
+      floor(log((col(s"__c$i") + lit(1.0)) / lit((nc(classes(i)) + v).toDouble))
         * lit(10000.0)).cast("long")): _*)
     val model = tokC.select(col("__th"), lpArr.as("__lp"))
     val defaults = classes.map(c => grid(1.0 / (nc(c) + v)))
@@ -283,11 +316,13 @@ object QualityClassifier {
     import spark.implicits._
     val lab = docs.select(col(labelCol).cast("string").as("__lbl"),
       col(textCol).as("__t"))
-    val classCount = lab.select(col("__lbl")).distinct().count()
-    require(classCount >= 2 && classCount <= maxClasses,
-      s"buildNbMulticlassIndex: $classCount classes (need 2..$maxClasses)")
-    val classes = lab.select(col("__lbl")).distinct()
-      .collect().map(_.getString(0)).sorted
+    val classesRaw = lab.select(col("__lbl")).distinct()
+      .collect().map(_.getString(0))
+    require(!classesRaw.contains(null),
+      "buildNbMulticlassIndex: null labels — filter or relabel them first")
+    require(classesRaw.length >= 2 && classesRaw.length <= maxClasses,
+      s"buildNbMulticlassIndex: ${classesRaw.length} classes (need 2..$maxClasses)")
+    val classes = classesRaw.sorted
     val clsAggs = classes.indices.map(i =>
       sum(when(col("__lbl") === classes(i), 1L).otherwise(0L)).as(s"c$i"))
     val tokC = lab
@@ -316,9 +351,14 @@ object QualityClassifier {
 
   /** Load a [[buildNbMulticlassIndex]] artifact (sorted keys, flat
     * per-class grid table) — count-guarded before the collect.
+    * `priorWeights`: optional recipe prior override, the
+    * [[predictMulticlass]] contract (grid `ln(w_c / Σw)`, sorted-class
+    * sum order) applied at load time so one persisted model can serve
+    * under different mix assumptions.
     */
   def loadNbMulticlassModel(spark: org.apache.spark.sql.SparkSession,
-      path: String, maxEntries: Long = 32L << 20): NbMulticlassModel = {
+      path: String, maxEntries: Long = 32L << 20,
+      priorWeights: Map[String, Double] = Map.empty): NbMulticlassModel = {
     val vdir = graft.sources.IndexIO.resolve(spark, path)
     val entries = spark.read.parquet(s"$vdir/tokens").count()
     require(entries <= maxEntries,
@@ -343,9 +383,20 @@ object QualityClassifier {
       i += 1
     }
     val dTotal = ds.sum
+    val priors =
+      if (priorWeights.nonEmpty) {
+        require(priorWeights.keySet == classes.toSet,
+          s"loadNbMulticlassModel: priorWeights must cover the classes exactly " +
+            s"(classes=${classes.toSeq}, weights=${priorWeights.keySet.toSeq.sorted})")
+        require(priorWeights.values.forall(w =>
+            w > 0 && !w.isNaN && !w.isInfinite),
+          "loadNbMulticlassModel: prior weights must be positive and finite")
+        val z = classes.map(priorWeights).sum
+        classes.map(c => grid(priorWeights(c) / z)).toArray
+      } else classes.indices.map(c => grid(ds(c).toDouble / dTotal)).toArray
     NbMulticlassModel(classes, keys, lps,
       defaults = classes.indices.map(c => grid(1.0 / (ns(c) + v))).toArray,
-      priors = classes.indices.map(c => grid(ds(c).toDouble / dTotal)).toArray)
+      priors = priors)
   }
 
   /** Predict with a loaded pruned multiclass model via the in-row

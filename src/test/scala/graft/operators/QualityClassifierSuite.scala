@@ -195,6 +195,91 @@ class QualityClassifierSuite extends SparkSpec {
     assert(pruned(1L) == "A" && pruned(3L) == "B" && pruned(5L) == "C")
   }
 
+  test("recipe priors: skewed weights shift near-ties, scalar replica, validation") {
+    val docs = Seq(
+      (1L, "aaa aaa bbb shared", "A"),
+      (2L, "aaa shared shared", "A"),
+      (3L, "xxx yyy shared", "B"),
+      (4L, "xxx xxx yyy", "B"),
+      (5L, "shared shared", "A"), // near-tie doc: only the shared token
+      (6L, "shared", "B")).toDF("id", "text", "lbl")
+    val w = Map("A" -> 1.0, "B" -> 19.0)
+    val got = QualityClassifier.predictMulticlass(docs, "id", "text", "lbl",
+        priorWeights = w)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // scalar replica with the recipe-prior contract:
+    // prior = floor4(ln(w_c / Σw)), Σ in sorted-class order
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val rows = Seq(
+      (1L, "aaa aaa bbb shared", "A"), (2L, "aaa shared shared", "A"),
+      (3L, "xxx yyy shared", "B"), (4L, "xxx xxx yyy", "B"),
+      (5L, "shared shared", "A"), (6L, "shared", "B"))
+    val classes = rows.map(_._3).distinct.sorted
+    val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((_, t, l) <- rows; tk <- toks(t))
+      cnt((l, tk)) = cnt.getOrElse((l, tk), 0L) + 1
+    val vocab = rows.flatMap(r => toks(r._2)).distinct
+    val nC = classes.map(c => c -> cnt.filter(_._1._1 == c).values.sum).toMap
+    val v = vocab.size.toLong
+    def g(x: Double) = math.floor(math.log(x) * 10000).toLong
+    val z = classes.map(w).sum
+    val want = rows.map { case (id, t, _) =>
+      val scores = classes.map { c =>
+        (c, toks(t).map(tk =>
+          g((cnt.getOrElse((c, tk), 0L) + 1.0) / (nC(c) + v))).sum + g(w(c) / z))
+      }
+      id -> scores.minBy { case (c, s) => (-s, c) }._1
+    }.toMap
+    assert(got == want)
+    // the near-tie docs follow the 19x B prior; marker docs don't flip
+    assert(got(5L) == "B" && got(6L) == "B")
+    assert(got(1L) == "A" && got(3L) == "B")
+    // and WITHOUT the recipe, doc 5 reads A (data priors are balanced,
+    // its tokens slightly favor A) — the prior knob demonstrably acts
+    val plain = QualityClassifier.predictMulticlass(docs, "id", "text", "lbl")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(plain(5L) == "A")
+    // validation: weights must cover the classes exactly and be positive
+    for (bad <- Seq(Map("A" -> 1.0), Map("A" -> 1.0, "B" -> 1.0, "C" -> 1.0),
+        Map("A" -> 0.0, "B" -> 1.0), Map("A" -> -1.0, "B" -> 1.0))) {
+      val e = intercept[IllegalArgumentException] {
+        QualityClassifier.predictMulticlass(docs, "id", "text", "lbl",
+          priorWeights = bad)
+      }
+      assert(e.getMessage.contains("prior"), e.getMessage)
+    }
+    // loadNbMulticlassModel honors the same override
+    val p = java.nio.file.Files.createTempDirectory("nbmcpri").toString
+    QualityClassifier.buildNbMulticlassIndex(docs, "text", "lbl", p, minCount = 1)
+    val served = QualityClassifier.predictWithModel(docs, "id", "text",
+        QualityClassifier.loadNbMulticlassModel(spark, p, priorWeights = w))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(served == got)
+  }
+
+  test("labels that are not identifiers still work; null labels fail loudly") {
+    // dots, backticks, and case-variant duplicates must never reach an
+    // aggregation column name (index-based internal columns)
+    val docs = Seq(
+      (1L, "aaa aaa bbb", "x.y"), (2L, "aaa bbb bbb", "x.y"),
+      (3L, "xxx yyy yyy", "`X.Y`"), (4L, "xxx xxx yyy", "`X.Y`"),
+      (5L, "aaa xxx", "x.Y")).toDF("id", "text", "lbl")
+    val got = QualityClassifier.predictMulticlass(docs, "id", "text", "lbl")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 5 && got.values.toSet.subsetOf(Set("x.y", "`X.Y`", "x.Y")))
+    val withNull = Seq((1L, "a", "A"), (2L, "b", null: String), (3L, "c", "B"))
+      .toDF("id", "text", "lbl")
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.predictMulticlass(withNull, "id", "text", "lbl")
+    }
+    assert(e.getMessage.contains("null labels"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      QualityClassifier.buildNbMulticlassIndex(withNull, "text", "lbl",
+        java.nio.file.Files.createTempDirectory("nbnull").toString)
+    }
+    assert(e2.getMessage.contains("null labels"), e2.getMessage)
+  }
+
   test("one-class corpus fails loudly") {
     val docs = Seq((1L, "a b", true), (2L, "c", true)).toDF("id", "text", "lbl")
     val e = intercept[IllegalArgumentException] {
