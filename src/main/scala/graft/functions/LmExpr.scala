@@ -34,10 +34,8 @@ object LmScoreKernel {
       vocab: Long): InternalRow = {
     val bytes = text.getBytes
     // trim: String.trim strips chars <= U+0020 == bytes <= 0x20 in UTF-8
-    var lo = 0
-    var hi = bytes.length
-    while (lo < hi && (bytes(lo) & 0xff) <= 0x20) lo += 1
-    while (hi > lo && (bytes(hi - 1) & 0xff) <= 0x20) hi -= 1
+    val lo = 0
+    val hi = bytes.length
     // token ranges
     var n = 0L
     var lpSum = 0L
@@ -111,10 +109,8 @@ object LmScore3Kernel {
       uniKeys: Array[Long], uniCounts: Array[Long],
       vocab: Long, nTokens: Long): InternalRow = {
     val bytes = text.getBytes
-    var lo = 0
-    var hi = bytes.length
-    while (lo < hi && (bytes(lo) & 0xff) <= 0x20) lo += 1
-    while (hi > lo && (bytes(hi - 1) & 0xff) <= 0x20) hi -= 1
+    val lo = 0
+    val hi = bytes.length
     var n = 0L
     var lpSum = 0L
     var hPrev = 0L   // xxhash64(w_{i-1}) from seed 42
@@ -188,10 +184,8 @@ object LmScoreKnKernel {
       bwKeys: Array[Long], bwCounts: Array[Long],
       bTypes: Long, vocab: Long): InternalRow = {
     val bytes = text.getBytes
-    var lo = 0
-    var hi = bytes.length
-    while (lo < hi && (bytes(lo) & 0xff) <= 0x20) lo += 1
-    while (hi > lo && (bytes(hi - 1) & 0xff) <= 0x20) hi -= 1
+    val lo = 0
+    val hi = bytes.length
     var n = 0L
     var lpSum = 0L
     var prevHash = 0L
@@ -258,10 +252,8 @@ object LmScoreNKernel {
       keys: Array[Array[Long]], counts: Array[Array[Long]],
       vocab: Long, nTokens: Long): InternalRow = {
     val bytes = text.getBytes
-    var lo = 0
-    var hi = bytes.length
-    while (lo < hi && (bytes(lo) & 0xff) <= 0x20) lo += 1
-    while (hi > lo && (bytes(hi - 1) & 0xff) <= 0x20) hi -= 1
+    val lo = 0
+    val hi = bytes.length
     val factors = graft.operators.LangModel.backoffFactors(order)
     // chainPrev(k) / chainCur(k): xxhash64 of the k-gram ending at the
     // previous / current token (1-indexed; valid when enough seen)

@@ -31,10 +31,8 @@ object NbScoreKernel {
       keys: Array[Long], deltas: Array[Long],
       defaultDelta: Long): InternalRow = {
     val bytes = text.getBytes
-    var lo = 0
-    var hi = bytes.length
-    while (lo < hi && (bytes(lo) & 0xff) <= 0x20) lo += 1
-    while (hi > lo && (bytes(hi - 1) & 0xff) <= 0x20) hi -= 1
+    val lo = 0
+    val hi = bytes.length
     var n = 0L
     var s = 0L
     var i = lo
@@ -83,10 +81,8 @@ object NbPredictKernel {
       defaults: Array[Long], priors: Array[Long]): Int = {
     val nc = priors.length
     val bytes = text.getBytes
-    var lo = 0
-    var hi = bytes.length
-    while (lo < hi && (bytes(lo) & 0xff) <= 0x20) lo += 1
-    while (hi > lo && (bytes(hi - 1) & 0xff) <= 0x20) hi -= 1
+    val lo = 0
+    val hi = bytes.length
     val acc = new Array[Long](nc)
     var n = 0L
     var i = lo

@@ -14,12 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[TextFunctions.distinctShingles]]' semantics EXACTLY (the
   * differential spec in TextFunctionsSuite pins them together):
   *
-  *  - trim strips leading/trailing chars <= U+0020 (`String.trim`);
-  *    in UTF-8 those are exactly the bytes <= 0x20 — multi-byte
-  *    sequences only use bytes >= 0x80, so byte scanning is exact;
-  *  - tokens split on runs of Java-regex `\s` = [ \t\n\x0B\f\r]
-  *    (ASCII-only by default — NBSP etc. are NOT separators), empties
-  *    dropped;
+  *  - tokens are maximal runs of non-`\s` bytes, Java-regex
+  *    `\s` = [ \t\n\x0B\f\r ] (ASCII-only by default — NBSP etc. are
+  *    NOT separators; multi-byte UTF-8 sequences only use bytes
+  *    >= 0x80, so byte scanning is exact). No `String.trim`-style
+  *    `<= 0x20` edge strip: edge C0 controls stay attached to their
+  *    token, matching the column path and the SQL oracles;
   *  - shingles are the n-token windows joined by a single space,
   *    DISTINCT in first-occurrence order (`UTF8String` equality is
   *    binary equality, same as `String` equality on the decoded text).
@@ -35,10 +35,8 @@ object ShinglesKernel {
     * [[TextFunctions.tokenize]] / `tokens()` (suite-pinned).
     */
   private[functions] def tokenSpans(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
-    var lo = 0
-    var hi = bytes.length
-    while (lo < hi && (bytes(lo) & 0xff) <= 0x20) lo += 1
-    while (hi > lo && (bytes(hi - 1) & 0xff) <= 0x20) hi -= 1
+    val lo = 0
+    val hi = bytes.length
     var cap = 16
     var starts = new Array[Int](cap)
     var ends = new Array[Int](cap)

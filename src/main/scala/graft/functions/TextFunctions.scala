@@ -24,10 +24,16 @@ object TextFunctions {
     * Kept here so a change to tokenization cannot desynchronize the
     * kernels from the expression; TextFunctionsSuite pins their
     * agreement on whitespace edge cases.
+    *
+    * Tokens are maximal runs of non-`\s` characters, NOTHING more: no
+    * `String.trim` — its `<= U+0020` edge strip would detach leading
+    * C0 controls (0x01–0x08, 0x0E–0x1F) from the first/last token
+    * where the column path (whose SQL `trim` only strips spaces, in
+    * Spark and in the DuckDB oracles alike) keeps them attached.
     */
   private[graft] val tokenize: String => Array[String] = { text =>
     if (text == null) Array.empty[String]
-    else text.trim.split("\\s+").filter(_.nonEmpty)
+    else text.split("\\s+").filter(_.nonEmpty)
   }
 
   /** Word n-gram shingles (space-joined), distinct, first-occurrence

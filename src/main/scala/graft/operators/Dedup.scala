@@ -866,15 +866,50 @@ object Dedup {
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"hammingJoin64: maxHamming must be in [0, 64), got $maxHamming")
-    val lids = left.select(col(leftIdCol).as("__id"), col(leftSigCol).as("__sig"))
-    val rids = right.select(col(rightIdCol).as("__id"), col(rightSigCol).as("__sig"))
-    val sigPairs = distinctSigPairs64(
-      lids.select(col("__sig")).distinct(),
-      rids.select(col("__sig")).distinct(), maxHamming, oriented = false)
-    sigPairs
-      .join(lids.as("ia"), col("sig_a") === col("ia.__sig"))
-      .join(rids.as("ib"), col("sig_b") === col("ib.__sig"))
-      .select(col("ia.__id").as("id_a"), col("ib.__id").as("id_b"), col("hamming"))
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    def chunkOf(s: Column, c: Int): Column =
+      shiftrightunsigned(s, c * width).bitwiseAND(lit(mask))
+    // A STREAMING side is never collapsed: `distinct()` on a stream is
+    // an unbounded stateful dedup and the re-expansion would become a
+    // stream-stream self-join — the streaming image-dedup gate must
+    // stay the stateless blocked stream-static join it always was
+    // (micro-batches bound the per-trigger block work on that side).
+    // Batch sides collapse to distinct signatures as in
+    // [[hammingPairs64]].
+    val lids = left.select(col(leftIdCol).as("__lid"), col(leftSigCol).as("__lsig"))
+    val rids = right.select(col(rightIdCol).as("__rid"), col(rightSigCol).as("__rsig"))
+    val collapseL = !left.isStreaming
+    val collapseR = !right.isStreaming
+    def blocked(df: DataFrame, sigName: String, cn: String, cvn: String): DataFrame =
+      df.select(col("*"),
+        posexplode(array((0 until chunks).map(c => chunkOf(col(sigName), c)): _*))
+          .as(Seq(cn, cvn)))
+    val aRaw = if (collapseL) lids.select(col("__lsig")).distinct() else lids
+    val bRaw = if (collapseR) rids.select(col("__rsig")).distinct() else rids
+    val firstShared = (chunks - 1 to 0 by -1).foldLeft(lit(chunks)) { (acc, c) =>
+      when(chunkOf(col("__lsig"), c) === chunkOf(col("__rsig"), c), lit(c))
+        .otherwise(acc)
+    }
+    val joined = blocked(aRaw, "__lsig", "__ca", "__cva")
+      .join(blocked(bRaw, "__rsig", "__cb", "__cvb"),
+        col("__ca") === col("__cb") && col("__cva") === col("__cvb") &&
+          col("__ca") === firstShared)
+      .select(
+        (if (collapseL) col("__lsig") else col("__lid")).as("__ea"),
+        (if (collapseR) col("__rsig") else col("__rid")).as("__eb"),
+        bit_count(col("__lsig").bitwiseXOR(col("__rsig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    val exL =
+      if (collapseL)
+        joined.join(lids, col("__ea") === col("__lsig")).drop("__ea", "__lsig")
+      else joined.withColumnRenamed("__ea", "__lid")
+    val exR =
+      if (collapseR)
+        exL.join(rids, col("__eb") === col("__rsig")).drop("__eb", "__rsig")
+      else exL.withColumnRenamed("__eb", "__rid")
+    exR.select(col("__lid").as("id_a"), col("__rid").as("id_b"), col("hamming"))
   }
 
   /** Raw-row (uncollapsed) form of [[hammingJoin64]] — differential

@@ -200,14 +200,40 @@ object Sampling {
     *
     * No single-partition sort of the DATA: the cumulative walk runs
     * over the DISTINCT-score table (one row per score value — tiny for
-    * grid-valued scores; quantize a continuous score first), and rows
-    * only rank within their own score's tie window. A row's rank is
-    * `(rows with a strictly better score) + (its tie rank) − 1`.
+    * grid-valued scores), and rows only rank within their own score's
+    * tie window. A row's rank is `(rows with a strictly better
+    * score) + (its tie rank) − 1`.
+    *
+    * SCORE-GRID CONTRACT: the walk is bounded only when the score has
+    * few distinct values — every gate caller here passes 1e-4-grid
+    * scores. A RAW continuous score makes the distinct table ≈ the
+    * full table and the ordered walk a single-partition sort: pass
+    * `scoreGrid = Some(g)` to quantize first (`floor(score·g)` as a
+    * long — order-preserving across cells, ties inside a cell break by
+    * the deterministic md5 rule like any equal-score run).
     */
+  /** The distinct-score walk's quantization knob: `None` passes the
+    * score through (the caller promises it is already grid-valued —
+    * every gate caller here floors onto the 1e-4 grid); `Some(g)`
+    * floors onto `1/g`-wide cells as exact longs, keeping the walk's
+    * distinct table bounded for raw continuous scores.
+    */
+  private def gridScore(score: Column, grid: Option[Double]): Column =
+    grid match {
+      case Some(g) =>
+        require(g > 0 && !g.isNaN && !g.isInfinite,
+          s"scoreGrid must be positive and finite, got $g")
+        floor(score * lit(g)).cast("long")
+      case None => score
+    }
+
   def curriculumRank(df: DataFrame, idCol: String, score: Column,
-      ascending: Boolean = true, rankCol: String = "rank"): DataFrame = {
+      ascending: Boolean = true, rankCol: String = "rank",
+      scoreGrid: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withS = df.withColumn("__sc", score)
+    require(!df.columns.exists(Seq("__sc", "__cb", rankCol).contains),
+      s"curriculumRank: input must not carry columns __sc/__cb/$rankCol")
+    val withS = df.withColumn("__sc", gridScore(score, scoreGrid))
     val cnt = withS.groupBy(col("__sc")).agg(count(lit(1)).as("__c"))
     val ord = if (ascending) col("__sc").asc else col("__sc").desc
     val wOrd = Window.orderBy(ord)
@@ -545,14 +571,23 @@ object Sampling {
     * row-level sort touches the boundary score's rows; a pathological
     * group where every row shares one score degrades to sorting that
     * group, which is the problem statement itself.
+    *
+    * SCORE-GRID CONTRACT (see [[curriculumRank]]): the distinct-score
+    * table is only "tiny next to the data" for grid-valued scores —
+    * pass `scoreGrid = Some(g)` to quantize a raw continuous score, or
+    * the walk degrades to a per-group sort of all rows.
     */
   def topFractionPerGroup(
       df: DataFrame, groupCol: String, idCol: String, score: Column,
-      numer: Long, denom: Long): DataFrame = {
+      numer: Long, denom: Long, scoreGrid: Option[Double] = None): DataFrame = {
     require(denom > 0, s"topFractionPerGroup: denom must be positive, got $denom")
     require(numer >= 0, s"topFractionPerGroup: negative numer $numer")
     import org.apache.spark.sql.expressions.Window
-    val withS = df.withColumn("__sc", score)
+    require(!df.columns.exists(
+        Seq("__sc", "__cum", "__keep", "__slots", "__rk").contains),
+      "topFractionPerGroup: input must not carry columns " +
+        "__sc/__cum/__keep/__slots/__rk")
+    val withS = df.withColumn("__sc", gridScore(score, scoreGrid))
     val cnt = withS.groupBy(col(groupCol), col("__sc"))
       .agg(count(lit(1)).as("__c"))
     val wg = Window.partitionBy(col(groupCol))
@@ -587,19 +622,22 @@ object Sampling {
     * runs over the DISTINCT-score table; the only row-level window
     * ranks ties within one `(group, score)` — a row's global rank is
     * `(rows above its score) + (its tie rank)`, so no per-group
-    * global sort exists anywhere.
+    * global sort exists anywhere. Same SCORE-GRID CONTRACT too:
+    * quantize raw continuous scores via `scoreGrid`.
     */
   def quantileLabelsPerGroup(
       df: DataFrame, groupCol: String, idCol: String, score: Column,
       cuts: Seq[(Long, Long)], labels: Seq[String],
-      labelCol: String = "bucket"): DataFrame = {
+      labelCol: String = "bucket", scoreGrid: Option[Double] = None): DataFrame = {
     require(labels.length == cuts.length + 1,
       s"quantileLabelsPerGroup: ${cuts.length} cuts need ${cuts.length + 1} " +
         s"labels, got ${labels.length}")
     require(cuts.forall { case (nu, de) => de > 0 && nu >= 0 },
       s"quantileLabelsPerGroup: invalid cut in $cuts")
     import org.apache.spark.sql.expressions.Window
-    val withS = df.withColumn("__sc", score)
+    require(!df.columns.exists(Seq("__sc", "__cb", "__n", labelCol).contains),
+      s"quantileLabelsPerGroup: input must not carry columns __sc/__cb/__n/$labelCol")
+    val withS = df.withColumn("__sc", gridScore(score, scoreGrid))
     val cnt = withS.groupBy(col(groupCol), col("__sc"))
       .agg(count(lit(1)).as("__c"))
     val wg = Window.partitionBy(col(groupCol))

@@ -27,7 +27,13 @@ class TextFunctionsSuite extends SparkSpec {
       null, "", " ", "   ", "\t", "\n", "\f\r",
       "a", " a ", "a b", "a  b", "\ta\tb\t", "a\nb", " \n a \t b \r ",
       "one two three", "x y", // NBSP is NOT \s — must stay one token
-      "trailing  ", "  leading", "mixed \t\n mixed")
+      "trailing  ", "  leading", "mixed \t\n mixed",
+      // C0 controls outside \s are TOKEN BYTES, at the edges too: a
+      // String.trim-style <= 0x20 edge strip would detach them where
+      // split(trim(text), \s+) — Spark and the DuckDB oracles — keeps
+      // them attached (the round-12 serving-kernel alignment fix)
+      "\u0001abc", "abc\u0001", "\u0002\u0001abc def\u001f",
+      "\u0007 a \u0007", "\u0001", "\u000ea\u0001b", " \u0001x ")
     for (txt <- cases) {
       // tokens(null) is a null array and tokenize(null) an empty one —
       // both explode to zero rows, the shape every kernel consumes

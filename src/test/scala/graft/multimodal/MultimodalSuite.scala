@@ -364,6 +364,12 @@ class MultimodalSuite extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       assert(live == batch)
       assert(batch.nonEmpty)
+      // the gate is STATELESS: the probe side must stay a blocked
+      // stream-static join — the batch-side distinct-sig collapse must
+      // never become a streaming dedup + stream-stream join (unbounded
+      // state on a 24/7 ingest gate)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        q.lastProgress.stateOperators.map(_.operatorName).mkString(","))
     } finally q.stop()
   }
 

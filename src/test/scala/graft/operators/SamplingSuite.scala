@@ -263,6 +263,67 @@ class SamplingSuite extends SparkSpec {
     }
   }
 
+  test("scoreGrid quantizes continuous scores for the distinct-score walks") {
+    // raw continuous doubles would make the walk's distinct table the
+    // whole corpus; the knob applies the DOCUMENTED quantization —
+    // floor(score·g) as a long — so the result must equal running the
+    // operator on that pre-quantized column
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map(i =>
+      (i.toLong, s"src${i % 3}", rnd.nextGaussian()))
+    val df = rows.toDF("id", "source", "sc").repartition(5)
+    val pre = df.withColumn("q", floor($"sc" * 100).cast("long"))
+    val viaKnob = Sampling.curriculumRank(df, "id", $"sc",
+        scoreGrid = Some(100.0))
+      .select("id", "rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPre = Sampling.curriculumRank(pre.drop("sc"), "id", $"q")
+      .select("id", "rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKnob == viaPre)
+    val topKnob = rowSet(Sampling.topFractionPerGroup(
+      df, "source", "id", $"sc", 3, 10, scoreGrid = Some(100.0)).select("id"))
+    val topPre = rowSet(Sampling.topFractionPerGroup(
+      pre.drop("sc"), "source", "id", $"q", 3, 10).select("id"))
+    assert(topKnob == topPre && topKnob.nonEmpty)
+    val labKnob = rowSet(Sampling.quantileLabelsPerGroup(
+      df, "source", "id", $"sc", Seq((1L, 3L), (2L, 3L)),
+      Seq("head", "middle", "tail"), scoreGrid = Some(100.0))
+      .select("id", "bucket"))
+    val labPre = rowSet(Sampling.quantileLabelsPerGroup(
+      pre.drop("sc"), "source", "id", $"q", Seq((1L, 3L), (2L, 3L)),
+      Seq("head", "middle", "tail")).select("id", "bucket"))
+    assert(labKnob == labPre)
+    // a bad grid fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Sampling.curriculumRank(df, "id", $"sc", scoreGrid = Some(0.0))
+    }
+    assert(e.getMessage.contains("scoreGrid"))
+  }
+
+  test("distinct-score walks reject inputs that collide with internal columns") {
+    // withColumn would silently OVERWRITE a pre-existing __sc and the
+    // final select would restore the corrupted value
+    val bad = Seq((1L, "a", 2L, 9L)).toDF("id", "source", "sc", "__sc")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.curriculumRank(bad, "id", $"sc")
+    }
+    assert(e1.getMessage.contains("__sc"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.topFractionPerGroup(bad, "source", "id", $"sc", 1, 2)
+    }
+    assert(e2.getMessage.contains("__sc"))
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.quantileLabelsPerGroup(bad, "source", "id", $"sc",
+        Seq((1L, 2L)), Seq("a", "b"))
+    }
+    assert(e3.getMessage.contains("__sc"))
+    // output-column collisions are rejected too, not silently duplicated
+    val dupOut = Seq((1L, "a", 2L, 3L)).toDF("id", "source", "sc", "rank")
+    val e4 = intercept[IllegalArgumentException] {
+      Sampling.curriculumRank(dupOut, "id", $"sc")
+    }
+    assert(e4.getMessage.contains("rank"))
+  }
+
   test("keepByProbability: per-row membership, endpoints, clamp, determinism") {
     val df = (0 until 2000).map(i => (i.toLong, i % 4)).toDF("id", "cls")
     // p = 0 keeps none, p = 1 keeps all, p out of range clamps
