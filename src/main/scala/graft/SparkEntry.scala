@@ -1336,6 +1336,84 @@ object SparkEntry {
       Multimodal.imageNearDupPairsPhash(withP, "doc_id", "payload", maxHamming = 16)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     }),
+    "multimodal_image_dedup_phash_indexed" -> ((s, dir) => {
+      // the INCREMENTAL pHash form: even docs' geometric variants are
+      // hashed ONCE into a persisted index, odd docs (their own
+      // variants — possibly a DIFFERENT render of the same pattern)
+      // probe at radius 16. Matches ≡ same-pattern (odd, even) pairs:
+      // the probe sees pairs across rescale/crop variants, which the
+      // aHash index cannot (MultimodalSuite pins the margins).
+      val d = t(s, dir, "documents").select("doc_id")
+      def render(kind: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h) {
+          val fx = x.toDouble / w
+          val fy = y.toDouble / h
+          val bright = kind match {
+            case 1 => fx > fy
+            case 2 => (fx - 0.5) * (fx - 0.5) + (fy - 0.5) * (fy - 0.5) < 0.09
+            case _ => fx + fy < 0.7
+          }
+          val v = if (bright) 210 else 45
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        img
+      }
+      def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        buf.toByteArray
+      }
+      val payloads = for (kind <- Seq(1, 2, 4); v <- 0 until 3) yield v match {
+        case 0 => png(render(kind, 64, 64))
+        case 1 => png(render(kind, 96, 96))
+        case _ =>
+          val base = render(kind, 64, 64)
+          val sub = base.getSubimage(4, 4, 56, 56)
+          val out = new java.awt.image.BufferedImage(
+            56, 56, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try g.drawImage(sub, 0, 0, null) finally g.dispose()
+          png(out)
+      }
+      val withP = d.withColumn("payload",
+        element_at(array(payloads.map(lit(_)): _*), (col("doc_id") % 9).cast("int") + 1))
+      val idx = scratch("phash_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        Multimodal.buildPHashIndex(
+          withP.filter(col("doc_id") % 2 === 0), "doc_id", "payload", idx)
+      Multimodal.dedupAgainstPHashIndex(s,
+          withP.filter(col("doc_id") % 2 === 1), "doc_id", "payload", idx,
+          maxHamming = 16)
+        .select(col("doc_id"), col("index_id"))
+    }),
+    "multimodal_video_dedup" -> ((s, dir) => {
+      // payload-level video near-dup: every 5th doc carries a 512-byte
+      // "video" of eight aligned 64-byte blocks — blocks 0..6 shared by
+      // the doc's class (doc_id % 3), block 7 unique per doc. Videos
+      // sharing >= 7 sampled frames are the same-class pairs exactly
+      // (cross-class shares zero), so the oracle is the assignment
+      // rule with the constant shared-frame count. Hot-frame cutoff
+      // passed explicitly above every class's posting size: the gate
+      // exercises the informative-frame path (the cutoff tradeoff is
+      // suite-pinned).
+      val d = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 5 === 0)
+      def block(tag: String): Array[Byte] =
+        java.util.Arrays.copyOf(s"BLOCK:$tag:".getBytes("UTF-8"), 64)
+      val classBlocks = (0 until 3).map(cls =>
+        (0 until 7).map(i => block(s"c$cls-$i")).reduce(_ ++ _))
+      val withP = d.withColumn("payload",
+        concat(
+          element_at(array(classBlocks.map(lit(_)): _*),
+            (col("doc_id") % 3).cast("int") + 1),
+          encode(rpad(concat(lit("BLOCK:doc"), col("doc_id"), lit(":")),
+            64, ":"), "UTF-8")))
+      Multimodal.videoNearDupPairs(withP, "doc_id", "payload",
+          nFrames = 8, minShared = 7, hotFrameCutoff = 100000)
+        .select(col("id_a"), col("id_b"), col("n_shared"))
+    }),
     "multimodal_audio_dedup" -> ((s, dir) => {
       // audio near-dup on the gate: five distinct energy-envelope WAVs
       // assigned by doc_id % 5 (identical bytes per class) — radius-0
@@ -3413,6 +3491,20 @@ object SparkEntry {
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           |FROM documents a JOIN documents b
           |  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id""".stripMargin,
+      // same-pattern (odd probe, even index) pairs from the rule —
+      // across geometric variants, which only the DCT index survives
+      "multimodal_image_dedup_phash_indexed" ->
+        """SELECT a.doc_id, b.doc_id AS index_id
+          |FROM documents a JOIN documents b
+          |  ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          | AND (a.doc_id % 9) // 3 = (b.doc_id % 9) // 3""".stripMargin,
+      // same-class pairs share exactly the 7 class blocks; the unique
+      // tail block never matches, cross-class shares nothing
+      "multimodal_video_dedup" ->
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(7 AS BIGINT) AS n_shared
+          |FROM documents a JOIN documents b
+          |  ON a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+          | AND a.doc_id % 3 = b.doc_id % 3 AND a.doc_id < b.doc_id""".stripMargin,
       // same-pattern pairs from the doc_id % 9 assignment rule (three
       // patterns × three geometric variants; the radius-16 join must
       // reproduce the pattern grouping exactly)

@@ -869,6 +869,55 @@ object Multimodal {
       .select(col("id_a").as(idCol), col("id_b").as("index_id"), col("hamming"))
   }
 
+  /** [[buildAHashIndex]] with the DCT hash — the crop/rescale-robust
+    * index. Same layout (the stored hash column is named `ahash`
+    * whatever the function — the audio index already does this), same
+    * segment/tombstone lifecycle; only the fingerprint differs, so
+    * probes must come through [[dedupAgainstPHashIndex]].
+    */
+  def buildPHashIndex(df: DataFrame, idCol: String, binCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    graft.sources.IndexIO.publish(spark, path) { vdir =>
+      withPHash(df, binCol, Seq(idCol)).withColumnRenamed("phash", "ahash")
+        .write.mode("overwrite").parquet(s"$vdir/hashes")
+    }
+    ()
+  }
+
+  /** Append a batch's DCT hashes as an immutable delta segment. */
+  def appendToPHashIndex(df: DataFrame, idCol: String, binCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
+      withPHash(df, binCol, Seq(idCol)).withColumnRenamed("phash", "ahash")
+        .write.mode("overwrite").parquet(s"$vdir/hashes")
+    }
+    ()
+  }
+
+  /** Probe a batch against a [[buildPHashIndex]] artifact — the
+    * [[dedupAgainstAHashIndex]] machinery with the batch hashed by
+    * [[pHash64]]; tombstones via [[deleteFromAHashIndex]] (shared
+    * layout). Streaming batches stay a stateless blocked
+    * stream-static join like the aHash gate.
+    */
+  def dedupAgainstPHashIndex(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, binCol: String, path: String,
+      maxHamming: Int = 16): DataFrame = {
+    val data = graft.sources.IndexIO.chainTable(spark, path, "hashes")
+      .getOrElse(throw new IllegalStateException(
+        s"dedupAgainstPHashIndex: no hashes at $path"))
+    val tomb = graft.sources.IndexIO.chainTable(spark, path, "tombstones")
+    val live = graft.sources.IndexIO.withoutTombstoned(data, tomb, idCol)
+    graft.operators.Dedup.hammingJoin64(
+        withPHash(batch, binCol, Seq(idCol)), idCol, "phash",
+        live.withColumnRenamed(idCol, "__index_id"), "__index_id", "ahash",
+        maxHamming)
+      .select(col("id_a").as(idCol), col("id_b").as("index_id"), col("hamming"))
+  }
+
   /** Probe a batch of images against the persisted index: the batch is
     * decoded once, the index contributes 8-byte rows only, candidates
     * meet on shared signature chunks
@@ -908,5 +957,56 @@ object Multimodal {
             i => col(binCol).substr(i * step + 1, step)))
           .as(Seq("frame_idx", "frame_bytes")))
       .filter(length(col("frame_bytes")) > 0)
+  }
+
+  /** Near-duplicate VIDEO pairs by SHARED SAMPLED FRAMES: slice each
+    * payload into `nFrames` byte-range frames (the [[frameSample]]
+    * rule), hash each frame (`xxhash64` — codegen'd, 8 bytes per frame
+    * cross the shuffle), count frames that match at the SAME index,
+    * keep pairs sharing at least `minShared`. Catches re-uploads,
+    * re-wraps that keep the media payload, and partially-corrupted
+    * copies of the same object; a re-encode changes every byte, which
+    * without codecs (none in the JDK — the multimodal decode contract)
+    * no payload-level method can see through.
+    *
+    * Hot-frame cutoff: frames whose posting list exceeds
+    * `hotFrameCutoff` videos are DISCARDED as evidence before the
+    * pair join — constant padding/boilerplate blocks (the video
+    * sibling of the blank-image signature and the boilerplate
+    * shingle) would otherwise make one `(frame_idx, hash)` block
+    * quadratic. The tradeoff is explicit: two videos that agree ONLY
+    * on boilerplate frames no longer pair, which is the
+    * `ngramJaccardAuto` hot-posting contract. Output
+    * `(id_a, id_b, n_shared)`.
+    */
+  def videoNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      nFrames: Int = 16, minShared: Int = 2,
+      hotFrameCutoff: Long = 1024): DataFrame = {
+    require(nFrames > 0 && minShared > 0 && hotFrameCutoff > 1,
+      s"videoNearDupPairs: bad parameters ($nFrames, $minShared, $hotFrameCutoff)")
+    val len = length(col(binCol))
+    val step = greatest((len / nFrames).cast(IntegerType), lit(1))
+    val frames = df.select(col(idCol).as("__id"),
+        posexplode(
+          transform(sequence(lit(0), lit(nFrames - 1)),
+            i => col(binCol).substr(i * step + 1, step)))
+          .as(Seq("__fi", "__fb")))
+      .filter(length(col("__fb")) > 0)
+      .select(col("__id"), col("__fi"), xxhash64(col("__fb")).as("__fh"))
+    // posting-size gate BEFORE the self-join (one extra aggregation
+    // keyed like the join itself)
+    val informative = frames
+      .withColumn("__post",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__fi"), col("__fh"))))
+      .filter(col("__post") <= hotFrameCutoff)
+      .drop("__post")
+    informative.as("a")
+      .join(informative.hint("shuffle_hash").as("b"),
+        col("a.__fi") === col("b.__fi") && col("a.__fh") === col("b.__fh") &&
+          col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 }

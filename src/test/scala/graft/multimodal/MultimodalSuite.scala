@@ -495,6 +495,73 @@ class MultimodalSuite extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("pHash index lifecycle: build/append/probe == naive; tombstones drop matches") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // 3 patterns; even ids -> index (original render), odd ids probe
+    // with the RESCALED render — only the DCT hash survives that
+    val imgs = (0 until 12).map { i =>
+      val kind = Seq(1, 2, 4)(i % 3)
+      (i.toLong, if (i % 2 == 0) structImage(kind, 64, 64, 0)
+                 else structImage(kind, 96, 96, 0))
+    }
+    val (idxSide, probeSide) = imgs.partition(_._1 % 2 == 0)
+    val p = java.nio.file.Files.createTempDirectory("phashidx").toString
+    Multimodal.buildPHashIndex(
+      idxSide.take(4).toDF("id", "payload"), "id", "payload", p)
+    Multimodal.appendToPHashIndex(
+      idxSide.drop(4).toDF("id", "payload"), "id", "payload", p)
+    def probe() = Multimodal.dedupAgainstPHashIndex(
+        spark, probeSide.toDF("id", "payload"), "id", "payload", p,
+        maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val naive = (for {
+      (pa, pb) <- probeSide.map { case (i, b) => i -> Multimodal.pHash64(b) }
+      (ia, ib) <- idxSide.map { case (i, b) => i -> Multimodal.pHash64(b) }
+      if ham(pb, ib) <= 16
+    } yield (pa, ia, ham(pb, ib))).toSet
+    assert(probe() == naive && naive.nonEmpty)
+    // same-pattern cross-variant pairs found (rescale-robust probe);
+    // an aHash probe at the usual radius would miss these pairs
+    assert(naive.forall { case (a, b, _) => a % 3 == b % 3 })
+    // tombstone a victim: its matches vanish, others stay
+    val victim = naive.head._2
+    Multimodal.deleteFromAHashIndex(Seq(victim).toDF("id"), "id", p)
+    assert(probe() == naive.filterNot(_._2 == victim))
+  }
+
+  test("videoNearDupPairs: shared-frame pairs, hot-frame cutoff, exact counts") {
+    // payloads: 8 aligned 64-byte blocks — blocks 0..6 shared per
+    // class (doc_id % 3), block 7 unique per doc
+    def block(tag: String): Array[Byte] =
+      java.util.Arrays.copyOf(s"BLOCK:$tag:".getBytes("UTF-8"), 64)
+    def payload(id: Long, cls: Int, boiler: Boolean): Array[Byte] = {
+      val blocks = (0 until 7).map(i =>
+        if (boiler) block("BOILER") else block(s"c$cls-$i")) :+ block(s"doc$id")
+      blocks.reduce(_ ++ _)
+    }
+    val docs = (0 until 12).map(i => (i.toLong, payload(i, i % 3, boiler = false)))
+    val df = docs.toDF("id", "payload")
+    val pairs = Multimodal.videoNearDupPairs(df, "id", "payload",
+        nFrames = 8, minShared = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (for {
+      a <- 0L until 12L; b <- a + 1 until 12L if a % 3 == b % 3
+    } yield (a, b, 7L)).toSet
+    assert(pairs == expected)
+    // minShared above the shared count: nothing pairs
+    assert(Multimodal.videoNearDupPairs(df, "id", "payload", 8, 8).count() == 0)
+    // hot-frame cutoff: an all-boilerplate corpus (every video shares
+    // the same 7 blocks) stops pairing once the posting cutoff bites —
+    // the documented tradeoff that kills the quadratic block
+    val boiler = (0 until 12).map(i => (i.toLong, payload(i, 0, boiler = true)))
+      .toDF("id", "payload")
+    assert(Multimodal.videoNearDupPairs(boiler, "id", "payload", 8, 7,
+      hotFrameCutoff = 8).count() == 0)
+    // with the cutoff above the posting size they pair again
+    assert(Multimodal.videoNearDupPairs(boiler, "id", "payload", 8, 7,
+      hotFrameCutoff = 64).count() == 66)
+  }
+
   test("perceptual hash EXPRESSIONS are bit-equal to the mapPartitions forms") {
     // image: real PNGs + text bytes + empty payload through both paths
     val imgRows = Seq(
