@@ -689,9 +689,26 @@ object Dedup {
     */
   def winnowOverlapPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 4, w: Int = 5, minShared: Int = 2): DataFrame = {
-    val fps = df.select(col(idCol).as("__id"),
+      k: Int = 4, w: Int = 5, minShared: Int = 2,
+      hotPostingCutoff: Long = Long.MaxValue): DataFrame = {
+    require(hotPostingCutoff > 1,
+      s"winnowOverlapPairs: hotPostingCutoff must be > 1, got $hotPostingCutoff")
+    val raw = df.select(col(idCol).as("__id"),
       explode(TextFunctions.winnowedFingerprints(col(textCol), k, w)).as("__fp"))
+    // hot-posting gate: a fingerprint shared by more than the cutoff
+    // documents is boilerplate (license headers, navigation chrome) —
+    // S docs on one fingerprint cost S²/2 candidate rows in ONE hash
+    // block, the same quadratic ngramJaccardAuto/videoNearDupPairs
+    // cap. Off by default (the exact-overlap contract); callers on
+    // crawl-scale corpora should set it.
+    val fps =
+      if (hotPostingCutoff == Long.MaxValue) raw
+      else raw
+        .withColumn("__post",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__fp"))))
+        .filter(col("__post") <= hotPostingCutoff)
+        .drop("__post")
     fps.as("a")
       .join(fps.hint("shuffle_hash").as("b"),
         col("a.__fp") === col("b.__fp") && col("a.__id") < col("b.__id"))

@@ -127,6 +127,19 @@ class PlanContractSuite extends SparkSpec {
         "BroadcastNestedLoopJoin")),
     ("dedup_minhash", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // the perceptual pair joins must stay equi-joins on the distinct-
+    // signature pigeonhole keys (a cartesian means the chunk keys or
+    // the expansion equi-keys were lost)
+    ("multimodal_image_dedup_phash", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    ("multimodal_video_dedup", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // the windowed drift monitor is ONE stateful-aggregation shape:
+    // a single window agg, no per-event UDF fences, no single-partition
+    // funnel, cosine evaluated post-aggregation per window row
+    ("stream_embedding_drift", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "Exchange SinglePartition")),
     ("dedup_cross_corpus_lsh", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     ("dedup_ngram_jaccard", Seq.empty,

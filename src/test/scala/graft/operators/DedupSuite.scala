@@ -196,6 +196,28 @@ class DedupSuite extends SparkSpec {
     assert(rowSet(out.select("doc_a", "doc_b")) == Set(Seq("1", "2")))
   }
 
+  test("winnowOverlapPairs hot-posting cutoff drops boilerplate evidence only") {
+    // four docs share a boilerplate sentence (every fingerprint of it
+    // is posted by all four); two also share REAL content
+    val docs = Seq(
+      (1, "all rights reserved terms apply here today. unique alpha beta gamma delta epsilon"),
+      (2, "all rights reserved terms apply here today. unique alpha beta gamma delta epsilon"),
+      (3, "all rights reserved terms apply here today. something else entirely written down"),
+      (4, "all rights reserved terms apply here today. fourth doc body text goes here now"))
+      .toDF("doc_id", "text")
+    val plain = Dedup.winnowOverlapPairs(docs, "doc_id", "text", 4, 5, 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // all pairs share at least the boilerplate fingerprints
+    assert(plain.keySet == (for (a <- 1 to 4; b <- a + 1 to 4) yield (a, b)).toSet)
+    // cutoff 3: fingerprints posted by all 4 docs drop; (1,2) remains
+    // via its unique shared content, boilerplate-only pairs vanish
+    val cut = Dedup.winnowOverlapPairs(docs, "doc_id", "text", 4, 5, 1,
+        hotPostingCutoff = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(cut.keySet == Set((1, 2)))
+    assert(cut((1, 2)) < plain((1, 2))) // only the non-boilerplate evidence
+  }
+
   test("hammingPairs64 distinct-sig collapse ≡ raw-row blocking (hot signatures)") {
     // worst case for the raw-row block join: a large fraction of rows
     // share ONE signature (blank/spacer images in a crawl). The
