@@ -582,6 +582,37 @@ class MultimodalSuite extends SparkSpec {
     val partW = Multimodal.withAudioHashPartitioned(audRows, "payload", Seq("id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(exprW == partW)
+    // fuzz: random tiny PNGs, truncated/corrupted image bytes, and raw
+    // noise all hash identically through codegen, eval, and the direct
+    // kernel — the total-function contract under the corrupt tail
+    val rnd = new scala.util.Random(31)
+    val fuzz = (0 until 30).map { i =>
+      val payload: Array[Byte] =
+        if (i % 3 == 0) {
+          val img = new java.awt.image.BufferedImage(
+            1 + rnd.nextInt(20), 1 + rnd.nextInt(20),
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (x <- 0 until img.getWidth; y <- 0 until img.getHeight)
+            img.setRGB(x, y, rnd.nextInt())
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          val b = buf.toByteArray
+          if (i % 6 == 0) java.util.Arrays.copyOf(b, b.length / 2) else b // truncated
+        } else {
+          val b = new Array[Byte](rnd.nextInt(200))
+          rnd.nextBytes(b); b
+        }
+      (i.toLong, payload)
+    }
+    val fuzzDf = fuzz.toDF("id", "payload")
+    for ((withF, direct) <- Seq[
+        (org.apache.spark.sql.DataFrame, Array[Byte] => Long)](
+        (Multimodal.withAHash(fuzzDf, "payload", Seq("id")), Multimodal.aHash64),
+        (Multimodal.withPHash(fuzzDf, "payload", Seq("id")), Multimodal.pHash64))) {
+      val got = withF.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = fuzz.map { case (id, b) => id -> direct(b) }.toMap
+      assert(got == want)
+    }
   }
 
   test("imageNearDupPairs: blocked join == naive hamming over the hashes") {

@@ -258,6 +258,27 @@ class DedupSuite extends SparkSpec {
     }
   }
 
+  test("hamming collapse fuzz: random sigs, random radii, null sigs dropped") {
+    val rnd = new scala.util.Random(99)
+    for (round <- 0 until 4) {
+      val maxH = rnd.nextInt(17) // radii 0..16 (incl. widths that don't divide 64)
+      val base = rnd.nextLong()
+      val rows = (0 until 50).map { i =>
+        val sig: java.lang.Long =
+          if (i % 10 == 0) null // null signature: dropped by BOTH forms
+          else if (i % 3 == 0) base ^ (1L << rnd.nextInt(64)) // near cluster
+          else rnd.nextLong()
+        (i.toLong, sig)
+      }
+      val df = rows.toDF("id", "sig")
+      val fast = rowSet(Dedup.hammingPairs64(df, "id", "sig", maxH))
+      val slow = rowSet(Dedup.hammingPairs64Uncollapsed(df, "id", "sig", maxH))
+      assert(fast == slow, s"round=$round maxHamming=$maxH")
+      // null-sig ids never appear
+      assert(!fast.exists(r => r.head.toLong % 10 == 0 || r(1).toLong % 10 == 0))
+    }
+  }
+
   test("connected components: chains collapse to one cluster, min id labels") {
     val pairs = Seq(
       (1, 2), (2, 3),      // chain 1-2-3 (1,3 not paired directly)
