@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group BOILERPLATE AFFIX removal — the curation step between
+  * HTML extraction and dedup: pages of one domain share a rendered
+  * header ("ACME Corp | Home | Products >> ") and footer ("© ACME,
+  * all rights reserved") that survive text extraction, inflate
+  * near-dup similarity, and feed junk tokens to every model
+  * downstream. These operators find each group's common prefix/suffix
+  * and strip it.
+  *
+  * Scale shape — the whole point: a group's common prefix equals the
+  * common prefix of its lexicographic MIN and MAX (binary string
+  * order — any divergence inside the group shows up between min and
+  * max first), so detection is ONE `groupBy(min, max, count)` whose
+  * partial aggregation keeps a single min/max string per partition
+  * per group, a per-group char-LCP via the native
+  * [[graft.functions.LcpCharsExpr]] on the two aggregated strings,
+  * and a join of one small `(group, int)` row back into the scan
+  * (AQE broadcasts it when the group count is small). Never a
+  * cross-row comparison, never a per-group sort.
+  *
+  * Contracts: groups smaller than `minGroup` (default 2) pass
+  * through unchanged — the "common prefix" of one document is the
+  * whole document. A group of IDENTICAL documents strips to empty
+  * strings by the same logic (their common prefix IS the document);
+  * run exact dedup first if that is not intended. Null texts stay
+  * null and contribute nothing to the group affix (min/max skip
+  * nulls).
+  */
+object Boilerplate {
+
+  private def lcpChars(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    toColumn(graft.functions.LcpCharsExpr(toExpression(a), toExpression(b)))
+  }
+
+  /** Strip each group's common text PREFIX. Output: input columns with
+    * `outCol` = the text minus the group prefix.
+    */
+  def stripCommonPrefixPerGroup(
+      df: DataFrame, groupCol: String, textCol: String,
+      outCol: String = "stripped", minGroup: Long = 2): DataFrame = {
+    require(minGroup >= 1, s"minGroup must be >= 1, got $minGroup")
+    require(!df.columns.contains("__lcp") && !df.columns.contains(outCol),
+      s"stripCommonPrefixPerGroup: input must not carry __lcp/$outCol")
+    val g = df.groupBy(col(groupCol))
+      .agg(min(col(textCol)).as("__mn"), max(col(textCol)).as("__mx"),
+        count(col(textCol)).as("__n"))
+      .select(col(groupCol),
+        when(col("__n") >= minGroup, lcpChars(col("__mn"), col("__mx")))
+          .otherwise(lit(0)).as("__lcp"))
+    df.join(g, Seq(groupCol))
+      .withColumn(outCol,
+        col(textCol).substr(col("__lcp") + lit(1), length(col(textCol))))
+      .drop("__lcp")
+  }
+
+  /** Strip each group's common text SUFFIX — the footer form: the
+    * same min/max trick over the REVERSED strings (a common suffix is
+    * a common prefix of the reversals; `reverse` is char-wise in
+    * Spark and DuckDB alike), stripped by keeping the leading
+    * `length − lcs` characters.
+    */
+  def stripCommonSuffixPerGroup(
+      df: DataFrame, groupCol: String, textCol: String,
+      outCol: String = "stripped", minGroup: Long = 2): DataFrame = {
+    require(minGroup >= 1, s"minGroup must be >= 1, got $minGroup")
+    require(!df.columns.contains("__lcs") && !df.columns.contains(outCol),
+      s"stripCommonSuffixPerGroup: input must not carry __lcs/$outCol")
+    val g = df.groupBy(col(groupCol))
+      .agg(min(reverse(col(textCol))).as("__mn"),
+        max(reverse(col(textCol))).as("__mx"),
+        count(col(textCol)).as("__n"))
+      .select(col(groupCol),
+        when(col("__n") >= minGroup, lcpChars(col("__mn"), col("__mx")))
+          .otherwise(lit(0)).as("__lcs"))
+    df.join(g, Seq(groupCol))
+      .withColumn(outCol,
+        col(textCol).substr(lit(1), length(col(textCol)) - col("__lcs")))
+      .drop("__lcs")
+  }
+
+  /** Header + footer in one pass over the plan: prefix strip, then
+    * suffix strip of the already-stripped text (the composition a web
+    * corpus wants — both affixes are per-group constants after
+    * extraction).
+    */
+  def stripCommonAffixesPerGroup(
+      df: DataFrame, groupCol: String, textCol: String,
+      outCol: String = "stripped", minGroup: Long = 2): DataFrame = {
+    val pre = stripCommonPrefixPerGroup(
+      df, groupCol, textCol, "__pre_stripped", minGroup)
+    stripCommonSuffixPerGroup(pre, groupCol, "__pre_stripped", outCol, minGroup)
+      .drop("__pre_stripped")
+  }
+}

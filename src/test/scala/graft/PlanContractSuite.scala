@@ -140,6 +140,11 @@ class PlanContractSuite extends SparkSpec {
     ("stream_embedding_drift", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "Exchange SinglePartition")),
+    // boilerplate stripping is two (agg + equi-join + projection)
+    // rounds — the per-group LCP row must come back on an equi-key
+    ("strip_source_boilerplate", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "Exchange SinglePartition")),
     ("dedup_cross_corpus_lsh", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     ("dedup_ngram_jaccard", Seq.empty,

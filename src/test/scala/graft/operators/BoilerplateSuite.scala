@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkSpec
+import graft.functions.LcpKernel
+
+/** Per-group boilerplate affix stripping: the min/max LCP trick, char
+  * semantics on multi-byte boundaries, group-size guard, and the
+  * prefix/suffix/composed operators.
+  */
+class BoilerplateSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("LcpKernel.chars: ASCII, containment, multi-byte boundaries, nulls") {
+    assert(LcpKernel.chars(u("header>>one"), u("header>>two")) == 8)
+    assert(LcpKernel.chars(u("abc"), u("abcdef")) == 3) // containment
+    assert(LcpKernel.chars(u("abc"), u("abc")) == 3)    // identical
+    assert(LcpKernel.chars(u("abc"), u("xyz")) == 0)
+    assert(LcpKernel.chars(u(""), u("abc")) == 0)
+    assert(LcpKernel.chars(null, u("abc")) == 0)
+    assert(LcpKernel.chars(u("abc"), null) == 0)
+    // the differing byte splits a char: é (C3 A9) vs è (C3 A8) — the
+    // LCP must stop BEFORE the char, not inside it
+    assert(LcpKernel.chars(u("abé"), u("abè")) == 2)
+    // complete multi-byte char in the prefix counts as ONE char
+    assert(LcpKernel.chars(u("ab€x"), u("ab€y")) == 3)
+    assert(LcpKernel.chars(u("漢字x"), u("漢字y")) == 2)
+    // scalar replica: char-level LCP over code points
+    def ref(a: String, b: String): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a(i) == b(i)) i += 1
+      a.substring(0, i).codePointCount(0, i) // (no surrogates in fixtures)
+    }
+    val rnd = new scala.util.Random(5)
+    val atoms = Array("a", "bb", "é", "漢", "€", " ", "x")
+    for (_ <- 0 until 200) {
+      val a = (0 until rnd.nextInt(8)).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+      val b = (0 until rnd.nextInt(8)).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+      assert(LcpKernel.chars(u(a), u(b)) == ref(a, b), s"`$a` vs `$b`")
+    }
+  }
+
+  test("stripCommonPrefixPerGroup: per-domain headers vanish, singletons pass through") {
+    val docs = Seq(
+      (1L, "a.com", "ACME | Home >> welcome to our site"),
+      (2L, "a.com", "ACME | Home >> products and services"),
+      (3L, "a.com", "ACME | Home >> about the company"),
+      (4L, "b.org", "B HEADER: totally different body"),
+      (5L, "b.org", "B HEADER: another page entirely"),
+      (6L, "solo.net", "only page of this domain")).toDF("id", "src", "page")
+    val out = Boilerplate.stripCommonPrefixPerGroup(docs, "src", "page")
+      .select("id", "stripped").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "welcome to our site")
+    assert(out(2L) == "products and services")
+    assert(out(3L) == "about the company")
+    assert(out(4L) == "totally different body")
+    assert(out(5L) == "another page entirely")
+    // a singleton group keeps its whole text
+    assert(out(6L) == "only page of this domain")
+    // identical documents strip to empty (their LCP is the document)
+    val dup = Seq((1L, "d", "same page"), (2L, "d", "same page")).toDF("id", "src", "page")
+    val dout = Boilerplate.stripCommonPrefixPerGroup(dup, "src", "page")
+      .select("stripped").collect().map(_.getString(0))
+    assert(dout.forall(_ == ""))
+    // internal/output column collisions rejected
+    val bad = Seq((1L, "d", "t", 0)).toDF("id", "src", "page", "stripped")
+    val e = intercept[IllegalArgumentException] {
+      Boilerplate.stripCommonPrefixPerGroup(bad, "src", "page")
+    }
+    assert(e.getMessage.contains("stripped"))
+  }
+
+  test("stripCommonSuffixPerGroup + composed affixes") {
+    val docs = Seq(
+      (1L, "a", "first body text -- (c) ACME all rights"),
+      (2L, "a", "second body entirely -- (c) ACME all rights"),
+      (3L, "b", "no shared footer here"),
+      (4L, "b", "none here either!")).toDF("id", "src", "page")
+    val out = Boilerplate.stripCommonSuffixPerGroup(docs, "src", "page")
+      .select("id", "stripped").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "first body text")
+    assert(out(2L) == "second body entirely")
+    // group b shares no suffix beyond nothing — but LCP of reversed
+    // min/max may still be 0; texts unchanged
+    assert(out(3L) == "no shared footer here" && out(4L) == "none here either!")
+    // composed: header AND footer stripped in one plan
+    val both = Seq(
+      (1L, "a", "HDR >> body one << FTR"),
+      (2L, "a", "HDR >> body two two << FTR")).toDF("id", "src", "page")
+    val comp = Boilerplate.stripCommonAffixesPerGroup(both, "src", "page")
+      .select("id", "stripped").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(comp(1L) == "one" || comp(1L) == "body one",
+      s"unexpected ${comp(1L)}") // 'body ' may be part of the shared prefix
+    assert(comp(2L).endsWith("two"))
+    // null texts stay null, others strip normally
+    val withNull = Seq((1L, "a", "P: x"), (2L, "a", "P: y"), (3L, "a", null: String))
+      .toDF("id", "src", "page")
+    val nout = Boilerplate.stripCommonPrefixPerGroup(withNull, "src", "page")
+      .select("id", "stripped").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(nout(1L).contains("x") && nout(2L).contains("y") && nout(3L).isEmpty)
+  }
+}
