@@ -335,5 +335,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(colFn("graft_canonical_url", TextFunctions.canonicalizeUrl))
     ext.injectFunction(colFn("graft_clean_lines", TextFunctions.cleanLines(_)))
     ext.injectFunction(colFn("graft_gopher", t => TextFunctions.gopherFlags(t)))
+    // signature kernels on the SQL surface: the same native
+    // expressions the Column API plans, so SQL ≡ Column bit-identity
+    // holds by construction
+    ext.injectFunction(exprFn("graft_simhash64",
+      e => graft.functions.SimHash64Expr(e)))
+    ext.injectFunction(exprFn("graft_ahash64",
+      e => graft.functions.AHash64Expr(e)))
+    ext.injectFunction(exprFn("graft_phash64",
+      e => graft.functions.PHash64Expr(e)))
+    ext.injectFunction(exprFn("graft_audiohash64",
+      e => graft.functions.AudioHash64Expr(e)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lcp"),
+      new ExpressionInfo(classOf[graft.functions.LcpCharsExpr].getName, "graft_lcp"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.LcpCharsExpr(exprs(0), exprs(1))))
   }
 }

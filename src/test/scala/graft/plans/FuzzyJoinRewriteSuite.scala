@@ -270,6 +270,23 @@ class FuzzyJoinRewriteSuite extends SparkSpec {
       val gq = s2.sql(
         "SELECT graft_gopher(lines).n_words AS n FROM gx_web").collect()(0)
       assert(gq.getLong(0) == 11, gq.toString)
+      // signature kernels on the SQL surface: bit-identical to the
+      // direct kernels (same Expression classes behind both)
+      val sig = s2.sql("""
+        SELECT graft_simhash64(text) AS sh,
+               graft_ahash64(encode(text, 'UTF-8')) AS ah,
+               graft_phash64(encode(text, 'UTF-8')) AS ph,
+               graft_audiohash64(encode(text, 'UTF-8')) AS au,
+               graft_lcp(text, 'The quick brown dog') AS lcp
+        FROM gx_docs WHERE doc_id = 1""").collect()(0)
+      val txt = "The quick brown fox, it jumps over the lazy dog in the field."
+      val bytes = txt.getBytes("UTF-8")
+      assert(sig.getLong(0) == graft.functions.SimHashKernel.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(txt)))
+      assert(sig.getLong(1) == graft.multimodal.Multimodal.aHash64(bytes))
+      assert(sig.getLong(2) == graft.multimodal.Multimodal.pHash64(bytes))
+      assert(sig.getLong(3) == graft.multimodal.Multimodal.audioHash64(bytes))
+      assert(sig.getInt(4) == 16, sig.toString) // "The quick brown " shared
     } finally {
       SparkSession.setActiveSession(orig)
       SparkSession.setDefaultSession(orig)
