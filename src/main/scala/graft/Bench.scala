@@ -30,6 +30,7 @@ object Bench {
     "stream_nb_gate", "pipeline_web_ingest", "sample_top_fraction",
     "gopher_rules", "lm_ccnet_buckets", "clean_lines", "lang_id_nb",
     "lang_id_nb_priors", "strip_source_boilerplate",
+    "stream_strip_boilerplate",
     "stream_lang_gate", "shard_by_tokens", "dedup_by_url",
     "embedding_drift", "stream_embedding_drift",
     "multimodal_image_dedup", "multimodal_audio_dedup",

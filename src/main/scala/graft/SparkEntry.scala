@@ -1907,6 +1907,21 @@ object SparkEntry {
           "source", "page")
         .select(col("doc_id"), col("source"), col("stripped"))
     }),
+    "stream_strip_boilerplate" -> ((s, dir) => {
+      // the INGEST-GATE form: affix lengths trained once on the
+      // reference corpus, applied to the live feed as a stateless
+      // stream-static join + two substrings (MemoryStream ≡ batch is
+      // BoilerplateSuite-pinned). Reference = the same corpus here, so
+      // the output is identical to strip_source_boilerplate — the
+      // identity IS the claim, like the other *_indexed gates.
+      val d = t(s, dir, "documents")
+      val page = concat(lit("["), col("source"), lit(" HOME] >> "),
+        col("text"), lit(" << (c) "), col("source"), lit(" rights"))
+      val pages = d.select(col("doc_id"), col("source"), page.as("page"))
+      val affixes = Boilerplate.affixLengthsPerGroup(pages, "source", "page")
+      Boilerplate.stripAffixesWith(pages, "source", "page", affixes)
+        .select(col("doc_id"), col("source"), col("stripped"))
+    }),
     "lang_id_nb_priors" -> ((s, dir) => {
       // the RECIPE-prior form: identical five-class token model, but
       // priors from an explicit skewed mix (de 8×, everything else 1)
@@ -2374,6 +2389,32 @@ object SparkEntry {
     }
     sb.toString
   }
+
+  /** Shared by strip_source_boilerplate and its reference-trained gate
+    * form (identical output by construction): two rounds of
+    * (min, max, LCP, substr) per source.
+    */
+  private val stripBoilerplateOracle: String =
+    """WITH p AS (SELECT doc_id, source,
+      |  '[' || source || ' HOME] >> ' || text || ' << (c) ' || source || ' rights' AS page
+      |  FROM documents),
+      |g1 AS (SELECT source, min(page) AS mn, max(page) AS mx,
+      |              count(page) AS n FROM p GROUP BY 1),
+      |l1 AS (SELECT source, CASE WHEN n >= 2 THEN coalesce(list_max(
+      |         list_filter(range(1, least(length(mn), length(mx)) + 1),
+      |           i -> substr(mn, 1, i) = substr(mx, 1, i))), 0)
+      |       ELSE 0 END AS lcp FROM g1),
+      |s1 AS (SELECT doc_id, p.source, substr(page, lcp + 1) AS t1
+      |       FROM p JOIN l1 ON p.source = l1.source),
+      |g2 AS (SELECT source, min(reverse(t1)) AS mn, max(reverse(t1)) AS mx,
+      |              count(t1) AS n FROM s1 GROUP BY 1),
+      |l2 AS (SELECT source, CASE WHEN n >= 2 THEN coalesce(list_max(
+      |         list_filter(range(1, least(length(mn), length(mx)) + 1),
+      |           i -> substr(mn, 1, i) = substr(mx, 1, i))), 0)
+      |       ELSE 0 END AS lcs FROM g2)
+      |SELECT s1.doc_id, s1.source,
+      |       substr(t1, 1, length(t1) - lcs) AS stripped
+      |FROM s1 JOIN l2 ON s1.source = l2.source""".stripMargin
 
   def oracleSql: Map[String, String] = {
     // shared SQL fragments (DuckDB dialect)
@@ -4364,30 +4405,14 @@ object SparkEntry {
           |       WHEN t_fr = greatest(t_de, t_en, t_es, t_fr, t_zh) THEN 'fr'
           |       ELSE 'zh' END AS pred
           |FROM fin""".stripMargin,
+      // the reference-trained gate form produces the identical output
+      // (reference = the corpus itself) — shared oracle, identity is
+      // the claim
+      "stream_strip_boilerplate" -> stripBoilerplateOracle,
       // two rounds of (min, max, LCP, substr) per source — prefix on
       // the page, suffix on the reversal of the prefix-stripped text;
       // prefix equality is monotone so LCP = max i with equal substr
-      "strip_source_boilerplate" ->
-        """WITH p AS (SELECT doc_id, source,
-          |  '[' || source || ' HOME] >> ' || text || ' << (c) ' || source || ' rights' AS page
-          |  FROM documents),
-          |g1 AS (SELECT source, min(page) AS mn, max(page) AS mx,
-          |              count(page) AS n FROM p GROUP BY 1),
-          |l1 AS (SELECT source, CASE WHEN n >= 2 THEN coalesce(list_max(
-          |         list_filter(range(1, least(length(mn), length(mx)) + 1),
-          |           i -> substr(mn, 1, i) = substr(mx, 1, i))), 0)
-          |       ELSE 0 END AS lcp FROM g1),
-          |s1 AS (SELECT doc_id, p.source, substr(page, lcp + 1) AS t1
-          |       FROM p JOIN l1 ON p.source = l1.source),
-          |g2 AS (SELECT source, min(reverse(t1)) AS mn, max(reverse(t1)) AS mx,
-          |              count(t1) AS n FROM s1 GROUP BY 1),
-          |l2 AS (SELECT source, CASE WHEN n >= 2 THEN coalesce(list_max(
-          |         list_filter(range(1, least(length(mn), length(mx)) + 1),
-          |           i -> substr(mn, 1, i) = substr(mx, 1, i))), 0)
-          |       ELSE 0 END AS lcs FROM g2)
-          |SELECT s1.doc_id, s1.source,
-          |       substr(t1, 1, length(t1) - lcs) AS stripped
-          |FROM s1 JOIN l2 ON s1.source = l2.source""".stripMargin,
+      "strip_source_boilerplate" -> stripBoilerplateOracle,
       // lang_id_nb's token model with the RECIPE prior constants
       // ln(8/12) / ln(1/12) in place of the doc-count priors
       "lang_id_nb_priors" ->

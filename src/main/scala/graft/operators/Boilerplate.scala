@@ -97,4 +97,55 @@ object Boilerplate {
     stripCommonSuffixPerGroup(pre, groupCol, "__pre_stripped", outCol, minGroup)
       .drop("__pre_stripped")
   }
+
+  /** Per-group affix lengths from a REFERENCE corpus — the model
+    * artifact of the streaming form: `(group, prefix_chars,
+    * suffix_chars)`, where the suffix is measured on the
+    * prefix-stripped text exactly as [[stripCommonAffixesPerGroup]]
+    * composes them. One row per group; small enough to stream-static
+    * join against a live feed.
+    */
+  def affixLengthsPerGroup(
+      reference: DataFrame, groupCol: String, textCol: String,
+      minGroup: Long = 2): DataFrame = {
+    require(minGroup >= 1, s"minGroup must be >= 1, got $minGroup")
+    val pre = reference.groupBy(col(groupCol))
+      .agg(min(col(textCol)).as("__mn"), max(col(textCol)).as("__mx"),
+        count(col(textCol)).as("__n"))
+      .select(col(groupCol),
+        when(col("__n") >= minGroup, lcpChars(col("__mn"), col("__mx")))
+          .otherwise(lit(0)).as("prefix_chars"))
+    val stripped = reference.join(pre, Seq(groupCol))
+      .select(col(groupCol),
+        col(textCol).substr(col("prefix_chars") + lit(1),
+          length(col(textCol))).as("__t1"))
+    val suf = stripped.groupBy(col(groupCol))
+      .agg(min(reverse(col("__t1"))).as("__mn"),
+        max(reverse(col("__t1"))).as("__mx"),
+        count(col("__t1")).as("__n"))
+      .select(col(groupCol),
+        when(col("__n") >= minGroup, lcpChars(col("__mn"), col("__mx")))
+          .otherwise(lit(0)).as("suffix_chars"))
+    pre.join(suf, Seq(groupCol))
+  }
+
+  /** Apply [[affixLengthsPerGroup]] to a (possibly STREAMING) frame:
+    * a stateless stream-static join + two substrings — the ingest-gate
+    * form (no aggregation over the stream, no state store; groups
+    * unseen in the reference pass through unstripped via the left
+    * join's zero default). Batch/stream-unified like the other gates.
+    */
+  def stripAffixesWith(
+      df: DataFrame, groupCol: String, textCol: String,
+      affixes: DataFrame, outCol: String = "stripped"): DataFrame = {
+    require(!df.columns.exists(
+        Seq("prefix_chars", "suffix_chars", outCol).contains),
+      s"stripAffixesWith: input must not carry prefix_chars/suffix_chars/$outCol")
+    val t1 = col(textCol).substr(
+      coalesce(col("prefix_chars"), lit(0)) + lit(1), length(col(textCol)))
+    df.join(affixes, Seq(groupCol), "left")
+      .withColumn(outCol,
+        t1.substr(lit(1), length(t1) - coalesce(col("suffix_chars"), lit(0))))
+      .drop("prefix_chars", "suffix_chars")
+  }
 }

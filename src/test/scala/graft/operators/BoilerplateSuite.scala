@@ -74,6 +74,43 @@ class BoilerplateSuite extends SparkSpec {
     assert(e.getMessage.contains("stripped"))
   }
 
+  test("reference-trained affix gate: batch == composed, serves a STREAM statelessly") {
+    val ref = Seq(
+      (1L, "a", "HDR >> body one << FTR"),
+      (2L, "a", "HDR >> body two two << FTR"),
+      (3L, "b", "[b] page x"),
+      (4L, "b", "[b] page y")).toDF("id", "src", "page")
+    val affixes = Boilerplate.affixLengthsPerGroup(ref, "src", "page")
+    // batch application == the composed per-group operator on the
+    // reference itself
+    val viaGate = Boilerplate.stripAffixesWith(ref, "src", "page", affixes)
+      .select("id", "stripped").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaBatch = Boilerplate.stripCommonAffixesPerGroup(ref, "src", "page")
+      .select("id", "stripped").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaGate == viaBatch)
+    // a group unseen in the reference passes through unchanged
+    val unseen = Seq((9L, "zzz", "untouched text")).toDF("id", "src", "page")
+    val u = Boilerplate.stripAffixesWith(unseen, "src", "page", affixes)
+      .select("stripped").collect()(0).getString(0)
+    assert(u == "untouched text")
+    // the same call serves a MemoryStream — stateless (no state store)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val gated = Boilerplate.stripAffixesWith(
+      input.toDF().toDF("id", "src", "page"), "src", "page", affixes)
+    val q = gated.writeStream.format("memory").queryName("affix_gate")
+      .outputMode("append").start()
+    try {
+      ref.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .grouped(2).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val live = spark.table("affix_gate").select("id", "stripped")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(live == viaBatch)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("stripCommonSuffixPerGroup + composed affixes") {
     val docs = Seq(
       (1L, "a", "first body text -- (c) ACME all rights"),
