@@ -32,7 +32,7 @@ object Bench {
     "lang_id_nb_priors", "strip_source_boilerplate",
     "stream_strip_boilerplate",
     "stream_lang_gate", "shard_by_tokens", "dedup_by_url",
-    "embedding_drift", "stream_embedding_drift",
+    "embedding_drift", "stream_embedding_drift", "embedding_drift_by_source",
     "multimodal_image_dedup", "multimodal_audio_dedup",
     "multimodal_image_dedup_indexed", "multimodal_image_dedup_phash",
     "multimodal_image_dedup_phash_indexed", "multimodal_video_dedup",

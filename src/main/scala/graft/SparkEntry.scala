@@ -1459,6 +1459,15 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 1).select("embedding"),
         "embedding")
     }),
+    "embedding_drift_by_source" -> ((s, dir) => {
+      // the pairwise drift MATRIX: per-label exact grid sums in one
+      // aggregation (long[dim] + count state per label), 45 label-pair
+      // cosines on the driver — which slices of the corpus agree and
+      // which drifted, the observability view a mixing recipe tunes
+      // against. Same HUGEINT/1e-4-grid arithmetic as embedding_drift.
+      Sketches.embeddingDriftByGroup(
+        t(s, dir, "embeddings"), "label", "embedding")
+    }),
     "stream_embedding_drift" -> ((s, dir) => {
       // the WINDOWED drift monitor (stream-servable form of
       // embedding_drift): odd vectors flow through 2-minute event-time
@@ -3574,6 +3583,28 @@ object SparkEntry {
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           |FROM documents a JOIN documents b
           |  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id""".stripMargin,
+      // per-label grid sums once, 45 pairwise HUGEINT cosines on the
+      // string-ordered label pairs
+      "embedding_drift_by_source" ->
+        """WITH e AS (SELECT CAST(label AS VARCHAR) AS g,
+          |                  unnest(CAST(embedding AS DOUBLE[])) AS v,
+          |                  generate_subscripts(embedding, 1) AS i
+          |           FROM embeddings),
+          |s AS (SELECT g, i,
+          |        CAST(sum(CAST(floor(v * 10000000.0) AS BIGINT)) AS HUGEINT) AS s
+          |      FROM e GROUP BY 1, 2),
+          |n AS (SELECT CAST(label AS VARCHAR) AS g, count(*) AS n
+          |      FROM embeddings GROUP BY 1),
+          |d AS (SELECT a.g AS ga, b.g AS gb,
+          |             CAST(sum(a.s * b.s) AS HUGEINT) AS num,
+          |             CAST(sum(a.s * a.s) AS HUGEINT) AS da,
+          |             CAST(sum(b.s * b.s) AS HUGEINT) AS db
+          |      FROM s a JOIN s b ON a.i = b.i AND a.g < b.g GROUP BY 1, 2)
+          |SELECT d.ga AS label_a, d.gb AS label_b, na.n AS n_a, nb.n AS n_b,
+          |  floor(CAST(num AS DOUBLE)
+          |        / (sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE)))
+          |        * 10000) / 10000 AS cos_means
+          |FROM d JOIN n na ON d.ga = na.g JOIN n nb ON d.gb = nb.g""".stripMargin,
       // per-window grid-long sums of the odd half vs the even-half
       // reference; HUGEINT dot products, 1e-4-floored cosine per window
       "stream_embedding_drift" ->

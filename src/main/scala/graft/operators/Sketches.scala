@@ -123,4 +123,48 @@ object Sketches {
     Seq((nA, nB, math.floor(cos * 10000) / 10000))
       .toDF("n_a", "n_b", "cos_means")
   }
+
+  /** Pairwise drift MATRIX across groups — which sources' embedding
+    * distributions agree and which have diverged, in one pass: a
+    * per-group exact grid-long sum vector
+    * ([[graft.functions.GridSumAggregator]], the [[embeddingDrift]]
+    * arithmetic keyed by `groupCol`), then the cosine of every group
+    * pair on the driver. Output one row per unordered pair
+    * `(group_a, group_b, n_a, n_b, cos_means)` with `group_a <
+    * group_b` (string order) and the cosine on the 1e-4 grid — the
+    * corpus-observability view a mixing recipe is tuned against.
+    *
+    * Scale shape: ONE aggregation whose state is a `long[dim]` + count
+    * per GROUP (map-side merged); the collect is `#groups` rows
+    * (guarded), the pairwise loop `#groups²` driver-side BigInt dot
+    * products — groups are sources/domains-buckets, a small constant
+    * next to the corpus. Same malformed-input contract as the
+    * aggregator (null/NaN/Inf fail loudly).
+    */
+  def embeddingDriftByGroup(df: DataFrame, groupCol: String, vecCol: String,
+      maxGroups: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gridSum =
+      org.apache.spark.sql.functions.udaf(new graft.functions.GridSumAggregator())
+    val gcount = df.select(col(groupCol)).distinct().count()
+    require(gcount >= 2 && gcount <= maxGroups,
+      s"embeddingDriftByGroup: $gcount groups (need 2..$maxGroups)")
+    val rows = df
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(gridSum(col(vecCol).cast("array<double>")).as("__s"),
+        count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    val out = for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+    } yield {
+      val (ga, sa, na) = rows(i)
+      val (gb, sb, nb) = rows(j)
+      (ga, gb, na, nb,
+        graft.functions.GridSumAggregator.cosFloored(sa.toSeq, sb.toSeq))
+    }
+    out.toDF(groupCol + "_a", groupCol + "_b", "n_a", "n_b", "cos_means")
+  }
 }

@@ -94,6 +94,16 @@ object ImageDedupStress {
         (if (uncollapsed == collapsed) " (== collapsed)" else " *** MISMATCH ***"))
     } else
       println(f"[img-stress] uncollapsed SKIPPED: ~${estWork / 1e9}%.1fB single-task comparisons")
+    // the two-corpus (probe-vs-index) path: first half as the "index",
+    // second half probing it — both sides carry the hot signature
+    val half = n / 2
+    val idxSide = hashes.filter(col("id") < half)
+    val probeSide = hashes.filter(col("id") >= half)
+    val probed = t("collapsed probe-vs-index join (hammingJoin64)") {
+      Dedup.hammingJoin64(probeSide, "id", "ahash",
+        idxSide, "id", "ahash", 7).count()
+    }
+    println(s"[img-stress]   probe matches: $probed")
     spark.stop()
   }
 }

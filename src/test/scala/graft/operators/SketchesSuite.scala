@@ -58,6 +58,35 @@ class SketchesSuite extends SparkSpec {
       e.getMessage.contains("a-only"), e.getMessage)
   }
 
+  test("embeddingDriftByGroup == pairwise embeddingDrift, ordered, guarded") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 90).map { i =>
+      val g = s"src${i % 3}"
+      val base = (i % 3).toDouble
+      (g, Array.fill(6)((rnd.nextGaussian() + base).toFloat))
+    }
+    val df = docs.toDF("source", "embedding")
+    val matrix = Sketches.embeddingDriftByGroup(df, "source", "embedding")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(matrix.keySet ==
+      Set(("src0", "src1"), ("src0", "src2"), ("src1", "src2")))
+    for (((a, b), (na, nb, cos)) <- matrix) {
+      val pair = Sketches.embeddingDrift(
+        df.filter(col("source") === a).select("embedding"),
+        df.filter(col("source") === b).select("embedding"), "embedding").head()
+      assert(pair.getLong(0) == na && pair.getLong(1) == nb)
+      assert(pair.getDouble(2) == cos, s"($a,$b)")
+    }
+    // a single group is a configuration error
+    val one = Seq(("only", Array(1f, 0f))).toDF("source", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.embeddingDriftByGroup(one, "source", "embedding")
+    }
+    assert(e.getMessage.contains("groups"))
+  }
+
   test("embeddingDrift rejects malformed vectors instead of skewing the measure") {
     // a NaN would cast to grid 0 and a null component would drop out of
     // its dimension's sum — both must FAIL, not move cos_means
