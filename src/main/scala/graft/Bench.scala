@@ -40,7 +40,9 @@ object Bench {
     "decontaminate_docs", "decontaminate_bloom", "stream_decontaminate",
     "stream_lm_gate", "stream_lm_gate3", "lm_score_trigram",
     "lm_score_4gram",
-    "bm25_search", "bm25_search_deleted", "lm_score_docs",
+    "bm25_search", "bm25_search_deleted", "bm25_search_batch",
+    "hybrid_search_rrf",
+    "sample_weighted", "filter_by_source_quality", "lm_score_docs",
     "stream_pack_sequences", "stream_pack_state",
     "mix_sources", "mix_temperature", "shuffle_corpus",
     "sample_token_budget",

@@ -1612,6 +1612,35 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
       Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
     }),
+    "bm25_search_batch" -> ((s, dir) => {
+      // the multi-query serving shape: three keyword queries answered
+      // in ONE corpus pass, top-10 each (rank-limit window per query)
+      import s.implicits._
+      val qs = Seq(
+        (0L, Seq("vector", "stream")),
+        (1L, Seq("spark", "index")),
+        (2L, Seq("model", "token", "stream"))).toDF("query_id", "terms")
+      Search.bm25TopKBatch(t(s, dir, "documents"), qs,
+        "doc_id", "text", "query_id", "terms", k = 10)
+    }),
+    "hybrid_search_rrf" -> ((s, dir) => {
+      // lexical + dense retrieval fused by reciprocal rank: "documents
+      // like doc 0 that mention vector/stream/spark" — BM25 top-50 and
+      // cosine top-50 vs doc 0's embedding, RRF-fused (k=60), top-20.
+      // Doc 0 itself is excluded from the dense candidates (a
+      // self-match is cosine ~1 with a knife-edge grid cell).
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFunctions.asDouble(col("embedding")))
+        .head().getSeq[Double](0).toArray
+      Search.hybridRrfTopK(
+          d, e.filter(col("vec_id") =!= 0),
+          "doc_id", "text", "vec_id", "embedding",
+          Seq("vector", "stream", "spark"), qv, k = 20, fetchK = 50)
+        .withColumn("lex_rank", col("lex_rank").cast("long"))
+        .withColumn("vec_rank", col("vec_rank").cast("long"))
+    }),
     "lm_score_docs" -> ((s, dir) => {
       // perplexity-proxy quality signal: train add-one bigram stats on
       // the corpus itself, score every doc's mean bigram log-prob
@@ -2144,6 +2173,28 @@ object SparkEntry {
     "sample_hash_events" -> ((s, dir) => {
       Sampling.hashSample(t(s, dir, "events"), "event_id", fraction = 0.1)
         .select("event_id", "event_type", "user_id")
+    }),
+    "sample_weighted" -> ((s, dir) => {
+      // weighted sampling WITHOUT replacement per language
+      // (Efraimidis–Spirakis on md5 uniforms, 1e-8-grid log-domain
+      // keys): weight = n_chars, so longer documents are
+      // proportionally more likely to win one of the 20 slots
+      Sampling.weightedSamplePerGroup(
+          t(s, dir, "documents"), "doc_id", col("n_chars"), n = 20,
+          groupCols = Seq("lang"))
+        .select("doc_id", "lang", "source")
+    }),
+    "filter_by_source_quality" -> ((s, dir) => {
+      // RefinedWeb-style domain-level curation: per-doc quality scores
+      // aggregate to their source's mean (1e-4-grid longs, one
+      // division) and whole sources below 0.705 drop — the propagation
+      // catches spammy domains whose individual pages look plausible
+      Sampling.filterByGroupScore(
+          t(s, dir, "documents"), "source",
+          TextFunctions.qualityScore(col("text")), minMean = 0.705,
+          meanCol = "source_quality")
+        .select(col("doc_id"), col("source"),
+          round(col("source_quality"), 6).as("source_quality"))
     }),
     "sample_stratified" -> ((s, dir) => {
       // class rebalancing: per-source keep fractions by the SAME md5
@@ -3868,6 +3919,90 @@ object SparkEntry {
           |SELECT doc_id, sum(contrib) / 100000000.0 AS score, count(*) AS n_terms_hit
           |FROM sc GROUP BY doc_id
           |ORDER BY sum(contrib) DESC, doc_id LIMIT 20""".stripMargin,
+      // bm25_search_batch: the single-query BM25 arithmetic per
+      // (query, doc), ranked per query — batch df/N/avgdl are the same
+      // corpus stats for every query
+      "bm25_search_batch" ->
+        """WITH q(query_id, w) AS (VALUES
+          |  (0, 'vector'), (0, 'stream'),
+          |  (1, 'spark'), (1, 'index'),
+          |  (2, 'model'), (2, 'token'), (2, 'stream')),
+          |tok AS (
+          |  SELECT doc_id, w FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |    FROM documents) WHERE w <> ''),
+          |len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+          |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM len),
+          |post AS (SELECT doc_id, w, count(*) AS tf FROM tok
+          |         WHERE w IN (SELECT w FROM q) GROUP BY 1, 2),
+          |dfs AS (SELECT w, count(*) AS df FROM post GROUP BY 1),
+          |sc AS (
+          |  SELECT q.query_id, p.doc_id,
+          |         CAST(floor(
+          |           (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 10000.0) / 10000.0)
+          |           * (tf * (1.2 + 1.0)
+          |              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (total_dl * 1.0 / n_docs))))
+          |           * 100000000.0) AS BIGINT) AS contrib
+          |  FROM post p JOIN q USING (w) JOIN dfs USING (w)
+          |  JOIN len USING (doc_id) CROSS JOIN stats),
+          |agg AS (
+          |  SELECT query_id, doc_id, sum(contrib) AS s, count(*) AS n_terms_hit
+          |  FROM sc GROUP BY 1, 2),
+          |r AS (
+          |  SELECT query_id, doc_id, s, n_terms_hit,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+          |  FROM agg)
+          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+          |       s / 100000000.0 AS score, n_terms_hit
+          |FROM r WHERE rn <= 10""".stripMargin,
+      // hybrid_search_rrf: BM25 top-50 ranks + 1e-4-grid cosine top-50
+      // ranks vs doc 0's embedding (doc 0 excluded), RRF-fused with
+      // k=60, top-20 by fused score
+      "hybrid_search_rrf" ->
+        """WITH tok AS (
+          |  SELECT doc_id, w FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |    FROM documents) WHERE w <> ''),
+          |len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+          |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM len),
+          |post AS (SELECT doc_id, w, count(*) AS tf FROM tok
+          |         WHERE w IN ('vector', 'stream', 'spark') GROUP BY 1, 2),
+          |dfs AS (SELECT w, count(*) AS df FROM post GROUP BY 1),
+          |sc AS (
+          |  SELECT p.doc_id,
+          |         CAST(floor(
+          |           (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 10000.0) / 10000.0)
+          |           * (tf * (1.2 + 1.0)
+          |              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (total_dl * 1.0 / n_docs))))
+          |           * 100000000.0) AS BIGINT) AS contrib
+          |  FROM post p JOIN dfs USING (w) JOIN len USING (doc_id) CROSS JOIN stats),
+          |bm AS (SELECT doc_id, sum(contrib) AS s FROM sc GROUP BY doc_id
+          |       ORDER BY s DESC, doc_id LIMIT 50),
+          |lexr AS (SELECT doc_id,
+          |                row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+          |         FROM bm),
+          |e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+          |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+          |q AS (SELECT i, v FROM e WHERE vec_id = 0),
+          |qn AS (SELECT sqrt(sum(v * v)) AS n FROM q),
+          |cg AS (
+          |  SELECT c.vec_id AS doc_id,
+          |         CAST(floor(sum(q.v * c.v)
+          |                    / ((SELECT n FROM qn) * sqrt(sum(c.v * c.v)))
+          |                    * 10000.0) AS BIGINT) AS g
+          |  FROM e c JOIN q ON q.i = c.i WHERE c.vec_id <> 0 GROUP BY c.vec_id),
+          |vtop AS (SELECT doc_id, g FROM cg ORDER BY g DESC, doc_id LIMIT 50),
+          |vecr AS (SELECT doc_id,
+          |                row_number() OVER (ORDER BY g DESC, doc_id) AS vec_rank
+          |         FROM vtop),
+          |f AS (
+          |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+          |         coalesce(1.0 / (60 + l.lex_rank), 0)
+          |           + coalesce(1.0 / (60 + v.vec_rank), 0) AS rrf,
+          |         l.lex_rank, v.vec_rank
+          |  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+          |SELECT doc_id, round(rrf, 6) AS rrf_score, lex_rank, vec_rank
+          |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
       // stream_lm_gate: lm_score_docs' scoring with KenLM-style count
       // cutoffs (HAVING >= 2) on both tables; |V| stays unpruned
       "stream_lm_gate" ->
@@ -5007,6 +5142,44 @@ object SparkEntry {
         """SELECT event_id, event_type, user_id FROM events
           |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
           |      % 10000 < 1000""".stripMargin,
+      // sample_weighted: Efraimidis–Spirakis keys ln(u)/w on the shared
+      // md5 uniform, floored onto the 1e-8 grid as longs (libm-proof),
+      // top-20 per language by key with doc_id tie-break
+      "sample_weighted" ->
+        """WITH keyed AS (
+          |  SELECT doc_id, lang, source,
+          |    CAST(floor(
+          |      ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          |          + 0.5) / 4294967296.0)
+          |      / n_chars * 100000000.0) AS BIGINT) AS k
+          |  FROM documents WHERE n_chars > 0),
+          |r AS (SELECT doc_id, lang, source,
+          |             row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rn
+          |      FROM keyed)
+          |SELECT doc_id, lang, source FROM r WHERE rn <= 20""".stripMargin,
+      // filter_by_source_quality: text_quality's per-doc score on the
+      // 1e-4 grid, averaged per source with ONE division, sources with
+      // mean >= 0.705 survive and tag their rows with the mean
+      "filter_by_source_quality" ->
+        """WITH tok AS (
+          |  SELECT doc_id, w FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |    FROM documents) WHERE w <> ''),
+          |agg AS (SELECT doc_id, count(*) AS n,
+          |  sum(CASE WHEN lower(w) IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as')
+          |      THEN 1 ELSE 0 END) AS sw
+          |  FROM tok GROUP BY doc_id),
+          |q AS (SELECT d.doc_id, d.source,
+          |  CAST(floor((least(agg.n / 50.0, 1.0) * 0.5
+          |        + least(agg.sw * 1.0 / agg.n * 5.0, 1.0) * 0.3
+          |        + (1.0 - least(length(regexp_replace(d.text, '[^.,!?;:]', '', 'g')) * 1.0
+          |                       / length(d.text) * 5.0, 1.0)) * 0.2) * 10000) AS BIGINT) AS gq
+          |  FROM documents d JOIN agg ON agg.doc_id = d.doc_id),
+          |m AS (SELECT source, sum(gq) / (count(*) * 10000.0) AS mean
+          |      FROM q GROUP BY source
+          |      HAVING sum(gq) / (count(*) * 10000.0) >= 0.705)
+          |SELECT q.doc_id, q.source, round(m.mean, 6) AS source_quality
+          |FROM q JOIN m ON m.source = q.source""".stripMargin,
       "sample_stratified" ->
         """SELECT doc_id, source FROM documents
           |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)

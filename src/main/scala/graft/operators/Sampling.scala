@@ -680,4 +680,87 @@ object Sampling {
       .filter(col("__graft_capn") <= n)
       .drop("__graft_capn")
   }
+
+  /** Weighted sampling WITHOUT replacement, `n` rows per group (or
+    * globally with `groupCols = Nil`): the Efraimidis–Spirakis A-ES
+    * scheme — each row draws a key `u^(1/w)` and the `n` largest keys
+    * win, which provably selects each subset with probability
+    * proportional to its weights. A higher-weight row is more likely
+    * IN, but nothing is guaranteed in — the weighted generalization of
+    * [[cappedPerGroup]]'s uniform cap (w ≡ 1 recovers it exactly up to
+    * key shape).
+    *
+    * Deterministic and engine-portable like everything in this file:
+    * `u` is md5-of-id mapped into (0,1) — `(h32 + 0.5) / 2³²` — not an
+    * RNG stream, so membership survives re-partitioning, re-runs, and
+    * engine swaps. The key is ranked in the log domain
+    * (`ln(u)/w`, monotone in `u^(1/w)` for w > 0) and FLOORED onto a
+    * 1e-8 grid as an exact long with id tie-break, so two engines'
+    * last-ulp `ln`/division differences cannot flip a rank (`ln` is
+    * not IEEE-correctly-rounded; the grid is the same defense
+    * [[graft.operators.Search.bm25TopK]] documents for its idf).
+    *
+    * Rows with null, NaN, or non-positive weight are excluded — A-ES
+    * is undefined there (a zero-weight row must never win).
+    *
+    * Scale: one scan + one rank window; Spark's rank-limit pushdown
+    * (`WindowGroupLimit`) prunes every partition to its local top-n
+    * BEFORE the shuffle, so a billion-row group ships ~n·partitions
+    * candidate rows, not the group.
+    */
+  def weightedSamplePerGroup(
+      df: DataFrame, idCol: String, weight: Column, n: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(n > 0, s"weightedSamplePerGroup: n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.exists(Seq("__wk", "__wr").contains),
+      "weightedSamplePerGroup: input must not carry columns __wk/__wr")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val w =
+      if (groupCols.isEmpty) Window.orderBy(col("__wk").desc, col(idCol).asc)
+      else Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col("__wk").desc, col(idCol).asc)
+    // `> 0` alone would PASS NaN (Spark and DuckDB both order NaN above
+    // every number), so NaN is excluded explicitly
+    df.filter(weight > 0 && !isnan(weight.cast("double")))
+      .withColumn("__wk", floor(log(u) / weight * lit(1e8)).cast("long"))
+      .withColumn("__wr", row_number().over(w))
+      .filter(col("__wr") <= n)
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
+  /** Group-level quality propagation (the RefinedWeb/C4 domain-filter
+    * move): aggregate a per-row score to its group's MEAN and keep only
+    * rows whose group clears `minMean`, appending the group mean as
+    * `<meanCol>`. Curation signal at the DOMAIN granularity — a spam
+    * domain's individually-plausible pages all drop because the domain
+    * average is poor, and a reputable domain's occasional weak page
+    * survives.
+    *
+    * Determinism: scores are floored onto a `1/grid` lattice as exact
+    * longs before summing (order-independent), and the mean is ONE
+    * division `sum / (count · grid)` — the same IEEE operation on the
+    * same integers on any engine.
+    *
+    * Scale: one partial-aggregating groupBy over `(group)` — the
+    * aggregate is |groups| rows (domains, not documents) — joined back
+    * on the group key; Catalyst/AQE broadcasts the aggregate side when
+    * it is small, and a 100M-domain aggregate degrades to a plain
+    * shuffle join, never a driver collect.
+    */
+  def filterByGroupScore(
+      df: DataFrame, groupCol: String, score: Column, minMean: Double,
+      grid: Double = 10000.0, meanCol: String = "group_score"): DataFrame = {
+    require(grid > 0 && !grid.isNaN && !grid.isInfinite,
+      s"filterByGroupScore: grid must be positive and finite, got $grid")
+    require(!df.columns.exists(Seq("__gs", meanCol).contains),
+      s"filterByGroupScore: input must not carry columns __gs/$meanCol")
+    val g = df.withColumn("__gs", floor(score * lit(grid)).cast("long"))
+    val means = g.groupBy(col(groupCol))
+      .agg((sum(col("__gs")) / (count(lit(1)) * lit(grid))).as(meanCol))
+      .filter(col(meanCol) >= lit(minMean))
+    g.join(means, Seq(groupCol))
+      .select(df.columns.map(col).toSeq :+ col(meanCol): _*)
+  }
 }

@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 
 /** Keyword search over a document corpus: BM25 top-k ranking built from
   * one corpus scan, plus a persisted-inverted-index lifecycle for
@@ -248,5 +249,176 @@ object Search {
         col("doc_id"),
         (col("__scaled") / lit(100000000.0)).as("score"),
         col("n_terms_hit"))
+  }
+
+  /** BM25 for a BATCH of queries in one corpus pass — the serving shape
+    * for retrieval workloads (decontamination-by-retrieval, hard-negative
+    * mining) where thousands of queries hit the same snapshot and
+    * per-query [[bm25TopK]] calls would rescan the corpus per query.
+    * `queries` carries `(<queryIdCol>, <termsCol>: array<string>)`;
+    * output is `(<queryIdCol>, <idCol>, score, n_terms_hit)` — the top
+    * `k` docs PER QUERY, score descending, doc id ascending on ties.
+    *
+    * Scoring is identical to [[bm25TopK]] (floor-4 idf, 1e-8-grid long
+    * contributions); a duplicated term inside one query's array counts
+    * once, like `queryTerms.distinct` there.
+    *
+    * Scale: corpus postings filter against the DISTINCT term set of the
+    * whole batch (broadcast semi-join — the term vocabulary of a query
+    * batch is tiny next to the corpus) before any shuffle, exactly like
+    * the single-query plan's `isin`. The scoring join then fans each
+    * matching posting out only to the queries containing its term, and
+    * per-query top-k is a rank window over `(query)` — Spark's
+    * rank-limit pushdown (`WindowGroupLimit`) caps every partition at k
+    * rows per query before the shuffle, so no query ever materializes
+    * its full match list.
+    */
+  def bm25TopKBatch(
+      docs: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryIdCol: String,
+      termsCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"bm25TopKBatch: k must be positive, got $k")
+    // (query, term) pairs, deduped within each query
+    val qTerms = queries.select(
+        col(queryIdCol).as("__q"),
+        explode(array_distinct(col(termsCol))).as("__t"))
+    val batchTerms = qTerms.select("__t").distinct()
+
+    val lengths = docs.select(
+        col(idCol).as("__id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("__dl"))
+      .filter(col("__dl") > 0)
+    val postings = docs
+      .select(col(idCol).as("__id"), explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .join(broadcast(batchTerms), "__t") // restrict BEFORE the tf shuffle
+      .groupBy("__id", "__t")
+      .agg(count(lit(1)).as("__tf"))
+
+    val stats = lengths.agg(
+      count(lit(1)).as("__n_docs"),
+      sum(col("__dl")).as("__total_dl"))
+    val dfs = postings.groupBy("__t").agg(count(lit(1)).as("__df"))
+
+    val scored = postings
+      .join(broadcast(qTerms), "__t") // fan out to the queries carrying the term
+      .join(broadcast(dfs), "__t")
+      .join(lengths, "__id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        floor(log(
+          (col("__n_docs") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))
+            + lit(1.0)) * lit(10000.0)) / lit(10000.0))
+      .withColumn("__avgdl", col("__total_dl") * lit(1.0) / col("__n_docs"))
+      .withColumn("__contrib",
+        floor(col("__idf") * (col("__tf") * lit(k1 + 1.0)
+          / (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+          * lit(100000000.0)).cast("long"))
+
+    val perQueryDoc = scored
+      .groupBy(col("__q"), col("__id"))
+      .agg(
+        sum(col("__contrib")).as("__scaled"),
+        count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("__scaled").desc, col("__id").asc)
+    perQueryDoc
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(
+        col("__q").as(queryIdCol),
+        col("__id").as(idCol),
+        (col("__scaled") / lit(100000000.0)).as("score"),
+        col("n_terms_hit"))
+  }
+
+  /** Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion:
+    * BM25 top-`fetchK` over `docs` for `queryTerms`, cosine top-`fetchK`
+    * over `candidates` against the literal `queryVec`, fused per doc as
+    * `Σ 1/(rrfK + rank)` over the lists the doc appears in (the standard
+    * RRF rule — rank-based, so the two score scales never need
+    * calibration). Returns the `k` best
+    * `(<docIdCol>, rrf_score, lex_rank, vec_rank)` rows, fused score
+    * descending, id ascending on ties; a doc missing from one list has
+    * a null rank there and contributes only the other list's term.
+    *
+    * Ids must be shared between `docs.<docIdCol>` and
+    * `candidates.<vecIdCol>` (the embedding table keyed by doc id).
+    * Callers retrieving "more like doc X" should filter X out of
+    * `candidates` — a self-match is cosine ≈ 1 and pins rank 1.
+    *
+    * Scale: the lexical side is [[bm25TopK]] (postings filtered to the
+    * query terms before any shuffle); the dense side is ONE candidate
+    * scan with `TakeOrderedAndProject` (per-partition heaps, no global
+    * sort). Only the two ≤ `fetchK`-row lists reach the rank windows
+    * and the fusion join, so the single-partition windows are bounded
+    * by construction, not by data size.
+    *
+    * Determinism (oracle contract): lexical ranks order by BM25's exact
+    * 1e-8-grid longs; dense ranks order by the cosine FLOORED onto the
+    * 1e-4 grid as a long (`floor(cos·10⁴)`) with id tie-break, so a
+    * last-ulp difference between two engines' float-sum orders cannot
+    * flip a rank; the fused score is IEEE arithmetic on the resulting
+    * small-integer ranks — identical on both sides.
+    */
+  def hybridRrfTopK(
+      docs: DataFrame,
+      candidates: DataFrame,
+      docIdCol: String,
+      textCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      queryTerms: Seq[String],
+      queryVec: Array[Double],
+      k: Int,
+      fetchK: Int = 50,
+      rrfK: Int = 60): DataFrame = {
+    require(queryVec.nonEmpty, "hybridRrfTopK: empty query vector")
+    require(queryVec.forall(v => !v.isNaN && !v.isInfinite),
+      "hybridRrfTopK: query vector must be finite")
+    require(k > 0 && fetchK > 0, s"hybridRrfTopK: need k > 0 and fetchK > 0, got k=$k fetchK=$fetchK")
+    require(rrfK >= 0, s"hybridRrfTopK: rrfK must be >= 0, got $rrfK")
+    val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
+    require(qNorm > 0, "hybridRrfTopK: query vector must be non-zero")
+
+    // lexical list: BM25 already returns <= fetchK rows ordered by the
+    // exact scaled-long score — the rank window runs over that bounded
+    // result only
+    val lex = bm25TopK(docs, docIdCol, textCol, queryTerms, fetchK)
+      .select(col(docIdCol).as("__id"), col("score").as("__s"))
+    val lexRanked = lex.withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("__s").desc, col("__id").asc)))
+      .select("__id", "lex_rank")
+
+    // dense list: one scan of the candidates, cosine vs the literal
+    // query vector floored onto the 1e-4 grid, per-partition top-k heaps
+    val qvCol = array(queryVec.toIndexedSeq.map(lit): _*)
+    val dense = candidates.select(
+        col(vecIdCol).as("__id"),
+        floor(VectorFunctions.dot(qvCol, VectorFunctions.asDouble(col(vecCol)))
+          / (lit(qNorm) * VectorFunctions.norm(col(vecCol))) * lit(10000.0))
+          .cast("long").as("__cg"))
+      .orderBy(col("__cg").desc, col("__id").asc)
+      .limit(fetchK)
+    val denseRanked = dense.withColumn("vec_rank",
+        row_number().over(Window.orderBy(col("__cg").desc, col("__id").asc)))
+      .select("__id", "vec_rank")
+
+    lexRanked.join(denseRanked, Seq("__id"), "full_outer")
+      .withColumn("__rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
+      .orderBy(col("__rrf").desc, col("__id").asc)
+      .limit(k)
+      .select(
+        col("__id").as(docIdCol),
+        round(col("__rrf"), 6).as("rrf_score"),
+        col("lex_rank"),
+        col("vec_rank"))
   }
 }

@@ -151,6 +151,27 @@ class PlanContractSuite extends SparkSpec {
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     ("decontaminate_docs", Seq("BroadcastExchange"),
       Seq("CartesianProduct")),
+    // A-ES weighted sampling rides the same rank-limit pushdown as the
+    // uniform cap: each partition prunes to its local top-n pre-shuffle
+    ("sample_weighted", Seq("WindowGroupLimit"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // hybrid retrieval: the dense side is per-partition top-k heaps
+    // (TakeOrderedAndProject), never a global sort of the corpus; the
+    // two rank windows run over <= fetchK rows by construction, so
+    // their single-partition exchanges are bounded and allowed, and so
+    // is BM25's deliberate one-row corpus-stats crossJoin (the only
+    // nested-loop in the plan — a CartesianProduct of DATA is still
+    // forbidden)
+    ("hybrid_search_rrf", Seq("TakeOrderedAndProject"),
+      Seq("CartesianProduct")),
+    // group-score propagation: one partial aggregate over |groups|
+    // rows joined back on the group key — never a nested loop
+    ("filter_by_source_quality", Seq("HashAggregate"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // batched BM25: per-query top-k must ride the rank-limit pushdown;
+    // the 1-row stats crossJoin is the only permitted nested loop
+    ("bm25_search_batch", Seq("WindowGroupLimit"),
+      Seq("CartesianProduct")),
     ("heavy_hitters_tokens", Seq("HashAggregate"),
       Seq("CartesianProduct")),
     ("agg_pricing", Seq("HashAggregate"), Seq.empty))

@@ -460,4 +460,92 @@ class SamplingSuite extends SparkSpec {
     // only rows whose running total stays at 0 survive
     assert(kept.forall(_._2 == 0L))
   }
+
+  // ---- weighted sampling without replacement ------------------------------
+
+  /** Scalar reimplementation of the documented A-ES key: ln of the md5
+    * uniform over the weight, floored onto the 1e-8 grid.
+    */
+  private def esKey(id: Long, w: Double): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val u = (java.lang.Long.parseLong(hex.take(8), 16) + 0.5) / 4294967296.0
+    math.floor(math.log(u) / w * 1e8).toLong
+  }
+
+  test("weightedSamplePerGroup matches the scalar A-ES rule per group") {
+    val rows = (0 until 300).map(i => (i.toLong, s"g${i % 3}", (i % 7 + 1).toLong))
+    val df = rows.toDF("id", "g", "w")
+    val expect = rows.groupBy(_._2).flatMap { case (_, grp) =>
+      grp.sortBy { case (id, _, w) => (-esKey(id, w.toDouble), id) }.take(10)
+    }.map(_._1).toSet
+    val got = Sampling.weightedSamplePerGroup(df, "id", col("w"), n = 10,
+        groupCols = Seq("g"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    // stable under repartitioning, like every sampler in this file
+    val got2 = Sampling.weightedSamplePerGroup(df.repartition(17), "id",
+        col("w"), n = 10, groupCols = Seq("g"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got2 == expect)
+  }
+
+  test("weightedSamplePerGroup: non-positive/null/NaN weights never win") {
+    val df = Seq(
+      (1L, java.lang.Double.valueOf(0.0)),
+      (2L, java.lang.Double.valueOf(-1.0)),
+      (3L, java.lang.Double.valueOf(Double.NaN)),
+      (4L, null.asInstanceOf[java.lang.Double]),
+      (5L, java.lang.Double.valueOf(2.0))
+    ).toDF("id", "w")
+    val kept = Sampling.weightedSamplePerGroup(df, "id", col("w"), n = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L))
+  }
+
+  test("weightedSamplePerGroup guards its temp columns and n") {
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSamplePerGroup(
+        Seq((1L, 1.0)).toDF("id", "__wk"), "id", col("__wk"), n = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSamplePerGroup(
+        Seq((1L, 1.0)).toDF("id", "w"), "id", col("w"), n = 0)
+    }
+  }
+
+  // ---- group-score propagation --------------------------------------------
+
+  test("filterByGroupScore keeps whole groups by grid-mean threshold") {
+    val df = Seq(
+      (1L, "a", 0.90), (2L, "a", 0.70), // mean 0.8
+      (3L, "b", 0.60), (4L, "b", 0.40), // mean 0.5
+      (5L, "c", 0.75), (6L, "c", 0.85)  // mean 0.8
+    ).toDF("id", "g", "q")
+    val out = Sampling.filterByGroupScore(df, "g", col("q"), minMean = 0.8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    // >= is inclusive: both 0.8-mean groups survive, b drops entirely
+    assert(out.map(_._1).toSet == Set(1L, 2L, 5L, 6L))
+    assert(out.forall { case (_, g, m) => (g == "a" || g == "c") && m == 0.8 })
+  }
+
+  test("filterByGroupScore floors scores onto the grid before the mean") {
+    // 0.74999 floors to 7499 on the 1e-4 grid: the group mean is
+    // 0.74995, NOT the raw-mean 0.749995 — the documented contract
+    val df = Seq((1L, "a", 0.74999), (2L, "a", 0.75))
+      .toDF("id", "g", "q")
+    val m = Sampling.filterByGroupScore(df, "g", col("q"), minMean = 0.0)
+      .select("group_score").head().getDouble(0)
+    assert(m == (7499L + 7500L) / (2 * 10000.0))
+    assert(Sampling.filterByGroupScore(df, "g", col("q"), minMean = 0.74996)
+      .count() == 0)
+  }
+
+  test("filterByGroupScore guards temp/output column collisions") {
+    intercept[IllegalArgumentException] {
+      Sampling.filterByGroupScore(
+        Seq((1L, "a", 1.0)).toDF("id", "g", "group_score"), "g",
+        col("group_score"), minMean = 0.0)
+    }
+  }
 }

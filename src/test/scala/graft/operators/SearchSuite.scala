@@ -116,4 +116,118 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(!live.contains(1L) && !live.contains(4L))
   }
+
+  // ---- batched BM25 -------------------------------------------------------
+
+  test("bm25TopKBatch == per-query bm25TopK for every query in the batch") {
+    val batch = Seq(
+      (10L, Seq("spark", "filter")),
+      (11L, Seq("join")),
+      (12L, Seq("spark", "spark", "unseen")) // dup term counts once
+    ).toDF("query_id", "terms")
+    val got = Search.bm25TopKBatch(corpus, batch,
+        "doc_id", "text", "query_id", "terms", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSet).toMap
+    val expected = Map(
+      10L -> Seq("spark", "filter"),
+      11L -> Seq("join"),
+      12L -> Seq("spark", "unseen")
+    ).map { case (q, terms) =>
+      q -> Search.bm25TopK(corpus, "doc_id", "text", terms, k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    }
+    assert(got == expected)
+  }
+
+  test("bm25TopKBatch plans a per-query rank-limit, not a global sort") {
+    val batch = Seq((0L, Seq("spark"))).toDF("query_id", "terms")
+    val plan = Search.bm25TopKBatch(corpus, batch,
+        "doc_id", "text", "query_id", "terms", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no rank-limit pushdown in:\n$plan")
+  }
+
+  // ---- hybrid RRF ---------------------------------------------------------
+
+  private val vectors = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f)),
+    (5L, Array(0.7f, 0.7f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  /** Independent scalar RRF over the documented rank rules. */
+  private def expectedRrf(
+      terms: Seq[String], qv: Array[Double],
+      k: Int, fetchK: Int, rrfK: Int): Seq[(Long, Double, Option[Int], Option[Int])] = {
+    val docs = corpus.as[(Long, String)].collect().toSeq
+    val lexRanks = expectedScores(docs, terms).toSeq
+      .sortBy { case (id, (s, _)) => (-s, id) }.take(fetchK)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val vecs = vectors.as[(Long, Array[Float])].collect().toSeq
+    val vecRanks = vecs.map { case (id, v) =>
+      val dot = v.map(_.toDouble).zip(qv).map { case (a, b) => a * b }.sum
+      val cn = math.sqrt(v.map(x => x.toDouble * x).sum)
+      id -> math.floor(dot / (qn * cn) * 1e4).toLong
+    }.sortBy { case (id, g) => (-g, id) }.take(fetchK)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    (lexRanks.keySet ++ vecRanks.keySet).toSeq.map { id =>
+      val rrf = lexRanks.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0) +
+        vecRanks.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0)
+      (id, rrf, lexRanks.get(id), vecRanks.get(id))
+    }.sortBy { case (id, r, _, _) => (-r, id) }.take(k)
+      .map { case (id, r, lr, vr) =>
+        // Spark's round() is HALF_UP on the decimal representation
+        (id, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          lr, vr)
+      }
+  }
+
+  test("hybridRrfTopK matches an independent scalar RRF implementation") {
+    val qv = Array(1.0, 0.0, 0.0)
+    val got = Search.hybridRrfTopK(
+        corpus, vectors, "doc_id", "text", "vec_id", "embedding",
+        Seq("spark", "filter"), qv, k = 5, fetchK = 5, rrfK = 60)
+      .collect().map(r => (
+        r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))
+      .toSeq
+    assert(got == expectedRrf(Seq("spark", "filter"), qv, k = 5, fetchK = 5, rrfK = 60))
+  }
+
+  test("hybridRrfTopK: single-list docs carry one null rank and one term") {
+    // doc 5 has none of the query terms but a strong vector match; doc 4
+    // matches lexically ("filter") with an orthogonal vector outside the
+    // dense fetchK=2 cut
+    val got = Search.hybridRrfTopK(
+        corpus, vectors, "doc_id", "text", "vec_id", "embedding",
+        Seq("filter"), Array(0.8, 0.75, 0.0), k = 5, fetchK = 2)
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(got(5L) == (true, false), s"doc 5 should be dense-only: $got")
+    assert(got(4L) == (false, true), s"doc 4 should be lexical-only: $got")
+  }
+
+  test("hybridRrfTopK rejects bad arguments") {
+    intercept[IllegalArgumentException] {
+      Search.hybridRrfTopK(corpus, vectors, "doc_id", "text", "vec_id",
+        "embedding", Seq("spark"), Array.empty[Double], k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Search.hybridRrfTopK(corpus, vectors, "doc_id", "text", "vec_id",
+        "embedding", Seq("spark"), Array(Double.NaN), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Search.hybridRrfTopK(corpus, vectors, "doc_id", "text", "vec_id",
+        "embedding", Seq("spark"), Array(0.0, 0.0), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Search.hybridRrfTopK(corpus, vectors, "doc_id", "text", "vec_id",
+        "embedding", Seq("spark"), Array(1.0), k = 5, fetchK = 0)
+    }
+  }
 }
