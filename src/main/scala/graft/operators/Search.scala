@@ -337,6 +337,48 @@ object Search {
         col("n_terms_hit"))
   }
 
+  /** Reciprocal Rank Fusion of N named ranked lists: each input carries
+    * `(<idCol>, rank)` with 1-based integer ranks; the fused score is
+    * `Σ 1/(rrfK + rank)` over the lists the id appears in. Output:
+    * `(<idCol>, rrf_score, <name>_rank …)` — the `k` best ids, fused
+    * score descending, id ascending on ties; an id absent from a list
+    * has a null `<name>_rank` and contributes nothing for it.
+    *
+    * Rank-based fusion never needs score calibration, which is why it
+    * is the standard way to combine heterogeneous retrievers (BM25 +
+    * dense + recency + quality priors, …). Determinism: the fused
+    * score is IEEE arithmetic on small integer ranks — identical on
+    * any engine.
+    *
+    * Scale: inputs are top-`fetchK` lists by construction (bounded),
+    * so the N−1 full-outer joins and the final top-k all run on
+    * ≤ N·fetchK rows.
+    */
+  def rrfFuse(
+      lists: Seq[(String, DataFrame)],
+      idCol: String,
+      k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: no lists")
+    require(lists.map(_._1).distinct.length == lists.length,
+      s"rrfFuse: duplicate list names in ${lists.map(_._1)}")
+    require(k > 0 && rrfK >= 0, s"rrfFuse: need k > 0 and rrfK >= 0, got k=$k rrfK=$rrfK")
+    val named = lists.map { case (name, df) =>
+      df.select(col(idCol).as("__id"), col("rank").as(s"${name}_rank"))
+    }
+    val joined = named.reduce((a, b) => a.join(b, Seq("__id"), "full_outer"))
+    val score = lists.map { case (name, _) =>
+      coalesce(lit(1.0) / (lit(rrfK) + col(s"${name}_rank")), lit(0.0))
+    }.reduce(_ + _)
+    joined
+      .withColumn("__rrf", score)
+      .orderBy(col("__rrf").desc, col("__id").asc)
+      .limit(k)
+      .select(
+        (col("__id").as(idCol) +: round(col("__rrf"), 6).as("rrf_score") +:
+          lists.map { case (name, _) => col(s"${name}_rank") }): _*)
+  }
+
   /** Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion:
     * BM25 top-`fetchK` over `docs` for `queryTerms`, cosine top-`fetchK`
     * over `candidates` against the literal `queryVec`, fused per doc as
