@@ -2194,7 +2194,9 @@ object SparkEntry {
           TextFunctions.qualityScore(col("text")), minMean = 0.705,
           meanCol = "source_quality")
         .select(col("doc_id"), col("source"),
-          round(col("source_quality"), 6).as("source_quality"))
+          // floor grid, not round(): round() is engine-divergent on
+          // trailing-5 decimals (see the q4 helper note)
+          (floor(col("source_quality") * 1e6) / 1e6).as("source_quality"))
     }),
     "sample_stratified" -> ((s, dir) => {
       // class rebalancing: per-source keep fractions by the SAME md5
@@ -4001,7 +4003,8 @@ object SparkEntry {
           |           + coalesce(1.0 / (60 + v.vec_rank), 0) AS rrf,
           |         l.lex_rank, v.vec_rank
           |  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
-          |SELECT doc_id, round(rrf, 6) AS rrf_score, lex_rank, vec_rank
+          |SELECT doc_id, floor(rrf * 1000000.0) / 1000000.0 AS rrf_score,
+          |       lex_rank, vec_rank
           |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
       // stream_lm_gate: lm_score_docs' scoring with KenLM-style count
       // cutoffs (HAVING >= 2) on both tables; |V| stays unpruned
@@ -5142,19 +5145,21 @@ object SparkEntry {
         """SELECT event_id, event_type, user_id FROM events
           |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
           |      % 10000 < 1000""".stripMargin,
-      // sample_weighted: Efraimidis–Spirakis keys ln(u)/w on the shared
-      // md5 uniform, floored onto the 1e-8 grid as longs (libm-proof),
-      // top-20 per language by key with doc_id tie-break
+      // sample_weighted: Efraimidis–Spirakis keys on the shared md5
+      // uniform ranked in the double-log domain ln(-ln u) - ln w
+      // (ascending ⟺ u^(1/w) descending), floored onto the RELATIVE
+      // 1e-12 grid as longs (libm-proof at every weight magnitude),
+      // top-20 per language with doc_id tie-break
       "sample_weighted" ->
         """WITH keyed AS (
           |  SELECT doc_id, lang, source,
           |    CAST(floor(
-          |      ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
-          |          + 0.5) / 4294967296.0)
-          |      / n_chars * 100000000.0) AS BIGINT) AS k
+          |      (ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          |               + 0.5) / 4294967296.0))
+          |       - ln(CAST(n_chars AS DOUBLE))) * 1000000000000.0) AS BIGINT) AS k
           |  FROM documents WHERE n_chars > 0),
           |r AS (SELECT doc_id, lang, source,
-          |             row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rn
+          |             row_number() OVER (PARTITION BY lang ORDER BY k ASC, doc_id) AS rn
           |      FROM keyed)
           |SELECT doc_id, lang, source FROM r WHERE rn <= 20""".stripMargin,
       // filter_by_source_quality: text_quality's per-doc score on the
@@ -5178,7 +5183,8 @@ object SparkEntry {
           |m AS (SELECT source, sum(gq) / (count(*) * 10000.0) AS mean
           |      FROM q GROUP BY source
           |      HAVING sum(gq) / (count(*) * 10000.0) >= 0.705)
-          |SELECT q.doc_id, q.source, round(m.mean, 6) AS source_quality
+          |SELECT q.doc_id, q.source,
+          |       floor(m.mean * 1000000.0) / 1000000.0 AS source_quality
           |FROM q JOIN m ON m.source = q.source""".stripMargin,
       "sample_stratified" ->
         """SELECT doc_id, source FROM documents

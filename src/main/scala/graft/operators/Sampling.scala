@@ -693,15 +693,25 @@ object Sampling {
     * Deterministic and engine-portable like everything in this file:
     * `u` is md5-of-id mapped into (0,1) — `(h32 + 0.5) / 2³²` — not an
     * RNG stream, so membership survives re-partitioning, re-runs, and
-    * engine swaps. The key is ranked in the log domain
-    * (`ln(u)/w`, monotone in `u^(1/w)` for w > 0) and FLOORED onto a
-    * 1e-8 grid as an exact long with id tie-break, so two engines'
-    * last-ulp `ln`/division differences cannot flip a rank (`ln` is
-    * not IEEE-correctly-rounded; the grid is the same defense
-    * [[graft.operators.Search.bm25TopK]] documents for its idf).
+    * engine swaps. The key is ranked in the DOUBLE-log domain:
+    * `L = ln(−ln u) − ln w` ascending is monotone-equivalent to
+    * `u^(1/w)` descending (both logs are strictly monotone; `−ln u > 0`
+    * always, since `u < 1` strictly), and — unlike the raw `ln(u)/w`,
+    * whose magnitude shrinks as `1/w` and would collapse any FIXED grid
+    * to a handful of cells at large weights — `L` is bounded by a few
+    * hundred for EVERY positive finite double weight
+    * (`ln(−ln u) ∈ [−22.9, 3.2]`, `|ln w| < 745`). Flooring `L` onto a
+    * 1e-12 grid as an exact long therefore gives a RELATIVE 1e-12
+    * resolution on the key at every weight magnitude, with no overflow
+    * and no valid-weight-range caveat; id tie-break covers the
+    * (negligible-probability) residual knife edges from `ln` not being
+    * IEEE-correctly-rounded — the same defense
+    * [[graft.operators.Search.bm25TopK]] documents for its idf, here
+    * made magnitude-uniform.
     *
-    * Rows with null, NaN, or non-positive weight are excluded — A-ES
-    * is undefined there (a zero-weight row must never win).
+    * Rows with null, NaN, non-positive, or infinite weight are
+    * excluded — A-ES is undefined there (a zero-weight row must never
+    * win, and `ln(+∞)` has no place on the grid).
     *
     * Scale: one scan + one rank window; Spark's rank-limit pushdown
     * (`WindowGroupLimit`) prunes every partition to its local top-n
@@ -717,14 +727,17 @@ object Sampling {
       "weightedSamplePerGroup: input must not carry columns __wk/__wr")
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
+    // smaller L = larger u^(1/w) = better, so the window ranks ASCENDING
     val w =
-      if (groupCols.isEmpty) Window.orderBy(col("__wk").desc, col(idCol).asc)
+      if (groupCols.isEmpty) Window.orderBy(col("__wk").asc, col(idCol).asc)
       else Window.partitionBy(groupCols.map(col): _*)
-        .orderBy(col("__wk").desc, col(idCol).asc)
+        .orderBy(col("__wk").asc, col(idCol).asc)
     // `> 0` alone would PASS NaN (Spark and DuckDB both order NaN above
-    // every number), so NaN is excluded explicitly
-    df.filter(weight > 0 && !isnan(weight.cast("double")))
-      .withColumn("__wk", floor(log(u) / weight * lit(1e8)).cast("long"))
+    // every number), so NaN is excluded explicitly; +Inf is excluded so
+    // ln(w) stays finite and the long cast is engine-portable
+    val wd = weight.cast("double")
+    df.filter(weight > 0 && !isnan(wd) && wd < lit(Double.PositiveInfinity))
+      .withColumn("__wk", floor((log(-log(u)) - log(wd)) * lit(1e12)).cast("long"))
       .withColumn("__wr", row_number().over(w))
       .filter(col("__wr") <= n)
       .select(df.columns.map(col).toSeq: _*)

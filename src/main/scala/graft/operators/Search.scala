@@ -284,10 +284,20 @@ object Search {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(k > 0, s"bm25TopKBatch: k must be positive, got $k")
-    // (query, term) pairs, deduped within each query
+    // (query, term) pairs, deduped within each query; a null/empty
+    // terms array FAILS LOUDLY (data-side raise_error — matching
+    // bm25TopK's empty-query require) instead of silently vanishing in
+    // the explode, so callers can always distinguish "no matches" from
+    // "never scored"
+    val checkedTerms = when(
+        col(termsCol).isNotNull && size(col(termsCol)) > 0,
+        array_distinct(col(termsCol)))
+      .otherwise(raise_error(concat(
+        lit("bm25TopKBatch: query "), col(queryIdCol).cast("string"),
+        lit(" has a null/empty terms array"))))
     val qTerms = queries.select(
         col(queryIdCol).as("__q"),
-        explode(array_distinct(col(termsCol))).as("__t"))
+        explode(checkedTerms).as("__t"))
     val batchTerms = qTerms.select("__t").distinct()
 
     val lengths = docs.select(
@@ -338,17 +348,19 @@ object Search {
   }
 
   /** Reciprocal Rank Fusion of N named ranked lists: each input carries
-    * `(<idCol>, rank)` with 1-based integer ranks; the fused score is
-    * `Σ 1/(rrfK + rank)` over the lists the id appears in. Output:
+    * `(<idCol>, <rankCol>)` with 1-based integer ranks; the fused score
+    * is `Σ 1/(rrfK + rank)` over the lists the id appears in. Output:
     * `(<idCol>, rrf_score, <name>_rank …)` — the `k` best ids, fused
     * score descending, id ascending on ties; an id absent from a list
     * has a null `<name>_rank` and contributes nothing for it.
     *
     * Rank-based fusion never needs score calibration, which is why it
     * is the standard way to combine heterogeneous retrievers (BM25 +
-    * dense + recency + quality priors, …). Determinism: the fused
-    * score is IEEE arithmetic on small integer ranks — identical on
-    * any engine.
+    * dense + recency + quality priors, …) — [[hybridRrfTopK]] and
+    * [[hybridRrfTopKIndexed]] both fuse through here. Determinism: the
+    * fused score is IEEE arithmetic on small integer ranks, floored
+    * onto the 1e-6 grid (floor, not round — round() is engine-divergent
+    * on trailing-5 decimals) — identical on any engine.
     *
     * Scale: inputs are top-`fetchK` lists by construction (bounded),
     * so the N−1 full-outer joins and the final top-k all run on
@@ -358,13 +370,22 @@ object Search {
       lists: Seq[(String, DataFrame)],
       idCol: String,
       k: Int,
-      rrfK: Int = 60): DataFrame = {
+      rrfK: Int = 60,
+      rankCol: String = "rank"): DataFrame = {
     require(lists.nonEmpty, "rrfFuse: no lists")
     require(lists.map(_._1).distinct.length == lists.length,
       s"rrfFuse: duplicate list names in ${lists.map(_._1)}")
     require(k > 0 && rrfK >= 0, s"rrfFuse: need k > 0 and rrfK >= 0, got k=$k rrfK=$rrfK")
+    val outCols = "rrf_score" +: lists.map { case (name, _) => s"${name}_rank" }
+    require(!outCols.contains(idCol),
+      s"rrfFuse: id column $idCol collides with an output column ($outCols)")
+    lists.foreach { case (name, df) =>
+      require(df.columns.contains(idCol) && df.columns.contains(rankCol),
+        s"rrfFuse: list '$name' must carry columns ($idCol, $rankCol), has " +
+          df.columns.mkString("(", ", ", ")"))
+    }
     val named = lists.map { case (name, df) =>
-      df.select(col(idCol).as("__id"), col("rank").as(s"${name}_rank"))
+      df.select(col(idCol).as("__id"), col(rankCol).as(s"${name}_rank"))
     }
     val joined = named.reduce((a, b) => a.join(b, Seq("__id"), "full_outer"))
     val score = lists.map { case (name, _) =>
@@ -375,7 +396,8 @@ object Search {
       .orderBy(col("__rrf").desc, col("__id").asc)
       .limit(k)
       .select(
-        (col("__id").as(idCol) +: round(col("__rrf"), 6).as("rrf_score") +:
+        (col("__id").as(idCol) +:
+          (floor(col("__rrf") * lit(1000000.0)) / lit(1000000.0)).as("rrf_score") +:
           lists.map { case (name, _) => col(s"${name}_rank") }): _*)
   }
 
@@ -393,6 +415,10 @@ object Search {
     * `candidates.<vecIdCol>` (the embedding table keyed by doc id).
     * Callers retrieving "more like doc X" should filter X out of
     * `candidates` — a self-match is cosine ≈ 1 and pins rank 1.
+    * Zero-norm candidate vectors are EXCLUDED from the dense list
+    * (cosine is 0/0 there; without the filter the NaN would floor-cast
+    * to 0 and rank a degenerate vector above every negative-cosine
+    * doc), mirroring the non-zero require on the query side.
     *
     * Scale: the lexical side is [[bm25TopK]] (postings filtered to the
     * query terms before any shuffle); the dense side is ONE candidate
@@ -425,6 +451,8 @@ object Search {
       "hybridRrfTopK: query vector must be finite")
     require(k > 0 && fetchK > 0, s"hybridRrfTopK: need k > 0 and fetchK > 0, got k=$k fetchK=$fetchK")
     require(rrfK >= 0, s"hybridRrfTopK: rrfK must be >= 0, got $rrfK")
+    require(!Seq("rrf_score", "lex_rank", "vec_rank").contains(docIdCol),
+      s"hybridRrfTopK: doc id column $docIdCol collides with an output column")
     val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
     require(qNorm > 0, "hybridRrfTopK: query vector must be non-zero")
 
@@ -433,34 +461,29 @@ object Search {
     // result only
     val lex = bm25TopK(docs, docIdCol, textCol, queryTerms, fetchK)
       .select(col(docIdCol).as("__id"), col("score").as("__s"))
-    val lexRanked = lex.withColumn("lex_rank",
+    val lexRanked = lex.withColumn("rank",
         row_number().over(Window.orderBy(col("__s").desc, col("__id").asc)))
-      .select("__id", "lex_rank")
+      .select("__id", "rank")
 
     // dense list: one scan of the candidates, cosine vs the literal
-    // query vector floored onto the 1e-4 grid, per-partition top-k heaps
+    // query vector floored onto the 1e-4 grid, per-partition top-k
+    // heaps; zero-norm vectors drop BEFORE the grid (0/0 would NaN)
     val qvCol = array(queryVec.toIndexedSeq.map(lit): _*)
     val dense = candidates.select(
         col(vecIdCol).as("__id"),
-        floor(VectorFunctions.dot(qvCol, VectorFunctions.asDouble(col(vecCol)))
-          / (lit(qNorm) * VectorFunctions.norm(col(vecCol))) * lit(10000.0))
+        VectorFunctions.norm(col(vecCol)).as("__cn"),
+        VectorFunctions.dot(qvCol, VectorFunctions.asDouble(col(vecCol))).as("__dp"))
+      .filter(col("__cn") > 0)
+      .select(col("__id"),
+        floor(col("__dp") / (lit(qNorm) * col("__cn")) * lit(10000.0))
           .cast("long").as("__cg"))
       .orderBy(col("__cg").desc, col("__id").asc)
       .limit(fetchK)
-    val denseRanked = dense.withColumn("vec_rank",
+    val denseRanked = dense.withColumn("rank",
         row_number().over(Window.orderBy(col("__cg").desc, col("__id").asc)))
-      .select("__id", "vec_rank")
+      .select("__id", "rank")
 
-    lexRanked.join(denseRanked, Seq("__id"), "full_outer")
-      .withColumn("__rrf",
-        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
-      .orderBy(col("__rrf").desc, col("__id").asc)
-      .limit(k)
-      .select(
-        col("__id").as(docIdCol),
-        round(col("__rrf"), 6).as("rrf_score"),
-        col("lex_rank"),
-        col("vec_rank"))
+    rrfFuse(Seq("lex" -> lexRanked, "vec" -> denseRanked), "__id", k, rrfK)
+      .withColumnRenamed("__id", docIdCol)
   }
 }

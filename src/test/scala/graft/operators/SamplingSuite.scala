@@ -463,21 +463,22 @@ class SamplingSuite extends SparkSpec {
 
   // ---- weighted sampling without replacement ------------------------------
 
-  /** Scalar reimplementation of the documented A-ES key: ln of the md5
-    * uniform over the weight, floored onto the 1e-8 grid.
+  /** Scalar reimplementation of the documented A-ES key: the double-log
+    * form ln(-ln u) - ln w on the md5 uniform, floored onto the
+    * RELATIVE 1e-12 grid (ascending = best).
     */
   private def esKey(id: Long, w: Double): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val u = (java.lang.Long.parseLong(hex.take(8), 16) + 0.5) / 4294967296.0
-    math.floor(math.log(u) / w * 1e8).toLong
+    math.floor((math.log(-math.log(u)) - math.log(w)) * 1e12).toLong
   }
 
   test("weightedSamplePerGroup matches the scalar A-ES rule per group") {
     val rows = (0 until 300).map(i => (i.toLong, s"g${i % 3}", (i % 7 + 1).toLong))
     val df = rows.toDF("id", "g", "w")
     val expect = rows.groupBy(_._2).flatMap { case (_, grp) =>
-      grp.sortBy { case (id, _, w) => (-esKey(id, w.toDouble), id) }.take(10)
+      grp.sortBy { case (id, _, w) => (esKey(id, w.toDouble), id) }.take(10)
     }.map(_._1).toSet
     val got = Sampling.weightedSamplePerGroup(df, "id", col("w"), n = 10,
         groupCols = Seq("g"))
@@ -501,6 +502,49 @@ class SamplingSuite extends SparkSpec {
     val kept = Sampling.weightedSamplePerGroup(df, "id", col("w"), n = 5)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(5L))
+  }
+
+  test("weightedSamplePerGroup: selection is weight-scale invariant (relative grid)") {
+    // the advisor's round-12 failure shape: at weight ~1e8 an ABSOLUTE
+    // 1e-8 grid collapsed the key to ~23 cells and ties fell to low
+    // ids; the relative (double-log) grid keeps the ranking identical
+    // whether weights are O(1) or O(1e9)
+    val base = (0 until 300).map(i => (i.toLong, (i % 13 + 1).toDouble))
+    val small = Sampling.weightedSamplePerGroup(
+        base.toDF("id", "w"), "id", col("w"), n = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val huge = Sampling.weightedSamplePerGroup(
+        base.map { case (i, w) => (i, w * 1e9) }.toDF("id", "w"),
+        "id", col("w"), n = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(huge == small)
+    assert(small != (0L until 10L).toSet,
+      "selection degenerated to the lowest ids — grid collapse")
+  }
+
+  test("weightedSamplePerGroup: infinite weights are excluded") {
+    val df = Seq(
+      (1L, java.lang.Double.valueOf(Double.PositiveInfinity)),
+      (2L, java.lang.Double.valueOf(3.0))
+    ).toDF("id", "w")
+    val kept = Sampling.weightedSamplePerGroup(df, "id", col("w"), n = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
+  test("weightedSamplePerGroup ungrouped form prunes before the unpartitioned window") {
+    // groupCols = Nil ranks over an unpartitioned window; the plan is
+    // safe ONLY because a rank-limit pushdown prunes each partition to
+    // its local top-n BEFORE anything single-partition — either
+    // LimitPushDownThroughWindow (TakeOrderedAndProject under the
+    // window: per-partition heaps) or WindowGroupLimit. Pin that so a
+    // Spark upgrade can't silently regress to a full global sort.
+    val df = (0 until 100).map(i => (i.toLong, (i % 5 + 1).toDouble))
+      .toDF("id", "w")
+    val plan = Sampling.weightedSamplePerGroup(df, "id", col("w"), n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("WindowGroupLimit"),
+      s"no rank-limit pruning before the unpartitioned window:\n$plan")
   }
 
   test("weightedSamplePerGroup guards its temp columns and n") {

@@ -181,9 +181,8 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       (id, rrf, lexRanks.get(id), vecRanks.get(id))
     }.sortBy { case (id, r, _, _) => (-r, id) }.take(k)
       .map { case (id, r, lr, vr) =>
-        // Spark's round() is HALF_UP on the decimal representation
-        (id, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          lr, vr)
+        // output score is floored onto the 1e-6 grid (engine-portable)
+        (id, math.floor(r * 1e6) / 1e6, lr, vr)
       }
   }
 
@@ -210,6 +209,71 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       .collect().map(r => r.getLong(0) -> (r.isNullAt(2), r.isNullAt(3))).toMap
     assert(got(5L) == (true, false), s"doc 5 should be dense-only: $got")
     assert(got(4L) == (false, true), s"doc 4 should be lexical-only: $got")
+  }
+
+  test("hybridRrfTopK excludes zero-norm candidate vectors from the dense list") {
+    val vecsWithZero = vectors.union(
+      Seq((6L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val got = Search.hybridRrfTopK(
+        corpus, vecsWithZero, "doc_id", "text", "vec_id", "embedding",
+        Seq("spark"), Array(-1.0, 0.0, 0.0), k = 10, fetchK = 10)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getInt(3))))
+      .toMap
+    // every real vector has cosine in [-1, 0] vs the negated query; the
+    // zero-norm row would have NaN->0 and outrank them all if unfiltered
+    assert(!got.contains(6L), s"zero-norm vector ranked: $got")
+    assert(got(4L).nonEmpty, "orthogonal (cosine 0) vector should still rank")
+  }
+
+  test("rrfFuse fuses three lists and matches the scalar rule") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
+    val c = Seq((3L, 1), (1L, 2), (4L, 3)).toDF("id", "rank")
+    val got = Search.rrfFuse(Seq("a" -> a, "b" -> b, "c" -> c), "id", k = 4, rrfK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val scalar = Map(
+      1L -> (1.0 / 11 + 1.0 / 12), 2L -> (1.0 / 12 + 1.0 / 11),
+      3L -> (1.0 / 13 + 1.0 / 11), 4L -> (1.0 / 12 + 1.0 / 13))
+    val expect = scalar.toSeq.sortBy { case (id, s) => (-s, id) }
+      .map { case (id, s) => (id, math.floor(s * 1e6) / 1e6) }
+    assert(got == expect)
+    assert(Search.rrfFuse(Seq("a" -> a, "b" -> b), "id", k = 4)
+      .columns.toSeq == Seq("id", "rrf_score", "a_rank", "b_rank"))
+  }
+
+  test("rrfFuse honors a custom rank column name") {
+    val a = Seq((1L, 1), (2L, 2)).toDF("id", "pos")
+    val got = Search.rrfFuse(Seq("a" -> a), "id", k = 2, rrfK = 0, rankCol = "pos")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 1.0), (2L, 0.5)))
+  }
+
+  test("rrfFuse rejects collisions and malformed inputs") {
+    val a = Seq((1L, 1)).toDF("id", "rank")
+    intercept[IllegalArgumentException] { // duplicate names
+      Search.rrfFuse(Seq("a" -> a, "a" -> a), "id", k = 1)
+    }
+    intercept[IllegalArgumentException] { // id col collides with output
+      Search.rrfFuse(Seq("a" -> Seq((1L, 1)).toDF("rrf_score", "rank")),
+        "rrf_score", k = 1)
+    }
+    intercept[IllegalArgumentException] { // missing rank column
+      Search.rrfFuse(Seq("a" -> Seq((1L, 1)).toDF("id", "pos")), "id", k = 1)
+    }
+    intercept[IllegalArgumentException] { // bad k
+      Search.rrfFuse(Seq("a" -> a), "id", k = 0)
+    }
+  }
+
+  test("bm25TopKBatch fails loudly on a null/empty terms array") {
+    val qs = Seq((0L, Seq("spark")), (1L, Seq.empty[String])).toDF("query_id", "terms")
+    val ex = intercept[Exception] {
+      Search.bm25TopKBatch(corpus, qs, "doc_id", "text", "query_id", "terms", k = 3)
+        .collect()
+    }
+    assert(ex.getMessage.contains("bm25TopKBatch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("bm25TopKBatch")),
+      s"unexpected error: $ex")
   }
 
   test("hybridRrfTopK rejects bad arguments") {
