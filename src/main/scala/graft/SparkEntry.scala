@@ -1641,6 +1641,32 @@ object SparkEntry {
         .withColumn("lex_rank", col("lex_rank").cast("long"))
         .withColumn("vec_rank", col("vec_rank").cast("long"))
     }),
+    "hybrid_search_rrf_indexed" -> ((s, dir) => {
+      // the SERVING shape of hybrid retrieval: same query as
+      // hybrid_search_rrf, but the dense leg resolves from the
+      // persisted IVF×PQ index (ADC shortlist + exact rescore from the
+      // index's vectors side-file) — the embedding table is NEVER
+      // scanned on the search path. Exhaustive probing (nProbe = 16 =
+      // nCentroids) + a corpus-covering shortlist make the dense list
+      // exactly the brute-force grid list, so the oracle IS
+      // hybrid_search_rrf's SQL — the scan≡index equality is the claim
+      // (same trick as stream_embedding_dedup).
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFunctions.asDouble(col("embedding")))
+        .head().getSeq[Double](0).toArray
+      val idx = scratch("ivfpq_srv_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        SimilaritySearch.buildIvfPqIndex(e, "vec_id", "embedding", idx,
+          nCentroids = 16, m = 32, kCodes = 32)
+      Search.hybridRrfTopKIndexed(
+          s, d, idx, "doc_id", "text",
+          Seq("vector", "stream", "spark"), qv, k = 20, fetchK = 50,
+          nProbe = 16, kShortlist = 500, excludeIds = Seq(0L))
+        .withColumn("lex_rank", col("lex_rank").cast("long"))
+        .withColumn("vec_rank", col("vec_rank").cast("long"))
+    }),
     "lm_score_docs" -> ((s, dir) => {
       // perplexity-proxy quality signal: train add-one bigram stats on
       // the corpus itself, score every doc's mean bigram log-prob
@@ -2456,6 +2482,57 @@ object SparkEntry {
     * form (identical output by construction): two rounds of
     * (min, max, LCP, substr) per source.
     */
+  /** Shared by hybrid_search_rrf and hybrid_search_rrf_indexed: with
+    * exhaustive probes + a corpus-covering shortlist the index-served
+    * dense leg equals this brute-force grid list exactly.
+    */
+  private val hybridRrfOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |    FROM documents) WHERE w <> ''),
+      |len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM len),
+      |post AS (SELECT doc_id, w, count(*) AS tf FROM tok
+      |         WHERE w IN ('vector', 'stream', 'spark') GROUP BY 1, 2),
+      |dfs AS (SELECT w, count(*) AS df FROM post GROUP BY 1),
+      |sc AS (
+      |  SELECT p.doc_id,
+      |         CAST(floor(
+      |           (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 10000.0) / 10000.0)
+      |           * (tf * (1.2 + 1.0)
+      |              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (total_dl * 1.0 / n_docs))))
+      |           * 100000000.0) AS BIGINT) AS contrib
+      |  FROM post p JOIN dfs USING (w) JOIN len USING (doc_id) CROSS JOIN stats),
+      |bm AS (SELECT doc_id, sum(contrib) AS s FROM sc GROUP BY doc_id
+      |       ORDER BY s DESC, doc_id LIMIT 50),
+      |lexr AS (SELECT doc_id,
+      |                row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+      |         FROM bm),
+      |e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |q AS (SELECT i, v FROM e WHERE vec_id = 0),
+      |qn AS (SELECT sqrt(sum(v * v)) AS n FROM q),
+      |cg AS (
+      |  SELECT c.vec_id AS doc_id,
+      |         CAST(floor(sum(q.v * c.v)
+      |                    / ((SELECT n FROM qn) * sqrt(sum(c.v * c.v)))
+      |                    * 10000.0) AS BIGINT) AS g
+      |  FROM e c JOIN q ON q.i = c.i WHERE c.vec_id <> 0 GROUP BY c.vec_id),
+      |vtop AS (SELECT doc_id, g FROM cg ORDER BY g DESC, doc_id LIMIT 50),
+      |vecr AS (SELECT doc_id,
+      |                row_number() OVER (ORDER BY g DESC, doc_id) AS vec_rank
+      |         FROM vtop),
+      |f AS (
+      |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+      |         coalesce(1.0 / (60 + l.lex_rank), 0)
+      |           + coalesce(1.0 / (60 + v.vec_rank), 0) AS rrf,
+      |         l.lex_rank, v.vec_rank
+      |  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+      |SELECT doc_id, floor(rrf * 1000000.0) / 1000000.0 AS rrf_score,
+      |       lex_rank, vec_rank
+      |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   private val stripBoilerplateOracle: String =
     """WITH p AS (SELECT doc_id, source,
       |  '[' || source || ' HOME] >> ' || text || ' << (c) ' || source || ' rights' AS page
@@ -3960,52 +4037,11 @@ object SparkEntry {
       // hybrid_search_rrf: BM25 top-50 ranks + 1e-4-grid cosine top-50
       // ranks vs doc 0's embedding (doc 0 excluded), RRF-fused with
       // k=60, top-20 by fused score
-      "hybrid_search_rrf" ->
-        """WITH tok AS (
-          |  SELECT doc_id, w FROM (
-          |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-          |    FROM documents) WHERE w <> ''),
-          |len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-          |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM len),
-          |post AS (SELECT doc_id, w, count(*) AS tf FROM tok
-          |         WHERE w IN ('vector', 'stream', 'spark') GROUP BY 1, 2),
-          |dfs AS (SELECT w, count(*) AS df FROM post GROUP BY 1),
-          |sc AS (
-          |  SELECT p.doc_id,
-          |         CAST(floor(
-          |           (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 10000.0) / 10000.0)
-          |           * (tf * (1.2 + 1.0)
-          |              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (total_dl * 1.0 / n_docs))))
-          |           * 100000000.0) AS BIGINT) AS contrib
-          |  FROM post p JOIN dfs USING (w) JOIN len USING (doc_id) CROSS JOIN stats),
-          |bm AS (SELECT doc_id, sum(contrib) AS s FROM sc GROUP BY doc_id
-          |       ORDER BY s DESC, doc_id LIMIT 50),
-          |lexr AS (SELECT doc_id,
-          |                row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank
-          |         FROM bm),
-          |e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
-          |             generate_subscripts(embedding, 1) AS i FROM embeddings),
-          |q AS (SELECT i, v FROM e WHERE vec_id = 0),
-          |qn AS (SELECT sqrt(sum(v * v)) AS n FROM q),
-          |cg AS (
-          |  SELECT c.vec_id AS doc_id,
-          |         CAST(floor(sum(q.v * c.v)
-          |                    / ((SELECT n FROM qn) * sqrt(sum(c.v * c.v)))
-          |                    * 10000.0) AS BIGINT) AS g
-          |  FROM e c JOIN q ON q.i = c.i WHERE c.vec_id <> 0 GROUP BY c.vec_id),
-          |vtop AS (SELECT doc_id, g FROM cg ORDER BY g DESC, doc_id LIMIT 50),
-          |vecr AS (SELECT doc_id,
-          |                row_number() OVER (ORDER BY g DESC, doc_id) AS vec_rank
-          |         FROM vtop),
-          |f AS (
-          |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
-          |         coalesce(1.0 / (60 + l.lex_rank), 0)
-          |           + coalesce(1.0 / (60 + v.vec_rank), 0) AS rrf,
-          |         l.lex_rank, v.vec_rank
-          |  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
-          |SELECT doc_id, floor(rrf * 1000000.0) / 1000000.0 AS rrf_score,
-          |       lex_rank, vec_rank
-          |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+      "hybrid_search_rrf" -> hybridRrfOracle,
+      // hybrid_search_rrf_indexed: same oracle — with exhaustive probes
+      // and a corpus-covering shortlist the index-served dense leg is
+      // exactly the brute list, so scan≡index IS the claim
+      "hybrid_search_rrf_indexed" -> hybridRrfOracle,
       // stream_lm_gate: lm_score_docs' scoring with KenLM-style count
       // cutoffs (HAVING >= 2) on both tables; |V| stays unpruned
       "stream_lm_gate" ->

@@ -459,11 +459,7 @@ object Search {
     // lexical list: BM25 already returns <= fetchK rows ordered by the
     // exact scaled-long score — the rank window runs over that bounded
     // result only
-    val lex = bm25TopK(docs, docIdCol, textCol, queryTerms, fetchK)
-      .select(col(docIdCol).as("__id"), col("score").as("__s"))
-    val lexRanked = lex.withColumn("rank",
-        row_number().over(Window.orderBy(col("__s").desc, col("__id").asc)))
-      .select("__id", "rank")
+    val lexRanked = lexicalRanked(docs, docIdCol, textCol, queryTerms, fetchK)
 
     // dense list: one scan of the candidates, cosine vs the literal
     // query vector floored onto the 1e-4 grid, per-partition top-k
@@ -477,13 +473,114 @@ object Search {
       .select(col("__id"),
         floor(col("__dp") / (lit(qNorm) * col("__cn")) * lit(10000.0))
           .cast("long").as("__cg"))
-      .orderBy(col("__cg").desc, col("__id").asc)
-      .limit(fetchK)
-    val denseRanked = dense.withColumn("rank",
-        row_number().over(Window.orderBy(col("__cg").desc, col("__id").asc)))
+
+    rrfFuse(Seq("lex" -> lexRanked, "vec" -> gridRanked(dense, fetchK)), "__id", k, rrfK)
+      .withColumnRenamed("__id", docIdCol)
+  }
+
+  /** BM25 top-`fetchK` as a `(__id, rank)` list — the shared lexical
+    * leg of the hybrid retrievers.
+    */
+  private def lexicalRanked(
+      docs: DataFrame, docIdCol: String, textCol: String,
+      queryTerms: Seq[String], fetchK: Int): DataFrame =
+    bm25TopK(docs, docIdCol, textCol, queryTerms, fetchK)
+      .select(col(docIdCol).as("__id"), col("score").as("__s"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("__s").desc, col("__id").asc)))
       .select("__id", "rank")
 
-    rrfFuse(Seq("lex" -> lexRanked, "vec" -> denseRanked), "__id", k, rrfK)
+  /** Rank a `(__id, __cg)` grid-scored list: top rows by grid value
+    * descending with id tie-break, cut BY THE GRID (so the cut agrees
+    * with any engine ordering by the same grid), 1-based ranks. The
+    * input must already be bounded (a top-k result or a pre-limited
+    * scan) — the rank window is single-partition.
+    */
+  private def gridRanked(scored: DataFrame, fetchK: Int = 0): DataFrame = {
+    val cut =
+      if (fetchK > 0) scored.orderBy(col("__cg").desc, col("__id").asc).limit(fetchK)
+      else scored.orderBy(col("__cg").desc, col("__id").asc)
+    cut
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("__cg").desc, col("__id").asc)))
+      .select("__id", "rank")
+  }
+
+  /** [[hybridRrfTopK]] with the dense leg served from a PERSISTED
+    * IVF×PQ index ([[SimilaritySearch.buildIvfPqIndex]]) instead of a
+    * full candidate scan: the ADC shortlist resolves from the index's
+    * probed cells and the exact rescore from its vectors side-file
+    * ([[SimilaritySearch.searchIvfPqRerank]]) — the float corpus is
+    * NEVER scanned on the serving path. At 10B vectors the scan form's
+    * dense leg reads the whole embedding table per query; this form
+    * reads `nProbe` cells' code bytes plus `kShortlist` raw vectors.
+    *
+    * Semantics vs [[hybridRrfTopK]]: with exhaustive probing
+    * (`nProbe` ≥ the index's centroid count) and a `kShortlist` wide
+    * enough that ADC error cannot push a true top-`fetchK` neighbor
+    * off the shortlist, the dense list — exact cosines floored onto
+    * the same 1e-4 grid, same id tie-break — is IDENTICAL to the scan
+    * form's, so the fused output is too (the suite pins that equality;
+    * it is also the gate oracle, same trick as stream_embedding_dedup).
+    * At serving `nProbe` the usual IVF recall trade applies. The
+    * returned rescore cosines treat zero-norm stored vectors as 0.0
+    * (they cannot spuriously out-rank positive matches, unlike the
+    * NaN-floor hazard the scan form filters).
+    *
+    * `excludeIds` drops ids from the dense list BEFORE the `fetchK`
+    * cut ("more like doc X" excludes X itself — a self-match is
+    * cosine ≈ 1 and pins rank 1); the dense fetch over-fetches by
+    * `excludeIds.size` plus a `fetchK` margin so a grid-boundary tie
+    * band cannot starve the cut.
+    *
+    * `queryId` labels the synthetic one-row query frame. The index
+    * search path drops `query_id == neighbor_id` (its self-match
+    * convention), so the sentinel must NOT collide with a corpus id —
+    * the default `Long.MinValue` never does for non-adversarial id
+    * spaces; pass another value if yours somehow uses it.
+    */
+  def hybridRrfTopKIndexed(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexDir: String,
+      docIdCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      queryVec: Array[Double],
+      k: Int,
+      fetchK: Int = 50,
+      rrfK: Int = 60,
+      nProbe: Int = 4,
+      kShortlist: Int = 0,
+      excludeIds: Seq[Long] = Nil,
+      queryId: Long = Long.MinValue): DataFrame = {
+    require(queryVec.nonEmpty, "hybridRrfTopKIndexed: empty query vector")
+    require(queryVec.forall(v => !v.isNaN && !v.isInfinite),
+      "hybridRrfTopKIndexed: query vector must be finite")
+    require(k > 0 && fetchK > 0,
+      s"hybridRrfTopKIndexed: need k > 0 and fetchK > 0, got k=$k fetchK=$fetchK")
+    require(rrfK >= 0, s"hybridRrfTopKIndexed: rrfK must be >= 0, got $rrfK")
+    require(!Seq("rrf_score", "lex_rank", "vec_rank").contains(docIdCol),
+      s"hybridRrfTopKIndexed: doc id column $docIdCol collides with an output column")
+    require(math.sqrt(queryVec.map(x => x * x).sum) > 0,
+      "hybridRrfTopKIndexed: query vector must be non-zero")
+
+    val lexRanked = lexicalRanked(docs, docIdCol, textCol, queryTerms, fetchK)
+
+    import spark.implicits._
+    val qdf = Seq(Tuple2(queryId, queryVec.toSeq)).toDF("__hq_id", "__hq_vec")
+    val denseFetch = 2 * fetchK + excludeIds.size
+    val served = SimilaritySearch.searchIvfPqRerank(
+      spark, indexDir, qdf, "__hq_id", "__hq_vec", k = denseFetch,
+      kShortlist = kShortlist, nProbe = nProbe)
+    val kept =
+      if (excludeIds.isEmpty) served
+      else served.filter(!col("neighbor_id").isin(excludeIds: _*))
+    val dense = kept.select(
+      col("neighbor_id").as("__id"),
+      floor(col("cosine") * lit(10000.0)).cast("long").as("__cg"))
+
+    rrfFuse(Seq("lex" -> lexRanked, "vec" -> gridRanked(dense, fetchK)), "__id", k, rrfK)
       .withColumnRenamed("__id", docIdCol)
   }
 }

@@ -164,6 +164,13 @@ class PlanContractSuite extends SparkSpec {
     // forbidden)
     ("hybrid_search_rrf", Seq("TakeOrderedAndProject"),
       Seq("CartesianProduct")),
+    // index-served hybrid retrieval: the dense leg must resolve from
+    // the IVF×PQ index artifact (cells/codes + vectors side-file),
+    // NEVER a scan of the embedding table — the whole point of the
+    // serving form (the centroid/stats broadcasts are tiny model
+    // relations, so nested-loop-of-data stays forbidden)
+    ("hybrid_search_rrf_indexed", Seq.empty,
+      Seq("embeddings.parquet", "CartesianProduct")),
     // group-score propagation: one partial aggregate over |groups|
     // rows joined back on the group key — never a nested loop
     ("filter_by_source_quality", Seq("HashAggregate"),

@@ -276,6 +276,55 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       s"unexpected error: $ex")
   }
 
+  test("hybridRrfTopKIndexed with exhaustive probes == the scan form") {
+    // a corpus big enough that cells are non-trivial: 120 vectors on a
+    // deterministic 8-dim lattice (dim divisible by the m=4 PQ split)
+    val n = 120
+    val corpus = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.37 + d * 1.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val docs = (0 until n).map { i =>
+      (i.toLong, if (i % 3 == 0) "spark filter scan" else "unrelated words")
+    }.toDF("doc_id", "text")
+    val qv = (0 until 8).map(d => math.cos(d * 0.9)).toArray
+    val idx = Files.createTempDirectory("hybrid_idx").toString
+    SimilaritySearch.buildIvfPqIndex(corpus, "vec_id", "embedding", idx,
+      nCentroids = 4, m = 4, kCodes = 16)
+    val scan = Search.hybridRrfTopK(
+        docs, corpus.filter(col("vec_id") =!= 7), "doc_id", "text",
+        "vec_id", "embedding", Seq("spark", "scan"), qv, k = 15, fetchK = 20)
+      .collect().toSeq
+    // exhaustive nProbe (= nCentroids) + a shortlist covering the whole
+    // corpus: cell pruning and ADC error both vanish, so the dense leg
+    // is exactly the brute list and the fused outputs must be identical
+    val indexed = Search.hybridRrfTopKIndexed(
+        spark, docs, idx, "doc_id", "text", Seq("spark", "scan"), qv,
+        k = 15, fetchK = 20, nProbe = 4, kShortlist = n,
+        excludeIds = Seq(7L))
+      .collect().toSeq
+    assert(indexed == scan)
+  }
+
+  test("hybridRrfTopKIndexed never scans the corpus vectors (index-only dense leg)") {
+    val n = 40
+    val corpus = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("hybrid_scan_guard")
+    val corpusPath = dir.resolve("corpus.parquet").toString
+    corpus.write.parquet(corpusPath)
+    val idx = dir.resolve("idx").toString
+    SimilaritySearch.buildIvfPqIndex(
+      spark.read.parquet(corpusPath), "vec_id", "embedding", idx,
+      nCentroids = 2, m = 4, kCodes = 8)
+    val plan = Search.hybridRrfTopKIndexed(
+        spark, corpus.select(col("vec_id").as("doc_id"), lit("spark").as("text")),
+        idx, "doc_id", "text", Seq("spark"), Array.fill(8)(1.0), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("corpus.parquet"),
+      s"dense leg read the corpus instead of the index:\n$plan")
+  }
+
   test("hybridRrfTopK rejects bad arguments") {
     intercept[IllegalArgumentException] {
       Search.hybridRrfTopK(corpus, vectors, "doc_id", "text", "vec_id",
