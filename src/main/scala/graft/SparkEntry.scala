@@ -1667,6 +1667,23 @@ object SparkEntry {
         .withColumn("lex_rank", col("lex_rank").cast("long"))
         .withColumn("vec_rank", col("vec_rank").cast("long"))
     }),
+    "phrase_search" -> ((s, dir) => {
+      // exact quoted-phrase attribution query ("vector stream" as an
+      // adjacent token sequence): start-vote aggregation over postings
+      // restricted to the two phrase terms before any shuffle
+      Search.phraseTopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "stream"), k = 20)
+    }),
+    "phrase_search_indexed" -> ((s, dir) => {
+      // the same phrase served from the persisted POSITIONAL index —
+      // the corpus is never rescanned; the probe reads the two phrase
+      // terms' posting buckets (pushed term IN filter) and must equal
+      // the inline scan exactly
+      val idx = scratch("phrase_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        Search.buildPositionalIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      Search.phraseSearchIndex(s, idx, Seq("vector", "stream"), k = 20)
+    }),
     "lm_score_docs" -> ((s, dir) => {
       // perplexity-proxy quality signal: train add-one bigram stats on
       // the corpus itself, score every doc's mean bigram log-prob
@@ -2532,6 +2549,23 @@ object SparkEntry {
       |SELECT doc_id, floor(rrf * 1000000.0) / 1000000.0 AS rrf_score,
       |       lex_rank, vec_rank
       |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Shared by phrase_search and phrase_search_indexed (the index must
+    * serve the inline scan's exact result): start-vote phrase matching
+    * — a start position carrying ALL distinct phrase slots is a match.
+    */
+  private val phraseSearchOracle: String =
+    """WITH tokp AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+      |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+      |  FROM documents),
+      |ph AS (SELECT * FROM (VALUES (0, 'vector'), (1, 'stream')) AS t(i, w)),
+      |cand AS (SELECT doc_id, pos - i AS s, i FROM tokp JOIN ph USING (w)),
+      |hit AS (SELECT doc_id, s FROM cand
+      |        GROUP BY doc_id, s HAVING count(DISTINCT i) = 2),
+      |agg AS (SELECT doc_id, count(*) AS n_matches FROM hit GROUP BY doc_id)
+      |SELECT doc_id, n_matches FROM agg
+      |ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin
 
   private val stripBoilerplateOracle: String =
     """WITH p AS (SELECT doc_id, source,
@@ -4042,6 +4076,10 @@ object SparkEntry {
       // and a corpus-covering shortlist the index-served dense leg is
       // exactly the brute list, so scan≡index IS the claim
       "hybrid_search_rrf_indexed" -> hybridRrfOracle,
+      // phrase retrieval: start-vote adjacency matching; the indexed
+      // form shares the oracle — index≡scan is the claim
+      "phrase_search" -> phraseSearchOracle,
+      "phrase_search_indexed" -> phraseSearchOracle,
       // stream_lm_gate: lm_score_docs' scoring with KenLM-style count
       // cutoffs (HAVING >= 2) on both tables; |V| stays unpruned
       "stream_lm_gate" ->

@@ -583,4 +583,116 @@ object Search {
     rrfFuse(Seq("lex" -> lexRanked, "vec" -> gridRanked(dense, fetchK)), "__id", k, rrfK)
       .withColumnRenamed("__id", docIdCol)
   }
+
+  // ---- phrase (positional) retrieval --------------------------------------
+
+  /** Exact quoted-phrase search: the `k` docs containing the token
+    * sequence `phrase` most often, as `(<idCol>, n_matches)` —
+    * match count descending, doc id ascending on ties. The match rule
+    * is exact token adjacency under [[TextFunctions.tokens]] (the
+    * attribution query against a training corpus BM25's bag-of-words
+    * scoring cannot express).
+    *
+    * Shape: each posting `(doc, pos, term)` matching ANY phrase slot
+    * `i` votes for candidate start `pos − i`; a start having ALL
+    * `|phrase|` DISTINCT slots is a match. ONE scan, the explode
+    * restricted to the phrase's terms (broadcast join) BEFORE any
+    * shuffle — so the only shuffled rows are phrase-term postings,
+    * exactly [[bm25TopK]]'s scale contract — then one `(doc, start)`
+    * aggregate and one per-doc count. Repeated phrase tokens ("the …
+    * the") work: the distinct-slot count is per start, not per term.
+    * Final top-k is TakeOrderedAndProject (per-partition heaps).
+    */
+  def phraseTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String],
+      k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phraseTopK: empty phrase")
+    require(k > 0, s"phraseTopK: k must be positive, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = phrase.length
+    val slots = phrase.zipWithIndex.map { case (t, i) => (i, t) }.toDF("__pi", "__t")
+    val votes = docs
+      .select(col(idCol).as("__id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "__t")))
+      .join(broadcast(slots), "__t")
+    phraseAgg(votes, m, k, idCol)
+  }
+
+  /** Shared start-vote aggregation of the phrase retrievers: candidate
+    * start = pos − slot, a start with all `m` distinct slots is a
+    * match, per-doc match counts cut to top-k.
+    */
+  private def phraseAgg(votes: DataFrame, m: Int, k: Int, outId: String): DataFrame =
+    votes
+      .select(col("__id"), (col("__pos") - col("__pi")).as("__start"), col("__pi"))
+      .filter(col("__start") >= 0)
+      .groupBy("__id", "__start")
+      .agg(countDistinct(col("__pi")).as("__hit"))
+      .filter(col("__hit") === m)
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("n_matches").desc, col("__id").asc)
+      .limit(k)
+      .select(col("__id").as(outId), col("n_matches"))
+
+  /** Persist POSITIONAL postings `(term, doc_id, positions:
+    * array<int>)` bucketed by term — the classic positional inverted
+    * index, published atomically. [[phraseSearchIndex]] answers
+    * quoted-phrase queries from it touching only the phrase terms'
+    * buckets; [[deleteFromBm25Index]]-style tombstone deltas apply
+    * (readers anti-join the tombstone chain on doc_id).
+    */
+  def buildPositionalIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      termBuckets: Int = 64): Unit = {
+    graft.sources.IndexIO.publish(docs.sparkSession, path) { vdir =>
+      docs
+        .select(col(idCol).cast("long").as("doc_id"),
+          posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+        .groupBy("term", "doc_id")
+        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+        .repartition(termBuckets, col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$vdir/postings")
+    }
+    ()
+  }
+
+  /** Serve [[phraseTopK]] from a [[buildPositionalIndex]] index: the
+    * postings scan carries a pushed-down `term IN (…)` filter (row-
+    * group min/max skips other buckets' files), the stored position
+    * arrays re-explode into the same start-vote aggregation, and the
+    * tombstone chain applies — identical results to the inline scan
+    * over the live corpus by construction.
+    */
+  def phraseSearchIndex(
+      spark: SparkSession,
+      path: String,
+      phrase: Seq[String],
+      k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearchIndex: empty phrase")
+    require(k > 0, s"phraseSearchIndex: k must be positive, got $k")
+    import spark.implicits._
+    val m = phrase.length
+    val slots = phrase.zipWithIndex.map { case (t, i) => (i, t) }.toDF("__pi", "__t")
+    val postings = graft.sources.IndexIO.withoutTombstoned(
+      graft.sources.IndexIO.chainTable(spark, path, "postings").getOrElse(
+        throw new IllegalStateException(
+          s"positional index at $path has no postings table"))
+        .filter(col("term").isin(phrase.distinct: _*)),
+      graft.sources.IndexIO.chainTable(spark, path, "tombstones"),
+      "doc_id")
+    val votes = postings
+      .select(col("doc_id").as("__id"), col("term").as("__t"),
+        explode(col("positions")).as("__pos"))
+      .join(broadcast(slots), "__t")
+    phraseAgg(votes, m, k, "doc_id")
+  }
 }

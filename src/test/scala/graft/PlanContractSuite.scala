@@ -171,6 +171,16 @@ class PlanContractSuite extends SparkSpec {
     // relations, so nested-loop-of-data stays forbidden)
     ("hybrid_search_rrf_indexed", Seq.empty,
       Seq("embeddings.parquet", "CartesianProduct")),
+    // phrase retrieval: postings restrict to the phrase terms via a
+    // broadcast equi-join before any shuffle; top-k is per-partition
+    // heaps, never a global sort
+    ("phrase_search", Seq("TakeOrderedAndProject"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // the index probe must read posting buckets (pushed term filter),
+    // never rescan the corpus text
+    ("phrase_search_indexed", Seq("TakeOrderedAndProject"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "documents.parquet")),
     // group-score propagation: one partial aggregate over |groups|
     // rows joined back on the group key — never a nested loop
     ("filter_by_source_quality", Seq("HashAggregate"),

@@ -325,6 +325,71 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       s"dense leg read the corpus instead of the index:\n$plan")
   }
 
+  test("phraseTopK counts exact adjacent occurrences only") {
+    val docs = Seq(
+      (1L, "spark scan spark scan spark"), // "spark scan" twice
+      (2L, "scan spark"),                  // reversed — no match
+      (3L, "spark x scan"),                // gap — no match
+      (4L, "spark scan"),                  // once
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = Search.phraseTopK(docs, "doc_id", "text", Seq("spark", "scan"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (4L, 1L)))
+  }
+
+  test("phraseTopK handles repeated phrase tokens") {
+    val docs = Seq(
+      (1L, "a b a b a"), // "a b a" at starts 0 and 2
+      (2L, "a b b a")
+    ).toDF("doc_id", "text")
+    val got = Search.phraseTopK(docs, "doc_id", "text", Seq("a", "b", "a"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L)))
+    // single-token phrase degenerates to term frequency
+    val one = Search.phraseTopK(docs, "doc_id", "text", Seq("a"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(one == Seq((1L, 3L), (2L, 2L)))
+  }
+
+  test("positional index serves the same phrase results as the inline scan") {
+    val docs = Seq(
+      (1L, "spark scan spark scan"),
+      (2L, "scan spark scan spark scan"),
+      (3L, "spark scan filter")
+    ).toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("pos_idx").toString
+    Search.buildPositionalIndex(docs, "doc_id", "text", idx, termBuckets = 4)
+    val inline = Search.phraseTopK(docs, "doc_id", "text", Seq("spark", "scan"), k = 10)
+      .collect().toSeq
+    val served = Search.phraseSearchIndex(spark, idx, Seq("spark", "scan"), k = 10)
+      .collect().toSeq
+    assert(served == inline)
+  }
+
+  test("positional index probe pushes the term filter into the postings scan") {
+    val docs = Seq((1L, "spark scan filter join sort")).toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("pos_idx_push").toString
+    Search.buildPositionalIndex(docs, "doc_id", "text", idx, termBuckets = 2)
+    val plan = Search.phraseSearchIndex(spark, idx, Seq("spark", "scan"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term filter not pushed to the postings scan:\n$plan")
+  }
+
+  test("phrase retrievers reject empty phrases and bad k") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Search.phraseTopK(docs, "doc_id", "text", Nil, k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Search.phraseTopK(docs, "doc_id", "text", Seq("x"), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Search.phraseSearchIndex(spark, "/nonexistent", Nil, k = 1)
+    }
+  }
+
   test("hybridRrfTopK rejects bad arguments") {
     intercept[IllegalArgumentException] {
       Search.hybridRrfTopK(corpus, vectors, "doc_id", "text", "vec_id",
