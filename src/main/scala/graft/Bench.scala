@@ -36,6 +36,7 @@ object Bench {
     "multimodal_image_dedup", "multimodal_audio_dedup",
     "multimodal_image_dedup_indexed", "multimodal_image_dedup_phash",
     "multimodal_image_dedup_phash_indexed", "multimodal_video_dedup",
+    "multimodal_video_dedup_perceptual",
     "chunk_documents_sentences",
     "decontaminate_docs", "decontaminate_bloom", "stream_decontaminate",
     "stream_lm_gate", "stream_lm_gate3", "lm_score_trigram",

@@ -1414,6 +1414,60 @@ object SparkEntry {
           nFrames = 8, minShared = 7, hotFrameCutoff = 100000)
         .select(col("id_a"), col("id_b"), col("n_shared"))
     }),
+    "multimodal_video_dedup_perceptual" -> ((s, dir) => {
+      // PERCEPTUAL video near-dup — the operator multimodal_video_dedup
+      // is not: every 7th doc carries three frames whose patterns are
+      // its class (doc_id % 3), but even docs render at 64² and odd
+      // docs are RE-RENDERED at 96² — every byte differs across the
+      // variant boundary, so byte-slice hashing pairs nothing there,
+      // while per-frame DCT pHash at radius 16 pairs exactly the
+      // same-class videos (the measured ≤15-bit same-pattern /
+      // ≥22-bit cross-pattern margins of the image pHash gate; frames
+      // meet only at the same index through the banded Hamming
+      // kernel). Oracle = the class rule with the constant 3 shared
+      // frames.
+      val d = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 7 === 0)
+      def render(kind: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h) {
+          val fx = x.toDouble / w
+          val fy = y.toDouble / h
+          val bright = kind match {
+            case 1 => fx > fy
+            case 2 => (fx - 0.5) * (fx - 0.5) + (fy - 0.5) * (fy - 0.5) < 0.09
+            case _ => fx + fy < 0.7
+          }
+          val v = if (bright) 210 else 45
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        img
+      }
+      def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        buf.toByteArray
+      }
+      val kinds = Seq(1, 2, 4)
+      // frame fi of class cls shows pattern kinds((cls + fi) % 3); one
+      // frame array per (class, variant) cell, picked by doc_id
+      val frameArrays = for (cls <- 0 until 3; v <- 0 until 2) yield {
+        val side = if (v == 0) 64 else 96
+        array((0 until 3).map(fi =>
+          lit(png(render(kinds((cls + fi) % 3), side, side)))): _*)
+      }
+      val frames = d
+        .withColumn("frames",
+          element_at(array(frameArrays: _*),
+            ((col("doc_id") % 3) * 2 + col("doc_id") % 2).cast("int") + 1))
+        .select(col("doc_id"),
+          posexplode(col("frames")).as(Seq("frame_idx", "frame_bytes")))
+      Multimodal.videoPerceptualDedupPairs(frames, "doc_id", "frame_idx",
+          "frame_bytes", maxHamming = 16, minSharedFrames = 3,
+          hotFrameCutoff = 100000)
+        .select(col("id_a"), col("id_b"), col("n_shared"))
+    }),
     "multimodal_audio_dedup" -> ((s, dir) => {
       // audio near-dup on the gate: five distinct energy-envelope WAVs
       // assigned by doc_id % 5 (identical bytes per class) — radius-0
@@ -3733,6 +3787,14 @@ object SparkEntry {
         """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(7 AS BIGINT) AS n_shared
           |FROM documents a JOIN documents b
           |  ON a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+          | AND a.doc_id % 3 = b.doc_id % 3 AND a.doc_id < b.doc_id""".stripMargin,
+      // perceptual video pairs = the class rule among the sampled docs
+      // (all three pattern frames match across the 64²/96² variant
+      // boundary; cross-class frames sit outside radius 16)
+      "multimodal_video_dedup_perceptual" ->
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(3 AS BIGINT) AS n_shared
+          |FROM documents a JOIN documents b
+          |  ON a.doc_id % 7 = 0 AND b.doc_id % 7 = 0
           | AND a.doc_id % 3 = b.doc_id % 3 AND a.doc_id < b.doc_id""".stripMargin,
       // same-pattern pairs from the doc_id % 9 assignment rule (three
       // patterns × three geometric variants; the radius-16 join must

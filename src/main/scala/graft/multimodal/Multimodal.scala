@@ -1009,4 +1009,58 @@ object Multimodal {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** PERCEPTUAL video near-dup pairs over a decoded-frame table
+    * `(id, frame_idx, frame_bytes)`: each frame is pHashed
+    * ([[pHash64]] — the DCT hash, native expression in the scan
+    * projection), frames meet ONLY at the same index through the
+    * banded Hamming kernel
+    * ([[graft.operators.Dedup.hammingPairsPerBand64]], band =
+    * frame index), and a pair survives with the count of frame
+    * indexes matching within `maxHamming`. Output
+    * `(id_a, id_b, n_shared)` for pairs sharing at least
+    * `minSharedFrames` frames.
+    *
+    * This is the operator [[videoNearDupPairs]] is not: that one
+    * hashes payload BYTE slices, so any re-encode, rescale, or
+    * container remux re-rolls every frame hash; here a re-rendered or
+    * rescaled frame moves few pHash bits (the [[pHash64]] contract),
+    * so variant copies pair. The frame table comes from a real
+    * decoder in production; [[frameSample]] supplies the same shape
+    * for the plumbing (its byte-range slices of the synthetic fixture
+    * ARE decodable images in the gate). Frames that do not decode
+    * fall back to byte-FNV signatures — bit-identical frames still
+    * match, perceptual radius just doesn't apply (the [[aHash64]]
+    * totality contract).
+    *
+    * Hot-frame cutoff: `(frame_idx, hash)` postings larger than
+    * `hotFrameCutoff` are dropped as evidence BEFORE pairing — blank
+    * frames, intros, and padding otherwise make one block's
+    * re-expansion output quadratic (the banded kernel already bounds
+    * the COMPARISON work by distinct signatures; this bounds the
+    * OUTPUT, the [[videoNearDupPairs]] contract).
+    */
+  def videoPerceptualDedupPairs(
+      frames: DataFrame, idCol: String, frameIdxCol: String,
+      frameBinCol: String, maxHamming: Int = 16, minSharedFrames: Int = 2,
+      hotFrameCutoff: Long = 1024): DataFrame = {
+    require(minSharedFrames > 0 && hotFrameCutoff > 1,
+      s"videoPerceptualDedupPairs: bad parameters ($minSharedFrames, $hotFrameCutoff)")
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    val sigs = frames.select(
+      col(idCol).as("__id"), col(frameIdxCol).as("__fi"),
+      toColumn(graft.functions.PHash64Expr(toExpression(col(frameBinCol))))
+        .as("__ph"))
+    val informative = sigs
+      .withColumn("__post",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__fi"), col("__ph"))))
+      .filter(col("__post") <= hotFrameCutoff)
+      .drop("__post")
+    graft.operators.Dedup.hammingPairsPerBand64(
+        informative, "__id", "__ph", "__fi", maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minSharedFrames)
+  }
 }

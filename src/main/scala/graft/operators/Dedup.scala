@@ -796,6 +796,81 @@ object Dedup {
     cross.unionByName(same)
   }
 
+  /** [[hammingPairs64]] restricted WITHIN a band: pairs must share the
+    * `bandCol` value AND sit within the Hamming radius — the kernel
+    * behind frame-aligned perceptual video dedup (band = frame index)
+    * and any partitioned signature space (per-shard, per-language,
+    * per-time-bucket). Output `(<bandCol>, id_a, id_b, hamming)`; a
+    * pair matching in several bands emits one row per band (callers
+    * aggregate, e.g. count bands per pair).
+    *
+    * Same scale shape as the unbanded kernel: the pigeonhole join runs
+    * over DISTINCT `(band, signature)` rows — hot constant signatures
+    * (blank frames, silence) collapse to one row per band — and the
+    * block key gains the band, so a 10k-frame-index corpus splits what
+    * would be one signature block into 10k independent ones.
+    */
+  def hammingPairsPerBand64(
+      df: DataFrame, idCol: String, sigCol: String, bandCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"hammingPairsPerBand64: maxHamming must be in [0, 64), got $maxHamming")
+    val ids = df.select(col(bandCol).as("__band"), col(idCol).as("__id"),
+      col(sigCol).as("__sig"))
+    val sigs = ids.select("__band", "__sig").distinct()
+    val sigPairs = distinctSigPairsBanded64(sigs, maxHamming)
+    val cross = sigPairs.as("p")
+      .join(ids.as("ia"),
+        col("p.__band") === col("ia.__band") && col("p.sig_a") === col("ia.__sig"))
+      .join(ids.as("ib"),
+        col("p.__band") === col("ib.__band") && col("p.sig_b") === col("ib.__sig"))
+      .filter(col("ia.__id") =!= col("ib.__id"))
+      .select(
+        col("p.__band").as(bandCol),
+        least(col("ia.__id"), col("ib.__id")).as("id_a"),
+        greatest(col("ia.__id"), col("ib.__id")).as("id_b"),
+        col("p.hamming").as("hamming"))
+    val same = ids.as("sa")
+      .join(ids.as("sb"),
+        col("sa.__band") === col("sb.__band") &&
+          col("sa.__sig") === col("sb.__sig") && col("sa.__id") < col("sb.__id"))
+      .select(col("sa.__band").as(bandCol),
+        col("sa.__id").as("id_a"), col("sb.__id").as("id_b"),
+        lit(0).as("hamming"))
+    cross.unionByName(same)
+  }
+
+  /** Banded variant of [[distinctSigPairs64]] (self-join form): the
+    * block key and the pair space both carry the band, so signatures
+    * only ever meet within their band.
+    */
+  private def distinctSigPairsBanded64(
+      sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    def chunkOf(s: Column, c: Int): Column =
+      shiftrightunsigned(s, c * width).bitwiseAND(lit(mask))
+    def blocked(s: DataFrame): DataFrame =
+      s.select(col("__band"), col("__sig"),
+        posexplode(array((0 until chunks).map(c => chunkOf(col("__sig"), c)): _*))
+          .as(Seq("__chunk", "__cv")))
+    val firstShared = (chunks - 1 to 0 by -1).foldLeft(lit(chunks)) { (acc, c) =>
+      when(chunkOf(col("a.__sig"), c) === chunkOf(col("b.__sig"), c), lit(c))
+        .otherwise(acc)
+    }
+    blocked(sigs).as("a")
+      .join(blocked(sigs).as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__chunk") === col("b.__chunk") && col("a.__cv") === col("b.__cv") &&
+          col("a.__chunk") === firstShared && col("a.__sig") < col("b.__sig"))
+      .select(
+        col("a.__band").as("__band"),
+        col("a.__sig").as("sig_a"), col("b.__sig").as("sig_b"),
+        bit_count(col("a.__sig").bitwiseXOR(col("b.__sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Pigeonhole block join over two DISTINCT-signature tables: output
     * `(sig_a, sig_b, hamming)` with `hamming <= maxHamming`, each
     * qualifying pair exactly once (first-shared-chunk rule). With

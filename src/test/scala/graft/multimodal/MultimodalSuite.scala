@@ -615,6 +615,64 @@ class MultimodalSuite extends SparkSpec {
     }
   }
 
+  test("videoPerceptualDedupPairs pairs variant re-renders byte hashing cannot") {
+    // 4 "videos", class = id % 2; frames 0..2 carry class-determined
+    // patterns — ids 0,1 rendered at 64², ids 2,3 RE-RENDERED at 96²
+    // (every byte differs, pHash within the measured ≤15-bit band);
+    // frame 3 is per-video undecodable bytes (FNV fallback, unique)
+    val kinds = Seq(1, 2, 4)
+    val frames = (for (id <- 0L until 4L; fi <- 0 until 4) yield {
+      val cls = (id % 2).toInt
+      val bytes =
+        if (fi == 3)
+          // per-video undecodable bytes; md5-mixed so the FNV fallback
+          // signatures sit ~32 bits apart (FNV alone avalanches weakly
+          // on a last-byte difference)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"not-an-image-$id".getBytes("UTF-8"))
+        else structImage(kinds((cls + fi) % 3),
+          if (id < 2) 64 else 96, if (id < 2) 64 else 96, noise = 0)
+      (id, fi, bytes)
+    }).toDF("vid", "frame_idx", "frame_bytes")
+    // byte identity across the variant boundary is zero — only the
+    // perceptual operator can pair (0,2) and (1,3)
+    val gotAll = Multimodal.videoPerceptualDedupPairs(
+        frames, "vid", "frame_idx", "frame_bytes",
+        maxHamming = 16, minSharedFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotAll == Map((0L, 2L) -> 3L, (1L, 3L) -> 3L))
+    // minSharedFrames above the shared count keeps nothing
+    assert(Multimodal.videoPerceptualDedupPairs(
+      frames, "vid", "frame_idx", "frame_bytes",
+      maxHamming = 16, minSharedFrames = 4).isEmpty)
+  }
+
+  test("videoPerceptualDedupPairs hot-frame cutoff drops constant frames as evidence") {
+    // every video shares one constant blank frame (an intro card); with
+    // the cutoff below the corpus size it stops counting as evidence
+    val blank = structImage(0, 64, 64, noise = 0)
+    val kinds = Seq(1, 2, 4)
+    val frames = (for (id <- 0L until 4L; fi <- 0 until 3) yield {
+      val cls = (id % 2).toInt
+      val bytes =
+        if (fi == 2) blank
+        else structImage(kinds((cls + fi) % 3), 64, 64, noise = 0)
+      (id, fi, bytes)
+    }).toDF("vid", "frame_idx", "frame_bytes")
+    val withBlank = Multimodal.videoPerceptualDedupPairs(
+        frames, "vid", "frame_idx", "frame_bytes",
+        maxHamming = 16, minSharedFrames = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // all pairs share at least the blank; same-class pairs share 3
+    assert(withBlank((0L, 2L)) == 3L && withBlank((0L, 1L)) == 1L)
+    val cut = Multimodal.videoPerceptualDedupPairs(
+        frames, "vid", "frame_idx", "frame_bytes",
+        maxHamming = 16, minSharedFrames = 1, hotFrameCutoff = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // blank-only pairs vanish; same-class pairs keep their 2 informative frames
+    assert(cut == Map((0L, 2L) -> 2L, (1L, 3L) -> 2L))
+  }
+
   test("imageNearDupPairs: blocked join == naive hamming over the hashes") {
     val payloads = (0 until 24).map { i =>
       // 6 visual classes, mild per-instance noise inside each

@@ -241,6 +241,30 @@ class DedupSuite extends SparkSpec {
     }
   }
 
+  test("hammingPairsPerBand64 ≡ per-band runs of the unbanded kernel") {
+    val rnd = new scala.util.Random(5)
+    val base = rnd.nextLong()
+    val rows = for (band <- 0 until 3; i <- 0 until 25) yield {
+      val sig =
+        if (i % 4 == 0) 0L                           // hot signature per band
+        else if (i % 4 == 1) base ^ (1L << (i % 64)) // near cluster
+        else rnd.nextLong() ^ band.toLong            // band-specific noise
+      (i.toLong, band, sig)
+    }
+    val df = rows.toDF("id", "band", "sig")
+    for (maxH <- Seq(0, 7, 16)) {
+      val got = Dedup.hammingPairsPerBand64(df, "id", "sig", "band", maxH)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      val expect = (0 until 3).flatMap { b =>
+        Dedup.hammingPairs64(df.filter(col("band") === b), "id", "sig", maxH)
+          .collect().map(r => (b, r.getLong(0), r.getLong(1), r.getInt(2)))
+      }.toSet
+      assert(got == expect, s"maxHamming=$maxH")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("hammingJoin64 distinct-sig collapse ≡ raw-row blocking (two corpora)") {
     val rnd = new scala.util.Random(7)
     val mk = (n: Int, off: Int) => (0 until n).map { i =>
