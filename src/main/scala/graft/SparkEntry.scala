@@ -2057,6 +2057,23 @@ object SparkEntry {
       Boilerplate.stripAffixesWith(pages, "source", "page", affixes)
         .select(col("doc_id"), col("source"), col("stripped"))
     }),
+    "strip_source_boilerplate_lines" -> ((s, dir) => {
+      // LINE-granularity boilerplate: the first header line carries a
+      // per-page title (varying doc_id), so the char-LCP path strips
+      // nothing below it — but the nav and copyright LINES are
+      // constant per source and strip wherever they sit. Detection is
+      // two partial-aggregable (group, line) shuffles + an integer
+      // threshold; application is a broadcast template join + a
+      // per-row higher-order filter — no rebuild shuffle.
+      val d = t(s, dir, "documents")
+      val page = concat(col("source"), lit(" | page "), col("doc_id"),
+        lit("\nNav: Home Products About\n"), col("text"),
+        lit("\n(c) "), col("source"), lit(" all rights reserved"))
+      Boilerplate.stripTemplateLinesPerGroup(
+          d.select(col("doc_id"), col("source"), page.as("page")),
+          "source", "doc_id", "page", minFracNum = 1, minFracDen = 1)
+        .select(col("doc_id"), col("source"), col("stripped"))
+    }),
     "lang_id_nb_priors" -> ((s, dir) => {
       // the RECIPE-prior form: identical five-class token model, but
       // priors from an explicit skewed mix (de 8×, everything else 1)
@@ -4718,6 +4735,38 @@ object SparkEntry {
       // the page, suffix on the reversal of the prefix-stripped text;
       // prefix equality is monotone so LCP = max i with equal substr
       "strip_source_boilerplate" -> stripBoilerplateOracle,
+      // LINE-granularity templates: a line is boilerplate iff its
+      // distinct-doc count equals the group size (num/den = 1/1 here);
+      // the oracle replays explode → DF count → threshold → anti-join
+      // → positional rebuild, with singleton groups passing through
+      // (ndocs >= 2 guard on the template side)
+      "strip_source_boilerplate_lines" ->
+        """WITH d AS (
+          |  SELECT doc_id, source,
+          |         source || ' | page ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+          |         'Nav: Home Products About' || chr(10) || text || chr(10) ||
+          |         '(c) ' || source || ' all rights reserved' AS page
+          |  FROM documents),
+          |l AS (
+          |  SELECT doc_id, source,
+          |         unnest(string_split(page, chr(10))) AS line,
+          |         generate_subscripts(string_split(page, chr(10)), 1) AS pos
+          |  FROM d),
+          |nd AS (SELECT source, line, count(DISTINCT doc_id) AS c
+          |       FROM l GROUP BY 1, 2),
+          |n AS (SELECT source, count(DISTINCT doc_id) AS ndocs FROM d GROUP BY 1),
+          |boiler AS (
+          |  SELECT nd.source, nd.line
+          |  FROM nd JOIN n USING (source)
+          |  WHERE ndocs >= 2 AND c * 1 >= ndocs * 1),
+          |kept AS (
+          |  SELECT l.doc_id, l.line, l.pos
+          |  FROM l LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+          |  WHERE b.line IS NULL),
+          |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS s
+          |        FROM kept GROUP BY doc_id)
+          |SELECT d.doc_id, d.source, coalesce(a.s, '') AS stripped
+          |FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
       // lang_id_nb's token model with the RECIPE prior constants
       // ln(8/12) / ln(1/12) in place of the doc-count priors
       "lang_id_nb_priors" ->

@@ -148,4 +148,88 @@ object Boilerplate {
         t1.substr(lit(1), length(t1) - coalesce(col("suffix_chars"), lit(0))))
       .drop("prefix_chars", "suffix_chars")
   }
+
+  /** Per-group boilerplate LINE templates — the LINE-granularity form
+    * the char-LCP cannot express: a page header whose FIRST line
+    * carries a varying title or date makes the group's char-LCP zero,
+    * yet the nav bar and copyright lines below it are byte-identical
+    * on every page of the domain. A line is a template line of its
+    * group iff it appears in at least `minFracNum/minFracDen` of the
+    * group's documents (distinct-document frequency — a page repeating
+    * its own nav bar counts once).
+    *
+    * Output: one row per group, `(group, template_lines:
+    * array<string>)`, sorted for determinism — the model artifact of
+    * [[stripLinesWith]], small enough to broadcast (a domain has a
+    * handful of template lines, not thousands).
+    *
+    * Scale shape: the line explode ships `(group, id, line)` once; the
+    * document-frequency count and the group size count are both
+    * partial-aggregable shuffles keyed on `(group, line)` / `group`;
+    * the threshold compare is exact integer cross-multiplication (no
+    * float ratio); `collect_set` runs over the already-thresholded
+    * template rows only. Nothing here is sized by pairs of documents.
+    */
+  def lineTemplatesPerGroup(
+      df: DataFrame, groupCol: String, idCol: String, textCol: String,
+      minFracNum: Int = 1, minFracDen: Int = 2,
+      minGroup: Long = 2): DataFrame = {
+    require(minFracNum >= 1 && minFracDen >= 1 && minFracNum <= minFracDen,
+      s"lineTemplatesPerGroup: need 0 < minFracNum/minFracDen <= 1, " +
+        s"got $minFracNum/$minFracDen")
+    require(minGroup >= 1, s"minGroup must be >= 1, got $minGroup")
+    val lines = df
+      .select(col(groupCol), col(idCol).as("__id"),
+        explode(split(col(textCol), "\n", -1)).as("__line"))
+    val groupSizes = df.groupBy(col(groupCol))
+      .agg(countDistinct(col(idCol)).as("__ndocs"))
+    lines
+      .groupBy(col(groupCol), col("__line"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .join(groupSizes, Seq(groupCol))
+      .filter(col("__ndocs") >= minGroup &&
+        col("__nd") * lit(minFracDen.toLong) >= col("__ndocs") * lit(minFracNum.toLong))
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_set(col("__line"))).as("template_lines"))
+  }
+
+  /** Strip template lines from a (possibly STREAMING) frame given a
+    * trained [[lineTemplatesPerGroup]] artifact: a stream-static left
+    * join of the one-row-per-group template array, then a PER-ROW
+    * higher-order filter (`filter` + `array_contains` + `array_join`)
+    * — no line explode, no rebuild aggregation, no state store. The
+    * application side is zero-shuffle beyond the broadcastable join;
+    * every occurrence of a template line strips, wherever it sits in
+    * the page. Groups absent from the template table pass through
+    * unchanged; null texts stay null.
+    */
+  def stripLinesWith(
+      df: DataFrame, groupCol: String, textCol: String,
+      templates: DataFrame, outCol: String = "stripped"): DataFrame = {
+    require(!df.columns.exists(Seq("template_lines", outCol).contains),
+      s"stripLinesWith: input must not carry template_lines/$outCol")
+    df.join(templates, Seq(groupCol), "left")
+      .withColumn(outCol,
+        array_join(
+          filter(split(col(textCol), "\n", -1),
+            l => !array_contains(
+              coalesce(col("template_lines"), array()), l)),
+          "\n"))
+      .drop("template_lines")
+  }
+
+  /** Detect-and-strip in one call — train [[lineTemplatesPerGroup]] on
+    * the input itself and apply it with [[stripLinesWith]] (the batch
+    * curation form; the streaming gate trains on a reference corpus
+    * and applies the artifact to the feed).
+    */
+  def stripTemplateLinesPerGroup(
+      df: DataFrame, groupCol: String, idCol: String, textCol: String,
+      outCol: String = "stripped",
+      minFracNum: Int = 1, minFracDen: Int = 2,
+      minGroup: Long = 2): DataFrame =
+    stripLinesWith(df, groupCol, textCol,
+      lineTemplatesPerGroup(df, groupCol, idCol, textCol,
+        minFracNum, minFracDen, minGroup),
+      outCol)
 }

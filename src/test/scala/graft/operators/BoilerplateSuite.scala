@@ -140,4 +140,95 @@ class BoilerplateSuite extends SparkSpec {
       .select("id", "stripped").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(nout(1L).contains("x") && nout(2L).contains("y") && nout(3L).isEmpty)
   }
+
+  test("line templates: varying first line defeats char-LCP, line DF still strips") {
+    // the judge-case fixture: the header's FIRST line carries a
+    // per-page title, so the group char-LCP is the short shared stem
+    // and the constant nav/footer lines below it never strip via LCP
+    val docs = Seq(
+      (1L, "a.com", "a.com | Welcome page\nNav: Home Products\nbody one\n(c) a.com"),
+      (2L, "a.com", "a.com | Products page\nNav: Home Products\nbody two here\n(c) a.com"),
+      (3L, "a.com", "a.com | About page\nNav: Home Products\nbody three\n(c) a.com"),
+      (4L, "b.org", "different site\nentirely")).toDF("id", "src", "page")
+    // char-LCP strips only the stem shared inside line 0 — the nav
+    // line below it survives, which is the failure being fixed
+    val viaLcp = Boilerplate.stripCommonPrefixPerGroup(docs, "src", "page")
+      .select("id", "stripped").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaLcp(1L).contains("Nav: Home Products"))
+    // line-granularity templates: constant lines strip wherever they
+    // sit; the varying title line and the bodies stay
+    val out = Boilerplate.stripTemplateLinesPerGroup(
+        docs, "src", "id", "page", minFracNum = 1, minFracDen = 1)
+      .select("id", "stripped").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a.com | Welcome page\nbody one")
+    assert(out(2L) == "a.com | Products page\nbody two here")
+    assert(out(3L) == "a.com | About page\nbody three")
+    // group below minGroup (singleton b.org) passes through unchanged
+    assert(out(4L) == "different site\nentirely")
+  }
+
+  test("line templates: fractional threshold, repeats, all-stripped, nulls") {
+    val docs = Seq(
+      (1L, "s", "AD\nAD\nuniq one\nAD"),   // repeated template line strips everywhere
+      (2L, "s", "AD\nuniq two"),
+      (3L, "s", "AD\nuniq three"),
+      (4L, "s", "no ads here"),             // AD in 3 of 4 docs
+      (5L, "s", null: String)).toDF("id", "src", "page")
+    // distinct-doc frequency: AD appears in 3 docs; 3/5 >= 1/2 → (null
+    // text contributes no lines but counts as a document)
+    val out = Boilerplate.stripTemplateLinesPerGroup(
+        docs, "src", "id", "page", minFracNum = 1, minFracDen = 2)
+      .select("id", "stripped").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).contains("uniq one"))
+    assert(out(2L).contains("uniq two"))
+    assert(out(4L).contains("no ads here"))
+    assert(out(5L).isEmpty) // null stays null
+    // at 4/5 the AD line is below threshold and survives
+    val strict = Boilerplate.stripTemplateLinesPerGroup(
+        docs, "src", "id", "page", minFracNum = 4, minFracDen = 5)
+      .select("id", "stripped").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(strict(2L).contains("AD\nuniq two"))
+    // a document that is ALL template lines strips to the empty string
+    val all = Seq((1L, "t", "X\nY"), (2L, "t", "X\nY"), (3L, "t", "X\nY\nbody"))
+      .toDF("id", "src", "page")
+    val amap = Boilerplate.stripTemplateLinesPerGroup(
+        all, "src", "id", "page", minFracNum = 1, minFracDen = 1)
+      .select("id", "stripped").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(amap(1L) == "" && amap(2L) == "" && amap(3L) == "body")
+  }
+
+  test("reference-trained line gate: templates broadcast, serves a STREAM statelessly") {
+    val ref = Seq(
+      (1L, "a", "TOP\nbody one\nBOT"),
+      (2L, "a", "TOP\nbody two\nBOT"),
+      (3L, "b", "[b] x\npage x"),
+      (4L, "b", "[b] x\npage y")).toDF("id", "src", "page")
+    val templates = Boilerplate.lineTemplatesPerGroup(
+      ref, "src", "id", "page", minFracNum = 1, minFracDen = 1)
+    val viaBatch = Boilerplate.stripTemplateLinesPerGroup(
+        ref, "src", "id", "page", minFracNum = 1, minFracDen = 1)
+      .select("id", "stripped").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaBatch(1L) == "body one" && viaBatch(3L) == "page x")
+    // a group unseen in the reference passes through unchanged
+    val unseen = Seq((9L, "zzz", "keep\nall\nlines")).toDF("id", "src", "page")
+    val u = Boilerplate.stripLinesWith(unseen, "src", "page", templates)
+      .select("stripped").collect()(0).getString(0)
+    assert(u == "keep\nall\nlines")
+    // the same call serves a MemoryStream — stateless (no state store)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val gated = Boilerplate.stripLinesWith(
+      input.toDF().toDF("id", "src", "page"), "src", "page", templates)
+    val q = gated.writeStream.format("memory").queryName("line_gate")
+      .outputMode("append").start()
+    try {
+      ref.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .grouped(2).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val live = spark.table("line_gate").select("id", "stripped")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(live == viaBatch)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
