@@ -1501,6 +1501,56 @@ object SparkEntry {
       Multimodal.audioNearDupPairs(withP, "doc_id", "payload", maxHamming = 0)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     }),
+    "multimodal_audio_dedup_shift" -> ((s, dir) => {
+      // SHIFT-ROBUST audio near-dup — what the whole-clip envelope
+      // hash (multimodal_audio_dedup) cannot do: every 7th doc carries
+      // one of three 60-window energy patterns (doc_id % 9 / 3) as
+      // original, 4-window-TRIMMED, or 4-window-quiet-PADDED variant
+      // (doc_id % 9 % 3). Trims re-roll audioHash64 (its 64 windows
+      // are clip fractions), but the fixed-duration delta-sign
+      // subfingerprints keep the interior grams, so winnowed-fp
+      // overlap >= 4 pairs exactly the same-pattern clips across all
+      // variant combinations (suite-pinned margins: same >= 6 shared,
+      // cross <= 2). Oracle = the pattern-assignment rule.
+      val d = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 7 === 0)
+      def wlevel(seed: Int, wi: Int): Double = {
+        var x = (wi.toLong + seed.toLong * 1000L) * 0x9e3779b97f4a7c15L
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        x ^= x >>> 31
+        0.10 + 0.05 * java.lang.Math.floorMod(x, 5L)
+      }
+      def wav(p: Int, variant: Int): Array[Byte] = {
+        val wnd = 400
+        val nW = 60
+        val trim = 4
+        val levels: Array[Double] = variant match {
+          case 0 => Array.tabulate(nW)(wi => wlevel(p, wi))
+          case 1 => Array.tabulate(nW - trim)(wi => wlevel(p, wi + trim))
+          case _ => Array.tabulate(nW + trim)(
+            wi => if (wi < trim) 0.05 else wlevel(p, wi - trim))
+        }
+        val af = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val n = levels.length * wnd
+        val pcm = new Array[Byte](n * 2)
+        for (f <- 0 until n) {
+          val v = (levels(f / wnd) * 20000).toInt.toShort
+          pcm(2 * f) = (v & 0xff).toByte
+          pcm(2 * f + 1) = ((v >> 8) & 0xff).toByte
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), af, n.toLong)
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+        buf.toByteArray
+      }
+      val wavs9 = (0 until 9).map(m => wav(m / 3, m % 3))
+      val withP = d.withColumn("payload",
+        element_at(array(wavs9.map(lit(_)): _*), (col("doc_id") % 9).cast("int") + 1))
+      Multimodal.audioShiftDedupPairs(withP, "doc_id", "payload", minShared = 4)
+        .select(col("id_a"), col("id_b"))
+    }),
     "embedding_drift" -> ((s, dir) => {
       // distribution-shift monitor: cosine of the two halves' mean
       // embedding vectors. Engine-exact: components floored to 1e-7
@@ -3791,6 +3841,16 @@ object SparkEntry {
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           |FROM documents a JOIN documents b
           |  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id""".stripMargin,
+      // same-pattern pairs from the doc_id % 9 rule (three energy
+      // patterns × original/trimmed/padded variants; the winnowed-
+      // subfingerprint overlap must pair across the trim boundary the
+      // whole-clip envelope hash cannot cross)
+      "multimodal_audio_dedup_shift" ->
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |FROM documents a JOIN documents b
+          |  ON a.doc_id % 7 = 0 AND b.doc_id % 7 = 0
+          | AND (a.doc_id % 9) // 3 = (b.doc_id % 9) // 3
+          | AND a.doc_id < b.doc_id""".stripMargin,
       // same-pattern (odd probe, even index) pairs from the rule —
       // across geometric variants, which only the DCT index survives
       "multimodal_image_dedup_phash_indexed" ->

@@ -41,6 +41,11 @@ object MediaHashKernel {
 
   def audioHash(bytes: Array[Byte]): Long =
     graft.multimodal.Multimodal.audioHash64(bytes)
+
+  def audioSubFps(bytes: Array[Byte], windowSamples: Int, k: Int,
+      w: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.multimodal.Multimodal.audioSubFingerprints(bytes, windowSamples, k, w))
 }
 
 /** `binary -> bigint`: 64-bit average-hash perceptual image fingerprint
@@ -105,6 +110,44 @@ case class PHash64Expr(child: Expression) extends UnaryExpression {
   * ([[graft.multimodal.Multimodal.audioHash64]]) as a native
   * expression — same contract as the image hashes.
   */
+/** `binary -> array<bigint>`: time-shift-robust audio subfingerprints
+  * ([[graft.multimodal.Multimodal.audioSubFingerprints]]) — fixed-
+  * duration window energies, delta-sign bits, winnowed k-gram hashes.
+  * Array-returning like `graft_shingles`; non-nullable (undecodable
+  * payloads yield the empty array).
+  */
+case class AudioSubFpExpr(child: Expression, windowSamples: Int, k: Int,
+    w: Int) extends UnaryExpression {
+  require(windowSamples > 0 && k > 0 && k <= 64 && w > 0,
+    s"graft_audiosubfp: need windowSamples > 0, 0 < k <= 64, w > 0; " +
+      s"got windowSamples=$windowSamples k=$k w=$w")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_audiosubfp"
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    MediaHashKernel.audioSubFps(
+      child.eval(input).asInstanceOf[Array[Byte]], windowSamples, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.MediaHashKernel.audioSubFps(
+            ${childGen.isNull} ? null : ${childGen.value},
+            $windowSamples, $k, $w);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class AudioHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_audiohash64"

@@ -678,47 +678,55 @@ object Multimodal {
     * is a chromaprint, out of scope). Undecodable payloads fall back
     * to the FNV byte hash — identical bytes still dedup.
     */
+  private def fnvBytes(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Decode an audio payload to a mono |amplitude| stream (per-frame
+    * sum of channel |sample| at 16-bit depth) — the ONE decode under
+    * every audio fingerprint. `null` when the payload is undecodable.
+    */
+  private[graft] def decodePcmMono(bytes: Array[Byte]): Array[Long] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          in.getFormat.getSampleRate, 16, in.getFormat.getChannels,
+          in.getFormat.getChannels * 2, in.getFormat.getSampleRate, false)
+        val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        try {
+          val raw = dec.readAllBytes()
+          val ch = target.getChannels
+          val nFrames = raw.length / (2 * ch)
+          val out = new Array[Long](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0L
+            var c = 0
+            while (c < ch) {
+              val o = (f * ch + c) * 2
+              val s = ((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort
+              acc += math.abs(s.toLong)
+              c += 1
+            }
+            out(f) = acc // mono-mix as the channel |amplitude| sum
+            f += 1
+          }
+          out
+        } finally dec.close()
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+
   def audioHash64(bytes: Array[Byte]): Long = {
-    def fnv(b: Array[Byte]): Long = {
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-      h
-    }
+    def fnv(b: Array[Byte]): Long = fnvBytes(b)
     if (bytes == null || bytes.isEmpty) return fnv(
       if (bytes == null) Array.empty[Byte] else bytes)
-    val pcm: Array[Long] =
-      try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val target = new javax.sound.sampled.AudioFormat(
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-            in.getFormat.getSampleRate, 16, in.getFormat.getChannels,
-            in.getFormat.getChannels * 2, in.getFormat.getSampleRate, false)
-          val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
-          try {
-            val raw = dec.readAllBytes()
-            val ch = target.getChannels
-            val nFrames = raw.length / (2 * ch)
-            val out = new Array[Long](nFrames)
-            var f = 0
-            while (f < nFrames) {
-              var acc = 0L
-              var c = 0
-              while (c < ch) {
-                val o = (f * ch + c) * 2
-                val s = ((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort
-                acc += math.abs(s.toLong)
-                c += 1
-              }
-              out(f) = acc // mono-mix as the channel |amplitude| sum
-              f += 1
-            }
-            out
-          } finally dec.close()
-        } finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => null }
+    val pcm: Array[Long] = decodePcmMono(bytes)
     if (pcm == null || pcm.length == 0) return fnv(bytes)
     val n = pcm.length
     val sums = new Array[Long](64)
@@ -780,6 +788,109 @@ object Multimodal {
       maxHamming: Int = 7): DataFrame =
     graft.operators.Dedup.hammingPairs64(
       withAudioHash(df, binCol, Seq(idCol)), idCol, "audio_hash", maxHamming)
+
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** TIME-SHIFT-ROBUST audio subfingerprints — what [[audioHash64]]
+    * cannot give: its 64 windows are fractions of the WHOLE clip, so
+    * trimming one second shifts every window boundary and re-rolls the
+    * hash. Here windows are a FIXED duration (`windowSamples` frames),
+    * the per-window energy sequence is delta-coded to bits
+    * (`bit i = energy(i+1) > energy(i)` — a gain scales both sides, so
+    * the bits are volume-invariant like the envelope hash), every
+    * `k`-bit gram is hashed, and winnowing (window `w` minimum — the
+    * same MOSS selection as [[graft.functions.TextFunctions.winnowedFingerprints]])
+    * picks the stored subset. A clip trimmed or padded by whole
+    * windows keeps its interior energy deltas bit-for-bit, so the
+    * surviving grams — and their winnowed minima — still collide with
+    * the original's; matching needs no alignment search, just shared
+    * fingerprints. Robustness granularity is the window: sub-window
+    * shifts re-phase every boundary (alignment-seeking fingerprints à
+    * la chromaprint are out of scope; the fnv fallback of
+    * [[audioHash64]] still catches bit-identical payloads).
+    *
+    * Returns the clip's distinct selected gram hashes, sorted;
+    * empty for undecodable payloads or clips shorter than
+    * `(k + w + 1) · windowSamples`.
+    */
+  def audioSubFingerprints(bytes: Array[Byte], windowSamples: Int = 400,
+      k: Int = 16, w: Int = 4): Array[Long] = {
+    val pcm = decodePcmMono(bytes)
+    if (pcm == null) return Array.emptyLongArray
+    val nW = pcm.length / windowSamples
+    val nB = nW - 1 // delta bits
+    val nh = nB - k + 1 // k-grams
+    if (nh < w) return Array.emptyLongArray
+    val e = new Array[Long](nW)
+    var wi = 0
+    while (wi < nW) {
+      var s = 0L
+      var j = wi * windowSamples
+      val end = j + windowSamples
+      while (j < end) { s += pcm(j); j += 1 }
+      e(wi) = s
+      wi += 1
+    }
+    val hs = new Array[Long](nh)
+    val mask = if (k == 64) -1L else (1L << k) - 1
+    var v = 0L
+    var b = 0
+    while (b < nB) {
+      v = ((v << 1) | (if (e(b + 1) > e(b)) 1L else 0L)) & mask
+      if (b >= k - 1) hs(b - k + 1) = mix64(v)
+      b += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var p = 0
+    while (p <= nh - w) {
+      var m = Long.MaxValue
+      var q = p
+      while (q < p + w) { if (hs(q) < m) m = hs(q); q += 1 }
+      sel.add(m)
+      p += 1
+    }
+    val out = new Array[Long](sel.size)
+    var x = 0
+    val it = sel.iterator()
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    out
+  }
+
+  /** Append the subfingerprint array — native expression in the scan
+    * projection ([[graft.functions.AudioSubFpExpr]]), one decode per
+    * clip, a handful of longs out.
+    */
+  def withAudioSubFps(df: DataFrame, binCol: String, keepCols: Seq[String],
+      windowSamples: Int = 400, k: Int = 16, w: Int = 4,
+      outCol: String = "audio_fps"): DataFrame = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    df.select(keepCols.map(col) :+
+      toColumn(graft.functions.AudioSubFpExpr(
+        toExpression(col(binCol)), windowSamples, k, w)).as(outCol): _*)
+  }
+
+  /** Shift-tolerant audio near-dup pairs: clips sharing at least
+    * `minShared` winnowed subfingerprints — the
+    * [[graft.operators.Dedup.sharedFingerprintPairs]] inverted-index
+    * join (explode ships `(id, fp)` longs; candidates meet only on a
+    * shared fingerprint; never all-pairs). A trimmed/padded variant
+    * of a clip shares its interior fingerprints and pairs; a clip with
+    * a different energy pattern shares chance grams at most. Set
+    * `hotFingerprintCutoff` on crawl corpora where one constant clip
+    * (silence, test tones) would otherwise own a quadratic posting.
+    */
+  def audioShiftDedupPairs(df: DataFrame, idCol: String, binCol: String,
+      windowSamples: Int = 400, k: Int = 16, w: Int = 4,
+      minShared: Int = 4,
+      hotFingerprintCutoff: Long = Long.MaxValue): DataFrame =
+    graft.operators.Dedup.sharedFingerprintPairs(
+      withAudioSubFps(df, binCol, Seq(idCol), windowSamples, k, w),
+      idCol, "audio_fps", minShared, hotFingerprintCutoff)
 
   /** Persist a perceptual-hash index: images decoded ONCE, 8 bytes per
     * image stored — each new crawl batch then dedups against the whole

@@ -690,17 +690,37 @@ object Dedup {
   def winnowOverlapPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 5, minShared: Int = 2,
+      hotPostingCutoff: Long = Long.MaxValue): DataFrame =
+    sharedFingerprintPairs(
+      df.select(col(idCol),
+        TextFunctions.winnowedFingerprints(col(textCol), k, w).as("__fps")),
+      idCol, "__fps", minShared, hotPostingCutoff)
+
+  /** Generic shared-fingerprint pair join — [[winnowOverlapPairs]]'
+    * engine over ANY per-row fingerprint array (text winnowing, audio
+    * subfingerprints): pairs of rows sharing at least `minShared`
+    * values of `fpsCol`. The explode ships `(id, fp)` longs, the
+    * self-equi-join on the fingerprint meets only rows that share one,
+    * and the pair count is a partial-agg groupBy on bare id pairs —
+    * never all-pairs.
+    *
+    * Hot-posting gate: a fingerprint shared by more than the cutoff
+    * rows is boilerplate (license headers, silence/test-tone clips) —
+    * S rows on one fingerprint cost S²/2 candidate rows in ONE hash
+    * block, the same quadratic cap as ngramJaccardAuto /
+    * videoNearDupPairs. Off by default (the exact-overlap contract);
+    * callers on crawl-scale corpora should set it.
+    */
+  def sharedFingerprintPairs(
+      df: DataFrame, idCol: String, fpsCol: String,
+      minShared: Int = 2,
       hotPostingCutoff: Long = Long.MaxValue): DataFrame = {
     require(hotPostingCutoff > 1,
-      s"winnowOverlapPairs: hotPostingCutoff must be > 1, got $hotPostingCutoff")
+      s"sharedFingerprintPairs: hotPostingCutoff must be > 1, got $hotPostingCutoff")
+    require(minShared >= 1,
+      s"sharedFingerprintPairs: minShared must be >= 1, got $minShared")
     val raw = df.select(col(idCol).as("__id"),
-      explode(TextFunctions.winnowedFingerprints(col(textCol), k, w)).as("__fp"))
-    // hot-posting gate: a fingerprint shared by more than the cutoff
-    // documents is boilerplate (license headers, navigation chrome) —
-    // S docs on one fingerprint cost S²/2 candidate rows in ONE hash
-    // block, the same quadratic ngramJaccardAuto/videoNearDupPairs
-    // cap. Off by default (the exact-overlap contract); callers on
-    // crawl-scale corpora should set it.
+      explode(col(fpsCol)).as("__fp"))
     val fps =
       if (hotPostingCutoff == Long.MaxValue) raw
       else raw

@@ -134,6 +134,18 @@ class PlanContractSuite extends SparkSpec {
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     ("multimodal_video_dedup", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // shift-robust audio dedup: the subfingerprint kernel runs as a
+    // native expression in the scan projection (no object fences), and
+    // candidates meet ONLY on the fingerprint equi-join
+    ("multimodal_audio_dedup_shift", Seq("graft_audiosubfp"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SerializeFromObject", "MapPartitions")),
+    // line-template boilerplate: detection is two partial-aggregable
+    // equi-keyed aggs; application joins the one-row-per-group template
+    // array back on the group equi-key — never a nested loop
+    ("strip_source_boilerplate_lines", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "Exchange SinglePartition")),
     // the windowed drift monitor is ONE stateful-aggregation shape:
     // a single window agg, no per-event UDF fences, no single-partition
     // funnel, cosine evaluated post-aggregation per window row

@@ -273,6 +273,86 @@ class MultimodalSuite extends SparkSpec {
     assert(t1 != Multimodal.audioHash64("different".getBytes("UTF-8")))
   }
 
+  /** Per-window level (5-step grid) for the shift tests — exact under
+    * halving (levels are multiples of 0.05 → int samples at gain 1.0
+    * and 0.5 alike), pseudo-random per (seed, window).
+    */
+  private def wlevel(seed: Int, wi: Int): Double = {
+    var x = (wi.toLong + seed.toLong * 1000L) * 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x ^= x >>> 31
+    0.10 + 0.05 * java.lang.Math.floorMod(x, 5L)
+  }
+
+  private def windowWav(gain: Double, levels: Array[Double],
+      windowSamples: Int = 400): Array[Byte] =
+    envelopeWav(levels.length * windowSamples, gain,
+      f => levels(f / windowSamples))
+
+  test("audioSubFingerprints: trim/pad keep interior fps, global hash re-rolls") {
+    val nW = 60
+    val trim = 4
+    val base = Array.tabulate(nW)(wi => wlevel(1, wi))
+    val trimmed = Array.tabulate(nW - trim)(wi => wlevel(1, wi + trim))
+    val padded = Array.tabulate(nW + trim)(
+      wi => if (wi < trim) 0.05 else wlevel(1, wi - trim))
+    val other = Array.tabulate(nW)(wi => wlevel(2, wi))
+    def fps(l: Array[Double], gain: Double = 1.0) =
+      Multimodal.audioSubFingerprints(windowWav(gain, l)).toSet
+    val fBase = fps(base)
+    assert(fBase.size >= 8, s"too few fingerprints: ${fBase.size}")
+    // trimming/padding whole windows keeps the interior delta bits —
+    // most winnowed fingerprints survive
+    val sharedTrim = (fBase & fps(trimmed)).size
+    val sharedPad = (fBase & fps(padded)).size
+    assert(sharedTrim >= 6, s"trim shared only $sharedTrim")
+    assert(sharedPad >= 6, s"pad shared only $sharedPad")
+    // ...while the whole-clip envelope hash re-rolls on the same trim
+    val hBase = Multimodal.audioHash64(windowWav(1.0, base))
+    val hTrim = Multimodal.audioHash64(windowWav(1.0, trimmed))
+    assert(java.lang.Long.bitCount(hBase ^ hTrim) >= 12,
+      s"global hash unexpectedly stable: ${java.lang.Long.bitCount(hBase ^ hTrim)}")
+    // exact gain invariance on the grid levels (delta signs compare
+    // scaled sums; the 0.05-grid samples halve exactly)
+    assert(fps(base, 0.5) == fBase)
+    // an unrelated pattern shares at most chance grams
+    val sharedOther = (fBase & fps(other)).size
+    assert(sharedOther <= 2, s"cross-pattern shared $sharedOther")
+    // total on garbage: empty, not a throw
+    assert(Multimodal.audioSubFingerprints("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("audioShiftDedupPairs: blocked join == naive intersections, classes pair") {
+    val nW = 60
+    val trim = 4
+    def levels(p: Int, variant: Int): Array[Double] = variant match {
+      case 0 => Array.tabulate(nW)(wi => wlevel(p, wi))
+      case 1 => Array.tabulate(nW - trim)(wi => wlevel(p, wi + trim))
+      case _ => Array.tabulate(nW + trim)(
+        wi => if (wi < trim) 0.05 else wlevel(p, wi - trim))
+    }
+    val wavs = (0 until 9).map { m =>
+      (m.toLong, windowWav(1.0, levels(m / 3, m % 3)))
+    }
+    val minShared = 4
+    val got = Multimodal.audioShiftDedupPairs(
+        wavs.toDF("id", "payload"), "id", "payload", minShared = minShared)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = (for {
+      (a, ba) <- wavs; (b, bb) <- wavs if a < b
+      n = (Multimodal.audioSubFingerprints(ba).toSet &
+        Multimodal.audioSubFingerprints(bb).toSet).size
+      if n >= minShared
+    } yield (a, b, n.toLong)).toSet
+    assert(got == naive)
+    // every same-pattern variant pair matches; no cross-pattern pair
+    val pairs = got.map { case (a, b, _) => (a, b) }
+    val expected = (for {
+      a <- 0L until 9L; b <- 0L until 9L if a < b && a / 3 == b / 3
+    } yield (a, b)).toSet
+    assert(pairs == expected, s"got $pairs")
+  }
+
   test("audio-hash index: build/append/probe == naive cross hamming") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val wavs = (0 until 12).map { i =>
