@@ -34,7 +34,8 @@ object Bench {
     "stream_lang_gate", "shard_by_tokens", "dedup_by_url",
     "embedding_drift", "stream_embedding_drift", "embedding_drift_by_source",
     "multimodal_image_dedup", "multimodal_audio_dedup",
-    "multimodal_audio_dedup_shift", "strip_source_boilerplate_lines",
+    "multimodal_audio_dedup_shift", "multimodal_audio_dedup_shift_indexed",
+    "strip_source_boilerplate_lines",
     "multimodal_image_dedup_indexed", "multimodal_image_dedup_phash",
     "multimodal_image_dedup_phash_indexed", "multimodal_video_dedup",
     "multimodal_video_dedup_perceptual",

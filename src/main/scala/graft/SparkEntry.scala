@@ -44,6 +44,46 @@ object SparkEntry {
   private def scratch(kind: String, dir: String): String =
     s"/tmp/graft_${kind}_${math.abs(dir.hashCode)}_$runToken"
 
+  /** The nine WAVs of the shift-robust audio gates: three 60-window
+    * pseudo-random energy patterns × (original, 4-window-trimmed,
+    * 4-window-quiet-padded) — index = pattern * 3 + variant. Level
+    * constants mirror MultimodalSuite's margin-pinned fixtures.
+    */
+  private lazy val shiftWavs: IndexedSeq[Array[Byte]] = {
+    def wlevel(seed: Int, wi: Int): Double = {
+      var x = (wi.toLong + seed.toLong * 1000L) * 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x ^= x >>> 31
+      0.10 + 0.05 * java.lang.Math.floorMod(x, 5L)
+    }
+    def wav(p: Int, variant: Int): Array[Byte] = {
+      val wnd = 400
+      val nW = 60
+      val trim = 4
+      val levels: Array[Double] = variant match {
+        case 0 => Array.tabulate(nW)(wi => wlevel(p, wi))
+        case 1 => Array.tabulate(nW - trim)(wi => wlevel(p, wi + trim))
+        case _ => Array.tabulate(nW + trim)(
+          wi => if (wi < trim) 0.05 else wlevel(p, wi - trim))
+      }
+      val af = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val n = levels.length * wnd
+      val pcm = new Array[Byte](n * 2)
+      for (f <- 0 until n) {
+        val v = (levels(f / wnd) * 20000).toInt.toShort
+        pcm(2 * f) = (v & 0xff).toByte
+        pcm(2 * f + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), af, n.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    (0 until 9).map(m => wav(m / 3, m % 3))
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as both TIMESTAMP(NANOS) (older testdata
@@ -1514,42 +1554,30 @@ object SparkEntry {
       // cross <= 2). Oracle = the pattern-assignment rule.
       val d = t(s, dir, "documents").select("doc_id")
         .filter(col("doc_id") % 7 === 0)
-      def wlevel(seed: Int, wi: Int): Double = {
-        var x = (wi.toLong + seed.toLong * 1000L) * 0x9e3779b97f4a7c15L
-        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-        x ^= x >>> 31
-        0.10 + 0.05 * java.lang.Math.floorMod(x, 5L)
-      }
-      def wav(p: Int, variant: Int): Array[Byte] = {
-        val wnd = 400
-        val nW = 60
-        val trim = 4
-        val levels: Array[Double] = variant match {
-          case 0 => Array.tabulate(nW)(wi => wlevel(p, wi))
-          case 1 => Array.tabulate(nW - trim)(wi => wlevel(p, wi + trim))
-          case _ => Array.tabulate(nW + trim)(
-            wi => if (wi < trim) 0.05 else wlevel(p, wi - trim))
-        }
-        val af = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-        val n = levels.length * wnd
-        val pcm = new Array[Byte](n * 2)
-        for (f <- 0 until n) {
-          val v = (levels(f / wnd) * 20000).toInt.toShort
-          pcm(2 * f) = (v & 0xff).toByte
-          pcm(2 * f + 1) = ((v >> 8) & 0xff).toByte
-        }
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), af, n.toLong)
-        val buf = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(
-          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
-        buf.toByteArray
-      }
-      val wavs9 = (0 until 9).map(m => wav(m / 3, m % 3))
       val withP = d.withColumn("payload",
-        element_at(array(wavs9.map(lit(_)): _*), (col("doc_id") % 9).cast("int") + 1))
+        element_at(array(shiftWavs.map(lit(_)): _*), (col("doc_id") % 9).cast("int") + 1))
       Multimodal.audioShiftDedupPairs(withP, "doc_id", "payload", minShared = 4)
         .select(col("id_a"), col("id_b"))
+    }),
+    "multimodal_audio_dedup_shift_indexed" -> ((s, dir) => {
+      // the INCREMENTAL form of the shift-robust audio dedup: even
+      // docs' clips decoded ONCE into persisted (id, fp) postings, odd
+      // docs probe without the corpus re-decoding — shared-fingerprint
+      // matches >= 4 ≡ same-pattern (odd, even) pairs from the rule
+      // (every variant pair crosses a trim/pad boundary the envelope
+      // hash cannot).
+      val d = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 7 === 0)
+      val withP = d.withColumn("payload",
+        element_at(array(shiftWavs.map(lit(_)): _*), (col("doc_id") % 9).cast("int") + 1))
+      val idx = scratch("audiofp_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        Multimodal.buildAudioFpIndex(
+          withP.filter(col("doc_id") % 2 === 0), "doc_id", "payload", idx)
+      Multimodal.dedupAgainstAudioFpIndex(s,
+          withP.filter(col("doc_id") % 2 === 1), "doc_id", "payload", idx,
+          minShared = 4)
+        .select(col("doc_id"), col("index_id"))
     }),
     "embedding_drift" -> ((s, dir) => {
       // distribution-shift monitor: cosine of the two halves' mean
@@ -3851,6 +3879,14 @@ object SparkEntry {
           |  ON a.doc_id % 7 = 0 AND b.doc_id % 7 = 0
           | AND (a.doc_id % 9) // 3 = (b.doc_id % 9) // 3
           | AND a.doc_id < b.doc_id""".stripMargin,
+      // same-pattern (odd probe, even index) pairs from the rule —
+      // served from persisted postings without re-decoding the corpus
+      "multimodal_audio_dedup_shift_indexed" ->
+        """SELECT a.doc_id, b.doc_id AS index_id
+          |FROM documents a JOIN documents b
+          |  ON a.doc_id % 7 = 0 AND b.doc_id % 7 = 0
+          | AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          | AND (a.doc_id % 9) // 3 = (b.doc_id % 9) // 3""".stripMargin,
       // same-pattern (odd probe, even index) pairs from the rule —
       // across geometric variants, which only the DCT index survives
       "multimodal_image_dedup_phash_indexed" ->

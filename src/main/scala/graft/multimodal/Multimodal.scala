@@ -1052,6 +1052,97 @@ object Multimodal {
       .select(col("id_a").as(idCol), col("id_b").as("index_id"), col("hamming"))
   }
 
+  /** Persist the SHIFT-ROBUST audio subfingerprints
+    * ([[audioSubFingerprints]]) as an inverted posting table
+    * `(id, fp)` — clips decoded ONCE; each new crawl batch then probes
+    * the whole audio corpus for trimmed/padded/re-cut variants WITHOUT
+    * re-decoding it. Same IndexIO lifecycle as the hash indexes
+    * (atomic versioned publish, immutable append segments, tombstone
+    * deletes); the parameters are baked into the postings, so probes
+    * must use the same `(windowSamples, k, w)`.
+    */
+  def buildAudioFpIndex(df: DataFrame, idCol: String, binCol: String,
+      path: String, windowSamples: Int = 400, k: Int = 16,
+      w: Int = 4): Unit = {
+    val spark = df.sparkSession
+    graft.sources.IndexIO.publish(spark, path) { vdir =>
+      withAudioSubFps(df, binCol, Seq(idCol), windowSamples, k, w)
+        .select(col(idCol), explode(col("audio_fps")).as("fp"))
+        .write.mode("overwrite").parquet(s"$vdir/postings")
+    }
+    ()
+  }
+
+  /** Append a batch's subfingerprint postings as an immutable delta
+    * segment (the daily-crawl step).
+    */
+  def appendToAudioFpIndex(df: DataFrame, idCol: String, binCol: String,
+      path: String, windowSamples: Int = 400, k: Int = 16,
+      w: Int = 4): Unit = {
+    val spark = df.sparkSession
+    graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
+      withAudioSubFps(df, binCol, Seq(idCol), windowSamples, k, w)
+        .select(col(idCol), explode(col("audio_fps")).as("fp"))
+        .write.mode("overwrite").parquet(s"$vdir/postings")
+    }
+    ()
+  }
+
+  /** Publish takedown tombstones for the subfingerprint index. */
+  def deleteFromAudioFpIndex(ids: DataFrame, idCol: String,
+      path: String): Unit = {
+    val spark = ids.sparkSession
+    graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
+      ids.select(col(idCol)).distinct()
+        .write.mode("overwrite").parquet(s"$vdir/tombstones")
+    }
+    ()
+  }
+
+  /** Probe a batch against a [[buildAudioFpIndex]] artifact: the batch
+    * is decoded once, its fingerprints equi-join the live postings
+    * (only rows of SHARED fingerprints move), and a pair survives with
+    * `n_shared >= minShared` — [[audioShiftDedupPairs]]' semantics
+    * with the corpus side served from the index. Output
+    * `(<idCol>, index_id, n_shared)`. `hotFingerprintCutoff` drops
+    * postings more frequent than the cutoff on the INDEX side
+    * (constant clips — silence, test tones — would otherwise fan a
+    * probe fingerprint across the whole posting); it is computed over
+    * live postings with a partial-agg count, never a collect. Works
+    * unchanged on a STREAMING batch (stream-static equi-join + the
+    * grouped count is per-micro-batch only when used inside
+    * foreachBatch; for a continuous gate pre-aggregate per clip).
+    */
+  def dedupAgainstAudioFpIndex(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, binCol: String, path: String,
+      windowSamples: Int = 400, k: Int = 16, w: Int = 4,
+      minShared: Int = 4,
+      hotFingerprintCutoff: Long = Long.MaxValue): DataFrame = {
+    require(minShared >= 1,
+      s"dedupAgainstAudioFpIndex: minShared must be >= 1, got $minShared")
+    val data = graft.sources.IndexIO.chainTable(spark, path, "postings")
+      .getOrElse(throw new IllegalStateException(
+        s"dedupAgainstAudioFpIndex: no postings at $path"))
+    val tomb = graft.sources.IndexIO.chainTable(spark, path, "tombstones")
+    val live0 = graft.sources.IndexIO.withoutTombstoned(data, tomb, idCol)
+      .withColumnRenamed(idCol, "index_id")
+    val live =
+      if (hotFingerprintCutoff == Long.MaxValue) live0
+      else live0
+        .withColumn("__post",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("fp"))))
+        .filter(col("__post") <= hotFingerprintCutoff)
+        .drop("__post")
+    withAudioSubFps(batch, binCol, Seq(idCol), windowSamples, k, w)
+      .select(col(idCol), explode(col("audio_fps")).as("fp"))
+      .join(live.hint("shuffle_hash"), Seq("fp"))
+      .groupBy(col(idCol), col("index_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Deterministic frame sampling: split the payload into `n` equal
     * byte-range "frames" (a real video pipeline would seek keyframes; the
     * slicing/explode plumbing is identical). Output: one row per frame

@@ -353,6 +353,42 @@ class MultimodalSuite extends SparkSpec {
     assert(pairs == expected, s"got $pairs")
   }
 
+  test("audio-fp index: build/append/probe == naive intersections; tombstones drop") {
+    val nW = 60
+    def levels(p: Int, variant: Int): Array[Double] = variant match {
+      case 0 => Array.tabulate(nW)(wi => wlevel(p, wi))
+      case 1 => Array.tabulate(nW - 4)(wi => wlevel(p, wi + 4))
+      case _ => Array.tabulate(nW + 4)(
+        wi => if (wi < 4) 0.05 else wlevel(p, wi - 4))
+    }
+    val wavs = (0 until 12).map { i =>
+      (i.toLong, windowWav(1.0, levels(i / 4, i % 3)))
+    }
+    val (idxSide, probeSide) = wavs.partition(_._1 % 2 == 0)
+    val p = java.nio.file.Files.createTempDirectory("audiofpidx").toString
+    Multimodal.buildAudioFpIndex(
+      idxSide.take(3).toDF("id", "payload"), "id", "payload", p)
+    Multimodal.appendToAudioFpIndex(
+      idxSide.drop(3).toDF("id", "payload"), "id", "payload", p)
+    def probe() = Multimodal.dedupAgainstAudioFpIndex(
+        spark, probeSide.toDF("id", "payload"), "id", "payload", p,
+        minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = (for {
+      (a, ba) <- probeSide; (b, bb) <- idxSide
+      n = (Multimodal.audioSubFingerprints(ba).toSet &
+        Multimodal.audioSubFingerprints(bb).toSet).size
+      if n >= 4
+    } yield (a, b, n.toLong)).toSet
+    assert(probe() == naive)
+    assert(naive.nonEmpty)
+    // tombstones: a deleted index clip stops matching without rebuild
+    val victim = naive.head._2
+    Multimodal.deleteFromAudioFpIndex(
+      Seq(victim).toDF("id"), "id", p)
+    assert(probe() == naive.filterNot(_._2 == victim))
+  }
+
   test("audio-hash index: build/append/probe == naive cross hamming") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val wavs = (0 until 12).map { i =>
