@@ -38,7 +38,8 @@ object Bench {
     "strip_source_boilerplate_lines",
     "multimodal_image_dedup_indexed", "multimodal_image_dedup_phash",
     "multimodal_image_dedup_phash_indexed", "multimodal_video_dedup",
-    "multimodal_video_dedup_perceptual",
+    "multimodal_video_dedup_perceptual", "multimodal_video_scenes",
+    "multimodal_video_scene_dedup",
     "chunk_documents_sentences",
     "decontaminate_docs", "decontaminate_bloom", "stream_decontaminate",
     "stream_lm_gate", "stream_lm_gate3", "lm_score_trigram",

@@ -84,6 +84,29 @@ object SparkEntry {
     (0 until 9).map(m => wav(m / 3, m % 3))
   }
 
+  /** The three 64² scene-gate patterns (diagonal / circle / corner
+    * wedge — the pHash-margin shapes: same pattern hashes identically
+    * here, distinct patterns sit ≥22 bits apart).
+    */
+  private lazy val scenePng: IndexedSeq[Array[Byte]] = (0 until 3).map { kind =>
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 64; y <- 0 until 64) {
+      val fx = x / 64.0
+      val fy = y / 64.0
+      val bright = kind match {
+        case 0 => fx > fy
+        case 1 => (fx - 0.5) * (fx - 0.5) + (fy - 0.5) * (fy - 0.5) < 0.09
+        case _ => fx + fy < 0.7
+      }
+      val v = if (bright) 210 else 45
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as both TIMESTAMP(NANOS) (older testdata
@@ -1507,6 +1530,55 @@ object SparkEntry {
           "frame_bytes", maxHamming = 16, minSharedFrames = 3,
           hotFrameCutoff = 100000)
         .select(col("id_a"), col("id_b"), col("n_shared"))
+    }),
+    "multimodal_video_scenes" -> ((s, dir) => {
+      // SHOT-BOUNDARY segmentation: every 11th doc is a 9-frame video
+      // that switches pattern after frame 2 + doc_id % 3 (pattern c
+      // then (c+1) % 3, c = doc_id % 3). Consecutive-frame pHash jumps
+      // past radius 16 are cuts (same-pattern frames are identical
+      // here; cross-pattern >= 22 bits, the measured margins), so the
+      // scene table is the closed-form rule the oracle replays. One
+      // shuffle co-locates each video's frames for the lag/cumsum
+      // window; the rollup is a partial-agg groupBy.
+      val d = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 11 === 0)
+      val frameArrays = (0 until 3).map { c =>
+        array((0 until 9).map { fi =>
+          lit(scenePng(if (fi <= 2 + c) c else (c + 1) % 3))
+        }: _*)
+      }
+      val frames = d
+        .withColumn("frames",
+          element_at(array(frameArrays: _*), (col("doc_id") % 3).cast("int") + 1))
+        .select(col("doc_id"),
+          posexplode(col("frames")).as(Seq("frame_idx", "frame_bytes")))
+      Multimodal.videoScenes(frames, "doc_id", "frame_idx", "frame_bytes",
+          maxHamming = 16)
+        .select(col("doc_id"), col("scene_idx"), col("start_frame"),
+          col("end_frame"), col("n_frames"))
+    }),
+    "multimodal_video_scene_dedup" -> ((s, dir) => {
+      // cross-video SCENE reuse: the multimodal_video_scenes videos'
+      // keyframe hashes through the collapsed Hamming join — scenes
+      // showing the same pattern pair at distance 0 (identical
+      // renders), across videos AND across scene positions (video c's
+      // second shot equals video (c+1)%3's first). Oracle = the
+      // (doc_id % 3 + scene) % 3 pattern rule with struct-ordered
+      // exactly-once pairs.
+      val d = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 11 === 0)
+      val frameArrays = (0 until 3).map { c =>
+        array((0 until 9).map { fi =>
+          lit(scenePng(if (fi <= 2 + c) c else (c + 1) % 3))
+        }: _*)
+      }
+      val frames = d
+        .withColumn("frames",
+          element_at(array(frameArrays: _*), (col("doc_id") % 3).cast("int") + 1))
+        .select(col("doc_id"),
+          posexplode(col("frames")).as(Seq("frame_idx", "frame_bytes")))
+      Multimodal.videoSceneNearDupPairs(frames, "doc_id", "frame_idx",
+          "frame_bytes", sceneMaxHamming = 16, pairMaxHamming = 10)
     }),
     "multimodal_audio_dedup" -> ((s, dir) => {
       // audio near-dup on the gate: five distinct energy-envelope WAVs
@@ -3879,6 +3951,34 @@ object SparkEntry {
           |  ON a.doc_id % 7 = 0 AND b.doc_id % 7 = 0
           | AND (a.doc_id % 9) // 3 = (b.doc_id % 9) // 3
           | AND a.doc_id < b.doc_id""".stripMargin,
+      // closed-form scene table from the synthesis rule: cut after
+      // frame 2 + doc_id % 3 in a 9-frame video
+      "multimodal_video_scenes" ->
+        """SELECT doc_id, CAST(0 AS BIGINT) AS scene_idx,
+          |       0 AS start_frame,
+          |       CAST(2 + doc_id % 3 AS INTEGER) AS end_frame,
+          |       CAST(3 + doc_id % 3 AS BIGINT) AS n_frames
+          |FROM documents WHERE doc_id % 11 = 0
+          |UNION ALL
+          |SELECT doc_id, CAST(1 AS BIGINT),
+          |       CAST(3 + doc_id % 3 AS INTEGER), 8,
+          |       CAST(6 - doc_id % 3 AS BIGINT)
+          |FROM documents WHERE doc_id % 11 = 0""".stripMargin,
+      // scene keyframe pattern = (doc_id % 3 + scene) % 3; equal
+      // patterns pair at distance 0, exactly-once in (id, scene)
+      // struct order
+      "multimodal_video_scene_dedup" ->
+        """WITH s AS (
+          |  SELECT doc_id, v.scene, (doc_id % 3 + v.scene) % 3 AS pat
+          |  FROM documents, (SELECT 0 AS scene UNION ALL SELECT 1) v
+          |  WHERE doc_id % 11 = 0)
+          |SELECT a.doc_id AS id_a, CAST(a.scene AS BIGINT) AS scene_a,
+          |       b.doc_id AS id_b, CAST(b.scene AS BIGINT) AS scene_b,
+          |       0 AS hamming
+          |FROM s a JOIN s b
+          |  ON a.pat = b.pat
+          | AND (a.doc_id < b.doc_id
+          |      OR (a.doc_id = b.doc_id AND a.scene < b.scene))""".stripMargin,
       // same-pattern (odd probe, even index) pairs from the rule —
       // served from persisted postings without re-decoding the corpus
       "multimodal_audio_dedup_shift_indexed" ->

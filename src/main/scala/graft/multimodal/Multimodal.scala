@@ -1265,4 +1265,72 @@ object Multimodal {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minSharedFrames)
   }
+
+  /** SCENE (shot-boundary) segmentation over a decoded-frame table
+    * `(id, frame_idx, frame_bytes)`: consecutive frames whose DCT
+    * pHashes sit within `maxHamming` belong to one scene; a jump past
+    * the radius is a cut. Output: one row per scene —
+    * `(<idCol>, scene_idx, start_frame, end_frame, n_frames,
+    * scene_phash)` where `scene_phash` is the FIRST frame's hash (the
+    * keyframe a scene-level index stores).
+    *
+    * Scale shape: frames are pHashed in the scan projection (native
+    * expression), ONE shuffle co-locates each video's frames for the
+    * lag/cumsum window (a video's frame count is bounded — the window
+    * never sees more than one video), and the scene rollup is a
+    * partial-aggregable groupBy on `(id, scene_idx)`. Nothing is
+    * sized by pairs of videos.
+    */
+  def videoScenes(frames: DataFrame, idCol: String, frameIdxCol: String,
+      frameBinCol: String, maxHamming: Int = 16): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"videoScenes: maxHamming must be in [0, 63], got $maxHamming")
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    import org.apache.spark.sql.expressions.Window
+    val hashed = frames.select(
+      col(idCol), col(frameIdxCol),
+      toColumn(graft.functions.PHash64Expr(toExpression(col(frameBinCol))))
+        .as("__ph"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col(frameIdxCol))
+    val cut = when(col("__prev").isNull, lit(1)).otherwise(
+      when(bit_count(col("__ph").bitwiseXOR(col("__prev"))) > maxHamming,
+        lit(1)).otherwise(lit(0)))
+    hashed
+      .withColumn("__prev", lag(col("__ph"), 1).over(w))
+      .withColumn("scene_idx",
+        sum(cut).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) - lit(1L))
+      .groupBy(col(idCol), col("scene_idx"))
+      .agg(min(col(frameIdxCol)).as("start_frame"),
+        max(col(frameIdxCol)).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        min_by(col("__ph"), col(frameIdxCol)).as("scene_phash"))
+  }
+
+  /** Cross-video SCENE near-dup: [[videoScenes]] keyframe hashes
+    * through the collapsed pigeonhole Hamming join — which scenes of
+    * which videos show the same shot, the reuse/attribution view a
+    * clip-licensing pipeline wants (whole-video pairing misses a
+    * shared scene inside otherwise different videos). The scene key
+    * is the `(id, scene_idx)` struct; the join is
+    * [[graft.operators.Dedup.hammingPairs64]] unchanged (struct
+    * ordering gives the exactly-once rule). Output:
+    * `(id_a, scene_a, id_b, scene_b, hamming)`.
+    */
+  def videoSceneNearDupPairs(frames: DataFrame, idCol: String,
+      frameIdxCol: String, frameBinCol: String,
+      sceneMaxHamming: Int = 16, pairMaxHamming: Int = 10): DataFrame = {
+    val scenes = videoScenes(frames, idCol, frameIdxCol, frameBinCol,
+        sceneMaxHamming)
+      .select(struct(col(idCol), col("scene_idx")).as("__sk"),
+        col("scene_phash"))
+    graft.operators.Dedup.hammingPairs64(
+        scenes, "__sk", "scene_phash", pairMaxHamming)
+      .select(
+        col("id_a").getField(idCol).as("id_a"),
+        col("id_a").getField("scene_idx").as("scene_a"),
+        col("id_b").getField(idCol).as("id_b"),
+        col("id_b").getField("scene_idx").as("scene_b"),
+        col("hamming"))
+  }
 }

@@ -140,6 +140,14 @@ class PlanContractSuite extends SparkSpec {
     ("multimodal_audio_dedup_shift", Seq("graft_audiosubfp"),
       Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "SerializeFromObject", "MapPartitions")),
+    // scene segmentation: pHash in the scan projection, one
+    // video-keyed window, partial-agg rollup — no joins at all
+    ("multimodal_video_scenes", Seq("graft_phash64"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SerializeFromObject", "MapPartitions")),
+    // scene near-dup keeps the pigeonhole equi-keys over keyframes
+    ("multimodal_video_scene_dedup", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // line-template boilerplate: detection is two partial-aggregable
     // equi-keyed aggs; application joins the one-row-per-group template
     // array back on the group equi-key — never a nested loop

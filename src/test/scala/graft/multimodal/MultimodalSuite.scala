@@ -353,6 +353,70 @@ class MultimodalSuite extends SparkSpec {
     assert(pairs == expected, s"got $pairs")
   }
 
+  test("videoScenes: cuts at pattern changes; scene pairs == naive keyframe hamming") {
+    // three structurally distinct patterns (the pHash-margin shapes)
+    def render(kind: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val fx = x / 64.0
+        val fy = y / 64.0
+        val bright = kind match {
+          case 0 => fx > fy
+          case 1 => (fx - 0.5) * (fx - 0.5) + (fy - 0.5) * (fy - 0.5) < 0.09
+          case _ => fx + fy < 0.7
+        }
+        val v = if (bright) 210 else 45
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    // video v: frames 0..8, cut after frame 2 + (v % 3); scene patterns
+    // c and (c + 1) % 3 with c = v % 3 — video 3 repeats video 0's shots
+    def pat(v: Long, fi: Int): Int = {
+      val c = (v % 3).toInt
+      if (fi <= 2 + c) c else (c + 1) % 3
+    }
+    val frames = for { v <- 0L until 4L; fi <- 0 until 9 }
+      yield (v, fi, render(pat(v, fi)))
+    val fdf = frames.toDF("id", "frame_idx", "payload")
+    val scenes = Multimodal.videoScenes(fdf, "id", "frame_idx", "payload")
+    val got = scenes
+      .select("id", "scene_idx", "start_frame", "end_frame", "n_frames")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    val expected = (0L until 4L).flatMap { v =>
+      val c = (v % 3).toInt
+      Seq((v, 0L, 0, 2 + c, (3 + c).toLong), (v, 1L, 3 + c, 8, (6 - c).toLong))
+    }.toSet
+    assert(got == expected)
+    // keyframe hash = the first frame's pHash
+    val ph = scenes.filter(col("id") === 0 && col("scene_idx") === 0)
+      .select("scene_phash").collect()(0).getLong(0)
+    assert(ph == Multimodal.pHash64(render(0)))
+    // cross-video scene near-dup == naive pairing over keyframe hashes
+    val pairs = Multimodal.videoSceneNearDupPairs(
+        fdf, "id", "frame_idx", "payload")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)), r.getInt(4)))
+      .toSet
+    val keyframes = expected.toSeq.map { case (v, s, st, _, _) =>
+      ((v, s), Multimodal.pHash64(render(pat(v, st)))) }
+    val naive = (for {
+      (ka, ha) <- keyframes; (kb, hb) <- keyframes
+      if Ordering[(Long, Long)].lt(ka, kb)
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 10
+    } yield (ka, kb, d)).toSet
+    assert(pairs == naive)
+    assert(pairs.nonEmpty)
+    // the repeated-shot videos (0 and 3) share both scenes
+    assert(pairs.contains(((0L, 0L), (3L, 0L), 0)))
+    assert(pairs.contains(((0L, 1L), (3L, 1L), 0)))
+  }
+
   test("audio-fp index: build/append/probe == naive intersections; tombstones drop") {
     val nW = 60
     def levels(p: Int, variant: Int): Array[Double] = variant match {
