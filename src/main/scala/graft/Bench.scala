@@ -33,6 +33,7 @@ object Bench {
     "stream_strip_boilerplate",
     "stream_lang_gate", "shard_by_tokens", "dedup_by_url",
     "embedding_drift", "stream_embedding_drift", "embedding_drift_by_source",
+    "embedding_outliers", "stream_embedding_outliers",
     "multimodal_image_dedup", "multimodal_audio_dedup",
     "multimodal_audio_dedup_shift", "multimodal_audio_dedup_shift_indexed",
     "strip_source_boilerplate_lines",

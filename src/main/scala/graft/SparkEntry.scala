@@ -1663,6 +1663,35 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 1).select("embedding"),
         "embedding")
     }),
+    "embedding_outliers" -> ((s, dir) => {
+      // per-document drill-down of the drift matrix: docs whose exact
+      // grid cosine to their OWN label's centroid falls at/below the
+      // threshold — mislabeled rows and embedding glitches inside a
+      // source. Centroids are exact grid-long sums (one broadcast row
+      // per label); the per-row cosine is the BigInt/1e-4-floor kernel
+      // (GridCosExpr), so both engines compare identical doubles and
+      // the threshold sits on a dyadic rational with a measured margin.
+      // threshold 0.0: docs pointing AWAY from their label centroid
+      // (54 rows at sf0.01, nearest scored value 11 grid units off)
+      Sketches.embeddingOutliers(
+        t(s, dir, "embeddings"), "label", "vec_id", "embedding",
+        maxCos = 0.0)
+    }),
+    "stream_embedding_outliers" -> ((s, dir) => {
+      // the INGEST-GATE form: label centroids trained once on the even
+      // vec_ids, the odd half filtered statelessly against them — a
+      // stream-static broadcast join + the per-row exact grid-cosine
+      // kernel, no state store (MemoryStream ≡ batch is
+      // suite-pinned). Keep rule cos >= 0.0 (129 of 250 rows at
+      // sf0.01, nearest scored value 6 grid units off).
+      val e = t(s, dir, "embeddings")
+      val cents = Sketches.embeddingCentroids(
+        e.filter(col("vec_id") % 2 === 0), "label", "embedding")
+      Sketches.filterByCentroidCosine(
+          e.filter(col("vec_id") % 2 === 1), "label", "embedding", cents,
+          minCos = 0.0)
+        .select("vec_id", "label")
+    }),
     "embedding_drift_by_source" -> ((s, dir) => {
       // the pairwise drift MATRIX: per-label exact grid sums in one
       // aggregation (long[dim] + count state per label), 45 label-pair
@@ -4022,6 +4051,55 @@ object SparkEntry {
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           |FROM documents a JOIN documents b
           |  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id""".stripMargin,
+      // per-label grid centroid sums, per-doc HUGEINT dot against its
+      // own label's sums, 1e-4-floored cosine <= 0.0 (sum(BIGINT) is
+      // HUGEINT — exact like the Spark side's BigInt kernel)
+      "embedding_outliers" ->
+        """WITH e AS (SELECT vec_id, label,
+          |                  CAST(floor(v * 10000000.0) AS BIGINT) AS gv, i
+          |           FROM (SELECT vec_id, label,
+          |                        unnest(CAST(embedding AS DOUBLE[])) AS v,
+          |                        generate_subscripts(embedding, 1) AS i
+          |                 FROM embeddings)),
+          |c AS (SELECT label, i, sum(gv) AS s FROM e GROUP BY 1, 2),
+          |cn AS (SELECT label, sum(s * s) AS ss FROM c GROUP BY 1),
+          |dn AS (SELECT vec_id, sum(CAST(gv AS HUGEINT) * gv) AS ss
+          |       FROM e GROUP BY 1),
+          |num AS (SELECT e.vec_id, e.label, sum(CAST(e.gv AS HUGEINT) * c.s) AS nm
+          |        FROM e JOIN c ON c.label = e.label AND c.i = e.i
+          |        GROUP BY 1, 2),
+          |sc AS (SELECT n.vec_id, n.label,
+          |         floor(CAST(n.nm AS DOUBLE)
+          |               / (sqrt(CAST(dn.ss AS DOUBLE)) * sqrt(CAST(cn.ss AS DOUBLE)))
+          |               * 10000.0) / 10000.0 AS cos_centroid
+          |       FROM num n JOIN dn ON dn.vec_id = n.vec_id
+          |                   JOIN cn ON cn.label = n.label)
+          |SELECT vec_id, label, cos_centroid FROM sc
+          |WHERE cos_centroid <= 0.0""".stripMargin,
+      // even-half centroids, odd-half keep rule cos >= 0.0 — the
+      // stateless serving twin of embedding_outliers
+      "stream_embedding_outliers" ->
+        """WITH e AS (SELECT vec_id, label,
+          |                  CAST(floor(v * 10000000.0) AS BIGINT) AS gv, i
+          |           FROM (SELECT vec_id, label,
+          |                        unnest(CAST(embedding AS DOUBLE[])) AS v,
+          |                        generate_subscripts(embedding, 1) AS i
+          |                 FROM embeddings)),
+          |c AS (SELECT label, i, sum(gv) AS s FROM e
+          |      WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+          |cn AS (SELECT label, sum(s * s) AS ss FROM c GROUP BY 1),
+          |dn AS (SELECT vec_id, sum(CAST(gv AS HUGEINT) * gv) AS ss
+          |       FROM e WHERE vec_id % 2 = 1 GROUP BY 1),
+          |num AS (SELECT e.vec_id, e.label, sum(CAST(e.gv AS HUGEINT) * c.s) AS nm
+          |        FROM e JOIN c ON c.label = e.label AND c.i = e.i
+          |        WHERE e.vec_id % 2 = 1 GROUP BY 1, 2),
+          |sc AS (SELECT n.vec_id, n.label,
+          |         floor(CAST(n.nm AS DOUBLE)
+          |               / (sqrt(CAST(dn.ss AS DOUBLE)) * sqrt(CAST(cn.ss AS DOUBLE)))
+          |               * 10000.0) / 10000.0 AS cos
+          |       FROM num n JOIN dn ON dn.vec_id = n.vec_id
+          |                   JOIN cn ON cn.label = n.label)
+          |SELECT vec_id, label FROM sc WHERE cos >= 0.0""".stripMargin,
       // per-label grid sums once, 45 pairwise HUGEINT cosines on the
       // string-ordered label pairs
       "embedding_drift_by_source" ->

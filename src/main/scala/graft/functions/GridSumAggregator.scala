@@ -79,4 +79,50 @@ object GridSumAggregator {
     val cos = num.toDouble / (math.sqrt(da.toDouble) * math.sqrt(db.toDouble))
     math.floor(cos * 10000) / 10000
   }
+
+  /** [[cosFloored]] over Tungsten array data — the per-row entry of
+    * [[GridCosExpr]] (no Seq boxing on the hot path beyond the BigInt
+    * accumulation the exactness contract requires).
+    */
+  def cosFlooredData(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double =
+    cosFloored(a.toLongArray().toSeq, b.toLongArray().toSeq)
+}
+
+/** `(array<bigint>, array<bigint>) -> double`: the EXACT grid cosine
+  * ([[GridSumAggregator.cosFloored]]) as a native expression — BigInt
+  * dot products of 1e-7-grid longs, each cast to double ONCE
+  * (correctly rounded), `num / (sqrt(da) * sqrt(db))`, floored onto
+  * the 1e-4 grid. The per-row side of the centroid/outlier monitors:
+  * both engines evaluate the identical IEEE expression over identical
+  * integers, so there is no summation-order or knife-edge hazard at
+  * all. Zero vectors and dimension mismatches FAIL the query (the
+  * drift-family malformed-input contract).
+  */
+case class GridCosExpr(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_grid_cos"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GridSumAggregator.cosFlooredData(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GridSumAggregator.cosFlooredData($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(left = newLeft, right = newRight)
 }

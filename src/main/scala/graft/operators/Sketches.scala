@@ -167,4 +167,83 @@ object Sketches {
     }
     out.toDF(groupCol + "_a", groupCol + "_b", "n_a", "n_b", "cos_means")
   }
+
+  private def gridCos(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
+    toColumn(graft.functions.GridCosExpr(toExpression(a), toExpression(b)))
+  }
+
+  /** The 1e-7-grid long form of a vector — the per-row twin of
+    * [[graft.functions.GridSumAggregator]]'s accumulation (identical
+    * `floor(v * 1e7)` per component, so a doc's grid vector and the
+    * centroid sums live on the SAME grid).
+    */
+  private def gridVec(v: Column): Column =
+    transform(v.cast("array<double>"), x => floor(x * lit(1.0e7)))
+
+  /** Per-group exact grid centroid SUMS — the trainable artifact of
+    * the outlier monitors: `(group, centroid: array<bigint>, n_docs)`,
+    * one row per group, broadcast-sized. The SUM vector is
+    * proportional to the mean, and cosine is scale-invariant, so
+    * scoring against the sum IS scoring against the mean with no
+    * division anywhere (the [[embeddingDrift]] exactness trick).
+    * Malformed vectors (null / NaN / ±Inf / dimension drift) FAIL the
+    * aggregation rather than skewing the centroid.
+    */
+  def embeddingCentroids(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val gridSum =
+      org.apache.spark.sql.functions.udaf(new graft.functions.GridSumAggregator())
+    df.groupBy(col(groupCol))
+      .agg(gridSum(col(vecCol).cast("array<double>")).as("centroid"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /** Embedding OUTLIERS: rows whose exact grid cosine to their own
+    * group's centroid is at or below `maxCos` — mislabeled documents,
+    * embedding-pipeline glitches, and off-topic contamination inside a
+    * source, the per-document drill-down of the group-level
+    * [[embeddingDriftByGroup]] matrix. Output
+    * `(<idCol>, <groupCol>, cos_centroid)`.
+    *
+    * Engine-exact end to end: centroids are exact grid-long sums, the
+    * doc vector is floored onto the identical grid, and
+    * [[graft.functions.GridCosExpr]] evaluates BigInt dot products
+    * cast to double once, floored onto the 1e-4 grid — no
+    * summation-order or knife-edge hazard. Scale shape: ONE
+    * partial-aggregable groupBy (|groups| rows out), a broadcast join
+    * of that one-row-per-group table back into the scan, and a
+    * per-row codegen kernel; the doc itself is part of its group's
+    * centroid (leave-one-in — deterministic and one-pass).
+    */
+  def embeddingOutliers(df: DataFrame, groupCol: String, idCol: String,
+      vecCol: String, maxCos: Double): DataFrame = {
+    require(!df.columns.exists(
+        Seq("centroid", "n_docs", "cos_centroid", "__gv").contains),
+      "embeddingOutliers: input must not carry centroid/n_docs/cos_centroid/__gv")
+    df.select(col(idCol), col(groupCol), gridVec(col(vecCol)).as("__gv"))
+      .join(broadcast(embeddingCentroids(df, groupCol, vecCol)), Seq(groupCol))
+      .withColumn("cos_centroid", gridCos(col("__gv"), col("centroid")))
+      .filter(col("cos_centroid") <= maxCos)
+      .select(col(idCol), col(groupCol), col("cos_centroid"))
+  }
+
+  /** The INGEST-GATE form: keep rows whose cosine to their group's
+    * REFERENCE centroid ([[embeddingCentroids]] artifact) is at least
+    * `minCos` — a stateless stream-static broadcast join + one per-row
+    * kernel, no aggregation over the stream, no state store. Groups
+    * unseen in the reference pass through unchanged.
+    */
+  def filterByCentroidCosine(df: DataFrame, groupCol: String,
+      vecCol: String, centroids: DataFrame, minCos: Double): DataFrame = {
+    require(!df.columns.exists(
+        Seq("centroid", "n_docs", "__cos").contains),
+      "filterByCentroidCosine: input must not carry centroid/n_docs/__cos")
+    df.join(broadcast(centroids), Seq(groupCol), "left")
+      .withColumn("__cos",
+        when(col("centroid").isNull, lit(null))
+          .otherwise(gridCos(gridVec(col(vecCol)), col("centroid"))))
+      .filter(col("__cos").isNull || col("__cos") >= minCos)
+      .drop("centroid", "n_docs", "__cos")
+  }
 }

@@ -148,6 +148,16 @@ class PlanContractSuite extends SparkSpec {
     // scene near-dup keeps the pigeonhole equi-keys over keyframes
     ("multimodal_video_scene_dedup", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // outlier monitor: ONE group agg, the one-row-per-group centroid
+    // table comes back on a BROADCAST equi-join, the exact cosine is
+    // the per-row codegen kernel — never a shuffled join of the data
+    // against itself
+    ("embedding_outliers", Seq("graft_grid_cos", "BroadcastExchange"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin", "ShuffledHashJoin")),
+    ("stream_embedding_outliers", Seq("graft_grid_cos", "BroadcastExchange"),
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin", "ShuffledHashJoin")),
     // line-template boilerplate: detection is two partial-aggregable
     // equi-keyed aggs; application joins the one-row-per-group template
     // array back on the group equi-key — never a nested loop

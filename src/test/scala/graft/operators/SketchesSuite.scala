@@ -152,4 +152,74 @@ class SketchesSuite extends SparkSpec {
     // 3 non-null values, cutoff 1.5: only 7 (count 2) qualifies
     assert(out == Map("7" -> 2L))
   }
+
+  /** Scalar replica of the grid-cosine-to-centroid score. */
+  private def refCos(doc: Seq[Double], group: Seq[Seq[Double]]): Double = {
+    def grid(v: Seq[Double]) = v.map(x => StrictMath.floor(x * 1.0e7).toLong)
+    val gv = grid(doc)
+    val cent = group.map(grid).transpose.map(_.sum)
+    graft.functions.GridSumAggregator.cosFloored(gv, cent)
+  }
+
+  test("embeddingOutliers == scalar replica; leave-one-in; collision guards") {
+    val rnd = new scala.util.Random(11)
+    def vec(center: Double) =
+      Seq.fill(8)(center + rnd.nextGaussian() * 0.3)
+    val rows = (0L until 20L).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val center = if (g == "a") 0.5 else -0.5
+      // plant an outlier: doc 6 of group a points the other way
+      val v = if (i == 6) vec(-0.9) else vec(center)
+      (i, g, v)
+    }
+    val df = rows.toDF("id", "g", "emb")
+    val byGroup = rows.groupBy(_._2).map { case (g, rs) => g -> rs.map(_._3) }
+    val expected = rows.map { case (i, g, v) => (i, g, refCos(v, byGroup(g))) }
+      .filter(_._3 <= 0.0).toSet
+    val got = Sketches.embeddingOutliers(df, "g", "id", "emb", maxCos = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    assert(got.exists(_._1 == 6L)) // the planted outlier surfaces
+    // collision guard
+    intercept[IllegalArgumentException] {
+      Sketches.embeddingOutliers(
+        df.withColumn("centroid", lit(1)), "g", "id", "emb", 0.0)
+    }
+  }
+
+  test("centroid gate: reference-trained, unseen groups pass, STREAM-stateless") {
+    val ref = (0L until 12L).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      (i, g, Seq.fill(6)(if (g == "a") 1.0 else -1.0))
+    }
+    val refDf = ref.toDF("id", "g", "emb")
+    val cents = Sketches.embeddingCentroids(refDf, "g", "emb")
+    // live rows: aligned keeps, anti-aligned drops, unseen group passes
+    val live = Seq(
+      (100L, "a", Seq.fill(6)(0.9)),   // cos 1 -> keep
+      (101L, "a", Seq.fill(6)(-0.9)),  // cos -1 -> drop
+      (102L, "b", Seq.fill(6)(-0.4)),  // cos 1 -> keep
+      (103L, "zz", Seq.fill(6)(0.0)))  // unseen group -> pass
+    val liveDf = live.toDF("id", "g", "emb")
+    val kept = Sketches.filterByCentroidCosine(liveDf, "g", "emb", cents,
+        minCos = 0.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L, 102L, 103L))
+    // the same call serves a MemoryStream — stateless (no state store)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Seq[Double])]
+    val gated = Sketches.filterByCentroidCosine(
+      input.toDF().toDF("id", "g", "emb"), "g", "emb", cents, minCos = 0.0)
+    val q = gated.writeStream.format("memory").queryName("centroid_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(live)
+      q.processAllAvailable()
+      val streamed = spark.table("centroid_gate")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(streamed == kept)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
