@@ -351,5 +351,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.LcpCharsExpr].getName, "graft_lcp"),
       (exprs: Seq[Expression]) =>
         graft.functions.LcpCharsExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_grid_cos"),
+      new ExpressionInfo(classOf[graft.functions.GridCosExpr].getName,
+        "graft_grid_cos"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.GridCosExpr(exprs(0), exprs(1))))
+    // subfingerprints take literal int parameters after the payload:
+    // graft_audiosubfp(bin [, windowSamples, k, w])
+    ext.injectFunction((
+      new FunctionIdentifier("graft_audiosubfp"),
+      new ExpressionInfo(classOf[graft.functions.AudioSubFpExpr].getName,
+        "graft_audiosubfp"),
+      (exprs: Seq[Expression]) => {
+        def intArg(i: Int, dflt: Int): Int =
+          if (exprs.length > i) {
+            require(exprs(i).foldable,
+              s"graft_audiosubfp: argument ${i + 1} must be a literal int")
+            exprs(i).eval().asInstanceOf[Number].intValue
+          } else dflt
+        graft.functions.AudioSubFpExpr(
+          exprs.head, intArg(1, 400), intArg(2, 16), intArg(3, 4))
+      }))
   }
 }

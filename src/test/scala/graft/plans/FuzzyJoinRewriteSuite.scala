@@ -287,6 +287,18 @@ class FuzzyJoinRewriteSuite extends SparkSpec {
       assert(sig.getLong(2) == graft.multimodal.Multimodal.pHash64(bytes))
       assert(sig.getLong(3) == graft.multimodal.Multimodal.audioHash64(bytes))
       assert(sig.getInt(4) == 16, sig.toString) // "The quick brown " shared
+      // round-13 kernels: exact grid cosine + audio subfingerprints
+      val g2 = s2.sql(
+        """SELECT graft_grid_cos(array(3L, 4L), array(6L, 8L)) AS c,
+          |       graft_audiosubfp(encode(text, 'UTF-8')) AS fps,
+          |       graft_audiosubfp(encode(text, 'UTF-8'), 200, 8, 2) AS fps2
+          |FROM gx_docs WHERE doc_id = 1""".stripMargin).collect()(0)
+      assert(g2.getDouble(0) == 1.0, g2.toString) // parallel vectors
+      // non-audio payload: total, empty fingerprint arrays
+      assert(g2.getSeq[Long](1) ==
+        graft.multimodal.Multimodal.audioSubFingerprints(bytes).toSeq)
+      assert(g2.getSeq[Long](2) ==
+        graft.multimodal.Multimodal.audioSubFingerprints(bytes, 200, 8, 2).toSeq)
     } finally {
       SparkSession.setActiveSession(orig)
       SparkSession.setDefaultSession(orig)
