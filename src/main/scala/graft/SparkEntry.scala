@@ -703,6 +703,32 @@ object SparkEntry {
       SimilaritySearch.bruteForceTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
     }),
+    "mine_hard_negatives" -> ((s, dir) => {
+      // contrastive training data: for each query, the most similar
+      // rows of a DIFFERENT label (the boundary examples an embedder
+      // confuses; in-batch negatives are easy, these are hard). Exact
+      // brute baseline — bruteForceTopK's broadcast shape with the
+      // label inequality as the predicate; floor-grid cosine output.
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.mineHardNegatives(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", "label",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+          q4(col("cosine")).as("cosine"))
+    }),
+    "mine_hard_negatives_ivf" -> ((s, dir) => {
+      // the scale path: fetchK=25 candidates through the IVF probe,
+      // labels joined onto the broadcast-sized shortlist, same-label
+      // rows dropped, re-ranked to k=5 — recall vs the exact form is
+      // the gate's measured constant like every approximate operator
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.mineHardNegativesIvf(
+          q, e, "vec_id", "embedding", "label", k = 5),
+        SimilaritySearch.mineHardNegatives(
+          q, e, "vec_id", "embedding", "label", k = 5))
+    }),
     "ann_topk_lsh" -> ((s, dir) => {
       // recall@5 of LSH vs the exact scan, emitted as the result so the
       // gate checks it: n_queries is SQL-derivable, n_results/recall are
@@ -3565,6 +3591,35 @@ object SparkEntry {
       // dataset — seedless hashes, no RNG — and are pinned as constants
       // measured at sf0.01; the exact-side values (n_queries, n_exact,
       // true_jaccard) are computed by DuckDB from the tables.
+      // exact cross-label top-k; the label filter rides the same
+      // unnest/norm CTEs as ann_topk
+      "mine_hard_negatives" -> (embUnnest +
+        """, lab AS (SELECT vec_id, label FROM embeddings),
+          |d AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dp
+          |  FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 20
+          |  GROUP BY 1, 2),
+          |sc AS (
+          |  SELECT d.query_id, d.neighbor_id, lc.label AS neighbor_label,
+          |         dp / (nq.n * nc.n) AS cos
+          |  FROM d JOIN nrm nq ON nq.vec_id = d.query_id
+          |         JOIN nrm nc ON nc.vec_id = d.neighbor_id
+          |         JOIN lab lq ON lq.vec_id = d.query_id
+          |         JOIN lab lc ON lc.vec_id = d.neighbor_id
+          |  WHERE lq.label <> lc.label),
+          |r AS (SELECT query_id, neighbor_id, neighbor_label, cos,
+          |             row_number() OVER (PARTITION BY query_id
+          |                                ORDER BY cos DESC, neighbor_id) AS rn
+          |      FROM sc)
+          |SELECT query_id, neighbor_id, neighbor_label,
+          |       floor(cos * 10000.0) / 10000.0 AS cosine
+          |FROM r WHERE rn <= 5""".stripMargin),
+      // IVF probe + label filter + re-rank: recall@5 vs the exact
+      // cross-label scan, measured at sf0.01 (deterministic — seedless
+      // centroids, no RNG)
+      "mine_hard_negatives_ivf" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(0.62 AS DOUBLE) AS recall""".stripMargin,
       "ann_topk_lsh" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(0.68 AS DOUBLE) AS recall""".stripMargin,

@@ -157,6 +157,81 @@ object SimilaritySearch {
       .drop("__rn")
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: for each query
+    * row, the top-k most similar corpus rows carrying a DIFFERENT
+    * label — the examples an embedder most confuses across class
+    * boundaries, the data-generation step of contrastive fine-tuning
+    * (in-batch negatives are easy; these are the hard ones). Exact
+    * brute baseline: [[bruteForceTopK]]'s shape with the label
+    * inequality as the join predicate (a query's own row shares its
+    * label, so self-matches are excluded for free). Output
+    * `(query_id, neighbor_id, neighbor_label, cosine)`.
+    */
+  def mineHardNegatives(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"mineHardNegatives: k must be >= 1, got $k")
+    if (querySideOversized(queries))
+      System.err.println(
+        "[graft] WARN: mineHardNegatives query side exceeds the broadcast " +
+          "threshold; consider mineHardNegativesIvf or batching the queries.")
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(labelCol).as("__ql"),
+      VectorFunctions.asDouble(col(vecCol)).as("__qv"),
+      VectorFunctions.norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"),
+      VectorFunctions.asDouble(col(vecCol)).as("__cv"),
+      VectorFunctions.norm(col(vecCol)).as("__cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q)
+      .join(c, col("__ql") =!= col("neighbor_label"))
+      .select(
+        col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        (VectorFunctions.dot(col("__qv"), col("__cv")) /
+          (col("__qn") * col("__cn"))).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** The SCALE path of [[mineHardNegatives]]: probe `fetchK`
+    * same-or-different-label candidates through [[ivfTopK]] (cells ×
+    * nProbe instead of the whole corpus), attach labels, drop
+    * same-label rows, re-rank to `k`. `fetchK` oversamples so the
+    * label filter still leaves k rows when same-label neighbors
+    * dominate the shortlist — recall vs the exact form is the gate's
+    * measured constant, like every approximate operator here. The
+    * fetched shortlist is |Q|·fetchK rows (broadcast-sized); corpus
+    * labels come in on an equi-join against it, never a second scan
+    * of the vectors.
+    */
+  def mineHardNegativesIvf(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      fetchK: Int = 25,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+    require(fetchK >= k && k >= 1,
+      s"mineHardNegativesIvf: need fetchK >= k >= 1, got fetchK=$fetchK k=$k")
+    val fetched = ivfTopK(queries, corpus, idCol, vecCol, fetchK,
+      nCentroids, nProbe, iters)
+    val ql = queries.select(col(idCol).as("query_id"), col(labelCol).as("__ql"))
+    val cl = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cl.join(broadcast(fetched.join(broadcast(ql), Seq("query_id"))),
+        Seq("neighbor_id"))
+      .filter(col("neighbor_label") =!= col("__ql"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("cosine"))
+  }
+
   /** Centroid matrix as a literal `array<struct<cell,v,n>>` column — the
     * "broadcast" for per-row cell assignment: k×dim doubles folded into
     * the plan, so assignment is a row-local expression with NO udf, NO

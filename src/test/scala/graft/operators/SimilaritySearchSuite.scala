@@ -41,6 +41,50 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(math.abs(cosines.head - 0.9 / math.sqrt(0.82)) < 1e-12)
   }
 
+  test("mineHardNegatives: cross-label only, scalar replica; IVF probe-all == brute") {
+    val rnd = new scala.util.Random(17)
+    val labeled = (0 until 40).map { i =>
+      val lab = s"c${i % 4}"
+      val base = (i % 4) match {
+        case 0 => Array(1.0, 0.0, 0.0)
+        case 1 => Array(0.0, 1.0, 0.0)
+        case 2 => Array(0.0, 0.0, 1.0)
+        case _ => Array(0.6, 0.6, 0.0)
+      }
+      (i, lab, base.map(_ + rnd.nextGaussian() * 0.05))
+    }
+    val df = labeled.toDF("id", "lab", "emb")
+    val got = SimilaritySearch.mineHardNegatives(
+        df.filter($"id" < 8), df, "id", "emb", "lab", k = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    // scalar replica
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = labeled.map(t => t._1 -> t).toMap
+    val expected = (0 until 8).flatMap { q =>
+      val (_, ql, qv) = byId(q)
+      labeled.filter(_._2 != ql)
+        .map { case (i, l, v) => (i, l, cos(qv, v)) }
+        .sortBy { case (i, _, c) => (-c, i) }
+        .take(3).map { case (i, l, _) => (q, i, l) }
+    }
+    assert(got == expected)
+    // every returned label differs from the query's
+    got.foreach { case (q, _, nl) => assert(byId(q)._2 != nl) }
+    // IVF form with exhaustive probes and corpus-covering fetchK ==
+    // the exact form (the index-vs-scan equality trick)
+    val brute = SimilaritySearch.mineHardNegatives(
+        df.filter($"id" < 8), df, "id", "emb", "lab", k = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val ivf = SimilaritySearch.mineHardNegativesIvf(
+        df.filter($"id" < 8), df, "id", "emb", "lab", k = 3,
+        fetchK = 40, nCentroids = 4, nProbe = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(ivf == brute)
+  }
+
   test("IVF top-k: exact cosines, deterministic, decent recall on clustered data") {
     val rnd = new scala.util.Random(31)
     // 4 well-separated clusters of 30 vectors each
