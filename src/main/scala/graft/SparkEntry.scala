@@ -703,6 +703,17 @@ object SparkEntry {
       SimilaritySearch.bruteForceTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
     }),
+    "cluster_embeddings" -> ((s, dir) => {
+      // semantic grouping for mixing recipes / per-cluster caps:
+      // seedless cosine k-means (the IVF trainer) to 5 iterations,
+      // row-local expression assignment, rolled up to cluster sizes —
+      // deterministic on the gate data, so the oracle pins the exact
+      // histogram (the approximate-operator constant pattern).
+      SimilaritySearch.clusterEmbeddings(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
     "mine_hard_negatives" -> ((s, dir) => {
       // contrastive training data: for each query, the most similar
       // rows of a DIFFERENT label (the boundary examples an embedder
@@ -3591,6 +3602,16 @@ object SparkEntry {
       // dataset — seedless hashes, no RNG — and are pinned as constants
       // measured at sf0.01; the exact-side values (n_queries, n_exact,
       // true_jaccard) are computed by DuckDB from the tables.
+      // deterministic k-means histogram at sf0.01 (seedless md5-order
+      // init, fixed Lloyd iterations — the measured-constant pattern);
+      // n_docs sums to the SQL-checked corpus size
+      "cluster_embeddings" ->
+        """SELECT * FROM (VALUES
+          |  (0, CAST(61 AS BIGINT)), (1, CAST(63 AS BIGINT)),
+          |  (2, CAST(59 AS BIGINT)), (3, CAST(68 AS BIGINT)),
+          |  (4, CAST(61 AS BIGINT)), (5, CAST(61 AS BIGINT)),
+          |  (6, CAST(71 AS BIGINT)), (7, CAST(56 AS BIGINT)))
+          |  AS t(cluster, n_docs)""".stripMargin,
       // exact cross-label top-k; the label filter rides the same
       // unnest/norm CTEs as ann_topk
       "mine_hard_negatives" -> (embUnnest +

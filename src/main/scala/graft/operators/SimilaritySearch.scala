@@ -232,6 +232,28 @@ object SimilaritySearch {
         col("cosine"))
   }
 
+  /** K-MEANS clustering exposed as a first-class operator — the
+    * semantic grouping step of corpus curation (topic buckets for
+    * mixing recipes, per-cluster dedup/caps, SemDeDup-style pruning):
+    * the IVF trainer's cosine-metric Lloyd iterations (seedless
+    * md5-order init, empty cells keep their centroid, ties to the
+    * smaller cluster id — [[ivfTopK]]'s cells ARE this clustering) run
+    * to `iters`, then every row is assigned by the row-local
+    * expression argmax (k×dim doubles folded into the plan: NO udf,
+    * NO join, NO shuffle on the assignment pass). Output:
+    * `(<idCol>, cluster)` — deterministic across runs and
+    * partitioning; sizes/rollups are one groupBy downstream.
+    */
+  def clusterEmbeddings(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    require(k >= 2, s"clusterEmbeddings: k must be >= 2, got $k")
+    val c = prepared(df, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+      .localCheckpoint(true) // scanned once per Lloyd iteration + assign
+    val centroids = trainCentroids(c, k, iters)
+    c.withColumn("__cell", bestCellExpr(col("__cv"), centroidArray(centroids)))
+      .select(col("neighbor_id").as(idCol), col("__cell").as("cluster"))
+  }
+
   /** Centroid matrix as a literal `array<struct<cell,v,n>>` column — the
     * "broadcast" for per-row cell assignment: k×dim doubles folded into
     * the plan, so assignment is a row-local expression with NO udf, NO

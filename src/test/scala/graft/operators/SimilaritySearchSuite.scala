@@ -85,6 +85,35 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("clusterEmbeddings: recovers planted clusters, partition-invariant") {
+    val rnd = new scala.util.Random(23)
+    val planted = (0 until 60).map { i =>
+      val c = i % 3
+      val base = c match {
+        case 0 => Array(1.0, 0.0, 0.0)
+        case 1 => Array(0.0, 1.0, 0.0)
+        case _ => Array(0.0, 0.0, 1.0)
+      }
+      (i, c, base.map(_ + rnd.nextGaussian() * 0.05))
+    }
+    val df = planted.map(t => (t._1, t._3)).toDF("id", "emb")
+    val out = SimilaritySearch.clusterEmbeddings(df, "id", "emb", k = 3)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // every planted class lands in exactly one k-means cluster
+    val byClass = planted.groupBy(_._2).map { case (c, rs) =>
+      c -> rs.map(r => out(r._1)).toSet }
+    assert(byClass.values.forall(_.size == 1), byClass.toString)
+    assert(byClass.values.flatten.toSet.size == 3) // and they differ
+    // deterministic under repartitioning
+    val out2 = SimilaritySearch.clusterEmbeddings(
+        df.repartition(7), "id", "emb", k = 3)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out2 == out)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.clusterEmbeddings(df, "id", "emb", k = 1)
+    }
+  }
+
   test("IVF top-k: exact cosines, deterministic, decent recall on clustered data") {
     val rnd = new scala.util.Random(31)
     // 4 well-separated clusters of 30 vectors each
