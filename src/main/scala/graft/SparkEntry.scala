@@ -703,6 +703,15 @@ object SparkEntry {
       SimilaritySearch.bruteForceTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
     }),
+    "corpus_report" -> ((s, dir) => {
+      // the dataset card in one pass: exact BIGINT corpus stats
+      // (volume, diversity, length extremes, exact-dup rate via the
+      // distinct normalized-fingerprint count) — the release-notes
+      // numbers a corpus publish ships, engine-reproducible because
+      // nothing is a float.
+      Relational.corpusReport(
+        t(s, dir, "documents"), "text", "source", "lang")
+    }),
     "cluster_embeddings" -> ((s, dir) => {
       // semantic grouping for mixing recipes / per-cluster caps:
       // seedless cosine k-means (the IVF trainer) to 5 iterations,
@@ -3602,6 +3611,34 @@ object SparkEntry {
       // dataset — seedless hashes, no RNG — and are pinned as constants
       // measured at sf0.01; the exact-side values (n_queries, n_exact,
       // true_jaccard) are computed by DuckDB from the tables.
+      // exact-integer dataset card: every metric replayed as plain SQL
+      // aggregates; the fingerprint rule is doc_fingerprint's (DuckDB
+      // needs the 'g' flag where Java replaces globally)
+      "corpus_report" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          |                         w -> w <> '')) AS nt
+          |  FROM documents),
+          |base AS (
+          |  SELECT count(*) AS n_docs,
+          |         count(DISTINCT source) AS n_sources,
+          |         count(DISTINCT lang) AS n_langs,
+          |         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+          |         CAST(max(length(text)) AS BIGINT) AS max_doc_chars,
+          |         CAST(min(length(text)) AS BIGINT) AS min_doc_chars,
+          |         count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+          |           AS n_distinct_texts
+          |  FROM documents),
+          |toks AS (SELECT CAST(sum(nt) AS BIGINT) AS total_tokens FROM tok)
+          |SELECT u.metric, u.value FROM base, toks,
+          |  LATERAL (VALUES
+          |    ('n_docs', n_docs), ('n_sources', n_sources),
+          |    ('n_langs', n_langs), ('total_chars', total_chars),
+          |    ('total_tokens', total_tokens),
+          |    ('max_doc_chars', max_doc_chars),
+          |    ('min_doc_chars', min_doc_chars),
+          |    ('n_distinct_texts', n_distinct_texts)) AS u(metric, value)""".stripMargin,
       // deterministic k-means histogram at sf0.01 (seedless md5-order
       // init, fixed Lloyd iterations — the measured-constant pattern);
       // n_docs sums to the SQL-checked corpus size

@@ -9,6 +9,49 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** One-pass "dataset card": the exact corpus-level stats a data
+    * release documents — doc/source/language counts, char and token
+    * volume, length extremes, and the distinct-normalized-text count
+    * (1 − distinct/total = the exact-dup rate). Output is long-form
+    * `(metric, value)` with every value an exact BIGINT, so the report
+    * is engine-reproducible with no float anywhere.
+    *
+    * Scale shape: ONE scan feeding partial-aggregable aggregates (the
+    * distinct counts are hash-partial `count(DISTINCT)` over slim
+    * columns; the text fingerprint is the md5 normalization rule of
+    * the dedup family, computed in the scan projection), two one-row
+    * aggregate subtrees joined by a 1×1 crossJoin, unpivoted to rows.
+    * Nothing driver-side, nothing quadratic.
+    */
+  def corpusReport(df: DataFrame, textCol: String, sourceCol: String,
+      langCol: String): DataFrame = {
+    val tokCount = size(filter(
+      split(trim(col(textCol)), "\\s+"), w => w =!= ""))
+    val fp = md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " ")))
+    val base = df.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      countDistinct(col(langCol)).as("n_langs"),
+      sum(length(col(textCol))).as("total_chars"),
+      sum(tokCount.cast("long")).as("total_tokens"),
+      max(length(col(textCol))).cast("long").as("max_doc_chars"),
+      min(length(col(textCol))).cast("long").as("min_doc_chars"))
+    val distinctTexts = df.agg(
+      countDistinct(fp).as("n_distinct_texts"))
+    base.crossJoin(distinctTexts)
+      .selectExpr(
+        """stack(8,
+          |  'n_docs', n_docs,
+          |  'n_sources', n_sources,
+          |  'n_langs', n_langs,
+          |  'total_chars', CAST(total_chars AS BIGINT),
+          |  'total_tokens', total_tokens,
+          |  'max_doc_chars', max_doc_chars,
+          |  'min_doc_chars', min_doc_chars,
+          |  'n_distinct_texts', n_distinct_texts
+          |) AS (metric, value)""".stripMargin)
+  }
+
   /** Top `k` rows per group. Plans with rank-limit pushdown
     * (`WindowGroupLimit`): each shuffle partition keeps only k rows per
     * group before the final sort, so the shuffle never materializes full

@@ -80,4 +80,24 @@ class RelationalSuite extends SparkSpec {
     val exactDup = out.filter($"id_right" === 11).collect()(0)
     assert(exactDup.getAs[Double]("jaccard") == 1.0)
   }
+
+  test("corpusReport: exact hand-computed card; dup fingerprints collapse") {
+    val docs = Seq(
+      (1L, "web", "en", "hello world"),        // 2 tokens, 11 chars
+      (2L, "web", "de", "  Hello   World  "),  // normalizes to doc 1's text
+      (3L, "books", "en", "one two three"),    // 3 tokens, 13 chars
+      (4L, "books", "en", "")).toDF("id", "source", "lang", "text")
+    val got = Relational.corpusReport(docs, "text", "source", "lang")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "n_docs" -> 4L,
+      "n_sources" -> 2L,
+      "n_langs" -> 2L,
+      "total_chars" -> (11L + 17L + 13L + 0L),
+      "total_tokens" -> (2L + 2L + 3L + 0L),
+      "max_doc_chars" -> 17L,
+      "min_doc_chars" -> 0L,
+      // docs 1 and 2 share a normalized fingerprint: 3 distinct texts
+      "n_distinct_texts" -> 3L))
+  }
 }
