@@ -32,7 +32,8 @@ object Bench {
     "gopher_rules", "lm_ccnet_buckets", "clean_lines", "lang_id_nb",
     "lang_id_nb_priors", "strip_source_boilerplate",
     "stream_strip_boilerplate",
-    "stream_lang_gate", "shard_by_tokens", "dedup_by_url",
+    "stream_lang_gate", "shard_by_tokens", "shard_write_roundtrip",
+    "normalize_scores_by_source", "dedup_by_url",
     "embedding_drift", "stream_embedding_drift", "embedding_drift_by_source",
     "embedding_outliers", "stream_embedding_outliers",
     "multimodal_image_dedup", "multimodal_audio_dedup",

@@ -2211,6 +2211,34 @@ object SparkEntry {
       Sampling.assignTokenShards(d, "doc_id", col("n_tokens"), shardTokens = 2000)
         .select(col("doc_id"), col("shard"), col("cum_tokens"))
     }),
+    "shard_write_roundtrip" -> ((s, dir) => {
+      // the SINK form of shard_by_tokens: writeTokenShards publishes
+      // one shard=<n>/ directory per ~2000-token shard under a scratch
+      // path; the gate result is what a training loader READS BACK —
+      // the (doc_id, shard) assignment must equal the window rule
+      // (partition-directory values re-infer as ints; cast restores
+      // the contract type).
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val out = scratch("shard_write", dir)
+      if (!new java.io.File(out).isDirectory) {
+        Sampling.writeTokenShards(d, "doc_id", col("n_tokens"),
+          shardTokens = 2000, outPath = out)
+        ()
+      }
+      s.read.parquet(out)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"))
+    }),
+    "normalize_scores_by_source" -> ((s, dir) => {
+      // cross-source score calibration: each doc's length percentile
+      // WITHIN its source — percent_rank ties share one value, so the
+      // (rank-1)/(n-1) ratio is the identical small-integer division
+      // in both engines (no tiebreak order anywhere).
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), length(col("text")).as("len"))
+      Sampling.normalizeScoresPerGroup(d, "source", col("len"))
+        .select(col("doc_id"), col("source"), col("score_pct"))
+    }),
     "curriculum_order" -> ((s, dir) => {
       // curriculum ordering: dense global 0..n-1 rank by doc length
       // ascending (short-to-long schedule), md5 tie-break — the
@@ -5008,6 +5036,25 @@ object SparkEntry {
            |SELECT doc_id, CAST((cum - toks) // 2000 AS BIGINT) AS shard,
            |       CAST(cum AS BIGINT) AS cum_tokens
            |FROM r""".stripMargin),
+      // the sink writes exactly the window rule's assignment
+      "shard_write_roundtrip" ->
+        (s"""WITH tok AS ($tok),
+           |tc AS (SELECT d.doc_id, CAST(count(t.w) AS BIGINT) AS toks
+           |       FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
+           |       GROUP BY 1),
+           |r AS (SELECT doc_id, toks,
+           |        sum(toks) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+           |          doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+           |      FROM tc)
+           |SELECT doc_id, CAST((cum - toks) // 2000 AS BIGINT) AS shard
+           |FROM r""".stripMargin),
+      // percent_rank is (rank-1)/(n-1) with min-rank ties in BOTH
+      // engines — identical integer ratios, no knife edge
+      "normalize_scores_by_source" ->
+        """SELECT doc_id, source,
+          |       percent_rank() OVER (PARTITION BY source
+          |                            ORDER BY length(text)) AS score_pct
+          |FROM documents""".stripMargin,
       "curriculum_order" ->
         """SELECT doc_id, n_chars,
           |  row_number() OVER (ORDER BY n_chars ASC,

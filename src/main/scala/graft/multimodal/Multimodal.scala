@@ -1099,6 +1099,29 @@ object Multimodal {
     ()
   }
 
+  /** Rewrite the subfingerprint index as ONE fresh segment with
+    * tombstoned clips dropped PHYSICALLY — the periodic maintenance
+    * step after many [[appendToAudioFpIndex]] deltas and takedowns
+    * (the [[graft.operators.SimilaritySearch.compactIvfIndex]]
+    * pattern: the new version carries no tombstone table forward, so
+    * a later re-append resurrects an id cleanly). No-op on a
+    * single-segment index.
+    */
+  def compactAudioFpIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String): Unit = {
+    if (graft.sources.IndexIO.segments(spark, path).length <= 1) return
+    val data = graft.sources.IndexIO.chainTable(spark, path, "postings")
+      .getOrElse(throw new IllegalStateException(
+        s"compactAudioFpIndex: no postings at $path"))
+    val tomb = graft.sources.IndexIO.chainTable(spark, path, "tombstones")
+    val live = graft.sources.IndexIO.withoutTombstoned(data, tomb, idCol)
+    graft.sources.IndexIO.publish(spark, path) { vdir =>
+      live.write.mode("overwrite").parquet(s"$vdir/postings")
+    }
+    ()
+  }
+
   /** Probe a batch against a [[buildAudioFpIndex]] artifact: the batch
     * is decoded once, its fingerprints equi-join the live postings
     * (only rows of SHARED fingerprints move), and a pair survives with

@@ -497,6 +497,52 @@ object Sampling {
       .select(outCols: _*)
   }
 
+  /** Cross-source score CALIBRATION: each row's percentile of `score`
+    * WITHIN its group — the step that makes per-source quality scores
+    * comparable before a global threshold (a "good" web page and a
+    * "good" academic page live on different raw scales; their
+    * percentiles don't). `percent_rank` semantics: ties share one
+    * percentile — so with grid scores the output is fully
+    * deterministic with NO tiebreak order anywhere, and the value
+    * `(rank − 1)/(n − 1)` is the same small-integer ratio in every
+    * engine. Same grid contract as the other score walks: pass
+    * `scoreGrid` for raw float scores.
+    *
+    * Scale shape: one shuffle co-locates each group for the rank
+    * window; no distinct-score collect, no driver pass.
+    */
+  def normalizeScoresPerGroup(df: DataFrame, groupCol: String,
+      score: Column, scoreGrid: Option[Double] = None,
+      outCol: String = "score_pct"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"normalizeScoresPerGroup: input must not carry $outCol")
+    df.withColumn(outCol,
+      percent_rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+          .orderBy(gridScore(score, scoreGrid).asc)))
+  }
+
+  /** Materialize [[assignTokenShards]] as one directory per shard —
+    * the publish step of the pack → shard → write story: a training
+    * loader then consumes `shard=<n>/` directories of
+    * `~shardTokens` tokens each in md5-deterministic document order.
+    * The write is `partitionBy(shard)` over the shard column the
+    * assignment already computed, so rows of one shard land in one
+    * directory without any extra shuffle beyond the assignment's own
+    * window. Returns the shard count (from the filesystem listing,
+    * not a recompute of the plan).
+    */
+  def writeTokenShards(df: DataFrame, idCol: String, tokens: Column,
+      shardTokens: Long, outPath: String, buckets: Int = 0): Long = {
+    val sharded = assignTokenShards(df, idCol, tokens, shardTokens, buckets)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(outPath)
+    val fs = new org.apache.hadoop.fs.Path(outPath).getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+      .toLong
+  }
+
   /** Per-group [[sampleToTokenBudget]] — THE data-recipe primitive:
     * "B_s tokens from source s" for an explicit budget map, each
     * group's keep set an independent strict md5-order prefix. Groups

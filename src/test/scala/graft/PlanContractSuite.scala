@@ -148,6 +148,11 @@ class PlanContractSuite extends SparkSpec {
     // scene near-dup keeps the pigeonhole equi-keys over keyframes
     ("multimodal_video_scene_dedup", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // score calibration: one source-keyed rank window — never a
+    // single-partition funnel of the corpus
+    ("normalize_scores_by_source", Seq.empty,
+      Seq("Exchange SinglePartition", "CartesianProduct",
+        "BroadcastNestedLoopJoin")),
     // outlier monitor: ONE group agg, the one-row-per-group centroid
     // table comes back on a BROADCAST equi-join, the exact cosine is
     // the per-row codegen kernel — never a shuffled join of the data

@@ -451,6 +451,14 @@ class MultimodalSuite extends SparkSpec {
     Multimodal.deleteFromAudioFpIndex(
       Seq(victim).toDF("id"), "id", p)
     assert(probe() == naive.filterNot(_._2 == victim))
+    // compaction: tombstoned rows die physically, one fresh segment,
+    // probes unchanged; re-appending the victim resurrects it
+    Multimodal.compactAudioFpIndex(spark, p, "id")
+    assert(graft.sources.IndexIO.segments(spark, p).length == 1)
+    assert(probe() == naive.filterNot(_._2 == victim))
+    Multimodal.appendToAudioFpIndex(
+      idxSide.filter(_._1 == victim).toDF("id", "payload"), "id", "payload", p)
+    assert(probe() == naive)
   }
 
   test("audio-hash index: build/append/probe == naive cross hamming") {

@@ -592,4 +592,58 @@ class SamplingSuite extends SparkSpec {
         col("group_score"), minMean = 0.0)
     }
   }
+
+  test("normalizeScoresPerGroup: per-group percentiles, ties share, grid contract") {
+    val df = Seq(
+      (1L, "a", 10), (2L, "a", 20), (3L, "a", 20), (4L, "a", 40), (5L, "a", 50),
+      (6L, "b", 7), (7L, "b", 9),
+      (8L, "solo", 3)).toDF("id", "g", "len")
+    val out = Sampling.normalizeScoresPerGroup(df, "g", col("len"))
+      .select("id", "score_pct").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // group a (n=5): pct = (rank-1)/4; ties at 20 share rank 2
+    assert(out(1L) == 0.0)
+    assert(out(2L) == 0.25 && out(3L) == 0.25)
+    assert(out(4L) == 0.75)
+    assert(out(5L) == 1.0)
+    // group b: 0 and 1; singleton group: 0
+    assert(out(6L) == 0.0 && out(7L) == 1.0)
+    assert(out(8L) == 0.0)
+    // raw float scores quantize through the grid: equal-on-grid ties
+    val fdf = Seq((1L, "a", 0.12341), (2L, "a", 0.12349), (3L, "a", 0.9))
+      .toDF("id", "g", "s")
+    val fout = Sampling.normalizeScoresPerGroup(
+        fdf, "g", col("s"), scoreGrid = Some(1e4))
+      .select("id", "score_pct").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fout(1L) == 0.0 && fout(2L) == 0.0 && fout(3L) == 1.0)
+    intercept[IllegalArgumentException] {
+      Sampling.normalizeScoresPerGroup(
+        df.withColumn("score_pct", lit(1)), "g", col("len"))
+    }
+  }
+
+  test("writeTokenShards: one directory per shard, budget + order preserved") {
+    val docs = (0L until 40L).map(i => (i, 50L + (i % 7) * 10)).toDF("id", "toks")
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    val n = Sampling.writeTokenShards(docs, "id", col("toks"),
+      shardTokens = 400L, outPath = out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 40)
+    // directory count == reported count == distinct shard values
+    assert(back.select("shard").distinct().count() == n)
+    // every doc present exactly once; per-shard token sum stays under
+    // budget + one max doc (a doc never splits)
+    assert(back.select("id").distinct().count() == 40)
+    val sums = back.groupBy("shard").agg(sum("toks").as("s"))
+      .collect().map(_.getLong(1))
+    assert(sums.forall(_ <= 400L + 110L))
+    // layout equals the assignment operator's shard column (the
+    // partition directory value reads back as its inferred int type)
+    val assigned = Sampling.assignTokenShards(docs, "id", col("toks"), 400L)
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val layout = back.select(col("id"), col("shard").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(layout == assigned)
+  }
 }
