@@ -1251,6 +1251,23 @@ object SparkEntry {
           lit(" acct 900112233"), col("doc_id")).as("t2"))
       d.select(col("doc_id"), TextFunctions.scrubPii(col("t2")).as("scrubbed"))
     }),
+    "scrub_report" -> ((s, dir) => {
+      // the governance view of text_scrub: per-doc redaction counts in
+      // the scrubber's exact cascade (emails counted on URL-scrubbed
+      // text, numbers on both) — report + scrubbed text are mutually
+      // consistent by construction. Same synthesized fixture.
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com via "),
+          lit("http://ex.com/p/"), col("doc_id"), lit("?k=v"),
+          lit(" acct 900112233"), col("doc_id")).as("t2"))
+      d.select(col("doc_id"),
+          TextFunctions.scrubReport(col("t2")).as("__r"))
+        .select(col("doc_id"),
+          col("__r.n_urls").as("n_urls"),
+          col("__r.n_emails").as("n_emails"),
+          col("__r.n_nums").as("n_nums"))
+    }),
     "extract_html" -> ((s, dir) => {
       // HTML -> text over a synthesized page (the raw corpus is plain
       // text): the doc's text is entity-escaped into a <p>, wrapped
@@ -3975,6 +3992,27 @@ object SparkEntry {
           |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           |    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
           |FROM d""".stripMargin,
+      // cascade counts: emails on the URL-scrubbed text, numbers on
+      // both (len of regexp_extract_all == Spark's regexp_count)
+      "scrub_report" ->
+        """WITH d AS (SELECT doc_id,
+          |  text || ' contact user' || doc_id || '@example.com via ' ||
+          |  'http://ex.com/p/' || doc_id || '?k=v' ||
+          |  ' acct 900112233' || doc_id AS t2
+          |FROM documents),
+          |s1 AS (SELECT doc_id,
+          |  CAST(len(regexp_extract_all(t2, 'https?://\S+')) AS BIGINT) AS n_urls,
+          |  regexp_replace(t2, 'https?://\S+', '<URL>', 'g') AS t3
+          |FROM d),
+          |s2 AS (SELECT doc_id, n_urls,
+          |  CAST(len(regexp_extract_all(t3,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |  regexp_replace(t3,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t4
+          |FROM s1)
+          |SELECT doc_id, n_urls, n_emails,
+          |  CAST(len(regexp_extract_all(t4, '[0-9]{7,}')) AS BIGINT) AS n_nums
+          |FROM s2""".stripMargin,
       "extract_html" ->
         """WITH h AS (SELECT doc_id,
           |  '<html><head><title>d</title><style type="text/css">p { color: red; }' ||

@@ -124,6 +124,28 @@ object TextFunctions {
     regexp_replace(noEmail, "[0-9]{7,}", "<NUM>")
   }
 
+  /** The GOVERNANCE view of [[scrubPii]]: how many URL / email /
+    * long-number spans the scrub redacts per document, as a
+    * `struct<n_urls, n_emails, n_nums>` of longs. Counts follow the
+    * scrubber's exact cascade (emails counted on the URL-scrubbed
+    * text, numbers on both), so report and scrubbed output are
+    * mutually consistent — applying [[scrubPii]] removes precisely
+    * the counted spans, and `n_urls + n_emails + n_nums = 0` iff the
+    * text passes untouched. Same RE2-portable patterns, codegen'd
+    * `regexp_count`/`regexp_replace` in the scan projection.
+    */
+  def scrubReport(text: Column): Column = {
+    val urlPat = "https?://\\S+"
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val numPat = "[0-9]{7,}"
+    val noUrl = regexp_replace(text, urlPat, "<URL>")
+    val noEmail = regexp_replace(noUrl, emailPat, "<EMAIL>")
+    struct(
+      regexp_count(text, lit(urlPat)).cast("long").as("n_urls"),
+      regexp_count(noUrl, lit(emailPat)).cast("long").as("n_emails"),
+      regexp_count(noEmail, lit(numPat)).cast("long").as("n_nums"))
+  }
+
   /** Compression-ratio repetitiveness signal
     * ([[CompressionKernel.ratio]]): deflated-size / raw-size on the
     * 1e-4 grid. Low = diffusely redundant (templated/looped pages);

@@ -317,6 +317,36 @@ class TextFunctionsSuite extends SparkSpec {
     got.foreach(r => assert(r.getString(1) == r.getString(2), s"case ${r.getInt(0)}"))
   }
 
+  test("scrubReport counts follow the scrub cascade exactly") {
+    val cases = Seq(
+      // an email INSIDE a URL is swallowed by the URL pass: counts as
+      // URL only (the cascade rule that makes report == scrub)
+      (1, "creds http://user@host.com/p and jo@x.org", 1L, 1L, 0L),
+      (2, "see https://a.b/c?d=1234567890 call 99887766", 1L, 0L, 1L),
+      (3, "clean text, nothing to hide", 0L, 0L, 0L),
+      (4, "a@b.co b@c.io 12345678 123456", 0L, 2L, 1L)
+    ).toDF("id", "text", "u", "e", "n")
+    val out = cases.select($"id",
+        TextFunctions.scrubReport($"text").as("r"), $"u", $"e", $"n")
+      .selectExpr("id", "r.n_urls", "r.n_emails", "r.n_nums", "u", "e", "n")
+      .collect()
+    out.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        (r.getLong(4), r.getLong(5), r.getLong(6)), s"case ${r.getInt(0)}")
+    }
+    // mutual consistency: zero counts iff scrub leaves text unchanged
+    val joint = cases.select($"text",
+        TextFunctions.scrubReport($"text").as("r"),
+        TextFunctions.scrubPii($"text").as("s"))
+      .collect()
+    joint.foreach { r =>
+      val untouched = r.getString(0) == r.getString(2)
+      val zero = r.getStruct(1).getLong(0) + r.getStruct(1).getLong(1) +
+        r.getStruct(1).getLong(2) == 0
+      assert(untouched == zero)
+    }
+  }
+
   test("lines splits on newline, trims, and drops empties") {
     val row = one("  first line \n\n second \n   \nthird")
       .select(TextFunctions.lines($"text")).collect()(0)
