@@ -1970,6 +1970,20 @@ object SparkEntry {
       Search.phraseTopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("vector", "stream"), k = 20)
     }),
+    "phrase_search_batch" -> ((s, dir) => {
+      // MANY quoted phrases in ONE corpus scan (the bm25_search_batch
+      // shape for the positional retriever): slot table broadcast onto
+      // the token stream, per-query phrase length as the all-slots
+      // test — q2 is q0 reversed, proving position sensitivity; q1 is
+      // a single-token phrase (n_matches = term frequency).
+      import s.implicits._
+      val qs = Seq(
+        (0L, Seq("vector", "stream")),
+        (1L, Seq("spark")),
+        (2L, Seq("stream", "vector"))).toDF("query_id", "phrase")
+      Search.phraseTopKBatch(t(s, dir, "documents"), qs,
+        "doc_id", "text", "query_id", "phrase", k = 10)
+    }),
     "phrase_search_indexed" -> ((s, dir) => {
       // the same phrase served from the persisted POSITIONAL index —
       // the corpus is never rescanned; the probe reads the two phrase
@@ -4612,6 +4626,28 @@ object SparkEntry {
       // form shares the oracle — index≡scan is the claim
       "phrase_search" -> phraseSearchOracle,
       "phrase_search_indexed" -> phraseSearchOracle,
+      // three phrases in one replay: per-query slot tables, each
+      // query's own length as the all-slots test, per-query top-k
+      "phrase_search_batch" ->
+        """WITH tokp AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |  FROM documents),
+          |ph AS (SELECT * FROM (VALUES
+          |  (0, 0, 'vector'), (0, 1, 'stream'),
+          |  (1, 0, 'spark'),
+          |  (2, 0, 'stream'), (2, 1, 'vector')) AS t(q, i, w)),
+          |m AS (SELECT q, count(*) AS m FROM ph GROUP BY 1),
+          |cand AS (SELECT ph.q, doc_id, pos - i AS s, i FROM tokp JOIN ph USING (w)),
+          |hit AS (SELECT c.q, doc_id, s FROM cand c JOIN m USING (q)
+          |        GROUP BY c.q, doc_id, s, m.m HAVING count(DISTINCT i) = m.m),
+          |agg AS (SELECT q, doc_id, count(*) AS n_matches FROM hit GROUP BY 1, 2),
+          |r AS (SELECT q, doc_id, n_matches,
+          |        row_number() OVER (PARTITION BY q
+          |                           ORDER BY n_matches DESC, doc_id) AS rk
+          |      FROM agg)
+          |SELECT CAST(q AS BIGINT) AS query_id, doc_id, n_matches
+          |FROM r WHERE rk <= 10""".stripMargin,
       // stream_lm_gate: lm_score_docs' scoring with KenLM-style count
       // cutoffs (HAVING >= 2) on both tables; |V| stays unpruned
       "stream_lm_gate" ->

@@ -622,6 +622,59 @@ object Search {
     phraseAgg(votes, m, k, idCol)
   }
 
+  /** BATCHED phrase retrieval — many quoted phrases against the corpus
+    * in ONE scan ([[bm25TopKBatch]]'s shape for the positional
+    * retriever): the slot table explodes every query's phrase to
+    * `(query, slot, term)` rows, broadcast onto the corpus token
+    * stream, and the start-vote aggregate runs keyed by
+    * `(query, doc, start)` with each query's OWN phrase length as the
+    * all-slots test (repeated tokens inside a phrase count distinct
+    * slots, exactly like the single-phrase form). Per-query top-k is
+    * a rank window (WindowGroupLimit prunes map-side). A null/empty
+    * phrase FAILS LOUDLY (data-side raise_error — [[bm25TopKBatch]]'s
+    * contract), so callers can distinguish "no matches" from "never
+    * searched". Output `(queryIdCol, idCol, n_matches)`.
+    */
+  def phraseTopKBatch(
+      docs: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryIdCol: String,
+      phraseCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"phraseTopKBatch: k must be positive, got $k")
+    val checkedPhrase = when(
+        col(phraseCol).isNotNull && size(col(phraseCol)) > 0,
+        col(phraseCol))
+      .otherwise(raise_error(concat(
+        lit("phraseTopKBatch: query "), col(queryIdCol).cast("string"),
+        lit(" has a null/empty phrase"))))
+    val slots = queries.select(
+      col(queryIdCol).as("__q"),
+      size(checkedPhrase).as("__m"),
+      posexplode(checkedPhrase).as(Seq("__pi", "__t")))
+    val votes = docs
+      .select(col(idCol).as("__id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "__t")))
+      .join(broadcast(slots), "__t")
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("n_matches").desc, col("__id").asc)
+    votes
+      .select(col("__q"), col("__m"), col("__id"),
+        (col("__pos") - col("__pi")).as("__start"), col("__pi"))
+      .filter(col("__start") >= 0)
+      .groupBy("__q", "__m", "__id", "__start")
+      .agg(countDistinct(col("__pi")).as("__hit"))
+      .filter(col("__hit") === col("__m"))
+      .groupBy("__q", "__id")
+      .agg(count(lit(1)).as("n_matches"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("__q").as(queryIdCol), col("__id").as(idCol),
+        col("n_matches"))
+  }
+
   /** Shared start-vote aggregation of the phrase retrievers: candidate
     * start = pos − slot, a start with all `m` distinct slots is a
     * match, per-doc match counts cut to top-k.

@@ -352,6 +352,37 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(one == Seq((1L, 3L), (2L, 2L)))
   }
 
+  test("phraseTopKBatch == per-phrase phraseTopK; empty phrases raise") {
+    val docs = Seq(
+      (1L, "spark scan spark scan spark"),
+      (2L, "scan spark"),
+      (3L, "spark x scan"),
+      (4L, "a b a b a"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val phrases = Seq(
+      (10L, Seq("spark", "scan")),
+      (11L, Seq("a", "b", "a")),
+      (12L, Seq("scan")))
+    val batch = Search.phraseTopKBatch(docs, phrases.toDF("query_id", "phrase"),
+        "doc_id", "text", "query_id", "phrase", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val loop = phrases.flatMap { case (q, p) =>
+      Search.phraseTopK(docs, "doc_id", "text", p, k = 10)
+        .collect().map(r => (q, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(batch == loop)
+    assert(batch.nonEmpty)
+    // a null/empty phrase fails loudly instead of vanishing
+    val bad = Seq((1L, Seq.empty[String])).toDF("query_id", "phrase")
+    val e = intercept[Exception] {
+      Search.phraseTopKBatch(docs, bad, "doc_id", "text",
+        "query_id", "phrase", k = 10).collect()
+    }
+    assert(e.getMessage.contains("null/empty phrase") ||
+      Option(e.getCause).exists(_.getMessage.contains("null/empty phrase")))
+  }
+
   test("positional index serves the same phrase results as the inline scan") {
     val docs = Seq(
       (1L, "spark scan spark scan"),
