@@ -48,7 +48,7 @@ object Bench {
     "stream_lm_gate", "stream_lm_gate3", "lm_score_trigram",
     "lm_score_4gram",
     "bm25_search", "bm25_search_deleted", "bm25_search_batch",
-    "phrase_search", "phrase_search_indexed", "phrase_search_batch",
+    "phrase_search", "phrase_search_indexed", "phrase_search_batch", "phrase_search_batch_indexed", "phrase_snippets",
     "hybrid_search_rrf", "hybrid_search_rrf_indexed",
     "sample_weighted", "filter_by_source_quality", "lm_score_docs",
     "stream_pack_sequences", "stream_pack_state",

@@ -1984,6 +1984,29 @@ object SparkEntry {
       Search.phraseTopKBatch(t(s, dir, "documents"), qs,
         "doc_id", "text", "query_id", "phrase", k = 10)
     }),
+    "phrase_search_batch_indexed" -> ((s, dir) => {
+      // the batch served from the persisted positional index: only the
+      // batch vocabulary's term buckets are read (literal term IN
+      // pushed to the postings scan) — must equal the inline batch
+      // scan exactly, which is the shared-oracle claim.
+      import s.implicits._
+      val qs = Seq(
+        (0L, Seq("vector", "stream")),
+        (1L, Seq("spark")),
+        (2L, Seq("stream", "vector"))).toDF("query_id", "phrase")
+      val idx = scratch("phrase_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        Search.buildPositionalIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      Search.phraseSearchIndexBatch(s, idx, qs, "query_id", "phrase", k = 10)
+    }),
+    "phrase_snippets" -> ((s, dir) => {
+      // attribution view of phrase_search: each matching doc's FIRST
+      // "vector stream" occurrence with 3 context tokens either side —
+      // one token scan for the starts, a row-local slice/join for the
+      // snippet, no second corpus pass.
+      Search.phraseSnippets(t(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "stream"), context = 3)
+    }),
     "phrase_search_indexed" -> ((s, dir) => {
       // the same phrase served from the persisted POSITIONAL index —
       // the corpus is never rescanned; the probe reads the two phrase
@@ -2921,6 +2944,31 @@ object SparkEntry {
       |agg AS (SELECT doc_id, count(*) AS n_matches FROM hit GROUP BY doc_id)
       |SELECT doc_id, n_matches FROM agg
       |ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Shared by phrase_search_batch and its index-served form (identity
+    * is the claim): per-query slot tables, each query's own length as
+    * the all-slots test, per-query top-k.
+    */
+  private val phraseBatchOracle: String =
+    """WITH tokp AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+      |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+      |  FROM documents),
+      |ph AS (SELECT * FROM (VALUES
+      |  (0, 0, 'vector'), (0, 1, 'stream'),
+      |  (1, 0, 'spark'),
+      |  (2, 0, 'stream'), (2, 1, 'vector')) AS t(q, i, w)),
+      |m AS (SELECT q, count(*) AS m FROM ph GROUP BY 1),
+      |cand AS (SELECT ph.q, doc_id, pos - i AS s, i FROM tokp JOIN ph USING (w)),
+      |hit AS (SELECT c.q, doc_id, s FROM cand c JOIN m USING (q)
+      |        GROUP BY c.q, doc_id, s, m.m HAVING count(DISTINCT i) = m.m),
+      |agg AS (SELECT q, doc_id, count(*) AS n_matches FROM hit GROUP BY 1, 2),
+      |r AS (SELECT q, doc_id, n_matches,
+      |        row_number() OVER (PARTITION BY q
+      |                           ORDER BY n_matches DESC, doc_id) AS rk
+      |      FROM agg)
+      |SELECT CAST(q AS BIGINT) AS query_id, doc_id, n_matches
+      |FROM r WHERE rk <= 10""".stripMargin
 
   private val stripBoilerplateOracle: String =
     """WITH p AS (SELECT doc_id, source,
@@ -4628,26 +4676,28 @@ object SparkEntry {
       "phrase_search_indexed" -> phraseSearchOracle,
       // three phrases in one replay: per-query slot tables, each
       // query's own length as the all-slots test, per-query top-k
-      "phrase_search_batch" ->
+      "phrase_search_batch" -> phraseBatchOracle,
+      // index-served batch must equal the inline scan exactly — the
+      // identity is the claim, like phrase_search_indexed
+      "phrase_search_batch_indexed" -> phraseBatchOracle,
+      // first all-slots start per doc + a token-window slice around it
+      "phrase_snippets" ->
         """WITH tokp AS (
           |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
           |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
           |  FROM documents),
-          |ph AS (SELECT * FROM (VALUES
-          |  (0, 0, 'vector'), (0, 1, 'stream'),
-          |  (1, 0, 'spark'),
-          |  (2, 0, 'stream'), (2, 1, 'vector')) AS t(q, i, w)),
-          |m AS (SELECT q, count(*) AS m FROM ph GROUP BY 1),
-          |cand AS (SELECT ph.q, doc_id, pos - i AS s, i FROM tokp JOIN ph USING (w)),
-          |hit AS (SELECT c.q, doc_id, s FROM cand c JOIN m USING (q)
-          |        GROUP BY c.q, doc_id, s, m.m HAVING count(DISTINCT i) = m.m),
-          |agg AS (SELECT q, doc_id, count(*) AS n_matches FROM hit GROUP BY 1, 2),
-          |r AS (SELECT q, doc_id, n_matches,
-          |        row_number() OVER (PARTITION BY q
-          |                           ORDER BY n_matches DESC, doc_id) AS rk
-          |      FROM agg)
-          |SELECT CAST(q AS BIGINT) AS query_id, doc_id, n_matches
-          |FROM r WHERE rk <= 10""".stripMargin,
+          |ph AS (SELECT * FROM (VALUES (0, 'vector'), (1, 'stream')) AS t(i, w)),
+          |cand AS (SELECT doc_id, pos - i AS s, i FROM tokp JOIN ph USING (w)),
+          |hit AS (SELECT doc_id, s FROM cand
+          |        GROUP BY doc_id, s HAVING count(DISTINCT i) = 2),
+          |agg AS (SELECT doc_id, min(s) AS s1, count(*) AS n_matches
+          |        FROM hit GROUP BY doc_id),
+          |sn AS (SELECT a.doc_id, a.s1 - 1 AS first_start, a.n_matches,
+          |         array_to_string(
+          |           list_slice(regexp_split_to_array(trim(d.text), '\s+'),
+          |             greatest(a.s1 - 3, 1), a.s1 + 1 + 3), ' ') AS snippet
+          |       FROM agg a JOIN documents d ON d.doc_id = a.doc_id)
+          |SELECT doc_id, first_start, n_matches, snippet FROM sn""".stripMargin,
       // stream_lm_gate: lm_score_docs' scoring with KenLM-style count
       // cutoffs (HAVING >= 2) on both tables; |V| stays unpruned
       "stream_lm_gate" ->

@@ -658,6 +658,59 @@ object Search {
       .select(col(idCol).as("__id"),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "__t")))
       .join(broadcast(slots), "__t")
+    phraseAggBatch(votes, k, queryIdCol, idCol)
+  }
+
+  /** [[phraseTopKBatch]] served from a persisted
+    * [[buildPositionalIndex]] artifact: the probe reads ONLY the
+    * batch's term buckets (literal `term IN` pushed to the postings
+    * scan — the batch vocabulary is collected driver-side, bounded by
+    * the broadcast-sized query table the batch contract already
+    * assumes), tombstoned docs anti-joined, and the same per-query
+    * start-vote aggregate runs over the stored position lists. Must
+    * equal the inline scan exactly — that identity is the gate claim.
+    */
+  def phraseSearchIndexBatch(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      phraseCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"phraseSearchIndexBatch: k must be positive, got $k")
+    val checkedPhrase = when(
+        col(phraseCol).isNotNull && size(col(phraseCol)) > 0,
+        col(phraseCol))
+      .otherwise(raise_error(concat(
+        lit("phraseSearchIndexBatch: query "), col(queryIdCol).cast("string"),
+        lit(" has a null/empty phrase"))))
+    val slots = queries.select(
+        col(queryIdCol).as("__q"),
+        size(checkedPhrase).as("__m"),
+        posexplode(checkedPhrase).as(Seq("__pi", "__t")))
+      .localCheckpoint(true) // scanned for the term set AND the join
+    val terms = slots.select("__t").distinct().collect().map(_.getString(0))
+    val postings = graft.sources.IndexIO.withoutTombstoned(
+      graft.sources.IndexIO.chainTable(spark, path, "postings").getOrElse(
+        throw new IllegalStateException(
+          s"positional index at $path has no postings table"))
+        .filter(col("term").isin(terms.toIndexedSeq: _*)),
+      graft.sources.IndexIO.chainTable(spark, path, "tombstones"),
+      "doc_id")
+    val votes = postings
+      .select(col("doc_id").as("__id"), col("term").as("__t"),
+        explode(col("positions")).as("__pos"))
+      .join(broadcast(slots), "__t")
+    phraseAggBatch(votes, k, queryIdCol, "doc_id")
+  }
+
+  /** Shared per-query start-vote aggregation of the BATCH phrase
+    * retrievers: votes carry `(__q, __m, __id, __pos, __pi)`; a start
+    * with all of its query's `__m` distinct slots is a match; per-query
+    * top-k rides the rank window's map-side prune.
+    */
+  private def phraseAggBatch(votes: DataFrame, k: Int,
+      queryIdCol: String, outId: String): DataFrame = {
     val w = Window.partitionBy(col("__q"))
       .orderBy(col("n_matches").desc, col("__id").asc)
     votes
@@ -671,8 +724,53 @@ object Search {
       .agg(count(lit(1)).as("n_matches"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
-      .select(col("__q").as(queryIdCol), col("__id").as(idCol),
+      .select(col("__q").as(queryIdCol), col("__id").as(outId),
         col("n_matches"))
+  }
+
+  /** SNIPPET extraction for phrase hits — the attribution view: every
+    * matching document's FIRST phrase occurrence with `context` tokens
+    * of surrounding text, `(idCol, first_start, n_matches, snippet)`.
+    * One token scan finds the all-slots starts (the [[phraseTopK]]
+    * vote), the min start per doc joins back to the doc row, and the
+    * snippet is a row-local `slice` + `array_join` over the token
+    * array — no second corpus pass, no per-row UDF. `first_start` is
+    * the 0-based token index of the phrase.
+    */
+  def phraseSnippets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String],
+      context: Int = 3): DataFrame = {
+    require(phrase.nonEmpty, "phraseSnippets: empty phrase")
+    require(context >= 0, s"phraseSnippets: context must be >= 0, got $context")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = phrase.length
+    val slots = phrase.zipWithIndex.map { case (t, i) => (i, t) }.toDF("__pi", "__t")
+    val starts = docs
+      .select(col(idCol).as("__id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "__t")))
+      .join(broadcast(slots), "__t")
+      .select(col("__id"), (col("__pos") - col("__pi")).as("__start"), col("__pi"))
+      .filter(col("__start") >= 0)
+      .groupBy("__id", "__start")
+      .agg(countDistinct(col("__pi")).as("__hit"))
+      .filter(col("__hit") === m)
+      .groupBy("__id")
+      .agg(min(col("__start")).as("first_start"),
+        count(lit(1)).as("n_matches"))
+    val toks = TextFunctions.tokens(col(textCol))
+    val from0 = greatest(col("first_start") - context, lit(0))
+    docs.select(col(idCol).as("__id"), toks.as("__toks"))
+      .join(starts, "__id")
+      .select(col("__id").as(idCol),
+        col("first_start").cast("long").as("first_start"), col("n_matches"),
+        array_join(
+          slice(col("__toks"), from0 + lit(1),
+            col("first_start") + lit(m + context) - from0),
+          " ").as("snippet"))
   }
 
   /** Shared start-vote aggregation of the phrase retrievers: candidate

@@ -383,6 +383,36 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       Option(e.getCause).exists(_.getMessage.contains("null/empty phrase")))
   }
 
+  test("phraseSearchIndexBatch == inline batch; phraseSnippets windows clamp") {
+    val docs = Seq(
+      (1L, "spark scan spark scan spark"),
+      (2L, "scan spark"),
+      (3L, "one two three spark scan four five six"),
+      (4L, "a b a b a")
+    ).toDF("doc_id", "text")
+    val phrases = Seq(
+      (10L, Seq("spark", "scan")),
+      (11L, Seq("a", "b", "a"))).toDF("query_id", "phrase")
+    val p = java.nio.file.Files.createTempDirectory("posidx_batch").toString
+    Search.buildPositionalIndex(docs, "doc_id", "text", p)
+    val inline = Search.phraseTopKBatch(docs, phrases, "doc_id", "text",
+        "query_id", "phrase", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val served = Search.phraseSearchIndexBatch(spark, p, phrases,
+        "query_id", "phrase", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == inline && served.nonEmpty)
+    // snippets: first occurrence, window clamps at the doc start, full
+    // context in the middle
+    val sn = Search.phraseSnippets(docs, "doc_id", "text",
+        Seq("spark", "scan"), context = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(sn == Set(
+      (1L, 0L, 2L, "spark scan spark scan"),            // clamped left
+      (3L, 3L, 1L, "two three spark scan four five")))  // full window
+  }
+
   test("positional index serves the same phrase results as the inline scan") {
     val docs = Seq(
       (1L, "spark scan spark scan"),
