@@ -723,6 +723,21 @@ object SparkEntry {
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_docs"))
     }),
+    "mmr_rerank" -> ((s, dir) => {
+      // diversified re-rank: brute top-30 neighbors of vec 0 as the
+      // candidate list (raw-cosine order, the ann_topk rule), relevance
+      // on the 1e-4 floor grid, then the exact-integer MMR greedy at
+      // λ = 1/2 — the oracle replays the greedy as a recursive CTE
+      // over HUGEINT grid-cosine sims, so selection AND order are
+      // engine-identical.
+      val e = t(s, dir, "embeddings")
+      val cands = SimilaritySearch.bruteForceTopK(
+          e.filter(col("vec_id") === 0), e, "vec_id", "embedding", k = 30)
+        .select(col("neighbor_id").as("vec_id"),
+          floor(col("cosine") * lit(10000.0)).cast("long").as("rel_grid"))
+      SimilaritySearch.mmrRerank(cands, e, "vec_id", "embedding",
+        "rel_grid", k = 10)
+    }),
     "mine_hard_negatives" -> ((s, dir) => {
       // contrastive training data: for each query, the most similar
       // rows of a DIFFERENT label (the boundary examples an embedder
@@ -3756,6 +3771,48 @@ object SparkEntry {
           |  (4, CAST(61 AS BIGINT)), (5, CAST(61 AS BIGINT)),
           |  (6, CAST(71 AS BIGINT)), (7, CAST(56 AS BIGINT)))
           |  AS t(cluster, n_docs)""".stripMargin,
+      // recursive-CTE replay of the exact-integer MMR greedy:
+      // rel and sims on the 1e-4 grid, argmax of rel - maxSim per step
+      "mmr_rerank" ->
+        """WITH RECURSIVE
+          |e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+          |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+          |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY 1),
+          |d AS (SELECT c.vec_id AS id, sum(q.v * c.v) AS dp
+          |      FROM e q JOIN e c ON q.i = c.i AND q.vec_id = 0 AND c.vec_id <> 0
+          |      GROUP BY 1),
+          |cand AS (SELECT id,
+          |           CAST(floor(dp / (nq.n * nc.n) * 10000.0) AS BIGINT) AS rel
+          |         FROM d JOIN nrm nq ON nq.vec_id = 0
+          |                JOIN nrm nc ON nc.vec_id = d.id
+          |         ORDER BY dp / (nq.n * nc.n) DESC, id LIMIT 30),
+          |g AS (SELECT vec_id, i, CAST(floor(v * 10000000.0) AS BIGINT) AS gv
+          |      FROM e WHERE vec_id IN (SELECT id FROM cand)),
+          |gn AS (SELECT vec_id, sum(CAST(gv AS HUGEINT) * gv) AS ss FROM g GROUP BY 1),
+          |sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+          |           CAST(floor(CAST(sum(CAST(a.gv AS HUGEINT) * b.gv) AS DOUBLE)
+          |             / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE)))
+          |             * 10000.0) AS BIGINT) AS sim
+          |         FROM g a JOIN g b ON a.i = b.i AND a.vec_id <> b.vec_id
+          |         JOIN gn na ON na.vec_id = a.vec_id
+          |         JOIN gn nb ON nb.vec_id = b.vec_id
+          |         GROUP BY a.vec_id, b.vec_id, na.ss, nb.ss),
+          |pick(step, chosen) AS (
+          |  (SELECT 1, [id] FROM cand ORDER BY rel DESC, id LIMIT 1)
+          |  UNION ALL
+          |  SELECT step + 1, list_append(chosen, (
+          |      SELECT c.id FROM cand c
+          |      WHERE NOT list_contains(chosen, c.id)
+          |      ORDER BY c.rel - (SELECT max(s.sim) FROM sims s
+          |                        WHERE s.ia = c.id
+          |                          AND list_contains(chosen, s.ib)) DESC,
+          |               c.id
+          |      LIMIT 1))
+          |  FROM pick WHERE step < 10),
+          |fin AS (SELECT chosen FROM pick ORDER BY step DESC LIMIT 1)
+          |SELECT unnest(chosen) AS vec_id,
+          |       CAST(generate_subscripts(chosen, 1) AS BIGINT) AS rank
+          |FROM fin""".stripMargin,
       // exact cross-label top-k; the label filter rides the same
       // unnest/norm CTEs as ann_topk
       "mine_hard_negatives" -> (embUnnest +

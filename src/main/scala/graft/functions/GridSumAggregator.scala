@@ -80,6 +80,27 @@ object GridSumAggregator {
     math.floor(cos * 10000) / 10000
   }
 
+  /** [[cosFloored]] as the 1e-4-grid INTEGER `floor(cos · 10000)` —
+    * the form exact integer objectives (MMR) combine with other grid
+    * quantities without ever re-rounding a double.
+    */
+  def cosGrid(a: Seq[Long], b: Seq[Long]): Long = {
+    require(a.length == b.length && a.nonEmpty,
+      s"cosGrid: dimension mismatch (${a.length} vs ${b.length})")
+    var num = BigInt(0)
+    var da = BigInt(0)
+    var db = BigInt(0)
+    var i = 0
+    while (i < a.length) {
+      val x = BigInt(a(i)); val y = BigInt(b(i))
+      num += x * y; da += x * x; db += y * y
+      i += 1
+    }
+    require(da > 0 && db > 0, "cosGrid: zero vector")
+    val cos = num.toDouble / (math.sqrt(da.toDouble) * math.sqrt(db.toDouble))
+    math.floor(cos * 10000).toLong
+  }
+
   /** [[cosFloored]] over Tungsten array data — the per-row entry of
     * [[GridCosExpr]] (no Seq boxing on the hot path beyond the BigInt
     * accumulation the exactness contract requires).

@@ -232,6 +232,88 @@ object SimilaritySearch {
         col("cosine"))
   }
 
+  /** MMR (maximal marginal relevance) diversified re-rank — the step
+    * between retrieval and presentation that keeps the top-k from
+    * being k paraphrases of one document: greedily pick the candidate
+    * maximizing `λ·relevance − (1−λ)·max-similarity-to-already-picked`.
+    *
+    * EXACT integer arithmetic end to end, so the selection is
+    * engine-reproducible with zero knife edges: `scoreGridCol` is the
+    * caller's relevance on the 1e-4 integer grid (BM25's scaled score
+    * `div 10000`), similarity is the 1e-4-grid integer cosine
+    * ([[graft.functions.GridSumAggregator.cosGrid]] over 1e-7-grid
+    * vectors), λ enters as the rational `lambdaNum/lambdaDen`, and the
+    * greedy compares `lambdaNum·score − (lambdaDen−lambdaNum)·maxSim`
+    * (the objective × lambdaDen — same argmax, all longs). Ties break
+    * to the smaller id.
+    *
+    * The greedy is inherently sequential in k, so it runs driver-side
+    * over the COLLECTED candidate set — bounded by contract
+    * (`maxCandidates`, default 1000; re-ranking feeds from a top-k
+    * retriever, so the set is k'-sized, not corpus-sized — the same
+    * bounded-collect contract as the IVF centroid table). Output:
+    * `(idCol, rank)`, rank 1..k in selection order.
+    */
+  def mmrRerank(
+      candidates: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, scoreGridCol: String, k: Int,
+      lambdaNum: Int = 1, lambdaDen: Int = 2,
+      maxCandidates: Int = 1000): DataFrame = {
+    require(k >= 1, s"mmrRerank: k must be >= 1, got $k")
+    require(lambdaDen >= 1 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"mmrRerank: need 0 <= lambdaNum/lambdaDen <= 1, got $lambdaNum/$lambdaDen")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val grid = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(1.0e7)))
+    val rows = candidates
+      .join(corpus.select(col(idCol), grid.as("__gv")), Seq(idCol))
+      .select(col(idCol).cast("long"), col(scoreGridCol).cast("long"),
+        col("__gv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    require(rows.length <= maxCandidates,
+      s"mmrRerank: ${rows.length} candidates exceed maxCandidates=" +
+        s"$maxCandidates — re-rank a top-k retriever's output, not a corpus")
+    val byId = rows.sortBy(_._1)
+    val n = byId.length
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val pickedIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val maxSim = Array.fill(n)(Long.MinValue)
+    var step = 0
+    while (step < math.min(k, n)) {
+      var best = -1
+      var bestObj = Long.MinValue
+      var i = 0
+      while (i < n) {
+        if (!pickedIdx.contains(i)) {
+          val penalty = if (step == 0) 0L else (lambdaDen - lambdaNum) * maxSim(i)
+          val obj = lambdaNum * byId(i)._2 - penalty
+          if (obj > bestObj || (obj == bestObj && best >= 0 &&
+              byId(i)._1 < byId(best)._1)) {
+            best = i
+            bestObj = obj
+          }
+        }
+        i += 1
+      }
+      picked += byId(best)._1
+      pickedIdx += best
+      var j = 0
+      while (j < n) {
+        if (!pickedIdx.contains(j)) {
+          val s = graft.functions.GridSumAggregator.cosGrid(
+            byId(j)._3.toSeq, byId(best)._3.toSeq)
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
+      }
+      step += 1
+    }
+    picked.zipWithIndex.map { case (id, r) => (id, (r + 1).toLong) }
+      .toSeq.toDF(idCol, "rank")
+  }
+
   /** K-MEANS clustering exposed as a first-class operator — the
     * semantic grouping step of corpus curation (topic buckets for
     * mixing recipes, per-cluster dedup/caps, SemDeDup-style pruning):

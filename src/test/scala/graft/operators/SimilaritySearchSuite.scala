@@ -85,6 +85,39 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("mmrRerank: diversification beats raw relevance order; guards hold") {
+    // three near-identical high-relevance docs + one distinct
+    // mid-relevance doc: raw order would list the triplets 1-2-3;
+    // MMR at λ=1/2 picks the distinct doc second
+    val corpus = Seq(
+      (1, Array(1.0, 0.0)),
+      (2, Array(0.999, 0.01)),
+      (3, Array(0.998, 0.02)),
+      (4, Array(0.0, 1.0))).toDF("id", "emb")
+    val cands = Seq(
+      (1, 9000L), (2, 8900L), (3, 8800L), (4, 5000L)).toDF("id", "rel")
+    val got = SimilaritySearch.mmrRerank(
+        cands, corpus, "id", "emb", "rel", k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sortBy(_._1).map(_._2)
+    // pick 1: best rel (id 1). pick 2: id 2 obj = 8900 - ~9999 < 0;
+    // id 4 obj = 5000 - 0 = 5000 -> id 4. Then 2, then 3.
+    assert(got.toSeq == Seq(1L, 4L, 2L, 3L), got.mkString(","))
+    // deterministic under repartitioning
+    val again = SimilaritySearch.mmrRerank(
+        cands.repartition(3), corpus.repartition(2), "id", "emb", "rel", k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sortBy(_._1).map(_._2)
+    assert(again.toSeq == got.toSeq)
+    // bounded-collect contract
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.mmrRerank(cands, corpus, "id", "emb", "rel",
+        k = 2, maxCandidates = 2)
+    }
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.mmrRerank(cands, corpus, "id", "emb", "rel",
+        k = 2, lambdaNum = 3, lambdaDen = 2)
+    }
+  }
+
   test("clusterEmbeddings: recovers planted clusters, partition-invariant") {
     val rnd = new scala.util.Random(23)
     val planted = (0 until 60).map { i =>
