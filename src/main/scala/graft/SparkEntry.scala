@@ -2290,11 +2290,9 @@ object SparkEntry {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
       val out = scratch("shard_write", dir)
-      if (!new java.io.File(out).isDirectory) {
-        Sampling.writeTokenShards(d, "doc_id", col("n_tokens"),
-          shardTokens = 2000, outPath = out)
-        ()
-      }
+      if (!new java.io.File(out).isDirectory)
+        graft.sources.Sources.writeTokenShards(
+          d, out, "doc_id", col("n_tokens"), shardTokens = 2000)
       s.read.parquet(out)
         .select(col("doc_id"), col("shard").cast("long").as("shard"))
     }),

@@ -522,27 +522,6 @@ object Sampling {
           .orderBy(gridScore(score, scoreGrid).asc)))
   }
 
-  /** Materialize [[assignTokenShards]] as one directory per shard —
-    * the publish step of the pack → shard → write story: a training
-    * loader then consumes `shard=<n>/` directories of
-    * `~shardTokens` tokens each in md5-deterministic document order.
-    * The write is `partitionBy(shard)` over the shard column the
-    * assignment already computed, so rows of one shard land in one
-    * directory without any extra shuffle beyond the assignment's own
-    * window. Returns the shard count (from the filesystem listing,
-    * not a recompute of the plan).
-    */
-  def writeTokenShards(df: DataFrame, idCol: String, tokens: Column,
-      shardTokens: Long, outPath: String, buckets: Int = 0): Long = {
-    val sharded = assignTokenShards(df, idCol, tokens, shardTokens, buckets)
-    sharded.write.mode("overwrite").partitionBy("shard").parquet(outPath)
-    val fs = new org.apache.hadoop.fs.Path(outPath).getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
-      .count(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
-      .toLong
-  }
-
   /** Per-group [[sampleToTokenBudget]] — THE data-recipe primitive:
     * "B_s tokens from source s" for an explicit budget map, each
     * group's keep set an independent strict md5-order prefix. Groups
