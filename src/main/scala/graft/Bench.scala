@@ -47,7 +47,7 @@ object Bench {
     "decontaminate_docs", "decontaminate_bloom", "stream_decontaminate",
     "stream_lm_gate", "stream_lm_gate3", "lm_score_trigram",
     "lm_score_4gram",
-    "bm25_search", "bm25_search_deleted", "bm25_search_batch",
+    "bm25_search", "bm25_search_prf", "bm25_search_deleted", "bm25_search_batch",
     "phrase_search", "phrase_search_indexed", "phrase_search_batch", "phrase_search_batch_indexed", "phrase_snippets",
     "hybrid_search_rrf", "hybrid_search_rrf_indexed",
     "sample_weighted", "filter_by_source_quality", "lm_score_docs",

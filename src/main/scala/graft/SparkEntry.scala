@@ -1910,6 +1910,15 @@ object SparkEntry {
       Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("vector", "stream", "spark"), k = 20)
     }),
+    "bm25_search_prf" -> ((s, dir) => {
+      // pseudo-relevance feedback: bm25_search's query, top-10 docs as
+      // feedback, the 3 highest distinct-doc-frequency non-query terms
+      // added, exact grid re-score — the oracle replays round 1, the
+      // integer term selection, and round 2 as one chained SQL.
+      Search.bm25TopKPrf(t(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "stream", "spark"), k = 20,
+        feedbackK = 10, expandTerms = 3)
+    }),
     "bm25_search_deleted" -> ((s, dir) => {
       // the TAKEDOWN path without a rebuild: build the inverted index,
       // tombstone-delete doc_id % 7 == 0 (a delta segment with
@@ -4657,6 +4666,49 @@ object SparkEntry {
           |  FROM post p JOIN dfs USING (w) JOIN len USING (doc_id) CROSS JOIN stats)
           |SELECT doc_id, sum(contrib) / 100000000.0 AS score, count(*) AS n_terms_hit
           |FROM sc GROUP BY doc_id
+          |ORDER BY sum(contrib) DESC, doc_id LIMIT 20""".stripMargin,
+      // two chained BM25 rounds + an integer term-selection CTE: top-10
+      // feedback docs -> 3 highest distinct-doc-count non-query terms
+      // (ties lexicographic) -> re-score over the expanded term set
+      "bm25_search_prf" ->
+        """WITH tok AS (
+          |  SELECT doc_id, w FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |    FROM documents) WHERE w <> ''),
+          |len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+          |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM len),
+          |post1 AS (SELECT doc_id, w, count(*) AS tf FROM tok
+          |          WHERE w IN ('vector', 'stream', 'spark') GROUP BY 1, 2),
+          |dfs1 AS (SELECT w, count(*) AS df FROM post1 GROUP BY 1),
+          |sc1 AS (
+          |  SELECT p.doc_id,
+          |         CAST(floor(
+          |           (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 10000.0) / 10000.0)
+          |           * (tf * (1.2 + 1.0)
+          |              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (total_dl * 1.0 / n_docs))))
+          |           * 100000000.0) AS BIGINT) AS contrib
+          |  FROM post1 p JOIN dfs1 USING (w) JOIN len USING (doc_id) CROSS JOIN stats),
+          |r1 AS (SELECT doc_id FROM sc1 GROUP BY doc_id
+          |       ORDER BY sum(contrib) DESC, doc_id LIMIT 10),
+          |fb AS (SELECT t.w FROM tok t JOIN r1 USING (doc_id)
+          |       WHERE t.w NOT IN ('vector', 'stream', 'spark')
+          |       GROUP BY t.w
+          |       ORDER BY count(DISTINCT t.doc_id) DESC, t.w LIMIT 3),
+          |terms AS (SELECT 'vector' AS w UNION ALL SELECT 'stream'
+          |          UNION ALL SELECT 'spark' UNION ALL SELECT w FROM fb),
+          |post2 AS (SELECT doc_id, tok.w, count(*) AS tf
+          |          FROM tok JOIN terms USING (w) GROUP BY 1, 2),
+          |dfs2 AS (SELECT w, count(*) AS df FROM post2 GROUP BY 1),
+          |sc2 AS (
+          |  SELECT p.doc_id,
+          |         CAST(floor(
+          |           (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 10000.0) / 10000.0)
+          |           * (tf * (1.2 + 1.0)
+          |              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (total_dl * 1.0 / n_docs))))
+          |           * 100000000.0) AS BIGINT) AS contrib
+          |  FROM post2 p JOIN dfs2 USING (w) JOIN len USING (doc_id) CROSS JOIN stats)
+          |SELECT doc_id, sum(contrib) / 100000000.0 AS score, count(*) AS n_terms_hit
+          |FROM sc2 GROUP BY doc_id
           |ORDER BY sum(contrib) DESC, doc_id LIMIT 20""".stripMargin,
       // bm25_search_deleted: serving after a tombstone delete == BM25
       // over the corpus minus the deleted docs (df/N/avgdl all shift)

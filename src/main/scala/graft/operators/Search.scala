@@ -622,6 +622,50 @@ object Search {
     phraseAgg(votes, m, k, idCol)
   }
 
+  /** PSEUDO-RELEVANCE-FEEDBACK expansion (Rocchio-style PRF): run the
+    * query, treat the top `feedbackK` documents as relevant, add the
+    * `expandTerms` terms most frequent across them (distinct-document
+    * frequency — a term spamming one doc doesn't win; ties to the
+    * lexicographically smaller term; original terms excluded), and
+    * re-score with the expanded query. Recovers documents phrased
+    * with the corpus's OWN vocabulary that the raw keywords miss —
+    * the classic recall lever of lexical retrieval.
+    *
+    * Deterministic end to end: both rounds are [[bm25TopK]]'s exact
+    * grid scoring, and term selection is pure integer counts — the
+    * oracle replays the whole chain. The expansion collect is
+    * `expandTerms` strings (a bounded scalar probe, like the IVF
+    * centroid table).
+    */
+  def bm25TopKPrf(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      feedbackK: Int = 10,
+      expandTerms: Int = 3,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(feedbackK >= 1 && expandTerms >= 0,
+      s"bm25TopKPrf: need feedbackK >= 1, expandTerms >= 0; " +
+        s"got $feedbackK, $expandTerms")
+    val orig = queryTerms.distinct
+    val feedback = bm25TopK(docs, idCol, textCol, orig, feedbackK, k1, b)
+      .select(col(idCol))
+    val expansion =
+      if (expandTerms == 0) Array.empty[String]
+      else docs.join(feedback, Seq(idCol), "left_semi")
+        .select(explode(array_distinct(
+          TextFunctions.tokens(col(textCol)))).as("__t"))
+        .filter(!col("__t").isin(orig: _*))
+        .groupBy("__t").agg(count(lit(1)).as("__df"))
+        .orderBy(col("__df").desc, col("__t").asc)
+        .limit(expandTerms)
+        .collect().map(_.getString(0))
+    bm25TopK(docs, idCol, textCol, orig ++ expansion, k, k1, b)
+  }
+
   /** BATCHED phrase retrieval — many quoted phrases against the corpus
     * in ONE scan ([[bm25TopKBatch]]'s shape for the positional
     * retriever): the slot table explodes every query's phrase to

@@ -352,6 +352,32 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(one == Seq((1L, 3L), (2L, 2L)))
   }
 
+  test("bm25TopKPrf: expansion recovers vocabulary-mismatch docs") {
+    // docs 1-3 match the query AND all carry 'embedding'; doc 4 is
+    // phrased entirely in the corpus's own vocabulary (no query term)
+    // and is invisible to raw BM25 — the expansion must recover it
+    val docs = Seq(
+      (1L, "vector search embedding index"),
+      (2L, "vector store embedding lookup"),
+      (3L, "vector db embedding shard"),
+      (4L, "embedding embedding retrieval"),
+      (5L, "unrelated text entirely")).toDF("doc_id", "text")
+    val raw = Search.bm25TopK(docs, "doc_id", "text", Seq("vector"), k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(raw == Set(1L, 2L, 3L))
+    val prf = Search.bm25TopKPrf(docs, "doc_id", "text", Seq("vector"),
+        k = 10, feedbackK = 3, expandTerms = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 'embedding' is the top distinct-doc-frequency feedback term
+    // (3 of 3 docs) — doc 4 now scores
+    assert(prf == Set(1L, 2L, 3L, 4L))
+    // expandTerms = 0 degenerates to plain bm25TopK
+    val zero = Search.bm25TopKPrf(docs, "doc_id", "text", Seq("vector"),
+        k = 10, feedbackK = 3, expandTerms = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(zero == raw)
+  }
+
   test("phraseTopKBatch == per-phrase phraseTopK; empty phrases raise") {
     val docs = Seq(
       (1L, "spark scan spark scan spark"),
