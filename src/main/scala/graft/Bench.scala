@@ -44,7 +44,7 @@ object Bench {
     "multimodal_video_dedup_perceptual", "multimodal_video_scenes",
     "multimodal_video_scene_dedup",
     "chunk_documents_sentences",
-    "decontaminate_docs", "decontaminate_bloom", "stream_decontaminate",
+    "decontaminate_docs", "contamination_report", "decontaminate_bloom", "stream_decontaminate",
     "stream_lm_gate", "stream_lm_gate3", "lm_score_trigram",
     "lm_score_4gram",
     "bm25_search", "bm25_search_prf", "bm25_search_deleted", "bm25_search_batch",

@@ -1903,6 +1903,17 @@ object SparkEntry {
         d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
         "doc_id", "text", n = 3)
     }),
+    "contamination_report" -> ((s, dir) => {
+      // the EVAL-side view of decontaminate_docs: which benchmark
+      // items are burned and how badly — distinct offending train
+      // docs, total collisions, and the worst single offender per
+      // eval item (a 1-doc near-copy reads differently from 50 docs
+      // sharing one idiom).
+      val d = t(s, dir, "documents")
+      Decontaminate.contaminationReport(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 3)
+    }),
     "bm25_search" -> ((s, dir) => {
       // lexical top-20 for a 3-term keyword query; scoring documented in
       // Search.scala (idf floored at 1e-4, contributions summed as
@@ -4632,6 +4643,18 @@ object SparkEntry {
           |  'raw' AS codec, 'none' AS brand,
           |  CAST(strlen(text) AS BIGINT) AS byte_len
           |FROM documents""".stripMargin,
+      // per-eval-item rollup of the (train, eval) shared-shingle pairs
+      "contamination_report" -> (shinglesBase +
+        """tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),
+          |ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 = 0),
+          |pairs AS (SELECT t.doc_id AS id_train, e.doc_id AS id_eval,
+          |                 count(*) AS ns
+          |          FROM tr t JOIN ev e ON e.shingle = t.shingle
+          |          GROUP BY 1, 2)
+          |SELECT id_eval, count(DISTINCT id_train) AS n_train_docs,
+          |       CAST(sum(ns) AS BIGINT) AS n_collisions,
+          |       CAST(max(ns) AS BIGINT) AS max_shared
+          |FROM pairs GROUP BY 1""".stripMargin),
       "decontaminate_docs" -> (shinglesBase +
         """ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 0),
           |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),

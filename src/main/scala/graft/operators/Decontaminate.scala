@@ -324,4 +324,29 @@ object Decontaminate {
       .groupBy(col("id_train"), col("id_eval"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** The EVAL-SIDE contamination view — the report a release review
+    * reads: [[ngramOverlap]] flags TRAIN docs to drop, this ranks
+    * EVAL items to DISTRUST. One row per contaminated eval item:
+    * how many distinct training documents share an n-gram with it
+    * (`n_train_docs`), the total shared-shingle collision count
+    * (`n_collisions`), and the worst single offender's share
+    * (`max_shared` — a 1-doc near-copy reads very differently from
+    * 50 docs sharing one idiom). Rides [[ngramOverlapPairs]]' hashed
+    * equi-join unchanged; the rollup is one partial-aggregable
+    * groupBy on the (train, eval) pair table.
+    */
+  def contaminationReport(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      broadcastEval: Boolean = true): DataFrame =
+    ngramOverlapPairs(train, eval, idCol, textCol, n, broadcastEval)
+      .groupBy(col("id_eval"))
+      .agg(
+        countDistinct(col("id_train")).as("n_train_docs"),
+        sum(col("n_shared")).as("n_collisions"),
+        max(col("n_shared")).as("max_shared"))
 }

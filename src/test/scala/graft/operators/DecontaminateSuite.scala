@@ -44,6 +44,19 @@ class DecontaminateSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(pairs.toSeq == Seq((1L, 10L, 2L), (3L, 10L, 1L)))
   }
 
+  test("contaminationReport rolls pairs up per eval item") {
+    // with the suite fixture: eval doc 10 is hit by train docs 1
+    // (2 shared shingles) and 3 (1 shared) — one report row
+    val rep = Decontaminate.contaminationReport(
+        train, evalSet, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.toSeq == Seq((10L, 2L, 3L, 2L)))
+    // a clean eval set reports nothing
+    val clean = train.filter($"doc_id" === 2L || $"doc_id" === 4L)
+    assert(Decontaminate.contaminationReport(
+      clean, evalSet, "doc_id", "text", n = 3).count() == 0)
+  }
+
   test("eval side broadcasts (the 100 TB-corpus plan shape)") {
     val plan = Decontaminate.ngramOverlap(train, evalSet, "doc_id", "text", n = 3)
       .queryExecution.executedPlan
