@@ -26,7 +26,7 @@ object Bench {
     "dedup_embedding", "ann_topk", "cluster_embeddings", "mmr_rerank", "mine_hard_negatives",
     "mine_hard_negatives_ivf", "ann_topk_pq", "ann_topk_ivf_pq_search",
     "ann_topk_ivf_pq_meta",
-    "text_quality", "doc_fingerprint", "scrub_report", "heavy_hitters_tokens",
+    "text_quality", "doc_fingerprint", "scrub_report", "fold_confusables", "heavy_hitters_tokens",
     "tokenize_bpe", "extract_html", "quality_classifier", "corpus_diff", "corpus_report",
     "stream_nb_gate", "pipeline_web_ingest", "sample_top_fraction",
     "gopher_rules", "lm_ccnet_buckets", "clean_lines", "lang_id_nb",

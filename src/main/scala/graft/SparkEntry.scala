@@ -33,6 +33,13 @@ object SparkEntry {
     */
   private def q4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
 
+  /** Shared fixture of the fold_confusables gate: Cyrillic homoglyphs
+    * (\u0420 \u0430 \u0443 \u0441 \u0435 \u0430), an em-dash, curly
+    * quotes, NBSP and a ZWSP -- folds to `Pay - "ctream" xy `.
+    */
+  private val confusableSpoof: String =
+    "\u0420\u0430\u0443 \u2014 \u201c\u0441tr\u0435\u0430m\u201d\u00a0x\u200by "
+
   /** Per-JVM token in every scratch path the gate queries write under
     * /tmp (indexes, roundtrip files): two concurrent gate/bench runs on
     * the same testdata dir get disjoint paths instead of overwriting
@@ -1254,6 +1261,16 @@ object SparkEntry {
       Multimodal.decodeAudioMeta(withBin, "payload", keepCols = Seq("doc_id"))
         .select(col("doc_id"), col("sample_rate").cast(DoubleType).as("sample_rate"),
           col("channels"), col("frames"), col("encoding"), col("byte_len"))
+    }),
+    "fold_confusables" -> ((s, dir) => {
+      // homoglyph folding: a spoofed prefix (Cyrillic homoglyphs,
+      // em-dash, curly quotes, NBSP, ZWSP) prepended to every doc must
+      // fold to plain ASCII -- one codegen translate, engine-identical
+      // (the oracle interpolates the SAME from/to tables).
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextFunctions.foldConfusables(
+          concat(lit(confusableSpoof), col("text"))).as("folded"))
     }),
     "text_scrub" -> ((s, dir) => {
       // PII scrub over text synthesized to contain every pattern class
@@ -4116,6 +4133,13 @@ object SparkEntry {
           |  'raw' AS encoding,
           |  CAST(strlen(text) AS BIGINT) AS byte_len
           |FROM documents""".stripMargin,
+      // the same translate with the SAME interpolated tables (the
+      // apostrophes inside `to` are SQL-escaped)
+      "fold_confusables" ->
+        (s"SELECT doc_id, translate('$confusableSpoof' || text, " +
+          s"'${graft.functions.TextFunctions.confusablesFrom}', " +
+          s"'${graft.functions.TextFunctions.confusablesTo.replace("'", "''")}') AS folded " +
+          "FROM documents"),
       "text_scrub" ->
         """WITH d AS (SELECT doc_id,
           |  text || ' contact user' || doc_id || '@example.com via ' ||

@@ -124,6 +124,34 @@ object TextFunctions {
     regexp_replace(noEmail, "[0-9]{7,}", "<NUM>")
   }
 
+  /** The confusable-codepoint table of [[foldConfusables]]: Cyrillic
+    * and Greek homoglyphs of Latin letters, typographic
+    * quotes/dashes, and NBSP map to their ASCII lookalikes; the
+    * zero-width tail (ZWSP/ZWNJ/ZWJ/BOM/soft hyphen) has no
+    * counterpart in `to` and is DELETED (the PostgreSQL `translate`
+    * rule, identical in Spark and DuckDB). Exposed so the SQL oracle
+    * interpolates the very same literals.
+    */
+  val confusablesFrom: String =
+    // Cyrillic lower (a e o p c y x i) + upper (A B E K M H O P C T X),
+    // Greek (o A B E Z H I K M N O P T Y X), typographic punctuation +
+    // NBSP, then the DELETED zero-width tail (ZWSP ZWNJ ZWJ BOM SHY)
+    "\u0430\u0435\u043e\u0440\u0441\u0443\u0445\u0456\u0410\u0412\u0415\u041a\u041c\u041d\u041e\u0420\u0421\u0422\u0425\u03bf\u0391\u0392\u0395\u0396\u0397\u0399\u039a\u039c\u039d\u039f\u03a1\u03a4\u03a5\u03a7\u2018\u2019\u201c\u201d\u2013\u2014\u2212\u00a0\u200b\u200c\u200d\ufeff\u00ad"
+
+  val confusablesTo: String =
+    "aeopcyxiABEKMHOPCTXoABEZHIKMNOPTYX''\"\"--- "
+
+  /** HOMOGLYPH folding — the adversarial-dedup normalizer: a spammer
+    * swapping Latin 'o' for Cyrillic 'о' defeats every exact and
+    * shingle fingerprint while rendering identically; folding the
+    * confusable codepoints back to ASCII BEFORE fingerprinting makes
+    * the spoofed copy collide again. One codegen `translate`
+    * (codepoint-wise 1:1 map; unmatched zero-width characters are
+    * deleted) — no regex, no UDF, engine-identical semantics.
+    */
+  def foldConfusables(text: Column): Column =
+    translate(text, confusablesFrom, confusablesTo)
+
   /** The GOVERNANCE view of [[scrubPii]]: how many URL / email /
     * long-number spans the scrub redacts per document, as a
     * `struct<n_urls, n_emails, n_nums>` of longs. Counts follow the

@@ -334,6 +334,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(colFn("graft_extract_html", TextFunctions.extractHtml))
     ext.injectFunction(colFn("graft_canonical_url", TextFunctions.canonicalizeUrl))
     ext.injectFunction(colFn("graft_clean_lines", TextFunctions.cleanLines(_)))
+    ext.injectFunction(colFn("graft_fold_confusables", TextFunctions.foldConfusables))
     ext.injectFunction(colFn("graft_gopher", t => TextFunctions.gopherFlags(t)))
     // signature kernels on the SQL surface: the same native
     // expressions the Column API plans, so SQL ≡ Column bit-identity

@@ -317,6 +317,29 @@ class TextFunctionsSuite extends SparkSpec {
     got.foreach(r => assert(r.getString(1) == r.getString(2), s"case ${r.getInt(0)}"))
   }
 
+  test("foldConfusables: homoglyphs fold to ASCII, spoofed fingerprints collide") {
+    // Cyrillic Р/а/у/с/е/а + em-dash + curly quotes + NBSP + ZWSP
+    val spoofed = "Рау — “сtrеаm” x​y"
+    val out = one(spoofed)
+      .select(TextFunctions.foldConfusables($"text")).collect()(0).getString(0)
+    assert(out == "Pay - \"ctream\" xy")
+    // the adversarial-dedup claim: a Latin doc and its homoglyph spoof
+    // share NO fingerprint raw, but collide after folding
+    val latin = "the stream processor handles events"
+    val spoof2 = latin.replace("e", "е").replace("o", "о") + "​"
+    val df = Seq((1L, latin), (2L, spoof2)).toDF("id", "text")
+    val raw = df.select(
+        TextFunctions.fingerprint($"text").as("f")).distinct().count()
+    assert(raw == 2)
+    val folded = df.select(TextFunctions.fingerprint(
+        TextFunctions.foldConfusables($"text")).as("f")).distinct().count()
+    assert(folded == 1)
+    // plain ASCII passes through untouched
+    val ascii = "nothing to fold here: 'quotes' \"fine\" - dash"
+    assert(one(ascii).select(TextFunctions.foldConfusables($"text"))
+      .collect()(0).getString(0) == ascii)
+  }
+
   test("scrubReport counts follow the scrub cascade exactly") {
     val cases = Seq(
       // an email INSIDE a URL is swallowed by the URL pass: counts as
