@@ -42,7 +42,7 @@ object Bench {
     "multimodal_image_dedup_indexed", "multimodal_image_dedup_phash",
     "multimodal_image_dedup_phash_indexed", "multimodal_video_dedup",
     "multimodal_video_dedup_perceptual", "multimodal_video_scenes",
-    "multimodal_video_scene_dedup",
+    "multimodal_video_scene_dedup", "multimodal_video_scene_indexed",
     "chunk_documents_sentences",
     "decontaminate_docs", "contamination_report", "decontaminate_bloom", "stream_decontaminate",
     "stream_lm_gate", "stream_lm_gate3", "lm_score_trigram",

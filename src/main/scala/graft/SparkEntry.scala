@@ -1675,6 +1675,33 @@ object SparkEntry {
       Multimodal.videoSceneNearDupPairs(frames, "doc_id", "frame_idx",
           "frame_bytes", sceneMaxHamming = 16, pairMaxHamming = 10)
     }),
+    "multimodal_video_scene_indexed" -> ((s, dir) => {
+      // the INCREMENTAL form of scene reuse: even docs' videos
+      // segmented ONCE into a persisted 8-byte-per-scene keyframe
+      // index, odd docs' scenes probe it without the corpus
+      // re-decoding — matches ≡ the (odd, even) same-pattern scene
+      // pairs from the (doc_id % 3 + scene) % 3 rule.
+      val d = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 11 === 0)
+      val frameArrays = (0 until 3).map { c =>
+        array((0 until 9).map { fi =>
+          lit(scenePng(if (fi <= 2 + c) c else (c + 1) % 3))
+        }: _*)
+      }
+      val frames = d
+        .withColumn("frames",
+          element_at(array(frameArrays: _*), (col("doc_id") % 3).cast("int") + 1))
+        .select(col("doc_id"),
+          posexplode(col("frames")).as(Seq("frame_idx", "frame_bytes")))
+      val idx = scratch("scene_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        Multimodal.buildSceneIndex(
+          frames.filter(col("doc_id") % 2 === 0),
+          "doc_id", "frame_idx", "frame_bytes", idx)
+      Multimodal.dedupAgainstSceneIndex(s,
+        frames.filter(col("doc_id") % 2 === 1),
+        "doc_id", "frame_idx", "frame_bytes", idx, pairMaxHamming = 10)
+    }),
     "multimodal_audio_dedup" -> ((s, dir) => {
       // audio near-dup on the gate: five distinct energy-envelope WAVs
       // assigned by doc_id % 5 (identical bytes per class) — radius-0
@@ -4348,6 +4375,19 @@ object SparkEntry {
           |  ON a.pat = b.pat
           | AND (a.doc_id < b.doc_id
           |      OR (a.doc_id = b.doc_id AND a.scene < b.scene))""".stripMargin,
+      // (odd probe, even index) same-pattern scene matches at
+      // distance 0 from the keyframe rule
+      "multimodal_video_scene_indexed" ->
+        """WITH s AS (
+          |  SELECT doc_id, v.scene, (doc_id % 3 + v.scene) % 3 AS pat
+          |  FROM documents, (SELECT 0 AS scene UNION ALL SELECT 1) v
+          |  WHERE doc_id % 11 = 0)
+          |SELECT a.doc_id, CAST(a.scene AS BIGINT) AS scene,
+          |       b.doc_id AS index_id, CAST(b.scene AS BIGINT) AS index_scene,
+          |       0 AS hamming
+          |FROM s a JOIN s b
+          |  ON a.pat = b.pat
+          | AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0""".stripMargin,
       // same-pattern (odd probe, even index) pairs from the rule —
       // served from persisted postings without re-decoding the corpus
       "multimodal_audio_dedup_shift_indexed" ->

@@ -1330,6 +1330,83 @@ object Multimodal {
         min_by(col("__ph"), col(frameIdxCol)).as("scene_phash"))
   }
 
+  /** Persist a SCENE-level keyframe index: videos decoded and
+    * segmented ONCE ([[videoScenes]]), 8 bytes per scene stored —
+    * each new crawl batch then checks its scenes against every
+    * indexed scene WITHOUT re-decoding the video corpus (shot-level
+    * reuse/licensing detection as an incremental pipeline). Same
+    * IndexIO lifecycle as the other perceptual indexes; tombstones
+    * are per VIDEO id (a takedown drops all its scenes).
+    */
+  def buildSceneIndex(frames: DataFrame, idCol: String,
+      frameIdxCol: String, frameBinCol: String, path: String,
+      sceneMaxHamming: Int = 16): Unit = {
+    val spark = frames.sparkSession
+    graft.sources.IndexIO.publish(spark, path) { vdir =>
+      videoScenes(frames, idCol, frameIdxCol, frameBinCol, sceneMaxHamming)
+        .select(col(idCol), col("scene_idx"), col("scene_phash"))
+        .write.mode("overwrite").parquet(s"$vdir/scenes")
+    }
+    ()
+  }
+
+  /** Append a batch's scenes as an immutable delta segment. */
+  def appendToSceneIndex(frames: DataFrame, idCol: String,
+      frameIdxCol: String, frameBinCol: String, path: String,
+      sceneMaxHamming: Int = 16): Unit = {
+    val spark = frames.sparkSession
+    graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
+      videoScenes(frames, idCol, frameIdxCol, frameBinCol, sceneMaxHamming)
+        .select(col(idCol), col("scene_idx"), col("scene_phash"))
+        .write.mode("overwrite").parquet(s"$vdir/scenes")
+    }
+    ()
+  }
+
+  /** Publish takedown tombstones for whole videos. */
+  def deleteFromSceneIndex(ids: DataFrame, idCol: String,
+      path: String): Unit = {
+    val spark = ids.sparkSession
+    graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
+      ids.select(col(idCol)).distinct()
+        .write.mode("overwrite").parquet(s"$vdir/tombstones")
+    }
+    ()
+  }
+
+  /** Probe a batch's decoded frames against a [[buildSceneIndex]]
+    * artifact: the batch is segmented once, its keyframes meet the
+    * stored 8-byte scene rows through the collapsed pigeonhole
+    * Hamming join (struct scene keys give the join its identity).
+    * Output `(<idCol>, scene, index_id, index_scene, hamming)` —
+    * which shot of which new video already exists in the corpus.
+    */
+  def dedupAgainstSceneIndex(
+      spark: org.apache.spark.sql.SparkSession, frames: DataFrame,
+      idCol: String, frameIdxCol: String, frameBinCol: String,
+      path: String, sceneMaxHamming: Int = 16,
+      pairMaxHamming: Int = 10): DataFrame = {
+    val data = graft.sources.IndexIO.chainTable(spark, path, "scenes")
+      .getOrElse(throw new IllegalStateException(
+        s"dedupAgainstSceneIndex: no scenes at $path"))
+    val tomb = graft.sources.IndexIO.chainTable(spark, path, "tombstones")
+    val live = graft.sources.IndexIO.withoutTombstoned(data, tomb, idCol)
+      .select(struct(col(idCol), col("scene_idx")).as("__ik"),
+        col("scene_phash").as("__iph"))
+    val probe = videoScenes(frames, idCol, frameIdxCol, frameBinCol,
+        sceneMaxHamming)
+      .select(struct(col(idCol), col("scene_idx")).as("__sk"),
+        col("scene_phash"))
+    graft.operators.Dedup.hammingJoin64(
+        probe, "__sk", "scene_phash", live, "__ik", "__iph", pairMaxHamming)
+      .select(
+        col("id_a").getField(idCol).as(idCol),
+        col("id_a").getField("scene_idx").as("scene"),
+        col("id_b").getField(idCol).as("index_id"),
+        col("id_b").getField("scene_idx").as("index_scene"),
+        col("hamming"))
+  }
+
   /** Cross-video SCENE near-dup: [[videoScenes]] keyframe hashes
     * through the collapsed pigeonhole Hamming join — which scenes of
     * which videos show the same shot, the reuse/attribution view a

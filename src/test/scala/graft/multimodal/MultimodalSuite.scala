@@ -417,6 +417,60 @@ class MultimodalSuite extends SparkSpec {
     assert(pairs.contains(((0L, 1L), (3L, 1L), 0)))
   }
 
+  test("scene index: build/append/probe == naive keyframe pairs; video tombstones drop") {
+    def render(kind: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val fx = x / 64.0
+        val fy = y / 64.0
+        val bright = kind match {
+          case 0 => fx > fy
+          case 1 => (fx - 0.5) * (fx - 0.5) + (fy - 0.5) * (fy - 0.5) < 0.09
+          case _ => fx + fy < 0.7
+        }
+        val v = if (bright) 210 else 45
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    def pat(v: Long, fi: Int): Int = {
+      val c = (v % 3).toInt
+      if (fi <= 2 + c) c else (c + 1) % 3
+    }
+    val frames = for { v <- 0L until 6L; fi <- 0 until 9 }
+      yield (v, fi, render(pat(v, fi)))
+    val fdf = frames.toDF("id", "frame_idx", "payload")
+    val (idxSide, probeSide) =
+      (fdf.filter($"id" % 2 === 0), fdf.filter($"id" % 2 === 1))
+    val p = java.nio.file.Files.createTempDirectory("sceneidx").toString
+    Multimodal.buildSceneIndex(
+      idxSide.filter($"id" === 0L), "id", "frame_idx", "payload", p)
+    Multimodal.appendToSceneIndex(
+      idxSide.filter($"id" =!= 0L), "id", "frame_idx", "payload", p)
+    def probe() = Multimodal.dedupAgainstSceneIndex(
+        spark, probeSide, "id", "frame_idx", "payload", p)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    // naive: scene s of video v shows pattern (v % 3 + s) % 3; equal
+    // patterns pair at hamming 0 across the probe/index split
+    val naive = (for {
+      a <- Seq(1L, 3L, 5L); sa <- 0L to 1L
+      b <- Seq(0L, 2L, 4L); sb <- 0L to 1L
+      if (a % 3 + sa) % 3 == (b % 3 + sb) % 3
+    } yield (a, sa, b, sb, 0)).toSet
+    assert(probe() == naive)
+    // tombstoning an index VIDEO drops all its scenes; re-append resurrects
+    Multimodal.deleteFromSceneIndex(Seq(0L).toDF("id"), "id", p)
+    assert(probe() == naive.filterNot(_._3 == 0L))
+    Multimodal.appendToSceneIndex(
+      idxSide.filter($"id" === 0L), "id", "frame_idx", "payload", p)
+    assert(probe() == naive)
+  }
+
   test("audio-fp index: build/append/probe == naive intersections; tombstones drop") {
     val nW = 60
     def levels(p: Int, variant: Int): Array[Double] = variant match {
