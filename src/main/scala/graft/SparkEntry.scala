@@ -283,6 +283,24 @@ object SparkEntry {
         .select(col("click_id"), col("view_id"),
           abs(unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("delta_us"))
     }),
+    "asof_interpolate" -> ((s, dir) => {
+      // time-series alignment: every click gets the view stream's
+      // value LINEARLY INTERPOLATED at its timestamp from the
+      // bracketing view events (one-sided rows take the neighbor
+      // as-is; exact hits take the event). Both engines evaluate the
+      // identical v1 + (v2-v1)*(Δ/Δtot) expression over exact
+      // microsecond longs and parquet-identical doubles; q4-floored.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      // one view value per timestamp (max) so the bracket is well-defined
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("ts").as("view_ts")).agg(max(col("value")).as("v"))
+      AsOfJoin.interpolate(clicks, views, valueCol = "v",
+          leftId = "click_id", leftOn = Some("click_ts"),
+          rightOn = Some("view_ts"))
+        .select(col("click_id"), q4(col("value_interp")).as("value_interp"))
+    }),
     "asof_join_unbounded" -> ((s, dir) => {
       // merge_asof shape: no tolerance, nearest preceding view per click
       // (sort-based plan — the band-bucket rewrite cannot express tol=∞)
@@ -3181,6 +3199,33 @@ object SparkEntry {
           |                  row_number() OVER (PARTITION BY cid ORDER BY abs(cus - vus), vus, vid) AS rn
           |           FROM c, v WHERE abs(cus - vus) <= 120000000)
           |SELECT cid AS click_id, vid AS view_id, d AS delta_us FROM j WHERE rn = 1""".stripMargin,
+      // bracketing neighbors per click + the identical interpolation
+      // expression over epoch_us longs
+      "asof_interpolate" ->
+        """WITH clicks AS (
+          |  SELECT event_id AS click_id, ts AS cts FROM events
+          |  WHERE event_type = 'click'),
+          |views AS (SELECT ts AS vts, max(value) AS v FROM events
+          |          WHERE event_type = 'view' GROUP BY 1),
+          |b AS (SELECT c.click_id, max(v.vts) AS t1 FROM clicks c
+          |      JOIN views v ON v.vts <= c.cts GROUP BY 1),
+          |f AS (SELECT c.click_id, min(v.vts) AS t2 FROM clicks c
+          |      JOIN views v ON v.vts >= c.cts GROUP BY 1),
+          |j AS (SELECT c.click_id, c.cts, b.t1, vb.v AS v1, f.t2, vf.v AS v2
+          |      FROM clicks c
+          |      LEFT JOIN b USING (click_id)
+          |      LEFT JOIN views vb ON vb.vts = b.t1
+          |      LEFT JOIN f USING (click_id)
+          |      LEFT JOIN views vf ON vf.vts = f.t2)
+          |SELECT click_id,
+          |  floor((CASE WHEN v1 IS NULL THEN v2
+          |              WHEN v2 IS NULL THEN v1
+          |              WHEN t2 = t1 THEN v1
+          |              ELSE v1 + (v2 - v1) *
+          |                (CAST(epoch_us(cts) - epoch_us(t1) AS DOUBLE)
+          |                 / CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE))
+          |         END) * 10000.0) / 10000.0 AS value_interp
+          |FROM j""".stripMargin,
       "asof_join_unbounded" ->
         """WITH c AS (SELECT event_id AS click_id, epoch_us(ts) AS click_us
           |           FROM events WHERE event_type = 'click'),

@@ -253,4 +253,60 @@ object AsOfJoin {
         r.columns.map(n => col(s"__graft_match.`$n`").as(n))
     matched.select(outCols.toIndexedSeq: _*)
   }
+
+  /** INTERPOLATING as-of enrichment — the time-series alignment step
+    * sensor/market pipelines need beyond nearest-event picks: each
+    * left row gets the right stream's `valueCol` LINEARLY INTERPOLATED
+    * at its timestamp from the bracketing events,
+    * `v1 + (v2 − v1) · (t − t1)/(t2 − t1)` over exact microsecond
+    * longs. One-sided rows (before the first / after the last right
+    * event) take the available neighbor's value as-is; an exact
+    * timestamp hit takes that event's value; left rows matching no
+    * right event at all yield null. Composed from two [[unbounded]]
+    * as-of passes (backward and forward) joined back on `leftId` —
+    * which must be UNIQUE per left row (caller contract, like every
+    * re-keyed composition here).
+    */
+  def interpolate(
+      left: DataFrame,
+      right: DataFrame,
+      valueCol: String,
+      leftId: String,
+      on: Option[String] = None,
+      leftOn: Option[String] = None,
+      rightOn: Option[String] = None,
+      by: Seq[String] = Nil,
+      outCol: String = "value_interp"): DataFrame = {
+    val cols = JoinSpec.resolve(on, leftOn, rightOn)
+    JoinSpec.requireColumn(left, cols.leftCol, "left")
+    JoinSpec.requireColumn(left, leftId, "left")
+    JoinSpec.requireColumn(right, cols.rightCol, "right")
+    JoinSpec.requireColumn(right, valueCol, "right")
+    require(!left.columns.exists(
+        Seq("__t1", "__v1", "__t2", "__v2", outCol).contains),
+      s"interpolate: left must not carry __t1/__v1/__t2/__v2/$outCol")
+    val rSlim = right.select(
+      (by.map(col) :+ col(cols.rightCol).as("__gi_rts") :+
+        col(valueCol).cast("double").as("__gi_rv")): _*)
+    val lSlim = left.select(
+      (Seq(col(leftId), col(cols.leftCol)) ++ by.map(col)).distinct: _*)
+    def side(direction: String, t: String, v: String) =
+      unbounded(lSlim, rSlim, rightId = "__gi_rv",
+          leftOn = Some(cols.leftCol), rightOn = Some("__gi_rts"),
+          direction = direction, by = by)
+        .select(col(leftId), col("__gi_rts").as(t), col("__gi_rv").as(v))
+    val bwd = side("backward", "__t1", "__v1")
+    val fwd = side("forward", "__t2", "__v2")
+    left.join(bwd, Seq(leftId), "left").join(fwd, Seq(leftId), "left")
+      .withColumn(outCol,
+        when(col("__v1").isNull, col("__v2"))
+          .when(col("__v2").isNull, col("__v1"))
+          .when(col("__t2") === col("__t1"), col("__v1"))
+          .otherwise(col("__v1") + (col("__v2") - col("__v1")) *
+            ((unix_micros(col(cols.leftCol)) - unix_micros(col("__t1")))
+              .cast("double") /
+              (unix_micros(col("__t2")) - unix_micros(col("__t1")))
+                .cast("double"))))
+      .drop("__t1", "__v1", "__t2", "__v2")
+  }
 }

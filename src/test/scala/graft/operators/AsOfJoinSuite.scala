@@ -240,4 +240,36 @@ class AsOfJoinSuite extends SparkSpec {
         leftOn = Some("cts"), rightOn = Some("vts"), by = Seq("user"))
     }
   }
+
+  test("interpolate: brackets, exact hits, one-sided edges, no-match nulls") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // right stream: value 10 at t=100, 30 at t=200, 90 at t=500
+    val right = Seq((ts(100), 10.0), (ts(200), 30.0), (ts(500), 90.0))
+      .toDF("vts", "v")
+    val left = Seq(
+      (1L, ts(150)),  // midpoint of 10..30 -> 20
+      (2L, ts(200)),  // exact hit -> 30
+      (3L, ts(425)),  // 3/4 of 30..90 -> 75
+      (4L, ts(50)),   // before first -> 10 (one-sided)
+      (5L, ts(600))   // after last -> 90 (one-sided)
+    ).toDF("id", "cts")
+    val out = AsOfJoin.interpolate(left, right, valueCol = "v",
+        leftId = "id", leftOn = Some("cts"), rightOn = Some("vts"))
+      .select("id", "value_interp").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 20.0, 2L -> 30.0, 3L -> 75.0,
+      4L -> 10.0, 5L -> 90.0))
+    // empty right: every left row yields null
+    val none = AsOfJoin.interpolate(left, right.limit(0), valueCol = "v",
+        leftId = "id", leftOn = Some("cts"), rightOn = Some("vts"))
+      .select("value_interp").collect()
+    assert(none.forall(_.isNullAt(0)))
+    // collision guard
+    intercept[IllegalArgumentException] {
+      AsOfJoin.interpolate(
+        left.withColumn("value_interp",
+          org.apache.spark.sql.functions.lit(1)),
+        right, "v", "id", leftOn = Some("cts"), rightOn = Some("vts"))
+    }
+  }
 }
