@@ -2665,6 +2665,32 @@ object SparkEntry {
       // span; docs reassemble from surviving tokens
       Dedup.maskRepeatedWindows(t(s, dir, "documents"), "doc_id", "text", k = 5)
     }),
+    "dedup_span_pairs" -> ((s, dir) => {
+      // the attribution view of exact-substring dedup: one row per
+      // maximal shared run of >= 12 tokens between a doc pair, found as
+      // gaps-and-islands over matched 8-token windows on (posA - posB)
+      // diagonals. The oracle replays windows as text (join on the
+      // window string where the operator joins on xxhash64).
+      Dedup.dupSpanPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minRunTokens = 12)
+    }),
+    "source_keywords" -> ((s, dir) => {
+      // per-source vocabulary card: top-10 distinctive tokens by
+      // exact-integer tf-idf — score = (tf_in_source * 1e6) div
+      // corpus_doc_frequency; score desc, term asc. No float anywhere.
+      Search.distinctiveTerms(t(s, dir, "documents"),
+        "doc_id", "text", "source", topK = 10, minTf = 2)
+    }),
+    "zorder_orders" -> ((s, dir) => {
+      // Z-order (Morton) layout key over (custkey, order epoch-days):
+      // exact min-max bucketization to 16 bits each, bit-interleaved —
+      // the lakehouse ZORDER BY write path as a DataFrame transform.
+      // Output is the per-row key the layout range-partitions on.
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("o_days"))
+      Layout.zorderLayout(o, Seq("o_custkey", "o_days"), bits = 16)
+        .select(col("o_orderkey"), col("zvalue"))
+    }),
     "pack_sequences" -> ((s, dir) => {
       // greedy sequence packing into 128-token training bins, sharded
       // by 25-doc id chunks (chunk-scoped greedy = embarrassingly
@@ -6032,6 +6058,53 @@ object SparkEntry {
           |         WHERE cov.p IS NULL)
           |SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text
           |FROM kept GROUP BY doc_id""".stripMargin,
+      "dedup_span_pairs" ->
+        """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          |           FROM documents),
+          |win AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS win
+          |        FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) s),
+          |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+          |      FROM win a JOIN win b ON b.win = a.win AND a.doc_id < b.doc_id),
+          |r AS (SELECT *, pa - pb AS diag,
+          |        pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl
+          |      FROM m)
+          |SELECT id_a, id_b, CAST(min(pa) - 1 AS BIGINT) AS a_start,
+          |       CAST(min(pa) - 1 - diag AS BIGINT) AS b_start,
+          |       CAST(count(*) + 7 AS BIGINT) AS run_tokens
+          |FROM r GROUP BY id_a, id_b, diag, isl
+          |HAVING count(*) + 7 >= 12""".stripMargin,
+      "source_keywords" ->
+        """WITH tok AS (SELECT doc_id, source,
+          |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          |  FROM documents),
+          |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf
+          |       FROM tok GROUP BY 1, 2 HAVING count(*) >= 2),
+          |dfd AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+          |        FROM tok GROUP BY 1),
+          |sc AS (SELECT tf.source, tf.w AS term, tf.tf, dfd.df_docs,
+          |         (tf.tf * 1000000) // dfd.df_docs AS score
+          |       FROM tf JOIN dfd ON dfd.w = tf.w),
+          |r AS (SELECT *, row_number() OVER (
+          |        PARTITION BY source ORDER BY score DESC, term ASC) AS rn
+          |      FROM sc)
+          |SELECT source, term, tf, df_docs, CAST(score AS BIGINT) AS score
+          |FROM r WHERE rn <= 10""".stripMargin,
+      "zorder_orders" ->
+        ("""WITH st AS (SELECT
+           |    CAST(min(o_custkey) AS BIGINT) AS mn1, CAST(max(o_custkey) AS BIGINT) AS mx1,
+           |    CAST(min(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS mn2,
+           |    CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS mx2
+           |  FROM orders),
+           |b AS (SELECT o_orderkey,
+           |    ((CAST(o_custkey AS BIGINT) - mn1) * 65535) // greatest(1, mx1 - mn1) AS b1,
+           |    ((CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) - mn2) * 65535)
+           |      // greatest(1, mx2 - mn2) AS b2
+           |  FROM orders, st)
+           |SELECT o_orderkey, CAST(""".stripMargin +
+          (0 until 16).map(i =>
+            s"((b1 >> $i) & 1) * ${1L << (2 * i)} + ((b2 >> $i) & 1) * ${1L << (2 * i + 1)}")
+            .mkString(" + ") +
+          " AS BIGINT) AS zvalue FROM b"),
       "pipeline_pack_clean" ->
         (s"""WITH RECURSIVE tok AS ($tok),
            |agg AS (SELECT doc_id, count(*) AS n,

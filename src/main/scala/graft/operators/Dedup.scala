@@ -737,6 +737,70 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Maximal shared exact token runs between document pairs — the
+    * attribution view of Lee et al.'s exact-substring dedup (the
+    * remover is [[maskRepeatedWindows]]; this reports WHO shares WHAT,
+    * one row per maximal run): every pair of docs sharing an exact run
+    * of at least `minRunTokens` whitespace tokens, with the run's start
+    * position in each doc (0-based token index, aligned with
+    * `posexplode(tokens(text))`) and its token length.
+    *
+    * Matched k-token windows between two docs lie on diagonals of the
+    * (posA, posB) grid: a shared run of R tokens contributes R−k+1
+    * consecutive window matches on ONE diagonal (posA − posB
+    * constant). Runs are therefore gaps-and-islands per
+    * `(id_a, id_b, diagonal)`: island key = posA − row_number over
+    * posA; run length = windows-in-island + k − 1.
+    *
+    * Scale shape: the window explode ships `(id, pos, xxhash64)` longs
+    * — never window text; the self-equi-join on the hash meets only
+    * docs sharing a window (inverted-index join, AQE-splittable); the
+    * island window function shuffles by (pair, diagonal) — each
+    * partition is one pair's matches, never the corpus. The quadratic
+    * hazard is a boilerplate window shared by S docs (S²/2 candidate
+    * rows in one hash block): `hotWindowCutoff` drops window hashes
+    * occurring more than that many times BEFORE the join, the same
+    * cap contract as [[sharedFingerprintPairs]] — a window in >cutoff
+    * docs is boilerplate, not attribution signal. Off by default.
+    */
+  def dupSpanPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minRunTokens: Int = 12,
+      hotWindowCutoff: Long = Long.MaxValue): DataFrame = {
+    require(k > 0, s"dupSpanPairs: k must be positive, got $k")
+    require(minRunTokens >= k,
+      s"dupSpanPairs: minRunTokens ($minRunTokens) must be >= k ($k) — " +
+        "a single matched window already proves a k-token run")
+    require(hotWindowCutoff > 1,
+      s"dupSpanPairs: hotWindowCutoff must be > 1, got $hotWindowCutoff")
+    val raw = df.select(col(idCol).as("__id"),
+        explode(windowHashes(k)(col(textCol))).as("__w"))
+      .select(col("__id"), col("__w.pos").as("__pos"), col("__w.h").as("__h"))
+    val wins =
+      if (hotWindowCutoff == Long.MaxValue) raw
+      else raw
+        .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("__h"))))
+        .filter(col("__occ") <= hotWindowCutoff)
+        .drop("__occ")
+    val matches = wins.as("a")
+      .join(wins.hint("shuffle_hash").as("b"),
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__pos").as("__pa"), col("b.__pos").as("__pb"))
+      .withColumn("__diag", col("__pa") - col("__pb"))
+    val island = Window.partitionBy(col("id_a"), col("id_b"), col("__diag"))
+      .orderBy(col("__pa"))
+    matches
+      .withColumn("__isl", col("__pa") - row_number().over(island))
+      .groupBy(col("id_a"), col("id_b"), col("__diag"), col("__isl"))
+      .agg(min(col("__pa")).cast("long").as("a_start"),
+        (count(lit(1)) + lit(k - 1L)).as("run_tokens"))
+      .filter(col("run_tokens") >= minRunTokens)
+      .select(col("id_a"), col("id_b"), col("a_start"),
+        (col("a_start") - col("__diag")).cast("long").as("b_start"),
+        col("run_tokens"))
+  }
+
   /** 64-bit SimHash of the token multiset: bit j of the signature is the
     * sign of `sum over tokens of (bit j of fnv64(token) ? +1 : -1)`.
     * Native [[graft.functions.SimHash64Expr]] straight over the text —

@@ -890,4 +890,58 @@ object Search {
       .join(broadcast(slots), "__t")
     phraseAgg(votes, m, k, "doc_id")
   }
+
+  /** Per-group distinctive terms — TF-IDF keyword extraction on EXACT
+    * integer arithmetic: the top `topK` lowercased whitespace tokens of
+    * each group (source, domain, language) ranked by
+    * `score = (tf_in_group · 10⁶) div df_docs`, where `tf_in_group` is
+    * the token's occurrence count inside the group and `df_docs` its
+    * corpus-wide distinct-document frequency. Within one group the
+    * classic tf·idf ordering is monotone in tf/df (idf's log is
+    * monotone in 1/df and N is constant per corpus), so integral
+    * division on a 10⁶ grid reproduces the ranking with zero float
+    * anywhere — the score itself is engine-exact, not just the order.
+    * Ties: score desc, then term asc (terms are unique per group).
+    *
+    * The data-curation use: a per-source vocabulary card — which terms
+    * make this crawl slice different from the corpus — and a drift
+    * check between snapshot cards (same shape as
+    * [[graft.operators.CorpusDiff]]).
+    *
+    * Scale shape: two partial-aggregable token aggregations off one
+    * explode (group-term counts; distinct-doc counts over the
+    * pre-distinct `(doc, term)` projection), an equi-join on term, and
+    * a rank window that plans `WindowGroupLimit` — each shuffle
+    * partition keeps ≤ topK rows per group before the final window, so
+    * vocabulary size never reaches the sort. `minTf` prunes the
+    * singleton-token long tail at the first aggregate (HAVING over the
+    * partial counts), which is where a 100 TB crawl's hapax flood dies.
+    * Caller contract: `tf · 10⁶` must fit a signed 64-bit long —
+    * tf ≤ ~9.2·10¹², i.e. past any single group's plausible count.
+    */
+  def distinctiveTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      topK: Int = 10,
+      minTf: Long = 2L): DataFrame = {
+    require(topK > 0, s"distinctiveTerms: topK must be positive, got $topK")
+    require(minTf >= 1, s"distinctiveTerms: minTf must be >= 1, got $minTf")
+    val tok = docs.select(col(idCol).as("__id"), col(groupCol).as("__g"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("__t"))
+    val tf = tok.groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= minTf)
+    val dfDocs = tok.select(col("__id"), col("__t")).distinct()
+      .groupBy(col("__t")).agg(count(lit(1)).as("df_docs"))
+    val scored = tf.join(dfDocs, "__t")
+      .withColumn("score", expr("(tf * 1000000L) div df_docs"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("score").desc, col("__t").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col("__g").as(groupCol), col("__t").as("term"),
+        col("tf"), col("df_docs"), col("score"))
+  }
 }

@@ -584,6 +584,51 @@ class DedupSuite extends SparkSpec {
     assert(out(1) == "a b c d e x x")
   }
 
+  test("dupSpanPairs: one maximal run with exact start positions and length") {
+    val run = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1, s"a1 a2 $run b1 b2"),     // run at 0-based token pos 2
+      (2, s"c1 $run d1 d2 d3")      // run at 0-based token pos 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanPairs(docs, "doc_id", "text", k = 8, minRunTokens = 12)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1, 2, 2L, 1L, 12L)))
+  }
+
+  test("dupSpanPairs: disjoint runs are separate rows; sub-threshold runs filter") {
+    val long = (1 to 12).map(i => s"r$i").mkString(" ")
+    val short = (1 to 8).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1, s"$long x1 x2 $short y1"),
+      (2, s"z1 $long w1 $short v1")
+    ).toDF("doc_id", "text")
+    val strict = Dedup.dupSpanPairs(docs, "doc_id", "text", k = 8, minRunTokens = 12)
+      .collect().map(r => (r.getLong(2), r.getLong(4))).toSet
+    assert(strict == Set((0L, 12L)))           // only the 12-token run survives
+    val loose = Dedup.dupSpanPairs(docs, "doc_id", "text", k = 8, minRunTokens = 8)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(loose == Set((0L, 1L, 12L), (14L, 14L, 8L)))
+    intercept[IllegalArgumentException] {
+      Dedup.dupSpanPairs(docs, "doc_id", "text", k = 8, minRunTokens = 7)
+    }
+  }
+
+  test("dupSpanPairs hot-window cutoff drops boilerplate pairs, keeps rare runs") {
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val rare = (1 to 12).map(i => s"u$i").mkString(" ")
+    val docs = (1 to 4).map(i => (i, s"f$i $boiler g$i")) ++
+      Seq((5, s"h5 $rare"), (6, s"$rare h6"))
+    val df = docs.toDF("doc_id", "text")
+    val all = Dedup.dupSpanPairs(df, "doc_id", "text", k = 8, minRunTokens = 12)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(all.size == 7)                      // C(4,2) boilerplate pairs + (5,6)
+    // each boilerplate window occurs in 4 docs > cutoff 2; the rare run's in 2
+    val cut = Dedup.dupSpanPairs(df, "doc_id", "text", k = 8, minRunTokens = 12,
+        hotWindowCutoff = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(cut == Set((5, 6)))
+  }
+
   test("index search picks up the index's own parameters from meta") {
     val corpus = Seq((1, "a b c d e")).toDF("doc_id", "text")
     val delta = Seq((2, "a b c d e")).toDF("doc_id", "text")

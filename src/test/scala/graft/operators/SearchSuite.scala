@@ -477,6 +477,34 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("distinctiveTerms: exact integer tf-idf scores, rank order, minTf prune") {
+    val docs = Seq(
+      (1, "a", "Apple apple common"),
+      (2, "a", "apple banana common"),
+      (3, "b", "banana banana common common")
+    ).toDF("doc_id", "source", "text")
+    val out = Search.distinctiveTerms(docs, "doc_id", "text", "source",
+        topK = 2, minTf = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // group a: apple tf=3 df=2 -> 1500000; common tf=2 df=3 -> 666666
+    // group b: banana tf=2 df=2 -> 1000000; common tf=2 df=3 -> 666666
+    assert(out == Set(
+      ("a", "apple", 3L, 2L, 1500000L),
+      ("a", "common", 2L, 3L, 666666L),
+      ("b", "banana", 2L, 2L, 1000000L),
+      ("b", "common", 2L, 3L, 666666L)))
+    // minTf=2 prunes group-a banana (tf=1) before it could ever rank
+    val pruned = Search.distinctiveTerms(docs, "doc_id", "text", "source",
+        topK = 3, minTf = 2)
+      .filter(col("source") === "a").collect().map(_.getString(1)).toSet
+    assert(pruned == Set("apple", "common"))
+    intercept[IllegalArgumentException] {
+      Search.distinctiveTerms(docs, "doc_id", "text", "source", topK = 0)
+    }
+  }
+
   test("hybridRrfTopK rejects bad arguments") {
     intercept[IllegalArgumentException] {
       Search.hybridRrfTopK(corpus, vectors, "doc_id", "text", "vec_id",
