@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   * crossJoin broadcast back into the scan projection — the corpusReport
   * pattern), then ONE range exchange on the z key and a partition-local
   * sort. No global sort, no window, no second pass over the data.
+  *
+  * Relationship to [[graft.sources.Sources.writeZOrdered]]: same curve,
+  * different bucketizer. That sink rank-normalizes dimensions through
+  * sampled quantiles (skew-robust, any numeric type, sample-dependent
+  * boundaries); this operator scales integral dimensions by exact
+  * min-max arithmetic in pure codegen — bit-for-bit engine-reproducible
+  * (the `zorder_orders` oracle), and the z key stays available as a
+  * query-able column rather than being dropped at the sink.
   */
 object Layout {
 

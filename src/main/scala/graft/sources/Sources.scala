@@ -136,6 +136,16 @@ object Sources {
     *
     * Timestamp/date dimensions normalize via their epoch value; nulls
     * sort first (bucket 0 in every dimension).
+    *
+    * Relationship to [[graft.operators.Layout]]: same curve, different
+    * bucketizer. Layout.zorderLayout scales each dimension by exact
+    * integral min-max arithmetic in a codegen expression — engine-
+    * reproducible bit for bit (the `zorder_orders` oracle), but a
+    * single outlier stretches its buckets. This sink rank-normalizes
+    * through sampled quantiles instead — robust to skew and usable on
+    * any numeric/timestamp column, at the cost of sample-dependent
+    * (not engine-exact) bucket boundaries. Write path: either. Query
+    * path / reproducible layout keys: Layout.
     */
   def writeZOrdered(
       df: DataFrame, path: String, zCols: Seq[String], numFiles: Int,
