@@ -6074,9 +6074,10 @@ object SparkEntry {
           |FROM r GROUP BY id_a, id_b, diag, isl
           |HAVING count(*) + 7 >= 12""".stripMargin,
       "source_keywords" ->
-        """WITH tok AS (SELECT doc_id, source,
-          |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-          |  FROM documents),
+        """WITH tok AS (SELECT doc_id, source, w FROM (
+          |    SELECT doc_id, source,
+          |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          |    FROM documents) WHERE w <> ''),
           |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf
           |       FROM tok GROUP BY 1, 2 HAVING count(*) >= 2),
           |dfd AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs

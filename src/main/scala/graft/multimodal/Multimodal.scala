@@ -820,6 +820,12 @@ object Multimodal {
     */
   def audioSubFingerprints(bytes: Array[Byte], windowSamples: Int = 400,
       k: Int = 16, w: Int = 4): Array[Long] = {
+    // null payload short-circuits explicitly: the codegen'd expression
+    // passes null through (AudioSubFpExpr is non-nullable), and relying
+    // on decodePcmMono's NonFatal catch to swallow the NPE from
+    // `new ByteArrayInputStream(null)` would be fragile under a decode
+    // refactor
+    if (bytes == null) return Array.emptyLongArray
     val pcm = decodePcmMono(bytes)
     if (pcm == null) return Array.emptyLongArray
     val nW = pcm.length / windowSamples

@@ -262,10 +262,26 @@ object AsOfJoin {
     * longs. One-sided rows (before the first / after the last right
     * event) take the available neighbor's value as-is; an exact
     * timestamp hit takes that event's value; left rows matching no
-    * right event at all yield null. Composed from two [[unbounded]]
-    * as-of passes (backward and forward) joined back on `leftId` —
-    * which must be UNIQUE per left row (caller contract, like every
-    * re-keyed composition here).
+    * right event at all (including null-timestamp / null-`by` rows)
+    * yield null.
+    *
+    * Duplicate-timestamp contract: right rows sharing `(by…, ts)` are
+    * pre-aggregated to the MAX of their values inside the operator, so
+    * both brackets see the SAME well-defined value per timestamp —
+    * symmetric by construction (de-dup the right stream upstream if a
+    * different resolution is wanted).
+    *
+    * == Scale design ==
+    * ONE pass of [[unbounded]]'s union-and-range-partition machinery
+    * computes BOTH brackets: the tagged union range-partitions on
+    * `(by…, ts)` once, a backward window (ts asc) carries the latest
+    * right event onto each left row while a forward window (ts desc)
+    * carries the earliest following one — two sorts inside the SAME
+    * exchange, no second shuffle of the left side and no join back on
+    * a row id (so `leftId` need not be unique; the parameter remains
+    * for signature compatibility and is validated only for existence).
+    * Partition-boundary fix-up is the same one-row-per-partition carry
+    * frame as [[unbounded]], cumulated in both directions.
     */
   def interpolate(
       left: DataFrame,
@@ -282,31 +298,112 @@ object AsOfJoin {
     JoinSpec.requireColumn(left, leftId, "left")
     JoinSpec.requireColumn(right, cols.rightCol, "right")
     JoinSpec.requireColumn(right, valueCol, "right")
-    require(!left.columns.exists(
-        Seq("__t1", "__v1", "__t2", "__v2", outCol).contains),
-      s"interpolate: left must not carry __t1/__v1/__t2/__v2/$outCol")
-    val rSlim = right.select(
-      (by.map(col) :+ col(cols.rightCol).as("__gi_rts") :+
-        col(valueCol).cast("double").as("__gi_rv")): _*)
-    val lSlim = left.select(
-      (Seq(col(leftId), col(cols.leftCol)) ++ by.map(col)).distinct: _*)
-    def side(direction: String, t: String, v: String) =
-      unbounded(lSlim, rSlim, rightId = "__gi_rv",
-          leftOn = Some(cols.leftCol), rightOn = Some("__gi_rts"),
-          direction = direction, by = by)
-        .select(col(leftId), col("__gi_rts").as(t), col("__gi_rv").as(v))
-    val bwd = side("backward", "__t1", "__v1")
-    val fwd = side("forward", "__t2", "__v2")
-    left.join(bwd, Seq(leftId), "left").join(fwd, Seq(leftId), "left")
-      .withColumn(outCol,
-        when(col("__v1").isNull, col("__v2"))
-          .when(col("__v2").isNull, col("__v1"))
-          .when(col("__t2") === col("__t1"), col("__v1"))
-          .otherwise(col("__v1") + (col("__v2") - col("__v1")) *
-            ((unix_micros(col(cols.leftCol)) - unix_micros(col("__t1")))
-              .cast("double") /
-              (unix_micros(col("__t2")) - unix_micros(col("__t1")))
-                .cast("double"))))
-      .drop("__t1", "__v1", "__t2", "__v2")
+    by.foreach { c =>
+      JoinSpec.requireColumn(left, c, "left (by)")
+      JoinSpec.requireColumn(right, c, "right (by)")
+    }
+    require(!left.columns.contains(outCol),
+      s"interpolate: left must not carry $outCol")
+    require(!left.columns.exists(_.startsWith("__gi_")),
+      "interpolate: left must not carry __gi_-prefixed columns")
+
+    val TS = "__graft_gi_ts"
+    val TAG = "__graft_gi_tag"
+    val BR = "__graft_gi_br"
+    val LROW = "__graft_gi_l"
+    val PID = "__graft_gi_pid"
+    val K = by.indices.map(i => s"__graft_gi_k$i")
+    val lType = StructType(left.schema.fields)
+    val brType = StructType(Seq(
+      org.apache.spark.sql.types.StructField("t", left.schema(cols.leftCol).dataType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    require(left.schema(cols.leftCol).dataType ==
+        right.schema(cols.rightCol).dataType,
+      s"interpolate: join columns must share a type, got " +
+        s"${left.schema(cols.leftCol).dataType} vs ${right.schema(cols.rightCol).dataType}")
+
+    // right events deduped per (by…, ts): max value (the documented
+    // duplicate-timestamp contract), carried as one bracket struct
+    val rT = right
+      .filter(col(cols.rightCol).isNotNull &&
+        by.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
+      .select(by.zip(K).map { case (c, k) => col(c).as(k) } ++ Seq(
+        col(cols.rightCol).as(TS),
+        col(valueCol).cast("double").as("__gi_rv0")): _*)
+      .groupBy((K :+ TS).map(col): _*)
+      .agg(max(col("__gi_rv0")).as("__gi_rv"))
+      .select(K.map(col) ++ Seq(
+        col(TS), lit(0).as(TAG),
+        struct(col(TS).as("t"), col("__gi_rv").as("v")).as(BR),
+        lit(null).cast(lType).as(LROW)): _*)
+    // left rows whose ts or by keys are null can't bracket — they skip
+    // the shuffle entirely and rejoin the output with a null outCol
+    val lValid = col(cols.leftCol).isNotNull &&
+      by.map(col(_).isNotNull).foldLeft(lit(true))(_ && _)
+    val lT = left.filter(lValid)
+      .select(by.zip(K).map { case (c, k) => col(c).as(k) } ++ Seq(
+        col(cols.leftCol).as(TS), lit(1).as(TAG),
+        lit(null).cast(brType).as(BR),
+        struct(left.columns.map(col).toIndexedSeq: _*).as(LROW)): _*)
+
+    // same materialized-range-exchange contract as [[unbounded]]: the
+    // frame feeds the windows, the carry, and the pid list
+    val p = left.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = rT.unionByName(lT)
+      .repartitionByRange(p, (K.map(col) :+ col(TS)): _*)
+      .withColumn(PID, spark_partition_id())
+      .localCheckpoint(true)
+
+    // two window passes inside the one exchange: right rows order
+    // before left rows at equal ts in BOTH directions (TAG asc), so
+    // each bracket is inclusive of exact hits
+    val wB = Window.partitionBy((col(PID) +: K.map(col)): _*)
+      .orderBy(col(TS).asc, col(TAG).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy((col(PID) +: K.map(col)): _*)
+      .orderBy(col(TS).desc, col(TAG).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = parted
+      .withColumn("__gi_wb", last(col(BR), ignoreNulls = true).over(wB))
+      .withColumn("__gi_wf", last(col(BR), ignoreNulls = true).over(wF))
+
+    // ONE aggregate yields both per-partition extremes; the cumulation
+    // across the partition sequence runs once per direction over the
+    // O(#partitions) frame (pmod non-foldable key — see [[unbounded]])
+    val perPart = parted.filter(col(TAG) === 0)
+      .groupBy((col(PID) +: K.map(col)): _*)
+      .agg(max_by(col(BR), col(TS)).as("__gi_eb"),
+        min_by(col(BR), col(TS)).as("__gi_ef"))
+    val carryKeys: Seq[Column] =
+      if (K.isEmpty) Seq(pmod(col(PID), lit(1))) else K.map(col)
+    val wcB = Window.partitionBy(carryKeys: _*).orderBy(col(PID).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wcF = Window.partitionBy(carryKeys: _*).orderBy(col(PID).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = parted.select((col(PID) +: K.map(col)): _*).distinct()
+      .join(perPart, PID +: K, "left")
+      .withColumn("__gi_cb", last(col("__gi_eb"), ignoreNulls = true).over(wcB))
+      .withColumn("__gi_cf", last(col("__gi_ef"), ignoreNulls = true).over(wcF))
+      .select((Seq(col(PID)) ++ K.map(col) ++
+        Seq(col("__gi_cb"), col("__gi_cf"))): _*)
+    val carryJ = if (K.isEmpty) broadcast(carry) else carry
+
+    val b = coalesce(col("__gi_wb"), col("__gi_cb"))
+    val f = coalesce(col("__gi_wf"), col("__gi_cf"))
+    val interp =
+      when(b.getField("v").isNull, f.getField("v"))
+        .when(f.getField("v").isNull, b.getField("v"))
+        .when(f.getField("t") === b.getField("t"), b.getField("v"))
+        .otherwise(b.getField("v") + (f.getField("v") - b.getField("v")) *
+          ((unix_micros(col(TS)) - unix_micros(b.getField("t"))).cast("double") /
+            (unix_micros(f.getField("t")) - unix_micros(b.getField("t")))
+              .cast("double")))
+    val outCols = left.columns.map(n => col(s"$LROW.`$n`").as(n)).toIndexedSeq
+    val computed = withIn.join(carryJ, PID +: K, "left")
+      .filter(col(TAG) === 1)
+      .select(outCols :+ interp.as(outCol): _*)
+    val skipped = left.filter(!coalesce(lValid, lit(false)))
+      .withColumn(outCol, lit(null).cast("double"))
+    computed.unionByName(skipped)
   }
 }

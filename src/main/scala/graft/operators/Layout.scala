@@ -60,9 +60,15 @@ object Layout {
     * `(v − min)·(2^bits − 1) div max(1, max − min)` against the
     * dataset-wide min/max (one slim aggregate, broadcast back via a
     * 1-row crossJoin). Integral inputs only — cast dates to epoch days
-    * and timestamps to epoch seconds first; caller contract:
-    * `(max − min)·(2^bits − 1)` must fit a signed long (spread ≤
-    * ~1.4·10¹⁴ at 16 bits).
+    * and timestamps to epoch seconds first. Null dimension values
+    * normalize to the min (bucket 0), matching
+    * [[graft.sources.Sources.writeZOrdered]], so null-dim rows cluster
+    * at the curve origin instead of collecting in one null-key range
+    * partition; an all-null dimension keeps null buckets (there is no
+    * min to land on). The documented contract that
+    * `(max − min)·(2^bits − 1)` fits a signed long is ENFORCED at run
+    * time — a spread past ~1.4·10¹⁴ at 16 bits raises instead of
+    * silently wrapping into a garbage layout.
     */
   def minMaxBuckets(df: DataFrame, valueCols: Seq[String], bits: Int = 16): DataFrame = {
     require(valueCols.nonEmpty, "minMaxBuckets: no columns")
@@ -78,9 +84,20 @@ object Layout {
     val stats = df.agg(aggs.head, aggs.tail: _*)
     val scale = (1L << bits) - 1L
     val bucketed = valueCols.foldLeft(df.crossJoin(broadcast(stats))) { (acc, c) =>
+      val bucket = expr(
+        s"((coalesce(CAST(`$c` AS BIGINT), `__mn_$c`) - `__mn_$c`) * ${scale}L) " +
+          s"div greatest(1L, `__mx_$c` - `__mn_$c`)")
+      // the guard compares two broadcast scalars per row (folds to a
+      // long compare in codegen); coalesce keeps an all-null dimension
+      // on the null-bucket path instead of tripping the overflow branch
       acc.withColumn(s"${c}_zb",
-        expr(s"((CAST(`$c` AS BIGINT) - `__mn_$c`) * ${scale}L) " +
-          s"div greatest(1L, `__mx_$c` - `__mn_$c`)"))
+        when(coalesce(
+            col(s"__mx_$c") - col(s"__mn_$c") <= lit(Long.MaxValue / scale),
+            lit(true)), bucket)
+          .otherwise(raise_error(lit(
+            s"minMaxBuckets: spread of $c times (2^$bits - 1) overflows a " +
+              "signed long — use fewer bits or pre-scale the dimension"))
+            .cast("long")))
     }
     bucketed.drop(valueCols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
   }
