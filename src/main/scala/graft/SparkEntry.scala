@@ -2005,6 +2005,19 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
       Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
     }),
+    "bm25_search_appended" -> ((s, dir) => {
+      // the DAILY-CRAWL-BATCH path without a rebuild: build the
+      // inverted index over doc_id % 3 != 2 (two thirds), append the
+      // remaining third as an immutable delta segment (postings +
+      // lengths + ADDITIVE stats; df resolves across the chain at
+      // query time), serve — must equal one-shot BM25 over the whole
+      // corpus, which is bm25_search's oracle verbatim
+      val d = t(s, dir, "documents")
+      val idx = scratch("bm25_app_index", dir)
+      Search.buildBm25Index(d.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", idx)
+      Search.appendToBm25Index(d.filter(col("doc_id") % 3 === 2), "doc_id", "text", idx)
+      Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
+    }),
     "bm25_search_batch" -> ((s, dir) => {
       // the multi-query serving shape: three keyword queries answered
       // in ONE corpus pass, top-10 each (rank-limit window per query)
@@ -2112,6 +2125,20 @@ object SparkEntry {
       val idx = scratch("phrase_index", dir)
       if (!graft.sources.IndexIO.exists(s, idx))
         Search.buildPositionalIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      Search.phraseSearchIndex(s, idx, Seq("vector", "stream"), k = 20)
+    }),
+    "phrase_search_appended" -> ((s, dir) => {
+      // positional-index append lifecycle: build over doc_id % 3 != 2,
+      // append the remaining third as an immutable delta segment,
+      // serve the same phrase — must equal the inline scan over the
+      // WHOLE corpus (phrase_search's oracle verbatim), because the
+      // probe unions the chain's posting buckets
+      val d = t(s, dir, "documents")
+      val idx = scratch("phrase_app_index", dir)
+      Search.buildPositionalIndex(
+        d.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", idx)
+      Search.appendToPositionalIndex(
+        d.filter(col("doc_id") % 3 === 2), "doc_id", "text", idx)
       Search.phraseSearchIndex(s, idx, Seq("vector", "stream"), k = 20)
     }),
     "lm_score_docs" -> ((s, dir) => {
@@ -3002,6 +3029,37 @@ object SparkEntry {
     * exhaustive probes + a corpus-covering shortlist the index-served
     * dense leg equals this brute-force grid list exactly.
     */
+  /** BM25 top-20 for (vector, stream, spark) over the full corpus —
+    * shared by `bm25_search` (the inline scan), `bm25_search_appended`
+    * (build ⅔ + append ⅓ must equal the one-shot build: stats are
+    * additive, df resolves across the chain at query time), and the
+    * unified-layout serving gate. `WHERE w <> ''`: DuckDB's
+    * regexp_split_to_array('') is [''], so without the filter an
+    * empty/whitespace-only doc would count one phantom token into
+    * N/avgdl where TextFunctions.tokens yields zero.
+    */
+  private val bm25SearchOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |    FROM documents) WHERE w <> ''),
+      |len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM len),
+      |post AS (SELECT doc_id, w, count(*) AS tf FROM tok
+      |         WHERE w IN ('vector', 'stream', 'spark') GROUP BY 1, 2),
+      |dfs AS (SELECT w, count(*) AS df FROM post GROUP BY 1),
+      |sc AS (
+      |  SELECT p.doc_id,
+      |         CAST(floor(
+      |           (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 10000.0) / 10000.0)
+      |           * (tf * (1.2 + 1.0)
+      |              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (total_dl * 1.0 / n_docs))))
+      |           * 100000000.0) AS BIGINT) AS contrib
+      |  FROM post p JOIN dfs USING (w) JOIN len USING (doc_id) CROSS JOIN stats)
+      |SELECT doc_id, sum(contrib) / 100000000.0 AS score, count(*) AS n_terms_hit
+      |FROM sc GROUP BY doc_id
+      |ORDER BY sum(contrib) DESC, doc_id LIMIT 20""".stripMargin
+
   private val hybridRrfOracle: String =
     """WITH tok AS (
       |  SELECT doc_id, w FROM (
@@ -4800,31 +4858,13 @@ object SparkEntry {
           |SELECT doc_id, n_shared, n_shingles,
           |       floor(n_shared * 10000.0 / n_shingles) / 10000.0 AS contamination
           |FROM agg WHERE n_shared > 0""".stripMargin),
-      "bm25_search" ->
-        // `WHERE w <> ''`: DuckDB's regexp_split_to_array('') is [''],
-        // so without the filter an empty/whitespace-only doc would count
-        // one phantom token into N/avgdl where TextFunctions.tokens
-        // yields zero — same drop-empty semantics as the Spark side
-        """WITH tok AS (
-          |  SELECT doc_id, w FROM (
-          |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-          |    FROM documents) WHERE w <> ''),
-          |len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-          |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM len),
-          |post AS (SELECT doc_id, w, count(*) AS tf FROM tok
-          |         WHERE w IN ('vector', 'stream', 'spark') GROUP BY 1, 2),
-          |dfs AS (SELECT w, count(*) AS df FROM post GROUP BY 1),
-          |sc AS (
-          |  SELECT p.doc_id,
-          |         CAST(floor(
-          |           (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 10000.0) / 10000.0)
-          |           * (tf * (1.2 + 1.0)
-          |              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (total_dl * 1.0 / n_docs))))
-          |           * 100000000.0) AS BIGINT) AS contrib
-          |  FROM post p JOIN dfs USING (w) JOIN len USING (doc_id) CROSS JOIN stats)
-          |SELECT doc_id, sum(contrib) / 100000000.0 AS score, count(*) AS n_terms_hit
-          |FROM sc GROUP BY doc_id
-          |ORDER BY sum(contrib) DESC, doc_id LIMIT 20""".stripMargin,
+      "bm25_search" -> bm25SearchOracle,
+      // build ⅔ + append ⅓ ≡ one-shot build over the whole corpus —
+      // the incremental-index identity IS the claim (the
+      // dedup_incremental_appended pattern)
+      "bm25_search_appended" -> bm25SearchOracle,
+      // positional append: same identity claim for phrase retrieval
+      "phrase_search_appended" -> phraseSearchOracle,
       // two chained BM25 rounds + an integer term-selection CTE: top-10
       // feedback docs -> 3 highest distinct-doc-count non-query terms
       // (ties lexicographic) -> re-score over the expanded term set

@@ -137,6 +137,57 @@ object Search {
     ()
   }
 
+  /** Append NEW documents to a [[buildBm25Index]] index WITHOUT a
+    * rebuild — the daily-crawl-batch lifecycle every sibling index
+    * family already has ([[Dedup.appendToMinhashIndex]],
+    * [[SimilaritySearch.appendToIvfPqIndex]], …): one pass over the
+    * NEW docs only lands their postings + lengths in an immutable
+    * `publishDelta` segment, readers union the chain. The segment
+    * carries UPDATED corpus stats (previous n_docs/total_dl plus the
+    * batch's — both additive), so serving stays O(1) on stats;
+    * per-term df is computed from live postings at query time
+    * ([[bm25SearchIndex]]), so segment appends compose with deletes
+    * and with each other by construction.
+    *
+    * Caller contract (the same as every append here): the batch's ids
+    * must not already be LIVE in the index — a double-append would
+    * double-count postings and stats. Re-appending a TOMBSTONED id
+    * resurrects it (log-structured semantics). An empty batch (or one
+    * with only token-less docs) is a no-op, not a new version.
+    */
+  def appendToBm25Index(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      termBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    val prev = spark.read.parquet(s"$vdir/stats").head()
+    val lengths = docs.select(
+        col(idCol).as("doc_id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+      .localCheckpoint(true) // scanned for stats, the no-op probe, and the write
+    val add = lengths.agg(
+      count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+    if (add.getLong(0) == 0L) return
+    import spark.implicits._
+    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+      docs.select(col(idCol).as("doc_id"),
+          explode(TextFunctions.tokens(col(textCol))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .repartition(termBuckets, col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$seg/postings")
+      lengths.write.mode("overwrite").parquet(s"$seg/lengths")
+      Seq((prev.getLong(0) + add.getLong(0), prev.getLong(1) + add.getLong(1)))
+        .toDF("n_docs", "total_dl")
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/stats")
+    }
+    ()
+  }
+
   /** Tombstone-delete docs from a [[buildBm25Index]] index WITHOUT a
     * rebuild (the takedown path, mirroring
     * [[SimilaritySearch.deleteFromAnnIndex]]): publishes a delta
@@ -856,6 +907,71 @@ object Search {
         .repartition(termBuckets, col("term"))
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$vdir/postings")
+    }
+    ()
+  }
+
+  /** Append NEW documents' positional postings to a
+    * [[buildPositionalIndex]] index — the same immutable-segment
+    * lifecycle as [[appendToBm25Index]] (phrase retrieval previously
+    * forced a full rebuild per crawl batch). Stateless artifact: the
+    * positional index carries no corpus stats, so the delta segment is
+    * just the new `(term, doc_id, positions)` rows; readers union the
+    * chain and tombstones apply log-ordered. Same caller contract:
+    * batch ids must not already be live; re-appending a tombstoned id
+    * resurrects it; an empty batch is a no-op.
+    */
+  def appendToPositionalIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      termBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    graft.sources.IndexIO.resolve(spark, path) // fail loudly on no base
+    val postings = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .localCheckpoint(true) // probed for emptiness, then written
+    if (postings.isEmpty) return
+    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+      postings
+        .repartition(termBuckets, col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$seg/postings")
+    }
+    ()
+  }
+
+  /** Tombstone-delete docs from a [[buildPositionalIndex]] index — a
+    * tombstone-only delta segment, no stats to correct (the positional
+    * index carries none): readers ([[phraseSearchIndex]],
+    * [[phraseSearchIndexBatch]]) anti-join the chain log-ordered.
+    */
+  def deleteFromPositionalIndex(
+      spark: SparkSession, path: String, ids: DataFrame, idCol: String): Unit = {
+    graft.sources.IndexIO.resolve(spark, path)
+    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+      ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/tombstones")
+    }
+    ()
+  }
+
+  /** Collapse an appended/tombstoned [[buildPositionalIndex]] chain to
+    * ONE segment of live rows, re-bucketed by term — identical serving
+    * results by construction, mirrors [[compactBm25Index]].
+    */
+  def compactPositionalIndex(
+      spark: SparkSession, path: String, termBuckets: Int = 64): Unit = {
+    if (graft.sources.IndexIO.segments(spark, path).length <= 1) return
+    val postings = liveTable(spark, path, "postings")
+    graft.sources.IndexIO.publish(spark, path) { nv =>
+      postings.repartition(termBuckets, col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$nv/postings")
     }
     ()
   }

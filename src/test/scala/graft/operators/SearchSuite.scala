@@ -505,6 +505,68 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("bm25 append: build 3 + append 2 == one-shot build over all 5") {
+    val dir = Files.createTempDirectory("bm25app").toString
+    Search.buildBm25Index(corpus.filter($"doc_id" <= 3), "doc_id", "text",
+      dir, termBuckets = 4)
+    Search.appendToBm25Index(corpus.filter($"doc_id" > 3), "doc_id", "text",
+      dir, termBuckets = 4)
+    // identical serving to a one-shot build: stats are additive, df
+    // resolves across the chain at query time
+    assertSameRows(
+      Search.bm25TopK(corpus, "doc_id", "text", Seq("spark", "filter"), k = 10),
+      Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10))
+    val stats = spark.read.parquet(
+      graft.sources.IndexIO.resolve(spark, dir) + "/stats").head()
+    assert(stats.getLong(0) == 5L, s"n_docs ${stats.getLong(0)} after append")
+    // delete composes with the appended chain (corrects the merged
+    // stats), and compact collapses it to one physically-live segment
+    Search.deleteFromBm25Index(spark, dir, Seq(4L).toDF("doc_id"), "doc_id")
+    val remaining = corpus.filter($"doc_id" =!= 4L)
+    assertSameRows(
+      Search.bm25TopK(remaining, "doc_id", "text", Seq("spark", "filter"), k = 10),
+      Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10))
+    Search.compactBm25Index(spark, dir, termBuckets = 4)
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1)
+    assertSameRows(
+      Search.bm25TopK(remaining, "doc_id", "text", Seq("spark", "filter"), k = 10),
+      Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10))
+    // an empty batch is a no-op, not a new version
+    val v0 = graft.sources.IndexIO.resolve(spark, dir)
+    Search.appendToBm25Index(corpus.filter($"doc_id" > 100), "doc_id", "text", dir)
+    assert(graft.sources.IndexIO.resolve(spark, dir) == v0)
+  }
+
+  test("positional append: served phrase results == inline scan over the union") {
+    val dir = Files.createTempDirectory("posapp").toString
+    Search.buildPositionalIndex(corpus.filter($"doc_id" <= 2), "doc_id", "text",
+      dir, termBuckets = 4)
+    Search.appendToPositionalIndex(corpus.filter($"doc_id" > 2), "doc_id", "text",
+      dir, termBuckets = 4)
+    assertSameRows(
+      Search.phraseTopK(corpus, "doc_id", "text", Seq("scan", "filter"), k = 10),
+      Search.phraseSearchIndex(spark, dir, Seq("scan", "filter"), k = 10))
+    // tombstone delete + compact keep the identity with the shrunk corpus
+    Search.deleteFromPositionalIndex(spark, dir, Seq(4L).toDF("doc_id"), "doc_id")
+    val remaining = corpus.filter($"doc_id" =!= 4L)
+    assertSameRows(
+      Search.phraseTopK(remaining, "doc_id", "text", Seq("scan", "filter"), k = 10),
+      Search.phraseSearchIndex(spark, dir, Seq("scan", "filter"), k = 10))
+    Search.compactPositionalIndex(spark, dir, termBuckets = 4)
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1)
+    assertSameRows(
+      Search.phraseTopK(remaining, "doc_id", "text", Seq("scan", "filter"), k = 10),
+      Search.phraseSearchIndex(spark, dir, Seq("scan", "filter"), k = 10))
+    val live = spark.read.parquet(
+      graft.sources.IndexIO.resolve(spark, dir) + "/postings")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(!live.contains(4L))
+    // empty batch is a no-op
+    val v0 = graft.sources.IndexIO.resolve(spark, dir)
+    Search.appendToPositionalIndex(corpus.filter($"doc_id" > 100), "doc_id", "text", dir)
+    assert(graft.sources.IndexIO.resolve(spark, dir) == v0)
+  }
+
   test("hybridRrfTopK rejects bad arguments") {
     intercept[IllegalArgumentException] {
       Search.hybridRrfTopK(corpus, vectors, "doc_id", "text", "vec_id",
