@@ -2073,6 +2073,32 @@ object SparkEntry {
         .withColumn("lex_rank", col("lex_rank").cast("long"))
         .withColumn("vec_rank", col("vec_rank").cast("long"))
     }),
+    "hybrid_search_rrf_both_indexed" -> ((s, dir) => {
+      // the FULLY-served hybrid: lexical leg from the persisted BM25
+      // index (term-pruned posting buckets), dense leg from the IVF×PQ
+      // index — NEITHER the documents table nor the embeddings table
+      // is scanned on the query path (plan-contract-pinned). With the
+      // BM25 index covering the live corpus and exhaustive dense
+      // probing, the output is exactly hybrid_search_rrf's, so the
+      // oracle is shared — scan≡index is the claim for BOTH legs now.
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFunctions.asDouble(col("embedding")))
+        .head().getSeq[Double](0).toArray
+      val lexIdx = scratch("bm25_srv_index", dir)
+      if (!graft.sources.IndexIO.exists(s, lexIdx))
+        Search.buildBm25Index(t(s, dir, "documents"), "doc_id", "text", lexIdx)
+      val annIdx = scratch("ivfpq_srv_index", dir)
+      if (!graft.sources.IndexIO.exists(s, annIdx))
+        SimilaritySearch.buildIvfPqIndex(e, "vec_id", "embedding", annIdx,
+          nCentroids = 16, m = 32, kCodes = 32)
+      Search.hybridRrfTopKBothIndexed(
+          s, lexIdx, annIdx,
+          Seq("vector", "stream", "spark"), qv, k = 20, fetchK = 50,
+          nProbe = 16, kShortlist = 500, excludeIds = Seq(0L))
+        .withColumn("lex_rank", col("lex_rank").cast("long"))
+        .withColumn("vec_rank", col("vec_rank").cast("long"))
+    }),
     "phrase_search" -> ((s, dir) => {
       // exact quoted-phrase attribution query ("vector stream" as an
       // adjacent token sequence): start-vote aggregation over postings
@@ -4975,6 +5001,9 @@ object SparkEntry {
       // and a corpus-covering shortlist the index-served dense leg is
       // exactly the brute list, so scan≡index IS the claim
       "hybrid_search_rrf_indexed" -> hybridRrfOracle,
+      // both legs index-served; same oracle — the double scan≡index
+      // equality IS the claim
+      "hybrid_search_rrf_both_indexed" -> hybridRrfOracle,
       // phrase retrieval: start-vote adjacency matching; the indexed
       // form shares the oracle — index≡scan is the claim
       "phrase_search" -> phraseSearchOracle,

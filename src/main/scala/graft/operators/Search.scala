@@ -535,8 +535,15 @@ object Search {
   private def lexicalRanked(
       docs: DataFrame, docIdCol: String, textCol: String,
       queryTerms: Seq[String], fetchK: Int): DataFrame =
-    bm25TopK(docs, docIdCol, textCol, queryTerms, fetchK)
-      .select(col(docIdCol).as("__id"), col("score").as("__s"))
+    scoreRanked(bm25TopK(docs, docIdCol, textCol, queryTerms, fetchK)
+      .select(col(docIdCol).as("__id"), col("score").as("__s")))
+
+  /** Rank a bounded `(__id, __s)` score list 1..n, score desc with id
+    * tie-break. The input is a top-k result, so the single-partition
+    * window is bounded by construction.
+    */
+  private def scoreRanked(scored: DataFrame): DataFrame =
+    scored
       .withColumn("rank",
         row_number().over(Window.orderBy(col("__s").desc, col("__id").asc)))
       .select("__id", "rank")
@@ -617,7 +624,21 @@ object Search {
       "hybridRrfTopKIndexed: query vector must be non-zero")
 
     val lexRanked = lexicalRanked(docs, docIdCol, textCol, queryTerms, fetchK)
+    val dense = indexedDenseGrid(spark, indexDir, queryVec, fetchK,
+      nProbe, kShortlist, excludeIds, queryId)
+    rrfFuse(Seq("lex" -> lexRanked, "vec" -> gridRanked(dense, fetchK)), "__id", k, rrfK)
+      .withColumnRenamed("__id", docIdCol)
+  }
 
+  /** The index-served dense leg shared by [[hybridRrfTopKIndexed]] and
+    * [[hybridRrfTopKBothIndexed]]: ADC shortlist + exact rescore from
+    * the IVF×PQ artifact, exclusions dropped BEFORE the `fetchK` cut,
+    * cosines floored onto the scan form's 1e-4 grid as `(__id, __cg)`.
+    */
+  private def indexedDenseGrid(
+      spark: SparkSession, indexDir: String, queryVec: Array[Double],
+      fetchK: Int, nProbe: Int, kShortlist: Int,
+      excludeIds: Seq[Long], queryId: Long): DataFrame = {
     import spark.implicits._
     val qdf = Seq(Tuple2(queryId, queryVec.toSeq)).toDF("__hq_id", "__hq_vec")
     val denseFetch = 2 * fetchK + excludeIds.size
@@ -627,12 +648,61 @@ object Search {
     val kept =
       if (excludeIds.isEmpty) served
       else served.filter(!col("neighbor_id").isin(excludeIds: _*))
-    val dense = kept.select(
+    kept.select(
       col("neighbor_id").as("__id"),
       floor(col("cosine") * lit(10000.0)).cast("long").as("__cg"))
+  }
 
+  /** FULLY index-served hybrid retrieval — BOTH legs resolve from
+    * persisted artifacts, the corpus is NEVER scanned on the query
+    * path: the lexical leg ranks via [[bm25SearchIndex]] (postings
+    * buckets behind a pushed `term IN` filter, tombstone chain
+    * applied, ≤ |query| df rows + one stats row broadcast) and the
+    * dense leg via the IVF×PQ ADC shortlist + vectors-side-file
+    * rescore ([[indexedDenseGrid]]). This closes the serving story
+    * [[hybridRrfTopKIndexed]] left half-open: that form still ran
+    * [[bm25TopK]] over the full corpus text per query — at 100 TB the
+    * per-query cost was one corpus tokenize+shuffle; this form's is
+    * `nProbe` cells of code bytes plus a handful of posting buckets.
+    *
+    * Semantics: with the BM25 index built over the same live corpus,
+    * the lexical list is IDENTICAL to the scan form's (exact grid
+    * scoring either way); with exhaustive probing and a covering
+    * shortlist the dense list is too — so the fused output equals
+    * [[hybridRrfTopK]]'s, which is the gate's oracle claim. Output
+    * `(doc_id, rrf_score, lex_rank, vec_rank)` (the index's stored id
+    * name).
+    */
+  def hybridRrfTopKBothIndexed(
+      spark: SparkSession,
+      bm25IndexDir: String,
+      annIndexDir: String,
+      queryTerms: Seq[String],
+      queryVec: Array[Double],
+      k: Int,
+      fetchK: Int = 50,
+      rrfK: Int = 60,
+      nProbe: Int = 4,
+      kShortlist: Int = 0,
+      excludeIds: Seq[Long] = Nil,
+      queryId: Long = Long.MinValue,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryVec.nonEmpty, "hybridRrfTopKBothIndexed: empty query vector")
+    require(queryVec.forall(v => !v.isNaN && !v.isInfinite),
+      "hybridRrfTopKBothIndexed: query vector must be finite")
+    require(k > 0 && fetchK > 0,
+      s"hybridRrfTopKBothIndexed: need k > 0 and fetchK > 0, got k=$k fetchK=$fetchK")
+    require(rrfK >= 0, s"hybridRrfTopKBothIndexed: rrfK must be >= 0, got $rrfK")
+    require(math.sqrt(queryVec.map(x => x * x).sum) > 0,
+      "hybridRrfTopKBothIndexed: query vector must be non-zero")
+    val lexRanked = scoreRanked(
+      bm25SearchIndex(spark, bm25IndexDir, queryTerms, fetchK, k1, b)
+        .select(col("doc_id").as("__id"), col("score").as("__s")))
+    val dense = indexedDenseGrid(spark, annIndexDir, queryVec, fetchK,
+      nProbe, kShortlist, excludeIds, queryId)
     rrfFuse(Seq("lex" -> lexRanked, "vec" -> gridRanked(dense, fetchK)), "__id", k, rrfK)
-      .withColumnRenamed("__id", docIdCol)
+      .withColumnRenamed("__id", "doc_id")
   }
 
   // ---- phrase (positional) retrieval --------------------------------------

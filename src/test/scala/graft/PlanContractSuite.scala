@@ -206,6 +206,11 @@ class PlanContractSuite extends SparkSpec {
     // relations, so nested-loop-of-data stays forbidden)
     ("hybrid_search_rrf_indexed", Seq.empty,
       Seq("embeddings.parquet", "CartesianProduct")),
+    // FULLY index-served hybrid: NEITHER corpus table may appear in
+    // the query plan — the lexical leg reads BM25 posting buckets, the
+    // dense leg IVF×PQ cells + the vectors side-file, nothing else
+    ("hybrid_search_rrf_both_indexed", Seq.empty,
+      Seq("documents.parquet", "embeddings.parquet", "CartesianProduct")),
     // phrase retrieval: postings restrict to the phrase terms via a
     // broadcast equi-join before any shuffle; top-k is per-partition
     // heaps, never a global sort
