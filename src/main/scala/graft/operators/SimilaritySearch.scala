@@ -232,6 +232,47 @@ object SimilaritySearch {
         col("cosine"))
   }
 
+  /** [[mineHardNegativesIvf]] served from a PERSISTED [[buildIvfIndex]]
+    * artifact — the production mining shape: the in-query form trains
+    * centroids per call (the r13 bench's #3 row was exactly that
+    * training cost); a nightly mining job over a fixed corpus should
+    * pay training once at build time and probe the stored cells, like
+    * every other ANN consumer here. `labels` carries
+    * `(<idCol>, <labelCol>)` for both queries and corpus rows (the
+    * float IVF index stores no attributes — pass the corpus table's id/
+    * label projection; only the label columns ride the broadcast join).
+    *
+    * Shape: [[searchIvf]] probes `nProbe` cells per query for `fetchK`
+    * exact-cosine candidates (partition-pruned cell scan, float corpus
+    * only inside probed cells), labels join onto the broadcast-sized
+    * shortlist, same-label rows drop, re-rank to `k`. With
+    * `nProbe = nCentroids` the probe is exhaustive and — the trainer
+    * being deterministic and seedless — the output is IDENTICAL to
+    * [[mineHardNegativesIvf]] at the same `fetchK`: that equality is
+    * the gate's claim (recall exactly 1.0).
+    */
+  def mineHardNegativesFromIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, labels: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      fetchK: Int = 25, nProbe: Int = 4): DataFrame = {
+    require(fetchK >= k && k >= 1,
+      s"mineHardNegativesFromIndex: need fetchK >= k >= 1, got fetchK=$fetchK k=$k")
+    val fetched = searchIvf(spark, indexDir, queries, idCol, vecCol, fetchK, nProbe)
+    val ql = labels.select(col(idCol).as("query_id"), col(labelCol).as("__ql"))
+    val cl = labels.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cl.join(broadcast(fetched.join(broadcast(ql), Seq("query_id"))),
+        Seq("neighbor_id"))
+      .filter(col("neighbor_label") =!= col("__ql"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("cosine"))
+  }
+
   /** MMR (maximal marginal relevance) diversified re-rank — the step
     * between retrieval and presentation that keeps the top-k from
     * being k paraphrases of one document: greedily pick the candidate

@@ -83,6 +83,23 @@ class SimilaritySearchSuite extends SparkSpec {
         fetchK = 40, nCentroids = 4, nProbe = 4)
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
     assert(ivf == brute)
+    // SERVED form: mining from a persisted buildIvfIndex artifact at
+    // exhaustive probes is IDENTICAL to the in-query IVF form — the
+    // deterministic seedless trainer produces the same centroids, so
+    // the shortlist, label filter, and rank all agree row for row
+    val idx = java.nio.file.Files.createTempDirectory("hn_ivf_idx").toString
+    SimilaritySearch.buildIvfIndex(df, "id", "emb", idx, nCentroids = 4)
+    val served = SimilaritySearch.mineHardNegativesFromIndex(
+        spark, idx, df.filter($"id" < 8), df.select("id", "lab"),
+        "id", "emb", "lab", k = 3, fetchK = 40, nProbe = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(served == brute)
+    // at serving nProbe the usual IVF recall trade applies, but output
+    // stays cross-label only
+    SimilaritySearch.mineHardNegativesFromIndex(
+        spark, idx, df.filter($"id" < 8), df.select("id", "lab"),
+        "id", "emb", "lab", k = 3, fetchK = 10, nProbe = 2)
+      .collect().foreach { r => assert(byId(r.getInt(0))._2 != r.getString(2)) }
   }
 
   test("mmrRerank: diversification beats raw relevance order; guards hold") {
