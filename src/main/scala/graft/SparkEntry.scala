@@ -2187,6 +2187,40 @@ object SparkEntry {
         d.filter(col("doc_id") % 3 === 2), "doc_id", "text", idx)
       Search.phraseSearchIndex(s, idx, Seq("vector", "stream"), k = 20)
     }),
+    "bm25_search_unified" -> ((s, dir) => {
+      // the UNIFIED lexical artifact (postings carry tf AND positions
+      // in one term-bucketed table): BM25 serving column-prunes the
+      // positions away and must equal the dedicated index / the inline
+      // scan — bm25_search's oracle verbatim
+      val idx = scratch("lex_uni_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        Search.buildLexicalIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
+    }),
+    "phrase_search_unified" -> ((s, dir) => {
+      // phrase serving from the SAME unified artifact (prunes tf,
+      // explodes the stored positions) — phrase_search's oracle
+      val idx = scratch("lex_uni_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        Search.buildLexicalIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      Search.phraseSearchIndex(s, idx, Seq("vector", "stream"), k = 20)
+    }),
+    "hybrid_lexical_phrase" -> ((s, dir) => {
+      // combined keyword + exact-phrase retrieval from ONE probe of the
+      // unified artifact: the union term set is pushed to the bucket
+      // scan once, the BM25 leg and the start-vote phrase leg both
+      // consume that single read, RRF fuses their top-50 rank lists.
+      // Exact grid arithmetic end to end — the oracle replays both
+      // legs and the fusion.
+      val idx = scratch("lex_uni_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        Search.buildLexicalIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      Search.hybridLexicalPhraseTopK(s, idx,
+          Seq("vector", "stream", "spark"), Seq("vector", "stream"),
+          k = 20, fetchK = 50)
+        .withColumn("lex_rank", col("lex_rank").cast("long"))
+        .withColumn("phrase_rank", col("phrase_rank").cast("long"))
+    }),
     "lm_score_docs" -> ((s, dir) => {
       // perplexity-proxy quality signal: train add-one bigram stats on
       // the corpus itself, score every doc's mean bigram log-prob
@@ -4917,6 +4951,59 @@ object SparkEntry {
       "bm25_search_appended" -> bm25SearchOracle,
       // positional append: same identity claim for phrase retrieval
       "phrase_search_appended" -> phraseSearchOracle,
+      // unified artifact: BM25 serving prunes positions, phrase serving
+      // prunes tf — each must equal its dedicated-index form exactly
+      "bm25_search_unified" -> bm25SearchOracle,
+      "phrase_search_unified" -> phraseSearchOracle,
+      // one-probe keyword+phrase fusion: replay BM25 top-50 ranks,
+      // phrase top-50 ranks, and the RRF rule (k=60) over exact longs
+      "hybrid_lexical_phrase" ->
+        """WITH tok AS (
+          |  SELECT doc_id, w FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |    FROM documents) WHERE w <> ''),
+          |len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+          |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM len),
+          |post AS (SELECT doc_id, w, count(*) AS tf FROM tok
+          |         WHERE w IN ('vector', 'stream', 'spark') GROUP BY 1, 2),
+          |dfs AS (SELECT w, count(*) AS df FROM post GROUP BY 1),
+          |sc AS (
+          |  SELECT p.doc_id,
+          |         CAST(floor(
+          |           (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 10000.0) / 10000.0)
+          |           * (tf * (1.2 + 1.0)
+          |              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (total_dl * 1.0 / n_docs))))
+          |           * 100000000.0) AS BIGINT) AS contrib
+          |  FROM post p JOIN dfs USING (w) JOIN len USING (doc_id) CROSS JOIN stats),
+          |bm AS (SELECT doc_id, sum(contrib) AS s FROM sc GROUP BY doc_id
+          |       ORDER BY s DESC, doc_id LIMIT 50),
+          |lexr AS (SELECT doc_id,
+          |                row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+          |         FROM bm),
+          |tokp AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |  FROM documents),
+          |ph AS (SELECT * FROM (VALUES (0, 'vector'), (1, 'stream')) AS t(i, w)),
+          |cand AS (SELECT doc_id, pos - i AS s, i FROM tokp JOIN ph USING (w)),
+          |hit AS (SELECT doc_id, s FROM cand
+          |        GROUP BY doc_id, s HAVING count(DISTINCT i) = 2),
+          |pagg AS (SELECT doc_id, count(*) AS n_matches FROM hit GROUP BY doc_id),
+          |ptop AS (SELECT doc_id, n_matches FROM pagg
+          |         ORDER BY n_matches DESC, doc_id LIMIT 50),
+          |phr AS (SELECT doc_id,
+          |               row_number() OVER (ORDER BY n_matches DESC, doc_id)
+          |                 AS phrase_rank
+          |        FROM ptop),
+          |f AS (
+          |  SELECT coalesce(l.doc_id, p.doc_id) AS doc_id,
+          |         coalesce(1.0 / (60 + l.lex_rank), 0)
+          |           + coalesce(1.0 / (60 + p.phrase_rank), 0) AS rrf,
+          |         l.lex_rank, p.phrase_rank
+          |  FROM lexr l FULL OUTER JOIN phr p ON l.doc_id = p.doc_id)
+          |SELECT doc_id, floor(rrf * 1000000.0) / 1000000.0 AS rrf_score,
+          |       lex_rank, phrase_rank
+          |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
       // two chained BM25 rounds + an integer term-selection CTE: top-10
       // feedback docs -> 3 highest distinct-doc-count non-query terms
       // (ties lexicographic) -> re-score over the expanded term set

@@ -250,12 +250,13 @@ object Search {
       graft.sources.IndexIO.chainTable(spark, path, "tombstones"),
       "doc_id")
 
-  /** Serve a BM25 top-k from a [[buildBm25Index]] index. The postings
-    * scan carries a pushed-down `term IN (…)` filter (row-group
-    * min/max skips non-matching buckets' files outright); scoring
-    * arithmetic is identical to [[bm25TopK]]. Postings and lengths
-    * read through the tombstone chain; stats come from the newest
-    * segment (corrected at delete time).
+  /** Serve a BM25 top-k from a [[buildBm25Index]] (or
+    * [[buildLexicalIndex]] — column pruning drops the positions) index.
+    * The postings scan carries a pushed-down `term IN (…)` filter
+    * (row-group min/max skips non-matching buckets' files outright);
+    * scoring arithmetic is identical to [[bm25TopK]]. Postings and
+    * lengths read through the tombstone chain; stats come from the
+    * newest segment (corrected at delete time).
     */
   def bm25SearchIndex(
       spark: SparkSession,
@@ -275,8 +276,18 @@ object Search {
       "doc_id")
     val lengths = liveTable(spark, path, "lengths")
     val stats = spark.read.parquet(s"$vdir/stats")
-    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    bm25ScoreIndexed(postings, lengths, stats, k, k1, b)
+  }
 
+  /** The [[bm25SearchIndex]] scoring core over already-resolved
+    * `(doc_id, term, tf)` postings, `(doc_id, dl)` lengths and the
+    * one-row stats — shared with [[hybridLexicalPhraseTopK]], whose
+    * single artifact probe feeds this AND the phrase leg.
+    */
+  private def bm25ScoreIndexed(
+      postings: DataFrame, lengths: DataFrame, stats: DataFrame,
+      k: Int, k1: Double, b: Double): DataFrame = {
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
     postings
       .join(broadcast(dfs), "term")
       .join(lengths, "doc_id")
@@ -1075,6 +1086,193 @@ object Search {
         explode(col("positions")).as("__pos"))
       .join(broadcast(slots), "__t")
     phraseAgg(votes, m, k, "doc_id")
+  }
+
+  // ---- unified lexical index (BM25 + positions in one artifact) -----------
+
+  /** Build the UNIFIED lexical index: one postings table
+    * `(term, doc_id, tf, positions)` bucketed by term, plus the BM25
+    * `lengths`/`stats` side tables — so BM25 ranking
+    * ([[bm25SearchIndex]], which column-prunes the positions away),
+    * phrase retrieval ([[phraseSearchIndex]]/[[phraseSearchIndexBatch]],
+    * which prune `tf`) and the combined [[hybridLexicalPhraseTopK]] all
+    * serve from ONE artifact — one build pass, one bucket layout, one
+    * tombstone chain, instead of maintaining two parallel indexes over
+    * the same tokens. One tokenize of the corpus: tf and the sorted
+    * position list come out of the same aggregate.
+    */
+  def buildLexicalIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      termBuckets: Int = 64): Unit = {
+    graft.sources.IndexIO.publish(docs.sparkSession, path) { vdir =>
+      val lengths = docs.select(
+          col(idCol).cast("long").as("doc_id"),
+          size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
+        .filter(col("dl") > 0)
+      docs
+        .select(col(idCol).cast("long").as("doc_id"),
+          posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+        .repartition(termBuckets, col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$vdir/postings")
+      lengths.write.mode("overwrite").parquet(s"$vdir/lengths")
+      lengths.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+        .write.mode("overwrite").parquet(s"$vdir/stats")
+    }
+    ()
+  }
+
+  /** Append NEW documents to a [[buildLexicalIndex]] artifact — the
+    * [[appendToBm25Index]] lifecycle (additive stats, chain-resolved
+    * df) with the positional payload riding the same postings rows.
+    * Same caller contract: batch ids must not already be live.
+    */
+  def appendToLexicalIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      termBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    val prev = spark.read.parquet(s"$vdir/stats").head()
+    val lengths = docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+      .localCheckpoint(true)
+    val add = lengths.agg(
+      count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+    if (add.getLong(0) == 0L) return
+    import spark.implicits._
+    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+      docs
+        .select(col(idCol).cast("long").as("doc_id"),
+          posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+        .repartition(termBuckets, col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$seg/postings")
+      lengths.write.mode("overwrite").parquet(s"$seg/lengths")
+      Seq((prev.getLong(0) + add.getLong(0), prev.getLong(1) + add.getLong(1)))
+        .toDF("n_docs", "total_dl")
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/stats")
+    }
+    ()
+  }
+
+  /** MERGE a [[buildBm25Index]] chain and a [[buildPositionalIndex]]
+    * chain over the SAME live corpus into one [[buildLexicalIndex]]
+    * artifact at `outPath` — the consolidation compact after separate
+    * append histories: live positional postings carry the position
+    * lists (tf is their size — same tokenizer, so it equals the BM25
+    * tf by construction), lengths and corrected stats come from the
+    * BM25 chain, and the result is a single-segment co-bucketed
+    * artifact both retrievers probe. Caller contract: both inputs
+    * index the same live document set (they were built/appended/
+    * deleted in lockstep); a mismatch is detected against the BM25
+    * stats and fails loudly rather than publishing a skewed index.
+    */
+  def compactToLexicalIndex(
+      spark: SparkSession,
+      bm25Path: String,
+      positionalPath: String,
+      outPath: String,
+      termBuckets: Int = 64): Unit = {
+    val vdir = graft.sources.IndexIO.resolve(spark, bm25Path)
+    val posLive = liveTable(spark, positionalPath, "postings")
+      .select(col("term"), col("doc_id"),
+        size(col("positions")).cast("long").as("tf"), col("positions"))
+    val lengths = liveTable(spark, bm25Path, "lengths")
+    val stats = spark.read.parquet(s"$vdir/stats")
+    val nDocs = stats.head().getLong(0)
+    val nPos = posLive.select(countDistinct(col("doc_id"))).head().getLong(0)
+    require(nPos == nDocs,
+      s"compactToLexicalIndex: positional index covers $nPos live docs but the " +
+        s"BM25 stats say $nDocs — the two chains have diverged; rebuild instead")
+    graft.sources.IndexIO.publish(spark, outPath) { nv =>
+      posLive
+        .repartition(termBuckets, col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$nv/postings")
+      lengths.write.mode("overwrite").parquet(s"$nv/lengths")
+      stats.coalesce(1).write.mode("overwrite").parquet(s"$nv/stats")
+    }
+    ()
+  }
+
+  /** Combined BM25 + quoted-phrase retrieval from ONE
+    * [[buildLexicalIndex]] probe, RRF-fused: `(doc_id, rrf_score,
+    * lex_rank, phrase_rank)` — the attribution-aware search shape
+    * ("rank by keywords, but exact-phrase carriers surface") that two
+    * separate indexes would answer with two artifact probes. The live
+    * postings for `queryTerms ∪ phrase` are materialized ONCE (a
+    * single pushdown-pruned bucket scan) and feed BOTH legs; the BM25
+    * leg column-prunes positions, the phrase leg re-explodes them into
+    * the start-vote aggregate; each leg ranks its top-`fetchK` and
+    * [[rrfFuse]] combines. Exact grid arithmetic end to end (BM25
+    * scaled longs; integer match counts), so the whole fusion is
+    * oracle-replayable.
+    */
+  def hybridLexicalPhraseTopK(
+      spark: SparkSession,
+      path: String,
+      queryTerms: Seq[String],
+      phrase: Seq[String],
+      k: Int,
+      fetchK: Int = 50,
+      rrfK: Int = 60,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "hybridLexicalPhraseTopK: empty query terms")
+    require(phrase.nonEmpty, "hybridLexicalPhraseTopK: empty phrase")
+    require(k > 0 && fetchK > 0,
+      s"hybridLexicalPhraseTopK: need k > 0 and fetchK > 0, got k=$k fetchK=$fetchK")
+    require(rrfK >= 0, s"hybridLexicalPhraseTopK: rrfK must be >= 0, got $rrfK")
+    import spark.implicits._
+    val lexTerms = queryTerms.distinct
+    val allTerms = (lexTerms ++ phrase).distinct
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    // ONE probe of the artifact: the union term set is pushed to the
+    // bucket scan, and the eager checkpoint pins the single read that
+    // both legs consume
+    val postings = graft.sources.IndexIO.withoutTombstoned(
+      graft.sources.IndexIO.chainTable(spark, path, "postings").getOrElse(
+        throw new IllegalStateException(
+          s"lexical index at $path has no postings table"))
+        .filter(col("term").isin(allTerms: _*)),
+      graft.sources.IndexIO.chainTable(spark, path, "tombstones"),
+      "doc_id")
+      .localCheckpoint(true)
+    val lengths = liveTable(spark, path, "lengths")
+    val stats = spark.read.parquet(s"$vdir/stats")
+
+    val lexRanked = scoreRanked(
+      bm25ScoreIndexed(
+          postings.filter(col("term").isin(lexTerms: _*))
+            .select("doc_id", "term", "tf"),
+          lengths, stats, fetchK, k1, b)
+        .select(col("doc_id").as("__id"), col("score").as("__s")))
+
+    val slots = phrase.zipWithIndex.map { case (t, i) => (i, t) }.toDF("__pi", "__t")
+    val votes = postings.filter(col("term").isin(phrase.distinct: _*))
+      .select(col("doc_id").as("__id"), col("term").as("__t"),
+        explode(col("positions")).as("__pos"))
+      .join(broadcast(slots), "__t")
+    val phraseRanked = scoreRanked(
+      phraseAgg(votes, phrase.length, fetchK, "doc_id")
+        .select(col("doc_id").as("__id"), col("n_matches").as("__s")))
+
+    rrfFuse(Seq("lex" -> lexRanked, "phrase" -> phraseRanked), "__id", k, rrfK)
+      .withColumnRenamed("__id", "doc_id")
   }
 
   /** Per-group distinctive terms — TF-IDF keyword extraction on EXACT

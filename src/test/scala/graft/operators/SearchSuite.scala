@@ -604,6 +604,78 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(graft.sources.IndexIO.resolve(spark, dir) == v0)
   }
 
+  test("unified lexical index serves BM25, phrase, and the fused hybrid") {
+    val dir = Files.createTempDirectory("lexuni").toString
+    Search.buildLexicalIndex(corpus, "doc_id", "text", dir, termBuckets = 4)
+    // BM25 serving prunes positions — identical to the inline scan
+    assertSameRows(
+      Search.bm25TopK(corpus, "doc_id", "text", Seq("spark", "filter"), k = 10),
+      Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10))
+    // phrase serving prunes tf — identical to the inline scan
+    assertSameRows(
+      Search.phraseTopK(corpus, "doc_id", "text", Seq("scan", "filter"), k = 10),
+      Search.phraseSearchIndex(spark, dir, Seq("scan", "filter"), k = 10))
+    // fused hybrid == scalar RRF of the two leg rank lists
+    val docs = corpus.as[(Long, String)].collect().toSeq
+    val lexRanks = expectedScores(docs, Seq("spark", "filter")).toSeq
+      .sortBy { case (id, (s, _)) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val phraseCounts = docs.map { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      id -> toks.sliding(2).count(_.sameElements(Array("scan", "filter")))
+    }.filter(_._2 > 0)
+    val phraseRanks = phraseCounts.sortBy { case (id, n) => (-n, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val expect = (lexRanks.keySet ++ phraseRanks.keySet).toSeq.map { id =>
+      val rrf = lexRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        phraseRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, math.floor(rrf * 1e6) / 1e6)
+    }.sortBy { case (id, r) => (-r, id) }.take(5)
+    val got = Search.hybridLexicalPhraseTopK(spark, dir,
+        Seq("spark", "filter"), Seq("scan", "filter"), k = 5, fetchK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect)
+    // append lifecycle: additive stats, chain-resolved df, positions ride along
+    val dir2 = Files.createTempDirectory("lexuni2").toString
+    Search.buildLexicalIndex(corpus.filter($"doc_id" <= 3), "doc_id", "text",
+      dir2, termBuckets = 4)
+    Search.appendToLexicalIndex(corpus.filter($"doc_id" > 3), "doc_id", "text",
+      dir2, termBuckets = 4)
+    assertSameRows(
+      Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10),
+      Search.bm25SearchIndex(spark, dir2, Seq("spark", "filter"), k = 10))
+    assertSameRows(
+      Search.phraseSearchIndex(spark, dir, Seq("scan", "filter"), k = 10),
+      Search.phraseSearchIndex(spark, dir2, Seq("scan", "filter"), k = 10))
+  }
+
+  test("compactToLexicalIndex merges separate BM25 + positional chains") {
+    val bm = Files.createTempDirectory("lexmerge_bm").toString
+    val pos = Files.createTempDirectory("lexmerge_pos").toString
+    val out = Files.createTempDirectory("lexmerge_out").toString
+    Search.buildBm25Index(corpus.filter($"doc_id" <= 3), "doc_id", "text", bm,
+      termBuckets = 4)
+    Search.buildPositionalIndex(corpus.filter($"doc_id" <= 3), "doc_id", "text",
+      pos, termBuckets = 4)
+    // lockstep appends, then one consolidation compact
+    Search.appendToBm25Index(corpus.filter($"doc_id" > 3), "doc_id", "text", bm)
+    Search.appendToPositionalIndex(corpus.filter($"doc_id" > 3), "doc_id", "text", pos)
+    Search.compactToLexicalIndex(spark, bm, pos, out, termBuckets = 4)
+    assert(graft.sources.IndexIO.segments(spark, out).length == 1)
+    assertSameRows(
+      Search.bm25TopK(corpus, "doc_id", "text", Seq("spark", "filter"), k = 10),
+      Search.bm25SearchIndex(spark, out, Seq("spark", "filter"), k = 10))
+    assertSameRows(
+      Search.phraseTopK(corpus, "doc_id", "text", Seq("scan", "filter"), k = 10),
+      Search.phraseSearchIndex(spark, out, Seq("scan", "filter"), k = 10))
+    // diverged chains (delete applied to one side only) fail loudly
+    Search.deleteFromPositionalIndex(spark, pos, Seq(2L).toDF("doc_id"), "doc_id")
+    intercept[IllegalArgumentException] {
+      Search.compactToLexicalIndex(spark, bm, pos,
+        Files.createTempDirectory("lexmerge_bad").toString)
+    }
+  }
+
   test("hybridRrfTopK rejects bad arguments") {
     intercept[IllegalArgumentException] {
       Search.hybridRrfTopK(corpus, vectors, "doc_id", "text", "vec_id",
