@@ -688,6 +688,32 @@ object SparkEntry {
           threshold = 0.45, nProbe = 16)
         .select(col("id_left"), col("id_right"), q4(col("cosine")).as("cosine"))
     }),
+    "stream_hybrid_decontaminate" -> ((s, dir) => {
+      // RETRIEVAL-BASED decontamination at ingest, hybrid and
+      // stateless: docs with id % 5 == 0 stand in for the benchmark
+      // suite (decontaminate_docs' split); its text goes into a BM25
+      // index, its embeddings into an IVF index — both persisted,
+      // batch-maintained. Every incoming train doc is flagged when it
+      // covers >= 90% of an eval item's distinct vocabulary (exact
+      // integer compare) OR lands cosine >= 0.45 against an eval
+      // embedding (exhaustive probes here, so the oracle is the exact
+      // cross join; margins measured: 0.4494 below / 0.4530 above).
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val lexIdx = scratch("hyb_dc_lex", dir)
+      if (!graft.sources.IndexIO.exists(s, lexIdx))
+        Search.buildBm25Index(d.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", lexIdx)
+      val annIdx = scratch("hyb_dc_ann", dir)
+      if (!graft.sources.IndexIO.exists(s, annIdx))
+        SimilaritySearch.buildIvfIndex(e.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", annIdx)
+      val train = d.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+        .join(e.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      Streaming.hybridDecontaminateFlags(s, train, "doc_id", "text",
+        "embedding", lexIdx, annIdx,
+        minContainment = 0.9, minCosine = 0.45, nProbe = 16)
+    }),
     "dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
@@ -3949,6 +3975,37 @@ object SparkEntry {
           |FROM orders""".stripMargin,
       // stream_embedding_dedup: exhaustive-probe gate == exact
       // cross-half cosine pairs
+      // hybrid retrieval-based decontamination: lexical containment on
+      // exact integer counts (>= 90% of the eval item's distinct
+      // vocabulary) UNION the exact cross cosine at 0.45 (exhaustive
+      // probes on the gate side; measured margins 0.4494/0.4530)
+      "stream_hybrid_decontaminate" ->
+        """WITH tok AS (
+          |  SELECT DISTINCT doc_id, w FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |    FROM documents) WHERE w <> ''),
+          |ev AS (SELECT doc_id AS eval_id, w FROM tok WHERE doc_id % 5 = 0),
+          |ne AS (SELECT eval_id, count(*) AS ne FROM ev GROUP BY 1),
+          |tr AS (SELECT doc_id, w FROM tok WHERE doc_id % 5 <> 0),
+          |sh AS (SELECT tr.doc_id, eval_id, count(*) AS ns
+          |       FROM tr JOIN ev USING (w) GROUP BY 1, 2),
+          |lex AS (SELECT sh.doc_id, eval_id, 'lex' AS leg,
+          |               floor(ns * 10000.0 / ne) / 10000.0 AS score
+          |        FROM sh JOIN ne USING (eval_id)
+          |        WHERE ns * 10000 >= ne * 9000),
+          |e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+          |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+          |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY 1),
+          |d AS (SELECT a.vec_id AS doc_id, b.vec_id AS eval_id, sum(a.v * b.v) AS dp
+          |      FROM e a JOIN e b ON a.i = b.i
+          |       AND a.vec_id % 5 <> 0 AND b.vec_id % 5 = 0
+          |      GROUP BY 1, 2),
+          |vec AS (SELECT doc_id, eval_id, 'vec' AS leg,
+          |               floor(dp / (na.n * nb.n) * 10000) / 10000 AS score
+          |        FROM d JOIN nrm na ON na.vec_id = doc_id
+          |               JOIN nrm nb ON nb.vec_id = eval_id
+          |        WHERE dp / (na.n * nb.n) >= 0.45)
+          |SELECT * FROM lex UNION ALL SELECT * FROM vec""".stripMargin,
       "stream_embedding_dedup" -> (embUnnest +
         """, d AS (
           |  SELECT a.vec_id AS id_left, b.vec_id AS id_right, sum(a.v * b.v) AS dp

@@ -768,6 +768,99 @@ object Streaming {
       .drop("__sh", "__cand")
   }
 
+  /** RETRIEVAL-BASED decontamination gate, hybrid and STATELESS: flag
+    * incoming documents that near-match a benchmark item through
+    * EITHER retrieval modality, both legs served from persisted
+    * batch-maintained artifacts —
+    *
+    *  - **lexical**: the doc's distinct token set is probed against a
+    *    [[graft.operators.Search.buildBm25Index]] /
+    *    `buildLexicalIndex` artifact built over the EVAL SUITE (the
+    *    corpus/eval asymmetry: benchmarks are MBs, the crawl is
+    *    100 TB, so the index side is the small one). A doc is flagged
+    *    for eval item `e` when it covers at least `minContainment` of
+    *    `e`'s distinct vocabulary — the n-gram-free complement of
+    *    [[decontaminateGate]]'s shingle containment, catching
+    *    reworded/reordered contamination that exact 8-gram matching
+    *    misses. The comparison is exact integer arithmetic
+    *    (`nShared·10⁴ ≥ nEvalTerms·round(minContainment·10⁴)`).
+    *  - **dense**: embedding cosine against a
+    *    [[graft.operators.SimilaritySearch.buildIvfIndex]] artifact of
+    *    the eval items' embeddings, via the stream-safe in-row cell
+    *    choice ([[graft.operators.SimilaritySearch.dedupAgainstIvfIndex]]).
+    *
+    * Entirely stateless: candidate generation is a stream-static join
+    * of the doc's exploded terms against the eval postings; per-pair
+    * exactly-once comes from the FIRST-SHARED-TERM anchor (the eval
+    * item's sorted term set rides the broadcast join, so the doc's
+    * sorted distinct terms intersect it IN-ROW — the
+    * [[dedupAgainstMinhashIndex]] first-shared-band idea); the dense
+    * leg probes cells in-row. No watermark, no state store, append
+    * mode; batch/stream unified (the suite proves batch ≡ stream).
+    *
+    * Emits one row per (doc, eval item, leg) flag:
+    * `(<idCol>, eval_id, leg: lex|vec, score)` — containment or cosine
+    * on the 1e-4 floor grid. Downstream drops flagged ids (batch
+    * anti-join) or routes them to review; emitting the flags rather
+    * than the survivors keeps the gate leg-attributable for audit.
+    */
+  def hybridDecontaminateFlags(
+      spark: SparkSession,
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      lexIndexPath: String,
+      annIndexPath: String,
+      minContainment: Double = 0.5,
+      minCosine: Double = 0.45,
+      nProbe: Int = 4): DataFrame = {
+    import graft.functions.TextFunctions
+    require(minContainment >= 0.0 && minContainment <= 1.0,
+      s"hybridDecontaminateFlags: minContainment outside [0,1]: $minContainment")
+    // resolve the committed versions ONCE at plan time (the long-running
+    // gate must not tear across a concurrent index publish)
+    graft.sources.IndexIO.resolve(spark, lexIndexPath)
+    val tombs = graft.sources.IndexIO.chainTable(spark, lexIndexPath, "tombstones")
+    val postings = graft.sources.IndexIO.withoutTombstoned(
+      graft.sources.IndexIO.chainTable(spark, lexIndexPath, "postings").getOrElse(
+        throw new IllegalStateException(
+          s"lexical index at $lexIndexPath has no postings table")),
+      tombs, "doc_id")
+      .select(col("term").as("__t"), col("doc_id").as("eval_id"))
+    // per-eval-item sorted distinct vocabulary — a STATIC aggregation
+    // over the (benchmark-sized) postings, broadcast into the join
+    val termsets = postings.groupBy(col("eval_id"))
+      .agg(array_sort(collect_set(col("__t"))).as("__ets"))
+    val grid = math.round(minContainment * 10000)
+
+    val lexFlags = stream
+      .select(col(idCol).as("__id"),
+        array_sort(array_distinct(TextFunctions.tokens(col(textCol)))).as("__dts"))
+      .filter(size(col("__dts")) > 0)
+      .select(col("__id"), col("__dts"), explode(col("__dts")).as("__t"))
+      .join(postings, Seq("__t"))
+      .join(broadcast(termsets), Seq("eval_id"))
+      // first shared term anchors the pair exactly once (both arrays
+      // sorted; array_intersect preserves the left argument's order)
+      .filter(col("__t") ===
+        element_at(array_intersect(col("__dts"), col("__ets")), 1))
+      .withColumn("__ns", size(array_intersect(col("__dts"), col("__ets"))).cast("long"))
+      .withColumn("__ne", size(col("__ets")).cast("long"))
+      .filter(col("__ns") * lit(10000L) >= col("__ne") * lit(grid))
+      .select(col("__id").as(idCol), col("eval_id"), lit("lex").as("leg"),
+        (floor(col("__ns") * lit(10000.0) / col("__ne")) / lit(10000.0)).as("score"))
+
+    val vecFlags = graft.operators.SimilaritySearch.dedupAgainstIvfIndex(
+        spark, annIndexPath, stream, idCol, vecCol,
+        threshold = minCosine, nProbe = nProbe)
+      .select(col("id_left").as(idCol), col("id_right").as("eval_id"),
+        lit("vec").as("leg"),
+        (floor(col("cosine") * lit(10000.0)) / lit(10000.0)).as("score"))
+
+    lexFlags.unionByName(vecFlags)
+  }
+
   /** Streaming LM quality gate (the CCNet-style perplexity filter AT
     * INGEST): score each incoming doc against a persisted
     * [[graft.operators.LangModel.buildLmIndex]] pruned bigram model

@@ -625,6 +625,72 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hybridDecontaminateFlags: lex containment + dense cosine, stateless, batch == stream") {
+    import graft.operators.{Search, SimilaritySearch}
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma"),
+      (101L, "one two three four")).toDF("doc_id", "text")
+    val evalEmb = Seq(
+      (100L, Seq(1.0, 0.0)),
+      (101L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val lexIdx = java.nio.file.Files.createTempDirectory("hyb_lex").toString
+    val annIdx = java.nio.file.Files.createTempDirectory("hyb_ann").toString
+    Search.buildBm25Index(evalDocs, "doc_id", "text", lexIdx, termBuckets = 2)
+    SimilaritySearch.buildIvfIndex(evalEmb, "vec_id", "embedding", annIdx,
+      nCentroids = 2)
+    val rows = Seq(
+      // covers ALL of eval 100's vocabulary (3/3 = 1.0 >= 0.9) AND its
+      // embedding (cos = 0.9/sqrt(0.82) ~ 0.9939 >= 0.45): both legs
+      (1L, "alpha beta gamma extra", Seq(0.9, 0.1)),
+      // shares 2/4 of eval 101's terms (0.5 < 0.9) and no cosine hit
+      (2L, "one two five six seven", Seq(0.05, -0.9)),
+      // no shared terms, anti-aligned embedding: clean
+      (3L, "unrelated words entirely", Seq(-1.0, 0.0)))
+    val batch = rows.toDF("doc_id", "text", "embedding")
+    val got = Streaming.hybridDecontaminateFlags(
+        spark, batch, "doc_id", "text", "embedding", lexIdx, annIdx,
+        minContainment = 0.9, minCosine = 0.45, nProbe = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    val vecScore = math.floor(0.9 / math.sqrt(0.82) * 1e4) / 1e4
+    assert(got == Set(
+      (1L, 100L, "lex", 1.0),
+      (1L, 100L, "vec", vecScore)))
+    // a tombstoned eval item stops matching (chain applies to the gate)
+    Search.deleteFromBm25Index(spark, lexIdx, Seq(100L).toDF("doc_id"), "doc_id")
+    val afterDel = Streaming.hybridDecontaminateFlags(
+        spark, batch, "doc_id", "text", "embedding", lexIdx, annIdx,
+        minContainment = 0.9, minCosine = 0.45, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(afterDel == Set((1L, "vec")))
+
+    // live MemoryStream: stateless append, identical flags
+    val lexIdx2 = java.nio.file.Files.createTempDirectory("hyb_lex2").toString
+    Search.buildBm25Index(evalDocs, "doc_id", "text", lexIdx2, termBuckets = 2)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Seq[Double])]
+    val gated = Streaming.hybridDecontaminateFlags(
+      spark, input.toDF().toDF("doc_id", "text", "embedding"),
+      "doc_id", "text", "embedding", lexIdx2, annIdx,
+      minContainment = 0.9, minCosine = 0.45, nProbe = 2)
+    assert(gated.isStreaming)
+    val q = gated.writeStream
+      .format("memory").queryName("hyb_dc_test").outputMode("append").start()
+    try {
+      input.addData(rows.head)
+      q.processAllAvailable()
+      assert(spark.table("hyb_dc_test").count() == 2)
+      input.addData(rows(1), rows(2))
+      q.processAllAvailable()
+      val streamed = spark.table("hyb_dc_test").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      assert(streamed == got)
+      // the whole gate is stateless: no state store operators at all
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "hybridDecontaminateFlags must keep no streaming state")
+    } finally q.stop()
+  }
+
   test("decontaminateGate: batch form equals the exact batch complement") {
     import graft.operators.Decontaminate
     val evalSet = Seq(
