@@ -3277,6 +3277,72 @@ object SparkEntry {
       |       substr(t1, 1, length(t1) - lcs) AS stripped
       |FROM s1 JOIN l2 ON s1.source = l2.source""".stripMargin
 
+  /** SERVE-ONLY variants of the index-lifecycle queries, for the bench
+    * (NOT the correctness gate — the full `queries` entries remain the
+    * oracle-checked forms): each assumes its artifact was already
+    * built by running the corresponding full query (Bench does that in
+    * its untimed setup phase) and times ONLY the serving plan, so a
+    * round-over-round serving regression is never masked by the
+    * build+serve total in the same row. Fails loudly when the artifact
+    * is missing rather than silently timing a rebuild.
+    */
+  def benchServe: Map[String, (SparkSession, String) => DataFrame] = {
+    def served(kind: String)(f: (SparkSession, String, String) => DataFrame)
+        : (SparkSession, String) => DataFrame = (s, dir) => {
+      val idx = scratch(kind, dir)
+      require(graft.sources.IndexIO.exists(s, idx),
+        s"benchServe: artifact $idx missing — run the full query first")
+      f(s, dir, idx)
+    }
+    Map(
+      "bm25_search_deleted_serve" -> served("bm25_del_index") { (s, _, idx) =>
+        Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
+      },
+      "bm25_search_appended_serve" -> served("bm25_app_index") { (s, _, idx) =>
+        Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
+      },
+      "phrase_search_appended_serve" -> served("phrase_app_index") { (s, _, idx) =>
+        Search.phraseSearchIndex(s, idx, Seq("vector", "stream"), k = 20)
+      },
+      "hybrid_lexical_phrase_serve" -> served("lex_uni_index") { (s, _, idx) =>
+        Search.hybridLexicalPhraseTopK(s, idx,
+          Seq("vector", "stream", "spark"), Seq("vector", "stream"),
+          k = 20, fetchK = 50)
+      },
+      "hybrid_search_rrf_both_indexed_serve" ->
+        served("ivfpq_srv_index") { (s, dir, annIdx) =>
+          val lexIdx = scratch("bm25_srv_index", dir)
+          require(graft.sources.IndexIO.exists(s, lexIdx),
+            s"benchServe: artifact $lexIdx missing — run the full query first")
+          val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+            .select(VectorFunctions.asDouble(col("embedding")))
+            .head().getSeq[Double](0).toArray
+          Search.hybridRrfTopKBothIndexed(s, lexIdx, annIdx,
+            Seq("vector", "stream", "spark"), qv, k = 20, fetchK = 50,
+            nProbe = 16, kShortlist = 500, excludeIds = Seq(0L))
+        },
+      "mine_hard_negatives_index_serve" ->
+        served("ivf_hn_index") { (s, dir, idx) =>
+          val e = t(s, dir, "embeddings")
+          SimilaritySearch.mineHardNegativesFromIndex(s, idx,
+            e.filter(col("vec_id") < 20), e.select("vec_id", "label"),
+            "vec_id", "embedding", "label", k = 5, fetchK = 25, nProbe = 16)
+        },
+      "stream_hybrid_decontaminate_serve" ->
+        served("hyb_dc_lex") { (s, dir, lexIdx) =>
+          val annIdx = scratch("hyb_dc_ann", dir)
+          require(graft.sources.IndexIO.exists(s, annIdx),
+            s"benchServe: artifact $annIdx missing — run the full query first")
+          val train = t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0)
+            .select("doc_id", "text")
+            .join(t(s, dir, "embeddings")
+              .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+          Streaming.hybridDecontaminateFlags(s, train, "doc_id", "text",
+            "embedding", lexIdx, annIdx,
+            minContainment = 0.9, minCosine = 0.45, nProbe = 16)
+        })
+  }
+
   def oracleSql: Map[String, String] = {
     // shared SQL fragments (DuckDB dialect)
     // `w <> ''` mirrors TextFunctions.tokens' drop-empty semantics:
