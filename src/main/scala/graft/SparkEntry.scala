@@ -815,6 +815,27 @@ object SparkEntry {
         SimilaritySearch.mineHardNegatives(
           q, e, "vec_id", "embedding", "label", k = 5))
     }),
+    "ann_topk_ivf_sq8_appended" -> ((s, dir) => {
+      // the SQ8 family's append lifecycle (the last index family that
+      // forced a rebuild per batch): build on two thirds, append the
+      // rest quantized under the STORED centroids. Per-vector SQ8
+      // quantization is centroid-independent, so at exhaustive probes
+      // the appended chain == the one-shot quantized scan EXACTLY —
+      // recall 1.0 by construction, like mine_hard_negatives_index.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val idx = scratch("ivf_sq8_app_idx", dir)
+      if (!graft.sources.IndexIO.exists(s, idx)) {
+        SimilaritySearch.buildIvfSq8Index(e.filter(col("vec_id") % 3 =!= 2),
+          "vec_id", "embedding", idx, nCentroids = 16)
+        SimilaritySearch.appendToIvfSq8Index(s, idx,
+          e.filter(col("vec_id") % 3 === 2), "vec_id", "embedding")
+      }
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.searchIvfSq8(s, idx, q, "vec_id", "embedding",
+          k = 5, nProbe = 16),
+        SimilaritySearch.sq8TopK(q, e, "vec_id", "embedding", k = 5))
+    }),
     "mine_hard_negatives_index" -> ((s, dir) => {
       // the SERVING shape of hard-negative mining: centroids trained
       // ONCE at buildIvfIndex time, every mining batch probes the
@@ -4240,6 +4261,12 @@ object SparkEntry {
       // form exactly (deterministic seedless trainer, same fetchK):
       // recall is 1.0 BY CONSTRUCTION, not a measured constant
       "mine_hard_negatives_index" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
+      // SQ8 append at exhaustive probes == the one-shot quantized scan
+      // (per-vector quantization is centroid-independent) — recall 1.0
+      // by construction
+      "ann_topk_ivf_sq8_appended" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
       "ann_topk_lsh" ->

@@ -685,6 +685,43 @@ object SimilaritySearch {
     ()
   }
 
+  /** Append new vectors to a [[buildIvfSq8Index]] index WITHOUT
+    * retraining — the one index family that still forced a rebuild per
+    * crawl batch: the stored float centroids assign cells (the
+    * assignment runs on the FLOAT vector, so quantization never moves
+    * a row to the wrong cell), the new rows SQ8-quantize into a fresh
+    * immutable segment, centroids copied forward. Empty batches no-op;
+    * dimension mismatches fail loudly ([[appendToIvfIndex]]'s
+    * contracts). Deletes ([[deleteFromAnnIndex]]) and
+    * [[compactIvfIndex]] already work on the chain (both are
+    * cells-schema-agnostic).
+    */
+  def appendToIvfSq8Index(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
+    val cents = spark.read.parquet(s"$vdir/centroids")
+      .orderBy(col("cell"))
+      .select("centroid").collect().map(_.getSeq[Double](0).toArray)
+    val c = prepared(newVectors, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+    val newDim = c.select(size(col("__cv"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    if (newDim.isEmpty) return
+    require(cents.isEmpty || newDim.get == cents(0).length,
+      s"appendToIvfSq8Index: new vectors have dim ${newDim.get} but the index " +
+        s"at $indexDir was trained on dim ${cents(0).length}")
+    graft.sources.IndexIO.publishDelta(spark, indexDir) { seg =>
+      spark.read.parquet(s"$vdir/centroids")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$seg/centroids")
+      c.withColumn("cell", bestCellExpr(col("__cv"), centroidArray(cents)))
+        .select(col("neighbor_id"),
+          VectorFunctions.sq8Quantize(col("__cv")).as("qvec"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$seg/cells")
+    }
+    ()
+  }
+
   /** Serve top-k from a [[buildIvfSq8Index]] index: cell choice uses the
     * FLOAT query against the float centroids (identical to
     * [[searchIvf]]'s — quantization never moves a query to the wrong

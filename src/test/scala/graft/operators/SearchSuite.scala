@@ -649,6 +649,32 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       Search.phraseSearchIndex(spark, dir2, Seq("scan", "filter"), k = 10))
   }
 
+  test("unified lexical index: delete + compact keep BOTH retrievers green") {
+    val dir = Files.createTempDirectory("lexuni_del").toString
+    Search.buildLexicalIndex(corpus, "doc_id", "text", dir, termBuckets = 4)
+    // deleteFromBm25Index works unchanged on the unified layout (the
+    // artifact carries lengths + stats), and the tombstone chain
+    // applies to BOTH serving paths
+    Search.deleteFromBm25Index(spark, dir, Seq(4L).toDF("doc_id"), "doc_id")
+    val remaining = corpus.filter($"doc_id" =!= 4L)
+    assertSameRows(
+      Search.bm25TopK(remaining, "doc_id", "text", Seq("spark", "filter"), k = 10),
+      Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10))
+    assertSameRows(
+      Search.phraseTopK(remaining, "doc_id", "text", Seq("scan", "filter"), k = 10),
+      Search.phraseSearchIndex(spark, dir, Seq("scan", "filter"), k = 10))
+    // compactBm25Index rewrites the full postings schema, so the
+    // positional payload survives compaction
+    Search.compactBm25Index(spark, dir, termBuckets = 4)
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1)
+    assert(spark.read.parquet(
+        graft.sources.IndexIO.resolve(spark, dir) + "/postings")
+      .columns.contains("positions"))
+    assertSameRows(
+      Search.phraseTopK(remaining, "doc_id", "text", Seq("scan", "filter"), k = 10),
+      Search.phraseSearchIndex(spark, dir, Seq("scan", "filter"), k = 10))
+  }
+
   test("compactToLexicalIndex merges separate BM25 + positional chains") {
     val bm = Files.createTempDirectory("lexmerge_bm").toString
     val pos = Files.createTempDirectory("lexmerge_pos").toString

@@ -366,6 +366,52 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(key(sq8).size == 120 * 3)
   }
 
+  test("appendToIvfSq8Index: append == one-shot quantized scan at exhaustive probes") {
+    val rnd = new scala.util.Random(31)
+    val dim = 8
+    val vecs = (0 until 60).map(i => (i, Array.fill(dim)(rnd.nextGaussian())))
+      .toDF("id", "emb")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8_app").toString
+    SimilaritySearch.buildIvfSq8Index(vecs.filter($"id" < 30), "id", "emb",
+      dir, nCentroids = 4, iters = 4)
+    SimilaritySearch.appendToIvfSq8Index(spark, dir,
+      vecs.filter($"id" >= 30), "id", "emb")
+    val q = vecs.filter($"id" < 10)
+    // per-vector SQ8 quantization is centroid-independent, so at
+    // exhaustive probes the appended chain serves EXACTLY the one-shot
+    // quantized scan over the union — cosines and all
+    val served = SimilaritySearch.searchIvfSq8(spark, dir, q, "id", "emb",
+        k = 5, nProbe = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    val brute = SimilaritySearch.sq8TopK(q, vecs, "id", "emb", k = 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(served == brute)
+    // delete + compact compose on the chain (both cells-schema-agnostic)
+    SimilaritySearch.deleteFromAnnIndex(spark, dir, Seq(35).toDF("id"), "id")
+    val afterDel = SimilaritySearch.searchIvfSq8(spark, dir, q, "id", "emb",
+        k = 5, nProbe = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    val bruteDel = SimilaritySearch.sq8TopK(q, vecs.filter($"id" =!= 35),
+        "id", "emb", k = 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(afterDel == bruteDel)
+    SimilaritySearch.compactIvfIndex(spark, dir)
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1)
+    val afterCompact = SimilaritySearch.searchIvfSq8(spark, dir, q, "id", "emb",
+        k = 5, nProbe = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(afterCompact == bruteDel)
+    // empty batch no-ops; dimension mismatch fails loudly
+    val v0 = graft.sources.IndexIO.resolve(spark, dir)
+    SimilaritySearch.appendToIvfSq8Index(spark, dir,
+      vecs.filter($"id" > 900), "id", "emb")
+    assert(graft.sources.IndexIO.resolve(spark, dir) == v0)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.appendToIvfSq8Index(spark, dir,
+        Seq((99, Array(1.0, 2.0))).toDF("id", "emb"), "id", "emb")
+    }
+  }
+
   test("LSH top-k returns true cosines for whatever it returns") {
     val rnd = new scala.util.Random(11)
     val vecs = (0 until 80).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
