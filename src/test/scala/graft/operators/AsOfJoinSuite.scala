@@ -241,6 +241,55 @@ class AsOfJoinSuite extends SparkSpec {
     }
   }
 
+  test("interpolate differential fuzz: Spark == scalar oracle, grouped + duplicates") {
+    // the single-pass union+carry machinery is exercised against a
+    // brute scalar replica over random data: duplicate right
+    // timestamps (max-value contract), grouped and ungrouped, left
+    // rows with no group match, many range partitions
+    val rnd = new scala.util.Random(421)
+    def t(sec: Int) = new Timestamp(sec * 1000L)
+    for (trial <- 0 until 3; grouped <- Seq(false, true)) {
+      val nGroups = if (grouped) 3 else 1
+      val left = (0 until 120).map { i =>
+        (i.toLong, rnd.nextInt(500), rnd.nextInt(nGroups + 1)) // group 3 has no right rows
+      }
+      val right = (0 until 150).map { _ =>
+        (rnd.nextInt(500), rnd.nextInt(50).toDouble, rnd.nextInt(nGroups))
+      }
+      val lDf = left.map { case (id, s, g) => (id, t(s), g) }.toDF("id", "lts", "g")
+      val rDf = right.map { case (s, v, g) => (t(s), v, g) }.toDF("rts", "v", "g")
+      val by = if (grouped) Seq("g") else Nil
+      val got = AsOfJoin.interpolate(lDf, rDf, valueCol = "v", leftId = "id",
+          leftOn = Some("lts"), rightOn = Some("rts"), by = by)
+        .select("id", "value_interp").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      // scalar replica: per group, dedup right per ts by max, bracket,
+      // interpolate with the IDENTICAL double expression
+      val rByG = right.groupBy(_._3).map { case (g, rows) =>
+        g -> rows.groupBy(_._1).map { case (s, vs) => s -> vs.map(_._2).max }
+      }
+      val expect = left.map { case (id, ls, g) =>
+        val inG = if (grouped) rByG.getOrElse(g, Map.empty[Int, Double])
+          else rByG.values.flatten.groupBy(_._1).map { case (s, vs) => s -> vs.map(_._2).max }
+        val ts = inG.keys.toSeq.sorted
+        val b = ts.filter(_ <= ls).lastOption.map(s => (s, inG(s)))
+        val f = ts.filter(_ >= ls).headOption.map(s => (s, inG(s)))
+        id -> ((b, f) match {
+          case (None, None) => None
+          case (Some((_, v1)), None) => Some(v1)
+          case (None, Some((_, v2))) => Some(v2)
+          case (Some((t1, v1)), Some((t2, v2))) =>
+            if (t1 == t2) Some(v1)
+            else Some(v1 + (v2 - v1) *
+              ((ls.toLong * 1000000L - t1.toLong * 1000000L).toDouble /
+                (t2.toLong * 1000000L - t1.toLong * 1000000L).toDouble))
+        })
+      }.toMap
+      assert(got == expect, s"trial=$trial grouped=$grouped")
+    }
+  }
+
   test("interpolate: brackets, exact hits, one-sided edges, no-match nulls") {
     def ts(s: Long) = new Timestamp(s * 1000L)
     // right stream: value 10 at t=100, 30 at t=200, 90 at t=500
