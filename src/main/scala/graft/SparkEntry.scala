@@ -301,6 +301,23 @@ object SparkEntry {
           rightOn = Some("view_ts"))
         .select(col("click_id"), q4(col("value_interp")).as("value_interp"))
     }),
+    "asof_interpolate_by" -> ((s, dir) => {
+      // GROUPED interpolation (by = user): each click interpolates the
+      // SAME USER's view-value stream at its timestamp — the
+      // per-symbol/per-sensor alignment shape. Duplicate (user, ts)
+      // view events resolve to max(value) INSIDE the operator (the
+      // documented contract), so the raw view stream feeds in directly.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("value"))
+      AsOfJoin.interpolate(clicks, views, valueCol = "value",
+          leftId = "click_id", leftOn = Some("click_ts"),
+          rightOn = Some("view_ts"), by = Seq("user_id"))
+        .select(col("click_id"), q4(col("value_interp")).as("value_interp"))
+    }),
     "asof_join_unbounded" -> ((s, dir) => {
       // merge_asof shape: no tolerance, nearest preceding view per click
       // (sort-based plan — the band-bucket rewrite cannot express tol=∞)
@@ -2220,6 +2237,37 @@ object SparkEntry {
         Search.buildPositionalIndex(t(s, dir, "documents"), "doc_id", "text", idx)
       Search.phraseSearchIndex(s, idx, Seq("vector", "stream"), k = 20)
     }),
+    "phrase_search_deleted" -> ((s, dir) => {
+      // the positional takedown path without a rebuild: tombstone
+      // doc_id % 7 == 0 (a tombstone-only delta — the positional index
+      // carries no stats to correct), serve the same phrase — must
+      // equal the inline scan over the remaining corpus
+      val d = t(s, dir, "documents")
+      val idx = scratch("phrase_del_index", dir)
+      Search.buildPositionalIndex(d, "doc_id", "text", idx)
+      Search.deleteFromPositionalIndex(s, idx,
+        d.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+      Search.phraseSearchIndex(s, idx, Seq("vector", "stream"), k = 20)
+    }),
+    "bm25_search_merged" -> ((s, dir) => {
+      // the consolidation compact: separately-maintained BM25 +
+      // positional chains over the same corpus merge into ONE unified
+      // artifact (tf = size(positions) under the shared tokenizer);
+      // BM25 serving from the merged artifact must equal the inline
+      // scan — bm25_search's oracle verbatim
+      val idx = scratch("lex_merge_out", dir)
+      if (!graft.sources.IndexIO.exists(s, idx)) {
+        val d = t(s, dir, "documents")
+        val bm = scratch("lex_merge_bm", dir)
+        val pos = scratch("lex_merge_pos", dir)
+        if (!graft.sources.IndexIO.exists(s, bm))
+          Search.buildBm25Index(d, "doc_id", "text", bm)
+        if (!graft.sources.IndexIO.exists(s, pos))
+          Search.buildPositionalIndex(d, "doc_id", "text", pos)
+        Search.compactToLexicalIndex(s, bm, pos, idx)
+      }
+      Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
+    }),
     "phrase_search_appended" -> ((s, dir) => {
       // positional-index append lifecycle: build over doc_id % 3 != 2,
       // append the remaining third as an immutable delta segment,
@@ -3494,6 +3542,36 @@ object SparkEntry {
           |      LEFT JOIN views vb ON vb.vts = b.t1
           |      LEFT JOIN f USING (click_id)
           |      LEFT JOIN views vf ON vf.vts = f.t2)
+          |SELECT click_id,
+          |  floor((CASE WHEN v1 IS NULL THEN v2
+          |              WHEN v2 IS NULL THEN v1
+          |              WHEN t2 = t1 THEN v1
+          |              ELSE v1 + (v2 - v1) *
+          |                (CAST(epoch_us(cts) - epoch_us(t1) AS DOUBLE)
+          |                 / CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE))
+          |         END) * 10000.0) / 10000.0 AS value_interp
+          |FROM j""".stripMargin,
+      // grouped interpolation: the same bracket-and-interpolate replay
+      // with the user_id equality conjunct in both bracket joins and
+      // the internal max(value) dedup per (user, ts)
+      "asof_interpolate_by" ->
+        """WITH clicks AS (
+          |  SELECT event_id AS click_id, user_id, ts AS cts FROM events
+          |  WHERE event_type = 'click'),
+          |views AS (SELECT user_id, ts AS vts, max(value) AS v FROM events
+          |          WHERE event_type = 'view' GROUP BY 1, 2),
+          |b AS (SELECT c.click_id, max(v.vts) AS t1 FROM clicks c
+          |      JOIN views v ON v.user_id = c.user_id AND v.vts <= c.cts
+          |      GROUP BY 1),
+          |f AS (SELECT c.click_id, min(v.vts) AS t2 FROM clicks c
+          |      JOIN views v ON v.user_id = c.user_id AND v.vts >= c.cts
+          |      GROUP BY 1),
+          |j AS (SELECT c.click_id, c.cts, b.t1, vb.v AS v1, f.t2, vf.v AS v2
+          |      FROM clicks c
+          |      LEFT JOIN b USING (click_id)
+          |      LEFT JOIN views vb ON vb.user_id = c.user_id AND vb.vts = b.t1
+          |      LEFT JOIN f USING (click_id)
+          |      LEFT JOIN views vf ON vf.user_id = c.user_id AND vf.vts = f.t2)
           |SELECT click_id,
           |  floor((CASE WHEN v1 IS NULL THEN v2
           |              WHEN v2 IS NULL THEN v1
@@ -5105,6 +5183,23 @@ object SparkEntry {
       // prunes tf — each must equal its dedicated-index form exactly
       "bm25_search_unified" -> bm25SearchOracle,
       "phrase_search_unified" -> phraseSearchOracle,
+      // consolidation compact of two separate chains into the unified
+      // layout: serving from the merged artifact == the inline scan
+      "bm25_search_merged" -> bm25SearchOracle,
+      // positional takedown: serving after the tombstone delta == the
+      // inline phrase scan over the remaining corpus
+      "phrase_search_deleted" ->
+        """WITH tokp AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |  FROM documents WHERE doc_id % 7 <> 0),
+          |ph AS (SELECT * FROM (VALUES (0, 'vector'), (1, 'stream')) AS t(i, w)),
+          |cand AS (SELECT doc_id, pos - i AS s, i FROM tokp JOIN ph USING (w)),
+          |hit AS (SELECT doc_id, s FROM cand
+          |        GROUP BY doc_id, s HAVING count(DISTINCT i) = 2),
+          |agg AS (SELECT doc_id, count(*) AS n_matches FROM hit GROUP BY doc_id)
+          |SELECT doc_id, n_matches FROM agg
+          |ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin,
       // one-probe keyword+phrase fusion: replay BM25 top-50 ranks,
       // phrase top-50 ranks, and the RRF rule (k=60) over exact longs
       "hybrid_lexical_phrase" ->

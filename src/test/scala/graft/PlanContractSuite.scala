@@ -211,6 +211,11 @@ class PlanContractSuite extends SparkSpec {
     // dense leg IVF×PQ cells + the vectors side-file, nothing else
     ("hybrid_search_rrf_both_indexed", Seq.empty,
       Seq("documents.parquet", "embeddings.parquet", "CartesianProduct")),
+    // stateless hybrid decontamination gate: candidate generation is
+    // equi-joins only (prefix postings on term, termset card on
+    // eval_id, IVF cells on the probed cell) — never an all-pairs plan
+    ("stream_hybrid_decontaminate", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // phrase retrieval: postings restrict to the phrase terms via a
     // broadcast equi-join before any shuffle; top-k is per-partition
     // heaps, never a global sort
