@@ -307,40 +307,37 @@ object SimilaritySearch {
     import spark.implicits._
     val grid = transform(col(vecCol).cast("array<double>"),
       x => floor(x * lit(1.0e7)))
-    // validate the (bounded) candidate set BEFORE the corpus join: a
-    // null id or score would NPE opaquely in the greedy, a duplicate id
-    // would be picked twice, and a candidate missing from the corpus
-    // would silently shrink the result below k — each fails loudly here
-    val candRows = candidates.select(col(idCol).cast("long")).collect()
-    require(candRows.length <= maxCandidates,
-      s"mmrRerank: ${candRows.length} candidates exceed maxCandidates=" +
-        s"$maxCandidates — re-rank a top-k retriever's output, not a corpus")
-    require(candRows.forall(!_.isNullAt(0)),
-      s"mmrRerank: candidate frame has a null $idCol")
-    val candIds = candRows.map(_.getLong(0))
-    require(candIds.distinct.length == candIds.length,
-      s"mmrRerank: duplicate candidate ids " +
-        candIds.groupBy(identity).collect { case (id, g) if g.length > 1 => id }
-          .take(5).mkString("(", ", ", ", …)"))
+    // ONE collect validates AND fetches: a LEFT join keeps candidates
+    // the corpus lacks visible (null vector — the inner join would
+    // silently shrink the result below k), a null id or score would NPE
+    // opaquely in the greedy, and a duplicate id would be picked twice
+    // — each fails loudly here instead
     val joined = candidates
-      .join(corpus.select(col(idCol), grid.as("__gv")), Seq(idCol))
+      .join(corpus.select(col(idCol), grid.as("__gv")), Seq(idCol), "left")
       .select(col(idCol).cast("long"), col(scoreGridCol).cast("long"),
         col("__gv"))
       .collect()
+    require(joined.length <= maxCandidates,
+      s"mmrRerank: ${joined.length} candidates exceed maxCandidates=" +
+        s"$maxCandidates — re-rank a top-k retriever's output, not a corpus")
+    require(joined.forall(!_.isNullAt(0)),
+      s"mmrRerank: candidate frame has a null $idCol")
+    joined.find(_.isNullAt(2)).foreach { r =>
+      throw new IllegalArgumentException(
+        s"mmrRerank: candidate id ${r.getLong(0)} is absent from the corpus " +
+          "— an inner join would silently drop it")
+    }
     joined.find(_.isNullAt(1)).foreach { r =>
       throw new IllegalArgumentException(
         s"mmrRerank: candidate ${r.getLong(0)} has a null $scoreGridCol " +
           "relevance score")
     }
     val rows = joined.map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
-    if (rows.length < candIds.length) {
-      val present = rows.map(_._1).toSet
-      throw new IllegalArgumentException(
-        s"mmrRerank: ${candIds.length - rows.length} candidate ids absent " +
-          s"from the corpus (e.g. " +
-          candIds.filterNot(present).take(5).mkString(", ") +
-          ") — the candidate->corpus join would silently drop them")
-    }
+    val ids = rows.map(_._1)
+    require(ids.distinct.length == ids.length,
+      s"mmrRerank: duplicate candidate ids " +
+        ids.groupBy(identity).collect { case (id, g) if g.length > 1 => id }
+          .take(5).mkString("(", ", ", ", …)"))
     val byId = rows.sortBy(_._1)
     val n = byId.length
     val picked = scala.collection.mutable.ArrayBuffer.empty[Long]

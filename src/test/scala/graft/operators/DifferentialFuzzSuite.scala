@@ -231,6 +231,43 @@ class DifferentialFuzzSuite extends SparkSpec {
     }
   }
 
+  test("BM25 index chain (build + appends + delete) == one-shot scan, random corpora") {
+    // the stats-additivity and chain-resolved-df claims under MANY
+    // segments and random splits — the single fixed-split spec can't
+    // catch an ordering assumption here
+    val rnd = new scala.util.Random(1717)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "run", "jump",
+      "spark", "scan", "fil", "ter")
+    for (round <- 0 until 3) {
+      val n = 20 + rnd.nextInt(20)
+      val docs = (0L until n.toLong).map { i =>
+        (i, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory(s"bm25fuzz$round").toString
+      // random 3-way split: build the first, append the other two
+      val cut1 = 1 + rnd.nextInt(n - 2)
+      val cut2 = cut1 + 1 + rnd.nextInt(n - cut1 - 1)
+      Search.buildBm25Index(df.filter($"doc_id" < cut1), "doc_id", "text",
+        dir, termBuckets = 3)
+      Search.appendToBm25Index(df.filter($"doc_id" >= cut1 && $"doc_id" < cut2),
+        "doc_id", "text", dir, termBuckets = 3)
+      Search.appendToBm25Index(df.filter($"doc_id" >= cut2), "doc_id", "text",
+        dir, termBuckets = 3)
+      val terms = Seq.fill(2 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.size))).distinct
+      assertSameRows(
+        Search.bm25TopK(df, "doc_id", "text", terms, k = 10),
+        Search.bm25SearchIndex(spark, dir, terms, k = 10))
+      // delete a random subset across segments, serve again
+      val dead = (0 until 1 + rnd.nextInt(4)).map(_ => rnd.nextInt(n).toLong).distinct
+      Search.deleteFromBm25Index(spark, dir, dead.toDF("doc_id"), "doc_id")
+      assertSameRows(
+        Search.bm25TopK(df.filter(!$"doc_id".isin(dead: _*)), "doc_id", "text",
+          terms, k = 10),
+        Search.bm25SearchIndex(spark, dir, terms, k = 10))
+    }
+  }
+
   test("Streaming.asOfJoin batch plan == brute-force model on random data") {
     import graft.streaming.Streaming
     import Streaming.AsOfEvent
