@@ -2102,6 +2102,31 @@ object SparkEntry {
       Search.appendToBm25Index(d.filter(col("doc_id") % 3 === 2), "doc_id", "text", idx)
       Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
     }),
+    "stream_maintained_bm25" -> ((s, dir) => {
+      // the live-crawl WRITE path: a real streaming query maintains the
+      // BM25 index via foreachBatch (first batch bootstraps, each later
+      // micro-batch appends an immutable segment, batch markers make
+      // replays exactly-once — Streaming.maintainBm25Index), then the
+      // serving path reads the stream-built artifact. Must equal BM25
+      // over the whole corpus: bm25_search's oracle verbatim.
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = t(s, dir, "documents").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"bm25_maint_$token", dir)
+      val ckpt = scratch(s"bm25_maint_ck_$token", dir)
+      implicit val sqlCtx = s.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = Streaming.maintainBm25Index(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckpt)
+      try {
+        rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { b =>
+          input.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
+    }),
     "bm25_search_batch" -> ((s, dir) => {
       // the multi-query serving shape: three keyword queries answered
       // in ONE corpus pass, top-10 each (rank-limit window per query)
@@ -5177,6 +5202,9 @@ object SparkEntry {
       // the incremental-index identity IS the claim (the
       // dedup_incremental_appended pattern)
       "bm25_search_appended" -> bm25SearchOracle,
+      // stream-maintained artifact (bootstrap + 2 marker-guarded
+      // appends from a real streaming query) serves the same ranking
+      "stream_maintained_bm25" -> bm25SearchOracle,
       // positional append: same identity claim for phrase retrieval
       "phrase_search_appended" -> phraseSearchOracle,
       // unified artifact: BM25 serving prunes positions, phrase serving

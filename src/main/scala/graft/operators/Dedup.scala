@@ -436,13 +436,17 @@ object Dedup {
   def buildMinhashIndex(
       docs: DataFrame, idCol: String, textCol: String, path: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      bandBuckets: Int = 64): Unit = {
+      bandBuckets: Int = 64, marker: Option[String] = None): Unit = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val spark = docs.sparkSession
     // all three tables land in a fresh version dir; the _LATEST pointer
     // flips only after meta — a mid-build failure or a rebuild racing a
     // reader can never expose mismatched tables (IndexIO scaladoc)
-    graft.sources.IndexIO.publish(spark, path) { vdir =>
+    val doPublish: (String => Unit) => String = marker match {
+      case Some(m) => graft.sources.IndexIO.publish(spark, path, m)
+      case None    => graft.sources.IndexIO.publish(spark, path)
+    }
+    doPublish { vdir =>
       docs
         .select(col(idCol).as("doc_id"), TextFunctions.shingles(col(textCol), n).as("__s"))
         .filter(size(col("__s")) > 0)
@@ -488,13 +492,17 @@ object Dedup {
     */
   def appendToMinhashIndex(
       docs: DataFrame, idCol: String, textCol: String, path: String,
-      bandBuckets: Int = 64): Unit = {
+      bandBuckets: Int = 64, marker: Option[String] = None): Unit = {
     val spark = docs.sparkSession
     val vdir = graft.sources.IndexIO.resolve(spark, path)
     val meta = spark.read.parquet(s"$vdir/meta").head()
     val (n, numHashes, bands) =
       (meta.getAs[Int]("n"), meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"))
-    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+    val doPublish: (String => Unit) => String = marker match {
+      case Some(m) => graft.sources.IndexIO.publishDelta(spark, path, m)
+      case None    => graft.sources.IndexIO.publishDelta(spark, path)
+    }
+    doPublish { seg =>
       docs
         .select(col(idCol).as("doc_id"), TextFunctions.shingles(col(textCol), n).as("__s"))
         .filter(size(col("__s")) > 0)

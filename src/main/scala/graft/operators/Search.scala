@@ -115,12 +115,17 @@ object Search {
       idCol: String,
       textCol: String,
       path: String,
-      termBuckets: Int = 64): Unit = {
+      termBuckets: Int = 64,
+      marker: Option[String] = None): Unit = {
     // three tables, one atomic publish: postings/lengths/stats land in
     // a fresh version dir and the _LATEST pointer flips last, so a
     // mid-build failure or a rebuild under a reader never exposes
     // postings from one corpus snapshot with stats from another
-    graft.sources.IndexIO.publish(docs.sparkSession, path) { vdir =>
+    val doPublish: (String => Unit) => String = marker match {
+      case Some(m) => graft.sources.IndexIO.publish(docs.sparkSession, path, m)
+      case None    => graft.sources.IndexIO.publish(docs.sparkSession, path)
+    }
+    doPublish { vdir =>
       val lengths = docs.select(
           col(idCol).as("doc_id"),
           size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
@@ -131,7 +136,8 @@ object Search {
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$vdir/postings")
       lengths.write.mode("overwrite").parquet(s"$vdir/lengths")
-      lengths.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      lengths.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
         .write.mode("overwrite").parquet(s"$vdir/stats")
     }
     ()
@@ -160,7 +166,8 @@ object Search {
       idCol: String,
       textCol: String,
       path: String,
-      termBuckets: Int = 64): Unit = {
+      termBuckets: Int = 64,
+      marker: Option[String] = None): Unit = {
     val spark = docs.sparkSession
     val vdir = graft.sources.IndexIO.resolve(spark, path)
     val prev = spark.read.parquet(s"$vdir/stats").head()
@@ -173,7 +180,11 @@ object Search {
       count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s")).head()
     if (add.getLong(0) == 0L) return
     import spark.implicits._
-    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+    val doPublish: (String => Unit) => String = marker match {
+      case Some(m) => graft.sources.IndexIO.publishDelta(spark, path, m)
+      case None    => graft.sources.IndexIO.publishDelta(spark, path)
+    }
+    doPublish { seg =>
       docs.select(col(idCol).as("doc_id"),
           explode(TextFunctions.tokens(col(textCol))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -1122,7 +1133,8 @@ object Search {
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$vdir/postings")
       lengths.write.mode("overwrite").parquet(s"$vdir/lengths")
-      lengths.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      lengths.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
         .write.mode("overwrite").parquet(s"$vdir/stats")
     }
     ()

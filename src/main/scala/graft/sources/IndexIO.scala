@@ -66,7 +66,14 @@ object IndexIO {
     * version directory.
     */
   def publish(spark: SparkSession, path: String)(build: String => Unit): String =
-    publishInternal(spark, path, delta = false)(build)
+    publishInternal(spark, path, delta = false, marker = None)(build)
+
+  /** [[publish]] carrying an applied-batch `marker` (see
+    * [[segmentMarkers]]) — the bootstrap-from-a-stream-batch form.
+    */
+  def publish(spark: SparkSession, path: String, marker: String)(
+      build: String => Unit): String =
+    publishInternal(spark, path, delta = false, marker = Some(marker))(build)
 
   /** Like [[publish]], but the new version EXTENDS the current one:
     * its segment list is the parent's plus the fresh directory, so
@@ -74,10 +81,21 @@ object IndexIO {
     * append lifecycle of a growing index. Requires a committed base.
     */
   def publishDelta(spark: SparkSession, path: String)(build: String => Unit): String =
-    publishInternal(spark, path, delta = true)(build)
+    publishInternal(spark, path, delta = true, marker = None)(build)
+
+  /** [[publishDelta]] carrying an applied-batch `marker`. */
+  def publishDelta(spark: SparkSession, path: String, marker: String)(
+      build: String => Unit): String =
+    publishInternal(spark, path, delta = true, marker = Some(marker))(build)
 
   private def publishInternal(
-      spark: SparkSession, path: String, delta: Boolean)(build: String => Unit): String = {
+      spark: SparkSession, path: String, delta: Boolean,
+      marker: Option[String])(build: String => Unit): String = {
+    marker.foreach { m =>
+      require(m.nonEmpty && m.forall(c =>
+          c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+        s"IndexIO: marker must be [A-Za-z0-9._-]+, got '$m'")
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
@@ -88,6 +106,18 @@ object IndexIO {
     val version = java.util.UUID.randomUUID().toString.replace("-", "")
     val vdir = versionDir(base, version)
     build(vdir.toString)
+    // applied-batch markers live INSIDE the segment, so they are atomic
+    // with its data (a marker is visible iff the append is). A FULL
+    // publish (compaction, rebuild) carries the previous version's
+    // marker set forward — collapsing segments must not forget which
+    // stream batches the collapsed data contains, or a post-compaction
+    // replay would double-append.
+    val carried: Seq[String] =
+      if (delta) Seq.empty
+      else parentSegments.flatMap(s => readMarkers(fs, new Path(s)))
+    (carried ++ marker).distinct.foreach { m =>
+      writeFile(fs, new Path(vdir, s"$MarkerPrefix$m"), "")
+    }
     val newSegments =
       (if (delta) parentSegments else Seq.empty) :+ vdir.toString
     // segment entries are stored as names relative to the index base so
@@ -103,6 +133,30 @@ object IndexIO {
     prune(fs, base, RetainVersions)
     vdir.toString
   }
+
+  /** The applied-batch markers of the CURRENT index: the union of every
+    * live segment's `_MARKER.*` files. A streaming maintainer records
+    * its micro-batch id here atomically with the appended data and
+    * skips batches already present — exactly-once index maintenance
+    * under foreachBatch's at-least-once replay ([[
+    * graft.streaming.Streaming.maintainBm25Index]]).
+    */
+  def segmentMarkers(spark: SparkSession, path: String): Set[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    segments(spark, path).flatMap { s =>
+      val p = new Path(s)
+      readMarkers(p.getFileSystem(conf), p)
+    }.toSet
+  }
+
+  private val MarkerPrefix = "_MARKER."
+
+  private def readMarkers(fs: FileSystem, segDir: Path): Seq[String] =
+    if (!fs.exists(segDir)) Seq.empty
+    else fs.listStatus(segDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(MarkerPrefix))
+      .map(_.stripPrefix(MarkerPrefix))
 
   /** Drop complete version dirs not reachable from the `retain` most
     * recently published versions' segment chains. In-flight dirs (no

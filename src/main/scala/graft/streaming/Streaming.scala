@@ -769,6 +769,118 @@ object Streaming {
       .drop("__sh", "__cand")
   }
 
+  // ---- streaming index maintenance ----------------------------------------
+
+  /** Apply ONE stream micro-batch to a persisted index EXACTLY ONCE:
+    * `foreachBatch` is at-least-once (a crash between the append and
+    * the checkpoint commit replays the batch), and the index appends
+    * are NOT idempotent (a double-append double-counts postings and
+    * stats) — so the batch id is recorded as a segment marker
+    * ([[graft.sources.IndexIO.segmentMarkers]]) ATOMICALLY with the
+    * appended data, and a replayed batch whose marker is already live
+    * is skipped. A full publish (compaction, rebuild) carries the
+    * marker set forward, so collapsing segments never forgets which
+    * batches the collapsed data contains. Returns false when skipped.
+    */
+  /** Marker namespace of one stream generation: derived from the
+    * checkpoint location, because that is exactly the scope in which
+    * micro-batch ids are stable (a replay within a checkpoint keeps
+    * its id; a new checkpoint restarts at 0 and must not collide).
+    */
+  private def streamMarkerId(checkpointDir: String): String =
+    (scala.util.hashing.MurmurHash3.stringHash(checkpointDir).toLong
+      & 0xffffffffL).toHexString
+
+  def applyIndexBatch(
+      spark: SparkSession, path: String, marker: String)(
+      bootstrap: => Unit)(append: => Unit): Boolean = {
+    if (!graft.sources.IndexIO.exists(spark, path)) { bootstrap; true }
+    else if (graft.sources.IndexIO.segmentMarkers(spark, path).contains(marker))
+      false
+    else { append; true }
+  }
+
+  /** Maintain a [[graft.operators.Search.buildBm25Index]] artifact FROM
+    * A STREAM: every micro-batch of `(idCol, textCol)` documents lands
+    * as an immutable append segment (the first non-empty batch
+    * bootstraps the index), restart-safe and exactly-once via
+    * [[applyIndexBatch]]'s in-segment batch markers. This closes the
+    * ingest loop the batch lifecycle leaves open: the crawl stream
+    * feeds the index that the serving/gate paths
+    * ([[graft.operators.Search.bm25SearchIndex]],
+    * [[hybridDecontaminateFlags]]) read — no nightly rebuild job in
+    * between. Deletes/compaction interleave through the normal chain
+    * operations (compaction carries the applied-batch markers).
+    */
+  def maintainBm25Index(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      checkpointDir: String,
+      termBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Search
+    // markers scope to the CHECKPOINT (not the run): replays within one
+    // checkpoint keep their batch id and are recognized, while a fresh
+    // stream generation (new checkpoint, batch ids restarting at 0)
+    // gets its own marker space and never collides
+    val sid = streamMarkerId(checkpointDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      if (!batch.isEmpty) {
+        applyIndexBatch(s, path, s"b$batchId-$sid") {
+          Search.buildBm25Index(batch, idCol, textCol, path, termBuckets,
+            marker = Some(s"b$batchId-$sid"))
+        } {
+          Search.appendToBm25Index(batch, idCol, textCol, path, termBuckets,
+            marker = Some(s"b$batchId-$sid"))
+        }
+        ()
+      }
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
+  /** [[maintainBm25Index]] for the MinHash near-dup index — the crawl
+    * stream maintains the artifact that [[dedupAgainstMinhashIndex]]
+    * (and the batch dedup joins) probe. Bootstrap parameters apply to
+    * the first non-empty batch; appends band with the index's own
+    * stored meta.
+    */
+  def maintainMinhashIndex(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      checkpointDir: String,
+      n: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      bandBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    val sid = streamMarkerId(checkpointDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      if (!batch.isEmpty) {
+        applyIndexBatch(s, path, s"b$batchId-$sid") {
+          Dedup.buildMinhashIndex(batch, idCol, textCol, path, n, numHashes,
+            bands, bandBuckets, marker = Some(s"b$batchId-$sid"))
+        } {
+          Dedup.appendToMinhashIndex(batch, idCol, textCol, path, bandBuckets,
+            marker = Some(s"b$batchId-$sid"))
+        }
+        ()
+      }
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** RETRIEVAL-BASED decontamination gate, hybrid and STATELESS: flag
     * incoming documents that near-match a benchmark item through
     * EITHER retrieval modality, both legs served from persisted

@@ -625,6 +625,105 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintainBm25Index: stream-maintained index == one-shot; replay-safe; markers survive compact") {
+    import graft.operators.Search
+    val docs = Seq(
+      (1L, "spark scan spark join"),
+      (2L, "join join join filter filter"),
+      (3L, "spark"),
+      (4L, "scan filter scan filter scan filter scan filter"),
+      (5L, "unrelated words only here"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25_maint").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bm25_maint_ck").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.maintainBm25Index(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, ckpt,
+      termBuckets = 3)
+    try {
+      input.addData(docs(0), docs(1)) // bootstraps
+      q.processAllAvailable()
+      input.addData(docs(2))          // append segment
+      q.processAllAvailable()
+      input.addData(docs(3), docs(4)) // append segment
+      q.processAllAvailable()
+    } finally q.stop()
+    val full = docs.toDF("doc_id", "text")
+    assertSameRows(
+      Search.bm25TopK(full, "doc_id", "text", Seq("spark", "filter"), k = 10),
+      Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10))
+    val markers0 = graft.sources.IndexIO.segmentMarkers(spark, dir)
+    assert(markers0.size == 3 &&
+      Seq("b0-", "b1-", "b2-").forall(p => markers0.exists(_.startsWith(p))),
+      s"unexpected markers $markers0")
+    // a REPLAYED batch (at-least-once foreachBatch) is skipped: its
+    // marker is live, the version pointer does not move
+    val v0 = graft.sources.IndexIO.resolve(spark, dir)
+    val b2 = markers0.find(_.startsWith("b2-")).get
+    val applied = Streaming.applyIndexBatch(spark, dir, b2) {
+      fail("bootstrap must not run on an existing index")
+    } {
+      Search.appendToBm25Index(docs.takeRight(2).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+    }
+    assert(!applied)
+    assert(graft.sources.IndexIO.resolve(spark, dir) == v0)
+    // compaction (a FULL publish) carries the applied-batch markers, so
+    // a post-compaction replay is still recognized
+    Search.compactBm25Index(spark, dir, termBuckets = 3)
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1)
+    assert(graft.sources.IndexIO.segmentMarkers(spark, dir) == markers0)
+    assertSameRows(
+      Search.bm25TopK(full, "doc_id", "text", Seq("spark", "filter"), k = 10),
+      Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10))
+    // a FRESH stream generation (new checkpoint — batch ids restart at
+    // 0) gets its own marker namespace: new data lands instead of
+    // colliding with the old generation's b0
+    val ckpt2 = java.nio.file.Files.createTempDirectory("bm25_maint_ck2").toString
+    val input2 = MemoryStream[(Long, String)]
+    input2.addData((6L, "spark filter spark"))
+    val q2 = Streaming.maintainBm25Index(
+      input2.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, ckpt2,
+      termBuckets = 3)
+    try q2.processAllAvailable() finally q2.stop()
+    val withSix = (docs :+ (6L, "spark filter spark")).toDF("doc_id", "text")
+    assertSameRows(
+      Search.bm25TopK(withSix, "doc_id", "text", Seq("spark", "filter"), k = 10),
+      Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10))
+    assert(graft.sources.IndexIO.segmentMarkers(spark, dir).size == 4)
+  }
+
+  test("maintainMinhashIndex: stream-maintained near-dup index probes correctly") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("mh_maint").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mh_maint_ck").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.maintainMinhashIndex(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, ckpt, n = 3)
+    try {
+      input.addData((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      q.processAllAvailable()
+      input.addData((3L, "one two three four five six seven eight nine ten"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // a near-copy of doc 1 (indexed in batch 0) and of doc 3 (batch 1)
+    // both match through the unioned chain
+    val probes = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "one two three four five six seven eight nine ELEVEN"),
+      (6L, "fresh unrelated text words entirely different here now")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.dedupAgainstMinhashIndex(
+        spark, probes, "doc_id", "text", dir, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((2L, 1L), (4L, 3L)))
+    val markers = graft.sources.IndexIO.segmentMarkers(spark, dir)
+    assert(markers.size == 2 &&
+      Seq("b0-", "b1-").forall(p => markers.exists(_.startsWith(p))),
+      s"unexpected markers $markers")
+  }
+
   test("hybridDecontaminateFlags: lex containment + dense cosine, stateless, batch == stream") {
     import graft.operators.{Search, SimilaritySearch}
     val evalDocs = Seq(
