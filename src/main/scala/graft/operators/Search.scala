@@ -1117,8 +1117,13 @@ object Search {
       idCol: String,
       textCol: String,
       path: String,
-      termBuckets: Int = 64): Unit = {
-    graft.sources.IndexIO.publish(docs.sparkSession, path) { vdir =>
+      termBuckets: Int = 64,
+      marker: Option[String] = None): Unit = {
+    val doPublish: (String => Unit) => String = marker match {
+      case Some(m) => graft.sources.IndexIO.publish(docs.sparkSession, path, m)
+      case None    => graft.sources.IndexIO.publish(docs.sparkSession, path)
+    }
+    doPublish { vdir =>
       val lengths = docs.select(
           col(idCol).cast("long").as("doc_id"),
           size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
@@ -1150,7 +1155,8 @@ object Search {
       idCol: String,
       textCol: String,
       path: String,
-      termBuckets: Int = 64): Unit = {
+      termBuckets: Int = 64,
+      marker: Option[String] = None): Unit = {
     val spark = docs.sparkSession
     val vdir = graft.sources.IndexIO.resolve(spark, path)
     val prev = spark.read.parquet(s"$vdir/stats").head()
@@ -1163,7 +1169,11 @@ object Search {
       count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s")).head()
     if (add.getLong(0) == 0L) return
     import spark.implicits._
-    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+    val doPublish: (String => Unit) => String = marker match {
+      case Some(m) => graft.sources.IndexIO.publishDelta(spark, path, m)
+      case None    => graft.sources.IndexIO.publishDelta(spark, path)
+    }
+    doPublish { seg =>
       docs
         .select(col(idCol).cast("long").as("doc_id"),
           posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))

@@ -844,6 +844,41 @@ object Streaming {
       .start()
   }
 
+  /** [[maintainBm25Index]] for the UNIFIED lexical artifact
+    * ([[graft.operators.Search.buildLexicalIndex]] — postings carry tf
+    * AND positions): one stream maintains the single artifact that
+    * BM25 ranking, phrase retrieval, and the fused
+    * [[graft.operators.Search.hybridLexicalPhraseTopK]] all serve
+    * from.
+    */
+  def maintainLexicalIndex(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      checkpointDir: String,
+      termBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Search
+    val sid = streamMarkerId(checkpointDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      if (!batch.isEmpty) {
+        applyIndexBatch(s, path, s"b$batchId-$sid") {
+          Search.buildLexicalIndex(batch, idCol, textCol, path, termBuckets,
+            marker = Some(s"b$batchId-$sid"))
+        } {
+          Search.appendToLexicalIndex(batch, idCol, textCol, path, termBuckets,
+            marker = Some(s"b$batchId-$sid"))
+        }
+        ()
+      }
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** [[maintainBm25Index]] for the MinHash near-dup index — the crawl
     * stream maintains the artifact that [[dedupAgainstMinhashIndex]]
     * (and the batch dedup joins) probe. Bootstrap parameters apply to

@@ -94,6 +94,27 @@ class IndexIOSuite extends SparkSpec {
     assert(IndexIO.segments(spark, base).length == 1)
   }
 
+  test("segment markers: atomic with their segment, carried by full publishes") {
+    val base = newBase()
+    IndexIO.publish(spark, base, "b0")(vdir => writeTable(vdir, "a", Seq(1)))
+    IndexIO.publishDelta(spark, base, "b1")(vdir => writeTable(vdir, "a", Seq(2)))
+    IndexIO.publishDelta(spark, base)(vdir => writeTable(vdir, "a", Seq(3)))
+    assert(IndexIO.segmentMarkers(spark, base) == Set("b0", "b1"))
+    // a FULL publish (compaction/rebuild) carries the union forward —
+    // collapsing segments must not forget applied batches
+    IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1, 2, 3)))
+    assert(IndexIO.segments(spark, base).length == 1)
+    assert(IndexIO.segmentMarkers(spark, base) == Set("b0", "b1"))
+    // markers compose with further deltas after the collapse
+    IndexIO.publishDelta(spark, base, "b2")(vdir => writeTable(vdir, "a", Seq(4)))
+    assert(IndexIO.segmentMarkers(spark, base) == Set("b0", "b1", "b2"))
+    // marker names are sanitized (they become file names)
+    intercept[IllegalArgumentException] {
+      IndexIO.publishDelta(spark, base, "../evil")(vdir =>
+        writeTable(vdir, "a", Seq(9)))
+    }
+  }
+
   test("publishDelta without a committed base fails loudly") {
     val base = newBase()
     val ex = intercept[IllegalStateException] {

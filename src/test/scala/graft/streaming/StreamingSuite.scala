@@ -693,6 +693,35 @@ class StreamingSuite extends SparkSpec {
     assert(graft.sources.IndexIO.segmentMarkers(spark, dir).size == 4)
   }
 
+  test("maintainLexicalIndex: one stream feeds BM25 + phrase + fused retrieval") {
+    import graft.operators.Search
+    val docs = Seq(
+      (1L, "spark scan spark join"),
+      (2L, "join join join filter filter"),
+      (3L, "scan filter scan filter"),
+      (4L, "spark"))
+    val dir = java.nio.file.Files.createTempDirectory("lex_maint").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lex_maint_ck").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.maintainLexicalIndex(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, ckpt,
+      termBuckets = 3)
+    try {
+      input.addData(docs(0), docs(1)); q.processAllAvailable()
+      input.addData(docs(2), docs(3)); q.processAllAvailable()
+    } finally q.stop()
+    val full = docs.toDF("doc_id", "text")
+    assertSameRows(
+      Search.bm25TopK(full, "doc_id", "text", Seq("spark", "filter"), k = 10),
+      Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10))
+    assertSameRows(
+      Search.phraseTopK(full, "doc_id", "text", Seq("scan", "filter"), k = 10),
+      Search.phraseSearchIndex(spark, dir, Seq("scan", "filter"), k = 10))
+    assert(Search.hybridLexicalPhraseTopK(spark, dir,
+      Seq("spark", "filter"), Seq("scan", "filter"), k = 5).count() > 0)
+  }
+
   test("maintainMinhashIndex: stream-maintained near-dup index probes correctly") {
     import graft.operators.Dedup
     val dir = java.nio.file.Files.createTempDirectory("mh_maint").toString
