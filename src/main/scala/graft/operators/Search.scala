@@ -104,11 +104,13 @@ object Search {
   }
 
   /** Persist the full inverted index + doc stats so repeated queries
-    * skip the corpus scan: `path/postings` holds `(term, doc_id, tf)`
-    * BUCKETED BY term (a term lookup touches one bucket's files),
-    * `path/lengths` holds `(doc_id, dl)`, `path/stats` the one-row
-    * corpus stats. Written once per corpus snapshot, served by
-    * [[bm25SearchIndex]].
+    * skip the corpus scan: `path/postings` holds `(term, doc_id, tf,
+    * dl)` BUCKETED BY term (a term lookup touches one bucket's files;
+    * the doc length rides DENORMALIZED in every posting row so the
+    * serving path never joins the corpus-sized lengths table),
+    * `path/lengths` holds `(doc_id, dl)` (delete-time stats correction
+    * + old-layout readers), `path/stats` the one-row corpus stats.
+    * Written once per corpus snapshot, served by [[bm25SearchIndex]].
     */
   def buildBm25Index(
       docs: DataFrame,
@@ -126,12 +128,19 @@ object Search {
       case None    => graft.sources.IndexIO.publish(docs.sparkSession, path)
     }
     doPublish { vdir =>
-      val lengths = docs.select(
-          col(idCol).as("doc_id"),
-          size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
+      val toks = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      val lengths = toks.select(col("doc_id"),
+          size(col("__toks")).cast("long").as("dl"))
         .filter(col("dl") > 0)
-      docs.select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // dl DENORMALIZED into the postings rows: the serving path reads
+      // everything it needs from the pruned term buckets alone — no
+      // corpus-sized lengths join per query (at 100 TB that join was
+      // the serving bottleneck; lengths persists only for delete-time
+      // stats correction and old-layout readers)
+      toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+          explode(col("__toks")).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
         .repartition(termBuckets, col("term"))
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$vdir/postings")
@@ -186,8 +195,9 @@ object Search {
     }
     doPublish { seg =>
       docs.select(col(idCol).as("doc_id"),
+          size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"),
           explode(TextFunctions.tokens(col(textCol))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
         .repartition(termBuckets, col("term"))
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$seg/postings")
@@ -299,9 +309,14 @@ object Search {
       postings: DataFrame, lengths: DataFrame, stats: DataFrame,
       k: Int, k1: Double, b: Double): DataFrame = {
     val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    postings
+    // current layout carries dl in the postings rows — serving never
+    // touches the corpus-sized lengths table; pre-denormalization
+    // artifacts fall back to the doc_id join
+    val withDl =
+      if (postings.columns.contains("dl")) postings
+      else postings.join(lengths, "doc_id")
+    withDl
       .join(broadcast(dfs), "term")
-      .join(lengths, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("__idf",
         floor(log(
@@ -1130,8 +1145,9 @@ object Search {
         .filter(col("dl") > 0)
       docs
         .select(col(idCol).cast("long").as("doc_id"),
+          size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"),
           posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
-        .groupBy("term", "doc_id")
+        .groupBy("term", "doc_id", "dl")
         .agg(count(lit(1)).as("tf"),
           sort_array(collect_list(col("pos"))).as("positions"))
         .repartition(termBuckets, col("term"))
@@ -1176,8 +1192,9 @@ object Search {
     doPublish { seg =>
       docs
         .select(col(idCol).cast("long").as("doc_id"),
+          size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"),
           posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
-        .groupBy("term", "doc_id")
+        .groupBy("term", "doc_id", "dl")
         .agg(count(lit(1)).as("tf"),
           sort_array(collect_list(col("pos"))).as("positions"))
         .repartition(termBuckets, col("term"))
@@ -1210,13 +1227,18 @@ object Search {
       outPath: String,
       termBuckets: Int = 64): Unit = {
     val vdir = graft.sources.IndexIO.resolve(spark, bm25Path)
-    val posLive = liveTable(spark, positionalPath, "postings")
+    val lengths = liveTable(spark, bm25Path, "lengths")
+    val posBare = liveTable(spark, positionalPath, "postings")
       .select(col("term"), col("doc_id"),
         size(col("positions")).cast("long").as("tf"), col("positions"))
-    val lengths = liveTable(spark, bm25Path, "lengths")
+    // dl joins in ONCE here (a compact is a build-time job) so the
+    // merged artifact serves BM25 from its postings rows alone; the
+    // divergence check below counts the PRE-join doc set, so the inner
+    // join can never mask a positional-only doc by dropping it
+    val posLive = posBare.join(lengths, "doc_id")
     val stats = spark.read.parquet(s"$vdir/stats")
     val nDocs = stats.head().getLong(0)
-    val nPos = posLive.select(countDistinct(col("doc_id"))).head().getLong(0)
+    val nPos = posBare.select(countDistinct(col("doc_id"))).head().getLong(0)
     require(nPos == nDocs,
       s"compactToLexicalIndex: positional index covers $nPos live docs but the " +
         s"BM25 stats say $nDocs — the two chains have diverged; rebuild instead")
@@ -1277,10 +1299,13 @@ object Search {
     val lengths = liveTable(spark, path, "lengths")
     val stats = spark.read.parquet(s"$vdir/stats")
 
+    val lexCols =
+      if (postings.columns.contains("dl")) Seq("doc_id", "term", "tf", "dl")
+      else Seq("doc_id", "term", "tf")
     val lexRanked = scoreRanked(
       bm25ScoreIndexed(
           postings.filter(col("term").isin(lexTerms: _*))
-            .select("doc_id", "term", "tf"),
+            .select(lexCols.map(col): _*),
           lengths, stats, fetchK, k1, b)
         .select(col("doc_id").as("__id"), col("score").as("__s")))
 

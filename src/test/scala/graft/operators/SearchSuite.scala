@@ -81,6 +81,25 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       s"term filter not pushed to parquet:\n$plan")
   }
 
+  test("bm25 serving never reads the lengths table (dl rides the postings)") {
+    val dir = Files.createTempDirectory("bm25dl").toString
+    Search.buildBm25Index(corpus, "doc_id", "text", dir, termBuckets = 4)
+    // dl is denormalized into every posting row, so the serving plan
+    // touches ONLY the pruned postings buckets + the one-row stats —
+    // at corpus scale the per-query lengths join was the bottleneck
+    val plan = Search.bm25SearchIndex(spark, dir, Seq("spark"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("/lengths"),
+      s"serving plan still scans the lengths table:\n$plan")
+    // the unified lexical layout serves the same way
+    val dir2 = Files.createTempDirectory("lexdl").toString
+    Search.buildLexicalIndex(corpus, "doc_id", "text", dir2, termBuckets = 4)
+    val plan2 = Search.bm25SearchIndex(spark, dir2, Seq("spark"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("/lengths"),
+      s"unified serving plan still scans the lengths table:\n$plan2")
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = Search.bm25TopK(corpus, "doc_id", "text", Seq("spark"), k = 3)
       .queryExecution.executedPlan.toString
