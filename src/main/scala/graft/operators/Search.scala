@@ -62,10 +62,15 @@ object Search {
         col(idCol).as("__id"),
         size(TextFunctions.tokens(col(textCol))).cast("long").as("__dl"))
       .filter(col("__dl") > 0) // token-less docs are outside the corpus stats
+    // the doc length rides THROUGH the explode as a grouping key, so
+    // scoring never joins the corpus-sized lengths relation back in —
+    // only the one-row stats aggregate ever reads it
     val postings = docs
-      .select(col(idCol).as("__id"), explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .select(col(idCol).as("__id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("__dl"),
+        explode(TextFunctions.tokens(col(textCol))).as("__t"))
       .filter(col("__t").isin(terms: _*))
-      .groupBy("__id", "__t")
+      .groupBy("__id", "__dl", "__t")
       .agg(count(lit(1)).as("__tf"))
 
     // corpus stats: one row; per-term df: ≤ |query| rows — broadcast both
@@ -76,7 +81,6 @@ object Search {
 
     val scored = postings
       .join(broadcast(dfs), "__t")
-      .join(lengths, "__id")
       .crossJoin(broadcast(stats))
       .withColumn("__idf",
         floor(log(
@@ -393,9 +397,11 @@ object Search {
         size(TextFunctions.tokens(col(textCol))).cast("long").as("__dl"))
       .filter(col("__dl") > 0)
     val postings = docs
-      .select(col(idCol).as("__id"), explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .select(col(idCol).as("__id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("__dl"),
+        explode(TextFunctions.tokens(col(textCol))).as("__t"))
       .join(broadcast(batchTerms), "__t") // restrict BEFORE the tf shuffle
-      .groupBy("__id", "__t")
+      .groupBy("__id", "__dl", "__t")
       .agg(count(lit(1)).as("__tf"))
 
     val stats = lengths.agg(
@@ -406,7 +412,6 @@ object Search {
     val scored = postings
       .join(broadcast(qTerms), "__t") // fan out to the queries carrying the term
       .join(broadcast(dfs), "__t")
-      .join(lengths, "__id")
       .crossJoin(broadcast(stats))
       .withColumn("__idf",
         floor(log(
