@@ -30,6 +30,8 @@ object Bench {
     "tokenize_bpe", "extract_html", "quality_classifier", "corpus_diff", "corpus_report",
     "stream_nb_gate", "pipeline_web_ingest", "sample_top_fraction",
     "gopher_rules", "lm_ccnet_buckets", "clean_lines", "lang_id_nb",
+    "dsir_score", "dsir_resample", "stream_dsir_gate",
+    "dsir_score_appended",
     "lang_id_nb_priors", "strip_source_boilerplate",
     "stream_strip_boilerplate",
     "stream_lang_gate", "shard_by_tokens", "shard_write_roundtrip",
@@ -112,7 +114,8 @@ object Bench {
         "bm25_search_deleted", "bm25_search_appended",
         "phrase_search_appended", "hybrid_lexical_phrase",
         "hybrid_search_rrf_both_indexed", "mine_hard_negatives_index",
-        "stream_hybrid_decontaminate")
+        "stream_hybrid_decontaminate",
+        "stream_dsir_gate", "dsir_score_appended")
       .filter(SparkEntry.queries.contains)
       .foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).count()

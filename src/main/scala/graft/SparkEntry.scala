@@ -2439,6 +2439,67 @@ object SparkEntry {
       Streaming.langGate(s, d, "doc_id", "text", idx, keep = "en")
         .select("doc_id", "lang")
     }),
+    "dsir_score" -> ((s, dir) => {
+      // DSIR importance weights (Xie et al., NeurIPS 2023): hashed
+      // unigram+bigram profiles for the en-subset target vs the full
+      // raw corpus, per-doc logw = Σ grid(lp_target − lp_raw) over
+      // gram occurrences. Both profiles are ≤4096-row broadcasts; the
+      // oracle replays md5 buckets, add-one smoothing, and the 1e-4
+      // log grid in SQL.
+      val d = t(s, dir, "documents")
+      Dsir.importanceScoreAgainst(d, "doc_id", "text",
+        d.filter(col("lang") === "en"), "text", buckets = 4096)
+    }),
+    "dsir_resample" -> ((s, dir) => {
+      // Gumbel-top-k importance resampling over the dsir_score
+      // weights: deterministic Gumbel noise from each id's md5
+      // fraction (grid long), top 50 by logw+noise — sampling without
+      // replacement from the importance distribution, reproducible in
+      // any engine. Plans as TakeOrderedAndProject, never a full sort.
+      val d = t(s, dir, "documents")
+      val sc = Dsir.importanceScoreAgainst(d, "doc_id", "text",
+        d.filter(col("lang") === "en"), "text", buckets = 4096)
+      Dsir.resampleTopK(sc, "doc_id", k = 50)
+    }),
+    "stream_dsir_gate" -> ((s, dir) => {
+      // the DSIR gate AT INGEST: "is this doc distributionally like
+      // the target corpus?" — the dense 4096-long ratio array rides as
+      // one literal, scoring is ONE in-row aggregate per doc (no
+      // join/agg/state), keep docs whose mean per-gram log-ratio
+      // clears -0.07 — on this corpus the en/non-en means sit at
+      // -0.058 vs -0.094, so the cut keeps most target-like docs and
+      // rejects most off-target ones (not a knife edge: grid longs
+      // compare exactly). The
+      // oracle replays the same grid sums and the floor(logw/n)
+      // threshold in SQL.
+      val d = t(s, dir, "documents")
+      val idx = scratch("dsir_gate_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        Dsir.buildDsirIndex(d.filter(col("lang") === "en"), "text",
+          d, "text", buckets = 4096, idx)
+      val (ratio, dsirB) = Dsir.loadDsirRatio(s, idx)
+      Streaming.dsirGate(s, d, "doc_id", "text", ratio, dsirB,
+        minAvgLogw = -0.07)
+        .select("doc_id", "n_ngrams", "logw")
+    }),
+    "dsir_score_appended" -> ((s, dir) => {
+      // the DSIR maintenance story: profiles are ADDITIVE, so a daily
+      // crawl batch appends its own <=4096-row profile segment and
+      // serving sums the chain — never a rebuild. Build on a third of
+      // the corpus, append the other two thirds, score from the chain;
+      // the result must equal dsir_score's one-shot profile over the
+      // whole corpus, which is exactly what the shared oracle checks.
+      val d = t(s, dir, "documents")
+      val idx = scratch("dsir_appended_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx)) {
+        Dsir.buildDsirIndex(d.filter(col("lang") === "en"), "text",
+          d.filter(col("doc_id") % 3 === 0), "text", buckets = 4096, idx)
+        Dsir.appendToDsirIndex(d.filter(col("doc_id") % 3 === 1), "text", idx)
+        Dsir.appendToDsirIndex(d.filter(col("doc_id") % 3 === 2), "text", idx)
+      }
+      val (tp, rp) = Dsir.dsirIndexProfiles(s, idx)
+      Dsir.importanceScore(d, "doc_id", "text", tp, rp, buckets = 4096)
+    }),
     "stream_pack_sequences" -> ((s, dir) => {
       // the live ingest pipeline ENDING IN PACKING: gate → token count
       // → incremental greedy packing whose open-bin carry state
@@ -6190,6 +6251,129 @@ object SparkEntry {
           |FROM fin f JOIN documents d USING (doc_id)
           |WHERE t_en = greatest(t_de, t_en, t_es, t_fr, t_zh)
           |  AND t_de <> greatest(t_de, t_en, t_es, t_fr, t_zh)""".stripMargin,
+      // DSIR (Xie et al. 2023): hashed unigram+bigram md5 buckets,
+      // add-one-smoothed bucket multinomials for the en target vs the
+      // raw corpus, per-gram grid(ln p_t) − grid(ln q_r) summed as
+      // exact longs per doc
+      "dsir_score" ->
+        """WITH tokp AS (SELECT doc_id, w, pos FROM (
+          |    SELECT doc_id,
+          |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |      generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |    FROM documents) q WHERE w <> ''),
+          |g AS (SELECT doc_id, w AS gram FROM tokp
+          |      UNION ALL
+          |      SELECT a.doc_id, a.w || chr(1) || b.w
+          |      FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          |gb AS (SELECT doc_id,
+          |    CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS b
+          |  FROM g),
+          |tp AS (SELECT b, count(*) AS ct FROM gb JOIN documents USING (doc_id)
+          |       WHERE lang = 'en' GROUP BY 1),
+          |rp AS (SELECT b, count(*) AS cq FROM gb GROUP BY 1),
+          |nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS n FROM tp),
+          |nq AS (SELECT CAST(sum(cq) AS DOUBLE) AS n FROM rp),
+          |lp AS (SELECT gb.doc_id,
+          |    CAST(floor(ln((coalesce(tp.ct, 0) + 1.0) / (nt.n + 4096.0)) * 10000.0) AS BIGINT)
+          |  - CAST(floor(ln((coalesce(rp.cq, 0) + 1.0) / (nq.n + 4096.0)) * 10000.0) AS BIGINT) AS lp
+          |  FROM gb LEFT JOIN tp USING (b) LEFT JOIN rp USING (b)
+          |  CROSS JOIN nt CROSS JOIN nq)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+          |       CAST(sum(lp) AS BIGINT) AS logw
+          |FROM lp GROUP BY doc_id""".stripMargin,
+      // dsir_score + deterministic Gumbel noise from each id's md5
+      // fraction; top-50 by exact long key
+      "dsir_resample" ->
+        """WITH tokp AS (SELECT doc_id, w, pos FROM (
+          |    SELECT doc_id,
+          |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |      generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |    FROM documents) q WHERE w <> ''),
+          |g AS (SELECT doc_id, w AS gram FROM tokp
+          |      UNION ALL
+          |      SELECT a.doc_id, a.w || chr(1) || b.w
+          |      FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          |gb AS (SELECT doc_id,
+          |    CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS b
+          |  FROM g),
+          |tp AS (SELECT b, count(*) AS ct FROM gb JOIN documents USING (doc_id)
+          |       WHERE lang = 'en' GROUP BY 1),
+          |rp AS (SELECT b, count(*) AS cq FROM gb GROUP BY 1),
+          |nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS n FROM tp),
+          |nq AS (SELECT CAST(sum(cq) AS DOUBLE) AS n FROM rp),
+          |lp AS (SELECT gb.doc_id,
+          |    CAST(floor(ln((coalesce(tp.ct, 0) + 1.0) / (nt.n + 4096.0)) * 10000.0) AS BIGINT)
+          |  - CAST(floor(ln((coalesce(rp.cq, 0) + 1.0) / (nq.n + 4096.0)) * 10000.0) AS BIGINT) AS lp
+          |  FROM gb LEFT JOIN tp USING (b) LEFT JOIN rp USING (b)
+          |  CROSS JOIN nt CROSS JOIN nq),
+          |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+          |         CAST(sum(lp) AS BIGINT) AS logw
+          |       FROM lp GROUP BY doc_id)
+          |SELECT doc_id, n_ngrams, logw,
+          |  logw + CAST(floor(-ln(-ln(
+          |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          |      + 0.5) / 4294967296.0)) * 10000.0) AS BIGINT) AS gumbel_key
+          |FROM sc
+          |ORDER BY gumbel_key DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // the in-row gate sums the SAME per-bucket grid longs as
+      // dsir_score, so the oracle is the score query + the
+      // floor(logw/n) >= 0 keep rule
+      "stream_dsir_gate" ->
+        """WITH tokp AS (SELECT doc_id, w, pos FROM (
+          |    SELECT doc_id,
+          |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |      generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |    FROM documents) q WHERE w <> ''),
+          |g AS (SELECT doc_id, w AS gram FROM tokp
+          |      UNION ALL
+          |      SELECT a.doc_id, a.w || chr(1) || b.w
+          |      FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          |gb AS (SELECT doc_id,
+          |    CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS b
+          |  FROM g),
+          |tp AS (SELECT b, count(*) AS ct FROM gb JOIN documents USING (doc_id)
+          |       WHERE lang = 'en' GROUP BY 1),
+          |rp AS (SELECT b, count(*) AS cq FROM gb GROUP BY 1),
+          |nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS n FROM tp),
+          |nq AS (SELECT CAST(sum(cq) AS DOUBLE) AS n FROM rp),
+          |lp AS (SELECT gb.doc_id,
+          |    CAST(floor(ln((coalesce(tp.ct, 0) + 1.0) / (nt.n + 4096.0)) * 10000.0) AS BIGINT)
+          |  - CAST(floor(ln((coalesce(rp.cq, 0) + 1.0) / (nq.n + 4096.0)) * 10000.0) AS BIGINT) AS lp
+          |  FROM gb LEFT JOIN tp USING (b) LEFT JOIN rp USING (b)
+          |  CROSS JOIN nt CROSS JOIN nq)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+          |       CAST(sum(lp) AS BIGINT) AS logw
+          |FROM lp GROUP BY doc_id
+          |HAVING floor(sum(lp) * 1.0 / count(*)) >= -700""".stripMargin,
+      // build-third + append-two-thirds must serve the SAME scores as
+      // the one-shot profile: the oracle is dsir_score's SQL verbatim —
+      // the equality IS the append-correctness claim
+      "dsir_score_appended" ->
+        """WITH tokp AS (SELECT doc_id, w, pos FROM (
+          |    SELECT doc_id,
+          |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |      generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |    FROM documents) q WHERE w <> ''),
+          |g AS (SELECT doc_id, w AS gram FROM tokp
+          |      UNION ALL
+          |      SELECT a.doc_id, a.w || chr(1) || b.w
+          |      FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          |gb AS (SELECT doc_id,
+          |    CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS b
+          |  FROM g),
+          |tp AS (SELECT b, count(*) AS ct FROM gb JOIN documents USING (doc_id)
+          |       WHERE lang = 'en' GROUP BY 1),
+          |rp AS (SELECT b, count(*) AS cq FROM gb GROUP BY 1),
+          |nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS n FROM tp),
+          |nq AS (SELECT CAST(sum(cq) AS DOUBLE) AS n FROM rp),
+          |lp AS (SELECT gb.doc_id,
+          |    CAST(floor(ln((coalesce(tp.ct, 0) + 1.0) / (nt.n + 4096.0)) * 10000.0) AS BIGINT)
+          |  - CAST(floor(ln((coalesce(rp.cq, 0) + 1.0) / (nq.n + 4096.0)) * 10000.0) AS BIGINT) AS lp
+          |  FROM gb LEFT JOIN tp USING (b) LEFT JOIN rp USING (b)
+          |  CROSS JOIN nt CROSS JOIN nq)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+          |       CAST(sum(lp) AS BIGINT) AS logw
+          |FROM lp GROUP BY doc_id""".stripMargin,
       // pruned-NB gate: same grid arithmetic as quality_classifier but
       // the delta table keeps only count >= 2 tokens — pruned tokens
       // fall to the unseen default floor via the LEFT JOIN coalesce;

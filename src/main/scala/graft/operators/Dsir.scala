@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** DSIR-style importance resampling for pretraining-data selection
+  * (Data Selection via Importance Resampling, Xie et al., NeurIPS
+  * 2023): represent every document as hashed n-gram (unigram + bigram)
+  * bucket counts, fit bag-of-ngrams multinomials over the buckets for
+  * a small TARGET corpus (the distribution you want more of) and for
+  * the RAW corpus (what the crawl gives you), score each raw document
+  * by its importance log-weight
+  *
+  *   log w(x) = Σ_ngrams ( log p_target[b(g)] − log q_raw[b(g)] )
+  *
+  * and resample the raw corpus by Gumbel-top-k on the log-weights —
+  * sampling without replacement from the importance distribution.
+  *
+  * Beyond the reference surface (SURVEY.md §2.4): the
+  * target-conditioned complement to the absolute quality filters in
+  * [[LangModel]] / [[QualityClassifier]] — those ask "is this document
+  * good?", DSIR asks "does my corpus need more documents LIKE this?".
+  *
+  * Scale design: both profiles are single map-side-combined
+  * aggregations collapsing the corpus to ≤ `buckets` rows (the hashing
+  * trick bounds model size independent of vocabulary, which is the
+  * paper's point); scoring explodes each doc's grams to 8-byte bucket
+  * ids, joins the two ≤-`buckets`-row profiles broadcast, and reduces
+  * to one row per doc with map-side partial aggregation. Resampling is
+  * a global top-k (`TakeOrderedAndProject` — per-partition heaps, no
+  * full sort). The serving form ([[scoreInRow]]) folds the ratio table
+  * into a dense `buckets`-length literal and scores in the row with
+  * zero joins/shuffles — the streaming-gate shape.
+  *
+  * Determinism (oracle contract): buckets come from the first 8 hex
+  * chars of md5 (md5 is md5 everywhere — the [[Sampling.hashBucket]]
+  * rule); each log is floored to the exact 1e-4 grid as a LONG right
+  * after the `ln` (the [[LangModel]] rule) and all downstream
+  * arithmetic is exact integer math, so scores, gates, and the
+  * resampled set replay bit-for-bit in any engine.
+  */
+object Dsir {
+
+  /** Stable bucket in [0, buckets) of an n-gram string. */
+  private def bucketOf(gram: Column, buckets: Int): Column =
+    conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % buckets
+
+  /** All scored n-gram occurrences of a document, one array: unigrams
+    * (whitespace tokens, empties dropped) followed by adjacent-pair
+    * bigrams joined with `\u0001` (the house key separator — cannot
+    * appear inside a whitespace token's boundary role). A doc with t
+    * tokens yields 2t−1 grams (t ≥ 1), an empty/blank doc yields none.
+    */
+  def gramsArray(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    // zip_with(toks, toks[1:]) builds all bigrams in ONE pass over
+    // materialized arrays -- an element_at(toks, i) indexing lambda
+    // would re-evaluate the tokenize subtree once per element, O(t^2)
+    // per doc. The shorter shifted side zip-pads with null; concat
+    // (not concat_ws, which SKIPS nulls) nulls that tail slot out and
+    // the filter drops it.
+    val shifted = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val bis = filter(
+      zip_with(toks, shifted, (a, b) => concat(a, lit("\u0001"), b)),
+      g => g.isNotNull)
+    concat(toks, bis)
+  }
+
+  /** Hashed n-gram profile of a corpus: `(bucket, cnt)` counts over
+    * all unigram + bigram occurrences, ≤ `buckets` rows. Additive by
+    * construction — profiles of two corpus halves sum to the whole —
+    * so incremental maintenance is a union + re-aggregate, never a
+    * re-scan of old data.
+    */
+  def ngramProfile(df: DataFrame, textCol: String, buckets: Int): DataFrame =
+    df.select(explode(gramsArray(col(textCol))).as("__g"))
+      .select(bucketOf(col("__g"), buckets).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-bucket grid log-prob under an add-one-smoothed multinomial:
+    * floor4(ln((cnt+1)/(N+buckets))) as an exact 1e-4-grid long.
+    */
+  private def gridLogProb(cnt: Column, total: Column, buckets: Int): Column =
+    floor(log((coalesce(cnt, lit(0L)) + lit(1.0))
+      / (total + lit(buckets.toDouble))) * lit(10000.0)).cast("long")
+
+  /** Importance log-weights of `docs` against prebuilt profiles.
+    * Returns `(<idCol>, n_ngrams, logw)` for every doc with ≥ 1 gram;
+    * `logw` is the exact 1e-4-grid long Σ (lp_target − lp_raw) over
+    * the doc's gram occurrences. Buckets absent from a profile score
+    * at the smoothed floor, not −∞.
+    */
+  def importanceScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetProfile: DataFrame,
+      rawProfile: DataFrame,
+      buckets: Int): DataFrame = {
+    val nt = targetProfile.agg(
+      coalesce(sum("cnt"), lit(0L)).cast("double").as("__nt"))
+    val nq = rawProfile.agg(
+      coalesce(sum("cnt"), lit(0L)).cast("double").as("__nq"))
+    docs.select(col(idCol), explode(gramsArray(col(textCol))).as("__g"))
+      .select(col(idCol), bucketOf(col("__g"), buckets).as("__b"))
+      .join(broadcast(targetProfile.select(
+        col("bucket").as("__b"), col("cnt").as("__ct"))), Seq("__b"), "left")
+      .join(broadcast(rawProfile.select(
+        col("bucket").as("__b"), col("cnt").as("__cq"))), Seq("__b"), "left")
+      .crossJoin(broadcast(nt))
+      .crossJoin(broadcast(nq))
+      .withColumn("__lp",
+        gridLogProb(col("__ct"), col("__nt"), buckets)
+          - gridLogProb(col("__cq"), col("__nq"), buckets))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"), sum(col("__lp")).as("logw"))
+  }
+
+  /** The one-call form: fit the target profile on `target`, the raw
+    * profile on `raw` itself, and score every raw doc.
+    */
+  def importanceScoreAgainst(
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      buckets: Int): DataFrame =
+    importanceScore(raw, idCol, textCol,
+      ngramProfile(target, targetTextCol, buckets),
+      ngramProfile(raw, textCol, buckets), buckets)
+
+  /** Gumbel-top-k resample: k docs without replacement, selection
+    * probability increasing in `logw` (the Gumbel-max trick — adding
+    * iid Gumbel(0,1) noise to log-weights and taking the top k IS
+    * categorical sampling without replacement). The noise is
+    * deterministic — −ln(−ln(u)) with u the doc id's md5 fraction in
+    * (0,1), floored to the 1e-4 grid — so the sample is identical
+    * across runs and engines (shared-hash membership, the
+    * [[Sampling.hashSample]] rule). Plans as a global top-k heap, not
+    * a sort. Returns the input columns + `gumbel_key`.
+    */
+  def resampleTopK(
+      scored: DataFrame,
+      idCol: String,
+      k: Int,
+      logwCol: String = "logw"): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val g = floor(-log(-log(u)) * lit(10000.0)).cast("long")
+    scored.withColumn("gumbel_key", col(logwCol) + g)
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Dense serving model: `ratio(b) = lp_target(b) − lp_raw(b)` for
+    * every bucket (absent buckets at the smoothed floor), collected to
+    * a `buckets`-length long array. Driver-side by contract — the
+    * array is the model (4 KB at the default 4096 buckets), bounded by
+    * the `require`, never corpus-sized.
+    */
+  def ratioArray(
+      targetProfile: DataFrame,
+      rawProfile: DataFrame,
+      buckets: Int): Array[Long] = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] for the in-row serving form, got $buckets")
+    val nt = targetProfile.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
+    val nq = rawProfile.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
+    def grid(cnt: Long, total: Long): Long =
+      math.floor(math.log((cnt + 1.0) / (total + buckets.toDouble)) * 10000.0).toLong
+    val base = grid(0L, nt) - grid(0L, nq)
+    val out = Array.fill(buckets)(base)
+    val tc = new Array[Long](buckets)
+    val qc = new Array[Long](buckets)
+    targetProfile.select("bucket", "cnt").collect()
+      .foreach(r => tc(r.getLong(0).toInt) = r.getLong(1))
+    rawProfile.select("bucket", "cnt").collect()
+      .foreach(r => qc(r.getLong(0).toInt) = r.getLong(1))
+    var b = 0
+    while (b < buckets) {
+      if (tc(b) != 0L || qc(b) != 0L)
+        out(b) = grid(tc(b), nt) - grid(qc(b), nq)
+      b += 1
+    }
+    out
+  }
+
+  /** Persist a DSIR model: the target profile (fixed at build — the
+    * target corpus is curated, not streamed) plus the raw profile as
+    * the first link of an appendable segment chain; meta carries the
+    * bucket count. Atomic [[graft.sources.IndexIO.publish]], so
+    * readers never see a torn model.
+    */
+  def buildDsirIndex(
+      target: DataFrame,
+      targetTextCol: String,
+      raw: DataFrame,
+      rawTextCol: String,
+      buckets: Int,
+      path: String): Unit = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536], got $buckets")
+    val spark = target.sparkSession
+    import spark.implicits._
+    graft.sources.IndexIO.publish(spark, path) { vdir =>
+      ngramProfile(target, targetTextCol, buckets).coalesce(1)
+        .write.mode("overwrite").parquet(s"$vdir/target")
+      ngramProfile(raw, rawTextCol, buckets).coalesce(1)
+        .write.mode("overwrite").parquet(s"$vdir/raw")
+      Seq(Tuple1(buckets)).toDF("buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
+    ()
+  }
+
+  /** Append a raw crawl batch to a persisted DSIR model: profiles are
+    * ADDITIVE (bucket counts of two corpus slices sum to their union's),
+    * so the new immutable segment carries only the batch's own ≤
+    * `buckets`-row profile and [[loadDsirRatio]] sums across the chain
+    * — a daily append costs one scan of the NEW data, never a rebuild.
+    */
+  def appendToDsirIndex(
+      newRaw: DataFrame, textCol: String, path: String): Unit = {
+    val spark = newRaw.sparkSession
+    import spark.implicits._
+    val b = dsirIndexBuckets(spark, path)
+    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+      ngramProfile(newRaw, textCol, b).coalesce(1)
+        .write.mode("overwrite").parquet(s"$seg/raw")
+      Seq(Tuple1(b)).toDF("buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/meta")
+    }
+    ()
+  }
+
+  /** Bucket count of a persisted DSIR model. */
+  def dsirIndexBuckets(spark: SparkSession, path: String): Int = {
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    spark.read.parquet(s"$vdir/meta").head().getInt(0)
+  }
+
+  /** The persisted model's target / summed-raw-chain profiles as
+    * DataFrames — the inputs [[importanceScore]] and [[ratioArray]]
+    * expect. The raw side folds every appended segment's counts.
+    */
+  def dsirIndexProfiles(
+      spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val tp = graft.sources.IndexIO.chainTable(spark, path, "target")
+      .getOrElse(throw new IllegalStateException(
+        s"DSIR model at $path has no target profile"))
+      .select(col("bucket"), col("cnt"))
+    val rp = graft.sources.IndexIO.chainTable(spark, path, "raw")
+      .getOrElse(throw new IllegalStateException(
+        s"DSIR model at $path has no raw profile"))
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+    (tp, rp)
+  }
+
+  /** Load a persisted model's dense serving ratio (the
+    * [[ratioArray]] of its profiles) + bucket count — what
+    * [[graft.streaming.Streaming.dsirGate]] serves from.
+    */
+  def loadDsirRatio(spark: SparkSession, path: String): (Array[Long], Int) = {
+    val b = dsirIndexBuckets(spark, path)
+    val (tp, rp) = dsirIndexProfiles(spark, path)
+    (ratioArray(tp, rp, b), b)
+  }
+
+  /** In-row scoring against a [[ratioArray]] model: returns a
+    * `struct(n_ngrams long, logw long)` column computed entirely in
+    * the row — grams, md5 buckets, and a dense-array lookup folded
+    * into one `aggregate` over the gram array; no join, no shuffle, no
+    * state. Exactly equal to [[importanceScore]] by construction (the
+    * same per-bucket grid longs are summed). `n_ngrams = 0` for
+    * blank docs (`logw` 0 there — unscorable, gates fail closed).
+    */
+  def scoreInRow(text: Column, ratio: Array[Long], buckets: Int): Column = {
+    require(ratio.length == buckets,
+      s"ratio array length ${ratio.length} != buckets $buckets")
+    val ratioLit = typedLit(ratio)
+    val grams = gramsArray(text)
+    val logw = aggregate(grams, lit(0L),
+      (acc, g) => acc + element_at(ratioLit,
+        (bucketOf(g, buckets) + lit(1L)).cast("int")))
+    struct(size(grams).cast("long").as("n_ngrams"), logw.as("logw"))
+  }
+}

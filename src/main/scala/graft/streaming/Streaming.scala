@@ -1211,6 +1211,41 @@ object Streaming {
       .drop("__ci")
   }
 
+  /** DSIR relevance gate: keep docs whose importance log-weight
+    * against a [[graft.operators.Dsir.ratioArray]] model — "is this
+    * doc distributionally like the target corpus?" — clears
+    * `minAvgLogw` per gram on the exact 1e-4 grid. The
+    * target-conditioned counterpart to [[lmGate]]/[[nbGate]]: those
+    * gate on absolute quality, this gates on similarity to the data
+    * you want more of (Xie et al., NeurIPS 2023). Serving shape is
+    * pure column expressions — grams, md5 buckets, and a dense
+    * `buckets`-length literal-array lookup folded into one in-row
+    * `aggregate` behind a Generate fence; no join, no aggregation, no
+    * state — append mode, batch/stream unified. The mean compares
+    * `floor(logw / n)` grid longs, so no doc flips on a double edge;
+    * zero-gram docs fail closed. Emits kept rows + `(n_ngrams, logw)`.
+    */
+  def dsirGate(
+      spark: SparkSession,
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      ratio: Array[Long],
+      buckets: Int,
+      minAvgLogw: Double): DataFrame = {
+    val sc = graft.operators.Dsir.scoreInRow(col(textCol), ratio, buckets)
+    val minGrid = math.round(minAvgLogw * 10000)
+    // Generate fence — one in-row aggregate per row (see lmGate)
+    stream
+      .withColumn("__ds", explode(array(sc)))
+      .filter(col("__ds.n_ngrams") > 0 &&
+        floor(col("__ds.logw") * lit(1.0) / col("__ds.n_ngrams")).cast("long")
+          >= lit(minGrid))
+      .withColumn("n_ngrams", col("__ds.n_ngrams"))
+      .withColumn("logw", col("__ds.logw"))
+      .drop("__ds")
+  }
+
   /** Streaming sequence packing: a `foreachBatch` sink whose carry-over
     * open-bin state ([[graft.operators.Packing.IncrementalPacker]])
     * crosses micro-batch boundaries, so the live ingest pipeline can

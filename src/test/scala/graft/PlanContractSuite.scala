@@ -103,6 +103,23 @@ class PlanContractSuite extends SparkSpec {
     ("stream_lang_gate", Seq.empty,
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
         "Exchange SinglePartition", "Join", "HashAggregate")),
+    // DSIR scoring: the two ≤4096-row profiles must BROADCAST onto the
+    // exploded gram stream (a sort-merge or shuffled join there would
+    // shuffle the corpus-sized gram relation by bucket — the hot keys
+    // are Zipfian, so that shape is a skew bomb at scale); the one-row
+    // totals ride as broadcast cross joins
+    ("dsir_score", Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
+    // resampling adds deterministic Gumbel keys and must plan the
+    // global top-k as a heap, never a full sort of the scored corpus
+    ("dsir_resample", Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
+      Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
+    // the DSIR gate is a stateless scan projection: the dense ratio
+    // array rides as a literal into one in-row aggregate, so any
+    // join/agg/exchange means serving regressed to the batch scorer
+    ("stream_dsir_gate", Seq.empty,
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition", "Join", "HashAggregate")),
     // the whole web-ingest path (extract -> scrub -> NB gate -> chunk)
     // is scan projections + one in-row kernel: ANY exchange or join
     // means a stage regressed out of the stateless stream-safe shape

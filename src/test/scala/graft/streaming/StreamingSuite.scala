@@ -901,6 +901,51 @@ class StreamingSuite extends SparkSpec {
     assert(batchKept == Set(1L))
   }
 
+  test("dsirGate streams: in-row ratio lookup, fail-closed, batch-unified") {
+    import graft.operators.Dsir
+    implicit val sqlCtx = spark.sqlContext
+    val B = 256
+    // raw = target-like prose + junk; target = the prose alone, so
+    // prose grams carry positive log-ratios and junk grams negative
+    val targetDocs = (0L until 10L).map(i =>
+      (i, "the cat sat on the mat and the dog ran")).toDF("doc_id", "text")
+    val rawDocs = targetDocs.unionByName((10L until 20L).map(i =>
+      (i, "zxq qzx xqz zqx qxz zzz qqq")).toDF("doc_id", "text"))
+    val ratio = Dsir.ratioArray(
+      Dsir.ngramProfile(targetDocs, "text", B),
+      Dsir.ngramProfile(rawDocs, "text", B), B)
+    val input = MemoryStream[(Long, String)]
+    val gated = Streaming.dsirGate(spark,
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", ratio, B,
+      minAvgLogw = 0.0)
+    assert(gated.isStreaming)
+    val q = gated.selectExpr("doc_id").writeStream
+      .format("memory").queryName("dsir_gate_test").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the cat sat on the mat"), // target-like: positive ratios
+        (2L, "zxq qzx xqz zzz qqq"),    // junk: target-unseen grams
+        (3L, "   "))                    // no grams: fail closed
+      q.processAllAvailable()
+      val kept = spark.table("dsir_gate_test").as[Long].collect().toSet
+      assert(kept == Set(1L))
+    } finally q.stop()
+    // batch-unified: same keeps + scores on the batch frame
+    val batch = Streaming.dsirGate(spark, Seq(
+        (1L, "the cat sat on the mat"),
+        (2L, "zxq qzx xqz zzz qqq"),
+        (3L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text", ratio, B, minAvgLogw = 0.0)
+    assert(batch.select("doc_id").as[Long].collect().toSet == Set(1L))
+    // and the gate's (n_ngrams, logw) match the batch scorer's
+    val scored = Dsir.importanceScore(
+      Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text"),
+      "doc_id", "text",
+      Dsir.ngramProfile(targetDocs, "text", B),
+      Dsir.ngramProfile(rawDocs, "text", B), B)
+    assertSameRows(batch.select("doc_id", "n_ngrams", "logw"), scored)
+  }
+
   test("dedupAgainstIvfIndex streams: in-row cell choice, stateless append") {
     import graft.operators.SimilaritySearch
     implicit val sqlCtx = spark.sqlContext
