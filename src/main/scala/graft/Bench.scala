@@ -23,7 +23,8 @@ object Bench {
     "dedup_cross_corpus_lsh", "dedup_mask_windows", "pack_sequences",
     "pack_sequences_bfd",
     "tokenize_bpe_ids",
-    "dedup_embedding", "ann_topk", "cluster_embeddings", "mmr_rerank", "mine_hard_negatives",
+    "dedup_embedding", "ann_topk", "cluster_embeddings", "semdedup_embeddings",
+    "mmr_rerank", "mine_hard_negatives",
     "mine_hard_negatives_ivf", "ann_topk_pq", "ann_topk_ivf_pq_search",
     "ann_topk_ivf_pq_meta",
     "text_quality", "doc_fingerprint", "scrub_report", "fold_confusables", "heavy_hitters_tokens",

@@ -791,6 +791,32 @@ object SparkEntry {
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_docs"))
     }),
+    "semdedup_embeddings" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): cluster-blocked semantic dedup —
+      // k-means to 8 cells, cosine >= 0.45 pairs WITHIN cells only,
+      // keep the lowest-centroid-cos member per duplicate component.
+      // Deterministic end to end (seedless trainer, exact-grid keep
+      // rule), so the oracle pins the per-cluster prune histogram
+      // measured at sf0.01 (7 of 500 pruned) — the approximate-
+      // operator constant pattern.
+      SimilaritySearch.semDeDup(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, threshold = 0.45)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("kept"), lit(1L)).otherwise(lit(0L))).as("n_removed"))
+    }),
+    "semdedup_pruned" -> ((s, dir) => {
+      // the pruned rows themselves (id, cell, duplicate component, and
+      // the centroid cosine that lost the keep rule) — deterministic,
+      // pinned at sf0.01; every centroid_cos here exceeds its group
+      // keeper's, which is the paper's keep-the-atypical rule made
+      // auditable.
+      SimilaritySearch.semDeDup(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, threshold = 0.45)
+        .filter(!col("kept"))
+        .select(col("vec_id"), col("cluster"), col("component"),
+          col("centroid_cos"))
+    }),
     "mmr_rerank" -> ((s, dir) => {
       // diversified re-rank: brute top-30 neighbors of vec 0 as the
       // candidate list (raw-cosine order, the ann_topk rule), relevance
@@ -4350,6 +4376,33 @@ object SparkEntry {
           |  (4, CAST(61 AS BIGINT)), (5, CAST(61 AS BIGINT)),
           |  (6, CAST(71 AS BIGINT)), (7, CAST(56 AS BIGINT)))
           |  AS t(cluster, n_docs)""".stripMargin,
+      // SemDeDup prune histogram pinned at sf0.01 (deterministic:
+      // seedless k-means + exact-grid keep rule); cluster sizes match
+      // cluster_embeddings' pinned histogram, 7 of 500 pruned
+      "semdedup_embeddings" ->
+        """SELECT * FROM (VALUES
+          |  (0, CAST(61 AS BIGINT), CAST(0 AS BIGINT)),
+          |  (1, CAST(63 AS BIGINT), CAST(1 AS BIGINT)),
+          |  (2, CAST(59 AS BIGINT), CAST(2 AS BIGINT)),
+          |  (3, CAST(68 AS BIGINT), CAST(2 AS BIGINT)),
+          |  (4, CAST(61 AS BIGINT), CAST(1 AS BIGINT)),
+          |  (5, CAST(61 AS BIGINT), CAST(0 AS BIGINT)),
+          |  (6, CAST(71 AS BIGINT), CAST(0 AS BIGINT)),
+          |  (7, CAST(56 AS BIGINT), CAST(1 AS BIGINT)))
+          |  AS t(cluster, n_docs, n_removed)""".stripMargin,
+      // the 7 pruned rows at sf0.01: in every duplicate component the
+      // pruned member's centroid_cos exceeds its keeper's (keep-the-
+      // atypical)
+      "semdedup_pruned" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(298 AS BIGINT), 3, CAST(45 AS BIGINT), CAST(0.2414 AS DOUBLE)),
+          |  (CAST(53 AS BIGINT), 7, CAST(53 AS BIGINT), CAST(0.3982 AS DOUBLE)),
+          |  (CAST(256 AS BIGINT), 1, CAST(75 AS BIGINT), CAST(0.3683 AS DOUBLE)),
+          |  (CAST(438 AS BIGINT), 3, CAST(156 AS BIGINT), CAST(0.3326 AS DOUBLE)),
+          |  (CAST(166 AS BIGINT), 2, CAST(166 AS BIGINT), CAST(0.3834 AS DOUBLE)),
+          |  (CAST(287 AS BIGINT), 2, CAST(238 AS BIGINT), CAST(0.4548 AS DOUBLE)),
+          |  (CAST(290 AS BIGINT), 4, CAST(290 AS BIGINT), CAST(0.305 AS DOUBLE)))
+          |  AS t(vec_id, cluster, component, centroid_cos)""".stripMargin,
       // recursive-CTE replay of the exact-integer MMR greedy:
       // rel and sims on the 1e-4 grid, argmax of rel - maxSim per step
       "mmr_rerank" ->

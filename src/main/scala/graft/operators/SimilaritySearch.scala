@@ -399,6 +399,70 @@ object SimilaritySearch {
       .select(col("neighbor_id").as(idCol), col("__cell").as("cluster"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): semantic near-dup
+    * pruning that scales by confining the quadratic pair search to
+    * k-means clusters — cluster the embeddings ([[clusterEmbeddings]]'
+    * deterministic seedless Lloyd trainer), find cosine-≥-`threshold`
+    * pairs ONLY within each cluster, group duplicates by connected
+    * components, and from every duplicate group KEEP the member with
+    * the LOWEST cosine to its cluster centroid (the paper's rule: the
+    * most atypical example survives, the redundant core is pruned).
+    *
+    * Returns one row per embedding: `(<idCol>, cluster, centroid_cos,
+    * component, kept)` — `component` is null for docs in no duplicate
+    * pair (trivially kept), `kept = false` marks the rows a curation
+    * pipeline drops. Cross-cluster near-duplicates are NOT found —
+    * that is the method's documented approximation (the clustering is
+    * the blocking structure), same contract as the banded-LSH dedups.
+    *
+    * Scale design: assignment and centroid cosine are one row-local
+    * expression pass (k×dim centroid literal, no join); the pair
+    * search shuffles by cluster id and compares within blocks, so cost
+    * is Σ|cluster|² — size k so clusters stay ~constant (the paper
+    * uses k ≈ √n·c); components/representatives are pair-scaled,
+    * never corpus-scaled. The keep rule compares exact 1e-4-grid longs
+    * (floor(cos·1e4), id tiebreak), so the pruned set is deterministic
+    * and engine-reproducible.
+    */
+  def semDeDup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double, iters: Int = 5): DataFrame = {
+    require(k >= 2, s"semDeDup: k must be >= 2, got $k")
+    val c = prepared(df, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+      .localCheckpoint(true) // scanned per Lloyd iteration + twice below
+    val centroids = trainCentroids(c, k, iters)
+    val assigned = c
+      .withColumn("__best", bestCellStructExpr(col("__cv"), centroidArray(centroids)))
+      .select(col("neighbor_id").as("__id"), col("__cv"), col("__cn"),
+        col("__best").getField("cell").as("cluster"),
+        floor(col("__best").getField("score") * lit(10000.0)).cast("long")
+          .as("__ccos"))
+      .localCheckpoint(true) // self-joined: don't assign twice
+    val a = assigned.select(col("cluster"), col("__id").as("id_a"),
+      col("__cv").as("__va"), col("__cn").as("__na"))
+    val b = assigned.select(col("cluster"), col("__id").as("id_b"),
+      col("__cv").as("__vb"), col("__cn").as("__nb"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorFunctions.dot(col("__va"), col("__vb"))
+        / (col("__na") * col("__nb")) >= threshold)
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    // representative = argmin (centroid_cos, id) per component
+    val reps = comps
+      .join(assigned.select(col("__id").as("id"), col("__ccos")), Seq("id"))
+      .groupBy(col("component"))
+      .agg(min_by(col("id"), struct(col("__ccos"), col("id"))).as("keep_id"))
+    assigned
+      .join(comps.select(col("id").as("__id"), col("component")),
+        Seq("__id"), "left")
+      .join(reps, Seq("component"), "left")
+      .select(col("__id").as(idCol), col("cluster"),
+        (col("__ccos") / lit(10000.0)).as("centroid_cos"),
+        col("component"),
+        coalesce(col("keep_id") === col("__id"), lit(true)).as("kept"))
+  }
+
   /** Centroid matrix as a literal `array<struct<cell,v,n>>` column — the
     * "broadcast" for per-row cell assignment: k×dim doubles folded into
     * the plan, so assignment is a row-local expression with NO udf, NO
@@ -429,6 +493,11 @@ object SimilaritySearch {
     * over the literal centroid array.
     */
   private def bestCellExpr(vec: Column, cents: Column): Column =
+    bestCellStructExpr(vec, cents).getField("cell")
+
+  /** The full argmax struct `(cell, score)` — [[semDeDup]] needs the
+    * winning centroid's cosine, not just its id. */
+  private def bestCellStructExpr(vec: Column, cents: Column): Column =
     aggregate(cents,
       struct(lit(-1).as("cell"), lit(Double.NegativeInfinity).as("score")),
       (acc, ct) =>
@@ -436,7 +505,6 @@ object SimilaritySearch {
           struct(ct.getField("cell").as("cell"),
             centroidScore(ct, vec).as("score")))
           .otherwise(acc))
-      .getField("cell")
 
   /** Deterministic Lloyd k-means over a prepared
     * `(neighbor_id, __cv, __cn)` frame: centroids initialize from the

@@ -103,6 +103,11 @@ class PlanContractSuite extends SparkSpec {
     ("stream_lang_gate", Seq.empty,
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
         "Exchange SinglePartition", "Join", "HashAggregate")),
+    // SemDeDup: the pair search must stay blocked by the cluster-id
+    // equi-join (the method's whole point) — a cartesian or nested
+    // loop means the blocking degenerated to all-pairs
+    ("semdedup_embeddings", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // DSIR scoring: the two ≤4096-row profiles must BROADCAST onto the
     // exploded gram stream (a sort-merge or shuffled join there would
     // shuffle the corpus-sized gram relation by bucket — the hot keys

@@ -268,6 +268,50 @@ class DifferentialFuzzSuite extends SparkSpec {
     }
   }
 
+  test("DSIR: in-row serving == groupBy scorer == appended chain, random corpora") {
+    // the three score paths (batch groupBy, dense-array in-row, chain-
+    // summed profiles) must agree EXACTLY — the fixed-corpus spec can't
+    // catch a bucket-collision or smoothing-denominator assumption that
+    // only random vocab shapes and bucket counts expose
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "run", "jump",
+      "spark", "scan", "fil", "ter", "zz", "q")
+    for (round <- 0 until 3) {
+      val buckets = Seq(64, 257, 1024)(round) // incl. a prime
+      val n = 20 + rnd.nextInt(20)
+      val docs = (0L until n.toLong).map { i =>
+        (i, Seq.fill(rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val target = df.filter($"doc_id" % 4 === 0)
+      val grouped = Dsir.importanceScoreAgainst(
+        df, "doc_id", "text", target, "text", buckets)
+      // in-row: same grid longs summed in the row
+      val ratio = Dsir.ratioArray(
+        Dsir.ngramProfile(target, "text", buckets),
+        Dsir.ngramProfile(df, "text", buckets), buckets)
+      val inRow = df
+        .select($"doc_id", Dsir.scoreInRow($"text", ratio, buckets).as("s"))
+        .filter($"s.n_ngrams" > 0)
+        .select($"doc_id", $"s.n_ngrams".as("n_ngrams"), $"s.logw".as("logw"))
+      assertSameRows(grouped.orderBy("doc_id"), inRow.orderBy("doc_id"))
+      // chain: random 3-way raw split, build + 2 appends
+      val dir = java.nio.file.Files.createTempDirectory(s"dsirfuzz$round").toString
+      val cut1 = 1 + rnd.nextInt(n - 2)
+      val cut2 = cut1 + 1 + rnd.nextInt(n - cut1 - 1)
+      Dsir.buildDsirIndex(target, "text",
+        df.filter($"doc_id" < cut1), "text", buckets, dir)
+      Dsir.appendToDsirIndex(
+        df.filter($"doc_id" >= cut1 && $"doc_id" < cut2), "text", dir)
+      Dsir.appendToDsirIndex(df.filter($"doc_id" >= cut2), "text", dir)
+      val (tp, rp) = Dsir.dsirIndexProfiles(spark, dir)
+      assertSameRows(
+        grouped.orderBy("doc_id"),
+        Dsir.importanceScore(df, "doc_id", "text", tp, rp, buckets)
+          .orderBy("doc_id"))
+    }
+  }
+
   test("Streaming.asOfJoin batch plan == brute-force model on random data") {
     import graft.streaming.Streaming
     import Streaming.AsOfEvent

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** ANN search: exact brute-force top-k semantics and the LSH variant's
@@ -162,6 +164,67 @@ class SimilaritySearchSuite extends SparkSpec {
     intercept[IllegalArgumentException] {
       SimilaritySearch.clusterEmbeddings(df, "id", "emb", k = 1)
     }
+  }
+
+  test("semDeDup: prunes planted in-cluster dups, keeps the atypical member") {
+    val rnd = new scala.util.Random(31)
+    // three separated directions; ids 0/1 per class are NEAR-IDENTICAL
+    // twins (the planted duplicates), the rest spread with noise
+    val planted = (0 until 60).map { i =>
+      val c = i % 3
+      val base = c match {
+        case 0 => Array(1.0, 0.0, 0.0)
+        case 1 => Array(0.0, 1.0, 0.0)
+        case _ => Array(0.0, 0.0, 1.0)
+      }
+      val noisy =
+        if (i < 6) base.map(_ + (i / 3) * 1e-4) // twins: i and i+3 per class
+        else base.map(_ + rnd.nextGaussian() * 0.15)
+      (i.toLong, noisy)
+    }
+    val df = planted.toDF("id", "emb")
+    val out = SimilaritySearch.semDeDup(df, "id", "emb",
+      k = 3, threshold = 0.999999)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getDouble(2), Option(r.get(3)).map(_.toString.toLong),
+        r.getBoolean(4))).toMap
+    assert(rows.size == 60)
+    // exactly one of each twin pair pruned, everything else kept
+    val removed = rows.filter(!_._2._4).keys.toSet
+    assert(removed.size == 3 &&
+      removed.forall(id => id < 6 && !removed.contains((id + 3) % 6)),
+      s"removed=$removed")
+    // the keeper of each twin component has the LOWER centroid cosine
+    rows.groupBy(_._2._3).foreach {
+      case (Some(_), members) if members.size > 1 =>
+        val kept = members.filter(_._2._4)
+        assert(kept.size == 1)
+        val keptCos = kept.head._2._2
+        members.filter(!_._2._4).foreach { case (_, (_, cos, _, _)) =>
+          assert(cos >= keptCos)
+        }
+      case _ => ()
+    }
+    // non-dup rows carry null component and kept=true
+    assert(rows.filter(_._2._3.isEmpty).values.forall(_._4))
+    // deterministic under repartitioning
+    val again = SimilaritySearch.semDeDup(df.repartition(7), "id", "emb",
+      k = 3, threshold = 0.999999)
+    assertSameRows(out.orderBy("id"), again.orderBy("id"))
+    // when every near-dup pair is intra-cluster (true here: twins share
+    // a class direction), the pruned set equals the UNBLOCKED
+    // composition: global exact pairs -> components -> same keep rule
+    val globalPairs = Dedup.embeddingNearDup(df, "id", "emb", 0.999999)
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(globalPairs, "id_a", "id_b")
+    val cos = out.select(col("id"),
+      floor(col("centroid_cos") * lit(10000.0)).cast("long").as("g"))
+    val reps = comps.join(cos, Seq("id")).groupBy("component")
+      .agg(min_by(col("id"), struct(col("g"), col("id"))).as("keep_id"))
+    val globalRemoved = comps.join(reps, Seq("component"))
+      .filter(col("id") =!= col("keep_id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(globalRemoved == removed)
   }
 
   test("IVF top-k: exact cosines, deterministic, decent recall on clustered data") {
