@@ -2526,6 +2526,35 @@ object SparkEntry {
       val (tp, rp) = Dsir.dsirIndexProfiles(s, idx)
       Dsir.importanceScore(d, "doc_id", "text", tp, rp, buckets = 4096)
     }),
+    "stream_maintained_dsir" -> ((s, dir) => {
+      // the live-crawl WRITE path for the DSIR model: a real streaming
+      // query maintains the profile chain via foreachBatch (first
+      // micro-batch bootstraps target+raw, each later batch appends its
+      // own additive profile segment, batch markers make replays
+      // exactly-once — Streaming.maintainDsirIndex), then scoring reads
+      // the stream-built chain. Must equal the one-shot profile over
+      // the whole corpus: dsir_score's oracle verbatim.
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val d = t(s, dir, "documents")
+      val rows = d.select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"dsir_maint_$token", dir)
+      val ckpt = scratch(s"dsir_maint_ck_$token", dir)
+      implicit val sqlCtx = s.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = Streaming.maintainDsirIndex(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        d.filter(col("lang") === "en"), "text", buckets = 4096, idx, ckpt)
+      try {
+        rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { b =>
+          input.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val (tp, rp) = Dsir.dsirIndexProfiles(s, idx)
+      Dsir.importanceScore(d, "doc_id", "text", tp, rp, buckets = 4096)
+    }),
     "stream_pack_sequences" -> ((s, dir) => {
       // the live ingest pipeline ENDING IN PACKING: gate → token count
       // → incremental greedy packing whose open-bin carry state
@@ -3325,6 +3354,38 @@ object SparkEntry {
     * empty/whitespace-only doc would count one phantom token into
     * N/avgdl where TextFunctions.tokens yields zero.
     */
+  /** The dsir_score replay (md5 buckets, add-one smoothing, 1e-4 log
+    * grid) — shared verbatim by every query whose claim is "this path
+    * serves the SAME scores as the one-shot profile" (the appended
+    * chain, the stream-maintained chain).
+    */
+  private val dsirScoreOracle: String =
+    """WITH tokp AS (SELECT doc_id, w, pos FROM (
+          |    SELECT doc_id,
+          |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |      generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |    FROM documents) q WHERE w <> ''),
+          |g AS (SELECT doc_id, w AS gram FROM tokp
+          |      UNION ALL
+          |      SELECT a.doc_id, a.w || chr(1) || b.w
+          |      FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          |gb AS (SELECT doc_id,
+          |    CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS b
+          |  FROM g),
+          |tp AS (SELECT b, count(*) AS ct FROM gb JOIN documents USING (doc_id)
+          |       WHERE lang = 'en' GROUP BY 1),
+          |rp AS (SELECT b, count(*) AS cq FROM gb GROUP BY 1),
+          |nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS n FROM tp),
+          |nq AS (SELECT CAST(sum(cq) AS DOUBLE) AS n FROM rp),
+          |lp AS (SELECT gb.doc_id,
+          |    CAST(floor(ln((coalesce(tp.ct, 0) + 1.0) / (nt.n + 4096.0)) * 10000.0) AS BIGINT)
+          |  - CAST(floor(ln((coalesce(rp.cq, 0) + 1.0) / (nq.n + 4096.0)) * 10000.0) AS BIGINT) AS lp
+          |  FROM gb LEFT JOIN tp USING (b) LEFT JOIN rp USING (b)
+          |  CROSS JOIN nt CROSS JOIN nq)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+          |       CAST(sum(lp) AS BIGINT) AS logw
+          |FROM lp GROUP BY doc_id""".stripMargin
+
   private val bm25SearchOracle: String =
     """WITH tok AS (
       |  SELECT doc_id, w FROM (
@@ -6308,32 +6369,7 @@ object SparkEntry {
       // add-one-smoothed bucket multinomials for the en target vs the
       // raw corpus, per-gram grid(ln p_t) − grid(ln q_r) summed as
       // exact longs per doc
-      "dsir_score" ->
-        """WITH tokp AS (SELECT doc_id, w, pos FROM (
-          |    SELECT doc_id,
-          |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
-          |      generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
-          |    FROM documents) q WHERE w <> ''),
-          |g AS (SELECT doc_id, w AS gram FROM tokp
-          |      UNION ALL
-          |      SELECT a.doc_id, a.w || chr(1) || b.w
-          |      FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
-          |gb AS (SELECT doc_id,
-          |    CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS b
-          |  FROM g),
-          |tp AS (SELECT b, count(*) AS ct FROM gb JOIN documents USING (doc_id)
-          |       WHERE lang = 'en' GROUP BY 1),
-          |rp AS (SELECT b, count(*) AS cq FROM gb GROUP BY 1),
-          |nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS n FROM tp),
-          |nq AS (SELECT CAST(sum(cq) AS DOUBLE) AS n FROM rp),
-          |lp AS (SELECT gb.doc_id,
-          |    CAST(floor(ln((coalesce(tp.ct, 0) + 1.0) / (nt.n + 4096.0)) * 10000.0) AS BIGINT)
-          |  - CAST(floor(ln((coalesce(rp.cq, 0) + 1.0) / (nq.n + 4096.0)) * 10000.0) AS BIGINT) AS lp
-          |  FROM gb LEFT JOIN tp USING (b) LEFT JOIN rp USING (b)
-          |  CROSS JOIN nt CROSS JOIN nq)
-          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
-          |       CAST(sum(lp) AS BIGINT) AS logw
-          |FROM lp GROUP BY doc_id""".stripMargin,
+      "dsir_score" -> dsirScoreOracle,
       // dsir_score + deterministic Gumbel noise from each id's md5
       // fraction; top-50 by exact long key
       "dsir_resample" ->
@@ -6401,32 +6437,9 @@ object SparkEntry {
       // build-third + append-two-thirds must serve the SAME scores as
       // the one-shot profile: the oracle is dsir_score's SQL verbatim —
       // the equality IS the append-correctness claim
-      "dsir_score_appended" ->
-        """WITH tokp AS (SELECT doc_id, w, pos FROM (
-          |    SELECT doc_id,
-          |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
-          |      generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
-          |    FROM documents) q WHERE w <> ''),
-          |g AS (SELECT doc_id, w AS gram FROM tokp
-          |      UNION ALL
-          |      SELECT a.doc_id, a.w || chr(1) || b.w
-          |      FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
-          |gb AS (SELECT doc_id,
-          |    CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS b
-          |  FROM g),
-          |tp AS (SELECT b, count(*) AS ct FROM gb JOIN documents USING (doc_id)
-          |       WHERE lang = 'en' GROUP BY 1),
-          |rp AS (SELECT b, count(*) AS cq FROM gb GROUP BY 1),
-          |nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS n FROM tp),
-          |nq AS (SELECT CAST(sum(cq) AS DOUBLE) AS n FROM rp),
-          |lp AS (SELECT gb.doc_id,
-          |    CAST(floor(ln((coalesce(tp.ct, 0) + 1.0) / (nt.n + 4096.0)) * 10000.0) AS BIGINT)
-          |  - CAST(floor(ln((coalesce(rp.cq, 0) + 1.0) / (nq.n + 4096.0)) * 10000.0) AS BIGINT) AS lp
-          |  FROM gb LEFT JOIN tp USING (b) LEFT JOIN rp USING (b)
-          |  CROSS JOIN nt CROSS JOIN nq)
-          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
-          |       CAST(sum(lp) AS BIGINT) AS logw
-          |FROM lp GROUP BY doc_id""".stripMargin,
+      "dsir_score_appended" -> dsirScoreOracle,
+      // stream-maintained chain == one-shot profile: dsir_score verbatim
+      "stream_maintained_dsir" -> dsirScoreOracle,
       // pruned-NB gate: same grid arithmetic as quality_classifier but
       // the delta table keeps only count >= 2 tokens — pruned tokens
       // fall to the unseen default floor via the LEFT JOIN coalesce;

@@ -201,12 +201,17 @@ object Dsir {
       raw: DataFrame,
       rawTextCol: String,
       buckets: Int,
-      path: String): Unit = {
+      path: String,
+      marker: Option[String] = None): Unit = {
     require(buckets >= 1 && buckets <= 65536,
       s"buckets must be in [1, 65536], got $buckets")
     val spark = target.sparkSession
     import spark.implicits._
-    graft.sources.IndexIO.publish(spark, path) { vdir =>
+    val doPublish: (String => Unit) => String = marker match {
+      case Some(m) => graft.sources.IndexIO.publish(spark, path, m)
+      case None    => graft.sources.IndexIO.publish(spark, path)
+    }
+    doPublish { vdir =>
       ngramProfile(target, targetTextCol, buckets).coalesce(1)
         .write.mode("overwrite").parquet(s"$vdir/target")
       ngramProfile(raw, rawTextCol, buckets).coalesce(1)
@@ -224,11 +229,16 @@ object Dsir {
     * — a daily append costs one scan of the NEW data, never a rebuild.
     */
   def appendToDsirIndex(
-      newRaw: DataFrame, textCol: String, path: String): Unit = {
+      newRaw: DataFrame, textCol: String, path: String,
+      marker: Option[String] = None): Unit = {
     val spark = newRaw.sparkSession
     import spark.implicits._
     val b = dsirIndexBuckets(spark, path)
-    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+    val doDelta: (String => Unit) => String = marker match {
+      case Some(m) => graft.sources.IndexIO.publishDelta(spark, path, m)
+      case None    => graft.sources.IndexIO.publishDelta(spark, path)
+    }
+    doDelta { seg =>
       ngramProfile(newRaw, textCol, b).coalesce(1)
         .write.mode("overwrite").parquet(s"$seg/raw")
       Seq(Tuple1(b)).toDF("buckets")

@@ -844,6 +844,47 @@ object Streaming {
       .start()
   }
 
+  /** Maintain a persisted DSIR model ([[graft.operators.Dsir]]) FROM A
+    * STREAM: profiles are additive, so every micro-batch of raw
+    * documents lands as its own ≤`buckets`-row profile segment — the
+    * first non-empty batch bootstraps the model (fitting the FIXED
+    * target profile from `target` — the target corpus is curated, not
+    * streamed) and each later batch appends. Restart-safe and
+    * exactly-once via [[applyIndexBatch]]'s in-segment batch markers.
+    * This keeps the "does my corpus need more docs like this" model
+    * current with the crawl that feeds it — [[dsirGate]] reloads the
+    * ratio from the chain on whatever cadence the pipeline wants.
+    */
+  def maintainDsirIndex(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      buckets: Int,
+      path: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dsir
+    val sid = streamMarkerId(checkpointDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      if (!batch.isEmpty) {
+        applyIndexBatch(s, path, s"b$batchId-$sid") {
+          Dsir.buildDsirIndex(target, targetTextCol, batch, textCol,
+            buckets, path, marker = Some(s"b$batchId-$sid"))
+        } {
+          Dsir.appendToDsirIndex(batch, textCol, path,
+            marker = Some(s"b$batchId-$sid"))
+        }
+        ()
+      }
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** [[maintainBm25Index]] for the UNIFIED lexical artifact
     * ([[graft.operators.Search.buildLexicalIndex]] — postings carry tf
     * AND positions): one stream maintains the single artifact that

@@ -946,6 +946,33 @@ class StreamingSuite extends SparkSpec {
     assertSameRows(batch.select("doc_id", "n_ngrams", "logw"), scored)
   }
 
+  test("maintainDsirIndex: stream-built chain == one-shot profile, one marker per batch") {
+    import graft.operators.Dsir
+    implicit val sqlCtx = spark.sqlContext
+    val B = 128
+    val docs = (0L until 24L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} common word")).toDF("doc_id", "text")
+    val target = docs.filter($"doc_id" % 4 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_dsir_maint_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsir_ck_").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.maintainDsirIndex(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      target, "text", B, idx, ckpt)
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      rows.grouped(8).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    // exactly one marker per non-empty micro-batch
+    assert(graft.sources.IndexIO.segmentMarkers(spark, idx).size == 3)
+    // chain-served scores == the one-shot profile's
+    val (tp, rp) = Dsir.dsirIndexProfiles(spark, idx)
+    assertSameRows(
+      Dsir.importanceScore(docs, "doc_id", "text", tp, rp, B).orderBy("doc_id"),
+      Dsir.importanceScoreAgainst(docs, "doc_id", "text", target, "text", B)
+        .orderBy("doc_id"))
+  }
+
   test("dedupAgainstIvfIndex streams: in-row cell choice, stateless append") {
     import graft.operators.SimilaritySearch
     implicit val sqlCtx = spark.sqlContext
