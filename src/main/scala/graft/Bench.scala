@@ -75,7 +75,7 @@ object Bench {
     "pipeline_semantic_dedup",
     "agg_pricing",
     "stream_window_counts", "sessionize_events", "pipeline_clean_corpus",
-    "pipeline_pack_clean", "pipeline_chunk_pack")
+    "pipeline_pack_clean", "pipeline_chunk_pack", "pipeline_dsir_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1323,6 +1323,25 @@ object SparkEntry {
       exact.join(drops, exact("doc_id") === col("__dropid"), "left_anti")
         .select(col("doc_id"), q4(col("__q")).as("quality"))
     }),
+    "pipeline_dsir_select" -> ((s, dir) => {
+      // the data-SELECTION pipeline end to end: decontaminate the
+      // train split against the eval split (lenient 0.3 gate — the
+      // strict complement is stream_decontaminate's job), fit DSIR
+      // profiles on the CLEAN corpus (target = its en subset), score
+      // every clean doc, and Gumbel-top-k the 100 docs a curated
+      // training mix would take. One composed lazy plan: the gate is a
+      // scan-side filter, the profiles are two broadcastable aggs, the
+      // select is a top-k heap.
+      val d = t(s, dir, "documents")
+      val clean = Streaming.decontaminateGate(s,
+        d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 5 === 0), "text", n = 3,
+        maxContamination = 0.3)
+        .select("doc_id", "text", "lang")
+      val scored = Dsir.importanceScoreAgainst(clean, "doc_id", "text",
+        clean.filter(col("lang") === "en"), "text", buckets = 4096)
+      Dsir.resampleTopK(scored, "doc_id", k = 100)
+    }),
     "source_similarity" -> ((s, dir) => {
       import s.implicits._
       // one MinHash signature per SOURCE (group-level aggregator: only
@@ -6440,6 +6459,62 @@ object SparkEntry {
       "dsir_score_appended" -> dsirScoreOracle,
       // stream-maintained chain == one-shot profile: dsir_score verbatim
       "stream_maintained_dsir" -> dsirScoreOracle,
+      // gate (3-shingle contamination <= 0.3 on the exact grid) ->
+      // DSIR profiles over the CLEAN subset -> Gumbel-top-100: the
+      // dsir_score CTEs with `documents` swapped for the gate's
+      // survivors, then dsir_resample's key arithmetic
+      "pipeline_dsir_select" ->
+        """WITH stokp AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |  FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+          |  FROM stokp a
+          |  JOIN stokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          |  JOIN stokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+          |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 0),
+          |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),
+          |agg AS (
+          |  SELECT tr.doc_id, count(*) AS n_shingles, count(ev.shingle) AS n_shared
+          |  FROM tr LEFT JOIN ev ON ev.shingle = tr.shingle
+          |  GROUP BY 1),
+          |clean AS (
+          |  SELECT d.doc_id, d.text, d.lang
+          |  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+          |  WHERE d.doc_id % 5 <> 0
+          |    AND coalesce(a.n_shared, 0) * 10000 <= coalesce(a.n_shingles, 0) * 3000),
+          |tokp AS (SELECT doc_id, w, pos FROM (
+          |    SELECT doc_id,
+          |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |      generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |    FROM clean) q WHERE w <> ''),
+          |g AS (SELECT doc_id, w AS gram FROM tokp
+          |      UNION ALL
+          |      SELECT a.doc_id, a.w || chr(1) || b.w
+          |      FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          |gb AS (SELECT doc_id,
+          |    CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS b
+          |  FROM g),
+          |tp AS (SELECT b, count(*) AS ct FROM gb JOIN clean USING (doc_id)
+          |       WHERE lang = 'en' GROUP BY 1),
+          |rp AS (SELECT b, count(*) AS cq FROM gb GROUP BY 1),
+          |nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS n FROM tp),
+          |nq AS (SELECT CAST(sum(cq) AS DOUBLE) AS n FROM rp),
+          |lp AS (SELECT gb.doc_id,
+          |    CAST(floor(ln((coalesce(tp.ct, 0) + 1.0) / (nt.n + 4096.0)) * 10000.0) AS BIGINT)
+          |  - CAST(floor(ln((coalesce(rp.cq, 0) + 1.0) / (nq.n + 4096.0)) * 10000.0) AS BIGINT) AS lp
+          |  FROM gb LEFT JOIN tp USING (b) LEFT JOIN rp USING (b)
+          |  CROSS JOIN nt CROSS JOIN nq),
+          |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+          |         CAST(sum(lp) AS BIGINT) AS logw
+          |       FROM lp GROUP BY doc_id)
+          |SELECT doc_id, n_ngrams, logw,
+          |  logw + CAST(floor(-ln(-ln(
+          |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          |      + 0.5) / 4294967296.0)) * 10000.0) AS BIGINT) AS gumbel_key
+          |FROM sc
+          |ORDER BY gumbel_key DESC, doc_id ASC LIMIT 100""".stripMargin,
       // pruned-NB gate: same grid arithmetic as quality_classifier but
       // the delta table keeps only count >= 2 tokens — pruned tokens
       // fall to the unseen default floor via the LEFT JOIN coalesce;
