@@ -2522,9 +2522,7 @@ object SparkEntry {
       if (!graft.sources.IndexIO.exists(s, idx))
         Dsir.buildDsirIndex(d.filter(col("lang") === "en"), "text",
           d, "text", buckets = 4096, idx)
-      val (ratio, dsirB) = Dsir.loadDsirRatio(s, idx)
-      Streaming.dsirGate(s, d, "doc_id", "text", ratio, dsirB,
-        minAvgLogw = -0.07)
+      Streaming.dsirGate(s, d, "doc_id", "text", idx, minAvgLogw = -0.07)
         .select("doc_id", "n_ngrams", "logw")
     }),
     "dsir_score_appended" -> ((s, dir) => {
@@ -2564,7 +2562,7 @@ object SparkEntry {
       implicit val sqlCtx = s.sqlContext
       val input = MemoryStream[(Long, String)]
       val q = Streaming.maintainDsirIndex(
-        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        input.toDF().toDF("doc_id", "text"), "text",
         d.filter(col("lang") === "en"), "text", buckets = 4096, idx, ckpt)
       try {
         rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { b =>
@@ -6425,7 +6423,8 @@ object SparkEntry {
           |ORDER BY gumbel_key DESC, doc_id ASC LIMIT 50""".stripMargin,
       // the in-row gate sums the SAME per-bucket grid longs as
       // dsir_score, so the oracle is the score query + the
-      // floor(logw/n) >= 0 keep rule
+      // floor(logw/n) >= -700 keep rule (the -0.07 threshold on the
+      // 1e-4 grid)
       "stream_dsir_gate" ->
         """WITH tokp AS (SELECT doc_id, w, pos FROM (
           |    SELECT doc_id,

@@ -159,8 +159,8 @@ object Dsir {
   /** Dense serving model: `ratio(b) = lp_target(b) − lp_raw(b)` for
     * every bucket (absent buckets at the smoothed floor), collected to
     * a `buckets`-length long array. Driver-side by contract — the
-    * array is the model (4 KB at the default 4096 buckets), bounded by
-    * the `require`, never corpus-sized.
+    * array is the model (32 KB at the default 4096 buckets, 512 KB at
+    * the allowed max), bounded by the `require`, never corpus-sized.
     */
   def ratioArray(
       targetProfile: DataFrame,

@@ -854,10 +854,12 @@ object Streaming {
     * This keeps the "does my corpus need more docs like this" model
     * current with the crawl that feeds it — [[dsirGate]] reloads the
     * ratio from the chain on whatever cadence the pipeline wants.
+    * Unlike the postings maintainers there is NO id column: the
+    * profile chain stores bucket counts only, so the artifact is
+    * id-free by construction.
     */
   def maintainDsirIndex(
       stream: DataFrame,
-      idCol: String,
       textCol: String,
       target: DataFrame,
       targetTextCol: String,
@@ -1267,7 +1269,6 @@ object Streaming {
     * zero-gram docs fail closed. Emits kept rows + `(n_ngrams, logw)`.
     */
   def dsirGate(
-      spark: SparkSession,
       stream: DataFrame,
       idCol: String,
       textCol: String,
@@ -1285,6 +1286,23 @@ object Streaming {
       .withColumn("n_ngrams", col("__ds.n_ngrams"))
       .withColumn("logw", col("__ds.logw"))
       .drop("__ds")
+  }
+
+  /** [[dsirGate]] against a persisted [[graft.operators.Dsir]] model:
+    * resolves the chain and folds its [[graft.operators.Dsir.loadDsirRatio]]
+    * ratio into the plan — the path-taking shape of the sibling gates
+    * ([[lmGate]]/[[nbGate]]), so a long-running ingest job reloads the
+    * stream-maintained model on restart without carrying arrays around.
+    */
+  def dsirGate(
+      spark: SparkSession,
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelPath: String,
+      minAvgLogw: Double): DataFrame = {
+    val (ratio, buckets) = graft.operators.Dsir.loadDsirRatio(spark, modelPath)
+    dsirGate(stream, idCol, textCol, ratio, buckets, minAvgLogw)
   }
 
   /** Streaming sequence packing: a `foreachBatch` sink whose carry-over

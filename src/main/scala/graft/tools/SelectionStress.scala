@@ -55,10 +55,12 @@ object SelectionStress {
       val p = Dsir.ngramProfile(target, "text", B).localCheckpoint(true)
       p.count(); p
     }
-    t("DSIR append: ONE extra copy's profile (batch-sized, not corpus)") {
-      val idx = "/tmp/graft_stress_dsir_idx_" +
-        java.util.UUID.randomUUID().toString.take(8)
+    val idx = "/tmp/graft_stress_dsir_idx_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    t(s"DSIR index build over the ${copies}x corpus (one-time)") {
       Dsir.buildDsirIndex(target, "text", big, "text", B, idx)
+    }
+    t("DSIR append: ONE extra copy's profile (batch-sized, not corpus)") {
       val extra = base.select((col("doc_id") + lit(copies * 1000000)).as("doc_id"),
         col("text"))
       Dsir.appendToDsirIndex(extra, "text", idx)
@@ -72,7 +74,7 @@ object SelectionStress {
       println("[stress]   scored docs: " + sc.count())
     }
     t("DSIR in-row gate over the full corpus (zero-join serving)") {
-      val kept = graft.streaming.Streaming.dsirGate(spark, big,
+      val kept = graft.streaming.Streaming.dsirGate(big,
         "doc_id", "text", ratio, B, minAvgLogw = -0.07)
       println("[stress]   kept docs: " + kept.count())
     }

@@ -915,7 +915,7 @@ class StreamingSuite extends SparkSpec {
       Dsir.ngramProfile(targetDocs, "text", B),
       Dsir.ngramProfile(rawDocs, "text", B), B)
     val input = MemoryStream[(Long, String)]
-    val gated = Streaming.dsirGate(spark,
+    val gated = Streaming.dsirGate(
       input.toDF().toDF("doc_id", "text"), "doc_id", "text", ratio, B,
       minAvgLogw = 0.0)
     assert(gated.isStreaming)
@@ -931,7 +931,7 @@ class StreamingSuite extends SparkSpec {
       assert(kept == Set(1L))
     } finally q.stop()
     // batch-unified: same keeps + scores on the batch frame
-    val batch = Streaming.dsirGate(spark, Seq(
+    val batch = Streaming.dsirGate(Seq(
         (1L, "the cat sat on the mat"),
         (2L, "zxq qzx xqz zzz qqq"),
         (3L, "   ")).toDF("doc_id", "text"),
@@ -957,7 +957,7 @@ class StreamingSuite extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_dsir_ck_").toString
     val input = MemoryStream[(Long, String)]
     val q = Streaming.maintainDsirIndex(
-      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      input.toDF().toDF("doc_id", "text"), "text",
       target, "text", B, idx, ckpt)
     try {
       val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
@@ -965,6 +965,11 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
     // exactly one marker per non-empty micro-batch
     assert(graft.sources.IndexIO.segmentMarkers(spark, idx).size == 3)
+    // the path-loading gate overload serves straight from the chain
+    // and keeps exactly the docs the array form keeps
+    val viaPath = Streaming.dsirGate(spark, docs, "doc_id", "text", idx,
+      minAvgLogw = -10.0).count()
+    assert(viaPath == 24)
     // chain-served scores == the one-shot profile's
     val (tp, rp) = Dsir.dsirIndexProfiles(spark, idx)
     assertSameRows(
