@@ -32,7 +32,7 @@ object Bench {
     "stream_nb_gate", "pipeline_web_ingest", "sample_top_fraction",
     "gopher_rules", "lm_ccnet_buckets", "clean_lines", "lang_id_nb",
     "dsir_score", "dsir_resample", "stream_dsir_gate",
-    "dsir_score_appended",
+    "dsir_score_appended", "dsir_source_report",
     "lang_id_nb_priors", "strip_source_boilerplate",
     "stream_strip_boilerplate",
     "stream_lang_gate", "shard_by_tokens", "shard_write_roundtrip",

@@ -2543,6 +2543,22 @@ object SparkEntry {
       val (tp, rp) = Dsir.dsirIndexProfiles(s, idx)
       Dsir.importanceScore(d, "doc_id", "text", tp, rp, buckets = 4096)
     }),
+    "dsir_source_report" -> ((s, dir) => {
+      // the DSIR decision artifact: which SOURCES does the target want
+      // more of — per-source micro-averaged per-gram log-ratio on the
+      // exact grid (sum of logw longs / sum of gram counts, ONE floor),
+      // the number that sets mixSources/mixEpochs recipe weights.
+      val d = t(s, dir, "documents")
+      val sc = Dsir.importanceScoreAgainst(d, "doc_id", "text",
+        d.filter(col("lang") === "en"), "text", buckets = 4096)
+      sc.join(d.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("logw")).as("sum_logw"),
+          sum(col("n_ngrams")).as("sum_ngrams"))
+        .withColumn("avg_logw_pergram",
+          floor(col("sum_logw") * lit(1.0) / col("sum_ngrams")).cast("long"))
+    }),
     "stream_maintained_dsir" -> ((s, dir) => {
       // the live-crawl WRITE path for the DSIR model: a real streaming
       // query maintains the profile chain via foreachBatch (first
@@ -6458,6 +6474,17 @@ object SparkEntry {
       "dsir_score_appended" -> dsirScoreOracle,
       // stream-maintained chain == one-shot profile: dsir_score verbatim
       "stream_maintained_dsir" -> dsirScoreOracle,
+      // per-source rollup of the score replay: exact long sums, one
+      // floor on the micro-average
+      "dsir_source_report" -> ("WITH res AS (" + dsirScoreOracle +
+        """)
+          |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(r.logw) AS BIGINT) AS sum_logw,
+          |  CAST(sum(r.n_ngrams) AS BIGINT) AS sum_ngrams,
+          |  CAST(floor(sum(r.logw) * 1.0 / sum(r.n_ngrams)) AS BIGINT)
+          |    AS avg_logw_pergram
+          |FROM res r JOIN documents d USING (doc_id)
+          |GROUP BY 1""".stripMargin),
       // gate (3-shingle contamination <= 0.3 on the exact grid) ->
       // DSIR profiles over the CLEAN subset -> Gumbel-top-100: the
       // dsir_score CTEs with `documents` swapped for the gate's

@@ -103,6 +103,11 @@ class PlanContractSuite extends SparkSpec {
     ("stream_lang_gate", Seq.empty,
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
         "Exchange SinglePartition", "Join", "HashAggregate")),
+    // the selection pipeline ends in a top-k heap, and neither the
+    // gate, the profile broadcasts, nor the score join may degenerate
+    // to an unblocked quadratic
+    ("pipeline_dsir_select", Seq("TakeOrderedAndProject"),
+      Seq("CartesianProduct", "SortMergeJoin", "ShuffledHashJoin")),
     // SemDeDup: the pair search must stay blocked by the cluster-id
     // equi-join (the method's whole point) — a cartesian or nested
     // loop means the blocking degenerated to all-pairs
