@@ -442,11 +442,7 @@ object Dedup {
     // all three tables land in a fresh version dir; the _LATEST pointer
     // flips only after meta — a mid-build failure or a rebuild racing a
     // reader can never expose mismatched tables (IndexIO scaladoc)
-    val doPublish: (String => Unit) => String = marker match {
-      case Some(m) => graft.sources.IndexIO.publish(spark, path, m)
-      case None    => graft.sources.IndexIO.publish(spark, path)
-    }
-    doPublish { vdir =>
+    graft.sources.IndexIO.publish(spark, path, marker) { vdir =>
       docs
         .select(col(idCol).as("doc_id"), TextFunctions.shingles(col(textCol), n).as("__s"))
         .filter(size(col("__s")) > 0)
@@ -498,11 +494,7 @@ object Dedup {
     val meta = spark.read.parquet(s"$vdir/meta").head()
     val (n, numHashes, bands) =
       (meta.getAs[Int]("n"), meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"))
-    val doPublish: (String => Unit) => String = marker match {
-      case Some(m) => graft.sources.IndexIO.publishDelta(spark, path, m)
-      case None    => graft.sources.IndexIO.publishDelta(spark, path)
-    }
-    doPublish { seg =>
+        graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
       docs
         .select(col(idCol).as("doc_id"), TextFunctions.shingles(col(textCol), n).as("__s"))
         .filter(size(col("__s")) > 0)

@@ -207,11 +207,7 @@ object Dsir {
       s"buckets must be in [1, 65536], got $buckets")
     val spark = target.sparkSession
     import spark.implicits._
-    val doPublish: (String => Unit) => String = marker match {
-      case Some(m) => graft.sources.IndexIO.publish(spark, path, m)
-      case None    => graft.sources.IndexIO.publish(spark, path)
-    }
-    doPublish { vdir =>
+    graft.sources.IndexIO.publish(spark, path, marker) { vdir =>
       ngramProfile(target, targetTextCol, buckets).coalesce(1)
         .write.mode("overwrite").parquet(s"$vdir/target")
       ngramProfile(raw, rawTextCol, buckets).coalesce(1)
@@ -234,11 +230,7 @@ object Dsir {
     val spark = newRaw.sparkSession
     import spark.implicits._
     val b = dsirIndexBuckets(spark, path)
-    val doDelta: (String => Unit) => String = marker match {
-      case Some(m) => graft.sources.IndexIO.publishDelta(spark, path, m)
-      case None    => graft.sources.IndexIO.publishDelta(spark, path)
-    }
-    doDelta { seg =>
+        graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
       ngramProfile(newRaw, textCol, b).coalesce(1)
         .write.mode("overwrite").parquet(s"$seg/raw")
       Seq(Tuple1(b)).toDF("buckets")

@@ -88,11 +88,18 @@ object Layout {
         s"((coalesce(CAST(`$c` AS BIGINT), `__mn_$c`) - `__mn_$c`) * ${scale}L) " +
           s"div greatest(1L, `__mx_$c` - `__mn_$c`)")
       // the guard compares two broadcast scalars per row (folds to a
-      // long compare in codegen); coalesce keeps an all-null dimension
-      // on the null-bucket path instead of tripping the overflow branch
+      // compare in codegen); coalesce keeps an all-null dimension
+      // on the null-bucket path instead of tripping the overflow
+      // branch. The spread is computed in DOUBLE: a long `mx - mn`
+      // would itself wrap negative past 2^63 (near-full-range hash
+      // dims under non-ANSI sessions) and the wrapped value would
+      // PASS a long compare — doubles cannot wrap, and the threshold
+      // (~1.4e14 at 16 bits) is far below 2^53, so the compare is
+      // exact where it matters
       acc.withColumn(s"${c}_zb",
         when(coalesce(
-            col(s"__mx_$c") - col(s"__mn_$c") <= lit(Long.MaxValue / scale),
+            col(s"__mx_$c").cast("double") - col(s"__mn_$c").cast("double")
+              <= lit((Long.MaxValue / scale).toDouble),
             lit(true)), bucket)
           .otherwise(raise_error(lit(
             s"minMaxBuckets: spread of $c times (2^$bits - 1) overflows a " +

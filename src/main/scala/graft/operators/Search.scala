@@ -127,11 +127,7 @@ object Search {
     // a fresh version dir and the _LATEST pointer flips last, so a
     // mid-build failure or a rebuild under a reader never exposes
     // postings from one corpus snapshot with stats from another
-    val doPublish: (String => Unit) => String = marker match {
-      case Some(m) => graft.sources.IndexIO.publish(docs.sparkSession, path, m)
-      case None    => graft.sources.IndexIO.publish(docs.sparkSession, path)
-    }
-    doPublish { vdir =>
+    graft.sources.IndexIO.publish(docs.sparkSession, path, marker) { vdir =>
       val toks = docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("__toks"))
       val lengths = toks.select(col("doc_id"),
@@ -193,15 +189,23 @@ object Search {
       count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s")).head()
     if (add.getLong(0) == 0L) return
     import spark.implicits._
-    val doPublish: (String => Unit) => String = marker match {
-      case Some(m) => graft.sources.IndexIO.publishDelta(spark, path, m)
-      case None    => graft.sources.IndexIO.publishDelta(spark, path)
-    }
-    doPublish { seg =>
-      docs.select(col(idCol).as("doc_id"),
-          size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"),
-          explode(TextFunctions.tokens(col(textCol))).as("term"))
-        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        // the BASE chain fixes the postings layout: a pre-denormalization
+    // artifact (postings without dl) must keep appending WITHOUT dl —
+    // chainTable's strict unionByName would otherwise fail on every
+    // subsequent read of the mixed chain (bricking the index until a
+    // rebuild). Serving re-joins lengths for that layout, and
+    // compactBm25Index migrates it to the denormalized one.
+    val baseHasDl =
+      spark.read.parquet(s"$vdir/postings").columns.contains("dl")
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
+      val toks = docs.select(col(idCol).as("doc_id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      val posted =
+        if (baseHasDl)
+          toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        else toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      posted
         .repartition(termBuckets, col("term"))
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$seg/postings")
@@ -251,9 +255,15 @@ object Search {
       spark: SparkSession, path: String, termBuckets: Int = 64): Unit = {
     if (graft.sources.IndexIO.segments(spark, path).length <= 1) return
     val vdir = graft.sources.IndexIO.resolve(spark, path)
-    val postings = liveTable(spark, path, "postings")
+    val postings0 = liveTable(spark, path, "postings")
     val lengths = liveTable(spark, path, "lengths")
     val stats = spark.read.parquet(s"$vdir/stats")
+    // compaction is the layout-migration point: a pre-denormalization
+    // artifact's postings gain the dl column here (one build-time
+    // join), so serving drops the lengths join from this version on
+    val postings =
+      if (postings0.columns.contains("dl")) postings0
+      else postings0.join(lengths, "doc_id")
     graft.sources.IndexIO.publish(spark, path) { nv =>
       postings.repartition(termBuckets, col("term"))
         .sortWithinPartitions("term", "doc_id")
@@ -1139,11 +1149,7 @@ object Search {
       path: String,
       termBuckets: Int = 64,
       marker: Option[String] = None): Unit = {
-    val doPublish: (String => Unit) => String = marker match {
-      case Some(m) => graft.sources.IndexIO.publish(docs.sparkSession, path, m)
-      case None    => graft.sources.IndexIO.publish(docs.sparkSession, path)
-    }
-    doPublish { vdir =>
+    graft.sources.IndexIO.publish(docs.sparkSession, path, marker) { vdir =>
       val lengths = docs.select(
           col(idCol).cast("long").as("doc_id"),
           size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
@@ -1190,18 +1196,26 @@ object Search {
       count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s")).head()
     if (add.getLong(0) == 0L) return
     import spark.implicits._
-    val doPublish: (String => Unit) => String = marker match {
-      case Some(m) => graft.sources.IndexIO.publishDelta(spark, path, m)
-      case None    => graft.sources.IndexIO.publishDelta(spark, path)
-    }
-    doPublish { seg =>
-      docs
+        // match the BASE chain's postings layout (see appendToBm25Index):
+    // a pre-denormalization lexical artifact keeps appending without
+    // dl so the chain union stays schema-consistent
+    val baseHasDl =
+      spark.read.parquet(s"$vdir/postings").columns.contains("dl")
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
+      val toks = docs
         .select(col(idCol).cast("long").as("doc_id"),
           size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"),
           posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
-        .groupBy("term", "doc_id", "dl")
-        .agg(count(lit(1)).as("tf"),
-          sort_array(collect_list(col("pos"))).as("positions"))
+      val posted =
+        if (baseHasDl)
+          toks.groupBy("term", "doc_id", "dl")
+            .agg(count(lit(1)).as("tf"),
+              sort_array(collect_list(col("pos"))).as("positions"))
+        else
+          toks.groupBy("term", "doc_id")
+            .agg(count(lit(1)).as("tf"),
+              sort_array(collect_list(col("pos"))).as("positions"))
+      posted
         .repartition(termBuckets, col("term"))
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$seg/postings")
@@ -1243,10 +1257,23 @@ object Search {
     val posLive = posBare.join(lengths, "doc_id")
     val stats = spark.read.parquet(s"$vdir/stats")
     val nDocs = stats.head().getLong(0)
-    val nPos = posBare.select(countDistinct(col("doc_id"))).head().getLong(0)
-    require(nPos == nDocs,
-      s"compactToLexicalIndex: positional index covers $nPos live docs but the " +
-        s"BM25 stats say $nDocs — the two chains have diverged; rebuild instead")
+    // SET comparison, not count comparison: one delete applied to each
+    // chain but to DIFFERENT ids leaves the counts equal while the doc
+    // sets diverge — the inner lengths join would then silently drop
+    // the positional-only docs and the published stats would be skewed.
+    // A full-outer join of the two distinct-id sets counts both
+    // divergence directions in one pass (still pair-scaled: ids only).
+    val posIds = posBare.select(col("doc_id")).distinct()
+    val lenIds = lengths.select(col("doc_id")).distinct()
+    val mism = posIds.withColumn("__p", lit(1))
+      .join(lenIds.withColumn("__l", lit(1)), Seq("doc_id"), "full_outer")
+      .filter(col("__p").isNull || col("__l").isNull)
+      .count()
+    val nPos = posIds.count()
+    require(mism == 0L && nPos == nDocs,
+      s"compactToLexicalIndex: the two chains have diverged — positional " +
+        s"covers $nPos live docs, BM25 stats say $nDocs, and $mism doc ids " +
+        s"are in one chain but not the other; rebuild instead")
     graft.sources.IndexIO.publish(spark, outPath) { nv =>
       posLive
         .repartition(termBuckets, col("term"))

@@ -264,8 +264,17 @@ object SimilaritySearch {
       col(labelCol).as("neighbor_label"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cl.join(broadcast(fetched.join(broadcast(ql), Seq("query_id"))),
-        Seq("neighbor_id"))
+    // a query id absent from `labels` must FAIL, not silently vanish:
+    // an inner join here would drop that query's whole shortlist and
+    // the nightly mining job would under-produce with no signal (the
+    // in-query form takes labels from the queries frame itself, so it
+    // cannot lose queries — the identity claim needs the same totality)
+    val labeled = fetched.join(broadcast(ql), Seq("query_id"), "left")
+      .withColumn("__ql",
+        when(col("__ql").isNotNull, col("__ql")).otherwise(raise_error(
+          concat(lit("mineHardNegativesFromIndex: no label for query_id "),
+            col("query_id")))))
+    cl.join(broadcast(labeled), Seq("neighbor_id"))
       .filter(col("neighbor_label") =!= col("__ql"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)

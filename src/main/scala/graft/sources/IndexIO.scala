@@ -88,6 +88,18 @@ object IndexIO {
       build: String => Unit): String =
     publishInternal(spark, path, delta = true, marker = Some(marker))(build)
 
+  /** Optional-marker forms — operators whose `marker: Option[String]`
+    * parameter defaults to None call these directly instead of each
+    * wiring its own Some/None match onto the String overloads.
+    */
+  def publish(spark: SparkSession, path: String, marker: Option[String])(
+      build: String => Unit): String =
+    publishInternal(spark, path, delta = false, marker = marker)(build)
+
+  def publishDelta(spark: SparkSession, path: String, marker: Option[String])(
+      build: String => Unit): String =
+    publishInternal(spark, path, delta = true, marker = marker)(build)
+
   private def publishInternal(
       spark: SparkSession, path: String, delta: Boolean,
       marker: Option[String])(build: String => Unit): String = {

@@ -771,6 +771,41 @@ object Streaming {
 
   // ---- streaming index maintenance ----------------------------------------
 
+  /** Marker namespace of one stream generation: a UUID persisted
+    * INSIDE the checkpoint directory at first use, so the namespace
+    * lives and dies WITH the checkpoint. Scoping to the checkpoint
+    * PATH alone (the first implementation hashed the path string)
+    * loses data: delete a corrupted checkpoint and restart at the
+    * same path — Spark's standard remedy — and batch ids restart at 0
+    * while the old path-derived markers are still live in the index,
+    * so the new generation's first batches are silently skipped. With
+    * the generation file, a normal restart keeps its namespace
+    * (replays within a checkpoint stay exactly-once) while a recreated
+    * checkpoint gets a fresh one: new data always applies; data the
+    * PREVIOUS generation already indexed may append again if the
+    * source replays from scratch — at-least-once, the standard
+    * contract after checkpoint loss, and strictly better than losing
+    * the new batches.
+    */
+  private def streamMarkerId(spark: SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_marker_generation")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](32)
+        val n = in.read(bytes)
+        new String(bytes, 0, math.max(n, 0), "UTF-8").trim
+      } finally in.close()
+    } else {
+      val gen = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false)
+      try out.write(gen.getBytes("UTF-8")) finally out.close()
+      gen
+    }
+  }
+
   /** Apply ONE stream micro-batch to a persisted index EXACTLY ONCE:
     * `foreachBatch` is at-least-once (a crash between the append and
     * the checkpoint commit replays the batch), and the index appends
@@ -782,15 +817,6 @@ object Streaming {
     * marker set forward, so collapsing segments never forgets which
     * batches the collapsed data contains. Returns false when skipped.
     */
-  /** Marker namespace of one stream generation: derived from the
-    * checkpoint location, because that is exactly the scope in which
-    * micro-batch ids are stable (a replay within a checkpoint keeps
-    * its id; a new checkpoint restarts at 0 and must not collide).
-    */
-  private def streamMarkerId(checkpointDir: String): String =
-    (scala.util.hashing.MurmurHash3.stringHash(checkpointDir).toLong
-      & 0xffffffffL).toHexString
-
   def applyIndexBatch(
       spark: SparkSession, path: String, marker: String)(
       bootstrap: => Unit)(append: => Unit): Boolean = {
@@ -824,7 +850,7 @@ object Streaming {
     // checkpoint keep their batch id and are recognized, while a fresh
     // stream generation (new checkpoint, batch ids restarting at 0)
     // gets its own marker space and never collides
-    val sid = streamMarkerId(checkpointDir)
+    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
     val step: (DataFrame, Long) => Unit = (batch, batchId) => {
       val s = batch.sparkSession
       if (!batch.isEmpty) {
@@ -867,7 +893,7 @@ object Streaming {
       path: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dsir
-    val sid = streamMarkerId(checkpointDir)
+    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
     val step: (DataFrame, Long) => Unit = (batch, batchId) => {
       val s = batch.sparkSession
       if (!batch.isEmpty) {
@@ -902,7 +928,7 @@ object Streaming {
       checkpointDir: String,
       termBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Search
-    val sid = streamMarkerId(checkpointDir)
+    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
     val step: (DataFrame, Long) => Unit = (batch, batchId) => {
       val s = batch.sparkSession
       if (!batch.isEmpty) {
@@ -939,7 +965,7 @@ object Streaming {
       bands: Int = 32,
       bandBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
-    val sid = streamMarkerId(checkpointDir)
+    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
     val step: (DataFrame, Long) => Unit = (batch, batchId) => {
       val s = batch.sparkSession
       if (!batch.isEmpty) {

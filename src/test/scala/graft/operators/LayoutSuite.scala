@@ -46,6 +46,20 @@ class LayoutSuite extends SparkSpec {
     }
   }
 
+  test("minMaxBuckets: overflow guard catches a WRAPPING spread") {
+    // near-full-range longs (a 64-bit hash used as a z dimension):
+    // mx - mn wraps negative in long arithmetic and would PASS a long
+    // guard compare — the double-based guard cannot wrap and must trip
+    val df = Seq((1L, Long.MinValue + 1L), (2L, Long.MaxValue - 1L))
+      .toDF("id", "v")
+    val e = intercept[Exception] {
+      Layout.minMaxBuckets(df, Seq("v")).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.toString + msgs(t.getCause)
+    assert(msgs(e).contains("overflows a signed long"), msgs(e).take(400))
+  }
+
   test("zorderLayout: range exchange on zvalue; z quadrants bound BOTH dims") {
     val rows = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
     val z = Layout.zorderLayout(rows.toDF("x", "y"), Seq("x", "y"), bits = 6,

@@ -72,6 +72,50 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assertSameRows(inline, served)
   }
 
+  test("append onto a PRE-denormalization artifact keeps the chain readable; compact migrates") {
+    val dir = Files.createTempDirectory("bm25legacy").toString
+    Search.buildBm25Index(corpus.filter(col("doc_id") <= 3), "doc_id", "text",
+      dir, termBuckets = 4)
+    // simulate the legacy layout: rewrite the base postings WITHOUT dl
+    // (pre-denormalization artifacts on disk look exactly like this)
+    val vdir = graft.sources.IndexIO.resolve(spark, dir)
+    val legacy = spark.read.parquet(s"$vdir/postings").drop("dl")
+      .localCheckpoint(true)
+    legacy.write.mode("overwrite").parquet(s"$vdir/postings")
+    // the append must match the BASE layout — a dl-carrying delta would
+    // make chainTable's strict unionByName throw on every later read
+    Search.appendToBm25Index(corpus.filter(col("doc_id") > 3), "doc_id", "text",
+      dir, termBuckets = 4)
+    val inline = Search.bm25TopK(corpus, "doc_id", "text",
+      Seq("spark", "filter"), k = 10)
+    assertSameRows(inline,
+      Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10))
+    // compaction is the migration point: postings gain dl, serving unchanged
+    Search.compactBm25Index(spark, dir, termBuckets = 4)
+    val vdir2 = graft.sources.IndexIO.resolve(spark, dir)
+    assert(spark.read.parquet(s"$vdir2/postings").columns.contains("dl"))
+    assertSameRows(inline,
+      Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10))
+  }
+
+  test("compactToLexicalIndex rejects equal-count SET divergence of the chains") {
+    val bdir = Files.createTempDirectory("lexdiv_b").toString
+    val pdir = Files.createTempDirectory("lexdiv_p").toString
+    val odir = Files.createTempDirectory("lexdiv_o").toString
+    Search.buildBm25Index(corpus, "doc_id", "text", bdir, termBuckets = 4)
+    Search.buildPositionalIndex(corpus, "doc_id", "text", pdir, termBuckets = 4)
+    // one delete on EACH chain but to DIFFERENT ids: live counts stay
+    // equal while the doc sets diverge — the exact mode a count-only
+    // check waves through (and the inner lengths join would then
+    // silently drop the positional-only doc)
+    Search.deleteFromBm25Index(spark, bdir, Seq(1L).toDF("doc_id"), "doc_id")
+    Search.deleteFromPositionalIndex(spark, pdir, Seq(2L).toDF("doc_id"), "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Search.compactToLexicalIndex(spark, bdir, pdir, odir, termBuckets = 4)
+    }
+    assert(e.getMessage.contains("diverged"), e.getMessage)
+  }
+
   test("index probe pushes the term filter into the postings scan") {
     val dir = Files.createTempDirectory("bm25idx2").toString
     Search.buildBm25Index(corpus, "doc_id", "text", dir, termBuckets = 4)

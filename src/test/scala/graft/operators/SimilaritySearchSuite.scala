@@ -102,6 +102,18 @@ class SimilaritySearchSuite extends SparkSpec {
         spark, idx, df.filter($"id" < 8), df.select("id", "lab"),
         "id", "emb", "lab", k = 3, fetchK = 10, nProbe = 2)
       .collect().foreach { r => assert(byId(r.getInt(0))._2 != r.getString(2)) }
+    // a query id MISSING from the labels frame must fail loudly, not
+    // silently drop that query's shortlist (the nightly-batch shape)
+    val e = intercept[Exception] {
+      SimilaritySearch.mineHardNegativesFromIndex(
+          spark, idx, df.filter($"id" < 8),
+          df.filter($"id" =!= 0).select("id", "lab"),
+          "id", "emb", "lab", k = 3, fetchK = 40, nProbe = 4)
+        .collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.toString + msgs(t.getCause)
+    assert(msgs(e).contains("no label for query_id"), msgs(e).take(400))
   }
 
   test("mmrRerank: diversification beats raw relevance order; guards hold") {

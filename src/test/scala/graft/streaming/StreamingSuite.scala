@@ -946,6 +946,38 @@ class StreamingSuite extends SparkSpec {
     assertSameRows(batch.select("doc_id", "n_ngrams", "logw"), scored)
   }
 
+  test("maintainer marker namespace survives checkpoint DELETION: new batches apply") {
+    import graft.operators.Search
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_gen_idx_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gen_ck_").toString
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = Streaming.maintainBm25Index(
+      in1.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckpt)
+    try { in1.addData((1L, "alpha beta")); q1.processAllAvailable() }
+    finally q1.stop()
+    // wipe the checkpoint (the standard remedy after corruption) and
+    // restart at the SAME path: batch ids restart at 0, and a marker
+    // namespace derived from the path alone would recognize b0 as
+    // already applied — silently dropping the new generation's data.
+    // The generation file dies with the checkpoint, so b0 of the new
+    // generation gets a fresh namespace and APPLIES.
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.maintainBm25Index(
+      in2.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckpt)
+    try { in2.addData((2L, "gamma delta")); q2.processAllAvailable() }
+    finally q2.stop()
+    val served = Search.bm25SearchIndex(spark, idx, Seq("gamma"), k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(served == Set(2L))
+    // and both generations' docs are live in one chain
+    assert(Search.bm25SearchIndex(spark, idx, Seq("alpha"), k = 5)
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("maintainDsirIndex: stream-built chain == one-shot profile, one marker per batch") {
     import graft.operators.Dsir
     implicit val sqlCtx = spark.sqlContext
