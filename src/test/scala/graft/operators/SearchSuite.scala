@@ -710,6 +710,23 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assertSameRows(
       Search.phraseSearchIndex(spark, dir, Seq("scan", "filter"), k = 10),
       Search.phraseSearchIndex(spark, dir2, Seq("scan", "filter"), k = 10))
+    // pre-denormalization lexical artifact (base postings without dl):
+    // the append must match the base layout or the chain union bricks
+    val dir3 = Files.createTempDirectory("lexuni_legacy").toString
+    Search.buildLexicalIndex(corpus.filter($"doc_id" <= 3), "doc_id", "text",
+      dir3, termBuckets = 4)
+    val v3 = graft.sources.IndexIO.resolve(spark, dir3)
+    val legacy = spark.read.parquet(s"$v3/postings").drop("dl")
+      .localCheckpoint(true)
+    legacy.write.mode("overwrite").parquet(s"$v3/postings")
+    Search.appendToLexicalIndex(corpus.filter($"doc_id" > 3), "doc_id", "text",
+      dir3, termBuckets = 4)
+    assertSameRows(
+      Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10),
+      Search.bm25SearchIndex(spark, dir3, Seq("spark", "filter"), k = 10))
+    assertSameRows(
+      Search.phraseSearchIndex(spark, dir, Seq("scan", "filter"), k = 10),
+      Search.phraseSearchIndex(spark, dir3, Seq("scan", "filter"), k = 10))
   }
 
   test("unified lexical index: delete + compact keep BOTH retrievers green") {
