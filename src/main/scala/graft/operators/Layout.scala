@@ -93,13 +93,18 @@ object Layout {
       // branch. The spread is computed in DOUBLE: a long `mx - mn`
       // would itself wrap negative past 2^63 (near-full-range hash
       // dims under non-ANSI sessions) and the wrapped value would
-      // PASS a long compare — doubles cannot wrap, and the threshold
-      // (~1.4e14 at 16 bits) is far below 2^53, so the compare is
-      // exact where it matters
+      // PASS a long compare — doubles cannot wrap. Each long→double
+      // cast rounds by up to ulp/2 ≈ 512 near 2^63, so the threshold
+      // is tightened by 4096 (> the 1024 worst-case combined error):
+      // a spread inside that margin above Long.MaxValue/scale raises
+      // instead of slipping past the rounded compare and wrapping in
+      // the bucket arithmetic downstream. The 4096 slack only rejects
+      // spreads within 2^-50 of the true limit — noise next to the
+      // ~1.4e14 threshold at 16 bits.
       acc.withColumn(s"${c}_zb",
         when(coalesce(
             col(s"__mx_$c").cast("double") - col(s"__mn_$c").cast("double")
-              <= lit((Long.MaxValue / scale).toDouble),
+              <= lit((Long.MaxValue / scale - 4096L).toDouble),
             lit(true)), bucket)
           .otherwise(raise_error(lit(
             s"minMaxBuckets: spread of $c times (2^$bits - 1) overflows a " +

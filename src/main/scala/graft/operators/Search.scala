@@ -178,8 +178,8 @@ object Search {
       termBuckets: Int = 64,
       marker: Option[String] = None): Unit = {
     val spark = docs.sparkSession
-    val vdir = graft.sources.IndexIO.resolve(spark, path)
-    val prev = spark.read.parquet(s"$vdir/stats").head()
+    graft.sources.IndexIO.resolve(spark, path) // fail fast on a missing index
+    val prev = chainStats(spark, path).head()
     val lengths = docs.select(
         col(idCol).as("doc_id"),
         size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
@@ -189,14 +189,13 @@ object Search {
       count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s")).head()
     if (add.getLong(0) == 0L) return
     import spark.implicits._
-        // the BASE chain fixes the postings layout: a pre-denormalization
+    // the BASE chain fixes the postings layout: a pre-denormalization
     // artifact (postings without dl) must keep appending WITHOUT dl —
     // chainTable's strict unionByName would otherwise fail on every
     // subsequent read of the mixed chain (bricking the index until a
     // rebuild). Serving re-joins lengths for that layout, and
     // compactBm25Index migrates it to the denormalized one.
-    val baseHasDl =
-      spark.read.parquet(s"$vdir/postings").columns.contains("dl")
+    val baseHasDl = chainPostingsHaveDl(spark, path)
     graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
       val toks = docs.select(col(idCol).as("doc_id"),
         size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"),
@@ -230,14 +229,14 @@ object Search {
   def deleteFromBm25Index(
       spark: SparkSession, path: String, ids: DataFrame, idCol: String): Unit = {
     import spark.implicits._
-    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    graft.sources.IndexIO.resolve(spark, path) // fail fast on a missing index
     val tomb = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
     // live lengths BEFORE this delete: only still-live docs may shrink
     // the stats (double-deleting an id must not subtract twice)
     val del = liveTable(spark, path, "lengths").join(tomb, "doc_id")
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
       .head()
-    val stats = spark.read.parquet(s"$vdir/stats").head()
+    val stats = chainStats(spark, path).head()
     graft.sources.IndexIO.publishDelta(spark, path) { seg =>
       tomb.coalesce(1).write.mode("overwrite").parquet(s"$seg/tombstones")
       Seq((stats.getLong(0) - del.getLong(0), stats.getLong(1) - del.getLong(1)))
@@ -254,10 +253,9 @@ object Search {
   def compactBm25Index(
       spark: SparkSession, path: String, termBuckets: Int = 64): Unit = {
     if (graft.sources.IndexIO.segments(spark, path).length <= 1) return
-    val vdir = graft.sources.IndexIO.resolve(spark, path)
     val postings0 = liveTable(spark, path, "postings")
     val lengths = liveTable(spark, path, "lengths")
-    val stats = spark.read.parquet(s"$vdir/stats")
+    val stats = chainStats(spark, path)
     // compaction is the layout-migration point: a pre-denormalization
     // artifact's postings gain the dl column here (one build-time
     // join), so serving drops the lengths join from this version on
@@ -285,6 +283,43 @@ object Search {
       graft.sources.IndexIO.chainTable(spark, path, "tombstones"),
       "doc_id")
 
+  /** Whether the chain's postings carry the denormalized `dl` column.
+    * Probed from the OLDEST postings-bearing segment, never from the
+    * latest version directory: a tombstone-only delete segment carries
+    * no postings table, so a vdir probe would throw path-not-found and
+    * break the delete-then-append composition. The oldest data segment
+    * fixes the layout every later append must match (chainTable's
+    * strict unionByName enforces it on read).
+    */
+  private def chainPostingsHaveDl(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val seg = graft.sources.IndexIO.segments(spark, path).find { s =>
+      val p = new org.apache.hadoop.fs.Path(s, "postings")
+      p.getFileSystem(conf).exists(p)
+    }.getOrElse(throw new IllegalStateException(
+      s"cannot append to $path: no segment carries a postings table"))
+    spark.read.parquet(s"$seg/postings").columns.contains("dl")
+  }
+
+  /** The chain's one-row corpus stats: the NEWEST stats-bearing segment
+    * wins. Appends and the stats-correcting [[deleteFromBm25Index]]
+    * each publish updated stats inside their own segment, but a
+    * tombstone-only segment (e.g. [[deleteFromPositionalIndex]] on a
+    * unified lexical chain) carries none — resolving through the chain
+    * keeps serving and the next append alive with stats as-of the last
+    * stats-publishing operation, instead of throwing path-not-found on
+    * the latest version directory.
+    */
+  private def chainStats(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val seg = graft.sources.IndexIO.segments(spark, path).reverse.find { s =>
+      val p = new org.apache.hadoop.fs.Path(s, "stats")
+      p.getFileSystem(conf).exists(p)
+    }.getOrElse(throw new IllegalStateException(
+      s"index at $path has no stats table"))
+    spark.read.parquet(s"$seg/stats")
+  }
+
   /** Serve a BM25 top-k from a [[buildBm25Index]] (or
     * [[buildLexicalIndex]] — column pruning drops the positions) index.
     * The postings scan carries a pushed-down `term IN (…)` filter
@@ -302,7 +337,6 @@ object Search {
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25SearchIndex: empty query")
     val terms = queryTerms.distinct
-    val vdir = graft.sources.IndexIO.resolve(spark, path)
     val postings = graft.sources.IndexIO.withoutTombstoned(
       graft.sources.IndexIO.chainTable(spark, path, "postings").getOrElse(
         throw new IllegalStateException(s"BM25 index at $path has no postings table"))
@@ -310,7 +344,7 @@ object Search {
       graft.sources.IndexIO.chainTable(spark, path, "tombstones"),
       "doc_id")
     val lengths = liveTable(spark, path, "lengths")
-    val stats = spark.read.parquet(s"$vdir/stats")
+    val stats = chainStats(spark, path)
     bm25ScoreIndexed(postings, lengths, stats, k, k1, b)
   }
 
@@ -1185,8 +1219,8 @@ object Search {
       termBuckets: Int = 64,
       marker: Option[String] = None): Unit = {
     val spark = docs.sparkSession
-    val vdir = graft.sources.IndexIO.resolve(spark, path)
-    val prev = spark.read.parquet(s"$vdir/stats").head()
+    graft.sources.IndexIO.resolve(spark, path) // fail fast on a missing index
+    val prev = chainStats(spark, path).head()
     val lengths = docs.select(
         col(idCol).cast("long").as("doc_id"),
         size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
@@ -1196,11 +1230,10 @@ object Search {
       count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s")).head()
     if (add.getLong(0) == 0L) return
     import spark.implicits._
-        // match the BASE chain's postings layout (see appendToBm25Index):
+    // match the BASE chain's postings layout (see appendToBm25Index):
     // a pre-denormalization lexical artifact keeps appending without
     // dl so the chain union stays schema-consistent
-    val baseHasDl =
-      spark.read.parquet(s"$vdir/postings").columns.contains("dl")
+    val baseHasDl = chainPostingsHaveDl(spark, path)
     graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
       val toks = docs
         .select(col(idCol).cast("long").as("doc_id"),
@@ -1245,7 +1278,6 @@ object Search {
       positionalPath: String,
       outPath: String,
       termBuckets: Int = 64): Unit = {
-    val vdir = graft.sources.IndexIO.resolve(spark, bm25Path)
     val lengths = liveTable(spark, bm25Path, "lengths")
     val posBare = liveTable(spark, positionalPath, "postings")
       .select(col("term"), col("doc_id"),
@@ -1255,7 +1287,7 @@ object Search {
     // divergence check below counts the PRE-join doc set, so the inner
     // join can never mask a positional-only doc by dropping it
     val posLive = posBare.join(lengths, "doc_id")
-    val stats = spark.read.parquet(s"$vdir/stats")
+    val stats = chainStats(spark, bm25Path)
     val nDocs = stats.head().getLong(0)
     // SET comparison, not count comparison: one delete applied to each
     // chain but to DIFFERENT ids leaves the counts equal while the doc
@@ -1316,7 +1348,6 @@ object Search {
     import spark.implicits._
     val lexTerms = queryTerms.distinct
     val allTerms = (lexTerms ++ phrase).distinct
-    val vdir = graft.sources.IndexIO.resolve(spark, path)
     // ONE probe of the artifact: the union term set is pushed to the
     // bucket scan, and the eager checkpoint pins the single read that
     // both legs consume
@@ -1329,7 +1360,7 @@ object Search {
       "doc_id")
       .localCheckpoint(true)
     val lengths = liveTable(spark, path, "lengths")
-    val stats = spark.read.parquet(s"$vdir/stats")
+    val stats = chainStats(spark, path)
 
     val lexCols =
       if (postings.columns.contains("dl")) Seq("doc_id", "term", "tf", "dl")

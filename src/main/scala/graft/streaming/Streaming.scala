@@ -790,19 +790,33 @@ object Streaming {
   private def streamMarkerId(spark: SparkSession, checkpointDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_marker_generation")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
+    def readGen(): String = {
       val in = fs.open(p)
       try {
-        val bytes = new Array[Byte](32)
-        val n = in.read(bytes)
-        new String(bytes, 0, math.max(n, 0), "UTF-8").trim
+        // read to EOF in a loop: a single read() may legally short-read,
+        // truncating the id and silently forking the marker namespace
+        val buf = new java.io.ByteArrayOutputStream()
+        val bytes = new Array[Byte](64)
+        var n = in.read(bytes)
+        while (n >= 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+        buf.toString("UTF-8").trim
       } finally in.close()
-    } else {
+    }
+    if (fs.exists(p)) readGen()
+    else {
       val gen = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
       fs.mkdirs(p.getParent)
-      val out = fs.create(p, false)
-      try out.write(gen.getBytes("UTF-8")) finally out.close()
-      gen
+      // two queries first-starting on the same checkpoint race the
+      // exclusive create; the loser adopts the winner's generation
+      // instead of crashing the stream
+      try {
+        val out = fs.create(p, false)
+        try out.write(gen.getBytes("UTF-8")) finally out.close()
+        gen
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => readGen()
+        case _: java.io.IOException if fs.exists(p) => readGen()
+      }
     }
   }
 

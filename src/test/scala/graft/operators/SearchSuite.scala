@@ -637,6 +637,72 @@ class SearchSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(graft.sources.IndexIO.resolve(spark, dir) == v0)
   }
 
+  test("bm25 delete-then-append: layout probe survives a tombstone-only segment") {
+    // a delete publishes tombstones + stats but NO postings table, so the
+    // latest version dir cannot be probed for the postings layout — the
+    // append must derive it from the chain (regression: threw
+    // path-not-found here, breaking the documented composition)
+    val dir = Files.createTempDirectory("bm25delapp").toString
+    Search.buildBm25Index(corpus.filter($"doc_id" <= 3), "doc_id", "text",
+      dir, termBuckets = 4)
+    Search.deleteFromBm25Index(spark, dir, Seq(2L).toDF("doc_id"), "doc_id")
+    Search.appendToBm25Index(corpus.filter($"doc_id" > 3), "doc_id", "text",
+      dir, termBuckets = 4)
+    val live = corpus.filter($"doc_id" =!= 2L)
+    assertSameRows(
+      Search.bm25TopK(live, "doc_id", "text", Seq("spark", "filter"), k = 10),
+      Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10))
+    // same composition on a pre-denormalization base: the probe must find
+    // the OLDEST postings-bearing segment's layout through the tombstone
+    val dir2 = Files.createTempDirectory("bm25delapp_legacy").toString
+    Search.buildBm25Index(corpus.filter($"doc_id" <= 3), "doc_id", "text",
+      dir2, termBuckets = 4)
+    val v2 = graft.sources.IndexIO.resolve(spark, dir2)
+    val legacy = spark.read.parquet(s"$v2/postings").drop("dl")
+      .localCheckpoint(true)
+    legacy.write.mode("overwrite").parquet(s"$v2/postings")
+    Search.deleteFromBm25Index(spark, dir2, Seq(2L).toDF("doc_id"), "doc_id")
+    Search.appendToBm25Index(corpus.filter($"doc_id" > 3), "doc_id", "text",
+      dir2, termBuckets = 4)
+    assertSameRows(
+      Search.bm25TopK(live, "doc_id", "text", Seq("spark", "filter"), k = 10),
+      Search.bm25SearchIndex(spark, dir2, Seq("spark", "filter"), k = 10))
+  }
+
+  test("lexical delete-then-append: layout probe survives a tombstone-only segment") {
+    val dir = Files.createTempDirectory("lexdelapp").toString
+    Search.buildLexicalIndex(corpus.filter($"doc_id" <= 3), "doc_id", "text",
+      dir, termBuckets = 4)
+    // the stats-correcting delete: BOTH legs stay exact after the append
+    Search.deleteFromBm25Index(spark, dir, Seq(2L).toDF("doc_id"), "doc_id")
+    Search.appendToLexicalIndex(corpus.filter($"doc_id" > 3), "doc_id", "text",
+      dir, termBuckets = 4)
+    val live = corpus.filter($"doc_id" =!= 2L)
+    assertSameRows(
+      Search.bm25TopK(live, "doc_id", "text", Seq("spark", "filter"), k = 10),
+      Search.bm25SearchIndex(spark, dir, Seq("spark", "filter"), k = 10))
+    assertSameRows(
+      Search.phraseTopK(live, "doc_id", "text", Seq("scan", "filter"), k = 10),
+      Search.phraseSearchIndex(spark, dir, Seq("scan", "filter"), k = 10))
+    // a POSITIONAL delete publishes tombstones with neither postings nor
+    // stats: the append must still resolve layout AND prior stats from
+    // the chain (regression: both reads threw on the latest version
+    // dir). Phrase scoring is stats-independent, so it stays exact; the
+    // BM25 leg serves with stats as-of the last stats-publishing op by
+    // documented contract, so only its liveness is asserted here.
+    val dir2 = Files.createTempDirectory("lexdelapp_pos").toString
+    Search.buildLexicalIndex(corpus.filter($"doc_id" <= 3), "doc_id", "text",
+      dir2, termBuckets = 4)
+    Search.deleteFromPositionalIndex(spark, dir2, Seq(2L).toDF("doc_id"), "doc_id")
+    Search.appendToLexicalIndex(corpus.filter($"doc_id" > 3), "doc_id", "text",
+      dir2, termBuckets = 4)
+    assertSameRows(
+      Search.phraseTopK(live, "doc_id", "text", Seq("scan", "filter"), k = 10),
+      Search.phraseSearchIndex(spark, dir2, Seq("scan", "filter"), k = 10))
+    assert(Search.bm25SearchIndex(spark, dir2, Seq("spark", "filter"), k = 10)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+  }
+
   test("positional append: served phrase results == inline scan over the union") {
     val dir = Files.createTempDirectory("posapp").toString
     Search.buildPositionalIndex(corpus.filter($"doc_id" <= 2), "doc_id", "text",
