@@ -91,6 +91,30 @@ object SparkEntry {
     (0 until 9).map(m => wav(m / 3, m % 3))
   }
 
+  /** The five structurally distinct 64² class patterns of the aHash
+    * dedup gates (assigned by doc_id % 5; identical bytes inside a
+    * class, ≥1 aHash bit apart across classes) — shared by the batch,
+    * indexed, and stream-maintained image-dedup queries.
+    */
+  private lazy val classPngs: IndexedSeq[Array[Byte]] = (0 until 5).map { k =>
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 64; y <- 0 until 64) {
+      val bright = k match {
+        case 0 => x < 32
+        case 1 => y < 32
+        case 2 => ((x / 8) + (y / 8)) % 2 == 0
+        case 3 => (x / 16) % 2 == 0
+        case _ => x > y
+      }
+      val v = if (bright) 215 else 40
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
   /** The three 64² scene-gate patterns (diagonal / circle / corner
     * wedge — the pHash-margin shapes: same pattern hashes identically
     * here, distinct patterns sit ≥22 bits apart).
@@ -1591,6 +1615,41 @@ object SparkEntry {
           maxHamming = 0)
         .select(col("doc_id"), col("index_id"))
     }),
+    "stream_maintained_ahash" -> ((s, dir) => {
+      // the IMAGE-crawl write path: a real streaming query maintains
+      // the perceptual-hash index via foreachBatch (first batch
+      // bootstraps, later micro-batches decode ONCE and append 8-byte
+      // hashes as immutable segments, markers make replays
+      // exactly-once — Streaming.maintainAHashIndex). The even docs'
+      // images stream in over 3 batches; the odd docs then probe the
+      // stream-built artifact at radius 0 — matches must be EXACTLY
+      // the same-class (odd, even) pairs from the doc_id % 5
+      // assignment rule: multimodal_image_dedup_indexed's oracle
+      // verbatim.
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val d = t(s, dir, "documents").select("doc_id")
+      val evenRows = d.filter(col("doc_id") % 2 === 0)
+        .collect().map(_.getLong(0)).sorted
+        .map(id => (id, classPngs((id % 5).toInt)))
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"ahash_maint_$token", dir)
+      val ckpt = scratch(s"ahash_maint_ck_$token", dir)
+      implicit val sqlCtx = s.sqlContext
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = Streaming.maintainAHashIndex(
+        input.toDF().toDF("doc_id", "payload"), "doc_id", "payload", idx, ckpt)
+      try {
+        evenRows.grouped(math.max(1, (evenRows.length + 2) / 3)).foreach { b =>
+          input.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val probes = d.filter(col("doc_id") % 2 === 1).withColumn("payload",
+        element_at(array(classPngs.map(lit(_)): _*), (col("doc_id") % 5).cast("int") + 1))
+      Multimodal.dedupAgainstAHashIndex(s, probes, "doc_id", "payload", idx,
+          maxHamming = 0)
+        .select(col("doc_id"), col("index_id"))
+    }),
     "multimodal_image_dedup_phash" -> ((s, dir) => {
       // CROP/RESCALE-robust perceptual dedup on the DCT hash: three
       // structurally distinct low-frequency patterns, each in three
@@ -2171,6 +2230,44 @@ object SparkEntry {
         }
       } finally q.stop()
       Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
+    }),
+    "stream_maintained_ann" -> ((s, dir) => {
+      // the EMBEDDING-crawl write path: a real streaming query
+      // maintains the IVF index via foreachBatch (the first micro-batch
+      // TRAINS the centroids and bootstraps; each later batch assigns
+      // its vectors to the frozen cells and appends an immutable
+      // segment; batch markers make replays exactly-once —
+      // Streaming.maintainIvfIndex). compactEvery = 3 additionally
+      // collapses the chain IN-stream once it reaches 3 segments, so
+      // the served artifact crossed a compact boundary mid-run.
+      // Serving probes ALL 16 cells: exhaustive probing makes the
+      // result the EXACT top-k whatever the bootstrap batch trained
+      // (both sides rank (cosine desc, id asc) on identical floats),
+      // so recall is exactly 1.0 — an exact oracle, not a pinned
+      // constant.
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val e = t(s, dir, "embeddings")
+      val rows = e.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"ann_maint_$token", dir)
+      val ckpt = scratch(s"ann_maint_ck_$token", dir)
+      implicit val sqlCtx = s.sqlContext
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = Streaming.maintainIvfIndex(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        idx, ckpt, nCentroids = 16, compactEvery = 3)
+      try {
+        rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { b =>
+          input.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val qs = e.filter(col("vec_id") < 20)
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.searchIvf(s, idx, qs, "vec_id", "embedding",
+          k = 5, nProbe = 16),
+        SimilaritySearch.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5))
     }),
     "bm25_search_batch" -> ((s, dir) => {
       // the multi-query serving shape: three keyword queries answered
@@ -5008,6 +5105,14 @@ object SparkEntry {
           |FROM documents a JOIN documents b
           |  ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
           | AND a.doc_id % 5 = b.doc_id % 5""".stripMargin,
+      // stream-maintained perceptual index: the even docs' images
+      // arrive over 3 micro-batches, the odd docs probe the chain —
+      // same (odd, even) same-class pairs as the batch-built index
+      "stream_maintained_ahash" ->
+        """SELECT a.doc_id, b.doc_id AS index_id
+          |FROM documents a JOIN documents b
+          |  ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          | AND a.doc_id % 5 = b.doc_id % 5""".stripMargin,
       // same-class pairs straight from the assignment rule
       "multimodal_audio_dedup" ->
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -5413,6 +5518,12 @@ object SparkEntry {
       // stream-maintained artifact (bootstrap + 2 marker-guarded
       // appends from a real streaming query) serves the same ranking
       "stream_maintained_bm25" -> bm25SearchOracle,
+      // stream-maintained IVF (bootstrap-trained centroids + 2 appends
+      // + an in-stream compact at 3 segments) served with exhaustive
+      // probes == the exact top-k, so recall is exactly 1.0
+      "stream_maintained_ann" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
       // positional append: same identity claim for phrase retrieval
       "phrase_search_appended" -> phraseSearchOracle,
       // unified artifact: BM25 serving prunes positions, phrase serving

@@ -907,9 +907,9 @@ object Multimodal {
     * tombstones readers anti-join.
     */
   def buildAHashIndex(df: DataFrame, idCol: String, binCol: String,
-      path: String): Unit = {
+      path: String, marker: Option[String] = None): Unit = {
     val spark = df.sparkSession
-    graft.sources.IndexIO.publish(spark, path) { vdir =>
+    graft.sources.IndexIO.publish(spark, path, marker) { vdir =>
       withAHash(df, binCol, Seq(idCol))
         .write.mode("overwrite").parquet(s"$vdir/hashes")
     }
@@ -920,11 +920,34 @@ object Multimodal {
     * daily-crawl step; existing segments never rewrite).
     */
   def appendToAHashIndex(df: DataFrame, idCol: String, binCol: String,
-      path: String): Unit = {
+      path: String, marker: Option[String] = None): Unit = {
     val spark = df.sparkSession
-    graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { vdir =>
       withAHash(df, binCol, Seq(idCol))
         .write.mode("overwrite").parquet(s"$vdir/hashes")
+    }
+    ()
+  }
+
+  /** Collapse a perceptual-hash chain ([[appendToAHashIndex]] /
+    * [[deleteFromAHashIndex]] segments) to ONE segment of live hashes —
+    * identical probe results by construction; applied-batch markers
+    * carry forward through the full publish, so a streaming maintainer
+    * ([[graft.streaming.Streaming.maintainAHashIndex]]) can compact
+    * mid-stream without re-applying batches. No-op on a single-segment
+    * index.
+    */
+  def compactAHashIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String): Unit = {
+    if (graft.sources.IndexIO.segments(spark, path).length <= 1) return
+    val data = graft.sources.IndexIO.chainTable(spark, path, "hashes")
+      .getOrElse(throw new IllegalStateException(
+        s"compactAHashIndex: no hashes at $path"))
+    val live = graft.sources.IndexIO.withoutTombstoned(
+      data, graft.sources.IndexIO.chainTable(spark, path, "tombstones"), idCol)
+    graft.sources.IndexIO.publish(spark, path) { nv =>
+      live.write.mode("overwrite").parquet(s"$nv/hashes")
     }
     ()
   }

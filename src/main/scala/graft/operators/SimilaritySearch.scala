@@ -645,13 +645,14 @@ object SimilaritySearch {
     */
   def buildIvfIndex(
       corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
-      nCentroids: Int = 16, iters: Int = 5): Unit = {
+      nCentroids: Int = 16, iters: Int = 5,
+      marker: Option[String] = None): Unit = {
     val c = prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
       .localCheckpoint(true)
     val centroids = trainCentroids(c, nCentroids, iters)
     // centroids + cells publish atomically (IndexIO): a probe can never
     // pair one training run's centroids with another's cell assignments
-    graft.sources.IndexIO.publish(c.sparkSession, indexDir) { vdir =>
+    graft.sources.IndexIO.publish(c.sparkSession, indexDir, marker) { vdir =>
       centroidTable(c.sparkSession, centroids)
         .select(col("__cell").as("cell"), col("__ctv").as("centroid"),
           col("__ctn").as("cnorm"))
@@ -678,7 +679,8 @@ object SimilaritySearch {
     */
   def appendToIvfIndex(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+      newVectors: DataFrame, idCol: String, vecCol: String,
+      marker: Option[String] = None): Unit = {
     val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
     val cents = spark.read.parquet(s"$vdir/centroids")
       .orderBy(col("cell"))
@@ -695,7 +697,7 @@ object SimilaritySearch {
     require(cents.isEmpty || newDim.get == cents(0).length,
       s"appendToIvfIndex: new vectors have dim ${newDim.get} but the index at " +
         s"$indexDir was trained on dim ${cents(0).length}")
-    graft.sources.IndexIO.publishDelta(spark, indexDir) { seg =>
+    graft.sources.IndexIO.publishDelta(spark, indexDir, marker) { seg =>
       spark.read.parquet(s"$vdir/centroids")
         .repartition(1)
         .write.mode("overwrite").parquet(s"$seg/centroids")
@@ -741,11 +743,12 @@ object SimilaritySearch {
     */
   def buildIvfSq8Index(
       corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
-      nCentroids: Int = 16, iters: Int = 5): Unit = {
+      nCentroids: Int = 16, iters: Int = 5,
+      marker: Option[String] = None): Unit = {
     val c = prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
       .localCheckpoint(true)
     val centroids = trainCentroids(c, nCentroids, iters)
-    graft.sources.IndexIO.publish(c.sparkSession, indexDir) { vdir =>
+    graft.sources.IndexIO.publish(c.sparkSession, indexDir, marker) { vdir =>
       centroidTable(c.sparkSession, centroids)
         .select(col("__cell").as("cell"), col("__ctv").as("centroid"),
           col("__ctn").as("cnorm"))
@@ -772,7 +775,8 @@ object SimilaritySearch {
     */
   def appendToIvfSq8Index(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+      newVectors: DataFrame, idCol: String, vecCol: String,
+      marker: Option[String] = None): Unit = {
     val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
     val cents = spark.read.parquet(s"$vdir/centroids")
       .orderBy(col("cell"))
@@ -784,7 +788,7 @@ object SimilaritySearch {
     require(cents.isEmpty || newDim.get == cents(0).length,
       s"appendToIvfSq8Index: new vectors have dim ${newDim.get} but the index " +
         s"at $indexDir was trained on dim ${cents(0).length}")
-    graft.sources.IndexIO.publishDelta(spark, indexDir) { seg =>
+    graft.sources.IndexIO.publishDelta(spark, indexDir, marker) { seg =>
       spark.read.parquet(s"$vdir/centroids")
         .repartition(1)
         .write.mode("overwrite").parquet(s"$seg/centroids")
@@ -1229,7 +1233,8 @@ object SimilaritySearch {
       corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
       nCentroids: Int = 16, iters: Int = 5,
       m: Int = 32, kCodes: Int = 32, sampleN: Int = 2048,
-      pqIters: Int = 8, metaCol: Option[String] = None): Unit = {
+      pqIters: Int = 8, metaCol: Option[String] = None,
+      marker: Option[String] = None): Unit = {
     // metaCol: a filterable attribute (source, license, tenant) stored
     // INTO the cells as a second PARTITION column — a meta-scoped
     // search ([[searchIvfPqWhereMeta]]) then prunes at the parquet
@@ -1256,7 +1261,7 @@ object SimilaritySearch {
     import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
     val spark = corpus.sparkSession
     import spark.implicits._
-    graft.sources.IndexIO.publish(spark, indexDir) { vdir =>
+    graft.sources.IndexIO.publish(spark, indexDir, marker) { vdir =>
       centroidTable(spark, centroids)
         .select(col("__cell").as("cell"), col("__ctv").as("centroid"),
           col("__ctn").as("cnorm"))
@@ -1310,7 +1315,8 @@ object SimilaritySearch {
     */
   def appendToIvfPqIndex(
       newVectors: DataFrame, idCol: String, vecCol: String,
-      indexDir: String, metaCol: Option[String] = None): Unit = {
+      indexDir: String, metaCol: Option[String] = None,
+      marker: Option[String] = None): Unit = {
     val spark = newVectors.sparkSession
     val vdir0 = graft.sources.IndexIO.resolve(spark, indexDir)
     val (cents, cnorms, dim, m, kCodes, subDim, cb) = loadIvfPqModel(spark, vdir0)
@@ -1332,7 +1338,7 @@ object SimilaritySearch {
         s"$indexDir was trained on dim $dim")
     val (flat, _, _) = flatCentroids(cents)
     import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
-    graft.sources.IndexIO.publishDelta(spark, indexDir) { seg =>
+    graft.sources.IndexIO.publishDelta(spark, indexDir, marker) { seg =>
       spark.read.parquet(s"$vdir0/centroids")
         .repartition(1).write.mode("overwrite").parquet(s"$seg/centroids")
       spark.read.parquet(s"$vdir0/codebook")

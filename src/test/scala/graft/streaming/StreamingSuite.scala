@@ -753,6 +753,143 @@ class StreamingSuite extends SparkSpec {
       s"unexpected markers $markers")
   }
 
+  test("maintainIvfIndex: stream-built chain == exact via exhaustive probes; compactEvery collapses in-stream; markers survive") {
+    import graft.operators.SimilaritySearch
+    // 9 deterministic 4-dim vectors in three loose directions
+    def vec(i: Int): Array[Float] = {
+      val base = i % 3 match {
+        case 0 => Array(1f, 0.1f, 0f, 0f)
+        case 1 => Array(0f, 1f, 0.1f, 0f)
+        case _ => Array(0f, 0f, 1f, 0.1f)
+      }
+      base.map(v => v + 0.01f * i)
+    }
+    val all = (1 to 9).map(i => (i.toLong, vec(i)))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_maint").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivf_maint_ck").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    // compactEvery = 2: every append that grows the chain to 2 segments
+    // immediately collapses it — the stream crosses TWO compact
+    // boundaries and serving must not notice either
+    val q = Streaming.maintainIvfIndex(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, ckpt, nCentroids = 2, compactEvery = 2)
+    try {
+      input.addData(all.take(3)); q.processAllAvailable()   // bootstrap (trains)
+      input.addData(all.slice(3, 6)); q.processAllAvailable() // append -> compact
+      input.addData(all.drop(6)); q.processAllAvailable()     // append -> compact
+    } finally q.stop()
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1,
+      "compactEvery must have collapsed the chain")
+    // compaction is a full publish: all three applied-batch markers carried
+    val markers = graft.sources.IndexIO.segmentMarkers(spark, dir)
+    assert(markers.size == 3 &&
+      Seq("b0-", "b1-", "b2-").forall(p => markers.exists(_.startsWith(p))),
+      s"unexpected markers $markers")
+    // exhaustive probes == exact brute force (identical rank expression)
+    val full = all.toDF("vec_id", "embedding")
+    val queries = all.take(2).toDF("vec_id", "embedding")
+    assertSameRows(
+      SimilaritySearch.bruteForceTopK(queries, full, "vec_id", "embedding", k = 3),
+      SimilaritySearch.searchIvf(spark, dir, queries, "vec_id", "embedding",
+        k = 3, nProbe = 2))
+    // a replayed batch is recognized THROUGH the compacts and skipped
+    val v0 = graft.sources.IndexIO.resolve(spark, dir)
+    val b1 = markers.find(_.startsWith("b1-")).get
+    val applied = Streaming.applyIndexBatch(spark, dir, b1) {
+      fail("bootstrap must not run on an existing index")
+    } {
+      SimilaritySearch.appendToIvfIndex(spark, dir,
+        all.slice(3, 6).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    }
+    assert(!applied)
+    assert(graft.sources.IndexIO.resolve(spark, dir) == v0)
+  }
+
+  test("maintainIvfPqIndex: stream-built chain serves exact top-k through rerank") {
+    import graft.operators.SimilaritySearch
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(8)(d => (math.sin(i * 2.7 + d * 1.3) + 0.1 * i).toFloat)
+    val all = (1 to 8).map(i => (i.toLong, vec(i)))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_maint").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfpq_maint_ck").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.maintainIvfPqIndex(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, ckpt, nCentroids = 2, m = 4, kCodes = 2)
+    try {
+      input.addData(all.take(4)); q.processAllAvailable()  // trains model
+      input.addData(all.drop(4)); q.processAllAvailable()  // encodes + appends
+    } finally q.stop()
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 2)
+    val markers = graft.sources.IndexIO.segmentMarkers(spark, dir)
+    assert(markers.size == 2 &&
+      Seq("b0-", "b1-").forall(p => markers.exists(_.startsWith(p))),
+      s"unexpected markers $markers")
+    // exhaustive probes + corpus-covering shortlist + exact rescore from
+    // the chained vectors side-file == brute force over the union
+    val full = all.toDF("vec_id", "embedding")
+    val queries = all.take(2).toDF("vec_id", "embedding")
+    assertSameRows(
+      SimilaritySearch.bruteForceTopK(queries, full, "vec_id", "embedding", k = 3),
+      SimilaritySearch.searchIvfPqRerank(spark, dir, queries,
+        "vec_id", "embedding", k = 3, kShortlist = all.size, nProbe = 2))
+  }
+
+  test("maintainAHashIndex: stream-built perceptual index probes; compactEvery + markers") {
+    import graft.multimodal.Multimodal
+    def png(k: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val bright = k match {
+          case 0 => x < 32
+          case 1 => y < 32
+          case _ => ((x / 8) + (y / 8)) % 2 == 0
+        }
+        val v = if (bright) 215 else 40
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    // ids 1..6 carry class id % 3 — two exemplars per class
+    val all = (1 to 6).map(i => (i.toLong, png(i % 3)))
+    val dir = java.nio.file.Files.createTempDirectory("ahash_maint").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ahash_maint_ck").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = Streaming.maintainAHashIndex(
+      input.toDF().toDF("doc_id", "payload"), "doc_id", "payload", dir, ckpt,
+      compactEvery = 2)
+    try {
+      input.addData(all.take(2)); q.processAllAvailable()
+      input.addData(all.slice(2, 4)); q.processAllAvailable() // -> compact
+      input.addData(all.drop(4)); q.processAllAvailable()     // -> compact
+    } finally q.stop()
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1)
+    val markers = graft.sources.IndexIO.segmentMarkers(spark, dir)
+    assert(markers.size == 3, s"unexpected markers $markers")
+    // probes of fresh renders match exactly the same-class indexed ids
+    val probes = Seq((10L, png(1)), (11L, png(2))).toDF("doc_id", "payload")
+    val hits = Multimodal.dedupAgainstAHashIndex(
+        spark, probes, "doc_id", "payload", dir, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((10L, 1L), (10L, 4L), (11L, 2L), (11L, 5L)))
+    // delete-then-probe: tombstoned ids stop matching, compact drops them
+    Multimodal.deleteFromAHashIndex(Seq(4L).toDF("doc_id"), "doc_id", dir)
+    Multimodal.compactAHashIndex(spark, dir, "doc_id")
+    assert(graft.sources.IndexIO.segmentMarkers(spark, dir) == markers,
+      "manual compact must carry the applied-batch markers too")
+    val hits2 = Multimodal.dedupAgainstAHashIndex(
+        spark, probes, "doc_id", "payload", dir, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits2 == Set((10L, 1L), (11L, 2L), (11L, 5L)))
+  }
+
   test("hybridDecontaminateFlags: lex containment + dense cosine, stateless, batch == stream") {
     import graft.operators.{Search, SimilaritySearch}
     val evalDocs = Seq(
