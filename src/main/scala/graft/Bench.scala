@@ -24,6 +24,7 @@ object Bench {
     "pack_sequences_bfd",
     "tokenize_bpe_ids",
     "dedup_embedding", "ann_topk", "cluster_embeddings", "semdedup_embeddings",
+    "semdedup_incremental", "stream_maintained_semdedup",
     "mmr_rerank", "mine_hard_negatives",
     "mine_hard_negatives_ivf", "ann_topk_pq", "ann_topk_ivf_pq_search",
     "ann_topk_ivf_pq_meta",

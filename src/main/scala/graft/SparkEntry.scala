@@ -841,6 +841,62 @@ object SparkEntry {
         .select(col("vec_id"), col("cluster"), col("component"),
           col("centroid_cos"))
     }),
+    "semdedup_incremental" -> ((s, dir) => {
+      // SemDeDup's CRAWL-BATCH form: the blocking model trains ONCE on
+      // the even half (buildSemDedupIndex — centroids + resolved
+      // components persisted), then the odd half resolves against the
+      // frozen cells (semDeDupIncremental — batch×members and
+      // batch×batch pairs within the batch's cells only; per-batch
+      // cost never corpus²). The suite pins the exact contract
+      // (incremental ≡ one-shot with the same centroids); this gate
+      // pins the deterministic end state at sf0.01 as a per-cluster
+      // prune histogram — the trained-operator constant pattern.
+      val e = t(s, dir, "embeddings")
+      val idx = scratch("semdd_inc_idx", dir)
+      if (!graft.sources.IndexIO.exists(s, idx)) {
+        SimilaritySearch.buildSemDedupIndex(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idx, k = 8, threshold = 0.45)
+        SimilaritySearch.semDeDupIncremental(s, idx,
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      }
+      SimilaritySearch.semDedupIndexStatus(s, idx)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("kept"), lit(1L)).otherwise(lit(0L))).as("n_removed"))
+    }),
+    "stream_maintained_semdedup" -> ((s, dir) => {
+      // the same lifecycle DRIVEN BY A REAL STREAM: batch 1 (the even
+      // half) bootstraps the blocking model, batches 2–3 split the odd
+      // half (split invariance is suite-pinned: contraction is
+      // associative), markers make replays exactly-once. Identical end
+      // state to semdedup_incremental — the shared oracle IS the
+      // claim.
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val e = t(s, dir, "embeddings")
+      def half(m: Int) = e.filter(col("vec_id") % 2 === m)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"semdd_maint_$token", dir)
+      val ckpt = scratch(s"semdd_maint_ck_$token", dir)
+      implicit val sqlCtx = s.sqlContext
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = Streaming.maintainSemDedupIndex(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        idx, ckpt, k = 8, threshold = 0.45)
+      try {
+        input.addData(half(0).toSeq); q.processAllAvailable()
+        val odd = half(1)
+        odd.grouped(math.max(1, (odd.length + 1) / 2)).foreach { b =>
+          input.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      SimilaritySearch.semDedupIndexStatus(s, idx)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("kept"), lit(1L)).otherwise(lit(0L))).as("n_removed"))
+    }),
     "mmr_rerank" -> ((s, dir) => {
       // diversified re-rank: brute top-30 neighbors of vec 0 as the
       // candidate list (raw-cosine order, the ann_topk rule), relevance
@@ -4580,6 +4636,36 @@ object SparkEntry {
           |  (5, CAST(61 AS BIGINT), CAST(0 AS BIGINT)),
           |  (6, CAST(71 AS BIGINT), CAST(0 AS BIGINT)),
           |  (7, CAST(56 AS BIGINT), CAST(1 AS BIGINT)))
+          |  AS t(cluster, n_docs, n_removed)""".stripMargin,
+      // incremental SemDeDup at sf0.01: blocking model trained on the
+      // even half, odd half resolved against the frozen cells — 6 of
+      // 500 pruned (the suite pins the exact incremental ≡ one-shot-
+      // with-same-centroids contract; this pins the deterministic end
+      // state, re-measure on testdata regen)
+      "semdedup_incremental" ->
+        """SELECT * FROM (VALUES
+          |  (0, CAST(60 AS BIGINT), CAST(1 AS BIGINT)),
+          |  (1, CAST(68 AS BIGINT), CAST(0 AS BIGINT)),
+          |  (2, CAST(59 AS BIGINT), CAST(0 AS BIGINT)),
+          |  (3, CAST(74 AS BIGINT), CAST(1 AS BIGINT)),
+          |  (4, CAST(58 AS BIGINT), CAST(0 AS BIGINT)),
+          |  (5, CAST(63 AS BIGINT), CAST(3 AS BIGINT)),
+          |  (6, CAST(55 AS BIGINT), CAST(0 AS BIGINT)),
+          |  (7, CAST(63 AS BIGINT), CAST(1 AS BIGINT)))
+          |  AS t(cluster, n_docs, n_removed)""".stripMargin,
+      // the stream-maintained form (bootstrap + 2 odd micro-batches):
+      // identical end state by split invariance — shared oracle IS the
+      // claim
+      "stream_maintained_semdedup" ->
+        """SELECT * FROM (VALUES
+          |  (0, CAST(60 AS BIGINT), CAST(1 AS BIGINT)),
+          |  (1, CAST(68 AS BIGINT), CAST(0 AS BIGINT)),
+          |  (2, CAST(59 AS BIGINT), CAST(0 AS BIGINT)),
+          |  (3, CAST(74 AS BIGINT), CAST(1 AS BIGINT)),
+          |  (4, CAST(58 AS BIGINT), CAST(0 AS BIGINT)),
+          |  (5, CAST(63 AS BIGINT), CAST(3 AS BIGINT)),
+          |  (6, CAST(55 AS BIGINT), CAST(0 AS BIGINT)),
+          |  (7, CAST(63 AS BIGINT), CAST(1 AS BIGINT)))
           |  AS t(cluster, n_docs, n_removed)""".stripMargin,
       // the 7 pruned rows at sf0.01: in every duplicate component the
       // pruned member's centroid_cos exceeds its keeper's (keep-the-

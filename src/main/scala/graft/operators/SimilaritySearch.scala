@@ -440,6 +440,25 @@ object SimilaritySearch {
     val c = prepared(df, idCol, vecCol, "neighbor_id", "__cv", "__cn")
       .localCheckpoint(true) // scanned per Lloyd iteration + twice below
     val centroids = trainCentroids(c, k, iters)
+    semDeDupState(c, centroids, threshold)
+      .select(col("__id").as(idCol), col("cluster"),
+        (col("__ccos") / lit(10000.0)).as("centroid_cos"),
+        col("component"), col("kept"))
+  }
+
+  /** [[semDeDup]]'s core with the CENTROIDS GIVEN (the blocking model
+    * frozen): assign, pair within cells, contract to components, apply
+    * the keep-the-atypical rule. Returns the rich state frame
+    * `(__id, __cv, __cn, cluster, __ccos, component, kept)` — the
+    * batch operator projects it down, the persisted index
+    * ([[buildSemDedupIndex]]) stores it. Everything downstream of a
+    * fixed centroid set is deterministic, which is exactly what makes
+    * the incremental form's identity contract provable: incremental
+    * maintenance and a one-shot run over the same corpus with the same
+    * centroids produce equal state by construction.
+    */
+  private def semDeDupState(c: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double): DataFrame = {
     val assigned = c
       .withColumn("__best", bestCellStructExpr(col("__cv"), centroidArray(centroids)))
       .select(col("neighbor_id").as("__id"), col("__cv"), col("__cn"),
@@ -466,10 +485,219 @@ object SimilaritySearch {
       .join(comps.select(col("id").as("__id"), col("component")),
         Seq("__id"), "left")
       .join(reps, Seq("component"), "left")
-      .select(col("__id").as(idCol), col("cluster"),
-        (col("__ccos") / lit(10000.0)).as("centroid_cos"),
-        col("component"),
+      .select(col("__id"), col("__cv"), col("__cn"), col("cluster"),
+        col("__ccos"), col("component"),
         coalesce(col("keep_id") === col("__id"), lit(true)).as("kept"))
+  }
+
+  /** Persist SemDeDup as an INCREMENTAL artifact — [[semDeDup]] per
+    * crawl batch re-trains the centroids and re-pairs the whole
+    * corpus; this freezes the blocking model once and lets each batch
+    * resolve against it:
+    *
+    *  - `centroids`: the frozen k-means blocking model (re-training is
+    *    a rebuild decision — [[graft.operators.Sketches.embeddingDrift]]
+    *    is the signal);
+    *  - `members`: `(neighbor_id, vec, norm, cluster, ccos, component)`
+    *    — every indexed embedding with its duplicate-component label
+    *    AS OF ITS SEGMENT (singletons carry their own id, so later
+    *    contraction is uniform);
+    *  - `remaps`: `(from, to)` label rewrites published by increments
+    *    whose batch BRIDGED previously separate components (labels are
+    *    component-min ids, so every rewrite strictly decreases —
+    *    applying the chain's remap tables in segment order resolves
+    *    any member to its current label);
+    *  - `meta`: the pairing threshold, so appends can't diverge.
+    *
+    * The keep rule is NOT stored: `kept` is a pure function of
+    * `(component, ccos, id)` recomputed at read ([[
+    * semDedupIndexStatus]]) — so a new batch member with a lower
+    * centroid cosine takes over as its group's keeper without
+    * rewriting any published segment.
+    *
+    * EXACT contract (suite-pinned): the chain's state equals a
+    * one-shot [[semDeDup]] pass with the SAME centroids over the union
+    * corpus — frozen blocking finds cross-batch duplicates through the
+    * cells exactly as intra-batch ones, and component contraction is
+    * associative. (A one-shot run that RE-TRAINS on the union differs
+    * exactly where the method's own contract allows: duplicates that
+    * cross cluster boundaries under one of the two clusterings.)
+    */
+  def buildSemDedupIndex(
+      df: DataFrame, idCol: String, vecCol: String, path: String,
+      k: Int, threshold: Double, iters: Int = 5,
+      marker: Option[String] = None): Unit = {
+    require(k >= 2, s"buildSemDedupIndex: k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = prepared(df, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+      .select(col("neighbor_id").cast("long").as("neighbor_id"),
+        col("__cv"), col("__cn"))
+      .localCheckpoint(true)
+    val centroids = trainCentroids(c, k, iters)
+    val state = semDeDupState(c, centroids, threshold)
+    graft.sources.IndexIO.publish(spark, path, marker) { vdir =>
+      centroidTable(spark, centroids)
+        .select(col("__cell").as("cell"), col("__ctv").as("centroid"),
+          col("__ctn").as("cnorm"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$vdir/centroids")
+      state.select(col("__id").as("neighbor_id"), col("__cv").as("vec"),
+          col("__cn").as("norm"), col("cluster"), col("__ccos").as("ccos"),
+          coalesce(col("component"), col("__id")).as("component"))
+        .write.mode("overwrite").parquet(s"$vdir/members")
+      Seq(threshold).toDF("threshold")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
+    ()
+  }
+
+  /** The chain's members with CURRENT component labels: union the
+    * member segments, then apply every remap table in chain order — a
+    * remap's `from` labels can only name components created before it,
+    * so the fold is a no-op on later members and multi-hop rewrites
+    * resolve sequentially. Remap tables are merge-sized (one row per
+    * bridged component, tiny next to the corpus), so each application
+    * is a broadcast join.
+    */
+  private def resolvedSemDedupMembers(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val members = graft.sources.IndexIO.chainTable(spark, path, "members")
+      .getOrElse(throw new IllegalStateException(
+        s"SemDeDup index at $path has no members table"))
+      .drop("__seg")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val remaps = graft.sources.IndexIO.segments(spark, path).flatMap { s =>
+      val p = new org.apache.hadoop.fs.Path(s, "remaps")
+      if (p.getFileSystem(conf).exists(p)) Some(spark.read.parquet(p.toString))
+      else None
+    }
+    remaps.foldLeft(members) { (acc, r) =>
+      acc.join(
+          broadcast(r.select(col("from").as("__rf"), col("to").as("__rt"))),
+          acc("component") === col("__rf"), "left")
+        .withColumn("component", coalesce(col("__rt"), col("component")))
+        .drop("__rf", "__rt")
+    }
+  }
+
+  /** Resolve ONE new batch against a [[buildSemDedupIndex]] artifact
+    * WITHOUT re-training or re-pairing the corpus: the frozen
+    * centroids assign the batch in-row (k×dim literal — no join, no
+    * shuffle), duplicate edges are searched ONLY between the batch and
+    * its own cells (batch×members within the cell, batch×batch within
+    * the cell — per-batch cost Σ|cell∩batch|·|cell|, never corpus²),
+    * existing components enter the contraction as single label nodes,
+    * and the result publishes as one immutable segment (+ remap rows
+    * where the batch bridged components). Returns the UPDATED full
+    * state ([[semDedupIndexStatus]]). Caller contract: batch ids must
+    * not already be live in the index. Empty batches are a no-op.
+    */
+  def semDeDupIncremental(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      marker: Option[String] = None): DataFrame = {
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    val threshold = spark.read.parquet(s"$vdir/meta").head().getAs[Double]("threshold")
+    val cents = spark.read.parquet(s"$vdir/centroids").orderBy(col("cell"))
+      .select("centroid").collect().map(_.getSeq[Double](0).toArray)
+    val c = prepared(batch, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+      .select(col("neighbor_id").cast("long").as("neighbor_id"),
+        col("__cv"), col("__cn"))
+    val newDim = c.select(size(col("__cv"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    if (newDim.isEmpty) return semDedupIndexStatus(spark, path)
+    require(newDim.get == cents(0).length,
+      s"semDeDupIncremental: batch has dim ${newDim.get} but the index at " +
+        s"$path was trained on dim ${cents(0).length}")
+    val assigned = c
+      .withColumn("__best", bestCellStructExpr(col("__cv"), centroidArray(cents)))
+      .select(col("neighbor_id").as("__id"), col("__cv"), col("__cn"),
+        col("__best").getField("cell").as("cluster"),
+        floor(col("__best").getField("score") * lit(10000.0)).cast("long")
+          .as("__ccos"))
+      .localCheckpoint(true)
+    val members = resolvedSemDedupMembers(spark, path).localCheckpoint(true)
+    // batch × existing members, same cell, contracted to the member's
+    // component label; plus batch × batch within the cell
+    val bm = assigned.alias("n").join(members.alias("m"),
+        col("n.cluster") === col("m.cluster") &&
+          VectorFunctions.dot(col("n.__cv"), col("m.vec"))
+            / (col("n.__cn") * col("m.norm")) >= threshold)
+      .select(col("n.__id").as("id_a"), col("m.component").as("id_b"))
+    val aa = assigned.select(col("cluster"), col("__id").as("id_a"),
+      col("__cv").as("__va"), col("__cn").as("__na"))
+    val bb = assigned.select(col("cluster"), col("__id").as("id_b"),
+      col("__cv").as("__vb"), col("__cn").as("__nb"))
+    val ebb = aa.join(bb, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorFunctions.dot(col("__va"), col("__vb"))
+        / (col("__na") * col("__nb")) >= threshold)
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(bm.union(ebb), "id_a", "id_b")
+      .localCheckpoint(true) // consumed twice (labels + remaps)
+    val labels = comps.select(col("id").as("__id"), col("component"))
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
+      spark.read.parquet(s"$vdir/centroids").repartition(1)
+        .write.mode("overwrite").parquet(s"$seg/centroids")
+      spark.read.parquet(s"$vdir/meta").coalesce(1)
+        .write.mode("overwrite").parquet(s"$seg/meta")
+      assigned.join(labels, Seq("__id"), "left")
+        .select(col("__id").as("neighbor_id"), col("__cv").as("vec"),
+          col("__cn").as("norm"), col("cluster"), col("__ccos").as("ccos"),
+          coalesce(col("component"), col("__id")).as("component"))
+        .write.mode("overwrite").parquet(s"$seg/members")
+      comps
+        .join(members.select(col("component").as("id")).distinct(), Seq("id"),
+          "left_semi")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("from"), col("component").as("to"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/remaps")
+    }
+    semDedupIndexStatus(spark, path)
+  }
+
+  /** Serve the chain's CURRENT dedup state: `(idCol, cluster,
+    * centroid_cos, component, kept)`, one row per indexed embedding —
+    * [[semDeDup]]'s output shape off the artifact. `kept` recomputes
+    * per resolved component (argmin (ccos, id) — the paper's
+    * keep-the-atypical rule), so keeper transfers caused by later
+    * batches are visible without any segment rewrite; components with
+    * a single member render as null like the batch operator's.
+    */
+  def semDedupIndexStatus(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String = "id"): DataFrame = {
+    val m = resolvedSemDedupMembers(spark, path)
+    val agg = m.groupBy(col("component"))
+      .agg(count(lit(1)).as("__n"),
+        min_by(col("neighbor_id"),
+          struct(col("ccos"), col("neighbor_id"))).as("__keep"))
+    m.join(agg, Seq("component"))
+      .select(col("neighbor_id").as(idCol), col("cluster"),
+        (col("ccos") / lit(10000.0)).as("centroid_cos"),
+        when(col("__n") > 1, col("component")).as("component"),
+        (col("neighbor_id") === col("__keep")).as("kept"))
+  }
+
+  /** Collapse a [[semDeDupIncremental]] chain to ONE segment: members
+    * rewritten with their RESOLVED labels, remap tables retired,
+    * centroids/meta carried forward. Serving state is identical by
+    * construction; applied-batch markers survive (full publish).
+    */
+  def compactSemDedupIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    if (graft.sources.IndexIO.segments(spark, path).length <= 1) return
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    val cents = spark.read.parquet(s"$vdir/centroids")
+    val meta = spark.read.parquet(s"$vdir/meta")
+    val m = resolvedSemDedupMembers(spark, path)
+    graft.sources.IndexIO.publish(spark, path) { nv =>
+      cents.repartition(1).write.mode("overwrite").parquet(s"$nv/centroids")
+      meta.coalesce(1).write.mode("overwrite").parquet(s"$nv/meta")
+      m.write.mode("overwrite").parquet(s"$nv/members")
+    }
+    ()
   }
 
   /** Centroid matrix as a literal `array<struct<cell,v,n>>` column — the

@@ -1119,6 +1119,53 @@ object Streaming {
       .start()
   }
 
+  /** [[maintainIvfIndex]] for the incremental SemDeDup artifact
+    * ([[graft.operators.SimilaritySearch.buildSemDedupIndex]]): the
+    * first non-empty batch trains the blocking centroids and resolves
+    * its own duplicates; every later micro-batch assigns against the
+    * frozen cells, pairs ONLY within them, and lands as an immutable
+    * segment (+ remap rows where it bridged components) —
+    * [[graft.operators.SimilaritySearch.semDeDupIncremental]].
+    * The dedup DECISIONS stay queryable at any time via
+    * [[graft.operators.SimilaritySearch.semDedupIndexStatus]]; the
+    * keep-the-atypical rule re-resolves per read, so a later batch's
+    * more-atypical member takes over as keeper exactly as a one-shot
+    * run over the union would have chosen.
+    */
+  def maintainSemDedupIndex(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      checkpointDir: String,
+      k: Int,
+      threshold: Double,
+      iters: Int = 5,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.SimilaritySearch
+    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      if (!batch.isEmpty) {
+        applyIndexBatch(s, path, s"b$batchId-$sid") {
+          SimilaritySearch.buildSemDedupIndex(batch, idCol, vecCol, path,
+            k, threshold, iters, marker = Some(s"b$batchId-$sid"))
+        } {
+          SimilaritySearch.semDeDupIncremental(s, path, batch, idCol, vecCol,
+            marker = Some(s"b$batchId-$sid"))
+          ()
+        }
+        maybeCompact(s, path, compactEvery) {
+          SimilaritySearch.compactSemDedupIndex(s, path)
+        }
+      }
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** [[maintainBm25Index]] for the perceptual image-hash index
     * ([[graft.multimodal.Multimodal.buildAHashIndex]]) — the image
     * crawl's ingest loop: each micro-batch's images are decoded ONCE

@@ -239,6 +239,93 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(globalRemoved == removed)
   }
 
+  test("incremental SemDeDup: cross-batch dups, component bridge, keeper transfer") {
+    import java.nio.file.Files
+    def v(deg: Double): Array[Double] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r), math.sin(r), 0.0, 0.0)
+    }
+    // threshold cos(18.19°) ≈ 0.95; X family near 0–36°, Y near 90–110°
+    val baseA = Seq(
+      1L -> v(0), 2L -> v(10),          // X pair (Δ10°)
+      4L -> v(30), 5L -> v(36),         // second X pair; Δ(2,4)=20° > t
+      10L -> v(90), 11L -> v(96), 13L -> v(99)) // Y triple
+    val batchB = Seq(
+      3L -> v(20),   // bridges {1,2} and {4,5} (Δ10° to both 2 and 4)
+      50L -> v(60),  // singleton: no neighbor within 18°
+      12L -> v(110)) // joins the Y component AND is its most atypical
+    val a = baseA.toDF("id", "emb")
+    val b = batchB.toDF("id", "emb")
+    val union = (baseA ++ batchB).toDF("id", "emb")
+    val dir = Files.createTempDirectory("semdd_inc").toString
+    SimilaritySearch.buildSemDedupIndex(a, "id", "emb", dir,
+      k = 2, threshold = 0.95)
+    // pre-append state: {1,2} and {4,5} separate, Y triple one group
+    val s0 = SimilaritySearch.semDedupIndexStatus(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.toString.toLong), r.getBoolean(4))).toMap
+    assert(s0(1L)._1.contains(1L) && s0(2L)._1.contains(1L))
+    assert(s0(4L)._1.contains(4L) && s0(5L)._1.contains(4L))
+    assert(s0(10L)._1.contains(10L) && s0(13L)._1.contains(10L))
+    assert(s0(10L)._2, "90° is the Y triple's most atypical pre-append")
+    val s1 = SimilaritySearch.semDeDupIncremental(spark, dir, b, "id", "emb")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.toString.toLong), r.getBoolean(4))).toMap
+    assert(s1.size == 10)
+    // id 3 bridged the two X components into one, labeled by the min id
+    Seq(1L, 2L, 3L, 4L, 5L).foreach(id =>
+      assert(s1(id)._1.contains(1L), s"$id -> ${s1(id)}"))
+    // keeper of the merged X group is id 1 (lowest centroid cosine)
+    assert(s1(1L)._2 && Seq(2L, 3L, 4L, 5L).forall(!s1(_)._2))
+    // the Y keeper TRANSFERRED to the newly arrived most-atypical 110°
+    Seq(10L, 11L, 12L, 13L).foreach(id => assert(s1(id)._1.contains(10L)))
+    assert(s1(12L)._2 && Seq(10L, 11L, 13L).forall(!s1(_)._2))
+    // the singleton: null component, kept
+    assert(s1(50L)._1.isEmpty && s1(50L)._2)
+    // the bridge published a remap (4 -> 1) readers resolve through
+    val remaps = graft.sources.IndexIO.segments(spark, dir)
+      .flatMap { s =>
+        val p = new org.apache.hadoop.fs.Path(s, "remaps")
+        if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+          spark.read.parquet(p.toString).collect().map(r =>
+            (r.getLong(0), r.getLong(1)))
+        else Nil
+      }.toSet
+    assert(remaps == Set((4L, 1L)), s"remaps=$remaps")
+    // compact collapses the chain; state identical; remaps retired
+    val before = SimilaritySearch.semDedupIndexStatus(spark, dir).orderBy("id")
+    SimilaritySearch.compactSemDedupIndex(spark, dir)
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1)
+    assertSameRows(before,
+      SimilaritySearch.semDedupIndexStatus(spark, dir).orderBy("id"))
+    // SPLIT INVARIANCE: appending B as two micro-batches lands the
+    // same state (component contraction is associative)
+    val dir2 = Files.createTempDirectory("semdd_inc2").toString
+    SimilaritySearch.buildSemDedupIndex(a, "id", "emb", dir2,
+      k = 2, threshold = 0.95)
+    SimilaritySearch.semDeDupIncremental(spark, dir2,
+      Seq(3L -> v(20), 50L -> v(60)).toDF("id", "emb"), "id", "emb")
+    SimilaritySearch.semDeDupIncremental(spark, dir2,
+      Seq(12L -> v(110)).toDF("id", "emb"), "id", "emb")
+    assertSameRows(before,
+      SimilaritySearch.semDedupIndexStatus(spark, dir2).orderBy("id"))
+    // BATCH EQUIVALENCE: bootstrapped on the full corpus, the artifact
+    // state IS semDeDup's output (same trainer, same corpus -> same
+    // centroids -> identical pairs, components, and keep decisions)
+    val dir3 = Files.createTempDirectory("semdd_full").toString
+    SimilaritySearch.buildSemDedupIndex(union, "id", "emb", dir3,
+      k = 2, threshold = 0.95)
+    assertSameRows(
+      SimilaritySearch.semDeDup(union, "id", "emb", k = 2, threshold = 0.95)
+        .orderBy("id"),
+      SimilaritySearch.semDedupIndexStatus(spark, dir3).orderBy("id"))
+    // empty batch: no-op, no new version
+    val v0 = graft.sources.IndexIO.resolve(spark, dir3)
+    SimilaritySearch.semDeDupIncremental(spark, dir3,
+      Seq.empty[(Long, Array[Double])].toDF("id", "emb"), "id", "emb")
+    assert(graft.sources.IndexIO.resolve(spark, dir3) == v0)
+  }
+
   test("IVF top-k: exact cosines, deterministic, decent recall on clustered data") {
     val rnd = new scala.util.Random(31)
     // 4 well-separated clusters of 30 vectors each

@@ -838,6 +838,45 @@ class StreamingSuite extends SparkSpec {
         "vec_id", "embedding", k = 3, kShortlist = all.size, nProbe = 2))
   }
 
+  test("maintainSemDedupIndex: stream-resolved dedup state == incremental batch flow") {
+    import graft.operators.SimilaritySearch
+    def v(deg: Double): Array[Double] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r), math.sin(r), 0.0, 0.0)
+    }
+    val baseA = Seq(1L -> v(0), 2L -> v(10), 4L -> v(30), 5L -> v(36),
+      10L -> v(90), 11L -> v(96), 13L -> v(99))
+    val batchB = Seq(3L -> v(20), 50L -> v(60), 12L -> v(110))
+    val dir = java.nio.file.Files.createTempDirectory("semdd_maint").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("semdd_maint_ck").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = Streaming.maintainSemDedupIndex(
+      input.toDF().toDF("id", "emb"), "id", "emb", dir, ckpt,
+      k = 2, threshold = 0.95)
+    try {
+      input.addData(baseA); q.processAllAvailable()   // bootstrap (trains)
+      input.addData(batchB); q.processAllAvailable()  // incremental resolve
+    } finally q.stop()
+    val markers = graft.sources.IndexIO.segmentMarkers(spark, dir)
+    assert(markers.size == 2 &&
+      Seq("b0-", "b1-").forall(p => markers.exists(_.startsWith(p))),
+      s"unexpected markers $markers")
+    // the stream-built chain equals the batch incremental flow exactly
+    val dir2 = java.nio.file.Files.createTempDirectory("semdd_maint_ref").toString
+    SimilaritySearch.buildSemDedupIndex(baseA.toDF("id", "emb"), "id", "emb",
+      dir2, k = 2, threshold = 0.95)
+    SimilaritySearch.semDeDupIncremental(spark, dir2,
+      batchB.toDF("id", "emb"), "id", "emb")
+    assertSameRows(
+      SimilaritySearch.semDedupIndexStatus(spark, dir2).orderBy("id"),
+      SimilaritySearch.semDedupIndexStatus(spark, dir).orderBy("id"))
+    // keeper transfer is visible through the stream-built artifact too
+    val s = SimilaritySearch.semDedupIndexStatus(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(s(12L) && !s(10L))
+  }
+
   test("maintainAHashIndex: stream-built perceptual index probes; compactEvery + markers") {
     import graft.multimodal.Multimodal
     def png(k: Int): Array[Byte] = {
