@@ -18,7 +18,8 @@ object Bench {
     "ineq_join_acctbal", "ineq_join_dates", "ineq_join_shuffled",
     "interval_join_orders",
     "theta_join_mod", "asof_join_events", "asof_join_unbounded",
-    "asof_join_sql", "asof_join_by", "asof_interpolate", "stream_asof_events",
+    "asof_join_sql", "asof_join_by", "asof_interpolate",
+    "asof_interpolate_numeric", "stream_asof_events",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_cross_corpus_lsh", "dedup_mask_windows", "pack_sequences",
     "pack_sequences_bfd",
@@ -34,11 +35,13 @@ object Bench {
     "gopher_rules", "lm_ccnet_buckets", "clean_lines", "lang_id_nb",
     "dsir_score", "dsir_resample", "stream_dsir_gate",
     "dsir_score_appended", "dsir_source_report",
+    "dsir_score_deleted", "dsir_score_by_lang", "stream_dsir_gate_by_lang",
     "lang_id_nb_priors", "strip_source_boilerplate",
     "stream_strip_boilerplate",
     "stream_lang_gate", "shard_by_tokens", "shard_write_roundtrip",
     "normalize_scores_by_source", "dedup_by_url",
     "embedding_drift", "stream_embedding_drift", "embedding_drift_by_source",
+    "ann_index_drift",
     "embedding_outliers", "stream_embedding_outliers",
     "multimodal_image_dedup", "multimodal_audio_dedup",
     "multimodal_audio_dedup_shift", "multimodal_audio_dedup_shift_indexed",
@@ -119,7 +122,8 @@ object Bench {
         "phrase_search_appended", "hybrid_lexical_phrase",
         "hybrid_search_rrf_both_indexed", "mine_hard_negatives_index",
         "stream_hybrid_decontaminate",
-        "stream_dsir_gate", "dsir_score_appended")
+        "stream_dsir_gate", "dsir_score_appended",
+        "dsir_score_deleted", "stream_dsir_gate_by_lang", "ann_index_drift")
       .filter(SparkEntry.queries.contains)
       .foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).count()

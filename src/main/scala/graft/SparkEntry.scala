@@ -342,6 +342,23 @@ object SparkEntry {
           rightOn = Some("view_ts"), by = Seq("user_id"))
         .select(col("click_id"), q4(col("value_interp")).as("value_interp"))
     }),
+    "asof_interpolate_numeric" -> ((s, dir) => {
+      // NUMERIC-AXIS interpolation (sensor depth/position alignment —
+      // the non-time form of the same operator): the axis is the LONG
+      // event_id, so the bracket fraction's differences are exact
+      // longs, not microseconds. Same single-exchange two-window plan;
+      // both engines evaluate the identical v1 + (v2-v1)*(Δ/Δtot)
+      // expression; q4-floored.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("event_id").as("click_pos"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("event_id").as("view_pos")).agg(max(col("value")).as("v"))
+      AsOfJoin.interpolate(clicks, views, valueCol = "v",
+          leftId = "click_id", leftOn = Some("click_pos"),
+          rightOn = Some("view_pos"))
+        .select(col("click_id"), q4(col("value_interp")).as("value_interp"))
+    }),
     "asof_join_unbounded" -> ((s, dir) => {
       // merge_asof shape: no tolerance, nearest preceding view per click
       // (sort-based plan — the band-bucket rewrite cannot express tol=∞)
@@ -1186,6 +1203,23 @@ object SparkEntry {
         SimilaritySearch.searchIvf(s, idx, q, "vec_id", "embedding", k = 5),
         SimilaritySearch.bruteForceTopK(q, e.filter(col("vec_id") % 7 =!= 3),
           "vec_id", "embedding", k = 5))
+    }),
+    "ann_index_drift" -> ((s, dir) => {
+      // the "retrain the centroids?" monitor completing the ANN
+      // lifecycle: exact grid cosine (embedding_drift's 1e-7-grid
+      // integer machinery) between the index's QUANTIZED contents —
+      // each indexed vector replaced by its assigned cell's centroid —
+      // and the live corpus mean. Trained on the even half, measured
+      // against the full corpus: the appended-but-never-retrained half
+      // is exactly the situation the signal exists for. Deterministic
+      // trainer → the grid cosine is a pinned constant, like the IVF
+      // recall constants.
+      val e = t(s, dir, "embeddings")
+      val idx = scratch("ivf_drift_idx", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        SimilaritySearch.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idx)
+      SimilaritySearch.ivfIndexDrift(s, idx, e, "embedding")
     }),
     "ann_topk_ivf_sq8" -> ((s, dir) => {
       // IVF-SQ8 lifecycle: quantized cells persisted once (~8x smaller
@@ -2678,6 +2712,26 @@ object SparkEntry {
       Streaming.dsirGate(s, d, "doc_id", "text", idx, minAvgLogw = -0.07)
         .select("doc_id", "n_ngrams", "logw")
     }),
+    "stream_dsir_gate_by_lang" -> ((s, dir) => {
+      // the PER-LANGUAGE DSIR gate at ingest: each doc scored in-row
+      // under its OWN language's target/raw ratio — the lang→array map
+      // rides as one literal, lookup + gram aggregate in the row, no
+      // join/agg/state (scoreInRowByGroup); rows whose language the
+      // model doesn't know fail closed. Target = the %5 doc slice per
+      // language; the -0.543 cut keeps the more-target-like half and
+      // sits in a measured 70-grid-unit gap of the per-doc floor
+      // (logw/n) distribution (-5463..-5393 at sf0.01) — and grid
+      // longs compare exactly anyway, so no doc can flip engines. The
+      // oracle replays the per-group profiles and the same cut.
+      val d = t(s, dir, "documents")
+      val idx = scratch("dsir_bylang_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        Dsir.buildDsirIndexByGroup(d.filter(col("doc_id") % 5 === 0), "text",
+          "lang", d, "text", "lang", buckets = 4096, idx)
+      Streaming.dsirGateByGroup(s, d, "doc_id", "text", "lang", idx,
+          minAvgLogw = -0.543)
+        .select("doc_id", "n_ngrams", "logw")
+    }),
     "dsir_score_appended" -> ((s, dir) => {
       // the DSIR maintenance story: profiles are ADDITIVE, so a daily
       // crawl batch appends its own <=4096-row profile segment and
@@ -2740,6 +2794,62 @@ object SparkEntry {
       } finally q.stop()
       val (tp, rp) = Dsir.dsirIndexProfiles(s, idx)
       Dsir.importanceScore(d, "doc_id", "text", tp, rp, buckets = 4096)
+    }),
+    "dsir_score_deleted" -> ((s, dir) => {
+      // the DSIR takedown story: profiles are additive counts, so
+      // retracting a previously-appended batch is ONE negative-count
+      // segment (deleteFromDsirIndex) — never a rebuild. Build + two
+      // appends cover the corpus, then the %3==2 batch is appended AND
+      // retracted; scoring from the chain must equal the one-shot
+      // profile over the remaining two thirds, which the oracle
+      // computes directly (zero-sum buckets are exactly absent buckets
+      // under add-one smoothing).
+      val d = t(s, dir, "documents")
+      val idx = scratch("dsir_deleted_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx)) {
+        Dsir.buildDsirIndex(d.filter(col("lang") === "en"), "text",
+          d.filter(col("doc_id") % 3 === 0), "text", buckets = 4096, idx)
+        Dsir.appendToDsirIndex(d.filter(col("doc_id") % 3 === 1), "text", idx)
+        Dsir.appendToDsirIndex(d.filter(col("doc_id") % 3 === 2), "text", idx)
+        Dsir.deleteFromDsirIndex(d.filter(col("doc_id") % 3 === 2), "text", idx)
+      }
+      val (tp, rp) = Dsir.dsirIndexProfiles(s, idx)
+      Dsir.importanceScore(d, "doc_id", "text", tp, rp, buckets = 4096)
+    }),
+    "dsir_score_compacted" -> ((s, dir) => {
+      // chain-collapse compaction across a retraction boundary: the
+      // same build/append/append/retract chain as dsir_score_deleted,
+      // then compactDsirIndex collapses the four raw segments to one —
+      // serving must be IDENTICAL across the compact (the same
+      // remaining-corpus oracle), and the collapsed profile carries no
+      // dead zero-sum buckets.
+      val d = t(s, dir, "documents")
+      val idx = scratch("dsir_compacted_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx)) {
+        Dsir.buildDsirIndex(d.filter(col("lang") === "en"), "text",
+          d.filter(col("doc_id") % 3 === 0), "text", buckets = 4096, idx)
+        Dsir.appendToDsirIndex(d.filter(col("doc_id") % 3 === 1), "text", idx)
+        Dsir.appendToDsirIndex(d.filter(col("doc_id") % 3 === 2), "text", idx)
+        Dsir.deleteFromDsirIndex(d.filter(col("doc_id") % 3 === 2), "text", idx)
+        Dsir.compactDsirIndex(s, idx)
+      }
+      val (tp, rp) = Dsir.dsirIndexProfiles(s, idx)
+      Dsir.importanceScore(d, "doc_id", "text", tp, rp, buckets = 4096)
+    }),
+    "dsir_score_by_lang" -> ((s, dir) => {
+      // the MULTILINGUAL selection form: one artifact holds target/raw
+      // profiles PER LANGUAGE and every doc is scored under its own
+      // language's multinomials — "does the FRENCH corpus need more
+      // docs like this French doc", never judged against a profile the
+      // majority language dominates. Same md5 buckets / add-one
+      // smoothing / 1e-4 grid as dsir_score, replayed per group by the
+      // oracle; profiles stay ≤ langs x 4096-row broadcasts.
+      val d = t(s, dir, "documents")
+      val target = d.filter(col("doc_id") % 5 === 0)
+      Dsir.importanceScoreByGroup(d, "doc_id", "text", "lang",
+        Dsir.ngramProfileByGroup(target, "text", "lang", 4096),
+        Dsir.ngramProfileByGroup(d, "text", "lang", 4096),
+        buckets = 4096)
     }),
     "stream_pack_sequences" -> ((s, dir) => {
       // the live ingest pipeline ENDING IN PACKING: gate → token count
@@ -3572,6 +3682,73 @@ object SparkEntry {
           |       CAST(sum(lp) AS BIGINT) AS logw
           |FROM lp GROUP BY doc_id""".stripMargin
 
+  /** [[dsirScoreOracle]] with the raw profile over the corpus that
+    * REMAINS after the %3==2 batch's retraction — computed directly
+    * over the remaining docs, so agreement proves the negative-count
+    * segment subtracted the batch's contribution exactly.
+    */
+  private val dsirScoreDeletedOracle: String =
+    """WITH tokp AS (SELECT doc_id, w, pos FROM (
+          |    SELECT doc_id,
+          |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |      generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |    FROM documents) q WHERE w <> ''),
+          |g AS (SELECT doc_id, w AS gram FROM tokp
+          |      UNION ALL
+          |      SELECT a.doc_id, a.w || chr(1) || b.w
+          |      FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          |gb AS (SELECT doc_id,
+          |    CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS b
+          |  FROM g),
+          |tp AS (SELECT b, count(*) AS ct FROM gb JOIN documents USING (doc_id)
+          |       WHERE lang = 'en' GROUP BY 1),
+          |rp AS (SELECT b, count(*) AS cq FROM gb WHERE doc_id % 3 <> 2 GROUP BY 1),
+          |nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS n FROM tp),
+          |nq AS (SELECT CAST(sum(cq) AS DOUBLE) AS n FROM rp),
+          |lp AS (SELECT gb.doc_id,
+          |    CAST(floor(ln((coalesce(tp.ct, 0) + 1.0) / (nt.n + 4096.0)) * 10000.0) AS BIGINT)
+          |  - CAST(floor(ln((coalesce(rp.cq, 0) + 1.0) / (nq.n + 4096.0)) * 10000.0) AS BIGINT) AS lp
+          |  FROM gb LEFT JOIN tp USING (b) LEFT JOIN rp USING (b)
+          |  CROSS JOIN nt CROSS JOIN nq)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+          |       CAST(sum(lp) AS BIGINT) AS logw
+          |FROM lp GROUP BY doc_id""".stripMargin
+
+  /** The per-group scorer's oracle core: per-language target (%5 doc
+    * slice) and raw profiles, per-language totals, each doc scored
+    * under its own language's multinomials on the exact 1e-4 grid.
+    * Ends at the per-doc `(doc_id, lang, n_ngrams, logw)` relation so
+    * the score and gate oracles share it.
+    */
+  private val dsirByLangCore: String =
+    """WITH tokp AS (SELECT doc_id, w, pos FROM (
+          |    SELECT doc_id,
+          |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |      generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |    FROM documents) q WHERE w <> ''),
+          |g AS (SELECT doc_id, w AS gram FROM tokp
+          |      UNION ALL
+          |      SELECT a.doc_id, a.w || chr(1) || b.w
+          |      FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          |gbl AS (SELECT g.doc_id, d.lang,
+          |    CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS b
+          |  FROM g JOIN documents d ON d.doc_id = g.doc_id),
+          |tp AS (SELECT lang, b, count(*) AS ct FROM gbl
+          |       WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+          |rp AS (SELECT lang, b, count(*) AS cq FROM gbl GROUP BY 1, 2),
+          |nt AS (SELECT lang, CAST(sum(ct) AS DOUBLE) AS n FROM tp GROUP BY 1),
+          |nq AS (SELECT lang, CAST(sum(cq) AS DOUBLE) AS n FROM rp GROUP BY 1),
+          |lp AS (SELECT gbl.doc_id, gbl.lang,
+          |    CAST(floor(ln((coalesce(tp.ct, 0) + 1.0) / (coalesce(nt.n, 0) + 4096.0)) * 10000.0) AS BIGINT)
+          |  - CAST(floor(ln((coalesce(rp.cq, 0) + 1.0) / (coalesce(nq.n, 0) + 4096.0)) * 10000.0) AS BIGINT) AS lp
+          |  FROM gbl LEFT JOIN tp ON tp.lang = gbl.lang AND tp.b = gbl.b
+          |           LEFT JOIN rp ON rp.lang = gbl.lang AND rp.b = gbl.b
+          |           LEFT JOIN nt ON nt.lang = gbl.lang
+          |           LEFT JOIN nq ON nq.lang = gbl.lang),
+          |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_ngrams,
+          |              CAST(sum(lp) AS BIGINT) AS logw
+          |       FROM lp GROUP BY 1, 2)""".stripMargin
+
   private val bm25SearchOracle: String =
     """WITH tok AS (
       |  SELECT doc_id, w FROM (
@@ -3938,6 +4115,33 @@ object SparkEntry {
           |              ELSE v1 + (v2 - v1) *
           |                (CAST(epoch_us(cts) - epoch_us(t1) AS DOUBLE)
           |                 / CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE))
+          |         END) * 10000.0) / 10000.0 AS value_interp
+          |FROM j""".stripMargin,
+      // the numeric-axis form: identical bracket-and-interpolate
+      // replay with exact LONG differences on the event_id axis
+      "asof_interpolate_numeric" ->
+        """WITH clicks AS (
+          |  SELECT event_id AS click_id, event_id AS cpos FROM events
+          |  WHERE event_type = 'click'),
+          |views AS (SELECT event_id AS vpos, max(value) AS v FROM events
+          |          WHERE event_type = 'view' GROUP BY 1),
+          |b AS (SELECT c.click_id, max(v.vpos) AS t1 FROM clicks c
+          |      JOIN views v ON v.vpos <= c.cpos GROUP BY 1),
+          |f AS (SELECT c.click_id, min(v.vpos) AS t2 FROM clicks c
+          |      JOIN views v ON v.vpos >= c.cpos GROUP BY 1),
+          |j AS (SELECT c.click_id, c.cpos, b.t1, vb.v AS v1, f.t2, vf.v AS v2
+          |      FROM clicks c
+          |      LEFT JOIN b USING (click_id)
+          |      LEFT JOIN views vb ON vb.vpos = b.t1
+          |      LEFT JOIN f USING (click_id)
+          |      LEFT JOIN views vf ON vf.vpos = f.t2)
+          |SELECT click_id,
+          |  floor((CASE WHEN v1 IS NULL THEN v2
+          |              WHEN v2 IS NULL THEN v1
+          |              WHEN t2 = t1 THEN v1
+          |              ELSE v1 + (v2 - v1) *
+          |                (CAST(cpos - t1 AS DOUBLE)
+          |                 / CAST(t2 - t1 AS DOUBLE))
           |         END) * 10000.0) / 10000.0 AS value_interp
           |FROM j""".stripMargin,
       "asof_join_unbounded" ->
@@ -4786,6 +4990,13 @@ object SparkEntry {
       "ann_topk_ivf_deleted" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(0.6 AS DOUBLE) AS recall""".stripMargin,
+      // index-health drift: deterministic trainer on the even half →
+      // the quantized-contents-vs-live-corpus grid cosine is a pinned
+      // constant, like the recall constants; counts computed directly
+      "ann_index_drift" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0) AS n_a,
+          |       (SELECT count(*) FROM embeddings) AS n_b,
+          |       CAST(0.7383 AS DOUBLE) AS cos_means""".stripMargin,
       "ann_topk_sq8" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(0.99 AS DOUBLE) AS recall""".stripMargin,
@@ -6669,6 +6880,24 @@ object SparkEntry {
       // the one-shot profile: the oracle is dsir_score's SQL verbatim —
       // the equality IS the append-correctness claim
       "dsir_score_appended" -> dsirScoreOracle,
+      // append + retraction must serve the scores of the one-shot
+      // profile over the REMAINING corpus: the oracle computes that
+      // profile directly — agreement proves the negative-count segment
+      // subtracted the batch exactly
+      "dsir_score_deleted" -> dsirScoreDeletedOracle,
+      // chain-collapse across the retraction boundary changes nothing:
+      // the same remaining-corpus oracle
+      "dsir_score_compacted" -> dsirScoreDeletedOracle,
+      // per-language profiles + per-language totals, each doc scored
+      // under its own language's multinomials
+      "dsir_score_by_lang" -> (dsirByLangCore +
+        "\nSELECT doc_id, lang, n_ngrams, logw FROM sc"),
+      // the per-language gate: same per-group scores, the in-row map
+      // lookup must reproduce them exactly; floor(logw/n) >= -5430 cut
+      "stream_dsir_gate_by_lang" -> (dsirByLangCore +
+        """
+          |SELECT doc_id, n_ngrams, logw FROM sc
+          |WHERE floor(logw * 1.0 / n_ngrams) >= -5430""".stripMargin),
       // stream-maintained chain == one-shot profile: dsir_score verbatim
       "stream_maintained_dsir" -> dsirScoreOracle,
       // per-source rollup of the score replay: exact long sums, one

@@ -257,9 +257,12 @@ object AsOfJoin {
   /** INTERPOLATING as-of enrichment — the time-series alignment step
     * sensor/market pipelines need beyond nearest-event picks: each
     * left row gets the right stream's `valueCol` LINEARLY INTERPOLATED
-    * at its timestamp from the bracketing events,
-    * `v1 + (v2 − v1) · (t − t1)/(t2 − t1)` over exact microsecond
-    * longs. One-sided rows (before the first / after the last right
+    * at its position on the join axis from the bracketing events,
+    * `v1 + (v2 − v1) · (t − t1)/(t2 − t1)`. The axis may be a
+    * timestamp (differences as exact microsecond longs) or ANY numeric
+    * column — sensor depth, position, sequence number — (integral
+    * differences as exact longs, fractional as doubles).
+    * One-sided rows (before the first / after the last right
     * event) take the available neighbor's value as-is; an exact
     * timestamp hit takes that event's value; left rows matching no
     * right event at all (including null-timestamp / null-`by` rows)
@@ -314,13 +317,33 @@ object AsOfJoin {
     val PID = "__graft_gi_pid"
     val K = by.indices.map(i => s"__graft_gi_k$i")
     val lType = StructType(left.schema.fields)
+    val axisType = left.schema(cols.leftCol).dataType
     val brType = StructType(Seq(
-      org.apache.spark.sql.types.StructField("t", left.schema(cols.leftCol).dataType),
+      org.apache.spark.sql.types.StructField("t", axisType),
       org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
-    require(left.schema(cols.leftCol).dataType ==
-        right.schema(cols.rightCol).dataType,
+    require(axisType == right.schema(cols.rightCol).dataType,
       s"interpolate: join columns must share a type, got " +
-        s"${left.schema(cols.leftCol).dataType} vs ${right.schema(cols.rightCol).dataType}")
+        s"$axisType vs ${right.schema(cols.rightCol).dataType}")
+    require(axisType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+        axisType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"interpolate: the join axis must be a timestamp or numeric column " +
+        s"(the bracket fraction needs subtraction/division), got $axisType")
+    // the bracket fraction's axis arithmetic: timestamps subtract as
+    // exact microsecond longs, integral axes (sensor depth/position,
+    // sequence numbers) as exact longs, fractional/decimal axes as
+    // doubles — in every case the two differences are computed exactly
+    // first and only the final ratio is IEEE division
+    val axisDelta: (Column, Column) => Column = axisType match {
+      case _: org.apache.spark.sql.types.TimestampType =>
+        (x, y) => (unix_micros(x) - unix_micros(y)).cast("double")
+      case org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.ByteType =>
+        (x, y) => (x.cast("long") - y.cast("long")).cast("double")
+      case _ =>
+        (x, y) => x.cast("double") - y.cast("double")
+    }
 
     // right events deduped per (by…, ts): max value (the documented
     // duplicate-timestamp contract), carried as one bracket struct
@@ -395,9 +418,8 @@ object AsOfJoin {
         .when(f.getField("v").isNull, b.getField("v"))
         .when(f.getField("t") === b.getField("t"), b.getField("v"))
         .otherwise(b.getField("v") + (f.getField("v") - b.getField("v")) *
-          ((unix_micros(col(TS)) - unix_micros(b.getField("t"))).cast("double") /
-            (unix_micros(f.getField("t")) - unix_micros(b.getField("t")))
-              .cast("double")))
+          (axisDelta(col(TS), b.getField("t")) /
+            axisDelta(f.getField("t"), b.getField("t"))))
     val outCols = left.columns.map(n => col(s"$LROW.`$n`").as(n)).toIndexedSeq
     val computed = withIn.join(carryJ, PID +: K, "left")
       .filter(col(TAG) === 1)

@@ -176,10 +176,21 @@ object Dsir {
     val out = Array.fill(buckets)(base)
     val tc = new Array[Long](buckets)
     val qc = new Array[Long](buckets)
-    targetProfile.select("bucket", "cnt").collect()
-      .foreach(r => tc(r.getLong(0).toInt) = r.getLong(1))
-    rawProfile.select("bucket", "cnt").collect()
-      .foreach(r => qc(r.getLong(0).toInt) = r.getLong(1))
+    // negative counts (a [[deleteFromDsirIndex]] retraction of data the
+    // model never saw) would put log of a non-positive — NaN — into the
+    // served ratio; fail at load, never serve garbage
+    targetProfile.select("bucket", "cnt").collect().foreach { r =>
+      require(r.getLong(1) >= 0L,
+        s"ratioArray: target bucket ${r.getLong(0)} has negative count " +
+          s"${r.getLong(1)} — retraction removed data the model never saw")
+      tc(r.getLong(0).toInt) = r.getLong(1)
+    }
+    rawProfile.select("bucket", "cnt").collect().foreach { r =>
+      require(r.getLong(1) >= 0L,
+        s"ratioArray: raw bucket ${r.getLong(0)} has negative count " +
+          s"${r.getLong(1)} — retraction removed data the model never saw")
+      qc(r.getLong(0).toInt) = r.getLong(1)
+    }
     var b = 0
     while (b < buckets) {
       if (tc(b) != 0L || qc(b) != 0L)
@@ -239,6 +250,69 @@ object Dsir {
     ()
   }
 
+  /** Retract a previously-appended raw batch from a persisted DSIR
+    * model WITHOUT a rebuild: profiles are additive counts, so the
+    * retraction segment carries the batch's own profile NEGATED and
+    * [[dsirIndexProfiles]]'s chain sum subtracts it exactly — after
+    * retracting a batch, the summed raw profile is bit-identical to
+    * the profile of the remaining corpus (a zero-sum bucket scores
+    * exactly like an absent one under add-one smoothing, so the
+    * takedown is invisible to every serving form). One scan of the
+    * RETRACTED data only, like the append.
+    *
+    * Contract: `deletedRaw` must be data that was previously built or
+    * appended into this model (the takedown case). Retracting text
+    * the model never saw drives bucket counts negative; that is
+    * caught loudly at the next [[ratioArray]] load or
+    * [[compactDsirIndex]], never served silently.
+    */
+  def deleteFromDsirIndex(
+      deletedRaw: DataFrame, textCol: String, path: String,
+      marker: Option[String] = None): Unit = {
+    val spark = deletedRaw.sparkSession
+    import spark.implicits._
+    val b = dsirIndexBuckets(spark, path)
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
+      ngramProfile(deletedRaw, textCol, b)
+        .select(col("bucket"), (-col("cnt")).as("cnt"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$seg/raw")
+      Seq(Tuple1(b)).toDF("buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/meta")
+    }
+    ()
+  }
+
+  /** Collapse an append/retract chain to ONE segment: the summed raw
+    * profile (zero-sum buckets dropped — exact, see
+    * [[deleteFromDsirIndex]]), the fixed target profile, and the meta
+    * carried forward into a fresh full version
+    * ([[graft.sources.IndexIO.publish]] — applied-batch markers
+    * survive). Serving is identical by construction; what compaction
+    * buys is chain LISTING cost (segment count, not data volume — the
+    * profile is ≤ `buckets` rows regardless), so the maintainers run
+    * it on a segment-count cadence. Fails loudly on a negative summed
+    * bucket (retraction of never-appended data).
+    */
+  def compactDsirIndex(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    if (graft.sources.IndexIO.segments(spark, path).length <= 1) return
+    val b = dsirIndexBuckets(spark, path)
+    val (tp, rp) = dsirIndexProfiles(spark, path)
+    val neg = rp.filter(col("cnt") < 0).limit(1).collect()
+    require(neg.isEmpty,
+      s"compactDsirIndex: bucket ${neg.headOption.map(_.getLong(0))} has a " +
+        s"negative summed count at $path — a retraction removed data the " +
+        "model never saw; rebuild from the true corpus")
+    graft.sources.IndexIO.publish(spark, path) { nv =>
+      tp.coalesce(1).write.mode("overwrite").parquet(s"$nv/target")
+      rp.coalesce(1).write.mode("overwrite").parquet(s"$nv/raw")
+      Seq(Tuple1(b)).toDF("buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$nv/meta")
+    }
+    ()
+  }
+
   /** Bucket count of a persisted DSIR model. */
   def dsirIndexBuckets(spark: SparkSession, path: String): Int = {
     val vdir = graft.sources.IndexIO.resolve(spark, path)
@@ -255,10 +329,15 @@ object Dsir {
       .getOrElse(throw new IllegalStateException(
         s"DSIR model at $path has no target profile"))
       .select(col("bucket"), col("cnt"))
+    // zero-sum buckets (an append exactly cancelled by its retraction)
+    // are dropped: under add-one smoothing a zero count IS an absent
+    // bucket ([[gridLogProb]] coalesces), so the filter is exact and
+    // keeps the profile sparse across delete churn
     val rp = graft.sources.IndexIO.chainTable(spark, path, "raw")
       .getOrElse(throw new IllegalStateException(
         s"DSIR model at $path has no raw profile"))
       .groupBy("bucket").agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") =!= 0)
     (tp, rp)
   }
 
@@ -287,6 +366,218 @@ object Dsir {
     val grams = gramsArray(text)
     val logw = aggregate(grams, lit(0L),
       (acc, g) => acc + element_at(ratioLit,
+        (bucketOf(g, buckets) + lit(1L)).cast("int")))
+    struct(size(grams).cast("long").as("n_ngrams"), logw.as("logw"))
+  }
+
+  // ===== per-group (multilingual) form =====
+  //
+  // One artifact holds a target AND raw profile PER GROUP (language,
+  // source, domain …): a multilingual selection pipeline wants "more
+  // docs like the French target" judged against the FRENCH crawl
+  // distribution, not against a global profile the majority language
+  // dominates. Profiles gain a `grp` column; everything else — md5
+  // buckets, add-one smoothing, the exact 1e-4 log grid, additive
+  // append maintenance — is the ungrouped machinery per group.
+
+  /** [[ngramProfile]] keyed by group: `(grp, bucket, cnt)`, ≤
+    * `groups × buckets` rows, additive per group.
+    */
+  def ngramProfileByGroup(
+      df: DataFrame, textCol: String, groupCol: String,
+      buckets: Int): DataFrame =
+    df.select(col(groupCol).cast("string").as("grp"),
+        explode(gramsArray(col(textCol))).as("__g"))
+      .select(col("grp"), bucketOf(col("__g"), buckets).as("bucket"))
+      .groupBy("grp", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** [[importanceScore]] against per-group profiles: each doc is
+    * scored under ITS OWN group's target/raw multinomials (joined on
+    * `(grp, bucket)`, totals per group). A group absent from a profile
+    * scores that side as the uniform add-one model (total 0) — still
+    * exact grid arithmetic, never null/−∞. Returns
+    * `(<idCol>, <groupCol>, n_ngrams, logw)`.
+    *
+    * Scale shape: identical to the ungrouped scorer — the profiles are
+    * ≤ `groups × buckets`-row broadcasts, per-group totals are a
+    * ≤ `groups`-row broadcast, scoring stays one explode + map-side
+    * partial aggregation per doc.
+    */
+  def importanceScoreByGroup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      targetProfile: DataFrame,
+      rawProfile: DataFrame,
+      buckets: Int): DataFrame = {
+    val nt = targetProfile.groupBy("grp")
+      .agg(sum("cnt").cast("double").as("__nt"))
+    val nq = rawProfile.groupBy("grp")
+      .agg(sum("cnt").cast("double").as("__nq"))
+    docs.select(col(idCol), col(groupCol).cast("string").as("grp"),
+        explode(gramsArray(col(textCol))).as("__g"))
+      .select(col(idCol), col("grp"), bucketOf(col("__g"), buckets).as("__b"))
+      .join(broadcast(targetProfile.select(col("grp"),
+        col("bucket").as("__b"), col("cnt").as("__ct"))), Seq("grp", "__b"), "left")
+      .join(broadcast(rawProfile.select(col("grp"),
+        col("bucket").as("__b"), col("cnt").as("__cq"))), Seq("grp", "__b"), "left")
+      .join(broadcast(nt), Seq("grp"), "left")
+      .join(broadcast(nq), Seq("grp"), "left")
+      .withColumn("__lp",
+        gridLogProb(col("__ct"), coalesce(col("__nt"), lit(0.0)), buckets)
+          - gridLogProb(col("__cq"), coalesce(col("__nq"), lit(0.0)), buckets))
+      .groupBy(col(idCol), col("grp").as(groupCol))
+      .agg(count(lit(1)).as("n_ngrams"), sum(col("__lp")).as("logw"))
+  }
+
+  /** Persist a per-group DSIR model: grouped target profile fixed at
+    * build, grouped raw profile as the first link of an appendable
+    * chain — the [[buildDsirIndex]] layout with a `grp` column.
+    */
+  def buildDsirIndexByGroup(
+      target: DataFrame,
+      targetTextCol: String,
+      targetGroupCol: String,
+      raw: DataFrame,
+      rawTextCol: String,
+      rawGroupCol: String,
+      buckets: Int,
+      path: String,
+      marker: Option[String] = None): Unit = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536], got $buckets")
+    val spark = target.sparkSession
+    import spark.implicits._
+    graft.sources.IndexIO.publish(spark, path, marker) { vdir =>
+      ngramProfileByGroup(target, targetTextCol, targetGroupCol, buckets)
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/target")
+      ngramProfileByGroup(raw, rawTextCol, rawGroupCol, buckets)
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/raw")
+      Seq(Tuple1(buckets)).toDF("buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
+    ()
+  }
+
+  /** Append a raw crawl batch to a per-group model: one grouped
+    * profile segment over the NEW data only ([[appendToDsirIndex]]
+    * per group — counts are additive within each `(grp, bucket)`).
+    */
+  def appendToDsirIndexByGroup(
+      newRaw: DataFrame, textCol: String, groupCol: String, path: String,
+      marker: Option[String] = None): Unit = {
+    val spark = newRaw.sparkSession
+    import spark.implicits._
+    val b = dsirIndexBuckets(spark, path)
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
+      ngramProfileByGroup(newRaw, textCol, groupCol, b)
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/raw")
+      Seq(Tuple1(b)).toDF("buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/meta")
+    }
+    ()
+  }
+
+  /** The per-group model's target / summed-raw-chain profiles —
+    * `(grp, bucket, cnt)` each, zero-sum buckets dropped (exact, see
+    * [[dsirIndexProfiles]]).
+    */
+  def dsirIndexProfilesByGroup(
+      spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val tp = graft.sources.IndexIO.chainTable(spark, path, "target")
+      .getOrElse(throw new IllegalStateException(
+        s"DSIR model at $path has no target profile"))
+      .select(col("grp"), col("bucket"), col("cnt"))
+    val rp = graft.sources.IndexIO.chainTable(spark, path, "raw")
+      .getOrElse(throw new IllegalStateException(
+        s"DSIR model at $path has no raw profile"))
+      .groupBy("grp", "bucket").agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") =!= 0)
+    (tp, rp)
+  }
+
+  /** Dense per-group serving ratios: group → the group's
+    * [[ratioArray]]. Driver-side by contract — `groups × buckets`
+    * longs, bounded by the `require` (8 MB at the cap), never
+    * corpus-sized. Groups present in EITHER profile get an array
+    * (the absent side is the uniform model, exactly as
+    * [[importanceScoreByGroup]] scores it).
+    */
+  def ratioMaps(
+      targetProfile: DataFrame,
+      rawProfile: DataFrame,
+      buckets: Int): Map[String, Array[Long]] = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] for the in-row serving form, got $buckets")
+    def grouped(df: DataFrame): Map[String, Array[(Int, Long)]] =
+      df.select("grp", "bucket", "cnt").collect()
+        .map { r =>
+          require(r.getLong(2) >= 0L,
+            s"ratioMaps: group ${r.getString(0)} bucket ${r.getLong(1)} has " +
+              s"negative count ${r.getLong(2)}")
+          (r.getString(0), (r.getLong(1).toInt, r.getLong(2)))
+        }
+        .groupBy(_._1).map { case (g, rows) => g -> rows.map(_._2) }
+    val tg = grouped(targetProfile)
+    val rg = grouped(rawProfile)
+    val groups = (tg.keySet ++ rg.keySet).toSeq.sorted
+    require(groups.size.toLong * buckets <= (1L << 20),
+      s"ratioMaps: ${groups.size} groups x $buckets buckets exceeds the " +
+        "2^20-entry in-row literal cap; use importanceScoreByGroup")
+    def grid(cnt: Long, total: Long): Long =
+      math.floor(math.log((cnt + 1.0) / (total + buckets.toDouble)) * 10000.0).toLong
+    groups.map { g =>
+      val trs = tg.getOrElse(g, Array.empty)
+      val qrs = rg.getOrElse(g, Array.empty)
+      val nt = trs.map(_._2).sum
+      val nq = qrs.map(_._2).sum
+      val base = grid(0L, nt) - grid(0L, nq)
+      val out = Array.fill(buckets)(base)
+      val tc = new Array[Long](buckets)
+      val qc = new Array[Long](buckets)
+      trs.foreach { case (b, c) => tc(b) = c }
+      qrs.foreach { case (b, c) => qc(b) = c }
+      var b = 0
+      while (b < buckets) {
+        if (tc(b) != 0L || qc(b) != 0L) out(b) = grid(tc(b), nt) - grid(qc(b), nq)
+        b += 1
+      }
+      g -> out
+    }.toMap
+  }
+
+  /** Load a per-group model's dense serving ratios + bucket count. */
+  def loadDsirRatioByGroup(
+      spark: SparkSession, path: String): (Map[String, Array[Long]], Int) = {
+    val b = dsirIndexBuckets(spark, path)
+    val (tp, rp) = dsirIndexProfilesByGroup(spark, path)
+    (ratioMaps(tp, rp, b), b)
+  }
+
+  /** In-row per-group scoring: the group→ratio map rides as ONE map
+    * literal, `element_at` picks the row's own group's array, and the
+    * gram aggregate is [[scoreInRow]]'s — no join, no shuffle, no
+    * state. A row whose group the model doesn't know gets a NULL
+    * `logw` (the map lookup misses), so gates FAIL CLOSED on novel
+    * groups — the difference from [[importanceScoreByGroup]]'s
+    * uniform-model scoring is deliberate: a gate must not pass a
+    * language it has no model for.
+    */
+  def scoreInRowByGroup(
+      text: Column, group: Column,
+      ratios: Map[String, Array[Long]], buckets: Int): Column = {
+    require(ratios.nonEmpty, "scoreInRowByGroup: empty ratio map")
+    ratios.foreach { case (g, a) =>
+      require(a.length == buckets,
+        s"scoreInRowByGroup: group $g ratio length ${a.length} != buckets $buckets")
+    }
+    val mapLit = typedLit(ratios.map { case (g, a) => g -> a.toSeq })
+    val arr = element_at(mapLit, group.cast("string"))
+    val grams = gramsArray(text)
+    val logw = aggregate(grams, lit(0L),
+      (acc, g) => acc + element_at(arr,
         (bucketOf(g, buckets) + lit(1L)).cast("int")))
     struct(size(grams).cast("long").as("n_ngrams"), logw.as("logw"))
   }

@@ -1085,6 +1085,39 @@ object SimilaritySearch {
     ivfSearch(probeCells(q, cents, nProbe), cells, k)
   }
 
+  /** "Retrain the centroids?" health signal completing the IVF index
+    * lifecycle: the exact grid cosine ([[Sketches.embeddingDrift]]'s
+    * 1e-7-grid integer machinery — both engines compare identical
+    * ints) between the index's QUANTIZED view of its live contents —
+    * each indexed vector represented by its assigned cell's centroid —
+    * and the live corpus's mean embedding. While the frozen centroids
+    * still summarize the data the chain carries, the quantized mean
+    * tracks the corpus mean and the cosine sits near 1; as appends
+    * drift the corpus away from the training distribution, assignment
+    * error accumulates in the quantized mean and the cosine falls —
+    * the signal that schedules a [[buildIvfIndex]] re-train. One
+    * broadcast join of the k-row centroid table against a
+    * column-pruned `(cell)` scan of the chain — the stored vectors
+    * themselves are never read on the index side. Returns one row
+    * `(n_a, n_b, cos_means)` = (live indexed vectors, live corpus
+    * rows, grid cosine of the mean vectors).
+    */
+  def ivfIndexDrift(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      live: DataFrame, vecCol: String): DataFrame = {
+    val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
+    val cents = spark.read.parquet(s"$vdir/centroids")
+      .select(col("cell"), col("centroid"))
+    val quantized = liveChain(spark, indexDir, "cells")
+      .select(col("cell"))
+      .join(broadcast(cents), "cell")
+      .select(col("centroid").as("__vec"))
+    Sketches.embeddingDrift(
+      quantized,
+      live.select(col(vecCol).cast("array<double>").as("__vec")),
+      "__vec")
+  }
+
   /** Row-local top-`nProbe` cells (cosine desc, cell-id tiebreak) over
     * the literal centroid array — [[probeCells]]' choice WITHOUT the
     * window, so it is usable on a STREAM (windows need state; a struct

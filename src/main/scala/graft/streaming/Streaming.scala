@@ -928,7 +928,8 @@ object Streaming {
       targetTextCol: String,
       buckets: Int,
       path: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dsir
     val sid = streamMarkerId(stream.sparkSession, checkpointDir)
     val step: (DataFrame, Long) => Unit = (batch, batchId) => {
@@ -941,7 +942,9 @@ object Streaming {
           Dsir.appendToDsirIndex(batch, textCol, path,
             marker = Some(s"b$batchId-$sid"))
         }
-        ()
+        maybeCompact(s, path, compactEvery) {
+          Dsir.compactDsirIndex(s, path)
+        }
       }
     }
     stream.writeStream
@@ -1549,6 +1552,38 @@ object Streaming {
       minAvgLogw: Double): DataFrame = {
     val (ratio, buckets) = graft.operators.Dsir.loadDsirRatio(spark, modelPath)
     dsirGate(stream, idCol, textCol, ratio, buckets, minAvgLogw)
+  }
+
+  /** [[dsirGate]] against a PER-GROUP model
+    * ([[graft.operators.Dsir.buildDsirIndexByGroup]]): each row is
+    * scored under its own group's (language's, source's) target/raw
+    * ratio — the group→array map rides as one literal, the lookup and
+    * gram aggregate run in the row ([[graft.operators.Dsir.scoreInRowByGroup]]),
+    * no join/agg/state. Rows whose group the model doesn't know get a
+    * null `logw` and FAIL CLOSED, as do zero-gram docs.
+    */
+  def dsirGateByGroup(
+      spark: SparkSession,
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      modelPath: String,
+      minAvgLogw: Double): DataFrame = {
+    val (ratios, buckets) =
+      graft.operators.Dsir.loadDsirRatioByGroup(spark, modelPath)
+    val sc = graft.operators.Dsir.scoreInRowByGroup(
+      col(textCol), col(groupCol), ratios, buckets)
+    val minGrid = math.round(minAvgLogw * 10000)
+    // Generate fence — one in-row aggregate per row (see lmGate)
+    stream
+      .withColumn("__ds", explode(array(sc)))
+      .filter(col("__ds.n_ngrams") > 0 && col("__ds.logw").isNotNull &&
+        floor(col("__ds.logw") * lit(1.0) / col("__ds.n_ngrams")).cast("long")
+          >= lit(minGrid))
+      .withColumn("n_ngrams", col("__ds.n_ngrams"))
+      .withColumn("logw", col("__ds.logw"))
+      .drop("__ds")
   }
 
   /** Streaming sequence packing: a `foreachBatch` sink whose carry-over

@@ -321,4 +321,38 @@ class AsOfJoinSuite extends SparkSpec {
         right, "v", "id", leftOn = Some("cts"), rightOn = Some("vts"))
     }
   }
+
+  test("interpolate: numeric axes (long exact-diff, double) and axis-type guard") {
+    // LONG axis (sensor position): same bracket semantics as the
+    // timestamp form, differences as exact longs
+    val right = Seq((100L, 10.0), (200L, 30.0), (500L, 90.0))
+      .toDF("pos", "v")
+    val left = Seq(
+      (1L, 150L),  // midpoint of 10..30 -> 20
+      (2L, 200L),  // exact hit -> 30
+      (3L, 425L),  // 3/4 of 30..90 -> 75
+      (4L, 50L),   // before first -> 10
+      (5L, 600L)   // after last -> 90
+    ).toDF("id", "lpos")
+    val out = AsOfJoin.interpolate(left, right, valueCol = "v",
+        leftId = "id", leftOn = Some("lpos"), rightOn = Some("pos"))
+      .select("id", "value_interp").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 20.0, 2L -> 30.0, 3L -> 75.0,
+      4L -> 10.0, 5L -> 90.0))
+    // DOUBLE axis: fractional positions interpolate too
+    val rightD = Seq((1.0, 10.0), (2.0, 30.0)).toDF("pos", "v")
+    val leftD = Seq((1L, 1.25)).toDF("id", "lpos")
+    val outD = AsOfJoin.interpolate(leftD, rightD, valueCol = "v",
+        leftId = "id", leftOn = Some("lpos"), rightOn = Some("pos"))
+      .select("value_interp").head.getDouble(0)
+    assert(outD == 15.0)
+    // a string axis cannot bracket-interpolate: rejected up front
+    val leftS = Seq((1L, "a")).toDF("id", "lpos")
+    val rightS = Seq(("a", 1.0)).toDF("pos", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.interpolate(leftS, rightS, valueCol = "v",
+        leftId = "id", leftOn = Some("lpos"), rightOn = Some("pos"))
+    }
+  }
 }

@@ -113,6 +113,121 @@ class DsirSuite extends SparkSpec {
       Dsir.ngramProfile(corpus, "text", B), B)))
   }
 
+  private lazy val gcorpus = Seq(
+    (1L, "en", "the cat sat on the mat"),
+    (2L, "en", "the dog ran in the park"),
+    (3L, "es", "el gato duerme en la casa"),
+    (4L, "es", "el perro corre en el parque"),
+    (5L, "en", "the cat ran to the park"),
+    (6L, "es", "la casa es grande")).toDF("doc_id", "lang", "text")
+
+  private lazy val gtarget = gcorpus.filter($"doc_id" % 2 === 1)
+
+  test("deleteFromDsirIndex: retraction == one-shot profile over the remainder") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_dsir_del_").toString
+    Dsir.buildDsirIndex(target, "text",
+      corpus.filter($"doc_id" % 3 === 0), "text", B, idx)
+    Dsir.appendToDsirIndex(corpus.filter($"doc_id" % 3 === 1), "text", idx)
+    Dsir.appendToDsirIndex(corpus.filter($"doc_id" % 3 === 2), "text", idx)
+    Dsir.deleteFromDsirIndex(corpus.filter($"doc_id" % 3 === 2), "text", idx)
+    val remaining = corpus.filter($"doc_id" % 3 =!= 2)
+    val remainder = Dsir.ngramProfile(remaining, "text", B)
+    val (tp, rp) = Dsir.dsirIndexProfiles(spark, idx)
+    // the negative-count segment subtracts the batch EXACTLY (zero-sum
+    // buckets dropped, so the chain sum IS the remainder's profile)
+    assertSameRows(rp.orderBy("bucket"), remainder.orderBy("bucket"))
+    assertSameRows(
+      Dsir.importanceScore(corpus, "doc_id", "text", tp, rp, B).orderBy("doc_id"),
+      Dsir.importanceScore(corpus, "doc_id", "text",
+        Dsir.ngramProfile(target, "text", B), remainder, B).orderBy("doc_id"))
+    // the dense serving form loads (all summed counts non-negative)
+    val (ratio, b) = Dsir.loadDsirRatio(spark, idx)
+    assert(b == B)
+    assert(ratio.sameElements(Dsir.ratioArray(
+      Dsir.ngramProfile(target, "text", B), remainder, B)))
+    // chain-collapse across the retraction boundary: serving identical
+    Dsir.compactDsirIndex(spark, idx)
+    assert(graft.sources.IndexIO.segments(spark, idx).length == 1)
+    val (_, rp2) = Dsir.dsirIndexProfiles(spark, idx)
+    assertSameRows(rp2.orderBy("bucket"), remainder.orderBy("bucket"))
+    assert(Dsir.loadDsirRatio(spark, idx)._1.sameElements(ratio))
+    // compacting an already-single-segment chain is a no-op
+    val v = graft.sources.IndexIO.resolve(spark, idx)
+    Dsir.compactDsirIndex(spark, idx)
+    assert(graft.sources.IndexIO.resolve(spark, idx) == v)
+  }
+
+  test("retracting never-appended data fails loudly at load and compact") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_dsir_neg_").toString
+    Dsir.buildDsirIndex(target, "text", target, "text", B, idx)
+    // doc 4's grams were never in the raw chain: counts go negative
+    Dsir.deleteFromDsirIndex(corpus.filter($"doc_id" === 4L), "text", idx)
+    intercept[IllegalArgumentException] { Dsir.loadDsirRatio(spark, idx) }
+    intercept[IllegalArgumentException] { Dsir.compactDsirIndex(spark, idx) }
+  }
+
+  test("importanceScoreByGroup == the ungrouped scorer run per group") {
+    val tp = Dsir.ngramProfileByGroup(gtarget, "text", "lang", B)
+    val rp = Dsir.ngramProfileByGroup(gcorpus, "text", "lang", B)
+    val grouped = Dsir.importanceScoreByGroup(
+      gcorpus, "doc_id", "text", "lang", tp, rp, B)
+    for (g <- Seq("en", "es")) {
+      val solo = Dsir.importanceScore(
+        gcorpus.filter($"lang" === g), "doc_id", "text",
+        Dsir.ngramProfile(gtarget.filter($"lang" === g), "text", B),
+        Dsir.ngramProfile(gcorpus.filter($"lang" === g), "text", B), B)
+      assertSameRows(
+        solo.orderBy("doc_id"),
+        grouped.filter($"lang" === g)
+          .select("doc_id", "n_ngrams", "logw").orderBy("doc_id"))
+    }
+  }
+
+  test("scoreInRowByGroup == importanceScoreByGroup; unknown group fails closed") {
+    val tp = Dsir.ngramProfileByGroup(gtarget, "text", "lang", B)
+    val rp = Dsir.ngramProfileByGroup(gcorpus, "text", "lang", B)
+    val ratios = Dsir.ratioMaps(tp, rp, B)
+    assert(ratios.keySet == Set("en", "es"))
+    val inRow = gcorpus
+      .select($"doc_id", $"lang",
+        Dsir.scoreInRowByGroup($"text", $"lang", ratios, B).as("s"))
+      .select($"doc_id", $"lang",
+        $"s.n_ngrams".as("n_ngrams"), $"s.logw".as("logw"))
+    assertSameRows(
+      Dsir.importanceScoreByGroup(gcorpus, "doc_id", "text", "lang", tp, rp, B)
+        .orderBy("doc_id"),
+      inRow.orderBy("doc_id"))
+    // a group the model doesn't know: null logw, n_ngrams still counted
+    val unk = Seq(("fr", "bonjour le monde")).toDF("lang", "text")
+      .select(Dsir.scoreInRowByGroup($"text", $"lang", ratios, B).as("s"))
+      .select($"s.n_ngrams", $"s.logw").head
+    assert(unk.getLong(0) == 5L && unk.isNullAt(1))
+  }
+
+  test("per-group persisted model: build + append round-trips the profiles") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_dsir_grp_").toString
+    Dsir.buildDsirIndexByGroup(gtarget, "text", "lang",
+      gcorpus.filter($"doc_id" <= 3), "text", "lang", B, idx)
+    Dsir.appendToDsirIndexByGroup(
+      gcorpus.filter($"doc_id" > 3), "text", "lang", idx)
+    val (tp, rp) = Dsir.dsirIndexProfilesByGroup(spark, idx)
+    assertSameRows(
+      tp.orderBy("grp", "bucket"),
+      Dsir.ngramProfileByGroup(gtarget, "text", "lang", B)
+        .orderBy("grp", "bucket"))
+    assertSameRows(
+      rp.orderBy("grp", "bucket"),
+      Dsir.ngramProfileByGroup(gcorpus, "text", "lang", B)
+        .orderBy("grp", "bucket"))
+    val (ratios, b) = Dsir.loadDsirRatioByGroup(spark, idx)
+    assert(b == B)
+    val direct = Dsir.ratioMaps(
+      Dsir.ngramProfileByGroup(gtarget, "text", "lang", B),
+      Dsir.ngramProfileByGroup(gcorpus, "text", "lang", B), B)
+    assert(ratios.keySet == direct.keySet &&
+      ratios.forall { case (g, a) => direct(g).sameElements(a) })
+  }
+
   test("ratioArray: bounds guard and smoothed floor for empty buckets") {
     intercept[IllegalArgumentException] {
       Dsir.ratioArray(Dsir.ngramProfile(target, "text", B),

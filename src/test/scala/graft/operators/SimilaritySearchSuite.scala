@@ -393,6 +393,38 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(again == fromIndex)
   }
 
+  test("ivfIndexDrift: quantized mean tracks the corpus; falls on shift; tombstones excluded") {
+    val rnd = new scala.util.Random(53)
+    val centers = Seq(
+      Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0),
+      Array(0, 0, 10.0, 0), Array(0, 0, 0, 10.0))
+    val vecs = (0 until 120).map { i =>
+      (i, centers(i % 4).map(_ + rnd.nextGaussian() * 0.5))
+    }.toDF("id", "emb")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    SimilaritySearch.buildIvfIndex(vecs, "id", "emb", dir,
+      nCentroids = 4, iters = 4)
+    // live == training corpus: k-means centroids are cell MEANS, so the
+    // quantized mean sits on the corpus mean and the grid cosine is ~1
+    val self = SimilaritySearch.ivfIndexDrift(spark, dir, vecs, "emb").head
+    assert(self.getLong(0) == 120L && self.getLong(1) == 120L)
+    assert(self.getDouble(2) > 0.999, s"self drift ${self.getDouble(2)}")
+    // the live corpus grows a direction the frozen centroids never saw:
+    // the signal must fall — this is the "retrain?" alarm firing
+    val drifted = vecs.unionByName(
+      (200 until 320).map(i => (i, Array(-10.0, -10.0, 0.0, 0.0)))
+        .toDF("id", "emb"))
+    val moved = SimilaritySearch.ivfIndexDrift(spark, dir, drifted, "emb").head
+    assert(moved.getLong(1) == 240L)
+    assert(moved.getDouble(2) < 0.9 && moved.getDouble(2) < self.getDouble(2),
+      s"drifted corpus must pull the cosine down: ${moved.getDouble(2)}")
+    // tombstoned vectors leave the quantized side of the signal
+    SimilaritySearch.deleteFromAnnIndex(spark, dir,
+      (0 until 30).toDF("id"), "id")
+    val afterDel = SimilaritySearch.ivfIndexDrift(spark, dir, vecs, "emb").head
+    assert(afterDel.getLong(0) == 90L)
+  }
+
   test("appended IVF index: chain holds every vector; probe-all search is EXACT") {
     val rnd = new scala.util.Random(47)
     val centers = Seq(

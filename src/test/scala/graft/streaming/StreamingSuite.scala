@@ -1186,6 +1186,94 @@ class StreamingSuite extends SparkSpec {
         .orderBy("doc_id"))
   }
 
+  test("maintainDsirIndex: compactEvery collapses in-stream; markers + retraction survive") {
+    import graft.operators.Dsir
+    implicit val sqlCtx = spark.sqlContext
+    val B = 128
+    val docs = (0L until 24L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} common word")).toDF("doc_id", "text")
+    val target = docs.filter($"doc_id" % 4 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_dsir_cmp_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsir_cmpck_").toString
+    val input = MemoryStream[(Long, String)]
+    // compactEvery = 2: each append that grows the chain to 2 segments
+    // collapses it — the stream crosses two compact boundaries
+    val q = Streaming.maintainDsirIndex(
+      input.toDF().toDF("doc_id", "text"), "text",
+      target, "text", B, idx, ckpt, compactEvery = 2)
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      rows.grouped(8).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    assert(graft.sources.IndexIO.segments(spark, idx).length == 1,
+      "compactEvery must have collapsed the chain")
+    // compaction is a full publish: all three applied-batch markers carried
+    val markers = graft.sources.IndexIO.segmentMarkers(spark, idx)
+    assert(markers.size == 3 &&
+      Seq("b0-", "b1-", "b2-").forall(p => markers.exists(_.startsWith(p))),
+      s"unexpected markers $markers")
+    // serving across the compacts == the one-shot profile
+    val (tp, rp) = Dsir.dsirIndexProfiles(spark, idx)
+    assertSameRows(
+      Dsir.importanceScore(docs, "doc_id", "text", tp, rp, B).orderBy("doc_id"),
+      Dsir.importanceScoreAgainst(docs, "doc_id", "text", target, "text", B)
+        .orderBy("doc_id"))
+    // a replayed batch is recognized THROUGH the compacts and skipped
+    val v0 = graft.sources.IndexIO.resolve(spark, idx)
+    val b1 = markers.find(_.startsWith("b1-")).get
+    val applied = Streaming.applyIndexBatch(spark, idx, b1) {
+      fail("bootstrap must not run on an existing index")
+    } {
+      Dsir.appendToDsirIndex(docs.limit(8), "text", idx)
+    }
+    assert(!applied)
+    assert(graft.sources.IndexIO.resolve(spark, idx) == v0)
+    // a takedown interleaves with the maintained chain: retract the last
+    // batch, serve the remainder's profile, compact again — unchanged
+    Dsir.deleteFromDsirIndex(docs.filter($"doc_id" >= 16L), "text", idx)
+    val remaining = docs.filter($"doc_id" < 16L)
+    val (_, rpDel) = Dsir.dsirIndexProfiles(spark, idx)
+    assertSameRows(rpDel.orderBy("bucket"),
+      Dsir.ngramProfile(remaining, "text", B).orderBy("bucket"))
+    Dsir.compactDsirIndex(spark, idx)
+    val (_, rpCmp) = Dsir.dsirIndexProfiles(spark, idx)
+    assertSameRows(rpCmp.orderBy("bucket"),
+      Dsir.ngramProfile(remaining, "text", B).orderBy("bucket"))
+    assert(graft.sources.IndexIO.segmentMarkers(spark, idx) == markers,
+      "the standalone compact must carry the markers too")
+  }
+
+  test("dsirGateByGroup: stateless per-group gate runs on a real stream") {
+    import graft.operators.Dsir
+    implicit val sqlCtx = spark.sqlContext
+    val B = 128
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma alpha"),
+      (2L, "en", "alpha beta delta"),
+      (3L, "es", "uno dos tres uno"),
+      (4L, "es", "uno dos cuatro"),
+      (5L, "fr", "je ne sais pas")).toDF("doc_id", "lang", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_dsir_ggate_").toString
+    Dsir.buildDsirIndexByGroup(docs.filter($"doc_id" % 2 === 1 && $"lang" =!= "fr"),
+      "text", "lang", docs.filter($"lang" =!= "fr"), "text", "lang", B, idx)
+    val input = MemoryStream[(Long, String, String)]
+    val gated = Streaming.dsirGateByGroup(spark,
+      input.toDF().toDF("doc_id", "lang", "text"),
+      "doc_id", "text", "lang", idx, minAvgLogw = -10.0)
+    assert(gated.isStreaming)
+    val q = gated.select("doc_id").writeStream
+      .format("memory").queryName("dsir_ggate_test").outputMode("append").start()
+    try {
+      input.addData(docs.collect().toSeq.map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))))
+      q.processAllAvailable()
+      val kept = spark.table("dsir_ggate_test").collect().map(_.getLong(0)).toSet
+      // en/es rows pass the permissive cut; the fr row's group is
+      // unknown to the model and FAILS CLOSED
+      assert(kept == Set(1L, 2L, 3L, 4L), s"kept $kept")
+    } finally q.stop()
+  }
+
   test("dedupAgainstIvfIndex streams: in-row cell choice, stateless append") {
     import graft.operators.SimilaritySearch
     implicit val sqlCtx = spark.sqlContext
