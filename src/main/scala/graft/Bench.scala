@@ -36,6 +36,8 @@ object Bench {
     "dsir_score", "dsir_resample", "stream_dsir_gate",
     "dsir_score_appended", "dsir_source_report",
     "dsir_score_deleted", "dsir_score_by_lang", "stream_dsir_gate_by_lang",
+    "dsir_resample_by_lang", "dsir_score_by_lang_deleted",
+    "stream_maintained_dsir_by_lang",
     "lang_id_nb_priors", "strip_source_boilerplate",
     "stream_strip_boilerplate",
     "stream_lang_gate", "shard_by_tokens", "shard_write_roundtrip",
@@ -123,7 +125,8 @@ object Bench {
         "hybrid_search_rrf_both_indexed", "mine_hard_negatives_index",
         "stream_hybrid_decontaminate",
         "stream_dsir_gate", "dsir_score_appended",
-        "dsir_score_deleted", "stream_dsir_gate_by_lang", "ann_index_drift")
+        "dsir_score_deleted", "stream_dsir_gate_by_lang", "ann_index_drift",
+        "dsir_score_by_lang_deleted")
       .filter(SparkEntry.queries.contains)
       .foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).count()

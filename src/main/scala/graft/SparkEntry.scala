@@ -2851,6 +2851,79 @@ object SparkEntry {
         Dsir.ngramProfileByGroup(d, "text", "lang", 4096),
         buckets = 4096)
     }),
+    "dsir_resample_by_lang" -> ((s, dir) => {
+      // STRATIFIED selection: Gumbel-top-10 per language over the
+      // per-group importance weights — "the 10 best-fitting docs per
+      // language", the majority language can never crowd out the rest.
+      // Same deterministic md5-fraction Gumbel noise as dsir_resample;
+      // the per-group top-k plans as a rank-filtered window
+      // (WindowGroupLimit group heaps), never a global sort.
+      val d = t(s, dir, "documents")
+      val target = d.filter(col("doc_id") % 5 === 0)
+      val sc = Dsir.importanceScoreByGroup(d, "doc_id", "text", "lang",
+        Dsir.ngramProfileByGroup(target, "text", "lang", 4096),
+        Dsir.ngramProfileByGroup(d, "text", "lang", 4096),
+        buckets = 4096)
+      Dsir.resampleTopKPerGroup(sc, "doc_id", "lang", k = 10)
+    }),
+    "dsir_score_by_lang_deleted" -> ((s, dir) => {
+      // the per-group takedown + collapse lifecycle: grouped build +
+      // two grouped appends cover the corpus, the %3==2 batch is
+      // appended AND retracted (one negative-count grouped segment),
+      // then the chain compacts (the schema-branching compact) —
+      // scoring must equal the per-group one-shot profile over the
+      // remaining two thirds, which the oracle computes directly.
+      val d = t(s, dir, "documents")
+      val target = d.filter(col("doc_id") % 5 === 0)
+      val idx = scratch("dsir_bylang_del_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx)) {
+        Dsir.buildDsirIndexByGroup(target, "text", "lang",
+          d.filter(col("doc_id") % 3 === 0), "text", "lang",
+          buckets = 4096, idx)
+        Dsir.appendToDsirIndexByGroup(
+          d.filter(col("doc_id") % 3 === 1), "text", "lang", idx)
+        Dsir.appendToDsirIndexByGroup(
+          d.filter(col("doc_id") % 3 === 2), "text", "lang", idx)
+        Dsir.deleteFromDsirIndexByGroup(
+          d.filter(col("doc_id") % 3 === 2), "text", "lang", idx)
+        Dsir.compactDsirIndex(s, idx)
+      }
+      val (tp, rp) = Dsir.dsirIndexProfilesByGroup(s, idx)
+      Dsir.importanceScoreByGroup(d, "doc_id", "text", "lang", tp, rp,
+        buckets = 4096)
+    }),
+    "stream_maintained_dsir_by_lang" -> ((s, dir) => {
+      // the live-crawl WRITE path for the per-language model: a real
+      // streaming query maintains the grouped profile chain
+      // (Streaming.maintainDsirIndexByGroup — first micro-batch fits
+      // the fixed per-lang target + bootstraps, later batches append
+      // grouped additive segments, exactly-once batch markers), then
+      // scoring reads the stream-built chain. Must equal the one-shot
+      // per-group profile: dsir_score_by_lang's oracle verbatim.
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val d = t(s, dir, "documents")
+      val rows = d.select("doc_id", "lang", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"dsir_gmaint_$token", dir)
+      val ckpt = scratch(s"dsir_gmaint_ck_$token", dir)
+      implicit val sqlCtx = s.sqlContext
+      val input = MemoryStream[(Long, String, String)]
+      val q = Streaming.maintainDsirIndexByGroup(
+        input.toDF().toDF("doc_id", "lang", "text"), "text", "lang",
+        d.filter(col("doc_id") % 5 === 0), "text", "lang",
+        buckets = 4096, idx, ckpt)
+      try {
+        rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { b =>
+          input.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val (tp, rp) = Dsir.dsirIndexProfilesByGroup(s, idx)
+      Dsir.importanceScoreByGroup(d, "doc_id", "text", "lang", tp, rp,
+        buckets = 4096)
+    }),
     "stream_pack_sequences" -> ((s, dir) => {
       // the live ingest pipeline ENDING IN PACKING: gate → token count
       // → incremental greedy packing whose open-bin carry state
@@ -6892,6 +6965,30 @@ object SparkEntry {
       // under its own language's multinomials
       "dsir_score_by_lang" -> (dsirByLangCore +
         "\nSELECT doc_id, lang, n_ngrams, logw FROM sc"),
+      // grouped build/append/retract/compact chain must serve the
+      // per-group one-shot profile over the REMAINING corpus
+      "dsir_score_by_lang_deleted" -> (dsirByLangCore.replace(
+        "rp AS (SELECT lang, b, count(*) AS cq FROM gbl GROUP BY 1, 2),",
+        "rp AS (SELECT lang, b, count(*) AS cq FROM gbl WHERE doc_id % 3 <> 2 GROUP BY 1, 2),") +
+        "\nSELECT doc_id, lang, n_ngrams, logw FROM sc"),
+      // stream-maintained grouped chain == one-shot per-group profile:
+      // dsir_score_by_lang verbatim
+      "stream_maintained_dsir_by_lang" -> (dsirByLangCore +
+        "\nSELECT doc_id, lang, n_ngrams, logw FROM sc"),
+      // stratified Gumbel-top-10 per language: the same md5-fraction
+      // noise key, per-lang row_number on (gumbel_key desc, doc_id)
+      "dsir_resample_by_lang" -> (dsirByLangCore +
+        """,
+          |k AS (SELECT doc_id, lang, n_ngrams, logw,
+          |  logw + CAST(floor(-ln(-ln(
+          |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          |      + 0.5) / 4294967296.0)) * 10000.0) AS BIGINT) AS gumbel_key
+          |  FROM sc)
+          |SELECT doc_id, lang, n_ngrams, logw, gumbel_key FROM (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY lang ORDER BY gumbel_key DESC, doc_id ASC) AS rk
+          |  FROM k)
+          |WHERE rk <= 10""".stripMargin),
       // the per-language gate: same per-group scores, the in-row map
       // lookup must reproduce them exactly; floor(logw/n) >= -5430 cut
       "stream_dsir_gate_by_lang" -> (dsirByLangCore +

@@ -292,16 +292,22 @@ object Dsir {
     * buys is chain LISTING cost (segment count, not data volume — the
     * profile is ≤ `buckets` rows regardless), so the maintainers run
     * it on a segment-count cadence. Fails loudly on a negative summed
-    * bucket (retraction of never-appended data).
+    * bucket (retraction of never-appended data). Handles BOTH artifact
+    * layouts — ungrouped ([[buildDsirIndex]]) and per-group
+    * ([[buildDsirIndexByGroup]]), branching on the stored schema.
     */
   def compactDsirIndex(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
     if (graft.sources.IndexIO.segments(spark, path).length <= 1) return
     val b = dsirIndexBuckets(spark, path)
-    val (tp, rp) = dsirIndexProfiles(spark, path)
+    val grouped = graft.sources.IndexIO.chainTable(spark, path, "raw")
+      .exists(_.columns.contains("grp"))
+    val (tp, rp) =
+      if (grouped) dsirIndexProfilesByGroup(spark, path)
+      else dsirIndexProfiles(spark, path)
     val neg = rp.filter(col("cnt") < 0).limit(1).collect()
     require(neg.isEmpty,
-      s"compactDsirIndex: bucket ${neg.headOption.map(_.getLong(0))} has a " +
+      s"compactDsirIndex: bucket ${neg.headOption.map(_.toString)} has a " +
         s"negative summed count at $path — a retraction removed data the " +
         "model never saw; rebuild from the true corpus")
     graft.sources.IndexIO.publish(spark, path) { nv =>
@@ -478,6 +484,55 @@ object Dsir {
         .coalesce(1).write.mode("overwrite").parquet(s"$seg/meta")
     }
     ()
+  }
+
+  /** [[deleteFromDsirIndex]] for the per-group artifact: the retracted
+    * batch's GROUPED profile negated into one segment — counts are
+    * additive within each `(grp, bucket)`, so the chain sum is exactly
+    * the remaining corpus's per-group profile. Same contract and same
+    * loud-failure guarantees as the ungrouped form.
+    */
+  def deleteFromDsirIndexByGroup(
+      deletedRaw: DataFrame, textCol: String, groupCol: String, path: String,
+      marker: Option[String] = None): Unit = {
+    val spark = deletedRaw.sparkSession
+    import spark.implicits._
+    val b = dsirIndexBuckets(spark, path)
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
+      ngramProfileByGroup(deletedRaw, textCol, groupCol, b)
+        .select(col("grp"), col("bucket"), (-col("cnt")).as("cnt"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$seg/raw")
+      Seq(Tuple1(b)).toDF("buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/meta")
+    }
+    ()
+  }
+
+  /** Stratified Gumbel-top-k: `k` docs WITHOUT replacement PER GROUP
+    * (the multilingual selection step — "pick the 400 best-fitting
+    * docs per language", never letting the majority language crowd out
+    * the rest). The same deterministic md5-fraction Gumbel noise as
+    * [[resampleTopK]]; the per-group top-k is a rank-filtered window,
+    * which Spark plans as WindowGroupLimit — per-partition group heaps,
+    * no global sort. Returns the input columns + `gumbel_key`.
+    */
+  def resampleTopKPerGroup(
+      scored: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      logwCol: String = "logw"): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val g = floor(-log(-log(u)) * lit(10000.0)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+    scored.withColumn("gumbel_key", col(logwCol) + g)
+      .withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= k)
+      .drop("__graft_rk")
   }
 
   /** The per-group model's target / summed-raw-chain profiles —

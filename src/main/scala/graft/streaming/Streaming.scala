@@ -953,6 +953,50 @@ object Streaming {
       .start()
   }
 
+  /** [[maintainDsirIndex]] for the PER-GROUP artifact
+    * ([[graft.operators.Dsir.buildDsirIndexByGroup]]): the first
+    * non-empty micro-batch fits the fixed per-group target profile and
+    * bootstraps, later batches append their own grouped additive
+    * profile segments; exactly-once via [[applyIndexBatch]] markers,
+    * `compactEvery` collapses the chain in-stream (the grouped compact
+    * is the same [[graft.operators.Dsir.compactDsirIndex]] — it
+    * branches on the stored schema).
+    */
+  def maintainDsirIndexByGroup(
+      stream: DataFrame,
+      textCol: String,
+      groupCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      targetGroupCol: String,
+      buckets: Int,
+      path: String,
+      checkpointDir: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dsir
+    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      if (!batch.isEmpty) {
+        applyIndexBatch(s, path, s"b$batchId-$sid") {
+          Dsir.buildDsirIndexByGroup(target, targetTextCol, targetGroupCol,
+            batch, textCol, groupCol, buckets, path,
+            marker = Some(s"b$batchId-$sid"))
+        } {
+          Dsir.appendToDsirIndexByGroup(batch, textCol, groupCol, path,
+            marker = Some(s"b$batchId-$sid"))
+        }
+        maybeCompact(s, path, compactEvery) {
+          Dsir.compactDsirIndex(s, path)
+        }
+      }
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** [[maintainBm25Index]] for the UNIFIED lexical artifact
     * ([[graft.operators.Search.buildLexicalIndex]] — postings carry tf
     * AND positions): one stream maintains the single artifact that

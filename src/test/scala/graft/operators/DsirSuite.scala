@@ -228,6 +228,72 @@ class DsirSuite extends SparkSpec {
       ratios.forall { case (g, a) => direct(g).sameElements(a) })
   }
 
+  test("per-group retraction + schema-branching compact == per-group remainder") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_dsir_gdel_").toString
+    Dsir.buildDsirIndexByGroup(gtarget, "text", "lang",
+      gcorpus.filter($"doc_id" % 3 === 0), "text", "lang", B, idx)
+    Dsir.appendToDsirIndexByGroup(
+      gcorpus.filter($"doc_id" % 3 === 1), "text", "lang", idx)
+    Dsir.appendToDsirIndexByGroup(
+      gcorpus.filter($"doc_id" % 3 === 2), "text", "lang", idx)
+    Dsir.deleteFromDsirIndexByGroup(
+      gcorpus.filter($"doc_id" % 3 === 2), "text", "lang", idx)
+    val remaining = gcorpus.filter($"doc_id" % 3 =!= 2)
+    val remainder = Dsir.ngramProfileByGroup(remaining, "text", "lang", B)
+    val (_, rp) = Dsir.dsirIndexProfilesByGroup(spark, idx)
+    assertSameRows(rp.orderBy("grp", "bucket"),
+      remainder.orderBy("grp", "bucket"))
+    // compactDsirIndex branches on the stored schema: the grouped
+    // chain collapses to one segment with identical profiles
+    Dsir.compactDsirIndex(spark, idx)
+    assert(graft.sources.IndexIO.segments(spark, idx).length == 1)
+    val (tp2, rp2) = Dsir.dsirIndexProfilesByGroup(spark, idx)
+    assertSameRows(rp2.orderBy("grp", "bucket"),
+      remainder.orderBy("grp", "bucket"))
+    assertSameRows(tp2.orderBy("grp", "bucket"),
+      Dsir.ngramProfileByGroup(gtarget, "text", "lang", B)
+        .orderBy("grp", "bucket"))
+    // the in-row serving maps load across the compact (non-negative)
+    val (ratios, b) = Dsir.loadDsirRatioByGroup(spark, idx)
+    assert(b == B && ratios.keySet == Set("en", "es"))
+  }
+
+  test("resampleTopKPerGroup: k per group, deterministic, exact gumbel keys") {
+    val tp = Dsir.ngramProfileByGroup(gtarget, "text", "lang", B)
+    val rp = Dsir.ngramProfileByGroup(gcorpus, "text", "lang", B)
+    val sc = Dsir.importanceScoreByGroup(
+      gcorpus, "doc_id", "text", "lang", tp, rp, B)
+    val r1 = Dsir.resampleTopKPerGroup(sc, "doc_id", "lang", k = 2)
+    val r2 = Dsir.resampleTopKPerGroup(sc, "doc_id", "lang", k = 2)
+    assertSameRows(r1, r2)
+    val perLang = r1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang == Map("en" -> 2L, "es" -> 2L), s"got $perLang")
+    assert(r1.columns.toSeq ==
+      Seq("doc_id", "lang", "n_ngrams", "logw", "gumbel_key"))
+    // the key is the doc's logw + its deterministic md5-fraction Gumbel
+    val row = r1.orderBy("doc_id").head
+    val id = row.getLong(0)
+    val u = (java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        id.toString).substring(0, 8), 16).toDouble + 0.5) / 4294967296.0
+    val g = math.floor(-math.log(-math.log(u)) * 10000.0).toLong
+    assert(row.getLong(4) == row.getLong(3) + g)
+    // per-group winners match a manual replay over the full scores
+    val manual = sc.collect().map { r =>
+      val did = r.getLong(0)
+      val uu = (java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          did.toString).substring(0, 8), 16).toDouble + 0.5) / 4294967296.0
+      val gg = math.floor(-math.log(-math.log(uu)) * 10000.0).toLong
+      (r.getString(1), did, r.getLong(3) + gg)
+    }.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(2).toSeq
+    }.map(r => (r._1, r._2)).toSet
+    assert(r1.select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == manual)
+  }
+
   test("ratioArray: bounds guard and smoothed floor for empty buckets") {
     intercept[IllegalArgumentException] {
       Dsir.ratioArray(Dsir.ngramProfile(target, "text", B),

@@ -1243,6 +1243,54 @@ class StreamingSuite extends SparkSpec {
       "the standalone compact must carry the markers too")
   }
 
+  test("maintainDsirIndexByGroup: grouped chain == one-shot; compactEvery; markers") {
+    import graft.operators.Dsir
+    implicit val sqlCtx = spark.sqlContext
+    val B = 128
+    val docs = (0L until 24L).map(i =>
+      (i, if (i % 2 == 0) "en" else "es",
+        s"tok${i % 7} tok${i % 5} tok${i % 3} common word"))
+      .toDF("doc_id", "lang", "text")
+    val target = docs.filter($"doc_id" % 4 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_dsir_gm_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsir_gmck_").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streaming.maintainDsirIndexByGroup(
+      input.toDF().toDF("doc_id", "lang", "text"), "text", "lang",
+      target, "text", "lang", B, idx, ckpt, compactEvery = 2)
+    try {
+      val rows = docs.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1)
+      rows.grouped(8).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    assert(graft.sources.IndexIO.segments(spark, idx).length == 1,
+      "compactEvery must have collapsed the grouped chain")
+    val markers = graft.sources.IndexIO.segmentMarkers(spark, idx)
+    assert(markers.size == 3 &&
+      Seq("b0-", "b1-", "b2-").forall(p => markers.exists(_.startsWith(p))),
+      s"unexpected markers $markers")
+    // stream-built grouped chain serves the one-shot per-group scores
+    val (tp, rp) = Dsir.dsirIndexProfilesByGroup(spark, idx)
+    assertSameRows(
+      Dsir.importanceScoreByGroup(docs, "doc_id", "text", "lang", tp, rp, B)
+        .orderBy("doc_id"),
+      Dsir.importanceScoreByGroup(docs, "doc_id", "text", "lang",
+        Dsir.ngramProfileByGroup(target, "text", "lang", B),
+        Dsir.ngramProfileByGroup(docs, "text", "lang", B), B)
+        .orderBy("doc_id"))
+    // a replayed batch is recognized through the compacts and skipped
+    val v0 = graft.sources.IndexIO.resolve(spark, idx)
+    val b1 = markers.find(_.startsWith("b1-")).get
+    val applied = Streaming.applyIndexBatch(spark, idx, b1) {
+      fail("bootstrap must not run on an existing index")
+    } {
+      Dsir.appendToDsirIndexByGroup(docs.limit(8), "text", "lang", idx)
+    }
+    assert(!applied)
+    assert(graft.sources.IndexIO.resolve(spark, idx) == v0)
+  }
+
   test("dsirGateByGroup: stateless per-group gate runs on a real stream") {
     import graft.operators.Dsir
     implicit val sqlCtx = spark.sqlContext
