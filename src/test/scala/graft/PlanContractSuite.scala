@@ -130,6 +130,26 @@ class PlanContractSuite extends SparkSpec {
     ("stream_dsir_gate", Seq.empty,
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
         "Exchange SinglePartition", "Join", "HashAggregate")),
+    // the per-group gate keeps the same stateless shape: the
+    // group→array MAP rides as one literal, the lookup is element_at
+    // in the row — a join/agg means the map serving regressed to the
+    // grouped batch scorer
+    ("stream_dsir_gate_by_lang", Seq.empty,
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition", "Join", "HashAggregate")),
+    // grouped scoring: the per-group profiles broadcast onto the gram
+    // stream exactly like the ungrouped scorer (joined on (grp,
+    // bucket)); a sort-merge/shuffled join there shuffles the
+    // corpus-sized gram relation by Zipfian keys
+    ("dsir_score_by_lang", Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+        "BroadcastNestedLoopJoin")),
+    // stratified resampling: the per-group top-k must plan as
+    // WindowGroupLimit group heaps, never a global sort of the scored
+    // corpus (no TakeOrderedAndProject here — the limit is per group)
+    ("dsir_resample_by_lang", Seq("WindowGroupLimit", "BroadcastHashJoin"),
+      Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+        "Exchange SinglePartition")),
     // the whole web-ingest path (extract -> scrub -> NB gate -> chunk)
     // is scan projections + one in-row kernel: ANY exchange or join
     // means a stage regressed out of the stateless stream-safe shape
