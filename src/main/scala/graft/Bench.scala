@@ -61,7 +61,8 @@ object Bench {
     "bm25_search_merged", "phrase_search_deleted", "asof_interpolate_by",
     "ann_topk_ivf_sq8_appended", "stream_maintained_bm25",
     "stream_maintained_dsir", "stream_maintained_ann",
-    "stream_maintained_ahash",
+    "stream_maintained_ahash", "stream_maintained_phash",
+    "stream_maintained_audiofp", "stream_maintained_scenes",
     "phrase_search", "phrase_search_indexed", "phrase_search_batch", "phrase_search_batch_indexed", "phrase_snippets",
     "phrase_search_appended",
     "hybrid_search_rrf", "hybrid_search_rrf_indexed",

@@ -115,6 +115,49 @@ object SparkEntry {
     buf.toByteArray
   }
 
+  /** The nine pHash-gate payloads: three geometric patterns
+    * (diagonal / circle / wedge) × (64² original, 96² re-render,
+    * 4px-cropped 56²) — index = pattern * 3 + variant. Same
+    * construction as the inline renders of the batch pHash gates;
+    * margins pinned by tools/PHashProbe (same-pattern ≤15 bits,
+    * cross ≥22).
+    */
+  private lazy val phashPayloads: IndexedSeq[Array[Byte]] = {
+    def render(kind: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val fx = x.toDouble / w
+        val fy = y.toDouble / h
+        val bright = kind match {
+          case 1 => fx > fy
+          case 2 => (fx - 0.5) * (fx - 0.5) + (fy - 0.5) * (fy - 0.5) < 0.09
+          case _ => fx + fy < 0.7
+        }
+        val v = if (bright) 210 else 45
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    (for (kind <- Seq(1, 2, 4); v <- 0 until 3) yield v match {
+      case 0 => png(render(kind, 64, 64))
+      case 1 => png(render(kind, 96, 96))
+      case _ =>
+        val base = render(kind, 64, 64)
+        val sub = base.getSubimage(4, 4, 56, 56)
+        val out = new java.awt.image.BufferedImage(
+          56, 56, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(sub, 0, 0, null) finally g.dispose()
+        png(out)
+    }).toIndexedSeq
+  }
+
   /** The three 64² scene-gate patterns (diagonal / circle / corner
     * wedge — the pHash-margin shapes: same pattern hashes identically
     * here, distinct patterns sit ≥22 bits apart).
@@ -1739,6 +1782,113 @@ object SparkEntry {
       Multimodal.dedupAgainstAHashIndex(s, probes, "doc_id", "payload", idx,
           maxHamming = 0)
         .select(col("doc_id"), col("index_id"))
+    }),
+    "stream_maintained_phash" -> ((s, dir) => {
+      // the crop/rescale-robust crawl loop: maintainPHashIndex hashes
+      // each micro-batch's images ONCE (DCT pHash) and appends them as
+      // immutable segments with exactly-once markers; the odd docs'
+      // own geometric variants then probe the stream-built chain at
+      // radius 16 — matches ≡ the same-pattern (odd, even) pairs:
+      // multimodal_image_dedup_phash_indexed's oracle verbatim.
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val d = t(s, dir, "documents").select("doc_id")
+      val evenRows = d.filter(col("doc_id") % 2 === 0)
+        .collect().map(_.getLong(0)).sorted
+        .map(id => (id, phashPayloads((id % 9).toInt)))
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"phash_maint_$token", dir)
+      val ckpt = scratch(s"phash_maint_ck_$token", dir)
+      implicit val sqlCtx = s.sqlContext
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = Streaming.maintainPHashIndex(
+        input.toDF().toDF("doc_id", "payload"), "doc_id", "payload", idx, ckpt)
+      try {
+        evenRows.grouped(math.max(1, (evenRows.length + 2) / 3)).foreach { b =>
+          input.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val probes = d.filter(col("doc_id") % 2 === 1).withColumn("payload",
+        element_at(array(phashPayloads.map(lit(_)): _*), (col("doc_id") % 9).cast("int") + 1))
+      Multimodal.dedupAgainstPHashIndex(s, probes, "doc_id", "payload", idx,
+          maxHamming = 16)
+        .select(col("doc_id"), col("index_id"))
+    }),
+    "stream_maintained_audiofp" -> ((s, dir) => {
+      // the AUDIO-crawl write path for the shift-robust index:
+      // maintainAudioFpIndex decodes each micro-batch's clips once and
+      // appends their winnowed (id, fp) postings exactly-once; the odd
+      // docs' trimmed/padded variants probe the stream-built chain —
+      // shared-fp matches >= 4 ≡ the same-pattern (odd, even) pairs:
+      // multimodal_audio_dedup_shift_indexed's oracle verbatim.
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val d = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 7 === 0)
+      val evenRows = d.filter(col("doc_id") % 2 === 0)
+        .collect().map(_.getLong(0)).sorted
+        .map(id => (id, shiftWavs((id % 9).toInt)))
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"audiofp_maint_$token", dir)
+      val ckpt = scratch(s"audiofp_maint_ck_$token", dir)
+      implicit val sqlCtx = s.sqlContext
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = Streaming.maintainAudioFpIndex(
+        input.toDF().toDF("doc_id", "payload"), "doc_id", "payload", idx, ckpt)
+      try {
+        evenRows.grouped(math.max(1, (evenRows.length + 2) / 3)).foreach { b =>
+          input.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val probes = d.filter(col("doc_id") % 2 === 1).withColumn("payload",
+        element_at(array(shiftWavs.map(lit(_)): _*), (col("doc_id") % 9).cast("int") + 1))
+      Multimodal.dedupAgainstAudioFpIndex(s, probes, "doc_id", "payload", idx,
+          minShared = 4)
+        .select(col("doc_id"), col("index_id"))
+    }),
+    "stream_maintained_scenes" -> ((s, dir) => {
+      // the VIDEO-crawl write path for shot-reuse detection:
+      // maintainSceneIndex segments each micro-batch's videos once and
+      // appends their 8-byte scene rows exactly-once (whole videos per
+      // batch — the maintainer's documented contract); the odd docs'
+      // scenes probe the stream-built chain — matches ≡ the (odd,
+      // even) same-pattern scene pairs from the (doc_id % 3 + scene)
+      // % 3 rule: multimodal_video_scene_indexed's oracle verbatim.
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val d = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 11 === 0)
+      val frameArrays = (0 until 3).map { c =>
+        array((0 until 9).map { fi =>
+          lit(scenePng(if (fi <= 2 + c) c else (c + 1) % 3))
+        }: _*)
+      }
+      val frames = d
+        .withColumn("frames",
+          element_at(array(frameArrays: _*), (col("doc_id") % 3).cast("int") + 1))
+        .select(col("doc_id"),
+          posexplode(col("frames")).as(Seq("frame_idx", "frame_bytes")))
+      // whole videos per micro-batch: group the even docs' frames by
+      // doc and split the DOCS (never one doc's frames) into 3 batches
+      val evenByDoc = frames.filter(col("doc_id") % 2 === 0)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+        .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.toSeq)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"scene_maint_$token", dir)
+      val ckpt = scratch(s"scene_maint_ck_$token", dir)
+      implicit val sqlCtx = s.sqlContext
+      val input = MemoryStream[(Long, Int, Array[Byte])]
+      val q = Streaming.maintainSceneIndex(
+        input.toDF().toDF("doc_id", "frame_idx", "frame_bytes"),
+        "doc_id", "frame_idx", "frame_bytes", idx, ckpt)
+      try {
+        evenByDoc.grouped(math.max(1, (evenByDoc.length + 2) / 3)).foreach { docs =>
+          input.addData(docs.flatten); q.processAllAvailable()
+        }
+      } finally q.stop()
+      Multimodal.dedupAgainstSceneIndex(s,
+        frames.filter(col("doc_id") % 2 === 1),
+        "doc_id", "frame_idx", "frame_bytes", idx, pairMaxHamming = 10)
     }),
     "multimodal_image_dedup_phash" -> ((s, dir) => {
       // CROP/RESCALE-robust perceptual dedup on the DCT hash: three
@@ -5483,6 +5633,34 @@ object SparkEntry {
           |FROM documents a JOIN documents b
           |  ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
           | AND a.doc_id % 5 = b.doc_id % 5""".stripMargin,
+      // stream-maintained DCT index: same (odd, even) same-pattern
+      // pairs as the batch-built pHash index
+      "stream_maintained_phash" ->
+        """SELECT a.doc_id, b.doc_id AS index_id
+          |FROM documents a JOIN documents b
+          |  ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          | AND (a.doc_id % 9) // 3 = (b.doc_id % 9) // 3""".stripMargin,
+      // stream-maintained subfingerprint postings: same (odd, even)
+      // same-pattern pairs as the batch-built audio fp index
+      "stream_maintained_audiofp" ->
+        """SELECT a.doc_id, b.doc_id AS index_id
+          |FROM documents a JOIN documents b
+          |  ON a.doc_id % 7 = 0 AND b.doc_id % 7 = 0
+          | AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          | AND (a.doc_id % 9) // 3 = (b.doc_id % 9) // 3""".stripMargin,
+      // stream-maintained scene index: same (odd, even) same-pattern
+      // scene pairs as the batch-built one
+      "stream_maintained_scenes" ->
+        """WITH s AS (
+          |  SELECT doc_id, v.scene, (doc_id % 3 + v.scene) % 3 AS pat
+          |  FROM documents, (SELECT 0 AS scene UNION ALL SELECT 1) v
+          |  WHERE doc_id % 11 = 0)
+          |SELECT a.doc_id, CAST(a.scene AS BIGINT) AS scene,
+          |       b.doc_id AS index_id, CAST(b.scene AS BIGINT) AS index_scene,
+          |       0 AS hamming
+          |FROM s a JOIN s b
+          |  ON a.pat = b.pat
+          | AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0""".stripMargin,
       // same-class pairs straight from the assignment rule
       "multimodal_audio_dedup" ->
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

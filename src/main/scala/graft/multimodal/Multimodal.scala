@@ -970,9 +970,9 @@ object Multimodal {
     * the hash function differs).
     */
   def buildAudioHashIndex(df: DataFrame, idCol: String, binCol: String,
-      path: String): Unit = {
+      path: String, marker: Option[String] = None): Unit = {
     val spark = df.sparkSession
-    graft.sources.IndexIO.publish(spark, path) { vdir =>
+    graft.sources.IndexIO.publish(spark, path, marker) { vdir =>
       withAudioHash(df, binCol, Seq(idCol)).withColumnRenamed("audio_hash", "ahash")
         .write.mode("overwrite").parquet(s"$vdir/hashes")
     }
@@ -981,9 +981,9 @@ object Multimodal {
 
   /** Append an audio batch's envelope hashes as a delta segment. */
   def appendToAudioHashIndex(df: DataFrame, idCol: String, binCol: String,
-      path: String): Unit = {
+      path: String, marker: Option[String] = None): Unit = {
     val spark = df.sparkSession
-    graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { vdir =>
       withAudioHash(df, binCol, Seq(idCol)).withColumnRenamed("audio_hash", "ahash")
         .write.mode("overwrite").parquet(s"$vdir/hashes")
     }
@@ -1016,9 +1016,9 @@ object Multimodal {
     * probes must come through [[dedupAgainstPHashIndex]].
     */
   def buildPHashIndex(df: DataFrame, idCol: String, binCol: String,
-      path: String): Unit = {
+      path: String, marker: Option[String] = None): Unit = {
     val spark = df.sparkSession
-    graft.sources.IndexIO.publish(spark, path) { vdir =>
+    graft.sources.IndexIO.publish(spark, path, marker) { vdir =>
       withPHash(df, binCol, Seq(idCol)).withColumnRenamed("phash", "ahash")
         .write.mode("overwrite").parquet(s"$vdir/hashes")
     }
@@ -1027,9 +1027,9 @@ object Multimodal {
 
   /** Append a batch's DCT hashes as an immutable delta segment. */
   def appendToPHashIndex(df: DataFrame, idCol: String, binCol: String,
-      path: String): Unit = {
+      path: String, marker: Option[String] = None): Unit = {
     val spark = df.sparkSession
-    graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { vdir =>
       withPHash(df, binCol, Seq(idCol)).withColumnRenamed("phash", "ahash")
         .write.mode("overwrite").parquet(s"$vdir/hashes")
     }
@@ -1092,9 +1092,9 @@ object Multimodal {
     */
   def buildAudioFpIndex(df: DataFrame, idCol: String, binCol: String,
       path: String, windowSamples: Int = 400, k: Int = 16,
-      w: Int = 4): Unit = {
+      w: Int = 4, marker: Option[String] = None): Unit = {
     val spark = df.sparkSession
-    graft.sources.IndexIO.publish(spark, path) { vdir =>
+    graft.sources.IndexIO.publish(spark, path, marker) { vdir =>
       withAudioSubFps(df, binCol, Seq(idCol), windowSamples, k, w)
         .select(col(idCol), explode(col("audio_fps")).as("fp"))
         .write.mode("overwrite").parquet(s"$vdir/postings")
@@ -1107,9 +1107,9 @@ object Multimodal {
     */
   def appendToAudioFpIndex(df: DataFrame, idCol: String, binCol: String,
       path: String, windowSamples: Int = 400, k: Int = 16,
-      w: Int = 4): Unit = {
+      w: Int = 4, marker: Option[String] = None): Unit = {
     val spark = df.sparkSession
-    graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { vdir =>
       withAudioSubFps(df, binCol, Seq(idCol), windowSamples, k, w)
         .select(col(idCol), explode(col("audio_fps")).as("fp"))
         .write.mode("overwrite").parquet(s"$vdir/postings")
@@ -1369,9 +1369,9 @@ object Multimodal {
     */
   def buildSceneIndex(frames: DataFrame, idCol: String,
       frameIdxCol: String, frameBinCol: String, path: String,
-      sceneMaxHamming: Int = 16): Unit = {
+      sceneMaxHamming: Int = 16, marker: Option[String] = None): Unit = {
     val spark = frames.sparkSession
-    graft.sources.IndexIO.publish(spark, path) { vdir =>
+    graft.sources.IndexIO.publish(spark, path, marker) { vdir =>
       videoScenes(frames, idCol, frameIdxCol, frameBinCol, sceneMaxHamming)
         .select(col(idCol), col("scene_idx"), col("scene_phash"))
         .write.mode("overwrite").parquet(s"$vdir/scenes")
@@ -1382,9 +1382,9 @@ object Multimodal {
   /** Append a batch's scenes as an immutable delta segment. */
   def appendToSceneIndex(frames: DataFrame, idCol: String,
       frameIdxCol: String, frameBinCol: String, path: String,
-      sceneMaxHamming: Int = 16): Unit = {
+      sceneMaxHamming: Int = 16, marker: Option[String] = None): Unit = {
     val spark = frames.sparkSession
-    graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { vdir =>
       videoScenes(frames, idCol, frameIdxCol, frameBinCol, sceneMaxHamming)
         .select(col(idCol), col("scene_idx"), col("scene_phash"))
         .write.mode("overwrite").parquet(s"$vdir/scenes")
@@ -1399,6 +1399,27 @@ object Multimodal {
     graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
       ids.select(col(idCol)).distinct()
         .write.mode("overwrite").parquet(s"$vdir/tombstones")
+    }
+    ()
+  }
+
+  /** Collapse a scene chain to ONE segment of live scene rows —
+    * tombstoned videos dropped physically, probe results identical by
+    * construction, applied-batch markers carried through the full
+    * publish (the [[compactAHashIndex]] pattern). No-op on a
+    * single-segment index.
+    */
+  def compactSceneIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String): Unit = {
+    if (graft.sources.IndexIO.segments(spark, path).length <= 1) return
+    val data = graft.sources.IndexIO.chainTable(spark, path, "scenes")
+      .getOrElse(throw new IllegalStateException(
+        s"compactSceneIndex: no scenes at $path"))
+    val live = graft.sources.IndexIO.withoutTombstoned(
+      data, graft.sources.IndexIO.chainTable(spark, path, "tombstones"), idCol)
+    graft.sources.IndexIO.publish(spark, path) { nv =>
+      live.write.mode("overwrite").parquet(s"$nv/scenes")
     }
     ()
   }

@@ -1252,6 +1252,161 @@ object Streaming {
       .start()
   }
 
+  /** [[maintainAHashIndex]] with the crop/rescale-robust DCT hash
+    * ([[graft.multimodal.Multimodal.buildPHashIndex]] — the stored
+    * layout is shared, so the same compaction applies); probes come
+    * through `dedupAgainstPHashIndex`.
+    */
+  def maintainPHashIndex(
+      stream: DataFrame,
+      idCol: String,
+      binCol: String,
+      path: String,
+      checkpointDir: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.multimodal.Multimodal
+    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      if (!batch.isEmpty) {
+        applyIndexBatch(s, path, s"b$batchId-$sid") {
+          Multimodal.buildPHashIndex(batch, idCol, binCol, path,
+            marker = Some(s"b$batchId-$sid"))
+        } {
+          Multimodal.appendToPHashIndex(batch, idCol, binCol, path,
+            marker = Some(s"b$batchId-$sid"))
+        }
+        maybeCompact(s, path, compactEvery) {
+          Multimodal.compactAHashIndex(s, path, idCol)
+        }
+      }
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
+  /** [[maintainAHashIndex]]'s audio-envelope sibling
+    * ([[graft.multimodal.Multimodal.buildAudioHashIndex]] — shared
+    * `hashes` layout, shared compaction); probes come through
+    * `dedupAgainstAudioHashIndex`.
+    */
+  def maintainAudioHashIndex(
+      stream: DataFrame,
+      idCol: String,
+      binCol: String,
+      path: String,
+      checkpointDir: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.multimodal.Multimodal
+    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      if (!batch.isEmpty) {
+        applyIndexBatch(s, path, s"b$batchId-$sid") {
+          Multimodal.buildAudioHashIndex(batch, idCol, binCol, path,
+            marker = Some(s"b$batchId-$sid"))
+        } {
+          Multimodal.appendToAudioHashIndex(batch, idCol, binCol, path,
+            marker = Some(s"b$batchId-$sid"))
+        }
+        maybeCompact(s, path, compactEvery) {
+          Multimodal.compactAHashIndex(s, path, idCol)
+        }
+      }
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
+  /** Maintain the SHIFT-ROBUST audio subfingerprint index
+    * ([[graft.multimodal.Multimodal.buildAudioFpIndex]]) from a
+    * stream: clips decode once at ingest, each micro-batch appends its
+    * winnowed `(id, fp)` postings as an immutable segment,
+    * exactly-once via batch markers, `compactEvery` collapses the
+    * chain (dropping tombstoned clips physically). The `(windowSamples,
+    * k, w)` parameters are baked into the postings — probes must use
+    * the same values, exactly as the batch lifecycle documents.
+    */
+  def maintainAudioFpIndex(
+      stream: DataFrame,
+      idCol: String,
+      binCol: String,
+      path: String,
+      checkpointDir: String,
+      windowSamples: Int = 400,
+      k: Int = 16,
+      w: Int = 4,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.multimodal.Multimodal
+    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      if (!batch.isEmpty) {
+        applyIndexBatch(s, path, s"b$batchId-$sid") {
+          Multimodal.buildAudioFpIndex(batch, idCol, binCol, path,
+            windowSamples, k, w, marker = Some(s"b$batchId-$sid"))
+        } {
+          Multimodal.appendToAudioFpIndex(batch, idCol, binCol, path,
+            windowSamples, k, w, marker = Some(s"b$batchId-$sid"))
+        }
+        maybeCompact(s, path, compactEvery) {
+          Multimodal.compactAudioFpIndex(s, path, idCol)
+        }
+      }
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
+  /** Maintain the video SCENE index
+    * ([[graft.multimodal.Multimodal.buildSceneIndex]]) from a stream
+    * of decoded frames `(idCol, frameIdxCol, frameBinCol)`: each
+    * micro-batch's videos are segmented once and their 8-byte scene
+    * rows land as an immutable segment — the shot-reuse/licensing
+    * check becomes an incremental pipeline. A video's frames must
+    * arrive WITHIN one micro-batch (scene segmentation is per-video;
+    * frames split across batches would segment twice) — the natural
+    * shape when the crawl emits whole video documents. Exactly-once
+    * via batch markers; `compactEvery` collapses the chain.
+    */
+  def maintainSceneIndex(
+      stream: DataFrame,
+      idCol: String,
+      frameIdxCol: String,
+      frameBinCol: String,
+      path: String,
+      checkpointDir: String,
+      sceneMaxHamming: Int = 16,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.multimodal.Multimodal
+    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      if (!batch.isEmpty) {
+        applyIndexBatch(s, path, s"b$batchId-$sid") {
+          Multimodal.buildSceneIndex(batch, idCol, frameIdxCol, frameBinCol,
+            path, sceneMaxHamming, marker = Some(s"b$batchId-$sid"))
+        } {
+          Multimodal.appendToSceneIndex(batch, idCol, frameIdxCol, frameBinCol,
+            path, sceneMaxHamming, marker = Some(s"b$batchId-$sid"))
+        }
+        maybeCompact(s, path, compactEvery) {
+          Multimodal.compactSceneIndex(s, path, idCol)
+        }
+      }
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** RETRIEVAL-BASED decontamination gate, hybrid and STATELESS: flag
     * incoming documents that near-match a benchmark item through
     * EITHER retrieval modality, both legs served from persisted

@@ -353,6 +353,28 @@ class MultimodalSuite extends SparkSpec {
     assert(pairs == expected, s"got $pairs")
   }
 
+  /** The three structurally distinct 64² scene patterns (the
+    * pHash-margin shapes) — shared by the scene/maintainer tests.
+    */
+  private def sceneFrame(kind: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 64; y <- 0 until 64) {
+      val fx = x / 64.0
+      val fy = y / 64.0
+      val bright = kind match {
+        case 0 => fx > fy
+        case 1 => (fx - 0.5) * (fx - 0.5) + (fy - 0.5) * (fy - 0.5) < 0.09
+        case _ => fx + fy < 0.7
+      }
+      val v = if (bright) 210 else 45
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
   test("videoScenes: cuts at pattern changes; scene pairs == naive keyframe hamming") {
     // three structurally distinct patterns (the pHash-margin shapes)
     def render(kind: Int): Array[Byte] = {
@@ -935,5 +957,149 @@ class MultimodalSuite extends SparkSpec {
     } yield (a, b, d)).toSet
     assert(pairs == naive)
     assert(pairs.nonEmpty, "expected at least some same-class pairs")
+  }
+
+  test("maintainAudioFpIndex: stream-built postings; compactEvery; markers; replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sqlCtx = spark.sqlContext
+    val nW = 60
+    def levels(p: Int, variant: Int): Array[Double] = variant match {
+      case 0 => Array.tabulate(nW)(wi => wlevel(p, wi))
+      case 1 => Array.tabulate(nW - 4)(wi => wlevel(p, wi + 4))
+      case _ => Array.tabulate(nW + 4)(
+        wi => if (wi < 4) 0.05 else wlevel(p, wi - 4))
+    }
+    // 6 indexed clips (2 patterns x 3 shift variants), streamed in 3
+    // micro-batches with compactEvery = 2 -> two in-stream compacts
+    val idxClips = (0 until 6).map(i => (i.toLong, windowWav(1.0, levels(i / 3, i % 3))))
+    val dir = java.nio.file.Files.createTempDirectory("audiofp_maint").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("audiofp_maintck").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = Streaming.maintainAudioFpIndex(
+      input.toDF().toDF("id", "payload"), "id", "payload", dir, ckpt,
+      compactEvery = 2)
+    try {
+      idxClips.grouped(2).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1,
+      "compactEvery must have collapsed the posting chain")
+    val markers = graft.sources.IndexIO.segmentMarkers(spark, dir)
+    assert(markers.size == 3 &&
+      Seq("b0-", "b1-", "b2-").forall(p => markers.exists(_.startsWith(p))),
+      s"unexpected markers $markers")
+    // probes against the stream-built chain == naive intersections
+    val probes = (10 until 12).map(i =>
+      (i.toLong, windowWav(1.0, levels(i - 10, (i - 10 + 1) % 3))))
+    val got = Multimodal.dedupAgainstAudioFpIndex(
+        spark, probes.toDF("id", "payload"), "id", "payload", dir,
+        minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = (for {
+      (a, ba) <- probes; (b, bb) <- idxClips
+      n = (Multimodal.audioSubFingerprints(ba).toSet &
+        Multimodal.audioSubFingerprints(bb).toSet).size
+      if n >= 4
+    } yield (a, b, n.toLong)).toSet
+    assert(got == naive)
+    assert(naive.nonEmpty)
+    // a replayed batch is recognized through the compacts and skipped
+    val v0 = graft.sources.IndexIO.resolve(spark, dir)
+    val b1 = markers.find(_.startsWith("b1-")).get
+    val applied = Streaming.applyIndexBatch(spark, dir, b1) {
+      fail("bootstrap must not run on an existing index")
+    } {
+      Multimodal.appendToAudioFpIndex(
+        idxClips.slice(2, 4).toDF("id", "payload"), "id", "payload", dir)
+    }
+    assert(!applied)
+    assert(graft.sources.IndexIO.resolve(spark, dir) == v0)
+  }
+
+  test("maintainSceneIndex: whole-video batches; compactEvery; probes == batch index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sqlCtx = spark.sqlContext
+    def render(kind: Int): Array[Byte] = sceneFrame(kind)
+    def pat(v: Long, fi: Int): Int = {
+      val c = (v % 3).toInt
+      if (fi <= 2 + c) c else (c + 1) % 3
+    }
+    val frames = for { v <- 0L until 6L; fi <- 0 until 9 }
+      yield (v, fi, render(pat(v, fi)))
+    val (idxSide, probeSide) = frames.partition(_._1 % 2 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("scene_maint").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("scene_maintck").toString
+    val input = MemoryStream[(Long, Int, Array[Byte])]
+    val q = Streaming.maintainSceneIndex(
+      input.toDF().toDF("id", "frame_idx", "payload"),
+      "id", "frame_idx", "payload", dir, ckpt, compactEvery = 2)
+    try {
+      // one whole video per micro-batch (the maintainer contract)
+      idxSide.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+        input.addData(rows.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1)
+    assert(graft.sources.IndexIO.segmentMarkers(spark, dir).size == 3)
+    // probes == the batch-built index's answers (same naive rule as
+    // the scene-index suite test)
+    val got = Multimodal.dedupAgainstSceneIndex(
+        spark, probeSide.toDF("id", "frame_idx", "payload"),
+        "id", "frame_idx", "payload", dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    val naive = (for {
+      a <- Seq(1L, 3L, 5L); sa <- 0L to 1L
+      b <- Seq(0L, 2L, 4L); sb <- 0L to 1L
+      if (a % 3 + sa) % 3 == (b % 3 + sb) % 3
+    } yield (a, sa, b, sb, 0)).toSet
+    assert(got == naive)
+  }
+
+  test("maintainAudioHashIndex / maintainPHashIndex: marker-safe append loops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sqlCtx = spark.sqlContext
+    // audio envelope hashes
+    val wavs = (0 until 4).map { i =>
+      val cls = i % 2
+      val pat: Int => Double = f => if ((f * 3 / 3200) % 2 == cls) 1.0 else 0.08
+      (i.toLong, envelopeWav(3200, 0.6, pat))
+    }
+    val aDir = java.nio.file.Files.createTempDirectory("audiohash_maint").toString
+    val aCk = java.nio.file.Files.createTempDirectory("audiohash_maintck").toString
+    val aIn = MemoryStream[(Long, Array[Byte])]
+    val aq = Streaming.maintainAudioHashIndex(
+      aIn.toDF().toDF("id", "payload"), "id", "payload", aDir, aCk,
+      compactEvery = 2)
+    try {
+      wavs.grouped(2).foreach { b => aIn.addData(b.toSeq); aq.processAllAvailable() }
+    } finally aq.stop()
+    assert(graft.sources.IndexIO.segments(spark, aDir).length == 1)
+    assert(graft.sources.IndexIO.segmentMarkers(spark, aDir).size == 2)
+    val aHits = Multimodal.dedupAgainstAudioHashIndex(
+        spark, Seq((9L, wavs(0)._2)).toDF("id", "payload"),
+        "id", "payload", aDir, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aHits.contains((9L, 0L)), s"got $aHits")
+    // DCT hashes
+    val pngs = (0 until 4).map(i => (i.toLong, sceneFrame(i % 2)))
+    val pDir = java.nio.file.Files.createTempDirectory("phash_maint").toString
+    val pCk = java.nio.file.Files.createTempDirectory("phash_maintck").toString
+    val pIn = MemoryStream[(Long, Array[Byte])]
+    val pq = Streaming.maintainPHashIndex(
+      pIn.toDF().toDF("id", "payload"), "id", "payload", pDir, pCk)
+    try {
+      pngs.grouped(2).foreach { b => pIn.addData(b.toSeq); pq.processAllAvailable() }
+    } finally pq.stop()
+    assert(graft.sources.IndexIO.segments(spark, pDir).length == 2)
+    assert(graft.sources.IndexIO.segmentMarkers(spark, pDir).size == 2)
+    val pHits = Multimodal.dedupAgainstPHashIndex(
+        spark, Seq((9L, sceneFrame(0))).toDF("id", "payload"),
+        "id", "payload", pDir, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pHits == Set((9L, 0L), (9L, 2L)), s"got $pHits")
   }
 }
