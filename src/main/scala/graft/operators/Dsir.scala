@@ -331,10 +331,16 @@ object Dsir {
     */
   def dsirIndexProfiles(
       spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val tp = graft.sources.IndexIO.chainTable(spark, path, "target")
+    val tp0 = graft.sources.IndexIO.chainTable(spark, path, "target")
       .getOrElse(throw new IllegalStateException(
         s"DSIR model at $path has no target profile"))
-      .select(col("bucket"), col("cnt"))
+    // a grouped artifact must be read with the ByGroup loader: summing
+    // its counts across groups here would silently serve a model no
+    // corpus ever had
+    require(!tp0.columns.contains("grp"),
+      s"DSIR model at $path is PER-GROUP (buildDsirIndexByGroup) — " +
+        "load it with dsirIndexProfilesByGroup/loadDsirRatioByGroup")
+    val tp = tp0.select(col("bucket"), col("cnt"))
     // zero-sum buckets (an append exactly cancelled by its retraction)
     // are dropped: under add-one smoothing a zero count IS an absent
     // bucket ([[gridLogProb]] coalesces), so the filter is exact and
@@ -541,10 +547,13 @@ object Dsir {
     */
   def dsirIndexProfilesByGroup(
       spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val tp = graft.sources.IndexIO.chainTable(spark, path, "target")
+    val tp0 = graft.sources.IndexIO.chainTable(spark, path, "target")
       .getOrElse(throw new IllegalStateException(
         s"DSIR model at $path has no target profile"))
-      .select(col("grp"), col("bucket"), col("cnt"))
+    require(tp0.columns.contains("grp"),
+      s"DSIR model at $path is UNGROUPED (buildDsirIndex) — " +
+        "load it with dsirIndexProfiles/loadDsirRatio")
+    val tp = tp0.select(col("grp"), col("bucket"), col("cnt"))
     val rp = graft.sources.IndexIO.chainTable(spark, path, "raw")
       .getOrElse(throw new IllegalStateException(
         s"DSIR model at $path has no raw profile"))

@@ -226,6 +226,15 @@ class DsirSuite extends SparkSpec {
       Dsir.ngramProfileByGroup(gcorpus, "text", "lang", B), B)
     assert(ratios.keySet == direct.keySet &&
       ratios.forall { case (g, a) => direct(g).sameElements(a) })
+    // loader/artifact layout mismatches fail LOUDLY: the ungrouped
+    // loader on a grouped artifact would otherwise silently sum counts
+    // across groups into a model no corpus ever had
+    intercept[IllegalArgumentException] { Dsir.loadDsirRatio(spark, idx) }
+    val uidx = java.nio.file.Files.createTempDirectory("graft_dsir_ug_").toString
+    Dsir.buildDsirIndex(target, "text", corpus, "text", B, uidx)
+    intercept[IllegalArgumentException] {
+      Dsir.dsirIndexProfilesByGroup(spark, uidx)
+    }
   }
 
   test("per-group retraction + schema-branching compact == per-group remainder") {
