@@ -168,12 +168,6 @@ object Dsir {
       buckets: Int): Array[Long] = {
     require(buckets >= 1 && buckets <= 65536,
       s"buckets must be in [1, 65536] for the in-row serving form, got $buckets")
-    val nt = targetProfile.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
-    val nq = rawProfile.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
-    def grid(cnt: Long, total: Long): Long =
-      math.floor(math.log((cnt + 1.0) / (total + buckets.toDouble)) * 10000.0).toLong
-    val base = grid(0L, nt) - grid(0L, nq)
-    val out = Array.fill(buckets)(base)
     val tc = new Array[Long](buckets)
     val qc = new Array[Long](buckets)
     // negative counts (a [[deleteFromDsirIndex]] retraction of data the
@@ -191,6 +185,23 @@ object Dsir {
           s"${r.getLong(1)} — retraction removed data the model never saw")
       qc(r.getLong(0).toInt) = r.getLong(1)
     }
+    denseRatio(tc, qc, buckets)
+  }
+
+  /** The dense ratio array from per-bucket count arrays — the ONE
+    * definition of the 1e-4-grid serving arithmetic shared by the
+    * ungrouped ([[ratioArray]]) and per-group ([[ratioMaps]]) forms,
+    * so the oracle-pinned grid can never diverge between them.
+    * Totals are the count sums (each bucket appears once).
+    */
+  private def denseRatio(
+      tc: Array[Long], qc: Array[Long], buckets: Int): Array[Long] = {
+    val nt = tc.sum
+    val nq = qc.sum
+    def grid(cnt: Long, total: Long): Long =
+      math.floor(math.log((cnt + 1.0) / (total + buckets.toDouble)) * 10000.0).toLong
+    val base = grid(0L, nt) - grid(0L, nq)
+    val out = Array.fill(buckets)(base)
     var b = 0
     while (b < buckets) {
       if (tc(b) != 0L || qc(b) != 0L)
@@ -393,12 +404,18 @@ object Dsir {
   // append maintenance — is the ungrouped machinery per group.
 
   /** [[ngramProfile]] keyed by group: `(grp, bucket, cnt)`, ≤
-    * `groups × buckets` rows, additive per group.
+    * `groups × buckets` rows, additive per group. Rows with a NULL
+    * group are dropped — an unidentified-language doc contributes to
+    * no language's model (it would otherwise become an unusable null
+    * map key in the in-row serving form); the scorers treat the null
+    * group as unknown — uniform model in [[importanceScoreByGroup]],
+    * fail-closed in [[scoreInRowByGroup]].
     */
   def ngramProfileByGroup(
       df: DataFrame, textCol: String, groupCol: String,
       buckets: Int): DataFrame =
-    df.select(col(groupCol).cast("string").as("grp"),
+    df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
         explode(gramsArray(col(textCol))).as("__g"))
       .select(col("grp"), bucketOf(col("__g"), buckets).as("bucket"))
       .groupBy("grp", "bucket")
@@ -578,6 +595,12 @@ object Dsir {
     def grouped(df: DataFrame): Map[String, Array[(Int, Long)]] =
       df.select("grp", "bucket", "cnt").collect()
         .map { r =>
+          // a null group cannot key the in-row map literal; the house
+          // builders drop null groups ([[ngramProfileByGroup]]), so
+          // one here means a hand-built profile — reject it clearly
+          require(!r.isNullAt(0),
+            "ratioMaps: profile has a NULL group row — null-group docs " +
+              "belong to no group's model (ngramProfileByGroup drops them)")
           require(r.getLong(2) >= 0L,
             s"ratioMaps: group ${r.getString(0)} bucket ${r.getLong(1)} has " +
               s"negative count ${r.getLong(2)}")
@@ -590,25 +613,12 @@ object Dsir {
     require(groups.size.toLong * buckets <= (1L << 20),
       s"ratioMaps: ${groups.size} groups x $buckets buckets exceeds the " +
         "2^20-entry in-row literal cap; use importanceScoreByGroup")
-    def grid(cnt: Long, total: Long): Long =
-      math.floor(math.log((cnt + 1.0) / (total + buckets.toDouble)) * 10000.0).toLong
     groups.map { g =>
-      val trs = tg.getOrElse(g, Array.empty)
-      val qrs = rg.getOrElse(g, Array.empty)
-      val nt = trs.map(_._2).sum
-      val nq = qrs.map(_._2).sum
-      val base = grid(0L, nt) - grid(0L, nq)
-      val out = Array.fill(buckets)(base)
       val tc = new Array[Long](buckets)
       val qc = new Array[Long](buckets)
-      trs.foreach { case (b, c) => tc(b) = c }
-      qrs.foreach { case (b, c) => qc(b) = c }
-      var b = 0
-      while (b < buckets) {
-        if (tc(b) != 0L || qc(b) != 0L) out(b) = grid(tc(b), nt) - grid(qc(b), nq)
-        b += 1
-      }
-      g -> out
+      tg.getOrElse(g, Array.empty).foreach { case (b, c) => tc(b) = c }
+      rg.getOrElse(g, Array.empty).foreach { case (b, c) => qc(b) = c }
+      g -> denseRatio(tc, qc, buckets)
     }.toMap
   }
 

@@ -597,6 +597,21 @@ object SimilaritySearch {
       spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String,
       marker: Option[String] = None): DataFrame = {
+    applySemDedupBatch(spark, path, batch, idCol, vecCol, marker)
+    semDedupIndexStatus(spark, path)
+  }
+
+  /** [[semDeDupIncremental]]'s write half alone: resolve + publish the
+    * batch WITHOUT constructing the full-state status — the shape a
+    * streaming maintainer wants, where building the status (a chain
+    * listing + per-segment remap probes + parquet footer reads, pure
+    * driver I/O growing with segment count) would be discarded every
+    * micro-batch.
+    */
+  def applySemDedupBatch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      marker: Option[String] = None): Unit = {
     val vdir = graft.sources.IndexIO.resolve(spark, path)
     val threshold = spark.read.parquet(s"$vdir/meta").head().getAs[Double]("threshold")
     val cents = spark.read.parquet(s"$vdir/centroids").orderBy(col("cell"))
@@ -606,7 +621,7 @@ object SimilaritySearch {
         col("__cv"), col("__cn"))
     val newDim = c.select(size(col("__cv"))).limit(1).collect()
       .headOption.map(_.getInt(0))
-    if (newDim.isEmpty) return semDedupIndexStatus(spark, path)
+    if (newDim.isEmpty) return
     require(newDim.get == cents(0).length,
       s"semDeDupIncremental: batch has dim ${newDim.get} but the index at " +
         s"$path was trained on dim ${cents(0).length}")
@@ -654,7 +669,7 @@ object SimilaritySearch {
         .select(col("id").as("from"), col("component").as("to"))
         .coalesce(1).write.mode("overwrite").parquet(s"$seg/remaps")
     }
-    semDedupIndexStatus(spark, path)
+    ()
   }
 
   /** Serve the chain's CURRENT dedup state: `(idCol, cluster,

@@ -802,20 +802,38 @@ object Streaming {
         buf.toString("UTF-8").trim
       } finally in.close()
     }
-    if (fs.exists(p)) readGen()
+    // generation ids are EXACTLY 16 chars, so the race loser can tell a
+    // complete file from one the winner has created but not yet
+    // written/flushed — adopting a truncated id would silently fork the
+    // marker namespace, the exact failure this file exists to prevent
+    def readGenComplete(): String = {
+      var attempt = 0
+      while (attempt < 100) {
+        if (fs.exists(p)) {
+          val g = readGen()
+          if (g.length == 16) return g
+        }
+        attempt += 1
+        Thread.sleep(50)
+      }
+      throw new IllegalStateException(
+        s"streamMarkerId: generation file at $p never became complete")
+    }
+    if (fs.exists(p)) readGenComplete()
     else {
       val gen = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
       fs.mkdirs(p.getParent)
       // two queries first-starting on the same checkpoint race the
       // exclusive create; the loser adopts the winner's generation
-      // instead of crashing the stream
+      // instead of crashing the stream (waiting out the winner's write)
       try {
         val out = fs.create(p, false)
         try out.write(gen.getBytes("UTF-8")) finally out.close()
         gen
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => readGen()
-        case _: java.io.IOException if fs.exists(p) => readGen()
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          readGenComplete()
+        case _: java.io.IOException if fs.exists(p) => readGenComplete()
       }
     }
   }
@@ -857,6 +875,43 @@ object Streaming {
         graft.sources.IndexIO.segments(spark, path).length >= compactEvery)
       compact
 
+  /** The ONE build-then-append maintenance skeleton every index-family
+    * maintainer runs: markers scope to the CHECKPOINT (not the run) via
+    * [[streamMarkerId]] — replays within one checkpoint keep their
+    * batch id and are recognized, while a fresh stream generation (new
+    * checkpoint, batch ids restarting at 0) gets its own marker space
+    * and never collides. Each non-empty micro-batch applies
+    * exactly-once through [[applyIndexBatch]] (first batch `bootstrap`,
+    * later batches `append`, both receiving the batch + its marker),
+    * then [[maybeCompact]] runs the family's `compact` on the
+    * segment-count cadence. Empty batches (quiet crawl windows) are
+    * no-ops.
+    */
+  private def maintainChain(
+      stream: DataFrame,
+      path: String,
+      checkpointDir: String,
+      compactEvery: Int)(
+      bootstrap: (DataFrame, String) => Unit)(
+      append: (DataFrame, String) => Unit)(
+      compact: SparkSession => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      if (!batch.isEmpty) {
+        val marker = s"b$batchId-$sid"
+        applyIndexBatch(s, path, marker)(bootstrap(batch, marker))(
+          append(batch, marker))
+        maybeCompact(s, path, compactEvery)(compact(s))
+      }
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Maintain a [[graft.operators.Search.buildBm25Index]] artifact FROM
     * A STREAM: every micro-batch of `(idCol, textCol)` documents lands
     * as an immutable append segment (the first non-empty batch
@@ -881,30 +936,12 @@ object Streaming {
       termBuckets: Int = 64,
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Search
-    // markers scope to the CHECKPOINT (not the run): replays within one
-    // checkpoint keep their batch id and are recognized, while a fresh
-    // stream generation (new checkpoint, batch ids restarting at 0)
-    // gets its own marker space and never collides
-    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
-    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val s = batch.sparkSession
-      if (!batch.isEmpty) {
-        applyIndexBatch(s, path, s"b$batchId-$sid") {
-          Search.buildBm25Index(batch, idCol, textCol, path, termBuckets,
-            marker = Some(s"b$batchId-$sid"))
-        } {
-          Search.appendToBm25Index(batch, idCol, textCol, path, termBuckets,
-            marker = Some(s"b$batchId-$sid"))
-        }
-        maybeCompact(s, path, compactEvery) {
-          Search.compactBm25Index(s, path, termBuckets)
-        }
-      }
-    }
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch(step)
-      .start()
+    maintainChain(stream, path, checkpointDir, compactEvery)(
+      (b, m) => Search.buildBm25Index(b, idCol, textCol, path, termBuckets,
+        marker = Some(m)))(
+      (b, m) => Search.appendToBm25Index(b, idCol, textCol, path, termBuckets,
+        marker = Some(m)))(
+      s => Search.compactBm25Index(s, path, termBuckets))
   }
 
   /** Maintain a persisted DSIR model ([[graft.operators.Dsir]]) FROM A
@@ -931,26 +968,11 @@ object Streaming {
       checkpointDir: String,
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dsir
-    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
-    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val s = batch.sparkSession
-      if (!batch.isEmpty) {
-        applyIndexBatch(s, path, s"b$batchId-$sid") {
-          Dsir.buildDsirIndex(target, targetTextCol, batch, textCol,
-            buckets, path, marker = Some(s"b$batchId-$sid"))
-        } {
-          Dsir.appendToDsirIndex(batch, textCol, path,
-            marker = Some(s"b$batchId-$sid"))
-        }
-        maybeCompact(s, path, compactEvery) {
-          Dsir.compactDsirIndex(s, path)
-        }
-      }
-    }
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch(step)
-      .start()
+    maintainChain(stream, path, checkpointDir, compactEvery)(
+      (b, m) => Dsir.buildDsirIndex(target, targetTextCol, b, textCol,
+        buckets, path, marker = Some(m)))(
+      (b, m) => Dsir.appendToDsirIndex(b, textCol, path, marker = Some(m)))(
+      s => Dsir.compactDsirIndex(s, path))
   }
 
   /** [[maintainDsirIndex]] for the PER-GROUP artifact
@@ -974,27 +996,13 @@ object Streaming {
       checkpointDir: String,
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dsir
-    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
-    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val s = batch.sparkSession
-      if (!batch.isEmpty) {
-        applyIndexBatch(s, path, s"b$batchId-$sid") {
-          Dsir.buildDsirIndexByGroup(target, targetTextCol, targetGroupCol,
-            batch, textCol, groupCol, buckets, path,
-            marker = Some(s"b$batchId-$sid"))
-        } {
-          Dsir.appendToDsirIndexByGroup(batch, textCol, groupCol, path,
-            marker = Some(s"b$batchId-$sid"))
-        }
-        maybeCompact(s, path, compactEvery) {
-          Dsir.compactDsirIndex(s, path)
-        }
-      }
-    }
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch(step)
-      .start()
+    maintainChain(stream, path, checkpointDir, compactEvery)(
+      (b, m) => Dsir.buildDsirIndexByGroup(target, targetTextCol,
+        targetGroupCol, b, textCol, groupCol, buckets, path,
+        marker = Some(m)))(
+      (b, m) => Dsir.appendToDsirIndexByGroup(b, textCol, groupCol, path,
+        marker = Some(m)))(
+      s => Dsir.compactDsirIndex(s, path))
   }
 
   /** [[maintainBm25Index]] for the UNIFIED lexical artifact
@@ -1013,28 +1021,14 @@ object Streaming {
       termBuckets: Int = 64,
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Search
-    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
-    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val s = batch.sparkSession
-      if (!batch.isEmpty) {
-        applyIndexBatch(s, path, s"b$batchId-$sid") {
-          Search.buildLexicalIndex(batch, idCol, textCol, path, termBuckets,
-            marker = Some(s"b$batchId-$sid"))
-        } {
-          Search.appendToLexicalIndex(batch, idCol, textCol, path, termBuckets,
-            marker = Some(s"b$batchId-$sid"))
-        }
-        // compactBm25Index rewrites the FULL postings schema, so the
-        // positional payload survives the unified artifact's compact
-        maybeCompact(s, path, compactEvery) {
-          Search.compactBm25Index(s, path, termBuckets)
-        }
-      }
-    }
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch(step)
-      .start()
+    maintainChain(stream, path, checkpointDir, compactEvery)(
+      (b, m) => Search.buildLexicalIndex(b, idCol, textCol, path, termBuckets,
+        marker = Some(m)))(
+      (b, m) => Search.appendToLexicalIndex(b, idCol, textCol, path,
+        termBuckets, marker = Some(m)))(
+      // compactBm25Index rewrites the FULL postings schema, so the
+      // positional payload survives the unified artifact's compact
+      s => Search.compactBm25Index(s, path, termBuckets))
   }
 
   /** [[maintainBm25Index]] for the MinHash near-dup index — the crawl
@@ -1055,26 +1049,12 @@ object Streaming {
       bandBuckets: Int = 64,
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
-    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
-    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val s = batch.sparkSession
-      if (!batch.isEmpty) {
-        applyIndexBatch(s, path, s"b$batchId-$sid") {
-          Dedup.buildMinhashIndex(batch, idCol, textCol, path, n, numHashes,
-            bands, bandBuckets, marker = Some(s"b$batchId-$sid"))
-        } {
-          Dedup.appendToMinhashIndex(batch, idCol, textCol, path, bandBuckets,
-            marker = Some(s"b$batchId-$sid"))
-        }
-        maybeCompact(s, path, compactEvery) {
-          Dedup.compactMinhashIndex(s, path, bandBuckets)
-        }
-      }
-    }
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch(step)
-      .start()
+    maintainChain(stream, path, checkpointDir, compactEvery)(
+      (b, m) => Dedup.buildMinhashIndex(b, idCol, textCol, path, n, numHashes,
+        bands, bandBuckets, marker = Some(m)))(
+      (b, m) => Dedup.appendToMinhashIndex(b, idCol, textCol, path,
+        bandBuckets, marker = Some(m)))(
+      s => Dedup.compactMinhashIndex(s, path, bandBuckets))
   }
 
   /** [[maintainBm25Index]] for the IVF ANN index
@@ -1102,26 +1082,12 @@ object Streaming {
       iters: Int = 5,
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.SimilaritySearch
-    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
-    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val s = batch.sparkSession
-      if (!batch.isEmpty) {
-        applyIndexBatch(s, path, s"b$batchId-$sid") {
-          SimilaritySearch.buildIvfIndex(batch, idCol, vecCol, path,
-            nCentroids, iters, marker = Some(s"b$batchId-$sid"))
-        } {
-          SimilaritySearch.appendToIvfIndex(s, path, batch, idCol, vecCol,
-            marker = Some(s"b$batchId-$sid"))
-        }
-        maybeCompact(s, path, compactEvery) {
-          SimilaritySearch.compactIvfIndex(s, path)
-        }
-      }
-    }
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch(step)
-      .start()
+    maintainChain(stream, path, checkpointDir, compactEvery)(
+      (b, m) => SimilaritySearch.buildIvfIndex(b, idCol, vecCol, path,
+        nCentroids, iters, marker = Some(m)))(
+      (b, m) => SimilaritySearch.appendToIvfIndex(b.sparkSession, path, b,
+        idCol, vecCol, marker = Some(m)))(
+      s => SimilaritySearch.compactIvfIndex(s, path))
   }
 
   /** [[maintainIvfIndex]] for the IVF×PQ index ([[graft.operators
@@ -1143,27 +1109,12 @@ object Streaming {
       kCodes: Int = 32,
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.SimilaritySearch
-    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
-    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val s = batch.sparkSession
-      if (!batch.isEmpty) {
-        applyIndexBatch(s, path, s"b$batchId-$sid") {
-          SimilaritySearch.buildIvfPqIndex(batch, idCol, vecCol, path,
-            nCentroids = nCentroids, m = m, kCodes = kCodes,
-            marker = Some(s"b$batchId-$sid"))
-        } {
-          SimilaritySearch.appendToIvfPqIndex(batch, idCol, vecCol, path,
-            marker = Some(s"b$batchId-$sid"))
-        }
-        maybeCompact(s, path, compactEvery) {
-          SimilaritySearch.compactIvfPqIndex(s, path)
-        }
-      }
-    }
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch(step)
-      .start()
+    maintainChain(stream, path, checkpointDir, compactEvery)(
+      (b, mk) => SimilaritySearch.buildIvfPqIndex(b, idCol, vecCol, path,
+        nCentroids = nCentroids, m = m, kCodes = kCodes, marker = Some(mk)))(
+      (b, mk) => SimilaritySearch.appendToIvfPqIndex(b, idCol, vecCol, path,
+        marker = Some(mk)))(
+      s => SimilaritySearch.compactIvfPqIndex(s, path))
   }
 
   /** [[maintainIvfIndex]] for the incremental SemDeDup artifact
@@ -1190,27 +1141,12 @@ object Streaming {
       iters: Int = 5,
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.SimilaritySearch
-    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
-    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val s = batch.sparkSession
-      if (!batch.isEmpty) {
-        applyIndexBatch(s, path, s"b$batchId-$sid") {
-          SimilaritySearch.buildSemDedupIndex(batch, idCol, vecCol, path,
-            k, threshold, iters, marker = Some(s"b$batchId-$sid"))
-        } {
-          SimilaritySearch.semDeDupIncremental(s, path, batch, idCol, vecCol,
-            marker = Some(s"b$batchId-$sid"))
-          ()
-        }
-        maybeCompact(s, path, compactEvery) {
-          SimilaritySearch.compactSemDedupIndex(s, path)
-        }
-      }
-    }
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch(step)
-      .start()
+    maintainChain(stream, path, checkpointDir, compactEvery)(
+      (b, m) => SimilaritySearch.buildSemDedupIndex(b, idCol, vecCol, path,
+        k, threshold, iters, marker = Some(m)))(
+      (b, m) => SimilaritySearch.applySemDedupBatch(b.sparkSession, path, b,
+        idCol, vecCol, marker = Some(m)))(
+      s => SimilaritySearch.compactSemDedupIndex(s, path))
   }
 
   /** [[maintainBm25Index]] for the perceptual image-hash index
@@ -1230,26 +1166,12 @@ object Streaming {
       checkpointDir: String,
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.multimodal.Multimodal
-    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
-    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val s = batch.sparkSession
-      if (!batch.isEmpty) {
-        applyIndexBatch(s, path, s"b$batchId-$sid") {
-          Multimodal.buildAHashIndex(batch, idCol, binCol, path,
-            marker = Some(s"b$batchId-$sid"))
-        } {
-          Multimodal.appendToAHashIndex(batch, idCol, binCol, path,
-            marker = Some(s"b$batchId-$sid"))
-        }
-        maybeCompact(s, path, compactEvery) {
-          Multimodal.compactAHashIndex(s, path, idCol)
-        }
-      }
-    }
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch(step)
-      .start()
+    maintainChain(stream, path, checkpointDir, compactEvery)(
+      (b, m) => Multimodal.buildAHashIndex(b, idCol, binCol, path,
+        marker = Some(m)))(
+      (b, m) => Multimodal.appendToAHashIndex(b, idCol, binCol, path,
+        marker = Some(m)))(
+      s => Multimodal.compactAHashIndex(s, path, idCol))
   }
 
   /** [[maintainAHashIndex]] with the crop/rescale-robust DCT hash
@@ -1265,26 +1187,12 @@ object Streaming {
       checkpointDir: String,
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.multimodal.Multimodal
-    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
-    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val s = batch.sparkSession
-      if (!batch.isEmpty) {
-        applyIndexBatch(s, path, s"b$batchId-$sid") {
-          Multimodal.buildPHashIndex(batch, idCol, binCol, path,
-            marker = Some(s"b$batchId-$sid"))
-        } {
-          Multimodal.appendToPHashIndex(batch, idCol, binCol, path,
-            marker = Some(s"b$batchId-$sid"))
-        }
-        maybeCompact(s, path, compactEvery) {
-          Multimodal.compactAHashIndex(s, path, idCol)
-        }
-      }
-    }
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch(step)
-      .start()
+    maintainChain(stream, path, checkpointDir, compactEvery)(
+      (b, m) => Multimodal.buildPHashIndex(b, idCol, binCol, path,
+        marker = Some(m)))(
+      (b, m) => Multimodal.appendToPHashIndex(b, idCol, binCol, path,
+        marker = Some(m)))(
+      s => Multimodal.compactAHashIndex(s, path, idCol))
   }
 
   /** [[maintainAHashIndex]]'s audio-envelope sibling
@@ -1300,26 +1208,12 @@ object Streaming {
       checkpointDir: String,
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.multimodal.Multimodal
-    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
-    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val s = batch.sparkSession
-      if (!batch.isEmpty) {
-        applyIndexBatch(s, path, s"b$batchId-$sid") {
-          Multimodal.buildAudioHashIndex(batch, idCol, binCol, path,
-            marker = Some(s"b$batchId-$sid"))
-        } {
-          Multimodal.appendToAudioHashIndex(batch, idCol, binCol, path,
-            marker = Some(s"b$batchId-$sid"))
-        }
-        maybeCompact(s, path, compactEvery) {
-          Multimodal.compactAHashIndex(s, path, idCol)
-        }
-      }
-    }
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch(step)
-      .start()
+    maintainChain(stream, path, checkpointDir, compactEvery)(
+      (b, m) => Multimodal.buildAudioHashIndex(b, idCol, binCol, path,
+        marker = Some(m)))(
+      (b, m) => Multimodal.appendToAudioHashIndex(b, idCol, binCol, path,
+        marker = Some(m)))(
+      s => Multimodal.compactAHashIndex(s, path, idCol))
   }
 
   /** Maintain the SHIFT-ROBUST audio subfingerprint index
@@ -1342,26 +1236,12 @@ object Streaming {
       w: Int = 4,
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.multimodal.Multimodal
-    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
-    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val s = batch.sparkSession
-      if (!batch.isEmpty) {
-        applyIndexBatch(s, path, s"b$batchId-$sid") {
-          Multimodal.buildAudioFpIndex(batch, idCol, binCol, path,
-            windowSamples, k, w, marker = Some(s"b$batchId-$sid"))
-        } {
-          Multimodal.appendToAudioFpIndex(batch, idCol, binCol, path,
-            windowSamples, k, w, marker = Some(s"b$batchId-$sid"))
-        }
-        maybeCompact(s, path, compactEvery) {
-          Multimodal.compactAudioFpIndex(s, path, idCol)
-        }
-      }
-    }
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch(step)
-      .start()
+    maintainChain(stream, path, checkpointDir, compactEvery)(
+      (b, m) => Multimodal.buildAudioFpIndex(b, idCol, binCol, path,
+        windowSamples, k, w, marker = Some(m)))(
+      (b, m) => Multimodal.appendToAudioFpIndex(b, idCol, binCol, path,
+        windowSamples, k, w, marker = Some(m)))(
+      s => Multimodal.compactAudioFpIndex(s, path, idCol))
   }
 
   /** Maintain the video SCENE index
@@ -1385,26 +1265,12 @@ object Streaming {
       sceneMaxHamming: Int = 16,
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.multimodal.Multimodal
-    val sid = streamMarkerId(stream.sparkSession, checkpointDir)
-    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val s = batch.sparkSession
-      if (!batch.isEmpty) {
-        applyIndexBatch(s, path, s"b$batchId-$sid") {
-          Multimodal.buildSceneIndex(batch, idCol, frameIdxCol, frameBinCol,
-            path, sceneMaxHamming, marker = Some(s"b$batchId-$sid"))
-        } {
-          Multimodal.appendToSceneIndex(batch, idCol, frameIdxCol, frameBinCol,
-            path, sceneMaxHamming, marker = Some(s"b$batchId-$sid"))
-        }
-        maybeCompact(s, path, compactEvery) {
-          Multimodal.compactSceneIndex(s, path, idCol)
-        }
-      }
-    }
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch(step)
-      .start()
+    maintainChain(stream, path, checkpointDir, compactEvery)(
+      (b, m) => Multimodal.buildSceneIndex(b, idCol, frameIdxCol, frameBinCol,
+        path, sceneMaxHamming, marker = Some(m)))(
+      (b, m) => Multimodal.appendToSceneIndex(b, idCol, frameIdxCol,
+        frameBinCol, path, sceneMaxHamming, marker = Some(m)))(
+      s => Multimodal.compactSceneIndex(s, path, idCol))
   }
 
   /** RETRIEVAL-BASED decontamination gate, hybrid and STATELESS: flag

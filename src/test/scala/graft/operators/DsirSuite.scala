@@ -204,6 +204,35 @@ class DsirSuite extends SparkSpec {
     assert(unk.getLong(0) == 5L && unk.isNullAt(1))
   }
 
+  test("null groups: dropped from profiles, gate fails closed, scorer uniform") {
+    val withNull = gcorpus.unionByName(
+      Seq((9L, null.asInstanceOf[String], "mystery words here"))
+        .toDF("doc_id", "lang", "text"))
+    val tp = Dsir.ngramProfileByGroup(withNull.filter($"doc_id" % 2 === 1),
+      "text", "lang", B)
+    val rp = Dsir.ngramProfileByGroup(withNull, "text", "lang", B)
+    // a null-group doc contributes to NO group's model
+    assert(tp.filter($"grp".isNull).count() == 0)
+    assert(rp.filter($"grp".isNull).count() == 0)
+    // the in-row map loads (no null key) and the null-group row fails
+    // closed: null logw
+    val ratios = Dsir.ratioMaps(tp, rp, B)
+    val nullRow = withNull.filter($"doc_id" === 9L)
+      .select(Dsir.scoreInRowByGroup($"text", $"lang", ratios, B).as("s"))
+      .select($"s.logw").head
+    assert(nullRow.isNullAt(0))
+    // the batch scorer still scores it — under the uniform model
+    val sc = Dsir.importanceScoreByGroup(
+      withNull, "doc_id", "text", "lang", tp, rp, B)
+    assert(sc.filter($"doc_id" === 9L).count() == 1)
+    // hand-built profiles with a null group are rejected loudly
+    intercept[IllegalArgumentException] {
+      Dsir.ratioMaps(
+        tp.unionByName(Seq((null.asInstanceOf[String], 0L, 1L))
+          .toDF("grp", "bucket", "cnt")), rp, B)
+    }
+  }
+
   test("per-group persisted model: build + append round-trips the profiles") {
     val idx = java.nio.file.Files.createTempDirectory("graft_dsir_grp_").toString
     Dsir.buildDsirIndexByGroup(gtarget, "text", "lang",
