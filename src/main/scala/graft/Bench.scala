@@ -25,7 +25,7 @@ object Bench {
     "pack_sequences_bfd",
     "tokenize_bpe_ids",
     "dedup_embedding", "ann_topk", "cluster_embeddings", "semdedup_embeddings",
-    "semdedup_incremental", "stream_maintained_semdedup",
+    "semdedup_incremental", "semdedup_deleted", "stream_maintained_semdedup",
     "mmr_rerank", "mine_hard_negatives",
     "mine_hard_negatives_ivf", "ann_topk_pq", "ann_topk_ivf_pq_search",
     "ann_topk_ivf_pq_meta",
@@ -127,7 +127,7 @@ object Bench {
         "stream_hybrid_decontaminate",
         "stream_dsir_gate", "dsir_score_appended",
         "dsir_score_deleted", "stream_dsir_gate_by_lang", "ann_index_drift",
-        "dsir_score_by_lang_deleted")
+        "dsir_score_by_lang_deleted", "semdedup_deleted")
       .filter(SparkEntry.queries.contains)
       .foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).count()

@@ -924,6 +924,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(!col("kept"), lit(1L)).otherwise(lit(0L))).as("n_removed"))
     }),
+    "semdedup_deleted" -> ((s, dir) => {
+      // SemDeDup TAKEDOWN lifecycle: semdedup_incremental's chain, then
+      // every vec_id % 10 == 0 row tombstoned (one immutable segment;
+      // the model tables ride in it so later batches still resolve) —
+      // removed members leave every view and each affected component's
+      // keeper RE-ELECTS among the survivors at read, no rewrite. The
+      // deterministic end state pins as a per-cluster histogram at
+      // sf0.01, the trained-operator constant pattern.
+      val e = t(s, dir, "embeddings")
+      val idx = scratch("semdd_del_idx", dir)
+      if (!graft.sources.IndexIO.exists(s, idx)) {
+        SimilaritySearch.buildSemDedupIndex(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idx, k = 8, threshold = 0.45)
+        SimilaritySearch.semDeDupIncremental(s, idx,
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        SimilaritySearch.deleteFromSemDedupIndex(s, idx,
+          e.filter(col("vec_id") % 10 === 0).select("vec_id"), "vec_id")
+      }
+      SimilaritySearch.semDedupIndexStatus(s, idx)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("kept"), lit(1L)).otherwise(lit(0L))).as("n_removed"))
+    }),
     "stream_maintained_semdedup" -> ((s, dir) => {
       // the same lifecycle DRIVEN BY A REAL STREAM: batch 1 (the even
       // half) bootstraps the blocking model, batches 2–3 split the odd
@@ -5079,6 +5102,20 @@ object SparkEntry {
           |  (5, CAST(63 AS BIGINT), CAST(3 AS BIGINT)),
           |  (6, CAST(55 AS BIGINT), CAST(0 AS BIGINT)),
           |  (7, CAST(63 AS BIGINT), CAST(1 AS BIGINT)))
+          |  AS t(cluster, n_docs, n_removed)""".stripMargin,
+      // the takedown state: 450 live members (the 50 vec_id % 10 = 0
+      // rows tombstoned out of semdedup_incremental's 500), keepers
+      // re-elected among survivors — deterministic, pinned at sf0.01
+      "semdedup_deleted" ->
+        """SELECT * FROM (VALUES
+          |  (0, CAST(53 AS BIGINT), CAST(1 AS BIGINT)),
+          |  (1, CAST(66 AS BIGINT), CAST(0 AS BIGINT)),
+          |  (2, CAST(49 AS BIGINT), CAST(0 AS BIGINT)),
+          |  (3, CAST(71 AS BIGINT), CAST(1 AS BIGINT)),
+          |  (4, CAST(51 AS BIGINT), CAST(0 AS BIGINT)),
+          |  (5, CAST(56 AS BIGINT), CAST(3 AS BIGINT)),
+          |  (6, CAST(49 AS BIGINT), CAST(0 AS BIGINT)),
+          |  (7, CAST(55 AS BIGINT), CAST(1 AS BIGINT)))
           |  AS t(cluster, n_docs, n_removed)""".stripMargin,
       // the stream-maintained form (bootstrap + 2 odd micro-batches):
       // identical end state by split invariance — shared oracle IS the

@@ -562,10 +562,18 @@ object SimilaritySearch {
     */
   private def resolvedSemDedupMembers(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val members = graft.sources.IndexIO.chainTable(spark, path, "members")
-      .getOrElse(throw new IllegalStateException(
-        s"SemDeDup index at $path has no members table"))
-      .drop("__seg")
+    // takedowns ([[deleteFromSemDedupIndex]]) anti-join here, BEFORE
+    // the remap fold and the keeper recompute: a removed member leaves
+    // every downstream view (status, compaction, the batch×member pair
+    // search), and the keep-the-atypical rule re-elects among the
+    // survivors with no segment rewrite. Log-ordered like every chain
+    // tombstone: re-appending an id later resurrects it.
+    val members = graft.sources.IndexIO.withoutTombstoned(
+      graft.sources.IndexIO.chainTable(spark, path, "members")
+        .getOrElse(throw new IllegalStateException(
+          s"SemDeDup index at $path has no members table")),
+      graft.sources.IndexIO.chainTable(spark, path, "tombstones"),
+      "neighbor_id")
     val conf = spark.sparkContext.hadoopConfiguration
     val remaps = graft.sources.IndexIO.segments(spark, path).flatMap { s =>
       val p = new org.apache.hadoop.fs.Path(s, "remaps")
@@ -695,10 +703,38 @@ object SimilaritySearch {
         (col("neighbor_id") === col("__keep")).as("kept"))
   }
 
+  /** Takedown tombstones for a SemDeDup artifact: the deleted ids stop
+    * existing in every downstream view — [[semDedupIndexStatus]] drops
+    * their rows and RE-ELECTS each affected component's keeper among
+    * the survivors (the keep-the-atypical rule recomputes at read, so
+    * removing a keeper needs no rewrite), and later
+    * [[applySemDedupBatch]] batches no longer pair against them. One
+    * immutable tombstone segment; log-ordered, so re-appending an id
+    * afterwards resurrects it; [[compactSemDedupIndex]] drops
+    * tombstoned members physically and retires the tombstones.
+    */
+  def deleteFromSemDedupIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String): Unit = {
+    val vdir = graft.sources.IndexIO.resolve(spark, path)
+    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+      // the model tables ride in EVERY segment (the deleteFromAnnIndex
+      // rule), so later appends/compactions resolve them from the
+      // latest version dir even when that version is this takedown
+      for (t <- Seq("centroids", "meta"))
+        spark.read.parquet(s"$vdir/$t").repartition(1)
+          .write.mode("overwrite").parquet(s"$seg/$t")
+      ids.select(col(idCol).cast("long").as("neighbor_id")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/tombstones")
+    }
+    ()
+  }
+
   /** Collapse a [[semDeDupIncremental]] chain to ONE segment: members
     * rewritten with their RESOLVED labels, remap tables retired,
-    * centroids/meta carried forward. Serving state is identical by
-    * construction; applied-batch markers survive (full publish).
+    * tombstoned members dropped PHYSICALLY (the tombstones retire with
+    * them), centroids/meta carried forward. Serving state is identical
+    * by construction; applied-batch markers survive (full publish).
     */
   def compactSemDedupIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {

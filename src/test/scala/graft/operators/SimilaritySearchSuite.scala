@@ -326,6 +326,56 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(graft.sources.IndexIO.resolve(spark, dir3) == v0)
   }
 
+  test("SemDeDup takedowns: keeper re-election, delete-then-append, compact retires") {
+    import java.nio.file.Files
+    def v(deg: Double): Array[Double] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r), math.sin(r), 0.0, 0.0)
+    }
+    val baseA = Seq(
+      1L -> v(0), 2L -> v(10), 4L -> v(30), 5L -> v(36),
+      10L -> v(90), 11L -> v(96), 13L -> v(99))
+    val batchB = Seq(3L -> v(20), 50L -> v(60), 12L -> v(110))
+    val dir = Files.createTempDirectory("semdd_del").toString
+    SimilaritySearch.buildSemDedupIndex(baseA.toDF("id", "emb"), "id", "emb",
+      dir, k = 2, threshold = 0.95)
+    SimilaritySearch.semDeDupIncremental(spark, dir,
+      batchB.toDF("id", "emb"), "id", "emb")
+    def status() = SimilaritySearch.semDedupIndexStatus(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.toString.toLong), r.getBoolean(4))).toMap
+    assert(status()(12L)._2, "110° is the Y keeper pre-takedown")
+    // takedown of the Y KEEPER: the row vanishes from every view and
+    // the keep-the-atypical rule RE-ELECTS among the survivors — no
+    // segment rewrite
+    SimilaritySearch.deleteFromSemDedupIndex(spark, dir,
+      Seq(12L).toDF("id"), "id")
+    val afterDel = status()
+    assert(!afterDel.contains(12L))
+    assert(afterDel.size == 9)
+    assert(afterDel(10L)._2, "keeper re-elects to the 90° survivor")
+    // delete-then-append composes: the tombstone segment carries the
+    // model tables, so a NEW batch still resolves against the chain
+    SimilaritySearch.semDeDupIncremental(spark, dir,
+      Seq(60L -> v(160)).toDF("id", "emb"), "id", "emb")
+    val afterNew = status()
+    assert(afterNew(60L)._1.isEmpty && afterNew(60L)._2, "fresh singleton")
+    // re-appending the tombstoned id RESURRECTS it (log-ordered) and
+    // the keeper transfers back to the most atypical member
+    SimilaritySearch.semDeDupIncremental(spark, dir,
+      Seq(12L -> v(110)).toDF("id", "emb"), "id", "emb")
+    val afterRes = status()
+    assert(afterRes(12L)._1.contains(10L) && afterRes(12L)._2)
+    assert(!afterRes(10L)._2)
+    // compaction drops tombstoned members physically and retires the
+    // tombstones; the served state is identical across the collapse
+    val before = SimilaritySearch.semDedupIndexStatus(spark, dir).orderBy("id")
+    SimilaritySearch.compactSemDedupIndex(spark, dir)
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1)
+    assertSameRows(before,
+      SimilaritySearch.semDedupIndexStatus(spark, dir).orderBy("id"))
+  }
+
   test("IVF top-k: exact cosines, deterministic, decent recall on clustered data") {
     val rnd = new scala.util.Random(31)
     // 4 well-separated clusters of 30 vectors each
