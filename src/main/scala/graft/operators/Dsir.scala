@@ -303,9 +303,12 @@ object Dsir {
     * buys is chain LISTING cost (segment count, not data volume — the
     * profile is ≤ `buckets` rows regardless), so the maintainers run
     * it on a segment-count cadence. Fails loudly on a negative summed
-    * bucket (retraction of never-appended data). Handles BOTH artifact
-    * layouts — ungrouped ([[buildDsirIndex]]) and per-group
-    * ([[buildDsirIndexByGroup]]), branching on the stored schema.
+    * bucket (retraction of never-appended data) — the
+    * [[failOnNegativeCnt]] guard rides the profile and fires inside
+    * the same pass that materializes the compacted raw table, no
+    * separate probe job. Handles BOTH artifact layouts — ungrouped
+    * ([[buildDsirIndex]]) and per-group ([[buildDsirIndexByGroup]]),
+    * branching on the stored schema.
     */
   def compactDsirIndex(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
@@ -316,11 +319,6 @@ object Dsir {
     val (tp, rp) =
       if (grouped) dsirIndexProfilesByGroup(spark, path)
       else dsirIndexProfiles(spark, path)
-    val neg = rp.filter(col("cnt") < 0).limit(1).collect()
-    require(neg.isEmpty,
-      s"compactDsirIndex: bucket ${neg.headOption.map(_.toString)} has a " +
-        s"negative summed count at $path — a retraction removed data the " +
-        "model never saw; rebuild from the true corpus")
     graft.sources.IndexIO.publish(spark, path) { nv =>
       tp.coalesce(1).write.mode("overwrite").parquet(s"$nv/target")
       rp.coalesce(1).write.mode("overwrite").parquet(s"$nv/raw")
@@ -361,8 +359,26 @@ object Dsir {
         s"DSIR model at $path has no raw profile"))
       .groupBy("bucket").agg(sum("cnt").as("cnt"))
       .filter(col("cnt") =!= 0)
-    (tp, rp)
+    (tp, failOnNegativeCnt(rp, path, Seq("bucket")))
   }
+
+  /** Row-level over-retraction guard on a summed profile: a negative
+    * bucket (a [[deleteFromDsirIndex]] retraction of data the model
+    * never appended) raises at EVALUATION time, so every consumer of
+    * the profile — batch scoring via [[importanceScore]]/
+    * [[importanceScoreByGroup]], the dense loaders, AND the pass that
+    * materializes a compaction — fails loudly instead of feeding
+    * `ln(non-positive)` NaN into `logw`. Costs one `when` over a
+    * ≤ `groups × buckets`-row frame.
+    */
+  private def failOnNegativeCnt(
+      profile: DataFrame, path: String, keyCols: Seq[String]): DataFrame =
+    profile.withColumn("cnt",
+      when(col("cnt") >= 0L, col("cnt")).otherwise(raise_error(format_string(
+        s"DSIR model at $path: profile row (%s) has negative summed " +
+          "count %s — a retraction removed data the model never saw; " +
+          "rebuild from the true corpus",
+        concat_ws(", ", keyCols.map(col): _*), col("cnt")))))
 
   /** Load a persisted model's dense serving ratio (the
     * [[ratioArray]] of its profiles) + bucket count — what
@@ -576,7 +592,7 @@ object Dsir {
         s"DSIR model at $path has no raw profile"))
       .groupBy("grp", "bucket").agg(sum("cnt").as("cnt"))
       .filter(col("cnt") =!= 0)
-    (tp, rp)
+    (tp, failOnNegativeCnt(rp, path, Seq("grp", "bucket")))
   }
 
   /** Dense per-group serving ratios: group → the group's

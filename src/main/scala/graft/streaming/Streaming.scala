@@ -803,39 +803,61 @@ object Streaming {
       } finally in.close()
     }
     // generation ids are EXACTLY 16 chars, so the race loser can tell a
-    // complete file from one the winner has created but not yet
-    // written/flushed — adopting a truncated id would silently fork the
-    // marker namespace, the exact failure this file exists to prevent
-    def readGenComplete(): String = {
+    // complete file from one mid-publication — adopting a truncated id
+    // would silently fork the marker namespace, the exact failure this
+    // file exists to prevent. Returns None on expiry instead of
+    // throwing: a short file that never completes is pre-atomic-rename
+    // debris (a writer that crashed between create and write under the
+    // old non-atomic protocol), and the caller RECLAIMS it rather than
+    // bricking every future query start on this checkpoint.
+    def readGenComplete(): Option[String] = {
       var attempt = 0
       while (attempt < 100) {
         if (fs.exists(p)) {
           val g = readGen()
-          if (g.length == 16) return g
+          if (g.length == 16) return Some(g)
         }
         attempt += 1
         Thread.sleep(50)
       }
-      throw new IllegalStateException(
-        s"streamMarkerId: generation file at $p never became complete")
+      None
     }
-    if (fs.exists(p)) readGenComplete()
-    else {
-      val gen = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
-      fs.mkdirs(p.getParent)
-      // two queries first-starting on the same checkpoint race the
-      // exclusive create; the loser adopts the winner's generation
-      // instead of crashing the stream (waiting out the winner's write)
-      try {
-        val out = fs.create(p, false)
-        try out.write(gen.getBytes("UTF-8")) finally out.close()
-        gen
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          readGenComplete()
-        case _: java.io.IOException if fs.exists(p) => readGenComplete()
-      }
+    var adopted: Option[String] = None
+    var round = 0
+    while (adopted.isEmpty && round < 3) {
+      round += 1
+      adopted =
+        if (fs.exists(p)) {
+          val r = readGenComplete()
+          // permanently-incomplete file: delete and fall through to a
+          // fresh atomic publication on the next round
+          if (r.isEmpty) fs.delete(p, false)
+          r
+        } else {
+          val gen = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+          fs.mkdirs(p.getParent)
+          // write the FULL id to a temp file, then atomically rename it
+          // into place (no-overwrite) — the generation file is either
+          // absent or complete, never short. Two queries first-starting
+          // on the same checkpoint race the rename; the loser adopts
+          // the winner's generation on the next round.
+          val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.$gen")
+          val out = fs.create(tmp, true)
+          try out.write(gen.getBytes("UTF-8")) finally out.close()
+          try {
+            org.apache.hadoop.fs.FileContext
+              .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+              .rename(tmp, p)
+            Some(gen)
+          } catch {
+            case _: java.io.IOException =>
+              fs.delete(tmp, false)
+              None // winner's file is in place (or appearing) — re-read
+          }
+        }
     }
+    adopted.getOrElse(throw new IllegalStateException(
+      s"streamMarkerId: generation file at $p never became complete"))
   }
 
   /** Apply ONE stream micro-batch to a persisted index EXACTLY ONCE:

@@ -162,8 +162,24 @@ class DsirSuite extends SparkSpec {
     Dsir.buildDsirIndex(target, "text", target, "text", B, idx)
     // doc 4's grams were never in the raw chain: counts go negative
     Dsir.deleteFromDsirIndex(corpus.filter($"doc_id" === 4L), "text", idx)
-    intercept[IllegalArgumentException] { Dsir.loadDsirRatio(spark, idx) }
-    intercept[IllegalArgumentException] { Dsir.compactDsirIndex(spark, idx) }
+    def failsLoudly(action: => Unit): Unit = {
+      val e = intercept[Exception] { action }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("negative summed count"), s"unexpected: $msgs")
+    }
+    failsLoudly { Dsir.loadDsirRatio(spark, idx) }
+    failsLoudly { Dsir.compactDsirIndex(spark, idx) }
+    // the BATCH serving path fails at evaluation too (the row-level
+    // guard rides dsirIndexProfiles): scoring against the over-retracted
+    // profile must never silently feed ln(non-positive) into logw
+    failsLoudly {
+      val (tp, rp) = Dsir.dsirIndexProfiles(spark, idx)
+      Dsir.importanceScore(corpus, "doc_id", "text", tp, rp, B).collect()
+    }
+    // compact failed BEFORE the pointer flip: the index still resolves
+    // and still refuses to serve (no partial version was adopted)
+    failsLoudly { Dsir.dsirIndexProfiles(spark, idx)._2.collect() }
   }
 
   test("importanceScoreByGroup == the ungrouped scorer run per group") {
@@ -294,6 +310,18 @@ class DsirSuite extends SparkSpec {
     // the in-row serving maps load across the compact (non-negative)
     val (ratios, b) = Dsir.loadDsirRatioByGroup(spark, idx)
     assert(b == B && ratios.keySet == Set("en", "es"))
+    // over-retract: deleting the full remainder TWICE drives every
+    // occupied bucket negative — the grouped BATCH serving path fails
+    // at evaluation with the offending (grp, bucket) named, same guard
+    // as the ungrouped form
+    Dsir.deleteFromDsirIndexByGroup(remaining, "text", "lang", idx)
+    Dsir.deleteFromDsirIndexByGroup(remaining, "text", "lang", idx)
+    val e = intercept[Exception] {
+      Dsir.dsirIndexProfilesByGroup(spark, idx)._2.collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("negative summed count"), s"unexpected: $msgs")
   }
 
   test("resampleTopKPerGroup: k per group, deterministic, exact gumbel keys") {

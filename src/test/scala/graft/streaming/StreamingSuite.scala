@@ -1154,6 +1154,31 @@ class StreamingSuite extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("incomplete generation file (crashed writer debris) is reclaimed, not fatal") {
+    import graft.operators.Search
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_genshort_idx_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_genshort_ck_").toString
+    // simulate the legacy (pre-atomic-rename) failure: a writer that
+    // crashed between create and write left a permanently EMPTY
+    // generation file — every query start used to spin out and throw
+    val p = new org.apache.hadoop.fs.Path(ckpt, "_graft_marker_generation")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.maintainBm25Index(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckpt)
+    try { in.addData((1L, "alpha beta")); q.processAllAvailable() }
+    finally q.stop()
+    // the debris was reclaimed and replaced by a COMPLETE 16-char id
+    val sin = fs.open(p)
+    val gen = try scala.io.Source.fromInputStream(sin, "UTF-8").mkString.trim
+      finally sin.close()
+    assert(gen.length == 16, s"generation file still incomplete: '$gen'")
+    assert(Search.bm25SearchIndex(spark, idx, Seq("alpha"), k = 5)
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("maintainDsirIndex: stream-built chain == one-shot profile, one marker per batch") {
     import graft.operators.Dsir
     implicit val sqlCtx = spark.sqlContext
