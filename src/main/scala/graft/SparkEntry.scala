@@ -466,6 +466,64 @@ object SparkEntry {
             .select(col("click_id"), col("view_id"), col("click_us"), col("view_us"))
       }
     }),
+    "asof_join_left" -> ((s, dir) => {
+      // LEFT-OUTER merge_asof (pandas semantics): every click survives;
+      // clicks before the first view carry null view columns. DuckDB's
+      // native ASOF LEFT JOIN is the oracle; nullable longs are
+      // sentinel-coalesced to -1 on BOTH sides (dtype-stable compare).
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("ts").as("view_ts")).agg(max(col("event_id")).as("view_id"))
+      AsOfJoin.unbounded(clicks, views, rightId = "view_id",
+          leftOn = Some("click_ts"), rightOn = Some("view_ts"),
+          joinType = "left")
+        .select(col("click_id"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          coalesce(unix_micros(col("view_ts")), lit(-1L)).as("view_us"))
+    }),
+    "asof_join_left_by" -> ((s, dir) => {
+      // grouped LEFT-OUTER merge_asof (by=user): clicks by users with no
+      // earlier view keep their row with null view columns — the
+      // enrichment shape where dropping unmatched events would silently
+      // change downstream counts. DuckDB ASOF LEFT JOIN + equality.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id"))
+        .groupBy("user_id", "view_ts")
+        .agg(max(col("event_id")).as("view_id"))
+      AsOfJoin.unbounded(clicks, views, rightId = "view_id",
+          leftOn = Some("click_ts"), rightOn = Some("view_ts"),
+          by = Seq("user_id"), joinType = "left")
+        .select(col("click_id"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"),
+          col("user_id_x").as("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          coalesce(unix_micros(col("view_ts")), lit(-1L)).as("view_us"))
+    }),
+    "asof_join_left_tol" -> ((s, dir) => {
+      // LEFT-OUTER as-of WITH tolerance (the banded AsOfJoin.time plan
+      // run as a left-outer hash join): clicks with no view within 120s
+      // survive with null view columns. The oracle replays the full
+      // candidate band + best-pick window in SQL over a LEFT JOIN.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("ts").as("view_ts")).agg(max(col("event_id")).as("view_id"))
+      AsOfJoin.time(clicks, views, Duration.ofSeconds(120), rightId = "view_id",
+          leftOn = Some("click_ts"), rightOn = Some("view_ts"),
+          joinType = "left")
+        .select(col("click_id"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"),
+          coalesce(abs(unix_micros(col("click_ts")) - unix_micros(col("view_ts"))),
+            lit(-1L)).as("delta_us"))
+    }),
     // ---- interval (range-overlap) join ------------------------------------
     "interval_join_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -4411,6 +4469,39 @@ object SparkEntry {
           |           FROM events WHERE event_type = 'view' GROUP BY 1)
           |SELECT c.click_id, v.view_id, c.click_us, v.view_us
           |FROM c ASOF JOIN v ON c.click_us >= v.view_us""".stripMargin,
+      "asof_join_left" ->
+        """WITH c AS (SELECT event_id AS click_id, epoch_us(ts) AS click_us
+          |           FROM events WHERE event_type = 'click'),
+          |     v AS (SELECT epoch_us(ts) AS view_us, max(event_id) AS view_id
+          |           FROM events WHERE event_type = 'view' GROUP BY 1)
+          |SELECT c.click_id, COALESCE(v.view_id, -1) AS view_id,
+          |       c.click_us, COALESCE(v.view_us, -1) AS view_us
+          |FROM c ASOF LEFT JOIN v ON c.click_us >= v.view_us""".stripMargin,
+      "asof_join_left_by" ->
+        """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+          |           FROM events WHERE event_type = 'click'),
+          |     v AS (SELECT user_id, epoch_us(ts) AS view_us, max(event_id) AS view_id
+          |           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+          |SELECT c.click_id, COALESCE(v.view_id, -1) AS view_id, c.user_id,
+          |       c.click_us, COALESCE(v.view_us, -1) AS view_us
+          |FROM c ASOF LEFT JOIN v
+          |ON c.user_id = v.user_id AND c.click_us >= v.view_us""".stripMargin,
+      "asof_join_left_tol" ->
+        """WITH c AS (SELECT event_id AS click_id, epoch_us(ts) AS click_us
+          |           FROM events WHERE event_type = 'click'),
+          |     v AS (SELECT epoch_us(ts) AS view_us, max(event_id) AS view_id
+          |           FROM events WHERE event_type = 'view' GROUP BY 1),
+          |     cand AS (
+          |       SELECT c.click_id, v.view_id,
+          |              abs(c.click_us - v.view_us) AS delta_us,
+          |              row_number() OVER (
+          |                PARTITION BY c.click_id
+          |                ORDER BY abs(c.click_us - v.view_us), v.view_us, v.view_id
+          |              ) AS rn
+          |       FROM c LEFT JOIN v ON abs(c.click_us - v.view_us) <= 120000000)
+          |SELECT click_id, COALESCE(view_id, -1) AS view_id,
+          |       COALESCE(delta_us, -1) AS delta_us
+          |FROM cand WHERE rn = 1""".stripMargin,
       "interval_join_orders" ->
         """SELECT o_orderkey, l_orderkey, l_linenumber
           |FROM orders, lineitem

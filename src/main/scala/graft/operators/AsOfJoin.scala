@@ -21,12 +21,21 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * Ties break deterministically: smaller |Δ| first, then earlier right
   * timestamp, then smallest `rightId`.
   *
+  * Join type: `"inner"` (default) drops left rows with no right row in
+  * the band; `"left"` keeps them with null right columns — pandas
+  * `merge_asof` semantics (every left row survives exactly once,
+  * including left rows whose join key is null).
+  *
   * == Scale design ==
   * Same bucketed-equi-join rewrite as [[FuzzyJoin]] (candidates land in
   * adjacent `floor(epoch_us / tol)` buckets), then a per-left-row window
   * (`row_number` over the left row id) keeps the best candidate. Both
   * stages are shuffle-partitioned: candidates per left row are bounded by
-  * the band width, so the window partitions are tiny and skew-free.
+  * the band width, so the window partitions are tiny and skew-free. The
+  * left form rides the SAME plan — the candidate join just runs as a
+  * left-outer hash join (an unmatched left row surfaces once with null
+  * right columns and trivially wins its own window), no extra shuffle or
+  * anti-join pass.
   */
 object AsOfJoin {
 
@@ -60,9 +69,12 @@ object AsOfJoin {
       rightOn: Option[String] = None,
       direction: String = "nearest",
       by: Seq[String] = Nil,
-      suffixes: (String, String) = ("_x", "_y")): DataFrame = {
+      suffixes: (String, String) = ("_x", "_y"),
+      joinType: String = "inner"): DataFrame = {
     require(Set("nearest", "backward", "forward")(direction),
       s"direction must be nearest|backward|forward, got $direction")
+    require(Set("inner", "left")(joinType),
+      s"joinType must be inner|left, got $joinType")
     val tolUs = tol.toNanos / 1000L
     require(tolUs > 0, s"tolerance must be >= 1 microsecond, got $tol")
     val cols = JoinSpec.resolve(on, leftOn, rightOn)
@@ -70,7 +82,13 @@ object AsOfJoin {
     JoinSpec.requireColumn(right, cols.rightCol, "right")
     val (byL, byR) = byCols(left, right, by, suffixes)
 
-    val lf = left.filter(col(cols.leftCol).isNotNull).withColumn(RID, monotonically_increasing_id())
+    // a left join keeps null-key left rows (they surface unmatched); the
+    // inner form prunes them before the shuffle, like the reference's
+    // NaN pre-filter (pandance/pandance.py:265-312)
+    val lPruned =
+      if (joinType == "left") left
+      else left.filter(col(cols.leftCol).isNotNull)
+    val lf = lPruned.withColumn(RID, monotonically_increasing_id())
     val rf = right.filter(col(cols.rightCol).isNotNull)
     val (l, r, c) = JoinSpec.applySuffixes(lf, rf, cols, suffixes)
     val ridCol = if (l.columns.contains(RID)) RID else RID + suffixes._1
@@ -94,8 +112,11 @@ object AsOfJoin {
     val byMatch = byL.zip(byR)
       .map { case (a, b) => col(a) === col(b) }
       .foldLeft(lit(true))(_ && _)
+    // the left-outer form emits an unmatched left row ONCE with null
+    // right columns — it is the only row in its rid window, so the
+    // row_number pass below passes it through untouched
     val cands = lb
-      .join(rb, col("__graft_bl") === col("__graft_br") && byMatch && inBand, "inner")
+      .join(rb, col("__graft_bl") === col("__graft_br") && byMatch && inBand, joinType)
       .withColumn(DELTA, abs(signedDelta))
 
     val w = Window
@@ -127,7 +148,13 @@ object AsOfJoin {
     * No shuffle moves more than the data once; the carry frame is one
     * row per partition. Ties on the timestamp break to the LARGEST
     * `rightId` for backward and the SMALLEST for forward
-    * (deterministic). Inner semantics: left rows with no match drop.
+    * (deterministic). `joinType = "inner"` (default) drops left rows
+    * with no match; `"left"` keeps every left row — unmatched ones
+    * (including null-timestamp / null-`by` rows, which skip the shuffle
+    * entirely) surface once with null right columns, pandas
+    * `merge_asof` / DuckDB `ASOF LEFT JOIN` semantics. The left form is
+    * the SAME plan: the match filter just relaxes, and the skipped-row
+    * leg is a shuffle-free scan unioned onto the output.
     */
   def unbounded(
       left: DataFrame,
@@ -138,18 +165,20 @@ object AsOfJoin {
       rightOn: Option[String] = None,
       direction: String = "backward",
       by: Seq[String] = Nil,
-      suffixes: (String, String) = ("_x", "_y")): DataFrame = {
+      suffixes: (String, String) = ("_x", "_y"),
+      joinType: String = "inner"): DataFrame = {
     require(Set("backward", "forward")(direction),
       s"direction must be backward|forward, got $direction")
+    require(Set("inner", "left")(joinType),
+      s"joinType must be inner|left, got $joinType")
     val backward = direction == "backward"
     val cols = JoinSpec.resolve(on, leftOn, rightOn)
     JoinSpec.requireColumn(left, cols.leftCol, "left")
     JoinSpec.requireColumn(right, cols.rightCol, "right")
     JoinSpec.requireColumn(right, rightId, "right")
     val (byL, byR) = byCols(left, right, by, suffixes)
-    val lf = left.filter(col(cols.leftCol).isNotNull)
     val rf = right.filter(col(cols.rightCol).isNotNull)
-    val (l, r, c) = JoinSpec.applySuffixes(lf, rf, cols, suffixes)
+    val (l, r, c) = JoinSpec.applySuffixes(left, rf, cols, suffixes)
     val idOut = if (r.columns.contains(rightId)) rightId else rightId + suffixes._2
     require(l.schema(c.leftCol).dataType == r.schema(c.rightCol).dataType,
       s"as-of join columns must share a type, got " +
@@ -172,8 +201,12 @@ object AsOfJoin {
     val tieType = r.schema(idOut).dataType
 
     // group keys are normalized to K(i) on both sides so the union
-    // aligns; null keys drop (inner equi semantics, like pandas `by=`)
-    val lT = l.filter(byL.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
+    // aligns; null-ts / null-key rows can never match, so they skip the
+    // shuffle — the inner form drops them, the left form re-unions them
+    // below with null right columns
+    val lValid = col(c.leftCol).isNotNull &&
+      byL.map(col(_).isNotNull).foldLeft(lit(true))(_ && _)
+    val lT = l.filter(lValid)
       .select(byL.map(col).zip(K).map { case (cc, k) => cc.as(k) } ++ Seq(
         col(c.leftCol).as(TS), lit(1).as(TAG), lit(null).cast(tieType).as(TIE),
         struct(l.columns.map(col).toIndexedSeq: _*).as(LROW),
@@ -244,14 +277,28 @@ object AsOfJoin {
     // grouped carry is O(groups crossing a boundary) and joins back on
     // (pid, keys), so the planner picks (AQE broadcasts when small)
     val carryJ = if (K.isEmpty) broadcast(carry) else carry
+    // the left form keeps unmatched left rows: field access on the null
+    // match struct yields the null right columns
+    val matchFilter =
+      if (joinType == "inner") col(TAG) === 1 && col("__graft_match").isNotNull
+      else col(TAG) === 1
     val matched = withIn.join(carryJ, PID +: K, "left")
       .withColumn("__graft_match",
         coalesce(col("__graft_within"), col("__graft_carry")))
-      .filter(col(TAG) === 1 && col("__graft_match").isNotNull)
+      .filter(matchFilter)
     val outCols =
       l.columns.map(n => col(s"$LROW.`$n`").as(n)) ++
         r.columns.map(n => col(s"__graft_match.`$n`").as(n))
-    matched.select(outCols.toIndexedSeq: _*)
+    val base = matched.select(outCols.toIndexedSeq: _*)
+    if (joinType == "inner") base
+    else {
+      // null-ts / null-key left rows never entered the shuffle; they
+      // rejoin here with null right columns (one shuffle-free scan)
+      val skipped = l.filter(!coalesce(lValid, lit(false)))
+        .select((l.columns.map(col) ++ r.schema.fields.map(f =>
+          lit(null).cast(f.dataType).as(f.name))).toIndexedSeq: _*)
+      base.unionByName(skipped)
+    }
   }
 
   /** INTERPOLATING as-of enrichment — the time-series alignment step

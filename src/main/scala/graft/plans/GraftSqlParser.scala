@@ -216,9 +216,12 @@ object GraftSqlParser {
   // ASOF JOIN (DuckDB-compatible surface for AsOfJoin.unbounded):
   //
   //   SELECT ... FROM l ASOF JOIN r ON l.ts >= r.ts ...
+  //   SELECT ... FROM l ASOF LEFT JOIN r ON l.ts >= r.ts ...
   //
   // `>=` matches the nearest PRECEDING right row (backward), `<=` the
-  // nearest FOLLOWING (forward) — inner semantics, no tolerance, exactly
+  // nearest FOLLOWING (forward); `LEFT` keeps unmatched left rows with
+  // null right columns (DuckDB's ASOF LEFT JOIN / pandas merge_asof) —
+  // no tolerance either way, exactly
   // AsOfJoin.unbounded. Unlike FUZZY JOIN this cannot desugar to plain
   // SQL (the scalable plan is a range-shuffled union + windows, not a
   // join Catalyst could discover), so the parser builds the unbounded
@@ -246,7 +249,7 @@ object GraftSqlParser {
   private def asofFail(msg: String): Nothing =
     throw new IllegalArgumentException(
       s"[GRAFT] ASOF JOIN syntax: $msg — expected " +
-        "`<rel> ASOF JOIN <rel> ON <leftCol> >= <rightCol>` " +
+        "`<rel> ASOF [LEFT] JOIN <rel> ON <leftCol> >= <rightCol>` " +
         "(or `<=` for a forward join); each side a simple relation, " +
         "one inequality, no other conjuncts")
 
@@ -265,12 +268,18 @@ object GraftSqlParser {
 
   private def desugarAsOfFirst(sql: String): Option[String] = {
     val toks = scan(sql)
+    // ASOF JOIN or ASOF LEFT JOIN (the left-outer form)
     val az = toks.indices.find { k =>
       toks(k).word == "ASOF" && k + 1 < toks.length &&
-        toks(k + 1).word == "JOIN" && toks(k + 1).depth == toks(k).depth
+        toks(k + 1).depth == toks(k).depth &&
+        (toks(k + 1).word == "JOIN" ||
+          (toks(k + 1).word == "LEFT" && k + 2 < toks.length &&
+            toks(k + 2).word == "JOIN" && toks(k + 2).depth == toks(k).depth))
     }
     az.map { k =>
       val d = toks(k).depth
+      val isLeft = toks(k + 1).word == "LEFT"
+      val joinTok = if (isLeft) k + 2 else k + 1
       // left relation: back to the FROM / ',' introducing this item; any
       // join keyword in between means a compound left side (unsupported)
       var b = k - 1
@@ -286,7 +295,7 @@ object GraftSqlParser {
       val leftStart = toks(b).end
       val leftText = sql.substring(leftStart, toks(k).start).trim
       // ON of this join
-      var j = k + 2
+      var j = joinTok + 1
       while (j < toks.length && !(toks(j).depth == d && toks(j).word == "ON")) {
         if (toks(j).depth <= d && ClauseEnd.contains(toks(j).word))
           asofFail("no ON clause directly after ASOF JOIN")
@@ -295,7 +304,7 @@ object GraftSqlParser {
       }
       if (j >= toks.length) asofFail("no ON clause directly after ASOF JOIN")
       val on = j
-      val rightText = sql.substring(toks(k + 1).end, toks(on).start).trim
+      val rightText = sql.substring(toks(joinTok).end, toks(on).start).trim
       if (leftText.isEmpty || rightText.isEmpty)
         asofFail("empty relation around ASOF JOIN")
       // ON-clause region: top-level AND splits conjuncts (DuckDB's
@@ -362,7 +371,8 @@ object GraftSqlParser {
         lDf, rDf, rightId = rightOn,
         leftOn = Some(leftOn), rightOn = Some(rightOn),
         direction = if (backward) "backward" else "forward",
-        by = byKeys.result())
+        by = byKeys.result(),
+        joinType = if (isLeft) "left" else "inner")
       val view = s"graft_asof_${(sql.hashCode.toLong & 0xffffffffL).toHexString}_${toks(k).start}"
       joined.createOrReplaceTempView(view)
       sql.substring(0, leftStart) + s" $view " + sql.substring(clauseEndPos)

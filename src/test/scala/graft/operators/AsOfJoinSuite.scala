@@ -234,6 +234,101 @@ class AsOfJoinSuite extends SparkSpec {
     assert(rowSet(out.select("cid", "vid")) == Set(Seq("1", "10"), Seq("2", "11")))
   }
 
+  test("time left: unmatched left rows survive once with null right columns") {
+    val out = AsOfJoin.time(clicks, views, Duration.ofMinutes(2), rightId = "vid",
+      leftOn = Some("cts"), rightOn = Some("vts"), joinType = "left")
+    assert(out.count() == clicks.count()) // pandas merge_asof: |out| == |left|
+    assert(rowSet(out.select("cid", "vid")) == Set(Seq("1", "11"), Seq("2", "null")))
+  }
+
+  test("time left: null-timestamp left rows survive (inner drops them)") {
+    val withNull = clicks.unionByName(
+      Seq((3, null.asInstanceOf[Timestamp])).toDF("cid", "cts"))
+    val inner = AsOfJoin.time(withNull, views, Duration.ofMinutes(2), rightId = "vid",
+      leftOn = Some("cts"), rightOn = Some("vts"))
+    assert(inner.filter($"cid" === 3).count() == 0)
+    val lout = AsOfJoin.time(withNull, views, Duration.ofMinutes(2), rightId = "vid",
+      leftOn = Some("cts"), rightOn = Some("vts"), joinType = "left")
+    assert(lout.count() == 3)
+    assert(rowSet(lout.filter($"cid" === 3).select("cid", "vid")) == Set(Seq("3", "null")))
+  }
+
+  test("time left by-key: null-key and unmatched-group left rows survive with nulls") {
+    val clicks3 = Seq(
+      (1, "u1", ts("2024-01-01 00:10:00")),
+      (2, "u9", ts("2024-01-01 00:10:00")), // no u9 views at all
+      (3, null.asInstanceOf[String], ts("2024-01-01 00:10:00"))
+    ).toDF("cid", "user", "cts")
+    val views3 = Seq(
+      (10, "u1", ts("2024-01-01 00:09:00")),
+      (12, null.asInstanceOf[String], ts("2024-01-01 00:10:00"))
+    ).toDF("vid", "user", "vts")
+    val out = AsOfJoin.time(clicks3, views3, Duration.ofMinutes(2), rightId = "vid",
+      leftOn = Some("cts"), rightOn = Some("vts"), by = Seq("user"),
+      joinType = "left")
+    assert(out.count() == 3)
+    assert(rowSet(out.select("cid", "vid")) ==
+      Set(Seq("1", "10"), Seq("2", "null"), Seq("3", "null")))
+  }
+
+  test("unbounded left: every left row survives; matched subset == inner") {
+    val rnd = new scala.util.Random(31)
+    val ls = (0 until 60).map(i => (i, rnd.nextInt(1000)))
+    val rs = (0 until 10).map(i => (1000 + i, 400 + rnd.nextInt(600)))
+    for (dir <- Seq("backward", "forward")) {
+      val out = AsOfJoin.unbounded(
+        ls.toDF("lid", "v"), rs.toDF("rid", "w"), rightId = "rid",
+        leftOn = Some("v"), rightOn = Some("w"), direction = dir,
+        joinType = "left")
+      val expected = ls.map { case (lid, _) => lid.toString }.toSet
+      assert(out.count() == ls.size)
+      val inner = unboundedExpected(ls, rs, backward = dir == "backward")
+      val got = rowSet(out.select("lid", "rid"))
+      assert(got.filter(_(1) != "null") == inner)
+      assert(got.map(_(0)).toSet == expected) // unmatched carry null rid
+      assert(got.exists(_(1) == "null"), "fixture must exercise the null leg")
+    }
+  }
+
+  test("unbounded left by-key: group with no rights keeps its lefts null-filled") {
+    // same fixture as the inner carry test: group "cold" has NO right
+    // rows — inner drops its lefts, left keeps them with null rid
+    val rs = (0 until 6).map(i => (100 + i, "hot", i))
+    val ls = (0 until 30).map(i => (i, if (i % 2 == 0) "hot" else "cold", 10000 + i))
+    val out = AsOfJoin.unbounded(
+      ls.toDF("lid", "g", "v"), rs.toDF("rid", "g", "w"), rightId = "rid",
+      leftOn = Some("v"), rightOn = Some("w"), by = Seq("g"), joinType = "left")
+    assert(out.count() == 30)
+    val got = out.select("lid", "rid").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    assert(got.filter(_._1 % 2 == 0).map(_._2).distinct.toSeq == Seq(105))
+    assert(got.filter(_._1 % 2 == 1).map(_._2).distinct.toSeq == Seq(-1))
+  }
+
+  test("unbounded left: null-ts and null-key left rows rejoin with null right columns") {
+    val ls = Seq(
+      (1, "a", java.lang.Integer.valueOf(10)),
+      (2, "a", null.asInstanceOf[java.lang.Integer]),
+      (3, null.asInstanceOf[String], java.lang.Integer.valueOf(10))
+    ).toDF("lid", "g", "v")
+    val rs = Seq((100, "a", 5)).toDF("rid", "g", "w")
+    val out = AsOfJoin.unbounded(ls, rs, rightId = "rid",
+      leftOn = Some("v"), rightOn = Some("w"), by = Seq("g"), joinType = "left")
+    assert(rowSet(out.select("lid", "rid")) ==
+      Set(Seq("1", "100"), Seq("2", "null"), Seq("3", "null")))
+  }
+
+  test("invalid joinType raises on both forms") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.time(clicks, views, Duration.ofMinutes(2), rightId = "vid",
+        leftOn = Some("cts"), rightOn = Some("vts"), joinType = "full")
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.unbounded(clicks, views, rightId = "vid",
+        leftOn = Some("cts"), rightOn = Some("vts"), joinType = "right")
+    }
+  }
+
   test("by column missing on a side raises") {
     intercept[IllegalArgumentException] {
       AsOfJoin.time(clicks, views, Duration.ofMinutes(2), rightId = "vid",

@@ -171,6 +171,20 @@ class GraftSqlParserSuite extends SparkSpec {
       // trade(12,a)->quote(10,a); trade(16,b)->quote(15,b); trade(14,b)
       // has no preceding b quote and must NOT borrow a's quote at 10
       assert(grouped == Set((1, 100), (2, 102)))
+      // ASOF LEFT JOIN: the unmatched trade (tts=5) survives with a
+      // null quote — DuckDB's left form, |out| == |left|
+      val leftJ = s.sql(
+        """SELECT tid, qid FROM asof_trades ASOF LEFT JOIN asof_quotes
+          |ON tts >= qts""".stripMargin)
+        .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+        .toSet
+      assert(leftJ == Set((1, -1), (2, 100), (3, 102), (4, 103)))
+      val leftG = s.sql(
+        """SELECT tid, qid FROM asof_gtrades ASOF LEFT JOIN asof_gquotes
+          |ON sym = sym AND tts >= qts""".stripMargin)
+        .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+        .toSet
+      assert(leftG == Set((1, 100), (2, 102), (3, -1)))
     } finally {
       SparkSession.setActiveSession(orig)
       SparkSession.setDefaultSession(orig)
