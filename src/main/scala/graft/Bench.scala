@@ -77,6 +77,16 @@ object Bench {
     "phrase_search_appended_serve", "hybrid_lexical_phrase_serve",
     "hybrid_search_rrf_both_indexed_serve", "mine_hard_negatives_index_serve",
     "stream_hybrid_decontaminate_serve",
+    // serve splits of the stream_maintained_* lifecycles: the full rows
+    // time bootstrap+appends+compactions+serve in one number; these
+    // time serving the stream-built chain alone (setup builds it), so a
+    // serving regression behind a maintained chain is directly visible
+    // against the batch sibling (bm25_search, ann_topk_ivf_persisted, …)
+    "stream_maintained_bm25_serve", "stream_maintained_ann_serve",
+    "stream_maintained_dsir_serve", "stream_maintained_dsir_by_lang_serve",
+    "stream_maintained_semdedup_serve", "stream_maintained_ahash_serve",
+    "stream_maintained_phash_serve", "stream_maintained_audiofp_serve",
+    "stream_maintained_scenes_serve",
     "sample_weighted", "filter_by_source_quality", "lm_score_docs",
     "stream_pack_sequences", "stream_pack_state",
     "mix_sources", "mix_temperature", "shuffle_corpus",
@@ -128,10 +138,18 @@ object Bench {
         "stream_hybrid_decontaminate",
         "stream_dsir_gate", "dsir_score_appended",
         "dsir_score_deleted", "stream_dsir_gate_by_lang", "ann_index_drift",
-        "dsir_score_by_lang_deleted", "semdedup_deleted")
-      .filter(SparkEntry.queries.contains)
+        "dsir_score_by_lang_deleted", "semdedup_deleted",
+        // the maintained _serve rows build-if-missing: running them
+        // once here streams the chain untimed, so every timed pass
+        // serves the already-built artifact
+        "stream_maintained_bm25_serve", "stream_maintained_ann_serve",
+        "stream_maintained_dsir_serve", "stream_maintained_dsir_by_lang_serve",
+        "stream_maintained_semdedup_serve", "stream_maintained_ahash_serve",
+        "stream_maintained_phash_serve", "stream_maintained_audiofp_serve",
+        "stream_maintained_scenes_serve")
+      .filter(allFns.contains)
       .foreach { name =>
-        try SparkEntry.queries(name)(spark, sfDir).count()
+        try allFns(name)(spark, sfDir).count()
         catch { case e: Throwable =>
           // record it: when setup fails, the first timed pass pays the
           // full build cost and the spread metric would misread as box

@@ -1012,31 +1012,10 @@ object SparkEntry {
       // associative), markers make replays exactly-once. Identical end
       // state to semdedup_incremental — the shared oracle IS the
       // claim.
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val e = t(s, dir, "embeddings")
-      def half(m: Int) = e.filter(col("vec_id") % 2 === m)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
       val token = java.util.UUID.randomUUID().toString.take(8)
       val idx = scratch(s"semdd_maint_$token", dir)
-      val ckpt = scratch(s"semdd_maint_ck_$token", dir)
-      implicit val sqlCtx = s.sqlContext
-      val input = MemoryStream[(Long, Array[Float])]
-      val q = Streaming.maintainSemDedupIndex(
-        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-        idx, ckpt, k = 8, threshold = 0.45)
-      try {
-        input.addData(half(0).toSeq); q.processAllAvailable()
-        val odd = half(1)
-        odd.grouped(math.max(1, (odd.length + 1) / 2)).foreach { b =>
-          input.addData(b.toSeq); q.processAllAvailable()
-        }
-      } finally q.stop()
-      SimilaritySearch.semDedupIndexStatus(s, idx)
-        .groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(!col("kept"), lit(1L)).otherwise(lit(0L))).as("n_removed"))
+      buildMaintained("semdedup", s, dir, idx, scratch(s"semdd_maint_ck_$token", dir))
+      serveMaintained("semdedup", s, dir, idx)
     }),
     "mmr_rerank" -> ((s, dir) => {
       // diversified re-rank: brute top-30 neighbors of vec 0 as the
@@ -1840,29 +1819,10 @@ object SparkEntry {
       // the same-class (odd, even) pairs from the doc_id % 5
       // assignment rule: multimodal_image_dedup_indexed's oracle
       // verbatim.
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val d = t(s, dir, "documents").select("doc_id")
-      val evenRows = d.filter(col("doc_id") % 2 === 0)
-        .collect().map(_.getLong(0)).sorted
-        .map(id => (id, classPngs((id % 5).toInt)))
       val token = java.util.UUID.randomUUID().toString.take(8)
       val idx = scratch(s"ahash_maint_$token", dir)
-      val ckpt = scratch(s"ahash_maint_ck_$token", dir)
-      implicit val sqlCtx = s.sqlContext
-      val input = MemoryStream[(Long, Array[Byte])]
-      val q = Streaming.maintainAHashIndex(
-        input.toDF().toDF("doc_id", "payload"), "doc_id", "payload", idx, ckpt)
-      try {
-        evenRows.grouped(math.max(1, (evenRows.length + 2) / 3)).foreach { b =>
-          input.addData(b.toSeq); q.processAllAvailable()
-        }
-      } finally q.stop()
-      val probes = d.filter(col("doc_id") % 2 === 1).withColumn("payload",
-        element_at(array(classPngs.map(lit(_)): _*), (col("doc_id") % 5).cast("int") + 1))
-      Multimodal.dedupAgainstAHashIndex(s, probes, "doc_id", "payload", idx,
-          maxHamming = 0)
-        .select(col("doc_id"), col("index_id"))
+      buildMaintained("ahash", s, dir, idx, scratch(s"ahash_maint_ck_$token", dir))
+      serveMaintained("ahash", s, dir, idx)
     }),
     "stream_maintained_phash" -> ((s, dir) => {
       // the crop/rescale-robust crawl loop: maintainPHashIndex hashes
@@ -1871,29 +1831,10 @@ object SparkEntry {
       // own geometric variants then probe the stream-built chain at
       // radius 16 — matches ≡ the same-pattern (odd, even) pairs:
       // multimodal_image_dedup_phash_indexed's oracle verbatim.
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val d = t(s, dir, "documents").select("doc_id")
-      val evenRows = d.filter(col("doc_id") % 2 === 0)
-        .collect().map(_.getLong(0)).sorted
-        .map(id => (id, phashPayloads((id % 9).toInt)))
       val token = java.util.UUID.randomUUID().toString.take(8)
       val idx = scratch(s"phash_maint_$token", dir)
-      val ckpt = scratch(s"phash_maint_ck_$token", dir)
-      implicit val sqlCtx = s.sqlContext
-      val input = MemoryStream[(Long, Array[Byte])]
-      val q = Streaming.maintainPHashIndex(
-        input.toDF().toDF("doc_id", "payload"), "doc_id", "payload", idx, ckpt)
-      try {
-        evenRows.grouped(math.max(1, (evenRows.length + 2) / 3)).foreach { b =>
-          input.addData(b.toSeq); q.processAllAvailable()
-        }
-      } finally q.stop()
-      val probes = d.filter(col("doc_id") % 2 === 1).withColumn("payload",
-        element_at(array(phashPayloads.map(lit(_)): _*), (col("doc_id") % 9).cast("int") + 1))
-      Multimodal.dedupAgainstPHashIndex(s, probes, "doc_id", "payload", idx,
-          maxHamming = 16)
-        .select(col("doc_id"), col("index_id"))
+      buildMaintained("phash", s, dir, idx, scratch(s"phash_maint_ck_$token", dir))
+      serveMaintained("phash", s, dir, idx)
     }),
     "stream_maintained_audiofp" -> ((s, dir) => {
       // the AUDIO-crawl write path for the shift-robust index:
@@ -1902,30 +1843,10 @@ object SparkEntry {
       // docs' trimmed/padded variants probe the stream-built chain —
       // shared-fp matches >= 4 ≡ the same-pattern (odd, even) pairs:
       // multimodal_audio_dedup_shift_indexed's oracle verbatim.
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val d = t(s, dir, "documents").select("doc_id")
-        .filter(col("doc_id") % 7 === 0)
-      val evenRows = d.filter(col("doc_id") % 2 === 0)
-        .collect().map(_.getLong(0)).sorted
-        .map(id => (id, shiftWavs((id % 9).toInt)))
       val token = java.util.UUID.randomUUID().toString.take(8)
       val idx = scratch(s"audiofp_maint_$token", dir)
-      val ckpt = scratch(s"audiofp_maint_ck_$token", dir)
-      implicit val sqlCtx = s.sqlContext
-      val input = MemoryStream[(Long, Array[Byte])]
-      val q = Streaming.maintainAudioFpIndex(
-        input.toDF().toDF("doc_id", "payload"), "doc_id", "payload", idx, ckpt)
-      try {
-        evenRows.grouped(math.max(1, (evenRows.length + 2) / 3)).foreach { b =>
-          input.addData(b.toSeq); q.processAllAvailable()
-        }
-      } finally q.stop()
-      val probes = d.filter(col("doc_id") % 2 === 1).withColumn("payload",
-        element_at(array(shiftWavs.map(lit(_)): _*), (col("doc_id") % 9).cast("int") + 1))
-      Multimodal.dedupAgainstAudioFpIndex(s, probes, "doc_id", "payload", idx,
-          minShared = 4)
-        .select(col("doc_id"), col("index_id"))
+      buildMaintained("audiofp", s, dir, idx, scratch(s"audiofp_maint_ck_$token", dir))
+      serveMaintained("audiofp", s, dir, idx)
     }),
     "stream_maintained_scenes" -> ((s, dir) => {
       // the VIDEO-crawl write path for shot-reuse detection:
@@ -1935,41 +1856,10 @@ object SparkEntry {
       // scenes probe the stream-built chain — matches ≡ the (odd,
       // even) same-pattern scene pairs from the (doc_id % 3 + scene)
       // % 3 rule: multimodal_video_scene_indexed's oracle verbatim.
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val d = t(s, dir, "documents").select("doc_id")
-        .filter(col("doc_id") % 11 === 0)
-      val frameArrays = (0 until 3).map { c =>
-        array((0 until 9).map { fi =>
-          lit(scenePng(if (fi <= 2 + c) c else (c + 1) % 3))
-        }: _*)
-      }
-      val frames = d
-        .withColumn("frames",
-          element_at(array(frameArrays: _*), (col("doc_id") % 3).cast("int") + 1))
-        .select(col("doc_id"),
-          posexplode(col("frames")).as(Seq("frame_idx", "frame_bytes")))
-      // whole videos per micro-batch: group the even docs' frames by
-      // doc and split the DOCS (never one doc's frames) into 3 batches
-      val evenByDoc = frames.filter(col("doc_id") % 2 === 0)
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
-        .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.toSeq)
       val token = java.util.UUID.randomUUID().toString.take(8)
       val idx = scratch(s"scene_maint_$token", dir)
-      val ckpt = scratch(s"scene_maint_ck_$token", dir)
-      implicit val sqlCtx = s.sqlContext
-      val input = MemoryStream[(Long, Int, Array[Byte])]
-      val q = Streaming.maintainSceneIndex(
-        input.toDF().toDF("doc_id", "frame_idx", "frame_bytes"),
-        "doc_id", "frame_idx", "frame_bytes", idx, ckpt)
-      try {
-        evenByDoc.grouped(math.max(1, (evenByDoc.length + 2) / 3)).foreach { docs =>
-          input.addData(docs.flatten); q.processAllAvailable()
-        }
-      } finally q.stop()
-      Multimodal.dedupAgainstSceneIndex(s,
-        frames.filter(col("doc_id") % 2 === 1),
-        "doc_id", "frame_idx", "frame_bytes", idx, pairMaxHamming = 10)
+      buildMaintained("scenes", s, dir, idx, scratch(s"scene_maint_ck_$token", dir))
+      serveMaintained("scenes", s, dir, idx)
     }),
     "multimodal_image_dedup_phash" -> ((s, dir) => {
       // CROP/RESCALE-robust perceptual dedup on the DCT hash: three
@@ -2534,23 +2424,10 @@ object SparkEntry {
       // replays exactly-once — Streaming.maintainBm25Index), then the
       // serving path reads the stream-built artifact. Must equal BM25
       // over the whole corpus: bm25_search's oracle verbatim.
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val rows = t(s, dir, "documents").select("doc_id", "text")
-        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       val token = java.util.UUID.randomUUID().toString.take(8)
       val idx = scratch(s"bm25_maint_$token", dir)
-      val ckpt = scratch(s"bm25_maint_ck_$token", dir)
-      implicit val sqlCtx = s.sqlContext
-      val input = MemoryStream[(Long, String)]
-      val q = Streaming.maintainBm25Index(
-        input.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckpt)
-      try {
-        rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { b =>
-          input.addData(b.toSeq); q.processAllAvailable()
-        }
-      } finally q.stop()
-      Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
+      buildMaintained("bm25", s, dir, idx, scratch(s"bm25_maint_ck_$token", dir))
+      serveMaintained("bm25", s, dir, idx)
     }),
     "stream_maintained_ann" -> ((s, dir) => {
       // the EMBEDDING-crawl write path: a real streaming query
@@ -2566,29 +2443,10 @@ object SparkEntry {
       // (both sides rank (cosine desc, id asc) on identical floats),
       // so recall is exactly 1.0 — an exact oracle, not a pinned
       // constant.
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val e = t(s, dir, "embeddings")
-      val rows = e.select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
       val token = java.util.UUID.randomUUID().toString.take(8)
       val idx = scratch(s"ann_maint_$token", dir)
-      val ckpt = scratch(s"ann_maint_ck_$token", dir)
-      implicit val sqlCtx = s.sqlContext
-      val input = MemoryStream[(Long, Array[Float])]
-      val q = Streaming.maintainIvfIndex(
-        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-        idx, ckpt, nCentroids = 16, compactEvery = 3)
-      try {
-        rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { b =>
-          input.addData(b.toSeq); q.processAllAvailable()
-        }
-      } finally q.stop()
-      val qs = e.filter(col("vec_id") < 20)
-      SimilaritySearch.recallSummary(
-        SimilaritySearch.searchIvf(s, idx, qs, "vec_id", "embedding",
-          k = 5, nProbe = 16),
-        SimilaritySearch.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5))
+      buildMaintained("ann", s, dir, idx, scratch(s"ann_maint_ck_$token", dir))
+      serveMaintained("ann", s, dir, idx)
     }),
     "bm25_search_batch" -> ((s, dir) => {
       // the multi-query serving shape: three keyword queries answered
@@ -3005,26 +2863,10 @@ object SparkEntry {
       // exactly-once — Streaming.maintainDsirIndex), then scoring reads
       // the stream-built chain. Must equal the one-shot profile over
       // the whole corpus: dsir_score's oracle verbatim.
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val d = t(s, dir, "documents")
-      val rows = d.select("doc_id", "text")
-        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       val token = java.util.UUID.randomUUID().toString.take(8)
       val idx = scratch(s"dsir_maint_$token", dir)
-      val ckpt = scratch(s"dsir_maint_ck_$token", dir)
-      implicit val sqlCtx = s.sqlContext
-      val input = MemoryStream[(Long, String)]
-      val q = Streaming.maintainDsirIndex(
-        input.toDF().toDF("doc_id", "text"), "text",
-        d.filter(col("lang") === "en"), "text", buckets = 4096, idx, ckpt)
-      try {
-        rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { b =>
-          input.addData(b.toSeq); q.processAllAvailable()
-        }
-      } finally q.stop()
-      val (tp, rp) = Dsir.dsirIndexProfiles(s, idx)
-      Dsir.importanceScore(d, "doc_id", "text", tp, rp, buckets = 4096)
+      buildMaintained("dsir", s, dir, idx, scratch(s"dsir_maint_ck_$token", dir))
+      serveMaintained("dsir", s, dir, idx)
     }),
     "dsir_score_deleted" -> ((s, dir) => {
       // the DSIR takedown story: profiles are additive counts, so
@@ -3131,29 +2973,10 @@ object SparkEntry {
       // grouped additive segments, exactly-once batch markers), then
       // scoring reads the stream-built chain. Must equal the one-shot
       // per-group profile: dsir_score_by_lang's oracle verbatim.
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val d = t(s, dir, "documents")
-      val rows = d.select("doc_id", "lang", "text").collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-        .sortBy(_._1)
       val token = java.util.UUID.randomUUID().toString.take(8)
       val idx = scratch(s"dsir_gmaint_$token", dir)
-      val ckpt = scratch(s"dsir_gmaint_ck_$token", dir)
-      implicit val sqlCtx = s.sqlContext
-      val input = MemoryStream[(Long, String, String)]
-      val q = Streaming.maintainDsirIndexByGroup(
-        input.toDF().toDF("doc_id", "lang", "text"), "text", "lang",
-        d.filter(col("doc_id") % 5 === 0), "text", "lang",
-        buckets = 4096, idx, ckpt)
-      try {
-        rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { b =>
-          input.addData(b.toSeq); q.processAllAvailable()
-        }
-      } finally q.stop()
-      val (tp, rp) = Dsir.dsirIndexProfilesByGroup(s, idx)
-      Dsir.importanceScoreByGroup(d, "doc_id", "text", "lang", tp, rp,
-        buckets = 4096)
+      buildMaintained("dsir_by_lang", s, dir, idx, scratch(s"dsir_gmaint_ck_$token", dir))
+      serveMaintained("dsir_by_lang", s, dir, idx)
     }),
     "stream_pack_sequences" -> ((s, dir) => {
       // the live ingest pipeline ENDING IN PACKING: gate → token count
@@ -4186,6 +4009,218 @@ object SparkEntry {
       |       substr(t1, 1, length(t1) - lcs) AS stripped
       |FROM s1 JOIN l2 ON s1.source = l2.source""".stripMargin
 
+  /** Drive a maintainer over an in-memory stream: one StreamingQuery,
+    * each batch fully processed before the next arrives (deterministic
+    * bootstrap → append → compact sequencing), stopped when drained.
+    */
+  private def runMaintainer[T](s: SparkSession, batches: Seq[Seq[T]])(
+      start: org.apache.spark.sql.Dataset[T] =>
+        org.apache.spark.sql.streaming.StreamingQuery)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[T]
+    val q = start(input.toDS())
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  private def thirds[T](rows: Seq[T]): Seq[Seq[T]] =
+    rows.grouped(math.max(1, (rows.length + 2) / 3)).toSeq
+
+  /** The synthetic video-frame stream of the scene-index gates: 9
+    * frames per sampled doc, a cut after frame `2 + doc_id % 3` (the
+    * suite-pinned closed-form rule shared with the oracle).
+    */
+  private def sceneFrames(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id")
+      .filter(col("doc_id") % 11 === 0)
+    val frameArrays = (0 until 3).map { c =>
+      array((0 until 9).map { fi =>
+        lit(scenePng(if (fi <= 2 + c) c else (c + 1) % 3))
+      }: _*)
+    }
+    d.withColumn("frames",
+        element_at(array(frameArrays: _*), (col("doc_id") % 3).cast("int") + 1))
+      .select(col("doc_id"),
+        posexplode(col("frames")).as(Seq("frame_idx", "frame_bytes")))
+  }
+
+  /** Build one stream-maintained index family (bootstrap + appends +
+    * in-stream compactions) under `idx`/`ckpt` — the write half of the
+    * `stream_maintained_*` gates. Shared by the full gate queries
+    * (fresh random path per call: the correctness claim re-streams
+    * every run) and the bench's `stream_maintained_*_serve` split rows
+    * (fixed per-JVM path, built once untimed, so the timed row is the
+    * steady-state serving plan alone).
+    */
+  private def buildMaintained(
+      family: String, s: SparkSession, dir: String,
+      idx: String, ckpt: String): Unit = {
+    import s.implicits._
+    family match {
+      case "bm25" =>
+        val rows = t(s, dir, "documents").select("doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+        runMaintainer(s, thirds(rows)) { ds =>
+          Streaming.maintainBm25Index(ds.toDF("doc_id", "text"),
+            "doc_id", "text", idx, ckpt)
+        }
+      case "ann" =>
+        val rows = t(s, dir, "embeddings").select("vec_id", "embedding")
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        runMaintainer(s, thirds(rows)) { ds =>
+          Streaming.maintainIvfIndex(ds.toDF("vec_id", "embedding"),
+            "vec_id", "embedding", idx, ckpt, nCentroids = 16, compactEvery = 3)
+        }
+      case "dsir" =>
+        val d = t(s, dir, "documents")
+        val rows = d.select("doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+        runMaintainer(s, thirds(rows)) { ds =>
+          Streaming.maintainDsirIndex(ds.toDF("doc_id", "text"), "text",
+            d.filter(col("lang") === "en"), "text", buckets = 4096, idx, ckpt)
+        }
+      case "dsir_by_lang" =>
+        val d = t(s, dir, "documents")
+        val rows = d.select("doc_id", "lang", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .sortBy(_._1).toSeq
+        runMaintainer(s, thirds(rows)) { ds =>
+          Streaming.maintainDsirIndexByGroup(
+            ds.toDF("doc_id", "lang", "text"), "text", "lang",
+            d.filter(col("doc_id") % 5 === 0), "text", "lang",
+            buckets = 4096, idx, ckpt)
+        }
+      case "semdedup" =>
+        // batch 1 (the even half) bootstraps the blocking model,
+        // batches 2–3 split the odd half (contraction is associative)
+        val e = t(s, dir, "embeddings")
+        def half(m: Int) = e.filter(col("vec_id") % 2 === m)
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+        val odd = half(1)
+        val batches = half(0) +:
+          odd.grouped(math.max(1, (odd.length + 1) / 2)).toSeq
+        runMaintainer(s, batches) { ds =>
+          Streaming.maintainSemDedupIndex(ds.toDF("vec_id", "embedding"),
+            "vec_id", "embedding", idx, ckpt, k = 8, threshold = 0.45)
+        }
+      case "ahash" =>
+        val rows = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 2 === 0)
+          .collect().map(_.getLong(0)).sorted
+          .map(id => (id, classPngs((id % 5).toInt))).toSeq
+        runMaintainer(s, thirds(rows)) { ds =>
+          Streaming.maintainAHashIndex(ds.toDF("doc_id", "payload"),
+            "doc_id", "payload", idx, ckpt)
+        }
+      case "phash" =>
+        val rows = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 2 === 0)
+          .collect().map(_.getLong(0)).sorted
+          .map(id => (id, phashPayloads((id % 9).toInt))).toSeq
+        runMaintainer(s, thirds(rows)) { ds =>
+          Streaming.maintainPHashIndex(ds.toDF("doc_id", "payload"),
+            "doc_id", "payload", idx, ckpt)
+        }
+      case "audiofp" =>
+        val rows = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 7 === 0 && col("doc_id") % 2 === 0)
+          .collect().map(_.getLong(0)).sorted
+          .map(id => (id, shiftWavs((id % 9).toInt))).toSeq
+        runMaintainer(s, thirds(rows)) { ds =>
+          Streaming.maintainAudioFpIndex(ds.toDF("doc_id", "payload"),
+            "doc_id", "payload", idx, ckpt)
+        }
+      case "scenes" =>
+        // batches keep whole docs together (a doc's frames arrive in
+        // one micro-batch, like a video landing in the crawl)
+        val evenByDoc = sceneFrames(s, dir).filter(col("doc_id") % 2 === 0)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+          .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.toSeq)
+        val batches = evenByDoc
+          .grouped(math.max(1, (evenByDoc.length + 2) / 3))
+          .map(_.flatten.toSeq).toSeq
+        runMaintainer(s, batches) { ds =>
+          Streaming.maintainSceneIndex(ds.toDF("doc_id", "frame_idx", "frame_bytes"),
+            "doc_id", "frame_idx", "frame_bytes", idx, ckpt)
+        }
+      case other => throw new IllegalArgumentException(
+        s"buildMaintained: unknown family $other")
+    }
+  }
+
+  /** The serving plan over a stream-maintained artifact — the read half
+    * of the `stream_maintained_*` gates, shared verbatim between the
+    * full gate queries and the bench's `_serve` split rows so the two
+    * time the IDENTICAL plan (build cost being the only difference).
+    */
+  private def serveMaintained(
+      family: String, s: SparkSession, dir: String, idx: String): DataFrame =
+    family match {
+      case "bm25" =>
+        Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
+      case "ann" =>
+        val e = t(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 20)
+        SimilaritySearch.recallSummary(
+          SimilaritySearch.searchIvf(s, idx, qs, "vec_id", "embedding",
+            k = 5, nProbe = 16),
+          SimilaritySearch.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5))
+      case "dsir" =>
+        val d = t(s, dir, "documents")
+        val (tp, rp) = Dsir.dsirIndexProfiles(s, idx)
+        Dsir.importanceScore(d, "doc_id", "text", tp, rp, buckets = 4096)
+      case "dsir_by_lang" =>
+        val d = t(s, dir, "documents")
+        val (tp, rp) = Dsir.dsirIndexProfilesByGroup(s, idx)
+        Dsir.importanceScoreByGroup(d, "doc_id", "text", "lang", tp, rp,
+          buckets = 4096)
+      case "semdedup" =>
+        SimilaritySearch.semDedupIndexStatus(s, idx)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(!col("kept"), lit(1L)).otherwise(lit(0L))).as("n_removed"))
+      case "ahash" =>
+        val probes = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 2 === 1).withColumn("payload",
+            element_at(array(classPngs.map(lit(_)): _*),
+              (col("doc_id") % 5).cast("int") + 1))
+        Multimodal.dedupAgainstAHashIndex(s, probes, "doc_id", "payload", idx,
+            maxHamming = 0)
+          .select(col("doc_id"), col("index_id"))
+      case "phash" =>
+        val probes = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 2 === 1).withColumn("payload",
+            element_at(array(phashPayloads.map(lit(_)): _*),
+              (col("doc_id") % 9).cast("int") + 1))
+        Multimodal.dedupAgainstPHashIndex(s, probes, "doc_id", "payload", idx,
+            maxHamming = 16)
+          .select(col("doc_id"), col("index_id"))
+      case "audiofp" =>
+        val probes = t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 7 === 0 && col("doc_id") % 2 === 1)
+          .withColumn("payload",
+            element_at(array(shiftWavs.map(lit(_)): _*),
+              (col("doc_id") % 9).cast("int") + 1))
+        Multimodal.dedupAgainstAudioFpIndex(s, probes, "doc_id", "payload", idx,
+            minShared = 4)
+          .select(col("doc_id"), col("index_id"))
+      case "scenes" =>
+        Multimodal.dedupAgainstSceneIndex(s,
+          sceneFrames(s, dir).filter(col("doc_id") % 2 === 1),
+          "doc_id", "frame_idx", "frame_bytes", idx, pairMaxHamming = 10)
+      case other => throw new IllegalArgumentException(
+        s"serveMaintained: unknown family $other")
+    }
+
+  /** The maintained families with a bench `_serve` split row. */
+  private[graft] val maintainedFamilies: Seq[String] = Seq(
+    "bm25", "ann", "dsir", "dsir_by_lang", "semdedup",
+    "ahash", "phash", "audiofp", "scenes")
+
   /** SERVE-ONLY variants of the index-lifecycle queries, for the bench
     * (NOT the correctness gate — the full `queries` entries remain the
     * oracle-checked forms): each assumes its artifact was already
@@ -4193,7 +4228,11 @@ object SparkEntry {
     * its untimed setup phase) and times ONLY the serving plan, so a
     * round-over-round serving regression is never masked by the
     * build+serve total in the same row. Fails loudly when the artifact
-    * is missing rather than silently timing a rebuild.
+    * is missing rather than silently timing a rebuild. The
+    * `stream_maintained_*_serve` rows build-if-missing instead (their
+    * full siblings stream into a fresh random path each call, so there
+    * is no pre-built artifact to require): Bench's untimed setup phase
+    * runs them once, making every timed pass serve-only.
     */
   def benchServe: Map[String, (SparkSession, String) => DataFrame] = {
     def served(kind: String)(f: (SparkSession, String, String) => DataFrame)
@@ -4249,7 +4288,16 @@ object SparkEntry {
           Streaming.hybridDecontaminateFlags(s, train, "doc_id", "text",
             "embedding", lexIdx, annIdx,
             minContainment = 0.9, minCosine = 0.45, nProbe = 16)
-        })
+        }) ++
+      maintainedFamilies.map { fam =>
+        s"stream_maintained_${fam}_serve" ->
+          ((s: SparkSession, dir: String) => {
+            val idx = scratch(s"${fam}_maintsrv", dir)
+            if (!graft.sources.IndexIO.exists(s, idx))
+              buildMaintained(fam, s, dir, idx, scratch(s"${fam}_maintsrv_ck", dir))
+            serveMaintained(fam, s, dir, idx)
+          })
+      }.toMap
   }
 
   def oracleSql: Map[String, String] = {
