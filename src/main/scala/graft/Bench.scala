@@ -62,6 +62,7 @@ object Bench {
     "bm25_search_merged", "phrase_search_deleted", "asof_interpolate_by",
     "ann_topk_ivf_sq8_appended", "stream_maintained_bm25",
     "stream_maintained_dsir", "stream_maintained_ann",
+    "stream_maintained_pq", "stream_maintained_ivf_sq8",
     "stream_maintained_ahash", "stream_maintained_phash",
     "stream_maintained_audiofp", "stream_maintained_scenes",
     "phrase_search", "phrase_search_indexed", "phrase_search_batch", "phrase_search_batch_indexed", "phrase_snippets",
@@ -83,6 +84,7 @@ object Bench {
     // serving regression behind a maintained chain is directly visible
     // against the batch sibling (bm25_search, ann_topk_ivf_persisted, …)
     "stream_maintained_bm25_serve", "stream_maintained_ann_serve",
+    "stream_maintained_pq_serve", "stream_maintained_ivf_sq8_serve",
     "stream_maintained_dsir_serve", "stream_maintained_dsir_by_lang_serve",
     "stream_maintained_semdedup_serve", "stream_maintained_ahash_serve",
     "stream_maintained_phash_serve", "stream_maintained_audiofp_serve",
@@ -143,10 +145,11 @@ object Bench {
         // once here streams the chain untimed, so every timed pass
         // serves the already-built artifact
         "stream_maintained_bm25_serve", "stream_maintained_ann_serve",
+        "stream_maintained_pq_serve", "stream_maintained_ivf_sq8_serve",
         "stream_maintained_dsir_serve", "stream_maintained_dsir_by_lang_serve",
         "stream_maintained_semdedup_serve", "stream_maintained_ahash_serve",
         "stream_maintained_phash_serve", "stream_maintained_audiofp_serve",
-        "stream_maintained_scenes_serve")
+        "stream_maintained_scenes_serve", "stream_maintained_pq")
       .filter(allFns.contains)
       .foreach { name =>
         try allFns(name)(spark, sfDir).count()

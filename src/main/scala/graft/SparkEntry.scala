@@ -2448,6 +2448,50 @@ object SparkEntry {
       buildMaintained("ann", s, dir, idx, scratch(s"ann_maint_ck_$token", dir))
       serveMaintained("ann", s, dir, idx)
     }),
+    "stream_maintained_ivf_sq8" -> ((s, dir) => {
+      // the QUANTIZED embedding-crawl write path (Streaming
+      // .maintainIvfSq8Index): first micro-batch trains the float
+      // centroids, later batches assign on their FLOAT vectors to the
+      // frozen cells and land SQ8-quantized; compactEvery = 3 crosses a
+      // compact boundary mid-run. Served at exhaustive probes the chain
+      // == the one-shot quantized scan EXACTLY (per-vector SQ8 is
+      // centroid-independent), so recall is exactly 1.0 — the same
+      // exact oracle as ann_topk_ivf_sq8_appended.
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"sq8_maint_$token", dir)
+      buildMaintained("ivf_sq8", s, dir, idx, scratch(s"sq8_maint_ck_$token", dir))
+      serveMaintained("ivf_sq8", s, dir, idx)
+    }),
+    "stream_maintained_pq" -> ((s, dir) => {
+      // the PQ write path (Streaming.maintainPqIndex): the first
+      // micro-batch trains the codebooks on its deterministic sample,
+      // later batches encode with the FROZEN codebooks, compactEvery=3
+      // collapses the code chain mid-run. The claim is stream ≡ batch
+      // LIFECYCLE: serving the stream-built chain must equal serving a
+      // batch build+append+append over the SAME thirds exactly (frozen
+      // codebooks + exactly-once markers + union-unchanged compaction),
+      // so the recallSummary of one against the other is exactly 1.0 —
+      // an identity oracle, no pinned constant to re-measure.
+      import s.implicits._
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"pq_maint_$token", dir)
+      buildMaintained("pq", s, dir, idx, scratch(s"pq_maint_ck_$token", dir))
+      val batchIdx = scratch("pq_batch_thirds", dir)
+      if (!graft.sources.IndexIO.exists(s, batchIdx)) {
+        val parts = thirds(t(s, dir, "embeddings").select("vec_id", "embedding")
+            .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+            .sortBy(_._1).toSeq)
+          .map(b => b.toDF("vec_id", "embedding"))
+        SimilaritySearch.buildPqIndex(parts.head, "vec_id", "embedding",
+          batchIdx, m = 32, kCodes = 32)
+        parts.drop(1).foreach(p =>
+          SimilaritySearch.appendToPqIndex(p, "vec_id", "embedding", batchIdx))
+      }
+      val qs = t(s, dir, "embeddings").filter(col("vec_id") < 20)
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.searchPqIndex(s, idx, qs, "vec_id", "embedding", k = 5),
+        SimilaritySearch.searchPqIndex(s, batchIdx, qs, "vec_id", "embedding", k = 5))
+    }),
     "bm25_search_batch" -> ((s, dir) => {
       // the multi-query serving shape: three keyword queries answered
       // in ONE corpus pass, top-10 each (rank-limit window per query)
@@ -4093,6 +4137,24 @@ object SparkEntry {
             d.filter(col("doc_id") % 5 === 0), "text", "lang",
             buckets = 4096, idx, ckpt)
         }
+      case "pq" =>
+        val rows = t(s, dir, "embeddings").select("vec_id", "embedding")
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        runMaintainer(s, thirds(rows)) { ds =>
+          Streaming.maintainPqIndex(ds.toDF("vec_id", "embedding"),
+            "vec_id", "embedding", idx, ckpt, m = 32, kCodes = 32,
+            compactEvery = 3)
+        }
+      case "ivf_sq8" =>
+        val rows = t(s, dir, "embeddings").select("vec_id", "embedding")
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        runMaintainer(s, thirds(rows)) { ds =>
+          Streaming.maintainIvfSq8Index(ds.toDF("vec_id", "embedding"),
+            "vec_id", "embedding", idx, ckpt, nCentroids = 16,
+            compactEvery = 3)
+        }
       case "semdedup" =>
         // batch 1 (the even half) bootstraps the blocking model,
         // batches 2–3 split the odd half (contraction is associative)
@@ -4178,6 +4240,23 @@ object SparkEntry {
         val (tp, rp) = Dsir.dsirIndexProfilesByGroup(s, idx)
         Dsir.importanceScoreByGroup(d, "doc_id", "text", "lang", tp, rp,
           buckets = 4096)
+      case "pq" =>
+        val e = t(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 20)
+        SimilaritySearch.recallSummary(
+          SimilaritySearch.searchPqIndex(s, idx, qs, "vec_id", "embedding",
+            k = 5),
+          SimilaritySearch.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5))
+      case "ivf_sq8" =>
+        // exhaustive probes: per-vector SQ8 quantization is
+        // centroid-independent, so the maintained chain == the one-shot
+        // quantized scan EXACTLY (recall 1.0 by construction)
+        val e = t(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 20)
+        SimilaritySearch.recallSummary(
+          SimilaritySearch.searchIvfSq8(s, idx, qs, "vec_id", "embedding",
+            k = 5, nProbe = 16),
+          SimilaritySearch.sq8TopK(qs, e, "vec_id", "embedding", k = 5))
       case "semdedup" =>
         SimilaritySearch.semDedupIndexStatus(s, idx)
           .groupBy(col("cluster"))
@@ -4218,7 +4297,7 @@ object SparkEntry {
 
   /** The maintained families with a bench `_serve` split row. */
   private[graft] val maintainedFamilies: Seq[String] = Seq(
-    "bm25", "ann", "dsir", "dsir_by_lang", "semdedup",
+    "bm25", "ann", "pq", "ivf_sq8", "dsir", "dsir_by_lang", "semdedup",
     "ahash", "phash", "audiofp", "scenes")
 
   /** SERVE-ONLY variants of the index-lifecycle queries, for the bench
@@ -6246,6 +6325,16 @@ object SparkEntry {
       // + an in-stream compact at 3 segments) served with exhaustive
       // probes == the exact top-k, so recall is exactly 1.0
       "stream_maintained_ann" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
+      // exhaustive probes + centroid-independent per-vector SQ8:
+      // maintained chain == one-shot quantized scan exactly
+      "stream_maintained_ivf_sq8" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
+      // identity oracle: stream-built PQ chain ≡ the batch
+      // build+append+append lifecycle over the same thirds
+      "stream_maintained_pq" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
       // positional append: same identity claim for phrase retrieval

@@ -247,10 +247,11 @@ object Decontaminate {
     * hashes only.
     */
   def buildEvalIndex(
-      eval: DataFrame, textCol: String, path: String, n: Int = 8): Unit = {
+      eval: DataFrame, textCol: String, path: String, n: Int = 8,
+      marker: Option[String] = None): Unit = {
     val spark = eval.sparkSession
     import spark.implicits._
-    graft.sources.IndexIO.publish(spark, path) { vdir =>
+    graft.sources.IndexIO.publish(spark, path, marker) { vdir =>
       eval
         .select(explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
         .select(xxhash64(col("__s")).as("h"))
@@ -268,11 +269,12 @@ object Decontaminate {
     * duplicate hashes across segments are collapsed at read time).
     */
   def appendToEvalIndex(
-      newEval: DataFrame, textCol: String, path: String): Unit = {
+      newEval: DataFrame, textCol: String, path: String,
+      marker: Option[String] = None): Unit = {
     val spark = newEval.sparkSession
     import spark.implicits._
     val n = evalIndexN(spark, path)
-    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
       newEval
         .select(explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
         .select(xxhash64(col("__s")).as("h"))
@@ -289,6 +291,29 @@ object Decontaminate {
   def evalIndexN(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
     val vdir = graft.sources.IndexIO.resolve(spark, path)
     spark.read.parquet(s"$vdir/meta").head().getInt(0)
+  }
+
+  /** Collapse an [[appendToEvalIndex]] chain back to ONE segment: the
+    * distinct union of the chain's hashes republishes atomically (the
+    * applied-batch markers carry forward — [[graft.sources.IndexIO]]'s
+    * compaction contract), so a benchmark suite maintained from a
+    * stream ([[graft.streaming.Streaming.maintainEvalIndex]]) never
+    * degrades its gate's broadcast build into a K-segment union read.
+    * Results are identical by construction: readers take the distinct
+    * union either way.
+    */
+  def compactEvalIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    if (graft.sources.IndexIO.segments(spark, path).length <= 1) return
+    val n = evalIndexN(spark, path)
+    val hashes = evalIndexHashes(spark, path)
+    graft.sources.IndexIO.publish(spark, path) { nv =>
+      hashes.coalesce(1).write.mode("overwrite").parquet(s"$nv/hashes")
+      Seq(Tuple1(n)).toDF("n")
+        .coalesce(1).write.mode("overwrite").parquet(s"$nv/meta")
+    }
+    ()
   }
 
   /** The union of an eval index chain's hash segments (distinct). */

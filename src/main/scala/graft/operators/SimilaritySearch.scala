@@ -1892,7 +1892,7 @@ object SimilaritySearch {
   def buildPqIndex(
       corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
       m: Int = 32, kCodes: Int = 32, sampleN: Int = 2048,
-      iters: Int = 8): Unit = {
+      iters: Int = 8, marker: Option[String] = None): Unit = {
     val cv = prepared(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
     val dim = cv.select(size(col("__cv"))).first().getInt(0)
     require(dim % m == 0, s"buildPqIndex: m ($m) must divide dim ($dim)")
@@ -1905,7 +1905,7 @@ object SimilaritySearch {
     import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
     val spark = corpus.sparkSession
     import spark.implicits._
-    graft.sources.IndexIO.publish(spark, indexDir) { vdir =>
+    graft.sources.IndexIO.publish(spark, indexDir, marker) { vdir =>
       Seq((m, kCodes, subDim, cb.toSeq)).toDF("m", "k_codes", "sub_dim", "cb")
         .repartition(1).write.mode("overwrite").parquet(s"$vdir/codebook")
       cv.select(col("neighbor_id"),
@@ -1926,7 +1926,7 @@ object SimilaritySearch {
     */
   def appendToPqIndex(
       newVectors: DataFrame, idCol: String, vecCol: String,
-      indexDir: String): Unit = {
+      indexDir: String, marker: Option[String] = None): Unit = {
     val spark = newVectors.sparkSession
     val vdir0 = graft.sources.IndexIO.resolve(spark, indexDir)
     val meta = spark.read.parquet(s"$vdir0/codebook").collect()(0)
@@ -1942,7 +1942,7 @@ object SimilaritySearch {
       s"appendToPqIndex: new vectors have dim ${newDim.get} but the index at " +
         s"$indexDir encodes dim ${m * subDim} (m=$m x subDim=$subDim)")
     import org.apache.spark.sql.GraftInternals.{toColumn, toExpression}
-    graft.sources.IndexIO.publishDelta(spark, indexDir) { vdir =>
+    graft.sources.IndexIO.publishDelta(spark, indexDir, marker) { vdir =>
       spark.read.parquet(s"$vdir0/codebook")
         .repartition(1).write.mode("overwrite").parquet(s"$vdir/codebook")
       prepared(newVectors, idCol, vecCol, "neighbor_id", "__cv", "__cn")

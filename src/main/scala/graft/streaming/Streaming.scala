@@ -1139,6 +1139,88 @@ object Streaming {
       s => SimilaritySearch.compactIvfPqIndex(s, path))
   }
 
+  /** [[maintainIvfIndex]] for the plain PQ index ([[graft.operators
+    * .SimilaritySearch.buildPqIndex]]): bootstrap trains the codebooks
+    * on the first non-empty batch's deterministic sample; every later
+    * micro-batch encodes with the FROZEN codebooks into an immutable
+    * code segment (m bytes per vector — the whole-corpus-in-memory ADC
+    * scan shape). Exactly-once via [[applyIndexBatch]] markers;
+    * `compactEvery` collapses the code chain in-stream
+    * ([[graft.operators.SimilaritySearch.compactPqIndex]] — codes
+    * union unchanged, results identical by construction).
+    */
+  def maintainPqIndex(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      checkpointDir: String,
+      m: Int = 32,
+      kCodes: Int = 32,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.SimilaritySearch
+    maintainChain(stream, path, checkpointDir, compactEvery)(
+      (b, mk) => SimilaritySearch.buildPqIndex(b, idCol, vecCol, path,
+        m = m, kCodes = kCodes, marker = Some(mk)))(
+      (b, mk) => SimilaritySearch.appendToPqIndex(b, idCol, vecCol, path,
+        marker = Some(mk)))(
+      s => SimilaritySearch.compactPqIndex(s, path))
+  }
+
+  /** [[maintainIvfIndex]] for the IVF-SQ8 index ([[graft.operators
+    * .SimilaritySearch.buildIvfSq8Index]]): bootstrap trains the float
+    * centroids on the first non-empty batch; appends assign new
+    * vectors to the frozen cells on their FLOAT values and land
+    * SQ8-quantized (per-vector quantization is centroid-independent,
+    * so at exhaustive probes the maintained chain equals the one-shot
+    * quantized scan EXACTLY). The compact is the cells-schema-agnostic
+    * [[graft.operators.SimilaritySearch.compactIvfIndex]].
+    */
+  def maintainIvfSq8Index(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      checkpointDir: String,
+      nCentroids: Int = 16,
+      iters: Int = 5,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.SimilaritySearch
+    maintainChain(stream, path, checkpointDir, compactEvery)(
+      (b, mk) => SimilaritySearch.buildIvfSq8Index(b, idCol, vecCol, path,
+        nCentroids, iters, marker = Some(mk)))(
+      (b, mk) => SimilaritySearch.appendToIvfSq8Index(b.sparkSession, path, b,
+        idCol, vecCol, marker = Some(mk)))(
+      s => SimilaritySearch.compactIvfIndex(s, path))
+  }
+
+  /** Maintain the decontamination EVAL index ([[graft.operators
+    * .Decontaminate.buildEvalIndex]]) from a stream of ARRIVING
+    * benchmark suites: each micro-batch's eval docs shingle into an
+    * immutable distinct-hash segment (first batch bootstraps, fixing
+    * the shingle width), so the ingest gates
+    * ([[decontaminateGateFromIndex]], [[hybridDecontaminateFlags]])
+    * start screening for a new benchmark the moment it lands — no
+    * rebuild job between "suite published" and "training data
+    * protected". `compactEvery` re-collapses the hash chain in-stream
+    * ([[graft.operators.Decontaminate.compactEvalIndex]]).
+    */
+  def maintainEvalIndex(
+      stream: DataFrame,
+      textCol: String,
+      path: String,
+      checkpointDir: String,
+      n: Int = 8,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Decontaminate
+    maintainChain(stream, path, checkpointDir, compactEvery)(
+      (b, mk) => Decontaminate.buildEvalIndex(b, textCol, path, n,
+        marker = Some(mk)))(
+      (b, mk) => Decontaminate.appendToEvalIndex(b, textCol, path,
+        marker = Some(mk)))(
+      s => Decontaminate.compactEvalIndex(s, path))
+  }
+
   /** [[maintainIvfIndex]] for the incremental SemDeDup artifact
     * ([[graft.operators.SimilaritySearch.buildSemDedupIndex]]): the
     * first non-empty batch trains the blocking centroids and resolves

@@ -807,6 +807,126 @@ class StreamingSuite extends SparkSpec {
     assert(graft.sources.IndexIO.resolve(spark, dir) == v0)
   }
 
+  test("maintainPqIndex: stream ≡ batch lifecycle over the same batches; compact preserves it") {
+    import graft.operators.SimilaritySearch
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(4)(d => (math.cos(i * 1.9 + d * 0.7) + 0.05 * i).toFloat)
+    val all = (1 to 9).map(i => (i.toLong, vec(i)))
+    val dir = java.nio.file.Files.createTempDirectory("pq_maint").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pq_maint_ck").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    // compactEvery = 2: the code chain collapses twice mid-stream
+    val q = Streaming.maintainPqIndex(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, ckpt, m = 2, kCodes = 2, compactEvery = 2)
+    try {
+      input.addData(all.take(3)); q.processAllAvailable()      // bootstrap (trains)
+      input.addData(all.slice(3, 6)); q.processAllAvailable()  // append -> compact
+      input.addData(all.drop(6)); q.processAllAvailable()      // append -> compact
+    } finally q.stop()
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1,
+      "compactEvery must have collapsed the code chain")
+    val markers = graft.sources.IndexIO.segmentMarkers(spark, dir)
+    assert(markers.size == 3 &&
+      Seq("b0-", "b1-", "b2-").forall(p => markers.exists(_.startsWith(p))),
+      s"unexpected markers $markers")
+    // batch sibling: the SAME batches through build + append + append —
+    // frozen codebooks + union-unchanged compaction make serving equal
+    val bdir = java.nio.file.Files.createTempDirectory("pq_batch").toString
+    SimilaritySearch.buildPqIndex(all.take(3).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", bdir, m = 2, kCodes = 2)
+    SimilaritySearch.appendToPqIndex(all.slice(3, 6).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", bdir)
+    SimilaritySearch.appendToPqIndex(all.drop(6).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", bdir)
+    val queries = all.take(2).toDF("vec_id", "embedding")
+    assertSameRows(
+      SimilaritySearch.searchPqIndex(spark, dir, queries, "vec_id", "embedding", k = 3),
+      SimilaritySearch.searchPqIndex(spark, bdir, queries, "vec_id", "embedding", k = 3))
+  }
+
+  test("maintainIvfSq8Index: exhaustive probes == one-shot quantized scan; markers survive compact") {
+    import graft.operators.SimilaritySearch
+    def vec(i: Int): Array[Float] = {
+      val base = i % 3 match {
+        case 0 => Array(1f, 0.1f, 0f, 0f)
+        case 1 => Array(0f, 1f, 0.1f, 0f)
+        case _ => Array(0f, 0f, 1f, 0.1f)
+      }
+      base.map(v => v + 0.01f * i)
+    }
+    val all = (1 to 9).map(i => (i.toLong, vec(i)))
+    val dir = java.nio.file.Files.createTempDirectory("sq8_maint").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sq8_maint_ck").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.maintainIvfSq8Index(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, ckpt, nCentroids = 2, compactEvery = 2)
+    try {
+      input.addData(all.take(3)); q.processAllAvailable()
+      input.addData(all.slice(3, 6)); q.processAllAvailable()
+      input.addData(all.drop(6)); q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.sources.IndexIO.segments(spark, dir).length == 1)
+    val markers = graft.sources.IndexIO.segmentMarkers(spark, dir)
+    assert(markers.size == 3 &&
+      Seq("b0-", "b1-", "b2-").forall(p => markers.exists(_.startsWith(p))),
+      s"unexpected markers $markers")
+    // per-vector SQ8 quantization is centroid-independent: at
+    // exhaustive probes the maintained chain == the one-shot scan
+    val full = all.toDF("vec_id", "embedding")
+    val queries = all.take(2).toDF("vec_id", "embedding")
+    assertSameRows(
+      SimilaritySearch.sq8TopK(queries, full, "vec_id", "embedding", k = 3),
+      SimilaritySearch.searchIvfSq8(spark, dir, queries, "vec_id", "embedding",
+        k = 3, nProbe = 2))
+  }
+
+  test("maintainEvalIndex: arriving benchmark suites gate immediately; compact collapses") {
+    import graft.operators.Decontaminate
+    val evalA = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val evalB = Seq((101L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "completely unrelated words in this training document here"),
+      (2L, "someone wrote the quick brown fox jumps right into the corpus"),
+      (4L, "pack my box with five dozen liquor jugs and more text"),
+      (5L, "another clean document with its own distinct vocabulary")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_evalm_idx_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_evalm_ck_").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.maintainEvalIndex(
+      input.toDF().toDF("doc_id", "text"), "text", idx, ckpt,
+      n = 3, compactEvery = 2)
+    try {
+      // suite A lands: gate must screen for it from this moment
+      input.addData((100L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      val before = Streaming.decontaminateGateFromIndex(
+        spark, corpus, "doc_id", "text", idx)
+        .select("doc_id").as[Long].collect().toSet
+      assert(before == Set(1L, 4L, 5L))
+      // suite B lands -> append + in-stream compact back to one segment
+      input.addData((101L, "pack my box with five dozen liquor jugs"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.sources.IndexIO.segments(spark, idx).length == 1,
+      "compactEvery must have collapsed the hash chain")
+    assert(graft.sources.IndexIO.segmentMarkers(spark, idx).size == 2)
+    val after = Streaming.decontaminateGateFromIndex(
+      spark, corpus, "doc_id", "text", idx)
+      .select("doc_id").as[Long].collect().toSet
+    val direct = Streaming.decontaminateGate(spark, corpus, "doc_id", "text",
+      evalA.union(evalB), "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == direct && after == Set(1L, 5L))
+  }
+
   test("maintainIvfPqIndex: stream-built chain serves exact top-k through rerank") {
     import graft.operators.SimilaritySearch
     def vec(i: Int): Array[Float] =
