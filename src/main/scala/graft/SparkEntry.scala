@@ -2658,6 +2658,57 @@ object SparkEntry {
       }
       Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
     }),
+    "index_sync" -> ((s, dir) => {
+      // CDC → index sync (IndexSync.syncBm25Index): the OLD snapshot
+      // lacks the %5==0 docs (added), carries a stale revision of the
+      // %7==0 texts (changed), and holds retired ids absent from the
+      // new snapshot (removed). ONE sync call feeds CorpusDiff's change
+      // sets through the existing tombstone+append lifecycle — the
+      // log-ordered tombstones kill the stale revisions, the re-appends
+      // land after them — so serving the synced index equals a one-shot
+      // build on the live documents table: bm25_search's oracle
+      // verbatim (stats, df, idf all on the new corpus's values).
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val idx = scratch("bm25_sync_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx)) {
+        val old = d.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" stale revision"))).otherwise(col("text")))
+          .unionByName(d.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        Search.buildBm25Index(old, "doc_id", "text", idx)
+        IndexSync.syncBm25Index(s, old, d, "doc_id", "text", idx)
+      }
+      Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
+    }),
+    "index_sync_ivf" -> ((s, dir) => {
+      // the ANN-family sync (IndexSync.syncIvfIndex): old snapshot =
+      // no %5==0 vectors (added), NEGATED %7==0 vectors (changed —
+      // the re-embedding shape), retired ids (removed). Centroids stay
+      // the ones trained on the OLD snapshot (sync appends assign to
+      // frozen cells — ivfIndexDrift is the retrain signal), but at
+      // exhaustive probes serving is the EXACT top-k over whatever is
+      // live, so recall vs brute force over the NEW snapshot is
+      // exactly 1.0 — a tombstone-survivor or a stale negated vector
+      // would displace a correct neighbor and break it.
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val idx = scratch("ivf_sync_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx)) {
+        val old = e.filter(col("vec_id") % 5 =!= 0)
+          .withColumn("embedding", when(col("vec_id") % 7 === 0,
+            transform(col("embedding"), x => negate(x))).otherwise(col("embedding")))
+          .unionByName(e.filter(col("vec_id") % 11 === 0)
+            .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+        SimilaritySearch.buildIvfIndex(old, "vec_id", "embedding", idx,
+          nCentroids = 16)
+        IndexSync.syncIvfIndex(s, old, e, "vec_id", "embedding", idx)
+      }
+      val qs = e.filter(col("vec_id") < 20)
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.searchIvf(s, idx, qs, "vec_id", "embedding",
+          k = 5, nProbe = 16),
+        SimilaritySearch.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5))
+    }),
     "phrase_search_appended" -> ((s, dir) => {
       // positional-index append lifecycle: build over doc_id % 3 != 2,
       // append the remaining third as an immutable delta segment,
@@ -6346,6 +6397,14 @@ object SparkEntry {
       // consolidation compact of two separate chains into the unified
       // layout: serving from the merged artifact == the inline scan
       "bm25_search_merged" -> bm25SearchOracle,
+      // CDC sync: the synced index ends exactly as a one-shot build on
+      // the live corpus — the shared serving oracle IS the claim
+      "index_sync" -> bm25SearchOracle,
+      // exhaustive probes over the synced chain == exact top-k over
+      // the new snapshot
+      "index_sync_ivf" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
       // positional takedown: serving after the tombstone delta == the
       // inline phrase scan over the remaining corpus
       "phrase_search_deleted" ->
