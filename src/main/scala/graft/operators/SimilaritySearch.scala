@@ -435,12 +435,25 @@ object SimilaritySearch {
     * and engine-reproducible.
     */
   def semDeDup(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, threshold: Double, iters: Int = 5): DataFrame = {
+      k: Int, threshold: Double, iters: Int = 5,
+      maxCellSize: Int = 0): DataFrame = {
     require(k >= 2, s"semDeDup: k must be >= 2, got $k")
     val c = prepared(df, idCol, vecCol, "neighbor_id", "__cv", "__cn")
       .localCheckpoint(true) // scanned per Lloyd iteration + twice below
     val centroids = trainCentroids(c, k, iters)
-    semDeDupState(c, centroids, threshold)
+    // maxCellSize > 0 arms the paper's hierarchical fallback: cells the
+    // Lloyd pass left oversized re-cluster recursively before the
+    // Σ|cell|² pair search (see [[splitOversizedCells]]); the default
+    // keeps the flat blocking and only WARNS on a degenerate histogram,
+    // so existing results are byte-stable
+    val state =
+      if (maxCellSize <= 0) semDeDupState(c, centroids, threshold)
+      else {
+        val assigned = assignSemDedupCells(c, centroids)
+        semDeDupResolve(
+          splitOversizedCells(assigned, maxCellSize, iters), threshold)
+      }
+    state
       .select(col("__id").as(idCol), col("cluster"),
         (col("__ccos") / lit(10000.0)).as("centroid_cos"),
         col("component"), col("kept"))
@@ -459,13 +472,56 @@ object SimilaritySearch {
     */
   private def semDeDupState(c: DataFrame, centroids: Array[Array[Double]],
       threshold: Double): DataFrame = {
-    val assigned = c
-      .withColumn("__best", bestCellStructExpr(col("__cv"), centroidArray(centroids)))
+    val assigned = assignSemDedupCells(c, centroids)
+    warnDegeneratePairSearch(assigned)
+    semDeDupResolve(assigned, threshold)
+  }
+
+  /** The assignment half of [[semDeDupState]]: every row gets its best
+    * cell and grid centroid cosine in one row-local expression pass.
+    * Checkpointed — the resolve half self-joins it.
+    */
+  private def assignSemDedupCells(
+      c: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    c.withColumn("__best", bestCellStructExpr(col("__cv"), centroidArray(centroids)))
       .select(col("neighbor_id").as("__id"), col("__cv"), col("__cn"),
         col("__best").getField("cell").as("cluster"),
         floor(col("__best").getField("score") * lit(10000.0)).cast("long")
           .as("__ccos"))
       .localCheckpoint(true) // self-joined: don't assign twice
+
+  /** The pair-search cost contract of SemDeDup is Σ|cell|² — a
+    * degenerate clustering (one cell holding most of a skewed corpus)
+    * silently reverts it to ~n². This guard MEASURES the realized cost
+    * on the (≤ k-row) cell histogram and warns loudly when the largest
+    * cell blows the balanced budget, naming the numbers — the operator
+    * still runs (the result is correct either way), but the cost
+    * regression is attributable instead of invisible. Remedies: larger
+    * `k`, a rebuild after drift, or [[semDeDup]]'s `maxCellSize`
+    * hierarchical re-clustering.
+    */
+  private def warnDegeneratePairSearch(assigned: DataFrame): Unit = {
+    val sizes = assigned.groupBy("cluster").count()
+      .select(col("count")).collect().map(_.getLong(0))
+    if (sizes.length <= 1) return
+    val n = sizes.sum
+    val pairCost = sizes.map(s => s * s).sum
+    val balanced = n.toDouble * n / sizes.length
+    val maxCell = sizes.max
+    if (pairCost > 4.0 * balanced && maxCell > 4L * n / sizes.length)
+      System.err.println(
+        f"[graft] WARN: SemDeDup pair search is degenerate: largest cell " +
+          f"holds $maxCell of $n rows across ${sizes.length} occupied cells " +
+          f"(measured sum(|cell|^2) = $pairCost%,d vs ~${balanced.toLong}%,d " +
+          "balanced). Increase k, rebuild after drift, or pass maxCellSize " +
+          "for hierarchical re-clustering.")
+  }
+
+  /** The resolve half of [[semDeDupState]]: cosine-≥-threshold pairs
+    * WITHIN cells, connected components, keep-the-atypical.
+    */
+  private def semDeDupResolve(
+      assigned: DataFrame, threshold: Double): DataFrame = {
     val a = assigned.select(col("cluster"), col("__id").as("id_a"),
       col("__cv").as("__va"), col("__cn").as("__na"))
     val b = assigned.select(col("cluster"), col("__id").as("id_b"),
@@ -488,6 +544,80 @@ object SimilaritySearch {
       .select(col("__id"), col("__cv"), col("__cn"), col("cluster"),
         col("__ccos"), col("component"),
         coalesce(col("keep_id") === col("__id"), lit(true)).as("kept"))
+  }
+
+  /** The hierarchical fallback of the SemDeDup paper for a collapsed
+    * clustering: cells larger than `maxCellSize` re-cluster — their
+    * members train their OWN sub-centroids (same deterministic Lloyd
+    * trainer) and reassign to fresh cluster ids in one chained-`when`
+    * expression pass — and the split repeats on still-oversized
+    * results up to 3 levels. Inseparable cells (identical vectors
+    * cannot split: every member follows the same centroid) are
+    * detected by a no-progress check and left intact with the loud
+    * Σ|cell|² warning. Driver work per level is bounded: the 64
+    * LARGEST oversized cells split per level (the rest warn), each
+    * costing one bounded `trainCentroids` over that cell's members.
+    * Sub-splitting only ever REMOVES cross-subcell pairs — exactly the
+    * approximation the clustering-as-blocking contract already allows.
+    */
+  private def splitOversizedCells(
+      assigned0: DataFrame, maxCellSize: Int, iters: Int): DataFrame = {
+    var assigned = assigned0
+    var depth = 0
+    var prevOversizedRows = Long.MaxValue
+    var continue = true
+    while (continue && depth < 3) {
+      val sizes = assigned.groupBy("cluster").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      val oversized = sizes.filter(_._2 > maxCellSize).sortBy(-_._2)
+      val oversizedRows = oversized.map(_._2).sum
+      if (oversized.isEmpty || oversizedRows >= prevOversizedRows) {
+        if (oversized.nonEmpty) warnDegeneratePairSearch(assigned)
+        continue = false
+      } else {
+        prevOversizedRows = oversizedRows
+        val toSplit = oversized.take(64)
+        if (oversized.length > 64)
+          System.err.println(
+            s"[graft] WARN: SemDeDup maxCellSize guard: ${oversized.length} " +
+              "oversized cells; splitting the 64 largest this level")
+        var nextId = sizes.map(_._1).max + 1
+        val splits = toSplit.map { case (cell, size) =>
+          val members = assigned.filter(col("cluster") === cell)
+            .select(col("__id").as("neighbor_id"), col("__cv"), col("__cn"))
+          val k2 = math.max(2, math.min(256,
+            math.ceil(size.toDouble / maxCellSize).toInt))
+          val sub = trainCentroids(members, k2, iters)
+          val s = (cell, nextId, sub)
+          nextId += sub.length
+          s
+        }
+        // one chained-when pass reassigns every split cell's members to
+        // its own sub-centroid literal (cell ids pre-shifted into the
+        // fresh range); untouched rows keep their cell
+        val rebest = splits.foldLeft(lit(null).cast(
+            "struct<cell:int,score:double>")) { case (acc, (cell, base, sub)) =>
+          when(col("cluster") === cell,
+            bestCellStructExpr(col("__cv"), centroidArrayFrom(sub, base)))
+            .otherwise(acc)
+        }
+        assigned = assigned
+          .withColumn("__rb", rebest)
+          .select(col("__id"), col("__cv"), col("__cn"),
+            coalesce(col("__rb").getField("cell"), col("cluster")).as("cluster"),
+            coalesce(
+              floor(col("__rb").getField("score") * lit(10000.0)).cast("long"),
+              col("__ccos")).as("__ccos"))
+          .localCheckpoint(true)
+      }
+      depth += 1
+    }
+    if (continue) {
+      // depth exhausted with progress still being made: report the
+      // residual cost honestly
+      warnDegeneratePairSearch(assigned)
+    }
+    assigned
   }
 
   /** Persist SemDeDup as an INCREMENTAL artifact — [[semDeDup]] per
@@ -759,9 +889,17 @@ object SimilaritySearch {
     * undo its own explode).
     */
   private def centroidArray(centroids: Array[Array[Double]]): Column =
+    centroidArrayFrom(centroids, 0)
+
+  /** [[centroidArray]] with cell ids starting at `base` — the
+    * sub-centroid literals of [[splitOversizedCells]] land in fresh id
+    * ranges without a post-assignment shift.
+    */
+  private def centroidArrayFrom(
+      centroids: Array[Array[Double]], base: Int): Column =
     array(centroids.zipWithIndex.map { case (v, i) =>
       struct(
-        lit(i).as("cell"),
+        lit(base + i).as("cell"),
         array(v.map(lit): _*).as("v"),
         lit(math.sqrt(v.map(x => x * x).sum)).as("n"))
     }.toIndexedSeq: _*)

@@ -239,6 +239,71 @@ class SimilaritySearchSuite extends SparkSpec {
     assert(globalRemoved == removed)
   }
 
+  test("semDeDup maxCellSize: collapsed clustering re-clusters; duplicates survive the split") {
+    val rnd = new scala.util.Random(47)
+    // a SKEWED corpus k-means collapses: 40 jittered vectors in one
+    // cone (each duplicated exactly — 40 planted pairs), 3 outliers in
+    // the opposite direction. k = 2 puts ~80 rows in one cell: the
+    // Σ|cell|² pair search degenerates toward n².
+    val cone = (0 until 40).map { i =>
+      val v = Array(1.0, rnd.nextGaussian() * 0.2, rnd.nextGaussian() * 0.2,
+        rnd.nextGaussian() * 0.2)
+      (i.toLong, v)
+    }
+    val rows = cone ++ cone.map { case (i, v) => (i + 1000L, v) } ++
+      Seq((2001L, Array(-1.0, 0.05, 0.0, 0.0)),
+        (2002L, Array(-1.0, 0.0, 0.05, 0.0)),
+        (2003L, Array(-1.0, 0.0, 0.0, 0.05)))
+    val df = rows.toDF("id", "emb")
+    val guarded = SimilaritySearch.semDeDup(df, "id", "emb",
+      k = 2, threshold = 0.999999, maxCellSize = 20)
+    val got = guarded.collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getBoolean(4))).toMap
+    assert(got.size == 83)
+    // the guard split the collapsed cell: no cluster above the cap
+    val cellSizes = got.values.groupBy(_._1).map(_._2.size)
+    assert(cellSizes.max <= 20,
+      s"oversized cell survived the guard: $cellSizes")
+    // EVERY planted duplicate pair survived the split (identical
+    // vectors share an argmax, so a pair can never straddle subcells):
+    // exactly one of (i, i+1000) pruned per pair, outliers kept
+    val removed = got.filter(!_._2._2).keys.toSet
+    assert(removed.size == 40, s"expected 40 pruned, got ${removed.size}")
+    (0 until 40).foreach { i =>
+      assert(removed.contains(i.toLong) ^ removed.contains(i + 1000L),
+        s"pair $i: exactly one side must be pruned")
+    }
+    assert(Seq(2001L, 2002L, 2003L).forall(got(_)._2))
+    // the guard is deterministic under repartitioning
+    val again = SimilaritySearch.semDeDup(df.repartition(5), "id", "emb",
+      k = 2, threshold = 0.999999, maxCellSize = 20)
+    assertSameRows(guarded.orderBy("id"), again.orderBy("id"))
+    // default (maxCellSize = 0) is untouched: flat blocking leaves at
+    // least one cell above the cap (k = 2 cannot respect it on this
+    // skew) — the guard is opt-in, existing gates stay byte-stable
+    val flat = SimilaritySearch.semDeDup(df, "id", "emb",
+      k = 2, threshold = 0.999999)
+    val flatSizes = flat.collect().map(_.getInt(1)).groupBy(identity).map(_._2.length)
+    assert(flatSizes.max > 20, s"fixture must exceed the cap flat: $flatSizes")
+  }
+
+  test("semDeDup maxCellSize: an inseparable cell (identical vectors) terminates intact") {
+    // 30 ids share ONE exact vector: no sub-clustering can split them
+    // (every member follows the same argmax) — the guard must detect
+    // no-progress, stop, and still resolve the component correctly
+    val same = Array(0.6, 0.8, 0.0)
+    val rows = (0 until 30).map(i => (i.toLong, same)) ++
+      Seq((100L, Array(0.0, 0.1, 1.0)), (101L, Array(0.1, 0.0, -1.0)))
+    val df = rows.toDF("id", "emb")
+    val out = SimilaritySearch.semDeDup(df, "id", "emb",
+      k = 2, threshold = 0.999999, maxCellSize = 10)
+    val got = out.collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got.size == 32)
+    // one keeper among the 30 identical rows, both singletons kept
+    assert(got.count(kv => kv._1 < 30 && kv._2) == 1)
+    assert(got(100L) && got(101L))
+  }
+
   test("incremental SemDeDup: cross-batch dups, component bridge, keeper transfer") {
     import java.nio.file.Files
     def v(deg: Double): Array[Double] = {
