@@ -913,7 +913,9 @@ object Streaming {
       stream: DataFrame,
       path: String,
       checkpointDir: String,
-      compactEvery: Int)(
+      compactEvery: Int,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2)(
       bootstrap: (DataFrame, String) => Unit)(
       append: (DataFrame, String) => Unit)(
       compact: SparkSession => Unit)
@@ -926,6 +928,17 @@ object Streaming {
         applyIndexBatch(s, path, marker)(bootstrap(batch, marker))(
           append(batch, marker))
         maybeCompact(s, path, compactEvery)(compact(s))
+        // vacuum cadence: every publish (append, compact) retires a
+        // version dir that publish-time pruning retains only up to its
+        // default window — an unattended year-long stream would
+        // otherwise accumulate retired versions without bound. Age
+        // bound: only in-flight debris older than a day is reclaimed
+        // (IndexIO.vacuum's stale rule — a live concurrent build looks
+        // identical to a crash), and `vacuumRetain` committed versions
+        // survive so a reader resolved against the PREVIOUS version
+        // keeps its data through the next publish.
+        if (vacuumEvery > 0 && batchId > 0 && batchId % vacuumEvery == 0)
+          graft.sources.IndexIO.vacuum(s, path, retainVersions = vacuumRetain)
       }
     }
     stream.writeStream
@@ -956,9 +969,12 @@ object Streaming {
       path: String,
       checkpointDir: String,
       termBuckets: Int = 64,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Search
-    maintainChain(stream, path, checkpointDir, compactEvery)(
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
       (b, m) => Search.buildBm25Index(b, idCol, textCol, path, termBuckets,
         marker = Some(m)))(
       (b, m) => Search.appendToBm25Index(b, idCol, textCol, path, termBuckets,
@@ -988,9 +1004,12 @@ object Streaming {
       buckets: Int,
       path: String,
       checkpointDir: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dsir
-    maintainChain(stream, path, checkpointDir, compactEvery)(
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
       (b, m) => Dsir.buildDsirIndex(target, targetTextCol, b, textCol,
         buckets, path, marker = Some(m)))(
       (b, m) => Dsir.appendToDsirIndex(b, textCol, path, marker = Some(m)))(
@@ -1016,9 +1035,12 @@ object Streaming {
       buckets: Int,
       path: String,
       checkpointDir: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dsir
-    maintainChain(stream, path, checkpointDir, compactEvery)(
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
       (b, m) => Dsir.buildDsirIndexByGroup(target, targetTextCol,
         targetGroupCol, b, textCol, groupCol, buckets, path,
         marker = Some(m)))(
@@ -1041,9 +1063,12 @@ object Streaming {
       path: String,
       checkpointDir: String,
       termBuckets: Int = 64,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Search
-    maintainChain(stream, path, checkpointDir, compactEvery)(
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
       (b, m) => Search.buildLexicalIndex(b, idCol, textCol, path, termBuckets,
         marker = Some(m)))(
       (b, m) => Search.appendToLexicalIndex(b, idCol, textCol, path,
@@ -1069,9 +1094,12 @@ object Streaming {
       numHashes: Int = 128,
       bands: Int = 32,
       bandBuckets: Int = 64,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
-    maintainChain(stream, path, checkpointDir, compactEvery)(
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
       (b, m) => Dedup.buildMinhashIndex(b, idCol, textCol, path, n, numHashes,
         bands, bandBuckets, marker = Some(m)))(
       (b, m) => Dedup.appendToMinhashIndex(b, idCol, textCol, path,
@@ -1102,9 +1130,12 @@ object Streaming {
       checkpointDir: String,
       nCentroids: Int = 16,
       iters: Int = 5,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.SimilaritySearch
-    maintainChain(stream, path, checkpointDir, compactEvery)(
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
       (b, m) => SimilaritySearch.buildIvfIndex(b, idCol, vecCol, path,
         nCentroids, iters, marker = Some(m)))(
       (b, m) => SimilaritySearch.appendToIvfIndex(b.sparkSession, path, b,
@@ -1129,9 +1160,12 @@ object Streaming {
       nCentroids: Int = 16,
       m: Int = 32,
       kCodes: Int = 32,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.SimilaritySearch
-    maintainChain(stream, path, checkpointDir, compactEvery)(
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
       (b, mk) => SimilaritySearch.buildIvfPqIndex(b, idCol, vecCol, path,
         nCentroids = nCentroids, m = m, kCodes = kCodes, marker = Some(mk)))(
       (b, mk) => SimilaritySearch.appendToIvfPqIndex(b, idCol, vecCol, path,
@@ -1157,9 +1191,12 @@ object Streaming {
       checkpointDir: String,
       m: Int = 32,
       kCodes: Int = 32,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.SimilaritySearch
-    maintainChain(stream, path, checkpointDir, compactEvery)(
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
       (b, mk) => SimilaritySearch.buildPqIndex(b, idCol, vecCol, path,
         m = m, kCodes = kCodes, marker = Some(mk)))(
       (b, mk) => SimilaritySearch.appendToPqIndex(b, idCol, vecCol, path,
@@ -1184,9 +1221,12 @@ object Streaming {
       checkpointDir: String,
       nCentroids: Int = 16,
       iters: Int = 5,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.SimilaritySearch
-    maintainChain(stream, path, checkpointDir, compactEvery)(
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
       (b, mk) => SimilaritySearch.buildIvfSq8Index(b, idCol, vecCol, path,
         nCentroids, iters, marker = Some(mk)))(
       (b, mk) => SimilaritySearch.appendToIvfSq8Index(b.sparkSession, path, b,
@@ -1211,9 +1251,12 @@ object Streaming {
       path: String,
       checkpointDir: String,
       n: Int = 8,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Decontaminate
-    maintainChain(stream, path, checkpointDir, compactEvery)(
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
       (b, mk) => Decontaminate.buildEvalIndex(b, textCol, path, n,
         marker = Some(mk)))(
       (b, mk) => Decontaminate.appendToEvalIndex(b, textCol, path,
@@ -1243,9 +1286,12 @@ object Streaming {
       k: Int,
       threshold: Double,
       iters: Int = 5,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.SimilaritySearch
-    maintainChain(stream, path, checkpointDir, compactEvery)(
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
       (b, m) => SimilaritySearch.buildSemDedupIndex(b, idCol, vecCol, path,
         k, threshold, iters, marker = Some(m)))(
       (b, m) => SimilaritySearch.applySemDedupBatch(b.sparkSession, path, b,
@@ -1268,9 +1314,12 @@ object Streaming {
       binCol: String,
       path: String,
       checkpointDir: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.multimodal.Multimodal
-    maintainChain(stream, path, checkpointDir, compactEvery)(
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
       (b, m) => Multimodal.buildAHashIndex(b, idCol, binCol, path,
         marker = Some(m)))(
       (b, m) => Multimodal.appendToAHashIndex(b, idCol, binCol, path,
@@ -1289,9 +1338,12 @@ object Streaming {
       binCol: String,
       path: String,
       checkpointDir: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.multimodal.Multimodal
-    maintainChain(stream, path, checkpointDir, compactEvery)(
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
       (b, m) => Multimodal.buildPHashIndex(b, idCol, binCol, path,
         marker = Some(m)))(
       (b, m) => Multimodal.appendToPHashIndex(b, idCol, binCol, path,
@@ -1310,9 +1362,12 @@ object Streaming {
       binCol: String,
       path: String,
       checkpointDir: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.multimodal.Multimodal
-    maintainChain(stream, path, checkpointDir, compactEvery)(
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
       (b, m) => Multimodal.buildAudioHashIndex(b, idCol, binCol, path,
         marker = Some(m)))(
       (b, m) => Multimodal.appendToAudioHashIndex(b, idCol, binCol, path,
@@ -1338,9 +1393,12 @@ object Streaming {
       windowSamples: Int = 400,
       k: Int = 16,
       w: Int = 4,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.multimodal.Multimodal
-    maintainChain(stream, path, checkpointDir, compactEvery)(
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
       (b, m) => Multimodal.buildAudioFpIndex(b, idCol, binCol, path,
         windowSamples, k, w, marker = Some(m)))(
       (b, m) => Multimodal.appendToAudioFpIndex(b, idCol, binCol, path,
@@ -1367,9 +1425,12 @@ object Streaming {
       path: String,
       checkpointDir: String,
       sceneMaxHamming: Int = 16,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.multimodal.Multimodal
-    maintainChain(stream, path, checkpointDir, compactEvery)(
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
       (b, m) => Multimodal.buildSceneIndex(b, idCol, frameIdxCol, frameBinCol,
         path, sceneMaxHamming, marker = Some(m)))(
       (b, m) => Multimodal.appendToSceneIndex(b, idCol, frameIdxCol,

@@ -807,6 +807,55 @@ class StreamingSuite extends SparkSpec {
     assert(graft.sources.IndexIO.resolve(spark, dir) == v0)
   }
 
+  test("vacuumEvery: retired versions drop in-stream; a reader on the previous version survives") {
+    import graft.operators.Search
+    val idx = java.nio.file.Files.createTempDirectory("graft_vac_idx_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vac_ck_").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // compactEvery = 2: every append immediately compacts to a FULL
+    // publish, orphaning the previous chain — exactly the publish
+    // pattern that accumulates retired version dirs without vacuum
+    val q = Streaming.maintainBm25Index(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckpt,
+      compactEvery = 2, vacuumEvery = 1, vacuumRetain = 2)
+    def versionDirs(): Set[String] = {
+      val d = new java.io.File(idx)
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("v-"))
+        .map(_.getName).toSet
+    }
+    try {
+      input.addData((1L, "alpha beta")); q.processAllAvailable()
+      input.addData((2L, "gamma delta")); q.processAllAvailable()
+      // a concurrent reader resolves the CURRENT (compacted, full)
+      // version now...
+      val oldVdir = graft.sources.IndexIO.resolve(spark, idx)
+      val oldReader = spark.read.parquet(s"$oldVdir/lengths")
+      // ...the next batch publishes append + compact + vacuum: the old
+      // version is retired but still REFERENCED by the retained append
+      // chain — its files must survive and stay readable
+      input.addData((3L, "epsilon zeta")); q.processAllAvailable()
+      assert(oldReader.count() == 2L,
+        "the previous version must survive one vacuumed publish")
+      // keep streaming: an unattended stream stays bounded instead of
+      // accumulating two version dirs per batch, and the old version
+      // eventually drops once nothing retained references it
+      (4L to 8L).foreach { i =>
+        input.addData((i, s"word$i other$i")); q.processAllAvailable()
+      }
+      val dirs = versionDirs()
+      assert(dirs.size <= 4,
+        s"vacuum cadence must bound retired versions, got ${dirs.size}: $dirs")
+      assert(!dirs.contains(new java.io.File(oldVdir).getName),
+        "the batch-2 version must eventually drop")
+    } finally q.stop()
+    // the index itself serves the full stream content throughout
+    assert(Search.bm25SearchIndex(spark, idx, Seq("alpha"), k = 5)
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(Search.bm25SearchIndex(spark, idx, Seq("word7"), k = 5)
+      .select("doc_id").as[Long].collect().toSet == Set(7L))
+  }
+
   test("maintainPqIndex: stream ≡ batch lifecycle over the same batches; compact preserves it") {
     import graft.operators.SimilaritySearch
     def vec(i: Int): Array[Float] =
