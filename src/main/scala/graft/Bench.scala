@@ -24,7 +24,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_cross_corpus_lsh", "dedup_mask_windows", "pack_sequences",
     "pack_sequences_bfd",
-    "tokenize_bpe_ids",
+    "tokenize_bpe_ids", "tokenize_unigram",
     "dedup_embedding", "ann_topk", "cluster_embeddings", "semdedup_embeddings",
     "semdedup_incremental", "semdedup_deleted", "stream_maintained_semdedup",
     "mmr_rerank", "mine_hard_negatives",
@@ -133,6 +133,7 @@ object Bench {
     val setupFailed = scala.collection.mutable.ListBuffer.empty[String]
     Seq("ann_topk_ivf_pq_search", "ann_topk_ivf_pq_meta",
         "stream_lm_gate", "stream_lm_gate3", "tokenize_bpe_ids",
+        "tokenize_unigram",
         // lifecycle queries whose *_serve rows need the artifact on
         // disk before the first timed pass
         "bm25_search_deleted", "bm25_search_appended",

@@ -1381,6 +1381,38 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("int").as("seq"),
           col("col").as("tok_id"))
     }),
+    "unigram_train" -> ((s, dir) => {
+      // corpus-trained unigram-LM tokenizer (SentencePiece's unigram
+      // model): bounded word-count pass, substring seeding, hard-EM
+      // Viterbi re-scoring on the 1e-4 log grid — the oracle unrolls
+      // the SAME evolution stage-by-stage (unigramOraclePrefix), so
+      // every (piece, score) row must match exactly.
+      import s.implicits._
+      UnigramTokenizer.trainUnigram(t(s, dir, "documents"), "text",
+          trainWords = UniGateWords, maxPieceLen = UniGateP,
+          seedPieces = UniGateK, emIters = UniGateE)
+        .toDF("piece", "score")
+    }),
+    "tokenize_unigram" -> ((s, dir) => {
+      // tokenizer lifecycle: train + persist the vocabulary once
+      // (atomic IndexIO publish), resolve it, and Viterbi-segment every
+      // document with the native codegen kernel — one (doc_id, seq,
+      // piece) row per subword token, pieces as hex (a piece may end
+      // mid-UTF-8-sequence). The oracle replays the training AND the
+      // max-likelihood segmentation of every distinct corpus word
+      // (unknown bytes at the derived floor), then joins back to docs.
+      val d = t(s, dir, "documents")
+      val idx = scratch("unigram_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        UnigramTokenizer.buildUnigramIndex(d, "text", idx,
+          trainWords = UniGateWords, maxPieceLen = UniGateP,
+          seedPieces = UniGateK, emIters = UniGateE)
+      val vocab = UnigramTokenizer.loadUnigramVocab(s, idx)
+      d.select(col("doc_id"),
+          posexplode(UnigramTokenizer.unigramTokens(col("text"), vocab)))
+        .select(col("doc_id"), col("pos").cast("int").as("seq"),
+          col("col").as("piece"))
+    }),
     "chunk_documents_sentences" -> ((s, dir) => {
       // SENTENCE-BOUNDARY chunking (the RAG form): the corpus carries
       // no punctuation, so both sides synthesize a period after every
@@ -3784,6 +3816,12 @@ object SparkEntry {
     */
   private val BpeGateWords = 24
   private val BpeGateMerges = 64
+  // unigram tokenizer gate params (shared constants between the Spark
+  // query and the oracle replay — change both together)
+  private val UniGateWords = 24
+  private val UniGateP = 4   // maxPieceLen
+  private val UniGateK = 40  // seedPieces
+  private val UniGateE = 2   // emIters
   private val BpeGateChunk = 32
 
   /** stream_kn_gate threshold, shared by the query and the oracle's
@@ -3819,6 +3857,128 @@ object SparkEntry {
     * of every word — the tokenize/chunk oracles just join it back to
     * the documents.
     */
+  /** The unigram trainer's evolution unrolled in SQL — the hard-EM
+    * twin of [[bpeOraclePrefix]], every stage exact:
+    *
+    *  - seed: candidate substrings over the top-`w` train words,
+    *    ALL occurring singles + top-`k` multis by `(freq DESC, hex)`,
+    *    scores `floor(ln((freq+1)/(F+V))·1e4)` as BIGINT;
+    *  - each EM stage: Viterbi FORWARD as a recursive CTE carrying a
+    *    `p`-wide dp window list (dp[pos] from dp[pos-k] needs the last
+    *    `p` values, which the recursion's working table alone can't
+    *    see), the CHOICE table re-deriving the largest `k` whose exact
+    *    long equality `dp[pos-k] + s(piece) = dp[pos]` holds (the
+    *    kernel's longest-piece tie rule), a BACKTRACE recursive CTE
+    *    walking choices, then add-one re-scoring over the FIXED
+    *    vocabulary;
+    *  - tokenization (the `tok = true` suffix): the same machinery
+    *    over ALL corpus words with `uscT` = final scores ∪ the
+    *    unknown-byte floor (`min − 10000`) for out-of-vocabulary
+    *    singles — [[graft.functions.UnigramKernel]]'s totality rule.
+    *
+    * Every CTE referenced more than once is MATERIALIZED (the
+    * [[bpeOraclePrefix]] lesson: default inlining doubles the plan per
+    * stage).
+    */
+  private def unigramOraclePrefix(
+      w: Int, p: Int, k: Int, e: Int, tok: Boolean): String = {
+    val Sent = "-2305843009213693952" // == UnigramKernel's sentinel
+    def fwd(name: String, wordSql: String, scTab: String): String = {
+      val joins = (1 to p).map { kk =>
+        val start = if (kk == 1) "2*f.pos + 1" else s"2*f.pos - ${2 * kk - 3}"
+        s"  LEFT JOIN $scTab s$kk ON f.pos >= ${kk - 1} AND " +
+          s"s$kk.p = substring(f.wh, $start, ${2 * kk})"
+      }.mkString("\n")
+      val cases = (1 to p).map { kk =>
+        s"CASE WHEN f.pos >= ${kk - 1} AND s$kk.s IS NOT NULL " +
+          s"THEN f.win[${p - kk + 1}] + s$kk.s ELSE $Sent END"
+      }.mkString(",\n       ")
+      val win0 = (List.fill(p - 1)("CAST(NULL AS BIGINT)") :+ "CAST(0 AS BIGINT)")
+        .mkString("[", ", ", "]")
+      val newWin = ((2 to p).map(i => s"f.win[$i]") :+ s"greatest($cases)")
+        .mkString("[", ",\n     ", "]")
+      s"""$name AS (
+         |  SELECT wh, cnt, 0 AS pos, $win0 AS win FROM $wordSql
+         |  UNION ALL
+         |  SELECT f.wh, f.cnt, f.pos + 1,
+         |    $newWin
+         |  FROM $name f
+         |$joins
+         |  WHERE f.pos < length(f.wh) // 2)""".stripMargin
+    }
+    def rest(fwdName: String, scTab: String,
+        dpn: String, chn: String, btn: String): String =
+      s"""$dpn AS MATERIALIZED (SELECT wh, cnt, pos, win[$p] AS dp FROM $fwdName),
+         |$chn AS MATERIALIZED (
+         |  SELECT d.wh, d.pos, max(g.k) AS k
+         |  FROM $dpn d,
+         |       unnest(generate_series(1, least($p, d.pos))) AS g(k)
+         |  JOIN $dpn dprev ON dprev.wh = d.wh AND dprev.pos = d.pos - g.k
+         |  JOIN $scTab s ON s.p = substring(d.wh, 2*(d.pos - g.k) + 1, 2*g.k)
+         |  WHERE d.pos > 0 AND dprev.dp + s.s = d.dp
+         |  GROUP BY 1, 2),
+         |$btn AS (
+         |  SELECT wh, cnt, length(wh)//2 AS pos, 0 AS step, CAST(NULL AS VARCHAR) AS piece
+         |  FROM (SELECT DISTINCT wh, cnt FROM $dpn)
+         |  UNION ALL
+         |  SELECT b.wh, b.cnt, b.pos - c.k, b.step + 1,
+         |         substring(b.wh, 2*(b.pos - c.k) + 1, 2*c.k)
+         |  FROM $btn b JOIN $chn c ON c.wh = b.wh AND c.pos = b.pos
+         |  WHERE b.pos > 0)""".stripMargin
+    val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (i <- 1 to e) {
+      segs += fwd(s"ufw$i", "utw", s"usc${i - 1}")
+      segs += rest(s"ufw$i", s"usc${i - 1}", s"udp$i", s"uch$i", s"ubt$i")
+      segs +=
+        s"""ucn$i AS MATERIALIZED (
+           |  SELECT piece AS p, sum(cnt) AS c FROM ubt$i WHERE piece IS NOT NULL GROUP BY 1),
+           |uct$i AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS ct FROM ucn$i),
+           |usc$i AS MATERIALIZED (
+           |  SELECT uv0.p,
+           |         CAST(floor(ln((coalesce(ucn$i.c, 0) + 1.0) / (uct$i.ct + uvs.v)) * 10000.0) AS BIGINT) AS s
+           |  FROM uv0 LEFT JOIN ucn$i ON ucn$i.p = uv0.p, uct$i, uvs)""".stripMargin
+    }
+    if (tok) {
+      segs += s"""uunk AS (SELECT min(s) - 10000 AS u FROM usc$e)"""
+      segs +=
+        s"""uscT AS MATERIALIZED (
+           |  SELECT p, s FROM usc$e
+           |  UNION ALL
+           |  SELECT b.p, uunk.u FROM (
+           |    SELECT DISTINCT substring(wh, 2*u.j + 1, 2) AS p
+           |    FROM uwt, unnest(generate_series(0, length(wh)//2 - 1)) AS u(j)) b, uunk
+           |  WHERE b.p NOT IN (SELECT p FROM usc$e))""".stripMargin
+      segs += fwd("ufwT", "(SELECT wh, cnt FROM uwt)", "uscT")
+      segs += rest("ufwT", "uscT", "udpT", "uchT", "ubtT")
+    }
+    s"""WITH RECURSIVE w0 AS MATERIALIZED (
+       |  SELECT hex(w) AS wh, count(*) AS cnt
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |uwt AS MATERIALIZED (
+       |  SELECT wh, cnt, (row_number() OVER (ORDER BY cnt DESC, wh)) <= $w AS tr FROM w0),
+       |utw AS MATERIALIZED (SELECT wh, cnt FROM uwt WHERE tr),
+       |ucand AS MATERIALIZED (
+       |  SELECT p, sum(cnt) AS freq FROM (
+       |    SELECT substring(wh, 2*u.j + 1, 2*v.l) AS p, cnt
+       |    FROM utw,
+       |         unnest(generate_series(1, least($p, length(wh)//2))) AS v(l),
+       |         unnest(generate_series(0, length(wh)//2 - v.l)) AS u(j)) q
+       |  GROUP BY 1),
+       |uv0 AS MATERIALIZED (
+       |  SELECT p, freq FROM ucand WHERE length(p) = 2
+       |  UNION ALL
+       |  SELECT p, freq FROM (
+       |    SELECT p, freq, row_number() OVER (ORDER BY freq DESC, p) AS rk
+       |    FROM ucand WHERE length(p) > 2) q WHERE rk <= $k),
+       |uvs AS MATERIALIZED (
+       |  SELECT CAST(sum(freq) AS DOUBLE) AS f, CAST(count(*) AS DOUBLE) AS v FROM uv0),
+       |usc0 AS MATERIALIZED (
+       |  SELECT p, CAST(floor(ln((freq + 1.0) / (f + v)) * 10000.0) AS BIGINT) AS s
+       |  FROM uv0, uvs),
+       |""".stripMargin + segs.mkString(",\n")
+  }
+
   private def bpeOraclePrefix(w: Int, m: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH w0 AS MATERIALIZED (
@@ -4960,6 +5120,24 @@ object SparkEntry {
           |  ) GROUP BY 1)
           |SELECT sq.doc_id, CAST(sq.tp AS INT) AS seq, v.id AS tok_id
           |FROM sq JOIN vocab v ON v.tokh = sq.tok""".stripMargin),
+      "unigram_train" -> (unigramOraclePrefix(
+        UniGateWords, UniGateP, UniGateK, UniGateE, tok = false) +
+        s"\nSELECT p AS piece, s AS score FROM usc$UniGateE"),
+      "tokenize_unigram" -> (unigramOraclePrefix(
+        UniGateWords, UniGateP, UniGateK, UniGateE, tok = true) +
+        """,
+          |tokq AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS wpos
+          |  FROM documents),
+          |tk AS (
+          |  SELECT doc_id, wpos, b.step, b.piece
+          |  FROM tokq JOIN ubtT b ON b.wh = hex(tokq.w) AND b.piece IS NOT NULL
+          |  WHERE tokq.w <> '')
+          |SELECT doc_id,
+          |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, step DESC) - 1 AS INT) AS seq,
+          |       piece
+          |FROM tk""".stripMargin),
       // sentence extraction + window cumsum replay; sentence indexes
       // re-ranked AFTER the empty filter, like the Spark array filter
       "chunk_documents_sentences" ->

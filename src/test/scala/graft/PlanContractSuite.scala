@@ -56,6 +56,11 @@ class PlanContractSuite extends SparkSpec {
     ("tokenize_bpe", Seq.empty,
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
         "Exchange SinglePartition", "BroadcastExchange", "Join")),
+    // unigram Viterbi segmentation is likewise one scan projection:
+    // the vocabulary rides as a plan reference, never a join
+    ("tokenize_unigram", Seq.empty,
+      Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition", "BroadcastExchange", "Join")),
     // the ingest gate is a STATELESS scan projection + filter: the
     // whole eval side rides as plan references (bloom + sorted set),
     // so a join / aggregate / shuffle means the shape regressed to a
