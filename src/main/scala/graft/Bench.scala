@@ -66,6 +66,7 @@ object Bench {
     "stream_maintained_pq", "stream_maintained_ivf_sq8",
     "stream_maintained_ahash", "stream_maintained_phash",
     "stream_maintained_audiofp", "stream_maintained_scenes",
+    "stream_maintained_eval",
     "phrase_search", "phrase_search_indexed", "phrase_search_batch", "phrase_search_batch_indexed", "phrase_snippets",
     "phrase_search_appended",
     "hybrid_search_rrf", "hybrid_search_rrf_indexed",
@@ -89,7 +90,7 @@ object Bench {
     "stream_maintained_dsir_serve", "stream_maintained_dsir_by_lang_serve",
     "stream_maintained_semdedup_serve", "stream_maintained_ahash_serve",
     "stream_maintained_phash_serve", "stream_maintained_audiofp_serve",
-    "stream_maintained_scenes_serve",
+    "stream_maintained_scenes_serve", "stream_maintained_eval_serve",
     "sample_weighted", "filter_by_source_quality", "lm_score_docs",
     "stream_pack_sequences", "stream_pack_state",
     "mix_sources", "mix_temperature", "shuffle_corpus",
@@ -151,8 +152,8 @@ object Bench {
         "stream_maintained_dsir_serve", "stream_maintained_dsir_by_lang_serve",
         "stream_maintained_semdedup_serve", "stream_maintained_ahash_serve",
         "stream_maintained_phash_serve", "stream_maintained_audiofp_serve",
-        "stream_maintained_scenes_serve", "stream_maintained_pq",
-        "index_sync", "index_sync_ivf")
+        "stream_maintained_scenes_serve", "stream_maintained_eval_serve",
+        "stream_maintained_pq", "index_sync", "index_sync_ivf")
       .filter(allFns.contains)
       .foreach { name =>
         try allFns(name)(spark, sfDir).count()

@@ -748,6 +748,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shared"), col("n_shingles"),
           col("contamination"))
     }),
+    "stream_maintained_eval" -> ((s, dir) => {
+      // the benchmark-ARRIVAL write path: a real streaming query
+      // maintains the decontamination eval index (first suite
+      // bootstraps, the second appends + in-stream compacts, markers
+      // make replays exactly-once — Streaming.maintainEvalIndex), then
+      // the ingest gate resolves the stream-built artifact. Shares
+      // stream_decontaminate_indexed's oracle: the maintained chain's
+      // union is the same %5==0 eval side, so output identity with the
+      // frame-form gate IS the claim.
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"eval_maint_$token", dir)
+      buildMaintained("eval", s, dir, idx, scratch(s"eval_maint_ck_$token", dir))
+      serveMaintained("eval", s, dir, idx)
+    }),
     "stream_ingest_pipeline" -> ((s, dir) => {
       // the live-crawl ingest path END TO END in one stateless plan:
       // decontamination gate (Bloom + exact confirm in the scan
@@ -4407,6 +4421,18 @@ object SparkEntry {
           Streaming.maintainAudioFpIndex(ds.toDF("doc_id", "payload"),
             "doc_id", "payload", idx, ckpt)
         }
+      case "eval" =>
+        // two arriving benchmark suites (the %10==0 and %10==5 halves
+        // of the eval set — their union is stream_decontaminate's
+        // %5==0 eval side)
+        val d = t(s, dir, "documents")
+        def half(m: Int) = d.filter(col("doc_id") % 10 === m)
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+        runMaintainer(s, Seq(half(0), half(5))) { ds =>
+          Streaming.maintainEvalIndex(ds.toDF("doc_id", "text"), "text",
+            idx, ckpt, n = 3, compactEvery = 2)
+        }
       case "scenes" =>
         // batches keep whole docs together (a doc's frames arrive in
         // one micro-batch, like a video landing in the crawl)
@@ -4498,6 +4524,12 @@ object SparkEntry {
         Multimodal.dedupAgainstAudioFpIndex(s, probes, "doc_id", "payload", idx,
             minShared = 4)
           .select(col("doc_id"), col("index_id"))
+      case "eval" =>
+        val d = t(s, dir, "documents")
+        Streaming.decontaminateGateFromIndex(s, d.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", idx)
+          .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+            col("contamination"))
       case "scenes" =>
         Multimodal.dedupAgainstSceneIndex(s,
           sceneFrames(s, dir).filter(col("doc_id") % 2 === 1),
@@ -4509,7 +4541,7 @@ object SparkEntry {
   /** The maintained families with a bench `_serve` split row. */
   private[graft] val maintainedFamilies: Seq[String] = Seq(
     "bm25", "ann", "pq", "ivf_sq8", "dsir", "dsir_by_lang", "semdedup",
-    "ahash", "phash", "audiofp", "scenes")
+    "ahash", "phash", "audiofp", "scenes", "eval")
 
   /** SERVE-ONLY variants of the index-lifecycle queries, for the bench
     * (NOT the correctness gate — the full `queries` entries remain the
@@ -4635,6 +4667,24 @@ object SparkEntry {
         |  JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |""".stripMargin
+    // shared by stream_decontaminate_indexed and stream_maintained_eval
+    // (both serve the gate from an artifact whose union is the %5==0
+    // eval side)
+    val decontIndexedOracle = shinglesBase +
+      """ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 0),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),
+        |agg AS (
+        |  SELECT tr.doc_id, count(*) AS n_shingles, count(ev.shingle) AS n_shared
+        |  FROM tr LEFT JOIN ev ON ev.shingle = tr.shingle
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(a.n_shared, 0) AS BIGINT) AS n_shared,
+        |       CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |       coalesce(floor(a.n_shared * 10000.0 / a.n_shingles) / 10000.0, 0.0)
+        |         AS contamination
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |WHERE d.doc_id % 5 <> 0
+        |  AND coalesce(a.n_shared, 0) = 0""".stripMargin
     val shingles3 = shinglesBase +
       """inter AS (
         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
@@ -7169,21 +7219,10 @@ object SparkEntry {
       // stream_decontaminate_indexed: the persisted-artifact gate is
       // output-identical to the frame form — same oracle, like
       // decontaminate_bloom shares decontaminate_docs'
-      "stream_decontaminate_indexed" -> (shinglesBase +
-        """ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 0),
-          |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),
-          |agg AS (
-          |  SELECT tr.doc_id, count(*) AS n_shingles, count(ev.shingle) AS n_shared
-          |  FROM tr LEFT JOIN ev ON ev.shingle = tr.shingle
-          |  GROUP BY 1)
-          |SELECT d.doc_id,
-          |       CAST(coalesce(a.n_shared, 0) AS BIGINT) AS n_shared,
-          |       CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
-          |       coalesce(floor(a.n_shared * 10000.0 / a.n_shingles) / 10000.0, 0.0)
-          |         AS contamination
-          |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
-          |WHERE d.doc_id % 5 <> 0
-          |  AND coalesce(a.n_shared, 0) = 0""".stripMargin),
+      "stream_decontaminate_indexed" -> decontIndexedOracle,
+      // the maintained eval chain's union IS the same %5==0 eval side:
+      // identity with the frame-form gate is the claim
+      "stream_maintained_eval" -> decontIndexedOracle,
       // stream_ingest_pipeline: the chunk_documents SQL restricted to
       // the decontamination gate's clean complement
       "stream_ingest_pipeline" -> (shinglesBase +
