@@ -1427,6 +1427,52 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("int").as("seq"),
           col("col").as("piece"))
     }),
+    "tokenize_unigram_ids" -> ((s, dir) => {
+      // text -> VOCABULARY IDS under the unigram model: id = the
+      // piece's hex-sorted index, V + byte for unknown single bytes
+      // (256 reserved fallback ids — total encode, lossless decode).
+      // The oracle numbers the replayed vocabulary the same way and
+      // joins the per-position piece stream against it.
+      val d = t(s, dir, "documents")
+      val idx = scratch("unigram_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        UnigramTokenizer.buildUnigramIndex(d, "text", idx,
+          trainWords = UniGateWords, maxPieceLen = UniGateP,
+          seedPieces = UniGateK, emIters = UniGateE)
+      val vocab = UnigramTokenizer.loadUnigramVocab(s, idx)
+      d.select(col("doc_id"),
+          posexplode(UnigramTokenizer.unigramTokenIds(col("text"), vocab)))
+        .select(col("doc_id"), col("pos").cast("int").as("seq"),
+          col("col").as("tok_id"))
+    }),
+    "detokenize_unigram" -> ((s, dir) => {
+      // ids -> text roundtrip under the unigram model: decode(encode)
+      // must equal the pre-tokenizer's word concat — detokenize_bpe's
+      // oracle verbatim (it derives the concat from raw text and never
+      // sees a tokenizer artifact), so any drift in segmentation, id
+      // assignment, or byte expansion breaks the hash.
+      val d = t(s, dir, "documents")
+      val idx = scratch("unigram_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        UnigramTokenizer.buildUnigramIndex(d, "text", idx,
+          trainWords = UniGateWords, maxPieceLen = UniGateP,
+          seedPieces = UniGateK, emIters = UniGateE)
+      val vocab = UnigramTokenizer.loadUnigramVocab(s, idx)
+      d.select(col("doc_id"),
+        hex(UnigramTokenizer.unigramDecode(
+          UnigramTokenizer.unigramTokenIds(col("text"), vocab), vocab)).as("detok_hex"))
+    }),
+    "chunk_documents_unigram" -> ((s, dir) => {
+      // context-window chunking at UNIGRAM-subword granularity —
+      // chunk_documents_bpe's shape with the Viterbi token stream; the
+      // oracle groups the replayed per-position pieces by budget.
+      val d = t(s, dir, "documents")
+      val vocab = UnigramTokenizer.trainUnigram(d, "text",
+        trainWords = UniGateWords, maxPieceLen = UniGateP,
+        seedPieces = UniGateK, emIters = UniGateE)
+      UnigramTokenizer.chunkByUnigram(d, "doc_id", "text", vocab,
+        maxTokens = BpeGateChunk)
+    }),
     "chunk_documents_sentences" -> ((s, dir) => {
       // SENTENCE-BOUNDARY chunking (the RAG form): the corpus carries
       // no punctuation, so both sides synthesize a period after every
@@ -5173,6 +5219,56 @@ object SparkEntry {
       "unigram_train" -> (unigramOraclePrefix(
         UniGateWords, UniGateP, UniGateK, UniGateE, tok = false) +
         s"\nSELECT p AS piece, s AS score FROM usc$UniGateE"),
+      "tokenize_unigram_ids" -> (unigramOraclePrefix(
+        UniGateWords, UniGateP, UniGateK, UniGateE, tok = true) +
+        s""",
+          |uvid AS (SELECT p, CAST(row_number() OVER (ORDER BY p) - 1 AS INT) AS id
+          |         FROM usc$UniGateE),
+          |uvn AS (SELECT CAST(count(*) AS INT) AS v FROM usc$UniGateE),
+          |tokq AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS wpos
+          |  FROM documents),
+          |tk AS (
+          |  SELECT doc_id, wpos, b.step, b.piece
+          |  FROM tokq JOIN ubtT b ON b.wh = hex(tokq.w) AND b.piece IS NOT NULL
+          |  WHERE tokq.w <> '')
+          |SELECT doc_id,
+          |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, step DESC) - 1 AS INT) AS seq,
+          |       coalesce(uvid.id,
+          |         uvn.v + CAST(CAST(('0x' || tk.piece) AS UBIGINT) AS INT)) AS tok_id
+          |FROM tk LEFT JOIN uvid ON uvid.p = tk.piece, uvn""".stripMargin),
+      // decode(encode) == the word concat derived from raw text — the
+      // same tokenizer-blind oracle as detokenize_bpe
+      "detokenize_unigram" ->
+        """WITH tokp AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          |  FROM documents)
+          |SELECT d.doc_id,
+          |       coalesce(string_agg(hex(t.w), '' ORDER BY t.pos), '') AS detok_hex
+          |FROM documents d
+          |LEFT JOIN (SELECT * FROM tokp WHERE w <> '') t ON t.doc_id = d.doc_id
+          |GROUP BY 1""".stripMargin,
+      "chunk_documents_unigram" -> (unigramOraclePrefix(
+        UniGateWords, UniGateP, UniGateK, UniGateE, tok = true) +
+        s""",
+          |tokq AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+          |         generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS wpos
+          |  FROM documents),
+          |tk AS (
+          |  SELECT doc_id, wpos, b.step, b.piece
+          |  FROM tokq JOIN ubtT b ON b.wh = hex(tokq.w) AND b.piece IS NOT NULL
+          |  WHERE tokq.w <> ''),
+          |sq AS (
+          |  SELECT doc_id, piece,
+          |         row_number() OVER (PARTITION BY doc_id ORDER BY wpos, step DESC) - 1 AS tp
+          |  FROM tk)
+          |SELECT doc_id, CAST(tp // $BpeGateChunk AS INT) AS chunk_id,
+          |       CAST(count(*) AS INT) AS n_tokens,
+          |       string_agg(piece, '' ORDER BY tp) AS chunk_hex
+          |FROM sq GROUP BY 1, 2""".stripMargin),
       "tokenize_unigram" -> (unigramOraclePrefix(
         UniGateWords, UniGateP, UniGateK, UniGateE, tok = true) +
         """,

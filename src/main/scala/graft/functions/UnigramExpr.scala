@@ -36,6 +36,23 @@ final class UnigramModel(
     h
   }
 
+  /** Piece bytes → vocabulary id. Ids are the piece's index in the
+    * hex-sorted vocabulary (the artifact's storage order — a fixed,
+    * engine-reproducible assignment); single bytes the vocabulary
+    * lacks get the FALLBACK range `V + byte` (256 reserved ids), so
+    * encode is total and decode lossless without an UNK collapse.
+    */
+  @transient lazy val idMap: java.util.HashMap[String, Integer] = {
+    val h = new java.util.HashMap[String, Integer](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) {
+      h.put(new String(pieces(i), java.nio.charset.StandardCharsets.ISO_8859_1),
+        Integer.valueOf(i))
+      i += 1
+    }
+    h
+  }
+
   @transient lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
 }
@@ -60,7 +77,11 @@ object UnigramKernel {
       Array.tabulate(h.length / 2)(i =>
         Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte)
     }
-    new UnigramModel(vocab.map(v => un(v._1)).toArray, vocab.map(_._2).toArray)
+    // hex-sort defensively: ids are positional, and the artifact's
+    // storage order (hex-sorted) must hold for any caller-supplied
+    // ordering of the same vocabulary
+    val sorted = vocab.sortBy(_._1)
+    new UnigramModel(sorted.map(v => un(v._1)).toArray, sorted.map(_._2).toArray)
   }
 
   private def pieceScore(
@@ -178,6 +199,81 @@ object UnigramKernel {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** The document's unigram tokens as VOCABULARY IDS in order: the
+    * piece's hex-sorted index, or `V + byte` for an unknown single
+    * byte ([[UnigramModel.idMap]]'s fallback range) — text→ids for the
+    * training consumer, total over any text.
+    */
+  def tokenIds(u: UTF8String, m: UnigramModel): ArrayData = {
+    if (u == null) return new GenericArrayData(Array.empty[Any])
+    val bytes = u.getBytes
+    val (starts, ends, nw) = ShinglesKernel.tokenSpans(bytes)
+    val ids = m.idMap
+    val v = m.pieces.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var w = 0
+    while (w < nw) {
+      val lens = wordLens(bytes, starts(w), ends(w), m)
+      var off = starts(w)
+      var t = 0
+      while (t < lens.length) {
+        val key = new String(bytes, off, lens(t),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val id = ids.get(key)
+        if (id != null) out += id.intValue()
+        else {
+          // the segmenter only ever emits out-of-vocabulary pieces as
+          // SINGLE bytes (the unk floor), so this is the byte range
+          if (lens(t) != 1) throw new IllegalStateException(
+            s"unigram piece of length ${lens(t)} not in the vocabulary — " +
+              "tokens were produced with a different vocabulary")
+          out += (v + (bytes(off) & 0xff))
+        }
+        off += lens(t)
+        t += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** ids → text, the exact inverse of [[tokenIds]] up to the
+    * pre-tokenizer (same contract as [[BpeKernel.decode]]): id < V is
+    * a vocabulary piece, `V ≤ id < V + 256` the unknown-byte fallback;
+    * anything else is a vocabulary mismatch and fails loudly.
+    */
+  def decode(ids: ArrayData, m: UnigramModel): UTF8String = {
+    if (ids == null || ids.numElements() == 0) return UTF8String.EMPTY_UTF8
+    val v = m.pieces.length
+    val n = ids.numElements()
+    var len = 0
+    var i = 0
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id < 0 || id >= v + 256) throw new IllegalArgumentException(
+        s"unigram id $id outside the vocabulary [0, ${v + 256}) — " +
+          "ids were produced with a different vocabulary")
+      len += (if (id < v) m.pieces(id).length else 1)
+      i += 1
+    }
+    val out = new Array[Byte](len)
+    var off = 0
+    i = 0
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id < v) {
+        val p = m.pieces(id)
+        System.arraycopy(p, 0, out, off, p.length)
+        off += p.length
+      } else {
+        out(off) = (id - v).toByte
+        off += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
 }
 
 /** `unigram_tokens(text)`: the document's unigram-LM tokens as hex
@@ -240,6 +336,76 @@ case class UnigramCountExpr(child: Expression, vocab: Seq[(String, Long)])
         ${childGen.code}
         int ${ev.value} = graft.functions.UnigramKernel.count(
           ${childGen.isNull} ? null : ${childGen.value}, $mRef);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `unigram_token_ids(text)`: the document's unigram tokens as
+  * vocabulary ids ([[UnigramKernel.tokenIds]]) — text→ids for the
+  * training consumer. Total function: null/blank → empty array.
+  */
+case class UnigramIdsExpr(child: Expression, vocab: Seq[(String, Long)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_unigram_token_ids"
+  override def nullable: Boolean = false
+
+  @transient private lazy val model: UnigramModel = UnigramKernel.compile(vocab)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    UnigramKernel.tokenIds(v.asInstanceOf[UTF8String], model)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("graftUnigramModel", model, classOf[UnigramModel].getName)
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.UnigramKernel.tokenIds(
+            ${childGen.isNull} ? null : ${childGen.value}, $mRef);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `unigram_decode(ids)`: ids → text ([[UnigramKernel.decode]]) — the
+  * serving/audit inverse of [[UnigramIdsExpr]] up to the
+  * pre-tokenizer. Total on null/empty input (→ empty string).
+  */
+case class UnigramDecodeExpr(child: Expression, vocab: Seq[(String, Long)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_unigram_decode"
+  override def nullable: Boolean = false
+
+  @transient private lazy val model: UnigramModel = UnigramKernel.compile(vocab)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    UnigramKernel.decode(v.asInstanceOf[ArrayData], model)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("graftUnigramModel", model, classOf[UnigramModel].getName)
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+          graft.functions.UnigramKernel.decode(
+            ${childGen.isNull} ? null : ${childGen.value}, $mRef);
       """
     ev.copy(code = resultCode, isNull = FalseLiteral)
   }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions, UnigramCountExpr, UnigramKernel, UnigramTokensExpr}
+import graft.functions.{TextFunctions, UnigramCountExpr, UnigramDecodeExpr, UnigramIdsExpr, UnigramKernel, UnigramTokensExpr}
 
 /** Corpus-trained unigram-LM tokenizer (SentencePiece's unigram model,
   * Kudo 2018) — the second public-algorithm subword family next to
@@ -196,6 +196,53 @@ object UnigramTokenizer {
   def unigramTokenCount(text: Column, vocab: Seq[(String, Long)]): Column = {
     import org.apache.spark.sql.GraftInternals
     GraftInternals.toColumn(UnigramCountExpr(GraftInternals.toExpression(text), vocab))
+  }
+
+  /** The document's unigram tokens as VOCABULARY IDS in order: the
+    * piece's hex-sorted index, `V + byte` for unknown single bytes —
+    * [[BpeTokenizer.bpeTokenIds]]'s sibling.
+    */
+  def unigramTokenIds(text: Column, vocab: Seq[(String, Long)]): Column = {
+    import org.apache.spark.sql.GraftInternals
+    GraftInternals.toColumn(UnigramIdsExpr(GraftInternals.toExpression(text), vocab))
+  }
+
+  /** ids → text, the inverse of [[unigramTokenIds]] up to the
+    * pre-tokenizer: `unigramDecode(unigramTokenIds(text))` is the
+    * concatenation of `text`'s whitespace words.
+    */
+  def unigramDecode(ids: Column, vocab: Seq[(String, Long)]): Column = {
+    import org.apache.spark.sql.GraftInternals
+    GraftInternals.toColumn(UnigramDecodeExpr(GraftInternals.toExpression(ids), vocab))
+  }
+
+  /** Context-window chunking at UNIGRAM-subword granularity — the
+    * exact shape of [[BpeTokenizer.chunkByBpe]] (chunk `c` covers
+    * tokens `[c·stride, c·stride + maxTokens)`, hex payloads because a
+    * budget boundary can split a word mid-UTF-8-sequence), with the
+    * Viterbi kernel supplying the token stream. Zero-shuffle scan
+    * projection; empty docs chunk to nothing.
+    */
+  def chunkByUnigram(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Long)], maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"chunkByUnigram: maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"chunkByUnigram: overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    df.select(col(idCol), unigramTokens(col(textCol), vocab).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0),
+          ceil(greatest(size(col("__toks")) - maxTokens, lit(0)) / lit(stride.toDouble))
+            .cast("int")))
+          .as("chunk_id"))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        least(lit(maxTokens), size(col("__toks")) - col("chunk_id") * stride)
+          .cast("int").as("n_tokens"),
+        array_join(slice(col("__toks"), col("chunk_id") * stride + 1, lit(maxTokens)), "")
+          .as("chunk_hex"))
   }
 
   /** Test hook: the compiled kernel's segmentation of one word (hex

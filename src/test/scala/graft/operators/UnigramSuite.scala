@@ -94,6 +94,55 @@ class UnigramSuite extends SparkSpec {
     assert(UnigramTokenizer.loadUnigramVocab(spark, idx) == vocab)
   }
 
+  test("ids: hex-sorted assignment, unknown-byte fallback range, decode inverts exactly") {
+    val df = Seq((1L, "banana nab"), (2L, "bananaézq"), (3L, "")).toDF("id", "text")
+    val out = df.select(col("id"),
+        UnigramTokenizer.unigramTokenIds(col("text"), vocab).as("ids"),
+        hex(UnigramTokenizer.unigramDecode(
+          UnigramTokenizer.unigramTokenIds(col("text"), vocab), vocab)).as("rt"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getString(2))).toMap
+    val v = vocab.size
+    // known text: every id indexes the hex-sorted vocab
+    assert(out(1L)._1.forall(id => id >= 0 && id < v))
+    val pieces = out(1L)._1.map(id => vocab(id)._1)
+    assert(pieces.mkString == hexOf("banana") + hexOf("nab"))
+    // unknown bytes land in the V+byte fallback range
+    assert(out(2L)._1.exists(id => id >= v))
+    out(2L)._1.filter(_ >= v).foreach(id => assert(id < v + 256))
+    // decode(encode) == word concat (the pre-tokenizer contract)
+    assert(out(1L)._2 == hexOf("banana") + hexOf("nab"))
+    assert(out(2L)._2 == hexOf("bananaézq"))
+    assert(out(3L)._2 == "")
+    // an id outside [0, V+256) is a vocabulary mismatch: loud failure
+    val bad = Seq(Tuple1(Array(v + 256))).toDF("ids")
+    val e = intercept[Exception] {
+      bad.select(UnigramTokenizer.unigramDecode(col("ids"), vocab)).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("outside the vocabulary"), msgs)
+  }
+
+  test("chunkByUnigram: budget-exact windows over the Viterbi stream, overlap repeats tails") {
+    val df = Seq((1L, "banana bandana banana ana nab band")).toDF("id", "text")
+    val scoreMap = vocab.toMap
+    val unk = vocab.map(_._2).min - 10000L
+    val toks = "banana bandana banana ana nab band".split(" ").toSeq
+      .flatMap(w => UnigramTokenizer.viterbiHex(hexOf(w), scoreMap, 4, Some(unk)))
+    val out = UnigramTokenizer.chunkByUnigram(df, "id", "text", vocab, maxTokens = 4)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.map(_._2).sum == toks.length)
+    assert(out.map(_._3).mkString == toks.mkString)
+    assert(out.dropRight(1).forall(_._2 == 4) && out.last._2 <= 4)
+    // overlap: stride 2, each chunk re-reads the previous tail
+    val ov = UnigramTokenizer.chunkByUnigram(df, "id", "text", vocab,
+        maxTokens = 4, overlap = 2)
+      .orderBy("chunk_id").collect().map(_.getString(3))
+    assert(ov.head == toks.take(4).mkString)
+    assert(ov(1) == toks.slice(2, 6).mkString)
+  }
+
   test("EM moves probability mass to used pieces (starved pieces keep only the floor)") {
     // hard-EM: pieces the Viterbi never uses fall to the add-one floor,
     // so every used piece must score strictly above the global minimum
