@@ -466,6 +466,24 @@ object SparkEntry {
             .select(col("click_id"), col("view_id"), col("click_us"), col("view_us"))
       }
     }),
+    "asof_join_nearest" -> ((s, dir) => {
+      // unbounded NEAREST (merge_asof's third direction): each click
+      // takes whichever of (latest preceding, earliest following) view
+      // is closer, |Δ| ties to the preceding — both picks from ONE
+      // range exchange. The oracle composes DuckDB's two directional
+      // ASOF LEFT JOINs and replays the same pick rule.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("ts").as("view_ts")).agg(max(col("event_id")).as("view_id"))
+      AsOfJoin.unbounded(clicks, views, rightId = "view_id",
+          leftOn = Some("click_ts"), rightOn = Some("view_ts"),
+          direction = "nearest")
+        .select(col("click_id"), col("view_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("view_ts")).as("view_us"))
+    }),
     "asof_join_left" -> ((s, dir) => {
       // LEFT-OUTER merge_asof (pandas semantics): every click survives;
       // clicks before the first view carry null view columns. DuckDB's
@@ -4903,6 +4921,25 @@ object SparkEntry {
           |           FROM events WHERE event_type = 'view' GROUP BY 1)
           |SELECT c.click_id, v.view_id, c.click_us, v.view_us
           |FROM c ASOF JOIN v ON c.click_us >= v.view_us""".stripMargin,
+      "asof_join_nearest" ->
+        """WITH c AS (SELECT event_id AS click_id, epoch_us(ts) AS click_us
+          |           FROM events WHERE event_type = 'click'),
+          |     v AS (SELECT epoch_us(ts) AS view_us, max(event_id) AS view_id
+          |           FROM events WHERE event_type = 'view' GROUP BY 1),
+          |     b AS (SELECT c.click_id, c.click_us, v.view_id AS b_id, v.view_us AS b_us
+          |           FROM c ASOF LEFT JOIN v ON c.click_us >= v.view_us),
+          |     f AS (SELECT c.click_id, v.view_id AS f_id, v.view_us AS f_us
+          |           FROM c ASOF LEFT JOIN v ON c.click_us <= v.view_us)
+          |SELECT b.click_id,
+          |       CASE WHEN f_us IS NULL OR (b_us IS NOT NULL
+          |                 AND b.click_us - b_us <= f_us - b.click_us)
+          |            THEN b_id ELSE f_id END AS view_id,
+          |       b.click_us,
+          |       CASE WHEN f_us IS NULL OR (b_us IS NOT NULL
+          |                 AND b.click_us - b_us <= f_us - b.click_us)
+          |            THEN b_us ELSE f_us END AS view_us
+          |FROM b JOIN f USING (click_id)
+          |WHERE b_us IS NOT NULL OR f_us IS NOT NULL""".stripMargin,
       "asof_join_left" ->
         """WITH c AS (SELECT event_id AS click_id, epoch_us(ts) AS click_us
           |           FROM events WHERE event_type = 'click'),

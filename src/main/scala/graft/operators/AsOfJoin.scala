@@ -145,6 +145,12 @@ object AsOfJoin {
     *     across the partition sequence, so a left row whose match lives
     *     in an earlier (later, for forward) partition still finds it.
     *
+    * `direction = "nearest"` (pandas `merge_asof`'s third form) takes
+    * whichever of the two directional picks is closer — BOTH picks
+    * come from the SAME range exchange (two window sorts inside it, a
+    * bidirectional carry), |Δ| ties to the preceding row; the join
+    * column must be a timestamp or numeric (|Δ| subtracts).
+    *
     * No shuffle moves more than the data once; the carry frame is one
     * row per partition. Ties on the timestamp break to the LARGEST
     * `rightId` for backward and the SMALLEST for forward
@@ -167,11 +173,12 @@ object AsOfJoin {
       by: Seq[String] = Nil,
       suffixes: (String, String) = ("_x", "_y"),
       joinType: String = "inner"): DataFrame = {
-    require(Set("backward", "forward")(direction),
-      s"direction must be backward|forward, got $direction")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     require(Set("inner", "left")(joinType),
       s"joinType must be inner|left, got $joinType")
     val backward = direction == "backward"
+    val nearest = direction == "nearest"
     val cols = JoinSpec.resolve(on, leftOn, rightOn)
     JoinSpec.requireColumn(left, cols.leftCol, "left")
     JoinSpec.requireColumn(right, cols.rightCol, "right")
@@ -238,23 +245,23 @@ object AsOfJoin {
       .withColumn(PID, spark_partition_id())
       .localCheckpoint(true)
 
-    val wOrd: Seq[Column] =
-      if (backward) Seq(col(TS).asc, col(TAG).asc, col(TIE).asc)
-      else Seq(col(TS).desc, col(TAG).asc, col(TIE).desc)
-    val w = Window.partitionBy((col(PID) +: K.map(col)): _*).orderBy(wOrd: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withIn = parted.withColumn("__graft_within",
-      last(col(RROW), ignoreNulls = true).over(w))
-
+    // the directional building blocks, shared by the single-direction
+    // paths and the two-sided "nearest" composition
+    def windowIn(back: Boolean): Column = {
+      val ord: Seq[Column] =
+        if (back) Seq(col(TS).asc, col(TAG).asc, col(TIE).asc)
+        else Seq(col(TS).desc, col(TAG).asc, col(TIE).desc)
+      last(col(RROW), ignoreNulls = true).over(
+        Window.partitionBy((col(PID) +: K.map(col)): _*).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    }
     // one extreme right row per partition (and group), cumulated across
     // the partition sequence — for a grouped join the cumulation runs
     // PER GROUP (real window partitions); ungrouped keeps the
     // O(#partitions) single-partition frame
-    val ext =
-      if (backward) max_by(col(RROW), struct(col(TS), col(TIE)))
+    def extAgg(back: Boolean): Column =
+      if (back) max_by(col(RROW), struct(col(TS), col(TIE)))
       else min_by(col(RROW), struct(col(TS), col(TIE)))
-    val perPart = parted.filter(col(TAG) === 0)
-      .groupBy((col(PID) +: K.map(col)): _*).agg(ext.as("__graft_ext"))
     // partitionBy(pmod(PID, 1)) in the ungrouped case: that frame is
     // O(#partitions) rows (one per pid), so single-partition execution
     // is the point, not a bottleneck — the constant-valued key just
@@ -265,27 +272,75 @@ object AsOfJoin {
     // but survives the optimizer.
     val carryKeys: Seq[Column] =
       if (K.isEmpty) Seq(pmod(col(PID), lit(1))) else K.map(col)
-    val wc = Window.partitionBy(carryKeys: _*)
-      .orderBy(if (backward) col(PID).asc else col(PID).desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = parted.select((col(PID) +: K.map(col)): _*).distinct()
-      .join(perPart, PID +: K, "left")
-      .withColumn("__graft_carry", last(col("__graft_ext"), ignoreNulls = true).over(wc))
-      .select((Seq(col(PID)) ++ K.map(col) ++ Seq(col("__graft_carry"))): _*)
+    def carryOver(back: Boolean, src: Column): Column =
+      last(src, ignoreNulls = true).over(
+        Window.partitionBy(carryKeys: _*)
+          .orderBy(if (back) col(PID).asc else col(PID).desc)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    val pidList = parted.select((col(PID) +: K.map(col)): _*).distinct()
 
-    // ungrouped carry is one row per partition — always broadcast;
-    // grouped carry is O(groups crossing a boundary) and joins back on
-    // (pid, keys), so the planner picks (AQE broadcasts when small)
-    val carryJ = if (K.isEmpty) broadcast(carry) else carry
     // the left form keeps unmatched left rows: field access on the null
     // match struct yields the null right columns
     val matchFilter =
       if (joinType == "inner") col(TAG) === 1 && col("__graft_match").isNotNull
       else col(TAG) === 1
-    val matched = withIn.join(carryJ, PID +: K, "left")
-      .withColumn("__graft_match",
-        coalesce(col("__graft_within"), col("__graft_carry")))
-      .filter(matchFilter)
+    val matched =
+      if (!nearest) {
+        val withIn = parted.withColumn("__graft_within", windowIn(backward))
+        val perPart = parted.filter(col(TAG) === 0)
+          .groupBy((col(PID) +: K.map(col)): _*).agg(extAgg(backward).as("__graft_ext"))
+        val carry = pidList
+          .join(perPart, PID +: K, "left")
+          .withColumn("__graft_carry", carryOver(backward, col("__graft_ext")))
+          .select((Seq(col(PID)) ++ K.map(col) ++ Seq(col("__graft_carry"))): _*)
+        // ungrouped carry is one row per partition — always broadcast;
+        // grouped carry is O(groups crossing a boundary) and joins back
+        // on (pid, keys), so the planner picks (AQE broadcasts if small)
+        val carryJ = if (K.isEmpty) broadcast(carry) else carry
+        withIn.join(carryJ, PID +: K, "left")
+          .withColumn("__graft_match",
+            coalesce(col("__graft_within"), col("__graft_carry")))
+          .filter(matchFilter)
+      } else {
+        // NEAREST (pandas merge_asof direction="nearest"): BOTH
+        // directional picks from the SAME exchange — two window sorts
+        // (interpolate's shape) + a bidirectional one-row-per-partition
+        // carry — then the smaller |Δ| wins, ties to the PRECEDING row
+        // (and each side keeps its own ts-tie rule). |Δ| needs
+        // subtraction, so the axis must be a timestamp or numeric.
+        val tsType = l.schema(c.leftCol).dataType
+        require(tsType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+            tsType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+          "unbounded nearest needs a timestamp or numeric join column " +
+            s"(|delta| comparison), got $tsType")
+        val delta: (Column, Column) => Column = tsType match {
+          case _: org.apache.spark.sql.types.TimestampType =>
+            (x, y) => unix_micros(x) - unix_micros(y)
+          case _ => (x, y) => x - y
+        }
+        val withIn = parted
+          .withColumn("__graft_wb", windowIn(true))
+          .withColumn("__graft_wf", windowIn(false))
+        val perPart = parted.filter(col(TAG) === 0)
+          .groupBy((col(PID) +: K.map(col)): _*)
+          .agg(extAgg(true).as("__graft_eb"), extAgg(false).as("__graft_ef"))
+        val carry = pidList
+          .join(perPart, PID +: K, "left")
+          .withColumn("__graft_cb", carryOver(true, col("__graft_eb")))
+          .withColumn("__graft_cf", carryOver(false, col("__graft_ef")))
+          .select((Seq(col(PID)) ++ K.map(col) ++
+            Seq(col("__graft_cb"), col("__graft_cf"))): _*)
+        val carryJ = if (K.isEmpty) broadcast(carry) else carry
+        val b = coalesce(col("__graft_wb"), col("__graft_cb"))
+        val f = coalesce(col("__graft_wf"), col("__graft_cf"))
+        withIn.join(carryJ, PID +: K, "left")
+          .withColumn("__graft_match",
+            when(b.isNull, f).when(f.isNull, b)
+              .when(delta(col(TS), b.getField(c.rightCol)) <=
+                delta(f.getField(c.rightCol), col(TS)), b)
+              .otherwise(f))
+          .filter(matchFilter)
+      }
     val outCols =
       l.columns.map(n => col(s"$LROW.`$n`").as(n)) ++
         r.columns.map(n => col(s"__graft_match.`$n`").as(n))

@@ -318,6 +318,64 @@ class AsOfJoinSuite extends SparkSpec {
       Set(Seq("1", "100"), Seq("2", "null"), Seq("3", "null")))
   }
 
+  test("unbounded nearest: closer directional pick wins, |delta| ties to the preceding") {
+    val ls = Seq((1, 10), (2, 55), (3, 97), (4, 300), (5, 50)).toDF("lid", "v")
+    // rights at 40 and 60: lid 2 (55) is 15 from 40 and 5 from 60 ->
+    // forward; lid 5 (50) is EQUIDISTANT (10 both ways) -> preceding;
+    // lid 1 (10) has no preceding -> forward; lid 4 only preceding
+    val rs = Seq((100, 40), (101, 60)).toDF("rid", "w")
+    val out = AsOfJoin.unbounded(ls, rs, rightId = "rid",
+      leftOn = Some("v"), rightOn = Some("w"), direction = "nearest")
+    assert(rowSet(out.select("lid", "rid")) ==
+      Set(Seq("1", "100"), Seq("2", "101"), Seq("3", "101"),
+        Seq("4", "101"), Seq("5", "100")))
+  }
+
+  test("unbounded nearest: differential vs scalar oracle across partitions, grouped + left") {
+    val rnd = new scala.util.Random(53)
+    val groups = Vector("a", "b")
+    val ls = (0 until 70).map(i => (i, groups(rnd.nextInt(2)), rnd.nextInt(500)))
+    val rs = (0 until 15).map(i => (1000 + i, groups(rnd.nextInt(2)), rnd.nextInt(500)))
+    def expected(lid: Int, g: String, v: Int): Option[Int] = {
+      val cand = rs.filter(_._2 == g)
+      if (cand.isEmpty) return None
+      val back = cand.filter(_._3 <= v)
+      val fwd = cand.filter(_._3 >= v)
+      val bPick = if (back.isEmpty) None else {
+        val w = back.map(_._3).max
+        Some((back.filter(_._3 == w).map(_._1).max, v - w))
+      }
+      val fPick = if (fwd.isEmpty) None else {
+        val w = fwd.map(_._3).min
+        Some((fwd.filter(_._3 == w).map(_._1).min, w - v))
+      }
+      (bPick, fPick) match {
+        case (Some((r, _)), None) => Some(r)
+        case (None, Some((r, _))) => Some(r)
+        case (Some((rb, db)), Some((rf, df))) => Some(if (db <= df) rb else rf)
+        case _ => None
+      }
+    }
+    val out = AsOfJoin.unbounded(
+      ls.toDF("lid", "g", "v"), rs.toDF("rid", "g", "w"), rightId = "rid",
+      leftOn = Some("v"), rightOn = Some("w"), direction = "nearest",
+      by = Seq("g"), joinType = "left")
+    val got = out.select("lid", "rid").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got.size == 70)
+    for ((lid, g, v) <- ls)
+      assert(got(lid) == expected(lid, g, v), s"lid=$lid g=$g v=$v")
+  }
+
+  test("unbounded nearest rejects a non-subtractable join column") {
+    val ls = Seq((1, "a")).toDF("lid", "v")
+    val rs = Seq((2, "b")).toDF("rid", "w")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.unbounded(ls, rs, rightId = "rid",
+        leftOn = Some("v"), rightOn = Some("w"), direction = "nearest")
+    }
+  }
+
   test("invalid joinType raises on both forms") {
     intercept[IllegalArgumentException] {
       AsOfJoin.time(clicks, views, Duration.ofMinutes(2), rightId = "vid",
