@@ -18,7 +18,7 @@ object Bench {
     "ineq_join_acctbal", "ineq_join_dates", "ineq_join_shuffled",
     "interval_join_orders",
     "theta_join_mod", "asof_join_events", "asof_join_unbounded",
-    "asof_join_left", "asof_join_left_by", "asof_join_nearest",
+    "asof_join_left", "asof_join_left_by", "asof_join_nearest", "asof_join_strict",
     "asof_join_sql", "asof_join_by", "asof_interpolate",
     "asof_interpolate_numeric", "stream_asof_events",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",

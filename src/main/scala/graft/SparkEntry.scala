@@ -484,6 +484,26 @@ object SparkEntry {
           unix_micros(col("click_ts")).as("click_us"),
           unix_micros(col("view_ts")).as("view_us"))
     }),
+    "asof_join_strict" -> ((s, dir) => {
+      // allow_exact_matches = false (pandas' flag / DuckDB's strict
+      // `>` ASOF): a view AT the click's own timestamp is invisible —
+      // the previous-state lookup shape (the value BEFORE the event,
+      // never the concurrent one). Left form so exactness shows as a
+      // null-fill difference too; DuckDB's native strict ASOF LEFT
+      // JOIN is the oracle.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("ts").as("view_ts")).agg(max(col("event_id")).as("view_id"))
+      AsOfJoin.unbounded(clicks, views, rightId = "view_id",
+          leftOn = Some("click_ts"), rightOn = Some("view_ts"),
+          joinType = "left", allowExactMatches = false)
+        .select(col("click_id"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          coalesce(unix_micros(col("view_ts")), lit(-1L)).as("view_us"))
+    }),
     "asof_join_left" -> ((s, dir) => {
       // LEFT-OUTER merge_asof (pandas semantics): every click survives;
       // clicks before the first view carry null view columns. DuckDB's
@@ -4948,6 +4968,14 @@ object SparkEntry {
           |SELECT c.click_id, COALESCE(v.view_id, -1) AS view_id,
           |       c.click_us, COALESCE(v.view_us, -1) AS view_us
           |FROM c ASOF LEFT JOIN v ON c.click_us >= v.view_us""".stripMargin,
+      "asof_join_strict" ->
+        """WITH c AS (SELECT event_id AS click_id, epoch_us(ts) AS click_us
+          |           FROM events WHERE event_type = 'click'),
+          |     v AS (SELECT epoch_us(ts) AS view_us, max(event_id) AS view_id
+          |           FROM events WHERE event_type = 'view' GROUP BY 1)
+          |SELECT c.click_id, COALESCE(v.view_id, -1) AS view_id,
+          |       c.click_us, COALESCE(v.view_us, -1) AS view_us
+          |FROM c ASOF LEFT JOIN v ON c.click_us > v.view_us""".stripMargin,
       "asof_join_left_by" ->
         """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
           |           FROM events WHERE event_type = 'click'),

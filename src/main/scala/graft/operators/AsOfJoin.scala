@@ -70,7 +70,8 @@ object AsOfJoin {
       direction: String = "nearest",
       by: Seq[String] = Nil,
       suffixes: (String, String) = ("_x", "_y"),
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      allowExactMatches: Boolean = true): DataFrame = {
     require(Set("nearest", "backward", "forward")(direction),
       s"direction must be nearest|backward|forward, got $direction")
     require(Set("inner", "left")(joinType),
@@ -97,10 +98,18 @@ object AsOfJoin {
     def bucket(v: org.apache.spark.sql.Column) =
       graft.functions.LongMath.floorDiv(unix_micros(v), tolUs)
     val signedDelta = unix_micros(col(c.leftCol)) - unix_micros(col(c.rightCol))
+    // allowExactMatches = false (pandas merge_asof's flag) excludes the
+    // equal-timestamp right row from every direction's band
     val inBand = direction match {
-      case "nearest"  => abs(signedDelta) <= lit(tolUs)
-      case "backward" => signedDelta >= lit(0) && signedDelta <= lit(tolUs)
-      case "forward"  => signedDelta <= lit(0) && -signedDelta <= lit(tolUs)
+      case "nearest" =>
+        if (allowExactMatches) abs(signedDelta) <= lit(tolUs)
+        else abs(signedDelta) <= lit(tolUs) && signedDelta =!= lit(0)
+      case "backward" =>
+        (if (allowExactMatches) signedDelta >= lit(0) else signedDelta > lit(0)) &&
+          signedDelta <= lit(tolUs)
+      case "forward" =>
+        (if (allowExactMatches) signedDelta <= lit(0) else signedDelta < lit(0)) &&
+          -signedDelta <= lit(tolUs)
     }
 
     val lb = l.withColumn("__graft_bl", bucket(col(c.leftCol)))
@@ -172,7 +181,8 @@ object AsOfJoin {
       direction: String = "backward",
       by: Seq[String] = Nil,
       suffixes: (String, String) = ("_x", "_y"),
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      allowExactMatches: Boolean = true): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got $direction")
     require(Set("inner", "left")(joinType),
@@ -247,10 +257,18 @@ object AsOfJoin {
 
     // the directional building blocks, shared by the single-direction
     // paths and the two-sided "nearest" composition
+    // allowExactMatches rides entirely on the TAG order at equal
+    // timestamps: inclusive puts right rows (TAG 0) BEFORE left rows,
+    // so the running pick sees the equal-ts match; exclusive (pandas
+    // allow_exact_matches = false) puts left rows first, hiding it.
+    // The cross-partition carry stays strict either way: equal range
+    // keys co-locate, so carried rights are strictly earlier/later.
+    val tagOrd: Column => Column =
+      if (allowExactMatches) _.asc else _.desc
     def windowIn(back: Boolean): Column = {
       val ord: Seq[Column] =
-        if (back) Seq(col(TS).asc, col(TAG).asc, col(TIE).asc)
-        else Seq(col(TS).desc, col(TAG).asc, col(TIE).desc)
+        if (back) Seq(col(TS).asc, tagOrd(col(TAG)), col(TIE).asc)
+        else Seq(col(TS).desc, tagOrd(col(TAG)), col(TIE).desc)
       last(col(RROW), ignoreNulls = true).over(
         Window.partitionBy((col(PID) +: K.map(col)): _*).orderBy(ord: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))

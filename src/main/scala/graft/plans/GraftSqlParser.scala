@@ -322,8 +322,9 @@ object GraftSqlParser {
       val bounds = (toks(on).end +: andPos.result().map(toks(_).end)) zip
         (andPos.result().map(toks(_).start) :+ clauseEndPos)
       // classify each conjunct: exactly one `col >= col` / `col <= col`
-      // inequality; every other must be a same-name `col = col` equality
-      // (the by-keys of a grouped as-of)
+      // (or the STRICT `>` / `<` — DuckDB's allow-exact-matches-false
+      // forms) inequality; every other must be a same-name `col = col`
+      // equality (the by-keys of a grouped as-of)
       var ineq: Option[(String, String, String)] = None
       val byKeys = Vector.newBuilder[String]
       bounds.foreach { case (cs, ce) =>
@@ -332,14 +333,18 @@ object GraftSqlParser {
           bareColumn(cond.substring(from, to)).getOrElse(
             asofFail(s"'${cond.substring(from, to).trim}' is not a plain " +
               s"column reference ($what)"))
-        val ge = cond.indexOf(">=")
-        val le = cond.indexOf("<=")
-        if (ge >= 0 || le >= 0) {
-          val (p, op) =
-            if (ge >= 0 && (le < 0 || ge < le)) (ge, ">=") else (le, "<=")
+        val gt = cond.indexOf('>')
+        val lt = cond.indexOf('<')
+        if (gt >= 0 || lt >= 0) {
+          val p = if (gt >= 0 && (lt < 0 || gt < lt)) gt else lt
+          val op =
+            if (p + 1 < cond.length && cond(p + 1) == '=')
+              cond.substring(p, p + 2)
+            else cond.substring(p, p + 1)
           if (ineq.isDefined)
             asofFail("more than one timestamp inequality in the ON clause")
-          ineq = Some((side(0, p, "inequality"), side(p + 2, cond.length, "inequality"), op))
+          ineq = Some((side(0, p, "inequality"),
+            side(p + op.length, cond.length, "inequality"), op))
         } else {
           val eq = cond.indexOf('=')
           if (eq < 0) asofFail("each ON conjunct must be an equality or a >=/<= inequality")
@@ -360,19 +365,23 @@ object GraftSqlParser {
       val rDf = rel(rightText)
       // assign the inequality sides to the relations by column lookup;
       // `l.ts >= r.ts` is backward (nearest preceding), flipped operand
-      // order flips the direction
+      // order flips the direction; the strict forms (`>` / `<`) exclude
+      // the equal-timestamp match (allow_exact_matches = false)
+      val allowExact = op == ">=" || op == "<="
+      val opBackward = op == ">=" || op == ">"
       val (leftOn, rightOn, backward) =
         if (lDf.columns.contains(aCol) && rDf.columns.contains(bCol))
-          (aCol, bCol, op == ">=")
+          (aCol, bCol, opBackward)
         else if (lDf.columns.contains(bCol) && rDf.columns.contains(aCol))
-          (bCol, aCol, op == "<=")
+          (bCol, aCol, !opBackward)
         else asofFail(s"cannot resolve '$aCol' / '$bCol' against the two sides")
       val joined = graft.operators.AsOfJoin.unbounded(
         lDf, rDf, rightId = rightOn,
         leftOn = Some(leftOn), rightOn = Some(rightOn),
         direction = if (backward) "backward" else "forward",
         by = byKeys.result(),
-        joinType = if (isLeft) "left" else "inner")
+        joinType = if (isLeft) "left" else "inner",
+        allowExactMatches = allowExact)
       val view = s"graft_asof_${(sql.hashCode.toLong & 0xffffffffL).toHexString}_${toks(k).start}"
       joined.createOrReplaceTempView(view)
       sql.substring(0, leftStart) + s" $view " + sql.substring(clauseEndPos)

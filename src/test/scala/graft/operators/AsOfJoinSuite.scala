@@ -367,6 +367,42 @@ class AsOfJoinSuite extends SparkSpec {
       assert(got(lid) == expected(lid, g, v), s"lid=$lid g=$g v=$v")
   }
 
+  test("allowExactMatches = false: equal-timestamp rights are invisible in every form") {
+    // time (banded): click 1's exact-ts view is skipped for the next band member
+    val clicks1 = Seq((1, ts("2024-01-01 00:10:00"))).toDF("cid", "cts")
+    val views1 = Seq(
+      (10, ts("2024-01-01 00:10:00")), // exact hit
+      (11, ts("2024-01-01 00:09:30"))
+    ).toDF("vid", "vts")
+    val t1 = AsOfJoin.time(clicks1, views1, Duration.ofMinutes(2), rightId = "vid",
+      leftOn = Some("cts"), rightOn = Some("vts"), allowExactMatches = false)
+    assert(rowSet(t1.select("cid", "vid")) == Set(Seq("1", "11")))
+    val t1b = AsOfJoin.time(clicks1, views1, Duration.ofMinutes(2), rightId = "vid",
+      leftOn = Some("cts"), rightOn = Some("vts"), direction = "backward",
+      allowExactMatches = false)
+    assert(rowSet(t1b.select("cid", "vid")) == Set(Seq("1", "11")))
+    // unbounded backward/forward/nearest: strict on both sides
+    val ls = Seq((1, 50), (2, 80)).toDF("lid", "v")
+    val rs = Seq((100, 50), (101, 40), (102, 80), (103, 90)).toDF("rid", "w")
+    val back = AsOfJoin.unbounded(ls, rs, rightId = "rid",
+      leftOn = Some("v"), rightOn = Some("w"), allowExactMatches = false)
+    assert(rowSet(back.select("lid", "rid")) == Set(Seq("1", "101"), Seq("2", "100")))
+    val fwd = AsOfJoin.unbounded(ls, rs, rightId = "rid",
+      leftOn = Some("v"), rightOn = Some("w"), direction = "forward",
+      allowExactMatches = false)
+    assert(rowSet(fwd.select("lid", "rid")) == Set(Seq("1", "102"), Seq("2", "103")))
+    val near = AsOfJoin.unbounded(ls, rs, rightId = "rid",
+      leftOn = Some("v"), rightOn = Some("w"), direction = "nearest",
+      allowExactMatches = false)
+    // lid 1 at 50: exact 100 skipped; 101 (Δ10) beats 102 (Δ30).
+    // lid 2 at 80: exact 102 skipped; 100 (Δ30) vs 103 (Δ10) -> 103.
+    assert(rowSet(near.select("lid", "rid")) == Set(Seq("1", "101"), Seq("2", "103")))
+    // inclusive default unchanged
+    val inc = AsOfJoin.unbounded(ls, rs, rightId = "rid",
+      leftOn = Some("v"), rightOn = Some("w"))
+    assert(rowSet(inc.select("lid", "rid")) == Set(Seq("1", "100"), Seq("2", "102")))
+  }
+
   test("unbounded nearest rejects a non-subtractable join column") {
     val ls = Seq((1, "a")).toDF("lid", "v")
     val rs = Seq((2, "b")).toDF("rid", "w")

@@ -110,8 +110,8 @@ class GraftSqlParserSuite extends SparkSpec {
     bad("SELECT * FROM l ASOF JOIN r ON a >= b AND c >= d",
       "more than one timestamp inequality")
     bad("SELECT * FROM l ASOF JOIN r ON a = a", ">= or <= timestamp inequality")
-    bad("SELECT * FROM l ASOF JOIN r ON a > b",
-      "equality or a >=/<= inequality")
+    // `a <> b` parses as a strict `<` with garbage operands: loud
+    bad("SELECT * FROM l ASOF JOIN r ON a <> b", "plain column")
     bad("SELECT * FROM l ASOF JOIN r ON a >= b OR c >= d", "OR in the ON")
     bad("SELECT * FROM l ASOF JOIN r ON a + 1 >= b", "plain column")
   }
@@ -185,6 +185,18 @@ class GraftSqlParserSuite extends SparkSpec {
         .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
         .toSet
       assert(leftG == Set((1, 100), (2, 102), (3, -1)))
+      // STRICT inequality (DuckDB's allow-exact-matches-false form):
+      // quotes at exactly the trade's timestamp no longer match
+      val exact = Seq((12L, 200), (5L, 201)).toDF("qts", "qid")
+      exact.createOrReplaceTempView("asof_equotes")
+      val strict = s.sql(
+        """SELECT tid, qid FROM asof_trades ASOF LEFT JOIN asof_equotes
+          |ON tts > qts""".stripMargin)
+        .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+        .toSet
+      // trade at 12 skips the equal-ts quote 200, taking quote 201 (5);
+      // trade at 5 skips its own equal-ts quote and has nothing earlier
+      assert(strict == Set((1, -1), (2, 201), (3, 200), (4, 200)))
     } finally {
       SparkSession.setActiveSession(orig)
       SparkSession.setDefaultSession(orig)
