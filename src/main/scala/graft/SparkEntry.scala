@@ -2839,6 +2839,74 @@ object SparkEntry {
           k = 5, nProbe = 16),
         SimilaritySearch.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5))
     }),
+    "stream_cdc_bm25" -> ((s, dir) => {
+      // CDC CHANGE FEED → index, as a REAL STREAM (the streaming
+      // composition of index_sync): batch 1 bootstraps from the old
+      // snapshot, batch 2 is the diff — removed+changed ids tombstone,
+      // added+changed rows append AFTER (log-ordered), batch markers
+      // make replays exactly-once (a delete-only batch carries its
+      // marker on the tombstone segment). Serving the stream-built
+      // chain == a one-shot build on the live corpus: bm25_search's
+      // oracle verbatim.
+      import s.implicits._
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val old = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" stale revision"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val batch1 = old.collect().map(r => (r.getLong(0), "added", r.getString(1)))
+        .sortBy(_._1).toSeq
+      val batch2 = CorpusDiff.diff(old, d, "doc_id", Seq("text"))
+        .join(d.withColumnRenamed("text", "__new_text"), Seq("doc_id"), "left")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"cdc_bm25_$token", dir)
+      val ckpt = scratch(s"cdc_bm25_ck_$token", dir)
+      runMaintainer(s, Seq(batch1, batch2)) { ds =>
+        Streaming.maintainBm25IndexCdc(ds.toDF("doc_id", "status", "text"),
+          "doc_id", "status", "text", idx, ckpt)
+      }
+      Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
+    }),
+    "stream_cdc_ivf" -> ((s, dir) => {
+      // the re-embedding change feed (Streaming.maintainIvfIndexCdc):
+      // batch 1 bootstraps on the old snapshot (training the frozen
+      // centroids), batch 2 applies the diff — changed vectors
+      // tombstone-then-re-append, removed ids die. At exhaustive
+      // probes serving is the exact top-k over whatever is live, so
+      // recall vs brute force over the NEW snapshot is exactly 1.0.
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val old = e.filter(col("vec_id") % 5 =!= 0)
+        .withColumn("embedding", when(col("vec_id") % 7 === 0,
+          transform(col("embedding"), x => negate(x))).otherwise(col("embedding")))
+        .unionByName(e.filter(col("vec_id") % 11 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+      val batch1 = old.collect()
+        .map(r => (r.getLong(0), "added", r.getSeq[Float](1).toArray))
+        .sortBy(_._1).toSeq
+      val newByIdx = e.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val batch2 = CorpusDiff.diff(old, e, "vec_id", Seq("embedding"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+        .map { case (id, st) =>
+          (id, st, newByIdx.getOrElse(id, Array.empty[Float])) }.toSeq
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"cdc_ivf_$token", dir)
+      val ckpt = scratch(s"cdc_ivf_ck_$token", dir)
+      runMaintainer(s, Seq(batch1, batch2)) { ds =>
+        Streaming.maintainIvfIndexCdc(ds.toDF("vec_id", "status", "embedding"),
+          "vec_id", "status", "embedding", idx, ckpt, nCentroids = 16)
+      }
+      val qs = e.filter(col("vec_id") < 20)
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.searchIvf(s, idx, qs, "vec_id", "embedding",
+          k = 5, nProbe = 16),
+        SimilaritySearch.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5))
+    }),
     "phrase_search_appended" -> ((s, dir) => {
       // positional-index append lifecycle: build over doc_id % 3 != 2,
       // append the remaining third as an immutable delta segment,
@@ -6789,6 +6857,11 @@ object SparkEntry {
       // CDC sync: the synced index ends exactly as a one-shot build on
       // the live corpus — the shared serving oracle IS the claim
       "index_sync" -> bm25SearchOracle,
+      // the STREAMING change feed lands the same end state
+      "stream_cdc_bm25" -> bm25SearchOracle,
+      "stream_cdc_ivf" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
       // exhaustive probes over the synced chain == exact top-k over
       // the new snapshot
       "index_sync_ivf" ->

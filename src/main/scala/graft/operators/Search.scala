@@ -227,7 +227,8 @@ object Search {
     * [[compactBm25Index]] drops dead rows physically.
     */
   def deleteFromBm25Index(
-      spark: SparkSession, path: String, ids: DataFrame, idCol: String): Unit = {
+      spark: SparkSession, path: String, ids: DataFrame, idCol: String,
+      marker: Option[String] = None): Unit = {
     import spark.implicits._
     graft.sources.IndexIO.resolve(spark, path) // fail fast on a missing index
     val tomb = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
@@ -237,7 +238,7 @@ object Search {
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
       .head()
     val stats = chainStats(spark, path).head()
-    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
       tomb.coalesce(1).write.mode("overwrite").parquet(s"$seg/tombstones")
       Seq((stats.getLong(0) - del.getLong(0), stats.getLong(1) - del.getLong(1)))
         .toDF("n_docs", "total_dl")

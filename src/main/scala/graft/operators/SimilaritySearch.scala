@@ -37,10 +37,11 @@ object SimilaritySearch {
     */
   def deleteFromAnnIndex(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      ids: DataFrame, idCol: String): Unit = {
+      ids: DataFrame, idCol: String,
+      marker: Option[String] = None): Unit = {
     val vdir = graft.sources.IndexIO.resolve(spark, indexDir)
     val conf = spark.sparkContext.hadoopConfiguration
-    graft.sources.IndexIO.publishDelta(spark, indexDir) { seg =>
+    graft.sources.IndexIO.publishDelta(spark, indexDir, marker) { seg =>
       for (t <- Seq("centroids", "codebook", "meta")) {
         val p = new org.apache.hadoop.fs.Path(s"$vdir/$t")
         if (p.getFileSystem(conf).exists(p))

@@ -982,6 +982,100 @@ object Streaming {
       s => Search.compactBm25Index(s, path, termBuckets))
   }
 
+  /** Maintain a BM25 index from a CDC CHANGE FEED — the streaming
+    * composition of [[graft.operators.IndexSync]]: each micro-batch
+    * carries [[graft.operators.CorpusDiff.diff]]-shaped rows
+    * `(idCol, statusCol, textCol)` and applies as tombstone-the-old
+    * THEN append-the-new (`removed`+`changed` ids die, `added`+
+    * `changed` rows land — log-ordered, so a changed doc's new
+    * version serves and its old one does not).
+    *
+    * Exactly-once: the batch's marker rides the APPEND segment (or the
+    * tombstone segment of a delete-only batch), so a replayed batch is
+    * skipped whole; a crash BETWEEN the delete and the append replays
+    * both, and the delete is idempotent by construction
+    * ([[graft.operators.Search.deleteFromBm25Index]] shrinks stats
+    * from still-LIVE rows only — a second tombstone of the same ids
+    * subtracts nothing). The first non-empty batch bootstraps from its
+    * added/changed rows.
+    */
+  def maintainBm25IndexCdc(
+      stream: DataFrame,
+      idCol: String,
+      statusCol: String,
+      textCol: String,
+      path: String,
+      checkpointDir: String,
+      termBuckets: Int = 64,
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Search
+    def adds(b: DataFrame) = b.filter(col(statusCol).isin("added", "changed"))
+    def dels(b: DataFrame) =
+      b.filter(col(statusCol).isin("removed", "changed")).select(idCol)
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
+      (b, m) => Search.buildBm25Index(adds(b), idCol, textCol, path,
+        termBuckets, marker = Some(m)))(
+      (b, m) => {
+        val a = adds(b).localCheckpoint(true) // emptiness probe + append
+        val addEmpty = a.isEmpty
+        val d = dels(b)
+        if (!d.isEmpty)
+          // a delete-only batch carries the marker on its tombstone
+          // segment; otherwise the append records it
+          Search.deleteFromBm25Index(b.sparkSession, path, d, idCol,
+            marker = if (addEmpty) Some(m) else None)
+        if (!addEmpty)
+          Search.appendToBm25Index(a, idCol, textCol, path, termBuckets,
+            marker = Some(m))
+      })(
+      s => Search.compactBm25Index(s, path, termBuckets))
+  }
+
+  /** [[maintainBm25IndexCdc]] for the IVF index: removed/changed
+    * vectors tombstone through the cells-schema-agnostic
+    * [[graft.operators.SimilaritySearch.deleteFromAnnIndex]], added/
+    * changed ones assign to the FROZEN centroids and append — the
+    * re-embedding change feed shape
+    * ([[graft.operators.SimilaritySearch.ivfIndexDrift]] is the
+    * retrain signal).
+    */
+  def maintainIvfIndexCdc(
+      stream: DataFrame,
+      idCol: String,
+      statusCol: String,
+      vecCol: String,
+      path: String,
+      checkpointDir: String,
+      nCentroids: Int = 16,
+      iters: Int = 5,
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.SimilaritySearch
+    def adds(b: DataFrame) = b.filter(col(statusCol).isin("added", "changed"))
+    def dels(b: DataFrame) =
+      b.filter(col(statusCol).isin("removed", "changed")).select(idCol)
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
+      (b, m) => SimilaritySearch.buildIvfIndex(adds(b), idCol, vecCol, path,
+        nCentroids, iters, marker = Some(m)))(
+      (b, m) => {
+        val a = adds(b).localCheckpoint(true)
+        val addEmpty = a.isEmpty
+        val d = dels(b)
+        if (!d.isEmpty)
+          SimilaritySearch.deleteFromAnnIndex(b.sparkSession, path, d, idCol,
+            marker = if (addEmpty) Some(m) else None)
+        if (!addEmpty)
+          SimilaritySearch.appendToIvfIndex(b.sparkSession, path, a,
+            idCol, vecCol, marker = Some(m))
+      })(
+      s => SimilaritySearch.compactIvfIndex(s, path))
+  }
+
   /** Maintain a persisted DSIR model ([[graft.operators.Dsir]]) FROM A
     * STREAM: profiles are additive, so every micro-batch of raw
     * documents lands as its own ≤`buckets`-row profile segment — the

@@ -856,6 +856,79 @@ class StreamingSuite extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(7L))
   }
 
+  test("maintainBm25IndexCdc: change feed lands the snapshot state; delete-only batch marks") {
+    import graft.operators.Search
+    val idx = java.nio.file.Files.createTempDirectory("graft_cdc_bm25_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ck_").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streaming.maintainBm25IndexCdc(
+      input.toDF().toDF("doc_id", "status", "text"),
+      "doc_id", "status", "text", idx, ckpt)
+    try {
+      // bootstrap: three docs
+      input.addData(
+        (1L, "added", "alpha beta gamma"),
+        (2L, "added", "delta epsilon"),
+        (3L, "added", "zeta eta theta"))
+      q.processAllAvailable()
+      // change feed: doc 2 re-written, doc 3 removed, doc 4 new
+      input.addData(
+        (2L, "changed", "delta REWRITTEN text"),
+        (3L, "removed", null.asInstanceOf[String]),
+        (4L, "added", "iota kappa"))
+      q.processAllAvailable()
+      // delete-only batch: doc 1 taken down (marker rides the tombstone)
+      input.addData((1L, "removed", null.asInstanceOf[String]))
+      q.processAllAvailable()
+    } finally q.stop()
+    // every batch recorded its marker — including the delete-only one
+    val markers = graft.sources.IndexIO.segmentMarkers(spark, idx)
+    assert(markers.size == 3 &&
+      Seq("b0-", "b1-", "b2-").forall(p => markers.exists(_.startsWith(p))),
+      s"unexpected markers $markers")
+    // serving == a one-shot build on the final snapshot
+    val fresh = java.nio.file.Files.createTempDirectory("graft_cdc_fresh_").toString
+    Search.buildBm25Index(Seq(
+        (2L, "delta REWRITTEN text"), (4L, "iota kappa")).toDF("doc_id", "text"),
+      "doc_id", "text", fresh)
+    for (terms <- Seq(Seq("delta"), Seq("rewritten"), Seq("iota"),
+        Seq("alpha"), Seq("zeta")))
+      assertSameRows(
+        Search.bm25SearchIndex(spark, idx, terms, k = 10),
+        Search.bm25SearchIndex(spark, fresh, terms, k = 10))
+  }
+
+  test("maintainIvfIndexCdc: re-embedded vectors serve, removed ones die, exhaustive == exact") {
+    import graft.operators.SimilaritySearch
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(4)(d => (math.sin(i * 1.7 + d) + 0.05 * i).toFloat)
+    val idx = java.nio.file.Files.createTempDirectory("graft_cdc_ivf_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ivfck_").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Array[Float])]
+    val q = Streaming.maintainIvfIndexCdc(
+      input.toDF().toDF("vec_id", "status", "embedding"),
+      "vec_id", "status", "embedding", idx, ckpt, nCentroids = 2)
+    try {
+      input.addData((1 to 8).map(i =>
+        (i.toLong, "added", if (i == 3) vec(3).map(-_) else vec(i))): _*)
+      q.processAllAvailable()
+      // re-embed vec 3 (tombstone + re-append), remove vec 7
+      input.addData(
+        (3L, "changed", vec(3)),
+        (7L, "removed", Array.empty[Float]))
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = ((1 to 8).toSet - 7).toSeq.sorted
+      .map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, vec(1)), (3L, vec(3))).toDF("vec_id", "embedding")
+    assertSameRows(
+      SimilaritySearch.searchIvf(spark, idx, queries, "vec_id", "embedding",
+        k = 4, nProbe = 2),
+      SimilaritySearch.bruteForceTopK(queries, live, "vec_id", "embedding", k = 4))
+  }
+
   test("maintainPqIndex: stream ≡ batch lifecycle over the same batches; compact preserves it") {
     import graft.operators.SimilaritySearch
     def vec(i: Int): Array[Float] =
