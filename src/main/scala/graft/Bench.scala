@@ -60,7 +60,7 @@ object Bench {
     "bm25_search", "bm25_search_prf", "bm25_search_deleted", "bm25_search_batch",
     "bm25_search_appended", "bm25_search_unified", "phrase_search_unified",
     "bm25_search_merged", "phrase_search_deleted", "asof_interpolate_by",
-    "index_sync", "index_sync_ivf", "stream_cdc_bm25", "stream_cdc_ivf",
+    "index_sync", "index_sync_ivf", "stream_cdc_bm25", "stream_cdc_ivf", "index_sync_dsir",
     "ann_topk_ivf_sq8_appended", "stream_maintained_bm25",
     "stream_maintained_dsir", "stream_maintained_ann",
     "stream_maintained_pq", "stream_maintained_ivf_sq8",
@@ -153,7 +153,8 @@ object Bench {
         "stream_maintained_semdedup_serve", "stream_maintained_ahash_serve",
         "stream_maintained_phash_serve", "stream_maintained_audiofp_serve",
         "stream_maintained_scenes_serve", "stream_maintained_eval_serve",
-        "stream_maintained_pq", "index_sync", "index_sync_ivf")
+        "stream_maintained_pq", "index_sync", "index_sync_ivf",
+        "index_sync_dsir")
       .filter(allFns.contains)
       .foreach { name =>
         try allFns(name)(spark, sfDir).count()

@@ -2839,6 +2839,30 @@ object SparkEntry {
           k = 5, nProbe = 16),
         SimilaritySearch.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5))
     }),
+    "index_sync_dsir" -> ((s, dir) => {
+      // the RETRACTION-family sync: a DSIR model built on the old
+      // snapshot (stale %7 texts, retired ids, missing %5 docs) is
+      // synced to the live corpus — the delete leg re-reads the OLD
+      // removed+changed documents and subtracts their n-gram counts as
+      // a negative segment, the append leg adds the new ones; the
+      // chain sum must equal the one-shot raw profile over the live
+      // corpus EXACTLY, so scoring serves dsir_score's oracle verbatim.
+      val d = t(s, dir, "documents")
+      val idx = scratch("dsir_sync_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx)) {
+        val base = d.select("doc_id", "text")
+        val old = base.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" stale revision"))).otherwise(col("text")))
+          .unionByName(base.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        Dsir.buildDsirIndex(d.filter(col("lang") === "en"), "text",
+          old, "text", buckets = 4096, idx)
+        IndexSync.syncDsirIndex(s, old, base, "doc_id", "text", idx)
+      }
+      val (tp, rp) = Dsir.dsirIndexProfiles(s, idx)
+      Dsir.importanceScore(d, "doc_id", "text", tp, rp, buckets = 4096)
+    }),
     "stream_cdc_bm25" -> ((s, dir) => {
       // CDC CHANGE FEED → index, as a REAL STREAM (the streaming
       // composition of index_sync): batch 1 bootstraps from the old
@@ -7837,6 +7861,9 @@ object SparkEntry {
       // raw corpus, per-gram grid(ln p_t) − grid(ln q_r) summed as
       // exact longs per doc
       "dsir_score" -> dsirScoreOracle,
+      // retraction-family sync: negative segments subtract exactly, so
+      // the synced chain serves the one-shot scores
+      "index_sync_dsir" -> dsirScoreOracle,
       // dsir_score + deterministic Gumbel noise from each id's md5
       // fraction; top-50 by exact long key
       "dsir_resample" ->

@@ -142,4 +142,26 @@ object IndexSync {
       idCol: String, vecCol: String, path: String): Unit =
     syncAnn(spark, oldSnapshot, newSnapshot, idCol, vecCol, path)(app =>
       SimilaritySearch.appendToPqIndex(app, idCol, vecCol, path))
+
+  /** Sync a persisted DSIR model ([[Dsir.buildDsirIndex]]): the one
+    * family whose "delete" is a RETRACTION, not a tombstone — the
+    * model must unsee the OLD rows' n-gram counts, so the delete leg
+    * re-reads the old snapshot's removed+changed DOCUMENTS (a
+    * left-semi against the slim change set, the mirror of the append
+    * leg) and publishes their negative-count profile segment; the
+    * added+changed new rows append their positive one. The chain sum
+    * is then EXACTLY the new snapshot's raw profile — additive counts
+    * subtract exactly.
+    */
+  def syncDsirIndex(
+      spark: SparkSession, oldSnapshot: DataFrame, newSnapshot: DataFrame,
+      idCol: String, textCol: String, path: String): Unit = {
+    val (del, app, nDel, nApp) =
+      changeSets(oldSnapshot, newSnapshot, idCol, Seq(textCol))
+    if (nDel > 0) {
+      val delRows = oldSnapshot.join(del, Seq(idCol), "left_semi")
+      Dsir.deleteFromDsirIndex(delRows, textCol, path)
+    }
+    if (nApp > 0) Dsir.appendToDsirIndex(app, textCol, path)
+  }
 }
