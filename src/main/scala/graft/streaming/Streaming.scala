@@ -1034,6 +1034,47 @@ object Streaming {
       s => Search.compactBm25Index(s, path, termBuckets))
   }
 
+  /** [[maintainBm25IndexCdc]] for the unified lexical artifact
+    * ([[graft.operators.Search.buildLexicalIndex]]): one change feed
+    * keeps BM25 ranking, phrase retrieval, and the fused hybrid
+    * current. Deletes go through the stats-correcting
+    * [[graft.operators.Search.deleteFromBm25Index]] (the doc-id
+    * tombstone covers both serving paths — [[graft.operators
+    * .IndexSync.syncLexicalIndex]]'s rule).
+    */
+  def maintainLexicalIndexCdc(
+      stream: DataFrame,
+      idCol: String,
+      statusCol: String,
+      textCol: String,
+      path: String,
+      checkpointDir: String,
+      termBuckets: Int = 64,
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Search
+    def adds(b: DataFrame) = b.filter(col(statusCol).isin("added", "changed"))
+    def dels(b: DataFrame) =
+      b.filter(col(statusCol).isin("removed", "changed")).select(idCol)
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
+      (b, m) => Search.buildLexicalIndex(adds(b), idCol, textCol, path,
+        termBuckets, marker = Some(m)))(
+      (b, m) => {
+        val a = adds(b).localCheckpoint(true)
+        val addEmpty = a.isEmpty
+        val d = dels(b)
+        if (!d.isEmpty)
+          Search.deleteFromBm25Index(b.sparkSession, path, d, idCol,
+            marker = if (addEmpty) Some(m) else None)
+        if (!addEmpty)
+          Search.appendToLexicalIndex(a, idCol, textCol, path, termBuckets,
+            marker = Some(m))
+      })(
+      s => Search.compactBm25Index(s, path, termBuckets))
+  }
+
   /** [[maintainBm25IndexCdc]] for the IVF index: removed/changed
     * vectors tombstone through the cells-schema-agnostic
     * [[graft.operators.SimilaritySearch.deleteFromAnnIndex]], added/

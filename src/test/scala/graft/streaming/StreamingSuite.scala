@@ -899,6 +899,40 @@ class StreamingSuite extends SparkSpec {
         Search.bm25SearchIndex(spark, fresh, terms, k = 10))
   }
 
+  test("maintainLexicalIndexCdc: BM25 and phrase serving track the change feed") {
+    import graft.operators.Search
+    val idx = java.nio.file.Files.createTempDirectory("graft_cdc_lex_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_lexck_").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streaming.maintainLexicalIndexCdc(
+      input.toDF().toDF("doc_id", "status", "text"),
+      "doc_id", "status", "text", idx, ckpt)
+    try {
+      input.addData(
+        (1L, "added", "the quick brown fox"),
+        (2L, "added", "pack my box with jugs"))
+      q.processAllAvailable()
+      input.addData(
+        (1L, "changed", "the slow brown fox jumps"),
+        (2L, "removed", null.asInstanceOf[String]),
+        (3L, "added", "quick silver lining"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fresh = java.nio.file.Files.createTempDirectory("graft_cdc_lexf_").toString
+    Search.buildLexicalIndex(Seq(
+        (1L, "the slow brown fox jumps"), (3L, "quick silver lining"))
+      .toDF("doc_id", "text"), "doc_id", "text", fresh)
+    assertSameRows(
+      Search.bm25SearchIndex(spark, idx, Seq("quick", "fox"), k = 10),
+      Search.bm25SearchIndex(spark, fresh, Seq("quick", "fox"), k = 10))
+    // the changed doc's NEW positions serve; the old phrase is gone
+    assertSameRows(
+      Search.phraseSearchIndex(spark, idx, Seq("brown", "fox", "jumps"), k = 10),
+      Search.phraseSearchIndex(spark, fresh, Seq("brown", "fox", "jumps"), k = 10))
+    assert(Search.phraseSearchIndex(spark, idx, Seq("quick", "brown"), k = 10).isEmpty)
+  }
+
   test("maintainIvfIndexCdc: re-embedded vectors serve, removed ones die, exhaustive == exact") {
     import graft.operators.SimilaritySearch
     def vec(i: Int): Array[Float] =
