@@ -60,7 +60,7 @@ object Bench {
     "bm25_search", "bm25_search_prf", "bm25_search_deleted", "bm25_search_batch",
     "bm25_search_appended", "bm25_search_unified", "phrase_search_unified",
     "bm25_search_merged", "phrase_search_deleted", "asof_interpolate_by",
-    "index_sync", "index_sync_ivf", "stream_cdc_bm25", "stream_cdc_ivf", "index_sync_dsir",
+    "index_sync", "index_sync_ivf", "stream_cdc_bm25", "stream_cdc_ivf", "stream_cdc_lexical", "index_sync_dsir",
     "ann_topk_ivf_sq8_appended", "stream_maintained_bm25",
     "stream_maintained_dsir", "stream_maintained_ann",
     "stream_maintained_pq", "stream_maintained_ivf_sq8",

@@ -2894,6 +2894,36 @@ object SparkEntry {
       }
       Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
     }),
+    "stream_cdc_lexical" -> ((s, dir) => {
+      // the unified-lexical change feed (Streaming
+      // .maintainLexicalIndexCdc): same two-batch CDC stream as
+      // stream_cdc_bm25, but the served artifact carries POSITIONS —
+      // phrase retrieval from the stream-built chain must equal the
+      // inline scan over the live corpus (phrase_search's oracle
+      // verbatim), proving the changed docs' NEW positions serve and
+      // their stale ones died.
+      import s.implicits._
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val old = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" stale revision"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val batch1 = old.collect().map(r => (r.getLong(0), "added", r.getString(1)))
+        .sortBy(_._1).toSeq
+      val batch2 = CorpusDiff.diff(old, d, "doc_id", Seq("text"))
+        .join(d.withColumnRenamed("text", "__new_text"), Seq("doc_id"), "left")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"cdc_lex_$token", dir)
+      val ckpt = scratch(s"cdc_lex_ck_$token", dir)
+      runMaintainer(s, Seq(batch1, batch2)) { ds =>
+        Streaming.maintainLexicalIndexCdc(ds.toDF("doc_id", "status", "text"),
+          "doc_id", "status", "text", idx, ckpt)
+      }
+      Search.phraseSearchIndex(s, idx, Seq("vector", "stream"), k = 20)
+    }),
     "stream_cdc_ivf" -> ((s, dir) => {
       // the re-embedding change feed (Streaming.maintainIvfIndexCdc):
       // batch 1 bootstraps on the old snapshot (training the frozen
@@ -6883,6 +6913,7 @@ object SparkEntry {
       "index_sync" -> bm25SearchOracle,
       // the STREAMING change feed lands the same end state
       "stream_cdc_bm25" -> bm25SearchOracle,
+      "stream_cdc_lexical" -> phraseSearchOracle,
       "stream_cdc_ivf" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
