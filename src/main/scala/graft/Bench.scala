@@ -61,6 +61,8 @@ object Bench {
     "bm25_search_appended", "bm25_search_unified", "phrase_search_unified",
     "bm25_search_merged", "phrase_search_deleted", "asof_interpolate_by",
     "index_sync", "index_sync_ivf", "stream_cdc_bm25", "stream_cdc_ivf", "stream_cdc_lexical", "index_sync_dsir",
+    "stream_cdc_minhash", "index_sync_phash",
+    "bm25_search_time_travel", "ann_topk_ivf_time_travel",
     "ann_topk_ivf_sq8_appended", "stream_maintained_bm25",
     "stream_maintained_dsir", "stream_maintained_ann",
     "stream_maintained_pq", "stream_maintained_ivf_sq8",
@@ -91,6 +93,9 @@ object Bench {
     "stream_maintained_semdedup_serve", "stream_maintained_ahash_serve",
     "stream_maintained_phash_serve", "stream_maintained_audiofp_serve",
     "stream_maintained_scenes_serve", "stream_maintained_eval_serve",
+    // serve splits of the stream_cdc_* change-feed lifecycles
+    "stream_cdc_bm25_serve", "stream_cdc_lexical_serve",
+    "stream_cdc_ivf_serve", "stream_cdc_minhash_serve",
     "sample_weighted", "filter_by_source_quality", "lm_score_docs",
     "stream_pack_sequences", "stream_pack_state",
     "mix_sources", "mix_temperature", "shuffle_corpus",
@@ -154,7 +159,10 @@ object Bench {
         "stream_maintained_phash_serve", "stream_maintained_audiofp_serve",
         "stream_maintained_scenes_serve", "stream_maintained_eval_serve",
         "stream_maintained_pq", "index_sync", "index_sync_ivf",
-        "index_sync_dsir")
+        "index_sync_dsir", "index_sync_phash",
+        // the CDC _serve rows build-if-missing, same contract
+        "stream_cdc_bm25_serve", "stream_cdc_lexical_serve",
+        "stream_cdc_ivf_serve", "stream_cdc_minhash_serve")
       .filter(allFns.contains)
       .foreach { name =>
         try allFns(name)(spark, sfDir).count()

@@ -2049,39 +2049,7 @@ object SparkEntry {
       // the probe sees pairs across rescale/crop variants, which the
       // aHash index cannot (MultimodalSuite pins the margins).
       val d = t(s, dir, "documents").select("doc_id")
-      def render(kind: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        for (x <- 0 until w; y <- 0 until h) {
-          val fx = x.toDouble / w
-          val fy = y.toDouble / h
-          val bright = kind match {
-            case 1 => fx > fy
-            case 2 => (fx - 0.5) * (fx - 0.5) + (fy - 0.5) * (fy - 0.5) < 0.09
-            case _ => fx + fy < 0.7
-          }
-          val v = if (bright) 210 else 45
-          img.setRGB(x, y, (v << 16) | (v << 8) | v)
-        }
-        img
-      }
-      def png(img: java.awt.image.BufferedImage): Array[Byte] = {
-        val buf = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", buf)
-        buf.toByteArray
-      }
-      val payloads = for (kind <- Seq(1, 2, 4); v <- 0 until 3) yield v match {
-        case 0 => png(render(kind, 64, 64))
-        case 1 => png(render(kind, 96, 96))
-        case _ =>
-          val base = render(kind, 64, 64)
-          val sub = base.getSubimage(4, 4, 56, 56)
-          val out = new java.awt.image.BufferedImage(
-            56, 56, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = out.createGraphics()
-          try g.drawImage(sub, 0, 0, null) finally g.dispose()
-          png(out)
-      }
+      val payloads = phashGatePayloads()
       val withP = d.withColumn("payload",
         element_at(array(payloads.map(lit(_)): _*), (col("doc_id") % 9).cast("int") + 1))
       val idx = scratch("phash_index", dir)
@@ -2547,6 +2515,42 @@ object SparkEntry {
       Search.appendToBm25Index(d.filter(col("doc_id") % 3 === 2), "doc_id", "text", idx)
       Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
     }),
+    "bm25_search_time_travel" -> ((s, dir) => {
+      // TIME-TRAVEL read (IndexIO.pin): build the inverted index over
+      // doc_id % 3 != 2, capture the version id, append the remaining
+      // third (flipping _LATEST), then serve PINNED to the pre-append
+      // version through the unchanged serving path — must equal BM25
+      // over the two-thirds subset alone (df, N, avgdl all of the old
+      // snapshot), exactly what a training run that recorded its pin
+      // at launch replays after any number of later publishes.
+      val d = t(s, dir, "documents")
+      val idx = scratch("bm25_tt_index", dir)
+      Search.buildBm25Index(d.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", idx)
+      val v = graft.sources.IndexIO.currentVersionId(s, idx)
+      Search.appendToBm25Index(d.filter(col("doc_id") % 3 === 2), "doc_id", "text", idx)
+      Search.bm25SearchIndex(s, graft.sources.IndexIO.pin(idx, v),
+        Seq("vector", "stream", "spark"), k = 20)
+    }),
+    "ann_topk_ivf_time_travel" -> ((s, dir) => {
+      // the embedding-side pin: build IVF on the even half, pin, append
+      // the odd half, serve the PIN exhaustively (nProbe = all 16
+      // cells) — the pinned chain holds exactly the even half, so the
+      // result is the EXACT top-k over that subset (identical floats
+      // rank identically) and recall vs the subset brute force is 1.0
+      // by construction, not a measured constant.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val even = e.filter(col("vec_id") % 2 === 0)
+      val idx = scratch("ivf_tt_idx", dir)
+      SimilaritySearch.buildIvfIndex(even, "vec_id", "embedding", idx)
+      val v = graft.sources.IndexIO.currentVersionId(s, idx)
+      SimilaritySearch.appendToIvfIndex(s, idx,
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      SimilaritySearch.recallSummary(
+        SimilaritySearch.searchIvf(s, graft.sources.IndexIO.pin(idx, v),
+          q, "vec_id", "embedding", k = 5, nProbe = 16),
+        SimilaritySearch.bruteForceTopK(q, even, "vec_id", "embedding", k = 5))
+    }),
     "stream_maintained_bm25" -> ((s, dir) => {
       // the live-crawl WRITE path: a real streaming query maintains the
       // BM25 index via foreachBatch (first batch bootstraps, each later
@@ -2811,6 +2815,39 @@ object SparkEntry {
       }
       Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
     }),
+    "index_sync_phash" -> ((s, dir) => {
+      // the perceptual family's snapshot sync (IndexSync
+      // .syncPHashIndex): the binary payload diffs by content hash
+      // exactly like text. The OLD media snapshot misses the
+      // %8==6 evens (added), carries a re-encode of the %6==0 evens
+      // under a DIFFERENT variant payload (changed — old hash must
+      // die), and holds retired ids (removed). One sync tombstones the
+      // dying hashes and decodes ONLY the added/changed media; the
+      // odd-doc probe then equals the one-shot oracle verbatim.
+      val d = t(s, dir, "documents").select("doc_id")
+      val payloads = phashGatePayloads()
+      def pay(idExpr: Column): Column =
+        element_at(array(payloads.map(lit(_)): _*), (idExpr % 9).cast("int") + 1)
+      val withP = d.withColumn("payload", pay(col("doc_id")))
+      val evens = withP.filter(col("doc_id") % 2 === 0)
+      val idx = scratch("phash_sync_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx)) {
+        // +3 shifts one full pattern CLASS (blocks of 3), so a stale
+        // hash that survives a broken sync would cross-match the wrong
+        // class's probes — the gate falsifies, not just covers
+        val old = evens.filter(col("doc_id") % 8 =!= 6)
+          .withColumn("payload", when(col("doc_id") % 6 === 0,
+            pay(col("doc_id") + 3)).otherwise(col("payload")))
+          .unionByName(evens.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("payload")))
+        Multimodal.buildPHashIndex(old, "doc_id", "payload", idx)
+        IndexSync.syncPHashIndex(s, old, evens, "doc_id", "payload", idx)
+      }
+      Multimodal.dedupAgainstPHashIndex(s,
+          withP.filter(col("doc_id") % 2 === 1), "doc_id", "payload", idx,
+          maxHamming = 16)
+        .select(col("doc_id"), col("index_id"))
+    }),
     "index_sync_ivf" -> ((s, dir) => {
       // the ANN-family sync (IndexSync.syncIvfIndex): old snapshot =
       // no %5==0 vectors (added), NEGATED %7==0 vectors (changed —
@@ -2872,27 +2909,10 @@ object SparkEntry {
       // marker on the tombstone segment). Serving the stream-built
       // chain == a one-shot build on the live corpus: bm25_search's
       // oracle verbatim.
-      import s.implicits._
-      val d = t(s, dir, "documents").select("doc_id", "text")
-      val old = d.filter(col("doc_id") % 5 =!= 0)
-        .withColumn("text", when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" stale revision"))).otherwise(col("text")))
-        .unionByName(d.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
-      val batch1 = old.collect().map(r => (r.getLong(0), "added", r.getString(1)))
-        .sortBy(_._1).toSeq
-      val batch2 = CorpusDiff.diff(old, d, "doc_id", Seq("text"))
-        .join(d.withColumnRenamed("text", "__new_text"), Seq("doc_id"), "left")
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-        .sortBy(_._1).toSeq
       val token = java.util.UUID.randomUUID().toString.take(8)
       val idx = scratch(s"cdc_bm25_$token", dir)
-      val ckpt = scratch(s"cdc_bm25_ck_$token", dir)
-      runMaintainer(s, Seq(batch1, batch2)) { ds =>
-        Streaming.maintainBm25IndexCdc(ds.toDF("doc_id", "status", "text"),
-          "doc_id", "status", "text", idx, ckpt)
-      }
-      Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
+      buildCdc("bm25", s, dir, idx, scratch(s"cdc_bm25_ck_$token", dir))
+      serveCdc("bm25", s, dir, idx)
     }),
     "stream_cdc_lexical" -> ((s, dir) => {
       // the unified-lexical change feed (Streaming
@@ -2902,27 +2922,10 @@ object SparkEntry {
       // inline scan over the live corpus (phrase_search's oracle
       // verbatim), proving the changed docs' NEW positions serve and
       // their stale ones died.
-      import s.implicits._
-      val d = t(s, dir, "documents").select("doc_id", "text")
-      val old = d.filter(col("doc_id") % 5 =!= 0)
-        .withColumn("text", when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" stale revision"))).otherwise(col("text")))
-        .unionByName(d.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
-      val batch1 = old.collect().map(r => (r.getLong(0), "added", r.getString(1)))
-        .sortBy(_._1).toSeq
-      val batch2 = CorpusDiff.diff(old, d, "doc_id", Seq("text"))
-        .join(d.withColumnRenamed("text", "__new_text"), Seq("doc_id"), "left")
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-        .sortBy(_._1).toSeq
       val token = java.util.UUID.randomUUID().toString.take(8)
       val idx = scratch(s"cdc_lex_$token", dir)
-      val ckpt = scratch(s"cdc_lex_ck_$token", dir)
-      runMaintainer(s, Seq(batch1, batch2)) { ds =>
-        Streaming.maintainLexicalIndexCdc(ds.toDF("doc_id", "status", "text"),
-          "doc_id", "status", "text", idx, ckpt)
-      }
-      Search.phraseSearchIndex(s, idx, Seq("vector", "stream"), k = 20)
+      buildCdc("lexical", s, dir, idx, scratch(s"cdc_lex_ck_$token", dir))
+      serveCdc("lexical", s, dir, idx)
     }),
     "stream_cdc_ivf" -> ((s, dir) => {
       // the re-embedding change feed (Streaming.maintainIvfIndexCdc):
@@ -2931,35 +2934,26 @@ object SparkEntry {
       // tombstone-then-re-append, removed ids die. At exhaustive
       // probes serving is the exact top-k over whatever is live, so
       // recall vs brute force over the NEW snapshot is exactly 1.0.
-      import s.implicits._
-      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val old = e.filter(col("vec_id") % 5 =!= 0)
-        .withColumn("embedding", when(col("vec_id") % 7 === 0,
-          transform(col("embedding"), x => negate(x))).otherwise(col("embedding")))
-        .unionByName(e.filter(col("vec_id") % 11 === 0)
-          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
-      val batch1 = old.collect()
-        .map(r => (r.getLong(0), "added", r.getSeq[Float](1).toArray))
-        .sortBy(_._1).toSeq
-      val newByIdx = e.collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-      val batch2 = CorpusDiff.diff(old, e, "vec_id", Seq("embedding"))
-        .collect().map(r => (r.getLong(0), r.getString(1)))
-        .sortBy(_._1)
-        .map { case (id, st) =>
-          (id, st, newByIdx.getOrElse(id, Array.empty[Float])) }.toSeq
       val token = java.util.UUID.randomUUID().toString.take(8)
       val idx = scratch(s"cdc_ivf_$token", dir)
-      val ckpt = scratch(s"cdc_ivf_ck_$token", dir)
-      runMaintainer(s, Seq(batch1, batch2)) { ds =>
-        Streaming.maintainIvfIndexCdc(ds.toDF("vec_id", "status", "embedding"),
-          "vec_id", "status", "embedding", idx, ckpt, nCentroids = 16)
-      }
-      val qs = e.filter(col("vec_id") < 20)
-      SimilaritySearch.recallSummary(
-        SimilaritySearch.searchIvf(s, idx, qs, "vec_id", "embedding",
-          k = 5, nProbe = 16),
-        SimilaritySearch.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5))
+      buildCdc("ivf", s, dir, idx, scratch(s"cdc_ivf_ck_$token", dir))
+      serveCdc("ivf", s, dir, idx)
+    }),
+    "stream_cdc_minhash" -> ((s, dir) => {
+      // the near-dup family's change feed (Streaming
+      // .maintainMinhashIndexCdc): batch 1 bootstraps the band index
+      // from a STALE odd-id snapshot (some docs missing, stale
+      // revisions for doc_id % 7 == 0, retired extra ids), batch 2
+      // applies the diff to the live odd corpus — changed docs
+      // tombstone-then-re-sketch with the index's stored banding meta,
+      // removed ids leave the postings. The even-id batch then dedups
+      // against the maintained index: must equal dedup_incremental's
+      // exact cross-join oracle over the LIVE corpus (threshold 0.8
+      // puts the 32x4 banding miss probability at ~5e-8).
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"cdc_mh_$token", dir)
+      buildCdc("minhash", s, dir, idx, scratch(s"cdc_mh_ck_$token", dir))
+      serveCdc("minhash", s, dir, idx)
     }),
     "phrase_search_appended" -> ((s, dir) => {
       // positional-index append lifecycle: build over doc_id % 3 != 2,
@@ -4488,6 +4482,50 @@ object SparkEntry {
     * each batch fully processed before the next arrives (deterministic
     * bootstrap → append → compact sequencing), stopped when drained.
     */
+  /** The nine geometric-variant PNGs of the pHash gates: three
+    * patterns (diagonal, disc, wedge) × (64² original, 96² rescale,
+    * 56² crop) — index = (doc_id % 9), same-pattern variants land
+    * within Hamming radius 16 of each other under [[graft.multimodal
+    * .Multimodal.pHash64]], cross-pattern outside (MultimodalSuite
+    * pins the margins). Shared by the one-shot indexed gate and the
+    * snapshot-sync gate.
+    */
+  private def phashGatePayloads(): Seq[Array[Byte]] = {
+    def render(kind: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val fx = x.toDouble / w
+        val fy = y.toDouble / h
+        val bright = kind match {
+          case 1 => fx > fy
+          case 2 => (fx - 0.5) * (fx - 0.5) + (fy - 0.5) * (fy - 0.5) < 0.09
+          case _ => fx + fy < 0.7
+        }
+        val v = if (bright) 210 else 45
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    for (kind <- Seq(1, 2, 4); v <- 0 until 3) yield v match {
+      case 0 => png(render(kind, 64, 64))
+      case 1 => png(render(kind, 96, 96))
+      case _ =>
+        val base = render(kind, 64, 64)
+        val sub = base.getSubimage(4, 4, 56, 56)
+        val out = new java.awt.image.BufferedImage(
+          56, 56, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(sub, 0, 0, null) finally g.dispose()
+        png(out)
+    }
+  }
+
   private def runMaintainer[T](s: SparkSession, batches: Seq[Seq[T]])(
       start: org.apache.spark.sql.Dataset[T] =>
         org.apache.spark.sql.streaming.StreamingQuery)(
@@ -4529,6 +4567,101 @@ object SparkEntry {
     * (fixed per-JVM path, built once untimed, so the timed row is the
     * steady-state serving plan alone).
     */
+  /** The two-batch CDC change feeds of the `stream_cdc_*` gates,
+    * factored like [[buildMaintained]] so the bench can split the
+    * lifecycle (bootstrap + diff batch through a real streaming query)
+    * from serving the resulting chain. Families: `bm25` / `lexical` /
+    * `minhash` (text; minhash runs over the odd ids so the even batch
+    * can probe) and `ivf` (embeddings). The OLD snapshot misses some
+    * rows (added), carries stale revisions (changed — tombstone then
+    * re-append), and holds retired ids (removed).
+    */
+  private def buildCdc(
+      family: String, s: SparkSession, dir: String,
+      idx: String, ckpt: String): Unit = {
+    import s.implicits._
+    if (family == "ivf") {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val old = e.filter(col("vec_id") % 5 =!= 0)
+        .withColumn("embedding", when(col("vec_id") % 7 === 0,
+          transform(col("embedding"), x => negate(x))).otherwise(col("embedding")))
+        .unionByName(e.filter(col("vec_id") % 11 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+      val batch1 = old.collect()
+        .map(r => (r.getLong(0), "added", r.getSeq[Float](1).toArray))
+        .sortBy(_._1).toSeq
+      val newByIdx = e.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val batch2 = CorpusDiff.diff(old, e, "vec_id", Seq("embedding"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+        .map { case (id, st) =>
+          (id, st, newByIdx.getOrElse(id, Array.empty[Float])) }.toSeq
+      runMaintainer(s, Seq(batch1, batch2)) { ds =>
+        Streaming.maintainIvfIndexCdc(ds.toDF("vec_id", "status", "embedding"),
+          "vec_id", "status", "embedding", idx, ckpt, nCentroids = 16)
+      }
+    } else {
+      val full = t(s, dir, "documents").select("doc_id", "text")
+      val d = if (family == "minhash") full.filter(col("doc_id") % 2 === 1) else full
+      val missRes = if (family == "minhash") 3 else 0
+      val old = d.filter(col("doc_id") % 5 =!= missRes)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" stale revision"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val batch1 = old.collect().map(r => (r.getLong(0), "added", r.getString(1)))
+        .sortBy(_._1).toSeq
+      val newText = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch2 = CorpusDiff.diff(old, d, "doc_id", Seq("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+        .map { case (id, st) => (id, st, newText.getOrElse(id, null: String)) }
+        .toSeq
+      runMaintainer(s, Seq(batch1, batch2)) { ds =>
+        val df = ds.toDF("doc_id", "status", "text")
+        family match {
+          case "bm25" => Streaming.maintainBm25IndexCdc(
+            df, "doc_id", "status", "text", idx, ckpt)
+          case "lexical" => Streaming.maintainLexicalIndexCdc(
+            df, "doc_id", "status", "text", idx, ckpt)
+          case "minhash" => Streaming.maintainMinhashIndexCdc(
+            df, "doc_id", "status", "text", idx, ckpt)
+          case other => throw new IllegalArgumentException(
+            s"buildCdc: unknown family $other")
+        }
+      }
+    }
+  }
+
+  /** Serve a [[buildCdc]]-built chain — the query side of the
+    * `stream_cdc_*` gates and their `_serve` bench splits.
+    */
+  private def serveCdc(
+      family: String, s: SparkSession, dir: String, idx: String): DataFrame =
+    family match {
+      case "bm25" =>
+        Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
+      case "lexical" =>
+        Search.phraseSearchIndex(s, idx, Seq("vector", "stream"), k = 20)
+      case "minhash" =>
+        Dedup.dedupAgainstMinhashIndex(s,
+            t(s, dir, "documents").select("doc_id", "text")
+              .filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", idx, threshold = 0.8)
+          .select(col("id_left"), col("id_right"), col("intersection"),
+            col("size_left"), col("size_right"), q4(col("jaccard")).as("jaccard"))
+      case "ivf" =>
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val qs = e.filter(col("vec_id") < 20)
+        SimilaritySearch.recallSummary(
+          SimilaritySearch.searchIvf(s, idx, qs, "vec_id", "embedding",
+            k = 5, nProbe = 16),
+          SimilaritySearch.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5))
+      case other => throw new IllegalArgumentException(
+        s"serveCdc: unknown family $other")
+    }
+
   private def buildMaintained(
       family: String, s: SparkSession, dir: String,
       idx: String, ckpt: String): Unit = {
@@ -4825,8 +4958,20 @@ object SparkEntry {
               buildMaintained(fam, s, dir, idx, scratch(s"${fam}_maintsrv_ck", dir))
             serveMaintained(fam, s, dir, idx)
           })
+      }.toMap ++
+      cdcFamilies.map { fam =>
+        s"stream_cdc_${fam}_serve" ->
+          ((s: SparkSession, dir: String) => {
+            val idx = scratch(s"cdc_${fam}_srv", dir)
+            if (!graft.sources.IndexIO.exists(s, idx))
+              buildCdc(fam, s, dir, idx, scratch(s"cdc_${fam}_srv_ck", dir))
+            serveCdc(fam, s, dir, idx)
+          })
       }.toMap
   }
+
+  private[graft] val cdcFamilies: Seq[String] =
+    Seq("bm25", "lexical", "ivf", "minhash")
 
   def oracleSql: Map[String, String] = {
     // shared SQL fragments (DuckDB dialect)
@@ -6880,6 +7025,18 @@ object SparkEntry {
       // the incremental-index identity IS the claim (the
       // dedup_incremental_appended pattern)
       "bm25_search_appended" -> bm25SearchOracle,
+      // time-travel pin: serving the pre-append version must equal
+      // BM25 over the two-thirds snapshot ALONE (old df/N/avgdl) —
+      // the full oracle with the subset filter pushed into the scan
+      "bm25_search_time_travel" ->
+        bm25SearchOracle.replace("FROM documents)",
+          "FROM documents WHERE doc_id % 3 <> 2)"),
+      // the pinned IVF chain holds exactly the even half; exhaustive
+      // probes make its serve the exact subset top-k — recall 1.0 by
+      // construction (identity, not a measured constant)
+      "ann_topk_ivf_time_travel" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+          |       CAST(100 AS BIGINT) AS n_results, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
       // stream-maintained artifact (bootstrap + 2 marker-guarded
       // appends from a real streaming query) serves the same ranking
       "stream_maintained_bm25" -> bm25SearchOracle,
@@ -6914,6 +7071,29 @@ object SparkEntry {
       // the STREAMING change feed lands the same end state
       "stream_cdc_bm25" -> bm25SearchOracle,
       "stream_cdc_lexical" -> phraseSearchOracle,
+      // the maintained band index ends as a one-shot build on the live
+      // odd corpus, so the even-batch probe equals dedup_incremental's
+      // exact cross-join oracle verbatim
+      "stream_cdc_minhash" -> (shinglesBase +
+        """inter AS (
+          |  SELECT x.doc_id AS id_left, y.doc_id AS id_right, count(*) AS i
+          |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+          |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+          |  GROUP BY 1, 2)
+          |SELECT id_left, id_right, i AS intersection,
+          |       ca.n AS size_left, cb.n AS size_right,
+          |       floor((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 AS jaccard
+          |FROM inter
+          |JOIN cnt ca ON ca.doc_id = id_left
+          |JOIN cnt cb ON cb.doc_id = id_right
+          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin),
+      // the synced perceptual index ends as a one-shot build on the
+      // even media snapshot — the pattern-class oracle verbatim
+      "index_sync_phash" ->
+        """SELECT a.doc_id, b.doc_id AS index_id
+          |FROM documents a JOIN documents b
+          |  ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          | AND (a.doc_id % 9) // 3 = (b.doc_id % 9) // 3""".stripMargin,
       "stream_cdc_ivf" ->
         """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
           |       CAST(100 AS BIGINT) AS n_results, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,

@@ -955,9 +955,10 @@ object Multimodal {
   /** Publish takedown tombstones — deleted ids stop matching without a
     * rebuild (readers anti-join; re-appending later resurrects).
     */
-  def deleteFromAHashIndex(ids: DataFrame, idCol: String, path: String): Unit = {
+  def deleteFromAHashIndex(ids: DataFrame, idCol: String, path: String,
+      marker: Option[String] = None): Unit = {
     val spark = ids.sparkSession
-    graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { vdir =>
       ids.select(col(idCol)).distinct()
         .write.mode("overwrite").parquet(s"$vdir/tombstones")
     }
@@ -1119,9 +1120,9 @@ object Multimodal {
 
   /** Publish takedown tombstones for the subfingerprint index. */
   def deleteFromAudioFpIndex(ids: DataFrame, idCol: String,
-      path: String): Unit = {
+      path: String, marker: Option[String] = None): Unit = {
     val spark = ids.sparkSession
-    graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { vdir =>
       ids.select(col(idCol)).distinct()
         .write.mode("overwrite").parquet(s"$vdir/tombstones")
     }

@@ -524,10 +524,11 @@ object Dedup {
     * id resurrects it.
     */
   def deleteFromMinhashIndex(
-      spark: SparkSession, path: String, ids: DataFrame, idCol: String): Unit = {
+      spark: SparkSession, path: String, ids: DataFrame, idCol: String,
+      marker: Option[String] = None): Unit = {
     val vdir = graft.sources.IndexIO.resolve(spark, path)
     val meta = spark.read.parquet(s"$vdir/meta")
-    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
       ids.select(col(idCol).as("doc_id")).distinct()
         .coalesce(1).write.mode("overwrite").parquet(s"$seg/tombstones")
       meta.coalesce(1).write.mode("overwrite").parquet(s"$seg/meta")

@@ -143,6 +143,66 @@ object IndexSync {
     syncAnn(spark, oldSnapshot, newSnapshot, idCol, vecCol, path)(app =>
       SimilaritySearch.appendToPqIndex(app, idCol, vecCol, path))
 
+  /** Shared perceptual-hash sync: the binary column diffs by content
+    * hash exactly like text ([[CorpusDiff.diff]]'s `xxhash64` takes
+    * binary), removed/changed ids tombstone, added/changed rows decode
+    * ONCE into a fresh hash segment — a re-encoded image/audio blob is
+    * a "changed" doc and re-hashes, the rest of the corpus is never
+    * re-decoded.
+    */
+  private def syncPerceptual(
+      spark: SparkSession, oldSnapshot: DataFrame, newSnapshot: DataFrame,
+      idCol: String, binCol: String)(
+      delete: DataFrame => Unit)(append: DataFrame => Unit): Unit = {
+    val (del, app, nDel, nApp) =
+      changeSets(oldSnapshot, newSnapshot, idCol, Seq(binCol))
+    if (nDel > 0) delete(del)
+    if (nApp > 0) append(app)
+  }
+
+  /** Sync a [[graft.multimodal.Multimodal.buildAHashIndex]] artifact
+    * (image average-hash) to a new media snapshot. */
+  def syncAHashIndex(
+      spark: SparkSession, oldSnapshot: DataFrame, newSnapshot: DataFrame,
+      idCol: String, binCol: String, path: String): Unit = {
+    import graft.multimodal.Multimodal
+    syncPerceptual(spark, oldSnapshot, newSnapshot, idCol, binCol)(
+      del => Multimodal.deleteFromAHashIndex(del, idCol, path))(
+      app => Multimodal.appendToAHashIndex(app, idCol, binCol, path))
+  }
+
+  /** [[syncAHashIndex]] for the pHash (DCT) index — the tombstone
+    * layout is shared, only the hash function differs. */
+  def syncPHashIndex(
+      spark: SparkSession, oldSnapshot: DataFrame, newSnapshot: DataFrame,
+      idCol: String, binCol: String, path: String): Unit = {
+    import graft.multimodal.Multimodal
+    syncPerceptual(spark, oldSnapshot, newSnapshot, idCol, binCol)(
+      del => Multimodal.deleteFromAHashIndex(del, idCol, path))(
+      app => Multimodal.appendToPHashIndex(app, idCol, binCol, path))
+  }
+
+  /** [[syncAHashIndex]] for the audio envelope-hash index. */
+  def syncAudioHashIndex(
+      spark: SparkSession, oldSnapshot: DataFrame, newSnapshot: DataFrame,
+      idCol: String, binCol: String, path: String): Unit = {
+    import graft.multimodal.Multimodal
+    syncPerceptual(spark, oldSnapshot, newSnapshot, idCol, binCol)(
+      del => Multimodal.deleteFromAHashIndex(del, idCol, path))(
+      app => Multimodal.appendToAudioHashIndex(app, idCol, binCol, path))
+  }
+
+  /** [[syncAHashIndex]] for the shift-robust audio fingerprint index
+    * (its own delete — the fingerprint layout is positional). */
+  def syncAudioFpIndex(
+      spark: SparkSession, oldSnapshot: DataFrame, newSnapshot: DataFrame,
+      idCol: String, binCol: String, path: String): Unit = {
+    import graft.multimodal.Multimodal
+    syncPerceptual(spark, oldSnapshot, newSnapshot, idCol, binCol)(
+      del => Multimodal.deleteFromAudioFpIndex(del, idCol, path))(
+      app => Multimodal.appendToAudioFpIndex(app, idCol, binCol, path))
+  }
+
   /** Sync a persisted DSIR model ([[Dsir.buildDsirIndex]]): the one
     * family whose "delete" is a RETRACTION, not a tombstone — the
     * model must unsee the OLD rows' n-gram counts, so the delete leg

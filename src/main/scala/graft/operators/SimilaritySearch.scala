@@ -846,9 +846,10 @@ object SimilaritySearch {
     */
   def deleteFromSemDedupIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      ids: DataFrame, idCol: String): Unit = {
+      ids: DataFrame, idCol: String,
+      marker: Option[String] = None): Unit = {
     val vdir = graft.sources.IndexIO.resolve(spark, path)
-    graft.sources.IndexIO.publishDelta(spark, path) { seg =>
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
       // the model tables ride in EVERY segment (the deleteFromAnnIndex
       // rule), so later appends/compactions resolve them from the
       // latest version dir even when that version is this takedown

@@ -53,6 +53,74 @@ object IndexIO {
 
   private val Pointer = "_LATEST"
   private val SegmentsFile = "_SEGMENTS"
+  private val PinSep = "@v="
+
+  /** TIME-TRAVEL pin: the returned string is `path` fixed to one
+    * RETAINED version — every read-side entry point ([[resolve]],
+    * [[segments]], [[chainTable]], [[segmentMarkers]], [[exists]], and
+    * through them every `*FromIndex`/`*SearchIndex` serving call in
+    * the repo) accepts it in place of the plain path and reads THAT
+    * version's segment chain, ignoring `_LATEST`. This is how a
+    * training run records exactly which index it read (pin at launch
+    * via [[currentVersionId]], persist the pinned string with the run)
+    * and how an audit replays it later, regardless of appends,
+    * compactions, or re-syncs published since.
+    *
+    * The pin is read-only: [[publish]]/[[publishDelta]]/[[vacuum]]
+    * reject pinned paths loudly. A pin resolves only while its version
+    * survives retention ([[RetainVersions]] publishes, or longer under
+    * an explicit [[vacuum]] policy) — a pruned pin fails at resolve
+    * with a missing-version error, never silently serves newer data.
+    */
+  def pin(path: String, version: String): String = {
+    require(version.nonEmpty && version.forall(_.isLetterOrDigit),
+      s"IndexIO.pin: version must be alphanumeric, got '$version'")
+    require(!path.contains(PinSep), s"IndexIO.pin: path already pinned: $path")
+    s"$path$PinSep$version"
+  }
+
+  private def splitPin(path: String): (String, Option[String]) = {
+    val i = path.lastIndexOf(PinSep)
+    if (i < 0) (path, None)
+    else (path.substring(0, i), Some(path.substring(i + PinSep.length)))
+  }
+
+  private def requireUnpinned(path: String, op: String): Unit =
+    require(!path.contains(PinSep),
+      s"IndexIO.$op: a version-pinned path is read-only, got $path")
+
+  /** The bare version id `_LATEST` names right now — capture it before
+    * a run and serve from `pin(path, id)` to keep the run's index view
+    * frozen across concurrent publishes.
+    */
+  def currentVersionId(spark: SparkSession, path: String): String = {
+    requireUnpinned(path, "currentVersionId")
+    currentVersion(spark, path).getOrElse(throw new IllegalStateException(
+      s"no committed index at $path: $Pointer missing"))
+  }
+
+  /** COMPLETE (committed) version ids at `path`, newest publish first
+    * — the pinnable time-travel window. The id `_LATEST` names is
+    * first unless an mtime tie reorders rapid publishes; in-flight or
+    * crashed builds (no `_SEGMENTS`) are excluded.
+    */
+  def versions(spark: SparkSession, path: String): Seq[String] = {
+    requireUnpinned(path, "versions")
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
+      .flatMap { st =>
+        val seg = new Path(st.getPath, SegmentsFile)
+        if (fs.exists(seg))
+          Some((st.getPath.getName.stripPrefix("v-"),
+            fs.getFileStatus(seg).getModificationTime))
+        else None
+      }
+      .sortBy { case (n, m) => (-m, n) }
+      .map(_._1)
+  }
 
   /** Complete versions kept by publish-time pruning (newest-first by
     * publish order). 3 = the new version, the pre-flip version a
@@ -103,6 +171,7 @@ object IndexIO {
   private def publishInternal(
       spark: SparkSession, path: String, delta: Boolean,
       marker: Option[String])(build: String => Unit): String = {
+    requireUnpinned(path, "publish")
     marker.foreach { m =>
       require(m.nonEmpty && m.forall(c =>
           c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
@@ -215,6 +284,7 @@ object IndexIO {
     */
   def vacuum(spark: SparkSession, path: String, retainVersions: Int = RetainVersions,
       staleAfterMs: Long = 24L * 3600 * 1000): Unit = {
+    requireUnpinned(path, "vacuum")
     val base = new Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return
@@ -237,21 +307,27 @@ object IndexIO {
     */
   def exists(spark: SparkSession, path: String): Boolean =
     currentVersion(spark, path).exists { v =>
-      val vdir = versionDir(new Path(path), v)
+      val vdir = versionDir(new Path(splitPin(path)._1), v)
       vdir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(vdir)
     }
 
   /** The committed version directory under `path`, or a loud error if
     * no build ever published (or the published version was removed).
+    * A [[pin]]ned path resolves its pinned version instead of
+    * `_LATEST` — missing (pruned) pins fail here, loudly.
     */
   def resolve(spark: SparkSession, path: String): String = {
+    val (base, pinned) = splitPin(path)
     val version = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
       s"no committed index at $path: $Pointer missing — " +
         "either no build ran or it failed before publish"))
-    val vdir = versionDir(new Path(path), version)
+    val vdir = versionDir(new Path(base), version)
     val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(vdir)) throw new IllegalStateException(
-      s"index pointer at $path names missing version $version")
+      if (pinned.isDefined)
+        s"pinned version $version at $base is gone — pruned by a later " +
+          "publish/vacuum, or never published; pin within the retention window"
+      else s"index pointer at $base names missing version $version")
     vdir.toString
   }
 
@@ -330,7 +406,9 @@ object IndexIO {
   }
 
   private def currentVersion(spark: SparkSession, path: String): Option[String] = {
-    val ptr = new Path(new Path(path), Pointer)
+    val (base, pinned) = splitPin(path)
+    if (pinned.isDefined) return pinned
+    val ptr = new Path(new Path(base), Pointer)
     val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(ptr)) None
     else Some(readFile(fs, ptr).trim).filter(_.nonEmpty)

@@ -999,6 +999,51 @@ object Streaming {
     * subtracts nothing). The first non-empty batch bootstraps from its
     * added/changed rows.
     */
+  /** The ONE CDC-maintainer skeleton every `maintain*IndexCdc` rides:
+    * each micro-batch carries [[graft.operators.CorpusDiff.diff]]-shaped
+    * rows and applies tombstone-the-old THEN append-the-new
+    * (`removed`+`changed` ids die, `added`+`changed` rows land —
+    * log-ordered, so a changed doc's new version serves and its old one
+    * does not). Exactly-once: the marker rides the append segment, or
+    * the tombstone segment of a delete-only batch, so a replayed batch
+    * skips whole; a crash BETWEEN delete and append replays both, and
+    * every family's delete is idempotent (tombstones only shadow rows
+    * already in the chain; stats-correcting deletes shrink from
+    * still-live rows only). The first non-empty batch bootstraps from
+    * its added/changed rows.
+    */
+  private def maintainCdcChain(
+      stream: DataFrame,
+      idCol: String,
+      statusCol: String,
+      path: String,
+      checkpointDir: String,
+      compactEvery: Int,
+      vacuumEvery: Int,
+      vacuumRetain: Int)(
+      bootstrap: (DataFrame, String) => Unit)(
+      delete: (DataFrame, Option[String]) => Unit)(
+      append: (DataFrame, String) => Unit)(
+      compact: SparkSession => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    def adds(b: DataFrame) = b.filter(col(statusCol).isin("added", "changed"))
+    def dels(b: DataFrame) =
+      b.filter(col(statusCol).isin("removed", "changed")).select(idCol)
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
+      (b, m) => bootstrap(adds(b), m))(
+      (b, m) => {
+        val a = adds(b).localCheckpoint(true) // emptiness probe + append
+        val addEmpty = a.isEmpty
+        val d = dels(b)
+        if (!d.isEmpty)
+          // a delete-only batch carries the marker on its tombstone
+          // segment; otherwise the append records it
+          delete(d, if (addEmpty) Some(m) else None)
+        if (!addEmpty) append(a, m)
+      })(compact)
+  }
+
   def maintainBm25IndexCdc(
       stream: DataFrame,
       idCol: String,
@@ -1011,26 +1056,14 @@ object Streaming {
       vacuumEvery: Int = 0,
       vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Search
-    def adds(b: DataFrame) = b.filter(col(statusCol).isin("added", "changed"))
-    def dels(b: DataFrame) =
-      b.filter(col(statusCol).isin("removed", "changed")).select(idCol)
-    maintainChain(stream, path, checkpointDir, compactEvery,
-      vacuumEvery, vacuumRetain)(
-      (b, m) => Search.buildBm25Index(adds(b), idCol, textCol, path,
+    maintainCdcChain(stream, idCol, statusCol, path, checkpointDir,
+      compactEvery, vacuumEvery, vacuumRetain)(
+      (a, m) => Search.buildBm25Index(a, idCol, textCol, path,
         termBuckets, marker = Some(m)))(
-      (b, m) => {
-        val a = adds(b).localCheckpoint(true) // emptiness probe + append
-        val addEmpty = a.isEmpty
-        val d = dels(b)
-        if (!d.isEmpty)
-          // a delete-only batch carries the marker on its tombstone
-          // segment; otherwise the append records it
-          Search.deleteFromBm25Index(b.sparkSession, path, d, idCol,
-            marker = if (addEmpty) Some(m) else None)
-        if (!addEmpty)
-          Search.appendToBm25Index(a, idCol, textCol, path, termBuckets,
-            marker = Some(m))
-      })(
+      (d, m) => Search.deleteFromBm25Index(d.sparkSession, path, d,
+        idCol, marker = m))(
+      (a, m) => Search.appendToBm25Index(a, idCol, textCol, path,
+        termBuckets, marker = Some(m)))(
       s => Search.compactBm25Index(s, path, termBuckets))
   }
 
@@ -1054,24 +1087,14 @@ object Streaming {
       vacuumEvery: Int = 0,
       vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Search
-    def adds(b: DataFrame) = b.filter(col(statusCol).isin("added", "changed"))
-    def dels(b: DataFrame) =
-      b.filter(col(statusCol).isin("removed", "changed")).select(idCol)
-    maintainChain(stream, path, checkpointDir, compactEvery,
-      vacuumEvery, vacuumRetain)(
-      (b, m) => Search.buildLexicalIndex(adds(b), idCol, textCol, path,
+    maintainCdcChain(stream, idCol, statusCol, path, checkpointDir,
+      compactEvery, vacuumEvery, vacuumRetain)(
+      (a, m) => Search.buildLexicalIndex(a, idCol, textCol, path,
         termBuckets, marker = Some(m)))(
-      (b, m) => {
-        val a = adds(b).localCheckpoint(true)
-        val addEmpty = a.isEmpty
-        val d = dels(b)
-        if (!d.isEmpty)
-          Search.deleteFromBm25Index(b.sparkSession, path, d, idCol,
-            marker = if (addEmpty) Some(m) else None)
-        if (!addEmpty)
-          Search.appendToLexicalIndex(a, idCol, textCol, path, termBuckets,
-            marker = Some(m))
-      })(
+      (d, m) => Search.deleteFromBm25Index(d.sparkSession, path, d, idCol,
+        marker = m))(
+      (a, m) => Search.appendToLexicalIndex(a, idCol, textCol, path,
+        termBuckets, marker = Some(m)))(
       s => Search.compactBm25Index(s, path, termBuckets))
   }
 
@@ -1096,25 +1119,190 @@ object Streaming {
       vacuumEvery: Int = 0,
       vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.SimilaritySearch
-    def adds(b: DataFrame) = b.filter(col(statusCol).isin("added", "changed"))
-    def dels(b: DataFrame) =
-      b.filter(col(statusCol).isin("removed", "changed")).select(idCol)
-    maintainChain(stream, path, checkpointDir, compactEvery,
-      vacuumEvery, vacuumRetain)(
-      (b, m) => SimilaritySearch.buildIvfIndex(adds(b), idCol, vecCol, path,
+    maintainCdcChain(stream, idCol, statusCol, path, checkpointDir,
+      compactEvery, vacuumEvery, vacuumRetain)(
+      (a, m) => SimilaritySearch.buildIvfIndex(a, idCol, vecCol, path,
         nCentroids, iters, marker = Some(m)))(
-      (b, m) => {
-        val a = adds(b).localCheckpoint(true)
-        val addEmpty = a.isEmpty
-        val d = dels(b)
-        if (!d.isEmpty)
-          SimilaritySearch.deleteFromAnnIndex(b.sparkSession, path, d, idCol,
-            marker = if (addEmpty) Some(m) else None)
-        if (!addEmpty)
-          SimilaritySearch.appendToIvfIndex(b.sparkSession, path, a,
-            idCol, vecCol, marker = Some(m))
-      })(
+      (d, m) => SimilaritySearch.deleteFromAnnIndex(d.sparkSession, path, d,
+        idCol, marker = m))(
+      (a, m) => SimilaritySearch.appendToIvfIndex(a.sparkSession, path, a,
+        idCol, vecCol, marker = Some(m)))(
       s => SimilaritySearch.compactIvfIndex(s, path))
+  }
+
+  /** [[maintainIvfIndexCdc]] for the SQ8-quantized cells — frozen
+    * float centroids from the bootstrap batch, later changes land
+    * quantized ([[graft.operators.SimilaritySearch.appendToIvfSq8Index]]);
+    * the tombstone and compact are the cells-schema-agnostic shared
+    * forms.
+    */
+  def maintainIvfSq8IndexCdc(
+      stream: DataFrame,
+      idCol: String,
+      statusCol: String,
+      vecCol: String,
+      path: String,
+      checkpointDir: String,
+      nCentroids: Int = 16,
+      iters: Int = 5,
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.SimilaritySearch
+    maintainCdcChain(stream, idCol, statusCol, path, checkpointDir,
+      compactEvery, vacuumEvery, vacuumRetain)(
+      (a, m) => SimilaritySearch.buildIvfSq8Index(a, idCol, vecCol, path,
+        nCentroids, iters, marker = Some(m)))(
+      (d, m) => SimilaritySearch.deleteFromAnnIndex(d.sparkSession, path, d,
+        idCol, marker = m))(
+      (a, m) => SimilaritySearch.appendToIvfSq8Index(a.sparkSession, path, a,
+        idCol, vecCol, marker = Some(m)))(
+      s => SimilaritySearch.compactIvfIndex(s, path))
+  }
+
+  /** [[maintainIvfIndexCdc]] for the flat PQ code table — frozen
+    * codebooks from the bootstrap batch encode every later change. */
+  def maintainPqIndexCdc(
+      stream: DataFrame,
+      idCol: String,
+      statusCol: String,
+      vecCol: String,
+      path: String,
+      checkpointDir: String,
+      m: Int = 32,
+      kCodes: Int = 32,
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.SimilaritySearch
+    maintainCdcChain(stream, idCol, statusCol, path, checkpointDir,
+      compactEvery, vacuumEvery, vacuumRetain)(
+      (a, mk) => SimilaritySearch.buildPqIndex(a, idCol, vecCol, path,
+        m = m, kCodes = kCodes, marker = Some(mk)))(
+      (d, mk) => SimilaritySearch.deleteFromAnnIndex(d.sparkSession, path, d,
+        idCol, marker = mk))(
+      (a, mk) => SimilaritySearch.appendToPqIndex(a, idCol, vecCol, path,
+        marker = Some(mk)))(
+      s => SimilaritySearch.compactPqIndex(s, path))
+  }
+
+  /** [[maintainIvfIndexCdc]] for the IVF×PQ artifact — frozen
+    * centroids AND codebooks encode the changed vectors. */
+  def maintainIvfPqIndexCdc(
+      stream: DataFrame,
+      idCol: String,
+      statusCol: String,
+      vecCol: String,
+      path: String,
+      checkpointDir: String,
+      nCentroids: Int = 16,
+      m: Int = 32,
+      kCodes: Int = 32,
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.SimilaritySearch
+    maintainCdcChain(stream, idCol, statusCol, path, checkpointDir,
+      compactEvery, vacuumEvery, vacuumRetain)(
+      (a, mk) => SimilaritySearch.buildIvfPqIndex(a, idCol, vecCol, path,
+        nCentroids = nCentroids, m = m, kCodes = kCodes, marker = Some(mk)))(
+      (d, mk) => SimilaritySearch.deleteFromAnnIndex(d.sparkSession, path, d,
+        idCol, marker = mk))(
+      (a, mk) => SimilaritySearch.appendToIvfPqIndex(a, idCol, vecCol, path,
+        marker = Some(mk)))(
+      s => SimilaritySearch.compactIvfPqIndex(s, path))
+  }
+
+  /** The MinHash near-dup family's CDC maintainer: removed/changed
+    * docs tombstone out of the band postings, added/changed docs
+    * re-sketch with the index's own stored banding meta — a re-crawled
+    * page's new content replaces its old sketch, so near-dup probes
+    * never match retired text.
+    */
+  def maintainMinhashIndexCdc(
+      stream: DataFrame,
+      idCol: String,
+      statusCol: String,
+      textCol: String,
+      path: String,
+      checkpointDir: String,
+      n: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      bandBuckets: Int = 64,
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    maintainCdcChain(stream, idCol, statusCol, path, checkpointDir,
+      compactEvery, vacuumEvery, vacuumRetain)(
+      (a, m) => Dedup.buildMinhashIndex(a, idCol, textCol, path, n, numHashes,
+        bands, bandBuckets, marker = Some(m)))(
+      (d, m) => Dedup.deleteFromMinhashIndex(d.sparkSession, path, d, idCol,
+        marker = m))(
+      (a, m) => Dedup.appendToMinhashIndex(a, idCol, textCol, path,
+        bandBuckets, marker = Some(m)))(
+      s => Dedup.compactMinhashIndex(s, path, bandBuckets))
+  }
+
+  /** The SemDeDup family's CDC maintainer: removed/changed member
+    * vectors tombstone (keeper re-election happens at read — removing
+    * a cluster's keeper promotes the next survivor without a rewrite),
+    * added/changed embeddings resolve against the FROZEN blocking
+    * model per batch ([[graft.operators.SimilaritySearch
+    * .applySemDedupBatch]]) — the re-embedding feed: a doc whose
+    * vector changed is re-deduplicated under its new position.
+    */
+  def maintainSemDedupIndexCdc(
+      stream: DataFrame,
+      idCol: String,
+      statusCol: String,
+      vecCol: String,
+      path: String,
+      checkpointDir: String,
+      k: Int,
+      threshold: Double,
+      iters: Int = 5,
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.SimilaritySearch
+    maintainCdcChain(stream, idCol, statusCol, path, checkpointDir,
+      compactEvery, vacuumEvery, vacuumRetain)(
+      (a, m) => SimilaritySearch.buildSemDedupIndex(a, idCol, vecCol, path,
+        k, threshold, iters, marker = Some(m)))(
+      (d, m) => SimilaritySearch.deleteFromSemDedupIndex(d.sparkSession, path,
+        d, idCol, marker = m))(
+      (a, m) => SimilaritySearch.applySemDedupBatch(a.sparkSession, path, a,
+        idCol, vecCol, marker = Some(m)))(
+      s => SimilaritySearch.compactSemDedupIndex(s, path))
+  }
+
+  /** The perceptual-hash family's CDC maintainer (image aHash — the
+    * pHash/audio forms differ only in the append function, exactly as
+    * in [[graft.operators.IndexSync]]): a re-encoded blob is a
+    * `changed` row, so its old 8-byte hash tombstones and the new one
+    * lands from ONE decode of the changed media only.
+    */
+  def maintainAHashIndexCdc(
+      stream: DataFrame,
+      idCol: String,
+      statusCol: String,
+      binCol: String,
+      path: String,
+      checkpointDir: String,
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.multimodal.Multimodal
+    maintainCdcChain(stream, idCol, statusCol, path, checkpointDir,
+      compactEvery, vacuumEvery, vacuumRetain)(
+      (a, m) => Multimodal.buildAHashIndex(a, idCol, binCol, path,
+        marker = Some(m)))(
+      (d, m) => Multimodal.deleteFromAHashIndex(d, idCol, path, marker = m))(
+      (a, m) => Multimodal.appendToAHashIndex(a, idCol, binCol, path,
+        marker = Some(m)))(
+      s => Multimodal.compactAHashIndex(s, path, idCol))
   }
 
   /** Maintain a persisted DSIR model ([[graft.operators.Dsir]]) FROM A

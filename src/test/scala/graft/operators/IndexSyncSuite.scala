@@ -117,4 +117,60 @@ class IndexSyncSuite extends SparkSpec {
     assert(graft.sources.IndexIO.segments(spark, idx).toSeq == before,
       "identical snapshots must not grow the chain")
   }
+
+  test("syncAHashIndex/syncPHashIndex: re-encoded media re-hash, retired hashes die") {
+    import graft.multimodal.Multimodal
+    // orthogonal edge patterns: strong low-frequency content, so BOTH
+    // hash families separate them far beyond radius 4, while identical
+    // payloads hash identically
+    def png(vertical: Boolean, w: Int = 32): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, w, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until w) {
+        val v = if ((if (vertical) x else y) < w / 2) 220 else 35
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val dark = png(vertical = true); val light = png(vertical = false)
+    // old snapshot: image 1 is a stale render (dark, later re-encoded
+    // light), image 2 is retired, image 3 unchanged
+    val oldSnap = Seq((1L, dark), (2L, dark), (3L, light)).toDF("id", "img")
+    val newSnap = Seq((1L, light), (3L, light)).toDF("id", "img")
+    val probes0 = Seq((10L, dark), (11L, light)).toDF("id", "img")
+    // the aHash leg separates the two patterns by Hamming 32 (4 grid
+    // columns vs 4 grid rows), so it additionally falsifies a stale or
+    // missing hash; pHash's DCT signs can bring orthogonal edges
+    // inside radius 4, so that leg asserts the identity claim only
+    for ((build, sync, probe, strict) <- Seq[
+        ((DataFrame, String, String, String) => Unit,
+         (org.apache.spark.sql.SparkSession, DataFrame, DataFrame,
+          String, String, String) => Unit,
+         String => DataFrame, Boolean)](
+        ((d, i, b, p) => Multimodal.buildAHashIndex(d, i, b, p),
+         (s, o, n, i, b, p) => IndexSync.syncAHashIndex(s, o, n, i, b, p),
+         p => Multimodal.dedupAgainstAHashIndex(spark, probes0, "id", "img",
+           p, maxHamming = 4), true),
+        ((d, i, b, p) => Multimodal.buildPHashIndex(d, i, b, p),
+         (s, o, n, i, b, p) => IndexSync.syncPHashIndex(s, o, n, i, b, p),
+         p => Multimodal.dedupAgainstPHashIndex(spark, probes0, "id", "img",
+           p, maxHamming = 4), false))) {
+      val idx = tmp("graft_sync_perc_")
+      build(oldSnap, "id", "img", idx)
+      sync(spark, oldSnap, newSnap, "id", "img", idx)
+      val fresh = tmp("graft_sync_percf_")
+      build(newSnap, "id", "img", fresh)
+      def serve(p: String) = probe(p)
+      assertSameRows(serve(idx), serve(fresh))
+      if (strict) {
+        // the stale dark hash is gone: the dark probe matches nothing
+        assert(serve(idx).filter(col("id") === 10L).isEmpty)
+        // and the re-encoded image serves under its NEW hash
+        assert(serve(idx).filter(col("id") === 11L)
+          .select("index_id").as[Long].collect().toSet == Set(1L, 3L))
+      }
+    }
+  }
 }

@@ -196,4 +196,49 @@ class IndexIOSuite extends SparkSpec {
     assert(live == versions.last)
     assert(spark.read.parquet(s"$live/a").collect().map(_.getInt(0)).toSeq == Seq(3))
   }
+
+  test("pin: a pinned path reads its version's chain across later publishes") {
+    val base = newBase()
+    IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1)))
+    IndexIO.publishDelta(spark, base)(vdir => writeTable(vdir, "a", Seq(2)))
+    val v = IndexIO.currentVersionId(spark, base)
+    val pinned = IndexIO.pin(base, v)
+    // a full republish (compaction shape) flips _LATEST away
+    IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(9)))
+    assert(IndexIO.currentVersionId(spark, base) != v)
+    // the pin still reads the OLD two-segment chain, _LATEST the new one
+    val pinnedRows = IndexIO.chainTable(spark, pinned, "a").get
+      .drop("__seg").collect().map(_.getInt(0)).toSet
+    assert(pinnedRows == Set(1, 2))
+    val latestRows = IndexIO.chainTable(spark, base, "a").get
+      .drop("__seg").collect().map(_.getInt(0)).toSet
+    assert(latestRows == Set(9))
+    // versions() lists both, newest first among distinct mtimes
+    val vs = IndexIO.versions(spark, base)
+    assert(vs.contains(v) && vs.contains(IndexIO.currentVersionId(spark, base)))
+    assert(IndexIO.exists(spark, pinned))
+  }
+
+  test("pin: read-only — publish/vacuum reject, pruned pins fail loudly at resolve") {
+    val base = newBase()
+    IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1)))
+    val v1 = IndexIO.currentVersionId(spark, base)
+    val pinned = IndexIO.pin(base, v1)
+    intercept[IllegalArgumentException] {
+      IndexIO.publish(spark, pinned)(vdir => writeTable(vdir, "a", Seq(2)))
+    }
+    intercept[IllegalArgumentException] { IndexIO.publishDelta(spark, pinned)(_ => ()) }
+    intercept[IllegalArgumentException] { IndexIO.vacuum(spark, pinned) }
+    intercept[IllegalArgumentException] { IndexIO.pin(pinned, v1) }
+    intercept[IllegalArgumentException] { IndexIO.pin(base, "..") }
+    // push v1 out of the retention window: RetainVersions more publishes
+    (1 to IndexIO.RetainVersions + 1).foreach { i =>
+      IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(i)))
+    }
+    val err = intercept[IllegalStateException] { IndexIO.resolve(spark, pinned) }
+    assert(err.getMessage.contains("pruned") || err.getMessage.contains("gone"))
+    // a never-pinned stale id fails the same way; the live path still works
+    assert(IndexIO.exists(spark, base))
+    IndexIO.resolve(spark, base)
+  }
 }

@@ -1925,4 +1925,189 @@ class StreamingSuite extends SparkSpec {
         .collect().toSet == viaGreedy)
     } finally q.stop()
   }
+
+  test("maintainMinhashIndexCdc: changed docs re-sketch, removed leave the postings") {
+    import graft.operators.Dedup
+    val idx = java.nio.file.Files.createTempDirectory("graft_cdc_mh_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_mhck_").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streaming.maintainMinhashIndexCdc(
+      input.toDF().toDF("doc_id", "status", "text"),
+      "doc_id", "status", "text", idx, ckpt)
+    try {
+      input.addData(
+        (1L, "added", "alpha beta gamma delta epsilon zeta"),
+        (2L, "added", "one two three four five six seven"),
+        (3L, "added", "stale old revision words that will change"))
+      q.processAllAvailable()
+      // doc 3 re-crawled as a near-dup of doc 1; doc 2 taken down
+      input.addData(
+        (3L, "changed", "alpha beta gamma delta epsilon eta"),
+        (2L, "removed", null.asInstanceOf[String]))
+      q.processAllAvailable()
+    } finally q.stop()
+    val markers = graft.sources.IndexIO.segmentMarkers(spark, idx)
+    assert(markers.size == 2, s"unexpected markers $markers")
+    // probes equal a fresh build on the live snapshot: doc 3's NEW
+    // sketch matches the near-dup probe, its old text does not, and
+    // the removed doc 2 never matches
+    val live = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
+    val fresh = java.nio.file.Files.createTempDirectory("graft_cdc_mhf_").toString
+    Dedup.buildMinhashIndex(live, "doc_id", "text", fresh)
+    val probes = Seq(
+      (101L, "alpha beta gamma delta epsilon eta"),
+      (102L, "one two three four five six seven"),
+      (103L, "stale old revision words that will change")).toDF("doc_id", "text")
+    assertSameRows(
+      Dedup.dedupAgainstMinhashIndex(spark, probes, "doc_id", "text", idx,
+        threshold = 0.5),
+      Dedup.dedupAgainstMinhashIndex(spark, probes, "doc_id", "text", fresh,
+        threshold = 0.5))
+    val hits = Dedup.dedupAgainstMinhashIndex(spark, probes, "doc_id", "text",
+      idx, threshold = 0.5).select("id_left", "id_right")
+      .as[(Long, Long)].collect().toSet
+    assert(hits.contains((101L, 3L)) && hits.contains((101L, 1L)))
+    assert(!hits.exists(_._2 == 2L), s"removed doc still matching: $hits")
+    assert(!hits.exists(_._1 == 103L), s"stale sketch still live: $hits")
+  }
+
+  test("maintainSemDedupIndexCdc: re-embedded members re-resolve, takedowns drop") {
+    import graft.operators.SimilaritySearch
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(4)(d => (math.sin(i * 2.3 + d * 0.9) + 0.04 * i).toFloat)
+    val idx = java.nio.file.Files.createTempDirectory("graft_cdc_sd_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_sdck_").toString
+    implicit val sqlCtx = spark.sqlContext
+    val boot = (1 to 10).map(i => (i.toLong, "added", vec(i)))
+    val feed = Seq(
+      (3L, "changed", vec(8).map(x => (x * 1.0001f))), // re-embedded near 8
+      (5L, "removed", Array.empty[Float]),
+      (11L, "added", vec(1).map(x => (x * 1.0001f)))) // near-dup of 1
+    val input = MemoryStream[(Long, String, Array[Float])]
+    val q = Streaming.maintainSemDedupIndexCdc(
+      input.toDF().toDF("id", "status", "embedding"),
+      "id", "status", "embedding", idx, ckpt, k = 2, threshold = 0.995)
+    try {
+      input.addData(boot: _*); q.processAllAvailable()
+      input.addData(feed: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch sibling: the SAME sequence through the batch lifecycle —
+    // deterministic bootstrap trainer => identical frozen model =>
+    // identical resolution
+    val bidx = java.nio.file.Files.createTempDirectory("graft_cdc_sdb_").toString
+    SimilaritySearch.buildSemDedupIndex(
+      boot.map(t => (t._1, t._3)).toDF("id", "embedding"),
+      "id", "embedding", bidx, k = 2, threshold = 0.995)
+    SimilaritySearch.deleteFromSemDedupIndex(spark, bidx,
+      Seq(3L, 5L).toDF("id"), "id")
+    SimilaritySearch.applySemDedupBatch(spark, bidx,
+      feed.filter(t => t._2 != "removed").map(t => (t._1, t._3))
+        .toDF("id", "embedding"), "id", "embedding")
+    assertSameRows(
+      SimilaritySearch.semDedupIndexStatus(spark, idx),
+      SimilaritySearch.semDedupIndexStatus(spark, bidx))
+  }
+
+  test("maintainAHashIndexCdc: a re-encoded image tombstones its old hash") {
+    import graft.multimodal.Multimodal
+    def png(shade: Int, w: Int = 8): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, w, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until w) {
+        val v = if ((x + y) % 2 == 0) shade else 255 - shade
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val dark = png(10); val mid = png(100); val light = png(240)
+    val idx = java.nio.file.Files.createTempDirectory("graft_cdc_ah_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ahck_").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val q = Streaming.maintainAHashIndexCdc(
+      input.toDF().toDF("id", "status", "img"),
+      "id", "status", "img", idx, ckpt)
+    try {
+      input.addData((1L, "added", dark), (2L, "added", mid)); q.processAllAvailable()
+      // image 1 re-encoded to a different render; image 2 taken down
+      input.addData((1L, "changed", light), (2L, "removed", Array.empty[Byte]))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fresh = java.nio.file.Files.createTempDirectory("graft_cdc_ahf_").toString
+    Multimodal.buildAHashIndex(Seq((1L, light)).toDF("id", "img"), "id", "img", fresh)
+    val probes = Seq((10L, dark), (11L, mid), (12L, light)).toDF("id", "img")
+    assertSameRows(
+      Multimodal.dedupAgainstAHashIndex(spark, probes, "id", "img", idx,
+        maxHamming = 4),
+      Multimodal.dedupAgainstAHashIndex(spark, probes, "id", "img", fresh,
+        maxHamming = 4))
+  }
+
+  test("maintainPqIndexCdc + maintainIvfSq8IndexCdc: change feeds land the snapshot") {
+    import graft.operators.SimilaritySearch
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(4)(d => (math.cos(i * 1.3 + d * 1.1) + 0.03 * i).toFloat)
+    val boot = (1 to 8).map(i => (i.toLong, "added", vec(i)))
+    val feed = Seq(
+      (3L, "changed", vec(3).map(-_)),
+      (6L, "removed", Array.empty[Float]))
+    val liveRows = ((1 to 8).toSet - 6).toSeq.sorted
+      .map(i => (i.toLong, if (i == 3) vec(3).map(-_) else vec(i)))
+    val queries = Seq((1L, vec(1)), (3L, vec(3).map(-_))).toDF("vec_id", "embedding")
+    implicit val sqlCtx = spark.sqlContext
+
+    // PQ: frozen bootstrap codebooks encode the changed vector; the
+    // batch sibling (build on boot adds, delete, append) must serve
+    // identically — same codebooks, same codes, same ADC ranking
+    val pqIdx = java.nio.file.Files.createTempDirectory("graft_cdc_pq_").toString
+    val pqCk = java.nio.file.Files.createTempDirectory("graft_cdc_pqck_").toString
+    val in1 = MemoryStream[(Long, String, Array[Float])]
+    val q1 = Streaming.maintainPqIndexCdc(
+      in1.toDF().toDF("vec_id", "status", "embedding"),
+      "vec_id", "status", "embedding", pqIdx, pqCk, m = 2, kCodes = 2)
+    try {
+      in1.addData(boot: _*); q1.processAllAvailable()
+      in1.addData(feed: _*); q1.processAllAvailable()
+    } finally q1.stop()
+    val pqB = java.nio.file.Files.createTempDirectory("graft_cdc_pqb_").toString
+    SimilaritySearch.buildPqIndex(boot.map(t => (t._1, t._3))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", pqB, m = 2, kCodes = 2)
+    SimilaritySearch.deleteFromAnnIndex(spark, pqB,
+      Seq(3L, 6L).toDF("vec_id"), "vec_id")
+    SimilaritySearch.appendToPqIndex(Seq((3L, vec(3).map(-_)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", pqB)
+    assertSameRows(
+      SimilaritySearch.searchPqIndex(spark, pqIdx, queries, "vec_id", "embedding", k = 3),
+      SimilaritySearch.searchPqIndex(spark, pqB, queries, "vec_id", "embedding", k = 3))
+
+    // IVF-SQ8: exhaustive probes == exact brute force on the live
+    // snapshot (per-vector quantization is centroid-independent)
+    val sqIdx = java.nio.file.Files.createTempDirectory("graft_cdc_sq_").toString
+    val sqCk = java.nio.file.Files.createTempDirectory("graft_cdc_sqck_").toString
+    val in2 = MemoryStream[(Long, String, Array[Float])]
+    val q2 = Streaming.maintainIvfSq8IndexCdc(
+      in2.toDF().toDF("vec_id", "status", "embedding"),
+      "vec_id", "status", "embedding", sqIdx, sqCk, nCentroids = 2)
+    try {
+      in2.addData(boot: _*); q2.processAllAvailable()
+      in2.addData(feed: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val sqB = java.nio.file.Files.createTempDirectory("graft_cdc_sqb_").toString
+    SimilaritySearch.buildIvfSq8Index(boot.map(t => (t._1, t._3))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", sqB, 2, 5)
+    SimilaritySearch.deleteFromAnnIndex(spark, sqB,
+      Seq(3L, 6L).toDF("vec_id"), "vec_id")
+    SimilaritySearch.appendToIvfSq8Index(spark, sqB,
+      Seq((3L, vec(3).map(-_))).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assertSameRows(
+      SimilaritySearch.searchIvfSq8(spark, sqIdx, queries, "vec_id", "embedding",
+        k = 4, nProbe = 2),
+      SimilaritySearch.searchIvfSq8(spark, sqB, queries, "vec_id", "embedding",
+        k = 4, nProbe = 2))
+  }
 }
