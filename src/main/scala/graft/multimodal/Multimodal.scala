@@ -1395,9 +1395,9 @@ object Multimodal {
 
   /** Publish takedown tombstones for whole videos. */
   def deleteFromSceneIndex(ids: DataFrame, idCol: String,
-      path: String): Unit = {
+      path: String, marker: Option[String] = None): Unit = {
     val spark = ids.sparkSession
-    graft.sources.IndexIO.publishDelta(spark, path) { vdir =>
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { vdir =>
       ids.select(col(idCol)).distinct()
         .write.mode("overwrite").parquet(s"$vdir/tombstones")
     }

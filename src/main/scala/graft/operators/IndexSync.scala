@@ -203,6 +203,32 @@ object IndexSync {
       app => Multimodal.appendToAudioFpIndex(app, idCol, binCol, path))
   }
 
+  /** Sync a [[graft.multimodal.Multimodal.buildSceneIndex]] artifact —
+    * the one perceptual family keyed by a FRAMES table (several rows
+    * per video), so the content fingerprint is per-video: the XOR of
+    * the frames' `xxhash64(frameIdx, frameBin)` — an unordered set
+    * hash (frames are unique per (idx, bin), so nothing cancels) that
+    * any added, dropped, re-cut, or re-encoded frame moves, and that
+    * never overflows under ANSI arithmetic the way a SUM of 64-bit
+    * hashes does. Changed/removed videos tombstone whole; added/
+    * changed videos' frames re-detect scenes in one pass over ONLY
+    * those videos.
+    */
+  def syncSceneIndex(
+      spark: SparkSession, oldFrames: DataFrame, newFrames: DataFrame,
+      idCol: String, frameIdxCol: String, frameBinCol: String,
+      path: String, sceneMaxHamming: Int = 16): Unit = {
+    import graft.multimodal.Multimodal
+    def fp(df: DataFrame) = df.groupBy(col(idCol))
+      .agg(bit_xor(xxhash64(col(frameIdxCol), col(frameBinCol))).as("__graft_fp"))
+    val (del, appIds, nDel, nApp) =
+      changeSets(fp(oldFrames), fp(newFrames), idCol, Seq("__graft_fp"))
+    if (nDel > 0) Multimodal.deleteFromSceneIndex(del, idCol, path)
+    if (nApp > 0) Multimodal.appendToSceneIndex(
+      newFrames.join(appIds.select(idCol), Seq(idCol), "left_semi"),
+      idCol, frameIdxCol, frameBinCol, path, sceneMaxHamming)
+  }
+
   /** Sync a persisted DSIR model ([[Dsir.buildDsirIndex]]): the one
     * family whose "delete" is a RETRACTION, not a tombstone — the
     * model must unsee the OLD rows' n-gram counts, so the delete leg

@@ -1102,4 +1102,41 @@ class MultimodalSuite extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pHits == Set((9L, 0L), (9L, 2L)), s"got $pHits")
   }
+
+  test("syncSceneIndex: re-cut videos re-detect scenes, retired videos tombstone") {
+    import graft.operators.IndexSync
+    def pat(v: Long, fi: Int): Int = {
+      val c = (v % 3).toInt
+      if (fi <= 2 + c) c else (c + 1) % 3
+    }
+    // new snapshot: the even videos with their true frame streams
+    val newFrames = (for { v <- Seq(0L, 2L, 4L); fi <- 0 until 9 }
+      yield (v, fi, sceneFrame(pat(v, fi)))).toDF("id", "frame_idx", "payload")
+    // old snapshot: video 2 is a STALE cut (every frame one pattern —
+    // different scene structure entirely), video 4 is missing, video 6
+    // is retired, video 0 unchanged
+    val oldFrames = ((for { fi <- 0 until 9 } yield (0L, fi, sceneFrame(pat(0L, fi)))) ++
+      (for { fi <- 0 until 9 } yield (2L, fi, sceneFrame(1))) ++
+      (for { fi <- 0 until 9 } yield (6L, fi, sceneFrame(pat(0L, fi)))))
+      .toDF("id", "frame_idx", "payload")
+    val idx = java.nio.file.Files.createTempDirectory("graft_sync_scene_").toString
+    Multimodal.buildSceneIndex(oldFrames, "id", "frame_idx", "payload", idx)
+    IndexSync.syncSceneIndex(spark, oldFrames, newFrames,
+      "id", "frame_idx", "payload", idx)
+    val fresh = java.nio.file.Files.createTempDirectory("graft_sync_scenef_").toString
+    Multimodal.buildSceneIndex(newFrames, "id", "frame_idx", "payload", fresh)
+    val probes = (for { v <- Seq(1L, 3L, 5L); fi <- 0 until 9 }
+      yield (v, fi, sceneFrame(pat(v, fi)))).toDF("id", "frame_idx", "payload")
+    def serve(p: String) = Multimodal.dedupAgainstSceneIndex(
+      spark, probes, "id", "frame_idx", "payload", p)
+    assertSameRows(serve(idx), serve(fresh))
+    // the retired video is gone and video 2 serves its TRUE scenes
+    val got = serve(idx).select("index_id").as[Long].collect().toSet
+    assert(!got.contains(6L) && got.contains(2L), s"got $got")
+    // a no-change sync publishes nothing
+    val before = graft.sources.IndexIO.segments(spark, idx).toSeq
+    IndexSync.syncSceneIndex(spark, newFrames, newFrames,
+      "id", "frame_idx", "payload", idx)
+    assert(graft.sources.IndexIO.segments(spark, idx).toSeq == before)
+  }
 }
