@@ -23,7 +23,7 @@ object Bench {
     "asof_interpolate_numeric", "stream_asof_events",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_cross_corpus_lsh", "dedup_mask_windows", "pack_sequences",
-    "pack_sequences_bfd",
+    "pack_sequences_bfd", "pack_sequences_unigram",
     "tokenize_bpe_ids", "tokenize_unigram",
     "dedup_embedding", "ann_topk", "cluster_embeddings", "semdedup_embeddings",
     "semdedup_incremental", "semdedup_deleted", "stream_maintained_semdedup",

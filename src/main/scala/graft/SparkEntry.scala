@@ -1500,6 +1500,24 @@ object SparkEntry {
         hex(UnigramTokenizer.unigramDecode(
           UnigramTokenizer.unigramTokenIds(col("text"), vocab), vocab)).as("detok_hex"))
     }),
+    "pack_sequences_unigram" -> ((s, dir) => {
+      // pack_sequences_bpe's contract re-billed in UNIGRAM subword
+      // tokens (the second tokenizer family must drive every token
+      // contract the first does): same chunk-scoped greedy packer,
+      // token column = the Viterbi kernel's piece count per doc.
+      val d = t(s, dir, "documents")
+      val idx = scratch("unigram_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        UnigramTokenizer.buildUnigramIndex(d, "text", idx,
+          trainWords = UniGateWords, maxPieceLen = UniGateP,
+          seedPieces = UniGateK, emIters = UniGateE)
+      val vocab = UnigramTokenizer.loadUnigramVocab(s, idx)
+      val billed = d.select(col("doc_id"),
+        UnigramTokenizer.unigramTokenCount(col("text"), vocab)
+          .cast("long").as("n_tokens"))
+      Packing.packGreedy(billed, "doc_id", "n_tokens", maxLen = 512,
+        chunk = expr("doc_id div 25"))
+    }),
     "chunk_documents_unigram" -> ((s, dir) => {
       // context-window chunking at UNIGRAM-subword granularity —
       // chunk_documents_bpe's shape with the Viterbi token stream; the
@@ -5601,6 +5619,39 @@ object SparkEntry {
           |       CAST(count(*) AS INT) AS n_tokens,
           |       string_agg(piece, '' ORDER BY tp) AS chunk_hex
           |FROM sq GROUP BY 1, 2""".stripMargin),
+      // pack_sequences_unigram: the pack_sequences recursion with `tc`
+      // swapped to the unigram stages' per-word piece counts (ubtT's
+      // backtrace rows per distinct word — the prefix is already
+      // WITH RECURSIVE, so the pack rec CTE rides under it)
+      "pack_sequences_unigram" -> (unigramOraclePrefix(
+        UniGateWords, UniGateP, UniGateK, UniGateE, tok = true) +
+        """,
+          |uwn AS (
+          |  SELECT wh, CAST(count(*) AS BIGINT) AS n
+          |  FROM ubtT WHERE piece IS NOT NULL GROUP BY 1),
+          |tokqp AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |  FROM documents),
+          |wtokp AS (
+          |  SELECT doc_id, uwn.n
+          |  FROM tokqp JOIN uwn ON uwn.wh = hex(tokqp.w)
+          |  WHERE tokqp.w <> ''),
+          |tcp AS (
+          |  SELECT d.doc_id, CAST(coalesce(sum(n), 0) AS BIGINT) AS toks
+          |  FROM documents d LEFT JOIN wtokp ON wtokp.doc_id = d.doc_id
+          |  GROUP BY 1),
+          |pdp AS (SELECT doc_id // 25 AS chunk, doc_id AS id, toks,
+          |               row_number() OVER (PARTITION BY doc_id // 25 ORDER BY doc_id) AS rn
+          |        FROM tcp),
+          |recp AS (
+          |  SELECT chunk, id, rn, CAST(0 AS BIGINT) AS bin, toks AS fill
+          |  FROM pdp WHERE rn = 1
+          |  UNION ALL
+          |  SELECT pdp.chunk, pdp.id, pdp.rn,
+          |         CASE WHEN r.fill + pdp.toks > 512 THEN r.bin + 1 ELSE r.bin END,
+          |         CASE WHEN r.fill + pdp.toks > 512 THEN pdp.toks ELSE r.fill + pdp.toks END
+          |  FROM recp r JOIN pdp ON pdp.chunk = r.chunk AND pdp.rn = r.rn + 1)
+          |SELECT id AS doc_id, chunk, bin, fill AS bin_fill FROM recp""".stripMargin),
       "tokenize_unigram" -> (unigramOraclePrefix(
         UniGateWords, UniGateP, UniGateK, UniGateE, tok = true) +
         """,
