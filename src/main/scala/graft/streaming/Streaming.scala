@@ -1031,7 +1031,18 @@ object Streaming {
       b.filter(col(statusCol).isin("removed", "changed")).select(idCol)
     maintainChain(stream, path, checkpointDir, compactEvery,
       vacuumEvery, vacuumRetain)(
-      (b, m) => bootstrap(adds(b), m))(
+      (b, m) => {
+        // deletes before the index exists refer to rows never indexed —
+        // there is nothing to shadow, so they drop (log-ordered
+        // tombstones of nothing). Guarding on the adds also keeps a
+        // delete-only FIRST batch from bootstrapping a trained model on
+        // zero rows (k-means would throw and kill the stream); the
+        // batch publishes nothing, records no marker, and a replay is
+        // a no-op for the same reason — the next batch with adds
+        // bootstraps.
+        val a = adds(b)
+        if (!a.isEmpty) bootstrap(a, m)
+      })(
       (b, m) => {
         val a = adds(b).localCheckpoint(true) // emptiness probe + append
         val addEmpty = a.isEmpty

@@ -1926,6 +1926,48 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC maintainer: a delete-only FIRST batch is a no-op, the next batch bootstraps") {
+    import graft.operators.{Search, SimilaritySearch}
+    // bm25 (untrained family) AND ivf (trained — k-means on zero rows
+    // would throw): deletes before the index exists refer to rows
+    // never indexed and must drop without bricking the stream
+    val idx = java.nio.file.Files.createTempDirectory("graft_cdc_df_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_dfck_").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streaming.maintainBm25IndexCdc(
+      input.toDF().toDF("doc_id", "status", "text"),
+      "doc_id", "status", "text", idx, ckpt)
+    try {
+      input.addData((9L, "removed", null.asInstanceOf[String]))
+      q.processAllAvailable()
+      assert(!graft.sources.IndexIO.exists(spark, idx),
+        "a delete-only first batch must publish nothing")
+      input.addData((1L, "added", "alpha beta"), (2L, "added", "gamma delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Search.bm25SearchIndex(spark, idx, Seq("alpha"), k = 5)
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+
+    def vec(i: Int): Array[Float] = Array.tabulate(4)(d => (i * 0.3f + d))
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_cdc_df2_").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cdc_df2ck_").toString
+    val in2 = MemoryStream[(Long, String, Array[Float])]
+    val q2 = Streaming.maintainIvfIndexCdc(
+      in2.toDF().toDF("vec_id", "status", "embedding"),
+      "vec_id", "status", "embedding", idx2, ckpt2, nCentroids = 2)
+    try {
+      in2.addData((9L, "removed", Array.empty[Float]))
+      q2.processAllAvailable() // must not throw (no k-means on 0 rows)
+      assert(!graft.sources.IndexIO.exists(spark, idx2))
+      in2.addData((1 to 4).map(i => (i.toLong, "added", vec(i))): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val qs = Seq((1L, vec(1))).toDF("vec_id", "embedding")
+    assert(SimilaritySearch.searchIvf(spark, idx2, qs, "vec_id", "embedding",
+      k = 2, nProbe = 2).count() == 2)
+  }
+
   test("maintainMinhashIndexCdc: changed docs re-sketch, removed leave the postings") {
     import graft.operators.Dedup
     val idx = java.nio.file.Files.createTempDirectory("graft_cdc_mh_").toString
