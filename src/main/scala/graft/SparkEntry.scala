@@ -2833,6 +2833,26 @@ object SparkEntry {
       }
       Search.bm25SearchIndex(s, idx, Seq("vector", "stream", "spark"), k = 20)
     }),
+    "index_describe" -> ((s, dir) => {
+      // the operational DESCRIBE INDEX (IndexIO.describe) a
+      // maintenance job reads before deciding to compact, vacuum, or
+      // retrain: build over two-thirds, append the rest, tombstone the
+      // %7 docs — then ONE describe() reports the retained-version
+      // window (3: build, append, delete), the live chain length (3
+      // segments), the marker count (0 — batch lifecycle, no stream),
+      // and the lengths table's total/live/tombstoned rows under the
+      // log-ordered delete semantics. Every number is SQL-derivable
+      // from the corpus and the lifecycle arithmetic — an exact
+      // oracle, nothing pinned.
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val d = t(s, dir, "documents")
+      val idx = scratch(s"bm25_desc_$token", dir)
+      Search.buildBm25Index(d.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", idx)
+      Search.appendToBm25Index(d.filter(col("doc_id") % 3 === 2), "doc_id", "text", idx)
+      Search.deleteFromBm25Index(s, idx,
+        d.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+      graft.sources.IndexIO.describe(s, idx, "lengths", "doc_id")
+    }),
     "index_sync_phash" -> ((s, dir) => {
       // the perceptual family's snapshot sync (IndexSync
       // .syncPHashIndex): the binary payload diffs by content hash
@@ -7138,6 +7158,23 @@ object SparkEntry {
           |JOIN cnt ca ON ca.doc_id = id_left
           |JOIN cnt cb ON cb.doc_id = id_right
           |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin),
+      // the DESCRIBE INDEX report: versions/segments from the
+      // lifecycle arithmetic (build + append + delete = 3 and 3),
+      // rows from the corpus (lengths keeps docs with >= 1 token;
+      // the tombstone set is all %7 ids)
+      "index_describe" ->
+        """WITH tokc AS (
+          |  SELECT doc_id,
+          |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          |        w -> w <> '')) AS n
+          |  FROM documents)
+          |SELECT CAST(3 AS BIGINT) AS n_versions,
+          |       CAST(3 AS BIGINT) AS n_segments,
+          |       CAST(0 AS BIGINT) AS n_markers,
+          |       (SELECT count(*) FROM tokc WHERE n > 0) AS n_rows_total,
+          |       (SELECT count(*) FROM tokc WHERE n > 0 AND doc_id % 7 <> 0) AS n_rows_live,
+          |       (SELECT count(*) FROM documents WHERE doc_id % 7 = 0) AS n_tombstone_ids,
+          |       'lengths' AS table_name""".stripMargin,
       // the synced perceptual index ends as a one-shot build on the
       // even media snapshot — the pattern-class oracle verbatim
       "index_sync_phash" ->

@@ -360,6 +360,39 @@ object IndexIO {
     }.reduceOption(_ unionByName _)
   }
 
+  /** One-row OPERATIONAL summary of a persisted index — the
+    * `DESCRIBE INDEX` every maintenance job wants before deciding to
+    * compact, vacuum, or retrain: retained version count (the
+    * time-travel window), live segment-chain length (the serving-cost
+    * driver — every probe unions one scan per segment), applied-batch
+    * marker count (how many stream batches the chain contains), and
+    * the `table`'s total / live / tombstoned row counts under the
+    * log-ordered delete semantics ([[withoutTombstoned]]). Works on a
+    * [[pin]]ned path too (describes THAT version; the version count
+    * still reports the whole directory). Driver cost: one chain
+    * listing + three counting jobs over the chain's slim tables —
+    * never the corpus.
+    */
+  def describe(spark: SparkSession, path: String,
+      table: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val nVersions = versions(spark, splitPin(path)._1).size.toLong
+    val segs = segments(spark, path)
+    val markers = segmentMarkers(spark, path)
+    val data = chainTable(spark, path, table)
+    val tomb = chainTable(spark, path, "tombstones")
+    val total = data.map(_.count()).getOrElse(0L)
+    val live = data.map(d => withoutTombstoned(d, tomb, idCol).count())
+      .getOrElse(0L)
+    val nTombIds = tomb.map(_.select(idCol).distinct().count()).getOrElse(0L)
+    Seq((nVersions, segs.size.toLong, markers.size.toLong,
+        total, live, nTombIds))
+      .toDF("n_versions", "n_segments", "n_markers",
+        "n_rows_total", "n_rows_live", "n_tombstone_ids")
+      .withColumn("table_name", lit(table))
+  }
+
   /** Log-structured delete semantics over a [[chainTable]] pair: a data
     * row is DEAD iff a tombstone for its id sits LATER in the chain —
     * so deletes only affect data already in the index when they were

@@ -197,6 +197,24 @@ class IndexIOSuite extends SparkSpec {
     assert(spark.read.parquet(s"$live/a").collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
+  test("describe: lifecycle counts under log-ordered deletes; a pin describes its version") {
+    val base = newBase()
+    IndexIO.publish(spark, base)(v => writeTable(v, "a", Seq(1, 2, 3)))
+    val v1 = IndexIO.currentVersionId(spark, base)
+    IndexIO.publishDelta(spark, base, "b0-x")(v => writeTable(v, "a", Seq(4)))
+    IndexIO.publishDelta(spark, base) { v =>
+      Seq(2).toDF("x").write.mode("overwrite").parquet(s"$v/tombstones")
+    }
+    val d = IndexIO.describe(spark, base, "a", "x").head()
+    assert((d.getLong(0), d.getLong(1), d.getLong(2), d.getLong(3),
+      d.getLong(4), d.getLong(5), d.getString(6)) == (3L, 3L, 1L, 4L, 3L, 1L, "a"))
+    // the pinned first version: one segment, its 3 rows all live, no
+    // tombstones — but the version WINDOW is a directory property
+    val dp = IndexIO.describe(spark, IndexIO.pin(base, v1), "a", "x").head()
+    assert((dp.getLong(0), dp.getLong(1), dp.getLong(2), dp.getLong(3),
+      dp.getLong(4), dp.getLong(5)) == (3L, 1L, 0L, 3L, 3L, 0L))
+  }
+
   test("pin: a pinned path reads its version's chain across later publishes") {
     val base = newBase()
     IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1)))
