@@ -3670,6 +3670,23 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")), alpha = 0.7, totalBudget = 60000)
         .select("doc_id", "source", "mix_copy")
     }),
+    "mix_temperature_tokens_unigram" -> ((s, dir) => {
+      // the token-budget mix billed in UNIGRAM subwords — with
+      // pack_sequences_unigram this completes the rule that BOTH
+      // tokenizer families drive every token contract: shares
+      // ∝ (Σ Viterbi piece count)^0.7, same md5 fractional-copy rule.
+      val d = t(s, dir, "documents")
+      val idx = scratch("unigram_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        UnigramTokenizer.buildUnigramIndex(d, "text", idx,
+          trainWords = UniGateWords, maxPieceLen = UniGateP,
+          seedPieces = UniGateK, emIters = UniGateE)
+      val vocab = UnigramTokenizer.loadUnigramVocab(s, idx)
+      Sampling.mixSourcesTemperatureWeighted(d, "source", "doc_id",
+        UnigramTokenizer.unigramTokenCount(col("text"), vocab), alpha = 0.7,
+        totalBudget = 60000)
+        .select("doc_id", "source", "mix_copy")
+    }),
     "mix_temperature_tokens_bpe" -> ((s, dir) => {
       // the token-budget mix billed in SUBWORD tokens: identical
       // mixing arithmetic, but source shares are ∝ (Σ BPE tokens)^0.7
@@ -8484,6 +8501,45 @@ object SparkEntry {
           |FROM o WHERE cum <= b""".stripMargin,
       // mix_temperature_tokens_bpe: same mixing tail, `cnt` swapped to
       // per-source sums of the BPE stages' final-state token counts
+      // mix_temperature_tokens_unigram: the same mixing arithmetic
+      // with the source totals billed from the unigram stages'
+      // per-word piece counts
+      "mix_temperature_tokens_unigram" -> (unigramOraclePrefix(
+        UniGateWords, UniGateP, UniGateK, UniGateE, tok = true) +
+        """,
+          |uwnm AS (
+          |  SELECT wh, CAST(count(*) AS BIGINT) AS n
+          |  FROM ubtT WHERE piece IS NOT NULL GROUP BY 1),
+          |tokqm AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |  FROM documents),
+          |wtokm AS (
+          |  SELECT doc_id, uwnm.n
+          |  FROM tokqm JOIN uwnm ON uwnm.wh = hex(tokqm.w)
+          |  WHERE tokqm.w <> ''),
+          |cntm AS (
+          |  SELECT d.source, CAST(coalesce(sum(n), 0) AS BIGINT) AS n
+          |  FROM documents d LEFT JOIN wtokm ON wtokm.doc_id = d.doc_id
+          |  GROUP BY 1),
+          |wm AS (SELECT source, n,
+          |         CAST(floor(pow(CAST(n AS DOUBLE), 0.7) * 10000) AS BIGINT) AS ws
+          |       FROM cntm WHERE n > 0),
+          |zm AS (SELECT CAST(sum(ws) AS BIGINT) AS zs FROM wm),
+          |fm AS (SELECT source, n,
+          |         CAST(60000 AS DOUBLE) * (CAST(ws AS DOUBLE) / CAST(zs AS DOUBLE))
+          |           / CAST(n AS DOUBLE) AS f
+          |       FROM wm CROSS JOIN zm),
+          |facm AS (SELECT source, CAST(floor(f) AS BIGINT) AS cf,
+          |                CAST(floor((f - floor(f)) * 10000) AS BIGINT) AS thr
+          |         FROM fm),
+          |km AS (SELECT doc_id, d.source,
+          |         cf + (CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+          |                         AS UBIGINT) % 10000 < thr
+          |               THEN 1 ELSE 0 END) AS copies
+          |       FROM documents d JOIN facm ON facm.source = d.source)
+          |SELECT doc_id, source,
+          |       CAST(unnest(range(0, CAST(copies AS INT))) AS BIGINT) AS mix_copy
+          |FROM km WHERE copies > 0""".stripMargin),
       "mix_temperature_tokens_bpe" -> (bpeOraclePrefix(BpeGateWords, BpeGateMerges) +
         s""",
           |tokq AS (
