@@ -160,6 +160,10 @@ object Bench {
         "stream_maintained_scenes_serve", "stream_maintained_eval_serve",
         "stream_maintained_pq", "index_sync", "index_sync_ivf",
         "index_sync_dsir", "index_sync_phash",
+        // the time-travel gates build + record their pin once here;
+        // timed passes measure serving the PINNED view (the audit)
+        "bm25_search_time_travel", "ann_topk_ivf_time_travel",
+        "mix_temperature_tokens_unigram", "pack_sequences_unigram",
         // the CDC _serve rows build-if-missing, same contract
         "stream_cdc_bm25_serve", "stream_cdc_lexical_serve",
         "stream_cdc_ivf_serve", "stream_cdc_minhash_serve")

@@ -2543,9 +2543,16 @@ object SparkEntry {
       // at launch replays after any number of later publishes.
       val d = t(s, dir, "documents")
       val idx = scratch("bm25_tt_index", dir)
-      Search.buildBm25Index(d.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", idx)
-      val v = graft.sources.IndexIO.currentVersionId(s, idx)
-      Search.appendToBm25Index(d.filter(col("doc_id") % 3 === 2), "doc_id", "text", idx)
+      val pinFile = java.nio.file.Paths.get(scratch("bm25_tt_pin", dir))
+      if (!graft.sources.IndexIO.exists(s, idx)) {
+        // the "training run" records its pin at launch, exactly once;
+        // later invocations are the audit replaying the pinned view
+        Search.buildBm25Index(d.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", idx)
+        java.nio.file.Files.write(pinFile,
+          graft.sources.IndexIO.currentVersionId(s, idx).getBytes("UTF-8"))
+        Search.appendToBm25Index(d.filter(col("doc_id") % 3 === 2), "doc_id", "text", idx)
+      }
+      val v = new String(java.nio.file.Files.readAllBytes(pinFile), "UTF-8").trim
       Search.bm25SearchIndex(s, graft.sources.IndexIO.pin(idx, v),
         Seq("vector", "stream", "spark"), k = 20)
     }),
@@ -2560,10 +2567,15 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 20)
       val even = e.filter(col("vec_id") % 2 === 0)
       val idx = scratch("ivf_tt_idx", dir)
-      SimilaritySearch.buildIvfIndex(even, "vec_id", "embedding", idx)
-      val v = graft.sources.IndexIO.currentVersionId(s, idx)
-      SimilaritySearch.appendToIvfIndex(s, idx,
-        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      val pinFile = java.nio.file.Paths.get(scratch("ivf_tt_pin", dir))
+      if (!graft.sources.IndexIO.exists(s, idx)) {
+        SimilaritySearch.buildIvfIndex(even, "vec_id", "embedding", idx)
+        java.nio.file.Files.write(pinFile,
+          graft.sources.IndexIO.currentVersionId(s, idx).getBytes("UTF-8"))
+        SimilaritySearch.appendToIvfIndex(s, idx,
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      }
+      val v = new String(java.nio.file.Files.readAllBytes(pinFile), "UTF-8").trim
       SimilaritySearch.recallSummary(
         SimilaritySearch.searchIvf(s, graft.sources.IndexIO.pin(idx, v),
           q, "vec_id", "embedding", k = 5, nProbe = 16),
