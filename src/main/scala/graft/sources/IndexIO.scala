@@ -99,6 +99,52 @@ object IndexIO {
       s"no committed index at $path: $Pointer missing"))
   }
 
+  /** PROTECT a version from retention: a `_KEEP.<id>` marker makes the
+    * version (and every segment its chain references) a pruning root —
+    * it survives any number of later publishes AND explicit [[vacuum]]
+    * calls until [[release]]d. `pin` + `retain` is the durable audit
+    * handle: a training run that must replay its index view months
+    * later retains the version at launch and releases it when the
+    * run's artifacts expire; without a retain, a pin is only valid
+    * for the [[RetainVersions]]-publish window.
+    */
+  def retain(spark: SparkSession, path: String, version: String): Unit = {
+    requireUnpinned(path, "retain")
+    require(version.nonEmpty && version.forall(_.isLetterOrDigit),
+      s"IndexIO.retain: version must be alphanumeric, got '$version'")
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vdir = versionDir(base, version)
+    require(fs.exists(new Path(vdir, SegmentsFile)),
+      s"IndexIO.retain: no complete version $version at $path")
+    writeFile(fs, new Path(base, s"$KeepPrefix$version"), "")
+  }
+
+  /** Drop a [[retain]] marker — the version re-enters normal
+    * retention and is reclaimed by the next publish or [[vacuum]]
+    * once outside the window. Idempotent.
+    */
+  def release(spark: SparkSession, path: String, version: String): Unit = {
+    requireUnpinned(path, "release")
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(base, s"$KeepPrefix$version"), false)
+    ()
+  }
+
+  /** Version ids currently protected by [[retain]] markers. */
+  def retained(spark: SparkSession, path: String): Set[String] = {
+    requireUnpinned(path, "retained")
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Set.empty
+    fs.listStatus(base).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(KeepPrefix))
+      .map(_.stripPrefix(KeepPrefix)).toSet
+  }
+
+  private val KeepPrefix = "_KEEP."
+
   /** COMPLETE (committed) version ids at `path`, newest publish first
     * — the pinnable time-travel window. The id `_LATEST` names is
     * first unless an mtime tie reorders rapid publishes; in-flight or
@@ -263,10 +309,17 @@ object IndexIO {
       if (fs.exists(pointerFile))
         Set(versionDir(base, readFile(fs, pointerFile).trim).getName)
       else Set.empty
+    // _KEEP.<id> markers (IndexIO.retain) are additional roots: a
+    // protected version and its whole segment chain survive every
+    // publish and vacuum until released
+    val protectedDirs: Set[String] = fs.listStatus(base).toSeq
+      .map(_.getPath.getName).filter(_.startsWith(KeepPrefix))
+      .map(n => s"v-${n.stripPrefix(KeepPrefix)}").toSet
     val kept = complete
       .sortBy { case (p, m) => (-m, p.getName) } // total order even on mtime ties
       .take(math.max(retain, 1)).map(_._1) ++
-      complete.map(_._1).filter(p => pointed.contains(p.getName))
+      complete.map(_._1).filter(p =>
+        pointed.contains(p.getName) || protectedDirs.contains(p.getName))
     val keep = kept.flatMap(v => readSegments(fs, v).map(p => new Path(p).getName))
       .toSet ++ kept.map(_.getName)
     complete.foreach { case (p, _) =>

@@ -237,6 +237,35 @@ class IndexIOSuite extends SparkSpec {
     assert(IndexIO.exists(spark, pinned))
   }
 
+  test("retain: a protected version and its chain survive pruning until released") {
+    val base = newBase()
+    IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1)))
+    IndexIO.publishDelta(spark, base)(vdir => writeTable(vdir, "a", Seq(2)))
+    val v = IndexIO.currentVersionId(spark, base)
+    IndexIO.retain(spark, base, v)
+    assert(IndexIO.retained(spark, base) == Set(v))
+    val pinned = IndexIO.pin(base, v)
+    // far beyond the retention window — the retained two-segment
+    // chain must survive every publish AND an aggressive vacuum
+    (1 to IndexIO.RetainVersions + 3).foreach { i =>
+      IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(10 + i)))
+    }
+    IndexIO.vacuum(spark, base, retainVersions = 1)
+    assert(IndexIO.chainTable(spark, pinned, "a").get
+      .drop("__seg").collect().map(_.getInt(0)).toSet == Set(1, 2))
+    // release: once the version leaves the newest-RetainVersions
+    // window again (the vacuum above shrank the directory, so it
+    // takes RetainVersions publishes to push it out), it reclaims
+    IndexIO.release(spark, base, v)
+    assert(IndexIO.retained(spark, base).isEmpty)
+    (1 to IndexIO.RetainVersions).foreach { i =>
+      IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(90 + i)))
+    }
+    intercept[IllegalStateException] { IndexIO.resolve(spark, pinned) }
+    // retaining a version that never existed fails loudly
+    intercept[IllegalArgumentException] { IndexIO.retain(spark, base, "feedfeed") }
+  }
+
   test("pin: read-only — publish/vacuum reject, pruned pins fail loudly at resolve") {
     val base = newBase()
     IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1)))
