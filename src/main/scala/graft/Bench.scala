@@ -61,7 +61,7 @@ object Bench {
     "bm25_search_appended", "bm25_search_unified", "phrase_search_unified",
     "bm25_search_merged", "phrase_search_deleted", "asof_interpolate_by",
     "index_sync", "index_sync_ivf", "stream_cdc_bm25", "stream_cdc_ivf", "stream_cdc_lexical", "index_sync_dsir",
-    "stream_cdc_minhash", "index_sync_phash", "index_describe",
+    "stream_cdc_minhash", "stream_cdc_semdedup", "index_sync_phash", "index_describe",
     "bm25_search_time_travel", "ann_topk_ivf_time_travel",
     "ann_topk_ivf_sq8_appended", "stream_maintained_bm25",
     "stream_maintained_dsir", "stream_maintained_ann",

@@ -2989,6 +2989,64 @@ object SparkEntry {
       buildCdc("ivf", s, dir, idx, scratch(s"cdc_ivf_ck_$token", dir))
       serveCdc("ivf", s, dir, idx)
     }),
+    "stream_cdc_semdedup" -> ((s, dir) => {
+      // the SemDeDup change feed (Streaming.maintainSemDedupIndexCdc):
+      // batch 1 bootstraps the FROZEN blocking model from the old
+      // embedding snapshot, batch 2 applies the diff — re-embedded
+      // vectors tombstone-then-re-resolve, takedowns drop. The claim
+      // is stream ≡ batch LIFECYCLE identity: the same bootstrap + the
+      // same change sets through the batch API (deleteFromSemDedupIndex
+      // + applySemDedupBatch) land an IDENTICAL per-doc resolved state
+      // — deterministic trainer, same frozen centroids, same per-batch
+      // contraction. n_members = the live corpus size (SQL-derivable),
+      // n_diff = 0 falsifies on any divergence in cluster assignment,
+      // duplicate component, or keeper election.
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val old = e.filter(col("vec_id") % 5 =!= 0)
+        .withColumn("embedding", when(col("vec_id") % 7 === 0,
+          transform(col("embedding"), x => negate(x))).otherwise(col("embedding")))
+        .unionByName(e.filter(col("vec_id") % 11 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+      val batch1 = old.collect()
+        .map(r => (r.getLong(0), "added", r.getSeq[Float](1).toArray))
+        .sortBy(_._1).toSeq
+      val newByIdx = e.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val batch2 = CorpusDiff.diff(old, e, "vec_id", Seq("embedding"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+        .map { case (id, st) =>
+          (id, st, newByIdx.getOrElse(id, Array.empty[Float])) }.toSeq
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"cdc_sd_$token", dir)
+      val ckpt = scratch(s"cdc_sd_ck_$token", dir)
+      runMaintainer(s, Seq(batch1, batch2)) { ds =>
+        Streaming.maintainSemDedupIndexCdc(ds.toDF("vec_id", "status", "embedding"),
+          "vec_id", "status", "embedding", idx, ckpt, k = 8, threshold = 0.45)
+      }
+      val bidx = scratch(s"cdc_sdb_$token", dir)
+      SimilaritySearch.buildSemDedupIndex(old, "vec_id", "embedding", bidx,
+        k = 8, threshold = 0.45)
+      val dels = batch2.collect { case (id, st, _) if st != "added" => id }
+      val apps = batch2.collect { case (id, st, v) if st != "removed" => (id, v) }
+      if (dels.nonEmpty)
+        SimilaritySearch.deleteFromSemDedupIndex(s, bidx,
+          dels.toDF("vec_id"), "vec_id")
+      if (apps.nonEmpty)
+        SimilaritySearch.applySemDedupBatch(s, bidx,
+          apps.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      val a = SimilaritySearch.semDedupIndexStatus(s, idx)
+      val b = SimilaritySearch.semDedupIndexStatus(s, bidx)
+      val same = col("a.cluster") === col("b.cluster") &&
+        col("a.centroid_cos") === col("b.centroid_cos") &&
+        (col("a.component") <=> col("b.component")) &&
+        col("a.kept") === col("b.kept")
+      a.as("a").join(b.as("b"), Seq("id"), "full_outer")
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(coalesce(same, lit(false)), lit(0L)).otherwise(lit(1L)))
+            .as("n_diff"))
+    }),
     "stream_cdc_minhash" -> ((s, dir) => {
       // the near-dup family's change feed (Streaming
       // .maintainMinhashIndexCdc): batch 1 bootstraps the band index
@@ -7171,6 +7229,11 @@ object SparkEntry {
       // the STREAMING change feed lands the same end state
       "stream_cdc_bm25" -> bm25SearchOracle,
       "stream_cdc_lexical" -> phraseSearchOracle,
+      // stream ≡ batch lifecycle identity over the per-doc resolved
+      // state: members = the live corpus, zero divergent rows
+      "stream_cdc_semdedup" ->
+        """SELECT (SELECT count(*) FROM embeddings) AS n_members,
+          |       CAST(0 AS BIGINT) AS n_diff""".stripMargin,
       // the maintained band index ends as a one-shot build on the live
       // odd corpus, so the even-batch probe equals dedup_incremental's
       // exact cross-join oracle verbatim
