@@ -301,6 +301,36 @@ class PlanContractSuite extends SparkSpec {
         assert(!plan.contains(f), s"$name plan degenerated to `$f`:\n$plan")
     }
 
+  test("plan contract: a pinned serve plans exactly like the pre-append serve") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_pin_plan").toString
+    graft.operators.Search.buildBm25Index(
+      d.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", idx)
+    val v = graft.sources.IndexIO.currentVersionId(spark, idx)
+    def planOf(path: String): String = graft.operators.Search
+      .bm25SearchIndex(spark, path, Seq("vector", "stream"), k = 10)
+      .queryExecution.executedPlan.toString
+    // operator-name skeleton: tree glyphs, plan ids, partition counts,
+    // and version-dir paths all stripped — only the op sequence remains
+    def shape(p: String) = p.linesIterator
+      .map(_.replaceAll("^[^A-Za-z]+", "").takeWhile(_.isLetter))
+      .filter(_.nonEmpty).mkString("\n")
+    // capture the pre-append plan NOW (the "training run at launch") …
+    val preAppend = shape(planOf(idx))
+    graft.operators.Search.appendToBm25Index(
+      d.filter(col("doc_id") % 3 === 2), "doc_id", "text", idx)
+    // … the audit's pinned serve after the append must plan exactly
+    // like it: time travel is a resolve-time choice, not an operator —
+    // no union growth, no extra exchanges, same join/top-k shape (the
+    // 1-row stats crossJoin is the only nested loop, as everywhere)
+    val pinned = planOf(graft.sources.IndexIO.pin(idx, v))
+    assert(shape(pinned) == preAppend,
+      s"pinned serve changed plan shape:\nPINNED:\n$pinned\nPRE-APPEND SHAPE:\n$preAppend")
+    assert(!pinned.contains("CartesianProduct"))
+  }
+
   test("plan contract: perceptual hashes evaluate in the scan projection") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
     // the expression rewrite's point: no object-serialization boundary,
