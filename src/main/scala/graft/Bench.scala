@@ -99,7 +99,7 @@ object Bench {
     "sample_weighted", "filter_by_source_quality", "lm_score_docs",
     "stream_pack_sequences", "stream_pack_state",
     "mix_sources", "mix_temperature", "shuffle_corpus",
-    "sample_token_budget",
+    "sample_token_budget", "sample_token_budget_bpe", "sample_token_budget_unigram",
     "pipeline_semantic_dedup",
     "agg_pricing",
     "stream_window_counts", "sessionize_events", "pipeline_clean_corpus",

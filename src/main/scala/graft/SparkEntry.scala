@@ -3776,6 +3776,33 @@ object SparkEntry {
       Sampling.globalShuffleRank(t(s, dir, "documents"), "doc_id")
         .select("doc_id", "shuffle_rank")
     }),
+    "sample_token_budget_bpe" -> ((s, dir) => {
+      // the token-BUDGET contract re-billed in BPE subwords — with
+      // chunk/pack/mix this makes all four token contracts subword-
+      // aware: same bucket-offset cumsum under the md5 order, the
+      // boundary lands where the SUBWORD bill crosses the budget.
+      val d = t(s, dir, "documents")
+      val merges = BpeTokenizer.trainBpe(d, "text",
+        trainWords = BpeGateWords, numMerges = BpeGateMerges)
+      Sampling.sampleToTokenBudget(d, "doc_id",
+          BpeTokenizer.bpeTokenCount(col("text"), merges).cast("long"),
+          budget = 30000, buckets = 8)
+        .select("doc_id", "cum_tokens")
+    }),
+    "sample_token_budget_unigram" -> ((s, dir) => {
+      // the unigram billing of the same budget contract.
+      val d = t(s, dir, "documents")
+      val idx = scratch("unigram_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx))
+        UnigramTokenizer.buildUnigramIndex(d, "text", idx,
+          trainWords = UniGateWords, maxPieceLen = UniGateP,
+          seedPieces = UniGateK, emIters = UniGateE)
+      val vocab = UnigramTokenizer.loadUnigramVocab(s, idx)
+      Sampling.sampleToTokenBudget(d, "doc_id",
+          UnigramTokenizer.unigramTokenCount(col("text"), vocab).cast("long"),
+          budget = 30000, buckets = 8)
+        .select("doc_id", "cum_tokens")
+    }),
     "sample_token_budget" -> ((s, dir) => {
       // "build a ≤15k-token training set from this corpus" (the sf0.01
       // corpus holds ~27k whitespace tokens, so the boundary bisects):
@@ -8545,6 +8572,52 @@ object SparkEntry {
           |FROM k WHERE copies > 0""".stripMargin,
       // sample_token_budget: global running-sum prefix in md5 order —
       // the engine's bucket-offset plan must equal the flat window
+      // the budget contract under SUBWORD billing: per-doc counts from
+      // the replayed tokenizer stages, then the same cumsum prefix
+      "sample_token_budget_bpe" -> (bpeOraclePrefix(BpeGateWords, BpeGateMerges) +
+        s""",
+          |tokqb AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          |  FROM documents),
+          |wtokb AS (
+          |  SELECT doc_id, len(string_split(sf.s, ' ')) AS n
+          |  FROM tokqb JOIN s$BpeGateMerges sf ON hex(tokqb.w) = sf.wh
+          |  WHERE tokqb.w <> ''),
+          |tcb AS (
+          |  SELECT d.doc_id, CAST(coalesce(sum(n), 0) AS BIGINT) AS n
+          |  FROM documents d LEFT JOIN wtokb ON wtokb.doc_id = d.doc_id
+          |  GROUP BY 1),
+          |ob AS (
+          |  SELECT doc_id,
+          |         sum(n) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM tcb)
+          |SELECT doc_id, CAST(cum AS BIGINT) AS cum_tokens
+          |FROM ob WHERE cum <= 30000""".stripMargin),
+      "sample_token_budget_unigram" -> (unigramOraclePrefix(
+        UniGateWords, UniGateP, UniGateK, UniGateE, tok = true) +
+        """,
+          |uwnb AS (
+          |  SELECT wh, CAST(count(*) AS BIGINT) AS n
+          |  FROM ubtT WHERE piece IS NOT NULL GROUP BY 1),
+          |tokqu AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          |  FROM documents),
+          |wtoku AS (
+          |  SELECT doc_id, uwnb.n
+          |  FROM tokqu JOIN uwnb ON uwnb.wh = hex(tokqu.w)
+          |  WHERE tokqu.w <> ''),
+          |tcu AS (
+          |  SELECT d.doc_id, CAST(coalesce(sum(n), 0) AS BIGINT) AS n
+          |  FROM documents d LEFT JOIN wtoku ON wtoku.doc_id = d.doc_id
+          |  GROUP BY 1),
+          |ou AS (
+          |  SELECT doc_id,
+          |         sum(n) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM tcu)
+          |SELECT doc_id, CAST(cum AS BIGINT) AS cum_tokens
+          |FROM ou WHERE cum <= 30000""".stripMargin),
       "sample_token_budget" ->
         """WITH tc AS (
           |  SELECT doc_id,
