@@ -1289,6 +1289,45 @@ object Streaming {
       s => SimilaritySearch.compactSemDedupIndex(s, path))
   }
 
+  /** The scene family's CDC maintainer — the one perceptual shape a
+    * flat hash feed can't carry: each change-feed row brings a WHOLE
+    * video as an array of `(frameIdxField, payloadField)` structs in
+    * `framesCol` (scene detection needs every frame of a video in one
+    * batch — cut boundaries are inter-frame). A re-cut or re-encoded
+    * video arrives as `changed`: its old scenes tombstone whole and
+    * the new frame stream re-detects in one pass; `removed` videos
+    * drop entirely. Null/empty frame arrays on delete rows are fine —
+    * the delete leg reads only the ids.
+    */
+  def maintainSceneIndexCdc(
+      stream: DataFrame,
+      idCol: String,
+      statusCol: String,
+      framesCol: String,
+      path: String,
+      checkpointDir: String,
+      frameIdxField: String = "frame_idx",
+      payloadField: String = "payload",
+      sceneMaxHamming: Int = 16,
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.multimodal.Multimodal
+    def frames(a: DataFrame) = a
+      .select(col(idCol), explode(col(framesCol)).as("__graft_f"))
+      .select(col(idCol),
+        col(s"__graft_f.`$frameIdxField`").as("__graft_fi"),
+        col(s"__graft_f.`$payloadField`").as("__graft_fb"))
+    maintainCdcChain(stream, idCol, statusCol, path, checkpointDir,
+      compactEvery, vacuumEvery, vacuumRetain)(
+      (a, m) => Multimodal.buildSceneIndex(frames(a), idCol,
+        "__graft_fi", "__graft_fb", path, sceneMaxHamming, marker = Some(m)))(
+      (d, m) => Multimodal.deleteFromSceneIndex(d, idCol, path, marker = m))(
+      (a, m) => Multimodal.appendToSceneIndex(frames(a), idCol,
+        "__graft_fi", "__graft_fb", path, sceneMaxHamming, marker = Some(m)))(
+      s => Multimodal.compactSceneIndex(s, path, idCol))
+  }
+
   /** The perceptual-hash family's CDC maintainer (image aHash — the
     * pHash/audio forms differ only in the append function, exactly as
     * in [[graft.operators.IndexSync]]): a re-encoded blob is a

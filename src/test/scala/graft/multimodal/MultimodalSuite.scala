@@ -1103,6 +1103,52 @@ class MultimodalSuite extends SparkSpec {
     assert(pHits == Set((9L, 0L), (9L, 2L)), s"got $pHits")
   }
 
+  test("maintainSceneIndexCdc: whole-video change feed — re-cuts re-detect, takedowns drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sqlCtx = spark.sqlContext
+    def pat(v: Long, fi: Int): Int = {
+      val c = (v % 3).toInt
+      if (fi <= 2 + c) c else (c + 1) % 3
+    }
+    def video(v: Long, stale: Boolean): (Long, String, Seq[(Int, Array[Byte])]) =
+      (v, "added", (0 until 9).map(fi =>
+        (fi, sceneFrame(if (stale) 1 else pat(v, fi)))))
+    val idx = java.nio.file.Files.createTempDirectory("graft_cdc_sc_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_scck_").toString
+    val input = MemoryStream[(Long, String, Seq[(Int, Array[Byte])])]
+    val q = Streaming.maintainSceneIndexCdc(
+      input.toDF().toDF("id", "status", "frames"),
+      "id", "status", "frames", idx, ckpt,
+      frameIdxField = "_1", payloadField = "_2")
+    try {
+      // bootstrap: video 0 true, video 2 a STALE single-scene cut,
+      // video 6 will later be retired
+      input.addData(video(0L, stale = false), video(2L, stale = true),
+        video(6L, stale = false))
+      q.processAllAvailable()
+      // the change feed: 2 re-cut (changed), 6 taken down, 4 new
+      input.addData(
+        video(2L, stale = false).copy(_2 = "changed"),
+        (6L, "removed", Seq.empty[(Int, Array[Byte])]),
+        video(4L, stale = false))
+      q.processAllAvailable()
+    } finally q.stop()
+    // == a one-shot scene index over the live snapshot
+    val newFrames = (for { v <- Seq(0L, 2L, 4L); fi <- 0 until 9 }
+      yield (v, fi, sceneFrame(pat(v, fi)))).toDF("id", "frame_idx", "payload")
+    val fresh = java.nio.file.Files.createTempDirectory("graft_cdc_scf_").toString
+    Multimodal.buildSceneIndex(newFrames, "id", "frame_idx", "payload", fresh)
+    val probes = (for { v <- Seq(1L, 3L, 5L); fi <- 0 until 9 }
+      yield (v, fi, sceneFrame(pat(v, fi)))).toDF("id", "frame_idx", "payload")
+    def serve(p: String) = Multimodal.dedupAgainstSceneIndex(
+      spark, probes, "id", "frame_idx", "payload", p)
+    assertSameRows(serve(idx), serve(fresh))
+    val got = serve(idx).select("index_id").as[Long].collect().toSet
+    assert(!got.contains(6L) && got.contains(2L) && got.contains(4L), s"got $got")
+    assert(graft.sources.IndexIO.segmentMarkers(spark, idx).size == 2)
+  }
+
   test("syncSceneIndex: re-cut videos re-detect scenes, retired videos tombstone") {
     import graft.operators.IndexSync
     def pat(v: Long, fi: Int): Int = {
