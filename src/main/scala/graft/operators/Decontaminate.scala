@@ -252,16 +252,28 @@ object Decontaminate {
     val spark = eval.sparkSession
     import spark.implicits._
     graft.sources.IndexIO.publish(spark, path, marker) { vdir =>
-      eval
-        .select(explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
-        .select(xxhash64(col("__s")).as("h"))
-        .distinct()
+      evalProfile(eval, textCol, n)
         .coalesce(1).write.mode("overwrite").parquet(s"$vdir/hashes")
       Seq(Tuple1(n)).toDF("n")
         .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
     }
     ()
   }
+
+  /** A benchmark slice's shingle-hash profile WITH occurrence counts:
+    * `(h, cnt)`. The counts are what make the artifact RETRACTABLE —
+    * they are additive across corpus slices (like the DSIR n-gram
+    * profiles), so a withdrawn benchmark's negative profile subtracts
+    * exactly and a hash stays live while ANY remaining benchmark
+    * still contributes occurrences. A plain distinct-hash set cannot
+    * support takedowns: deleting a shared hash would un-protect the
+    * benchmarks that still carry it.
+    */
+  private def evalProfile(eval: DataFrame, textCol: String, n: Int): DataFrame =
+    eval
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
+      .groupBy(xxhash64(col("__s")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
 
   /** Append new eval items to a [[buildEvalIndex]] artifact: shingle
     * width comes from the stored meta, the new distinct hashes land in
@@ -275,10 +287,38 @@ object Decontaminate {
     import spark.implicits._
     val n = evalIndexN(spark, path)
     graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
-      newEval
-        .select(explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
-        .select(xxhash64(col("__s")).as("h"))
-        .distinct()
+      evalProfile(newEval, textCol, n)
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/hashes")
+      Seq(Tuple1(n)).toDF("n")
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/meta")
+    }
+    ()
+  }
+
+  /** Withdraw a benchmark from a [[buildEvalIndex]] artifact WITHOUT a
+    * rebuild — the takedown path (a benchmark retired from the suite
+    * must stop gating training data). Shingle-occurrence counts are
+    * additive, so the retraction segment carries the withdrawn rows'
+    * profile NEGATED and [[evalIndexHashes]]' chain sum keeps a hash
+    * live only while its summed count stays positive — a hash shared
+    * with a still-live benchmark keeps protecting it, one unique to
+    * the withdrawn benchmark dies. One scan of the WITHDRAWN text
+    * only, never the suite.
+    *
+    * Contract (same as [[graft.operators.Dsir.deleteFromDsirIndex]]):
+    * `withdrawnEval` must be rows previously built or appended into
+    * this index. Retracting text the index never saw drives counts
+    * negative — caught loudly at the next [[compactEvalIndex]].
+    */
+  def deleteFromEvalIndex(
+      withdrawnEval: DataFrame, textCol: String, path: String,
+      marker: Option[String] = None): Unit = {
+    val spark = withdrawnEval.sparkSession
+    import spark.implicits._
+    val n = evalIndexN(spark, path)
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
+      evalProfile(withdrawnEval, textCol, n)
+        .select(col("h"), (-col("cnt")).as("cnt"))
         .coalesce(1).write.mode("overwrite").parquet(s"$seg/hashes")
       Seq(Tuple1(n)).toDF("n")
         .coalesce(1).write.mode("overwrite").parquet(s"$seg/meta")
@@ -307,22 +347,48 @@ object Decontaminate {
     import spark.implicits._
     if (graft.sources.IndexIO.segments(spark, path).length <= 1) return
     val n = evalIndexN(spark, path)
-    val hashes = evalIndexHashes(spark, path)
+    val chain = rawEvalChain(spark, path)
     graft.sources.IndexIO.publish(spark, path) { nv =>
-      hashes.coalesce(1).write.mode("overwrite").parquet(s"$nv/hashes")
+      // fail loudly on a negative summed count (retraction of text the
+      // index never saw) inside the same pass that materializes the
+      // compacted table — mirrors Dsir.compactDsirIndex's guard
+      val summed =
+        if (chain.columns.contains("cnt"))
+          chain.groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))
+            .withColumn("cnt", when(col("cnt") < 0,
+              raise_error(concat(lit("eval index at "), lit(path),
+                lit(" has a negative hash count — deleteFromEvalIndex " +
+                  "retracted text that was never indexed")))
+              .cast("long")).otherwise(col("cnt")))
+            .filter(col("cnt") > 0)
+        else chain.select(col("h")).distinct() // pre-counts layout
+      summed.coalesce(1).write.mode("overwrite").parquet(s"$nv/hashes")
       Seq(Tuple1(n)).toDF("n")
         .coalesce(1).write.mode("overwrite").parquet(s"$nv/meta")
     }
     ()
   }
 
-  /** The union of an eval index chain's hash segments (distinct). */
-  def evalIndexHashes(
+  private def rawEvalChain(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     graft.sources.IndexIO.chainTable(spark, path, "hashes")
       .getOrElse(throw new IllegalStateException(
         s"eval index at $path has no hashes table"))
-      .select(col("h")).distinct()
+
+  /** The LIVE hashes of an eval index chain: for the count-carrying
+    * layout, a hash serves while its summed occurrence count across
+    * the append/retraction chain stays positive (see
+    * [[deleteFromEvalIndex]]); a pre-counts chain (older artifact)
+    * reads as the plain distinct union.
+    */
+  def evalIndexHashes(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val chain = rawEvalChain(spark, path)
+    if (chain.columns.contains("cnt"))
+      chain.groupBy(col("h")).agg(sum(col("cnt")).as("__c"))
+        .filter(col("__c") > 0).select(col("h"))
+    else chain.select(col("h")).distinct()
+  }
 
   /** Pair-level attribution: which eval doc contaminated which train
     * doc, with the shared-shingle count — for auditing the flags

@@ -1171,13 +1171,29 @@ object Dedup {
     *    join + aggregate per round, with POINTER JUMPING
     *    (`label(x) <- label(label(x))`) folded in twice per round so
     *    convergence takes O(log₄ diameter) rounds instead of
-    *    O(diameter). `localCheckpoint` cuts the growing lineage each
-    *    round; the driver reads one changed-count per round.
+    *    O(diameter). The growing lineage is cut each round; the driver
+    *    reads one changed-count per round.
+    *
+    * Fault tolerance of the iterative path is `checkpointDir`'s job:
+    * by default each round is `localCheckpoint`ed — fastest, but the
+    * blocks live on executors, so on a real cluster ONE lost executor
+    * mid-iteration kills the whole job, and this loop runs O(log d)
+    * rounds over the edge set of the corpus, exactly where executors
+    * die. Pass `checkpointDir = Some(hdfsOrS3Path)` on a cluster: each
+    * round then spills to durable parquet under that directory (the
+    * reliable equivalent of `df.checkpoint()`, without hijacking the
+    * context-global `setCheckpointDir`), rounds older than the live
+    * window are deleted as the loop advances, and an executor loss
+    * recomputes at most the current round from the last durable spill.
+    * The final result reads from the last spill — the caller deletes
+    * the directory after consuming it.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25,
-      localThreshold: Long = 250000L): DataFrame =
-    connectedComponentsImpl(pairs, aCol, bCol, maxIter, localThreshold)._1
+      localThreshold: Long = 250000L,
+      checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsImpl(pairs, aCol, bCol, maxIter, localThreshold,
+      checkpointDir)._1
 
   /** Representative selection over near-dup clusters by a QUALITY
     * policy (keep-the-best, not keep-the-first): clusters from
@@ -1211,28 +1227,62 @@ object Dedup {
     */
   private[graft] def connectedComponentsImpl(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int,
-      localThreshold: Long): (DataFrame, Int) = {
+      localThreshold: Long,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    var spillSeq = 0
+    // durable materialization: parquet round-trip under checkpointDir.
+    // Unlike localCheckpoint (executor block store — gone with the
+    // executor) the spill survives any executor loss; unlike
+    // df.checkpoint() it needs no context-global setCheckpointDir and
+    // the loop can reclaim dead rounds itself.
+    def spill(df: DataFrame, dir: String): (DataFrame, String) = {
+      val path = s"$dir/cc-spill-$spillSeq"
+      spillSeq += 1
+      df.write.mode("overwrite").parquet(path)
+      (spark.read.parquet(path), path)
+    }
+    // long-lived materializations (edge list, initial labels): read
+    // every round, never reclaimed mid-loop
+    def mat(df: DataFrame): DataFrame = checkpointDir match {
+      case None      => df.localCheckpoint(true)
+      case Some(dir) => spill(df, dir)._1
+    }
+    // per-round materializations: once round n's final spill is
+    // durable, everything before round n−1 is dead — keep a 3-spill
+    // window (this round's two + the previous round's labels) so
+    // storage stays O(labels), not O(rounds · labels)
+    val roundSpills = scala.collection.mutable.Queue.empty[String]
+    def matRound(df: DataFrame): DataFrame = checkpointDir match {
+      case None => df.localCheckpoint(true)
+      case Some(dir) =>
+        val (out, path) = spill(df, dir)
+        roundSpills.enqueue(path)
+        while (roundSpills.size > 3) {
+          val dead = new org.apache.hadoop.fs.Path(roundSpills.dequeue())
+          dead.getFileSystem(hconf).delete(dead, true)
+        }
+        out
+    }
     // materialize the pair list ONCE before mirroring: `pairs` is
     // usually the output of an expensive similarity join, and the
     // symmetric union would otherwise re-run that subtree twice
-    val p = pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))
-      .localCheckpoint(true)
+    val p = mat(pairs.select(col(aCol).as("__src"), col(bCol).as("__dst")))
     val nEdges = p.count()
     if (nEdges <= localThreshold) return (localComponents(p), -1)
 
     val edgesRaw = p
       .union(p.select(col("__dst").as("__src"), col("__src").as("__dst")))
-      .localCheckpoint(true)
     // size the iteration to the graph, not the session default: label
     // propagation over a modest pair list should not pay a 32-partition
     // shuffle per round (at 100 TB the same rule lands on many partitions)
     val parts = math.max(1, math.min(
       (nEdges / 250000L).toInt,
       pairs.sparkSession.sparkContext.defaultParallelism))
-    val edges = edgesRaw.repartition(parts, col("__dst")).localCheckpoint(true)
-    var labels = edges.select(col("__src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    val edges = mat(edgesRaw.repartition(parts, col("__dst")))
+    var labels = mat(edges.select(col("__src").as("id")).distinct()
+      .withColumn("component", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -1242,13 +1292,12 @@ object Dedup {
       // checkpointed because the double jump below references it four
       // times as a self-join subtree — without materialization the
       // expensive edge join would replay once per reference
-      val prop = labels
+      val prop = matRound(labels
         .join(nbrMin, labels("id") === nbrMin("__src"), "left")
         .select(labels("id").as("id"),
           least(col("component"), coalesce(col("__nmin"), col("component")))
             .as("component"),
-          (col("__nmin").isNotNull && col("__nmin") < col("component")).as("__chg"))
-        .localCheckpoint(true)
+          (col("__nmin").isNotNull && col("__nmin") < col("component")).as("__chg")))
       // pointer jumping, TWICE per round: follow the new label one hop
       // (`label(x) <- label(label(x))`), then again. On a chain the
       // per-round reach goes from c←2c+2 (one jump) to c←4c+4, i.e.
@@ -1264,7 +1313,7 @@ object Dedup {
         .select(col("n1.id").as("id"),
           coalesce(col("__jcomp"), col("n1.component")).as("component"),
           col("n1.__chg").as("__chg"))
-      val next = jumped(jumped(prop)).localCheckpoint(true)
+      val next = matRound(jumped(jumped(prop)))
       val chgRow = next.agg(sum(when(col("__chg"), 1L).otherwise(0L))).collect()(0)
       converged = chgRow.isNullAt(0) || chgRow.getLong(0) == 0L
       labels = next.drop("__chg")

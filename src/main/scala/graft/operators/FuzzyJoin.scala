@@ -46,12 +46,13 @@ object FuzzyJoin {
 
   /** Numeric fuzzy join (int/long/float/double/decimal columns, double
     * tolerance). Timestamp columns must use [[time]] — mixing raises, as
-    * in the reference (pandance/pandance.py:288-294).
+    * in the reference (pandance/pandance.py:288-294). `tol` defaults to
+    * 1e-3 like the reference signature (pandance/pandance.py:24).
     */
   def numeric(
       left: DataFrame,
       right: DataFrame,
-      tol: Double,
+      tol: Double = 1e-3,
       on: Option[String] = None,
       leftOn: Option[String] = None,
       rightOn: Option[String] = None,

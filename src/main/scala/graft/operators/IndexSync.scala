@@ -206,21 +206,27 @@ object IndexSync {
   /** Sync a [[graft.multimodal.Multimodal.buildSceneIndex]] artifact —
     * the one perceptual family keyed by a FRAMES table (several rows
     * per video), so the content fingerprint is per-video: the XOR of
-    * the frames' `xxhash64(frameIdx, frameBin)` — an unordered set
-    * hash (frames are unique per (idx, bin), so nothing cancels) that
-    * any added, dropped, re-cut, or re-encoded frame moves, and that
-    * never overflows under ANSI arithmetic the way a SUM of 64-bit
-    * hashes does. Changed/removed videos tombstone whole; added/
-    * changed videos' frames re-detect scenes in one pass over ONLY
-    * those videos.
+    * the DISTINCT frames' `xxhash64(frameIdx, frameBin)` — an
+    * unordered set hash that any added, dropped, re-cut, or re-encoded
+    * frame moves, and that never overflows under ANSI arithmetic the
+    * way a SUM of 64-bit hashes does. The distinct step matters: XOR
+    * is self-inverse, so a snapshot carrying duplicated frame rows (an
+    * at-least-once upstream extract replaying) would cancel pairs and
+    * could fingerprint-collide with a genuinely different cut; hashing
+    * the SET of (idx, bin) makes repeated rows inert. Changed/removed
+    * videos tombstone whole; added/changed videos' frames re-detect
+    * scenes in one pass over ONLY those videos.
     */
   def syncSceneIndex(
       spark: SparkSession, oldFrames: DataFrame, newFrames: DataFrame,
       idCol: String, frameIdxCol: String, frameBinCol: String,
       path: String, sceneMaxHamming: Int = 16): Unit = {
     import graft.multimodal.Multimodal
-    def fp(df: DataFrame) = df.groupBy(col(idCol))
-      .agg(bit_xor(xxhash64(col(frameIdxCol), col(frameBinCol))).as("__graft_fp"))
+    def fp(df: DataFrame) = df
+      .select(col(idCol),
+        xxhash64(col(frameIdxCol), col(frameBinCol)).as("__graft_fh"))
+      .distinct()
+      .groupBy(col(idCol)).agg(bit_xor(col("__graft_fh")).as("__graft_fp"))
     val (del, appIds, nDel, nApp) =
       changeSets(fp(oldFrames), fp(newFrames), idCol, Seq("__graft_fp"))
     if (nDel > 0) Multimodal.deleteFromSceneIndex(del, idCol, path)

@@ -178,9 +178,23 @@ object Packing {
     * (batches are sequential; the lock is belt-and-braces).
     */
   final class IncrementalPacker(
-      idCol: String, tokensCol: String, maxLen: Long, chunkExpr: Column)
+      idCol: String, tokensCol: String, maxLen: Long, chunkExpr: Column,
+      maxCarryChunks: Int = 1 << 20)
       extends Serializable {
     @volatile private var carry: Map[Long, (Long, Long)] = Map.empty
+
+    // the carry is one (bin, fill) pair per DISTINCT chunk ever seen —
+    // bounded by the shard count when the chunk expression is a shard
+    // key (the intended use), but a caller passing a high-cardinality
+    // chunk (doc id, timestamp) would grow it one entry per ROW and
+    // silently OOM the driver across a long stream. Guard loudly.
+    private def checkCarry(): Unit =
+      require(carry.size <= maxCarryChunks,
+        s"IncrementalPacker: carry state holds ${carry.size} distinct " +
+          s"chunks > maxCarryChunks=$maxCarryChunks — the chunk " +
+          "expression is too fine-grained for streaming packing (use a " +
+          "bounded shard key), or raise maxCarryChunks if the " +
+          "cardinality is intentional")
 
     /** Current per-chunk open-bin state (for tests/checkpointing). */
     def state: Map[Long, (Long, Long)] = carry
@@ -201,6 +215,7 @@ object Packing {
         .select(col("chunk"), col("s.bin"), col("s.bin_fill"))
         .collect()
       carry = carry ++ last.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      checkCarry()
       packed
     }
 
@@ -224,6 +239,13 @@ object Packing {
     def restoreState(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
       synchronized {
         val vdir = graft.sources.IndexIO.resolve(spark, path)
+        // count BEFORE collecting — the guard must protect the driver,
+        // not report after the oversized array already landed
+        val n = spark.read.parquet(s"$vdir/state").count()
+        require(n <= maxCarryChunks,
+          s"IncrementalPacker.restoreState: snapshot at $path holds $n " +
+            s"chunks > maxCarryChunks=$maxCarryChunks — raise the cap " +
+            "or repack with a coarser chunk expression")
         carry = spark.read.parquet(s"$vdir/state").collect()
           .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       }

@@ -75,18 +75,29 @@ object IndexIO {
   def pin(path: String, version: String): String = {
     require(version.nonEmpty && version.forall(_.isLetterOrDigit),
       s"IndexIO.pin: version must be alphanumeric, got '$version'")
-    require(!path.contains(PinSep), s"IndexIO.pin: path already pinned: $path")
+    require(splitPin(path)._2.isEmpty,
+      s"IndexIO.pin: path already pinned: $path")
     s"$path$PinSep$version"
   }
 
   private def splitPin(path: String): (String, Option[String]) = {
     val i = path.lastIndexOf(PinSep)
+    // only a suffix that [[pin]] could have produced (non-empty,
+    // alphanumeric, no '/') is a pin — '@v=' is a legal substring of a
+    // POSIX path or URI, and treating any occurrence as a pin would
+    // silently resolve a bogus version on read and reject publishes
+    // on a perfectly writable index
     if (i < 0) (path, None)
-    else (path.substring(0, i), Some(path.substring(i + PinSep.length)))
+    else {
+      val v = path.substring(i + PinSep.length)
+      if (v.nonEmpty && v.forall(_.isLetterOrDigit))
+        (path.substring(0, i), Some(v))
+      else (path, None)
+    }
   }
 
   private def requireUnpinned(path: String, op: String): Unit =
-    require(!path.contains(PinSep),
+    require(splitPin(path)._2.isEmpty,
       s"IndexIO.$op: a version-pinned path is read-only, got $path")
 
   /** The bare version id `_LATEST` names right now — capture it before
@@ -118,6 +129,22 @@ object IndexIO {
     require(fs.exists(new Path(vdir, SegmentsFile)),
       s"IndexIO.retain: no complete version $version at $path")
     writeFile(fs, new Path(base, s"$KeepPrefix$version"), "")
+    // retain races prune: a concurrent publish (or vacuum) reads the
+    // _KEEP markers once at its start, so a marker landing after that
+    // scan does not protect this version from THAT pruning pass. The
+    // marker is durable from here on, but the chain may already be
+    // gone — re-verify and fail loudly (cleaning up the useless
+    // marker) rather than hand back a "durable" handle to deleted
+    // data. Callers should retain a version still well inside the
+    // RetainVersions window (e.g. the one currentVersionId just
+    // returned) and may simply retry on this failure.
+    if (!fs.exists(new Path(vdir, SegmentsFile))) {
+      fs.delete(new Path(base, s"$KeepPrefix$version"), false)
+      throw new IllegalStateException(
+        s"IndexIO.retain: version $version at $path was pruned by a " +
+          "concurrent publish/vacuum before the retain landed — retain " +
+          "a version inside the retention window and retry")
+    }
   }
 
   /** Drop a [[retain]] marker — the version re-enters normal
@@ -381,6 +408,18 @@ object IndexIO {
         s"pinned version $version at $base is gone — pruned by a later " +
           "publish/vacuum, or never published; pin within the retention window"
       else s"index pointer at $base names missing version $version")
+    // a pin names a version the CALLER asserts was published — but the
+    // dir existing is not enough: an in-flight/crashed build id also
+    // has a dir, just no _SEGMENTS, and readSegments' pre-segments
+    // fallback would then serve the torn tables silently. Publishes
+    // write _SEGMENTS before the pointer swap, so every version a pin
+    // could legitimately name has it; its absence means the pin is
+    // bogus, and "never silently serve wrong data" wins.
+    if (pinned.isDefined && !fs.exists(new Path(vdir, SegmentsFile)))
+      throw new IllegalStateException(
+        s"pinned version $version at $base is incomplete (no " +
+          s"$SegmentsFile) — it names an in-flight or crashed build, " +
+          "not a published version; pin currentVersionId() instead")
     vdir.toString
   }
 

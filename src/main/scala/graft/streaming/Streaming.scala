@@ -893,7 +893,13 @@ object Streaming {
   private def maybeCompact(
       spark: SparkSession, path: String, compactEvery: Int)(
       compact: => Unit): Unit =
-    if (compactEvery > 0 &&
+    // the exists() guard covers the batch shapes that legitimately
+    // publish nothing (a delete-only FIRST CDC batch tombstones rows
+    // never indexed and bootstraps no index) — without it, segments()
+    // throws on the missing _LATEST AFTER the batch applied but BEFORE
+    // foreachBatch commits, so the restarted stream replays the same
+    // batch into the same throw forever
+    if (compactEvery > 0 && graft.sources.IndexIO.exists(spark, path) &&
         graft.sources.IndexIO.segments(spark, path).length >= compactEvery)
       compact
 
@@ -1386,6 +1392,63 @@ object Streaming {
       (b, m) => Dsir.buildDsirIndex(target, targetTextCol, b, textCol,
         buckets, path, marker = Some(m)))(
       (b, m) => Dsir.appendToDsirIndex(b, textCol, path, marker = Some(m)))(
+      s => Dsir.compactDsirIndex(s, path))
+  }
+
+  /** [[maintainDsirIndex]] for a CDC CHANGE FEED — the RETRACTION
+    * family's maintainer, closing the SURVEY §2.5 lifecycle-matrix
+    * dash. DSIR "deletes" are not tombstones: the model must UNSEE the
+    * old rows' n-gram counts, so the change feed carries the OLD text
+    * (`oldTextCol`) for removed+changed rows alongside the new text
+    * for added+changed rows — the streaming composition of
+    * [[graft.operators.IndexSync.syncDsirIndex]]. Each micro-batch
+    * publishes the removed+changed rows' NEGATIVE profile segment
+    * ([[graft.operators.Dsir.deleteFromDsirIndex]]) then the
+    * added+changed rows' positive one; additive counts subtract
+    * exactly, so the chain sum equals the live corpus's one-shot
+    * profile bit-for-bit. Exactly-once rides the same marker rules as
+    * [[maintainBm25IndexCdc]]: the marker lands on the append segment,
+    * or on the retraction segment of a delete-only batch; deletes
+    * before the index exists refer to rows never profiled and drop
+    * (retracting them would drive bucket counts negative — caught
+    * loudly at the next load, but better never published).
+    */
+  def maintainDsirIndexCdc(
+      stream: DataFrame,
+      idCol: String,
+      statusCol: String,
+      textCol: String,
+      oldTextCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      buckets: Int,
+      path: String,
+      checkpointDir: String,
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dsir
+    def adds(b: DataFrame) = b.filter(col(statusCol).isin("added", "changed"))
+    def dels(b: DataFrame) = b
+      .filter(col(statusCol).isin("removed", "changed"))
+      .select(col(oldTextCol).as(textCol))
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
+      (b, m) => {
+        val a = adds(b)
+        if (!a.isEmpty) Dsir.buildDsirIndex(target, targetTextCol, a,
+          textCol, buckets, path, marker = Some(m))
+      })(
+      (b, m) => {
+        val a = adds(b).localCheckpoint(true) // emptiness probe + append
+        val addEmpty = a.isEmpty
+        val d = dels(b)
+        if (!d.isEmpty)
+          Dsir.deleteFromDsirIndex(d, textCol, path,
+            marker = if (addEmpty) Some(m) else None)
+        if (!addEmpty)
+          Dsir.appendToDsirIndex(a, textCol, path, marker = Some(m))
+      })(
       s => Dsir.compactDsirIndex(s, path))
   }
 

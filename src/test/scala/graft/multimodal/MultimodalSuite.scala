@@ -1185,4 +1185,39 @@ class MultimodalSuite extends SparkSpec {
       "id", "frame_idx", "payload", idx)
     assert(graft.sources.IndexIO.segments(spark, idx).toSeq == before)
   }
+
+  test("syncSceneIndex fingerprint: duplicated frame rows cannot XOR-cancel") {
+    // round-16 ADVICE: XOR is self-inverse, so a replayed/at-least-once
+    // upstream extract duplicating frame rows used to cancel pairs —
+    // an old snapshot with each frame TWICE fingerprinted identically
+    // to a genuinely different cut, and the sync silently skipped
+    // re-detection. The set-hash (distinct before xor) makes repeated
+    // rows inert: duplicated old == clean old, so a real change still
+    // syncs; and duplicated old vs identical-content new is a no-op.
+    import graft.operators.IndexSync
+    def pat(v: Long, fi: Int): Int = if (fi <= 3) 0 else 1
+    val clean = (for { fi <- 0 until 9 } yield (2L, fi, sceneFrame(1)))
+      .toDF("id", "frame_idx", "payload")
+    // same content, every row replayed twice
+    val dup = clean.union(clean)
+    val newFrames = (for { fi <- 0 until 9 } yield (2L, fi, sceneFrame(pat(2L, fi))))
+      .toDF("id", "frame_idx", "payload")
+    val idx = java.nio.file.Files.createTempDirectory("graft_sync_scdup_").toString
+    Multimodal.buildSceneIndex(clean, "id", "frame_idx", "payload", idx)
+    // old snapshot arrives DUPLICATED; content genuinely changed -> must re-detect
+    IndexSync.syncSceneIndex(spark, dup, newFrames,
+      "id", "frame_idx", "payload", idx)
+    val fresh = java.nio.file.Files.createTempDirectory("graft_sync_scdupf_").toString
+    Multimodal.buildSceneIndex(newFrames, "id", "frame_idx", "payload", fresh)
+    val probes = (for { fi <- 0 until 9 } yield (3L, fi, sceneFrame(pat(2L, fi))))
+      .toDF("id", "frame_idx", "payload")
+    def serve(p: String) = Multimodal.dedupAgainstSceneIndex(
+      spark, probes, "id", "frame_idx", "payload", p)
+    assertSameRows(serve(idx), serve(fresh))
+    // and identical content under duplication is still a no-op sync
+    val before = graft.sources.IndexIO.segments(spark, idx).toSeq
+    IndexSync.syncSceneIndex(spark, newFrames.union(newFrames), newFrames,
+      "id", "frame_idx", "payload", idx)
+    assert(graft.sources.IndexIO.segments(spark, idx).toSeq == before)
+  }
 }

@@ -27,6 +27,16 @@ class FuzzyJoinSuite extends SparkSpec {
       Set(Seq("1", "10"), Seq("2", "20")))
   }
 
+  test("tol defaults to 1e-3, matching the reference signature") {
+    // pandance/pandance.py:24 — fuzzy_join(..., tol=1e-3); the engine's
+    // default must match so a reference caller omitting tol gets the
+    // same band
+    val l = Seq((1, 1.0), (2, 2.0)).toDF("lid", "v")
+    val r = Seq((10, 1.0005), (20, 2.01)).toDF("rid", "w")
+    val out = FuzzyJoin.numeric(l, r, leftOn = Some("v"), rightOn = Some("w"))
+    assert(rowSet(out.select("lid", "rid")) == Set(Seq("1", "10")))
+  }
+
   test("tolerance boundary is inclusive (abs diff == tol matches)") {
     val l = Seq((1, 1.0)).toDF("lid", "v")
     val r = Seq((10, 1.5)).toDF("rid", "w")

@@ -62,6 +62,24 @@ class LangModelSuite extends SparkSpec {
     assert(got(9L)._2 == floorLp)
   }
 
+  test("loadLmModel maxEntries guard: loud above the cap, silent below") {
+    // 100 TB audit: the pruned-model collect is bounded by the count
+    // cutoffs, but nothing FORCES a caller to prune — the guard must
+    // refuse to collect an oversized model with an actionable message
+    // instead of OOMing the driver
+    val docs = (0L until 10L).map(i => (i, s"alpha beta gamma tok$i"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_lm_cap_").toString
+    LangModel.buildLmIndex(docs, "text", path,
+      minBigramCount = 1, minUnigramCount = 1)
+    val err = intercept[IllegalArgumentException] {
+      LangModel.loadLmModel(spark, path, maxEntries = 1L)
+    }
+    assert(err.getMessage.contains("raise the count cutoffs"))
+    // below the cap: silent
+    LangModel.loadLmModel(spark, path)
+  }
+
   test("scoreWithModel (cutoffs=1) is bit-equal to scoreAgainst") {
     val docs = (0L until 40L).map { i =>
       (i, Seq.fill(3 + (i % 7).toInt)(s"w${(i * 13) % 9}").mkString(" ") +

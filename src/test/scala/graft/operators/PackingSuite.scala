@@ -103,6 +103,37 @@ class PackingSuite extends SparkSpec {
     assert(o == Set((1L, 0L, 500L), (2L, 1L, 50L)))
   }
 
+  test("IncrementalPacker carry guard: loud on high-cardinality chunks, silent below") {
+    // 100 TB audit: the carry is one entry per DISTINCT chunk — a
+    // per-row chunk expression (doc id) would grow it without bound
+    // across a long stream and OOM the driver silently
+    val chunkE = org.apache.spark.sql.functions.col("doc_id") // 1 chunk/row
+    val p = new Packing.IncrementalPacker("doc_id", "n_tokens", 64, chunkE,
+      maxCarryChunks = 2)
+    val err = intercept[IllegalArgumentException] {
+      p.addBatch(Seq((1L, 10L), (2L, 10L), (3L, 10L))
+        .toDF("doc_id", "n_tokens")).count()
+    }
+    assert(err.getMessage.contains("maxCarryChunks"))
+    // restoreState applies the same cap, counted BEFORE the collect
+    val ok = new Packing.IncrementalPacker("doc_id", "n_tokens", 64,
+      org.apache.spark.sql.functions.expr("doc_id div 8"))
+    ok.addBatch((0L until 24L).map(i => (i, 20L)).toDF("doc_id", "n_tokens")).count()
+    val path = java.nio.file.Files.createTempDirectory("graft_pack_cap_").toString
+    ok.saveState(spark, path)
+    val tight = new Packing.IncrementalPacker("doc_id", "n_tokens", 64,
+      org.apache.spark.sql.functions.expr("doc_id div 8"), maxCarryChunks = 1)
+    val err2 = intercept[IllegalArgumentException] {
+      tight.restoreState(spark, path)
+    }
+    assert(err2.getMessage.contains("maxCarryChunks"))
+    // below the cap: silent
+    val fresh = new Packing.IncrementalPacker("doc_id", "n_tokens", 64,
+      org.apache.spark.sql.functions.expr("doc_id div 8"))
+    fresh.restoreState(spark, path)
+    assert(fresh.state.size == 3)
+  }
+
   test("packer restart from a saved state snapshot continues seamlessly") {
     val docs = (0L until 24L).map(i => (i, 20L + (i % 3) * 15L))
     val chunkE = org.apache.spark.sql.functions.expr("doc_id div 8")

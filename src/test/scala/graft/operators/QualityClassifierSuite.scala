@@ -106,6 +106,20 @@ class QualityClassifierSuite extends SparkSpec {
     assert(gated == pruned.filter(_._2._3).map { case (k, v) => k -> ((v._1, v._2)) })
   }
 
+  test("loadNbModel maxEntries guard: loud above the cap, silent below") {
+    val docs = Seq(
+      (1L, "good clean prose", true), (2L, "buy spam now", false),
+      (3L, "prose text good", true), (4L, "spam buy", false))
+      .toDF("id", "text", "lbl")
+    val p = java.nio.file.Files.createTempDirectory("nbcap").toString
+    QualityClassifier.buildNbIndex(docs, "text", col("lbl"), p, minCount = 1)
+    val err = intercept[IllegalArgumentException] {
+      QualityClassifier.loadNbModel(spark, p, maxEntries = 1L)
+    }
+    assert(err.getMessage.contains("raise the count cutoff"))
+    QualityClassifier.loadNbModel(spark, p) // below the cap: silent
+  }
+
   test("multiclass NB: marker separation, scalar replica, deterministic tie rule") {
     val docs = Seq(
       (1L, "aaa aaa bbb shared", "A"),

@@ -266,6 +266,46 @@ class IndexIOSuite extends SparkSpec {
     intercept[IllegalArgumentException] { IndexIO.retain(spark, base, "feedfeed") }
   }
 
+  test("pin: '@v=' inside a legitimate path is not a pin (plausible-suffix rule)") {
+    // round-16 ADVICE: '@v=' is a legal substring of a POSIX path/URI.
+    // Only a suffix pin() could have produced (non-empty, alphanumeric,
+    // no '/') counts — anything else must read and publish as a plain
+    // writable path instead of resolving a bogus version or being
+    // rejected as read-only.
+    val root = newBase()
+    for (weird <- Seq(s"$root/data@v=2024/tbl", s"$root/data@v=a-b", s"$root/data@v=")) {
+      assert(!IndexIO.exists(spark, weird))
+      IndexIO.publish(spark, weird)(vdir => writeTable(vdir, "a", Seq(7)))
+      assert(IndexIO.exists(spark, weird))
+      assert(spark.read.parquet(s"${IndexIO.resolve(spark, weird)}/a")
+        .collect().map(_.getInt(0)).toSeq == Seq(7))
+      IndexIO.vacuum(spark, weird) // writable: not treated as pinned
+      // pinning ON such a path still round-trips: the pin is the LAST
+      // '@v=' with a plausible id, the earlier one stays in the base
+      val v = IndexIO.currentVersionId(spark, weird)
+      assert(IndexIO.resolve(spark, IndexIO.pin(weird, v)) ==
+        IndexIO.resolve(spark, weird))
+    }
+  }
+
+  test("pin: an in-flight (no _SEGMENTS) version fails loudly at resolve") {
+    // round-16 ADVICE: a crashed/in-flight build id has a version DIR
+    // but no _SEGMENTS; the pre-segments read fallback would serve its
+    // torn tables silently. A pin asserting "this was published" must
+    // fail instead.
+    val base = newBase()
+    IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1)))
+    // simulate an in-flight sibling build: dir exists, not committed
+    writeTable(s"$base/v-deadbeef01", "a", Seq(666))
+    val pinned = IndexIO.pin(base, "deadbeef01")
+    val err = intercept[IllegalStateException] { IndexIO.resolve(spark, pinned) }
+    assert(err.getMessage.contains("incomplete"))
+    // retain agrees: the same incomplete version is not retainable
+    intercept[IllegalArgumentException] { IndexIO.retain(spark, base, "deadbeef01") }
+    // the committed path is unaffected
+    IndexIO.resolve(spark, base)
+  }
+
   test("pin: read-only — publish/vacuum reject, pruned pins fail loudly at resolve") {
     val base = newBase()
     IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1)))

@@ -1544,6 +1544,59 @@ class StreamingSuite extends SparkSpec {
       "the standalone compact must carry the markers too")
   }
 
+  test("maintainDsirIndexCdc: retraction change feed lands the live snapshot's profile") {
+    import graft.operators.Dsir
+    implicit val sqlCtx = spark.sqlContext
+    val B = 128
+    def text(i: Long, stale: Boolean) =
+      s"tok${i % 7} tok${i % 5} tok${i % 3} common word" +
+        (if (stale) " stale revision" else "")
+    val live = (0L until 24L).map(i => (i, text(i, stale = false)))
+    val docs = live.toDF("doc_id", "text")
+    val target = docs.filter($"doc_id" % 4 === 0)
+    // old snapshot: %5 docs missing, %7 stale, two retired extras
+    val old = live.filter(_._1 % 5 != 0)
+      .map { case (i, _) => (i, text(i, stale = i % 7 == 0)) } ++
+      Seq((100L, "retired doc one entirely"), (101L, "retired doc two entirely"))
+    val oldMap = old.toMap
+    val idx = java.nio.file.Files.createTempDirectory("graft_dsir_cdc_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsir_cdcck_").toString
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = Streaming.maintainDsirIndexCdc(
+      input.toDF().toDF("doc_id", "status", "text", "old_text"),
+      "doc_id", "status", "text", "old_text",
+      target, "text", B, idx, ckpt, compactEvery = 3)
+    try {
+      // a delete-only FIRST batch drops (rows never profiled)
+      input.addData((999L, "removed", null: String, "never indexed text"))
+      q.processAllAvailable()
+      assert(!graft.sources.IndexIO.exists(spark, idx))
+      // bootstrap from the old snapshot
+      input.addData(old.map { case (i, t) => (i, "added", t, null: String) }: _*)
+      q.processAllAvailable()
+      // the diff: stale %7 docs changed, %5 docs added, retired removed
+      val liveMap = live.toMap
+      val feed =
+        live.filter(_._1 % 5 == 0).map { case (i, t) => (i, "added", t, null: String) } ++
+        live.filter(i => i._1 % 7 == 0 && i._1 % 5 != 0)
+          .map { case (i, t) => (i, "changed", t, oldMap(i)) } ++
+        Seq(100L, 101L).map(i => (i, "removed", null: String, oldMap(i)))
+      input.addData(feed: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the summed chain == the live corpus's one-shot raw profile,
+    // bit-for-bit (negative retraction segments subtract exactly)
+    val (_, rp) = Dsir.dsirIndexProfiles(spark, idx)
+    assertSameRows(rp.orderBy("bucket"),
+      Dsir.ngramProfile(docs, "text", B).orderBy("bucket"))
+    // and scoring serves the one-shot claim
+    assertSameRows(
+      Dsir.importanceScore(docs, "doc_id", "text",
+        Dsir.dsirIndexProfiles(spark, idx)._1, rp, B).orderBy("doc_id"),
+      Dsir.importanceScoreAgainst(docs, "doc_id", "text", target, "text", B)
+        .orderBy("doc_id"))
+  }
+
   test("maintainDsirIndexByGroup: grouped chain == one-shot; compactEvery; markers") {
     import graft.operators.Dsir
     implicit val sqlCtx = spark.sqlContext
@@ -1747,6 +1800,53 @@ class StreamingSuite extends SparkSpec {
       evalA.union(evalB), "text", n = 3)
       .select("doc_id").as[Long].collect().toSet
     assert(after == direct && after == Set(1L, 5L))
+  }
+
+  test("deleteFromEvalIndex: withdrawn benchmark stops gating, shared shingles survive") {
+    import graft.operators.Decontaminate
+    // evalA and evalB SHARE the 3-gram "the quick brown ..." span;
+    // evalB additionally carries "pack my box ..." — withdrawing evalB
+    // must stop gating docs that only hit evalB-unique shingles while
+    // the shared ones keep protecting evalA (the count semantics; a
+    // distinct-set delete would un-protect evalA too)
+    val evalA = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val evalB = Seq(
+      (101L, "pack my box with five dozen liquor jugs"),
+      (102L, "the quick brown fox appears here too"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "completely unrelated words in this training document here"),
+      (2L, "someone wrote the quick brown fox jumps right into the corpus"),
+      (4L, "pack my box with five dozen liquor jugs and more text"),
+      (5L, "another clean document with its own distinct vocabulary")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_eval_del_").toString
+    Decontaminate.buildEvalIndex(evalA, "text", idx, n = 3)
+    Decontaminate.appendToEvalIndex(evalB, "text", idx)
+    def keeps() = Streaming.decontaminateGateFromIndex(
+      spark, corpus, "doc_id", "text", idx)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keeps() == Set(1L, 5L)) // both benchmarks gate
+    Decontaminate.deleteFromEvalIndex(evalB, "text", idx)
+    // doc 4 (evalB-only hits) is clean again; doc 2 still gated by evalA
+    assert(keeps() == Set(1L, 4L, 5L))
+    // == the frame-form gate over the surviving suite
+    val direct = Streaming.decontaminateGate(spark, corpus, "doc_id", "text",
+      evalA, "text", n = 3).select("doc_id").as[Long].collect().toSet
+    assert(keeps() == direct)
+    // compaction preserves the post-takedown state and validates counts
+    Decontaminate.compactEvalIndex(spark, idx)
+    assert(graft.sources.IndexIO.segments(spark, idx).length == 1)
+    assert(keeps() == direct)
+    // withdrawing text the index never saw is caught loudly at compact
+    Decontaminate.deleteFromEvalIndex(
+      Seq((999L, "never indexed sentence with unique words entirely"))
+        .toDF("doc_id", "text"), "text", idx)
+    val err = intercept[Exception] {
+      Decontaminate.compactEvalIndex(spark, idx)
+    }
+    assert(err.getMessage != null)
   }
 
   test("gate -> chunk composition streams statelessly (the ingest pipeline)") {
@@ -1966,6 +2066,32 @@ class StreamingSuite extends SparkSpec {
     val qs = Seq((1L, vec(1))).toDF("vec_id", "embedding")
     assert(SimilaritySearch.searchIvf(spark, idx2, qs, "vec_id", "embedding",
       k = 2, nProbe = 2).count() == 2)
+
+    // round-16 ADVICE (medium): with compactEvery > 0 the no-op first
+    // batch used to wedge the stream PERMANENTLY — nothing published,
+    // then maybeCompact's segment listing threw on the missing index
+    // before the micro-batch committed, so every restart replayed the
+    // same batch into the same throw. The exists() guard must let the
+    // batch commit; compaction then engages once the index is real.
+    val idx3 = java.nio.file.Files.createTempDirectory("graft_cdc_df3_").toString
+    val ckpt3 = java.nio.file.Files.createTempDirectory("graft_cdc_df3ck_").toString
+    val in3 = MemoryStream[(Long, String, String)]
+    val q3 = Streaming.maintainBm25IndexCdc(
+      in3.toDF().toDF("doc_id", "status", "text"),
+      "doc_id", "status", "text", idx3, ckpt3, compactEvery = 2)
+    try {
+      in3.addData((9L, "removed", null.asInstanceOf[String]))
+      q3.processAllAvailable() // must not throw (was: IllegalStateException)
+      assert(!graft.sources.IndexIO.exists(spark, idx3))
+      in3.addData((1L, "added", "alpha beta"))
+      q3.processAllAvailable()
+      in3.addData((2L, "added", "beta gamma"))
+      q3.processAllAvailable() // chain hits 2 segments -> compaction runs
+    } finally q3.stop()
+    assert(graft.sources.IndexIO.segments(spark, idx3).length == 1,
+      "compaction cadence must still engage after the no-op first batch")
+    assert(Search.bm25SearchIndex(spark, idx3, Seq("beta"), k = 5)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
   test("maintainMinhashIndexCdc: changed docs re-sketch, removed leave the postings") {
