@@ -1,0 +1,142 @@
+"""PySpark binding for the graft parity operators.
+
+Mirrors the reference's public Python surface (fburic/pandance
+``pandance/__init__.py``: ``fuzzy_join``, ``theta_join``, ``ineq_join``,
+``_estimate_mem_cost_cartesian``) over PySpark DataFrames, plus the
+engine's ``as_of_join`` extension. Signatures, defaults (``tol=1e-3``,
+``suffixes=('_x', '_y')``), and dtype dispatch (float/Decimal/Timedelta
+tolerance -> numeric/decimal/time path, pandance/pandance.py:261-312)
+follow the reference; execution is the Scala engine's — the py4j facade
+``graft.api.PyApi`` adapts arguments and adds no logic, so results are
+bit-identical to the Scala/SQL forms proven against the DuckDB oracle.
+
+Usage::
+
+    from graft import fuzzy_join, theta_join, ineq_join
+    out = fuzzy_join(left_df, right_df, on="price", tol=0.5)
+
+The graft jar (or ``target/scala-2.13/classes``) must be on the driver
+classpath; any SparkSession works, though installing
+``graft.plans.GraftExtensions`` enables the range-join physical
+strategy ``ineq_join`` wants at scale.
+"""
+
+import datetime
+import decimal
+
+from pyspark.sql import DataFrame
+
+__all__ = ["fuzzy_join", "theta_join", "ineq_join", "as_of_join",
+           "estimate_mem_cost_cartesian_mib"]
+
+
+def _api(df):
+    return df.sparkSession._jvm.graft.api.PyApi
+
+
+def _wrap(df, jdf):
+    return DataFrame(jdf, df.sparkSession)
+
+
+def _nz(s):
+    return "" if s is None else s
+
+
+def _tol_micros(tol):
+    """A Timedelta-like tolerance (datetime.timedelta, pandas.Timedelta,
+    numpy.timedelta64) as whole microseconds."""
+    if isinstance(tol, datetime.timedelta):
+        return int(tol / datetime.timedelta(microseconds=1))
+    # pandas.Timedelta subclasses datetime.timedelta; numpy.timedelta64
+    # and anything else duck-type through total_seconds / to_timedelta64
+    ts = getattr(tol, "total_seconds", None)
+    if ts is not None:
+        return int(round(ts() * 1_000_000))
+    raise TypeError(f"unsupported time tolerance type: {type(tol)}")
+
+
+def _is_time_tol(tol):
+    return isinstance(tol, datetime.timedelta) or hasattr(tol, "total_seconds")
+
+
+def fuzzy_join(left, right, on=None, left_on=None, right_on=None,
+               tol=1e-3, suffixes=("_x", "_y")):
+    """Approximate inner join on a numeric, decimal, or time column —
+    ``abs(l - r) <= tol`` matches (inclusive), reference
+    pandance/pandance.py:22-208. The tolerance type picks the path,
+    like the reference's dtype dispatch: ``datetime.timedelta`` /
+    ``pandas.Timedelta`` -> time join, ``decimal.Decimal`` -> exact
+    decimal join, anything numeric -> the numeric band join.
+    """
+    api, sx, sy = _api(left), suffixes[0], suffixes[1]
+    if _is_time_tol(tol):
+        jdf = api.fuzzyJoinTime(left._jdf, right._jdf, _tol_micros(tol),
+                                _nz(on), _nz(left_on), _nz(right_on), sx, sy)
+    elif isinstance(tol, decimal.Decimal):
+        jdf = api.fuzzyJoinDecimal(left._jdf, right._jdf, str(tol),
+                                   _nz(on), _nz(left_on), _nz(right_on), sx, sy)
+    else:
+        jdf = api.fuzzyJoinNumeric(left._jdf, right._jdf, float(tol),
+                                   _nz(on), _nz(left_on), _nz(right_on), sx, sy)
+    return _wrap(left, jdf)
+
+
+def theta_join(left, right, condition=None, on=None, left_on=None,
+               right_on=None, suffixes=("_x", "_y")):
+    """Inner join under an arbitrary binary relation, reference
+    pandance/pandance.py:331-566. ``condition`` takes the two (suffixed)
+    join Columns and returns a boolean Column — the Catalyst-visible
+    form, so the predicate stays inside codegen. (The reference's
+    ``n_processes``/``par_threshold`` knobs do not exist here: partition
+    parallelism is native.) For an opaque Python predicate, wrap it in
+    ``pyspark.sql.functions.udf`` inside ``condition``.
+    """
+    if condition is None:
+        raise TypeError("theta_join: condition is required")
+    api = _api(left)
+    prepared = api.thetaPrepare(left._jdf, right._jdf, _nz(on), _nz(left_on),
+                                _nz(right_on), suffixes[0], suffixes[1])
+    l = _wrap(left, prepared[0])
+    r = _wrap(right, prepared[1])
+    cond = condition(l[prepared[2]], r[prepared[3]])
+    return _wrap(left, api.thetaJoin(l._jdf, r._jdf, cond._jc))
+
+
+def ineq_join(left, right, how="<=", on=None, left_on=None,
+              right_on=None, suffixes=("_x", "_y"), prune=True):
+    """Inequality inner join, ``how`` in {<, <=, >=, >} — reference
+    pandance/pandance.py:614-846, including the M4 min/max fast paths
+    (answered from parquet footer statistics when the inputs are bare
+    parquet scans).
+    """
+    jdf = _api(left).ineqJoin(left._jdf, right._jdf, how, _nz(on),
+                              _nz(left_on), _nz(right_on),
+                              suffixes[0], suffixes[1], bool(prune))
+    return _wrap(left, jdf)
+
+
+def as_of_join(left, right, tol, right_id, on=None, left_on=None,
+               right_on=None, direction="nearest", by=(),
+               suffixes=("_x", "_y"), join_type="inner",
+               allow_exact_matches=True):
+    """Nearest-event time join (the engine's extension beyond the
+    reference): each left row takes the closest right row within
+    ``tol`` (a timedelta), optionally per ``by`` group.
+    """
+    sc = left.sparkSession.sparkContext
+    gw = sc._gateway
+    jby = gw.new_array(gw.jvm.java.lang.String, len(by))
+    for i, c in enumerate(by):
+        jby[i] = c
+    jdf = _api(left).asOfJoinTime(
+        left._jdf, right._jdf, _tol_micros(tol), right_id, _nz(on),
+        _nz(left_on), _nz(right_on), direction, jby,
+        suffixes[0], suffixes[1], join_type, bool(allow_exact_matches))
+    return _wrap(left, jdf)
+
+
+def estimate_mem_cost_cartesian_mib(a, a_col, b, b_col):
+    """Estimated MiB of the Cartesian join result — the reference's
+    ``_estimate_mem_cost_cartesian`` (pandance/pandance.py:894-917).
+    """
+    return _api(a).estimateMemCostCartesianMiB(a._jdf, a_col, b._jdf, b_col)

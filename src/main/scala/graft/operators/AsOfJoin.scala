@@ -83,14 +83,22 @@ object AsOfJoin {
     JoinSpec.requireColumn(right, cols.rightCol, "right")
     val (byL, byR) = byCols(left, right, by, suffixes)
 
+    // DateType / TimestampNTZ keys widen to TimestampType under the
+    // session zone first, like FuzzyJoin.time — unix_micros requires it
+    def widen(df: DataFrame, c: String): DataFrame = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+    }
+    val leftW = widen(left, cols.leftCol)
+    val rightW = widen(right, cols.rightCol)
     // a left join keeps null-key left rows (they surface unmatched); the
     // inner form prunes them before the shuffle, like the reference's
     // NaN pre-filter (pandance/pandance.py:265-312)
     val lPruned =
-      if (joinType == "left") left
-      else left.filter(col(cols.leftCol).isNotNull)
+      if (joinType == "left") leftW
+      else leftW.filter(col(cols.leftCol).isNotNull)
     val lf = lPruned.withColumn(RID, monotonically_increasing_id())
-    val rf = right.filter(col(cols.rightCol).isNotNull)
+    val rf = rightW.filter(col(cols.rightCol).isNotNull)
     val (l, r, c) = JoinSpec.applySuffixes(lf, rf, cols, suffixes)
     val ridCol = if (l.columns.contains(RID)) RID else RID + suffixes._1
     val idOut = if (r.columns.contains(rightId)) rightId else rightId + suffixes._2

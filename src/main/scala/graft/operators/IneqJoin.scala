@@ -94,11 +94,25 @@ object IneqJoin {
       // the extremes under the operator. `<`/`<=`: if max(l) OP min(r)
       // every pair matches; if NOT (min(l) OP max(r)) no pair matches.
       // Mirrored for `>`/`>=`.
-      val Array(lMin, lMax) = l.agg(min(col(c.leftCol)), max(col(c.leftCol))).collect()(0) match {
-        case row => Array(row.get(0), row.get(1))
-      }
-      val Array(rMin, rMax) = r.agg(min(col(c.rightCol)), max(col(c.rightCol))).collect()(0) match {
-        case row => Array(row.get(0), row.get(1))
+      //
+      // Bounds come from parquet FOOTER min/max when both inputs are
+      // unfiltered parquet scans (a driver-side metadata read — at
+      // 100 TB the two extreme aggregates are two extra full scans
+      // before every join, and footers answer the same question for
+      // the price of listing). Footer bounds are conservative
+      // supersets of the non-null data's true extremes, so a fast
+      // path that fires on them is sound; when they are inconclusive
+      // the plain range join runs, which computes the same rows
+      // anyway. Non-scan inputs (filters, joins, casts) and types
+      // without ordered footer stats fall back to the aggregates.
+      val footer = ParquetFooterBounds.bounds(left, cols.leftCol)
+        .zip(ParquetFooterBounds.bounds(right, cols.rightCol))
+      val (lMin, lMax, rMin, rMax) = footer match {
+        case Some(((lo1, hi1), (lo2, hi2))) => (lo1, hi1, lo2, hi2)
+        case None =>
+          val lrow = l.agg(min(col(c.leftCol)), max(col(c.leftCol))).collect()(0)
+          val rrow = r.agg(min(col(c.rightCol)), max(col(c.rightCol))).collect()(0)
+          (lrow.get(0), lrow.get(1), rrow.get(0), rrow.get(1))
       }
       if (lMin == null || rMin == null) return emptyLike(l, r)
       val increasing = how == "<" || how == "<="

@@ -137,4 +137,88 @@ class IneqJoinSuite extends SparkSpec {
     assert(out.columns.toSeq == Seq("id_x", "v_x", "id_y", "v_y"))
     assert(out.count() == 1)
   }
+
+  private def jobsDuring(body: => Unit): Int = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { n.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; org.apache.spark.graft.TestHooks.waitListenerBus(spark.sparkContext) }
+    finally spark.sparkContext.removeSparkListener(l)
+    n.get()
+  }
+
+  private def writeScan(rows: Seq[(Long, Long)], cols: (String, String)): org.apache.spark.sql.DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ineq_ftr_").toString
+    rows.toDF(cols._1, cols._2).write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  test("parquet footer stats replace the prune pre-scans (zero jobs at plan time)") {
+    // round-16 verdict #7: on unfiltered parquet scans the two extreme
+    // aggregates (two extra full passes at 100 TB) are answered from
+    // footer metadata. apply() with inconclusive bounds must launch
+    // ZERO Spark jobs — footers are driver-side IO — and produce the
+    // identical join.
+    val l = writeScan((1L to 40L).map(i => (i, i)), ("lid", "a"))
+    val r = writeScan((1L to 40L).map(i => (i, 80L - i)), ("rid", "b"))
+    // bounds come straight from the footers
+    assert(ParquetFooterBounds.bounds(l, "a").contains((1L: Number, 40L: Number)))
+    assert(ParquetFooterBounds.bounds(r, "b").contains((40L: Number, 79L: Number)))
+    var planned: org.apache.spark.sql.DataFrame = null
+    val jobs = jobsDuring {
+      planned = IneqJoin(l, r, "<", leftOn = Some("a"), rightOn = Some("b"))
+    }
+    assert(jobs == 0, s"expected footer-only planning, saw $jobs jobs")
+    assertSameRows(
+      planned.select("lid", "rid"),
+      IneqJoin(l, r, "<", leftOn = Some("a"), rightOn = Some("b"),
+        prune = false).select("lid", "rid"))
+  }
+
+  test("footer stats drive both fast paths (all-match cross join, none-match empty)") {
+    val lo = writeScan((1L to 6L).map(i => (i, i)), ("lid", "a"))          // 1..6
+    val hi = writeScan((1L to 5L).map(i => (i, 100L + i)), ("rid", "b"))   // 101..105
+    var all: org.apache.spark.sql.DataFrame = null
+    var none: org.apache.spark.sql.DataFrame = null
+    val jobsNone = jobsDuring {
+      none = IneqJoin(lo, hi, ">", leftOn = Some("a"), rightOn = Some("b"))
+    }
+    assert(jobsNone == 0, s"none-match must be footer-only, saw $jobsNone jobs")
+    // the all-match branch keeps the reference's M6 size-estimate
+    // pre-flight (a deliberate pair of count jobs before materializing
+    // a Cartesian result) — those, and ONLY those, may run
+    val estJobs = jobsDuring {
+      MemEstimate.warnIfLarge(lo.filter($"a".isNotNull), "a",
+        hi.filter($"b".isNotNull), "b")
+    }
+    val jobsAll = jobsDuring {
+      all = IneqJoin(lo, hi, "<", leftOn = Some("a"), rightOn = Some("b"))
+    }
+    assert(jobsAll == estJobs,
+      s"all-match may only run the M6 estimate ($estJobs jobs), saw $jobsAll")
+    assert(all.count() == 30)  // 6 x 5 cross join
+    assert(none.count() == 0)
+    assert(none.columns.length == 4) // full merged header on the empty path
+  }
+
+  test("footer path bails to aggregates on filters, non-scan plans, and strings") {
+    val l = writeScan((1L to 10L).map(i => (i, i)), ("lid", "a"))
+    // a filter narrows true extremes below the file bounds — must bail
+    assert(ParquetFooterBounds.bounds(l.filter($"a" > 5), "a").isEmpty)
+    // a non-scan plan (in-memory) has no footers
+    assert(ParquetFooterBounds.bounds(
+      Seq((1L, 2L)).toDF("x", "y"), "x").isEmpty)
+    // string columns: writer-dependent truncation rules — must bail
+    val dir = java.nio.file.Files.createTempDirectory("graft_ineq_str_").toString
+    Seq((1L, "alpha")).toDF("id", "s").write.mode("overwrite").parquet(dir)
+    assert(ParquetFooterBounds.bounds(spark.read.parquet(dir), "s").isEmpty)
+    // and the aggregate fallback still prunes correctly through a filter
+    val r = writeScan((1L to 10L).map(i => (i, 100L + i)), ("rid", "b"))
+    val out = IneqJoin(l.filter($"a" <= 3), r, "<",
+      leftOn = Some("a"), rightOn = Some("b"))
+    assert(out.count() == 30) // 3 x 10 all-match via the aggregate path
+  }
 }
