@@ -103,7 +103,31 @@ object Bench {
     "pipeline_semantic_dedup",
     "agg_pricing",
     "stream_window_counts", "sessionize_events", "pipeline_clean_corpus",
-    "pipeline_pack_clean", "pipeline_chunk_pack", "pipeline_dsir_select")
+    "pipeline_pack_clean", "pipeline_chunk_pack", "pipeline_dsir_select",
+    // round-17: the most expensive previously correctness-only queries
+    // (round-16 verdict #5 — a query with no timing signal can regress
+    // silently). The remaining un-benched entries are sub-100ms scan
+    // projections / small-dim relational rows (PLANS.md round-17 note).
+    "bpe_train", "unigram_train",
+    "dedup_components", "dedup_components_distributed",
+    "dedup_components_reliable", "dedup_keep_best",
+    "dedup_incremental", "dedup_incremental_appended",
+    "dedup_incremental_deleted", "dedup_cross_corpus",
+    "dedup_simhash", "dedup_winnow_pairs", "dedup_span_pairs",
+    "dedup_embedding_lsh", "dedup_lines",
+    "ann_topk_ivf", "ann_topk_ivf_pq", "ann_topk_ivf_pq_rerank",
+    "ann_topk_ivf_pq_filtered", "ann_topk_lsh", "ann_topk_sq8",
+    "ann_topk_ivf_sq8", "ann_topk_pq_persisted",
+    "theta_join_udf", "theta_join_substr", "mem_estimate",
+    "sql_curation", "decontaminate_containment",
+    "decontaminate_eval_deleted",
+    "stream_ingest_pipeline", "stream_ingest_pipeline_bpe",
+    "stream_embedding_dedup", "stream_index_dedup",
+    "stream_decontaminate_indexed",
+    "semdedup_pruned", "lm_score_kn", "stream_kn_gate",
+    "mix_temperature_tokens", "sample_token_budget_by_source",
+    "chunk_documents_bpe_overlap",
+    "stream_cdc_dsir", "stream_cdc_dsir_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
