@@ -1230,41 +1230,15 @@ object Dedup {
       localThreshold: Long,
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val spark = pairs.sparkSession
-    val hconf = spark.sparkContext.hadoopConfiguration
-    var spillSeq = 0
-    // durable materialization: parquet round-trip under checkpointDir.
-    // Unlike localCheckpoint (executor block store — gone with the
-    // executor) the spill survives any executor loss; unlike
-    // df.checkpoint() it needs no context-global setCheckpointDir and
-    // the loop can reclaim dead rounds itself.
-    def spill(df: DataFrame, dir: String): (DataFrame, String) = {
-      val path = s"$dir/cc-spill-$spillSeq"
-      spillSeq += 1
-      df.write.mode("overwrite").parquet(path)
-      (spark.read.parquet(path), path)
-    }
-    // long-lived materializations (edge list, initial labels): read
-    // every round, never reclaimed mid-loop
-    def mat(df: DataFrame): DataFrame = checkpointDir match {
-      case None      => df.localCheckpoint(true)
-      case Some(dir) => spill(df, dir)._1
-    }
-    // per-round materializations: once round n's final spill is
-    // durable, everything before round n−1 is dead — keep a 3-spill
-    // window (this round's two + the previous round's labels) so
-    // storage stays O(labels), not O(rounds · labels)
-    val roundSpills = scala.collection.mutable.Queue.empty[String]
-    def matRound(df: DataFrame): DataFrame = checkpointDir match {
-      case None => df.localCheckpoint(true)
-      case Some(dir) =>
-        val (out, path) = spill(df, dir)
-        roundSpills.enqueue(path)
-        while (roundSpills.size > 3) {
-          val dead = new org.apache.hadoop.fs.Path(roundSpills.dequeue())
-          dead.getFileSystem(hconf).delete(dead, true)
-        }
-        out
-    }
+    // durable materialization under checkpointDir: unlike
+    // localCheckpoint (executor block store — gone with the executor)
+    // the spill survives any executor loss; unlike df.checkpoint() it
+    // needs no context-global setCheckpointDir and dead rounds are
+    // reclaimed as the loop advances. Window = 3: this round's two
+    // cuts + the previous round's labels.
+    val spiller = new RoundSpiller(spark, checkpointDir, "cc-spill")
+    def mat(df: DataFrame): DataFrame = spiller.keep(df)
+    def matRound(df: DataFrame): DataFrame = spiller.cut(df)
     // materialize the pair list ONCE before mirroring: `pairs` is
     // usually the output of an expensive similarity join, and the
     // symmetric union would otherwise re-run that subtree twice

@@ -437,10 +437,18 @@ object SimilaritySearch {
     */
   def semDeDup(df: DataFrame, idCol: String, vecCol: String,
       k: Int, threshold: Double, iters: Int = 5,
-      maxCellSize: Int = 0): DataFrame = {
+      maxCellSize: Int = 0,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 2, s"semDeDup: k must be >= 2, got $k")
-    val c = prepared(df, idCol, vecCol, "neighbor_id", "__cv", "__cn")
-      .localCheckpoint(true) // scanned per Lloyd iteration + twice below
+    // the same fault-tolerance option as Dedup.connectedComponents:
+    // this operator ITERATES (Lloyd passes, hierarchical splitting,
+    // the component contraction) over the full embedding corpus — on a
+    // cluster, pass a durable dir so an executor loss replays at most
+    // one round instead of killing the job (see [[RoundSpiller]])
+    val spiller = new graft.operators.RoundSpiller(
+      df.sparkSession, checkpointDir, "semdedup-spill")
+    val c = spiller.keep( // scanned per Lloyd iteration + twice below
+      prepared(df, idCol, vecCol, "neighbor_id", "__cv", "__cn"))
     val centroids = trainCentroids(c, k, iters)
     // maxCellSize > 0 arms the paper's hierarchical fallback: cells the
     // Lloyd pass left oversized re-cluster recursively before the
@@ -448,11 +456,12 @@ object SimilaritySearch {
     // keeps the flat blocking and only WARNS on a degenerate histogram,
     // so existing results are byte-stable
     val state =
-      if (maxCellSize <= 0) semDeDupState(c, centroids, threshold)
+      if (maxCellSize <= 0) semDeDupState(c, centroids, threshold, checkpointDir)
       else {
         val assigned = assignSemDedupCells(c, centroids)
         semDeDupResolve(
-          splitOversizedCells(assigned, maxCellSize, iters), threshold)
+          splitOversizedCells(assigned, maxCellSize, iters, spiller),
+          threshold, checkpointDir)
       }
     state
       .select(col("__id").as(idCol), col("cluster"),
@@ -472,10 +481,10 @@ object SimilaritySearch {
     * centroids produce equal state by construction.
     */
   private def semDeDupState(c: DataFrame, centroids: Array[Array[Double]],
-      threshold: Double): DataFrame = {
+      threshold: Double, checkpointDir: Option[String] = None): DataFrame = {
     val assigned = assignSemDedupCells(c, centroids)
     warnDegeneratePairSearch(assigned)
-    semDeDupResolve(assigned, threshold)
+    semDeDupResolve(assigned, threshold, checkpointDir)
   }
 
   /** The assignment half of [[semDeDupState]]: every row gets its best
@@ -522,7 +531,8 @@ object SimilaritySearch {
     * WITHIN cells, connected components, keep-the-atypical.
     */
   private def semDeDupResolve(
-      assigned: DataFrame, threshold: Double): DataFrame = {
+      assigned: DataFrame, threshold: Double,
+      checkpointDir: Option[String] = None): DataFrame = {
     val a = assigned.select(col("cluster"), col("__id").as("id_a"),
       col("__cv").as("__va"), col("__cn").as("__na"))
     val b = assigned.select(col("cluster"), col("__id").as("id_b"),
@@ -532,7 +542,8 @@ object SimilaritySearch {
       .filter(VectorFunctions.dot(col("__va"), col("__vb"))
         / (col("__na") * col("__nb")) >= threshold)
       .select("id_a", "id_b")
-    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      checkpointDir = checkpointDir.map(_ + "/cc"))
     // representative = argmin (centroid_cos, id) per component
     val reps = comps
       .join(assigned.select(col("__id").as("id"), col("__ccos")), Seq("id"))
@@ -562,7 +573,8 @@ object SimilaritySearch {
     * approximation the clustering-as-blocking contract already allows.
     */
   private def splitOversizedCells(
-      assigned0: DataFrame, maxCellSize: Int, iters: Int): DataFrame = {
+      assigned0: DataFrame, maxCellSize: Int, iters: Int,
+      spiller: RoundSpiller): DataFrame = {
     var assigned = assigned0
     var depth = 0
     var prevOversizedRows = Long.MaxValue
@@ -602,14 +614,13 @@ object SimilaritySearch {
             bestCellStructExpr(col("__cv"), centroidArrayFrom(sub, base)))
             .otherwise(acc)
         }
-        assigned = assigned
+        assigned = spiller.cut(assigned
           .withColumn("__rb", rebest)
           .select(col("__id"), col("__cv"), col("__cn"),
             coalesce(col("__rb").getField("cell"), col("cluster")).as("cluster"),
             coalesce(
               floor(col("__rb").getField("score") * lit(10000.0)).cast("long"),
-              col("__ccos")).as("__ccos"))
-          .localCheckpoint(true)
+              col("__ccos")).as("__ccos")))
       }
       depth += 1
     }
