@@ -27,7 +27,13 @@ import decimal
 from pyspark.sql import DataFrame
 
 __all__ = ["fuzzy_join", "theta_join", "ineq_join", "as_of_join",
-           "estimate_mem_cost_cartesian_mib"]
+           "estimate_mem_cost_cartesian_mib",
+           # LLM-pipeline flagships
+           "dedup_exact", "dedup_pairs_minhash_lsh",
+           "dedup_pairs_ngram_jaccard", "dedup_pairs_simhash",
+           "connected_components", "sem_dedup", "ann_topk_brute",
+           "bm25_topk", "decontaminate", "chunk_by_tokens", "pack_greedy",
+           "dsir_score"]
 
 
 def _api(df):
@@ -140,3 +146,110 @@ def estimate_mem_cost_cartesian_mib(a, a_col, b, b_col):
     ``_estimate_mem_cost_cartesian`` (pandance/pandance.py:894-917).
     """
     return _api(a).estimateMemCostCartesianMiB(a._jdf, a_col, b._jdf, b_col)
+
+
+# ---- LLM-pipeline flagships (the engine's beyond-reference surface) ----
+
+def dedup_exact(df, text_col, id_col):
+    """Exact-duplicate removal: keep the lowest-``id_col`` row per
+    distinct ``text_col`` value (hash aggregation, no pair join)."""
+    return _wrap(df, _api(df).dedupExact(df._jdf, text_col, id_col))
+
+
+def dedup_pairs_minhash_lsh(df, id_col, text_col, n=3, num_hashes=128,
+                            bands=32, threshold=0.6):
+    """Near-dup candidate pairs via banded MinHash LSH, exact-verified
+    at ``threshold`` Jaccard over word ``n``-gram shingles."""
+    return _wrap(df, _api(df).dedupPairsMinhashLsh(
+        df._jdf, id_col, text_col, int(n), int(num_hashes), int(bands),
+        float(threshold)))
+
+
+def dedup_pairs_ngram_jaccard(df, id_col, text_col, n=3, threshold=0.6):
+    """EXACT Jaccard >= threshold pairs over word n-gram shingles
+    (posting-list join, never all-pairs)."""
+    return _wrap(df, _api(df).dedupPairsNgramJaccard(
+        df._jdf, id_col, text_col, int(n), float(threshold)))
+
+
+def dedup_pairs_simhash(df, id_col, text_col, max_hamming=7):
+    """SimHash near-dup pairs within ``max_hamming`` bits (pigeonhole
+    blocking — exact for the radius)."""
+    return _wrap(df, _api(df).dedupPairsSimhash(
+        df._jdf, id_col, text_col, int(max_hamming)))
+
+
+def connected_components(pairs, a_col, b_col, max_iter=25,
+                         local_threshold=250000, checkpoint_dir=None):
+    """Duplicate clusters from a pair list: ``(id, component)`` with
+    component = min reachable id. Pass ``checkpoint_dir`` on a real
+    cluster for durable per-round checkpointing (executor-loss safe)."""
+    return _wrap(pairs, _api(pairs).connectedComponents(
+        pairs._jdf, a_col, b_col, int(max_iter), int(local_threshold),
+        _nz(checkpoint_dir)))
+
+
+def sem_dedup(df, id_col, vec_col, k, threshold, iters=5, max_cell_size=0,
+              checkpoint_dir=None):
+    """SemDeDup (Abbas et al. 2023): k-means-blocked semantic dedup over
+    an embedding column; keeps the most atypical member per duplicate
+    group. ``max_cell_size > 0`` arms the hierarchical re-cluster
+    fallback; ``checkpoint_dir`` makes the iteration executor-loss
+    safe."""
+    return _wrap(df, _api(df).semDeDup(
+        df._jdf, id_col, vec_col, int(k), float(threshold), int(iters),
+        int(max_cell_size), _nz(checkpoint_dir)))
+
+
+def ann_topk_brute(queries, corpus, id_col, vec_col, k):
+    """Exact cosine top-k neighbors of each query vector (the baseline
+    the approximate indexes are measured against)."""
+    return _wrap(queries, _api(queries).annTopKBrute(
+        queries._jdf, corpus._jdf, id_col, vec_col, int(k)))
+
+
+def bm25_topk(docs, id_col, text_col, terms, k, k1=1.2, b=0.75):
+    """BM25 top-k documents for a term list (exact 1e-8-grid scores,
+    deterministic tie order)."""
+    sc = docs.sparkSession.sparkContext
+    gw = sc._gateway
+    jterms = gw.new_array(gw.jvm.java.lang.String, len(terms))
+    for i, t in enumerate(terms):
+        jterms[i] = t
+    return _wrap(docs, _api(docs).bm25TopK(
+        docs._jdf, id_col, text_col, jterms, int(k), float(k1), float(b)))
+
+
+def decontaminate(train, eval_df, id_col, text_col, n=8,
+                  broadcast_eval=True):
+    """Benchmark decontamination: train docs sharing a word ``n``-gram
+    with the eval side, flagged with collision count and contamination
+    ratio. The eval side broadcasts as 64-bit hashes (MBs vs TBs)."""
+    return _wrap(train, _api(train).decontaminateNgramOverlap(
+        train._jdf, eval_df._jdf, id_col, text_col, int(n),
+        bool(broadcast_eval)))
+
+
+def chunk_by_tokens(df, id_col, text_col, max_tokens, overlap=0):
+    """Split documents into token windows (stride = max_tokens −
+    overlap); zero-shuffle scan projection."""
+    return _wrap(df, _api(df).chunkByTokens(
+        df._jdf, id_col, text_col, int(max_tokens), int(overlap)))
+
+
+def pack_greedy(docs, id_col, tokens_col, max_len, chunk_expr):
+    """Greedy sequence packing into ``max_len``-token bins, one packing
+    stream per ``chunk_expr`` group (a SQL expression string, e.g.
+    ``"doc_id div 1000"``)."""
+    return _wrap(docs, _api(docs).packGreedy(
+        docs._jdf, id_col, tokens_col, int(max_len), chunk_expr))
+
+
+def dsir_score(raw, id_col, text_col, target, target_text_col,
+               buckets=4096):
+    """DSIR importance log-weights of ``raw`` docs against a curated
+    ``target`` corpus (Xie et al., NeurIPS 2023) — hashed n-gram
+    profiles, exact grid arithmetic."""
+    return _wrap(raw, _api(raw).dsirScore(
+        raw._jdf, id_col, text_col, target._jdf, target_text_col,
+        int(buckets)))

