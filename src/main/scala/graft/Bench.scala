@@ -127,7 +127,8 @@ object Bench {
     "semdedup_pruned", "lm_score_kn", "stream_kn_gate",
     "mix_temperature_tokens", "sample_token_budget_by_source",
     "chunk_documents_bpe_overlap",
-    "stream_cdc_dsir", "stream_cdc_dsir_serve")
+    "stream_cdc_dsir", "stream_cdc_dsir_serve",
+    "index_sync_eval", "stream_cdc_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

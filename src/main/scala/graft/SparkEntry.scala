@@ -809,6 +809,64 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shared"), col("n_shingles"),
           col("contamination"))
     }),
+    "index_sync_eval" -> ((s, dir) => {
+      // the eval-hash family's SNAPSHOT SYNC (the second retraction
+      // family): an index built on the stale suite (%10==0 stale
+      // revisions + the %10==5 benchmark) syncs to the live suite
+      // (%10==0 true text only) — the delete leg retracts the old
+      // rows' occurrence counts, the append leg adds the new; the
+      // gate then equals a one-shot build on the live suite, which is
+      // the survivor oracle verbatim.
+      val d = t(s, dir, "documents")
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"eval_sync_$token", dir)
+      val oldSuite = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(col("text"), lit(" stale revision")))
+        .unionByName(d.filter(col("doc_id") % 10 === 5))
+        .select("doc_id", "text")
+      val newSuite = d.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+      Decontaminate.buildEvalIndex(oldSuite, "text", idx, n = 3)
+      IndexSync.syncEvalIndex(s, oldSuite, newSuite, "doc_id", "text", idx)
+      Streaming.decontaminateGateFromIndex(s, d.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", idx)
+        .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+          col("contamination"))
+    }),
+    "stream_cdc_eval" -> ((s, dir) => {
+      // the same change feed as a REAL STREAM (Streaming
+      // .maintainEvalIndexCdc): batch 1 bootstraps the stale suite,
+      // batch 2 carries the diff — %10==0 items changed (old stale
+      // text rides old_text and retracts), the %10==5 benchmark
+      // removed. Same survivor oracle.
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val idx = scratch(s"eval_cdc_$token", dir)
+      val ckpt = scratch(s"eval_cdc_ck_$token", dir)
+      val live = d.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val retired = d.filter(col("doc_id") % 10 === 5).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val batch1 =
+        (live.map { case (id, tx) =>
+          (id, "added", tx + " stale revision", null: String) } ++
+          retired.map { case (id, tx) => (id, "added", tx, null: String) })
+          .sortBy(_._1).toSeq
+      val batch2 =
+        (live.map { case (id, tx) =>
+          (id, "changed", tx, tx + " stale revision") } ++
+          retired.map { case (id, tx) =>
+            (id, "removed", null: String, tx) }).sortBy(_._1).toSeq
+      runMaintainer(s, Seq(batch1, batch2)) { ds =>
+        Streaming.maintainEvalIndexCdc(
+          ds.toDF("doc_id", "status", "text", "old_text"),
+          "doc_id", "status", "text", "old_text", idx, ckpt, n = 3)
+      }
+      Streaming.decontaminateGateFromIndex(s, d.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", idx)
+        .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+          col("contamination"))
+    }),
     "stream_maintained_eval" -> ((s, dir) => {
       // the benchmark-ARRIVAL write path: a real streaming query
       // maintains the decontamination eval index (first suite
@@ -5260,6 +5318,25 @@ object SparkEntry {
         |  JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |""".stripMargin
+    // the SURVIVOR-suite gate: after withdrawing the %10==5 benchmark
+    // (takedown, snapshot sync, or CDC), the gate equals
+    // decontamination against the %10==0 suite alone — shared by
+    // decontaminate_eval_deleted / index_sync_eval / stream_cdc_eval
+    val decontSurvivorOracle = shinglesBase +
+      """ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),
+        |agg AS (
+        |  SELECT tr.doc_id, count(*) AS n_shingles, count(ev.shingle) AS n_shared
+        |  FROM tr LEFT JOIN ev ON ev.shingle = tr.shingle
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(a.n_shared, 0) AS BIGINT) AS n_shared,
+        |       CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |       coalesce(floor(a.n_shared * 10000.0 / a.n_shingles) / 10000.0, 0.0)
+        |         AS contamination
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |WHERE d.doc_id % 5 <> 0
+        |  AND coalesce(a.n_shared, 0) = 0""".stripMargin
     // shared by stream_decontaminate_indexed and stream_maintained_eval
     // (both serve the gate from an artifact whose union is the %5==0
     // eval side)
@@ -7983,24 +8060,11 @@ object SparkEntry {
       // stream_decontaminate: the gate keeps what decontaminate_docs
       // doesn't flag — train docs with NO shared shingle (zero-shingle
       // docs are unflaggable by construction, hence clean)
-      // takedown: after withdrawing the %10==5 benchmark, the gate
-      // equals decontamination against the %10==0 suite alone —
-      // shared shingles keep gating, withdrawn-only shingles stop
-      "decontaminate_eval_deleted" -> (shinglesBase +
-        """ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
-          |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),
-          |agg AS (
-          |  SELECT tr.doc_id, count(*) AS n_shingles, count(ev.shingle) AS n_shared
-          |  FROM tr LEFT JOIN ev ON ev.shingle = tr.shingle
-          |  GROUP BY 1)
-          |SELECT d.doc_id,
-          |       CAST(coalesce(a.n_shared, 0) AS BIGINT) AS n_shared,
-          |       CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
-          |       coalesce(floor(a.n_shared * 10000.0 / a.n_shingles) / 10000.0, 0.0)
-          |         AS contamination
-          |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
-          |WHERE d.doc_id % 5 <> 0
-          |  AND coalesce(a.n_shared, 0) = 0""".stripMargin),
+      // takedown / snapshot-sync / CDC legs of the eval-hash family:
+      // all three land the survivor-suite gate
+      "decontaminate_eval_deleted" -> decontSurvivorOracle,
+      "index_sync_eval" -> decontSurvivorOracle,
+      "stream_cdc_eval" -> decontSurvivorOracle,
       "stream_decontaminate" -> (shinglesBase +
         """ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 0),
           |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),

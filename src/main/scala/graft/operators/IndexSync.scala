@@ -235,6 +235,29 @@ object IndexSync {
       idCol, frameIdxCol, frameBinCol, path, sceneMaxHamming)
   }
 
+  /** Sync a persisted decontamination eval-hash index
+    * ([[Decontaminate.buildEvalIndex]]) to a new BENCHMARK SUITE
+    * snapshot — the second retraction family (the artifact carries
+    * additive shingle-occurrence counts, [[Decontaminate
+    * .deleteFromEvalIndex]]): removed+changed items' counts retract by
+    * re-reading the OLD snapshot's rows, added+changed items append
+    * their positive profile. The live hash set afterwards equals a
+    * one-shot build on the new suite exactly — a hash shared between a
+    * withdrawn and a surviving benchmark keeps gating.
+    */
+  def syncEvalIndex(
+      spark: SparkSession, oldSnapshot: DataFrame, newSnapshot: DataFrame,
+      idCol: String, textCol: String, path: String): Unit = {
+    import graft.operators.Decontaminate
+    val (del, app, nDel, nApp) =
+      changeSets(oldSnapshot, newSnapshot, idCol, Seq(textCol))
+    if (nDel > 0) {
+      val delRows = oldSnapshot.join(del, Seq(idCol), "left_semi")
+      Decontaminate.deleteFromEvalIndex(delRows, textCol, path)
+    }
+    if (nApp > 0) Decontaminate.appendToEvalIndex(app, textCol, path)
+  }
+
   /** Sync a persisted DSIR model ([[Dsir.buildDsirIndex]]): the one
     * family whose "delete" is a RETRACTION, not a tombstone — the
     * model must unsee the OLD rows' n-gram counts, so the delete leg

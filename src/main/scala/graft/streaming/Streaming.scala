@@ -1700,6 +1700,53 @@ object Streaming {
       s => Decontaminate.compactEvalIndex(s, path))
   }
 
+  /** [[maintainEvalIndex]] for a CDC CHANGE FEED over the benchmark
+    * suite — the eval-hash retraction maintainer ([[graft.operators
+    * .Decontaminate.deleteFromEvalIndex]]'s streaming composition):
+    * removed+changed benchmark items carry their OLD text
+    * (`oldTextCol`) and publish a NEGATIVE occurrence-count profile,
+    * added+changed items append their positive one. A hash shared
+    * with a surviving benchmark keeps gating; one unique to the
+    * withdrawn item stops. Marker rules as in [[maintainDsirIndexCdc]]
+    * (the other retraction family).
+    */
+  def maintainEvalIndexCdc(
+      stream: DataFrame,
+      idCol: String,
+      statusCol: String,
+      textCol: String,
+      oldTextCol: String,
+      path: String,
+      checkpointDir: String,
+      n: Int = 8,
+      compactEvery: Int = 0,
+      vacuumEvery: Int = 0,
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Decontaminate
+    def adds(b: DataFrame) = b.filter(col(statusCol).isin("added", "changed"))
+    def dels(b: DataFrame) = b
+      .filter(col(statusCol).isin("removed", "changed"))
+      .select(col(oldTextCol).as(textCol))
+    maintainChain(stream, path, checkpointDir, compactEvery,
+      vacuumEvery, vacuumRetain)(
+      (b, m) => {
+        val a = adds(b)
+        if (!a.isEmpty) Decontaminate.buildEvalIndex(a, textCol, path, n,
+          marker = Some(m))
+      })(
+      (b, m) => {
+        val a = adds(b).localCheckpoint(true)
+        val addEmpty = a.isEmpty
+        val d = dels(b)
+        if (!d.isEmpty)
+          Decontaminate.deleteFromEvalIndex(d, textCol, path,
+            marker = if (addEmpty) Some(m) else None)
+        if (!addEmpty)
+          Decontaminate.appendToEvalIndex(a, textCol, path, marker = Some(m))
+      })(
+      s => Decontaminate.compactEvalIndex(s, path))
+  }
+
   /** [[maintainIvfIndex]] for the incremental SemDeDup artifact
     * ([[graft.operators.SimilaritySearch.buildSemDedupIndex]]): the
     * first non-empty batch trains the blocking centroids and resolves

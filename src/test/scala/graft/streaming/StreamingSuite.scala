@@ -1849,6 +1849,67 @@ class StreamingSuite extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("maintainEvalIndexCdc + syncEvalIndex: suite change feeds retract exactly") {
+    import graft.operators.{Decontaminate, IndexSync}
+    // suite v1: itemA stale revision + itemB (to be withdrawn);
+    // suite v2: itemA's true text only. Both the batch sync and the
+    // CDC stream must land a gate identical to a one-shot build on v2.
+    val itemAOld = "the quick brown fox jumps over the lazy dog entirely"
+    val itemANew = "the quick brown fox jumps over the lazy dog"
+    val itemB = "pack my box with five dozen liquor jugs"
+    val oldSuite = Seq((100L, itemAOld), (101L, itemB)).toDF("doc_id", "text")
+    val newSuite = Seq((100L, itemANew)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "completely unrelated words in this training document here"),
+      (2L, "someone wrote the quick brown fox jumps right into the corpus"),
+      (4L, "pack my box with five dozen liquor jugs and more text")
+    ).toDF("doc_id", "text")
+    def keeps(p: String) = Streaming.decontaminateGateFromIndex(
+      spark, corpus, "doc_id", "text", p)
+      .select("doc_id").as[Long].collect().toSet
+    val fresh = java.nio.file.Files.createTempDirectory("graft_evsync_f_").toString
+    Decontaminate.buildEvalIndex(newSuite, "text", fresh, n = 3)
+    val want = keeps(fresh)
+    assert(want == Set(1L, 4L)) // itemB no longer gates doc 4
+
+    // batch sync
+    val synced = java.nio.file.Files.createTempDirectory("graft_evsync_").toString
+    Decontaminate.buildEvalIndex(oldSuite, "text", synced, n = 3)
+    assert(keeps(synced) == Set(1L))
+    IndexSync.syncEvalIndex(spark, oldSuite, newSuite, "doc_id", "text", synced)
+    assert(keeps(synced) == want)
+    // no-change sync publishes nothing
+    val before = graft.sources.IndexIO.segments(spark, synced).toSeq
+    IndexSync.syncEvalIndex(spark, newSuite, newSuite, "doc_id", "text", synced)
+    assert(graft.sources.IndexIO.segments(spark, synced).toSeq == before)
+
+    // CDC stream: delete-only first batch no-ops, then bootstrap + diff
+    val idx = java.nio.file.Files.createTempDirectory("graft_evcdc_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_evcdc_ck_").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = Streaming.maintainEvalIndexCdc(
+      input.toDF().toDF("doc_id", "status", "text", "old_text"),
+      "doc_id", "status", "text", "old_text", idx, ckpt, n = 3,
+      compactEvery = 2)
+    try {
+      input.addData((999L, "removed", null: String, "never indexed text"))
+      q.processAllAvailable()
+      assert(!graft.sources.IndexIO.exists(spark, idx))
+      input.addData(
+        (100L, "added", itemAOld, null: String),
+        (101L, "added", itemB, null: String))
+      q.processAllAvailable()
+      input.addData(
+        (100L, "changed", itemANew, itemAOld),
+        (101L, "removed", null: String, itemB))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(keeps(idx) == want)
+    // the in-stream compact validated counts and collapsed the chain
+    assert(graft.sources.IndexIO.segments(spark, idx).length == 1)
+  }
+
   test("gate -> chunk composition streams statelessly (the ingest pipeline)") {
     import graft.operators.Chunking
     implicit val sqlCtx = spark.sqlContext
