@@ -1208,8 +1208,10 @@ object Dedup {
     */
   def keepBestByComponent(
       pairs: DataFrame, aCol: String, bCol: String,
-      scored: DataFrame, idCol: String, scoreCol: String): DataFrame = {
-    val comps = connectedComponents(pairs, aCol, bCol)
+      scored: DataFrame, idCol: String, scoreCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol,
+      checkpointDir = checkpointDir)
     comps
       .join(scored.select(col(idCol).as("id"), col(scoreCol).as("__score")), "id")
       .groupBy(col("component"))

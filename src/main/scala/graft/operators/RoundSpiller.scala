@@ -30,24 +30,45 @@ private[graft] final class RoundSpiller(
     prefix: String,
     window: Int = 3) {
 
+  // local mode has a shared filesystem, so the durable spill is always
+  // AVAILABLE there — and measured 4–5× FASTER than localCheckpoint on
+  // the 600k-edge path graph (tools/CCOrderProbe: 132–146 s default vs
+  // 29–36 s spilled). The gap is structural: a localCheckpoint
+  // round-trips through an ExistingRDD scan with NO size statistics
+  // (Catalyst assumes defaultSizeInBytes = huge, so every per-round
+  // join of the small labels frame plans as a full sort-merge join),
+  // while the parquet read-back carries file sizes and the labels side
+  // broadcasts. So local sessions spill to a java.io.tmpdir directory
+  // (reclaimed by the window + a JVM shutdown hook) unless the caller
+  // chose a dir; CLUSTER sessions keep localCheckpoint as the default
+  // — a driver-local tmp path is not a shared filesystem there, and
+  // durability is exactly what the explicit checkpointDir opt-in buys.
+  private val resolvedDir: Option[String] = checkpointDir.orElse {
+    if (spark.sparkContext.isLocal) {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-$prefix-")
+      RoundSpiller.deleteOnExit(d.toFile)
+      Some(d.toString)
+    } else None
+  }
+
   private var seq = 0
   private val rounds = scala.collection.mutable.Queue.empty[String]
 
   private def spill(df: DataFrame): (DataFrame, String) = {
-    val path = s"${checkpointDir.get}/$prefix-$seq"
+    val path = s"${resolvedDir.get}/$prefix-$seq"
     seq += 1
     df.write.mode("overwrite").parquet(path)
     (spark.read.parquet(path), path)
   }
 
   /** Long-lived materialization — read every round, never reclaimed. */
-  def keep(df: DataFrame): DataFrame = checkpointDir match {
+  def keep(df: DataFrame): DataFrame = resolvedDir match {
     case None    => df.localCheckpoint(true)
     case Some(_) => spill(df)._1
   }
 
   /** Per-round materialization with windowed reclaim of dead rounds. */
-  def cut(df: DataFrame): DataFrame = checkpointDir match {
+  def cut(df: DataFrame): DataFrame = resolvedDir match {
     case None => df.localCheckpoint(true)
     case Some(_) =>
       val (out, path) = spill(df)
@@ -58,5 +79,20 @@ private[graft] final class RoundSpiller(
           .delete(dead, true)
       }
       out
+  }
+}
+
+private[graft] object RoundSpiller {
+  private def deleteOnExit(dir: java.io.File): Unit = {
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete()
+        ()
+      }
+      rm(dir)
+    }
+    ()
   }
 }

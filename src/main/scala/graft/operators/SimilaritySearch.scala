@@ -582,7 +582,12 @@ object SimilaritySearch {
     while (continue && depth < 3) {
       val sizes = assigned.groupBy("cluster").count().collect()
         .map(r => (r.getInt(0), r.getLong(1)))
-      val oversized = sizes.filter(_._2 > maxCellSize).sortBy(-_._2)
+      // cell id breaks count ties: the collect order follows partition
+      // order, which is NOT stable across materialization strategies
+      // (parquet read-back vs localCheckpoint) — and the split order
+      // assigns the fresh sub-cluster id range sequentially
+      val oversized = sizes.filter(_._2 > maxCellSize)
+        .sortBy { case (cell, n) => (-n, cell) }
       val oversizedRows = oversized.map(_._2).sum
       if (oversized.isEmpty || oversizedRows >= prevOversizedRows) {
         if (oversized.nonEmpty) warnDegeneratePairSearch(assigned)

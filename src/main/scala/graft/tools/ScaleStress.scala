@@ -72,6 +72,18 @@ object ScaleStressCC {
     println(f"[stress-cc] path($nEdges): $rounds rounds, " +
       f"$comps component(s), ${(System.nanoTime() - t0) / 1e9}%.2f s")
     assert(comps == 1L, s"path graph must collapse to 1 component, got $comps")
+    // the durable-checkpoint premium on the same adversarial graph:
+    // what a cluster pays for executor-loss safety per round
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_stress_").toString
+    val t1 = System.nanoTime()
+    val (labelsR, roundsR) = graft.operators.Dedup.connectedComponentsImpl(
+      pairs, "a", "b", maxIter = 40, localThreshold = 0L,
+      checkpointDir = Some(ckpt))
+    val compsR = labelsR.select("component").distinct().count()
+    println(f"[stress-cc] path($nEdges) RELIABLE: $roundsR rounds, " +
+      f"$compsR component(s), ${(System.nanoTime() - t1) / 1e9}%.2f s " +
+      s"(spill dirs left: ${new java.io.File(ckpt).listFiles().length})")
+    assert(compsR == 1L)
     spark.stop()
   }
 }
