@@ -253,3 +253,85 @@ def dsir_score(raw, id_col, text_col, target, target_text_col,
     return _wrap(raw, _api(raw).dsirScore(
         raw._jdf, id_col, text_col, target._jdf, target_text_col,
         int(buckets)))
+
+
+# ---- persisted-index lifecycle (build once, serve every batch) ----
+
+def build_bm25_index(docs, id_col, text_col, path, term_buckets=64):
+    """Build a persisted BM25 index (atomic versioned publish)."""
+    _api(docs).buildBm25Index(docs._jdf, id_col, text_col, path,
+                              int(term_buckets))
+
+
+def append_to_bm25_index(docs, id_col, text_col, path, term_buckets=64):
+    """Append a crawl batch as an immutable delta segment."""
+    _api(docs).appendToBm25Index(docs._jdf, id_col, text_col, path,
+                                 int(term_buckets))
+
+
+def delete_from_bm25_index(deleted_ids, id_col, path):
+    """Tombstone-delete documents (stats-correcting: df/N/avgdl shift
+    as if the docs were never indexed)."""
+    _api(deleted_ids).deleteFromBm25Index(deleted_ids._jdf, id_col, path)
+
+
+def bm25_search_index(spark, path, terms, k, k1=1.2, b=0.75):
+    """BM25 top-k from a persisted index — resolves the chain instead
+    of rescanning the corpus."""
+    from pyspark.sql import DataFrame as _DF
+    gw = spark.sparkContext._gateway
+    jterms = gw.new_array(gw.jvm.java.lang.String, len(terms))
+    for i, t in enumerate(terms):
+        jterms[i] = t
+    jdf = spark._jvm.graft.api.PyApi.bm25SearchIndex(
+        spark._jsparkSession, path, jterms, int(k), float(k1), float(b))
+    return _DF(jdf, spark)
+
+
+def build_ivf_index(corpus, id_col, vec_col, path, n_centroids=16, iters=5):
+    """Train + persist an IVF index over an embedding column."""
+    _api(corpus).buildIvfIndex(corpus._jdf, id_col, vec_col, path,
+                               int(n_centroids), int(iters))
+
+
+def search_ivf(queries, path, id_col, vec_col, k, n_probe=4):
+    """Approximate top-k from a persisted IVF index (cell-pruned
+    probes; raise ``n_probe`` toward the centroid count for recall)."""
+    return _wrap(queries, _api(queries).searchIvf(
+        queries._jdf, path, id_col, vec_col, int(k), int(n_probe)))
+
+
+def build_eval_index(eval_df, text_col, path, n=8):
+    """Persist a benchmark suite as shingle-hash counts — the
+    decontamination artifact (text never leaves the build job)."""
+    _api(eval_df).buildEvalIndex(eval_df._jdf, text_col, path, int(n))
+
+
+def delete_from_eval_index(withdrawn_eval, text_col, path):
+    """Withdraw a benchmark: its shingle counts retract; hashes shared
+    with surviving benchmarks keep gating."""
+    _api(withdrawn_eval).deleteFromEvalIndex(withdrawn_eval._jdf,
+                                             text_col, path)
+
+
+def decontaminate_gate_from_index(train, id_col, text_col, path):
+    """The ingest gate against a persisted eval index: keeps only docs
+    sharing zero shingles with the suite (works on streams too)."""
+    return _wrap(train, _api(train).decontaminateGateFromIndex(
+        train._jdf, id_col, text_col, path))
+
+
+def current_index_version(spark, path):
+    """The version id ``_LATEST`` names right now."""
+    return spark._jvm.graft.api.PyApi.currentIndexVersion(
+        spark._jsparkSession, path)
+
+
+def pin_index(path, version):
+    """A version-pinned read path: every serving call accepts it and
+    reads THAT version's chain, ignoring later publishes — record it
+    at training launch, replay the exact index view in an audit."""
+    # pure string manipulation on the JVM side; no session needed
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    return spark._jvm.graft.api.PyApi.pinIndex(path, version)

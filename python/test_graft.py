@@ -288,3 +288,86 @@ print("PASS sem_dedup(py)")
 
 print("ALL PIPELINE BINDING CHECKS PASS")
 spark.stop()
+
+# ---- persisted-index lifecycle through Python ----
+spark = (SparkSession.builder.master("local[8]")
+         .appName("graft-pytest3")
+         .config("spark.driver.extraClassPath", "target/scala-2.13/classes")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from graft import (build_bm25_index, append_to_bm25_index,
+                   delete_from_bm25_index, bm25_search_index, bm25_topk,
+                   build_ivf_index, search_ivf, ann_topk_brute,
+                   build_eval_index, delete_from_eval_index,
+                   decontaminate_gate_from_index,
+                   current_index_version, pin_index)
+import tempfile
+
+docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+
+# BM25: build 2/3 + append 1/3 == inline scan over the whole corpus
+idx = tempfile.mkdtemp(prefix="graft_py_bm25_")
+build_bm25_index(docs.filter(docs.doc_id % 3 != 2), "doc_id", "text", idx)
+append_to_bm25_index(docs.filter(docs.doc_id % 3 == 2), "doc_id", "text", idx)
+served = bm25_search_index(spark, idx, ["vector", "stream", "spark"],
+                           k=20).toPandas()
+inline = bm25_topk(docs, "doc_id", "text", ["vector", "stream", "spark"],
+                   k=20).toPandas()
+assert served[["doc_id", "score"]].astype(str).values.tolist() == \
+    inline[["doc_id", "score"]].astype(str).values.tolist()
+print(f"PASS bm25 index build+append+search(py) (top-{len(served)})")
+
+# time travel: pin the pre-delete version, delete, pinned serve unchanged
+v = current_index_version(spark, idx)
+pinned = pin_index(idx, v)
+delete_from_bm25_index(docs.filter(docs.doc_id % 7 == 0).select("doc_id"),
+                       "doc_id", idx)
+after = bm25_search_index(spark, idx, ["vector", "stream", "spark"],
+                          k=20).toPandas()
+assert any(after["doc_id"] % 7 == 0) is False
+via_pin = bm25_search_index(spark, pinned, ["vector", "stream", "spark"],
+                            k=20).toPandas()
+assert via_pin[["doc_id", "score"]].astype(str).values.tolist() == \
+    served[["doc_id", "score"]].astype(str).values.tolist()
+print("PASS bm25 delete + pinned time travel(py)")
+
+# IVF: exhaustive probes == exact brute force (recall 1.0 by construction)
+emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    "vec_id", "embedding")
+ividx = tempfile.mkdtemp(prefix="graft_py_ivf_")
+build_ivf_index(emb, "vec_id", "embedding", ividx, n_centroids=8)
+qs = emb.filter(emb.vec_id < 10)
+approx = search_ivf(qs, ividx, "vec_id", "embedding", k=3,
+                    n_probe=8).toPandas()
+exact = ann_topk_brute(qs, emb, "vec_id", "embedding", 3).toPandas()
+key = lambda d: sorted(map(tuple, d[["query_id", "neighbor_id"]]
+                           .values.tolist()))
+assert key(approx) == key(exact), "exhaustive IVF must equal brute force"
+print("PASS ivf index build+search(py) (exhaustive == exact)")
+
+# eval index: build both benchmarks, withdraw one, gate matches survivor
+evA = spark.createDataFrame(
+    [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"])
+evB = spark.createDataFrame(
+    [(101, "pack my box with five dozen liquor jugs")], ["doc_id", "text"])
+corpus = spark.createDataFrame([
+    (1, "completely unrelated words in this training document here"),
+    (2, "someone wrote the quick brown fox jumps right into the corpus"),
+    (4, "pack my box with five dozen liquor jugs and more text")],
+    ["doc_id", "text"])
+evidx = tempfile.mkdtemp(prefix="graft_py_eval_")
+build_eval_index(evA.union(evB), "text", evidx, n=3)
+keeps = set(decontaminate_gate_from_index(corpus, "doc_id", "text", evidx)
+            .toPandas()["doc_id"])
+assert keeps == {1}, keeps
+delete_from_eval_index(evB, "text", evidx)
+keeps = set(decontaminate_gate_from_index(corpus, "doc_id", "text", evidx)
+            .toPandas()["doc_id"])
+assert keeps == {1, 4}, keeps
+print("PASS eval index build+takedown+gate(py)")
+
+print("ALL INDEX LIFECYCLE CHECKS PASS")
+spark.stop()

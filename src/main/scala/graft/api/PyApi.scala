@@ -150,4 +150,63 @@ object PyApi {
       target: DataFrame, targetTextCol: String, buckets: Int): DataFrame =
     Dsir.importanceScoreAgainst(raw, idCol, textCol, target, targetTextCol,
       buckets)
+
+  // ---- persisted-index lifecycle (build once, serve every batch) ----
+
+  def buildBm25Index(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      termBuckets: Int): Unit =
+    Search.buildBm25Index(docs, idCol, textCol, path, termBuckets)
+
+  def appendToBm25Index(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      termBuckets: Int): Unit =
+    Search.appendToBm25Index(docs, idCol, textCol, path, termBuckets)
+
+  def deleteFromBm25Index(
+      deletedIds: DataFrame, idCol: String, path: String): Unit = {
+    Search.deleteFromBm25Index(deletedIds.sparkSession, path, deletedIds,
+      idCol)
+    ()
+  }
+
+  def bm25SearchIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Array[String], k: Int, k1: Double, b: Double): DataFrame =
+    Search.bm25SearchIndex(spark, path, terms.toSeq, k, k1, b)
+
+  def buildIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nCentroids: Int, iters: Int): Unit =
+    SimilaritySearch.buildIvfIndex(corpus, idCol, vecCol, path,
+      nCentroids, iters)
+
+  def searchIvf(
+      queries: DataFrame, path: String, idCol: String, vecCol: String,
+      k: Int, nProbe: Int): DataFrame =
+    SimilaritySearch.searchIvf(queries.sparkSession, path, queries,
+      idCol, vecCol, k, nProbe)
+
+  def buildEvalIndex(
+      eval: DataFrame, textCol: String, path: String, n: Int): Unit =
+    Decontaminate.buildEvalIndex(eval, textCol, path, n)
+
+  def deleteFromEvalIndex(
+      withdrawnEval: DataFrame, textCol: String, path: String): Unit =
+    Decontaminate.deleteFromEvalIndex(withdrawnEval, textCol, path)
+
+  def decontaminateGateFromIndex(
+      train: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame =
+    graft.streaming.Streaming.decontaminateGateFromIndex(
+      train.sparkSession, train, idCol, textCol, path)
+
+  /** The index version id `_LATEST` names — pin it with [[pinIndex]]
+    * to freeze a training run's index view. */
+  def currentIndexVersion(
+      spark: org.apache.spark.sql.SparkSession, path: String): String =
+    graft.sources.IndexIO.currentVersionId(spark, path)
+
+  def pinIndex(path: String, version: String): String =
+    graft.sources.IndexIO.pin(path, version)
 }
