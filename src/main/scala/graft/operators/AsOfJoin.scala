@@ -84,13 +84,23 @@ object AsOfJoin {
     val (byL, byR) = byCols(left, right, by, suffixes)
 
     // DateType / TimestampNTZ keys widen to TimestampType under the
-    // session zone first, like FuzzyJoin.time — unix_micros requires it
-    def widen(df: DataFrame, c: String): DataFrame = df.schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampType => df
-      case _ => df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+    // session zone first, like FuzzyJoin.time — unix_micros requires
+    // it. ONLY those: an unchecked cast would silently reinterpret a
+    // long key as epoch seconds and turn a string key into nulls the
+    // isNotNull filters drop — wrong-typed keys must raise, as
+    // FuzzyJoin.time's validateTimestamp does
+    def widen(df: DataFrame, c: String, side: String): DataFrame = {
+      import org.apache.spark.sql.types._
+      df.schema(c).dataType match {
+        case TimestampType => df
+        case TimestampNTZType | DateType =>
+          df.withColumn(c, col(c).cast(TimestampType))
+        case other => throw new IllegalArgumentException(
+          s"$side as-of key `$c` must be a timestamp/date type, got $other")
+      }
     }
-    val leftW = widen(left, cols.leftCol)
-    val rightW = widen(right, cols.rightCol)
+    val leftW = widen(left, cols.leftCol, "left")
+    val rightW = widen(right, cols.rightCol, "right")
     // a left join keeps null-key left rows (they surface unmatched); the
     // inner form prunes them before the shuffle, like the reference's
     // NaN pre-filter (pandance/pandance.py:265-312)

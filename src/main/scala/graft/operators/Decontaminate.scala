@@ -326,6 +326,36 @@ object Decontaminate {
     ()
   }
 
+  /** Apply one CDC micro-batch's added AND withdrawn benchmark items
+    * to a persisted eval index as ONE atomic segment — the same
+    * crash-safety argument as
+    * [[graft.operators.Dsir.applyDsirIndexCdc]]: two publishes can
+    * only carry the exactly-once marker on one, and a replayed batch
+    * re-applies the unmarked retraction, silently zeroing a hash a
+    * surviving benchmark still needs. Occurrence counts are additive,
+    * so the batch's net profile (positive adds + negated withdrawals)
+    * in a single marked [[graft.sources.IndexIO.publishDelta]] sums
+    * identically to the two-segment form.
+    */
+  def applyEvalIndexCdc(
+      addedEval: DataFrame, withdrawnEval: DataFrame, textCol: String,
+      path: String, marker: Option[String] = None): Unit = {
+    val spark = addedEval.sparkSession
+    import spark.implicits._
+    val n = evalIndexN(spark, path)
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
+      evalProfile(addedEval, textCol, n)
+        .unionByName(evalProfile(withdrawnEval, textCol, n)
+          .select(col("h"), (-col("cnt")).as("cnt")))
+        .groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") =!= 0L)
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/hashes")
+      Seq(Tuple1(n)).toDF("n")
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/meta")
+    }
+    ()
+  }
+
   /** Shingle width of a persisted eval index (from the resolved
     * version's meta). */
   def evalIndexN(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
@@ -369,11 +399,26 @@ object Decontaminate {
     ()
   }
 
+  /** The raw hash chain, normalized across layout generations: a
+    * legacy pre-counts segment (`h` only, distinct hashes) mixed with
+    * counted `(h, cnt)` segments — the shape a counted append onto an
+    * old artifact creates — reads each legacy hash as ONE occurrence
+    * (`coalesce(cnt, 1)`), so upgrading an existing index never
+    * bricks its readers. Distinct-hash semantics make 1 the exact
+    * lower bound of what the legacy segment contributed; a retraction
+    * can therefore only under-release (hash stays live), never
+    * un-protect a surviving benchmark.
+    */
   private def rawEvalChain(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    graft.sources.IndexIO.chainTable(spark, path, "hashes")
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val chain = graft.sources.IndexIO
+      .chainTable(spark, path, "hashes", allowMissingColumns = true)
       .getOrElse(throw new IllegalStateException(
         s"eval index at $path has no hashes table"))
+    if (chain.columns.contains("cnt"))
+      chain.withColumn("cnt", coalesce(col("cnt"), lit(1L)))
+    else chain
+  }
 
   /** The LIVE hashes of an eval index chain: for the count-carrying
     * layout, a hash serves while its summed occurrence count across

@@ -294,6 +294,40 @@ object Dsir {
     ()
   }
 
+  /** Apply one CDC micro-batch's adds AND retractions to a persisted
+    * DSIR model as ONE atomic segment. [[deleteFromDsirIndex]] then
+    * [[appendToDsirIndex]] as two publishes is NOT crash-safe for a
+    * replayed batch: the exactly-once marker can only ride one of
+    * them, and a crash between the two replays the whole batch and
+    * applies the unmarked half twice — negative counts are not
+    * idempotent, so a bucket shared with live data can silently sum
+    * to zero and stop scoring. Here the batch's positive and negative
+    * profiles are summed into a single net profile (profiles are
+    * additive, so the chain sum is bit-identical to the two-segment
+    * form) and published with the marker in one
+    * [[graft.sources.IndexIO.publishDelta]] — retraction and append
+    * land atomically or not at all.
+    */
+  def applyDsirIndexCdc(
+      addedRaw: DataFrame, deletedRaw: DataFrame, textCol: String,
+      path: String, marker: Option[String] = None): Unit = {
+    val spark = addedRaw.sparkSession
+    import spark.implicits._
+    val b = dsirIndexBuckets(spark, path)
+    graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
+      ngramProfile(addedRaw, textCol, b)
+        .unionByName(ngramProfile(deletedRaw, textCol, b)
+          .select(col("bucket"), (-col("cnt")).as("cnt")))
+        .groupBy("bucket").agg(sum("cnt").as("cnt"))
+        .filter(col("cnt") =!= 0L)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$seg/raw")
+      Seq(Tuple1(b)).toDF("buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/meta")
+    }
+    ()
+  }
+
   /** Collapse an append/retract chain to ONE segment: the summed raw
     * profile (zero-sum buckets dropped — exact, see
     * [[deleteFromDsirIndex]]), the fixed target profile, and the meta

@@ -28,26 +28,58 @@ import org.apache.spark.sql.types._
   *    projects and subquery aliases above the relation — a filter or
   *    join could narrow the true extremes below the file bounds, which
   *    would make the all-match fast path fire spuriously);
-  *  - the column is a top-level INT32/INT64/FLOAT/DOUBLE primitive
-  *    whose raw ordering equals the logical ordering (ints, longs,
-  *    floats, doubles, dates, micro timestamps — NOT decimals, whose
-  *    sides may carry different scales, and NOT strings, whose footer
-  *    truncation rules differ by writer);
-  *  - every row group in every file carries usable, non-NaN stats
-  *    (all-null row groups contribute nothing; absent stats bail).
+  *  - the column is a top-level INT32/INT64-backed primitive whose
+  *    raw ordering equals the logical ordering (ints, longs, dates,
+  *    MICROS timestamps — NOT floats/doubles, because common writers
+  *    such as pyarrow EXCLUDE NaN from footer min/max while Spark
+  *    orders NaN greater than everything, so a NaN row invisible to
+  *    the stats could make the noneMatch path drop matches and the
+  *    allMatch cross join emit predicate-violating pairs; NOT
+  *    decimals, whose sides may carry different scales; NOT strings,
+  *    whose footer truncation rules differ by writer; NOT unsigned
+  *    ints, whose raw two's-complement order misorders large values;
+  *    NOT MILLIS/NANOS timestamps or INT96, whose units differ from
+  *    the epoch-micros the caller compares against);
+  *  - every row group in every file carries usable stats (all-null
+  *    row groups contribute nothing; absent stats bail).
   */
 object ParquetFooterBounds {
 
-  /** Spark types whose parquet primitive min/max orders like the value. */
+  /** Spark types whose parquet primitive min/max orders like the
+    * value. Float/Double are deliberately absent: NaN rows may be
+    * omitted from footer stats (pyarrow does), and Spark's total
+    * order puts NaN above +Inf, so float footer bounds are NOT a
+    * conservative superset of the data's extremes.
+    */
   private def orderedPrimitive(dt: DataType): Boolean = dt match {
-    case IntegerType | LongType | FloatType | DoubleType | DateType |
+    case IntegerType | LongType | DateType |
         TimestampType | TimestampNTZType | ShortType | ByteType => true
     case _ => false
   }
 
   private val RawTypes: Set[PrimitiveTypeName] = Set(
-    PrimitiveTypeName.INT32, PrimitiveTypeName.INT64,
-    PrimitiveTypeName.FLOAT, PrimitiveTypeName.DOUBLE)
+    PrimitiveTypeName.INT32, PrimitiveTypeName.INT64)
+
+  /** The parquet logical-type annotations under which raw INT32/INT64
+    * min/max order like (and in the unit of) the Spark-side value:
+    * none (plain signed int), DATE (epoch days), signed INT(bits),
+    * and TIMESTAMP in MICROS. Unsigned ints misorder; MILLIS/NANOS
+    * timestamps are the wrong unit for the caller's epoch-micros
+    * comparison.
+    */
+  private def annotationOrdered(
+      pt: org.apache.parquet.schema.PrimitiveType): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    pt.getLogicalTypeAnnotation match {
+      case null => true
+      case i: IntLogicalTypeAnnotation => i.isSigned
+      case _: DateLogicalTypeAnnotation => true
+      case t: TimestampLogicalTypeAnnotation =>
+        t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+      case _ => false
+    }
+  }
 
   /** The scan's data files, when `df` is a bare (project/alias-only)
     * parquet relation; None for anything with a filter, join, cast, or
@@ -101,6 +133,7 @@ object ParquetFooterBounds {
               found = true
               val pt = cc.getPrimitiveType.getPrimitiveTypeName
               if (!RawTypes.contains(pt)) return None
+              if (!annotationOrdered(cc.getPrimitiveType)) return None
               val st = cc.getStatistics
               if (st == null || st.isEmpty) return None
               if (!st.hasNonNullValue) {
@@ -114,17 +147,10 @@ object ParquetFooterBounds {
                   case PrimitiveTypeName.INT32 =>
                     (Long.box(st.genericGetMin.asInstanceOf[Integer].longValue()),
                       Long.box(st.genericGetMax.asInstanceOf[Integer].longValue()))
-                  case PrimitiveTypeName.INT64 =>
+                  case _ =>
                     (st.genericGetMin.asInstanceOf[java.lang.Long],
                       st.genericGetMax.asInstanceOf[java.lang.Long])
-                  case PrimitiveTypeName.FLOAT =>
-                    (Double.box(st.genericGetMin.asInstanceOf[java.lang.Float].doubleValue()),
-                      Double.box(st.genericGetMax.asInstanceOf[java.lang.Float].doubleValue()))
-                  case _ =>
-                    (st.genericGetMin.asInstanceOf[java.lang.Double],
-                      st.genericGetMax.asInstanceOf[java.lang.Double])
                 }
-                if (mn.doubleValue().isNaN || mx.doubleValue().isNaN) return None
                 if (lo == null || less(mn, lo)) lo = mn
                 if (hi == null || less(hi, mx)) hi = mx
               }
@@ -143,7 +169,7 @@ object ParquetFooterBounds {
 
   /** (min, max) of `colName` across the scan's footers as mutually
     * comparable [[java.lang.Number]]s (ints/dates widened to epoch-day
-    * longs, timestamps as epoch micros, floats as doubles —
+    * longs, timestamps as epoch micros —
     * ordinal-equivalent to the logical values), or None when the
     * plan/type/stats preconditions fail. Footer reads fan out on a
     * bounded thread pool — metadata IO, not data IO.

@@ -438,8 +438,16 @@ object IndexIO {
     * `__seg` (0 = oldest). Segments lacking the table are skipped —
     * that is how tombstone-only delete segments coexist with data
     * segments. None when no segment carries the table.
+    *
+    * `allowMissingColumns` unions segments whose schemas differ
+    * (missing columns read as null) — for families whose segment
+    * layout gained a column over time (e.g. the eval index's
+    * pre-counts `h`-only segments under counted `(h, cnt)` appends);
+    * the caller owns the null semantics. Default false so genuine
+    * schema corruption in uniform families still fails loudly.
     */
-  def chainTable(spark: SparkSession, path: String, name: String)
+  def chainTable(spark: SparkSession, path: String, name: String,
+      allowMissingColumns: Boolean = false)
       : Option[org.apache.spark.sql.DataFrame] = {
     val conf = spark.sparkContext.hadoopConfiguration
     segments(spark, path).zipWithIndex.flatMap { case (s, i) =>
@@ -449,7 +457,7 @@ object IndexIO {
         Some(spark.read.parquet(p.toString)
           .withColumn("__seg", org.apache.spark.sql.functions.lit(i)))
       else None
-    }.reduceOption(_ unionByName _)
+    }.reduceOption(_.unionByName(_, allowMissingColumns))
   }
 
   /** One-row OPERATIONAL summary of a persisted index — the

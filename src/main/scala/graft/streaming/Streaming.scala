@@ -1402,13 +1402,14 @@ object Streaming {
     * (`oldTextCol`) for removed+changed rows alongside the new text
     * for added+changed rows — the streaming composition of
     * [[graft.operators.IndexSync.syncDsirIndex]]. Each micro-batch
-    * publishes the removed+changed rows' NEGATIVE profile segment
-    * ([[graft.operators.Dsir.deleteFromDsirIndex]]) then the
-    * added+changed rows' positive one; additive counts subtract
-    * exactly, so the chain sum equals the live corpus's one-shot
-    * profile bit-for-bit. Exactly-once rides the same marker rules as
-    * [[maintainBm25IndexCdc]]: the marker lands on the append segment,
-    * or on the retraction segment of a delete-only batch; deletes
+    * publishes ONE marked segment carrying the batch's NET profile —
+    * added+changed rows' counts plus removed+changed rows' negated
+    * counts summed ([[graft.operators.Dsir.applyDsirIndexCdc]]);
+    * additive counts subtract exactly, so the chain sum equals the
+    * live corpus's one-shot profile bit-for-bit, and because the
+    * retraction and append share the segment AND its exactly-once
+    * marker, a crash-replayed batch is applied atomically — never the
+    * retraction half twice. Deletes
     * before the index exists refer to rows never profiled and drop
     * (retracting them would drive bucket counts negative — caught
     * loudly at the next load, but better never published).
@@ -1439,16 +1440,13 @@ object Streaming {
         if (!a.isEmpty) Dsir.buildDsirIndex(target, targetTextCol, a,
           textCol, buckets, path, marker = Some(m))
       })(
-      (b, m) => {
-        val a = adds(b).localCheckpoint(true) // emptiness probe + append
-        val addEmpty = a.isEmpty
-        val d = dels(b)
-        if (!d.isEmpty)
-          Dsir.deleteFromDsirIndex(d, textCol, path,
-            marker = if (addEmpty) Some(m) else None)
-        if (!addEmpty)
-          Dsir.appendToDsirIndex(a, textCol, path, marker = Some(m))
-      })(
+      // one marked segment per batch: retraction and append are
+      // atomic (applyDsirIndexCdc) — a crash-replay either sees the
+      // marker and skips, or re-applies the WHOLE batch exactly once;
+      // the old delete-then-append pair could replay the unmarked
+      // retraction twice and silently zero a shared bucket
+      (b, m) => Dsir.applyDsirIndexCdc(adds(b), dels(b), textCol, path,
+        marker = Some(m)))(
       s => Dsir.compactDsirIndex(s, path))
   }
 
@@ -1704,11 +1702,12 @@ object Streaming {
     * suite — the eval-hash retraction maintainer ([[graft.operators
     * .Decontaminate.deleteFromEvalIndex]]'s streaming composition):
     * removed+changed benchmark items carry their OLD text
-    * (`oldTextCol`) and publish a NEGATIVE occurrence-count profile,
-    * added+changed items append their positive one. A hash shared
-    * with a surviving benchmark keeps gating; one unique to the
-    * withdrawn item stops. Marker rules as in [[maintainDsirIndexCdc]]
-    * (the other retraction family).
+    * (`oldTextCol`); each batch publishes ONE marked segment with the
+    * net occurrence-count profile (positive adds + negated
+    * withdrawals, [[graft.operators.Decontaminate.applyEvalIndexCdc]]
+    * — atomic under crash-replay, as in [[maintainDsirIndexCdc]], the
+    * other retraction family). A hash shared with a surviving
+    * benchmark keeps gating; one unique to the withdrawn item stops.
     */
   def maintainEvalIndexCdc(
       stream: DataFrame,
@@ -1734,16 +1733,9 @@ object Streaming {
         if (!a.isEmpty) Decontaminate.buildEvalIndex(a, textCol, path, n,
           marker = Some(m))
       })(
-      (b, m) => {
-        val a = adds(b).localCheckpoint(true)
-        val addEmpty = a.isEmpty
-        val d = dels(b)
-        if (!d.isEmpty)
-          Decontaminate.deleteFromEvalIndex(d, textCol, path,
-            marker = if (addEmpty) Some(m) else None)
-        if (!addEmpty)
-          Decontaminate.appendToEvalIndex(a, textCol, path, marker = Some(m))
-      })(
+      // atomic per-batch segment, same rationale as maintainDsirIndexCdc
+      (b, m) => Decontaminate.applyEvalIndexCdc(adds(b), dels(b), textCol,
+        path, marker = Some(m)))(
       s => Decontaminate.compactEvalIndex(s, path))
   }
 

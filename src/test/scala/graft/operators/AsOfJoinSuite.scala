@@ -544,4 +544,28 @@ class AsOfJoinSuite extends SparkSpec {
         leftId = "id", leftOn = Some("lpos"), rightOn = Some("pos"))
     }
   }
+
+  test("time rejects non-temporal keys loudly (no silent epoch-seconds cast)") {
+    // a LONG key cast to timestamp silently reinterprets as epoch
+    // seconds; a STRING key casts to null and every row is dropped —
+    // both must raise instead, mirroring FuzzyJoin.time's validation
+    val longKeyed = Seq((1L, 600L)).toDF("cid", "cts")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.time(longKeyed, views, Duration.ofMinutes(2), rightId = "vid",
+        leftOn = Some("cts"), rightOn = Some("vts"))
+    }
+    val strKeyed = Seq((10, "not a time")).toDF("vid", "vts")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.time(clicks, strKeyed, Duration.ofMinutes(2), rightId = "vid",
+        leftOn = Some("cts"), rightOn = Some("vts"))
+    }
+    // DATE keys still widen and join (the documented widening set)
+    val dClicks = Seq((1, java.sql.Date.valueOf("2024-01-02")))
+      .toDF("cid", "cts")
+    val dViews = Seq((10, java.sql.Date.valueOf("2024-01-01")))
+      .toDF("vid", "vts")
+    val out = AsOfJoin.time(dClicks, dViews, Duration.ofDays(2),
+      rightId = "vid", leftOn = Some("cts"), rightOn = Some("vts"))
+    assert(rowSet(out.select("cid", "vid")) == Set(Seq("1", "10")))
+  }
 }

@@ -121,6 +121,78 @@ class DecontaminateSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.toSeq == Seq((1L, 10L, 1.0), (3L, 10L, 0.5)))
   }
 
+  test("applyEvalIndexCdc: one marked segment; replay cannot re-apply the retraction") {
+    val evalA = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val evalB = Seq((101L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val evalC = Seq((102L, "sphinx of black quartz judge my vow today"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_eval_cdc1_").toString
+    Decontaminate.buildEvalIndex(evalA.union(evalB), "text", idx, n = 3)
+    val segs0 = graft.sources.IndexIO.segments(spark, idx).length
+    // one CDC batch: add evalC, withdraw evalB — a single atomic segment
+    Decontaminate.applyEvalIndexCdc(evalC, evalB, "text", idx,
+      marker = Some("b1-atom"))
+    assert(graft.sources.IndexIO.segments(spark, idx).length == segs0 + 1,
+      "adds+withdrawals must publish exactly ONE segment")
+    assert(graft.sources.IndexIO.segmentMarkers(spark, idx).contains("b1-atom"))
+    def liveHashes() = Decontaminate.evalIndexHashes(spark, idx)
+      .as[Long].collect().toSet
+    def oneShot(df: org.apache.spark.sql.DataFrame) = {
+      val d = java.nio.file.Files.createTempDirectory("graft_eval_os_").toString
+      Decontaminate.buildEvalIndex(df, "text", d, n = 3)
+      Decontaminate.evalIndexHashes(spark, d).as[Long].collect().toSet
+    }
+    val expected = oneShot(evalA.union(evalC))
+    assert(liveHashes() == expected)
+    // crash-replay with the live marker: skipped as a whole — the
+    // round-17 two-publish form would re-run the unmarked retraction
+    // and zero hashes evalA still needs
+    val applied = graft.streaming.Streaming.applyIndexBatch(
+      spark, idx, "b1-atom") { fail("bootstrap must not run") } {
+      Decontaminate.applyEvalIndexCdc(evalC, evalB, "text", idx,
+        marker = Some("b1-atom"))
+    }
+    assert(!applied)
+    assert(liveHashes() == expected)
+    Decontaminate.compactEvalIndex(spark, idx)
+    assert(liveHashes() == expected)
+  }
+
+  test("counted appends onto a legacy pre-counts chain read, retract, and compact") {
+    import graft.functions.TextFunctions
+    val evalA = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val evalB = Seq((101L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_eval_mig_").toString
+    // hand-build the LEGACY artifact layout: distinct hashes only, no cnt
+    graft.sources.IndexIO.publish(spark, idx) { vdir =>
+      evalA.select(explode(TextFunctions.shingles(col("text"), 3)).as("__s"))
+        .select(xxhash64(col("__s")).as("h")).distinct()
+        .coalesce(1).write.parquet(s"$vdir/hashes")
+      Seq(Tuple1(3)).toDF("n").coalesce(1).write.parquet(s"$vdir/meta")
+    }
+    def liveHashes() = Decontaminate.evalIndexHashes(spark, idx)
+      .as[Long].collect().toSet
+    val legacyOnly = liveHashes()
+    assert(legacyOnly.nonEmpty)
+    // a counted append onto the mixed chain must NOT brick the readers
+    // (unionByName without allowMissingColumns threw AnalysisException)
+    Decontaminate.appendToEvalIndex(evalB, "text", idx)
+    val after = liveHashes()
+    assert(legacyOnly.subsetOf(after) && after.size > legacyOnly.size)
+    // retracting the counted append restores the legacy set exactly —
+    // legacy rows count as one occurrence, so they stay live
+    Decontaminate.deleteFromEvalIndex(evalB, "text", idx)
+    assert(liveHashes() == legacyOnly)
+    // and the migrating compact rewrites the chain into the counted layout
+    Decontaminate.compactEvalIndex(spark, idx)
+    assert(graft.sources.IndexIO.segments(spark, idx).length == 1)
+    assert(liveHashes() == legacyOnly)
+  }
+
   private def collectBroadcasts(plan: SparkPlan): Seq[SparkPlan] =
     collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
 }

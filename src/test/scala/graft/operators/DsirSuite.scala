@@ -378,4 +378,34 @@ class DsirSuite extends SparkSpec {
       .distinct().as[Long].collect().map(_.toInt).toSet
     (0 until B).filterNot(used).foreach(b => assert(ratio(b) == base))
   }
+
+  test("applyDsirIndexCdc: one marked segment, exact net profile, replay-atomic") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_dsir_cdc1_").toString
+    val oldRows = corpus.filter($"doc_id" <= 4)
+    Dsir.buildDsirIndex(target, "text", oldRows, "text", B, idx)
+    val segs0 = graft.sources.IndexIO.segments(spark, idx).length
+    // one CDC batch: doc 5+7 added, doc 3+4 retracted — BOTH legs must
+    // land in a SINGLE segment carrying the exactly-once marker (the
+    // round-17 two-publish form could replay the unmarked retraction)
+    val adds = corpus.filter($"doc_id".isin(5L, 7L))
+    val dels = corpus.filter($"doc_id".isin(3L, 4L))
+    Dsir.applyDsirIndexCdc(adds, dels, "text", idx, marker = Some("b1-atom"))
+    assert(graft.sources.IndexIO.segments(spark, idx).length == segs0 + 1,
+      "adds+retractions must publish exactly ONE segment")
+    assert(graft.sources.IndexIO.segmentMarkers(spark, idx).contains("b1-atom"))
+    val live = corpus.filter($"doc_id".isin(1L, 2L, 5L, 7L))
+    val (_, rp) = Dsir.dsirIndexProfiles(spark, idx)
+    assertSameRows(rp.orderBy("bucket"),
+      Dsir.ngramProfile(live, "text", B).orderBy("bucket"))
+    // a crash-replay of the same batch is recognized and skipped as a
+    // WHOLE — the retraction cannot re-apply alone
+    val applied = graft.streaming.Streaming.applyIndexBatch(
+      spark, idx, "b1-atom") { fail("bootstrap must not run") } {
+      Dsir.applyDsirIndexCdc(adds, dels, "text", idx, marker = Some("b1-atom"))
+    }
+    assert(!applied)
+    val (_, rp2) = Dsir.dsirIndexProfiles(spark, idx)
+    assertSameRows(rp2.orderBy("bucket"),
+      Dsir.ngramProfile(live, "text", B).orderBy("bucket"))
+  }
 }

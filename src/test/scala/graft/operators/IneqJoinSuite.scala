@@ -221,4 +221,51 @@ class IneqJoinSuite extends SparkSpec {
       leftOn = Some("a"), rightOn = Some("b"))
     assert(out.count() == 30) // 3 x 10 all-match via the aggregate path
   }
+
+  test("footer path refuses float/double columns (NaN-omitting writer stats)") {
+    // common writers (pyarrow) EXCLUDE NaN from footer min/max while
+    // Spark orders NaN above +Inf: a NaN row invisible to the stats
+    // would let noneMatch drop matches and allMatch emit violating
+    // pairs — float/double bounds must come from the NaN-correct
+    // aggregate path, never footers
+    val dir = java.nio.file.Files.createTempDirectory("graft_ineq_flt_").toString
+    Seq((1L, 1.5d), (2L, 7.25d)).toDF("id", "d")
+      .write.mode("overwrite").parquet(dir)
+    assert(ParquetFooterBounds.bounds(spark.read.parquet(dir), "d").isEmpty)
+    val fdir = java.nio.file.Files.createTempDirectory("graft_ineq_flt4_").toString
+    Seq((1L, 1.5f), (2L, 7.25f)).toDF("id", "f")
+      .write.mode("overwrite").parquet(fdir)
+    assert(ParquetFooterBounds.bounds(spark.read.parquet(fdir), "f").isEmpty)
+    // the aggregate fallback keeps float ineq joins NaN-correct: a NaN
+    // right row matches every left row under <= (Spark's total order)
+    val lf = spark.read.parquet(dir)
+    val rdir = java.nio.file.Files.createTempDirectory("graft_ineq_nan_").toString
+    Seq((10L, Double.NaN), (11L, 0.5d)).toDF("rid", "e")
+      .write.mode("overwrite").parquet(rdir)
+    val rf = spark.read.parquet(rdir)
+    val out = IneqJoin(lf, rf, "<=", leftOn = Some("d"), rightOn = Some("e"))
+    assert(out.count() == 2) // both left rows <= NaN; neither <= 0.5
+  }
+
+  test("footer path trusts MICROS timestamps, bails on MILLIS annotation") {
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    def write(outType: String): org.apache.spark.sql.DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ineq_ts_").toString
+      val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", outType)
+      try Seq((1L, ts(1)), (2L, ts(9))).toDF("id", "t")
+        .write.mode("overwrite").parquet(dir)
+      finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+      spark.read.parquet(dir)
+    }
+    // MICROS raw int64 == the epoch-micros the fast paths compare
+    val micros = ParquetFooterBounds.bounds(write("TIMESTAMP_MICROS"), "t")
+    assert(micros.exists { case (lo, hi) =>
+      lo.longValue() == ts(1).getTime * 1000L &&
+        hi.longValue() == ts(9).getTime * 1000L })
+    // MILLIS raw int64 is the wrong unit — annotation check must bail
+    assert(ParquetFooterBounds.bounds(write("TIMESTAMP_MILLIS"), "t").isEmpty)
+    // INT96 has no INT32/INT64 raw type — bails on the raw-type gate
+    assert(ParquetFooterBounds.bounds(write("INT96"), "t").isEmpty)
+  }
 }
