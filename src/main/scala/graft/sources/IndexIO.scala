@@ -48,12 +48,58 @@ import org.apache.spark.sql.SparkSession
   * build — a concurrent publisher finishing first must not delete a
   * sibling mid-build. Crashed-build debris is reclaimed by the explicit
   * [[vacuum]], which takes an age bound instead of guessing liveness.
+  *
+  * CONCURRENT-WRITER CONTRACT (at 100 TB two pipeline runs WILL race a
+  * publish):
+  *
+  *   - FULL publishes ([[publish]] — rebuilds, compactions, syncs) are
+  *     LAST-WINS on the pointer flip. Both versions are internally
+  *     complete (each built its own `v-` dir and `_SEGMENTS` before
+  *     flipping), both stay readable through the retention window
+  *     ([[pin]] either), and no reader ever observes a torn mix. A
+  *     full publish is a self-contained statement of the whole index,
+  *     so losing the race loses no information the winner didn't
+  *     recompute.
+  *   - DELTA publishes ([[publishDelta]] — appends, tombstones,
+  *     retractions) EXTEND the current chain, so two racing appends
+  *     reading the same parent would each publish a chain missing the
+  *     other's segment — silent data loss. They therefore serialize
+  *     under the `_APPEND_LOCK` file (atomic create-no-overwrite,
+  *     held from parent-chain read to pointer flip): the second
+  *     appender blocks, re-reads the first's chain as its parent, and
+  *     both segments land. A crashed holder's lock is taken over
+  *     after [[AppendLockStaleMs]]; a live holder past the acquire
+  *     timeout fails LOUDLY (never silently drops the append). The
+  *     lock file rides the index directory itself, so it coordinates
+  *     across JVMs on any store with atomic create (HDFS, POSIX; on
+  *     object stores without it, keep one writer per index).
+  *   - A FULL publish racing a DELTA is NOT serialized (a compact can
+  *     collapse a chain while an append extends it — whichever flips
+  *     last wins and the other's contribution needs replay). Inside
+  *     the engine this race cannot happen: every maintainer runs its
+  *     appends and compactions from one streaming thread, and batch
+  *     compact/sync jobs own their index. Cross-process rewrites of a
+  *     LIVE maintained index require external coordination; the
+  *     applied-batch markers make a maintainer's replay converge
+  *     after losing such a race.
+  *   - [[vacuum]] racing a publisher is safe: an in-flight build has
+  *     no `_SEGMENTS` yet and is younger than the stale bound, so
+  *     vacuum skips it; committed versions within retention are
+  *     pruning roots.
   */
 object IndexIO {
 
   private val Pointer = "_LATEST"
   private val SegmentsFile = "_SEGMENTS"
   private val PinSep = "@v="
+  private val AppendLockFile = "_APPEND_LOCK"
+
+  /** How long a held append lock is trusted before a competing
+    * publisher treats it as a crash leftover and takes it over. Delta
+    * builds are batch-sized (a micro-batch's segment), so minutes of
+    * hold time already means the holder died mid-publish.
+    */
+  private[sources] val AppendLockStaleMs: Long = 10L * 60 * 1000
 
   /** TIME-TRAVEL pin: the returned string is `path` fixed to one
     * RETAINED version — every read-side entry point ([[resolve]],
@@ -241,9 +287,89 @@ object IndexIO {
       build: String => Unit): String =
     publishInternal(spark, path, delta = true, marker = marker)(build)
 
+  /** [[publishDelta]] with a caller-chosen append-lock acquire timeout
+    * — for batch jobs that would rather fail fast than wait the
+    * default minute behind a slow concurrent appender.
+    */
+  def publishDeltaWithTimeout(
+      spark: SparkSession, path: String, timeoutMs: Long,
+      marker: Option[String] = None)(build: String => Unit): String =
+    publishInternal(spark, path, delta = true, marker = marker,
+      lockTimeoutMs = timeoutMs)(build)
+
+  /** Serialize delta publishers (see the header's concurrent-writer
+    * contract): hold `<base>/_APPEND_LOCK` from parent-chain read to
+    * pointer flip. Atomic acquisition via create-no-overwrite; a lock
+    * older than [[AppendLockStaleMs]] is a crash leftover and is taken
+    * over; a LIVE holder past `timeoutMs` fails loudly — an append
+    * must never be dropped silently.
+    */
+  private def withAppendLock[T](
+      fs: FileSystem, base: Path, timeoutMs: Long = 60000L)(f: => T): T =
+    withLock(fs, base, AppendLockFile, timeoutMs, AppendLockStaleMs)(f)
+
+  private def withLock[T](
+      fs: FileSystem, base: Path, name: String,
+      timeoutMs: Long, staleMs: Long)(f: => T): T = {
+    val lock = new Path(base, name)
+    if (!fs.exists(base)) fs.mkdirs(base)
+    // atomic create-no-overwrite. Hadoop's LOCAL FileSystem implements
+    // create(overwrite=false) as exists-check-then-create — NOT atomic,
+    // two racers both "win" — so the file: scheme goes through
+    // java.io.File.createNewFile (O_CREAT|O_EXCL, atomic across
+    // processes); HDFS-like stores enforce no-overwrite server-side.
+    val scheme = Option(lock.toUri.getScheme).getOrElse("file")
+    def tryCreate(): Boolean =
+      if (scheme == "file") {
+        val f = new java.io.File(lock.toUri.getPath)
+        f.createNewFile() && { // stamp for the stale rule
+          val w = new java.io.FileOutputStream(f)
+          try w.write(System.currentTimeMillis().toString
+            .getBytes(StandardCharsets.UTF_8))
+          finally w.close()
+          true
+        }
+      } else {
+        try {
+          val out = fs.create(lock, false)
+          try out.write(System.currentTimeMillis().toString
+            .getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      }
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = false
+    while (!acquired) {
+      if (tryCreate()) acquired = true
+      else {
+        val stale =
+          try {
+            val st = fs.getFileStatus(lock)
+            System.currentTimeMillis() - st.getModificationTime > staleMs
+          } catch { case _: java.io.FileNotFoundException => true }
+        if (stale) {
+          // crash leftover: delete and retry the atomic create (a
+          // concurrent taker-over may win the re-create — fine, we
+          // loop back into the wait)
+          try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+        } else if (System.currentTimeMillis() > deadline) {
+          throw new IllegalStateException(
+            s"IndexIO: could not acquire $lock within ${timeoutMs} ms — " +
+              "another publisher holds it (a crashed holder's lock is " +
+              s"taken over after $staleMs ms)")
+        } else Thread.sleep(50)
+      }
+    }
+    try f finally {
+      try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+    }
+  }
+
   private def publishInternal(
       spark: SparkSession, path: String, delta: Boolean,
-      marker: Option[String])(build: String => Unit): String = {
+      marker: Option[String], lockTimeoutMs: Long = 60000L)(
+      build: String => Unit): String = {
     requireUnpinned(path, "publish")
     marker.foreach { m =>
       require(m.nonEmpty && m.forall(c =>
@@ -253,6 +379,16 @@ object IndexIO {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
+    if (delta)
+      return withAppendLock(fs, base, lockTimeoutMs)(
+        publishBody(spark, path, delta, marker, conf, base, fs)(build))
+    publishBody(spark, path, delta, marker, conf, base, fs)(build)
+  }
+
+  private def publishBody(
+      spark: SparkSession, path: String, delta: Boolean,
+      marker: Option[String], conf: org.apache.hadoop.conf.Configuration,
+      base: Path, fs: FileSystem)(build: String => Unit): String = {
     val previous = currentVersion(spark, path)
     if (delta && previous.isEmpty) throw new IllegalStateException(
       s"cannot append to $path: no committed base index ($Pointer missing)")
@@ -278,12 +414,22 @@ object IndexIO {
     // the chain survives a directory move/rename or a different mount URI
     writeFile(fs, new Path(vdir, SegmentsFile),
       newSegments.map(p => new Path(p).getName).mkString("\n"))
-    val tmp = new Path(base, s".$Pointer.$version")
-    writeFile(fs, tmp, version)
     // FileContext.rename(OVERWRITE) is the atomic single-file swap on
-    // HDFS-like stores (FileSystem.rename refuses an existing target)
-    FileContext.getFileContext(base.toUri, conf)
-      .rename(tmp, new Path(base, Pointer), Options.Rename.OVERWRITE)
+    // HDFS-like stores (FileSystem.rename refuses an existing target).
+    // On the LOCAL (Checksum) filesystem it is check-delete-rename of
+    // the data file AND its .crc sidecar, so two racing flips can
+    // interleave into FileAlreadyExists or a pointer whose crc belongs
+    // to the loser — the millisecond flip therefore serializes under
+    // its own lock (full publishes stay lock-free for the whole BUILD;
+    // only the pointer swap, not the minutes of table writing, takes
+    // it). Last-wins: whoever enters the flip section last leaves its
+    // version live; both versions are already durable and complete.
+    withLock(fs, base, s".$Pointer.flip_lock", 30000L, 60000L) {
+      val tmp = new Path(base, s".$Pointer.$version")
+      writeFile(fs, tmp, version)
+      FileContext.getFileContext(base.toUri, conf)
+        .rename(tmp, new Path(base, Pointer), Options.Rename.OVERWRITE)
+    }
     prune(fs, base, RetainVersions)
     vdir.toString
   }
