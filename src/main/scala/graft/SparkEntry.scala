@@ -4044,6 +4044,17 @@ object SparkEntry {
       Dedup.dupSpanPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 8, minRunTokens = 12)
     }),
+    "dedup_suffix_spans" -> ((s, dir) => {
+      // suffix-array exact-substring dedup at CHARACTER granularity
+      // (Lee et al. 2022): maximal verbatim runs of >= 30 chars between
+      // doc pairs, found as stride-1 20-char-gram seeds merged on
+      // (posA - posB) diagonals — the spans a global suffix array
+      // would report, without the global sort. The oracle recomputes
+      // character-level: substr grams joined on TEXT equality where
+      // the operator joins on xxhash64.
+      Dedup.charSpanPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 20, minSpanChars = 30)
+    }),
     "source_keywords" -> ((s, dir) => {
       // per-source vocabulary card: top-10 distinctive tokens by
       // exact-integer tf-idf — score = (tf_in_source * 1e6) div
@@ -9073,6 +9084,23 @@ object SparkEntry {
           |       CAST(count(*) + 7 AS BIGINT) AS run_tokens
           |FROM r GROUP BY id_a, id_b, diag, isl
           |HAVING count(*) + 7 >= 12""".stripMargin,
+      "dedup_suffix_spans" ->
+        """WITH pos AS (
+          |  SELECT doc_id, i, substr(text, CAST(i AS INT), 20) AS g
+          |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 20 + 2)) AS i) t
+          |  WHERE length(text) >= 20),
+          |m AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS pa, a.i - b.i AS diag
+          |  FROM pos a JOIN pos b ON a.g = b.g AND a.doc_id < b.doc_id),
+          |isl AS (
+          |  SELECT id_a, id_b, diag, pa,
+          |         pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS isl
+          |  FROM m)
+          |SELECT id_a, id_b, CAST(min(pa) - 1 AS BIGINT) AS a_start,
+          |       CAST(min(pa) - 1 - diag AS BIGINT) AS b_start,
+          |       CAST(count(*) + 19 AS BIGINT) AS span_chars
+          |FROM isl GROUP BY id_a, id_b, diag, isl
+          |HAVING count(*) + 19 >= 30""".stripMargin,
       "source_keywords" ->
         """WITH tok AS (SELECT doc_id, source, w FROM (
           |    SELECT doc_id, source,

@@ -802,6 +802,78 @@ object Dedup {
         col("run_tokens"))
   }
 
+  /** Maximal repeated CHARACTER spans between document pairs — the
+    * suffix-array exact-substring dedup view (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"; their
+    * remover builds a suffix array over the concatenated corpus and
+    * reports adjacent suffixes with long common prefixes). This is the
+    * character-granularity sibling of [[dupSpanPairs]]: it finds the
+    * UNALIGNED verbatim runs that token-window masking misses — a span
+    * that starts mid-token, or one shorter than the k-token window but
+    * longer than `minSpanChars` characters.
+    *
+    * Instead of a (global-sort-shaped) distributed suffix array, the
+    * same spans fall out of stride-1 k-char-gram seeds + diagonal
+    * gaps-and-islands: a repeated span of S ≥ k chars contributes
+    * exactly S−k+1 CONSECUTIVE gram matches on one (posA − posB)
+    * diagonal, so per-(pair, diagonal) islands reconstruct precisely
+    * the maximal repeated spans the suffix array would report — as
+    * shuffle-partitioned equi-joins, no global order anywhere. Output:
+    * one row per maximal cross-doc span — `(id_a, id_b, a_start,
+    * b_start, span_chars)`, 0-based character starts.
+    *
+    * Scale shape: the gram hashes are built in-row (`transform` over a
+    * position sequence + `substr` + `xxhash64`, all codegen built-ins;
+    * text is read once per row and never shuffled) and ship as
+    * `(id, pos, hash)` longs; the self-equi-join on the hash meets
+    * only docs sharing a gram; islands shuffle by (pair, diagonal).
+    * `hotGramCutoff` caps the quadratic hash-block cost of boilerplate
+    * grams on crawl corpora — with the documented conservative effect
+    * that a span CONTAINING a hot gram splits into (or shrinks to) its
+    * sub-cutoff fragments; leave at the default for exact attribution.
+    */
+  def charSpanPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minSpanChars: Int = 40,
+      hotGramCutoff: Long = Long.MaxValue): DataFrame = {
+    require(k > 0, s"charSpanPairs: k must be positive, got $k")
+    require(minSpanChars >= k,
+      s"charSpanPairs: minSpanChars ($minSpanChars) must be >= k ($k) — " +
+        "a single matched gram already proves a k-char span")
+    require(hotGramCutoff > 1,
+      s"charSpanPairs: hotGramCutoff must be > 1, got $hotGramCutoff")
+    val t = col(textCol)
+    val grams = when(length(t) >= k,
+      transform(sequence(lit(1), length(t) - lit(k - 1)),
+        p => xxhash64(t.substr(p, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+    val raw = df
+      .select(col(idCol).as("__id"), posexplode(grams).as(Seq("__pos", "__h")))
+    val seeds =
+      if (hotGramCutoff == Long.MaxValue) raw
+      else raw
+        .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("__h"))))
+        .filter(col("__occ") <= hotGramCutoff)
+        .drop("__occ")
+    val matches = seeds.as("a")
+      .join(seeds.hint("shuffle_hash").as("b"),
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__pos").as("__pa"), col("b.__pos").as("__pb"))
+      .withColumn("__diag", col("__pa") - col("__pb"))
+    val island = Window.partitionBy(col("id_a"), col("id_b"), col("__diag"))
+      .orderBy(col("__pa"))
+    matches
+      .withColumn("__isl", col("__pa") - row_number().over(island))
+      .groupBy(col("id_a"), col("id_b"), col("__diag"), col("__isl"))
+      .agg(min(col("__pa")).cast("long").as("a_start"),
+        (count(lit(1)) + lit(k - 1L)).as("span_chars"))
+      .filter(col("span_chars") >= minSpanChars)
+      .select(col("id_a"), col("id_b"), col("a_start"),
+        (col("a_start") - col("__diag")).cast("long").as("b_start"),
+        col("span_chars"))
+  }
+
   /** 64-bit SimHash of the token multiset: bit j of the signature is the
     * sign of `sum over tokens of (bit j of fnv64(token) ? +1 : -1)`.
     * Native [[graft.functions.SimHash64Expr]] straight over the text —

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{IndexSync, Search, SimilaritySearch}
+import graft.operators.{Dedup, IndexSync, Search, SimilaritySearch}
 
 /** Scale probe for the CDC → index path: at a steady-state crawl the
   * question is "is syncing a d% delta cheaper than rebuilding?", and
@@ -107,6 +107,86 @@ object CdcStress {
       .head().getDouble(2)
     println(s"[stress] ivf synced exhaustive recall vs new snapshot: $recall")
     require(recall == 1.0, "synced IVF must serve the exact subset top-k")
+
+    // ---- MinHash: rebuild vs sync (the near-dup family) ----
+    val mhNew = docs
+      .filter(col("doc_id") % 40 =!= 1)
+      .withColumn("text", when(col("doc_id") % 20 === 0,
+        concat(col("text"), lit(" revised"))).otherwise(col("text")))
+      .localCheckpoint(true)
+    val mhRebuilt = java.nio.file.Files.createTempDirectory("cdc_mh_rb").toString
+    t("minhash REBUILD on new snapshot") {
+      Dedup.buildMinhashIndex(mhNew, "doc_id", "text", mhRebuilt)
+    }
+    val mhSynced = java.nio.file.Files.createTempDirectory("cdc_mh_sync").toString
+    Dedup.buildMinhashIndex(docs, "doc_id", "text", mhSynced)
+    t("minhash SYNC (diff + tombstone + re-sketch, ~7.5% delta)") {
+      IndexSync.syncMinhashIndex(spark, docs, mhNew, "doc_id", "text", mhSynced)
+    }
+    // serving spot-check: probe a slice against both artifacts
+    val probe = base.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 800000000L).as("doc_id"), col("text"))
+    val pa = Dedup.dedupAgainstMinhashIndex(spark, probe, "doc_id", "text",
+      mhSynced, threshold = 0.8).select("id_left", "id_right").collect().toSet
+    val pb = Dedup.dedupAgainstMinhashIndex(spark, probe, "doc_id", "text",
+      mhRebuilt, threshold = 0.8).select("id_left", "id_right").collect().toSet
+    require(pa == pb, "synced minhash serving diverged from the rebuild")
+    println(s"[stress] minhash probe pairs: ${pa.size} (synced == rebuilt)")
+
+    // ---- maintainer cost scales with the DELTA, not the corpus ----
+    // The CDC maintainers apply a change feed as (tombstone ids +
+    // re-sketch/re-encode the changed rows) — exactly the batch shape
+    // below. A FIXED delta (first-copy rows only) against corpora of
+    // growing multiplier must cost ~flat seconds: nothing in the apply
+    // path re-reads the corpus. (The *sync* path above, by contrast,
+    // pays one slim corpus-wide diff join to DERIVE the delta — that
+    // is the sync-vs-rebuild crossover's corpus-linear term.)
+    val deltaDocs = base
+      .filter(col("doc_id") % 20 === 0)
+      .withColumn("text", concat(col("text"), lit(" cdc revision")))
+      .localCheckpoint(true)
+    val deltaIds = base.filter(col("doc_id") % 20 === 0)
+      .select("doc_id").localCheckpoint(true)
+    val nDelta = deltaDocs.count()
+    val embSmall = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val deltaVecs = embSmall.filter(col("vec_id") % 20 === 0)
+      .withColumn("embedding", transform(col("embedding"), x => negate(x)))
+      .localCheckpoint(true)
+    val deltaVecIds = deltaVecs.select("vec_id").localCheckpoint(true)
+    val nDeltaV = deltaVecs.count()
+    println(s"[stress] -- fixed delta: $nDelta docs / $nDeltaV vectors --")
+    for (m <- Seq(1, 4, copies.max(10))) {
+      val corpusM = (0 until m).map(i =>
+        base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val nM = corpusM.count()
+      val embM = (0 until m).map(i =>
+        embSmall.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val nE = embM.count()
+      val bmIdx = java.nio.file.Files.createTempDirectory(s"cdc_sc_bm_$m").toString
+      Search.buildBm25Index(corpusM, "doc_id", "text", bmIdx)
+      t(f"bm25 maintainer batch @ ${m}x corpus ($nM docs): " +
+        f"${nDelta} -doc delta") {
+        Search.deleteFromBm25Index(spark, bmIdx, deltaIds, "doc_id")
+        Search.appendToBm25Index(deltaDocs, "doc_id", "text", bmIdx)
+      }
+      val mhIdx = java.nio.file.Files.createTempDirectory(s"cdc_sc_mh_$m").toString
+      Dedup.buildMinhashIndex(corpusM, "doc_id", "text", mhIdx)
+      t(f"minhash maintainer batch @ ${m}x corpus ($nM docs)") {
+        Dedup.deleteFromMinhashIndex(spark, mhIdx, deltaIds, "doc_id")
+        Dedup.appendToMinhashIndex(deltaDocs, "doc_id", "text", mhIdx)
+      }
+      val ivIdx = java.nio.file.Files.createTempDirectory(s"cdc_sc_iv_$m").toString
+      SimilaritySearch.buildIvfIndex(embM, "vec_id", "embedding", ivIdx)
+      t(f"ivf maintainer batch @ ${m}x corpus ($nE vecs)") {
+        SimilaritySearch.deleteFromAnnIndex(spark, ivIdx, deltaVecIds, "vec_id")
+        SimilaritySearch.appendToIvfIndex(spark, ivIdx, deltaVecs, "vec_id",
+          "embedding")
+      }
+    }
     spark.stop()
   }
 }

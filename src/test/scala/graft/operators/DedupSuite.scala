@@ -644,6 +644,53 @@ class DedupSuite extends SparkSpec {
     }
   }
 
+  test("charSpanPairs: one maximal character span with exact starts and length") {
+    // the UNALIGNED case token windows can't see: the shared run starts
+    // and ends mid-text with different neighbours on each side
+    val docs = Seq(
+      (1, "aaHELLO WONDERFUL WORLDbb"),
+      (2, "ccHELLO WONDERFUL WORLDdd")
+    ).toDF("doc_id", "text")
+    val out = Dedup.charSpanPairs(docs, "doc_id", "text", k = 8, minSpanChars = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1, 2, 2L, 2L, 21L))) // "HELLO WONDERFUL WORLD"
+  }
+
+  test("charSpanPairs: two islands on one diagonal, sub-k docs and nulls drop") {
+    val a = "The alpha block one. ZZZ The beta block two."
+    val b = "The alpha block one. QQQ The beta block two."
+    val docs = Seq((1, a), (2, b), (3, "tiny"), (4, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.charSpanPairs(docs, "doc_id", "text", k = 8, minSpanChars = 10)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // maximality: position 20 (the space after '.') is still shared,
+    // 21 ('Z' vs 'Q') breaks it; span 2 restarts at the shared space 24
+    assert(out == Set((0L, 0L, 21L), (24L, 24L, 20L)))
+    // a 9-char shared substring below minSpanChars=10 filters; at 9 it
+    // surfaces with its exact unaligned boundaries
+    val c = Seq((1, "xxWONDERFULyy"), (2, "zqWONDERFULqz")).toDF("doc_id", "text")
+    assert(Dedup.charSpanPairs(c, "doc_id", "text", k = 8, minSpanChars = 10).isEmpty)
+    val nine = Dedup.charSpanPairs(c, "doc_id", "text", k = 8, minSpanChars = 9)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(nine == Set((2L, 2L, 9L)))
+    intercept[IllegalArgumentException] {
+      Dedup.charSpanPairs(c, "doc_id", "text", k = 8, minSpanChars = 7)
+    }
+  }
+
+  test("charSpanPairs hot-gram cutoff drops boilerplate pairs, keeps rare spans") {
+    val docs = ((1 to 4).map(i => (i, s"head$i SHARED BOILERPLATE LICENSE tail$i")) ++
+      Seq((5, "p5 UNCOMMON UNIQUE RUN q5"), (6, "r6 UNCOMMON UNIQUE RUN s6")))
+      .toDF("doc_id", "text")
+    val all = Dedup.charSpanPairs(docs, "doc_id", "text", k = 8, minSpanChars = 12)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(all.size == 7) // C(4,2) boilerplate pairs + (5,6)
+    val cut = Dedup.charSpanPairs(docs, "doc_id", "text", k = 8,
+        minSpanChars = 12, hotGramCutoff = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(cut == Set((5, 6)))
+  }
+
   test("dupSpanPairs hot-window cutoff drops boilerplate pairs, keeps rare runs") {
     val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
     val rare = (1 to 12).map(i => s"u$i").mkString(" ")
