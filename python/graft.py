@@ -31,6 +31,7 @@ __all__ = ["fuzzy_join", "theta_join", "ineq_join", "as_of_join",
            # LLM-pipeline flagships
            "dedup_exact", "dedup_pairs_minhash_lsh",
            "dedup_pairs_ngram_jaccard", "dedup_pairs_simhash",
+           "char_span_pairs",
            "connected_components", "sem_dedup", "ann_topk_brute",
            "bm25_topk", "decontaminate", "chunk_by_tokens", "pack_greedy",
            "dsir_score"]
@@ -177,6 +178,16 @@ def dedup_pairs_simhash(df, id_col, text_col, max_hamming=7):
     blocking — exact for the radius)."""
     return _wrap(df, _api(df).dedupPairsSimhash(
         df._jdf, id_col, text_col, int(max_hamming)))
+
+
+def char_span_pairs(df, id_col, text_col, k=20, min_span_chars=40):
+    """Maximal repeated CHARACTER spans between doc pairs — the
+    suffix-array exact-substring dedup view (Lee et al. 2022): one row
+    per maximal verbatim cross-doc run of >= ``min_span_chars`` chars,
+    as ``(id_a, id_b, a_start, b_start, span_chars)`` with 0-based
+    starts. Finds the unaligned spans token-window masking misses."""
+    return _wrap(df, _api(df).charSpanPairs(
+        df._jdf, id_col, text_col, int(k), int(min_span_chars)))
 
 
 def connected_components(pairs, a_col, b_col, max_iter=25,

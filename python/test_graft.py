@@ -233,6 +233,16 @@ def test_dedup_pairs_minhash_lsh(docs):
     assert g_lsh == g_exact
 
 
+def test_char_span_pairs(spark):
+    from graft import char_span_pairs
+    docs = spark.createDataFrame(
+        [(1, "aaHELLO WONDERFUL WORLDbb"), (2, "ccHELLO WONDERFUL WORLDdd")],
+        ["doc_id", "text"])
+    got = char_span_pairs(docs, "doc_id", "text", k=8,
+                          min_span_chars=10).toPandas()
+    assert sorted(map(tuple, got.values.tolist())) == [(1, 2, 2, 2, 21)]
+
+
 def test_dedup_pairs_simhash(spark):
     from graft import dedup_pairs_simhash
     dup = spark.createDataFrame(

@@ -106,6 +106,11 @@ object PyApi {
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame =
     Dedup.simhashPairs(df, idCol, textCol, maxHamming)
 
+  def charSpanPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, minSpanChars: Int): DataFrame =
+    Dedup.charSpanPairs(df, idCol, textCol, k, minSpanChars)
+
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int, localThreshold: Long, checkpointDir: String): DataFrame =
