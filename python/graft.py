@@ -31,7 +31,7 @@ __all__ = ["fuzzy_join", "theta_join", "ineq_join", "as_of_join",
            # LLM-pipeline flagships
            "dedup_exact", "dedup_pairs_minhash_lsh",
            "dedup_pairs_ngram_jaccard", "dedup_pairs_simhash",
-           "char_span_pairs",
+           "char_span_pairs", "strip_repeated_char_spans",
            "connected_components", "sem_dedup", "ann_topk_brute",
            "bm25_topk", "decontaminate", "chunk_by_tokens", "pack_greedy",
            "dsir_score"]
@@ -187,6 +187,16 @@ def char_span_pairs(df, id_col, text_col, k=20, min_span_chars=40):
     as ``(id_a, id_b, a_start, b_start, span_chars)`` with 0-based
     starts. Finds the unaligned spans token-window masking misses."""
     return _wrap(df, _api(df).charSpanPairs(
+        df._jdf, id_col, text_col, int(k), int(min_span_chars)))
+
+
+def strip_repeated_char_spans(df, id_col, text_col, k=20,
+                              min_span_chars=40):
+    """The remover for :func:`char_span_pairs`: cut every character
+    range duplicating a smaller-id doc's content from the larger-id
+    copy (each repeated span survives only in its minimal-id holder).
+    Returns ``df`` with ``text_col`` rewritten."""
+    return _wrap(df, _api(df).stripRepeatedCharSpans(
         df._jdf, id_col, text_col, int(k), int(min_span_chars)))
 
 

@@ -243,6 +243,17 @@ def test_char_span_pairs(spark):
     assert sorted(map(tuple, got.values.tolist())) == [(1, 2, 2, 2, 21)]
 
 
+def test_strip_repeated_char_spans(spark):
+    from graft import strip_repeated_char_spans
+    docs = spark.createDataFrame(
+        [(1, "aaHELLO WONDERFUL WORLDbb"), (2, "ccHELLO WONDERFUL WORLDdd")],
+        ["doc_id", "text"])
+    out = dict(strip_repeated_char_spans(docs, "doc_id", "text", k=8,
+                                         min_span_chars=10)
+               .toPandas().values.tolist())
+    assert out == {1: "aaHELLO WONDERFUL WORLDbb", 2: "ccdd"}
+
+
 def test_dedup_pairs_simhash(spark):
     from graft import dedup_pairs_simhash
     dup = spark.createDataFrame(

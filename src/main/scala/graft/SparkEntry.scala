@@ -4055,6 +4055,15 @@ object SparkEntry {
       Dedup.charSpanPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 20, minSpanChars = 30)
     }),
+    "dedup_strip_spans" -> ((s, dir) => {
+      // the suffix-span REMOVER: every >= 30-char range duplicating a
+      // smaller-id doc is cut from the larger-id copy (Lee et al.'s
+      // dedup applied; min-id holder keeps the canonical text). The
+      // oracle rebuilds every doc character-by-character, dropping
+      // positions covered by any replayed span.
+      Dedup.stripRepeatedCharSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 20, minSpanChars = 30).select("doc_id", "text")
+    }),
     "source_keywords" -> ((s, dir) => {
       // per-source vocabulary card: top-10 distinctive tokens by
       // exact-integer tf-idf — score = (tf_in_source * 1e6) div
@@ -9101,6 +9110,35 @@ object SparkEntry {
           |       CAST(count(*) + 19 AS BIGINT) AS span_chars
           |FROM isl GROUP BY id_a, id_b, diag, isl
           |HAVING count(*) + 19 >= 30""".stripMargin,
+      "dedup_strip_spans" ->
+        """WITH pos AS (
+          |  SELECT doc_id, i, substr(text, CAST(i AS INT), 20) AS g
+          |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 20 + 2)) AS i) t
+          |  WHERE length(text) >= 20),
+          |m AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS pa, a.i - b.i AS diag
+          |  FROM pos a JOIN pos b ON a.g = b.g AND a.doc_id < b.doc_id),
+          |isl AS (
+          |  SELECT id_a, id_b, diag, pa,
+          |         pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS isl
+          |  FROM m),
+          |spans AS (
+          |  SELECT id_b, CAST(min(pa) - 1 - diag AS BIGINT) AS b_start,
+          |         CAST(count(*) + 19 AS BIGINT) AS span_chars
+          |  FROM isl GROUP BY id_a, id_b, diag, isl
+          |  HAVING count(*) + 19 >= 30),
+          |chars AS (
+          |  SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS ch
+          |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) t),
+          |cov AS (
+          |  SELECT DISTINCT c.doc_id, c.i
+          |  FROM chars c JOIN spans s ON s.id_b = c.doc_id
+          |    AND c.i >= s.b_start + 1 AND c.i <= s.b_start + s.span_chars)
+          |SELECT c.doc_id,
+          |       coalesce(string_agg(c.ch, '' ORDER BY c.i)
+          |                  FILTER (WHERE cov.i IS NULL), '') AS text
+          |FROM chars c LEFT JOIN cov ON cov.doc_id = c.doc_id AND cov.i = c.i
+          |GROUP BY c.doc_id""".stripMargin,
       "source_keywords" ->
         """WITH tok AS (SELECT doc_id, source, w FROM (
           |    SELECT doc_id, source,

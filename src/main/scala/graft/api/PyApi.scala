@@ -111,6 +111,11 @@ object PyApi {
       k: Int, minSpanChars: Int): DataFrame =
     Dedup.charSpanPairs(df, idCol, textCol, k, minSpanChars)
 
+  def stripRepeatedCharSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, minSpanChars: Int): DataFrame =
+    Dedup.stripRepeatedCharSpans(df, idCol, textCol, k, minSpanChars)
+
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int, localThreshold: Long, checkpointDir: String): DataFrame =

@@ -874,6 +874,49 @@ object Dedup {
         col("span_chars"))
   }
 
+  /** The REMOVER for [[charSpanPairs]] — Lee et al.'s exact-substring
+    * dedup applied: every character range that verbatim-duplicates a
+    * SMALLER-id document's content is cut from the larger-id copy, so
+    * each repeated span survives in exactly one place (its minimal-id
+    * holder — the same canonical-copy rule as [[exact]]'s min-id
+    * keeper). Returns `df` with `textCol` rewritten; docs without cuts
+    * pass through untouched.
+    *
+    * Scale shape: the cut lists are slim `(id, [start, end))` interval
+    * arrays (one row per affected doc, joinable/broadcastable); the
+    * text surgery is one in-row `aggregate` fold over the doc's sorted
+    * intervals (overlaps merge via the running cursor), so document
+    * bodies are read once and never shuffled by span.
+    */
+  def stripRepeatedCharSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minSpanChars: Int = 40,
+      hotGramCutoff: Long = Long.MaxValue): DataFrame = {
+    val cuts = charSpanPairs(df, idCol, textCol, k, minSpanChars, hotGramCutoff)
+      .select(col("id_b").as("__sid"),
+        struct(col("b_start").cast("int").as("s"),
+          (col("b_start") + col("span_chars")).cast("int").as("e")).as("__iv"))
+      .groupBy("__sid").agg(sort_array(collect_set(col("__iv"))).as("__ivs"))
+    val t = col(textCol)
+    // fold over sorted cut intervals: emit the text between the cursor
+    // and each interval's start, jump the cursor past its end (greatest
+    // merges overlapping/nested intervals), then emit the tail
+    val cut = aggregate(
+      col("__ivs"),
+      struct(lit(0).as("pos"), lit("").as("acc")),
+      (st, iv) => struct(
+        greatest(st.getField("pos"), iv.getField("e")).as("pos"),
+        concat(st.getField("acc"),
+          t.substr(st.getField("pos") + lit(1),
+            greatest(iv.getField("s") - st.getField("pos"), lit(0)))).as("acc")),
+      st => concat(st.getField("acc"),
+        t.substr(st.getField("pos") + lit(1),
+          length(t).cast("int") - st.getField("pos"))))
+    df.join(cuts, col(idCol) === col("__sid"), "left")
+      .withColumn(textCol, when(col("__ivs").isNull, t).otherwise(cut))
+      .drop("__sid", "__ivs")
+  }
+
   /** 64-bit SimHash of the token multiset: bit j of the signature is the
     * sign of `sum over tokens of (bit j of fnv64(token) ? +1 : -1)`.
     * Native [[graft.functions.SimHash64Expr]] straight over the text —

@@ -521,6 +521,14 @@ object IndexIO {
           !fs.exists(new Path(st.getPath, SegmentsFile)) &&
           now - st.getModificationTime > staleAfterMs)
         fs.delete(st.getPath, true)
+      // a crashed publisher's lock files are normally adopted by the
+      // next writer (withLock's stale rule); vacuum reclaims them on
+      // idle indexes too so a dead lock never outlives its debris
+      if (st.isFile &&
+          (st.getPath.getName == AppendLockFile ||
+            st.getPath.getName == s".$Pointer.flip_lock") &&
+          now - st.getModificationTime > AppendLockStaleMs)
+        fs.delete(st.getPath, false)
     }
   }
 

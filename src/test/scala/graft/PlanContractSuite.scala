@@ -234,6 +234,12 @@ class PlanContractSuite extends SparkSpec {
         "Exchange SinglePartition")),
     ("dedup_cross_corpus_lsh", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // suffix-span seeds are in-row codegen builtins (no UDF, no
+    // object serialization) and the seed join is the gram-hash
+    // equi-join, never a cartesian
+    ("dedup_suffix_spans", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "BatchEvalPython", "SerializeFromObject")),
     ("dedup_ngram_jaccard", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     ("decontaminate_docs", Seq("BroadcastExchange"),

@@ -678,6 +678,40 @@ class DedupSuite extends SparkSpec {
     }
   }
 
+  test("stripRepeatedCharSpans: min-id holder keeps, copies are cut, overlaps merge") {
+    val span = "HELLO WONDERFUL WORLD"
+    val docs = Seq(
+      (1, s"aa${span}bb"),              // min-id holder: untouched
+      (2, s"cc${span}dd"),              // copy: span cut
+      (3, s"qq${span}"),                // copy at the text edge
+      (4, "unrelated content entirely x")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedCharSpans(docs, "doc_id", "text",
+        k = 8, minSpanChars = 10)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == s"aa${span}bb") // the canonical copy survives whole
+    assert(out(2) == "ccdd")
+    assert(out(3) == "qq")
+    assert(out(4) == "unrelated content entirely x")
+    // overlapping cuts merge through the cursor fold: doc 12 shares a
+    // long run with 10 and a different, overlapping run with 11 — the
+    // union of both ranges is removed exactly once
+    val a = "ABCDEFGHIJKLMNOP"            // 16 chars
+    val over = Seq(
+      (10, s"xx${a.substring(0, 12)}yy"),    // shares ABCDEFGHIJKL
+      (11, s"pp${a.substring(4, 16)}qq"),    // shares EFGHIJKLMNOP
+      (12, s"mm${a}nn")                      // holds both, overlapping
+    ).toDF("doc_id", "text")
+    val o = Dedup.stripRepeatedCharSpans(over, "doc_id", "text",
+        k = 8, minSpanChars = 8)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(o(10) == s"xx${a.substring(0, 12)}yy") // min id: untouched
+    // 11 shares exactly "EFGHIJKL" with 10 (the 8-char overlap of the
+    // two runs) — that range cuts, its unique tail "MNOP" survives
+    assert(o(11) == "ppMNOPqq")
+    assert(o(12) == "mmnn") // ABCDEFGHIJKL (vs 10) + EFGHIJKLMNOP (vs 11) merge
+  }
+
   test("charSpanPairs hot-gram cutoff drops boilerplate pairs, keeps rare spans") {
     val docs = ((1 to 4).map(i => (i, s"head$i SHARED BOILERPLATE LICENSE tail$i")) ++
       Seq((5, "p5 UNCOMMON UNIQUE RUN q5"), (6, "r6 UNCOMMON UNIQUE RUN s6")))

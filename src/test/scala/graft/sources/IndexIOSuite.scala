@@ -423,6 +423,27 @@ class IndexIOSuite extends SparkSpec {
     fs.delete(lock, false)
   }
 
+  test("vacuum reclaims stale lock files on idle indexes, spares fresh ones") {
+    val base = newBase()
+    IndexIO.publish(spark, base) { vdir => writeTable(vdir, "a", Seq(1)) }
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkLock(name: String, old: Boolean): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(base, name)
+      val out = fs.create(p, false); out.write("x".getBytes); out.close()
+      if (old) fs.setTimes(p,
+        System.currentTimeMillis() - IndexIO.AppendLockStaleMs - 1000, -1)
+      p
+    }
+    val dead = mkLock("_APPEND_LOCK", old = true)
+    IndexIO.vacuum(spark, base)
+    assert(!fs.exists(dead), "stale lock must be vacuumed")
+    val live = mkLock("_APPEND_LOCK", old = false)
+    IndexIO.vacuum(spark, base)
+    assert(fs.exists(live), "a fresh (held) lock must survive vacuum")
+    fs.delete(live, false)
+  }
+
   test("a publisher racing vacuum: the in-flight build survives and commits") {
     val base = newBase()
     IndexIO.publish(spark, base) { vdir => writeTable(vdir, "a", Seq(1)) }
