@@ -180,24 +180,27 @@ def dedup_pairs_simhash(df, id_col, text_col, max_hamming=7):
         df._jdf, id_col, text_col, int(max_hamming)))
 
 
-def char_span_pairs(df, id_col, text_col, k=20, min_span_chars=40):
+def char_span_pairs(df, id_col, text_col, k=20, min_span_chars=40,
+                    include_self=False):
     """Maximal repeated CHARACTER spans between doc pairs — the
     suffix-array exact-substring dedup view (Lee et al. 2022): one row
     per maximal verbatim cross-doc run of >= ``min_span_chars`` chars,
     as ``(id_a, id_b, a_start, b_start, span_chars)`` with 0-based
     starts. Finds the unaligned spans token-window masking misses."""
     return _wrap(df, _api(df).charSpanPairs(
-        df._jdf, id_col, text_col, int(k), int(min_span_chars)))
+        df._jdf, id_col, text_col, int(k), int(min_span_chars),
+        bool(include_self)))
 
 
 def strip_repeated_char_spans(df, id_col, text_col, k=20,
-                              min_span_chars=40):
+                              min_span_chars=40, include_self=False):
     """The remover for :func:`char_span_pairs`: cut every character
     range duplicating a smaller-id doc's content from the larger-id
     copy (each repeated span survives only in its minimal-id holder).
     Returns ``df`` with ``text_col`` rewritten."""
     return _wrap(df, _api(df).stripRepeatedCharSpans(
-        df._jdf, id_col, text_col, int(k), int(min_span_chars)))
+        df._jdf, id_col, text_col, int(k), int(min_span_chars),
+        bool(include_self)))
 
 
 def connected_components(pairs, a_col, b_col, max_iter=25,

@@ -114,7 +114,7 @@ object Bench {
     "dedup_incremental", "dedup_incremental_appended",
     "dedup_incremental_deleted", "dedup_cross_corpus",
     "dedup_simhash", "dedup_winnow_pairs", "dedup_span_pairs",
-    "dedup_suffix_spans", "dedup_strip_spans",
+    "dedup_suffix_spans", "dedup_strip_spans", "dedup_suffix_spans_self",
     "dedup_embedding_lsh", "dedup_lines",
     "ann_topk_ivf", "ann_topk_ivf_pq", "ann_topk_ivf_pq_rerank",
     "ann_topk_ivf_pq_filtered", "ann_topk_lsh", "ann_topk_sq8",

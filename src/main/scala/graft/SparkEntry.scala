@@ -4055,6 +4055,14 @@ object SparkEntry {
       Dedup.charSpanPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 20, minSpanChars = 30)
     }),
+    "dedup_suffix_spans_self" -> ((s, dir) => {
+      // includeSelf adds WITHIN-doc repeats (Lee et al. dedup inside a
+      // document too): same-id spans with a_start < b_start ride the
+      // identical diagonal islands; tighter k/minSpan than the cross
+      // gate so the synthetic corpus actually carries self rows.
+      Dedup.charSpanPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 16, minSpanChars = 24, includeSelf = true)
+    }),
     "dedup_strip_spans" -> ((s, dir) => {
       // the suffix-span REMOVER: every >= 30-char range duplicating a
       // smaller-id doc is cut from the larger-id copy (Lee et al.'s
@@ -9110,6 +9118,24 @@ object SparkEntry {
           |       CAST(count(*) + 19 AS BIGINT) AS span_chars
           |FROM isl GROUP BY id_a, id_b, diag, isl
           |HAVING count(*) + 19 >= 30""".stripMargin,
+      "dedup_suffix_spans_self" ->
+        """WITH pos AS (
+          |  SELECT doc_id, i, substr(text, CAST(i AS INT), 16) AS g
+          |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 16 + 2)) AS i) t
+          |  WHERE length(text) >= 16),
+          |m AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS pa, a.i - b.i AS diag
+          |  FROM pos a JOIN pos b ON a.g = b.g
+          |   AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.i < b.i))),
+          |isl AS (
+          |  SELECT id_a, id_b, diag, pa,
+          |         pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS isl
+          |  FROM m)
+          |SELECT id_a, id_b, CAST(min(pa) - 1 AS BIGINT) AS a_start,
+          |       CAST(min(pa) - 1 - diag AS BIGINT) AS b_start,
+          |       CAST(count(*) + 15 AS BIGINT) AS span_chars
+          |FROM isl GROUP BY id_a, id_b, diag, isl
+          |HAVING count(*) + 15 >= 24""".stripMargin,
       "dedup_strip_spans" ->
         """WITH pos AS (
           |  SELECT doc_id, i, substr(text, CAST(i AS INT), 20) AS g

@@ -108,13 +108,15 @@ object PyApi {
 
   def charSpanPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int, minSpanChars: Int): DataFrame =
-    Dedup.charSpanPairs(df, idCol, textCol, k, minSpanChars)
+      k: Int, minSpanChars: Int, includeSelf: Boolean): DataFrame =
+    Dedup.charSpanPairs(df, idCol, textCol, k, minSpanChars,
+      includeSelf = includeSelf)
 
   def stripRepeatedCharSpans(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int, minSpanChars: Int): DataFrame =
-    Dedup.stripRepeatedCharSpans(df, idCol, textCol, k, minSpanChars)
+      k: Int, minSpanChars: Int, includeSelf: Boolean): DataFrame =
+    Dedup.stripRepeatedCharSpans(df, idCol, textCol, k, minSpanChars,
+      includeSelf = includeSelf)
 
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,

@@ -835,7 +835,8 @@ object Dedup {
   def charSpanPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 20, minSpanChars: Int = 40,
-      hotGramCutoff: Long = Long.MaxValue): DataFrame = {
+      hotGramCutoff: Long = Long.MaxValue,
+      includeSelf: Boolean = false): DataFrame = {
     require(k > 0, s"charSpanPairs: k must be positive, got $k")
     require(minSpanChars >= k,
       s"charSpanPairs: minSpanChars ($minSpanChars) must be >= k ($k) — " +
@@ -855,9 +856,19 @@ object Dedup {
         .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("__h"))))
         .filter(col("__occ") <= hotGramCutoff)
         .drop("__occ")
+    // includeSelf adds WITHIN-doc repeats (Lee et al. dedup within a
+    // document too): same-id matches with posA < posB land on nonzero
+    // diagonals and ride the identical island machinery — overlapping
+    // periodic repeats included. The hot-gram cutoff bounds the
+    // pathological all-same-char doc (its grams are globally hot).
+    val pairCond =
+      if (includeSelf)
+        col("a.__id") < col("b.__id") ||
+          (col("a.__id") === col("b.__id") && col("a.__pos") < col("b.__pos"))
+      else col("a.__id") < col("b.__id")
     val matches = seeds.as("a")
       .join(seeds.hint("shuffle_hash").as("b"),
-        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+        col("a.__h") === col("b.__h") && pairCond)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         col("a.__pos").as("__pa"), col("b.__pos").as("__pb"))
       .withColumn("__diag", col("__pa") - col("__pb"))
@@ -891,8 +902,13 @@ object Dedup {
   def stripRepeatedCharSpans(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 20, minSpanChars: Int = 40,
-      hotGramCutoff: Long = Long.MaxValue): DataFrame = {
-    val cuts = charSpanPairs(df, idCol, textCol, k, minSpanChars, hotGramCutoff)
+      hotGramCutoff: Long = Long.MaxValue,
+      includeSelf: Boolean = false): DataFrame = {
+    // self-spans (includeSelf) report the LATER occurrence as the
+    // id_b/b_start side, so the cut below keeps a doc's first copy —
+    // the same canonical-first rule as the cross-doc min-id keeper
+    val cuts = charSpanPairs(df, idCol, textCol, k, minSpanChars,
+        hotGramCutoff, includeSelf)
       .select(col("id_b").as("__sid"),
         struct(col("b_start").cast("int").as("s"),
           (col("b_start") + col("span_chars")).cast("int").as("e")).as("__iv"))

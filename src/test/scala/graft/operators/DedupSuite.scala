@@ -678,6 +678,28 @@ class DedupSuite extends SparkSpec {
     }
   }
 
+  test("charSpanPairs includeSelf: within-doc repeats, periodic overlap exact") {
+    val block = "HELLO WONDERFUL WORLD"
+    val docs = Seq(
+      (1, s"$block xx $block"),      // block at 0 and at 25
+      (2, "abababababab")            // periodic: text[0..9] == text[2..11]
+    ).toDF("doc_id", "text")
+    val out = Dedup.charSpanPairs(docs, "doc_id", "text", k = 8,
+        minSpanChars = 10, includeSelf = true)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out == Set((1, 1, 0L, 25L, 21L), (2, 2, 0L, 2L, 10L)))
+    // default stays cross-doc only
+    assert(Dedup.charSpanPairs(docs, "doc_id", "text", k = 8,
+      minSpanChars = 10).isEmpty)
+    // and the remover keeps each doc's FIRST copy
+    val stripped = Dedup.stripRepeatedCharSpans(docs, "doc_id", "text",
+        k = 8, minSpanChars = 10, includeSelf = true)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(stripped(1) == s"$block xx ")
+    assert(stripped(2) == "ab") // the periodic tail [2..11] cuts as one span
+  }
+
   test("stripRepeatedCharSpans: min-id holder keeps, copies are cut, overlaps merge") {
     val span = "HELLO WONDERFUL WORLD"
     val docs = Seq(
