@@ -240,6 +240,14 @@ class PlanContractSuite extends SparkSpec {
     ("dedup_suffix_spans", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "BatchEvalPython", "SerializeFromObject")),
+    ("dedup_suffix_spans_self", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "BatchEvalPython", "SerializeFromObject")),
+    // the remover rejoins the slim cut lists to the corpus on the id —
+    // an equi-join — and the text surgery is one in-row fold
+    ("dedup_strip_spans", Seq.empty,
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "BatchEvalPython", "SerializeFromObject")),
     ("dedup_ngram_jaccard", Seq.empty,
       Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     ("decontaminate_docs", Seq("BroadcastExchange"),
