@@ -452,7 +452,7 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$vdir/sketches")
       spark.read.parquet(s"$vdir/sketches")
         .select(col("doc_id"), posexplode(col("bks")).as(Seq("band", "bh")))
-        .repartition(bandBuckets, col("band"), col("bh"))
+        .repartition(col("band"), col("bh"))
         .sortWithinPartitions("band", "bh")
         .write.mode("overwrite").parquet(s"$vdir/postings")
       import spark.implicits._
@@ -504,7 +504,7 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$seg/sketches")
       spark.read.parquet(s"$seg/sketches")
         .select(col("doc_id"), posexplode(col("bks")).as(Seq("band", "bh")))
-        .repartition(bandBuckets, col("band"), col("bh"))
+        .repartition(col("band"), col("bh"))
         .sortWithinPartitions("band", "bh")
         .write.mode("overwrite").parquet(s"$seg/postings")
       import spark.implicits._
@@ -560,7 +560,7 @@ object Dedup {
       sketches.write.mode("overwrite").parquet(s"$nv/sketches")
       spark.read.parquet(s"$nv/sketches")
         .select(col("doc_id"), posexplode(col("bks")).as(Seq("band", "bh")))
-        .repartition(bandBuckets, col("band"), col("bh"))
+        .repartition(col("band"), col("bh"))
         .sortWithinPartitions("band", "bh")
         .write.mode("overwrite").parquet(s"$nv/postings")
       meta.coalesce(1).write.mode("overwrite").parquet(s"$nv/meta")

@@ -109,7 +109,15 @@ object Search {
 
   /** Persist the full inverted index + doc stats so repeated queries
     * skip the corpus scan: `path/postings` holds `(term, doc_id, tf,
-    * dl)` BUCKETED BY term (a term lookup touches one bucket's files;
+    * dl)` CLUSTERED BY term — hash-shuffled on term with the partition
+    * count sized at RUNTIME by AQE from the actual shuffle bytes
+    * (`termBuckets` is retained as the legacy fixed-spread knob; the
+    * write no longer pins the file count to it, so a micro-batch delta
+    * lands one small file instead of 64 near-empty ones while a full
+    * corpus build still fans out to advisory-sized files). Within each
+    * file rows sort by (term, doc_id), so a term lookup's row-group
+    * min/max pruning skips non-matching files exactly as before (the
+    * pruning comes from the sort, not the bucket count;
     * the doc length rides DENORMALIZED in every posting row so the
     * serving path never joins the corpus-sized lengths table),
     * `path/lengths` holds `(doc_id, dl)` (delete-time stats correction
@@ -141,7 +149,7 @@ object Search {
       toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
           explode(col("__toks")).as("term"))
         .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-        .repartition(termBuckets, col("term"))
+        .repartition(col("term")) // AQE sizes the partition count from actual bytes
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$vdir/postings")
       lengths.write.mode("overwrite").parquet(s"$vdir/lengths")
@@ -205,7 +213,7 @@ object Search {
           toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
         else toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       posted
-        .repartition(termBuckets, col("term"))
+        .repartition(col("term")) // AQE sizes the partition count from actual bytes
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$seg/postings")
       lengths.write.mode("overwrite").parquet(s"$seg/lengths")
@@ -264,7 +272,7 @@ object Search {
       if (postings0.columns.contains("dl")) postings0
       else postings0.join(lengths, "doc_id")
     graft.sources.IndexIO.publish(spark, path) { nv =>
-      postings.repartition(termBuckets, col("term"))
+      postings.repartition(col("term")) // AQE sizes the partition count from actual bytes
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$nv/postings")
       lengths.write.mode("overwrite").parquet(s"$nv/lengths")
@@ -344,7 +352,11 @@ object Search {
         .filter(col("term").isin(terms: _*)),
       graft.sources.IndexIO.chainTable(spark, path, "tombstones"),
       "doc_id")
-    val lengths = liveTable(spark, path, "lengths")
+    // lengths is BY-NAME into the scorer: the current layout carries dl
+    // in every posting row, so resolving the corpus-sized lengths chain
+    // (one listing + footer read per segment, per query) only happens
+    // for pre-denormalization artifacts that actually join it
+    def lengths = liveTable(spark, path, "lengths")
     val stats = chainStats(spark, path)
     bm25ScoreIndexed(postings, lengths, stats, k, k1, b)
   }
@@ -355,7 +367,7 @@ object Search {
     * single artifact probe feeds this AND the phrase leg.
     */
   private def bm25ScoreIndexed(
-      postings: DataFrame, lengths: DataFrame, stats: DataFrame,
+      postings: DataFrame, lengths: => DataFrame, stats: DataFrame,
       k: Int, k1: Double, b: Double): DataFrame = {
     val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
     // current layout carries dl in the postings rows — serving never
@@ -1061,7 +1073,7 @@ object Search {
           posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
         .groupBy("term", "doc_id")
         .agg(sort_array(collect_list(col("pos"))).as("positions"))
-        .repartition(termBuckets, col("term"))
+        .repartition(col("term")) // AQE sizes the partition count from actual bytes
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$vdir/postings")
     }
@@ -1095,7 +1107,7 @@ object Search {
     if (postings.isEmpty) return
     graft.sources.IndexIO.publishDelta(spark, path) { seg =>
       postings
-        .repartition(termBuckets, col("term"))
+        .repartition(col("term")) // AQE sizes the partition count from actual bytes
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$seg/postings")
     }
@@ -1126,7 +1138,7 @@ object Search {
     if (graft.sources.IndexIO.segments(spark, path).length <= 1) return
     val postings = liveTable(spark, path, "postings")
     graft.sources.IndexIO.publish(spark, path) { nv =>
-      postings.repartition(termBuckets, col("term"))
+      postings.repartition(col("term")) // AQE sizes the partition count from actual bytes
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$nv/postings")
     }
@@ -1196,7 +1208,7 @@ object Search {
         .groupBy("term", "doc_id", "dl")
         .agg(count(lit(1)).as("tf"),
           sort_array(collect_list(col("pos"))).as("positions"))
-        .repartition(termBuckets, col("term"))
+        .repartition(col("term")) // AQE sizes the partition count from actual bytes
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$vdir/postings")
       lengths.write.mode("overwrite").parquet(s"$vdir/lengths")
@@ -1250,7 +1262,7 @@ object Search {
             .agg(count(lit(1)).as("tf"),
               sort_array(collect_list(col("pos"))).as("positions"))
       posted
-        .repartition(termBuckets, col("term"))
+        .repartition(col("term")) // AQE sizes the partition count from actual bytes
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$seg/postings")
       lengths.write.mode("overwrite").parquet(s"$seg/lengths")
@@ -1309,7 +1321,7 @@ object Search {
         s"are in one chain but not the other; rebuild instead")
     graft.sources.IndexIO.publish(spark, outPath) { nv =>
       posLive
-        .repartition(termBuckets, col("term"))
+        .repartition(col("term")) // AQE sizes the partition count from actual bytes
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$nv/postings")
       lengths.write.mode("overwrite").parquet(s"$nv/lengths")
@@ -1360,7 +1372,9 @@ object Search {
       graft.sources.IndexIO.chainTable(spark, path, "tombstones"),
       "doc_id")
       .localCheckpoint(true)
-    val lengths = liveTable(spark, path, "lengths")
+    // by-name into the scorer (see bm25SearchIndex): only resolved for
+    // pre-denormalization artifacts whose postings lack dl
+    def lengths = liveTable(spark, path, "lengths")
     val stats = chainStats(spark, path)
 
     val lexCols =

@@ -405,7 +405,7 @@ object SimilaritySearch {
     val c = prepared(df, idCol, vecCol, "neighbor_id", "__cv", "__cn")
       .localCheckpoint(true) // scanned once per Lloyd iteration + assign
     val centroids = trainCentroids(c, k, iters)
-    c.withColumn("__cell", bestCellExpr(col("__cv"), centroidArray(centroids)))
+    c.withColumn("__cell", bestCellExpr(col("__cv"), centroids))
       .select(col("neighbor_id").as(idCol), col("__cell").as("cluster"))
   }
 
@@ -493,7 +493,7 @@ object SimilaritySearch {
     */
   private def assignSemDedupCells(
       c: DataFrame, centroids: Array[Array[Double]]): DataFrame =
-    c.withColumn("__best", bestCellStructExpr(col("__cv"), centroidArray(centroids)))
+    c.withColumn("__best", bestCellStructExpr(col("__cv"), centroids))
       .select(col("neighbor_id").as("__id"), col("__cv"), col("__cn"),
         col("__best").getField("cell").as("cluster"),
         floor(col("__best").getField("score") * lit(10000.0)).cast("long")
@@ -616,7 +616,7 @@ object SimilaritySearch {
         val rebest = splits.foldLeft(lit(null).cast(
             "struct<cell:int,score:double>")) { case (acc, (cell, base, sub)) =>
           when(col("cluster") === cell,
-            bestCellStructExpr(col("__cv"), centroidArrayFrom(sub, base)))
+            bestCellStructExpr(col("__cv"), sub, base))
             .otherwise(acc)
         }
         assigned = spiller.cut(assigned
@@ -781,7 +781,7 @@ object SimilaritySearch {
       s"semDeDupIncremental: batch has dim ${newDim.get} but the index at " +
         s"$path was trained on dim ${cents(0).length}")
     val assigned = c
-      .withColumn("__best", bestCellStructExpr(col("__cv"), centroidArray(cents)))
+      .withColumn("__best", bestCellStructExpr(col("__cv"), cents))
       .select(col("neighbor_id").as("__id"), col("__cv"), col("__cn"),
         col("__best").getField("cell").as("cluster"),
         floor(col("__best").getField("score") * lit(10000.0)).cast("long")
@@ -906,49 +906,35 @@ object SimilaritySearch {
     * table + re-group per row — would shuffle |corpus|×k rows just to
     * undo its own explode).
     */
-  private def centroidArray(centroids: Array[Array[Double]]): Column =
-    centroidArrayFrom(centroids, 0)
-
-  /** [[centroidArray]] with cell ids starting at `base` — the
-    * sub-centroid literals of [[splitOversizedCells]] land in fresh id
-    * ranges without a post-assignment shift.
-    */
-  private def centroidArrayFrom(
-      centroids: Array[Array[Double]], base: Int): Column =
-    array(centroids.zipWithIndex.map { case (v, i) =>
-      struct(
-        lit(base + i).as("cell"),
-        array(v.map(lit): _*).as("v"),
-        lit(math.sqrt(v.map(x => x * x).sum)).as("n"))
-    }.toIndexedSeq: _*)
-
-  /** `dot(vec, ct.v) / ct.n` via higher-order functions — same value,
-    * same left-to-right summation order, as the driver-side scoring
-    * loop, so expression-assigned cells match driver-computed ones
-    * bit-for-bit (the suite pins this).
-    */
-  private def centroidScore(ct: Column, vec: Column): Column =
-    when(ct.getField("n") > 0,
-      aggregate(zip_with(ct.getField("v"), vec, (a, b) => a * b),
-        lit(0.0), (s, x) => s + x) / ct.getField("n"))
-      .otherwise(lit(0.0))
-
   /** Row-local argmax cell (highest cosine, ties to the smaller cell id)
-    * over the literal centroid array.
+    * over the literal centroid model. Codegen kernel
+    * ([[graft.functions.CentroidKernel.bestStruct]]) — same arithmetic,
+    * same left-to-right summation order, as the driver-side scoring
+    * loop ([[bestCellScalar]] / [[graft.functions.IvfPqKernel.bestCell]]),
+    * so expression-assigned cells match driver-computed ones
+    * bit-for-bit (the suite pins this). Replaces the interpreted
+    * `aggregate`-over-`zip_with` HOF chain, which fell back to
+    * per-row interpretation and evaluated every centroid dot twice.
     */
-  private def bestCellExpr(vec: Column, cents: Column): Column =
-    bestCellStructExpr(vec, cents).getField("cell")
+  private def bestCellExpr(vec: Column, centroids: Array[Array[Double]]): Column =
+    bestCellStructExpr(vec, centroids).getField("cell")
 
   /** The full argmax struct `(cell, score)` — [[semDeDup]] needs the
-    * winning centroid's cosine, not just its id. */
-  private def bestCellStructExpr(vec: Column, cents: Column): Column =
-    aggregate(cents,
-      struct(lit(-1).as("cell"), lit(Double.NegativeInfinity).as("score")),
-      (acc, ct) =>
-        when(centroidScore(ct, vec) > acc.getField("score"),
-          struct(ct.getField("cell").as("cell"),
-            centroidScore(ct, vec).as("score")))
-          .otherwise(acc))
+    * winning centroid's cosine, not just its id. Cell ids start at
+    * `base` — the sub-centroid models of [[splitOversizedCells]] land
+    * in fresh id ranges without a post-assignment shift (the no-winner
+    * sentinel stays `-1` regardless of base, matching the HOF form's
+    * initial accumulator).
+    */
+  private def bestCellStructExpr(vec: Column, centroids: Array[Array[Double]],
+      base: Int = 0): Column = {
+    require(centroids.nonEmpty, "bestCellStructExpr: empty centroid model")
+    val (flat, norms, dim) = flatCentroids(centroids)
+    org.apache.spark.sql.GraftInternals.toColumn(
+      graft.functions.BestCellStructExpr(
+        org.apache.spark.sql.GraftInternals.toExpression(vec),
+        flat, norms, dim, base))
+  }
 
   /** Deterministic Lloyd k-means over a prepared
     * `(neighbor_id, __cv, __cn)` frame: centroids initialize from the
@@ -964,17 +950,25 @@ object SimilaritySearch {
       .withColumn("__h", md5(col("neighbor_id").cast("string")))
       .orderBy(col("__h")).limit(nCentroids)
       .select("__cv").collect().map(_.getSeq[Double](0).toArray)
+    val dim = if (centroids.isEmpty) 0 else centroids(0).length
     var it = 0
     while (it < iters) {
       val assigned =
-        c.withColumn("__cell", bestCellExpr(col("__cv"), centroidArray(centroids)))
+        c.withColumn("__cell", bestCellExpr(col("__cv"), centroids))
+      // per-cell mean in ONE map-side-partial aggregation: d component
+      // sums + a count per cell (k rows × d+1 columns over the wire),
+      // assembled on the driver. The previous form posexploded every
+      // vector (n×d rows through the hash aggregate) and paid a second
+      // shuffle to re-collect the component rows into arrays — same
+      // mean (sum/count, matching avg's evaluate), two shuffles fewer.
+      val sums = (0 until dim).map(i => sum(col("__cv")(i)).as(s"__s$i"))
       val means = assigned
-        .select(col("__cell"), posexplode(col("__cv")).as(Seq("__pos", "__v")))
-        .groupBy(col("__cell"), col("__pos")).agg(avg(col("__v")).as("__m"))
         .groupBy(col("__cell"))
-        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ms"))
-        .select(col("__cell"), col("__ms.__m").as("__centroid"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .collect().map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(2 + i) / n)
+        }.toMap
       // empty cells keep their previous centroid
       centroids = Array.tabulate(centroids.length)(i => means.getOrElse(i, centroids(i)))
       it += 1
@@ -1050,7 +1044,7 @@ object SimilaritySearch {
       .localCheckpoint(true) // scanned once per Lloyd iteration + search
     val centroids = trainCentroids(c, nCentroids, iters)
     val cells =
-      c.withColumn("__cell", bestCellExpr(col("__cv"), centroidArray(centroids)))
+      c.withColumn("__cell", bestCellExpr(col("__cv"), centroids))
     val cents = centroidTable(queries.sparkSession, centroids)
     val q = prepared(queries, idCol, vecCol, "query_id", "__qv", "__qn")
     ivfSearch(probeCells(q, cents, nProbe), cells, k)
@@ -1093,7 +1087,7 @@ object SimilaritySearch {
           col("__ctn").as("cnorm"))
         .repartition(1)
         .write.mode("overwrite").parquet(s"$vdir/centroids")
-      c.withColumn("cell", bestCellExpr(col("__cv"), centroidArray(centroids)))
+      c.withColumn("cell", bestCellExpr(col("__cv"), centroids))
         .select(col("neighbor_id"), col("__cv").as("vec"), col("__cn").as("norm"),
           col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/cells")
@@ -1136,7 +1130,7 @@ object SimilaritySearch {
       spark.read.parquet(s"$vdir/centroids")
         .repartition(1)
         .write.mode("overwrite").parquet(s"$seg/centroids")
-      c.withColumn("cell", bestCellExpr(col("__cv"), centroidArray(cents)))
+      c.withColumn("cell", bestCellExpr(col("__cv"), cents))
         .select(col("neighbor_id"), col("__cv").as("vec"), col("__cn").as("norm"),
           col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$seg/cells")
@@ -1189,7 +1183,7 @@ object SimilaritySearch {
           col("__ctn").as("cnorm"))
         .repartition(1)
         .write.mode("overwrite").parquet(s"$vdir/centroids")
-      c.withColumn("cell", bestCellExpr(col("__cv"), centroidArray(centroids)))
+      c.withColumn("cell", bestCellExpr(col("__cv"), centroids))
         .select(col("neighbor_id"),
           VectorFunctions.sq8Quantize(col("__cv")).as("qvec"), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/cells")
@@ -1227,7 +1221,7 @@ object SimilaritySearch {
       spark.read.parquet(s"$vdir/centroids")
         .repartition(1)
         .write.mode("overwrite").parquet(s"$seg/centroids")
-      c.withColumn("cell", bestCellExpr(col("__cv"), centroidArray(cents)))
+      c.withColumn("cell", bestCellExpr(col("__cv"), cents))
         .select(col("neighbor_id"),
           VectorFunctions.sq8Quantize(col("__cv")).as("qvec"), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$seg/cells")
@@ -1332,11 +1326,21 @@ object SimilaritySearch {
     * `(-score, cell)` makes `array_sort`'s lexicographic struct order
     * exactly the window's `(score desc, cell asc)`.
     */
-  private def topCellsExpr(vec: Column, cents: Column, nProbe: Int): Column =
-    slice(
-      array_sort(transform(cents, ct =>
-        struct((-centroidScore(ct, vec)).as("ns"), ct.getField("cell").as("cell")))),
-      1, nProbe).getField("cell")
+  /** The `nProbe` nearest cells of a query vector, probe order (score
+    * DESC, ties to the smaller cell) — codegen kernel
+    * ([[graft.functions.CentroidKernel.topCells]]) replacing the
+    * interpreted transform/array_sort/slice HOF chain; identical total
+    * order (negated-score ascending under `Double.compare`).
+    */
+  private def topCellsExpr(
+      vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+    require(centroids.nonEmpty, "topCellsExpr: empty centroid model")
+    val (flat, norms, dim) = flatCentroids(centroids)
+    org.apache.spark.sql.GraftInternals.toColumn(
+      graft.functions.TopCellsExpr(
+        org.apache.spark.sql.GraftInternals.toExpression(vec),
+        flat, norms, dim, nProbe))
+  }
 
   /** Semantic near-duplicate gate against a persisted [[buildIvfIndex]]
     * index, STREAM-SAFE: each incoming embedding picks its `nProbe`
@@ -1369,7 +1373,7 @@ object SimilaritySearch {
         col("cell").as("__cell"))
     prepared(probes, idCol, vecCol, "query_id", "__qv", "__qn")
       .withColumn("__cell",
-        explode(topCellsExpr(col("__qv"), centroidArray(cents), nProbe)))
+        explode(topCellsExpr(col("__qv"), cents, nProbe)))
       .join(cells, Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id").as("id_left"), col("neighbor_id").as("id_right"),
