@@ -43,9 +43,24 @@ import graft.functions.TextFunctions
   */
 object Dsir {
 
-  /** Stable bucket in [0, buckets) of an n-gram string. */
-  private def bucketOf(gram: Column, buckets: Int): Column =
+  /** Stable bucket in [0, buckets) of an n-gram string. Kept as the
+    * reference definition the codegen kernel ([[gramBucketsCol]]) is
+    * differential-tested against; the hot paths no longer call it.
+    */
+  private[operators] def bucketOf(gram: Column, buckets: Int): Column =
     conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % buckets
+
+  /** The doc's gram bucket ids (unigrams then bigrams) as ONE
+    * whole-stage-codegen call ([[graft.functions.DsirGramBucketsExpr]])
+    * — bit-identical to `bucketOf` applied to [[gramsArray]]'s
+    * elements, minus the interpreted HOF fold and the per-gram hex
+    * strings.
+    */
+  private[operators] def gramBucketsCol(text: Column, buckets: Int): Column = {
+    import org.apache.spark.sql.GraftInternals
+    GraftInternals.toColumn(graft.functions.DsirGramBucketsExpr(
+      GraftInternals.toExpression(text), buckets))
+  }
 
   /** All scored n-gram occurrences of a document, one array: unigrams
     * (whitespace tokens, empties dropped) followed by adjacent-pair
@@ -75,8 +90,7 @@ object Dsir {
     * re-scan of old data.
     */
   def ngramProfile(df: DataFrame, textCol: String, buckets: Int): DataFrame =
-    df.select(explode(gramsArray(col(textCol))).as("__g"))
-      .select(bucketOf(col("__g"), buckets).as("bucket"))
+    df.select(explode(gramBucketsCol(col(textCol), buckets)).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"))
 
@@ -104,8 +118,8 @@ object Dsir {
       coalesce(sum("cnt"), lit(0L)).cast("double").as("__nt"))
     val nq = rawProfile.agg(
       coalesce(sum("cnt"), lit(0L)).cast("double").as("__nq"))
-    docs.select(col(idCol), explode(gramsArray(col(textCol))).as("__g"))
-      .select(col(idCol), bucketOf(col("__g"), buckets).as("__b"))
+    docs.select(col(idCol),
+        explode(gramBucketsCol(col(textCol), buckets)).as("__b"))
       .join(broadcast(targetProfile.select(
         col("bucket").as("__b"), col("cnt").as("__ct"))), Seq("__b"), "left")
       .join(broadcast(rawProfile.select(
@@ -426,8 +440,9 @@ object Dsir {
 
   /** In-row scoring against a [[ratioArray]] model: returns a
     * `struct(n_ngrams long, logw long)` column computed entirely in
-    * the row — grams, md5 buckets, and a dense-array lookup folded
-    * into one `aggregate` over the gram array; no join, no shuffle, no
+    * the row — grams, md5 buckets, and the dense-array lookup run as
+    * ONE whole-stage-codegen kernel call
+    * ([[graft.functions.DsirScoreExpr]]); no join, no shuffle, no
     * state. Exactly equal to [[importanceScore]] by construction (the
     * same per-bucket grid longs are summed). `n_ngrams = 0` for
     * blank docs (`logw` 0 there — unscorable, gates fail closed).
@@ -435,12 +450,9 @@ object Dsir {
   def scoreInRow(text: Column, ratio: Array[Long], buckets: Int): Column = {
     require(ratio.length == buckets,
       s"ratio array length ${ratio.length} != buckets $buckets")
-    val ratioLit = typedLit(ratio)
-    val grams = gramsArray(text)
-    val logw = aggregate(grams, lit(0L),
-      (acc, g) => acc + element_at(ratioLit,
-        (bucketOf(g, buckets) + lit(1L)).cast("int")))
-    struct(size(grams).cast("long").as("n_ngrams"), logw.as("logw"))
+    import org.apache.spark.sql.GraftInternals
+    GraftInternals.toColumn(graft.functions.DsirScoreExpr(
+      GraftInternals.toExpression(text), ratio, buckets))
   }
 
   // ===== per-group (multilingual) form =====
@@ -466,8 +478,7 @@ object Dsir {
       buckets: Int): DataFrame =
     df.filter(col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("grp"),
-        explode(gramsArray(col(textCol))).as("__g"))
-      .select(col("grp"), bucketOf(col("__g"), buckets).as("bucket"))
+        explode(gramBucketsCol(col(textCol), buckets)).as("bucket"))
       .groupBy("grp", "bucket")
       .agg(count(lit(1)).as("cnt"))
 
@@ -496,8 +507,7 @@ object Dsir {
     val nq = rawProfile.groupBy("grp")
       .agg(sum("cnt").cast("double").as("__nq"))
     docs.select(col(idCol), col(groupCol).cast("string").as("grp"),
-        explode(gramsArray(col(textCol))).as("__g"))
-      .select(col(idCol), col("grp"), bucketOf(col("__g"), buckets).as("__b"))
+        explode(gramBucketsCol(col(textCol), buckets)).as("__b"))
       .join(broadcast(targetProfile.select(col("grp"),
         col("bucket").as("__b"), col("cnt").as("__ct"))), Seq("grp", "__b"), "left")
       .join(broadcast(rawProfile.select(col("grp"),
@@ -680,10 +690,11 @@ object Dsir {
     (ratioMaps(tp, rp, b), b)
   }
 
-  /** In-row per-group scoring: the group→ratio map rides as ONE map
-    * literal, `element_at` picks the row's own group's array, and the
-    * gram aggregate is [[scoreInRow]]'s — no join, no shuffle, no
-    * state. A row whose group the model doesn't know gets a NULL
+  /** In-row per-group scoring: the group→ratio model map rides to
+    * executors as a plan reference, the row's own group picks its
+    * array, and the gram scoring is [[scoreInRow]]'s codegen kernel
+    * ([[graft.functions.DsirScoreByGroupExpr]]) — no join, no shuffle,
+    * no state. A row whose group the model doesn't know gets a NULL
     * `logw` (the map lookup misses), so gates FAIL CLOSED on novel
     * groups — the difference from [[importanceScoreByGroup]]'s
     * uniform-model scoring is deliberate: a gate must not pass a
@@ -697,12 +708,9 @@ object Dsir {
       require(a.length == buckets,
         s"scoreInRowByGroup: group $g ratio length ${a.length} != buckets $buckets")
     }
-    val mapLit = typedLit(ratios.map { case (g, a) => g -> a.toSeq })
-    val arr = element_at(mapLit, group.cast("string"))
-    val grams = gramsArray(text)
-    val logw = aggregate(grams, lit(0L),
-      (acc, g) => acc + element_at(arr,
-        (bucketOf(g, buckets) + lit(1L)).cast("int")))
-    struct(size(grams).cast("long").as("n_ngrams"), logw.as("logw"))
+    import org.apache.spark.sql.GraftInternals
+    GraftInternals.toColumn(graft.functions.DsirScoreByGroupExpr(
+      GraftInternals.toExpression(text),
+      GraftInternals.toExpression(group.cast("string")), ratios, buckets))
   }
 }

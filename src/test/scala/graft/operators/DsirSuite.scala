@@ -34,6 +34,41 @@ class DsirSuite extends SparkSpec {
       5L -> 1L, 7L -> 7L))
   }
 
+  test("codegen gram buckets == the md5-Column composition on edge cases") {
+    // the kernel (DsirGramBucketsExpr) must reproduce
+    // bucketOf(gramsArray(text)) element-for-element: token boundaries
+    // on every \s byte, unigrams-then-bigrams order, multi-byte UTF-8,
+    // the \u0001 bigram separator colliding with one inside a token,
+    // and null/blank/single-token docs
+    val edge = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "  leading and trailing   "),
+      (3L, "tab\tand\nnl\u000bvt\u000cff\rcr mix"),
+      (4L, "único ñandú 汉字 🙂 mix"),
+      (5L, "single"),
+      (6L, ""),
+      (7L, "   "),
+      (8L, null.asInstanceOf[String]),
+      (9L, "a\u0001b weird\u0001sep inside tokens")).toDF("doc_id", "text")
+    val kernel = edge.select($"doc_id",
+      Dsir.gramBucketsCol($"text", B).as("bk"))
+    val hof = edge.select($"doc_id",
+      transform(Dsir.gramsArray($"text"), g => Dsir.bucketOf(g, B)).as("bk"))
+    assertSameRows(kernel, hof)
+  }
+
+  test("scoreInRow nulls: null text -> (null, null); blank -> (0, 0)") {
+    val ratio = Array.fill(B)(7L)
+    val r = Seq(("a", null.asInstanceOf[String]), ("b", "   "))
+      .toDF("k", "text")
+      .select($"k", Dsir.scoreInRow($"text", ratio, B).as("s"))
+      .select($"k", $"s.n_ngrams", $"s.logw").orderBy("k").collect()
+    assert(r(0).isNullAt(1) && r(0).isNullAt(2),
+      "null text must score (null, null), struct itself non-null")
+    assert(r(1).getLong(1) == 0L && r(1).getLong(2) == 0L,
+      "a gram-less doc scores (0, 0) — the empty fold's initial value")
+  }
+
   test("scoreInRow equals the groupBy scorer exactly") {
     val tp = Dsir.ngramProfile(target, "text", B)
     val rp = Dsir.ngramProfile(corpus, "text", B)
