@@ -134,6 +134,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // WALL-CLOCK BUDGET (additions-only; round-18 postmortem): the
+    // driver kills the whole bench run at a fixed timeout, and on a
+    // slow/noisy VM the full 3-pass + re-sample schedule can exceed it
+    // — round 18 lost BOTH bench artifacts (rc=124) and with them every
+    // per-query number. Under budget pressure the bench now sheds extra
+    // SAMPLES, never ROWS: pass 1 always runs every query (one sample
+    // per row minimum — a dropped row reads as a regression), passes
+    // 2-3 and the noisy re-sample passes skip a query when the elapsed
+    // time plus that query's last observed cost would cross the budget.
+    // Skipped rows are reported in "degraded" so a single-sample median
+    // is attributable. Timing semantics of every sample are unchanged.
+    val budgetSecs = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SECS")
+      .map(_.toDouble).getOrElse(2400.0)
+    val tStart = System.nanoTime()
+    def elapsedSecs: Double = (System.nanoTime() - tStart) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -220,19 +235,27 @@ object Bench {
     val passes = 3
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    (1 to passes).foreach { _ =>
+    val degraded = scala.collection.mutable.LinkedHashSet.empty[String]
+    (1 to passes).foreach { pass =>
       names.foreach { name =>
-        val t0 = System.nanoTime()
-        // a sample is recorded ONLY when the query completes: timing a
-        // throw would report time-to-exception as a 10-20x "speedup" and
-        // deflate the suite total (round-10 events family did exactly that)
-        try {
-          allFns(name)(spark, sfDir).count()
-          val s = (System.nanoTime() - t0) / 1e9
-          samples(name) = s :: samples.getOrElse(name, Nil)
-        } catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name failed: $e")
+        // budget shedding applies only AFTER the row has one sample:
+        // estimate this sample's cost from the row's last observation
+        if (pass > 1 && samples.contains(name) &&
+            elapsedSecs + samples(name).head > budgetSecs) {
+          degraded += name
+        } else {
+          val t0 = System.nanoTime()
+          // a sample is recorded ONLY when the query completes: timing a
+          // throw would report time-to-exception as a 10-20x "speedup" and
+          // deflate the suite total (round-10 events family did exactly that)
+          try {
+            allFns(name)(spark, sfDir).count()
+            val s = (System.nanoTime() - t0) / 1e9
+            samples(name) = s :: samples.getOrElse(name, Nil)
+          } catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name failed: $e")
+          }
         }
       }
     }
@@ -255,14 +278,18 @@ object Bench {
     }
     (1 to 2).foreach { _ =>
       noisy.foreach { name =>
-        val t0 = System.nanoTime()
-        try {
-          allFns(name)(spark, sfDir).count()
-          val s = (System.nanoTime() - t0) / 1e9
-          samples(name) = s :: samples.getOrElse(name, Nil)
-        } catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name failed on re-sample: $e")
+        if (elapsedSecs + samples(name).head > budgetSecs) {
+          degraded += name
+        } else {
+          val t0 = System.nanoTime()
+          try {
+            allFns(name)(spark, sfDir).count()
+            val s = (System.nanoTime() - t0) / 1e9
+            samples(name) = s :: samples.getOrElse(name, Nil)
+          } catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name failed on re-sample: $e")
+          }
         }
       }
     }
@@ -286,13 +313,14 @@ object Bench {
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val setupFailedJson = setupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full artifact goes to a committed file: the one-line stdout JSON
     // outgrew the driver's tail capture once the suite passed ~50 rows
     // (medians truncated, `parsed: null` in 10 of 11 rounds). The file
     // carries everything; stdout stays compact (2-decimal medians, no
     // spread map) so the captured line parses again.
     val fullJson =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","stat":"median","queries":$qs,"min":$mins,"spread":$spreads,"n_samples":$nSamples,"failed":$failedJson,"setup_failed":$setupFailedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","stat":"median","queries":$qs,"min":$mins,"spread":$spreads,"n_samples":$nSamples,"failed":$failedJson,"setup_failed":$setupFailedJson,"degraded":$degradedJson,"budget_secs":${f"$budgetSecs%.0f"},"elapsed_secs":${f"$elapsedSecs%.1f"},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
@@ -303,7 +331,7 @@ object Bench {
     val qsShort = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsShort,"failed":$failedJson,"setup_failed":$setupFailedJson,"sf":"$sfDir","detail":"$outPath"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsShort,"failed":$failedJson,"setup_failed":$setupFailedJson,"degraded":$degradedJson,"sf":"$sfDir","detail":"$outPath"}""")
     spark.stop()
   }
 }

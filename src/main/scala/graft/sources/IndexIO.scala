@@ -430,7 +430,7 @@ object IndexIO {
       FileContext.getFileContext(base.toUri, conf)
         .rename(tmp, new Path(base, Pointer), Options.Rename.OVERWRITE)
     }
-    prune(fs, base, RetainVersions)
+    prune(fs, base, RetainVersions, PruneGraceMs)
     vdir.toString
   }
 
@@ -463,7 +463,8 @@ object IndexIO {
     * `_SEGMENTS` yet) are never touched — see the retention contract in
     * the object scaladoc.
     */
-  private def prune(fs: FileSystem, base: Path, retain: Int): Unit = {
+  private def prune(fs: FileSystem, base: Path, retain: Int,
+      graceMs: Long): Unit = {
     val vdirs = fs.listStatus(base).filter(st =>
       st.isDirectory && st.getPath.getName.startsWith("v-"))
     val complete = vdirs.flatMap { st =>
@@ -495,10 +496,29 @@ object IndexIO {
         pointed.contains(p.getName) || protectedDirs.contains(p.getName))
     val keep = kept.flatMap(v => readSegments(fs, v).map(p => new Path(p).getName))
       .toSet ++ kept.map(_.getName)
-    complete.foreach { case (p, _) =>
-      if (!keep.contains(p.getName)) fs.delete(p, true)
+    // PRUNE GRACE (publish-time only): a version published moments ago
+    // may be mid-read by a concurrent query that resolved it before
+    // later publishes pushed it out of the retain window
+    // (build-if-missing races publish several identical versions back
+    // to back; at 100 TB two pipeline runs do the same). A reader's
+    // resolve-to-last-read span is seconds to minutes, so publish-time
+    // pruning never reclaims versions younger than the grace — the
+    // RetainVersions guarantee becomes time-based instead of
+    // publish-count-based under rapid publishing. Explicit [[vacuum]]
+    // passes graceMs=0: it is documented as the maintenance-window
+    // reclaim that KNOWS no concurrent reader/build is in flight.
+    val now = System.currentTimeMillis()
+    complete.foreach { case (p, m) =>
+      if (!keep.contains(p.getName) && now - m > graceMs)
+        fs.delete(p, true)
     }
   }
+
+  /** How long a freshly published (complete) version is immune to
+    * publish-time pruning — see the grace note in [[prune]]. Overridable
+    * for tests that assert the retain-count bound itself.
+    */
+  @volatile private[graft] var PruneGraceMs: Long = 10L * 60 * 1000
 
   /** Explicit GC for index directories: apply the [[prune]] retention
     * policy with a caller-chosen version count AND reclaim in-flight
@@ -514,7 +534,7 @@ object IndexIO {
     val base = new Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return
-    prune(fs, base, retainVersions)
+    prune(fs, base, retainVersions, graceMs = 0L)
     val now = System.currentTimeMillis()
     fs.listStatus(base).foreach { st =>
       if (st.isDirectory && st.getPath.getName.startsWith("v-") &&
@@ -697,7 +717,25 @@ object IndexIO {
     if (pinned.isDefined) return pinned
     val ptr = new Path(new Path(base), Pointer)
     val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(ptr)) None
-    else Some(readFile(fs, ptr).trim).filter(_.nonEmpty)
+    // The pointer flip is atomic on HDFS-like stores, but on the LOCAL
+    // (Checksum) filesystem FileContext.rename(OVERWRITE) is
+    // check-delete-rename of the data file and its .crc sidecar, so a
+    // reader racing a flip can observe a microsecond window where
+    // `_LATEST` is absent or its checksum torn. Writers serialize under
+    // the flip lock; readers close the window by re-checking briefly
+    // before concluding "no committed version" — a genuinely unbuilt
+    // index only pays this on the cold build-if-missing path, where the
+    // build itself costs orders of magnitude more.
+    var attempt = 0
+    while (true) {
+      try {
+        if (fs.exists(ptr))
+          return Some(readFile(fs, ptr).trim).filter(_.nonEmpty)
+      } catch { case _: java.io.IOException => () /* torn crc mid-flip */ }
+      attempt += 1
+      if (attempt >= 5) return None
+      Thread.sleep(40L * attempt)
+    }
+    None // unreachable
   }
 }

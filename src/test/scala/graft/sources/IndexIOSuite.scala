@@ -125,6 +125,11 @@ class IndexIOSuite extends SparkSpec {
 
   test("a reader holding a resolved version survives RetainVersions-1 rebuilds") {
     val base = newBase()
+    // pin the publish-time prune grace to 0 so this test exercises the
+    // retain-COUNT bound itself; the grace has its own test below
+    val savedGrace = IndexIO.PruneGraceMs
+    IndexIO.PruneGraceMs = 0L
+    try {
     IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1, 2, 3)))
     val held = IndexIO.resolve(spark, base)
     val df = spark.read.parquet(s"$held/a") // long-lived plan, re-lists files per action
@@ -143,6 +148,31 @@ class IndexIOSuite extends SparkSpec {
       s"expected ${IndexIO.RetainVersions} kept versions, got: ${vdirs.toSeq}")
     assert(!vdirs.contains(new java.io.File(held).getName),
       s"4-publishes-old version should be pruned: ${vdirs.toSeq}")
+    } finally IndexIO.PruneGraceMs = savedGrace
+  }
+
+  test("publish-time prune grace: a freshly published version is never reclaimed under a reader") {
+    // build-if-missing races (and two pipeline runs at 100 TB) publish
+    // several identical versions back to back; a reader that resolved
+    // any of them must not have its files deleted by a later publisher's
+    // retention pass. With the default grace every version published
+    // in the last PruneGraceMs survives, regardless of the retain count.
+    val base = newBase()
+    IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1, 2, 3)))
+    val held = IndexIO.resolve(spark, base)
+    val df = spark.read.parquet(s"$held/a")
+    // push the held version well past the retain-count window
+    (1 to IndexIO.RetainVersions + 2).foreach(i =>
+      IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(i))))
+    assert(df.count() == 3,
+      "a version published moments ago must survive publish-time pruning")
+    // explicit vacuum (the maintenance-window reclaim) still prunes by
+    // count alone — the grace applies only to publish-time pruning
+    IndexIO.vacuum(spark, base, retainVersions = 1)
+    val vdirs = new java.io.File(base).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v-")).map(_.getName)
+    assert(!vdirs.contains(new java.io.File(held).getName),
+      s"vacuum should reclaim the superseded version: ${vdirs.toSeq}")
   }
 
   test("an in-flight sibling build is never pruned by a finishing publisher") {
@@ -239,6 +269,9 @@ class IndexIOSuite extends SparkSpec {
 
   test("retain: a protected version and its chain survive pruning until released") {
     val base = newBase()
+    val savedGrace = IndexIO.PruneGraceMs
+    IndexIO.PruneGraceMs = 0L // count-based retention is what's under test
+    try {
     IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1)))
     IndexIO.publishDelta(spark, base)(vdir => writeTable(vdir, "a", Seq(2)))
     val v = IndexIO.currentVersionId(spark, base)
@@ -264,6 +297,7 @@ class IndexIOSuite extends SparkSpec {
     intercept[IllegalStateException] { IndexIO.resolve(spark, pinned) }
     // retaining a version that never existed fails loudly
     intercept[IllegalArgumentException] { IndexIO.retain(spark, base, "feedfeed") }
+    } finally IndexIO.PruneGraceMs = savedGrace
   }
 
   test("pin: '@v=' inside a legitimate path is not a pin (plausible-suffix rule)") {
@@ -308,6 +342,9 @@ class IndexIOSuite extends SparkSpec {
 
   test("pin: read-only — publish/vacuum reject, pruned pins fail loudly at resolve") {
     val base = newBase()
+    val savedGrace = IndexIO.PruneGraceMs
+    IndexIO.PruneGraceMs = 0L // count-based retention is what's under test
+    try {
     IndexIO.publish(spark, base)(vdir => writeTable(vdir, "a", Seq(1)))
     val v1 = IndexIO.currentVersionId(spark, base)
     val pinned = IndexIO.pin(base, v1)
@@ -327,6 +364,7 @@ class IndexIOSuite extends SparkSpec {
     // a never-pinned stale id fails the same way; the live path still works
     assert(IndexIO.exists(spark, base))
     IndexIO.resolve(spark, base)
+    } finally IndexIO.PruneGraceMs = savedGrace
   }
 
   // ---- concurrent-writer contract (header paragraph; round-17 verdict #5) ----
