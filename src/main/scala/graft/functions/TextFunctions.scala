@@ -87,6 +87,19 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** A document's complete inverted-index posting rows
+    * `array<struct<term, tf[, positions]>>` in one row-local pass —
+    * the native replacement for `posexplode(tokens) -> groupBy(term,
+    * doc).agg(count, sort_array(collect_list(pos)))` in the index
+    * builds (see [[TermPostingsKernel]] for the shuffle this removes
+    * and the bit-compat argument).
+    */
+  def termPostings(text: Column, withPositions: Boolean): Column = {
+    import org.apache.spark.sql.GraftInternals
+    GraftInternals.toColumn(
+      TermPostingsExpr(GraftInternals.toExpression(text), withPositions))
+  }
+
   /** BPE-ish subword token estimate: word pieces of <=4 chars plus
     * punctuation marks counted separately — a deterministic, cheap stand-in
     * for a real tokenizer's token count (useful for budget accounting on

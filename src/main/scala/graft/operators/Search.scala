@@ -146,9 +146,15 @@ object Search {
       // corpus-sized lengths join per query (at 100 TB that join was
       // the serving bottleneck; lengths persists only for delete-time
       // stats correction and old-layout readers)
-      toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
-          explode(col("__toks")).as("term"))
-        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      // per-doc postings fold in the scan projection (TermPostingsExpr):
+      // the old posexplode -> groupBy(doc_id, dl, term) shape shuffled
+      // one row PER TOKEN for an aggregation that is row-local
+      docs.select(col(idCol).as("doc_id"),
+          size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"),
+          explode(TextFunctions.termPostings(col(textCol),
+            withPositions = false)).as("__p"))
+        .select(col("doc_id"), col("dl"),
+          col("__p.term").as("term"), col("__p.tf").as("tf"))
         .repartition(col("term")) // AQE sizes the partition count from actual bytes
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$vdir/postings")
@@ -207,11 +213,14 @@ object Search {
     graft.sources.IndexIO.publishDelta(spark, path, marker) { seg =>
       val toks = docs.select(col(idCol).as("doc_id"),
         size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
+        explode(TextFunctions.termPostings(col(textCol),
+          withPositions = false)).as("__p"))
       val posted =
         if (baseHasDl)
-          toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-        else toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          toks.select(col("doc_id"), col("dl"),
+            col("__p.term").as("term"), col("__p.tf").as("tf"))
+        else toks.select(col("doc_id"),
+          col("__p.term").as("term"), col("__p.tf").as("tf"))
       posted
         .repartition(col("term")) // AQE sizes the partition count from actual bytes
         .sortWithinPartitions("term", "doc_id")
@@ -1070,9 +1079,10 @@ object Search {
     graft.sources.IndexIO.publish(docs.sparkSession, path) { vdir =>
       docs
         .select(col(idCol).cast("long").as("doc_id"),
-          posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
-        .groupBy("term", "doc_id")
-        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+          explode(TextFunctions.termPostings(col(textCol),
+            withPositions = true)).as("__p"))
+        .select(col("__p.term").as("term"), col("doc_id"),
+          col("__p.positions").as("positions"))
         .repartition(col("term")) // AQE sizes the partition count from actual bytes
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$vdir/postings")
@@ -1100,9 +1110,10 @@ object Search {
     graft.sources.IndexIO.resolve(spark, path) // fail loudly on no base
     val postings = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
-      .groupBy("term", "doc_id")
-      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+        explode(TextFunctions.termPostings(col(textCol),
+          withPositions = true)).as("__p"))
+      .select(col("__p.term").as("term"), col("doc_id"),
+        col("__p.positions").as("positions"))
       .localCheckpoint(true) // probed for emptiness, then written
     if (postings.isEmpty) return
     graft.sources.IndexIO.publishDelta(spark, path) { seg =>
@@ -1204,10 +1215,10 @@ object Search {
       docs
         .select(col(idCol).cast("long").as("doc_id"),
           size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"),
-          posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
-        .groupBy("term", "doc_id", "dl")
-        .agg(count(lit(1)).as("tf"),
-          sort_array(collect_list(col("pos"))).as("positions"))
+          explode(TextFunctions.termPostings(col(textCol),
+            withPositions = true)).as("__p"))
+        .select(col("__p.term").as("term"), col("doc_id"), col("dl"),
+          col("__p.tf").as("tf"), col("__p.positions").as("positions"))
         .repartition(col("term")) // AQE sizes the partition count from actual bytes
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$vdir/postings")
@@ -1251,16 +1262,15 @@ object Search {
       val toks = docs
         .select(col(idCol).cast("long").as("doc_id"),
           size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"),
-          posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+          explode(TextFunctions.termPostings(col(textCol),
+            withPositions = true)).as("__p"))
       val posted =
         if (baseHasDl)
-          toks.groupBy("term", "doc_id", "dl")
-            .agg(count(lit(1)).as("tf"),
-              sort_array(collect_list(col("pos"))).as("positions"))
+          toks.select(col("__p.term").as("term"), col("doc_id"), col("dl"),
+            col("__p.tf").as("tf"), col("__p.positions").as("positions"))
         else
-          toks.groupBy("term", "doc_id")
-            .agg(count(lit(1)).as("tf"),
-              sort_array(collect_list(col("pos"))).as("positions"))
+          toks.select(col("__p.term").as("term"), col("doc_id"),
+            col("__p.tf").as("tf"), col("__p.positions").as("positions"))
       posted
         .repartition(col("term")) // AQE sizes the partition count from actual bytes
         .sortWithinPartitions("term", "doc_id")

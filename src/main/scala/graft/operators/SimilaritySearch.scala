@@ -99,7 +99,25 @@ object SimilaritySearch {
     // can't be smaller), so wide derived payloads still register
     val rows =
       stats.rowCount.getOrElse((stats.sizeInBytes / 32).max(BigInt(1)))
-    stats.sizeInBytes + rows * BigInt(extraBytesPerRow) > BigInt(cap)
+    if (stats.sizeInBytes + rows * BigInt(extraBytesPerRow) <= BigInt(cap))
+      return false
+    // The estimate tripped — but without CBO it ignores filter
+    // selectivity entirely (a 20-row `vec_id < 20` slice of a vector
+    // table reports the WHOLE table's bytes) and the 32-byte row floor
+    // inflates row counts ~17x on wide vector rows, so "oversized" here
+    // is routinely a false alarm that silently degrades a trivially
+    // broadcastable query set to a full shuffle of the corpus (guide
+    // §3.1: estimates are often badly wrong after filters — confirm
+    // before refusing). Confirm with a BOUNDED exact probe: count at
+    // most capRows+1 rows of the query frame (the scan stops feeding
+    // past the limit), where capRows is how many rows of the charged
+    // width fit under the threshold. Streaming frames can't run the
+    // probe job; they keep the conservative estimate.
+    if (queries.isStreaming) return true
+    val width = extraBytesPerRow + 32L
+    val capRows = math.min(cap / width, 4L << 20)
+    val n = queries.limit((capRows + 1).toInt).count()
+    n > capRows
   }
 
   /** Broadcast `df` unless the caller's guard tripped: the oversized

@@ -402,12 +402,24 @@ object IndexIO {
     // marker set forward — collapsing segments must not forget which
     // stream batches the collapsed data contains, or a post-compaction
     // replay would double-append.
+    val parentAggregate: Seq[String] = previous.toSeq.flatMap(v =>
+      readAggregatedMarkers(fs, versionDir(base, v), parentSegments))
     val carried: Seq[String] =
       if (delta) Seq.empty
-      else parentSegments.flatMap(s => readMarkers(fs, new Path(s)))
+      else parentAggregate
     (carried ++ marker).distinct.foreach { m =>
       writeFile(fs, new Path(vdir, s"$MarkerPrefix$m"), "")
     }
+    // chain-level marker AGGREGATE: the union of every live segment's
+    // markers as of THIS version, one file in the version dir — so a
+    // maintainer's per-batch replay check ([[segmentMarkers]]) is ONE
+    // read instead of a listing per chain segment (K listings per
+    // micro-batch is pure object-store latency at 100 TB). Per-segment
+    // `_MARKER.*` files remain the source of truth (atomic with their
+    // segment); the aggregate is derived, and readers fall back to the
+    // per-segment walk on chains whose tip predates it.
+    writeFile(fs, new Path(vdir, MarkersFile),
+      (parentAggregate ++ marker).distinct.mkString("\n"))
     val newSegments =
       (if (delta) parentSegments else Seq.empty) :+ vdir.toString
     // segment entries are stored as names relative to the index base so
@@ -443,13 +455,58 @@ object IndexIO {
     */
   def segmentMarkers(spark: SparkSession, path: String): Set[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    segments(spark, path).flatMap { s =>
-      val p = new Path(s)
-      readMarkers(p.getFileSystem(conf), p)
-    }.toSet
+    val (baseStr, _) = splitPin(path)
+    val base = new Path(baseStr)
+    val fs = base.getFileSystem(conf)
+    currentVersion(spark, path) match {
+      case None => Set.empty
+      case Some(v) =>
+        val vdir = versionDir(base, v)
+        readAggregatedMarkers(fs, vdir, readSegments(fs, vdir)).toSet
+    }
+  }
+
+  /** [[segmentMarkers]] with the "is there a committed index at all"
+    * probe fused in: `None` when no committed version exists (the
+    * [[exists]] condition), else the marker set. The streaming
+    * maintainers' per-batch decision (bootstrap? replayed? append?)
+    * is ONE index-state read instead of the exists + segmentMarkers
+    * pair — per-micro-batch driver round-trips are the object-store
+    * tax at 100 TB.
+    */
+  def segmentMarkersIfExists(
+      spark: SparkSession, path: String): Option[Set[String]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (baseStr, _) = splitPin(path)
+    val base = new Path(baseStr)
+    val fs = base.getFileSystem(conf)
+    currentVersion(spark, path).flatMap { v =>
+      val vdir = versionDir(base, v)
+      if (!fs.exists(vdir)) None // pointer to a removed version = no index
+      else Some(readAggregatedMarkers(fs, vdir, readSegments(fs, vdir)).toSet)
+    }
   }
 
   private val MarkerPrefix = "_MARKER."
+  private val MarkersFile = "_MARKERS"
+
+  /** The chain's full marker set at `vdir`: one read of the version's
+    * `_MARKERS` aggregate when present (publishes since the aggregate
+    * landed write it), else the legacy per-segment `_MARKER.*` walk —
+    * a listing per chain segment.
+    */
+  private def readAggregatedMarkers(
+      fs: FileSystem, vdir: Path, chainSegments: Seq[String]): Seq[String] = {
+    val agg = new Path(vdir, MarkersFile)
+    val viaFile =
+      try {
+        if (fs.exists(agg))
+          Some(readFile(fs, agg).split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+        else None
+      } catch { case _: java.io.IOException => None }
+    viaFile.getOrElse(
+      chainSegments.flatMap(s => readMarkers(fs, new Path(s))).distinct)
+  }
 
   private def readMarkers(fs: FileSystem, segDir: Path): Seq[String] =
     if (!fs.exists(segDir)) Seq.empty
@@ -607,6 +664,23 @@ object IndexIO {
     readSegments(fs, vdir)
   }
 
+  /** [[segments]] with the committed-index probe fused in: `None` when
+    * no committed version exists, else the chain. One index-state read
+    * for callers that would otherwise pair `exists` + `segments` (the
+    * maintainers' per-batch compaction-cadence check).
+    */
+  def segmentsIfExists(spark: SparkSession, path: String): Option[Seq[String]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (baseStr, _) = splitPin(path)
+    val base = new Path(baseStr)
+    val fs = base.getFileSystem(conf)
+    currentVersion(spark, path).flatMap { v =>
+      val vdir = versionDir(base, v)
+      if (!fs.exists(vdir)) None
+      else Some(readSegments(fs, vdir))
+    }
+  }
+
   /** Chain-ordered union of `<segment>/<name>` across the CURRENT
     * index, each row tagged with its segment's chain position in
     * `__seg` (0 = oldest). Segments lacking the table are skipped —
@@ -722,16 +796,24 @@ object IndexIO {
     // check-delete-rename of the data file and its .crc sidecar, so a
     // reader racing a flip can observe a microsecond window where
     // `_LATEST` is absent or its checksum torn. Writers serialize under
-    // the flip lock; readers close the window by re-checking briefly
-    // before concluding "no committed version" — a genuinely unbuilt
-    // index only pays this on the cold build-if-missing path, where the
-    // build itself costs orders of magnitude more.
+    // the flip lock; readers close the window by re-checking briefly —
+    // but ONLY when a committed (`_SEGMENTS`-bearing) version dir is
+    // already on disk, which is the precondition for a flip to be in
+    // flight. A genuinely unbuilt index (no committed version) returns
+    // None after one extra listing, keeping the cold build-if-missing
+    // probe sleep-free.
     var attempt = 0
     while (true) {
       try {
         if (fs.exists(ptr))
           return Some(readFile(fs, ptr).trim).filter(_.nonEmpty)
       } catch { case _: java.io.IOException => () /* torn crc mid-flip */ }
+      val committedOnDisk =
+        try fs.exists(new Path(base)) && fs.listStatus(new Path(base)).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("v-") &&
+            fs.exists(new Path(st.getPath, SegmentsFile)))
+        catch { case _: java.io.IOException => false }
+      if (!committedOnDisk) return None
       attempt += 1
       if (attempt >= 5) return None
       Thread.sleep(40L * attempt)

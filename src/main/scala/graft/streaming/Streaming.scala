@@ -873,12 +873,14 @@ object Streaming {
     */
   def applyIndexBatch(
       spark: SparkSession, path: String, marker: String)(
-      bootstrap: => Unit)(append: => Unit): Boolean = {
-    if (!graft.sources.IndexIO.exists(spark, path)) { bootstrap; true }
-    else if (graft.sources.IndexIO.segmentMarkers(spark, path).contains(marker))
-      false
-    else { append; true }
-  }
+      bootstrap: => Unit)(append: => Unit): Boolean =
+    // one fused index-state read per batch (exists + marker set) —
+    // see IndexIO.segmentMarkersIfExists
+    graft.sources.IndexIO.segmentMarkersIfExists(spark, path) match {
+      case None => bootstrap; true
+      case Some(ms) if ms.contains(marker) => false
+      case _ => append; true
+    }
 
   /** Automatic compaction cadence for the streaming maintainers: when
     * `compactEvery > 0` and the chain has grown to that many segments,
@@ -899,8 +901,8 @@ object Streaming {
     // throws on the missing _LATEST AFTER the batch applied but BEFORE
     // foreachBatch commits, so the restarted stream replays the same
     // batch into the same throw forever
-    if (compactEvery > 0 && graft.sources.IndexIO.exists(spark, path) &&
-        graft.sources.IndexIO.segments(spark, path).length >= compactEvery)
+    if (compactEvery > 0 && graft.sources.IndexIO
+        .segmentsIfExists(spark, path).exists(_.length >= compactEvery))
       compact
 
   /** The ONE build-then-append maintenance skeleton every index-family

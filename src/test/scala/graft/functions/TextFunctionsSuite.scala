@@ -452,4 +452,52 @@ class TextFunctionsSuite extends SparkSpec {
     assert(r(2) == "Ecole")
     assert(r(3) == "no accents at all")
   }
+
+  test("termPostings: differential vs the posexplode->groupBy aggregate it replaces") {
+    // the index builds replaced `posexplode(tokens) -> groupBy(term,
+    // doc).agg(count, sort_array(collect_list(pos)))` with the
+    // row-local TermPostingsExpr fold — pin the two on whitespace and
+    // repetition edge cases, including null/empty docs (both shapes
+    // emit zero posting rows for those)
+    val docs = Seq(
+      (1L, "a b a c b a"),
+      (2L, "  x\ty x  "),
+      (3L, "single"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String]),
+      (6L, "dup dup dup dup"),
+      (7L, "\u0001edge a \u0001edge")).toDF("doc_id", "text")
+    val viaAgg = docs
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .orderBy("doc_id", "term")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3).toList))
+    val viaKernel = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.termPostings(col("text"),
+          withPositions = true)).as("p"))
+      .select(col("p.term").as("term"), col("doc_id"),
+        col("p.tf").as("tf"), col("p.positions").as("positions"))
+      .orderBy("doc_id", "term")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3).toList))
+    assert(viaKernel.toSeq == viaAgg.toSeq)
+    assert(viaAgg.nonEmpty)
+    // the tf-only form agrees and carries no positions field
+    val tfOnly = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.termPostings(col("text"),
+          withPositions = false)).as("p"))
+      .select(col("p.term"), col("doc_id"), col("p.tf"))
+      .orderBy("doc_id", "term")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(tfOnly.toSeq == viaAgg.map(t => (t._1, t._2, t._3)).toSeq)
+  }
 }
