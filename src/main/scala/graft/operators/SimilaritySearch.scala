@@ -979,13 +979,24 @@ object SimilaritySearch {
       // vector (n×d rows through the hash aggregate) and paid a second
       // shuffle to re-collect the component rows into arrays — same
       // mean (sum/count, matching avg's evaluate), two shuffles fewer.
-      val sums = (0 until dim).map(i => sum(col("__cv")(i)).as(s"__s$i"))
+      // The d sums + count ride in ONE fixed-size array aggregate
+      // (VecSumCountAggregator) instead of d separate `sum` columns:
+      // past spark.sql.codegen.maxFields (100) the d-column aggregate
+      // drops out of whole-stage codegen and every Lloyd pass over the
+      // corpus turns interpreted — measured 3-4x slower per pass at
+      // d=768/1536, and the array form is ~2x faster even at d=64
+      // (tools/CentroidDimProbe, which also checks the two forms'
+      // sums are BIT-IDENTICAL: same adds over the same shuffle).
+      val vecSumCount = udaf(new graft.functions.VecSumCountAggregator())
       val means = assigned
         .groupBy(col("__cell"))
-        .agg(count(lit(1)).as("__n"), sums: _*)
+        .agg(vecSumCount(col("__cv")).as("__sc"))
+        .select(col("__cell"), col("__sc._1").as("__sums"),
+          col("__sc._2").as("__n"))
         .collect().map { r =>
-          val n = r.getLong(1).toDouble
-          r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(2 + i) / n)
+          val n = r.getLong(2).toDouble
+          val s = r.getSeq[Double](1)
+          r.getInt(0) -> Array.tabulate(dim)(i => s(i) / n)
         }.toMap
       // empty cells keep their previous centroid
       centroids = Array.tabulate(centroids.length)(i => means.getOrElse(i, centroids(i)))

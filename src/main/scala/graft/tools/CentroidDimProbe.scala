@@ -47,11 +47,25 @@ object CentroidDimProbe {
       // inspect the EXECUTED plan: is the final HashAggregate inside a
       // WholeStageCodegen span, and did codegen compile at all?
       val executed = agg.queryExecution.executedPlan.toString
-      val hasWsc = executed.contains("WholeStageCodegen")
       val aggInWsc = executed.linesIterator.exists(l =>
         l.contains("HashAggregate") && l.contains("*("))
+      // the fixed-size array-aggregate form trainCentroids uses past
+      // the codegen field limit — time it and check the sums agree
+      val vecSumCount = udaf(new graft.functions.VecSumCountAggregator())
+      val agg2 = c.groupBy(col("__cell")).agg(vecSumCount(col("__cv")).as("__sc"))
+        .select(col("__cell"), col("__sc._1").as("__sums"), col("__sc._2").as("__n"))
+      val t1 = System.nanoTime()
+      val out2 = agg2.collect()
+      val secs2 = (System.nanoTime() - t1) / 1e9
+      val colSums = out.map(r =>
+        r.getInt(0) -> (0 until dim).map(i => r.getDouble(2 + i)).toVector).toMap
+      val arrSums = out2.map(r =>
+        r.getInt(0) -> r.getSeq[Double](1).toVector).toMap
+      val same = colSums.keySet == arrSums.keySet &&
+        colSums.forall { case (k, v) => arrSums(k) == v }
       println(f"[probe] dim=$dim%5d rows=$rows cells=${out.length}%3d " +
-        f"agg=$secs%6.2fs wholeStageCodegen=$hasWsc hashAggInCodegen=$aggInWsc")
+        f"dColumnAgg=$secs%6.2fs (codegen=$aggInWsc) arrayAgg=$secs2%6.2fs " +
+        f"sumsBitIdentical=$same")
     }
     spark.stop()
   }
