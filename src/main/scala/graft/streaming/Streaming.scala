@@ -711,22 +711,27 @@ object Streaming {
       maxContamination, fpp)
   }
 
-  /** Count-guarded collect of a distinct hash frame into the sorted
-    * exact-confirm array. The guard runs BEFORE the collect — counting
-    * first costs one cheap aggregate job, but a guard that fires only
-    * after the driver already holds an oversized Row array would be
-    * documentation, not protection.
+  /** Size-guarded collect of a distinct hash frame into the sorted
+    * exact-confirm array, in ONE pass: `sort().limit(max+1)` plans as
+    * per-partition top-(max+1) heaps merged on the driver, so the
+    * driver never holds more than one row past the cap — the same
+    * bound the permitted collect has — and the guard fires on the
+    * returned length. The previous count-then-collect shape ran the
+    * whole hash-chain aggregate TWICE (one pass for the count, one for
+    * the collect); on a gate built per publish/per micro-batch that
+    * second eval-chain pass is pure waste.
     */
   private def collectExact(
       hashes: DataFrame, hashCol: String, maxExactHashes: Long): Array[Long] = {
-    val cnt = hashes.count()
-    require(cnt <= maxExactHashes,
-      s"eval set has $cnt distinct shingle hashes > " +
-        s"maxExactHashes=$maxExactHashes; decontaminate in batch instead " +
+    val capped = math.min(maxExactHashes, Int.MaxValue - 8L).toInt
+    // sort().limit().collect() not collect().sorted — the sort runs
+    // distributed and the driver only merges ordered partition heads
+    val arr = hashes.sort(hashCol).limit(capped + 1).collect().map(_.getLong(0))
+    require(arr.length <= maxExactHashes,
+      s"eval set has more than maxExactHashes=$maxExactHashes distinct " +
+        "shingle hashes; decontaminate in batch instead " +
         "(Decontaminate.ngramOverlap with broadcastEval=false)")
-    // sort().collect() not collect().sorted — the sort runs distributed
-    // and the driver only concatenates ordered partitions
-    hashes.sort(hashCol).collect().map(_.getLong(0))
+    arr
   }
 
   private def gateCore(

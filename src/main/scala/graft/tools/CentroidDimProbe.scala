@@ -66,6 +66,20 @@ object CentroidDimProbe {
       println(f"[probe] dim=$dim%5d rows=$rows cells=${out.length}%3d " +
         f"dColumnAgg=$secs%6.2fs (codegen=$aggInWsc) arrayAgg=$secs2%6.2fs " +
         f"sumsBitIdentical=$same")
+      // plan evidence at the first realistic dim: the d-column form's
+      // HashAggregate outside codegen vs the array aggregate
+      if (dim == 768) {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get("plans/r19"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("plans/r19/centroid_lloyd_d768_before.txt"),
+          agg.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("plans/r19/centroid_lloyd_d768_after.txt"),
+          agg2.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      }
     }
     spark.stop()
   }
